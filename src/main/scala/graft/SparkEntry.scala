@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries, QueryDef}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 to a
+  * demonstration query over the driver's synthetic tables; `oracleSql` holds
+  * the DuckDB-equivalent SQL for each SQL-expressible one.
+  */
 object SparkEntry {
+
+  /** Session options every entry point needs. `nanosAsLong` is required
+    * because `events.parquet` carries TIMESTAMP(NANOS) which Spark's
+    * TimestampType (µs) cannot represent; we read exact epoch-ns longs. */
+  val SessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    SessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  private def allDefs: Seq[(String, QueryDef)] =
+    CoreQueries.defs ++ PipelineQueries.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (n, d) => n -> d.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (n, QueryDef(_, Some(sql))) => n -> sql }.toMap
 }

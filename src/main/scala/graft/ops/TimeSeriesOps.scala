@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational middle layer of the engine — SURVEY.md §2.3-§2.6, §7 step 3.
+  *
+  * Every operator here is expressed with Catalyst built-ins so predicate
+  * pushdown, column pruning and whole-stage codegen apply unchanged; nothing
+  * needs a custom Expression for parity (SURVEY.md §4). All operators take
+  * and return DataFrames so they compose into the deck/extract pipelines.
+  *
+  * Scale notes (100 TB posture):
+  *  - series-local windows (`cumulativeSum`, `anchorElapsedHours`) partition
+  *    by series id so each series sorts within one task; a window without a
+  *    partition key would funnel all data through a single task.
+  *  - `timeGrid` is generated, not materialized on the driver.
+  *  - joins against dimensions are expected to be broadcast by the caller.
+  */
+object TimeSeriesOps {
+
+  /** Dense time grid (J1) — replaces the reference's pandas
+    * `date_range(start, end, freq)` (reference: input/rain/gen_rain.py:141-153).
+    * Inclusive of both endpoints, like pandas.
+    */
+  def timeGrid(spark: SparkSession, startTs: String, endTs: String, stepMinutes: Int): DataFrame =
+    spark.sql(
+      s"SELECT explode(sequence(TIMESTAMP '$startTs', TIMESTAMP '$endTs'," +
+        s" INTERVAL $stepMinutes MINUTE)) AS time")
+
+  /** Left-join a series onto a dense grid (J1): grid times with no data get
+    * null values (dropped or filled downstream, reference:
+    * input/rain/gen_rain.py:141-153). */
+  def alignToGrid(grid: DataFrame, series: DataFrame, timeCol: String = "time"): DataFrame =
+    grid.join(series, Seq(timeCol), "left")
+
+  /** Right-closed bucket label (A2 helper): maps `time` to the RIGHT edge of
+    * its `(t-step, t]` tumbling bucket. Pure long arithmetic via `pmod` — no
+    * division — so bucket edges are never subject to floating-point boundary
+    * error (epoch nanos exceed 2^53 and do not round-trip through double).
+    * Matches pandas `resample(freq, label='right', closed='right')`
+    * (reference: input/rain/gen_rain.py:162-163).
+    */
+  def bucketRightClosedTs(time: Column, stepSeconds: Long): Column = {
+    val stepUs = lit(stepSeconds * 1000000L)
+    val us = unix_micros(time) - lit(1L)
+    timestamp_micros(us - pmod(us, stepUs) + stepUs)
+  }
+
+  /** Same, for a raw epoch-nanoseconds LONG column (returns epoch ns of the
+    * right edge). */
+  def bucketRightClosedNs(ns: Column, stepSeconds: Long): Column = {
+    val stepNs = lit(stepSeconds * 1000000000L)
+    val x = ns - lit(1L)
+    x - pmod(x, stepNs) + stepNs
+  }
+
+  /** Right-closed tumbling resample + sum (A2): 5-min → 15-min with the
+    * bucket labeled by its right edge (reference: input/rain/gen_rain.py:162-163).
+    * One shuffle on (keys, bucket); partial aggregation is map-side.
+    */
+  def resampleRightClosedSum(
+      df: DataFrame,
+      stepSeconds: Long,
+      timeCol: String = "time",
+      valueCol: String = "value",
+      keys: Seq[String] = Nil): DataFrame = {
+    val bucket = bucketRightClosedTs(col(timeCol), stepSeconds)
+    df.groupBy((keys.map(col) :+ bucket.as(timeCol)): _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+  }
+
+  private def seriesWindow(orderCol: String, keys: Seq[String]) = {
+    val base = if (keys.isEmpty) Window.orderBy(col(orderCol))
+    else Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
+
+  /** Running cumulative sum in time order (A4/W2, reference:
+    * input/rain/gen_rain.py:175-179). Partition by series keys at scale. */
+  def cumulativeSum(
+      df: DataFrame,
+      valueCol: String = "value",
+      timeCol: String = "time",
+      keys: Seq[String] = Nil,
+      out: String = "cum"): DataFrame =
+    df.withColumn(out, sum(col(valueCol)).over(seriesWindow(timeCol, keys)))
+
+  /** Normalized cumulative fraction (A5): `cum/total` when total > 0 else 0
+    * (reference: input/rain/gen_rain.py:181-186). */
+  def normalizedCumulative(
+      df: DataFrame,
+      valueCol: String = "value",
+      timeCol: String = "time",
+      keys: Seq[String] = Nil,
+      out: String = "frac"): DataFrame = {
+    val full = {
+      val base = if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keys.map(col): _*)
+      base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    }
+    val withCum = cumulativeSum(df, valueCol, timeCol, keys, "__cum")
+    withCum
+      .withColumn("__total", sum(col(valueCol)).over(full))
+      .withColumn(out, when(col("__total") > 0, col("__cum") / col("__total")).otherwise(lit(0.0)))
+      .drop("__cum", "__total")
+  }
+
+  /** Anchor-first elapsed hours (W1/X3): every row gets hours elapsed since
+    * the series' first timestamp (reference: input/inflow/gen_150_inflow.py:107-108,
+    * input/outflow/gen_outflow.py:110). */
+  def anchorElapsedHours(
+      df: DataFrame,
+      timeCol: String = "time",
+      keys: Seq[String] = Nil,
+      out: String = "elapsed_h"): DataFrame = {
+    val full = {
+      val base = if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keys.map(col): _*)
+      base
+    }
+    df.withColumn(
+      out,
+      (unix_micros(col(timeCol)) - min(unix_micros(col(timeCol))).over(full)) / lit(3.6e9))
+  }
+
+  /** Forecast-horizon filter (F2): keep rows at/after the cutoff. On sorted
+    * input this equals the reference's suffix slice
+    * (reference: output/extract_water_level.py:139-160). */
+  def horizonFilter(df: DataFrame, cutoff: Column, timeCol: String = "time"): DataFrame =
+    df.filter(col(timeCol) >= cutoff)
+
+  /** Sentinel filter (F3): drop `-99999` invalid tide points
+    * (reference: input/outflow/gen_outflow.py:107-112). */
+  def dropSentinels(df: DataFrame, valueCol: String = "value",
+      sentinel: Double = graft.model.Sentinels.InvalidTide): DataFrame =
+    df.filter(col(valueCol) =!= lit(sentinel))
+
+  /** Non-numeric / NaN skip (F4, reference: output/extract_water_level.py:496-500). */
+  def dropNonNumeric(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+
+  /** Negative → null → dropped (F5, reference:
+    * input/rain/gen_rain.py:113-116,153,165). */
+  def dropNegatives(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.withColumn(valueCol, when(col(valueCol) < 0, lit(null)).otherwise(col(valueCol)))
+      .na.drop(Seq(valueCol))
+
+  /** Series hash id (X14): sha256 of the `;`-joined metadata, the engine-side
+    * equivalent of db_adapter's `generate_timeseries_id`
+    * (reference call site: output/extract_water_level.py:211). */
+  def seriesHashId(metaCols: Column*): Column =
+    sha2(concat_ws(";", metaCols: _*), 256)
+
+  /** String series-selection key (X15), e.g. `rainfall_{obsId}_{name}_MDPA`
+    * (reference: input/rain/gen_rain.py:130). */
+  def seriesKey(parts: Column*): Column = concat_ws("_", parts: _*)
+}
