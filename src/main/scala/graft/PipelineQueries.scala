@@ -1,9 +1,308 @@
 package graft
 
-import graft.queries.QueryDef
+import org.apache.spark.sql.functions._
 
-/** LLM-training-data pipeline extensions (dedup, similarity search, text
-  * analysis, multimodal) — filled in as each operator lands. */
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
+import graft.queries.{QueryDef, Tables}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact / MinHash+LSH / SimHash /
+  * n-gram Jaccard / embedding cosine), similarity search (brute-force +
+  * LSH-bucketed ANN), text analysis (lang-id, quality, tokens,
+  * fingerprints) and multimodal binary-column plumbing.
+  *
+  * Cross-engine determinism: hashes are md5/sha256 (identical hex in Spark
+  * and DuckDB); vector math accumulates left-to-right and is rounded at 5-6
+  * decimals before compare; candidate sets are bounded by id predicates so
+  * the pairwise verifiers stay small at every scale factor.
+  */
 object PipelineQueries {
-  val defs: Seq[(String, QueryDef)] = Seq()
+  import Tables.t
+
+  /** documents ∪ a shifted copy of the first 100 ids — gives the dedup
+    * operators real duplicates to find (the base table has none). */
+  private def docsWithDups(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  private val dupUnionSql =
+    """(SELECT * FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      | FROM documents WHERE doc_id < 100)""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- exact dedup: hash-groupBy, one shuffle on the digest ------------
+    "q_dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(docsWithDups(s, dir), "doc_id", "text"),
+      Some(s"""SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+              |FROM $dupUnionSql GROUP BY 1""".stripMargin)),
+
+    // ---- MinHash signatures (shingle→minhash) ----------------------------
+    "q_dedup_minhash" -> QueryDef(
+      (s, dir) =>
+        Dedup.minhashSignature(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", 4),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+             |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3
+             |FROM tok GROUP BY doc_id""".stripMargin)),
+
+    // ---- LSH banding: near-dups collide in >=1 band ----------------------
+    "q_dedup_lsh_bands" -> QueryDef(
+      (s, dir) => {
+        val sig = Dedup.minhashSignature(docsWithDups(s, dir), "doc_id", "text", 4)
+        Dedup.lshCandidateGroups(sig, "doc_id", 4, 2)
+          .select(col("band"), col("band_hash"),
+            array_join(transform(col("ids"), _.cast("string")), ",").as("ids_csv"), col("n"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+              |  FROM $dupUnionSql),
+              |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+              |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS band_hash FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS band_hash FROM sig)
+              |SELECT band, band_hash, string_agg(doc_id, ',' ORDER BY doc_id) AS ids_csv,
+              |  count(*) AS n
+              |FROM bands GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin)),
+
+    // ---- SimHash (32-bit md5-nibble variant; engine path uses xxhash64) --
+    "q_dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        val toks = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            explode(array_distinct(TextFunctions.tokens(col("text")))).as("tk"))
+          .withColumn("h", md5(col("tk")))
+        val votes = toks
+          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+          .withColumn("nib", expr("instr('0123456789abcdef', substr(h, CAST(b div 4 AS INT) + 1, 1)) - 1"))
+          .withColumn("bit", expr("shiftright(nib, CAST(3 - b % 4 AS INT)) & 1"))
+          .groupBy("doc_id", "b")
+          .agg(sum(col("bit") * 2 - 1).as("vote"))
+        votes.groupBy("doc_id")
+          .agg(sum(when(col("vote") >= 0, expr("shiftleft(1L, CAST(b AS INT))"))
+            .otherwise(0L)).as("simhash32"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+             |  FROM documents WHERE doc_id < 200),
+             |bits AS (SELECT doc_id, md5(tk) AS h, unnest(generate_series(0, 31)) AS b FROM tok),
+             |votes AS (SELECT doc_id, b,
+             |  sum(2 * ((instr('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+             |      >> (3 - b % 4) & 1) - 1) AS vote
+             |  FROM bits GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(CASE WHEN vote >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+             |  AS simhash32
+             |FROM votes GROUP BY doc_id""".stripMargin)),
+
+    // ---- n-gram (token-set) Jaccard near-dup pairs ------------------------
+    "q_dedup_jaccard" -> QueryDef(
+      (s, dir) => {
+        Dedup.jaccardPairs(
+            t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text", 0.9)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH tok AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tk
+             |  FROM documents WHERE doc_id < 60),
+             |sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY 1),
+             |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n FROM tok a
+             |  JOIN tok b ON a.tk = b.tk AND a.id < b.id GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(n / (sa.sz + sb.sz - n), 6) AS jaccard
+             |FROM inter JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+             |WHERE n / (sa.sz + sb.sz - n) >= 0.9""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs ----------------------------------
+    "q_dedup_embed" -> QueryDef(
+      (s, dir) => {
+        // threshold applied to the ROUNDED cosine so the cut is identical
+        // across engines despite sum-order fp noise
+        Dedup.embeddingNearDupPairs(
+            t(s, dir, "embeddings").filter(col("vec_id") < 300), "vec_id", "embedding", -2.0)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+          .filter(col("cos") >= 0.45)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+             |  FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(cos, 5) AS cos FROM p WHERE round(cos, 5) >= 0.45""".stripMargin)),
+
+    // ---- similarity search: exact brute-force cosine top-k ----------------
+    "q_knn_cosine" -> QueryDef(
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.bruteForceTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, 10, roundTo = 5)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+             |  FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT vec_id,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm, qn
+             |  FROM embeddings, q WHERE vec_id > 0)
+             |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- ANN: LSH-bucketed top-k (scale path; engine-specific planes → no
+    // SQL oracle, driver records rows-only check) ---------------------------
+    "q_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.lshTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8, maxHammingProbe = 8)
+      },
+      None),
+
+    // ---- text analysis: token counting ------------------------------------
+    "q_text_tokens" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(TextFunctions.bpeishTokens(col("text"))).cast("long").as("n_lex_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) = 0 THEN 0
+             |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+             |  length(text) AS len_chars,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_lex_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- text analysis: language-ID heuristic ------------------------------
+    "q_text_langid" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.wordSetHits(col("text"), TextFunctions.StopwordsEn).as("en_hits"),
+          TextFunctions.langIdHeuristic(col("text")).as("pred_lang"))
+      },
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(string_split(text, ' '),
+              |      w -> w IN ('the','a','of','and','to','is','in'))) AS en_hits,
+              |  CASE
+              |    WHEN greatest(
+              |      len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','is','in'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','nicht'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est','dans'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es','en')))) = 0
+              |      THEN 'und'
+              |    WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','is','in'))) = greatest(
+              |      len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','is','in'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','nicht'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est','dans'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es','en')))) THEN 'en'
+              |    WHEN len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','nicht'))) = greatest(
+              |      len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','is','in'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','nicht'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est','dans'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es','en')))) THEN 'de'
+              |    WHEN len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est','dans'))) = greatest(
+              |      len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','is','in'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist','nicht'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est','dans'))),
+              |      len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es','en')))) THEN 'fr'
+              |    ELSE 'es' END AS pred_lang
+              |FROM documents""".stripMargin)),
+
+    // ---- text analysis: quality scoring ------------------------------------
+    "q_text_quality" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents").select(
+          col("doc_id"), round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      },
+      Some("""SELECT doc_id, round(
+             |  (CASE WHEN (length(text)::DOUBLE - (n_tok - 1)) / n_tok BETWEEN 3.0 AND 10.0
+             |     THEN 1.0 ELSE 0.5 END) * 0.4
+             |  + least(stop_hits / n_tok * 5.0, 1.0) * 0.4
+             |  + (CASE WHEN punct / length(text)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+             |  , 6) AS quality
+             |FROM (SELECT doc_id, text,
+             |  (CASE WHEN length(text) = 0 THEN 0
+             |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END)::DOUBLE AS n_tok,
+             |  len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('the','a','of','and','to','is','in')))::DOUBLE AS stop_hits,
+             |  (length(text) - length(replace(replace(replace(replace(replace(text,
+             |      '.',''), ',',''), '!',''), '?',''), ';','')))::DOUBLE AS punct
+             |  FROM documents)""".stripMargin)),
+
+    // ---- text analysis: document fingerprints ------------------------------
+    "q_text_fingerprint" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents").filter(col("doc_id") < 200).select(
+          col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))
+      },
+      Some("""SELECT doc_id, sha256(lower(text)) AS fp,
+             |  list_min(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+             |    i -> md5(substr(text, i, 5)))) AS min_shingle_fp
+             |FROM documents WHERE doc_id < 200""".stripMargin)),
+
+    // ---- multimodal: binary columns + typed metadata + stub decode ---------
+    "q_mm_decode" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+        media.select(col("media_id"), col("kind"),
+            Multimodal.decodeStub(col("bytes")).as("m"))
+          .select(col("media_id"), col("kind"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.duration_s").as("duration_s"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  length(text) % 640 + 1 AS width,
+             |  (length(text) * 7) % 480 + 1 AS height,
+             |  length(text) / 100.0 AS duration_s
+             |FROM documents""".stripMargin)),
+
+    // ---- multimodal: frame sampling over binary payloads -------------------
+    "q_mm_frames" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.sampleFrames(media, "bytes", frameBytes = 64, everyN = 2)
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(length(col("frame"))).as("sampled_bytes"))
+      },
+      // nf = ceil(len/64); sampled idx 0,2,..; odd nf ends on the partial tail
+      Some("""SELECT doc_id AS media_id,
+             |  ((length(text) + 63) // 64 - 1) // 2 + 1 AS n_sampled,
+             |  64 * (((length(text) + 63) // 64 - 1) // 2)
+             |    + (CASE WHEN ((length(text) + 63) // 64) % 2 = 1
+             |        THEN length(text) - (((length(text) + 63) // 64) - 1) * 64
+             |        ELSE 64 END) AS sampled_bytes
+             |FROM documents""".stripMargin)),
+
+    // ---- multimodal: feature extraction shape (engine hash → rows-only) ----
+    "q_mm_features" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(
+          t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        media.select(col("media_id"),
+          Multimodal.featureStub(col("bytes"), 16).as("features"))
+      },
+      None)
+  )
 }

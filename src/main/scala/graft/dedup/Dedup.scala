@@ -1,0 +1,111 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash-groupBy (map-side partial agg, one shuffle
+  *    on the 32-byte digest, never on the document body);
+  *  - MinHash/LSH turns the O(n²) near-dup problem into a band-bucket
+  *    shuffle: only documents sharing a band hash ever meet;
+  *  - pairwise verifiers (`ngramJaccardPairs`, `embeddingNearDupPairs`) are
+  *    meant to run WITHIN candidate buckets, not across the full corpus —
+  *    the full-cross-join form here is the correctness oracle for small n.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): one keeper (min id) per distinct text.
+    * Returns (text_hash, keeper_id, n_dups). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature over whitespace tokens: `numHashes` independent
+    * min-of-hash values. Uses md5(token ⊕ seed) so any SQL engine can
+    * reproduce it; swap `hashFn` for xxhash64 in throughput-critical paths. */
+  def minhashSignature(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      hashFn: (Column, Int) => Column = (tok, i) => md5(concat(tok, lit(s"#$i")))): DataFrame = {
+    val toks = array_distinct(TextFunctions.tokens(col(textCol)))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(toks, t => hashFn(t, i))).as(s"mh$i")
+    }
+    df.select((col(idCol) +: sigCols): _*)
+  }
+
+  /** LSH banding over a MinHash signature: groups ids sharing a band hash.
+    * Each band is a hash of `rowsPerBand` consecutive signature components;
+    * near-duplicates collide in ≥1 band with high probability. Returns
+    * (band, band_hash, ids) candidate groups with >1 member. */
+  def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), sha2(concat_ws("|", cols: _*), 256).as("band_hash"))
+    }
+    sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bh"))
+      .groupBy(col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd native
+    * hash — the throughput path; the md5-nibble variant in PipelineQueries
+    * is the cross-engine-verifiable form). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Explode (token, bit) pairs once and aggregate bit votes relationally —
+    // a nested HOF over bits × tokens would be quadratic in expression depth.
+    val tokenHashes = df
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = tokenHashes
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("bit", expr("shiftright(h, b)").bitwiseAND(lit(1L)))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(when(col("bit") === 1, 1L).otherwise(-1L)).as("vote"))
+    votes
+      .groupBy(col(idCol))
+      .agg(sum(when(col("vote") >= 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Token-set Jaccard similarity pairs above `threshold` (exact verifier;
+    * run within LSH candidate buckets at scale). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold` (exact verifier
+    * for small n / within-ANN-bucket use). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,170 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector arithmetic over `array<float|double>` columns.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`) are
+  * CodegenFallback — every element evaluation crosses an interpreted lambda
+  * boundary, which makes pairwise similarity (n² pairs × dim elements)
+  * orders of magnitude slower than a fused loop. These expressions compile
+  * to a single tight Java loop inside whole-stage codegen.
+  *
+  * Accumulation is left-to-right in element order, bit-identical to the
+  * `aggregate(zip_with(...))` formulation they replace, so oracle parity is
+  * unaffected.
+  */
+abstract class VecBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(FloatType, DoubleType).contains(lt) && Seq(FloatType, DoubleType).contains(rt) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  protected def leftElem: DataType = left.dataType.asInstanceOf[ArrayType].elementType
+  protected def rightElem: DataType = right.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def get(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  protected def getterJava(dt: DataType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double)$arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+}
+
+/** Dot product; length = min(|a|, |b|). */
+case class FloatVecDot(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(leftElem, x, i) * get(rightElem, y, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getterJava(leftElem, a, i)} * ${getterJava(rightElem, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity in one fused pass (dot + both norms); 0.0 when either
+  * norm is zero. Matches `dot/(norm*norm)` with independent per-sum
+  * left-to-right accumulation. */
+case class FloatVecCosine(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = get(leftElem, x, i)
+      val yv = get(rightElem, y, i)
+      d += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else d / nn
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val nn = ctx.freshName("nn")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${getterJava(leftElem, a, i)};
+         |  double $yv = ${getterJava(rightElem, b, i)};
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($nn == 0.0) ? 0.0 : $d / $nn;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance, fused. */
+case class FloatVecL2(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val dd = get(leftElem, x, i) - get(rightElem, y, i)
+      s += dd * dd
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = ${getterJava(leftElem, a, i)} - ${getterJava(rightElem, b, i)};
+         |  $s += $dd * $dd;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language id, quality scoring, token counting, fingerprinting. All are
+  * pure Catalyst built-ins (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen over 100 TB-class text scans.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Documents use single-space separation; for general
+    * text use `bpeishTokens`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact whitespace token count without array materialization — cheap
+    * enough for a first-pass quality filter over petabyte text. */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, lit(0L))
+      .otherwise(length(text) - length(replace(text, lit(" "), lit(""))) + lit(1))
+      .cast("long")
+
+  /** BPE-ish lexical tokens: letter runs, digit runs, single punctuation. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Occurrences of a marker word among space-separated tokens (exact token
+    * semantics via a higher-order filter — no array shuffle, stays in
+    * codegen). */
+  def wordHits(text: Column, word: String): Column =
+    size(filter(tokens(text), w => w === word)).cast("long")
+
+  /** One-pass count of tokens belonging to a word set. */
+  def wordSetHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words: _*))).cast("long")
+
+  /** Stopword lists per language for the n-gram/stopword lang-id heuristic. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "is", "in")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht")
+  val StopwordsFr = Seq("le", "la", "les", "et", "est", "dans")
+  val StopwordsEs = Seq("el", "la", "los", "y", "es", "en")
+
+  private def hitsFor(text: Column, words: Seq[String]): Column =
+    wordSetHits(text, words)
+
+  /** Language-ID heuristic: stopword evidence per candidate language, argmax
+    * with deterministic tiebreak (en > de > fr > es > und). */
+  def langIdHeuristic(text: Column): Column = {
+    val en = hitsFor(text, StopwordsEn)
+    val de = hitsFor(text, StopwordsDe)
+    val fr = hitsFor(text, StopwordsFr)
+    val es = hitsFor(text, StopwordsEs)
+    val m = greatest(en, de, fr, es)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Document quality score in [0,1]: blends token-length sanity, stopword
+    * density and punctuation density — the usual cheap pre-filter before
+    * expensive dedup/classification stages. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val avgTokLen = (nChars - (nTok - 1)) / nTok
+    val stopRatio = hitsFor(text, StopwordsEn).cast("double") / nTok
+    val punct = (length(text) - length(translate(text, ".,!?;", ""))).cast("double")
+    val punctRatio = punct / nChars
+    val lenScore = when(avgTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = least(stopRatio * lit(5.0), lit(1.0))
+    val punctScore = when(punctRatio <= 0.1, 1.0).otherwise(0.5)
+    (lenScore * 0.4 + stopScore * 0.4 + punctScore * 0.2)
+  }
+
+  /** Whole-document fingerprint: sha256 of the lower-cased text. */
+  def fingerprint(text: Column): Column = sha2(lower(text), 256)
+
+  /** Character n-gram shingles (rolling window), for MinHash/fingerprints. */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** Rolling-hash-style document fingerprint: the lexicographic minimum of
+    * the hashed character n-gram shingles — stable under small edits, unlike
+    * the whole-document hash. */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(charShingles(text, n), s => md5(s)))
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2}
+
+/** Dense-vector math over `array<float|double>` embedding columns, backed
+  * by the custom codegen'd Catalyst expressions in `graft.expressions` —
+  * one fused Java loop per row instead of interpreted `zip_with`/`aggregate`
+  * lambdas (which are CodegenFallback and dominate n²-pair similarity).
+  *
+  * Sums accumulate left-to-right in element order, so results are
+  * deterministic and bit-identical to the higher-order-function
+  * formulation.
+  *
+  * At 100 TB scale the embedding column stays packed (no explode): one row
+  * per vector, all arithmetic inside whole-stage codegen.
+  */
+object VectorFunctions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def e(col: Column) = GraftBridge.expression(col)
+
+  /** Dot product of two numeric-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column = c(FloatVecDot(e(a), e(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = c(FloatVecCosine(e(a), e(b)))
+
+  /** L2 (Euclidean) distance. */
+  def l2(a: Column, b: Column): Column = c(FloatVecL2(e(a), e(b)))
+
+  /** Random-hyperplane (SimHash-family) LSH signature of a vector: `nBits`
+    * sign bits packed into a long. Hyperplane components are deterministic
+    * pseudo-random values derived from (bit, dim) via a splitmix-style hash,
+    * so executors regenerate identical planes with no broadcast state.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    require(nBits <= 63, "signature packed into one long")
+    // Plane components in [-1, 1) derived from a splitmix hash of (seed, bit, dim).
+    val planes: Seq[Seq[Double]] = (0 until nBits).map { b =>
+      (0 until dim).map { d =>
+        splitmix64(seed + b.toLong * 1000003L + d.toLong).toDouble / Long.MaxValue.toDouble
+      }
+    }
+    val planesLit = typedlit(planes)
+    // Fold over bit indices in order: acc = acc*2 + sign_bit(plane_b . vec).
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, b) =>
+        acc * lit(2L) + when(dot(vec, element_at(planesLit, b + 1)) >= 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
