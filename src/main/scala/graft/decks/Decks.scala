@@ -1,0 +1,230 @@
+package graft.decks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Sentinels
+import graft.ops.TimeSeriesOps
+
+/** FLO-2D input-deck generators — SURVEY.md §2 K1/X4-X6, §7 step 5.
+  *
+  * Each deck is a pure `DataFrame → DataFrame(section, seq, line)` pipeline:
+  * `section` orders the head/body/tail parts, `seq` orders lines within a
+  * section, `line` is the exact fixed-width text. The ordered write itself is
+  * `graft.io.OrderedTextSink` — decks never collect data to the driver, so
+  * the same pipeline serves a 39k-cell basin or a 100×-denser grid.
+  */
+object DeckFormat {
+  def ljust(c: Column, n: Int): Column = rpad(c, n, " ")
+  def rjust(c: Column, n: Int): Column = lpad(c, n, " ")
+  /** `'%.Nf' %` — the reference's ubiquitous fixed-point format (X4). */
+  def fixed(c: Column, decimals: Int): Column =
+    format_string(s"%.${decimals}f", c.cast("double"))
+
+  /** Literal head/tail lines as an ordered one-section DataFrame. */
+  def literalLines(spark: SparkSession, section: Int, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    lines.zipWithIndex
+      .map { case (l, i) => (section, i.toLong, l) }
+      .toDF("section", "seq", "line")
+  }
+
+  /** Stitch sections into one ordered deck frame. */
+  def stitch(sections: DataFrame*): DataFrame =
+    sections.reduce(_ unionByName _)
+}
+
+/** RAIN.DAT — cumulative rain fraction curve
+  * (reference: input/rain/gen_rain.py:138-193).
+  *
+  * Pipeline: dense 5-min grid (J1) → left-join series → drop missing →
+  * right-closed 15-min resample when the model is a 150 variant (A2) →
+  * negatives dropped (F5) → cumulative sum (A4) normalized by the total
+  * (A3/A5) → `R<time.3f ljust14><frac.3f> ` lines with the two-line totals
+  * header. One shuffle (grid join) + one window sort.
+  */
+object RainDeck {
+  def lines(spark: SparkSession, series: DataFrame, startTime: String, endTime: String,
+      targetModel: String): DataFrame = {
+    import DeckFormat._
+    val grid = TimeSeriesOps.timeGrid(spark, startTime, endTime, 5)
+    val aligned = TimeSeriesOps.alignToGrid(grid, series).na.drop(Seq("value"))
+    val stepped =
+      if (targetModel == "flo2d_150" || targetModel == "flo2d_150_v2")
+        TimeSeriesOps.resampleRightClosedSum(aligned, 900)
+      else aligned
+    val clean = TimeSeriesOps.dropNegatives(stepped)
+    val frac = TimeSeriesOps.normalizedCumulative(clean, "value", "time", Nil, "frac")
+    val withElapsed = frac.withColumn("elapsed_h",
+      (unix_micros(col("time")) - lit(tsMicros(startTime))) / lit(3.6e9))
+    val rRows = withElapsed.select(
+      lit(1).as("section"),
+      row_number().over(Window.orderBy("time")).cast("long").as("seq"),
+      concat(lit("R              "),
+        ljust(fixed(col("elapsed_h"), 3), 14),
+        fixed(col("frac"), 3), lit(" ")).as("line"))
+    // header: " 0             0 " then " {total:.3f}         5             0             0 "
+    // (reference: input/rain/gen_rain.py:188-191, note insert-at-0 order)
+    val header = clean.agg(sum("value").as("total"))
+      .select(explode(array(
+        lit(" 0             0 "),
+        concat(lit(" "), fixed(coalesce(col("total"), lit(0.0)), 3),
+          lit("         5             0             0 ")))).as("line"))
+      .select(lit(0).as("section"),
+        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+          .cast("long").as("seq"),
+        col("line"))
+    stitch(header, rRows)
+  }
+
+  private def tsMicros(ts: String): Long =
+    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+}
+
+/** INFLOW.DAT — discharge hydrograph `H` rows
+  * (reference: input/inflow/gen_150_inflow.py:90-115).
+  *
+  * First series row only anchors t0 and emits the fixed `H 0 0` (W3); data
+  * rows are `'H' + %.1f(elapsed_h).rjust(16) + %.1f(value).rjust(16)` (W1/X3).
+  */
+object InflowDeck {
+  def lines(spark: SparkSession, series: DataFrame,
+      headLines: Seq[String] = Seq(
+        "0           41550",
+        "C               0           41550",
+        "H               0               0")): DataFrame = {
+    import DeckFormat._
+    val w = Window.orderBy("time")
+    val anchored = series
+      .withColumn("rn", row_number().over(w))
+      .withColumn("elapsed_h",
+        (unix_micros(col("time")) - min(unix_micros(col("time"))).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))) / lit(3.6e9))
+      .filter(col("rn") > 1)
+    val hRows = anchored.select(
+      lit(1).as("section"), col("rn").cast("long").as("seq"),
+      concat(lit("H"),
+        rjust(fixed(col("elapsed_h"), 1), 16),
+        rjust(fixed(col("value"), 1), 16)).as("line"))
+    stitch(literalLines(spark, 0, headLines), hRows)
+  }
+}
+
+/** OUTFLOW.DAT — per-boundary tidal `S` rows under `K`/`N` headers
+  * (reference: input/outflow/gen_outflow.py:95-135, 226-249).
+  *
+  * `boundaries` = (block_order INT, cell STRING); `tides` = (cell, time,
+  * value) raw per-boundary series. The elapsed-hours anchor is the FIRST raw
+  * row (sentinels included — reference anchors `tide_ts[0][0]` before the
+  * −99999 skip); sentinel rows are then dropped (F3). Four small per-boundary
+  * frames union into one deck (§2.7).
+  */
+object OutflowDeck {
+  def lines(spark: SparkSession, boundaries: DataFrame, tides: DataFrame,
+      kCells: Seq[String]): DataFrame = {
+    import DeckFormat._
+    val kSection = DeckFormat.literalLines(spark, 0,
+      kCells.map(c => "K" + " " * (16 - c.length) + c))
+    val nLines = boundaries.select(
+      lit(1).as("section"),
+      (col("block_order").cast("long") * 1000000L).as("seq"),
+      concat(lit("N"), rjust(col("cell"), 16), rjust(lit("1"), 16)).as("line"))
+    val anchor = Window.partitionBy("cell")
+    val sRows = tides
+      .withColumn("t0_us", min(unix_micros(col("time"))).over(anchor))
+      .withColumn("rn", row_number().over(Window.partitionBy("cell").orderBy("time")))
+      .filter(col("value").cast("int") =!= lit(Sentinels.InvalidTide.toInt))
+      .join(boundaries, Seq("cell"))
+      .select(
+        lit(1).as("section"),
+        (col("block_order").cast("long") * 1000000L + col("rn")).as("seq"),
+        concat(lit("S"),
+          rjust(fixed((unix_micros(col("time")) - col("t0_us")) / lit(3.6e9), 3), 16),
+          rjust(fixed(col("value"), 3), 16)).as("line"))
+    stitch(kSection, nLines, sRows)
+  }
+}
+
+/** RAINCELL.DAT — per-timestep cell-rain blocks
+  * (reference: input/raincell/gen_raincell.py:99-147).
+  *
+  * One range scan replaces the reference's one-proc-call-per-timestep loop
+  * (S3): blocks are the right-closed timestep buckets, each cell row gets the
+  * model's water-supply correction (X12), a blank line closes each block.
+  * Ordered by (timestep, cell); the header carries timestep count and range.
+  */
+object RaincellDeck {
+  def lines(spark: SparkSession, cells: DataFrame, startTime: String, endTime: String,
+      targetModel: String): DataFrame = {
+    import DeckFormat._
+    val (stepMin, waterSupply) = targetModel match {
+      case "flo2d_250" => (5, 1.0 / (24 * 12))
+      case "flo2d_150" | "flo2d_150_v2" => (15, 1.0 / (24 * 4))
+      case _ => (5, 1.0 / (24 * 12))
+    }
+    val length = ((tsMicros(endTime) - tsMicros(startTime)) / 60000000L / stepMin).toInt
+    val header = DeckFormat.literalLines(spark, 0,
+      Seq(s"$stepMin $length $startTime $endTime"))
+    val stepped = cells
+      .withColumn("step", TimeSeriesOps.bucketRightClosedTs(col("time"), stepMin * 60L))
+      .filter(col("step") > lit(startTime).cast("timestamp") &&
+        col("step") <= lit(endTime).cast("timestamp"))
+    // seq = epoch-seconds * 1e6 + cell: fits Long through year ~294k for
+    // grids below 1M cells (150_v2 has 39,526 — res/grids/flo2d_150_v2m.csv)
+    val cellRows = stepped.select(
+      lit(1).as("section"),
+      (unix_seconds(col("step")) * 1000000L + col("cell_id").cast("long")).as("seq"),
+      concat(col("cell_id").cast("string"), lit(" "),
+        fixed(col("value") + lit(waterSupply), 3)).as("line"))
+    val blanks = stepped.select("step").distinct().select(
+      lit(1).as("section"),
+      (unix_seconds(col("step")) * 1000000L + 999999L).as("seq"),
+      lit("").as("line"))
+    stitch(header, cellRows, blanks)
+  }
+
+  private def tsMicros(ts: String): Long =
+    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+}
+
+/** CHAN.DAT — template head/tail around a generated body where each channel
+  * node pair takes its observed initial water level if present, else the
+  * template default (reference: input/chan/gen_chan.py:129-190, J6).
+  *
+  * `bodyPairs` = (pair_idx, up, up_default, down, down_default);
+  * `conditions` = (grid_id, wl_id, wl_id_dwn) initial-condition lookup;
+  * `obsFirstWl` = (wl_id, wl) first observed value in [start, start+2h]
+  * per id (S4). All three are dimension-sized → broadcast joins.
+  */
+object ChanDeck {
+  def lines(spark: SparkSession, model: String, bodyPairs: DataFrame,
+      conditions: DataFrame, obsFirstWl: DataFrame,
+      headLines: Seq[String], tailLines: Seq[String]): DataFrame = {
+    import DeckFormat._
+    val joined = bodyPairs
+      .withColumn("grid_id",
+        concat_ws("_", lit(model), col("up"), col("down")))
+      .join(broadcast(conditions), Seq("grid_id"), "left")
+      .join(broadcast(obsFirstWl.select(col("wl_id"), col("wl").as("up_wl"))),
+        Seq("wl_id"), "left")
+      .join(broadcast(obsFirstWl.select(col("wl_id").as("wl_id_dwn"),
+        col("wl").as("down_wl"))), Seq("wl_id_dwn"), "left")
+    // reference :163-178 — when no downstream id exists, the upstream
+    // observation (if any) is written for BOTH nodes of the pair
+    val upVal = coalesce(col("up_wl"), col("up_default").cast("string"))
+    val downVal = when(col("wl_id_dwn").isNull, coalesce(col("up_wl"), col("down_default").cast("string")))
+      .otherwise(coalesce(col("down_wl"), col("down_default").cast("string")))
+    val body = joined.select(
+      lit(1).as("section"),
+      (col("pair_idx").cast("long") * 2).as("seq"),
+      concat(ljust(col("up"), 6), rjust(upVal, 6)).as("line"))
+      .unionByName(joined.select(
+        lit(1).as("section"),
+        (col("pair_idx").cast("long") * 2 + 1).as("seq"),
+        concat(ljust(col("down"), 6), rjust(downVal, 6)).as("line")))
+    stitch(literalLines(spark, 0, headLines), body, literalLines(spark, 2, tailLines))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** FLO-2D simulation-output parsers — SURVEY.md §2 S7/S8.
+  *
+  * The reference walks HYCHAN.OUT / TIMDEP.OUT with a single-threaded
+  * state machine (reference: output/extract_water_level.py:454-523 and
+  * :540-572). Here the same block semantics are declarative: number the
+  * lines, tag marker lines, propagate the last marker down to its block's
+  * rows with `last(..., ignoreNulls)` over an ordered window, then filter
+  * and project the data rows. Every step after line numbering is Catalyst
+  * built-ins (whole-stage codegen, no UDFs).
+  *
+  * Scale posture: the window partitions by file, so a directory of N
+  * output files parses with N-way parallelism; one file is one sort —
+  * the same work the single-node reference does, minus the Python loop.
+  */
+object FloOutputParsers {
+
+  val LinesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("line_no", LongType, nullable = false),
+    StructField("line", StringType, nullable = true)))
+
+  /** Read text file(s) into ordered `(file, line_no, line)` rows.
+    * `zipWithIndex` preserves Hadoop split order, which for text inputs is
+    * file order — the standard distributed line-numbering technique. */
+  def readLines(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.textFile(path)
+      .select(input_file_name().as("file"), col("value").as("line"))
+    val rdd = raw.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getString(0), i, r.getString(1))
+    }
+    spark.createDataFrame(rdd, LinesSchema)
+  }
+
+  /** Wrap already-ordered in-memory lines (tests, round-trip queries). */
+  def fromOrderedLines(df: DataFrame): DataFrame = df.select("file", "line_no", "line")
+
+  /** Header marker: `line.startswith('CHANNEL HYDROGRAPH FOR ELEMENT NO:', 5)`
+    * (reference: output/extract_water_level.py:464). 1-based substring pos 6. */
+  private val HychanHeader = "CHANNEL HYDROGRAPH FOR ELEMENT NO:"
+  private def isHychanHeader = substring(col("line"), 6, HychanHeader.length) === lit(HychanHeader)
+
+  private def tokens = split(trim(col("line")), "\\s+")
+
+  /** Parse HYCHAN.OUT blocks into `(file, element, step_hours, value)`.
+    *
+    * `valueIndex` selects the report column: 1 = water-level elevation
+    * (reference: output/extract_water_level.py:492-494), 4 = discharge
+    * (reference: output/extract_discharge.py:479-480). Non-numeric values
+    * are skipped, mirroring the reference's isfloat/NaN guard
+    * (reference: output/extract_water_level.py:496-500).
+    */
+  def parseHychan(lines: DataFrame, valueIndex: Int = 1): DataFrame = {
+    val w = Window.partitionBy("file").orderBy("line_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("__hdr_elem", when(isHychanHeader, tokens.getItem(5)))
+      .withColumn("element", last(col("__hdr_elem"), ignoreNulls = true).over(w))
+      .filter(col("element").isNotNull && !isHychanHeader)
+      .withColumn("__tok", tokens)
+      .withColumn("step_hours", col("__tok").getItem(0).try_cast("double"))
+      .withColumn("value", col("__tok").getItem(valueIndex).try_cast("double"))
+      // data row: first token numeric (reference :489); value numeric (F4)
+      .filter(col("step_hours").isNotNull && col("value").isNotNull && !isnan(col("value")))
+      .select("file", "element", "step_hours", "value")
+  }
+
+  /** Parse TIMDEP.OUT into `(file, element, step_hours, value)`: a line with
+    * exactly one token opens a block and is the block's model time in hours;
+    * following `grid … value@col5` rows belong to it (reference:
+    * output/extract_water_level.py:540-572, column pick :109-128). */
+  def parseTimdep(lines: DataFrame, valueIndex: Int = 5): DataFrame = {
+    val w = Window.partitionBy("file").orderBy("line_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = when(trim(col("line")) === "", 0).otherwise(size(tokens))
+    lines
+      .withColumn("__blk_ts", when(nTok === 1, tokens.getItem(0).try_cast("double")))
+      .withColumn("step_hours", last(col("__blk_ts"), ignoreNulls = true).over(w))
+      .filter(col("step_hours").isNotNull && nTok > 1)
+      .withColumn("__tok", tokens)
+      .withColumn("element", col("__tok").getItem(0))
+      .withColumn("value", col("__tok").getItem(valueIndex).try_cast("double"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select("file", "element", "step_hours", "value")
+  }
+
+  /** Densify a parsed TIMDEP frame: every (block, wanted element) pair gets a
+    * row, absent readings filled with `missing` = −999 (reference:
+    * output/extract_water_level.py:560-566). `elements` is a one-column
+    * DataFrame of wanted element ids (broadcast — it is a station map). */
+  def fillMissing(parsed: DataFrame, elements: DataFrame,
+      missing: Double = graft.model.Sentinels.MissingOutput): DataFrame = {
+    val elemCol = elements.columns.head
+    val blocks = parsed.select("file", "step_hours").distinct()
+    blocks
+      .crossJoin(broadcast(elements.select(col(elemCol).as("element")).distinct()))
+      .join(parsed, Seq("file", "element", "step_hours"), "left")
+      .na.fill(missing, Seq("value"))
+  }
+
+  /** Model-hours → wall-clock timestamp: `base + hours` with µs precision
+    * (reference: output/extract_water_level.py:501-503). */
+  def stepToTimestamp(df: DataFrame, baseTime: String,
+      stepCol: String = "step_hours", out: String = "time"): DataFrame =
+    df.withColumn(out,
+      timestamp_micros((lit(unixMicrosOf(baseTime)) +
+        (col(stepCol) * lit(3.6e9)).cast("long"))))
+
+  private def unixMicrosOf(ts: String): Long =
+    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+}

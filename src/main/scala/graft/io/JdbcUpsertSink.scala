@@ -1,0 +1,140 @@
+package graft.io
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** JDBC upsert sink — SURVEY.md §2 K2.
+  *
+  * The reference's write path is `insert_data(timeseries, tms_id, fgt,
+  * upsert=True)` — INSERT with update-on-duplicate-key, keyed
+  * `(tms_id, fgt, time)` (reference: output/extract_water_level.py:206-217).
+  * Spark's `DataFrameWriter.jdbc` only appends/overwrites, so the sink is a
+  * `foreachPartition` writing batched upsert statements: executors fan out,
+  * the driver never materializes data, and task retries are safe because the
+  * statement is idempotent by key (exactly-once-by-key).
+  *
+  * Dialects: MySQL `INSERT … ON DUPLICATE KEY UPDATE` (what the reference's
+  * store speaks) and ANSI `MERGE` (Derby/Postgres-15+/standard warehouses).
+  */
+object JdbcUpsertSink {
+
+  sealed trait Dialect
+
+  /** reference: db_adapter insert_data upsert=True semantics — one batched
+    * `INSERT … ON DUPLICATE KEY UPDATE` statement. */
+  case object MySqlDialect extends Dialect {
+    def upsertSql(table: String, keyCols: Seq[String], valueCols: Seq[String]): String = {
+      val cols = keyCols ++ valueCols
+      val updates = valueCols.map(c => s"$c=VALUES($c)").mkString(", ")
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON DUPLICATE KEY UPDATE $updates"
+    }
+  }
+
+  /** Portable ANSI fallback: UPDATE; if no row matched, INSERT (retrying the
+    * UPDATE once on a key-collision race). Works on any JDBC store without
+    * vendor upsert syntax (Derby, older Postgres, generic warehouses). */
+  case object UpdateInsertDialect extends Dialect {
+    def updateSql(table: String, keyCols: Seq[String], valueCols: Seq[String]): String =
+      s"UPDATE $table SET ${valueCols.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+    def insertSql(table: String, keyCols: Seq[String], valueCols: Seq[String]): String = {
+      val cols = keyCols ++ valueCols
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    }
+  }
+
+  /** Upsert `df` into `table` keyed on `keyCols`. Each partition opens one
+    * connection and writes `batchSize`-row statement batches. */
+  def upsert(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], valueCols: Seq[String],
+      dialect: Dialect = MySqlDialect, batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val cols = keyCols ++ valueCols
+    val nKeys = keyCols.length
+    val projected = df.selectExpr(cols: _*)
+    projected.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, props)
+        try dialect match {
+          case MySqlDialect =>
+            writeBatches(conn, MySqlDialect.upsertSql(table, keyCols, valueCols),
+              cols.length, rows, batchSize)
+          case UpdateInsertDialect =>
+            writeUpdateInsert(conn,
+              UpdateInsertDialect.updateSql(table, keyCols, valueCols),
+              UpdateInsertDialect.insertSql(table, keyCols, valueCols),
+              nKeys, cols.length, rows, batchSize)
+        } finally conn.close()
+      }
+    }
+  }
+
+  private[io] def writeBatches(conn: Connection, sql: String, width: Int,
+      rows: Iterator[Row], batchSize: Int): Unit = {
+    conn.setAutoCommit(false)
+    val st = conn.prepareStatement(sql)
+    try {
+      var n = 0
+      rows.foreach { r =>
+        var i = 0
+        while (i < width) { st.setObject(i + 1, r.get(i)); i += 1 }
+        st.addBatch()
+        n += 1
+        if (n % batchSize == 0) { st.executeBatch(); conn.commit() }
+      }
+      if (n % batchSize != 0) { st.executeBatch(); conn.commit() }
+    } finally st.close()
+  }
+
+  /** Row layout: keys first then values (as projected by `upsert`). UPDATE
+    * params are (values…, keys…); INSERT params are (keys…, values…). */
+  private[io] def writeUpdateInsert(conn: Connection, updateSql: String,
+      insertSql: String, nKeys: Int, width: Int,
+      rows: Iterator[Row], batchSize: Int): Unit = {
+    conn.setAutoCommit(false)
+    val up = conn.prepareStatement(updateSql)
+    val ins = conn.prepareStatement(insertSql)
+    try {
+      var n = 0
+      rows.foreach { r =>
+        var i = 0
+        while (i < width - nKeys) { up.setObject(i + 1, r.get(nKeys + i)); i += 1 }
+        var k = 0
+        while (k < nKeys) { up.setObject(width - nKeys + k + 1, r.get(k)); k += 1 }
+        val updated = up.executeUpdate()
+        if (updated == 0) {
+          var j = 0
+          while (j < width) { ins.setObject(j + 1, r.get(j)); j += 1 }
+          try ins.executeUpdate()
+          catch { case _: java.sql.SQLIntegrityConstraintViolationException =>
+            // key-collision race with a concurrent writer: re-run the UPDATE
+            up.executeUpdate()
+          }
+        }
+        n += 1
+        if (n % batchSize == 0) conn.commit()
+      }
+      conn.commit()
+    } finally { up.close(); ins.close() }
+  }
+
+  /** Post-upsert bookkeeping the reference performs per series: bump
+    * `latest_fgt` and pull back `start_date`
+    * (reference: output/extract_water_level.py:214-217). Dimension-sized —
+    * driver-side single statements. */
+  def updateRunBookkeeping(url: String, runTable: String, tmsId: String,
+      fgt: java.sql.Timestamp, startDate: java.sql.Timestamp,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(
+        s"UPDATE $runTable SET latest_fgt = ?, start_date = ? WHERE tms_id = ?")
+      try {
+        st.setTimestamp(1, fgt); st.setTimestamp(2, startDate); st.setString(3, tmsId)
+        st.executeUpdate()
+      } finally st.close()
+    } finally conn.close()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.io.JdbcUpsertSink
+import graft.ops.TimeSeriesOps
+
+/** Structured-Streaming extension of the batch engine — SURVEY.md §2.9.
+  *
+  * The reference has no streaming runtime: cron re-runs with overlapping
+  * windows, converging through upsert keyed `(tms_id, fgt, time)`
+  * (reference: output/extract_water_level.py:206-217). That keyed-idempotent
+  * sink is exactly what makes a streaming port safe: `foreachBatch` into the
+  * same upsert gives effectively-once results under retries and late
+  * re-extractions, with identical semantics to the batch path.
+  */
+object StreamOps {
+
+  /** Streaming file-arrival source over a FLO-2D output/series directory:
+    * new files are picked up per micro-batch (replaces cron re-scans). */
+  def fileSeriesStream(spark: SparkSession, dir: String,
+      schemaDdl: String = "id STRING, time TIMESTAMP, value DOUBLE",
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schemaDdl).format(format).load(dir)
+
+  /** Right-closed tumbling resample on a stream (A2, streaming form).
+    *
+    * Spark's `window()` is left-closed `[start, end)`; the reference's pandas
+    * resample is right-closed `(start, end]` (reference:
+    * input/rain/gen_rain.py:162-163). Shifting event time back 1 µs before
+    * bucketing and labeling by the bucket's right edge reproduces the
+    * right-closed semantics exactly — same trick as the batch
+    * `TimeSeriesOps.bucketRightClosedTs`, but through `window()` so the
+    * streaming state store and watermark eviction apply.
+    */
+  def resampleRightClosedSum(stream: DataFrame, stepSeconds: Long,
+      watermarkDelay: String = "1 hour",
+      timeCol: String = "time", valueCol: String = "value",
+      keys: Seq[String] = Seq("id")): DataFrame = {
+    val shifted = stream
+      .withColumn("__t", col(timeCol) - expr("INTERVAL 1 MICROSECOND"))
+      .withWatermark("__t", watermarkDelay)
+    val groupCols = keys.map(col) :+ window(col("__t"), s"$stepSeconds seconds")
+    shifted
+      .groupBy(groupCols: _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+      .withColumn(timeCol, col("window.end"))
+      .drop("window")
+  }
+
+  /** Sink a (possibly aggregated) stream through the batch JDBC upsert —
+    * late updates overwrite by key, so replays converge (K2 streaming form). */
+  def upsertSink(stream: DataFrame, url: String, table: String,
+      keyCols: Seq[String], valueCols: Seq[String],
+      dialect: JdbcUpsertSink.Dialect = JdbcUpsertSink.MySqlDialect,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcUpsertSink.upsert(batch, url, table, keyCols, valueCols, dialect)
+      }
+
+  /** Horizon-filtered enriched extraction stream: the streaming form of the
+    * extract path's F2 + X14 steps (cutoff filter + hash-id derivation). */
+  def enrichForecast(stream: DataFrame, cutoff: String,
+      model: String, method: String,
+      idCols: Seq[String] = Seq("id")): DataFrame =
+    TimeSeriesOps.horizonFilter(stream, lit(cutoff).cast("timestamp"))
+      .withColumn("tms_id",
+        TimeSeriesOps.seriesHashId(lit(model) +: lit(method) +: idCols.map(col): _*))
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property tests for the relational middle layer — SURVEY.md §5 strategy 3:
+  * resample-sum conservation, cumulative-fraction shape, bucket edges.
+  * Cases come from a fixed-seed generator so failures reproduce exactly. */
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  /** Deterministic random 5-min-grid series: (time, value>=0). */
+  private def randomSeries(seed: Int): Seq[(Timestamp, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 1 + rnd.nextInt(40)
+    Seq.fill(n)((1 + rnd.nextInt(200)) * 5)
+      .distinct
+      .map(m => (new Timestamp(base + m * 60000L), rnd.nextInt(4000) / 100.0))
+  }
+
+  test("A2 conservation: 15-min right-closed resample preserves the total sum") {
+    (1 to 15).foreach { seed =>
+      val df = randomSeries(seed).toDF("time", "value")
+      val resampled = TimeSeriesOps.resampleRightClosedSum(df, 900)
+      val before = df.agg(sum("value")).head.getDouble(0)
+      val after = resampled.agg(sum("value")).head.getDouble(0)
+      assert(math.abs(before - after) < 1e-9, s"seed=$seed")
+    }
+  }
+
+  test("A2 alignment: every point lands in the right-closed bucket ending at/after it") {
+    (1 to 10).foreach { seed =>
+      val df = randomSeries(seed).toDF("time", "value")
+      val buckets = df.select(col("time"),
+        TimeSeriesOps.bucketRightClosedTs(col("time"), 900).as("bucket"))
+        .collect()
+      buckets.foreach { r =>
+        val t = r.getTimestamp(0).getTime
+        val b = r.getTimestamp(1).getTime
+        assert(b >= t, "bucket label must be at/after the point (right-closed)")
+        assert(b - t < 900000L, "point must be within one step of its label")
+        assert((b - base) % 900000L === 0L, "labels sit on the 15-min grid")
+      }
+    }
+  }
+
+  test("A2 right-closed edge: a point exactly on a boundary labels ITS bucket, not the next") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:15:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:15:00.000001"), 2.0)
+    ).toDF("time", "value")
+    val out = TimeSeriesOps.resampleRightClosedSum(df, 900)
+      .orderBy("time").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1)))
+    assert(out === Array(
+      ("2024-01-01 00:15:00.0", 1.0),   // boundary point → (00:00, 00:15]
+      ("2024-01-01 00:30:00.0", 2.0)))  // 1 µs past → (00:15, 00:30]
+  }
+
+  test("A5 shape: cumulative fraction is monotone in [0,1]; last == 1 when total > 0") {
+    (1 to 10).foreach { seed =>
+      val pts = randomSeries(seed)
+      val fr = TimeSeriesOps.normalizedCumulative(pts.toDF("time", "value"))
+        .orderBy("time").select("frac").collect().map(_.getDouble(0))
+      assert(fr.forall(f => f >= -1e-12 && f <= 1 + 1e-12), s"seed=$seed")
+      assert(fr.sliding(2).forall { case Array(a, b) => b >= a - 1e-12; case _ => true },
+        s"seed=$seed monotone")
+      val total = pts.map(_._2).sum
+      if (total > 0) assert(math.abs(fr.last - 1.0) < 1e-9, s"seed=$seed")
+      else assert(fr.forall(_ == 0.0), s"seed=$seed")
+    }
+  }
+
+  test("W1 anchor: elapsed hours are 0 for the first point, per series key") {
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 02:00:00"), 1.0),
+      ("a", Timestamp.valueOf("2024-01-01 04:30:00"), 2.0),
+      ("b", Timestamp.valueOf("2024-01-01 10:00:00"), 3.0)
+    ).toDF("id", "time", "value")
+    val out = TimeSeriesOps.anchorElapsedHours(df, keys = Seq("id"))
+      .orderBy("id", "time").select("elapsed_h").collect().map(_.getDouble(0))
+    assert(out === Array(0.0, 2.5, 0.0))
+  }
+
+  test("F5: negatives dropped, zeros kept") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), -0.1),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 0.0)
+    ).toDF("time", "value")
+    assert(TimeSeriesOps.dropNegatives(df).count() === 1)
+  }
+
+  test("X14: series hash id is 64 hex chars and deterministic") {
+    val ids = spark.range(2).select(
+      TimeSeriesOps.seriesHashId(lit("flo2d_250"), lit("MME"), lit("cell_1")).as("h"))
+      .collect().map(_.getString(0))
+    assert(ids(0) === ids(1))
+    assert(ids(0).matches("[0-9a-f]{64}"))
+  }
+}

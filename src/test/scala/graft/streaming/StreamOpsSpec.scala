@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming resample semantics match the batch path — SURVEY.md §2.9: the
+  * streaming window agg must agree exactly with `TimeSeriesOps`'
+  * right-closed batch resample so cron-batch and stream deployments of the
+  * same pipeline converge to identical series. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming right-closed 15-min resample matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "time", "value")
+
+    val agg = StreamOps.resampleRightClosedSum(stream, 900)
+    val q = agg.writeStream.format("memory").queryName("resampled")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
+        ("a", Timestamp.valueOf("2024-01-01 00:15:00"), 2.0), // boundary → (00:00,00:15]
+        ("a", Timestamp.valueOf("2024-01-01 00:20:00"), 4.0),
+        ("b", Timestamp.valueOf("2024-01-01 00:30:00"), 8.0))
+      q.processAllAvailable()
+      val got = spark.table("resampled")
+        .groupBy("id", "time").agg(max("value").as("value")) // update-mode emits per-batch rows
+        .orderBy("id", "time")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      assert(got === Array(
+        ("a", "2024-01-01 00:15:00.0", 3.0),
+        ("a", "2024-01-01 00:30:00.0", 4.0),
+        ("b", "2024-01-01 00:30:00.0", 8.0)))
+    } finally q.stop()
+  }
+
+  test("enrichForecast: horizon filter + sha256 tms_id derivation (F2+X14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "time", "value")
+    val out = StreamOps.enrichForecast(stream, "2024-01-01 12:00:00", "flo2d_250", "MME")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("e1", Timestamp.valueOf("2024-01-01 11:59:59"), 1.0), // before cutoff → dropped
+        ("e1", Timestamp.valueOf("2024-01-01 12:00:00"), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Double]("value") === 2.0)
+      assert(rows.head.getAs[String]("tms_id").matches("[0-9a-f]{64}"))
+    } finally q.stop()
+  }
+}
