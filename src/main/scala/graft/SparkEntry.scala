@@ -23,7 +23,7 @@ object SparkEntry {
     SessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   private def allDefs: Seq[(String, QueryDef)] =
-    CoreQueries.defs ++ PipelineQueries.defs
+    CoreQueries.defs ++ PipelineQueries.defs ++ graft.queries.ParityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.decks.{InflowDeck, OutflowDeck, RaincellDeck}
+import graft.extract.FloOutputParsers
+
+/** FLO-2D parity operators (SURVEY.md §2 S7/S8, K1 decks, X1/X2, F2, A7)
+  * demonstrated on the driver's synthetic tables.
+  *
+  * Parser queries are ROUND-TRIPS: deterministic report text is formatted
+  * from `events`, parsed back by the real S7/S8 operators, and the oracle
+  * recomputes the expected frame directly — so the text → blocks → rows
+  * machinery itself is what the hash compare certifies.
+  *
+  * Formatting determinism: all fixed-point renders use values where Java's
+  * HALF_UP and C/DuckDB's round-half-even agree — 2-decimal inputs at %.2f/
+  * %.3f (no rounding occurs) — so cross-engine printf is byte-identical.
+  */
+object ParityQueries {
+  import Tables.t
+
+  private def evBase(s: SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .filter(col("user_id") < 6 && !isnan(col("value")))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- S7: HYCHAN block parse round-trip --------------------------------
+    "q_s7_hychan" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = evBase(s, dir).withColumn("rn", row_number().over(w))
+        val headers = ev.groupBy("user_id").agg(min(lit(0)).as("z"))
+          .select(col("user_id"), lit(0L).as("rn"),
+            format_string("     CHANNEL HYDROGRAPH FOR ELEMENT NO:    %d", col("user_id")).as("line"))
+        val data = ev.select(col("user_id"), col("rn").cast("long").as("rn"),
+          format_string("   %d.0    %.2f    0.10    0.20    %.2f",
+            col("rn"), col("value"), col("value") * 2).as("line"))
+        val lines = headers.unionByName(data)
+          .select(lit("mem").as("file"),
+            (col("user_id").cast("long") * 1000000L + col("rn")).as("line_no"), col("line"))
+        FloOutputParsers.parseHychan(FloOutputParsers.fromOrderedLines(lines))
+          .select(col("element"), col("step_hours"), col("value"))
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS element, rn * 1.0 AS step_hours, value
+             |FROM (SELECT user_id, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |      FROM events WHERE user_id < 6 AND NOT isnan(value))""".stripMargin)),
+
+    // ---- S7 variant: discharge column pick (extract_discharge col 4) ------
+    "q_s7_discharge" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = evBase(s, dir).withColumn("rn", row_number().over(w))
+        val headers = ev.groupBy("user_id").agg(min(lit(0)).as("z"))
+          .select(col("user_id"), lit(0L).as("rn"),
+            format_string("     CHANNEL HYDROGRAPH FOR ELEMENT NO:    %d", col("user_id")).as("line"))
+        val data = ev.select(col("user_id"), col("rn").cast("long").as("rn"),
+          format_string("   %d.0    %.2f    0.10    0.20    %.2f",
+            col("rn"), col("value"), col("value") * 2).as("line"))
+        val lines = headers.unionByName(data)
+          .select(lit("mem").as("file"),
+            (col("user_id").cast("long") * 1000000L + col("rn")).as("line_no"), col("line"))
+        FloOutputParsers.parseHychan(FloOutputParsers.fromOrderedLines(lines), valueIndex = 4)
+          .groupBy("element")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_discharge"))
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS element, count(*) AS n,
+             |  round(sum(value * 2), 2) AS sum_discharge
+             |FROM events WHERE user_id < 6 AND NOT isnan(value)
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- S8: TIMDEP block parse + −999 fill round-trip --------------------
+    "q_s8_timdep" -> QueryDef(
+      (s, dir) => {
+        val HourNs = 3600000000000L
+        val ev = evBase(s, dir)
+          .withColumn("hr_ns", col("ts") - pmod(col("ts"), lit(HourNs)))
+          .withColumn("blk", dense_rank().over(Window.orderBy("hr_ns")))
+          .filter(col("blk") <= 48)
+          .groupBy("blk", "user_id")
+          .agg(round(sum("value"), 2).as("v"))
+        val headers = ev.select("blk").distinct()
+          .select(col("blk"), lit(-1L).as("sub"),
+            format_string("   %d.0", col("blk")).as("line"))
+        val data = ev.select(col("blk"), col("user_id").cast("long").as("sub"),
+          format_string("    %d   0.1   0.2   0.3   0.4   %.2f",
+            col("user_id"), col("v")).as("line"))
+        val lines = headers.unionByName(data)
+          .select(lit("mem").as("file"),
+            (col("blk").cast("long") * 100L + col("sub") + 1L).as("line_no"), col("line"))
+        val parsed = FloOutputParsers.parseTimdep(FloOutputParsers.fromOrderedLines(lines))
+        val elements = ev.select(col("user_id").cast("string").as("element")).distinct()
+        FloOutputParsers.fillMissing(parsed, elements)
+          .select(col("element"), col("step_hours"), col("value"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, value,
+             |    dense_rank() OVER (ORDER BY epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS blk
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)),
+             |cells AS (SELECT blk, user_id, round(sum(value), 2) AS v FROM ev
+             |          WHERE blk <= 48 GROUP BY 1, 2),
+             |blocks AS (SELECT DISTINCT blk FROM cells),
+             |elems AS (SELECT DISTINCT user_id FROM cells)
+             |SELECT CAST(e.user_id AS VARCHAR) AS element, b.blk * 1.0 AS step_hours,
+             |  coalesce(c.v, -999.0) AS value
+             |FROM blocks b CROSS JOIN elems e
+             |LEFT JOIN cells c ON c.blk = b.blk AND c.user_id = e.user_id""".stripMargin)),
+
+    // ---- K1 deck: INFLOW H-rows (anchored %.1f, W1/W3/X4/X5) --------------
+    "q_deck_inflow" -> QueryDef(
+      (s, dir) => {
+        // x.3-valued series: %.1f never rounds, so Java and C printf agree
+        val series = evBase(s, dir).filter(col("user_id") === 3)
+          .select(timestamp_micros(expr("ts div 1000")).as("time"),
+            (floor(col("value")) + lit(0.3)).as("value"))
+        InflowDeck.lines(s, series)
+      },
+      Some("""WITH series AS (
+             |  SELECT ts, floor(value) + 0.3 AS value,
+             |    row_number() OVER (ORDER BY ts) AS rn,
+             |    min(epoch_us(ts)) OVER () AS t0
+             |  FROM events WHERE user_id = 3 AND NOT isnan(value)),
+             |head AS (
+             |  SELECT 0 AS section, CAST(row_number() OVER () - 1 AS BIGINT) AS seq, line FROM (
+             |    VALUES ('0           41550'),
+             |           ('C               0           41550'),
+             |           ('H               0               0')) v(line)),
+             |rows_ AS (
+             |  SELECT 1 AS section, CAST(rn AS BIGINT) AS seq,
+             |    'H' || lpad(printf('%.1f', (epoch_us(ts) - t0) / 3600000000.0), 16, ' ')
+             |        || lpad(printf('%.1f', value), 16, ' ') AS line
+             |  FROM series WHERE rn > 1)
+             |SELECT section, seq, line FROM head
+             |UNION ALL SELECT section, seq, line FROM rows_""".stripMargin)),
+
+    // ---- K1 deck: OUTFLOW K/N/S stitch + sentinel skip (F3, §2.7 union) ---
+    "q_deck_outflow" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val boundaries = Seq((0, "1"), (1, "2")).toDF("block_order", "cell")
+        val tides = Tables.events(s, dir)
+          .filter(col("user_id").isin(1, 2) && !isnan(col("value")))
+          .select(col("user_id").cast("string").as("cell"),
+            timestamp_micros(expr("ts div 1000")).as("time"),
+            when(col("value") < 5, lit(-99999.0)).otherwise(col("value")).as("value"))
+        OutflowDeck.lines(s, boundaries, tides, Seq("268", "1174"))
+      },
+      Some("""WITH tides AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS cell, ts,
+             |    CASE WHEN value < 5 THEN -99999.0 ELSE value END AS value,
+             |    CASE WHEN user_id = 1 THEN 0 ELSE 1 END AS block_order,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             |    min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0
+             |  FROM events WHERE user_id IN (1, 2) AND NOT isnan(value)),
+             |k AS (SELECT 0 AS section, CAST(row_number() OVER () - 1 AS BIGINT) AS seq, line
+             |      FROM (VALUES ('K             268'), ('K            1174')) v(line)),
+             |n AS (SELECT 1 AS section, CAST(block_order * 1000000 AS BIGINT) AS seq,
+             |        'N' || lpad(cell, 16, ' ') || lpad('1', 16, ' ') AS line
+             |      FROM (SELECT DISTINCT cell, block_order FROM tides)),
+             |sr AS (SELECT 1 AS section, CAST(block_order * 1000000 + rn AS BIGINT) AS seq,
+             |        'S' || lpad(printf('%.3f', (epoch_us(ts) - t0) / 3600000000.0), 16, ' ')
+             |            || lpad(printf('%.3f', value), 16, ' ') AS line
+             |      FROM tides WHERE CAST(value AS INTEGER) <> -99999)
+             |SELECT * FROM k UNION ALL SELECT * FROM n UNION ALL SELECT * FROM sr""".stripMargin)),
+
+    // ---- K1 deck: RAINCELL blocks + water-supply correction (S3/X12) ------
+    "q_deck_raincell" -> QueryDef(
+      (s, dir) => {
+        val start = "2024-01-01 00:00:00"
+        val end = "2024-01-01 04:00:00"
+        val cells = Tables.events(s, dir)
+          .filter(!isnan(col("value")))
+          .select(timestamp_micros(expr("ts div 1000")).as("raw_time"),
+            col("user_id").as("cell_id"), col("value"))
+          .withColumn("time",
+            graft.ops.TimeSeriesOps.bucketRightClosedTs(col("raw_time"), 300))
+          .groupBy("time", "cell_id")
+          .agg(round(sum("value"), 2).as("value"))
+        RaincellDeck.lines(s, cells, start, end, "flo2d_250")
+      },
+      // 250 water supply = 1/288 ≈ 0.003472: 2-dec value + it → %.3f exact
+      Some("""WITH cells AS (
+             |  SELECT epoch_ns(ts) - 1 - ((epoch_ns(ts) - 1) % 300000000000) + 300000000000 AS step_ns,
+             |    user_id AS cell_id, round(sum(value), 2) AS value
+             |  FROM events WHERE NOT isnan(value)
+             |  GROUP BY 1, 2),
+             |win AS (SELECT * FROM cells
+             |  WHERE step_ns > epoch_ns(TIMESTAMP '2024-01-01 00:00:00')
+             |    AND step_ns <= epoch_ns(TIMESTAMP '2024-01-01 04:00:00')),
+             |hdr AS (SELECT 0 AS section, CAST(0 AS BIGINT) AS seq,
+             |  '5 48 2024-01-01 00:00:00 2024-01-01 04:00:00' AS line),
+             |rows_ AS (SELECT 1 AS section,
+             |  CAST(step_ns / 1000000000 * 1000000 + cell_id AS BIGINT) AS seq,
+             |  CAST(cell_id AS VARCHAR) || ' ' || printf('%.3f', value + 1.0 / 288) AS line
+             |  FROM win),
+             |blanks AS (SELECT 1 AS section,
+             |  CAST(step_ns / 1000000000 * 1000000 + 999999 AS BIGINT) AS seq, '' AS line
+             |  FROM (SELECT DISTINCT step_ns FROM win))
+             |SELECT * FROM hdr UNION ALL SELECT * FROM rows_ UNION ALL SELECT * FROM blanks""".stripMargin)),
+
+    // ---- X1/X2: datetime parse/format + interval arithmetic (SL offset) ---
+    "q_x1_datetime" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("formatted"),
+            date_format(col("o_orderdate") + expr("INTERVAL 5 HOURS 30 MINUTES"),
+              "yyyy-MM-dd HH:mm:ss").as("sl_time"),
+            ((unix_micros(col("o_orderdate").cast("timestamp")) / lit(3.6e9))).as("epoch_h"))
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted,
+             |  strftime(o_orderdate + INTERVAL '5 hours 30 minutes', '%Y-%m-%d %H:%M:%S') AS sl_time,
+             |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 3600000000.0 AS epoch_h
+             |FROM orders WHERE o_orderkey < 2000""".stripMargin)),
+
+    // ---- F2: forecast-horizon suffix filter per series --------------------
+    "q_f2_horizon" -> QueryDef(
+      (s, dir) => {
+        val cutoff = 1704067200000000000L + 15L * 24 * 3600000000000L
+        graft.ops.TimeSeriesOps.horizonFilter(
+            Tables.events(s, dir), lit(cutoff), "ts")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_after"), min("ts").as("first_ts"))
+      },
+      Some(s"""SELECT user_id, count(*) AS n_after, min(epoch_ns(ts)) AS first_ts
+              |FROM events WHERE epoch_ns(ts) >= ${1704067200000000000L + 15L * 24 * 3600000000000L}
+              |GROUP BY user_id""".stripMargin)),
+
+    // ---- A7: per-element ordered series packing (collect for sink) --------
+    "q_a7_series_pack" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("user_id") < 10 && !isnan(col("value")))
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+              x => format_string("%.2f", x.getField("value"))), ",").as("series_csv"))
+      },
+      Some("""SELECT user_id,
+             |  string_agg(printf('%.2f', value), ',' ORDER BY ts, event_id) AS series_csv
+             |FROM events WHERE user_id < 10 AND NOT isnan(value)
+             |GROUP BY user_id""".stripMargin))
+  )
+}
