@@ -27,18 +27,26 @@ object Dedup {
 
   /** MinHash signature over whitespace tokens: `numHashes` independent
     * min-of-hash values. Uses md5(token ⊕ seed) so any SQL engine can
-    * reproduce it; swap `hashFn` for xxhash64 in throughput-critical paths. */
+    * reproduce it; swap `hashFn` for xxhash64 in throughput-critical paths.
+    *
+    * Shape: explode + hash-aggregate rather than a higher-order `transform`
+    * — HOF lambdas evaluate interpreted (outside whole-stage codegen), while
+    * this keeps every md5 in generated code and the map-side partial agg
+    * collapses each partition to one row per document before the shuffle.
+    * (Distinct-ing tokens first is pointless: duplicates can't change a min.)
+    */
   def minhashSignature(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int,
       hashFn: (Column, Int) => Column = (tok, i) => md5(concat(tok, lit(s"#$i")))): DataFrame = {
-    val toks = array_distinct(TextFunctions.tokens(col(textCol)))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(toks, t => hashFn(t, i))).as(s"mh$i")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    val sigAggs = (0 until numHashes).map { i =>
+      min(hashFn(col("__tok"), i)).as(s"mh$i")
     }
-    df.select((col(idCol) +: sigCols): _*)
+    toks.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** LSH banding over a MinHash signature: groups ids sharing a band hash.

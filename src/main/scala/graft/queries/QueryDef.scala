@@ -26,4 +26,16 @@ object Tables {
     val raw = t(spark, dir, "events")
     raw.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
   }
+
+  /** `events` with a predicate applied to the RAW ns column before the µs
+    * truncation: a filter written against the truncated expression cannot
+    * reach the parquet scan (no PushedFilters), while the same range stated
+    * on the raw column pushes down and prunes row groups — the difference
+    * between scanning a slice and scanning 100 TB. Bounds must be
+    * µs-multiples so raw-domain and truncated-domain ranges coincide. */
+  def eventsRawFiltered(spark: SparkSession, dir: String)(
+      rawPred: org.apache.spark.sql.Column): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.filter(rawPred).withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+  }
 }
