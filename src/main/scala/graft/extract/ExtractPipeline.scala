@@ -1,0 +1,73 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.JdbcUpsertSink
+import graft.ops.TimeSeriesOps
+
+/** FLO-2D output → forecast-store pipeline — SURVEY.md §3.3, §7 step 6.
+  *
+  * Composition of the extract operators: block parse (S7/S8) → cell-map
+  * membership (F6, broadcast) → model-hours → wall clock (X2) → optional
+  * forecast-horizon filter (F2) → series-id derivation (X14) → keyed upsert
+  * (K2). Mirrors output/extract_water_level.py:374-523 and
+  * output/extract_discharge.py end to end, minus the per-element Python loop:
+  * one distributed plan handles every element.
+  */
+object ExtractPipeline {
+
+  /** Channel series from HYCHAN.OUT: one row per (station, time).
+    *
+    * `cellMap` is (cell_no, label, kind) — only elements present in the map
+    * survive (reference: output/extract_water_level.py:466-472). `valueIndex`
+    * 1 = water level, 4 = discharge.
+    */
+  def channelSeries(spark: SparkSession, hychanPath: String, baseTime: String,
+      cellMap: DataFrame, valueIndex: Int = 1,
+      cutoff: Option[String] = None): DataFrame = {
+    val parsed = FloOutputParsers.parseHychan(
+      FloOutputParsers.readLines(spark, hychanPath), valueIndex)
+    enrich(parsed, baseTime, cellMap, cutoff)
+  }
+
+  /** Flood-plain series from TIMDEP.OUT, densified with −999 for stations
+    * missing from a block (reference: output/extract_water_level.py:560-566). */
+  def floodPlainSeries(spark: SparkSession, timdepPath: String, baseTime: String,
+      cellMap: DataFrame, cutoff: Option[String] = None): DataFrame = {
+    val parsed = FloOutputParsers.parseTimdep(
+      FloOutputParsers.readLines(spark, timdepPath))
+    val filled = FloOutputParsers.fillMissing(
+      parsed, cellMap.select(col("cell_no").as("element")))
+    enrich(filled, baseTime, cellMap, cutoff)
+  }
+
+  private def enrich(parsed: DataFrame, baseTime: String, cellMap: DataFrame,
+      cutoff: Option[String]): DataFrame = {
+    val withStation = parsed
+      .join(broadcast(cellMap), parsed("element") === cellMap("cell_no"))
+    val timed = FloOutputParsers.stepToTimestamp(withStation, baseTime)
+    cutoff.fold(timed)(c => TimeSeriesOps.horizonFilter(timed, lit(c).cast("timestamp")))
+      .select(col("element"), col("label"), col("kind"), col("time"), col("value"))
+  }
+
+  /** Attach the forecast-store series id: sha256 over (model, method/simTag,
+    * element) — the engine-side `generate_timeseries_id` (X14; reference call
+    * site: output/extract_water_level.py:206-217) — plus the run's `fgt`. */
+  def withSeriesIds(series: DataFrame, model: String, simTag: String,
+      fgt: String): DataFrame =
+    series
+      .withColumn("tms_id",
+        TimeSeriesOps.seriesHashId(lit(model), lit(simTag), col("element")))
+      .withColumn("fgt", lit(fgt).cast("timestamp"))
+
+  /** Sink the enriched frame into the forecast store keyed
+    * `(tms_id, fgt, time)` — idempotent under re-extraction (K2). */
+  def upsertForecast(series: DataFrame, url: String, table: String,
+      dialect: JdbcUpsertSink.Dialect = JdbcUpsertSink.MySqlDialect,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    JdbcUpsertSink.upsert(
+      series.select(col("tms_id"), col("fgt"), col("time"), col("value")),
+      url, table, keyCols = Seq("tms_id", "fgt", "time"), valueCols = Seq("value"),
+      dialect = dialect, props = props)
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Input connectors — SURVEY.md §2.1, §7 step 2.
+  *
+  * Every reader returns a plain DataFrame so the ops/decks layers compose;
+  * time-series scans keep their predicates in the read so pushdown (JDBC or
+  * parquet) prunes server-/file-side, exactly like the reference's
+  * WHERE-clause-in-proc pattern (reference: input/inflow/gen_150_inflow.py:97-98).
+  */
+object Sources {
+
+  /** Grid-cell coordinate CSV `Grid_ID,X(lon),Y(lat)` (S6; reference:
+    * res/grids/flo2d_150_v2m.csv:1-4, init/init.py:75). */
+  def gridCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(
+        col("Grid_ID").cast("int").as("grid_id"),
+        col("X").cast("double").as("lon"),
+        col("Y").cast("double").as("lat"))
+
+  /** Station cell-map JSON `{cell_no: label}` per kind (S9/X13; reference:
+    * res/flo2d_extract_stations/flo2d_150_v2.json,
+    * output/extract_water_level.py:400-402). Returns (cell_no, label, kind). */
+  def cellMapJson(spark: SparkSession, path: String, kind: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(from_json(col("value"), MapType(StringType, StringType)).as("m"))
+      .select(explode(col("m")).as(Seq("cell_no", "label")))
+      .withColumn("kind", lit(kind))
+
+  /** Initial-conditions CSV `grid_id,up,down,wl_id,wl_id_dwn` (reference:
+    * res/flo2d_150_v2/initial_conditions.csv:1-3, input/chan/gen_chan.py:129). */
+  def initialConditionsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(col("grid_id"),
+        col("up"), col("down"),
+        col("wl_id"), col("wl_id_dwn"))
+
+  /** Keyed time-series range scan over a JDBC store (S1/F1): the id+time
+    * predicates are part of the pushed query, so the server returns only the
+    * slice — one round-trip replacing the reference's per-call procs. */
+  def jdbcSeries(spark: SparkSession, url: String, table: String,
+      id: String, start: String, end: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+      .filter(col("id") === id &&
+        col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+      .select(col("time"), col("value"))
+
+  /** Parquet time-series range scan — same contract as `jdbcSeries` for
+    * file-resident series lakes; predicate reaches the parquet row groups. */
+  def parquetSeries(spark: SparkSession, path: String,
+      id: String, start: String, end: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("id") === id &&
+        col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+      .select(col("time"), col("value"))
+
+  /** Max-time lookup (S2/A1; reference: input/raincell/gen_raincell.py:100-102):
+    * the scan-clamping scalar, computed as one pushdown-friendly aggregate. */
+  def maxTime(series: DataFrame, timeCol: String = "time"): Option[java.sql.Timestamp] =
+    Option(series.agg(max(col(timeCol))).head.getTimestamp(0))
+
+  /** First value in `[start, start+window]` (S4; reference:
+    * input/chan/gen_chan.py:68-75): min_by keeps it a single aggregate, no
+    * sort+limit. */
+  def firstValueInWindow(series: DataFrame, start: String, windowHours: Int,
+      timeCol: String = "time", valueCol: String = "value"): Option[Double] = {
+    val s = lit(start).cast("timestamp")
+    val row = series
+      .filter(col(timeCol).between(s, s + expr(s"INTERVAL $windowHours HOURS")))
+      .agg(expr(s"min_by($valueCol, $timeCol)").as("v")).head
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
+  }
+
+  /** Nearest station to (lat, lon) (S5; reference: input/rain/gen_rain.py:125-131):
+    * distance + deterministic argmin over the (broadcast-sized) station dim. */
+  def nearestStation(stations: DataFrame, lat: Double, lon: Double,
+      latCol: String = "lat", lonCol: String = "lon"): DataFrame = {
+    val d2 = (col(latCol) - lit(lat)) * (col(latCol) - lit(lat)) +
+      (col(lonCol) - lit(lon)) * (col(lonCol) - lit(lon))
+    stations.withColumn("__d2", d2)
+      .orderBy(col("__d2"), col(stations.columns.head))
+      .limit(1)
+      .drop("__d2")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import java.sql.{DriverManager, Timestamp}
+
+import graft.SparkSpec
+import graft.extract.ExtractPipeline
+import graft.io.JdbcUpsertSink
+import graft.sources.Sources
+
+/** End-to-end lifecycle specs — SURVEY.md §3: parquet fixture → CLI main →
+  * deck file on disk; HYCHAN report → enriched series → Derby forecast
+  * store, converging under re-extraction. */
+class CliIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("GenRain: parquet series fixture → RAIN.DAT on disk with run_meta merge") {
+    val dir = tmp("genrain")
+    val series = Seq(
+      ("h1", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
+      ("h1", Timestamp.valueOf("2024-01-01 00:10:00"), 3.0),
+      ("h2", Timestamp.valueOf("2024-01-01 00:10:00"), 99.0) // other id: excluded
+    ).toDF("id", "time", "value")
+    series.write.parquet(s"$dir/series")
+
+    GenRain.run(spark, CliArgs.parse(Array(
+      "--series", s"$dir/series", "--id", "h1",
+      "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 00:30:00",
+      "-m", "flo2d_250", "-d", dir)))
+
+    val lines = Files.readAllLines(Paths.get(s"$dir/RAIN.DAT")).toArray.toSeq
+    assert(lines === Seq(
+      " 0             0 ",
+      " 4.000         5             0             0 ",
+      "R              0.083         0.250 ",
+      "R              0.167         1.000 "))
+    assert(Files.readString(Paths.get(s"$dir/run_meta.json")).contains("\"RAIN\""))
+    // K6: rerun leaves the file untouched
+    GenRain.run(spark, CliArgs.parse(Array(
+      "--series", s"$dir/series", "--id", "h1",
+      "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 00:30:00",
+      "-m", "flo2d_250", "-d", dir)))
+    assert(Files.readAllLines(Paths.get(s"$dir/RAIN.DAT")).size === 4)
+  }
+
+  test("GenRaincell: F7-clamps the window to available data") {
+    val dir = tmp("genraincell")
+    val cells = Seq(
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 1, 1.0),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1, 2.0)
+    ).toDF("time", "cell_id", "value")
+    cells.write.parquet(s"$dir/cells")
+    // requested end 01:00 but data ends 00:10 → header says 2 steps
+    GenRaincell.run(spark, CliArgs.parse(Array(
+      "--cells", s"$dir/cells",
+      "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 01:00:00",
+      "-m", "flo2d_250", "-d", dir)))
+    val lines = Files.readAllLines(Paths.get(s"$dir/RAINCELL.DAT")).toArray.toSeq
+    assert(lines.head === "5 2 2024-01-01 00:00:00 2024-01-01 00:10:00")
+    assert(lines.tail === Seq("1 1.003", "", "1 2.003", ""))
+  }
+
+  private val hychanText =
+    """PREAMBLE
+      |     CHANNEL HYDROGRAPH FOR ELEMENT NO:    250
+      |   TIME      ELEV
+      |   1.00    12.30    0.0   0.0   100.00
+      |   2.00    12.60    0.0   0.0   101.00
+      |     CHANNEL HYDROGRAPH FOR ELEMENT NO:    999
+      |   1.00    50.00    0.0   0.0   500.00""".stripMargin
+
+  test("ExtractPipeline: HYCHAN → cell-map filter → horizon → Derby upsert, idempotent") {
+    val dir = tmp("extract")
+    Files.writeString(Paths.get(s"$dir/HYCHAN.OUT"), hychanText)
+    Files.writeString(Paths.get(s"$dir/cells.json"), """{"250": "Hanwella"}""")
+
+    val url = "jdbc:derby:memory:extractdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE data (tms_id VARCHAR(64), fgt TIMESTAMP, time TIMESTAMP, " +
+        "value DOUBLE, PRIMARY KEY (tms_id, fgt, time))")
+    conn.close()
+
+    val cellMap = Sources.cellMapJson(spark, s"$dir/cells.json", "CHANNEL")
+    def runOnce(): Unit = {
+      val series = ExtractPipeline.channelSeries(
+        spark, s"$dir/HYCHAN.OUT", "2024-01-01 00:00:00", cellMap,
+        valueIndex = 1, cutoff = Some("2024-01-01 02:00:00"))
+      val enriched = ExtractPipeline.withSeriesIds(
+        series, "flo2d_150_v2", "daily_run", "2024-01-01 03:00:00")
+      ExtractPipeline.upsertForecast(enriched, url, "data",
+        JdbcUpsertSink.UpdateInsertDialect)
+    }
+    runOnce()
+    runOnce() // re-extraction converges, no duplicates
+
+    val c2 = DriverManager.getConnection(url)
+    val rs = c2.createStatement()
+      .executeQuery("SELECT tms_id, time, value FROM data ORDER BY time")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next())
+      .map(r => (r.getString(1), r.getTimestamp(2).toString, r.getDouble(3)))
+      .toList
+    c2.close()
+    // element 999 is not in the cell map (F6); 1.00 h row is pre-cutoff (F2)
+    assert(rows.map(_._2) === List("2024-01-01 02:00:00.0"))
+    assert(rows.head._3 === 12.60)
+    assert(rows.head._1.matches("[0-9a-f]{64}"))
+  }
+
+  test("Sources: cell-map JSON, first-value-in-window, nearest station") {
+    val dir = tmp("sources")
+    Files.writeString(Paths.get(s"$dir/map.json"), """{"10": "A", "20": "B"}""")
+    val cm = Sources.cellMapJson(spark, s"$dir/map.json", "CHANNEL")
+      .orderBy("cell_no").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cm === Array(("10", "A"), ("20", "B")))
+
+    val obs = Seq(
+      ("w1", Timestamp.valueOf("2024-01-01 00:30:00"), 7.5),
+      ("w1", Timestamp.valueOf("2024-01-01 01:00:00"), 8.0),
+      ("w1", Timestamp.valueOf("2024-01-01 09:00:00"), 9.0) // outside window
+    ).toDF("id", "time", "value")
+    assert(Sources.firstValueInWindow(obs, "2024-01-01 00:00:00", 2) === Some(7.5))
+    assert(Sources.firstValueInWindow(obs, "2024-02-01 00:00:00", 2) === None)
+
+    val stations = Seq((1, 6.90, 79.95), (2, 7.10, 80.10)).toDF("sid", "lat", "lon")
+    val nearest = Sources.nearestStation(stations, 6.95, 80.00)
+      .collect().head.getInt(0)
+    assert(nearest === 1)
+  }
+}
