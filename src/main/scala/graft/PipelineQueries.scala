@@ -139,6 +139,33 @@ object PipelineQueries {
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, round(cos, 5) AS cos FROM p WHERE round(cos, 5) >= 0.45""".stripMargin)),
 
+    // ---- full near-dup pipeline: MinHash→LSH→bucket-verify→keeper ---------
+    "q_dedup_keepers" -> QueryDef(
+      (s, dir) => Dedup.nearDupKeepers(docsWithDups(s, dir), "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.6),
+      Some(s"""WITH docs AS (SELECT * FROM $dupUnionSql),
+              |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM docs),
+              |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+              |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS band_hash FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS band_hash FROM sig),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS n FROM cand c
+              |  JOIN tok ta ON ta.doc_id = c.id_a
+              |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+              |  GROUP BY 1, 2),
+              |ver AS (SELECT id_a, id_b FROM inter
+              |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+              |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
+              |keep AS (SELECT id_b AS dup_id, min(id_a) AS keeper FROM ver GROUP BY 1)
+              |SELECT d.doc_id AS doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
+              |FROM docs d LEFT JOIN keep k ON k.dup_id = d.doc_id""".stripMargin)),
+
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(
       (s, dir) => {
@@ -170,6 +197,17 @@ object PipelineQueries {
         Similarity.lshTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
           "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8, maxHammingProbe = 8)
+      },
+      None),
+
+    // ---- ANN: IVF coarse-quantized top-k (engine-specific cells → rows-only)
+    "q_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.ivfTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, k = 10, nCentroids = 16, nProbe = 4)
       },
       None),
 

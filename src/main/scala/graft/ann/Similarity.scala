@@ -61,6 +61,47 @@ object Similarity {
     bruteForceTopK(candidates, idCol, vecCol, query, k)
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `nCentroids` cells,
+    * probe the `nProbe` cells nearest to the query, rerank exactly inside
+    * them. Centroids here are a deterministic id-ordered sample (a k-means
+    * codebook trained offline slots into the same shape). At scale the cell
+    * id becomes a partition/bucket column, so probing prunes the scan to
+    * nProbe/nCentroids of the data.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Array[Seq[Float]] = df.orderBy(col(idCol)).limit(nCentroids)
+      .select(vecCol).collect().map(_.getSeq[Float](0))
+    val assigned = withIvfCell(df, vecCol, centroids)
+    val probes = centroids.indices
+      .sortBy(i => l2Local(query, centroids(i)))
+      .take(nProbe)
+    bruteForceTopK(
+      assigned.filter(col("ivf_cell").isin(probes: _*)), idCol, vecCol, query, k)
+  }
+
+  /** Assign each vector its nearest-centroid cell id (the IVF coarse code). */
+  def withIvfCell(df: DataFrame, vecCol: String, centroids: Array[Seq[Float]]): DataFrame = {
+    val cLit = typedlit(centroids.toSeq)
+    // argmin over centroids: array_min on (distance, index) structs — the
+    // per-element l2 is the fused codegen'd expression
+    val best = array_min(transform(
+      sequence(lit(0), lit(centroids.length - 1)),
+      i => struct(
+        VectorFunctions.l2(col(vecCol), element_at(cLit, i + 1)).as("d"),
+        i.as("i"))))
+    df.withColumn("ivf_cell", best.getField("i"))
+  }
+
+  private def l2Local(a: Seq[Float], b: Seq[Float]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+
   /** Driver-side signature of the query vector — same splitmix planes the
     * executors regenerate, so bucket ids agree. */
   def querySignature(query: Seq[Float], dim: Int, nBits: Int, seed: Long = 42L): Long = {

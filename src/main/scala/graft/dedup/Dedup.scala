@@ -105,6 +105,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Full near-dup pipeline at scale shape: MinHash signatures → LSH band
+    * buckets → pairwise Jaccard verification ONLY within buckets → connected
+    * keeper selection (min id per verified duplicate group, one hop).
+    *
+    * Returns (doc_id, keeper_id): every document maps to the smallest id it
+    * was verified near-duplicate with (itself if unique). The n² work is
+    * confined to bucket-local pairs — the global joins are all equi-joins on
+    * band hashes / ids, so the plan is shuffle-bounded by candidate volume,
+    * not corpus².
+    */
+  def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes)
+    val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val toks = df.select(col(idCol).as("__id"),
+      explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("sz"))
+    // equi-join on (id, tok) both sides: intersection size per pair without
+    // ever materializing the tokensA × tokensB cross product
+    val inter = cand
+      .join(toks.select(col("__id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
+      .select(col("id_b").as("dup_id"), col("id_a").as("cand_keeper"))
+    df.select(col(idCol).as("doc_id"))
+      .join(verified.groupBy("dup_id").agg(min("cand_keeper").as("keeper")),
+        col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` (exact verifier
     * for small n / within-ANN-bucket use). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

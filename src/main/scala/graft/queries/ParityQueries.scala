@@ -231,6 +231,40 @@ object ParityQueries {
               |FROM events WHERE epoch_ns(ts) >= ${1704067200000000000L + 15L * 24 * 3600000000000L}
               |GROUP BY user_id""".stripMargin)),
 
+    // ---- X10: regex extraction/matching (utc-offset & model patterns) -----
+    "q_x10_regex" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            coalesce(nullif(regexp_extract(col("text"), "([0-9]+)", 1), lit("")), lit("-"))
+              .as("first_num"),
+            col("text").rlike("[A-Za-z]+ing\\b").as("has_gerundish"))
+      },
+      Some("""SELECT doc_id,
+             |  coalesce(nullif(regexp_extract(text, '([0-9]+)', 1), ''), '-') AS first_num,
+             |  regexp_matches(text, '[A-Za-z]+ing\b') AS has_gerundish
+             |FROM documents WHERE doc_id < 300""".stripMargin)),
+
+    // ---- J4: composite string-key lookup join (broadcast dim) -------------
+    "q_j4_composite" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("A_F", 1.0), ("N_O", 2.0), ("R_F", 3.0))
+          .toDF("flag_status", "factor")
+        t(s, dir, "lineitem")
+          .withColumn("flag_status",
+            concat_ws("_", col("l_returnflag"), col("l_linestatus")))
+          .join(broadcast(dim), Seq("flag_status"))
+          .groupBy("flag_status")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity") * col("factor")), 2).as("weighted_qty"))
+      },
+      Some("""WITH dim(flag_status, factor) AS (VALUES ('A_F', 1.0), ('N_O', 2.0), ('R_F', 3.0))
+             |SELECT l_returnflag || '_' || l_linestatus AS flag_status,
+             |  count(*) AS n, round(sum(l_quantity * factor), 2) AS weighted_qty
+             |FROM lineitem JOIN dim ON l_returnflag || '_' || l_linestatus = flag_status
+             |GROUP BY 1""".stripMargin)),
+
     // ---- A7: per-element ordered series packing (collect for sink) --------
     "q_a7_series_pack" -> QueryDef(
       (s, dir) => {

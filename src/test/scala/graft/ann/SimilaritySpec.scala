@@ -1,0 +1,60 @@
+package graft.ann
+
+import graft.SparkSpec
+
+/** Similarity search: exact top-k ordering, LSH bucket recall for
+  * self-lookup, IVF probe behavior. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: unit-ish 4-d vectors
+  private val vecs: Seq[(Long, Seq[Float])] = (0L until 50L).map { i =>
+    val r = new scala.util.Random(i)
+    i -> Seq.fill(4)(r.nextFloat() * 2 - 1)
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na * nb == 0) 0 else d / (na * nb)
+  }
+
+  test("bruteForceTopK returns the true top-k in order") {
+    val q = vecs.head._2
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val expected = vecs
+      .map { case (id, v) => (id, BigDecimal(cosLocal(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(got === expected)
+  }
+
+  test("lshTopK: the query vector's own bucket contains it (self-recall)") {
+    val q = vecs(7)._2
+    val got = Similarity.lshTopK(df, "vec_id", "embedding", q,
+      dim = 4, k = 3, nBits = 6, maxHammingProbe = 6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.contains(7L))
+  }
+
+  test("ivfTopK with full probing equals brute force") {
+    val q = vecs(3)._2
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q,
+      k = 5, nCentroids = 8, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf === exact)
+  }
+
+  test("ivfTopK with narrow probing still finds the query's own cell") {
+    val q = vecs(11)._2
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q,
+      k = 3, nCentroids = 8, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf.contains(11L))
+    assert(ivf.size === 3)
+  }
+}

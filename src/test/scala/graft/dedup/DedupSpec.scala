@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+/** Dedup operators: exact groups, the full MinHash→LSH→verify→keeper
+  * pipeline, and SimHash similarity ordering. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near dup of 1/2
+    (4L, "completely different text about spark engines"),
+    (5L, "another unrelated document mentioning parquet files")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min id") {
+    val m = Dedup.exact(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m(1L) === 2L) // keeper 1 covers docs 1,2
+    assert(m.values.sum === 5L)
+  }
+
+  test("nearDupKeepers maps exact+near dups to the smallest verified id") {
+    val keepers = Dedup.nearDupKeepers(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(1L) === 1L)
+    assert(keepers(2L) === 1L) // exact dup collides in every band
+    assert(keepers(3L) === 1L) // near dup (8/10 token Jaccard = 0.8 ≥ 0.6)
+    assert(keepers(4L) === 4L)
+    assert(keepers(5L) === 5L)
+  }
+
+  test("nearDupKeepers with threshold 1.0 keeps only exact duplicates together") {
+    val keepers = Dedup.nearDupKeepers(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(2L) === 1L)
+    assert(keepers(3L) === 3L) // near dup no longer qualifies
+  }
+
+  test("simhash64: identical texts share a hash; near texts are closer than far ones") {
+    val h = Dedup.simhash64(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("lshCandidateGroups only emits buckets with >1 member") {
+    val sig = Dedup.minhashSignature(corpus, "doc_id", "text", 8)
+    val groups = Dedup.lshCandidateGroups(sig, "doc_id", 8, 2).collect()
+    assert(groups.nonEmpty)
+    assert(groups.forall(_.getLong(3) > 1))
+    // docs 1 and 2 are identical → some band groups them
+    assert(groups.exists(r => r.getSeq[Long](2).containsSlice(Seq(1L, 2L))))
+  }
+}
