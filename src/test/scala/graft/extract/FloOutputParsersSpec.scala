@@ -94,6 +94,16 @@ class FloOutputParsersSpec extends SparkSpec {
     assert(ts === "2024-01-01 00:30:00.0")
   }
 
+  test("blocks spanning partition boundaries parse identically (8-way repartition)") {
+    val base = linesDf(hychan)
+    val scattered = FloOutputParsers.fromOrderedLines(base.repartition(8))
+    val a = FloOutputParsers.parseHychan(base).orderBy("element", "step_hours")
+      .collect().map(_.toSeq)
+    val b = FloOutputParsers.parseHychan(scattered).orderBy("element", "step_hours")
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && (a.toSeq === b.toSeq))
+  }
+
   test("readLines preserves file order end-to-end through a real file") {
     val dir = Files.createTempDirectory("hychan").toFile
     val f = new java.io.File(dir, "HYCHAN.OUT")

@@ -40,6 +40,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream -> windowed resample -> foreachBatch upsert converges in the JDBC store") {
+    import java.sql.DriverManager
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    val c0 = DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      "CREATE TABLE agg (id VARCHAR(16), time TIMESTAMP, value DOUBLE, PRIMARY KEY (id, time))")
+    c0.close()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "time", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = StreamOps.upsertSink(
+      StreamOps.resampleRightClosedSum(stream, 900),
+      url, "agg", Seq("id", "time"), Seq("value"),
+      graft.io.JdbcUpsertSink.UpdateInsertDialect, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      mem.addData(("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0))
+      q.processAllAvailable()
+      // late row lands in the SAME bucket → upsert overwrites with new sum
+      mem.addData(("a", Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      val c = DriverManager.getConnection(url)
+      val rs = c.createStatement().executeQuery("SELECT id, time, value FROM agg")
+      val rows = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString(1), r.getTimestamp(2).toString, r.getDouble(3))).toList
+      c.close()
+      assert(rows === List(("a", "2024-01-01 00:15:00.0", 3.0)))
+    } finally q.stop()
+  }
+
   test("enrichForecast: horizon filter + sha256 tms_id derivation (F2+X14)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
