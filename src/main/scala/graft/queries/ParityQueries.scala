@@ -202,6 +202,47 @@ object ParityQueries {
              |  FROM (SELECT DISTINCT step_ns FROM win))
              |SELECT * FROM hdr UNION ALL SELECT * FROM rows_ UNION ALL SELECT * FROM blanks""".stripMargin)),
 
+    // ---- K1 deck: RAIN cumulative curve (grid join + resample + cumsum) ---
+    "q_deck_rain" -> QueryDef(
+      (s, dir) => {
+        // series: per-5-min bucket sums of user-3 events in a 1-day window,
+        // a real (time, value) rain series shape
+        val start = "2024-01-01 00:00:00"
+        val end = "2024-01-02 00:00:00"
+        val series = Tables.events(s, dir)
+          .filter(col("user_id") === 3 && !isnan(col("value")))
+          .select(timestamp_micros(expr("ts div 1000")).as("raw_time"), col("value"))
+          .withColumn("time",
+            graft.ops.TimeSeriesOps.bucketRightClosedTs(col("raw_time"), 300))
+          .groupBy("time").agg(round(sum("value"), 2).as("value"))
+        graft.decks.RainDeck.lines(s, series, start, end, "flo2d_250")
+      },
+      Some("""WITH series AS (
+             |  SELECT to_timestamp((epoch_ns(ts)-1 - ((epoch_ns(ts)-1) % 300000000000)
+             |           + 300000000000) / 1000000000) AS time,
+             |         round(sum(value), 2) AS value
+             |  FROM events WHERE user_id = 3 AND NOT isnan(value) GROUP BY 1),
+             |grid AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+             |  TIMESTAMP '2024-01-02 00:00:00', INTERVAL 5 MINUTE)) AS time),
+             |joined AS (SELECT g.time, s.value FROM grid g JOIN series s USING (time)
+             |  WHERE s.value IS NOT NULL AND s.value >= 0),
+             |cum AS (SELECT time, value,
+             |  sum(value) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             |  sum(value) OVER () AS total,
+             |  row_number() OVER (ORDER BY time) AS rn,
+             |  (epoch_us(time) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 3600000000.0 AS eh
+             |  FROM joined),
+             |rrows AS (SELECT 1 AS section, CAST(rn AS BIGINT) AS seq,
+             |  'R              ' || rpad(printf('%.3f', eh), 14, ' ')
+             |    || printf('%.3f', CASE WHEN total > 0 THEN c / total ELSE 0 END) || ' ' AS line
+             |  FROM cum),
+             |hdr AS (
+             |  SELECT 0 AS section, CAST(0 AS BIGINT) AS seq, ' 0             0 ' AS line
+             |  UNION ALL
+             |  SELECT 0, 1, ' ' || printf('%.3f', coalesce((SELECT max(total) FROM cum), 0.0))
+             |    || '         5             0             0 ')
+             |SELECT * FROM hdr UNION ALL SELECT * FROM rrows""".stripMargin)),
+
     // ---- X1/X2: datetime parse/format + interval arithmetic (SL offset) ---
     "q_x1_datetime" -> QueryDef(
       (s, dir) => {
