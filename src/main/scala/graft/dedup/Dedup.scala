@@ -154,4 +154,22 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Embedding near-dup at corpus scale: random-hyperplane LSH buckets the
+    * vectors, exact cosine runs only on same-bucket pairs — an equi-join on
+    * the signature instead of a cross join. Near-identical vectors share all
+    * sign bits with high probability; recall tunes with fewer bits. */
+  def embeddingNearDupsViaLsh(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val signed = df.select(col(idCol), col(vecCol),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, seed).as("__sig"))
+    val a = signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = signed.select(col("__sig"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

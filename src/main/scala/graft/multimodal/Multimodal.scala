@@ -80,8 +80,9 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
         val n = bytes.length.toLong
-        // deterministic stand-in for realDecoder(bytes)
-        Row.fromSeq(r.toSeq ++ Seq(n % 640 + 1, (n * 7) % 480 + 1, n / 100.0))
+        // deterministic stand-in for realDecoder(bytes); Seq[Any] keeps the
+        // Longs from widening to Double (BIGINT fields must stay Long)
+        Row.fromSeq(r.toSeq ++ Seq[Any](n % 640 + 1, (n * 7) % 480 + 1, n / 100.0))
       }
     }(enc)
   }
@@ -90,5 +91,6 @@ object Multimodal {
     * the output shape/type of an embedding model over decoded media. */
   def featureStub(bytes: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(bytes, i), lit(1000L)).cast("float") / lit(1000.0f)))
+      // outer cast back to float: Spark's Divide promotes float/float → double
+      i => (pmod(xxhash64(bytes, i), lit(1000L)) / lit(1000.0)).cast("float"))
 }

@@ -147,6 +147,32 @@ object TimeSeriesOps {
     df.withColumn(valueCol, when(col(valueCol) < 0, lit(null)).otherwise(col(valueCol)))
       .na.drop(Seq(valueCol))
 
+  /** Skew-safe broadcast-replicated join: every row of the SMALL side is
+    * replicated `saltFactor` times with a salt column, the big side salts by
+    * `pmod(hash, saltFactor)` — a hot key's rows spread over `saltFactor`
+    * tasks instead of funneling into one. Use when AQE's skew-join split
+    * can't help (e.g. the skew is in a window/groupBy feeding the join).
+    * Result is identical to `big.join(small, keys)`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(saltFactor)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Two-stage salted aggregation: partial sums over (keys, salt) first, so
+    * a hot group's input spreads across `saltFactor` reducers before the
+    * final (tiny) combine. Same result as `df.groupBy(keys).agg(sum)`. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltFactor: Int, out: String = "sum_value"): DataFrame =
+    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(out))
+
   /** Series hash id (X14): sha256 of the `;`-joined metadata, the engine-side
     * equivalent of db_adapter's `generate_timeseries_id`
     * (reference call site: output/extract_water_level.py:211). */

@@ -49,6 +49,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === exact)
   }
 
+  test("embeddingNearDupsViaLsh finds near-identical vectors without a cross join") {
+    val base = vecs.toMap
+    val withDup = (vecs :+ (100L -> base(5L).map(x => x * 1.0001f))).toDF("vec_id", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingNearDupsViaLsh(
+        withDup, "vec_id", "embedding", dim = 4, threshold = 0.9999, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 100L)))
+  }
+
   test("ivfTopK with narrow probing still finds the query's own cell") {
     val q = vecs(11)._2
     val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q,
