@@ -186,6 +186,27 @@ object ExtractForecast {
     ExtractPipeline.upsertForecast(enriched, a("url"), a.getOrElse("table", "data"),
       if (a.get("dialect").contains("mysql")) JdbcUpsertSink.MySqlDialect
       else JdbcUpsertSink.UpdateInsertDialect)
+    // K5: event-sim template archive from the deck dir's file list, then
+    // K3: one run_metadata row carrying run_meta.json + the blob
+    // (reference: output/extract_water_level.py:339-341,589-591)
+    val blob = a.get("archive-dir").map { deckDir =>
+      val names = a.get("archive-list")
+        .map(p => scala.io.Source.fromFile(p).getLines().map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(new java.io.File(deckDir).list().filter(_.endsWith(".DAT")).toSeq.sorted)
+      val tmp = java.nio.file.Files.createTempFile("template", ".tar.gz").toString
+      graft.io.TarGzArchive.createFromDir(tmp, deckDir, names)
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmp))
+    }
+    a.get("meta-table").foreach { metaTable =>
+      val metaJson = a.get("run-meta")
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+        .getOrElse("{}")
+      JdbcUpsertSink.insertRunMetadata(a("url"), metaTable,
+        a.getOrElse("source-id", "0").toLong, a.getOrElse("variable-id", "0").toLong,
+        a.getOrElse("sim-tag", "daily_run"), java.sql.Timestamp.valueOf(fgt),
+        metaJson, blob)
+    }
   }
 }
 

@@ -120,6 +120,31 @@ object JdbcUpsertSink {
     } finally { up.close(); ins.close() }
   }
 
+  /** Run-metadata sink (K3): one row per extraction run —
+    * `(source, variable, sim_tag, fgt, metadata JSON, template blob)`
+    * (reference: output/extract_water_level.py:589-591). Driver-side single
+    * insert; the blob is the K5 template archive when present. */
+  def insertRunMetadata(url: String, table: String, sourceId: Long,
+      variableId: Long, simTag: String, fgt: java.sql.Timestamp,
+      metadataJson: String, templateBlob: Option[Array[Byte]] = None,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(
+        s"INSERT INTO $table (source_id, variable_id, sim_tag, fgt, metadata, template) " +
+          "VALUES (?, ?, ?, ?, ?, ?)")
+      try {
+        st.setLong(1, sourceId); st.setLong(2, variableId); st.setString(3, simTag)
+        st.setTimestamp(4, fgt); st.setString(5, metadataJson)
+        templateBlob match {
+          case Some(b) => st.setBytes(6, b)
+          case None => st.setNull(6, java.sql.Types.BLOB)
+        }
+        st.executeUpdate()
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Post-upsert bookkeeping the reference performs per series: bump
     * `latest_fgt` and pull back `start_date`
     * (reference: output/extract_water_level.py:214-217). Dimension-sized —
