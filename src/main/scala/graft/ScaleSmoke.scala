@@ -47,6 +47,40 @@ object ScaleSmoke {
     val lines = spark.read.text(s"$outDir/RAINCELL").count()
     println(s"""{"metric":"raincell_scale","steps":$steps,"cells":$cells,""" +
       s""""lines":$lines,"seconds":$secs,"lines_per_sec":${(lines / secs).toLong}}""")
+
+    // TIMDEP-shaped parse throughput: blocks of 39,526 cell rows per step
+    // (reference parses these single-threaded line by line:
+    // output/extract_water_level.py:540-572)
+    val timdepDir = java.nio.file.Files.createTempDirectory("timdep_scale").toString
+    val nBlocks = 96 * mult
+    spark.range(nBlocks.toLong * (cells + 1))
+      .select(when(pmod(col("id"), lit(cells + 1)) === 0,
+          format_string("   %d.25", (col("id") / (cells + 1)).cast("int")))
+        .otherwise(format_string("    %d   0.1   0.2   0.3   0.4   %d.50",
+          pmod(col("id"), lit(cells + 1)).cast("int"),
+          pmod(col("id"), lit(97)).cast("int"))).as("value"))
+      .coalesce(4).write.mode("overwrite").text(timdepDir + "/TIMDEP")
+    // the written dir holds part files; benchmark BOTH parse paths on it —
+    // the window path treats each part as a file, the carry path needs one
+    // file, so concatenate first
+    val single = timdepDir + "/TIMDEP.OUT"
+    val parts = new java.io.File(timdepDir + "/TIMDEP").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val os = new java.io.FileOutputStream(single)
+    parts.foreach(p => java.nio.file.Files.copy(p.toPath, os))
+    os.close()
+
+    val t1 = System.nanoTime()
+    val nWin = graft.extract.FloOutputParsers.parseTimdep(
+      graft.extract.FloOutputParsers.readLines(spark, single)).count()
+    val winSecs = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val nFast = graft.extract.FloOutputParsers.parseTimdepFile(spark, single).count()
+    val fastSecs = (System.nanoTime() - t2) / 1e9
+    println(s"""{"metric":"timdep_parse_scale","blocks":$nBlocks,"rows":$nFast,""" +
+      s""""window_secs":$winSecs,"carry_secs":$fastSecs,""" +
+      s""""window_rows_per_sec":${(nWin / winSecs).toLong},""" +
+      s""""carry_rows_per_sec":${(nFast / fastSecs).toLong}}""")
     spark.stop()
   }
 }

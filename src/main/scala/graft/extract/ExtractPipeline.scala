@@ -26,8 +26,13 @@ object ExtractPipeline {
   def channelSeries(spark: SparkSession, hychanPath: String, baseTime: String,
       cellMap: DataFrame, valueIndex: Int = 1,
       cutoff: Option[String] = None): DataFrame = {
-    val parsed = FloOutputParsers.parseHychan(
-      FloOutputParsers.readLines(spark, hychanPath), valueIndex)
+    // single regular file → carry-based parallel parse (no per-file sort);
+    // glob/dir inputs → the window path, which parallelizes across files
+    val parsed =
+      if (new java.io.File(hychanPath).isFile)
+        FloOutputParsers.parseHychanFile(spark, hychanPath, valueIndex)
+      else FloOutputParsers.parseHychan(
+        FloOutputParsers.readLines(spark, hychanPath), valueIndex)
     enrich(parsed, baseTime, cellMap, cutoff)
   }
 
@@ -35,8 +40,11 @@ object ExtractPipeline {
     * missing from a block (reference: output/extract_water_level.py:560-566). */
   def floodPlainSeries(spark: SparkSession, timdepPath: String, baseTime: String,
       cellMap: DataFrame, cutoff: Option[String] = None): DataFrame = {
-    val parsed = FloOutputParsers.parseTimdep(
-      FloOutputParsers.readLines(spark, timdepPath))
+    val parsed =
+      if (new java.io.File(timdepPath).isFile)
+        FloOutputParsers.parseTimdepFile(spark, timdepPath)
+      else FloOutputParsers.parseTimdep(
+        FloOutputParsers.readLines(spark, timdepPath))
     val filled = FloOutputParsers.fillMissing(
       parsed, cellMap.select(col("cell_no").as("element")))
     enrich(filled, baseTime, cellMap, cutoff)

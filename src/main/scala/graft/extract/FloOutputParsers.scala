@@ -104,6 +104,111 @@ object FloOutputParsers {
       .na.fill(missing, Seq("value"))
   }
 
+  // --------------------------------------------------------------------
+  // Fast single-file path: carry-based marker propagation.
+  //
+  // The window form above shuffles every line into one sort per file. For
+  // ONE large report that serializes the whole parse. This path instead:
+  //   pass 1 (parallel): each partition resolves rows against markers seen
+  //     locally, emits rows before its first marker as "unresolved", and
+  //     reports its last marker;
+  //   driver: prefix-scan of the per-partition last markers (bytes, not
+  //     data) → carry for each partition;
+  //   pass 2 (cheap): only unresolved head rows get their carry applied.
+  // Lines never span HDFS-style splits (the line reader re-anchors), so a
+  // marker is always wholly inside one partition.
+  // --------------------------------------------------------------------
+
+  /** Parse one HYCHAN.OUT with partition-parallel carry propagation;
+    * semantics identical to `parseHychan(readLines(...))`. */
+  def parseHychanFile(spark: SparkSession, path: String, valueIndex: Int = 1): DataFrame =
+    parseWithCarry[String](spark, path,
+      marker = l =>
+        if (l.length > 5 && l.startsWith(HychanHeader, 5)) {
+          val t = l.trim.split("\\s+")
+          if (t.length > 5) Some(t(5)) else None
+        } else None,
+      row = (l, elem) => {
+        val t = l.trim.split("\\s+")
+        if (t.length > valueIndex) {
+          val step = toDoubleOrNull(t(0))
+          val v = toDoubleOrNull(t(valueIndex))
+          if (step != null && v != null && !v.asInstanceOf[Double].isNaN)
+            Some((elem, step.asInstanceOf[Double], v.asInstanceOf[Double]))
+          else None
+        } else None
+      })
+
+  /** Parse one TIMDEP.OUT with partition-parallel carry propagation;
+    * semantics identical to `parseTimdep(readLines(...))`. */
+  def parseTimdepFile(spark: SparkSession, path: String, valueIndex: Int = 5): DataFrame =
+    parseWithCarry[java.lang.Double](spark, path,
+      marker = l => {
+        val t = l.trim.split("\\s+")
+        if (t.length == 1) Option(toDoubleOrNull(t(0)).asInstanceOf[java.lang.Double]).filter(_ => t(0).nonEmpty)
+        else None
+      },
+      row = (l, blk) => {
+        val t = l.trim.split("\\s+")
+        if (t.length > valueIndex) {
+          val v = toDoubleOrNull(t(valueIndex))
+          if (v != null && !v.asInstanceOf[Double].isNaN)
+            Some((t(0), blk.doubleValue(), v.asInstanceOf[Double]))
+          else None
+        } else None
+      })
+
+  /** Shared carry machinery: `marker` extracts a block marker from a line,
+    * `row` parses a data line under the current marker into
+    * (element, step_hours, value). */
+  private def parseWithCarry[M](spark: SparkSession, path: String,
+      marker: String => Option[M],
+      row: (String, M) => Option[(String, Double, Double)]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val lines = spark.sparkContext.textFile(path)
+    // pass 1: (resolvedRow | unresolvedLine), plus per-partition last marker
+    val tagged = lines.mapPartitionsWithIndex { (pid, it) =>
+      var current: Option[M] = None
+      it.flatMap { l =>
+        marker(l) match {
+          case m @ Some(_) => current = m; Iterator.empty
+          case None => current match {
+            case Some(m) => row(l, m).map(r => (pid, true, l, r)).iterator
+            case None => Iterator.single((pid, false, l, null.asInstanceOf[(String, Double, Double)]))
+          }
+        }
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val lastMarkers: Array[Option[M]] = lines.mapPartitionsWithIndex { (pid, it) =>
+      var last: Option[M] = None
+      it.foreach(l => marker(l).foreach(m => last = Some(m)))
+      Iterator.single(pid -> last)
+    }.collect().sortBy(_._1).map(_._2)
+    // carry(p) = last marker emitted by any earlier partition
+    val carries: Array[Option[M]] = lastMarkers.scanLeft(Option.empty[M]) {
+      case (acc, cur) => cur.orElse(acc)
+    }.dropRight(1)
+    val bc = spark.sparkContext.broadcast(carries)
+
+    val rows = tagged.mapPartitionsWithIndex { (_, it) =>
+      it.flatMap { case (pid, resolved, l, r) =>
+        if (resolved) Iterator.single(r)
+        else bc.value(pid).flatMap(m => row(l, m)).iterator
+      }
+    }.map { case (e, s, v) => Row(path, e, s, v) }
+
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("element", StringType, nullable = true),
+      StructField("step_hours", org.apache.spark.sql.types.DoubleType, nullable = true),
+      StructField("value", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def toDoubleOrNull(s: String): Any =
+    try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+
   /** Model-hours → wall-clock timestamp: `base + hours` with µs precision
     * (reference: output/extract_water_level.py:501-503). */
   def stepToTimestamp(df: DataFrame, baseTime: String,

@@ -104,6 +104,30 @@ class FloOutputParsersSpec extends SparkSpec {
     assert(a.nonEmpty && (a.toSeq === b.toSeq))
   }
 
+  test("carry-based fast path equals the window path on real files (HYCHAN + TIMDEP)") {
+    val dir = Files.createTempDirectory("fastpath").toFile
+    val hy = new java.io.File(dir, "HYCHAN.OUT")
+    Files.writeString(hy.toPath, hychan)
+    val td = new java.io.File(dir, "TIMDEP.OUT")
+    Files.writeString(td.toPath, timdep)
+
+    val hyWindow = FloOutputParsers.parseHychan(FloOutputParsers.readLines(spark, hy.getPath))
+      .select("element", "step_hours", "value").orderBy("element", "step_hours")
+      .collect().map(_.toSeq).toSeq
+    val hyFast = FloOutputParsers.parseHychanFile(spark, hy.getPath)
+      .select("element", "step_hours", "value").orderBy("element", "step_hours")
+      .collect().map(_.toSeq).toSeq
+    assert(hyFast === hyWindow)
+
+    val tdWindow = FloOutputParsers.parseTimdep(FloOutputParsers.readLines(spark, td.getPath))
+      .select("element", "step_hours", "value").orderBy("step_hours", "element")
+      .collect().map(_.toSeq).toSeq
+    val tdFast = FloOutputParsers.parseTimdepFile(spark, td.getPath)
+      .select("element", "step_hours", "value").orderBy("step_hours", "element")
+      .collect().map(_.toSeq).toSeq
+    assert(tdFast === tdWindow)
+  }
+
   test("readLines preserves file order end-to-end through a real file") {
     val dir = Files.createTempDirectory("hychan").toFile
     val f = new java.io.File(dir, "HYCHAN.OUT")

@@ -40,6 +40,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileSeriesStream picks up newly arriving parquet files per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("fstream").toString
+    val first = Seq(("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0))
+      .toDF("id", "time", "value")
+    first.write.parquet(s"$dir/batch1.parquet")
+    // the source dir is the parent; each arriving file is a new batch
+    val stream = StreamOps.fileSeriesStream(spark, s"$dir/*.parquet")
+    val q = stream.writeStream.format("memory").queryName("arrivals")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("arrivals").count() === 1)
+      Seq(("b", Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+        .toDF("id", "time", "value").write.parquet(s"$dir/batch2.parquet")
+      q.processAllAvailable()
+      assert(spark.table("arrivals").count() === 2)
+    } finally q.stop()
+  }
+
   test("stream -> windowed resample -> foreachBatch upsert converges in the JDBC store") {
     import java.sql.DriverManager
     val url = "jdbc:derby:memory:streamdb;create=true"
