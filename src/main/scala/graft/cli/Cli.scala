@@ -84,7 +84,16 @@ object GenInflow {
 
   def run(spark: SparkSession, a: Map[String, String]): Unit = {
     val series = Sources.parquetSeries(spark, a("series"), a("id"), a("s"), a("e"))
-    val deck = InflowDeck.lines(spark, series)
+    // flo2d_250 decks carry the observed-WL R rows (gen_250_inflow.py:107-133)
+    val deck =
+      if (a.get("m").contains("flo2d_250")) {
+        val obsWl = a.get("obs").flatMap { obsPath =>
+          Sources.firstValueInWindow(
+            spark.read.parquet(obsPath).filter(col("id") === a("wl-id")),
+            a("s"), windowHours = 10)
+        }
+        InflowDeck.lines250(spark, series, obsWl)
+      } else InflowDeck.lines(spark, series)
     CliArgs.writeDeck(deck, s"${a("d")}/INFLOW.DAT", "INFLOW", a("s"))
   }
 }

@@ -90,6 +90,25 @@ object RainDeck {
   * rows are `'H' + %.1f(elapsed_h).rjust(16) + %.1f(value).rjust(16)` (W1/X3).
   */
 object InflowDeck {
+
+  /** flo2d_250 variant (reference: input/inflow/gen_250_inflow.py:119-133):
+    * different header cells and two trailing `R` rows — the observed water
+    * level at cell 2265 (first obs in [start, start+10h], default 0.5) and
+    * a fixed 6.6 at cell 3559. */
+  def lines250(spark: SparkSession, series: DataFrame, obsWl: Option[Double]): DataFrame = {
+    import DeckFormat._
+    val base = lines(spark, series, Seq(
+      "0               0",
+      "C               0            8655",
+      "H               0               0"))
+    val wl = obsWl.getOrElse(0.5)
+    val wlStr = if (wl == wl.toLong.toDouble) s"${wl.toLong}.0" else wl.toString
+    val tail = literalLines(spark, 2, Seq(
+      "R            2265" + " " * (16 - wlStr.length) + wlStr,
+      "R            3559             6.6"))
+    stitch(base, tail)
+  }
+
   def lines(spark: SparkSession, series: DataFrame,
       headLines: Seq[String] = Seq(
         "0           41550",

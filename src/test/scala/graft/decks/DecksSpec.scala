@@ -76,6 +76,24 @@ class DecksSpec extends SparkSpec {
       "H" + sp(13) + "2.5" + sp(13) + "7.0"))
   }
 
+  test("INFLOW.DAT 250: header cells + observed-WL tail rows (default 0.5)") {
+    val series = Seq(
+      (ts("2024-01-01 10:00:00"), 5.0),
+      (ts("2024-01-01 11:00:00"), 6.3)
+    ).toDF("time", "value")
+    val withObs = render(InflowDeck.lines250(spark, series, Some(1.25)))
+    assert(withObs.take(3) === Seq(
+      "0               0",
+      "C               0            8655",
+      "H               0               0"))
+    assert(withObs.takeRight(2) === Seq(
+      "R            2265" + sp(12) + "1.25",
+      "R            3559             6.6"))
+    // no observation → reference default 0.5 (gen_250_inflow.py:113-114)
+    val noObs = render(InflowDeck.lines250(spark, series, None))
+    assert(noObs.takeRight(2).head === "R            2265" + sp(13) + "0.5")
+  }
+
   test("OUTFLOW.DAT: K/N widths; sentinel rows dropped but anchor epoch kept") {
     val boundaries = Seq((0, "330"), (1, "1282")).toDF("block_order", "cell")
     val tides = Seq(
