@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2}
+
+/** SQL surface for the engine's custom expressions: after `register`,
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` resolves to the fused
+  * codegen'd Catalyst expressions — the same functions the Column API
+  * exposes through `VectorFunctions`. */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("vec_dot",
+      exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_cosine",
+      exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_l2",
+      exprs => FloatVecL2(exprs(0), exprs(1)), "built-in")
+  }
+}
