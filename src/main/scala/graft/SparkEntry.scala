@@ -17,7 +17,10 @@ object SparkEntry {
     * TimestampType (µs) cannot represent; we read exact epoch-ns longs. */
   val SessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // engine optimizer rules (e.g. truncated-range predicates → pushable
+    // raw ranges, graft.plans.PushableTruncRange)
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     SessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
