@@ -147,6 +147,39 @@ object TimeSeriesOps {
     df.withColumn(valueCol, when(col(valueCol) < 0, lit(null)).otherwise(col(valueCol)))
       .na.drop(Seq(valueCol))
 
+  /** As-of join: each left row picks up the latest right value with
+    * `right.time <= left.time` within the same key group (the time-series
+    * join Spark lacks natively). Implemented as union + ordered window
+    * rather than a custom SparkPlan: one shuffle on the keys, one
+    * within-partition sort — the same cost as a sort-merge join, and ties
+    * at equal time resolve to the right row being visible (ASOF `>=`
+    * semantics). Right columns surface as `asof_<col>` (null when no prior
+    * right row exists). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String = "time"): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == timeCol)
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__src", lit(1))
+      .select((keys.map(col) :+ col(timeCol) :+ col("__src")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__src", lit(0))
+      .select((keys.map(col) :+ col(timeCol) :+ col("__src")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lTagged.unionByName(rTagged)
+      .select(col("*") +:
+        rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    joined.filter(col("__src") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Skew-safe broadcast-replicated join: every row of the SMALL side is
     * replicated `saltFactor` times with a salt column, the big side salts by
     * `pmod(hash, saltFactor)` — a hot key's rows spread over `saltFactor`

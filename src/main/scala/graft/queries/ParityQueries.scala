@@ -272,6 +272,25 @@ object ParityQueries {
               |FROM events WHERE epoch_ns(ts) >= ${1704067200000000000L + 15L * 24 * 3600000000000L}
               |GROUP BY user_id""".stripMargin)),
 
+    // ---- As-of join (time-series lookup join; DuckDB native ASOF oracle) --
+    "q_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = evBase(s, dir)
+        val trades = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select("user_id", "event_id", "ts", "value")
+        val quotes = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("user_id"), col("ts"), col("value").as("px"))
+        graft.ops.TimeSeriesOps.asofJoin(trades, quotes, Seq("user_id"), timeCol = "ts")
+          .select("user_id", "event_id", "value", "asof_px")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, ts, value FROM events
+             |    WHERE event_id % 2 = 0 AND user_id < 6 AND NOT isnan(value)),
+             |r AS (SELECT user_id, ts, value AS px FROM events
+             |    WHERE event_id % 2 = 1 AND user_id < 6 AND NOT isnan(value))
+             |SELECT l.user_id AS user_id, l.event_id AS event_id, l.value AS value,
+             |  r.px AS asof_px
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
     // ---- X10: regex extraction/matching (utc-offset & model patterns) -----
     "q_x10_regex" -> QueryDef(
       (s, dir) => {

@@ -95,6 +95,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(TimeSeriesOps.dropNegatives(df).count() === 1)
   }
 
+  test("asofJoin picks the latest right value at/before each left time, per key") {
+    val trades = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:10:00"), 100.0),
+      ("a", Timestamp.valueOf("2024-01-01 00:30:00"), 200.0),
+      ("b", Timestamp.valueOf("2024-01-01 00:05:00"), 300.0)
+    ).toDF("id", "time", "qty")
+    val quotes = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:10:00"), 1.5), // tie → visible
+      ("a", Timestamp.valueOf("2024-01-01 00:20:00"), 2.5),
+      ("b", Timestamp.valueOf("2024-01-01 00:06:00"), 9.9)  // after left row
+    ).toDF("id", "time", "px")
+    val out = TimeSeriesOps.asofJoin(trades, quotes, Seq("id"))
+      .orderBy("id", "time")
+      .collect().map(r => (r.getString(0), r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out === Array(
+      ("a", 100.0, Some(1.5)),
+      ("a", 200.0, Some(2.5)),
+      ("b", 300.0, None))) // no quote at/before 00:05
+  }
+
   test("X14: series hash id is 64 hex chars and deterministic") {
     val ids = spark.range(2).select(
       TimeSeriesOps.seriesHashId(lit("flo2d_250"), lit("MME"), lit("cell_1")).as("h"))
