@@ -180,6 +180,45 @@ object TimeSeriesOps {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Interval (range) join: pair each point with every interval containing
+    * it, without a theta cross join. Intervals explode to the coarse
+    * buckets they cover; points join their own bucket (equi-join on
+    * keys+bucket — shuffle bounded by bucket fan-out) and the exact
+    * `[start, end]` predicate refines. Each qualifying (point, interval)
+    * pair appears exactly once because a point lives in exactly one bucket.
+    * Size `bucketSeconds` near the typical interval length: fan-out stays
+    * O(1) per interval and selectivity stays high. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTime: String = "time", startCol: String = "start", endCol: String = "end",
+      bucketSeconds: Long = 3600L): DataFrame = {
+    val stepUs = bucketSeconds * 1000000L
+    // integer `div`, not `/`: double division would lose exactness on
+    // epoch-scale longs and truncate instead of floor for negatives
+    val pBucket = expr(s"unix_micros($pointTime) div ${stepUs}L")
+    val iBuckets = sequence(
+      expr(s"unix_micros($startCol) div ${stepUs}L"),
+      expr(s"unix_micros($endCol) div ${stepUs}L"))
+    val p = points.withColumn("__bucket", pBucket)
+    val i = intervals.withColumn("__bucket", explode(iBuckets))
+    p.join(i, keys :+ "__bucket")
+      .filter(col(pointTime).between(col(startCol), col(endCol)))
+      .drop("__bucket")
+  }
+
+  /** Gap-based sessionization: rows more than `gapSeconds` after their
+    * predecessor start a new session; emits a per-key `session_id`
+    * (0-based). One key shuffle + one ordered window — the batch analogue
+    * of streaming session windows. */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String = "time",
+      gapSeconds: Long = 1800L, out: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+    val prev = lag(unix_micros(col(timeCol)), 1).over(w)
+    val isNew = when(prev.isNull, 0L)
+      .otherwise((unix_micros(col(timeCol)) - prev > gapSeconds * 1000000L).cast("long"))
+    df.withColumn(out,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Skew-safe broadcast-replicated join: every row of the SMALL side is
     * replicated `saltFactor` times with a salt column, the big side salts by
     * `pmod(hash, saltFactor)` — a hot key's rows spread over `saltFactor`

@@ -291,6 +291,68 @@ object ParityQueries {
              |  r.px AS asof_px
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // ---- Interval/range join (bucketed equi-join + exact refine) ----------
+    "q_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(!isnan(col("value")))
+          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        val intervals = ev.filter(col("user_id") === 0 && pmod(col("event_id"), lit(50)) === 0)
+          .select(col("event_id").as("interval_id"), col("t").as("start"),
+            (col("t") + expr("INTERVAL 2 HOURS")).as("end"))
+        val points = ev.filter(col("user_id").between(1, 3))
+          .select(col("user_id"), col("t").as("time"), col("value"))
+        graft.ops.TimeSeriesOps.rangeJoin(
+            points.withColumn("k", lit(1)), intervals.withColumn("k", lit(1)), Seq("k"))
+          .groupBy("interval_id")
+          .agg(count(lit(1)).as("n_points"), round(sum("value"), 2).as("sum_value"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, value FROM events WHERE NOT isnan(value)),
+             |i AS (SELECT event_id AS interval_id, ts AS s, ts + INTERVAL 2 HOURS AS e
+             |      FROM ev WHERE user_id = 0 AND event_id % 50 = 0),
+             |p AS (SELECT ts, value FROM ev WHERE user_id BETWEEN 1 AND 3)
+             |SELECT interval_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
+             |FROM p JOIN i ON p.ts BETWEEN i.s AND i.e
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- Sessionization (gap-based session windows, batch form) -----------
+    "q_sessionize" -> QueryDef(
+      (s, dir) => {
+        val ev = evBase(s, dir)
+          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        graft.ops.TimeSeriesOps.sessionize(ev, Seq("user_id"), "t", gapSeconds = 1800)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("ts")) - min(col("ts"))).as("span_ns"))
+      },
+      Some("""WITH g AS (SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+             |         WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000 THEN 1
+             |         ELSE 0 END AS is_new
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (SELECT user_id, ts,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS span_ns
+             |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // ---- Exact interpolated percentiles (Spark percentile = quantile_cont)
+    "q_percentile" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).filter(!isnan(col("value")))
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n
+             |FROM events WHERE NOT isnan(value)
+             |GROUP BY event_type""".stripMargin)),
+
     // ---- X10: regex extraction/matching (utc-offset & model patterns) -----
     "q_x10_regex" -> QueryDef(
       (s, dir) => {
