@@ -48,6 +48,58 @@ object CoreQueries {
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- Multi-join analytics: shipping-priority (Q3 shape) — selective
+    // filters pushed to all three scans, join order left to Catalyst/AQE
+    "q3_shipping" -> QueryDef(
+      (s, dir) => {
+        val cutoff = lit("1995-03-15").cast("timestamp")
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- Five-way star join: local-supplier revenue by nation (Q5 shape)
+    "q5_local_supplier" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+             |  AND o_orderdate < TIMESTAMP '1995-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
     // ---- S1/F1: time-series range scan (filter pushed to parquet scan)
     "q_s1_range_scan" -> QueryDef(
       (s, dir) => {
