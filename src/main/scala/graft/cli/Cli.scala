@@ -71,7 +71,20 @@ object GenRain {
   def run(spark: SparkSession, a: Map[String, String]): Unit = {
     val (start, end, model) = (a("s"), a("e"), a.getOrElse("m", "flo2d_250"))
     CliArgs.validateWindow(start, end, model)
-    val series = Sources.parquetSeries(spark, a("series"), a("id"), start, end)
+    // flo2d_10_* micro-models: nearest rainfall station to (--lat, --lon)
+    // selects the series — `rainfall_{obsId}_{name}_MDPA` key into the
+    // series index (reference: gen_rain.py:121-135,307-314)
+    val seriesId =
+      if (model.startsWith("flo2d_10") && a.contains("lat")) {
+        val st = Sources.nearestStation(
+          spark.read.parquet(a("stations")), a("lat").toDouble, a("lon").toDouble)
+          .select("station_id", "name").head()
+        val gridKey = s"rainfall_${st.getLong(0)}_${st.getString(1)}_MDPA"
+        spark.read.parquet(a("series-index"))
+          .filter(col("grid_id") === gridKey && col("method") === "MME")
+          .select("id").head().getString(0)
+      } else a("id")
+    val series = Sources.parquetSeries(spark, a("series"), seriesId, start, end)
     val deck = RainDeck.lines(spark, series, start, end, model)
     CliArgs.writeDeck(deck, s"${a("d")}/RAIN.DAT", "RAIN", start)
   }

@@ -45,6 +45,29 @@ class CliIntegrationSpec extends SparkSpec {
     assert(Files.readAllLines(Paths.get(s"$dir/RAIN.DAT")).size === 4)
   }
 
+  test("GenRain flo2d_10: nearest station -> series-index lookup selects the series") {
+    val dir = tmp("genrain10")
+    Seq((100057L, "Naula", 7.0, 80.0), (100099L, "Far", 9.9, 89.9))
+      .toDF("station_id", "name", "lat", "lon")
+      .write.parquet(s"$dir/stations")
+    Seq(("rainfall_100057_Naula_MDPA", "MME", "hashX"),
+        ("rainfall_100057_Naula_MDPA", "OBS", "hashWrong"))
+      .toDF("grid_id", "method", "id")
+      .write.parquet(s"$dir/index")
+    Seq(("hashX", Timestamp.valueOf("2024-01-01 00:05:00"), 2.0),
+        ("other", Timestamp.valueOf("2024-01-01 00:05:00"), 7.0))
+      .toDF("id", "time", "value")
+      .write.parquet(s"$dir/series")
+
+    GenRain.run(spark, CliArgs.parse(Array(
+      "--series", s"$dir/series", "--stations", s"$dir/stations",
+      "--series-index", s"$dir/index", "--lat", "7.01", "--lon", "80.01",
+      "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 00:10:00",
+      "-m", "flo2d_10_test", "-d", dir)))
+    val lines = Files.readAllLines(Paths.get(s"$dir/RAIN.DAT")).toArray.map(_.toString)
+    assert(lines(1).startsWith(" 2.000")) // hashX's series, not `other`
+  }
+
   test("GenRaincell: F7-clamps the window to available data") {
     val dir = tmp("genraincell")
     val cells = Seq(
