@@ -100,6 +100,56 @@ object CoreQueries {
              |  AND o_orderdate < TIMESTAMP '1995-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // ---- Hierarchical rollup totals (partial-agg friendly) ----------------
+    "q_rollup" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("sum_qty"), col("n"))
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- Ranking / offset window functions --------------------------------
+    "q_window_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        t(s, dir, "supplier")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("prev_bal", lag("s_acctbal", 1).over(w))
+          .withColumn("next_bal", lead("s_acctbal", 1).over(w))
+          .filter(col("rnk") <= 3)
+          .select("s_nationkey", "rnk", "s_suppkey", "s_acctbal", "prev_bal", "next_bal")
+      },
+      Some("""SELECT s_nationkey, rnk, s_suppkey, s_acctbal, prev_bal, next_bal FROM (
+             |  SELECT s_nationkey, s_suppkey, s_acctbal,
+             |    rank() OVER w AS rnk,
+             |    lag(s_acctbal, 1) OVER w AS prev_bal,
+             |    lead(s_acctbal, 1) OVER w AS next_bal
+             |  FROM supplier
+             |  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey))
+             |WHERE rnk <= 3""".stripMargin)),
+
+    // ---- Distinct aggregates (two-phase expand in Spark) ------------------
+    "q_distinct_agg" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_suppliers"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+             |  count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- S1/F1: time-series range scan (filter pushed to parquet scan)
     "q_s1_range_scan" -> QueryDef(
       (s, dir) => {
