@@ -78,4 +78,19 @@ object ExtractPipeline {
       series.select(col("tms_id"), col("fgt"), col("time"), col("value")),
       url, table, keyCols = Seq("tms_id", "fgt", "time"), valueCols = Seq("value"),
       dialect = dialect, props = props)
+
+  /** Post-upsert run bookkeeping: per series, bump `latest_fgt` and pull
+    * `start_date` back to the earliest written point (reference:
+    * output/extract_water_level.py:214-217). One aggregate over the batch
+    * (dimension-sized result), then driver-side row updates. */
+  def updateRunTable(series: DataFrame, url: String, runTable: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val perSeries = series.groupBy("tms_id")
+      .agg(max("fgt").as("fgt"), min("time").as("start"))
+      .collect()
+    perSeries.foreach { r =>
+      JdbcUpsertSink.updateRunBookkeeping(url, runTable,
+        r.getString(0), r.getTimestamp(1), r.getTimestamp(2), props)
+    }
+  }
 }

@@ -131,6 +131,26 @@ class CliIntegrationSpec extends SparkSpec {
     assert(rows.map(_._2) === List("2024-01-01 02:00:00.0"))
     assert(rows.head._3 === 12.60)
     assert(rows.head._1.matches("[0-9a-f]{64}"))
+
+    // run-table bookkeeping: latest_fgt bumped, start_date pulled back (K2)
+    val c3 = DriverManager.getConnection(url)
+    c3.createStatement().execute(
+      "CREATE TABLE run (tms_id VARCHAR(64) PRIMARY KEY, latest_fgt TIMESTAMP, start_date TIMESTAMP)")
+    c3.createStatement().execute(
+      s"INSERT INTO run VALUES ('${rows.head._1}', TIMESTAMP('2020-01-01 00:00:00'), TIMESTAMP('2030-01-01 00:00:00'))")
+    c3.close()
+    val series = ExtractPipeline.channelSeries(
+      spark, s"$dir/HYCHAN.OUT", "2024-01-01 00:00:00", cellMap,
+      valueIndex = 1, cutoff = Some("2024-01-01 02:00:00"))
+    val enriched = ExtractPipeline.withSeriesIds(
+      series, "flo2d_150_v2", "daily_run", "2024-01-01 03:00:00")
+    ExtractPipeline.updateRunTable(enriched, url, "run")
+    val c4 = DriverManager.getConnection(url)
+    val rs4 = c4.createStatement().executeQuery("SELECT latest_fgt, start_date FROM run")
+    assert(rs4.next())
+    assert(rs4.getTimestamp(1).toString === "2024-01-01 03:00:00.0")
+    assert(rs4.getTimestamp(2).toString === "2024-01-01 02:00:00.0")
+    c4.close()
   }
 
   test("Sources: cell-map JSON, first-value-in-window, nearest station") {
