@@ -30,8 +30,11 @@ object OrderedTextSink {
       .select(col(lineCol))
       .coalesce(1)
       .write.mode("overwrite").text(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.split('/').last.startsWith("part-")).sorted.head
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.split('/').last.startsWith("part-")).sorted.head
+      finally listing.close()
     Files.move(Paths.get(part), Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(Paths.get(tmp))
   }

@@ -92,6 +92,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningSeriesStats: mapGroupsWithState folds state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "time", "value")
+    val q = StatefulOps.runningSeriesStats(stream)
+      .writeStream.format("memory").queryName("stats")
+      .outputMode(StatefulOps.StatsOutputMode).start()
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 3.0),
+        ("a", Timestamp.valueOf("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(("a", Timestamp.valueOf("2024-01-01 00:20:00"), 2.0)) // batch 2
+      q.processAllAvailable()
+      val last = spark.table("stats").filter($"id" === "a")
+        .orderBy($"n".desc).collect().head
+      assert(last.getAs[Long]("n") === 3L)          // state survived the batch boundary
+      assert(last.getAs[Double]("maxValue") === 3.0)
+      assert(last.getAs[Timestamp]("lastTime").toString === "2024-01-01 00:20:00.0")
+    } finally q.stop()
+  }
+
+  test("dedupeStream suppresses duplicate (id, time) points within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "time", "value")
+    val q = StatefulOps.dedupeStream(stream).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
+        ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0)) // same-batch dup
+      q.processAllAvailable()
+      mem.addData(("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() === 1)
+    } finally q.stop()
+  }
+
   test("enrichForecast: horizon filter + sha256 tms_id derivation (F2+X14)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
