@@ -25,8 +25,7 @@ object ScaleSmoke {
     val steps = 384 * mult
     val cells = 39526
     val start = "2024-01-01 00:00:00"
-    val startUs = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val startUs = graft.model.SlTime.microsOf(start)
     val end = new java.sql.Timestamp(startUs / 1000L + steps.toLong * 15 * 60000L)
       .toString.stripSuffix(".0")
 

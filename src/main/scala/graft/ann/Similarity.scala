@@ -53,10 +53,13 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val signed = withSignature(df, vecCol, dim, nBits, seed)
     val qSig = querySignature(query, dim, nBits, seed)
-    // Multi-probe: query bucket plus all buckets within Hamming distance 1.
-    val probes: Seq[Long] =
-      if (maxHammingProbe <= 0) Seq(qSig)
-      else qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+    // Multi-probe: every bucket within Hamming distance <= maxHammingProbe
+    // of the query signature (maxHammingProbe = nBits probes everything —
+    // exact recall at brute-force cost)
+    val probes: Seq[Long] = (0 to math.min(maxHammingProbe, nBits)).flatMap { d =>
+      (0 until nBits).combinations(d).map(bits =>
+        bits.foldLeft(qSig)((s, b) => s ^ (1L << b)))
+    }
     val candidates = signed.filter(col("lsh_sig").isin(probes: _*))
     bruteForceTopK(candidates, idCol, vecCol, query, k)
   }

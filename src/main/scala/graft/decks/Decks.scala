@@ -57,7 +57,7 @@ object RainDeck {
     val clean = TimeSeriesOps.dropNegatives(stepped)
     val frac = TimeSeriesOps.normalizedCumulative(clean, "value", "time", Nil, "frac")
     val withElapsed = frac.withColumn("elapsed_h",
-      (unix_micros(col("time")) - lit(tsMicros(startTime))) / lit(3.6e9))
+      (unix_micros(col("time")) - lit(graft.model.SlTime.microsOf(startTime))) / lit(3.6e9))
     val rRows = withElapsed.select(
       lit(1).as("section"),
       row_number().over(Window.orderBy("time")).cast("long").as("seq"),
@@ -78,9 +78,6 @@ object RainDeck {
     stitch(header, rRows)
   }
 
-  private def tsMicros(ts: String): Long =
-    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 }
 
 /** INFLOW.DAT — discharge hydrograph `H` rows
@@ -183,30 +180,30 @@ object RaincellDeck {
       case "flo2d_150" | "flo2d_150_v2" => (15, 1.0 / (24 * 4))
       case _ => (5, 1.0 / (24 * 12))
     }
-    val length = ((tsMicros(endTime) - tsMicros(startTime)) / 60000000L / stepMin).toInt
+    val length = ((graft.model.SlTime.microsOf(endTime) -
+      graft.model.SlTime.microsOf(startTime)) / 60000000L / stepMin).toInt
     val header = DeckFormat.literalLines(spark, 0,
       Seq(s"$stepMin $length $startTime $endTime"))
     val stepped = cells
       .withColumn("step", TimeSeriesOps.bucketRightClosedTs(col("time"), stepMin * 60L))
       .filter(col("step") > lit(startTime).cast("timestamp") &&
         col("step") <= lit(endTime).cast("timestamp"))
-    // seq = epoch-seconds * 1e6 + cell: fits Long through year ~294k for
-    // grids below 1M cells (150_v2 has 39,526 — res/grids/flo2d_150_v2m.csv)
+    // seq = epoch-seconds * 4e6 + cell; the block-closing blank sits at the
+    // reserved top slot 3,999,999, so cell ids up to 3,999,998 are safe
+    // (150_v2 has 39,526 — res/grids/flo2d_150_v2m.csv) and Long holds
+    // through epoch-seconds ~2.3e12 (year ~74,000)
     val cellRows = stepped.select(
       lit(1).as("section"),
-      (unix_seconds(col("step")) * 1000000L + col("cell_id").cast("long")).as("seq"),
+      (unix_seconds(col("step")) * 4000000L + col("cell_id").cast("long")).as("seq"),
       concat(col("cell_id").cast("string"), lit(" "),
         fixed(col("value") + lit(waterSupply), 3)).as("line"))
     val blanks = stepped.select("step").distinct().select(
       lit(1).as("section"),
-      (unix_seconds(col("step")) * 1000000L + 999999L).as("seq"),
+      (unix_seconds(col("step")) * 4000000L + 3999999L).as("seq"),
       lit("").as("line"))
     stitch(header, cellRows, blanks)
   }
 
-  private def tsMicros(ts: String): Long =
-    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 }
 
 /** CHAN.DAT — template head/tail around a generated body where each channel

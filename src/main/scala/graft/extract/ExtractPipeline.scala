@@ -88,9 +88,8 @@ object ExtractPipeline {
     val perSeries = series.groupBy("tms_id")
       .agg(max("fgt").as("fgt"), min("time").as("start"))
       .collect()
-    perSeries.foreach { r =>
-      JdbcUpsertSink.updateRunBookkeeping(url, runTable,
-        r.getString(0), r.getTimestamp(1), r.getTimestamp(2), props)
-    }
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSeq
+    JdbcUpsertSink.updateRunBookkeeping(url, runTable, perSeries, props)
   }
 }

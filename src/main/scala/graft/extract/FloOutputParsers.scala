@@ -214,10 +214,6 @@ object FloOutputParsers {
   def stepToTimestamp(df: DataFrame, baseTime: String,
       stepCol: String = "step_hours", out: String = "time"): DataFrame =
     df.withColumn(out,
-      timestamp_micros((lit(unixMicrosOf(baseTime)) +
+      timestamp_micros((lit(graft.model.SlTime.microsOf(baseTime)) +
         (col(stepCol) * lit(3.6e9)).cast("long"))))
-
-  private def unixMicrosOf(ts: String): Long =
-    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 }

@@ -108,9 +108,13 @@ object JdbcUpsertSink {
           var j = 0
           while (j < width) { ins.setObject(j + 1, r.get(j)); j += 1 }
           try ins.executeUpdate()
-          catch { case _: java.sql.SQLIntegrityConstraintViolationException =>
-            // key-collision race with a concurrent writer: re-run the UPDATE
-            up.executeUpdate()
+          catch {
+            // key-collision race with a concurrent writer: re-run the UPDATE.
+            // Match on SQLState class 23 (integrity violation) — not the
+            // exception subclass, which e.g. PostgreSQL's driver never throws
+            case e: java.sql.SQLException
+                if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+              up.executeUpdate()
           }
         }
         n += 1
@@ -146,19 +150,30 @@ object JdbcUpsertSink {
   }
 
   /** Post-upsert bookkeeping the reference performs per series: bump
-    * `latest_fgt` and pull back `start_date`
-    * (reference: output/extract_water_level.py:214-217). Dimension-sized —
-    * driver-side single statements. */
-  def updateRunBookkeeping(url: String, runTable: String, tmsId: String,
-      fgt: java.sql.Timestamp, startDate: java.sql.Timestamp,
+    * `latest_fgt` FORWARD and pull `start_date` BACK — monotone in both
+    * directions so replaying an old extraction cannot regress the run table
+    * (reference: output/extract_water_level.py:214-217). CASE instead of
+    * GREATEST/LEAST for Derby portability. Dimension-sized: one connection,
+    * one statement, batched rows. */
+  def updateRunBookkeeping(url: String, runTable: String,
+      rows: Seq[(String, java.sql.Timestamp, java.sql.Timestamp)],
       props: java.util.Properties = new java.util.Properties()): Unit = {
+    if (rows.isEmpty) return
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.prepareStatement(
-        s"UPDATE $runTable SET latest_fgt = ?, start_date = ? WHERE tms_id = ?")
+        s"UPDATE $runTable SET " +
+          "latest_fgt = CASE WHEN latest_fgt IS NULL OR latest_fgt < ? THEN ? ELSE latest_fgt END, " +
+          "start_date = CASE WHEN start_date IS NULL OR start_date > ? THEN ? ELSE start_date END " +
+          "WHERE tms_id = ?")
       try {
-        st.setTimestamp(1, fgt); st.setTimestamp(2, startDate); st.setString(3, tmsId)
-        st.executeUpdate()
+        rows.foreach { case (tmsId, fgt, startDate) =>
+          st.setTimestamp(1, fgt); st.setTimestamp(2, fgt)
+          st.setTimestamp(3, startDate); st.setTimestamp(4, startDate)
+          st.setString(5, tmsId)
+          st.addBatch()
+        }
+        st.executeBatch()
       } finally st.close()
     } finally conn.close()
   }

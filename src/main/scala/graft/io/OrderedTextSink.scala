@@ -57,7 +57,12 @@ object OrderedTextSink {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      val children = try listing.toArray(Array.ofDim[java.nio.file.Path](_))
+        finally listing.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -55,6 +55,14 @@ object Sentinels {
 object SlTime {
   val OffsetMinutes: Int = 330
 
+  /** Epoch micros of a naive `yyyy-MM-dd HH:mm:ss[.SSS…]` timestamp read as
+    * UTC — µs precision preserved (single definition for every deck/parser
+    * anchor computation). */
+  def microsOf(ts: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+
   def utcToSl(t: Timestamp): Timestamp =
     new Timestamp(t.getTime + OffsetMinutes * 60000L)
 

@@ -58,12 +58,13 @@ object Multimodal {
     * included — the Spark-side shape of video frame extraction (binary
     * slicing stays codegen'd, no UDF). */
   def sampleFrames(df: DataFrame, bytesCol: String, frameBytes: Int, everyN: Int): DataFrame = {
-    // ceil(len / frameBytes) via exact integer arithmetic
-    val len = length(col(bytesCol))
+    // ceil(len / frameBytes) via exact integer arithmetic; empty payloads
+    // yield an empty index array (→ no rows), not a phantom frame 0
     val nFrames = expr(s"CAST((octet_length($bytesCol) + ${frameBytes - 1}) DIV $frameBytes AS INT)")
-    df.withColumn("frame_idx",
-        explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-          i => pmod(i, lit(everyN)) === 0)))
+    val idxs = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(everyN)) === 0))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("frame_idx", explode(idxs))
       .withColumn("frame",
         col(bytesCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
   }

@@ -170,8 +170,11 @@ object TimeSeriesOps {
         leftCols.filterNot(c => keys.contains(c) || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    // right value columns join the ordering after (time, src) so duplicate
+    // right (key, time) rows resolve to a deterministic winner (max tuple)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__src").asc)
+      .orderBy(col(timeCol).asc +: col("__src").asc +:
+        rightVals.map(c => col(s"__r_$c").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lTagged.unionByName(rTagged)
       .select(col("*") +:

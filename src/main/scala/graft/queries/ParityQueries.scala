@@ -194,11 +194,11 @@ object ParityQueries {
              |hdr AS (SELECT 0 AS section, CAST(0 AS BIGINT) AS seq,
              |  '5 48 2024-01-01 00:00:00 2024-01-01 04:00:00' AS line),
              |rows_ AS (SELECT 1 AS section,
-             |  CAST(step_ns / 1000000000 * 1000000 + cell_id AS BIGINT) AS seq,
+             |  CAST(step_ns / 1000000000 * 4000000 + cell_id AS BIGINT) AS seq,
              |  CAST(cell_id AS VARCHAR) || ' ' || printf('%.3f', value + 1.0 / 288) AS line
              |  FROM win),
              |blanks AS (SELECT 1 AS section,
-             |  CAST(step_ns / 1000000000 * 1000000 + 999999 AS BIGINT) AS seq, '' AS line
+             |  CAST(step_ns / 1000000000 * 4000000 + 3999999 AS BIGINT) AS seq, '' AS line
              |  FROM (SELECT DISTINCT step_ns FROM win))
              |SELECT * FROM hdr UNION ALL SELECT * FROM rows_ UNION ALL SELECT * FROM blanks""".stripMargin)),
 

@@ -31,27 +31,38 @@ object StatefulOps {
     * persistent (count, max, last-time) state and emit the updated stats —
     * the custom-state primitive the reference's cron-plus-store loop
     * becomes when run continuously. State lives in the state store
-    * (checkpointed, recoverable); eviction via processing-time timeout is
-    * the caller's policy choice at scale. */
+    * (checkpointed, recoverable). Pass `idleTimeout` to evict series that
+    * go quiet — without it, a high-cardinality id space grows the state
+    * store monotonically. */
   def runningSeriesStats(stream: DataFrame,
       idCol: String = "id", timeCol: String = "time",
-      valueCol: String = "value"): Dataset[SeriesStats] = {
+      valueCol: String = "value",
+      idleTimeout: Option[String] = None): Dataset[SeriesStats] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout)(
+      _ => GroupStateTimeout.ProcessingTimeTimeout)
     stream
       .select(col(idCol).as("id"), col(timeCol).as("time"), col(valueCol).as("value"))
       .as[SeriesPoint]
       .groupByKey(_.id)
-      .mapGroupsWithState[SeriesStats, SeriesStats](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SeriesStats, SeriesStats](timeoutConf) {
         (id: String, points: Iterator[SeriesPoint], state: GroupState[SeriesStats]) =>
           val prev = state.getOption.getOrElse(
             SeriesStats(id, 0L, Double.NegativeInfinity, new Timestamp(0L)))
-          val updated = points.foldLeft(prev) { (acc, p) =>
-            SeriesStats(id, acc.n + 1, math.max(acc.maxValue, p.value),
-              if (p.time.after(acc.lastTime)) p.time else acc.lastTime)
+          if (state.hasTimedOut) {
+            // series went idle: evict state, emit its final snapshot
+            state.remove()
+            prev
+          } else {
+            val updated = points.foldLeft(prev) { (acc, p) =>
+              SeriesStats(id, acc.n + 1, math.max(acc.maxValue, p.value),
+                if (p.time.after(acc.lastTime)) p.time else acc.lastTime)
+            }
+            state.update(updated)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            updated
           }
-          state.update(updated)
-          updated
       }
   }
 

@@ -145,10 +145,14 @@ class CliIntegrationSpec extends SparkSpec {
     val enriched = ExtractPipeline.withSeriesIds(
       series, "flo2d_150_v2", "daily_run", "2024-01-01 03:00:00")
     ExtractPipeline.updateRunTable(enriched, url, "run")
+    // replaying an OLDER extraction must not regress the run table
+    val stale = ExtractPipeline.withSeriesIds(
+      series, "flo2d_150_v2", "daily_run", "2023-06-01 00:00:00")
+    ExtractPipeline.updateRunTable(stale, url, "run")
     val c4 = DriverManager.getConnection(url)
     val rs4 = c4.createStatement().executeQuery("SELECT latest_fgt, start_date FROM run")
     assert(rs4.next())
-    assert(rs4.getTimestamp(1).toString === "2024-01-01 03:00:00.0")
+    assert(rs4.getTimestamp(1).toString === "2024-01-01 03:00:00.0") // not regressed
     assert(rs4.getTimestamp(2).toString === "2024-01-01 02:00:00.0")
     c4.close()
   }
