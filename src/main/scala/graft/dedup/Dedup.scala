@@ -143,6 +143,56 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper_id"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every vertex ends with the smallest id
+    * reachable from it. Converges in O(graph diameter) joins; each
+    * iteration is one shuffle, lineage is cut with localCheckpoint so long
+    * chains don't stack plans. Duplicate groups are near-cliques (tiny
+    * diameter), so 2-3 iterations typically suffice. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .unionByName(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = sym.as("e")
+        .join(labels.as("lb"), col("e.nbr") === col("lb.id"))
+        .select(col("e.id").as("id"), col("lb.component").as("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionByName(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Transitive near-dup keepers: like `nearDupKeepers` but duplicate
+    * CHAINS collapse to one keeper (A≈B and B≈C puts C with A even when
+    * A,C never share a bucket) — the semantics corpus-level dedup actually
+    * wants. */
+  def nearDupKeepersTransitive(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, threshold: Double, maxIter: Int = 10): DataFrame = {
+    val direct = nearDupKeepers(df, idCol, textCol, numHashes, rowsPerBand, threshold)
+    val edges = direct.filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("keeper_id").as("src"), col("doc_id").as("dst"))
+    val comps = connectedComponents(edges, "src", "dst", maxIter)
+    df.select(col(idCol).as("doc_id"))
+      .join(comps, col("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` (exact verifier
     * for small n / within-ANN-bucket use). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpec {
     assert(keepers(3L) === 3L) // near dup no longer qualifies
   }
 
+  test("connectedComponents collapses chains to the minimum reachable id") {
+    val edges = Seq((2L, 1L), (2L, 3L), (7L, 8L), (9L, 8L), (20L, 21L))
+      .toDF("src", "dst")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(7L) === 7L && comps(8L) === 7L && comps(9L) === 7L)
+    assert(comps(20L) === 20L && comps(21L) === 20L)
+  }
+
+  test("nearDupKeepersTransitive collapses duplicate chains to one keeper") {
+    // 1≈2 (exact), 2≈3 (near): transitive closure puts all three under 1
+    val keepers = Dedup.nearDupKeepersTransitive(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(1L) === 1L && keepers(2L) === 1L && keepers(3L) === 1L)
+    assert(keepers(4L) === 4L && keepers(5L) === 5L)
+  }
+
   test("simhash64: identical texts share a hash; near texts are closer than far ones") {
     val h = Dedup.simhash64(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
