@@ -26,8 +26,12 @@ object ScaleSmoke {
     val cells = 39526
     val start = "2024-01-01 00:00:00"
     val startUs = graft.model.SlTime.microsOf(start)
-    val end = new java.sql.Timestamp(startUs / 1000L + steps.toLong * 15 * 60000L)
-      .toString.stripSuffix(".0")
+    // render in UTC explicitly — java.sql.Timestamp.toString uses the JVM
+    // default zone, which would shift the header on non-UTC machines
+    val endUs = startUs + steps.toLong * 15 * 60000000L
+    val end = java.time.LocalDateTime
+      .ofEpochSecond(endUs / 1000000L, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
     // synthetic (time, cell_id, value): one row per (step, cell)
     val df = spark.range(steps.toLong * cells)

@@ -55,12 +55,14 @@ object Similarity {
     val qSig = querySignature(query, dim, nBits, seed)
     // Multi-probe: every bucket within Hamming distance <= maxHammingProbe
     // of the query signature (maxHammingProbe = nBits probes everything —
-    // exact recall at brute-force cost)
-    val probes: Seq[Long] = (0 to math.min(maxHammingProbe, nBits)).flatMap { d =>
-      (0 until nBits).combinations(d).map(bits =>
-        bits.foldLeft(qSig)((s, b) => s ^ (1L << b)))
-    }
-    val candidates = signed.filter(col("lsh_sig").isin(probes: _*))
+    // exact recall at brute-force cost). Expressed as a popcount predicate,
+    // not an enumerated IN list: O(1) expression size at any nBits, and the
+    // probe-0 case stays an equality (bucket/partition-prunable at scale).
+    val probe = math.max(maxHammingProbe, 0)
+    val candidates =
+      if (probe == 0) signed.filter(col("lsh_sig") === qSig)
+      else signed.filter(
+        expr(s"bit_count(lsh_sig ^ ${qSig}L)") <= math.min(probe, nBits))
     bruteForceTopK(candidates, idCol, vecCol, query, k)
   }
 

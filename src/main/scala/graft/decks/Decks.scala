@@ -191,10 +191,15 @@ object RaincellDeck {
     // seq = epoch-seconds * 4e6 + cell; the block-closing blank sits at the
     // reserved top slot 3,999,999, so cell ids up to 3,999,998 are safe
     // (150_v2 has 39,526 — res/grids/flo2d_150_v2m.csv) and Long holds
-    // through epoch-seconds ~2.3e12 (year ~74,000)
+    // through epoch-seconds ~2.3e12 (year ~74,000). Oversized ids fail
+    // loudly instead of silently corrupting block order.
+    val guardedCell = when(col("cell_id").cast("long") >= 3999999L,
+      raise_error(concat(lit("RaincellDeck: cell_id exceeds seq capacity (3,999,998): "),
+        col("cell_id").cast("string"))).cast("long"))
+      .otherwise(col("cell_id").cast("long"))
     val cellRows = stepped.select(
       lit(1).as("section"),
-      (unix_seconds(col("step")) * 4000000L + col("cell_id").cast("long")).as("seq"),
+      (unix_seconds(col("step")) * 4000000L + guardedCell).as("seq"),
       concat(col("cell_id").cast("string"), lit(" "),
         fixed(col("value") + lit(waterSupply), 3)).as("line"))
     val blanks = stepped.select("step").distinct().select(

@@ -175,6 +175,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a silent partial result would hand out "keepers" that are not roots —
+    // fail loudly so the caller raises maxIter instead
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(component diameter too large) — raise maxIter")
     labels
   }
 

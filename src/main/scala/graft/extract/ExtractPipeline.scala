@@ -90,6 +90,10 @@ object ExtractPipeline {
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
       .toSeq
-    JdbcUpsertSink.updateRunBookkeeping(url, runTable, perSeries, props)
+    val missing = JdbcUpsertSink.updateRunBookkeeping(url, runTable, perSeries, props)
+    if (missing.nonEmpty)
+      System.err.println(
+        s"[extract] ${missing.length} series have no $runTable row (bookkeeping skipped): " +
+          missing.take(5).mkString(", ") + (if (missing.length > 5) ", …" else ""))
   }
 }

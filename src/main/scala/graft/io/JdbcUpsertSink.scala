@@ -155,10 +155,13 @@ object JdbcUpsertSink {
     * (reference: output/extract_water_level.py:214-217). CASE instead of
     * GREATEST/LEAST for Derby portability. Dimension-sized: one connection,
     * one statement, batched rows. */
+  /** Returns the tms_ids that had NO run-table row (batch count 0) so the
+    * caller can register them — a silent skip would lose bookkeeping for
+    * unregistered series. */
   def updateRunBookkeeping(url: String, runTable: String,
       rows: Seq[(String, java.sql.Timestamp, java.sql.Timestamp)],
-      props: java.util.Properties = new java.util.Properties()): Unit = {
-    if (rows.isEmpty) return
+      props: java.util.Properties = new java.util.Properties()): Seq[String] = {
+    if (rows.isEmpty) return Nil
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.prepareStatement(
@@ -173,7 +176,8 @@ object JdbcUpsertSink {
           st.setString(5, tmsId)
           st.addBatch()
         }
-        st.executeBatch()
+        val counts = st.executeBatch()
+        rows.zip(counts).collect { case ((tmsId, _, _), 0) => tmsId }
       } finally st.close()
     } finally conn.close()
   }

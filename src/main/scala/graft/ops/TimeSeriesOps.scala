@@ -159,28 +159,32 @@ object TimeSeriesOps {
       timeCol: String = "time"): DataFrame = {
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == timeCol)
     val leftCols = left.columns
+    // right values travel as ONE struct so the picked row is atomic: a
+    // right row with some NULL fields is still chosen whole, never mixed
+    // field-by-field with an older row
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("__src", lit(1))
       .select((keys.map(col) :+ col(timeCol) :+ col("__src")) ++
-        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rTagged = right
       .withColumn("__src", lit(0))
       .select((keys.map(col) :+ col(timeCol) :+ col("__src")) ++
         leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
-    // right value columns join the ordering after (time, src) so duplicate
-    // right (key, time) rows resolve to a deterministic winner (max tuple)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("__r"): _*)
+    // struct joins the ordering after (time, src) so duplicate right
+    // (key, time) rows resolve to a deterministic winner (max tuple)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc +: col("__src").asc +:
-        rightVals.map(c => col(s"__r_$c").asc_nulls_first): _*)
+      .orderBy(col(timeCol).asc, col("__src").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lTagged.unionByName(rTagged)
-      .select(col("*") +:
-        rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
     joined.filter(col("__src") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col("__last_r").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Interval (range) join: pair each point with every interval containing
