@@ -100,6 +100,30 @@ object CoreQueries {
              |  AND o_orderdate < TIMESTAMP '1995-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // ---- Semi/anti joins (EXISTS / NOT EXISTS without materializing) ------
+    "q_semi_anti" -> QueryDef(
+      (s, dir) => {
+        val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+          .select("l_orderkey")
+        val ord = t(s, dir, "orders")
+        val withHeavy = ord.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(lit("with_heavy_item").as("bucket"), col("o_totalprice"))
+        val withoutHeavy = ord.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select(lit("without_heavy_item").as("bucket"), col("o_totalprice"))
+        withHeavy.unionByName(withoutHeavy)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""WITH heavy AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+             |SELECT bucket, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM (
+             |  SELECT 'with_heavy_item' AS bucket, o_totalprice FROM orders
+             |    WHERE EXISTS (SELECT 1 FROM heavy WHERE l_orderkey = o_orderkey)
+             |  UNION ALL
+             |  SELECT 'without_heavy_item' AS bucket, o_totalprice FROM orders
+             |    WHERE NOT EXISTS (SELECT 1 FROM heavy WHERE l_orderkey = o_orderkey))
+             |GROUP BY bucket""".stripMargin)),
+
     // ---- Hierarchical rollup totals (partial-agg friendly) ----------------
     "q_rollup" -> QueryDef(
       (s, dir) => {
