@@ -36,6 +36,28 @@ object PipelineQueries {
       | SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       | FROM documents WHERE doc_id < 100)""".stripMargin
 
+  /** The vec_id=0 embedding, the shared query vector of every ANN demo. */
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+
+  /** Exact cosine top-10 vs vec_id=0 — the oracle for brute-force KNN and
+    * for both ANN paths in their provably-exact configurations
+    * (maxHammingProbe = nBits / nProbe = nCentroids ⇒ candidate set = corpus). */
+  private val knnOracleSql =
+    """WITH q AS (SELECT embedding AS qv,
+      |  sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+      |  FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+      |  sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm, qn
+      |  FROM embeddings, q WHERE vec_id > 0)
+      |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- exact dedup: hash-groupBy, one shuffle on the digest ------------
@@ -169,47 +191,61 @@ object PipelineQueries {
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(
       (s, dir) => {
-        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0)
+        val q = queryVec(s, dir)
         Similarity.bruteForceTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
           "vec_id", "embedding", q, 10, roundTo = 5)
       },
-      Some("""WITH q AS (SELECT embedding AS qv,
-             |  sqrt(list_sum(list_transform(generate_series(1, 64),
-             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
-             |  FROM embeddings WHERE vec_id = 0),
-             |s AS (SELECT vec_id,
-             |  list_sum(list_transform(generate_series(1, 64),
-             |    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
-             |  sqrt(list_sum(list_transform(generate_series(1, 64),
-             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm, qn
-             |  FROM embeddings, q WHERE vec_id > 0)
-             |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s
-             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+      Some(knnOracleSql)),
 
-    // ---- ANN: LSH-bucketed top-k (scale path; engine-specific planes → no
-    // SQL oracle, driver records rows-only check) ---------------------------
+    // ---- ANN: LSH-bucketed top-k, approximate (the production shape:
+    // engine-specific planes → rows-only recall demo; the exact-recall
+    // configuration below is what the oracle certifies) ----------------------
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {
-        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0)
+        val q = queryVec(s, dir)
         Similarity.lshTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
-          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8, maxHammingProbe = 8)
+          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8, maxHammingProbe = 2)
       },
       None),
 
-    // ---- ANN: IVF coarse-quantized top-k (engine-specific cells → rows-only)
+    // ---- ANN: LSH with maxHammingProbe = nBits probes EVERY bucket — by
+    // construction equal to brute-force top-k, so the exact cosine oracle
+    // applies and certifies the signature/probe/rerank machinery ------------
+    "q_ann_lsh_exact" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.lshTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8, maxHammingProbe = 8,
+          roundTo = 5)
+      },
+      Some(knnOracleSql)),
+
+    // ---- ANN: IVF coarse-quantized top-k, approximate (engine-specific
+    // k-means cells → rows-only recall demo) --------------------------------
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
-        val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0)
+        val q = queryVec(s, dir)
         Similarity.ivfTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
-          "vec_id", "embedding", q, k = 10, nCentroids = 16, nProbe = 4)
+          "vec_id", "embedding", q, k = 10, nCentroids = 16, nProbe = 4,
+          kmeansIters = 2)
       },
       None),
+
+    // ---- ANN: IVF with nProbe = nCentroids probes every cell — equal to
+    // brute-force top-k, certified by the exact cosine oracle ---------------
+    "q_ann_ivf_exact" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.ivfTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, k = 10, nCentroids = 16, nProbe = 16,
+          roundTo = 5)
+      },
+      Some(knnOracleSql)),
 
     // ---- text analysis: token counting ------------------------------------
     "q_text_tokens" -> QueryDef(
@@ -270,11 +306,12 @@ object PipelineQueries {
           col("doc_id"), round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
       },
       Some("""SELECT doc_id, round(
+             |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
              |  (CASE WHEN (length(text)::DOUBLE - (n_tok - 1)) / n_tok BETWEEN 3.0 AND 10.0
              |     THEN 1.0 ELSE 0.5 END) * 0.4
              |  + least(stop_hits / n_tok * 5.0, 1.0) * 0.4
              |  + (CASE WHEN punct / length(text)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
-             |  , 6) AS quality
+             |  END, 6) AS quality
              |FROM (SELECT doc_id, text,
              |  (CASE WHEN length(text) = 0 THEN 0
              |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END)::DOUBLE AS n_tok,
@@ -333,14 +370,30 @@ object PipelineQueries {
              |        ELSE 64 END) AS sampled_bytes
              |FROM documents""".stripMargin)),
 
-    // ---- multimodal: feature extraction shape (engine hash → rows-only) ----
+    // ---- multimodal: feature extraction, exact integer-lattice oracle ------
+    // The raw array<float> column crashes the driver's pandas sort, so the
+    // judged projection is the integer lattice the floats are built from
+    // (features = lattice / 1000 cast float — tied together in
+    // MultimodalSpec) joined to a csv string plus a per-row element sum.
     "q_mm_features" -> QueryDef(
       (s, dir) => {
         val media = Multimodal.syntheticMedia(
           t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        val lat = Multimodal.featureLattice(col("bytes"), 16)
         media.select(col("media_id"),
-          Multimodal.featureStub(col("bytes"), 16).as("features"))
+          array_join(transform(lat, _.cast("string")), ",").as("features_csv"),
+          aggregate(lat, lit(0), (acc, v) => acc + v).cast("long").as("features_sum"))
       },
-      None)
+      Some("""WITH lat AS (
+             |  SELECT doc_id AS media_id,
+             |    list_transform(generate_series(0, 15), i ->
+             |      (ascii(substr(md5(text || '#' || CAST(i AS VARCHAR)), 1, 1)) * 17
+             |       + ascii(substr(md5(text || '#' || CAST(i AS VARCHAR)), 2, 1)) * 7
+             |       + ascii(substr(md5(text || '#' || CAST(i AS VARCHAR)), 3, 1))) % 1000) AS l
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT media_id,
+             |  array_to_string(list_transform(l, v -> CAST(v AS VARCHAR)), ',') AS features_csv,
+             |  CAST(list_sum(l) AS BIGINT) AS features_sum
+             |FROM lat""".stripMargin))
   )
 }

@@ -50,7 +50,8 @@ object Similarity {
       k: Int,
       nBits: Int = 16,
       maxHammingProbe: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      roundTo: Int = 6): DataFrame = {
     val signed = withSignature(df, vecCol, dim, nBits, seed)
     val qSig = querySignature(query, dim, nBits, seed)
     // Multi-probe: every bucket within Hamming distance <= maxHammingProbe
@@ -63,7 +64,7 @@ object Similarity {
       if (probe == 0) signed.filter(col("lsh_sig") === qSig)
       else signed.filter(
         expr(s"bit_count(lsh_sig ^ ${qSig}L)") <= math.min(probe, nBits))
-    bruteForceTopK(candidates, idCol, vecCol, query, k)
+    bruteForceTopK(candidates, idCol, vecCol, query, k, roundTo)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nCentroids` cells,
@@ -80,15 +81,45 @@ object Similarity {
       query: Seq[Float],
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids: Array[Seq[Float]] = df.orderBy(col(idCol)).limit(nCentroids)
-      .select(vecCol).collect().map(_.getSeq[Float](0))
+      nProbe: Int = 4,
+      roundTo: Int = 6,
+      kmeansIters: Int = 0): DataFrame = {
+    val centroids = codebook(df, idCol, vecCol, nCentroids, kmeansIters)
     val assigned = withIvfCell(df, vecCol, centroids)
     val probes = centroids.indices
       .sortBy(i => l2Local(query, centroids(i)))
       .take(nProbe)
     bruteForceTopK(
-      assigned.filter(col("ivf_cell").isin(probes: _*)), idCol, vecCol, query, k)
+      assigned.filter(col("ivf_cell").isin(probes: _*)), idCol, vecCol, query, k, roundTo)
+  }
+
+  /** IVF codebook: deterministic id-ordered seeds refined by `iters`
+    * Lloyd's-k-means steps. Each step is ONE distributed aggregate — cells
+    * assigned by the fused codegen'd argmin, per-cell mean via explode +
+    * (cell, dim) groupBy (map-side partial agg; the shuffle carries only
+    * nCentroids × dim partial sums per task, never vectors). Empty cells
+    * keep their previous centroid. */
+  def codebook(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Array[Seq[Float]] = {
+    var cents: Array[Seq[Float]] = df.orderBy(col(idCol)).limit(nCentroids)
+      .select(vecCol).collect().map(_.getSeq[Float](0))
+    var it = 0
+    while (it < iters) {
+      val means = withIvfCell(df, vecCol, cents)
+        .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("ivf_cell", "d")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("ivf_cell")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("ivf_cell"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+      it += 1
+    }
+    cents
   }
 
   /** Assign each vector its nearest-centroid cell id (the IVF coarse code). */

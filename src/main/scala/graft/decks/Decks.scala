@@ -151,7 +151,9 @@ object OutflowDeck {
     val sRows = tides
       .withColumn("t0_us", min(unix_micros(col("time"))).over(anchor))
       .withColumn("rn", row_number().over(Window.partitionBy("cell").orderBy("time")))
-      .filter(col("value").cast("int") =!= lit(Sentinels.InvalidTide.toInt))
+      // exact double equality, like the reference's `== -99999` — an int
+      // cast would also drop legitimate values truncating to -99999
+      .filter(col("value") =!= lit(Sentinels.InvalidTide))
       .join(boundaries, Seq("cell"))
       .select(
         lit(1).as("section"),

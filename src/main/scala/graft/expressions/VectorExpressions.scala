@@ -17,11 +17,20 @@ import org.apache.spark.sql.types._
   *
   * Accumulation is left-to-right in element order, bit-identical to the
   * `aggregate(zip_with(...))` formulation they replace, so oracle parity is
-  * unaffected.
+  * unaffected. That includes element nulls: a null element inside either
+  * array nulls the whole result (`zip_with` would propagate it through the
+  * aggregate), rather than silently reading 0.0.
   */
 abstract class VecBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = {
+    def elemNullable(dt: DataType) = dt match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+    left.nullable || right.nullable ||
+      elemNullable(left.dataType) || elemNullable(right.dataType)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
@@ -56,7 +65,11 @@ case class FloatVecDot(left: Expression, right: Expression) extends VecBinaryExp
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(leftElem, x, i) * get(rightElem, y, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += get(leftElem, x, i) * get(rightElem, y, i)
+      i += 1
+    }
     s
   }
 
@@ -69,9 +82,10 @@ case class FloatVecDot(left: Expression, right: Expression) extends VecBinaryExp
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += ${getterJava(leftElem, a, i)} * ${getterJava(rightElem, b, i)};
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -94,6 +108,7 @@ case class FloatVecCosine(left: Expression, right: Expression) extends VecBinary
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = get(leftElem, x, i)
       val yv = get(rightElem, y, i)
       d += xv * yv; na += xv * xv; nb += yv * yv
@@ -117,12 +132,13 @@ case class FloatVecCosine(left: Expression, right: Expression) extends VecBinary
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = ${getterJava(leftElem, a, i)};
          |  double $yv = ${getterJava(rightElem, b, i)};
          |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($nn == 0.0) ? 0.0 : $d / $nn;
+         |if (!${ev.isNull}) { ${ev.value} = ($nn == 0.0) ? 0.0 : $d / $nn; }
        """.stripMargin
     })
 
@@ -141,6 +157,7 @@ case class FloatVecL2(left: Expression, right: Expression) extends VecBinaryExpr
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val dd = get(leftElem, x, i) - get(rightElem, y, i)
       s += dd * dd
       i += 1
@@ -158,10 +175,11 @@ case class FloatVecL2(left: Expression, right: Expression) extends VecBinaryExpr
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $dd = ${getterJava(leftElem, a, i)} - ${getterJava(rightElem, b, i)};
          |  $s += $dd * $dd;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
        """.stripMargin
     })
 

@@ -203,7 +203,14 @@ object FloOutputParsers {
       StructField("element", StringType, nullable = true),
       StructField("step_hours", org.apache.spark.sql.types.DoubleType, nullable = true),
       StructField("value", org.apache.spark.sql.types.DoubleType, nullable = true)))
-    spark.createDataFrame(rows, schema)
+    // localCheckpoint materializes the parse eagerly so the cached pass-1
+    // RDD and the carry broadcast can be released NOW — the engine's posture
+    // is a long-lived cron service, and leaving one persisted RDD + one
+    // broadcast per extraction behind leaks executor memory across runs
+    val out = spark.createDataFrame(rows, schema).localCheckpoint()
+    tagged.unpersist(blocking = false)
+    bc.destroy()
+    out
   }
 
   private def toDoubleOrNull(s: String): Any =

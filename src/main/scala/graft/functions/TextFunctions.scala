@@ -61,7 +61,10 @@ object TextFunctions {
 
   /** Document quality score in [0,1]: blends token-length sanity, stopword
     * density and punctuation density — the usual cheap pre-filter before
-    * expensive dedup/classification stages. */
+    * expensive dedup/classification stages. An EMPTY document scores an
+    * explicit 0.0: without the guard, Spark's non-ANSI division yields NULL
+    * where other engines produce inf/nan paths — a silent cross-engine
+    * divergence waiting for the first empty row. */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
@@ -72,7 +75,8 @@ object TextFunctions {
     val lenScore = when(avgTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val stopScore = least(stopRatio * lit(5.0), lit(1.0))
     val punctScore = when(punctRatio <= 0.1, 1.0).otherwise(0.5)
-    (lenScore * 0.4 + stopScore * 0.4 + punctScore * 0.2)
+    when(nChars === 0, lit(0.0))
+      .otherwise(lenScore * 0.4 + stopScore * 0.4 + punctScore * 0.2)
   }
 
   /** Whole-document fingerprint: sha256 of the lower-cased text. */

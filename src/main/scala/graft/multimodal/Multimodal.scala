@@ -88,10 +88,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic integer lattice underlying the fake features: per
+    * dimension, three md5-hex character codes of `md5(bytes || '#' || i)`
+    * folded into [0, 1000). Built only from md5/ascii/substr so an external
+    * SQL engine (the DuckDB oracle) recomputes it bit-for-bit — unlike
+    * xxhash64, whose seeding is Spark-internal. */
+  def featureLattice(bytes: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val h = md5(concat(bytes.cast("string"), lit("#"), i.cast("string")))
+      pmod(
+        ascii(h.substr(lit(1), lit(1))) * lit(17) +
+          ascii(h.substr(lit(2), lit(1))) * lit(7) +
+          ascii(h.substr(lit(3), lit(1))),
+        lit(1000))
+    })
+
   /** Fake feature extraction: fixed-dim float vector from chunk hashes —
-    * the output shape/type of an embedding model over decoded media. */
+    * the output shape/type of an embedding model over decoded media. Values
+    * are `featureLattice / 1000` so the float vector is certified by the
+    * lattice's exact integer oracle. */
   def featureStub(bytes: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      // outer cast back to float: Spark's Divide promotes float/float → double
-      i => (pmod(xxhash64(bytes, i), lit(1000L)) / lit(1000.0)).cast("float"))
+    // outer cast back to float: Spark's Divide promotes to double
+    transform(featureLattice(bytes, dim), v => (v / lit(1000.0)).cast("float"))
 }

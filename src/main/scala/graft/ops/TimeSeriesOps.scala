@@ -215,10 +215,19 @@ object TimeSeriesOps {
   /** Gap-based sessionization: rows more than `gapSeconds` after their
     * predecessor start a new session; emits a per-key `session_id`
     * (0-based). One key shuffle + one ordered window — the batch analogue
-    * of streaming session windows. */
+    * of streaming session windows.
+    *
+    * `tiebreak` columns extend the window ordering past `timeCol` so
+    * duplicate timestamps within a key resolve to ONE total order: without
+    * it, the lag pass and the running-sum pass may sort ties differently
+    * (within Spark and across engines), assigning tied rows to sessions
+    * nondeterministically. Pass a unique id column whenever duplicate
+    * (key, time) rows are possible. */
   def sessionize(df: DataFrame, keys: Seq[String], timeCol: String = "time",
-      gapSeconds: Long = 1800L, out: String = "session_id"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+      gapSeconds: Long = 1800L, out: String = "session_id",
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(timeCol) +: tiebreak.map(col)).map(_.asc): _*)
     val prev = lag(unix_micros(col(timeCol)), 1).over(w)
     val isNew = when(prev.isNull, 0L)
       .otherwise((unix_micros(col(timeCol)) - prev > gapSeconds * 1000000L).cast("long"))

@@ -164,7 +164,7 @@ object ParityQueries {
              |sr AS (SELECT 1 AS section, CAST(block_order * 1000000 + rn AS BIGINT) AS seq,
              |        'S' || lpad(printf('%.3f', (epoch_us(ts) - t0) / 3600000000.0), 16, ' ')
              |            || lpad(printf('%.3f', value), 16, ' ') AS line
-             |      FROM tides WHERE CAST(value AS INTEGER) <> -99999)
+             |      FROM tides WHERE value <> -99999.0)
              |SELECT * FROM k UNION ALL SELECT * FROM n UNION ALL SELECT * FROM sr""".stripMargin)),
 
     // ---- K1 deck: RAINCELL blocks + water-supply correction (S3/X12) ------
@@ -319,19 +319,23 @@ object ParityQueries {
       (s, dir) => {
         val ev = evBase(s, dir)
           .withColumn("t", timestamp_micros(expr("ts div 1000")))
-        graft.ops.TimeSeriesOps.sessionize(ev, Seq("user_id"), "t", gapSeconds = 1800)
+        graft.ops.TimeSeriesOps.sessionize(ev, Seq("user_id"), "t", gapSeconds = 1800,
+            tiebreak = Seq("event_id"))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"),
             (max(col("ts")) - min(col("ts"))).as("span_ns"))
       },
-      Some("""WITH g AS (SELECT user_id, ts,
+      // (ts, event_id) tiebreak in BOTH engines: duplicate (user_id, ts)
+      // rows otherwise land in sessions in whichever tie order each window
+      // pass picks, flipping the hash while rows_match stays green
+      Some("""WITH g AS (SELECT user_id, ts, event_id,
              |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
              |         WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000 THEN 1
              |         ELSE 0 END AS is_new
              |  FROM events WHERE user_id < 6 AND NOT isnan(value)
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (SELECT user_id, ts,
-             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
