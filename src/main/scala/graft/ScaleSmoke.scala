@@ -84,6 +84,67 @@ object ScaleSmoke {
       s""""window_secs":$winSecs,"carry_secs":$fastSecs,""" +
       s""""window_rows_per_sec":${(nWin / winSecs).toLong},""" +
       s""""carry_rows_per_sec":${(nFast / fastSecs).toLong}}""")
+
+    // ---- N decks in ONE job: the multi-deck window partitioning -----------
+    // 256 basins' RAIN + INFLOW decks in a single plan. Windows partition by
+    // deck_id, so this spreads over 256 window partitions instead of
+    // funneling the union through one unpartitioned WindowExec.
+    val nDecks = 256 * mult
+    val rowsPerDeck = 288 // one day of 5-min data
+    val manySeries = spark.range(nDecks.toLong * rowsPerDeck)
+      .select(
+        concat(lit("deck_"), (col("id") / rowsPerDeck).cast("long")).as("deck_id"),
+        timestamp_micros(lit(startUs) +
+          (pmod(col("id"), lit(rowsPerDeck)) + 1) * 300000000L).as("time"),
+        round(rand(7) * 10, 2).as("value"))
+    val dayEnd = java.time.LocalDateTime
+      .ofEpochSecond(startUs / 1000000L + rowsPerDeck * 300L, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val t3 = System.nanoTime()
+    val rainLines = graft.decks.RainDeck
+      .linesMany(spark, manySeries, start, dayEnd, "flo2d_250").count()
+    val inflowLines = graft.decks.InflowDeck
+      .linesMany(spark, manySeries, Seq(
+        "0           41550", "C               0           41550",
+        "H               0               0")).count()
+    val deckSecs = (System.nanoTime() - t3) / 1e9
+    println(s"""{"metric":"multi_deck_scale","decks":$nDecks,""" +
+      s""""rain_lines":$rainLines,"inflow_lines":$inflowLines,""" +
+      s""""seconds":$deckSecs,"lines_per_sec":${((rainLines + inflowLines) / deckSecs).toLong}}""")
+
+    // ---- transitive near-dup keepers at replicated-corpus scale -----------
+    // documents ×dupFactor (replicas share text → every group is a
+    // dupFactor-clique). Demonstrates the candidate-bounded shuffle claim:
+    // the n² verify work stays inside LSH buckets, so shuffle volume tracks
+    // candidate pairs, not corpus².
+    val shuffleTotal = new java.util.concurrent.atomic.AtomicLong()
+    val shufflePeak = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleTotal.addAndGet(w)
+        shufflePeak.updateAndGet(p => math.max(p, w))
+      }
+    })
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dupFactor = 20 * mult
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nBase = baseDocs.count()
+    val bigDocs = spark.range(dupFactor)
+      .crossJoin(baseDocs)
+      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
+    val t4 = System.nanoTime()
+    val nKept = graft.dedup.Dedup.nearDupKeepersTransitive(
+      bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6).count()
+    val dedupSecs = (System.nanoTime() - t4) / 1e9
+    val nDocs = nBase * dupFactor
+    println(s"""{"metric":"neardup_transitive_scale","docs":$nDocs,""" +
+      s""""dup_factor":$dupFactor,"rows_out":$nKept,"seconds":$dedupSecs,""" +
+      s""""docs_per_sec":${(nDocs / dedupSecs).toLong},""" +
+      s""""shuffle_write_bytes":${shuffleTotal.get()},""" +
+      s""""peak_stage_shuffle_bytes":${shufflePeak.get()}}""")
     spark.stop()
   }
 }

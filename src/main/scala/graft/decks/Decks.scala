@@ -22,6 +22,15 @@ object DeckFormat {
   def fixed(c: Column, decimals: Int): Column =
     format_string(s"%.${decimals}f", c.cast("double"))
 
+  /** `str(float)`-style rendering used by the archived golden artifacts
+    * (reference: res/flo2d_150_v2/INFLOW.DAT values like `1.593`, `54.22`,
+    * `0.0`): fixed-point with trailing zeros trimmed, at least one decimal
+    * kept. Exact for values with ≤ `decimals` decimal places. */
+  def trimmedFixed(c: Column, decimals: Int): Column = {
+    val t = regexp_replace(fixed(c, decimals), "0+$", "")
+    when(t.endsWith("."), concat(t, lit("0"))).otherwise(t)
+  }
+
   /** Literal head/tail lines as an ordered one-section DataFrame. */
   def literalLines(spark: SparkSession, section: Int, lines: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -46,38 +55,91 @@ object DeckFormat {
   */
 object RainDeck {
   def lines(spark: SparkSession, series: DataFrame, startTime: String, endTime: String,
+      targetModel: String): DataFrame =
+    linesMany(spark, series.withColumn("deck_id", lit("0")), startTime, endTime, targetModel)
+      .drop("deck_id")
+
+  /** Multi-deck form: `series` carries a `deck_id` column and the result is
+    * (deck_id, section, seq, line). Every window and aggregate partitions by
+    * deck_id, so generating N basins' decks in one job spreads across N
+    * tasks instead of funneling the union through a single unpartitioned
+    * WindowExec — the per-deck sequential cumsum is inherent (one file, one
+    * running total), the cross-deck serialization is not. */
+  def linesMany(spark: SparkSession, series: DataFrame, startTime: String, endTime: String,
       targetModel: String): DataFrame = {
     import DeckFormat._
     val grid = TimeSeriesOps.timeGrid(spark, startTime, endTime, 5)
-    val aligned = TimeSeriesOps.alignToGrid(grid, series).na.drop(Seq("value"))
+    val decks = series.select("deck_id").distinct()
+    val aligned = grid.crossJoin(decks)
+      .join(series, Seq("deck_id", "time"), "left").na.drop(Seq("value"))
     val stepped =
       if (targetModel == "flo2d_150" || targetModel == "flo2d_150_v2")
-        TimeSeriesOps.resampleRightClosedSum(aligned, 900)
+        TimeSeriesOps.resampleRightClosedSum(aligned, 900, keys = Seq("deck_id"))
       else aligned
     val clean = TimeSeriesOps.dropNegatives(stepped)
-    val frac = TimeSeriesOps.normalizedCumulative(clean, "value", "time", Nil, "frac")
+    val frac = TimeSeriesOps.normalizedCumulative(
+      clean, "value", "time", Seq("deck_id"), "frac")
     val withElapsed = frac.withColumn("elapsed_h",
       (unix_micros(col("time")) - lit(graft.model.SlTime.microsOf(startTime))) / lit(3.6e9))
     val rRows = withElapsed.select(
+      col("deck_id"),
       lit(1).as("section"),
-      row_number().over(Window.orderBy("time")).cast("long").as("seq"),
+      row_number().over(Window.partitionBy("deck_id").orderBy("time"))
+        .cast("long").as("seq"),
       concat(lit("R              "),
         ljust(fixed(col("elapsed_h"), 3), 14),
         fixed(col("frac"), 3), lit(" ")).as("line"))
     // header: " 0             0 " then " {total:.3f}         5             0             0 "
-    // (reference: input/rain/gen_rain.py:188-191, note insert-at-0 order)
-    val header = clean.agg(sum("value").as("total"))
-      .select(explode(array(
+    // (reference: input/rain/gen_rain.py:188-191, note insert-at-0 order);
+    // posexplode supplies the 0/1 seq — no window needed. Decks whose rows
+    // all dropped still get a header (0.0 total) via the left join.
+    val header = decks
+      .join(clean.groupBy("deck_id").agg(sum("value").as("total")), Seq("deck_id"), "left")
+      .select(col("deck_id"), posexplode(array(
         lit(" 0             0 "),
         concat(lit(" "), fixed(coalesce(col("total"), lit(0.0)), 3),
-          lit("         5             0             0 ")))).as("line"))
-      .select(lit(0).as("section"),
-        (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-          .cast("long").as("seq"),
-        col("line"))
+          lit("         5             0             0 ")))).as(Seq("seq0", "line")))
+      .select(col("deck_id"), lit(0).as("section"),
+        col("seq0").cast("long").as("seq"), col("line"))
     stitch(header, rRows)
   }
+}
 
+/** Per-model INFLOW header constants as DATA. The reference hardcodes these
+  * inside each generator (150: input/inflow/gen_150_inflow.py:102-104,
+  * 150_v2: input/inflow/gen_150_v2_inflow.py:105-107, 250:
+  * input/inflow/gen_250_inflow.py:122-124) — so the 150 vs 150_v2 header
+  * difference (41550 vs 37814) lives in code paths there; here every model
+  * is one table entry, overridable from a JSON config file shaped like the
+  * reference's input/inflow/config_*.json with a `head_lines` array added. */
+object InflowConfig {
+  val headLines: Map[String, Seq[String]] = Map(
+    "flo2d_150" -> Seq(
+      "0           41550",
+      "C               0           41550",
+      "H               0               0"),
+    "flo2d_150_v2" -> Seq(
+      "0           37814",
+      "C               0           37814",
+      "H               0               0"),
+    "flo2d_250" -> Seq(
+      "0               0",
+      "C               0            8655",
+      "H               0               0"))
+
+  def headLinesFor(model: String): Seq[String] =
+    headLines.getOrElse(model,
+      throw new IllegalArgumentException(
+        s"unknown FLO-2D model '$model' (known: ${headLines.keys.mkString(", ")})"))
+
+  /** Load `{"head_lines": [...]}` from a JSON config, falling back to the
+    * built-in table when the file has no such key. */
+  def headLinesFromJson(spark: SparkSession, path: String, model: String): Seq[String] = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    if (df.columns.contains("head_lines"))
+      df.select("head_lines").head().getSeq[String](0)
+    else headLinesFor(model)
+  }
 }
 
 /** INFLOW.DAT — discharge hydrograph `H` rows
@@ -85,8 +147,25 @@ object RainDeck {
   *
   * First series row only anchors t0 and emits the fixed `H 0 0` (W3); data
   * rows are `'H' + %.1f(elapsed_h).rjust(16) + %.1f(value).rjust(16)` (W1/X3).
-  */
+  *
+  * Row dialects: `genHRow` is the generators' format above; `resHRow` is the
+  * archived-artifact dialect of res/flo2d_150_v2/INFLOW.DAT (`'H' + 13
+  * spaces + %.1f(elapsed).ljust(14) + str(value)`), byte-verified against
+  * that golden file in GoldenArtifactsSpec. */
 object InflowDeck {
+  import DeckFormat._
+
+  /** gen_150_inflow.py:107-110 format. */
+  val genHRow: (Column, Column) => Column = (elapsedH, value) =>
+    concat(lit("H"), rjust(fixed(elapsedH, 1), 16), rjust(fixed(value, 1), 16))
+
+  /** res/flo2d_150_v2/INFLOW.DAT archived dialect. */
+  val resHRow: (Column, Column) => Column = (elapsedH, value) =>
+    concat(lit("H" + " " * 13), ljust(fixed(elapsedH, 1), 14), trimmedFixed(value, 3))
+
+  /** Model-keyed convenience: header constants from [[InflowConfig]]. */
+  def linesFor(spark: SparkSession, series: DataFrame, model: String): DataFrame =
+    lines(spark, series, InflowConfig.headLinesFor(model))
 
   /** flo2d_250 variant (reference: input/inflow/gen_250_inflow.py:119-133):
     * different header cells and two trailing `R` rows — the observed water
@@ -94,10 +173,7 @@ object InflowDeck {
     * a fixed 6.6 at cell 3559. */
   def lines250(spark: SparkSession, series: DataFrame, obsWl: Option[Double]): DataFrame = {
     import DeckFormat._
-    val base = lines(spark, series, Seq(
-      "0               0",
-      "C               0            8655",
-      "H               0               0"))
+    val base = lines(spark, series, InflowConfig.headLinesFor("flo2d_250"))
     val wl = obsWl.getOrElse(0.5)
     val wlStr = if (wl == wl.toLong.toDouble) s"${wl.toLong}.0" else wl.toString
     val tail = literalLines(spark, 2, Seq(
@@ -107,24 +183,35 @@ object InflowDeck {
   }
 
   def lines(spark: SparkSession, series: DataFrame,
-      headLines: Seq[String] = Seq(
-        "0           41550",
-        "C               0           41550",
-        "H               0               0")): DataFrame = {
+      headLines: Seq[String] = InflowConfig.headLinesFor("flo2d_150"),
+      hRow: (Column, Column) => Column = genHRow): DataFrame =
+    linesMany(spark, series.withColumn("deck_id", lit("0")), headLines, hRow)
+      .drop("deck_id")
+
+  /** Multi-deck form: `series` carries a `deck_id` column; windows partition
+    * by it so N inflow decks generate in parallel in one job (the anchor min
+    * and row numbering are per-deck state, not global). */
+  def linesMany(spark: SparkSession, series: DataFrame,
+      headLines: Seq[String],
+      hRow: (Column, Column) => Column = genHRow): DataFrame = {
     import DeckFormat._
-    val w = Window.orderBy("time")
+    val byDeck = Window.partitionBy("deck_id")
     val anchored = series
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(byDeck.orderBy("time")))
       .withColumn("elapsed_h",
-        (unix_micros(col("time")) - min(unix_micros(col("time"))).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))) / lit(3.6e9))
+        (unix_micros(col("time")) - min(unix_micros(col("time"))).over(byDeck))
+          / lit(3.6e9))
       .filter(col("rn") > 1)
     val hRows = anchored.select(
+      col("deck_id"),
       lit(1).as("section"), col("rn").cast("long").as("seq"),
-      concat(lit("H"),
-        rjust(fixed(col("elapsed_h"), 1), 16),
-        rjust(fixed(col("value"), 1), 16)).as("line"))
-    stitch(literalLines(spark, 0, headLines), hRows)
+      hRow(col("elapsed_h"), col("value")).as("line"))
+    val heads = series.select("deck_id").distinct()
+      .select(col("deck_id"),
+        posexplode(typedlit(headLines.toSeq)).as(Seq("seq0", "line")))
+      .select(col("deck_id"), lit(0).as("section"),
+        col("seq0").cast("long").as("seq"), col("line"))
+    stitch(heads, hRows)
   }
 }
 
@@ -162,6 +249,33 @@ object OutflowDeck {
           rjust(fixed((unix_micros(col("time")) - col("t0_us")) / lit(3.6e9), 3), 16),
           rjust(fixed(col("value"), 3), 16)).as("line"))
     stitch(kSection, nLines, sRows)
+  }
+
+  /** Archived-artifact dialect of res/flo2d_150_v2/OUTFLOW.DAT (byte-verified
+    * in GoldenArtifactsSpec): K/N cells left-aligned after 14 spaces, S rows
+    * numbered 1..n per boundary with `str(float)`-trimmed values and a
+    * trailing space, and the literal template tail (the reference appends
+    * input/outflow/tail_150_v2.txt, gen_outflow.py:250-255). Sentinel rows
+    * are dropped before numbering, so emitted S rows stay contiguous. */
+  def linesRes(spark: SparkSession, boundaries: DataFrame, tides: DataFrame,
+      kCells: Seq[String], tailLines: Seq[String]): DataFrame = {
+    import DeckFormat._
+    val kSection = DeckFormat.literalLines(spark, 0,
+      kCells.map(c => "K" + " " * 14 + c))
+    val nLines = boundaries.select(
+      lit(1).as("section"),
+      (col("block_order").cast("long") * 1000000L).as("seq"),
+      concat(lit("N" + " " * 14), ljust(col("cell"), 14), lit("1 ")).as("line"))
+    val sRows = tides
+      .filter(col("value") =!= lit(Sentinels.InvalidTide))
+      .withColumn("rn", row_number().over(Window.partitionBy("cell").orderBy("time")))
+      .join(boundaries, Seq("cell"))
+      .select(
+        lit(1).as("section"),
+        (col("block_order").cast("long") * 1000000L + col("rn")).as("seq"),
+        concat(lit("S" + " " * 14), ljust(col("rn").cast("string"), 14),
+          trimmedFixed(col("value"), 3), lit(" ")).as("line"))
+    stitch(kSection, nLines, sRows, literalLines(spark, 2, tailLines))
   }
 }
 
@@ -223,10 +337,22 @@ object RaincellDeck {
   * per id (S4). All three are dimension-sized → broadcast joins.
   */
 object ChanDeck {
+  import DeckFormat._
+
+  /** gen_chan.py:166-180 format: cell.ljust(6) + value.rjust(6). */
+  val genBodyRow: (Column, Column) => Column = (cell, value) =>
+    concat(ljust(cell, 6), rjust(value, 6))
+
+  /** Archived-artifact dialect of res/flo2d_150_v2/CHAN.DAT body rows
+    * (byte-verified in GoldenArtifactsSpec): `' ' + cell + 4 spaces + value`
+    * with the leading zero of `0.x` values stripped (`.5`, `.798`). */
+  val resBodyRow: (Column, Column) => Column = (cell, value) =>
+    concat(lit(" "), cell, lit("    "), regexp_replace(value, "^0\\.", "."))
+
   def lines(spark: SparkSession, model: String, bodyPairs: DataFrame,
       conditions: DataFrame, obsFirstWl: DataFrame,
-      headLines: Seq[String], tailLines: Seq[String]): DataFrame = {
-    import DeckFormat._
+      headLines: Seq[String], tailLines: Seq[String],
+      bodyRow: (Column, Column) => Column = genBodyRow): DataFrame = {
     val joined = bodyPairs
       .withColumn("grid_id",
         concat_ws("_", lit(model), col("up"), col("down")))
@@ -243,11 +369,11 @@ object ChanDeck {
     val body = joined.select(
       lit(1).as("section"),
       (col("pair_idx").cast("long") * 2).as("seq"),
-      concat(ljust(col("up"), 6), rjust(upVal, 6)).as("line"))
+      bodyRow(col("up"), upVal).as("line"))
       .unionByName(joined.select(
         lit(1).as("section"),
         (col("pair_idx").cast("long") * 2 + 1).as("seq"),
-        concat(ljust(col("down"), 6), rjust(downVal, 6)).as("line")))
+        bodyRow(col("down"), downVal).as("line")))
     stitch(literalLines(spark, 0, headLines), body, literalLines(spark, 2, tailLines))
   }
 }

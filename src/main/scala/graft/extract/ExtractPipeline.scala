@@ -82,7 +82,12 @@ object ExtractPipeline {
   /** Post-upsert run bookkeeping: per series, bump `latest_fgt` and pull
     * `start_date` back to the earliest written point (reference:
     * output/extract_water_level.py:214-217). One aggregate over the batch
-    * (dimension-sized result), then driver-side row updates. */
+    * (dimension-sized result), then driver-side row updates.
+    *
+    * Series the run table has never seen are REGISTERED first (the
+    * reference's insert_run path on a station's first extraction,
+    * output/extract_water_level.py:206-213) and bookkeeping re-applied —
+    * a first extraction must end with a run row, not a skipped log line. */
   def updateRunTable(series: DataFrame, url: String, runTable: String,
       props: java.util.Properties = new java.util.Properties()): Unit = {
     val perSeries = series.groupBy("tms_id")
@@ -91,9 +96,16 @@ object ExtractPipeline {
       .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
       .toSeq
     val missing = JdbcUpsertSink.updateRunBookkeeping(url, runTable, perSeries, props)
-    if (missing.nonEmpty)
-      System.err.println(
-        s"[extract] ${missing.length} series have no $runTable row (bookkeeping skipped): " +
-          missing.take(5).mkString(", ") + (if (missing.length > 5) ", …" else ""))
+    if (missing.nonEmpty) {
+      val missingSet = missing.toSet
+      val toRegister = perSeries.filter(r => missingSet.contains(r._1))
+      JdbcUpsertSink.registerRuns(url, runTable, toRegister, props)
+      // re-apply: a raced registration may hold another writer's fgt/start
+      val still = JdbcUpsertSink.updateRunBookkeeping(url, runTable, toRegister, props)
+      if (still.nonEmpty)
+        throw new IllegalStateException(
+          s"[extract] ${still.length} series could not be registered in $runTable: " +
+            still.take(5).mkString(", ") + (if (still.length > 5) ", …" else ""))
+    }
   }
 }

@@ -181,4 +181,30 @@ object JdbcUpsertSink {
       } finally st.close()
     } finally conn.close()
   }
+
+  /** Register run rows for series the run table has never seen — the
+    * reference's `get_timeseries_id_if_exists → generate_timeseries_id →
+    * insert_run → update_start_date` path on first extraction of a station
+    * (reference: output/extract_water_level.py:206-217). A concurrent
+    * registration races as a key collision (SQLState class 23) and is
+    * treated as already-registered; the caller re-applies bookkeeping
+    * afterwards so the raced row still converges to the right fgt/start. */
+  def registerRuns(url: String, runTable: String,
+      rows: Seq[(String, java.sql.Timestamp, java.sql.Timestamp)],
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    if (rows.isEmpty) return
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(
+        s"INSERT INTO $runTable (tms_id, latest_fgt, start_date) VALUES (?, ?, ?)")
+      try rows.foreach { case (tmsId, fgt, startDate) =>
+        st.setString(1, tmsId); st.setTimestamp(2, fgt); st.setTimestamp(3, startDate)
+        try st.executeUpdate()
+        catch {
+          case e: java.sql.SQLException
+              if e.getSQLState != null && e.getSQLState.startsWith("23") => ()
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
 }

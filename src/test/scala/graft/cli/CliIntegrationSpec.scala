@@ -155,6 +155,22 @@ class CliIntegrationSpec extends SparkSpec {
     assert(rs4.getTimestamp(1).toString === "2024-01-01 03:00:00.0") // not regressed
     assert(rs4.getTimestamp(2).toString === "2024-01-01 02:00:00.0")
     c4.close()
+
+    // first extraction of a NEW station: the series has no run row yet —
+    // updateRunTable must REGISTER it (reference insert_run path,
+    // extract_water_level.py:206-213), not just log and skip
+    val fresh = ExtractPipeline.withSeriesIds(
+      series, "flo2d_150_v2", "new_sim_tag", "2024-01-01 03:00:00")
+    ExtractPipeline.updateRunTable(fresh, url, "run")
+    val newId = fresh.select("tms_id").head().getString(0)
+    assert(newId !== rows.head._1)
+    val c5 = DriverManager.getConnection(url)
+    val rs5 = c5.createStatement().executeQuery(
+      s"SELECT latest_fgt, start_date FROM run WHERE tms_id = '$newId'")
+    assert(rs5.next(), "first extraction must create a run row")
+    assert(rs5.getTimestamp(1).toString === "2024-01-01 03:00:00.0")
+    assert(rs5.getTimestamp(2).toString === "2024-01-01 02:00:00.0")
+    c5.close()
   }
 
   test("Sources: cell-map JSON, first-value-in-window, nearest station") {
