@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse raw stdout lines (one JSON object per
+// line); sbt's default logger wraps forked output as "[info] {...}" which
+// breaks that parse (BENCH_r02 "parsed": null). Inherit the JVM's stdout
+// so runMain output reaches the caller unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -327,7 +327,10 @@ object ParityQueries {
       },
       // (ts, event_id) tiebreak in BOTH engines: duplicate (user_id, ts)
       // rows otherwise land in sessions in whichever tie order each window
-      // pass picks, flipping the hash while rows_match stays green
+      // pass picks, flipping the hash while rows_match stays green.
+      // session_id CAST AS BIGINT: DuckDB's integer window sum is HUGEINT,
+      // which pandas renders float64 ("0.0") — hash-diverges from Spark's
+      // long ("0") even when every value is equal.
       Some("""WITH g AS (SELECT user_id, ts, event_id,
              |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
              |         WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000 THEN 1
@@ -335,8 +338,8 @@ object ParityQueries {
              |  FROM events WHERE user_id < 6 AND NOT isnan(value)
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (SELECT user_id, ts,
-             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS span_ns

@@ -143,11 +143,14 @@ class GoldenArtifactsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](InflowConfig.headLinesFor("flo2d_9"))
     assert(ex.getMessage.contains("unknown FLO-2D model"))
     // deck rendering picks the model's head: first lines of each variant
-    val s = Seq((atHours(0.0), 1.0), (atHours(1.0), 2.25)).toDF("time", "value")
+    // value stays on the repo's determinism rule: 1-decimal input at %.1f,
+    // where Java HALF_UP and C half-even render identically (x.25-style
+    // inputs at %.1f would diverge: Java "2.3" vs C/Python "2.2")
+    val s = Seq((atHours(0.0), 1.0), (atHours(1.0), 2.2)).toDF("time", "value")
     Seq("flo2d_150", "flo2d_150_v2", "flo2d_250").foreach { m =>
       val out = render(InflowDeck.linesFor(spark, s, m))
       assert(out.take(3) === InflowConfig.headLinesFor(m))
-      assert(out.drop(3) === Seq("H             1.0             2.2")) // %.1f HALF_UP? no: 2.25 at %.1f
+      assert(out.drop(3) === Seq("H             1.0             2.2"))
     }
   }
 }

@@ -36,6 +36,13 @@ def compare(name, spark_df, duck_df):
         return f"ROWS mismatch: spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver hashes values: an int64 column on one side vs float64 on
+        # the other ("0" vs "0.0") hash-mismatches even when numerically
+        # equal (DuckDB HUGEINT sums surface as float64 in pandas) — treat
+        # dtype-kind skew as a failure like the driver would
+        if {av.dtype.kind, bv.dtype.kind} == {'i', 'f'}:
+            return (f"DTYPE-HASH-RISK col={c}: spark={av.dtype} duck={bv.dtype}"
+                    " (int vs float hashes differently even if values equal)")
         if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
             av = av.astype(float); bv = bv.astype(float)
             both_nan = av.isna() & bv.isna()
