@@ -1,29 +1,23 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection tool: `runMain graft.Explain [queryName ...]` prints the
-  * formatted physical plan of each named query (all queries if none named)
-  * — for checking PushedFilters/ReadSchema, broadcast joins, and
-  * WholeStageCodegen spans against the 100 TB design goals. */
+/** Plan inspector: `runMain graft.Explain <queryName> [sfDir]` prints the
+  * formatted physical plan of one SparkEntry query — the iterate-on-the-plan
+  * loop (pushdown visible? broadcast where expected? codegen spans wide?). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkEntry.configure(SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
-    wanted.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          println(s"\n========== $name ==========")
-          try fn(spark, sfDir).explain("formatted")
-          catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
-        case None => println(s"unknown query: $name")
-      }
-    }
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    println(s"==== $name ====")
+    df.explain("formatted")
     spark.stop()
   }
 }

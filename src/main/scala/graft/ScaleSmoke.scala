@@ -137,7 +137,8 @@ object ScaleSmoke {
       .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
     val t4 = System.nanoTime()
     val nKept = graft.dedup.Dedup.nearDupKeepersTransitive(
-      bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6).count()
+      bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6,
+      hashFn = graft.dedup.Dedup.fastHash).count()
     val dedupSecs = (System.nanoTime() - t4) / 1e9
     val nDocs = nBase * dupFactor
     println(s"""{"metric":"neardup_transitive_scale","docs":$nDocs,""" +

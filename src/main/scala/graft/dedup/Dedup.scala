@@ -35,12 +35,25 @@ object Dedup {
     * collapses each partition to one row per document before the shuffle.
     * (Distinct-ing tokens first is pointless: duplicates can't change a min.)
     */
+  /** Cross-engine-reproducible hash: md5 of token ⊕ seed (any SQL engine can
+    * recompute it — the oracle path). min(string) aggregation falls back to
+    * SortAggregate (string buffers aren't HashAggregate-able), so prefer
+    * [[fastHash]] where no external engine needs to reproduce signatures. */
+  val oracleHash: (Column, Int) => Column = (tok, i) => md5(concat(tok, lit(s"#$i")))
+
+  /** Throughput hash: seeded xxhash64 → LONG. min(long) keeps the whole
+    * signature aggregation in HashAggregate (mutable fixed-width buffer, no
+    * sort of the exploded token stream) and shuffles 8-byte partials instead
+    * of 32-char strings — the default for production-shaped pipelines where
+    * only downstream Jaccard verification (hash-agnostic) must agree. */
+  val fastHash: (Column, Int) => Column = (tok, i) => xxhash64(lit(i), tok)
+
   def minhashSignature(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int,
-      hashFn: (Column, Int) => Column = (tok, i) => md5(concat(tok, lit(s"#$i")))): DataFrame = {
+      hashFn: (Column, Int) => Column = oracleHash): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("__tok"))
     val sigAggs = (0 until numHashes).map { i =>
@@ -116,8 +129,9 @@ object Dedup {
     * not corpus².
     */
   def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, numHashes)
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      hashFn: (Column, Int) => Column = oracleHash): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, hashFn)
     val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -188,8 +202,9 @@ object Dedup {
     * A,C never share a bucket) — the semantics corpus-level dedup actually
     * wants. */
   def nearDupKeepersTransitive(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int, threshold: Double, maxIter: Int = 10): DataFrame = {
-    val direct = nearDupKeepers(df, idCol, textCol, numHashes, rowsPerBand, threshold)
+      numHashes: Int, rowsPerBand: Int, threshold: Double, maxIter: Int = 10,
+      hashFn: (Column, Int) => Column = oracleHash): DataFrame = {
+    val direct = nearDupKeepers(df, idCol, textCol, numHashes, rowsPerBand, threshold, hashFn)
     val edges = direct.filter(col("doc_id") =!= col("keeper_id"))
       .select(col("keeper_id").as("src"), col("doc_id").as("dst"))
     val comps = connectedComponents(edges, "src", "dst", maxIter)

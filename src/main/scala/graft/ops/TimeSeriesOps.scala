@@ -87,6 +87,52 @@ object TimeSeriesOps {
       out: String = "cum"): DataFrame =
     df.withColumn(out, sum(col(valueCol)).over(seriesWindow(timeCol, keys)))
 
+  /** Scale-safe GLOBAL running sum over an exact (integer) value column —
+    * the distributed two-pass prefix scan that replaces a single-partition
+    * `sum() OVER (ORDER BY …)` window when the scanned data is NOT already
+    * reduced to a bounded domain:
+    *
+    *   1. range-partition by the order columns (equal keys co-locate, ranges
+    *      ascend with partition id), running sum per partition in parallel;
+    *   2. per-partition totals (one row per partition — cluster-sized, not
+    *      data-sized) get a prefix-scan offset; each row adds its
+    *      partition's offset.
+    *
+    * Restricted to LONG values on purpose: integer addition re-associates
+    * exactly, so the result is bit-identical to the sequential window no
+    * matter where partition boundaries fall — a double version would drift
+    * ulps vs single-pass evaluation and fail exact oracle hashing. Callers
+    * with 2-decimal money scale to cents first.
+    *
+    * `orderCols` must be a per-row total order (add a tiebreak id if the
+    * time key can repeat) — same determinism rule as every window here. */
+  def scanCumSumLong(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String = "cum",
+      numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ordered = orderCols.map(col)
+    val parted = df.repartitionByRange(n, ordered: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy("__pid").orderBy(ordered.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = parted.withColumn("__local", sum(col(valueCol)).over(local))
+    // the offset scan runs over ONE row per partition — bounded by cluster
+    // width, not data volume; the constant partition key keeps it a single
+    // (tiny) window without tripping the global-window warning
+    val offW = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy("__pid").agg(sum(col(valueCol)).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local")
+  }
+
   /** Normalized cumulative fraction (A5): `cum/total` when total > 0 else 0
     * (reference: input/rain/gen_rain.py:181-186). */
   def normalizedCumulative(

@@ -311,6 +311,27 @@ object CoreQueries {
              |SELECT day, rev, round(sum(rev) OVER (ORDER BY day
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev FROM d""".stripMargin)),
 
+    // ---- A4 at scale: distributed two-pass prefix scan (no global window).
+    // Same running-total semantics as q_a4_cumsum, but computed with
+    // range-partition + per-partition scan + broadcast offsets — the form
+    // that survives when the scanned column is NOT pre-aggregated to a
+    // bounded domain. Cents-scaled longs make the two-pass result
+    // bit-identical to the sequential window (integer math re-associates).
+    "q_a4_cumsum_scan" -> QueryDef(
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(round(sum("o_totalprice") * 100).cast("long").as("rev_cents"))
+        TimeSeriesOps.scanCumSumLong(daily, Seq("day"), "rev_cents", "cum_cents", 8)
+          .select(col("day"), col("rev_cents"), col("cum_cents"))
+      },
+      Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1)
+             |SELECT day, rev_cents, CAST(sum(rev_cents) OVER (ORDER BY day
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+             |FROM d""".stripMargin)),
+
     // ---- A3/A5: grand total + normalized cumulative fraction (RAIN.DAT math)
     "q_a5_normfrac" -> QueryDef(
       (s, dir) => {

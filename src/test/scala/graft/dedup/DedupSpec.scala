@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(keepers(5L) === 5L)
   }
 
+  test("fastHash pipeline finds the same keepers, with no SortAggregate in the plan") {
+    val fast = Dedup.nearDupKeepers(corpus, "doc_id", "text",
+      numHashes = 8, rowsPerBand = 2, threshold = 0.6, hashFn = Dedup.fastHash)
+    val keepers = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    // the signature min() over LONGs must stay a HashAggregate — min(string)
+    // of the md5 oracle path degrades to Sort + SortAggregate over the whole
+    // exploded token stream, which is the at-scale cost this path removes
+    val sigPlan = Dedup.minhashSignature(corpus, "doc_id", "text", 8, Dedup.fastHash)
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("SortAggregate"), sigPlan)
+    assert(sigPlan.contains("HashAggregate"), sigPlan)
+  }
+
   test("nearDupKeepers with threshold 1.0 keeps only exact duplicates together") {
     val keepers = Dedup.nearDupKeepers(corpus, "doc_id", "text",
         numHashes = 8, rowsPerBand = 2, threshold = 1.0)

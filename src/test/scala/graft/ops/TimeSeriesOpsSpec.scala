@@ -115,6 +115,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
       ("b", 300.0, None))) // no quote at/before 00:05
   }
 
+  test("scanCumSumLong == sequential global window, for any partition count") {
+    val rnd = new scala.util.Random(7)
+    // duplicate keys included: (k, id) is the total order, values span sign
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(80).toLong, i.toLong, rnd.nextInt(20001) - 10000L)
+    }
+    val df = rows.toDF("k", "id", "v")
+    val expected = rows.sortBy(r => (r._1, r._2))
+      .scanLeft(0L)(_ + _._3).drop(1)
+    Seq(1, 3, 8, 64).foreach { n =>
+      val got = TimeSeriesOps.scanCumSumLong(df, Seq("k", "id"), "v", "cum", n)
+        .orderBy("k", "id").select("cum").collect().map(_.getLong(0)).toSeq
+      assert(got === expected, s"numParts=$n")
+    }
+  }
+
   test("X14: series hash id is 64 hex chars and deterministic") {
     val ids = spark.range(2).select(
       TimeSeriesOps.seriesHashId(lit("flo2d_250"), lit("MME"), lit("cell_1")).as("h"))
