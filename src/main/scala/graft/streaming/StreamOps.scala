@@ -51,6 +51,29 @@ object StreamOps {
       .drop("window")
   }
 
+  /** Gap-based session windows on a stream — the streaming form of the batch
+    * `TimeSeriesOps.sessionize`. Uses Spark's NATIVE `session_window`
+    * (merging session state in the state store, closed and emitted once the
+    * watermark passes last-event + gap) rather than hand-rolled
+    * flatMapGroupsWithState: the built-in operator gets state-store
+    * compaction, RocksDB backends, and AQE-aware planning for free.
+    *
+    * Batch/stream duality: batch sessionize numbers rows 0..n per key; a
+    * session here is identified by its (key, window.start). `window.end` is
+    * last event + gap, per session_window semantics. */
+  def sessionizeStream(stream: DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "1 hour",
+      timeCol: String = "time", valueCol: String = "value",
+      keys: Seq[String] = Seq("id")): DataFrame = {
+    val marked = stream.withWatermark(timeCol, watermarkDelay)
+    marked
+      .groupBy(session_window(col(timeCol), s"$gapSeconds seconds") +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(keys.map(col) :+ col("session_window.start").as("session_start") :+
+        col("session_window.end").as("session_end") :+ col("n_events") :+
+        col("sum_value"): _*)
+  }
+
   /** Sink a (possibly aggregated) stream through the batch JDBC upsert —
     * late updates overwrite by key, so replays converge (K2 streaming form). */
   def upsertSink(stream: DataFrame, url: String, table: String,

@@ -40,6 +40,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: native session_window closes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "time", "value")
+    // 10-min gap, 0-delay watermark so sessions close as event time advances
+    val agg = StreamOps.sessionizeStream(stream, gapSeconds = 600,
+      watermarkDelay = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 2.0)) // same session
+      q.processAllAvailable()
+      mem.addData(("a", Timestamp.valueOf("2024-01-01 01:00:00"), 4.0)) // new session; watermark passes the first
+      q.processAllAvailable()
+      mem.addData(("a", Timestamp.valueOf("2024-01-01 03:00:00"), 8.0)) // closes the second
+      q.processAllAvailable()
+      val got = spark.table("sessions").orderBy("session_start")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      assert(got.length >= 2)
+      // first session: both points merged, end = last event + gap
+      assert(got(0) === ("a", "2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", 2L, 3.0))
+      assert(got(1) === ("a", "2024-01-01 01:00:00.0", "2024-01-01 01:10:00.0", 1L, 4.0))
+    } finally q.stop()
+  }
+
   test("fileSeriesStream picks up newly arriving parquet files per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("fstream").toString
     val first = Seq(("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0))
