@@ -26,7 +26,8 @@ object SparkEntry {
     SessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   private def allDefs: Seq[(String, QueryDef)] =
-    CoreQueries.defs ++ PipelineQueries.defs ++ graft.queries.ParityQueries.defs
+    CoreQueries.defs ++ PipelineQueries.defs ++ graft.queries.ParityQueries.defs ++
+      TrainPrepQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

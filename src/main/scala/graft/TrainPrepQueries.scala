@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.queries.{QueryDef, Tables}
+import graft.trainprep.TrainPrep
+
+/** Training-corpus preparation queries (TF-IDF, deterministic sampling, PII
+  * redaction, sequence packing, corpus composition) plus the oracle-gated
+  * streaming parity runs — every entry has a DuckDB oracle, so streaming
+  * and train-prep correctness are CORRECTNESS rows, not just specs.
+  */
+object TrainPrepQueries {
+  import Tables.t
+
+  /** tokenCount's SQL twin (see TextFunctions.tokenCount / q_text_quality). */
+  private val nTokSql =
+    """(CASE WHEN length(text) = 0 THEN 0
+      |  ELSE length(text) - length(replace(text, ' ', '')) + 1 END)""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- TF-IDF weighting: explode → 2 hash-aggs → vocab-sized join ------
+    "q_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        TrainPrep.tfIdf(docs, "doc_id", "text")
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            round(col("idf"), 5).as("idf"), round(col("tfidf"), 5).as("tfidf"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents WHERE doc_id < 100),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 100)
+             |SELECT doc_id, token, tf, df,
+             |  round(ln((n + 1.0) / (df + 1.0)), 5) AS idf,
+             |  round(tf * ln((n + 1.0) / (df + 1.0)), 5) AS tfidf
+             |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin)),
+
+    // ---- deterministic hash sampling: pure pushable filter, no RNG -------
+    "q_sample_hash" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(TrainPrep.hashSampleFilter(col("doc_id"), "15"))
+          .select("doc_id", "source"),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE substr(sha256(doc_id::VARCHAR), 1, 2) < '15'""".stripMargin)),
+
+    "q_sample_stratified" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(TrainPrep.stratifiedSampleFilter(col("doc_id"), col("lang"),
+            Seq("en" -> "40", "de" -> "20")))
+          .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (lang = 'en' AND substr(sha256(doc_id::VARCHAR), 1, 2) < '40')
+             |   OR (lang = 'de' AND substr(sha256(doc_id::VARCHAR), 1, 2) < '20')""".stripMargin)),
+
+    // ---- PII redaction: RE2-compatible replace-all -----------------------
+    "q_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val synth = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com tel 555-1234"))
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), TrainPrep.redactPii(synth).as("redacted"))
+      },
+      Some("""SELECT doc_id, regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@mail.example.com tel 555-1234',
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM documents WHERE doc_id < 200""".stripMargin)),
+
+    // ---- concat-then-chunk sequence packing (distributed prefix scan) ----
+    "q_pack_chunks" -> QueryDef(
+      (s, dir) =>
+        TrainPrep.packChunks(t(s, dir, "documents"), "doc_id", "text", 4096L)
+          .select("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"),
+      Some(s"""WITH tokc AS (SELECT doc_id, $nTokSql::BIGINT AS n_tokens
+              |  FROM documents),
+              |cum AS (SELECT doc_id, n_tokens,
+              |  sum(n_tokens) OVER (ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+              |  FROM tokc)
+              |SELECT doc_id, n_tokens, (cum_tokens - n_tokens) AS start_offset,
+              |  floor((cum_tokens - n_tokens) / 4096.0)::BIGINT AS chunk_id,
+              |  floor((cum_tokens - 1) / 4096.0)::BIGINT AS chunk_end_id
+              |FROM cum""".stripMargin)),
+
+    // ---- corpus composition: filter → dedup → per-source stats -----------
+    "q_corpus_stats" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .filter(round(TextFunctions.qualityScore(col("text")), 6) >= 0.5)
+        // exact-dedup keeper per text hash, then per-source corpus stats
+        val keepers = docs
+          .withColumn("__h", sha2(col("text"), 256))
+          .withColumn("__keep", min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+          .filter(col("doc_id") === col("__keep"))
+        keepers.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+          round(avg(length(col("text"))), 4).as("avg_chars"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, text, source, round(
+              |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              |  (CASE WHEN (length(text)::DOUBLE - ($nTokSql - 1)) / $nTokSql
+              |     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.4
+              |  + least(len(list_filter(string_split(text, ' '),
+              |      w -> w IN ('the','a','of','and','to','is','in')))::DOUBLE
+              |      / $nTokSql * 5.0, 1.0) * 0.4
+              |  + (CASE WHEN (length(text) - length(replace(replace(replace(replace(replace(text,
+              |      '.',''), ',',''), '!',''), '?',''), ';','')))::DOUBLE
+              |      / length(text)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+              |  END, 6) AS quality
+              |  FROM documents WHERE lang = 'en'),
+              |f AS (SELECT * FROM q WHERE quality >= 0.5),
+              |k AS (SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+              |  FROM f)
+              |SELECT source, count(*) AS n_docs,
+              |  sum($nTokSql)::BIGINT AS total_tokens,
+              |  round(avg(length(text)), 4) AS avg_chars
+              |FROM k WHERE doc_id = keep GROUP BY source""".stripMargin)),
+
+    // ---- streaming parity: real streaming jobs, batch oracles (§2.9) -----
+    "q_stream_resample" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.resampleComplete(s, dir, 900),
+      Some("""SELECT (epoch_ns(ts)-1) - ((epoch_ns(ts)-1) % 900000000000) + 900000000000 AS bucket_ns,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    "q_stream_distinct" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.distinctPairs(s, dir),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    "q_stream_maxtime" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.maxTimePerUser(s, dir),
+      Some("""SELECT user_id, max(epoch_ns(ts)) AS max_ts_ns, count(*) AS n_events
+             |FROM events GROUP BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Batch-equivalent runs of the streaming operators (SURVEY.md §2.9).
+  *
+  * The reference converges on correctness by cron re-runs + keyed upsert
+  * (reference: output/extract_water_level.py:206-217); our streaming layer
+  * must therefore produce EXACTLY the batch answer once all input is
+  * consumed. These helpers prove it: each runs a real Structured Streaming
+  * job (file source → stateful operator → memory sink) with
+  * `Trigger.AvailableNow()` over the same parquet the batch oracle reads,
+  * and returns the sink table — which the driver then hash-compares against
+  * the DuckDB oracle like any batch query. Streaming correctness becomes a
+  * CORRECTNESS row, not just a spec assertion.
+  *
+  * Memory sink is the verification harness only (driver-collected); the
+  * production path is `StreamOps.upsertSink` / a parquet sink. Complete
+  * mode is used for the aggregations because a bounded backfill emits its
+  * tail windows only in complete/update mode (append withholds them until
+  * a later batch advances the watermark — which never comes).
+  */
+object StreamParity {
+
+  /** events.parquet schema under `nanosAsLong` (TIMESTAMP(NANOS) → LONG). */
+  private val EventsSchema =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // the file-stream source requires a DIRECTORY path; select just the
+    // events table out of the dataset dir with a glob filter
+    spark.readStream.schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // mirror Tables.events: floor ns → µs so results match DuckDB exactly
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+
+  /** Run `stream` to completion through a memory sink and return the sink
+    * table. One fixed sink name per caller keeps re-runs in one session
+    * idempotent (memory sink truncates on (re)start in complete mode; for
+    * append we drop the old view first). */
+  def runToTable(spark: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    spark.catalog.dropTempView(name) // no-op when absent
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming form of q_a2_resample: right-closed 15-min tumbling sum over
+    * the event stream, complete mode. Identical bucket arithmetic to the
+    * batch path (ns-domain longs — no timestamp round-trip). */
+  def resampleComplete(spark: SparkSession, dir: String, stepSeconds: Long): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .select(graft.ops.TimeSeriesOps.bucketRightClosedNs(col("ts"), stepSeconds)
+        .as("bucket_ns"), col("value"))
+      .groupBy("bucket_ns")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToTable(spark, agg, "stream_resample", OutputMode.Complete())
+  }
+
+  /** Streaming distinct (stateful dropDuplicates): the set of (user_id,
+    * event_type) pairs ever seen. Append mode — each first-seen key emits
+    * exactly once, so the sink table IS the distinct set. */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToTable(spark, dd, "stream_distinct", OutputMode.Append())
+  }
+
+  /** Streaming form of S2 (max-time lookup): running per-user max event
+    * time + event count, complete mode. */
+  def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy("user_id")
+      .agg(max("ts").as("max_ts_ns"), count(lit(1)).as("n_events"))
+    runToTable(spark, agg, "stream_maxtime", OutputMode.Complete())
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming runs must equal their batch twins once all input is consumed —
+  * the §2.9 duality claim, checked end-to-end on a real file-stream source
+  * (the oracle-gated q_stream_* queries check the same thing against
+  * DuckDB at the driver's scale factors). */
+class StreamParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // a tiny events.parquet in the shape the testdata uses (ts = epoch ns)
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("stream_parity").toFile
+    d.deleteOnExit()
+    val base = 1700000000000000000L
+    Seq(
+      (1L, base + 1000L, 10L, "view", 1.0, "{}"),
+      (2L, base + 2000L, 10L, "view", 2.0, "{}"),
+      (3L, base + 900L * 1000000000L, 11L, "click", 3.0, "{}"),
+      (4L, base + 901L * 1000000000L, 11L, "view", 4.0, "{}"),
+      (5L, base + 901L * 1000000000L, 10L, "click", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/staging")
+    // the testdata ships events.parquet as a single FILE (pathGlobFilter
+    // matches leaf file names) — promote the part file to that shape
+    val part = new java.io.File(s"$d/staging").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(s"$d/events.parquet").toPath)
+    d.getAbsolutePath
+  }
+
+  test("streaming right-closed resample equals the batch bucketing") {
+    val out = StreamParity.resampleComplete(spark, dir, 900)
+      .orderBy("bucket_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .select(graft.ops.TimeSeriesOps.bucketRightClosedNs(col("ts"), 900).as("bucket_ns"),
+        col("value"))
+      .groupBy("bucket_ns").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("bucket_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sameElements(batch))
+    assert(out.length == 2) // right-closed: the t=+900s events close bucket 2
+  }
+
+  test("streaming dropDuplicates emits exactly the distinct key set") {
+    val out = StreamParity.distinctPairs(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((10L, "view"), (10L, "click"), (11L, "click"), (11L, "view")))
+  }
+
+  test("streaming max-time equals the batch aggregate") {
+    val out = StreamParity.maxTimePerUser(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val base = 1700000000000000000L
+    assert(out == Set(
+      (10L, base + 901L * 1000000000L, 3L),
+      (11L, base + 901L * 1000000000L, 2L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.trainprep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the dog sat"),
+    (3L, "a bird")
+  ).toDF("doc_id", "text")
+
+  test("tfIdf computes smoothed idf and per-doc tf") {
+    val out = TrainPrep.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "token", "tf", "df", "idf").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // 'the' appears in 2 of 3 docs: idf = ln(4/3)
+    val (tf, df, idf) = out((1L, "the"))
+    assert(tf == 1L && df == 2L)
+    assert(math.abs(idf - math.log(4.0 / 3.0)) < 1e-12)
+    // 'bird' is unique to doc 3: idf = ln(4/2)
+    assert(math.abs(out((3L, "bird"))._3 - math.log(2.0)) < 1e-12)
+  }
+
+  test("hashSampleFilter is deterministic and rate-accurate") {
+    val ids = spark.range(10000).toDF("id")
+    val kept = ids.filter(TrainPrep.hashSampleFilter(col("id"), "15")).count()
+    val kept2 = ids.filter(TrainPrep.hashSampleFilter(col("id"), "15")).count()
+    assert(kept == kept2) // no RNG, no partition sensitivity
+    // expected rate 0x15/256 ~ 8.2%; binomial 3-sigma on n=10000 is ~0.8%
+    assert(math.abs(kept / 10000.0 - 0x15 / 256.0) < 0.01)
+  }
+
+  test("stratifiedSampleFilter drops unlisted strata") {
+    val d = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("id", "lang")
+    val kept = d.filter(TrainPrep.stratifiedSampleFilter(col("id"), col("lang"),
+      Seq("en" -> "ff", "de" -> "ff"))) // threshold ff ~ keep (almost) all
+      .select("lang").as[String].collect().toSet
+    assert(!kept.contains("fr"))
+  }
+
+  test("redactPii masks emails and phone numbers, leaves the rest") {
+    val d = Seq("mail a.b-c%d@sub.example.org and call 555-1234 today").toDF("t")
+    val out = d.select(TrainPrep.redactPii(col("t"))).head().getString(0)
+    assert(out == "mail <EMAIL> and call <PHONE> today")
+  }
+
+  test("packChunks lays docs end-to-end and cuts at the budget") {
+    val d = Seq(
+      (1L, Seq.fill(5)("w").mkString(" ")), // 5 tokens, offsets [0,5)
+      (2L, Seq.fill(4)("w").mkString(" ")), // [5,9) - spans the 8-boundary
+      (3L, Seq.fill(2)("w").mkString(" ")) // [9,11)
+    ).toDF("doc_id", "text")
+    val rows = TrainPrep.packChunks(d, "doc_id", "text", 8L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows(0) == ((1L, 5L, 0L, 0L, 0L)))
+    assert(rows(1) == ((2L, 4L, 5L, 0L, 1L))) // spans chunks 0 and 1
+    assert(rows(2) == ((3L, 2L, 9L, 1L, 1L)))
+  }
+}
