@@ -58,6 +58,34 @@ object PipelineQueries {
       |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Shared oracle for the MinHash→LSH→verify→keeper pipeline: replicates
+    * the md5-banding path; serves the rowwise-signature variant too because
+    * the VERIFIED output is hash-family-agnostic on this corpus (exact
+    * copies always collide; chance collisions are Jaccard-filtered). */
+  private def keepersOracleSqlAt(threshold: String): String =
+    s"""WITH docs AS (SELECT * FROM $dupUnionSql),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM docs),
+       |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+       |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS band_hash FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS band_hash FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n FROM cand c
+       |  JOIN tok ta ON ta.doc_id = c.id_a
+       |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= $threshold),
+       |keep AS (SELECT id_b AS dup_id, min(id_a) AS keeper FROM ver GROUP BY 1)
+       |SELECT d.doc_id AS doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
+       |FROM docs d LEFT JOIN keep k ON k.dup_id = d.doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- exact dedup: hash-groupBy, one shuffle on the digest ------------
@@ -165,28 +193,26 @@ object PipelineQueries {
     "q_dedup_keepers" -> QueryDef(
       (s, dir) => Dedup.nearDupKeepers(docsWithDups(s, dir), "doc_id", "text",
         numHashes = 4, rowsPerBand = 2, threshold = 0.6),
-      Some(s"""WITH docs AS (SELECT * FROM $dupUnionSql),
-              |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM docs),
-              |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
-              |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS band_hash FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS band_hash FROM sig),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-              |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
-              |inter AS (SELECT c.id_a, c.id_b, count(*) AS n FROM cand c
-              |  JOIN tok ta ON ta.doc_id = c.id_a
-              |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
-              |  GROUP BY 1, 2),
-              |ver AS (SELECT id_a, id_b FROM inter
-              |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-              |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
-              |keep AS (SELECT id_b AS dup_id, min(id_a) AS keeper FROM ver GROUP BY 1)
-              |SELECT d.doc_id AS doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
-              |FROM docs d LEFT JOIN keep k ON k.dup_id = d.doc_id""".stripMargin)),
+      Some(keepersOracleSqlAt("0.6"))),
+
+    // ---- same pipeline, signatures from the zero-shuffle custom expression
+    // (xxhash64 family, not md5). Verified at threshold 1.0 — token-SET
+    // equality — precisely because that is the regime where the output is
+    // provably hash-family-agnostic: set-equal docs have identical MinHash
+    // signatures under ANY hash (they always share every band → recall 1),
+    // and chance band collisions are removed by the exact Jaccard = 1
+    // verification. At 0.6 the md5 and xxhash bandings each miss a
+    // different subset of borderline pairs, so no shared oracle exists —
+    // that regime is covered by q_dedup_keepers, whose oracle replicates
+    // the same md5 banding bit for bit.
+    "q_dedup_keepers_fast" -> QueryDef(
+      (s, dir) => {
+        val docs = docsWithDups(s, dir)
+        Dedup.nearDupKeepersFromSigs(docs,
+          Dedup.minhashSignatureRowwise(docs, "doc_id", "text", 4),
+          "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 1.0)
+      },
+      Some(keepersOracleSqlAt("1.0"))),
 
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(

@@ -146,6 +146,40 @@ object ScaleSmoke {
       s""""docs_per_sec":${(nDocs / dedupSecs).toLong},""" +
       s""""shuffle_write_bytes":${shuffleTotal.get()},""" +
       s""""peak_stage_shuffle_bytes":${shufflePeak.get()}}""")
+
+    // ---- MinHash signatures: custom zero-shuffle expression vs explode+agg
+    val t45 = System.nanoTime()
+    val nSigRow = graft.dedup.Dedup.minhashSignatureRowwise(
+      bigDocs, "doc_id", "text", 8).count()
+    val rowSecs = (System.nanoTime() - t45) / 1e9
+    val t46 = System.nanoTime()
+    val nSigAgg = graft.dedup.Dedup.minhashSignature(
+      bigDocs, "doc_id", "text", 8, graft.dedup.Dedup.fastHash).count()
+    val aggSecs = (System.nanoTime() - t46) / 1e9
+    require(nSigRow == nSigAgg)
+    println(s"""{"metric":"minhash_sig_scale","docs":$nDocs,""" +
+      s""""rowwise_seconds":$rowSecs,"rowwise_docs_per_sec":${(nDocs / rowSecs).toLong},""" +
+      s""""explode_agg_seconds":$aggSecs,"explode_agg_docs_per_sec":${(nDocs / aggSecs).toLong}}""")
+
+    // ---- sequence packing over the replicated corpus ----------------------
+    // packChunks' prefix sum is the two-pass range-partition scan: pass 1
+    // is embarrassingly parallel, pass 2 scans one row per partition — so
+    // throughput should hold as docs × dupFactor grows.
+    val t5 = System.nanoTime()
+    val packed = graft.trainprep.TrainPrep.packChunks(bigDocs, "doc_id", "text", 4096L)
+    val nChunks = packed.agg(max("chunk_end_id")).head().getLong(0) + 1
+    val packSecs = (System.nanoTime() - t5) / 1e9
+    println(s"""{"metric":"pack_chunks_scale","docs":$nDocs,"chunks":$nChunks,""" +
+      s""""seconds":$packSecs,"docs_per_sec":${(nDocs / packSecs).toLong}}""")
+
+    // ---- TF-IDF over the replicated corpus --------------------------------
+    // explode → two hash-aggs → vocab-sized join; shuffle carries tokens,
+    // never document bodies.
+    val t6 = System.nanoTime()
+    val nWeights = graft.trainprep.TrainPrep.tfIdf(bigDocs, "doc_id", "text").count()
+    val tfidfSecs = (System.nanoTime() - t6) / 1e9
+    println(s"""{"metric":"tfidf_scale","docs":$nDocs,"weights":$nWeights,""" +
+      s""""seconds":$tfidfSecs,"docs_per_sec":${(nDocs / tfidfSecs).toLong}}""")
     spark.stop()
   }
 }

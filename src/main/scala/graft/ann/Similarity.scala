@@ -135,7 +135,7 @@ object Similarity {
     df.withColumn("ivf_cell", best.getField("i"))
   }
 
-  private def l2Local(a: Seq[Float], b: Seq[Float]): Double =
+  private[graft] def l2Local(a: Seq[Float], b: Seq[Float]): Double =
     math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
 
   /** Driver-side signature of the query vector — same splitmix planes the

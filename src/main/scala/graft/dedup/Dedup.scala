@@ -62,6 +62,26 @@ object Dedup {
     toks.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
+  /** Zero-shuffle MinHash signatures: the custom codegen'd
+    * [[graft.expressions.MinHashSigs]] expression computes each document's
+    * whole signature in one pass over its text bytes — a pure map, no
+    * explode, no aggregation. Bit-identical to
+    * `minhashSignature(…, hashFn = fastHash)` (spec-asserted), with the
+    * same `mh*` column shape, so it drops into `lshCandidateGroups`
+    * unchanged. The production default at scale; the explode+agg forms
+    * remain the cross-engine-verifiable (md5) and formulation-oracle paths. */
+  def minhashSignatureRowwise(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int): DataFrame = {
+    val sig = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MinHashSigs(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), numHashes))
+    df.select(
+      col(idCol) +: (0 until numHashes).map(i => sig.getItem(i).as(s"mh$i")): _*)
+  }
+
   /** LSH banding over a MinHash signature: groups ids sharing a band hash.
     * Each band is a hash of `rowsPerBand` consecutive signature components;
     * near-duplicates collide in ≥1 band with high probability. Returns
@@ -130,8 +150,16 @@ object Dedup {
     */
   def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      hashFn: (Column, Int) => Column = oracleHash): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, numHashes, hashFn)
+      hashFn: (Column, Int) => Column = oracleHash): DataFrame =
+    nearDupKeepersFromSigs(df, minhashSignature(df, idCol, textCol, numHashes, hashFn),
+      idCol, textCol, numHashes, rowsPerBand, threshold)
+
+  /** `nearDupKeepers` with the signature step supplied by the caller —
+    * e.g. `minhashSignatureRowwise` (zero-shuffle custom expression) or a
+    * signature table persisted by an earlier pipeline stage. */
+  def nearDupKeepersFromSigs(df: DataFrame, sig: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

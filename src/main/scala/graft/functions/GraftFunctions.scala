@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2}
+import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2, MinHashSigs}
 
 /** SQL surface for the engine's custom expressions: after `register`,
   * `spark.sql("SELECT vec_cosine(a, b) ...")` resolves to the fused
@@ -18,5 +18,8 @@ object GraftFunctions {
       exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_l2",
       exprs => FloatVecL2(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("minhash_sigs",
+      exprs => MinHashSigs(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -1,0 +1,65 @@
+package graft.ann
+
+import graft.SparkSpec
+
+/** Measured recall@10 of the approximate ANN paths against brute force at a
+  * fixed seed — the quality numbers behind the q_ann_lsh / q_ann_ivf
+  * rows-only demos (their exact-recall configurations are oracle-gated as
+  * q_ann_lsh_exact / q_ann_ivf_exact). Also demonstrates that k-means
+  * refinement of the IVF codebook does not degrade — and typically
+  * improves — recall over the raw id-ordered seeds. */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 16
+  private val N = 400
+
+  // deterministic clustered corpus: 8 cluster centers + small jitter, so
+  // an IVF codebook has real structure to find
+  private val vecs: Seq[(Long, Seq[Float])] = (0L until N).map { i =>
+    val r = new scala.util.Random(1000 + i)
+    val center = (i % 8).toInt
+    i -> Seq.tabulate(Dim) { d =>
+      (if (d % 8 == center) 1f else 0f) + (r.nextFloat() - 0.5f) * 1.2f
+    }
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding").cache()
+
+  private def recallAt10(approx: Seq[Long], exact: Seq[Long]): Double =
+    approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+
+  private def exactTop10(q: Seq[Float]): Seq[Long] =
+    Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+
+  test("LSH multi-probe recall@10 >= 0.8 averaged over 20 queries") {
+    val recalls = (0 until 20).map { qi =>
+      val q = vecs(qi * 17 % N)._2
+      val approx = Similarity.lshTopK(df, "vec_id", "embedding", q,
+        dim = Dim, k = 10, nBits = 12, maxHammingProbe = 4)
+        .collect().map(_.getLong(0)).toSeq
+      recallAt10(approx, exactTop10(q))
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH recall@10 (nBits=12, probe<=4): $mean%.3f")
+    assert(mean >= 0.8, s"LSH recall@10 $mean below 0.8")
+  }
+
+  test("IVF recall@10 >= 0.9 with k-means-refined codebook; refinement does not hurt") {
+    def ivfRecall(iters: Int): Double = {
+      val recalls = (0 until 20).map { qi =>
+        val q = vecs(qi * 13 % N)._2
+        val approx = Similarity.ivfTopK(df, "vec_id", "embedding", q,
+          k = 10, nCentroids = 8, nProbe = 2, kmeansIters = iters)
+          .collect().map(_.getLong(0)).toSeq
+        recallAt10(approx, exactTop10(q))
+      }
+      recalls.sum / recalls.size
+    }
+    val raw = ivfRecall(0)
+    val refined = ivfRecall(3)
+    info(f"IVF recall@10 (8 cells, probe 2): seeds=$raw%.3f kmeans3=$refined%.3f")
+    assert(refined >= 0.9, s"refined IVF recall@10 $refined below 0.9")
+    assert(refined >= raw - 0.05, "k-means refinement degraded recall")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ann.Similarity
+
+/** The at-scale ANN claims, asserted on the physical plan: a probe query
+  * reads only the probed cells' files (partition pruning), and its result
+  * equals brute force restricted to those cells. */
+class EmbeddingLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private lazy val vecs: Seq[(Long, Seq[Float])] = (0L until 200L).map { i =>
+    val r = new scala.util.Random(i)
+    i -> Seq.fill(Dim)(r.nextFloat() * 2 - 1)
+  }
+
+  test("probe query prunes partitions to the probed cells and reranks exactly") {
+    val path = Files.createTempDirectory("embedding_lake").toString + "/emb"
+    val df = vecs.toDF("vec_id", "embedding")
+    val codebook = EmbeddingLake.writePartitioned(
+      df, "vec_id", "embedding", path, nCentroids = 8, kmeansIters = 1)
+
+    val q = vecs(5)._2
+    val probed = EmbeddingLake.probeTopK(spark, path, codebook,
+      "vec_id", "embedding", q, k = 5, nProbe = 2)
+
+    // pruning: the probe plan lists strictly fewer files than the full scan
+    val allFiles = EmbeddingLake.filesRead(EmbeddingLake.read(spark, path))
+    val probeFiles = EmbeddingLake.filesRead(probed)
+    assert(probeFiles < allFiles,
+      s"probe read $probeFiles of $allFiles files - no pruning happened")
+    // 8 cells, 2 probed: at one file per cell partition this is 1/4
+    assert(probeFiles <= allFiles / 2)
+
+    // correctness: equals brute force over the probed cells
+    val probes = codebook.indices
+      .sortBy(i => Similarity.l2Local(q, codebook(i))).take(2)
+    val expected = Similarity.bruteForceTopK(
+      Similarity.withIvfCell(df, "embedding", codebook)
+        .filter(col("ivf_cell").isin(probes: _*)),
+      "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed.collect().map(_.getLong(0)).toSeq == expected)
+  }
+
+  test("rowwise minhash signing is shuffle-free (pure map)") {
+    val docs = vecs.map { case (i, _) => (i, s"tok$i common words here") }
+      .toDF("doc_id", "text")
+    val plan = graft.dedup.Dedup.minhashSignatureRowwise(docs, "doc_id", "text", 8)
+    assert(SeriesLake.isShuffleFree(plan), "rowwise signatures must not shuffle")
+    // while the explode+agg form does shuffle (one partial-agg row per doc)
+    val agg = graft.dedup.Dedup.minhashSignature(docs, "doc_id", "text", 8,
+      graft.dedup.Dedup.fastHash)
+    assert(!SeriesLake.isShuffleFree(agg))
+  }
+}
