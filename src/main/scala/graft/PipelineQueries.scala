@@ -206,12 +206,8 @@ object PipelineQueries {
     // that regime is covered by q_dedup_keepers, whose oracle replicates
     // the same md5 banding bit for bit.
     "q_dedup_keepers_fast" -> QueryDef(
-      (s, dir) => {
-        val docs = docsWithDups(s, dir)
-        Dedup.nearDupKeepersFromSigs(docs,
-          Dedup.minhashSignatureRowwise(docs, "doc_id", "text", 4),
-          "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 1.0)
-      },
+      (s, dir) => Dedup.nearDupKeepersRowwise(docsWithDups(s, dir),
+        "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 1.0),
       Some(keepersOracleSqlAt("1.0"))),
 
     // ---- similarity search: exact brute-force cosine top-k ----------------

@@ -148,11 +148,57 @@ object Dedup {
     * band hashes / ids, so the plan is shuffle-bounded by candidate volume,
     * not corpus².
     */
+  /** Collapse exact duplicates to their group-min representative, run
+    * `pipeline` over the unique texts only, fan the result back out.
+    *
+    * Semantics-preserving for any text-determined keeper pipeline:
+    * identical texts have identical signatures, hence identical bucket
+    * membership and identical verification outcomes, so a group behaves
+    * exactly like its representative and the final keeper of every doc is
+    * `keeper(rep(doc))` (reps are group minima, so keeper_rep ≤ rep ≤ id).
+    *
+    * The scale property this buys: an exact-duplicate cluster of size n
+    * would otherwise sit in every one of its LSH buckets as an n-clique —
+    * C(n,2) candidate pairs, each verified by a token-intersection join.
+    * Collapsing first makes candidate volume a function of UNIQUE-text
+    * structure; replication factor (the dominant redundancy in crawled
+    * corpora) costs one digest groupBy + two digest joins, never n².
+    */
+  private def collapsedRun(df: DataFrame, idCol: String, textCol: String)(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val hashed = df.select(col(idCol), col(textCol),
+      sha2(col(textCol), 256).as("__h"))
+    // all texts in a group are identical, so first(text) is deterministic
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as(textCol))
+    val reps = groups.select(col("__rep").as(idCol), col(textCol))
+    val keepersRep = pipeline(reps)
+      .select(col("doc_id").as("__rep"), col("keeper_id"))
+    hashed.select(col(idCol), col("__h"))
+      .join(groups.select(col("__h"), col("__rep")), "__h")
+      .join(keepersRep, "__rep")
+      .select(col(idCol).as("doc_id"), col("keeper_id"))
+  }
+
   def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
       hashFn: (Column, Int) => Column = oracleHash): DataFrame =
-    nearDupKeepersFromSigs(df, minhashSignature(df, idCol, textCol, numHashes, hashFn),
-      idCol, textCol, numHashes, rowsPerBand, threshold)
+    collapsedRun(df, idCol, textCol) { reps =>
+      nearDupKeepersFromSigs(reps,
+        minhashSignature(reps, idCol, textCol, numHashes, hashFn),
+        idCol, textCol, numHashes, rowsPerBand, threshold)
+    }
+
+  /** `nearDupKeepers` signed by the zero-shuffle rowwise expression
+    * (xxhash64 family) — the production-default combination: exact-dup
+    * collapse, pure-map signatures, bucket-bounded verification. */
+  def nearDupKeepersRowwise(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    collapsedRun(df, idCol, textCol) { reps =>
+      nearDupKeepersFromSigs(reps,
+        minhashSignatureRowwise(reps, idCol, textCol, numHashes),
+        idCol, textCol, numHashes, rowsPerBand, threshold)
+    }
 
   /** `nearDupKeepers` with the signature step supplied by the caller —
     * e.g. `minhashSignatureRowwise` (zero-shuffle custom expression) or a
@@ -231,15 +277,20 @@ object Dedup {
     * wants. */
   def nearDupKeepersTransitive(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, threshold: Double, maxIter: Int = 10,
-      hashFn: (Column, Int) => Column = oracleHash): DataFrame = {
-    val direct = nearDupKeepers(df, idCol, textCol, numHashes, rowsPerBand, threshold, hashFn)
-    val edges = direct.filter(col("doc_id") =!= col("keeper_id"))
-      .select(col("keeper_id").as("src"), col("doc_id").as("dst"))
-    val comps = connectedComponents(edges, "src", "dst", maxIter)
-    df.select(col(idCol).as("doc_id"))
-      .join(comps, col("doc_id") === comps("id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper_id"))
-  }
+      hashFn: (Column, Int) => Column = oracleHash): DataFrame =
+    collapsedRun(df, idCol, textCol) { reps =>
+      // CC runs over UNIQUE-text edges (collapsedRun fans groups back out):
+      // exact-dup clusters never enter the graph, only cross-text links
+      val direct = nearDupKeepersFromSigs(reps,
+        minhashSignature(reps, idCol, textCol, numHashes, hashFn),
+        idCol, textCol, numHashes, rowsPerBand, threshold)
+      val edges = direct.filter(col("doc_id") =!= col("keeper_id"))
+        .select(col("keeper_id").as("src"), col("doc_id").as("dst"))
+      val comps = connectedComponents(edges, "src", "dst", maxIter)
+      reps.select(col(idCol).as("doc_id"))
+        .join(comps, col("doc_id") === comps("id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper_id"))
+    }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` (exact verifier
     * for small n / within-ANN-bucket use). */
