@@ -86,17 +86,28 @@ object Dedup {
     * Each band is a hash of `rowsPerBand` consecutive signature components;
     * near-duplicates collide in ≥1 band with high probability. Returns
     * (band, band_hash, ids) candidate groups with >1 member. */
-  def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), sha2(concat_ws("|", cols: _*), 256).as("band_hash"))
     }
-    sig
+    val groups = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bh"))
       .groupBy(col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
+    // Mega-bucket guard (opt-in): with exact dups collapsed upstream, a
+    // bucket of size n is n DISTINCT texts sharing a band — n² verify
+    // pairs. Boilerplate/template spam produces buckets of 10⁵+ distinct
+    // near-identical docs, and one such bucket is a corpus²-shaped task.
+    // Production pipelines cap or sample these; the cap here DROPS the
+    // bucket loudly (count logged by callers via `n > maxBucketSize`
+    // inspection) rather than silently truncating its membership, so a
+    // capped run under-merges (never wrongly merges).
+    if (maxBucketSize == Int.MaxValue) groups
+    else groups.filter(col("n") <= maxBucketSize)
   }
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd native

@@ -90,4 +90,15 @@ class DedupSpec extends SparkSpec {
     // docs 1 and 2 are identical → some band groups them
     assert(groups.exists(r => r.getSeq[Long](2).containsSlice(Seq(1L, 2L))))
   }
+
+  test("lshCandidateGroups mega-bucket cap drops oversize buckets whole") {
+    val sig = Dedup.minhashSignature(corpus, "doc_id", "text", 8)
+    val all = Dedup.lshCandidateGroups(sig, "doc_id", 8, 2).collect()
+    val maxN = all.map(_.getLong(3)).max
+    val capped = Dedup.lshCandidateGroups(sig, "doc_id", 8, 2,
+      maxBucketSize = (maxN - 1).toInt).collect()
+    // buckets above the cap vanish entirely (under-merge, never truncate)
+    assert(capped.forall(_.getLong(3) < maxN))
+    assert(capped.length == all.count(_.getLong(3) < maxN))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-style invariants over generated corpora. ScalaCheck drives the
+  * DATA generation (one fixed-seed sample per test, evaluated in a single
+  * Spark job — per-case forAll would spin hundreds of jobs); the asserted
+  * properties hold for every generated row. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // strings over a space-heavy alphabet: empties, runs of spaces, unicode
+  private val textGen: Gen[String] = Gen.chooseNum(0, 40).flatMap { len =>
+    Gen.listOfN(len, Gen.frequency(
+      4 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('é'),
+      1 -> Gen.oneOf('.', ',', '!', '-'))).map(_.mkString)
+  }
+
+  test("property: rowwise minhash == explode+agg minhash on arbitrary text") {
+    val docs = sample(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = graft.dedup.Dedup.minhashSignature(docs, "doc_id", "text", 4,
+        graft.dedup.Dedup.fastHash)
+      .orderBy("doc_id").collect().map(r => (1 to 4).map(r.getLong))
+    val b = graft.dedup.Dedup.minhashSignatureRowwise(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(r => (1 to 4).map(r.getLong))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("property: packChunks offsets are contiguous and chunk ids consistent") {
+    val budget = 64L
+    val docs = sample(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = graft.trainprep.TrainPrep.packChunks(docs, "doc_id", "text", budget)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id")
+      .collect()
+    var expectedOffset = 0L
+    rows.foreach { r =>
+      val (n, start, cid, cend) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(start == expectedOffset, s"doc ${r.getLong(0)} offset gap")
+      assert(cid == start / budget)
+      assert(cend == math.max(start, start + n - 1) / budget)
+      assert(cend >= cid)
+      expectedOffset = start + n
+    }
+  }
+
+  test("property: right-closed bucket contains its timestamp and aligns to step") {
+    val stepNs = 900L * 1000000000L
+    val tsGen = Gen.chooseNum(0L, 4102444800L * 1000000000L) // to year 2100
+    val ts = sample(tsGen, 500).toDF("ns")
+    val out = ts.select(col("ns"),
+        TimeSeriesOps.bucketRightClosedNs(col("ns"), 900).as("bucket"))
+      .collect()
+    out.foreach { r =>
+      val (ns, b) = (r.getLong(0), r.getLong(1))
+      assert(b % stepNs == 0, "bucket label must align to the step grid")
+      assert(b - ns >= 0 && b - ns < stepNs, "ts must fall in (b-step, b]")
+    }
+  }
+
+  test("property: redaction output never matches the PII patterns (idempotent)") {
+    val piiGen: Gen[String] = for {
+      pre <- textGen
+      user <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      mid <- textGen
+      d <- Gen.listOfN(7, Gen.numChar).map(_.mkString)
+    } yield s"$pre $user@host$mid.org $mid ${d.take(3)}-${d.drop(3)}"
+    val docs = sample(piiGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = docs.select(col("doc_id"),
+      graft.trainprep.TrainPrep.redactPii(col("text")).as("r1"))
+    val twice = once.select(col("doc_id"),
+      col("r1"), graft.trainprep.TrainPrep.redactPii(col("r1")).as("r2"))
+    val rows = twice.collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2), "redaction must be idempotent")
+      assert(!r.getString(1).matches(s".*${graft.trainprep.TrainPrep.PhonePattern}.*"))
+    }
+  }
+}
