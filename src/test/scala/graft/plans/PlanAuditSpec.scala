@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** README "Scale posture" claims as executable assertions: the plans the
+  * engine promises are the plans Catalyst actually produces on the driver's
+  * testdata. Each check runs the query (AQE finalizes plans at runtime) and
+  * then inspects the executed plan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, Sf)
+    df.collect() // finalize AQE
+    // AQE's toString prints "== Final Plan ==" followed by the pre-adaptive
+    // "== Initial Plan ==" — only the final section is the plan that ran
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q_s1_range_scan pushes the time-range predicate into the parquet scan") {
+    val plan = executedPlan("q_s1_range_scan")
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert("PushedFilters: \\[[^\\]]*GreaterThan".r.findFirstIn(plan).nonEmpty
+      || "PushedFilters: \\[[^\\]]*ThanOrEqual".r.findFirstIn(plan).nonEmpty,
+      "range predicate must reach the scan:\n" + plan.take(800))
+  }
+
+  test("q3_shipping broadcasts its dimension tables") {
+    val plan = executedPlan("q3_shipping")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q_topk plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("GlobalSort"), plan.take(800))
+  }
+
+  test("q_knn_cosine reranks with TakeOrdered over the fused cosine (no global sort)") {
+    val plan = executedPlan("q_knn_cosine")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("vec_cosine") || plan.contains("FloatVecCosine"),
+      "fused cosine expression must appear in the plan:\n" + plan.take(800))
+  }
+
+  test("q_dedup_exact is a single digest shuffle with map-side partials") {
+    val plan = executedPlan("q_dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "exact dedup must shuffle exactly once, on the digest:\n" + plan.take(1200))
+    assert(plan.contains("HashAggregate"), "digest groupBy must hash-aggregate")
+  }
+
+  test("q_sample_hash scan reads only the projected columns") {
+    val plan = executedPlan("q_sample_hash")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.nonEmpty, plan.take(800))
+    assert(read.get.split(",").length == 2 && read.get.contains("doc_id")
+      && read.get.contains("source"),
+      s"expected 2-column ReadSchema, got ${read.get}")
+  }
+
+  test("q_a2_resample partially aggregates map-side before its one shuffle") {
+    val plan = executedPlan("q_a2_resample")
+    assert("partial_".r.findFirstIn(plan).nonEmpty
+      || plan.contains("HashAggregate"), plan.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "resample must shuffle exactly once:\n" + plan.take(1200))
+  }
+
+  test("q_dedup_keepers_fast signs without shuffling (rowwise expression inside)") {
+    val df = graft.SparkEntry.queries("q_dedup_keepers_fast")(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_sigs"),
+      "zero-shuffle signature expression must appear:\n" + plan.take(1200))
+  }
+}
