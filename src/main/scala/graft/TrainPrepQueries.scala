@@ -85,7 +85,8 @@ object TrainPrepQueries {
               |  FROM tokc)
               |SELECT doc_id, n_tokens, (cum_tokens - n_tokens) AS start_offset,
               |  floor((cum_tokens - n_tokens) / 4096.0)::BIGINT AS chunk_id,
-              |  floor((cum_tokens - 1) / 4096.0)::BIGINT AS chunk_end_id
+              |  floor(greatest(cum_tokens - 1, cum_tokens - n_tokens) / 4096.0)::BIGINT
+              |    AS chunk_end_id
               |FROM cum""".stripMargin)),
 
     // ---- corpus composition: filter → dedup → per-source stats -----------

@@ -103,12 +103,22 @@ object Dedup {
     // pairs. Boilerplate/template spam produces buckets of 10⁵+ distinct
     // near-identical docs, and one such bucket is a corpus²-shaped task.
     // Production pipelines cap or sample these; the cap here DROPS the
-    // bucket loudly (count logged by callers via `n > maxBucketSize`
-    // inspection) rather than silently truncating its membership, so a
-    // capped run under-merges (never wrongly merges).
+    // bucket WHOLE, so a capped run under-merges (never wrongly merges a
+    // truncated membership). What was dropped stays inspectable through
+    // `oversizeBuckets` — run it alongside a capped job and log/route the
+    // result; a silent cap would read as "covered everything" when it
+    // didn't.
     if (maxBucketSize == Int.MaxValue) groups
     else groups.filter(col("n") <= maxBucketSize)
   }
+
+  /** The buckets a `maxBucketSize`-capped run drops: same banding, size
+    * above the cap. Dimension-sized (one row per oversize bucket) — cheap
+    * to count/log next to the capped pipeline. */
+  def oversizeBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int, maxBucketSize: Int): DataFrame =
+    lshCandidateGroups(sig, idCol, numHashes, rowsPerBand)
+      .filter(col("n") > maxBucketSize)
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd native
     * hash — the throughput path; the md5-nibble variant in PipelineQueries
@@ -177,8 +187,14 @@ object Dedup {
     */
   private def collapsedRun(df: DataFrame, idCol: String, textCol: String)(
       pipeline: DataFrame => DataFrame): DataFrame = {
+    // NULL-text docs must survive the fan-out joins (NULL = NULL never
+    // matches an equi-join) AND must not merge with each other — the
+    // uncollapsed pipeline leaves them as keeper-of-self singletons (no
+    // tokens → no signature → no bucket). A per-id sentinel key keeps each
+    // one its own group, preserving that contract exactly.
     val hashed = df.select(col(idCol), col(textCol),
-      sha2(col(textCol), 256).as("__h"))
+      coalesce(sha2(col(textCol), 256),
+        concat(lit("__null__"), col(idCol).cast("string"))).as("__h"))
     // all texts in a group are identical, so first(text) is deterministic
     val groups = hashed.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as(textCol))
@@ -204,11 +220,12 @@ object Dedup {
     * (xxhash64 family) — the production-default combination: exact-dup
     * collapse, pure-map signatures, bucket-bounded verification. */
   def nearDupKeepersRowwise(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     collapsedRun(df, idCol, textCol) { reps =>
       nearDupKeepersFromSigs(reps,
         minhashSignatureRowwise(reps, idCol, textCol, numHashes),
-        idCol, textCol, numHashes, rowsPerBand, threshold)
+        idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
     }
 
   /** `nearDupKeepers` with the signature step supplied by the caller —
@@ -216,8 +233,8 @@ object Dedup {
     * signature table persisted by an earlier pipeline stage. */
   def nearDupKeepersFromSigs(df: DataFrame, sig: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
-    val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand)
+      threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))

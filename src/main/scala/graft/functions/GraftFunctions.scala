@@ -19,7 +19,18 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("vec_l2",
       exprs => FloatVecL2(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("minhash_sigs",
-      exprs => MinHashSigs(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      exprs => {
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Number => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_sigs(text, numHashes): numHashes must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_sigs(text, numHashes): numHashes must be a literal (foldable), " +
+              "got a non-constant expression")
+        }
+        MinHashSigs(exprs(0), n)
+      }, "built-in")
   }
 }

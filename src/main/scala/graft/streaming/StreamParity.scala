@@ -43,11 +43,19 @@ object StreamParity {
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     spark.catalog.dropTempView(name) // no-op when absent
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // A streaming query instantiates one state store per shuffle partition
+    // at EVERY stateful operator — for these single-file parity runs 32
+    // stores are pure setup cost. The partition count is captured from the
+    // session conf at query start, so narrow it just for the start call.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     q.stop()
     spark.table(name)

@@ -32,8 +32,10 @@ object TrainPrep {
     * bounded by (docs × distinct-tokens-per-doc), the same as the MinHash
     * signature pass. */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // N as a broadcast 1-row frame keeps the whole thing one lazy plan (no
-    // eager driver count) — the corpus is scanned once, not twice
+    // N as a broadcast 1-row frame keeps the whole thing one LAZY plan (no
+    // eager driver action at definition time). The N branch is still a
+    // second scan of the corpus in the plan; at real scale persist `docs`
+    // (or supply N from table metadata) before calling.
     val nDf = docs.agg(countDistinct(col(idCol)).as("__n"))
     val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
@@ -98,6 +100,10 @@ object TrainPrep {
     cum
       .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))
       .withColumn("chunk_id", floor(col("start_offset") / budgetTokens))
-      .withColumn("chunk_end_id", floor((col("cum_tokens") - 1) / budgetTokens))
+      // a zero-token doc spans no tokens: its "last token" clamps to its
+      // start offset so chunk_end_id == chunk_id (never -1 / never below
+      // chunk_id when the offset sits exactly on a budget boundary)
+      .withColumn("chunk_end_id",
+        floor(greatest(col("cum_tokens") - 1, col("start_offset")) / budgetTokens))
   }
 }

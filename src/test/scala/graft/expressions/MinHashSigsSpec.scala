@@ -61,6 +61,16 @@ class MinHashSigsSpec extends SparkSpec {
     assert(n.forall(_ == 4))
   }
 
+  test("null-text docs survive the collapse fan-out as keeper-of-self singletons") {
+    val d = Seq((1L, Option("a b")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (4L, Option("a b"))).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.nearDupKeepers(d, "doc_id", "text", 4, 2, 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every input doc must be emitted")
+    assert(out(2L) == 2L && out(3L) == 3L, "null texts never merge")
+    assert(out(4L) == 1L, "exact dups still collapse")
+  }
+
   test("keepers via rowwise signatures match keepers via explode+agg") {
     val dup = docs.unionByName(
       docs.filter(col("doc_id") <= 2).withColumn("doc_id", col("doc_id") + 100))

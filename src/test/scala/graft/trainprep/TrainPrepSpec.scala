@@ -63,4 +63,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows(1) == ((2L, 4L, 5L, 0L, 1L))) // spans chunks 0 and 1
     assert(rows(2) == ((3L, 2L, 9L, 1L, 1L)))
   }
+
+  test("packChunks clamps zero-token docs to their own chunk (never -1)") {
+    val d = Seq(
+      (1L, ""), // 0 tokens at offset 0: end id must clamp to chunk 0
+      (2L, Seq.fill(8)("w").mkString(" ")), // fills chunk 0 exactly
+      (3L, ""), // 0 tokens exactly ON the budget boundary (offset 8)
+      (4L, "w")
+    ).toDF("doc_id", "text")
+    val rows = TrainPrep.packChunks(d, "doc_id", "text", 8L)
+      .orderBy("doc_id").select("doc_id", "chunk_id", "chunk_end_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows(0) == ((1L, 0L, 0L)))
+    assert(rows(2) == ((3L, 1L, 1L))) // not (1, 0)
+    rows.foreach { case (_, cid, cend) => assert(cend >= cid) }
+  }
 }
