@@ -130,7 +130,7 @@ object TimeSeriesOps {
       .select(col("__pid"), col("__off"))
     withLocal.join(broadcast(offsets), Seq("__pid"))
       .withColumn(out, col("__local") + col("__off"))
-      .drop("__pid", "__local")
+      .drop("__pid", "__local", "__off")
   }
 
   /** Normalized cumulative fraction (A5): `cum/total` when total > 0 else 0

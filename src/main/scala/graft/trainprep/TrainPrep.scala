@@ -105,5 +105,6 @@ object TrainPrep {
       // chunk_id when the offset sits exactly on a budget boundary)
       .withColumn("chunk_end_id",
         floor(greatest(col("cum_tokens") - 1, col("start_offset")) / budgetTokens))
+      .select(idCol, "n_tokens", "start_offset", "chunk_id", "chunk_end_id")
   }
 }

@@ -1,0 +1,42 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end corpus-prep CLI over the driver's real documents table:
+  * filter → sample → redact → near-dedup → pack, then the stats contract. */
+class CorpusPrepSpec extends SparkSpec {
+
+  test("full pipeline runs end-to-end and reports consistent stats") {
+    val out = Files.createTempDirectory("corpus_prep").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> "/root/testdata/sf0.001/documents.parquet",
+      "out" -> out,
+      "lang" -> "en",
+      "min-quality" -> "0.4",
+      "redact" -> "true",
+      "dedup" -> "near",
+      "budget" -> "512"))
+    assert(stats("docs_in") > 0)
+    assert(stats("docs_out") > 0 && stats("docs_out") <= stats("docs_in"))
+    assert(stats("chunks") > 0)
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.count() == stats("docs_out"))
+    assert(chunks.columns.toSet ==
+      Set("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"))
+  }
+
+  test("exact dedup stage removes the duplicates a shifted copy introduces") {
+    val out = Files.createTempDirectory("corpus_prep2").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 1000000L))
+    val in = Files.createTempDirectory("corpus_in").toString + "/docs.parquet"
+    dup.write.parquet(in)
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> in, "out" -> out, "dedup" -> "exact"))
+    assert(stats("docs_in") == 2 * base.count())
+    assert(stats("docs_out") == base.count())
+  }
+}
