@@ -231,7 +231,11 @@ object Dedup {
   /** `nearDupKeepers` with the signature step supplied by the caller —
     * e.g. `minhashSignatureRowwise` (zero-shuffle custom expression) or a
     * signature table persisted by an earlier pipeline stage. */
-  def nearDupKeepersFromSigs(df: DataFrame, sig: DataFrame, idCol: String,
+  /** All Jaccard-verified near-dup pairs (id_a < id_b) among the LSH
+    * candidates — the edge set both keeper variants reduce. The n² work is
+    * confined to bucket-local pairs; intersections come from an (id, tok)
+    * equi-join, never a tokensA × tokensB cross product. */
+  def verifiedNearDupPairs(df: DataFrame, sig: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int,
       threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
@@ -242,16 +246,22 @@ object Dedup {
     val toks = df.select(col(idCol).as("__id"),
       explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("sz"))
-    // equi-join on (id, tok) both sides: intersection size per pair without
-    // ever materializing the tokensA × tokensB cross product
     val inter = cand
       .join(toks.select(col("__id").as("id_a"), col("tok")), Seq("id_a"))
       .join(toks.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val verified = inter
+    inter
       .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  def nearDupKeepersFromSigs(df: DataFrame, sig: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, rowsPerBand: Int,
+      threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val verified = verifiedNearDupPairs(df, sig, idCol, textCol,
+        numHashes, rowsPerBand, threshold, maxBucketSize)
       .select(col("id_b").as("dup_id"), col("id_a").as("cand_keeper"))
     df.select(col(idCol).as("doc_id"))
       .join(verified.groupBy("dup_id").agg(min("cand_keeper").as("keeper")),
@@ -308,13 +318,17 @@ object Dedup {
       hashFn: (Column, Int) => Column = oracleHash): DataFrame =
     collapsedRun(df, idCol, textCol) { reps =>
       // CC runs over UNIQUE-text edges (collapsedRun fans groups back out):
-      // exact-dup clusters never enter the graph, only cross-text links
-      val direct = nearDupKeepersFromSigs(reps,
+      // exact-dup clusters never enter the graph, only cross-text links.
+      // Edges are ALL verified pairs — reducing to per-doc min-neighbor
+      // keepers first would lose links whose only verified neighbors have
+      // larger ids (A≈C, B≈C with A<B<C: keeper edges give only A—C,
+      // leaving B out of the component its own doc promises it joins).
+      val pairs = verifiedNearDupPairs(reps,
         minhashSignature(reps, idCol, textCol, numHashes, hashFn),
         idCol, textCol, numHashes, rowsPerBand, threshold)
-      val edges = direct.filter(col("doc_id") =!= col("keeper_id"))
-        .select(col("keeper_id").as("src"), col("doc_id").as("dst"))
-      val comps = connectedComponents(edges, "src", "dst", maxIter)
+      val comps = connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        "src", "dst", maxIter)
       reps.select(col(idCol).as("doc_id"))
         .join(comps, col("doc_id") === comps("id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper_id"))
