@@ -180,6 +180,41 @@ object ScaleSmoke {
     val tfidfSecs = (System.nanoTime() - t6) / 1e9
     println(s"""{"metric":"tfidf_scale","docs":$nDocs,"weights":$nWeights,""" +
       s""""seconds":$tfidfSecs,"docs_per_sec":${(nDocs / tfidfSecs).toLong}}""")
+
+    // ---- Structured Streaming machinery throughput ------------------------
+    // A multi-batch backfill through a stateful aggregation: 4M events in
+    // 8 files, one file per micro-batch (forces 8 state-store commit
+    // cycles), complete-mode per-user running sums — the §2.9 cron-replay
+    // posture under measurement, not just parity-testing.
+    val streamDir = java.nio.file.Files.createTempDirectory("stream_scale").toString
+    val nEvents = 4000000L * mult
+    spark.range(nEvents)
+      .select(col("id").as("event_id"),
+        (lit(1700000000000000000L) + col("id") * 1000000L).as("ts"),
+        pmod(col("id"), lit(50000)).as("user_id"),
+        (rand(7) * 10).as("value"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$streamDir/in")
+    val t7 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/in")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val q = stream.writeStream
+      .format("memory").queryName("stream_scale")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamSecs = (System.nanoTime() - t7) / 1e9
+    val nUsers = spark.table("stream_scale").count()
+    val nBatches = q.recentProgress.length
+    q.stop()
+    println(s"""{"metric":"stream_agg_scale","events":$nEvents,"batches":$nBatches,""" +
+      s""""users":$nUsers,"seconds":$streamSecs,""" +
+      s""""events_per_sec":${(nEvents / streamSecs).toLong}}""")
     spark.stop()
   }
 }

@@ -60,12 +60,14 @@ object FloOutputParsers {
     val w = Window.partitionBy("file").orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lines
-      .withColumn("__hdr_elem", when(isHychanHeader, tokens.getItem(5)))
+      .withColumn("__hdr_elem", when(isHychanHeader, get(tokens, lit(5))))
       .withColumn("element", last(col("__hdr_elem"), ignoreNulls = true).over(w))
       .filter(col("element").isNotNull && !isHychanHeader)
       .withColumn("__tok", tokens)
-      .withColumn("step_hours", col("__tok").getItem(0).try_cast("double"))
-      .withColumn("value", col("__tok").getItem(valueIndex).try_cast("double"))
+      // get(), not getItem(): a truncated/garbage line with fewer tokens
+      // than valueIndex must skip (NULL), not abort the job under ANSI
+      .withColumn("step_hours", get(col("__tok"), lit(0)).try_cast("double"))
+      .withColumn("value", get(col("__tok"), lit(valueIndex)).try_cast("double"))
       // data row: first token numeric (reference :489); value numeric (F4)
       .filter(col("step_hours").isNotNull && col("value").isNotNull && !isnan(col("value")))
       .select("file", "element", "step_hours", "value")
@@ -80,12 +82,12 @@ object FloOutputParsers {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok = when(trim(col("line")) === "", 0).otherwise(size(tokens))
     lines
-      .withColumn("__blk_ts", when(nTok === 1, tokens.getItem(0).try_cast("double")))
+      .withColumn("__blk_ts", when(nTok === 1, get(tokens, lit(0)).try_cast("double")))
       .withColumn("step_hours", last(col("__blk_ts"), ignoreNulls = true).over(w))
       .filter(col("step_hours").isNotNull && nTok > 1)
       .withColumn("__tok", tokens)
-      .withColumn("element", col("__tok").getItem(0))
-      .withColumn("value", col("__tok").getItem(valueIndex).try_cast("double"))
+      .withColumn("element", get(col("__tok"), lit(0)))
+      .withColumn("value", get(col("__tok"), lit(valueIndex)).try_cast("double"))
       .filter(col("value").isNotNull && !isnan(col("value")))
       .select("file", "element", "step_hours", "value")
   }
