@@ -100,6 +100,27 @@ object CoreQueries {
              |  AND o_orderdate < TIMESTAMP '1995-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // ---- Q14-shape promo revenue: broadcast part join + conditional agg ---
+    "q14_promo" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(round(
+            sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) * 100.0
+              / sum(rev), 4).as("promo_pct"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+             |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+             |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin)),
+
     // ---- Semi/anti joins (EXISTS / NOT EXISTS without materializing) ------
     "q_semi_anti" -> QueryDef(
       (s, dir) => {
