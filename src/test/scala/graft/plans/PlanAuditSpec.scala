@@ -71,6 +71,30 @@ class PlanAuditSpec extends SparkSpec {
       "resample must shuffle exactly once:\n" + plan.take(1200))
   }
 
+  test("q_s7_hychan windows partition by file - no single-partition sort") {
+    val plan = executedPlan("q_s7_hychan")
+    val windows = "Window .*".r.findAllIn(plan).toSeq ++
+      "RunningWindowFunction.*".r.findAllIn(plan).toSeq
+    // every window spec in the parser plan must carry a partition key
+    "partitionBy=\\[\\]".r.findFirstIn(plan).foreach(_ =>
+      fail("unpartitioned window in parser plan:\n" + plan.take(1200)))
+    assert(plan.contains("file#") || windows.isEmpty, plan.take(400))
+  }
+
+  test("q_deck_raincell computes seq arithmetically - no window at all") {
+    val plan = executedPlan("q_deck_raincell")
+    assert(!plan.contains("Window"),
+      "the 15M-line deck must not funnel through WindowExec:\n" + plan.take(1200))
+  }
+
+  test("q14_promo broadcasts part and prunes the lineitem scan") {
+    val plan = executedPlan("q14_promo")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).nonEmpty
+      || "PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r.findFirstIn(plan).nonEmpty,
+      "shipdate range must reach the scan:\n" + plan.take(1200))
+  }
+
   test("q_dedup_keepers_fast signs without shuffling (rowwise expression inside)") {
     val df = graft.SparkEntry.queries("q_dedup_keepers_fast")(spark, Sf)
     df.collect()
