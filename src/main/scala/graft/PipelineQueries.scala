@@ -58,12 +58,12 @@ object PipelineQueries {
       |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
-  /** Shared oracle for the MinHash→LSH→verify→keeper pipeline: replicates
-    * the md5-banding path; serves the rowwise-signature variant too because
-    * the VERIFIED output is hash-family-agnostic on this corpus (exact
-    * copies always collide; chance collisions are Jaccard-filtered). */
-  private def keepersOracleSqlAt(threshold: String): String =
-    s"""WITH docs AS (SELECT * FROM $dupUnionSql),
+  /** Shared CTE chain (docs → tokens → md5 MinHash → bands → candidates →
+    * Jaccard-verified pairs `ver`) — both keeper oracles and the recursive
+    * CC oracle interpolate this so banding/tokenization changes happen in
+    * one place. */
+  private def verifiedPairsSqlAt(threshold: String): String =
+    s"""docs AS (SELECT * FROM $dupUnionSql),
        |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM docs),
        |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
        |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
@@ -81,10 +81,24 @@ object PipelineQueries {
        |  GROUP BY 1, 2),
        |ver AS (SELECT id_a, id_b FROM inter
        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= $threshold),
+       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= $threshold)""".stripMargin
+
+  private def keepersOracleSqlAt(threshold: String): String =
+    s"""WITH ${verifiedPairsSqlAt(threshold)},
        |keep AS (SELECT id_b AS dup_id, min(id_a) AS keeper FROM ver GROUP BY 1)
        |SELECT d.doc_id AS doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
        |FROM docs d LEFT JOIN keep k ON k.dup_id = d.doc_id""".stripMargin
+
+  private def keepersCcOracleSqlAt(threshold: String): String =
+    s"""WITH RECURSIVE ${verifiedPairsSqlAt(threshold)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+       |  UNION SELECT id_b, id_a FROM ver),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS comp FROM docs
+       |  UNION
+       |  SELECT e.dst AS id, r.comp AS comp
+       |  FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(comp) AS keeper_id FROM reach GROUP BY id""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -218,33 +232,7 @@ object PipelineQueries {
     "q_dedup_keepers_cc" -> QueryDef(
       (s, dir) => Dedup.nearDupKeepersTransitive(docsWithDups(s, dir),
         "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6),
-      Some(s"""WITH RECURSIVE docs AS (SELECT * FROM $dupUnionSql),
-              |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM docs),
-              |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
-              |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS band_hash FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS band_hash FROM sig),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-              |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
-              |inter AS (SELECT c.id_a, c.id_b, count(*) AS n FROM cand c
-              |  JOIN tok ta ON ta.doc_id = c.id_a
-              |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
-              |  GROUP BY 1, 2),
-              |ver AS (SELECT id_a, id_b FROM inter
-              |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-              |  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.6),
-              |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
-              |  UNION SELECT id_b, id_a FROM ver),
-              |reach AS (
-              |  SELECT doc_id AS id, doc_id AS comp FROM docs
-              |  UNION
-              |  SELECT e.dst AS id, r.comp AS comp
-              |  FROM reach r JOIN edges e ON e.src = r.id)
-              |SELECT id AS doc_id, min(comp) AS keeper_id FROM reach GROUP BY id""".stripMargin)),
+      Some(keepersCcOracleSqlAt("0.6"))),
 
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(

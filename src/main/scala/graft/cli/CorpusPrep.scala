@@ -57,16 +57,22 @@ object CorpusPrep {
         docs = docs.join(keepers, idCol)
         0L
       case Some("near") =>
+        // count dropped buckets over the SAME population the pipeline
+        // banded (the collapsed reps), BEFORE dedup removes survivors —
+        // counting afterwards both under- and over-reports
+        val dropped =
+          if (maxBucket == Int.MaxValue) 0L
+          else Dedup.oversizeBuckets(
+            Dedup.minhashSignatureRowwise(
+              Dedup.collapseReps(docs, idCol, textCol), idCol, textCol, 8),
+            idCol, numHashes = 8, rowsPerBand = 2, maxBucket).count()
         val keepers = Dedup.nearDupKeepersRowwise(docs, idCol, textCol,
           numHashes = 8, rowsPerBand = 2, threshold = 0.8,
           maxBucketSize = maxBucket)
         docs = docs.join(
           keepers.filter(col("doc_id") === col("keeper_id"))
             .select(col("doc_id").as(idCol)), idCol)
-        if (maxBucket == Int.MaxValue) 0L
-        else Dedup.oversizeBuckets(
-          Dedup.minhashSignatureRowwise(docs, idCol, textCol, 8),
-          idCol, numHashes = 8, rowsPerBand = 2, maxBucket).count()
+        dropped
       case _ => 0L
     }
 

@@ -20,9 +20,13 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup (hash-groupBy): one keeper (min id) per distinct text.
-    * Returns (text_hash, keeper_id, n_dups). */
+    * Returns (text_hash, keeper_id, n_dups). NULL texts do NOT merge with
+    * each other (sha2(NULL) is NULL and a groupBy would pool them into one
+    * bogus duplicate group): each gets a per-id sentinel hash and stays a
+    * singleton — same contract as the near-dup collapse. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+    df.groupBy(coalesce(sha2(col(textCol), 256),
+        concat(lit("__null__"), col(idCol).cast("string"))).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signature over whitespace tokens: `numHashes` independent
@@ -185,6 +189,19 @@ object Dedup {
     * structure; replication factor (the dominant redundancy in crawled
     * corpora) costs one digest groupBy + two digest joins, never n².
     */
+  /** The exact-dup representative set the collapsed pipelines band over:
+    * one (group-min id, text) row per distinct text, NULL texts kept as
+    * per-id singletons. Public so callers reporting on a capped run (e.g.
+    * `oversizeBuckets`) can inspect the SAME population the pipeline
+    * banded, not the raw rows. */
+  def collapseReps(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol),
+        coalesce(sha2(col(textCol), 256),
+          concat(lit("__null__"), col(idCol).cast("string"))).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as(textCol))
+      .select(col("__rep").as(idCol), col(textCol))
+
   private def collapsedRun(df: DataFrame, idCol: String, textCol: String)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     // NULL-text docs must survive the fan-out joins (NULL = NULL never

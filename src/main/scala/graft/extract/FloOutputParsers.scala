@@ -60,9 +60,14 @@ object FloOutputParsers {
     val w = Window.partitionBy("file").orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lines
-      .withColumn("__hdr_elem", when(isHychanHeader, get(tokens, lit(5))))
+      // a TRUNCATED header (no element token) must invalidate its block,
+      // not let rows fall through to the previous element: carry a sentinel
+      // forward and drop the block's rows below
+      .withColumn("__hdr_elem", when(isHychanHeader,
+        coalesce(get(tokens, lit(5)), lit("__INVALID__"))))
       .withColumn("element", last(col("__hdr_elem"), ignoreNulls = true).over(w))
-      .filter(col("element").isNotNull && !isHychanHeader)
+      .filter(col("element").isNotNull && col("element") =!= "__INVALID__" &&
+        !isHychanHeader)
       .withColumn("__tok", tokens)
       // get(), not getItem(): a truncated/garbage line with fewer tokens
       // than valueIndex must skip (NULL), not abort the job under ANSI
@@ -82,9 +87,13 @@ object FloOutputParsers {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok = when(trim(col("line")) === "", 0).otherwise(size(tokens))
     lines
-      .withColumn("__blk_ts", when(nTok === 1, get(tokens, lit(0)).try_cast("double")))
+      // same invalidation rule: a single-token line that does NOT parse as
+      // a time closes the running block (NaN sentinel) instead of letting
+      // following rows attach to the previous time
+      .withColumn("__blk_ts", when(nTok === 1,
+        coalesce(get(tokens, lit(0)).try_cast("double"), lit(Double.NaN))))
       .withColumn("step_hours", last(col("__blk_ts"), ignoreNulls = true).over(w))
-      .filter(col("step_hours").isNotNull && nTok > 1)
+      .filter(col("step_hours").isNotNull && !isnan(col("step_hours")) && nTok > 1)
       .withColumn("__tok", tokens)
       .withColumn("element", get(col("__tok"), lit(0)))
       .withColumn("value", get(col("__tok"), lit(valueIndex)).try_cast("double"))
@@ -128,11 +137,13 @@ object FloOutputParsers {
       marker = l =>
         if (l.length > 5 && l.startsWith(HychanHeader, 5)) {
           val t = l.trim.split("\\s+")
-          if (t.length > 5) Some(t(5)) else None
+          // truncated header: block INVALIDATED (matches the window path's
+          // sentinel), never attributed to the previous element
+          if (t.length > 5) Some(t(5)) else Some("__INVALID__")
         } else None,
       row = (l, elem) => {
         val t = l.trim.split("\\s+")
-        if (t.length > valueIndex) {
+        if (elem != "__INVALID__" && t.length > valueIndex) {
           val step = toDoubleOrNull(t(0))
           val v = toDoubleOrNull(t(valueIndex))
           if (step != null && v != null && !v.asInstanceOf[Double].isNaN)
@@ -147,12 +158,18 @@ object FloOutputParsers {
     parseWithCarry[java.lang.Double](spark, path,
       marker = l => {
         val t = l.trim.split("\\s+")
-        if (t.length == 1) Option(toDoubleOrNull(t(0)).asInstanceOf[java.lang.Double]).filter(_ => t(0).nonEmpty)
-        else None
+        // unparseable single-token line CLOSES the running block (NaN
+        // sentinel, matching the window path) instead of letting following
+        // rows attach to the previous time
+        if (t.length == 1 && t(0).nonEmpty) {
+          val d = toDoubleOrNull(t(0))
+          Some(java.lang.Double.valueOf(
+            if (d == null) Double.NaN else d.asInstanceOf[Double]))
+        } else None
       },
       row = (l, blk) => {
         val t = l.trim.split("\\s+")
-        if (t.length > valueIndex) {
+        if (!blk.isNaN && t.length > valueIndex) {
           val v = toDoubleOrNull(t(valueIndex))
           if (v != null && !v.asInstanceOf[Double].isNaN)
             Some((t(0), blk.doubleValue(), v.asInstanceOf[Double]))

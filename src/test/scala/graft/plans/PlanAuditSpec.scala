@@ -71,14 +71,17 @@ class PlanAuditSpec extends SparkSpec {
       "resample must shuffle exactly once:\n" + plan.take(1200))
   }
 
-  test("q_s7_hychan windows partition by file - no single-partition sort") {
+  test("q_s7_hychan windows partition by a key - no single-partition sort") {
     val plan = executedPlan("q_s7_hychan")
-    val windows = "Window .*".r.findAllIn(plan).toSeq ++
-      "RunningWindowFunction.*".r.findAllIn(plan).toSeq
-    // every window spec in the parser plan must carry a partition key
-    "partitionBy=\\[\\]".r.findFirstIn(plan).foreach(_ =>
-      fail("unpartitioned window in parser plan:\n" + plan.take(1200)))
-    assert(plan.contains("file#") || windows.isEmpty, plan.take(400))
+    // Window prints `Window [exprs], [partCols], [orderCols]` when
+    // partitioned (two `], [` separators) but `Window [exprs], [orderCols]`
+    // when global (one separator) - every window here must be partitioned
+    val windowLines = plan.split("\n").filter(_.contains("Window ["))
+    assert(windowLines.nonEmpty, "expected Window operators in the parser plan")
+    windowLines.foreach { l =>
+      assert("\\], \\[".r.findAllIn(l).length >= 2,
+        s"unpartitioned (single-partition) window in parser plan: ${l.trim.take(200)}")
+    }
   }
 
   test("q_deck_raincell computes seq arithmetically - no window at all") {
@@ -90,9 +93,10 @@ class PlanAuditSpec extends SparkSpec {
   test("q14_promo broadcasts part and prunes the lineitem scan") {
     val plan = executedPlan("q14_promo")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
-    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).nonEmpty
-      || "PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r.findFirstIn(plan).nonEmpty,
-      "shipdate range must reach the scan:\n" + plan.take(1200))
+    // the RANGE itself must push, not just IsNotNull(l_shipdate)
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(plan).nonEmpty
+      && "LessThan\\(l_shipdate".r.findFirstIn(plan).nonEmpty,
+      "shipdate range bounds must reach the scan:\n" + plan.take(1200))
   }
 
   test("q_dedup_keepers_fast signs without shuffling (rowwise expression inside)") {
