@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   * Each query runs twice — the first pass absorbs JIT/codegen/file-cache
   * warmup, the second is the measured steady-state run (the reference is a
-  * long-lived cron service, so steady-state is the comparable regime). */
+  * long-lived cron service, so steady-state is the comparable regime).
+  *
+  * Measurement is `count()` of the result (kept stable across rounds for
+  * comparability). Caveat: Catalyst may eliminate work under a count — a
+  * left join against a unique-keyed side counts as count(left) without
+  * running the join — so a few queries bench their pruned plans; FULL
+  * materialization of every query is what `Verify` measures and gates. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

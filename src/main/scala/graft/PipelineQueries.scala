@@ -62,8 +62,9 @@ object PipelineQueries {
     * Jaccard-verified pairs `ver`) — both keeper oracles and the recursive
     * CC oracle interpolate this so banding/tokenization changes happen in
     * one place. */
-  private def verifiedPairsSqlAt(threshold: String): String =
-    s"""docs AS (SELECT * FROM $dupUnionSql),
+  private def verifiedPairsSqlAt(threshold: String,
+      docsSql: String = s"SELECT * FROM $dupUnionSql"): String =
+    s"""docs AS ($docsSql),
        |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM docs),
        |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
        |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
@@ -89,8 +90,8 @@ object PipelineQueries {
        |SELECT d.doc_id AS doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id
        |FROM docs d LEFT JOIN keep k ON k.dup_id = d.doc_id""".stripMargin
 
-  private def keepersCcOracleSqlAt(threshold: String): String =
-    s"""WITH RECURSIVE ${verifiedPairsSqlAt(threshold)},
+  private def keepersCcOracleSqlAt(threshold: String, docsSql: String): String =
+    s"""WITH RECURSIVE ${verifiedPairsSqlAt(threshold, docsSql)},
        |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
        |  UNION SELECT id_b, id_a FROM ver),
        |reach AS (
@@ -229,10 +230,18 @@ object PipelineQueries {
     // semantics-neutral here too: in the oracle's full graph every exact
     // group is a j=1 clique, so its components are exactly the engine's
     // rep-level components fanned back out.
+    // Input bounded to the first 1000 ids (+ their shifted dups, same
+    // precedent as q_dedup_minhash's doc_id < 200): the synthetic corpus
+    // is one giant near-identical template cluster (~63% of unique texts
+    // verify against each other), so the unbounded closure demo would
+    // spend a minute verifying C(3161,2) pairs at sf0.1 — exactly the
+    // shape the maxBucketSize cap exists for in production runs.
     "q_dedup_keepers_cc" -> QueryDef(
-      (s, dir) => Dedup.nearDupKeepersTransitive(docsWithDups(s, dir),
+      (s, dir) => Dedup.nearDupKeepersTransitive(
+        docsWithDups(s, dir).filter(col("doc_id") < 1000 || col("doc_id") >= 100000L),
         "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6),
-      Some(keepersCcOracleSqlAt("0.6"))),
+      Some(keepersCcOracleSqlAt("0.6",
+        s"SELECT * FROM $dupUnionSql WHERE doc_id < 1000 OR doc_id >= 100000"))),
 
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(

@@ -301,6 +301,12 @@ object Dedup {
     var labels = sym.select(col("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // labels only ever DECREASE (min-propagation), so the label sum is
+    // strictly monotone until fixpoint: one cheap agg per iteration
+    // replaces a join-diff convergence check (decimal: no wrap collisions)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -311,11 +317,10 @@ object Dedup {
         .unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     // a silent partial result would hand out "keepers" that are not roots —
