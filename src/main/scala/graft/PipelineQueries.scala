@@ -106,7 +106,10 @@ object PipelineQueries {
     // ---- exact dedup: hash-groupBy, one shuffle on the digest ------------
     "q_dedup_exact" -> QueryDef(
       (s, dir) => Dedup.exact(docsWithDups(s, dir), "doc_id", "text"),
-      Some(s"""SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+      // coalesce mirrors the engine's per-id NULL-text sentinel (NULL
+      // texts are singletons, never one pooled NULL group)
+      Some(s"""SELECT coalesce(sha256(text), '__null__' || doc_id) AS text_hash,
+              |  min(doc_id) AS keeper_id, count(*) AS n_dups
               |FROM $dupUnionSql GROUP BY 1""".stripMargin)),
 
     // ---- MinHash signatures (shingle→minhash) ----------------------------

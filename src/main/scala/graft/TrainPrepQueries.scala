@@ -75,8 +75,7 @@ object TrainPrepQueries {
     // ---- concat-then-chunk sequence packing (distributed prefix scan) ----
     "q_pack_chunks" -> QueryDef(
       (s, dir) =>
-        TrainPrep.packChunks(t(s, dir, "documents"), "doc_id", "text", 4096L)
-          .select("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"),
+        TrainPrep.packChunks(t(s, dir, "documents"), "doc_id", "text", 4096L),
       Some(s"""WITH tokc AS (SELECT doc_id, $nTokSql::BIGINT AS n_tokens
               |  FROM documents),
               |cum AS (SELECT doc_id, n_tokens,

@@ -59,7 +59,9 @@ object CorpusPrep {
       case Some("near") =>
         // count dropped buckets over the SAME population the pipeline
         // banded (the collapsed reps), BEFORE dedup removes survivors —
-        // counting afterwards both under- and over-reports
+        // counting afterwards both under- and over-reports. This is a
+        // second collapse+sign+band pass, paid only when --max-bucket is
+        // set: the audit's price for an exact dropped-bucket count.
         val dropped =
           if (maxBucket == Int.MaxValue) 0L
           else Dedup.oversizeBuckets(
@@ -73,7 +75,9 @@ object CorpusPrep {
           keepers.filter(col("doc_id") === col("keeper_id"))
             .select(col("doc_id").as(idCol)), idCol)
         dropped
-      case _ => 0L
+      case Some(other) =>
+        sys.error(s"--dedup must be 'exact' or 'near', got '$other'")
+      case None => 0L
     }
 
     val budget = args.getOrElse("budget", "4096").toLong
@@ -82,8 +86,9 @@ object CorpusPrep {
 
     val written = spark.read.parquet(s"$out/chunks")
     val nOut = written.count()
-    val nChunks = if (nOut == 0) 0L
-      else written.agg(max("chunk_end_id")).head().getLong(0) + 1
+    val maxChunk = written.agg(max("chunk_end_id")).head()
+    val nChunks = if (nOut == 0 || maxChunk.isNullAt(0)) 0L
+      else maxChunk.getLong(0) + 1
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped)
     println(stats.map { case (k, v) => s""""$k":$v""" }

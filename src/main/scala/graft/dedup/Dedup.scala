@@ -19,14 +19,21 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Text digest with a per-id sentinel for NULL texts: NULL texts must
+    * never merge with each other (sha2(NULL) is NULL — a groupBy or
+    * equi-join key would pool them), so each gets its own key. THE one
+    * definition every dedup path keys on — the capped-run audit
+    * (`oversizeBuckets` over `collapseReps`) relies on all paths banding
+    * the identical population. */
+  private def sentinelTextHash(idCol: String, textCol: String): Column =
+    coalesce(sha2(col(textCol), 256),
+      concat(lit("__null__"), col(idCol).cast("string")))
+
   /** Exact dedup (hash-groupBy): one keeper (min id) per distinct text.
-    * Returns (text_hash, keeper_id, n_dups). NULL texts do NOT merge with
-    * each other (sha2(NULL) is NULL and a groupBy would pool them into one
-    * bogus duplicate group): each gets a per-id sentinel hash and stays a
-    * singleton — same contract as the near-dup collapse. */
+    * Returns (text_hash, keeper_id, n_dups). NULL texts stay singletons
+    * (per-id sentinel hash) — same contract as the near-dup collapse. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(coalesce(sha2(col(textCol), 256),
-        concat(lit("__null__"), col(idCol).cast("string"))).as("text_hash"))
+    df.groupBy(sentinelTextHash(idCol, textCol).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signature over whitespace tokens: `numHashes` independent
@@ -97,7 +104,14 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), sha2(concat_ws("|", cols: _*), 256).as("band_hash"))
     }
-    val groups = sig
+    // a row with a NULL signature (NULL-text doc under the rowwise
+    // expression — nullSafeEval yields a NULL array, so every mh is NULL)
+    // has no bucket; without this filter ALL such rows would share the one
+    // sha2(concat_ws of nulls) = sha2('') bucket and pair quadratically.
+    // (The explode-based signature path never emits such rows at all.)
+    val signedOnly = sig.filter(
+      (0 until numHashes).map(i => col(s"mh$i").isNotNull).reduce(_ && _))
+    val groups = signedOnly
       .select(col(idCol), explode(array(bandStructs: _*)).as("bh"))
       .groupBy(col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
@@ -195,26 +209,28 @@ object Dedup {
     * `oversizeBuckets`) can inspect the SAME population the pipeline
     * banded, not the raw rows. */
   def collapseReps(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol),
-        coalesce(sha2(col(textCol), 256),
-          concat(lit("__null__"), col(idCol).cast("string"))).as("__h"))
-      .groupBy(col("__h"))
-      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as(textCol))
+    collapseGroups(df, idCol, textCol)._2
       .select(col("__rep").as(idCol), col(textCol))
+
+  /** (hashed rows with `__h`, groups keyed `__h` with `__rep` + text). */
+  private def collapseGroups(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val hashed = df.select(col(idCol), col(textCol),
+      sentinelTextHash(idCol, textCol).as("__h"))
+    // all texts in a group are identical, so first(text) is deterministic
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as(textCol))
+    (hashed, groups)
+  }
 
   private def collapsedRun(df: DataFrame, idCol: String, textCol: String)(
       pipeline: DataFrame => DataFrame): DataFrame = {
     // NULL-text docs must survive the fan-out joins (NULL = NULL never
     // matches an equi-join) AND must not merge with each other — the
     // uncollapsed pipeline leaves them as keeper-of-self singletons (no
-    // tokens → no signature → no bucket). A per-id sentinel key keeps each
-    // one its own group, preserving that contract exactly.
-    val hashed = df.select(col(idCol), col(textCol),
-      coalesce(sha2(col(textCol), 256),
-        concat(lit("__null__"), col(idCol).cast("string"))).as("__h"))
-    // all texts in a group are identical, so first(text) is deterministic
-    val groups = hashed.groupBy(col("__h"))
-      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as(textCol))
+    // tokens → no signature → no bucket). The per-id sentinel key keeps
+    // each one its own group, preserving that contract exactly.
+    val (hashed, groups) = collapseGroups(df, idCol, textCol)
     val reps = groups.select(col("__rep").as(idCol), col(textCol))
     val keepersRep = pipeline(reps)
       .select(col("doc_id").as("__rep"), col("keeper_id"))

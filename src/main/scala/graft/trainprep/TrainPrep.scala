@@ -94,8 +94,10 @@ object TrainPrep {
     * bit-identical to a sequential scan regardless of partitioning. */
   def packChunks(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
+    // NULL text packs as a zero-token doc (tokenCount(NULL) is NULL, which
+    // would otherwise null out the whole chunk assignment chain)
     val withTok = docs.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)).as("n_tokens"))
     val cum = TimeSeriesOps.scanCumSumLong(withTok, Seq(idCol), "n_tokens", "cum_tokens")
     cum
       .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))

@@ -69,6 +69,11 @@ class MinHashSigsSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L, 4L), "every input doc must be emitted")
     assert(out(2L) == 2L && out(3L) == 3L, "null texts never merge")
     assert(out(4L) == 1L, "exact dups still collapse")
+    // same contract through the ROWWISE path: a null text gets a null
+    // signature there, which must not put all null docs in one LSH bucket
+    val row = graft.dedup.Dedup.nearDupKeepersRowwise(d, "doc_id", "text", 4, 2, 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(row == out, "rowwise path must preserve the null-text contract")
   }
 
   test("keepers via rowwise signatures match keepers via explode+agg") {
