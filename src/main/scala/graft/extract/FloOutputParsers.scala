@@ -55,6 +55,13 @@ object FloOutputParsers {
     * (reference: output/extract_discharge.py:479-480). Non-numeric values
     * are skipped, mirroring the reference's isfloat/NaN guard
     * (reference: output/extract_water_level.py:496-500).
+    *
+    * Reserved token: truncated headers are invalidated by carrying the
+    * in-band sentinel `"__INVALID__"` (and TIMDEP uses a NaN block time the
+    * same way). A data file whose element token is literally `__INVALID__`
+    * would be conflated with a truncated header — acceptable for this fixed
+    * FLO-2D format (element tokens are numeric grid ids); switch to an
+    * out-of-band validity struct before generalizing this parser.
     */
   def parseHychan(lines: DataFrame, valueIndex: Int = 1): DataFrame = {
     val w = Window.partitionBy("file").orderBy("line_no")

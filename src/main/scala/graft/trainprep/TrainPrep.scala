@@ -51,20 +51,32 @@ object TrainPrep {
     * threshold/16^hexDigits; reproducible on any engine with sha256 and on
     * any cluster layout (no RNG, no partition sensitivity — unlike
     * `df.sample`, which depends on partitioning). Pure filter: pushes down
-    * past projections, no shuffle. */
+    * past projections, no shuffle.
+    *
+    * `threshold` is lowercased here because sha2 emits lowercase hex — an
+    * uppercase "A0" would otherwise sort below every digest and silently
+    * select ~0 rows. Non-hex thresholds are rejected loudly. */
   def hashSampleFilter(key: Column, threshold: String): Column = {
-    val hexDigits = threshold.length
-    substring(sha2(key.cast("string"), 256), 1, hexDigits) < lit(threshold)
+    val thr = normalizeHexThreshold(threshold)
+    substring(sha2(key.cast("string"), 256), 1, thr.length) < lit(thr)
+  }
+
+  private def normalizeHexThreshold(threshold: String): String = {
+    val thr = threshold.toLowerCase
+    require(thr.nonEmpty && thr.forall(c => c.isDigit || (c >= 'a' && c <= 'f')),
+      s"hash-sample threshold must be non-empty hex, got '$threshold'")
+    thr
   }
 
   /** Stratified deterministic sample: per-stratum hex thresholds (2 hex
     * digits → rate granularity 1/256). Strata absent from `rates` are
-    * dropped. Still a pure filter — the CASE is codegen'd per row. */
+    * dropped. Still a pure filter — the CASE is codegen'd per row.
+    * Thresholds are lowercased/validated like [[hashSampleFilter]]'s. */
   def stratifiedSampleFilter(key: Column, stratum: Column,
       rates: Seq[(String, String)]): Column = {
     val prefix = substring(sha2(key.cast("string"), 256), 1, 2)
     rates.foldLeft(lit(false)) { case (acc, (s, thr)) =>
-      acc || (stratum === lit(s) && prefix < lit(thr))
+      acc || (stratum === lit(s) && prefix < lit(normalizeHexThreshold(thr)))
     }
   }
 

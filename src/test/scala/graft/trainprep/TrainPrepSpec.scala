@@ -35,6 +35,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(math.abs(kept / 10000.0 - 0x15 / 256.0) < 0.01)
   }
 
+  test("hashSampleFilter normalizes uppercase hex and rejects non-hex") {
+    val ids = spark.range(2000).toDF("id")
+    val lower = ids.filter(TrainPrep.hashSampleFilter(col("id"), "a0")).count()
+    val upper = ids.filter(TrainPrep.hashSampleFilter(col("id"), "A0")).count()
+    assert(lower == upper && lower > 0) // "A0" must not silently select ~0 rows
+    intercept[IllegalArgumentException] {
+      TrainPrep.hashSampleFilter(col("id"), "0x15")
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.stratifiedSampleFilter(col("id"), lit("en"), Seq("en" -> "GG"))
+    }
+  }
+
   test("stratifiedSampleFilter drops unlisted strata") {
     val d = Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("id", "lang")
     val kept = d.filter(TrainPrep.stratifiedSampleFilter(col("id"), col("lang"),
