@@ -33,14 +33,44 @@ object TrainPrep {
     * signature pass. */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // N as a broadcast 1-row frame keeps the whole thing one LAZY plan (no
-    // eager driver action at definition time). The N branch is still a
-    // second scan of the corpus in the plan; at real scale persist `docs`
-    // (or supply N from table metadata) before calling.
+    // eager driver action at definition time). The N branch is a second scan
+    // of the corpus in the plan; at real scale use the N-from-metadata
+    // overload below (one scan) or persist `docs` before calling.
     val nDf = docs.agg(countDistinct(col(idCol)).as("__n"))
+    tfIdfImpl(docs, idCol, textCol, broadcast(nDf))
+  }
+
+  /** Single-scan TF-IDF: caller supplies the corpus document count N (from
+    * table metadata, a catalog stat, or a prior count) and the per-(doc,
+    * token) `tf` intermediate is persisted (MEMORY_AND_DISK), so the corpus
+    * text — the 100 TB part — is scanned exactly once; both the tf branch
+    * and the token-level df aggregation read the cached (doc, token, tf)
+    * rows, which are orders of magnitude smaller than the text. PlanAuditSpec
+    * asserts the plan shape. Exchange reuse can't do this declaratively:
+    * Catalyst column-prunes the df branch's inner aggregate into a distinct
+    * aggregate, de-canonicalizing the subtrees. The cache lingers until the
+    * caller's session drops it (`spark.catalog.clearCache()` or unpersist on
+    * the intermediate via this frame's lineage) — acceptable for a terminal
+    * pipeline stage, documented here for long-lived sessions. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    val nDf = docs.sparkSession.range(1).select(lit(nDocs).as("__n"))
     val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tfIdfJoin(tf, broadcast(nDf))
+  }
+
+  private def tfIdfImpl(docs: DataFrame, idCol: String, textCol: String,
+      nDf: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    tfIdfJoin(tf, nDf)
+  }
+
+  private def tfIdfJoin(tf: DataFrame, nDf: DataFrame): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(df, "token").crossJoin(broadcast(nDf))
+    tf.join(df, "token").crossJoin(nDf)
       .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)))
       .withColumn("tfidf", col("tf") * col("idf"))
       .drop("__n")
@@ -62,9 +92,13 @@ object TrainPrep {
   }
 
   private def normalizeHexThreshold(threshold: String): String = {
-    val thr = threshold.toLowerCase
-    require(thr.nonEmpty && thr.forall(c => c.isDigit || (c >= 'a' && c <= 'f')),
-      s"hash-sample threshold must be non-empty hex, got '$threshold'")
+    // ASCII-only check: Character.isDigit also accepts Unicode decimal digits
+    // (fullwidth '５', Arabic-Indic '٥', …) which sort above 'f' and would
+    // silently select ~100% of rows; Locale.ROOT avoids locale-sensitive
+    // lowercasing (e.g. Turkish dotless-I)
+    val thr = threshold.toLowerCase(java.util.Locale.ROOT)
+    require(thr.nonEmpty && thr.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"hash-sample threshold must be non-empty ASCII hex, got '$threshold'")
     thr
   }
 
@@ -76,7 +110,14 @@ object TrainPrep {
       rates: Seq[(String, String)]): Column = {
     val prefix = substring(sha2(key.cast("string"), 256), 1, 2)
     rates.foldLeft(lit(false)) { case (acc, (s, thr)) =>
-      acc || (stratum === lit(s) && prefix < lit(normalizeHexThreshold(thr)))
+      val t = normalizeHexThreshold(thr)
+      // the compared prefix is exactly 2 chars, so a longer threshold like
+      // "a00" would lexicographically include prefix "a0" itself and round
+      // the effective rate up to 1/256 granularity — reject it loudly
+      require(t.length <= 2,
+        s"stratified-sample threshold for stratum '$s' must be at most 2 hex digits " +
+          s"(prefix granularity 1/256), got '$thr'")
+      acc || (stratum === lit(s) && prefix < lit(t))
     }
   }
 

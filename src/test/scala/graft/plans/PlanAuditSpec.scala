@@ -99,6 +99,32 @@ class PlanAuditSpec extends SparkSpec {
       "shipdate range bounds must reach the scan:\n" + plan.take(1200))
   }
 
+  test("tfIdf with supplied N scans the corpus exactly once") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // descend through AQE stages but NOT into InMemoryRelation.cachedPlan:
+    // a FileSourceScanExec in the consuming tree would mean a direct corpus
+    // re-read; cache scans mean the text was materialized once
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val df = graft.trainprep.TrainPrep.tfIdf(docs, "doc_id", "text", nDocs = 1000L)
+    try {
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val fileScans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+      val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(fileScans == 0,
+        s"single-scan TF-IDF must not re-read the corpus, saw $fileScans file scans")
+      assert(cacheScans == 2,
+        s"both tf and df branches must read the cached intermediate, saw $cacheScans")
+    } finally spark.catalog.clearCache()
+  }
+
   test("q_dedup_keepers_fast signs without shuffling (rowwise expression inside)") {
     val df = graft.SparkEntry.queries("q_dedup_keepers_fast")(spark, Sf)
     df.collect()

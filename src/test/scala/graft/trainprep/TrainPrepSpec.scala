@@ -26,6 +26,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(math.abs(out((3L, "bird"))._3 - math.log(2.0)) < 1e-12)
   }
 
+  test("tfIdf with supplied N matches the counting overload exactly") {
+    val counted = TrainPrep.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "token", "tfidf").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val supplied = TrainPrep.tfIdf(docs, "doc_id", "text", nDocs = 3L)
+      .select("doc_id", "token", "tfidf").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(supplied == counted)
+    intercept[IllegalArgumentException] {
+      TrainPrep.tfIdf(docs, "doc_id", "text", nDocs = 0L)
+    }
+  }
+
   test("hashSampleFilter is deterministic and rate-accurate") {
     val ids = spark.range(10000).toDF("id")
     val kept = ids.filter(TrainPrep.hashSampleFilter(col("id"), "15")).count()
@@ -45,6 +58,25 @@ class TrainPrepSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       TrainPrep.stratifiedSampleFilter(col("id"), lit("en"), Seq("en" -> "GG"))
+    }
+  }
+
+  test("hash thresholds reject Unicode digits that would silently select ~100%") {
+    // fullwidth '５' (U+FF15) and Arabic-Indic '٥' (U+0665) satisfy
+    // Character.isDigit but sort above 'f', making the filter a no-op
+    intercept[IllegalArgumentException] {
+      TrainPrep.hashSampleFilter(col("id"), "５")
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.hashSampleFilter(col("id"), "٥" + "0")
+    }
+  }
+
+  test("stratifiedSampleFilter rejects thresholds longer than the 2-char prefix") {
+    // "a00" > prefix "a0" lexicographically, so a 3-digit threshold would
+    // silently round the rate up to 1/256 granularity — must fail loudly
+    intercept[IllegalArgumentException] {
+      TrainPrep.stratifiedSampleFilter(col("id"), lit("en"), Seq("en" -> "a00"))
     }
   }
 
