@@ -55,8 +55,9 @@ object DeckFormat {
   */
 object RainDeck {
   def lines(spark: SparkSession, series: DataFrame, startTime: String, endTime: String,
-      targetModel: String): DataFrame =
-    linesMany(spark, series.withColumn("deck_id", lit("0")), startTime, endTime, targetModel)
+      targetModel: String, tiebreak: Seq[String] = Nil): DataFrame =
+    linesMany(spark, series.withColumn("deck_id", lit("0")), startTime, endTime, targetModel,
+      tiebreak)
       .drop("deck_id")
 
   /** Multi-deck form: `series` carries a `deck_id` column and the result is
@@ -66,7 +67,7 @@ object RainDeck {
     * WindowExec — the per-deck sequential cumsum is inherent (one file, one
     * running total), the cross-deck serialization is not. */
   def linesMany(spark: SparkSession, series: DataFrame, startTime: String, endTime: String,
-      targetModel: String): DataFrame = {
+      targetModel: String, tiebreak: Seq[String] = Nil): DataFrame = {
     import DeckFormat._
     val grid = TimeSeriesOps.timeGrid(spark, startTime, endTime, 5)
     val decks = series.select("deck_id").distinct()
@@ -77,14 +78,22 @@ object RainDeck {
         TimeSeriesOps.resampleRightClosedSum(aligned, 900, keys = Seq("deck_id"))
       else aligned
     val clean = TimeSeriesOps.dropNegatives(stepped)
+    // `tiebreak` gives the cumsum and line numbering a total order when the
+    // input carries duplicate (deck_id, time) rows — without it, seq
+    // assignment (and the intermediate cum values) would be shuffle-order
+    // dependent, the determinism rule every other window here follows.
+    // The 150 resample path collapses duplicates by aggregation, so the
+    // tiebreak column need not survive it: ordering applies to what remains.
+    val tieCols = tiebreak.filter(stepped.columns.contains)
     val frac = TimeSeriesOps.normalizedCumulative(
-      clean, "value", "time", Seq("deck_id"), "frac")
+      clean, "value", "time", Seq("deck_id"), "frac", tieCols)
     val withElapsed = frac.withColumn("elapsed_h",
       (unix_micros(col("time")) - lit(graft.model.SlTime.microsOf(startTime))) / lit(3.6e9))
     val rRows = withElapsed.select(
       col("deck_id"),
       lit(1).as("section"),
-      row_number().over(Window.partitionBy("deck_id").orderBy("time"))
+      row_number().over(Window.partitionBy("deck_id")
+          .orderBy(("time" +: tieCols).map(col(_).asc): _*))
         .cast("long").as("seq"),
       concat(lit("R              "),
         ljust(fixed(col("elapsed_h"), 3), 14),
@@ -184,20 +193,25 @@ object InflowDeck {
 
   def lines(spark: SparkSession, series: DataFrame,
       headLines: Seq[String] = InflowConfig.headLinesFor("flo2d_150"),
-      hRow: (Column, Column) => Column = genHRow): DataFrame =
-    linesMany(spark, series.withColumn("deck_id", lit("0")), headLines, hRow)
+      hRow: (Column, Column) => Column = genHRow,
+      tiebreak: Seq[String] = Nil): DataFrame =
+    linesMany(spark, series.withColumn("deck_id", lit("0")), headLines, hRow, tiebreak)
       .drop("deck_id")
 
   /** Multi-deck form: `series` carries a `deck_id` column; windows partition
     * by it so N inflow decks generate in parallel in one job (the anchor min
-    * and row numbering are per-deck state, not global). */
+    * and row numbering are per-deck state, not global). `tiebreak` extends
+    * the line-numbering order past `time` so duplicate timestamps still
+    * produce a deterministic deck (sessionize's contract). */
   def linesMany(spark: SparkSession, series: DataFrame,
       headLines: Seq[String],
-      hRow: (Column, Column) => Column = genHRow): DataFrame = {
+      hRow: (Column, Column) => Column = genHRow,
+      tiebreak: Seq[String] = Nil): DataFrame = {
     import DeckFormat._
     val byDeck = Window.partitionBy("deck_id")
     val anchored = series
-      .withColumn("rn", row_number().over(byDeck.orderBy("time")))
+      .withColumn("rn", row_number().over(
+        byDeck.orderBy(("time" +: tiebreak).map(col(_).asc): _*)))
       .withColumn("elapsed_h",
         (unix_micros(col("time")) - min(unix_micros(col("time"))).over(byDeck))
           / lit(3.6e9))
@@ -226,7 +240,7 @@ object InflowDeck {
   */
 object OutflowDeck {
   def lines(spark: SparkSession, boundaries: DataFrame, tides: DataFrame,
-      kCells: Seq[String]): DataFrame = {
+      kCells: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
     import DeckFormat._
     val kSection = DeckFormat.literalLines(spark, 0,
       kCells.map(c => "K" + " " * (16 - c.length) + c))
@@ -237,7 +251,8 @@ object OutflowDeck {
     val anchor = Window.partitionBy("cell")
     val sRows = tides
       .withColumn("t0_us", min(unix_micros(col("time"))).over(anchor))
-      .withColumn("rn", row_number().over(Window.partitionBy("cell").orderBy("time")))
+      .withColumn("rn", row_number().over(Window.partitionBy("cell")
+        .orderBy(("time" +: tiebreak).map(col(_).asc): _*)))
       // exact double equality, like the reference's `== -99999` — an int
       // cast would also drop legitimate values truncating to -99999
       .filter(col("value") =!= lit(Sentinels.InvalidTide))
@@ -258,7 +273,8 @@ object OutflowDeck {
     * input/outflow/tail_150_v2.txt, gen_outflow.py:250-255). Sentinel rows
     * are dropped before numbering, so emitted S rows stay contiguous. */
   def linesRes(spark: SparkSession, boundaries: DataFrame, tides: DataFrame,
-      kCells: Seq[String], tailLines: Seq[String]): DataFrame = {
+      kCells: Seq[String], tailLines: Seq[String],
+      tiebreak: Seq[String] = Nil): DataFrame = {
     import DeckFormat._
     val kSection = DeckFormat.literalLines(spark, 0,
       kCells.map(c => "K" + " " * 14 + c))
@@ -268,7 +284,8 @@ object OutflowDeck {
       concat(lit("N" + " " * 14), ljust(col("cell"), 14), lit("1 ")).as("line"))
     val sRows = tides
       .filter(col("value") =!= lit(Sentinels.InvalidTide))
-      .withColumn("rn", row_number().over(Window.partitionBy("cell").orderBy("time")))
+      .withColumn("rn", row_number().over(Window.partitionBy("cell")
+        .orderBy(("time" +: tiebreak).map(col(_).asc): _*)))
       .join(boundaries, Seq("cell"))
       .select(
         lit(1).as("section"),

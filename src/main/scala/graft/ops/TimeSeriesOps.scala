@@ -71,21 +71,26 @@ object TimeSeriesOps {
       .agg(sum(col(valueCol)).as(valueCol))
   }
 
-  private def seriesWindow(orderCol: String, keys: Seq[String]) = {
-    val base = if (keys.isEmpty) Window.orderBy(col(orderCol))
-    else Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+  private def seriesWindow(orderCol: String, keys: Seq[String],
+      tiebreak: Seq[String] = Nil) = {
+    val order = (orderCol +: tiebreak).map(col(_).asc)
+    val base = if (keys.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
 
   /** Running cumulative sum in time order (A4/W2, reference:
-    * input/rain/gen_rain.py:175-179). Partition by series keys at scale. */
+    * input/rain/gen_rain.py:175-179). Partition by series keys at scale.
+    * `tiebreak` extends the ordering past `timeCol` so duplicate timestamps
+    * still get a total order (same contract as [[sessionize]]). */
   def cumulativeSum(
       df: DataFrame,
       valueCol: String = "value",
       timeCol: String = "time",
       keys: Seq[String] = Nil,
-      out: String = "cum"): DataFrame =
-    df.withColumn(out, sum(col(valueCol)).over(seriesWindow(timeCol, keys)))
+      out: String = "cum",
+      tiebreak: Seq[String] = Nil): DataFrame =
+    df.withColumn(out, sum(col(valueCol)).over(seriesWindow(timeCol, keys, tiebreak)))
 
   /** Scale-safe GLOBAL running sum over an exact (integer) value column —
     * the distributed two-pass prefix scan that replaces a single-partition
@@ -140,13 +145,14 @@ object TimeSeriesOps {
       valueCol: String = "value",
       timeCol: String = "time",
       keys: Seq[String] = Nil,
-      out: String = "frac"): DataFrame = {
+      out: String = "frac",
+      tiebreak: Seq[String] = Nil): DataFrame = {
     val full = {
       val base = if (keys.isEmpty) Window.partitionBy()
       else Window.partitionBy(keys.map(col): _*)
       base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     }
-    val withCum = cumulativeSum(df, valueCol, timeCol, keys, "__cum")
+    val withCum = cumulativeSum(df, valueCol, timeCol, keys, "__cum", tiebreak)
     withCum
       .withColumn("__total", sum(col(valueCol)).over(full))
       .withColumn(out, when(col("__total") > 0, col("__cum") / col("__total")).otherwise(lit(0.0)))

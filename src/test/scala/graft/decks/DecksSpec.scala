@@ -153,6 +153,41 @@ class DecksSpec extends SparkSpec {
       "TAIL"))
   }
 
+  test("deck windows are deterministic under shuffled duplicate-time input (tiebreak)") {
+    // duplicate timestamps with different values: without a tiebreak the
+    // line ordering is shuffle-order dependent; with one, every permutation
+    // of the input produces byte-identical decks
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 5.0, 1L),
+      (ts("2024-01-01 11:00:00"), 6.3, 2L),
+      (ts("2024-01-01 11:00:00"), 7.1, 3L), // dup time, distinct src_id
+      (ts("2024-01-01 12:30:00"), 7.0, 4L))
+    val perms = Seq(rows, rows.reverse, Seq(rows(2), rows(0), rows(3), rows(1)))
+    val inflowDecks = perms.map { p =>
+      val df = p.toDF("time", "value", "src_id").repartition(3)
+      render(InflowDeck.lines(spark, df, tiebreak = Seq("src_id")))
+    }
+    assert(inflowDecks.distinct.size == 1, "INFLOW must not depend on input order")
+    assert(inflowDecks.head.count(_.startsWith("H")) == 4) // header H + 3 data rows
+
+    val boundaries = Seq((0, "330")).toDF("block_order", "cell")
+    val outflowDecks = perms.map { p =>
+      val tides = p.map { case (t, v, i) => ("330", t, v, i) }
+        .toDF("cell", "time", "value", "src_id").repartition(3)
+      render(OutflowDeck.lines(spark, boundaries, tides, Seq("268"),
+        tiebreak = Seq("src_id")))
+    }
+    assert(outflowDecks.distinct.size == 1, "OUTFLOW must not depend on input order")
+
+    val rainDecks = perms.map { p =>
+      val df = p.toDF("time", "value", "src_id").repartition(3)
+      render(RainDeck.lines(spark, df,
+        "2024-01-01 00:00:00", "2024-01-01 13:00:00", "flo2d_250",
+        tiebreak = Seq("src_id")))
+    }
+    assert(rainDecks.distinct.size == 1, "RAIN must not depend on input order")
+  }
+
   test("OrderedTextSink: single ordered file with ifAbsent idempotency (K1/K6)") {
     val dir = Files.createTempDirectory("deck").toString
     val path = s"$dir/RAIN.DAT"
