@@ -190,16 +190,19 @@ object ExtractForecast {
   def run(spark: SparkSession, a: Map[String, String]): Unit = {
     val valueIndex = a.getOrElse("value-index", "1").toInt
     val cutoff = a.get("cutoff")
+    // reference config key `utc_offset` ('' = no shift), extract_water_level.py:352-354
+    val utcOffset = a.getOrElse("utc-offset", "")
     val fgt = a.getOrElse("fgt",
       SlTime.utcToSl(new java.sql.Timestamp(
         new java.io.File(a("hychan")).lastModified)).toString.stripSuffix(".0"))
     val channelMap = Sources.cellMapJson(spark, a("cellmap"), "CHANNEL")
     val ch = ExtractPipeline.channelSeries(
-      spark, a("hychan"), a("base"), channelMap, valueIndex, cutoff)
+      spark, a("hychan"), a("base"), channelMap, valueIndex, cutoff, utcOffset)
     val all = a.get("timdep").zip(a.get("floodmap")).headOption match {
       case Some((timdep, floodmap)) =>
         val fp = ExtractPipeline.floodPlainSeries(
-          spark, timdep, a("base"), Sources.cellMapJson(spark, floodmap, "FLOOD_PLAIN"), cutoff)
+          spark, timdep, a("base"), Sources.cellMapJson(spark, floodmap, "FLOOD_PLAIN"),
+          cutoff, utcOffset)
         ch.unionByName(fp)
       case None => ch
     }

@@ -25,7 +25,7 @@ object ExtractPipeline {
     */
   def channelSeries(spark: SparkSession, hychanPath: String, baseTime: String,
       cellMap: DataFrame, valueIndex: Int = 1,
-      cutoff: Option[String] = None): DataFrame = {
+      cutoff: Option[String] = None, utcOffset: String = ""): DataFrame = {
     // single regular file → carry-based parallel parse (no per-file sort);
     // glob/dir inputs → the window path, which parallelizes across files
     val parsed =
@@ -33,13 +33,14 @@ object ExtractPipeline {
         FloOutputParsers.parseHychanFile(spark, hychanPath, valueIndex)
       else FloOutputParsers.parseHychan(
         FloOutputParsers.readLines(spark, hychanPath), valueIndex)
-    enrich(parsed, baseTime, cellMap, cutoff)
+    enrich(parsed, baseTime, cellMap, cutoff, utcOffset)
   }
 
   /** Flood-plain series from TIMDEP.OUT, densified with −999 for stations
     * missing from a block (reference: output/extract_water_level.py:560-566). */
   def floodPlainSeries(spark: SparkSession, timdepPath: String, baseTime: String,
-      cellMap: DataFrame, cutoff: Option[String] = None): DataFrame = {
+      cellMap: DataFrame, cutoff: Option[String] = None,
+      utcOffset: String = ""): DataFrame = {
     val parsed =
       if (new java.io.File(timdepPath).isFile)
         FloOutputParsers.parseTimdepFile(spark, timdepPath)
@@ -47,14 +48,20 @@ object ExtractPipeline {
         FloOutputParsers.readLines(spark, timdepPath))
     val filled = FloOutputParsers.fillMissing(
       parsed, cellMap.select(col("cell_no").as("element")))
-    enrich(filled, baseTime, cellMap, cutoff)
+    enrich(filled, baseTime, cellMap, cutoff, utcOffset)
   }
 
+  /** `utcOffset` is the reference's `[+-]HH:MM` config string (empty = no
+    * shift, like getUTCOffset's default=True path): every series point moves
+    * by the offset BEFORE the horizon filter, so `cutoff` is compared in
+    * post-shift wall-clock — the reference shifts its extract boundary the
+    * same way (output/extract_water_level.py:176-191). */
   private def enrich(parsed: DataFrame, baseTime: String, cellMap: DataFrame,
-      cutoff: Option[String]): DataFrame = {
+      cutoff: Option[String], utcOffset: String = ""): DataFrame = {
     val withStation = parsed
       .join(broadcast(cellMap), parsed("element") === cellMap("cell_no"))
-    val timed = FloOutputParsers.stepToTimestamp(withStation, baseTime)
+    val timed = FloOutputParsers.stepToTimestamp(withStation, baseTime,
+      offsetMicros = FloOutputParsers.utcOffsetMicros(utcOffset))
     cutoff.fold(timed)(c => TimeSeriesOps.horizonFilter(timed, lit(c).cast("timestamp")))
       .select(col("element"), col("label"), col("kind"), col("time"), col("value"))
   }

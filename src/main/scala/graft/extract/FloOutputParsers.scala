@@ -242,11 +242,27 @@ object FloOutputParsers {
   private def toDoubleOrNull(s: String): Any =
     try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
 
-  /** Model-hours → wall-clock timestamp: `base + hours` with µs precision
-    * (reference: output/extract_water_level.py:501-503). */
+  /** Model-hours → wall-clock timestamp: `base + hours` with µs precision,
+    * plus an optional UTC-offset shift applied to every point
+    * (reference: output/extract_water_level.py:501-503 and the
+    * shift-before-upsert at :184-190). */
   def stepToTimestamp(df: DataFrame, baseTime: String,
-      stepCol: String = "step_hours", out: String = "time"): DataFrame =
+      stepCol: String = "step_hours", out: String = "time",
+      offsetMicros: Long = 0L): DataFrame =
     df.withColumn(out,
-      timestamp_micros((lit(graft.model.SlTime.microsOf(baseTime)) +
+      timestamp_micros((lit(graft.model.SlTime.microsOf(baseTime) + offsetMicros) +
         (col(stepCol) * lit(3.6e9)).cast("long"))))
+
+  /** `[+-]HH:MM` UTC-offset string → microseconds (X2/X10; reference:
+    * output/extract_water_level.py:80-106, getUTCOffset with default=True).
+    * Like Python's `re.match`, the pattern anchors at the start but ignores
+    * trailing text; anything non-matching means "+00:00" — no shift. */
+  def utcOffsetMicros(utcOffset: String): Long =
+    "^[+-][0-9]{2}:[0-9]{2}".r.findFirstIn(utcOffset) match {
+      case Some(s) =>
+        val sign = if (s.charAt(0) == '-') -1L else 1L
+        val mins = s.substring(1, 3).toLong * 60L + s.substring(4, 6).toLong
+        sign * mins * 60L * 1000000L
+      case None => 0L
+    }
 }

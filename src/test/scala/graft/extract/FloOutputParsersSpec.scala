@@ -94,6 +94,48 @@ class FloOutputParsersSpec extends SparkSpec {
     assert(ts === "2024-01-01 00:30:00.0")
   }
 
+  test("utcOffsetMicros: [+-]HH:MM prefix parse, default +00:00 on mismatch") {
+    // reference getUTCOffset semantics (output/extract_water_level.py:80-106)
+    assert(FloOutputParsers.utcOffsetMicros("+05:30") === (5 * 60 + 30) * 60L * 1000000L)
+    assert(FloOutputParsers.utcOffsetMicros("-02:15") === -(2 * 60 + 15) * 60L * 1000000L)
+    // re.match anchors at the start but tolerates trailing text
+    assert(FloOutputParsers.utcOffsetMicros("+05:30 extra") === (5 * 60 + 30) * 60L * 1000000L)
+    // invalid → no shift (default=True path)
+    assert(FloOutputParsers.utcOffsetMicros("") === 0L)
+    assert(FloOutputParsers.utcOffsetMicros("05:30") === 0L)
+    assert(FloOutputParsers.utcOffsetMicros("+5:30") === 0L)
+    assert(FloOutputParsers.utcOffsetMicros("garbage") === 0L)
+  }
+
+  test("channelSeries with utcOffset equals the hand-shifted unshifted series") {
+    val dir = Files.createTempDirectory("utcshift").toFile
+    val hy = new java.io.File(dir, "HYCHAN.OUT")
+    Files.writeString(hy.toPath, hychan)
+    val cellMap = Seq(("250", "hanwella", "CHANNEL"), ("369", "glencourse", "CHANNEL"))
+      .toDF("cell_no", "label", "kind")
+    val base = "2024-01-01 00:00:00"
+    val unshifted = ExtractPipeline.channelSeries(spark, hy.toString, base, cellMap)
+      .select("element", "time", "value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2.getTime))
+    val shifted = ExtractPipeline.channelSeries(spark, hy.toString, base, cellMap,
+      utcOffset = "+05:30")
+      .select("element", "time", "value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2.getTime))
+    val golden = unshifted.map { case (e, t, v) =>
+      (e, new java.sql.Timestamp(t.getTime + (5 * 60 + 30) * 60L * 1000L), v)
+    }
+    assert(shifted === golden)
+    assert(shifted.head._2.toString === "2024-01-01 05:45:00.0") // 0.25h + 5:30
+
+    // the horizon cutoff is compared in post-shift wall-clock: a cutoff at
+    // 05:45 keeps all four shifted points, 06:00 drops the first per element
+    val cut = ExtractPipeline.channelSeries(spark, hy.toString, base, cellMap,
+      cutoff = Some("2024-01-01 06:00:00"), utcOffset = "+05:30")
+    assert(cut.count() === 2)
+  }
+
   test("blocks spanning partition boundaries parse identically (8-way repartition)") {
     val base = linesDf(hychan)
     val scattered = FloOutputParsers.fromOrderedLines(base.repartition(8))
