@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkEntry
 import graft.decks._
 import graft.extract.ExtractPipeline
-import graft.io.{JdbcUpsertSink, OrderedTextSink, RunMetaJson}
+import graft.io.{FcstDims, JdbcUpsertSink, OrderedTextSink, RunMetaJson}
 import graft.model.SlTime
 import graft.sources.Sources
 
@@ -211,6 +211,25 @@ object ExtractForecast {
     ExtractPipeline.upsertForecast(enriched, a("url"), a.getOrElse("table", "data"),
       if (a.get("dialect").contains("mysql")) JdbcUpsertSink.MySqlDialect
       else JdbcUpsertSink.UpdateInsertDialect)
+    // run bookkeeping: with --station-type the first extraction registers the
+    // reference's full run row (station/source/unit/variable ids resolved
+    // from the dim store); without it, the simplified 3-column run table
+    a.get("run-table").foreach { runTable =>
+      a.get("station-type") match {
+        case Some(stType) =>
+          val stations = graft.io.FcstDims.outputStations(
+            a("url"), stType, a.getOrElse("station-table", "station"))
+          val withSt = ExtractPipeline.withStationDims(enriched, stations)
+          val dims = graft.io.FcstDims.RunDimIds(
+            a.getOrElse("sim-tag", "daily_run"),
+            a.getOrElse("source-id", "0").toLong,
+            a.getOrElse("unit-id", "0").toLong,
+            a.getOrElse("variable-id", "0").toLong)
+          ExtractPipeline.updateRunTableFull(withSt, a("url"), runTable, dims)
+        case None =>
+          ExtractPipeline.updateRunTable(enriched, a("url"), runTable)
+      }
+    }
     // K5: event-sim template archive from the deck dir's file list, then
     // K3: one run_metadata row carrying run_meta.json + the blob
     // (reference: output/extract_water_level.py:339-341,589-591)
@@ -236,14 +255,18 @@ object ExtractForecast {
 }
 
 /** Dimension bootstrap (reference: init/init.py): station rows from the
-  * grid CSV × cell-map JSON (J2 positional lookup join). */
+  * grid CSV × cell-map JSON (J2 positional lookup join), optionally
+  * registered into a forecast store with the source's parameters JSON —
+  * the full init surface (add_source + add_station loops,
+  * init/init.py:63-100). */
 object InitDims {
   def main(args: Array[String]): Unit =
     CliArgs.withSession("init_dims")(run(_, CliArgs.parse(args)))
 
   def run(spark: SparkSession, a: Map[String, String]): Unit = {
     val grid = Sources.gridCsv(spark, a("grid"))
-    val cells = Sources.cellMapJson(spark, a("cellmap"), a.getOrElse("kind", "CHANNEL"))
+    val kind = a.getOrElse("kind", "CHANNEL")
+    val cells = Sources.cellMapJson(spark, a("cellmap"), kind)
     val stations = cells
       .join(broadcast(grid), cells("cell_no").cast("int") === grid("grid_id"))
       .select(
@@ -251,6 +274,36 @@ object InitDims {
         concat_ws("_", col("cell_no"), col("label")).as("name"),
         col("lat").as("latitude"), col("lon").as("longitude"),
         col("kind").as("station_type"))
-    stations.write.mode("overwrite").parquet(s"${a("d")}/stations.parquet")
+    a.get("d").foreach(d =>
+      stations.write.mode("overwrite").parquet(s"$d/stations.parquet"))
+
+    // --url: register source (with the whole cell-map JSON as parameters,
+    // init.py:80), variable, unit, and each station with "%.6f" coordinates
+    // and the reference's description shape (init.py:86-100)
+    a.get("url").foreach { url =>
+      val model = a.getOrElse("model", "FLO2D")
+      val version = a.getOrElse("version", "150_v2")
+      val stationType = a.getOrElse("station-type",
+        s"${model.toLowerCase}_$version")
+      val parametersJson = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(a("cellmap")))
+      val sourceId = FcstDims.ensureSource(url, model, version, parametersJson,
+        a.getOrElse("source-table", "source"))
+      val variableId = FcstDims.ensureVariable(url,
+        a.getOrElse("variable", "WaterLevel"), a.getOrElse("variable-table", "variable"))
+      val unitId = FcstDims.ensureUnit(url, a.getOrElse("unit", "m"),
+        a.getOrElse("unit-type", "Instantaneous"), a.getOrElse("unit-table", "unit"))
+      val rows = stations
+        .select("name", "latitude", "longitude").collect().map { r =>
+          FcstDims.StationRow(r.getString(0),
+            f"${r.getDouble(1)}%.6f", f"${r.getDouble(2)}%.6f",
+            stationType,
+            s"${stationType}_${kind.toLowerCase}_cell_map_element")
+        }.toSeq
+      val ids = FcstDims.ensureStations(url, rows,
+        a.getOrElse("station-table", "station"))
+      println(s"[init] source=$sourceId variable=$variableId unit=$unitId " +
+        s"stations=${ids.size}")
+    }
   }
 }

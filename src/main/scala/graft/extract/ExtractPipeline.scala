@@ -76,6 +76,30 @@ object ExtractPipeline {
         TimeSeriesOps.seriesHashId(lit(model), lit(simTag), col("element")))
       .withColumn("fgt", lit(fgt).cast("timestamp"))
 
+  /** The reference's per-element station patch
+    * (output/extract_water_level.py:200-203): each series row picks up its
+    * output station's id and "%.6f" coordinates from the station dim, keyed
+    * by the element number leading the station name — the shape
+    * [[graft.io.FcstDims.outputStations]] returns. Elements missing from the
+    * dim FAIL LOUDLY: the reference would NPE on `flo2d_stations.get(...)`;
+    * silently dropping a station's series is worse than either. */
+  def withStationDims(series: DataFrame,
+      stations: Map[String, (Long, String, String)]): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val dim = stations.toSeq.map { case (el, (id, lat, lon)) => (el, id, lat, lon) }
+      .toDF("element", "station_id", "latitude", "longitude")
+    val joined = series.join(broadcast(dim), Seq("element"), "left")
+    val missing = joined.filter(col("station_id").isNull)
+      .select("element").distinct().limit(6).collect().map(_.getString(0))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        "[extract] elements with no registered output station: " +
+          missing.take(5).mkString(", ") + (if (missing.length > 5) ", …" else "") +
+          " — run InitDims registration first")
+    joined
+  }
+
   /** Sink the enriched frame into the forecast store keyed
     * `(tms_id, fgt, time)` — idempotent under re-extraction (K2). */
   def upsertForecast(series: DataFrame, url: String, table: String,
@@ -109,6 +133,42 @@ object ExtractPipeline {
       JdbcUpsertSink.registerRuns(url, runTable, toRegister, props)
       // re-apply: a raced registration may hold another writer's fgt/start
       val still = JdbcUpsertSink.updateRunBookkeeping(url, runTable, toRegister, props)
+      if (still.nonEmpty)
+        throw new IllegalStateException(
+          s"[extract] ${still.length} series could not be registered in $runTable: " +
+            still.take(5).mkString(", ") + (if (still.length > 5) ", …" else ""))
+    }
+  }
+
+  /** Full-schema run bookkeeping: like [[updateRunTable]], but first-time
+    * registrations carry the reference's complete run row — sim_tag and the
+    * station/source/unit/variable dimension ids
+    * (output/extract_water_level.py:206-217 insert_run with tms_meta).
+    * `series` must already carry `station_id` (see [[withStationDims]]);
+    * station_id is functionally dependent on tms_id (one element per
+    * series), so the per-series aggregate takes its max only to satisfy the
+    * grouping. */
+  def updateRunTableFull(series: DataFrame, url: String, runTable: String,
+      dims: graft.io.FcstDims.RunDimIds,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val perSeries = series.groupBy("tms_id")
+      .agg(max("fgt").as("fgt"), min("time").as("start"),
+        max("station_id").as("station_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSeq
+    val bookkeeping = perSeries.map(r => (r._1, r._2, r._3))
+    val missing = JdbcUpsertSink.updateRunBookkeeping(url, runTable, bookkeeping, props)
+    if (missing.nonEmpty) {
+      val missingSet = missing.toSet
+      val toRegister = perSeries.filter(r => missingSet.contains(r._1)).map {
+        case (tmsId, fgt, start, stationId) =>
+          JdbcUpsertSink.RunRow(tmsId, fgt, start, stationId,
+            dims.simTag, dims.sourceId, dims.unitId, dims.variableId)
+      }
+      JdbcUpsertSink.registerRunsFull(url, runTable, toRegister, props)
+      val still = JdbcUpsertSink.updateRunBookkeeping(url, runTable,
+        toRegister.map(r => (r.tmsId, r.fgt, r.startDate)), props)
       if (still.nonEmpty)
         throw new IllegalStateException(
           s"[extract] ${still.length} series could not be registered in $runTable: " +

@@ -207,4 +207,38 @@ object JdbcUpsertSink {
       } finally st.close()
     } finally conn.close()
   }
+
+  /** Full run-row shape of the reference's forecast store: the series id plus
+    * the dimension ids tms_meta carries into insert_run
+    * (output/extract_water_level.py:163-217 — sim_tag, station_id, source_id,
+    * unit_id, variable_id, with fgt/start_date bookkeeping). */
+  final case class RunRow(tmsId: String, fgt: java.sql.Timestamp,
+      startDate: java.sql.Timestamp, stationId: Long, simTag: String,
+      sourceId: Long, unitId: Long, variableId: Long)
+
+  /** [[registerRuns]] against the reference's full run schema. Same race
+    * contract: a key collision means another writer registered the series —
+    * the caller re-applies bookkeeping so fgt/start still converge. */
+  def registerRunsFull(url: String, runTable: String, rows: Seq[RunRow],
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    if (rows.isEmpty) return
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(
+        s"INSERT INTO $runTable (tms_id, sim_tag, station_id, source_id, " +
+          "unit_id, variable_id, latest_fgt, start_date) " +
+          "VALUES (?, ?, ?, ?, ?, ?, ?, ?)")
+      try rows.foreach { r =>
+        st.setString(1, r.tmsId); st.setString(2, r.simTag)
+        st.setLong(3, r.stationId); st.setLong(4, r.sourceId)
+        st.setLong(5, r.unitId); st.setLong(6, r.variableId)
+        st.setTimestamp(7, r.fgt); st.setTimestamp(8, r.startDate)
+        try st.executeUpdate()
+        catch {
+          case e: java.sql.SQLException
+              if e.getSQLState != null && e.getSQLState.startsWith("23") => ()
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
 }
