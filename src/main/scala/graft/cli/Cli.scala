@@ -120,12 +120,24 @@ object GenOutflow {
 
   def run(spark: SparkSession, a: Map[String, String]): Unit = {
     import spark.implicits._
-    val boundaries = a("boundaries").split(',').zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("block_order", "cell")
-    val tides = spark.read.parquet(a("tides"))
+    val rawTides = spark.read.parquet(a("tides"))
       .filter(col("time").between(
         lit(a("s")).cast("timestamp"), lit(a("e")).cast("timestamp")))
       .select("cell", "time", "value")
+    // --config: the reference's boundary-cell → tide-grid dict JSON
+    // (config_150_v2.json); --boundaries: cells as a CSV flag with tides
+    // already keyed by boundary cell
+    val (boundaries, tides) = a.get("config") match {
+      case Some(cfgPath) =>
+        val b = OutflowConfig.boundariesFromJson(spark, cfgPath,
+          a.getOrElse("config-key", "tide_ids_150_v2"))
+        (b.select("block_order", "cell"),
+          OutflowConfig.tidesForBoundaries(rawTides, b))
+      case None =>
+        (a("boundaries").split(',').zipWithIndex
+          .map { case (c, i) => (i, c) }.toSeq.toDF("block_order", "cell"),
+          rawTides)
+    }
     val deck = OutflowDeck.lines(spark, boundaries, tides,
       a.getOrElse("kcells", "").split(',').filter(_.nonEmpty).toSeq)
     CliArgs.writeDeck(deck, s"${a("d")}/OUTFLOW.DAT", "OUTFLOW", a("s"))

@@ -296,6 +296,42 @@ object OutflowDeck {
   }
 }
 
+/** Boundary-cell → tide-grid dict from the reference's outflow config JSON
+  * (reference: input/outflow/config_150_v2.json, gen_outflow.py:226-249).
+  * The dict's INSERTION order is the deck's block order — the reference
+  * emits N blocks in iteration order of `tide_config_dict` — so parsing
+  * goes through Jackson's order-preserving node tree, not a Spark JSON
+  * scan (driver-side, dimension-sized: a handful of boundary cells). */
+object OutflowConfig {
+  /** (block_order, cell, tide_id) rows for `configKey`
+    * (e.g. "tide_ids_150_v2"). */
+  def boundariesFromJson(spark: SparkSession, path: String,
+      configKey: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val node = root.get(configKey)
+    require(node != null && node.isObject,
+      s"outflow config '$path' has no object at key '$configKey' " +
+        s"(available: ${root.fieldNames.asScala.mkString(", ")})")
+    import spark.implicits._
+    node.fields.asScala.zipWithIndex
+      .map { case (e, i) => (i, e.getKey, e.getValue.asText) }
+      .toSeq.toDF("block_order", "cell", "tide_id")
+  }
+
+  /** Re-key a (cell=tide_id, time, value) tide series to boundary cells:
+    * each boundary gets its own copy of its tide station's series, exactly
+    * as the reference calls prepare_tide_data_set once per boundary with
+    * the dict's grid id (gen_outflow.py:231-249). Broadcast join — the
+    * config side is a handful of rows. */
+  def tidesForBoundaries(tides: DataFrame, boundaries: DataFrame): DataFrame = {
+    val dim = boundaries.select(col("cell").as("__b_cell"), col("tide_id"))
+    tides.join(broadcast(dim), tides("cell") === dim("tide_id"))
+      .select(col("__b_cell").as("cell"), tides("time"), tides("value"))
+  }
+}
+
 /** RAINCELL.DAT — per-timestep cell-rain blocks
   * (reference: input/raincell/gen_raincell.py:99-147).
   *

@@ -94,6 +94,52 @@ class CliIntegrationSpec extends SparkSpec {
       |     CHANNEL HYDROGRAPH FOR ELEMENT NO:    999
       |   1.00    50.00    0.0   0.0   500.00""".stripMargin
 
+  test("GenOutflow --config: reference config_150_v2.json dict shape drives the deck") {
+    val dir = tmp("genoutflow")
+    // the reference's exact config shape: versioned dict keys, boundary cell
+    // → tide grid id, multiple boundaries sharing one tide station
+    // (input/outflow/config_150_v2.json, gen_outflow.py:226-249)
+    Files.writeString(Paths.get(s"$dir/config.json"),
+      """{
+        |  "tide_ids_150_v2_v1": {"356": "tide_colombo"},
+        |  "tide_ids_150_v2": {
+        |    "330": "tide_wellawatta",
+        |    "462": "tide_wellawatta",
+        |    "1282": "tide_mattakkuliya"
+        |  }
+        |}""".stripMargin)
+    Seq(
+      ("tide_wellawatta", Timestamp.valueOf("2024-01-01 00:00:00"), 0.52),
+      ("tide_wellawatta", Timestamp.valueOf("2024-01-01 00:30:00"), 0.57),
+      ("tide_mattakkuliya", Timestamp.valueOf("2024-01-01 00:00:00"), 0.61)
+    ).toDF("cell", "time", "value").write.parquet(s"$dir/tides.parquet")
+    GenOutflow.run(spark, Map(
+      "tides" -> s"$dir/tides.parquet", "config" -> s"$dir/config.json",
+      "kcells" -> "268,1174", "d" -> dir,
+      "s" -> "2024-01-01 00:00:00", "e" -> "2024-01-01 06:00:00"))
+    val lines = Files.readAllLines(Paths.get(s"$dir/OUTFLOW.DAT")).toArray.map(_.toString).toSeq
+    // dict insertion order = block order; shared tide series is replicated
+    assert(lines === Seq(
+      "K             268",
+      "K            1174",
+      "N             330               1",
+      "S           0.000           0.520",
+      "S           0.500           0.570",
+      "N             462               1",
+      "S           0.000           0.520",
+      "S           0.500           0.570",
+      "N            1282               1",
+      "S           0.000           0.610"))
+    // missing config key fails loudly, naming what IS there
+    val e = intercept[IllegalArgumentException] {
+      GenOutflow.run(spark, Map(
+        "tides" -> s"$dir/tides.parquet", "config" -> s"$dir/config.json",
+        "config-key" -> "tide_ids_250", "d" -> dir,
+        "s" -> "2024-01-01 00:00:00", "e" -> "2024-01-01 06:00:00"))
+    }
+    assert(e.getMessage.contains("tide_ids_150_v2"))
+  }
+
   test("ExtractPipeline: HYCHAN → cell-map filter → horizon → Derby upsert, idempotent") {
     val dir = tmp("extract")
     Files.writeString(Paths.get(s"$dir/HYCHAN.OUT"), hychanText)
