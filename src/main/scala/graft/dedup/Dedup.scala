@@ -266,27 +266,38 @@ object Dedup {
     * signature table persisted by an earlier pipeline stage. */
   /** All Jaccard-verified near-dup pairs (id_a < id_b) among the LSH
     * candidates — the edge set both keeper variants reduce. The n² work is
-    * confined to bucket-local pairs; intersections come from an (id, tok)
-    * equi-join, never a tokensA × tokensB cross product. */
+    * confined to bucket-local pairs, and the verification itself never
+    * leaves the candidate-pair row: each side's token SET rides along as a
+    * sorted xxhash64 array ([[graft.expressions.SortedTokenHashes]], a
+    * pure-map codegen expression — no explode, no token rows), and the
+    * intersection is an in-row two-pointer merge
+    * ([[graft.expressions.SortedLongIntersectCount]]). Compared to the
+    * (id, token) equi-join formulation this removes the candidate×token
+    * row fan-out — the widest shuffle of the pipeline — plus the
+    * per-pair count aggregation and the two token-set-size joins
+    * (`size(arr)` is free). Set equality survives token hashing modulo
+    * xxhash64 collisions between two distinct tokens of one document
+    * (~t²/2⁶⁵ per doc — negligible). */
   def verifiedNearDupPairs(df: DataFrame, sig: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int,
       threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val toks = df.select(col(idCol).as("__id"),
-      explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
-    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(toks.select(col("__id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(toks.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
+    val tokSets = df.select(col(idCol).as("__id"),
+      GraftBridge.column(graft.expressions.SortedTokenHashes(
+        GraftBridge.expression(col(textCol)))).as("__toks"))
+    val inter = GraftBridge.column(graft.expressions.SortedLongIntersectCount(
+      GraftBridge.expression(col("__ta")), GraftBridge.expression(col("__tb"))))
+    cand
+      .join(tokSets.select(col("__id").as("id_a"), col("__toks").as("__ta")), Seq("id_a"))
+      .join(tokSets.select(col("__id").as("id_b"), col("__toks").as("__tb")), Seq("id_b"))
+      .withColumn("__inter", inter)
+      .filter(col("__inter") / (size(col("__ta")) + size(col("__tb")) - col("__inter"))
+        >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -302,13 +313,123 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper_id"))
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: every vertex ends with the smallest id
-    * reachable from it. Converges in O(graph diameter) joins; each
-    * iteration is one shuffle, lineage is cut with localCheckpoint so long
-    * chains don't stack plans. Duplicate groups are near-cliques (tiny
-    * diameter), so 2-3 iterations typically suffice. */
+  /** Connected components over an undirected edge list by alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): every vertex ends with
+    * the smallest id reachable from it.
+    *
+    * Each round rewires edges toward local minima — large-star hangs every
+    * neighbor larger than a node off that node's minimum, small-star hangs
+    * the smaller neighbors off it — contracting any component to a star
+    * rooted at its global minimum in O(log²) rounds WORST case and 1-2
+    * rounds for the near-clique shapes duplicate groups actually have
+    * (min-label propagation needs O(diameter) rounds and re-shuffles the
+    * full edge set each time; here the edge set itself contracts, so later
+    * rounds shuffle less). Lineage is cut with localCheckpoint per round.
+    *
+    * Convergence is certified STRUCTURALLY, not by change-detection: the
+    * parent-pointer edge set is the answer exactly when it is a star
+    * forest — every child has one parent and no parent is itself a child
+    * (rounds preserve connectivity, and the u > v invariant makes each
+    * star's root its component minimum). Checking that property directly
+    * on the round's checkpointed output (two limit-1 probes) detects
+    * convergence in the SAME round it happens; a fingerprint/diff check
+    * would pay one full extra round just to observe "nothing changed". */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 10): DataFrame =
+    ccCanonical(
+      edges
+        .filter(col(srcCol) =!= col(dstCol))
+        .select(greatest(col(srcCol), col(dstCol)).as("u"),
+          least(col(srcCol), col(dstCol)).as("v"))
+        .distinct(),
+      maxIter)
+
+  /** [[connectedComponents]] for callers whose edge list is ALREADY
+    * canonical — distinct rows with src > dst, no self-loops (e.g.
+    * `verifiedNearDupPairs`, which emits distinct id_a < id_b) — skipping
+    * the canonicalization shuffle the general entry point pays. */
+  private[dedup] def connectedComponentsCanonical(edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int): DataFrame =
+    ccCanonical(edges.select(col(srcCol).as("u"), col(dstCol).as("v")), maxIter)
+
+  private def ccCanonical(canonical: DataFrame, maxIter: Int): DataFrame = {
+    // Input checkpoint: the rounds reference their input multiple times,
+    // and AQE's runtime join planning does not reliably reuse a common
+    // upstream exchange across those references — without the checkpoint
+    // the (possibly expensive) edge-producing plan re-executes (measured
+    // ~1 s slower on the sf0.1 dedup graph).
+    var e = canonical.localCheckpoint()
+
+    // star forest ⇔ no duplicate child AND no parent appearing as a child;
+    // one union-probe job over checkpointed data, stops at the first witness
+    def isStarForest(g: DataFrame): Boolean = {
+      val multiParent = g.groupBy("u").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(lit(1).as("w"))
+      val parentIsChild = g.as("a")
+        .join(g.as("b"), col("a.v") === col("b.u"), "left_semi")
+        .select(lit(1).as("w"))
+      multiParent.unionByName(parentIsChild).isEmpty
+    }
+
+    // large-star: per node, hang every LARGER neighbor off min(Γ⁺(node)).
+    // Output keeps the u > v invariant: emitted (v, m) has v > node ≥ m.
+    def largeStar(g: DataFrame): DataFrame = {
+      val sym = g.unionByName(g.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: edges already point large→small, so per node u all
+    // neighbors are < u and m = min(Γ(u)); rewire u and each non-min
+    // neighbor to m. Emitted edges again satisfy u > v (m is the minimum).
+    def smallStar(g: DataFrame): DataFrame = {
+      val mins = g.groupBy("u").agg(min("v").as("m"))
+      g.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // Small-star FIRST: a verified-duplicate graph is a union of dense
+    // near-cliques, where most nodes already touch their component min —
+    // small-star hangs them all off it in the opening phase, converging a
+    // full round earlier than the large-star-first order (measured 2 vs 3
+    // rounds on the sf0.1 template-cluster corpus). Either order is
+    // correct: both phases preserve connectivity and the certificate, not
+    // the phase order, decides termination.
+    // No pre-loop probe: real edge lists are almost never already stars,
+    // so probing before the first round is a wasted job in the common
+    // case; an already-star input just pays one no-op round instead.
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      e = largeStar(smallStar(e)).localCheckpoint()
+      converged = isStarForest(e)
+      iter += 1
+    }
+    // a silent partial result would hand out "keepers" that are not roots —
+    // fail loudly so the caller raises maxIter instead
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(pathological component shape) — raise maxIter")
+    // at the fixpoint every edge is (member, component-min root); roots
+    // themselves appear only on the v side
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Min-label propagation CC — the formulation oracle for
+    * [[connectedComponents]] (one shuffle join per iteration, O(diameter)
+    * iterations; kept for cross-checking the star-contraction path on
+    * arbitrary graphs, not for production use). */
+  def connectedComponentsMinLabel(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 10): DataFrame = {
     val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
       .unionByName(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
@@ -339,11 +460,9 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    // a silent partial result would hand out "keepers" that are not roots —
-    // fail loudly so the caller raises maxIter instead
     require(converged,
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(component diameter too large) — raise maxIter")
+      s"connectedComponentsMinLabel did not converge within $maxIter " +
+        "iterations (component diameter too large) — raise maxIter")
     labels
   }
 
@@ -364,8 +483,11 @@ object Dedup {
       val pairs = verifiedNearDupPairs(reps,
         minhashSignature(reps, idCol, textCol, numHashes, hashFn),
         idCol, textCol, numHashes, rowsPerBand, threshold)
-      val comps = connectedComponents(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      // verified pairs are distinct with id_a < id_b — already the
+      // canonical parent-pointer form (src = the larger id), so skip the
+      // general entry point's canonicalization shuffle
+      val comps = connectedComponentsCanonical(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
         "src", "dst", maxIter)
       reps.select(col(idCol).as("doc_id"))
         .join(comps, col("doc_id") === comps("id"), "left")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2, MinHashSigs}
+import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2, MinHashSigs, SortedLongIntersectCount, SortedTokenHashes}
 
 /** SQL surface for the engine's custom expressions: after `register`,
   * `spark.sql("SELECT vec_cosine(a, b) ...")` resolves to the fused
@@ -32,5 +32,9 @@ object GraftFunctions {
         }
         MinHashSigs(exprs(0), n)
       }, "built-in")
+    registry.createOrReplaceTempFunction("sorted_token_hashes",
+      exprs => SortedTokenHashes(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("sorted_long_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

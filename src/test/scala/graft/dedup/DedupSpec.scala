@@ -65,6 +65,33 @@ class DedupSpec extends SparkSpec {
     assert(comps(20L) === 20L && comps(21L) === 20L)
   }
 
+  test("star-contraction CC matches the min-label formulation oracle on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("src", "dst")
+      val star = Dedup.connectedComponents(edges, maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oracle = Dedup.connectedComponentsMinLabel(edges, maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === oracle)
+    }
+  }
+
+  test("star contraction collapses a diameter-40 chain within 8 rounds") {
+    // min-label propagation needs O(diameter) iterations on a path graph;
+    // the alternating star algorithm is logarithmic — this converging at
+    // maxIter = 8 is exactly the contraction property the rewrite buys
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("src", "dst")
+    val comps = Dedup.connectedComponents(chain, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 40)
+    assert(comps.forall(_._2 === 0L))
+  }
+
   test("nearDupKeepersTransitive collapses duplicate chains to one keeper") {
     // 1≈2 (exact), 2≈3 (near): transitive closure puts all three under 1
     val keepers = Dedup.nearDupKeepersTransitive(corpus, "doc_id", "text",
