@@ -43,21 +43,51 @@ object StreamParity {
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     spark.catalog.dropTempView(name) // no-op when absent
+    // Offset/commit logs and state-store delta files are written to the
+    // checkpoint location each microbatch. A parity run has no
+    // crash-recovery contract, so the checkpoint goes to tmpfs when
+    // available (fresh per-run UUID dir, removed after stop — no temp-dir
+    // litter); production jobs keep durable checkpoints. Measured effect
+    // at sf0.1 is small — the run's ~0.6 s fixed cost is microbatch
+    // machinery (query start/plan/stop), not checkpoint I/O — but memory-
+    // speed syncs keep the harness insensitive to slow scratch disks.
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) shm else
+      new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ckpt = new java.io.File(ckptBase,
+      s"graft-stream-$name-${java.util.UUID.randomUUID()}")
     // A streaming query instantiates one state store per shuffle partition
     // at EVERY stateful operator — for these single-file parity runs 32
     // stores are pure setup cost. The partition count is captured from the
     // session conf at query start, so narrow it just for the start call.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // the post-data empty microbatch only exists to advance watermarks;
+    // these parity queries are unwatermarked, so it is a pure extra
+    // plan+execute cycle (both confs are captured at query start — scoped
+    // to this start call, restored for any watermarked caller)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = try {
       stream.writeStream
         .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    try {
+      q.awaitTermination()
+      q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(ckpt)
+    }
     spark.table(name)
   }
 
