@@ -127,6 +127,21 @@ object ScaleSmoke {
         shufflePeak.updateAndGet(p => math.max(p, w))
       }
     })
+    // per-section shuffle accounting: snapshot the counters around a timed
+    // block so each metric line carries ITS shuffle bytes, not the run's.
+    // Listener events are delivered asynchronously and the public API has
+    // no drain hook — a short settle sleep bounds the bleed between
+    // sections (fine for a smoke harness; the sleep is outside the timer).
+    def sectionShuffle[T](f: => T): (T, Long, Long, Double) = {
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      val before = shuffleTotal.get()
+      shufflePeak.set(0L)
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      (r, shuffleTotal.get() - before, shufflePeak.get(), secs)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dupFactor = 20 * mult
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -135,17 +150,17 @@ object ScaleSmoke {
     val bigDocs = spark.range(dupFactor)
       .crossJoin(baseDocs)
       .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
-    val t4 = System.nanoTime()
-    val nKept = graft.dedup.Dedup.nearDupKeepersTransitive(
-      bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6,
-      hashFn = graft.dedup.Dedup.fastHash).count()
-    val dedupSecs = (System.nanoTime() - t4) / 1e9
+    val (nKept, dedupShuffle, dedupPeak, dedupSecs) = sectionShuffle {
+      graft.dedup.Dedup.nearDupKeepersTransitive(
+        bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6,
+        hashFn = graft.dedup.Dedup.fastHash).count()
+    }
     val nDocs = nBase * dupFactor
     println(s"""{"metric":"neardup_transitive_scale","docs":$nDocs,""" +
       s""""dup_factor":$dupFactor,"rows_out":$nKept,"seconds":$dedupSecs,""" +
       s""""docs_per_sec":${(nDocs / dedupSecs).toLong},""" +
-      s""""shuffle_write_bytes":${shuffleTotal.get()},""" +
-      s""""peak_stage_shuffle_bytes":${shufflePeak.get()}}""")
+      s""""shuffle_write_bytes":$dedupShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$dedupPeak}""")
 
     // ---- MinHash signatures: custom zero-shuffle expression vs explode+agg
     val t45 = System.nanoTime()
@@ -164,22 +179,50 @@ object ScaleSmoke {
     // ---- sequence packing over the replicated corpus ----------------------
     // packChunks' prefix sum is the two-pass range-partition scan: pass 1
     // is embarrassingly parallel, pass 2 scans one row per partition — so
-    // throughput should hold as docs × dupFactor grows.
-    val t5 = System.nanoTime()
-    val packed = graft.trainprep.TrainPrep.packChunks(bigDocs, "doc_id", "text", 4096L)
-    val nChunks = packed.agg(max("chunk_end_id")).head().getLong(0) + 1
-    val packSecs = (System.nanoTime() - t5) / 1e9
+    // docs/sec should HOLD as the corpus grows. Measured at half scale and
+    // full scale in one run: the ratio is the empirical scaling check (a
+    // single-partition global-window scan would degrade superlinearly).
+    val halfDocs = spark.range(dupFactor / 2)
+      .crossJoin(baseDocs)
+      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
+    val nHalf = nBase * (dupFactor / 2)
+    val (nChunksHalf, _, _, packHalfSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.packChunks(halfDocs, "doc_id", "text", 4096L)
+        .agg(max("chunk_end_id")).head().getLong(0) + 1
+    }
+    val (nChunks, packShuffle, packPeak, packSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.packChunks(bigDocs, "doc_id", "text", 4096L)
+        .agg(max("chunk_end_id")).head().getLong(0) + 1
+    }
+    val packHalfRate = (nHalf / packHalfSecs).toLong
+    val packRate = (nDocs / packSecs).toLong
     println(s"""{"metric":"pack_chunks_scale","docs":$nDocs,"chunks":$nChunks,""" +
-      s""""seconds":$packSecs,"docs_per_sec":${(nDocs / packSecs).toLong}}""")
+      s""""seconds":$packSecs,"docs_per_sec":$packRate,""" +
+      s""""half_docs":$nHalf,"half_chunks":$nChunksHalf,""" +
+      s""""half_docs_per_sec":$packHalfRate,""" +
+      s""""scaling_ratio":${packRate.toDouble / packHalfRate},""" +
+      s""""shuffle_write_bytes":$packShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$packPeak}""")
 
     // ---- TF-IDF over the replicated corpus --------------------------------
     // explode → two hash-aggs → vocab-sized join; shuffle carries tokens,
-    // never document bodies.
-    val t6 = System.nanoTime()
-    val nWeights = graft.trainprep.TrainPrep.tfIdf(bigDocs, "doc_id", "text").count()
-    val tfidfSecs = (System.nanoTime() - t6) / 1e9
+    // never document bodies. Both forms: the lazy two-scan default and the
+    // single-scan N-from-metadata overload (persisted tf intermediate).
+    val (nWeights, tfidfShuffle, tfidfPeak, tfidfSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.tfIdf(bigDocs, "doc_id", "text").count()
+    }
+    val (nWeights1, _, _, tfidf1Secs) = sectionShuffle {
+      val w = graft.trainprep.TrainPrep.tfIdf(bigDocs, "doc_id", "text", nDocs).count()
+      spark.catalog.clearCache() // drop the tf persist before the next section
+      w
+    }
+    require(nWeights1 == nWeights)
     println(s"""{"metric":"tfidf_scale","docs":$nDocs,"weights":$nWeights,""" +
-      s""""seconds":$tfidfSecs,"docs_per_sec":${(nDocs / tfidfSecs).toLong}}""")
+      s""""seconds":$tfidfSecs,"docs_per_sec":${(nDocs / tfidfSecs).toLong},""" +
+      s""""single_scan_seconds":$tfidf1Secs,""" +
+      s""""single_scan_docs_per_sec":${(nDocs / tfidf1Secs).toLong},""" +
+      s""""shuffle_write_bytes":$tfidfShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$tfidfPeak}""")
 
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
