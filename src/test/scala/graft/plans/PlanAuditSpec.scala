@@ -132,4 +132,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("minhash_sigs"),
       "zero-shuffle signature expression must appear:\n" + plan.take(1200))
   }
+
+  test("near-dup verification never explodes tokens into rows") {
+    // the verify stage carries token sets as sorted-hash arrays and counts
+    // the intersection in-row; the only Generate (explode) nodes allowed in
+    // the pairs plan are the LSH bucket-id expansions — none may come from
+    // tokenizing text. A token explode here recreates the candidate×token
+    // fan-out this design removed.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") < 300).select("doc_id", "text")
+    val sig = graft.dedup.Dedup.minhashSignatureRowwise(docs, "doc_id", "text", 4)
+    val pairs = graft.dedup.Dedup.verifiedNearDupPairs(
+      docs, sig, "doc_id", "text", 4, 2, 0.6)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("sorted_token_hashes"),
+      "in-row token-set expression must appear:\n" + plan.take(1200))
+    assert(plan.contains("sorted_long_intersect_count"),
+      "in-row intersection expression must appear:\n" + plan.take(1200))
+    val generateLines = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generateLines.forall(!_.contains("split(")),
+      "no Generate may explode tokenized text:\n" + generateLines.mkString("\n"))
+  }
 }
