@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch decoders.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libs) — `realDecoder` is the hook where libjpeg/ffmpeg-backed code plugs
-  * in. Everything Spark-side is real and tested: schema, partitioning,
-  * batch shape, binary slicing, feature output types.
+  * IMAGE decode is REAL — the JDK ships codecs (`javax.imageio`: PNG, JPEG,
+  * BMP, GIF), so [[decodeImage]] / [[decodeImageBatch]] / [[imageAHash64]]
+  * run actual header parses, pixel decodes and perceptual hashing with no
+  * external libraries. Audio/video remain STUBBED (no ffmpeg in the JDK) —
+  * `decodeStub` keeps that plumbing runnable and deterministic, and doubles
+  * as the DuckDB-oracle-reproducible path for the CORRECTNESS-gated demo
+  * queries (a PNG header parse has no SQL oracle).
   *
   * Scale notes: media bytes never pass through a shuffle — metadata and
   * features are extracted in a scan-side projection / mapPartitions, and
@@ -49,9 +52,96 @@ object Multimodal {
       (n / lit(100.0)).as("duration_s"))
   }
 
-  /** Where a real codec plugs in (libjpeg / ffmpeg via JNI or subprocess);
-    * intentionally unimplemented in this container. */
-  def realDecoder(bytes: Array[Byte]): Nothing = ???
+  /** Decoded image header metadata. */
+  case class ImageMeta(width: Int, height: Int, format: String)
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF): reads the
+    * HEADER ONLY — `ImageReader.getWidth/getHeight` never inflates pixels,
+    * so metadata extraction over 100 TB of blobs costs a few hundred bytes
+    * of I/O per image, not a full decode. Returns None for corrupt or
+    * non-image payloads: at corpus scale undecodable blobs are data, not
+    * exceptions — callers filter or route them, jobs never die on one. */
+  def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some(ImageMeta(r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** REAL perceptual fingerprint: classic 64-bit average-hash. Full pixel
+    * decode, area-average downsample to 8×8 luminance, one bit per cell
+    * (above/below the mean). Near-identical images (re-encodes, small
+    * edits) land within a few bits of Hamming distance, so the output
+    * plugs straight into the SimHash-style near-dup machinery. None for
+    * undecodable payloads. */
+  def imageAHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      // area-average luminance per 8×8 cell (every source pixel counted
+      // once — sampling-free, so the hash is deterministic across codecs)
+      val sums = new Array[Double](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * 8 / w, 7)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sums(cy * 8 + cx) += lum
+          counts(cy * 8 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+      val mean = cells.sum / 64.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (cells(i) >= mean) bits |= (1L << i)
+        i += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-partition REAL image decode: width/height/format columns from the
+    * JDK codecs (header-only, see [[decodeImage]]); NULLs for undecodable
+    * rows. Same mapPartitions batch shape as [[decodeBatch]]. */
+  def decodeImageBatch(df: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("format", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeImage(r.getAs[Array[Byte]](bytesCol))
+        Row.fromSeq(r.toSeq ++ (meta match {
+          case Some(m) => Seq[Any](m.width, m.height, m.format)
+          case None => Seq[Any](null, null, null)
+        }))
+      }
+    }(enc)
+  }
 
   /** Fixed-size "frame" sampling from a binary payload: every `everyN`-th
     * chunk of `frameBytes` bytes, the final (possibly partial) chunk

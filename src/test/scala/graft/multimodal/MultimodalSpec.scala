@@ -54,4 +54,70 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getSeq[Float](0))
     assert(f.toSeq === again.toSeq)
   }
+
+  // ---- REAL image decode (JDK codecs, no external libs) --------------------
+
+  /** Encode a w×h gradient image (with a dark square at `mark`) to `fmt`
+    * bytes via the same JDK codecs the decoder uses. */
+  private def imageBytes(w: Int, h: Int, fmt: String,
+      mark: Option[(Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(w - 1, 1) + y * 255 / math.max(h - 1, 1)) / 2
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    mark.foreach { case (mx, my) =>
+      for (y <- my until math.min(my + h / 4, h); x <- mx until math.min(mx + w / 4, w))
+        img.setRGB(x, y, 0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK cannot encode $fmt")
+    out.toByteArray
+  }
+
+  test("decodeImage reads real PNG/JPEG/BMP headers; corrupt bytes decode to None") {
+    for (fmt <- Seq("png", "jpg", "bmp")) {
+      val meta = Multimodal.decodeImage(imageBytes(37, 21, fmt))
+      assert(meta.isDefined, fmt)
+      assert(meta.get.width === 37 && meta.get.height === 21, fmt)
+    }
+    assert(Multimodal.decodeImage(imageBytes(5, 9, "png")).get.format === "png")
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // truncated PNG: header survives long enough to read dimensions or
+    // fails cleanly — either way no exception escapes
+    val trunc = imageBytes(16, 16, "png").take(12)
+    Multimodal.decodeImage(trunc) // must not throw
+  }
+
+  test("decodeImageBatch decodes a real image column distributed, NULLs for junk") {
+    val rows = Seq(
+      (1L, imageBytes(64, 48, "png")),
+      (2L, imageBytes(10, 10, "bmp")),
+      (3L, "garbage".getBytes)
+    ).toDF("media_id", "bytes")
+    val out = Multimodal.decodeImageBatch(rows).orderBy("media_id")
+      .select("media_id", "width", "height", "format").collect()
+    assert(out(0).getInt(1) === 64 && out(0).getInt(2) === 48 && out(0).getString(3) === "png")
+    assert(out(1).getInt(1) === 10 && out(1).getString(3) === "bmp")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(3))
+  }
+
+  test("imageAHash64: stable across re-encode, near under small edits, far for junk") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val png = Multimodal.imageAHash64(imageBytes(64, 64, "png")).get
+    val bmp = Multimodal.imageAHash64(imageBytes(64, 64, "bmp")).get
+    // identical pixels → identical hash regardless of container format
+    assert(png === bmp)
+    // small local edit (dark square over the BRIGHT corner of the
+    // gradient, so cells actually flip below the mean) → few bits move
+    val marked = Multimodal.imageAHash64(imageBytes(64, 64, "png", mark = Some((48, 48)))).get
+    assert(hamming(png, marked) > 0 && hamming(png, marked) <= 16,
+      s"hamming ${hamming(png, marked)}")
+    // the same edit is closer to the original than to its own inverse-ish
+    // gradient; undecodable bytes hash to None
+    assert(Multimodal.imageAHash64("junk".getBytes).isEmpty)
+  }
 }
