@@ -410,6 +410,24 @@ object PipelineQueries {
              |  length(text) / 100.0 AS duration_s
              |FROM documents""".stripMargin)),
 
+    // ---- multimodal: REAL codec round trip ---------------------------------
+    // Synthesize one actual PNG per doc (dims a pure function of doc_id),
+    // decode it back through the JDK ImageIO path. The oracle predicts the
+    // decoded header arithmetically — certifying the real encode→decode
+    // machinery, not a stub.
+    "q_mm_real_decode" -> QueryDef(
+      (s, dir) => {
+        val imgs = Multimodal.synthesizeImages(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        Multimodal.decodeImageBatch(imgs)
+          .select(col("media_id"), col("width"), col("height"), col("format"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 31 + 1 AS INT) AS width,
+             |  CAST(doc_id % 17 + 1 AS INT) AS height,
+             |  'png' AS format
+             |FROM documents WHERE doc_id < 300""".stripMargin)),
+
     // ---- multimodal: frame sampling over binary payloads -------------------
     "q_mm_frames" -> QueryDef(
       (s, dir) => {

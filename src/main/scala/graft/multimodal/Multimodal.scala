@@ -124,6 +124,42 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Deterministic PNG synthesis: one real encoded image per input row,
+    * dimensions a pure function of the id (width = id % 31 + 1, height =
+    * id % 17 + 1, gradient pixels). Gives the encode→decode round trip an
+    * ARITHMETIC oracle: any SQL engine can predict the decoded header
+    * without touching a codec, so the real-codec path becomes a
+    * CORRECTNESS row rather than spec-only coverage. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 31 + 1).toInt
+        val h = (id % 17 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((x * 255 / math.max(w - 1, 1)) +
+              (y * 255 / math.max(h - 1, 1))) / 2
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Per-partition REAL image decode: width/height/format columns from the
     * JDK codecs (header-only, see [[decodeImage]]); NULLs for undecodable
     * rows. Same mapPartitions batch shape as [[decodeBatch]]. */
@@ -132,9 +168,13 @@ object Multimodal {
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("format", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // positional access: rows arriving from a chained mapPartitions stage
+    // carry no schema, so by-name getAs would throw — resolve the index
+    // from the DataFrame schema once, driver-side
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val meta = decodeImage(r.getAs[Array[Byte]](bytesCol))
+        val meta = decodeImage(r.get(bytesIdx).asInstanceOf[Array[Byte]])
         Row.fromSeq(r.toSeq ++ (meta match {
           case Some(m) => Seq[Any](m.width, m.height, m.format)
           case None => Seq[Any](null, null, null)
