@@ -224,6 +224,37 @@ object ScaleSmoke {
       s""""shuffle_write_bytes":$tfidfShuffle,""" +
       s""""peak_stage_shuffle_bytes":$tfidfPeak}""")
 
+    // ---- REAL image codec throughput --------------------------------------
+    // 100k actual PNGs encoded and decoded through the JDK codecs in one
+    // distributed pass each: encode (synthesize → write parquet blobs),
+    // header-only metadata decode, and full-pixel perceptual hashing. The
+    // numbers are the honest cost of the multimodal path with a real codec
+    // in the loop, not the stub.
+    val nImgs = 100000L * mult
+    val imgDir = java.nio.file.Files.createTempDirectory("img_scale").toString
+    val (_, _, _, encSecs) = sectionShuffle {
+      graft.multimodal.Multimodal.synthesizeImages(
+        spark.range(nImgs).select(col("id").as("media_id")), "media_id")
+        .write.mode("overwrite").parquet(s"$imgDir/in")
+    }
+    val blobs = spark.read.parquet(s"$imgDir/in")
+    val (nDecoded, _, _, decSecs) = sectionShuffle {
+      graft.multimodal.Multimodal.decodeImageBatch(blobs)
+        .filter(col("width").isNotNull).count()
+    }
+    // hash throughput only: the synthetic gradients collapse to few
+    // distinct hashes, so a pair join here would be a deliberate
+    // mega-clique — the bucket-bounding story is the text pipeline's
+    val (nHashes, _, _, hashSecs) = sectionShuffle {
+      graft.multimodal.Multimodal.imageAHashes(blobs, "media_id", "bytes")
+        .agg(countDistinct(col("ahash"))).head().getLong(0)
+    }
+    println(s"""{"metric":"image_codec_scale","images":$nImgs,"decoded":$nDecoded,""" +
+      s""""encode_seconds":$encSecs,"encode_imgs_per_sec":${(nImgs / encSecs).toLong},""" +
+      s""""decode_seconds":$decSecs,"decode_imgs_per_sec":${(nDecoded / decSecs).toLong},""" +
+      s""""ahash_seconds":$hashSecs,"ahash_imgs_per_sec":${(nImgs / hashSecs).toLong},""" +
+      s""""distinct_hashes":$nHashes}""")
+
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
     // 8 files, one file per micro-batch (forces 8 state-store commit

@@ -218,6 +218,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-image perceptual hashes: (id, ahash) via [[imageAHash64]], one
+    * full-pixel decode per row in a mapPartitions pass; undecodable rows
+    * drop out. The map side of [[imageNearDupPairs]], exposed for callers
+    * that persist hashes (hash once, band many times). */
+  def imageAHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageAHash64(r.get(bytesIdx).asInstanceOf[Array[Byte]])
+          .map(h => Row(r.get(idIdx).asInstanceOf[Number].longValue(), h))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs via Hamming-LSH over [[imageAHash64]]:
+    * band each 64-bit perceptual hash into four 16-bit keys — two hashes
+    * within Hamming distance 3 agree on at least one band (pigeonhole), so
+    * banding is RECALL-LOSSLESS for maxHamming ≤ 3 and high-recall above —
+    * equi-join per band, then verify candidates with an exact popcount.
+    * The n² work never materializes: candidates are band-bucket-bounded,
+    * the same shape as the text MinHash/LSH pipeline. Undecodable images
+    * drop out (no hash). Returns (id_a, id_b, hamming) with id_a < id_b. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int): DataFrame = {
+    val hashed = imageAHashes(df, idCol, bytesCol)
+    val banded = hashed.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("ahash").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("ahash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic integer lattice underlying the fake features: per
     * dimension, three md5-hex character codes of `md5(bytes || '#' || i)`
     * folded into [0, 1000). Built only from md5/ascii/substr so an external

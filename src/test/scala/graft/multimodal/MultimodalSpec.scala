@@ -120,4 +120,25 @@ class MultimodalSpec extends SparkSpec {
     // gradient; undecodable bytes hash to None
     assert(Multimodal.imageAHash64("junk".getBytes).isEmpty)
   }
+
+  test("imageNearDupPairs: Hamming-LSH finds re-encodes and near-edits, skips junk") {
+    val rows = Seq(
+      (1L, imageBytes(64, 64, "png")),
+      (2L, imageBytes(64, 64, "bmp")),                       // re-encode of 1 → hamming 0
+      (3L, imageBytes(64, 64, "png", mark = Some((48, 48)))), // near-edit of 1
+      (4L, imageBytes(64, 64, "png", mark = Some((0, 16)))),  // different-ish edit
+      (5L, "not an image".getBytes)                           // undecodable → no hash
+    ).toDF("media_id", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(rows, "media_id", "bytes", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0, "identical pixels re-encoded must collide exactly")
+    assert(pairs.contains((1L, 3L)), "near-edit must surface as a candidate pair")
+    assert(pairs.keys.forall { case (a, b) => a != 5L && b != 5L },
+      "undecodable payloads must not pair")
+    // recall-lossless banding: hamming ≤ 3 pairs MUST appear even at a
+    // tight verify threshold (pigeonhole over 4 bands)
+    val tight = Multimodal.imageNearDupPairs(rows, "media_id", "bytes", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((1L, 2L)))
+  }
 }
