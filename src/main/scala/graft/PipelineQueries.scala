@@ -428,6 +428,27 @@ object PipelineQueries {
              |  'png' AS format
              |FROM documents WHERE doc_id < 300""".stripMargin)),
 
+    // ---- multimodal: REAL audio codec round trip ---------------------------
+    // Same pattern for audio: one actual RIFF/WAVE payload per doc, decoded
+    // back through javax.sound.sampled; header fields predicted
+    // arithmetically by the oracle. duration = frames/rate in IEEE double
+    // on both engines.
+    "q_mm_real_audio" -> QueryDef(
+      (s, dir) => {
+        val wavs = Multimodal.synthesizeWavs(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        Multimodal.decodeAudioBatch(wavs)
+          .select(col("media_id"), col("sample_rate_hz"), col("channels"),
+            col("frames"), round(col("duration_s"), 6).as("duration_s"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate_hz,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST(doc_id % 100 + 1 AS BIGINT) AS frames,
+             |  round(CAST(doc_id % 100 + 1 AS DOUBLE)
+             |    / (8000 + (doc_id % 8) * 1000), 6) AS duration_s
+             |FROM documents WHERE doc_id < 300""".stripMargin)),
+
     // ---- multimodal: frame sampling over binary payloads -------------------
     "q_mm_frames" -> QueryDef(
       (s, dir) => {

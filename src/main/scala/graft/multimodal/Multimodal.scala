@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch decoders.
   *
-  * IMAGE decode is REAL — the JDK ships codecs (`javax.imageio`: PNG, JPEG,
-  * BMP, GIF), so [[decodeImage]] / [[decodeImageBatch]] / [[imageAHash64]]
-  * run actual header parses, pixel decodes and perceptual hashing with no
-  * external libraries. Audio/video remain STUBBED (no ffmpeg in the JDK) —
-  * `decodeStub` keeps that plumbing runnable and deterministic, and doubles
-  * as the DuckDB-oracle-reproducible path for the CORRECTNESS-gated demo
-  * queries (a PNG header parse has no SQL oracle).
+  * IMAGE and AUDIO decode are REAL — the JDK ships codecs (`javax.imageio`:
+  * PNG, JPEG, BMP, GIF; `javax.sound.sampled`: WAV, AIFF, AU), so
+  * [[decodeImage]] / [[decodeImageBatch]] / [[imageAHash64]] /
+  * [[decodeAudio]] / [[decodeAudioBatch]] run actual header parses, pixel
+  * decodes and perceptual hashing with no external libraries, and the
+  * synthesize→decode round trips give them arithmetic DuckDB oracles
+  * (q_mm_real_decode / q_mm_real_audio). VIDEO remains STUBBED (no ffmpeg
+  * in the JDK) — `decodeStub` keeps that plumbing runnable and
+  * deterministic, and doubles as the oracle-reproducible path for the
+  * original stub demo queries.
   *
   * Scale notes: media bytes never pass through a shuffle — metadata and
   * features are extracted in a scan-side projection / mapPartitions, and
@@ -214,6 +217,81 @@ object Multimodal {
         // deterministic stand-in for realDecoder(bytes); Seq[Any] keeps the
         // Longs from widening to Double (BIGINT fields must stay Long)
         Row.fromSeq(r.toSeq ++ Seq[Any](n % 640 + 1, (n * 7) % 480 + 1, n / 100.0))
+      }
+    }(enc)
+  }
+
+  /** Decoded audio header metadata. */
+  case class AudioMeta(sampleRateHz: Int, channels: Int, frames: Long,
+      durationS: Double)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU):
+    * header-only — `AudioSystem.getAudioFileFormat` never inflates
+    * samples. None for corrupt or non-audio payloads, same contract as
+    * [[decodeImage]]. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val rate = fmt.getSampleRate
+      if (rate <= 0 || frames < 0) None
+      else Some(AudioMeta(rate.toInt, fmt.getChannels, frames, frames / rate.toDouble))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic WAV synthesis: one real RIFF/WAVE payload per row —
+    * sample rate 8000 + (id%8)·1000 Hz, 1 + id%2 channels, id%100 + 1
+    * frames of 16-bit PCM sine-ish samples. Like [[synthesizeImages]],
+    * the decoded header is a pure function of the id, so the real audio
+    * codec round trip gets an arithmetic SQL oracle. */
+  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = (8000 + (id % 8) * 1000).toFloat
+        val channels = (1 + id % 2).toInt
+        val nFrames = (id % 100 + 1).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+        val pcm = new Array[Byte](nFrames * channels * 2)
+        var i = 0
+        while (i < pcm.length / 2) {
+          val v = (math.sin(i * 0.3) * 12000).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Per-partition REAL audio decode, NULLs for undecodable rows — the
+    * audio sibling of [[decodeImageBatch]]. */
+  def decodeAudioBatch(df: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate_hz", IntegerType), StructField("channels", IntegerType),
+      StructField("frames", LongType), StructField("duration_s", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeAudio(r.get(bytesIdx).asInstanceOf[Array[Byte]])
+        Row.fromSeq(r.toSeq ++ (meta match {
+          case Some(m) => Seq[Any](m.sampleRateHz, m.channels, m.frames, m.durationS)
+          case None => Seq[Any](null, null, null, null)
+        }))
       }
     }(enc)
   }

@@ -121,6 +121,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageAHash64("junk".getBytes).isEmpty)
   }
 
+  test("decodeAudio reads real WAV headers; synthesizeWavs dims follow the id arithmetic") {
+    val wavs = Multimodal.synthesizeWavs(
+      Seq(0L, 1L, 7L, 13L, 107L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.decodeAudioBatch(wavs).orderBy("media_id")
+      .select("media_id", "sample_rate_hz", "channels", "frames").collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000 + (id % 8) * 1000, s"rate id=$id")
+      assert(r.getInt(2) === 1 + (id % 2).toInt, s"channels id=$id")
+      assert(r.getLong(3) === id % 100 + 1, s"frames id=$id")
+    }
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    // an image is not audio and vice versa — the two decoders don't cross
+    assert(Multimodal.decodeAudio(imageBytes(8, 8, "png")).isEmpty)
+    val wav = wavs.filter(col("media_id") === 7L).select("bytes").head().getAs[Array[Byte]](0)
+    assert(Multimodal.decodeImage(wav).isEmpty)
+  }
+
   test("imageNearDupPairs: Hamming-LSH finds re-encodes and near-edits, skips junk") {
     val rows = Seq(
       (1L, imageBytes(64, 64, "png")),
