@@ -336,14 +336,24 @@ object Dedup {
     * convergence in the SAME round it happens; a fingerprint/diff check
     * would pay one full extra round just to observe "nothing changed". */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 10): DataFrame =
-    ccCanonical(
+      dstCol: String = "dst", maxIter: Int = 10): DataFrame = {
+    val labels = ccCanonical(
       edges
         .filter(col(srcCol) =!= col(dstCol))
         .select(greatest(col(srcCol), col(dstCol)).as("u"),
           least(col(srcCol), col(dstCol)).as("v"))
         .distinct(),
       maxIter)
+    // a vertex whose only edges are self-loops is still a vertex: it gets
+    // a singleton component (matching the min-label formulation), instead
+    // of silently vanishing with the filtered loops. The union+min is
+    // labels-sized — vertices with real edges keep their (≤ id) label.
+    val selfOnly = edges.filter(col(srcCol) === col(dstCol))
+      .select(col(srcCol).as("id")).distinct()
+      .withColumn("component", col("id"))
+    labels.unionByName(selfOnly)
+      .groupBy("id").agg(min("component").as("component"))
+  }
 
   /** [[connectedComponents]] for callers whose edge list is ALREADY
     * canonical — distinct rows with src > dst, no self-loops (e.g.

@@ -69,8 +69,9 @@ class DedupSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
       val n = 60
+      // raw random edges: duplicates happen, self-loops kept — both
+      // implementations must agree on the full contract
       val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
         .toDF("src", "dst")
       val star = Dedup.connectedComponents(edges, maxIter = 20)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -78,6 +79,13 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star === oracle)
     }
+  }
+
+  test("a vertex with only self-loops is a singleton component, not dropped") {
+    val edges = Seq((2L, 1L), (5L, 5L), (1L, 1L)).toDF("src", "dst")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
   }
 
   test("star contraction collapses a diameter-40 chain within 8 rounds") {

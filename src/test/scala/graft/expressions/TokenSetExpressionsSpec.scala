@@ -75,6 +75,30 @@ class TokenSetExpressionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0) && out(1).isNullAt(1))
   }
 
+  test("fuzz: byte-scan tokenization matches split(' ') on random unicode text") {
+    // the expression scans raw UTF-8 bytes for 0x20; this must agree with
+    // Spark's split-on-space for any text, including multibyte chars,
+    // consecutive/leading/trailing spaces, and the empty string
+    // code-point alphabet (no split surrogate pairs); NBSP must NOT separate
+    val alphabet = Array("a", "b", " ", "\u03b8", "\u4e2d", "\u00e9", "\ud83d\ude42", " ", " ", "\u00a0", "\u00df")
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("") ++ Seq.fill(60)(
+      (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rel = df
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+    // left join: every doc (incl. empty text → one empty token) must emit
+    val row = df.select(col("doc_id"), setCol.as("hs"))
+    val both = row.join(rel.withColumnRenamed("hs", "hs_rel"), "doc_id")
+      .collect()
+    assert(both.length === texts.length)
+    for (r <- both)
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+  }
+
   test("SQL registration resolves both functions") {
     graft.functions.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("ts_docs")
