@@ -151,9 +151,10 @@ object ScaleSmoke {
       .crossJoin(baseDocs)
       .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
     val (nKept, dedupShuffle, dedupPeak, dedupSecs) = sectionShuffle {
-      graft.dedup.Dedup.nearDupKeepersTransitive(
-        bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6,
-        hashFn = graft.dedup.Dedup.fastHash).count()
+      // production shape: zero-shuffle rowwise signatures + star CC
+      graft.dedup.Dedup.nearDupKeepersTransitiveRowwise(
+        bigDocs, "doc_id", "text", numHashes = 4, rowsPerBand = 2,
+        threshold = 0.6).count()
     }
     val nDocs = nBase * dupFactor
     println(s"""{"metric":"neardup_transitive_scale","docs":$nDocs,""" +

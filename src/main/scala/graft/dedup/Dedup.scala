@@ -484,25 +484,48 @@ object Dedup {
       numHashes: Int, rowsPerBand: Int, threshold: Double, maxIter: Int = 10,
       hashFn: (Column, Int) => Column = oracleHash): DataFrame =
     collapsedRun(df, idCol, textCol) { reps =>
-      // CC runs over UNIQUE-text edges (collapsedRun fans groups back out):
-      // exact-dup clusters never enter the graph, only cross-text links.
-      // Edges are ALL verified pairs — reducing to per-doc min-neighbor
-      // keepers first would lose links whose only verified neighbors have
-      // larger ids (A≈C, B≈C with A<B<C: keeper edges give only A—C,
-      // leaving B out of the component its own doc promises it joins).
-      val pairs = verifiedNearDupPairs(reps,
+      transitiveKeepersFromSigs(reps,
         minhashSignature(reps, idCol, textCol, numHashes, hashFn),
-        idCol, textCol, numHashes, rowsPerBand, threshold)
-      // verified pairs are distinct with id_a < id_b — already the
-      // canonical parent-pointer form (src = the larger id), so skip the
-      // general entry point's canonicalization shuffle
-      val comps = connectedComponentsCanonical(
-        pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
-        "src", "dst", maxIter)
-      reps.select(col(idCol).as("doc_id"))
-        .join(comps, col("doc_id") === comps("id"), "left")
-        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper_id"))
+        idCol, textCol, numHashes, rowsPerBand, threshold, maxIter)
     }
+
+  /** `nearDupKeepersTransitive` in its production-default shape: exact-dup
+    * collapse, ZERO-SHUFFLE rowwise signatures, optional mega-bucket cap,
+    * star-contraction components. The md5 explode+agg variant above stays
+    * the cross-engine-verifiable oracle form (same keepers at threshold
+    * 1.0 under any hash family — spec-asserted, q_dedup_keepers_fast
+    * precedent). */
+  def nearDupKeepersTransitiveRowwise(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxIter: Int = 10, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    collapsedRun(df, idCol, textCol) { reps =>
+      transitiveKeepersFromSigs(reps,
+        minhashSignatureRowwise(reps, idCol, textCol, numHashes),
+        idCol, textCol, numHashes, rowsPerBand, threshold, maxIter, maxBucketSize)
+    }
+
+  // CC runs over UNIQUE-text edges (collapsedRun fans groups back out):
+  // exact-dup clusters never enter the graph, only cross-text links.
+  // Edges are ALL verified pairs — reducing to per-doc min-neighbor
+  // keepers first would lose links whose only verified neighbors have
+  // larger ids (A≈C, B≈C with A<B<C: keeper edges give only A—C,
+  // leaving B out of the component its own doc promises it joins).
+  // Verified pairs are distinct with id_a < id_b — already the canonical
+  // parent-pointer form (src = the larger id), so CC skips the general
+  // entry point's canonicalization shuffle.
+  private def transitiveKeepersFromSigs(reps: DataFrame, sig: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
+      threshold: Double, maxIter: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = verifiedNearDupPairs(reps, sig,
+      idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
+    val comps = connectedComponentsCanonical(
+      pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
+      "src", "dst", maxIter)
+    reps.select(col(idCol).as("doc_id"))
+      .join(comps, col("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper_id"))
+  }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` (exact verifier
     * for small n / within-ANN-bucket use). */

@@ -109,6 +109,24 @@ class DedupSpec extends SparkSpec {
     assert(keepers(4L) === 4L && keepers(5L) === 5L)
   }
 
+  test("rowwise transitive keepers match the md5-oracle path at threshold 1.0") {
+    // at 1.0 the verified pairs are exactly the exact-dup groups under ANY
+    // hash family (identical signatures share every band; chance collisions
+    // die at the Jaccard=1 verify) — so the zero-shuffle production path
+    // must produce the same keepers as the md5 formulation
+    val dup = corpus.unionByName(
+      corpus.filter($"doc_id" <= 3).withColumn("doc_id", $"doc_id" + 100))
+    val md5Path = Dedup.nearDupKeepersTransitive(dup, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowwise = Dedup.nearDupKeepersTransitiveRowwise(dup, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowwise === md5Path)
+    // transitive semantics survive: 101/102 (dups of 1/2) collapse under 1
+    assert(rowwise.contains((101L, 1L)) && rowwise.contains((102L, 1L)))
+  }
+
   test("simhash64: identical texts share a hash; near texts are closer than far ones") {
     val h = Dedup.simhash64(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
