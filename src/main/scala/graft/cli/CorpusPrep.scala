@@ -16,8 +16,9 @@ import graft.trainprep.TrainPrep
   *   2. quality floor (`--min-quality 0.5`)      — pure filter
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
-  *   5. near-dup dedup (`--dedup exact|near`)    — collapse + rowwise MinHash
-  *      + LSH (+ `--max-bucket` mega-bucket cap, dropped buckets logged)
+  *   5. dedup (`--dedup exact|near|transitive`)  — collapse + rowwise MinHash
+  *      + LSH (+ `--max-bucket` mega-bucket cap, dropped buckets logged);
+  *      `transitive` closes duplicate CHAINS via star-contraction CC
   *   6. sequence packing (`--budget 4096`)       — distributed prefix scan
   *
   * `runMain graft.cli.CorpusPrep --in <docs.parquet> --out <dir> [flags]`
@@ -56,7 +57,7 @@ object CorpusPrep {
           .select(col("keeper_id").as(idCol))
         docs = docs.join(keepers, idCol)
         0L
-      case Some("near") =>
+      case Some(mode @ ("near" | "transitive")) =>
         // count dropped buckets over the SAME population the pipeline
         // banded (the collapsed reps), BEFORE dedup removes survivors —
         // counting afterwards both under- and over-reports. This is a
@@ -68,15 +69,21 @@ object CorpusPrep {
             Dedup.minhashSignatureRowwise(
               Dedup.collapseReps(docs, idCol, textCol), idCol, textCol, 8),
             idCol, numHashes = 8, rowsPerBand = 2, maxBucket).count()
-        val keepers = Dedup.nearDupKeepersRowwise(docs, idCol, textCol,
-          numHashes = 8, rowsPerBand = 2, threshold = 0.8,
-          maxBucketSize = maxBucket)
+        val keepers =
+          if (mode == "near")
+            Dedup.nearDupKeepersRowwise(docs, idCol, textCol,
+              numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+              maxBucketSize = maxBucket)
+          else
+            Dedup.nearDupKeepersTransitiveRowwise(docs, idCol, textCol,
+              numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+              maxBucketSize = maxBucket)
         docs = docs.join(
           keepers.filter(col("doc_id") === col("keeper_id"))
             .select(col("doc_id").as(idCol)), idCol)
         dropped
       case Some(other) =>
-        sys.error(s"--dedup must be 'exact' or 'near', got '$other'")
+        sys.error(s"--dedup must be 'exact', 'near' or 'transitive', got '$other'")
       case None => 0L
     }
 

@@ -27,6 +27,20 @@ class CorpusPrepSpec extends SparkSpec {
       Set("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"))
   }
 
+  test("transitive dedup keeps no more docs than one-hop near dedup") {
+    // chains collapse further under the CC closure, never less
+    val outNear = Files.createTempDirectory("corpus_near").toString
+    val outTrans = Files.createTempDirectory("corpus_trans").toString
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val near = CorpusPrep.run(spark, Map(
+      "in" -> in, "out" -> outNear, "dedup" -> "near"))
+    val trans = CorpusPrep.run(spark, Map(
+      "in" -> in, "out" -> outTrans, "dedup" -> "transitive"))
+    assert(trans("docs_in") == near("docs_in"))
+    assert(trans("docs_out") <= near("docs_out"))
+    assert(trans("docs_out") > 0)
+  }
+
   test("exact dedup stage removes the duplicates a shifted copy introduces") {
     val out = Files.createTempDirectory("corpus_prep2").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
