@@ -225,6 +225,29 @@ object ScaleSmoke {
       s""""shuffle_write_bytes":$tfidfShuffle,""" +
       s""""peak_stage_shuffle_bytes":$tfidfPeak}""")
 
+    // ---- connected components on the worst-case shape ---------------------
+    // A 100k-node PATH graph: diameter 100k, the adversarial opposite of
+    // the near-clique graphs dedup produces. Min-label propagation needs
+    // one round per diameter hop (100k rounds — infeasible); alternating
+    // star contraction converges in O(log²) rounds, so finishing inside
+    // maxIter = 25 IS the logarithmic-rounds claim, demonstrated.
+    val nChain = 100000L * mult
+    val chainEdges = spark.range(1, nChain)
+      .select(col("id").as("src"), (col("id") - 1).as("dst"))
+    val (chainComps, _, _, ccSecs) = sectionShuffle {
+      val labels = graft.dedup.Dedup.connectedComponents(
+        chainEdges, "src", "dst", maxIter = 25)
+      val r = labels.agg(countDistinct(col("component")),
+        count(lit(1))).head()
+      require(r.getLong(0) == 1 && r.getLong(1) == nChain,
+        s"chain must collapse to ONE component over $nChain nodes, " +
+          s"got ${r.getLong(0)} over ${r.getLong(1)}")
+      r.getLong(0)
+    }
+    println(s"""{"metric":"cc_worstcase_scale","nodes":$nChain,""" +
+      s""""components":$chainComps,"seconds":$ccSecs,""" +
+      s""""nodes_per_sec":${(nChain / ccSecs).toLong}}""")
+
     // ---- REAL image codec throughput --------------------------------------
     // 100k actual PNGs encoded and decoded through the JDK codecs in one
     // distributed pass each: encode (synthesize → write parquet blobs),
