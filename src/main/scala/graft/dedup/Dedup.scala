@@ -337,19 +337,24 @@ object Dedup {
     * would pay one full extra round just to observe "nothing changed". */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 10): DataFrame = {
+    // one materialization of the caller's edge plan: both the canonical
+    // set and the self-loop scan read the checkpoint, so a general caller
+    // passing an expensive edge-producing plan pays for it exactly once
+    // (the dedup pipeline's canonical fast path skips all of this)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val labels = ccCanonical(
-      edges
-        .filter(col(srcCol) =!= col(dstCol))
-        .select(greatest(col(srcCol), col(dstCol)).as("u"),
-          least(col(srcCol), col(dstCol)).as("v"))
+      e.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
         .distinct(),
       maxIter)
     // a vertex whose only edges are self-loops is still a vertex: it gets
     // a singleton component (matching the min-label formulation), instead
     // of silently vanishing with the filtered loops. The union+min is
     // labels-sized — vertices with real edges keep their (≤ id) label.
-    val selfOnly = edges.filter(col(srcCol) === col(dstCol))
-      .select(col(srcCol).as("id")).distinct()
+    val selfOnly = e.filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     labels.unionByName(selfOnly)
       .groupBy("id").agg(min("component").as("component"))

@@ -46,7 +46,9 @@ object Multimodal {
 
   /** STUB decode: deterministic pseudo-metadata from byte statistics, shaped
     * like a real decoder's output (width/height/duration). A production
-    * build replaces the body with a codec call — see `realDecoder`. */
+    * build replaces the body with a codec call — [[decodeImage]] /
+    * [[decodeAudio]] are the real-codec counterparts for formats the JDK
+    * ships; only video still needs this stub. */
   def decodeStub(bytes: Column): Column = {
     val n = length(bytes).cast("long")
     struct(
@@ -58,17 +60,25 @@ object Multimodal {
   /** Decoded image header metadata. */
   case class ImageMeta(width: Int, height: Int, format: String)
 
+  // ImageIO's default input cache spools every stream to a temp FILE —
+  // per-image create/delete syscalls on the decode hot path, and a crash
+  // source when an executor's tmpdir is full. All our inputs are in-memory
+  // byte arrays: cache in memory, JVM-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF): reads the
     * HEADER ONLY — `ImageReader.getWidth/getHeight` never inflates pixels,
     * so metadata extraction over 100 TB of blobs costs a few hundred bytes
     * of I/O per image, not a full decode. Returns None for corrupt or
     * non-image payloads: at corpus scale undecodable blobs are data, not
-    * exceptions — callers filter or route them, jobs never die on one. */
+    * exceptions — callers filter or route them, jobs never die on one
+    * (stream construction sits INSIDE the catch for the same reason). */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
     if (bytes == null || bytes.isEmpty) return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
@@ -115,12 +125,20 @@ object Multimodal {
         }
         y += 1
       }
-      val cells = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
-      val mean = cells.sum / 64.0
-      var bits = 0L
+      // the mean is over PIXELS (= weighted mean of populated cells), never
+      // over all 64 cell slots: images narrower/shorter than 8px leave
+      // cells unpopulated, and counting those as 0-luminance would deflate
+      // the mean until most small images collapse onto one degenerate hash
+      // (false duplicate merges). Unpopulated cells contribute a 0 bit.
+      var totalLum = 0.0
+      var totalPx = 0L
       var i = 0
+      while (i < 64) { totalLum += sums(i); totalPx += counts(i); i += 1 }
+      val mean = totalLum / totalPx
+      var bits = 0L
+      i = 0
       while (i < 64) {
-        if (cells(i) >= mean) bits |= (1L << i)
+        if (counts(i) > 0 && sums(i) / counts(i) >= mean) bits |= (1L << i)
         i += 1
       }
       Some(bits)
@@ -214,7 +232,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("bytes")
         val n = bytes.length.toLong
-        // deterministic stand-in for realDecoder(bytes); Seq[Any] keeps the
+        // deterministic stand-in for a video codec call; Seq[Any] keeps the
         // Longs from widening to Double (BIGINT fields must stay Long)
         Row.fromSeq(r.toSeq ++ Seq[Any](n % 640 + 1, (n * 7) % 480 + 1, n / 100.0))
       }

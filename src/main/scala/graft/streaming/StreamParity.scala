@@ -68,26 +68,27 @@ object StreamParity {
     // plan+execute cycle (both confs are captured at query start — scoped
     // to this start call, restored for any watermarked caller)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = try {
-      stream.writeStream
-        .format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
+    // the checkpoint cleanup scope covers start() too: a query that fails
+    // analysis AFTER the engine created the checkpoint dir must not leave
+    // litter behind
     try {
+      val q = try {
+        stream.writeStream
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       q.awaitTermination()
       q.stop()
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-      }
-      rm(ckpt)
-    }
+    } finally rm(ckpt)
     spark.table(name)
   }
 

@@ -141,6 +141,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(wav).isEmpty)
   }
 
+  test("aHash of sub-8px images uses the pixel mean, not 64-slot zero-padding") {
+    // a 4x4 image populates only 16 of the 64 cells; counting the empty
+    // slots as zero luminance would deflate the mean until different small
+    // images collapse onto one degenerate hash (false duplicate merges)
+    def tiny(invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val v0 = (x + y) * 255 / 6
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val a = Multimodal.imageAHash64(tiny(invert = false)).get
+    val b = Multimodal.imageAHash64(tiny(invert = true)).get
+    assert(a !== b, "different 4x4 images must not share a hash")
+  }
+
   test("imageNearDupPairs: Hamming-LSH finds re-encodes and near-edits, skips junk") {
     val rows = Seq(
       (1L, imageBytes(64, 64, "png")),
