@@ -81,6 +81,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents fails loudly when maxIter is exhausted") {
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("an empty edge list converges to empty labels, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
   test("a vertex with only self-loops is a singleton component, not dropped") {
     val edges = Seq((2L, 1L), (5L, 5L), (1L, 1L)).toDF("src", "dst")
     val comps = Dedup.connectedComponents(edges)
