@@ -88,6 +88,32 @@ object TrainPrepQueries {
               |    AS chunk_end_id
               |FROM cum""".stripMargin)),
 
+    // ---- decontamination: training × benchmark word-n-gram overlap -------
+    // GPT-3-style eval-set contamination check: docs < 50 stand in for the
+    // benchmark, docs in [100, 600) for the training corpus; any shared
+    // 8-gram is a contamination pair. The benchmark side broadcasts; the
+    // training side is one scan pass.
+    "q_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TrainPrep.contaminationPairs(
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 600), "doc_id", "text",
+          docs.filter(col("doc_id") < 50), "doc_id", "text",
+          n = 8)
+      },
+      Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE doc_id >= 100 AND doc_id < 600),
+             |trs AS (SELECT doc_id AS train_id,
+             |    array_to_string(tk[i:i+7], ' ') AS shingle
+             |  FROM tr, UNNEST(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i)),
+             |be AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE doc_id < 50),
+             |bes AS (SELECT DISTINCT doc_id AS bench_id,
+             |    array_to_string(tk[i:i+7], ' ') AS shingle
+             |  FROM be, UNNEST(generate_series(1, greatest(len(tk) - 7, 0))) AS t(i))
+             |SELECT DISTINCT train_id, bench_id
+             |FROM trs JOIN bes USING (shingle)""".stripMargin)),
+
     // ---- corpus composition: filter → dedup → per-source stats -----------
     "q_corpus_stats" -> QueryDef(
       (s, dir) => {

@@ -133,6 +133,51 @@ object TrainPrep {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Per-document word n-gram shingles: one row per (id, position), the
+    * shingle as its space-joined token string. Kept as STRINGS here so the
+    * operator is verifiable cross-engine; production pipelines hash the
+    * shingle column (xxhash64) before shuffling. A doc with fewer than `n`
+    * tokens emits nothing. Pure explode over a sequence — no UDF, and the
+    * token array is built once per row. */
+  def ngramShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    val toks = split(col(textCol), " ")
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty — docs
+    // shorter than n tokens must be guarded to emit no shingles at all
+    val nShingles = size(toks) - (n - 1)
+    df.select(col(idCol),
+        explode(when(nShingles > 0,
+            transform(sequence(lit(1), nShingles),
+              i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+  }
+
+  /** Benchmark decontamination: training docs sharing at least one word
+    * n-gram with an evaluation set (the GPT-3-style 13-gram overlap
+    * check). Returns distinct (train id, benchmark id) contamination
+    * pairs — route them to a drop list or an audit table.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands of
+    * docs) — its distinct shingles broadcast; training shingles stream
+    * out of the scan straight into the broadcast hash join, so the 100 TB
+    * side is one pass, no shuffle of training text, and the output is
+    * bounded by contaminated pairs. The shingle join key is the string
+    * here (oracle-exact); hash it for narrower broadcasts at real eval
+    * sizes. */
+  def contaminationPairs(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int): DataFrame = {
+    val trainSh = ngramShingles(train, trainId, trainText, n)
+      .select(col(trainId).as("train_id"), col("shingle"))
+    val benchSh = ngramShingles(bench, benchId, benchText, n)
+      .select(col(benchId).as("bench_id"), col("shingle"))
+      .distinct()
+    trainSh.join(broadcast(benchSh), "shingle")
+      .select(col("train_id"), col("bench_id"))
+      .distinct()
+  }
+
   /** Concat-then-chunk sequence packing: lay documents end-to-end in a
     * deterministic order and cut the token stream every `budgetTokens` —
     * exactly the packing GPT-style pretraining uses (documents may span a

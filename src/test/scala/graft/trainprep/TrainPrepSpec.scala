@@ -123,4 +123,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows(2) == ((3L, 1L, 1L))) // not (1, 0)
     rows.foreach { case (_, cid, cend) => assert(cend >= cid) }
   }
+
+  test("ngramShingles: sliding windows, short docs emit nothing") {
+    val d = Seq((1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val sh = TrainPrep.ngramShingles(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(sh.filter(_._1 == 1L).map(_._2).toSet === Set("a b c", "b c d"))
+    assert(sh.forall(_._1 != 2L), "doc shorter than n emits no shingles")
+    assert(sh.forall(_._1 != 3L), "empty doc emits no shingles")
+    assert(sh.filter(_._1 == 4L).map(_._2).toSeq === Seq("x y z"))
+  }
+
+  test("contaminationPairs flags only docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // contains bench 1
+      (101L, "completely unrelated text about spark plans"),
+      (102L, "prefix words then the quick brown fox appears here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = TrainPrep.contaminationPairs(
+        train, "doc_id", "text", bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 1L), (102L, 1L)))
+    // the benchmark side must broadcast: the training scan is one pass
+    val plan = TrainPrep.contaminationPairs(
+        train, "doc_id", "text", bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(800))
+  }
 }
