@@ -306,6 +306,24 @@ object PipelineQueries {
       Some(knnOracleSql)),
 
     // ---- text analysis: token counting ------------------------------------
+    // ---- token-repetition quality metrics (Gopher-style filters) ----------
+    "q_text_repetition" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        TextFunctions.repetitionMetrics(
+          docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("tok")),
+          "doc_id", "tok")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id < 500),
+             |pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+             |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+             |  count(*)::BIGINT AS n_distinct,
+             |  round(count(*)::DOUBLE / sum(c), 6) AS type_token_ratio,
+             |  round(max(c)::DOUBLE / sum(c), 6) AS top_token_fraction
+             |FROM pt GROUP BY doc_id""".stripMargin)),
+
     "q_text_tokens" -> QueryDef(
       (s, dir) => {
         t(s, dir, "documents").select(

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -81,6 +81,25 @@ object TextFunctions {
 
   /** Whole-document fingerprint: sha256 of the lower-cased text. */
   def fingerprint(text: Column): Column = sha2(lower(text), 256)
+
+  /** Per-document token-repetition metrics (the Gopher-style repetition
+    * quality filters): given a (id, token) exploded frame, returns one row
+    * per id with `n_tokens`, `n_distinct`, `type_token_ratio` and
+    * `top_token_fraction` — machine-generated/boilerplate text shows a low
+    * type-token ratio and a high top-token fraction. Two hash aggregations
+    * (map-side partials apply), shuffle carries (id, token) then id —
+    * never document bodies; ratios round to 6 places for cross-engine
+    * float compare. */
+  def repetitionMetrics(tokens: DataFrame, idCol: String,
+      tokCol: String): DataFrame = {
+    val perTok = tokens.groupBy(col(idCol), col(tokCol))
+      .agg(count(lit(1)).as("__c"))
+    perTok.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      round(count(lit(1)) / sum(col("__c")), 6).as("type_token_ratio"),
+      round(max(col("__c")) / sum(col("__c")), 6).as("top_token_fraction"))
+  }
 
   /** Character n-gram shingles (rolling window), for MinHash/fingerprints. */
   def charShingles(text: Column, n: Int): Column =
