@@ -305,7 +305,6 @@ object PipelineQueries {
       },
       Some(knnOracleSql)),
 
-    // ---- text analysis: token counting ------------------------------------
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
       (s, dir) => {
@@ -324,6 +323,7 @@ object PipelineQueries {
              |  round(max(c)::DOUBLE / sum(c), 6) AS top_token_fraction
              |FROM pt GROUP BY doc_id""".stripMargin)),
 
+    // ---- text analysis: token counting ------------------------------------
     "q_text_tokens" -> QueryDef(
       (s, dir) => {
         t(s, dir, "documents").select(

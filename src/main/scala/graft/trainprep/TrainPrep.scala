@@ -142,11 +142,16 @@ object TrainPrep {
   def ngramShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
-    val toks = split(col(textCol), " ")
+    // bind the token array to a column FIRST: ArrayTransform evaluates its
+    // lambda body per element with no subexpression caching, so an inline
+    // split() would re-scan the text once per shingle position — O(tokens²)
+    // per document instead of O(tokens)
+    val withToks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val toks = col("__toks")
     // Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty — docs
     // shorter than n tokens must be guarded to emit no shingles at all
     val nShingles = size(toks) - (n - 1)
-    df.select(col(idCol),
+    withToks.select(col(idCol),
         explode(when(nShingles > 0,
             transform(sequence(lit(1), nShingles),
               i => concat_ws(" ", slice(toks, i, lit(n)))))
