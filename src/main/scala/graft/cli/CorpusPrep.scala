@@ -19,7 +19,9 @@ import graft.trainprep.TrainPrep
   *   5. dedup (`--dedup exact|near|transitive`)  — collapse + rowwise MinHash
   *      + LSH (+ `--max-bucket` mega-bucket cap, dropped buckets logged);
   *      `transitive` closes duplicate CHAINS via star-contraction CC
-  *   6. sequence packing (`--budget 4096`)       — distributed prefix scan
+  *   6. decontamination (`--decontaminate <bench.parquet>` [`--ngram 13`])
+  *      — drop docs sharing a word n-gram with the eval set
+  *   7. sequence packing (`--budget 4096`)       — distributed prefix scan
   *
   * `runMain graft.cli.CorpusPrep --in <docs.parquet> --out <dir> [flags]`
   * writes `<out>/chunks` (doc→chunk assignments) and prints a one-line
@@ -87,6 +89,21 @@ object CorpusPrep {
       case None => 0L
     }
 
+    // decontamination AFTER dedup: keepers already collapsed, so the
+    // benchmark join sees each surviving text once
+    val nContaminated: Long = args.get("decontaminate") match {
+      case Some(benchPath) =>
+        val n = args.getOrElse("ngram", "13").toInt
+        val bench = spark.read.parquet(benchPath)
+        val contaminated = TrainPrep.contaminationPairs(
+            docs, idCol, textCol, bench, idCol, textCol, n)
+          .select(col("train_id").as(idCol)).distinct()
+        val c = contaminated.count()
+        docs = docs.join(contaminated, Seq(idCol), "left_anti")
+        c
+      case None => 0L
+    }
+
     val budget = args.getOrElse("budget", "4096").toLong
     val packed = TrainPrep.packChunks(docs, idCol, textCol, budget)
     packed.write.mode("overwrite").parquet(s"$out/chunks")
@@ -97,7 +114,8 @@ object CorpusPrep {
     val nChunks = if (nOut == 0 || maxChunk.isNullAt(0)) 0L
       else maxChunk.getLong(0) + 1
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
-      "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped)
+      "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
+      "contaminated_dropped" -> nContaminated)
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_prep\",", ",", "}"))
     stats

@@ -41,6 +41,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(trans("docs_out") > 0)
   }
 
+  test("decontamination drops exactly the docs sharing an n-gram with the bench set") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // benchmark = 5 docs lifted straight from the corpus: those docs (and
+    // any near-identical template siblings) must be dropped, others kept
+    val benchDir = Files.createTempDirectory("bench").toString + "/bench.parquet"
+    base.filter(col("doc_id") < 5).write.parquet(benchDir)
+    val out = Files.createTempDirectory("corpus_decon").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> "/root/testdata/sf0.001/documents.parquet",
+      "out" -> out, "decontaminate" -> benchDir, "ngram" -> "8"))
+    assert(stats("contaminated_dropped") >= 5,
+      "the benchmark's own source docs must be flagged")
+    assert(stats("docs_out") == stats("docs_in") - stats("contaminated_dropped"))
+    // surviving docs contain none of the flagged ids
+    val survivors = spark.read.parquet(s"$out/chunks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 5L).forall(!survivors.contains(_)))
+  }
+
   test("exact dedup stage removes the duplicates a shifted copy introduces") {
     val out = Files.createTempDirectory("corpus_prep2").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
