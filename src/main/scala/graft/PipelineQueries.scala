@@ -467,6 +467,27 @@ object PipelineQueries {
              |    / (8000 + (doc_id % 8) * 1000), 6) AS duration_s
              |FROM documents WHERE doc_id < 300""".stripMargin)),
 
+    // ---- multimodal: REAL video container-header round trip ----------------
+    // The JDK has no video codec, but duration/dimensions live in the
+    // container HEADER — pure byte arithmetic. Even ids synthesize an MP4
+    // (moov/mvhd/tkhd), odd ids an AVI (RIFF hdrl/avih); both decode back
+    // through decodeVideo. Timescale/frame-period are 1/16 s, so duration
+    // is an EXACT double and the oracle predicts every field bit-for-bit.
+    "q_mm_real_video" -> QueryDef(
+      (s, dir) => {
+        val vids = Multimodal.synthesizeVideos(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        Multimodal.decodeVideoBatch(vids)
+          .select(col("media_id"), col("width"), col("height"),
+            col("duration_s"), col("format"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(doc_id % 64 + 16 AS INT) AS width,
+             |  CAST(doc_id % 48 + 16 AS INT) AS height,
+             |  CAST(doc_id % 500 + 1 AS DOUBLE) / 16 AS duration_s,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format
+             |FROM documents WHERE doc_id < 300""".stripMargin)),
+
     // ---- multimodal: frame sampling over binary payloads -------------------
     "q_mm_frames" -> QueryDef(
       (s, dir) => {

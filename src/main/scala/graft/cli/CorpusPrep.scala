@@ -17,7 +17,8 @@ import graft.trainprep.TrainPrep
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
   *   5. dedup (`--dedup exact|near|transitive`)  — collapse + rowwise MinHash
-  *      + LSH (+ `--max-bucket` mega-bucket cap, dropped buckets logged);
+  *      + LSH; mega-bucket cap DEFAULT-ON (`--max-bucket N` overrides,
+  *      `0` uncaps; dropped buckets observed in-pass and logged);
   *      `transitive` closes duplicate CHAINS via star-contraction CC
   *   6. decontamination (`--decontaminate <bench.parquet>` [`--ngram 13`])
   *      — drop docs sharing a word n-gram with the eval set
@@ -29,7 +30,32 @@ import graft.trainprep.TrainPrep
   */
 object CorpusPrep {
 
+  /** AQE's empty-relation propagation replaces any query-stage subtree that
+    * materializes 0 rows — including a CollectMetrics audit node sitting on
+    * it — after which Spark completes the observation with an EMPTY row
+    * (`ObservationManager.tryComplete`). A capped dedup whose surviving
+    * buckets yield zero verified pairs is exactly that shape, so for the
+    * duration of a run the rule is excluded (the branch it would optimize
+    * is empty — there is nothing to win) and the in-pass audit count stays
+    * reliable. Restored afterwards; a defensive fallback below covers
+    * callers that race the conf. */
+  private val aqeEmptyRule =
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
   def run(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
+    val excludedKey = "spark.sql.adaptive.optimizer.excludedRules"
+    val prevExcluded = spark.conf.getOption(excludedKey)
+    val merged = (prevExcluded.toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty) :+ aqeEmptyRule).distinct.mkString(",")
+    spark.conf.set(excludedKey, merged)
+    try runInner(spark, args)
+    finally prevExcluded match {
+      case Some(v) => spark.conf.set(excludedKey, v)
+      case None => spark.conf.unset(excludedKey)
+    }
+  }
+
+  private def runInner(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
     val in = args("in")
     val out = args("out")
     val docs0 = spark.read.parquet(in)
@@ -52,45 +78,52 @@ object CorpusPrep {
       docs = docs.withColumn(textCol, TrainPrep.redactPii(col(textCol)))
     }
 
-    val maxBucket = args.get("max-bucket").map(_.toInt).getOrElse(Int.MaxValue)
-    val nDropped: Long = args.get("dedup") match {
-      case Some("exact") =>
+    // Mega-bucket cap: DEFAULT-ON at Dedup.DefaultMaxBucketSize;
+    // `--max-bucket N` overrides, `--max-bucket 0` (or negative) uncaps
+    // explicitly. Capped runs audit for free: the dropped-bucket count is
+    // a CollectMetrics observation on the banding aggregate itself — the
+    // metric is collected in the SAME pass the pipeline pays anyway (over
+    // the same collapsed-reps population), replacing the second
+    // collapse+sign+band audit pass earlier rounds paid.
+    val maxBucket = args.get("max-bucket").map(_.toInt) match {
+      case Some(m) if m <= 0 => Int.MaxValue
+      case Some(m) => m
+      case None => Dedup.DefaultMaxBucketSize
+    }
+    val oversizeObs =
+      if (maxBucket == Int.MaxValue) None
+      else Some(org.apache.spark.sql.Observation("graft_oversize_audit"))
+    var obsAttached = false
+    val docsAtDedup = docs // pre-dedup population, for the pruned-audit fallback
+    args.get("dedup").foreach {
+      case "exact" =>
         val keepers = Dedup.exact(docs, idCol, textCol)
           .select(col("keeper_id").as(idCol))
         docs = docs.join(keepers, idCol)
-        0L
-      case Some(mode @ ("near" | "transitive")) =>
-        // count dropped buckets over the SAME population the pipeline
-        // banded (the collapsed reps), BEFORE dedup removes survivors —
-        // counting afterwards both under- and over-reports. This is a
-        // second collapse+sign+band pass, paid only when --max-bucket is
-        // set: the audit's price for an exact dropped-bucket count.
-        val dropped =
-          if (maxBucket == Int.MaxValue) 0L
-          else Dedup.oversizeBuckets(
-            Dedup.minhashSignatureRowwise(
-              Dedup.collapseReps(docs, idCol, textCol), idCol, textCol, 8),
-            idCol, numHashes = 8, rowsPerBand = 2, maxBucket).count()
+      case mode @ ("near" | "transitive") =>
+        obsAttached = oversizeObs.isDefined
         val keepers =
           if (mode == "near")
             Dedup.nearDupKeepersRowwise(docs, idCol, textCol,
               numHashes = 8, rowsPerBand = 2, threshold = 0.8,
-              maxBucketSize = maxBucket)
+              maxBucketSize = maxBucket, oversizeObs = oversizeObs)
           else
             Dedup.nearDupKeepersTransitiveRowwise(docs, idCol, textCol,
               numHashes = 8, rowsPerBand = 2, threshold = 0.8,
-              maxBucketSize = maxBucket)
+              maxBucketSize = maxBucket, oversizeObs = oversizeObs)
         docs = docs.join(
           keepers.filter(col("doc_id") === col("keeper_id"))
             .select(col("doc_id").as(idCol)), idCol)
-        dropped
-      case Some(other) =>
+      case other =>
         sys.error(s"--dedup must be 'exact', 'near' or 'transitive', got '$other'")
-      case None => 0L
     }
 
     // decontamination AFTER dedup: keepers already collapsed, so the
-    // benchmark join sees each surviving text once
+    // benchmark join sees each surviving text once. The contaminated-id
+    // frame is persisted before counting so the broadcast contamination
+    // join over the (large) post-dedup corpus runs once — the count
+    // materializes the cache and the left_anti join reads it back.
+    var contaminatedCache: Option[DataFrame] = None
     val nContaminated: Long = args.get("decontaminate") match {
       case Some(benchPath) =>
         val n = args.getOrElse("ngram", "13").toInt
@@ -98,6 +131,8 @@ object CorpusPrep {
         val contaminated = TrainPrep.contaminationPairs(
             docs, idCol, textCol, bench, idCol, textCol, n)
           .select(col("train_id").as(idCol)).distinct()
+          .persist()
+        contaminatedCache = Some(contaminated)
         val c = contaminated.count()
         docs = docs.join(contaminated, Seq(idCol), "left_anti")
         c
@@ -107,6 +142,28 @@ object CorpusPrep {
     val budget = args.getOrElse("budget", "4096").toLong
     val packed = TrainPrep.packChunks(docs, idCol, textCol, budget)
     packed.write.mode("overwrite").parquet(s"$out/chunks")
+    contaminatedCache.foreach(_.unpersist())
+
+    // The observation fired during the pipeline's own actions (CC rounds /
+    // the chunks write just above), so `get` returns immediately; it is
+    // only consulted when the dedup stage actually attached it. An
+    // uncapped or absent dedup stage reports 0. If AQE still pruned the
+    // audit node (caller raced the excluded-rules conf), fall back to an
+    // explicit one-off count rather than report a silent 0.
+    val nDropped: Long =
+      if (obsAttached)
+        oversizeObs.flatMap(_.get.get("dropped_buckets"))
+          .map(_.asInstanceOf[Long]).getOrElse {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "oversize-bucket observation was pruned from the executed " +
+                "plan; recomputing the drop count with a one-off banding pass")
+            Dedup.oversizeBuckets(
+              Dedup.minhashSignatureRowwise(
+                Dedup.collapseReps(docsAtDedup, idCol, textCol),
+                idCol, textCol, 8),
+              idCol, numHashes = 8, rowsPerBand = 2, maxBucket).count()
+          }
+      else 0L
 
     val written = spark.read.parquet(s"$out/chunks")
     val nOut = written.count()

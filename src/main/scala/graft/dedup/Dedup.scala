@@ -1,7 +1,11 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.functions.TextFunctions
 
@@ -18,6 +22,51 @@ import graft.functions.TextFunctions
   *    the full-cross-join form here is the correctness oracle for small n.
   */
 object Dedup {
+
+  /** Default mega-bucket cap for the production (`*Rowwise`) near-dup entry
+    * points. A bucket of n DISTINCT texts sharing a band is n² verify
+    * pairs; template-spam corpora produce 10⁵+-member buckets, and one
+    * such bucket is a corpus²-shaped task. 10 000 caps the worst single
+    * bucket at ~5·10⁷ in-row intersect pairs (seconds of one executor's
+    * time) while sitting far above any bucket an organically-duplicated
+    * corpus produces. Capped runs are LOUD, never silent: the drop count
+    * is observed in-pass (`graft_oversize_buckets*` metric) and logged by
+    * a session-level listener whenever it is non-zero. Pass
+    * `Int.MaxValue` to uncap explicitly. */
+  val DefaultMaxBucketSize = 10000
+
+  private val obsCounter = new AtomicLong(0)
+  private val listenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** One listener per session that turns any `graft_oversize*` observed
+    * metric with a non-zero drop count into a WARN log — the "capped runs
+    * are loud" half of the default-on guardrail. Covers both the
+    * auto-named internal observes and caller-supplied [[Observation]]s
+    * whose name starts with `graft_oversize`. */
+  private def ensureOversizeListener(spark: SparkSession): Unit =
+    if (listenerInstalled.add(spark)) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_oversize") &&
+                row.getAs[Long]("dropped_buckets") > 0) {
+              log.warn(
+                s"graft dedup mega-bucket cap dropped " +
+                  s"${row.getAs[Long]("dropped_buckets")} LSH bucket(s) " +
+                  s"covering ${row.getAs[Long]("dropped_members")} member(s) " +
+                  s"(largest bucket ${row.getAs[Long]("max_bucket")}); a capped " +
+                  "run UNDER-merges — inspect via Dedup.oversizeBuckets or " +
+                  "raise maxBucketSize")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
 
   /** Text digest with a per-id sentinel for NULL texts: NULL texts must
     * never merge with each other (sha2(NULL) is NULL — a groupBy or
@@ -98,7 +147,8 @@ object Dedup {
     * near-duplicates collide in ≥1 band with high probability. Returns
     * (band, band_hash, ids) candidate groups with >1 member. */
   def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      oversizeObs: Option[Observation] = None): DataFrame = {
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
@@ -116,18 +166,36 @@ object Dedup {
       .groupBy(col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-    // Mega-bucket guard (opt-in): with exact dups collapsed upstream, a
-    // bucket of size n is n DISTINCT texts sharing a band — n² verify
-    // pairs. Boilerplate/template spam produces buckets of 10⁵+ distinct
-    // near-identical docs, and one such bucket is a corpus²-shaped task.
-    // Production pipelines cap or sample these; the cap here DROPS the
-    // bucket WHOLE, so a capped run under-merges (never wrongly merges a
-    // truncated membership). What was dropped stays inspectable through
-    // `oversizeBuckets` — run it alongside a capped job and log/route the
-    // result; a silent cap would read as "covered everything" when it
-    // didn't.
+    // Mega-bucket guard (default-ON via the `*Rowwise` entry points): with
+    // exact dups collapsed upstream, a bucket of size n is n DISTINCT
+    // texts sharing a band — n² verify pairs. Boilerplate/template spam
+    // produces buckets of 10⁵+ distinct near-identical docs, and one such
+    // bucket is a corpus²-shaped task. The cap DROPS the bucket WHOLE, so
+    // a capped run under-merges (never wrongly merges a truncated
+    // membership) — and it is never silent: the drop count is collected
+    // IN the same pass (a CollectMetrics node on the aggregated groups —
+    // Catalyst does not push the size filter through it, so the metric
+    // sees every bucket), surfaced through the caller's `oversizeObs` if
+    // supplied, and WARN-logged by the session listener whenever
+    // non-zero. Full membership of what was dropped stays inspectable
+    // through `oversizeBuckets`.
     if (maxBucketSize == Int.MaxValue) groups
-    else groups.filter(col("n") <= maxBucketSize)
+    else {
+      ensureOversizeListener(sig.sparkSession)
+      val metrics = Seq(
+        coalesce(sum(when(col("n") > maxBucketSize, 1L)), lit(0L))
+          .as("dropped_buckets"),
+        coalesce(sum(when(col("n") > maxBucketSize, col("n"))), lit(0L))
+          .as("dropped_members"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
+      val observed = oversizeObs match {
+        case Some(obs) => groups.observe(obs, metrics.head, metrics.tail: _*)
+        case None => groups.observe(
+          s"graft_oversize_buckets_${obsCounter.incrementAndGet()}",
+          metrics.head, metrics.tail: _*)
+      }
+      observed.filter(col("n") <= maxBucketSize)
+    }
   }
 
   /** The buckets a `maxBucketSize`-capped run drops: same banding, size
@@ -251,14 +319,19 @@ object Dedup {
 
   /** `nearDupKeepers` signed by the zero-shuffle rowwise expression
     * (xxhash64 family) — the production-default combination: exact-dup
-    * collapse, pure-map signatures, bucket-bounded verification. */
+    * collapse, pure-map signatures, bucket-bounded verification, and the
+    * [[DefaultMaxBucketSize]] mega-bucket guardrail ON by default (capped
+    * drops are observed in-pass and WARN-logged; pass `Int.MaxValue` to
+    * uncap, or an [[Observation]] to read the drop count after an action). */
   def nearDupKeepersRowwise(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      maxBucketSize: Int = Int.MaxValue): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame =
     collapsedRun(df, idCol, textCol) { reps =>
       nearDupKeepersFromSigs(reps,
         minhashSignatureRowwise(reps, idCol, textCol, numHashes),
-        idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
+        idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize,
+        oversizeObs)
     }
 
   /** `nearDupKeepers` with the signature step supplied by the caller —
@@ -280,9 +353,11 @@ object Dedup {
     * (~t²/2⁶⁵ per doc — negligible). */
   def verifiedNearDupPairs(df: DataFrame, sig: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int,
-      threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxBucketSize: Int = Int.MaxValue,
+      oversizeObs: Option[Observation] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand, maxBucketSize)
+    val cand = lshCandidateGroups(sig, idCol, numHashes, rowsPerBand,
+      maxBucketSize, oversizeObs)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -303,9 +378,10 @@ object Dedup {
 
   def nearDupKeepersFromSigs(df: DataFrame, sig: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int,
-      threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxBucketSize: Int = Int.MaxValue,
+      oversizeObs: Option[Observation] = None): DataFrame = {
     val verified = verifiedNearDupPairs(df, sig, idCol, textCol,
-        numHashes, rowsPerBand, threshold, maxBucketSize)
+        numHashes, rowsPerBand, threshold, maxBucketSize, oversizeObs)
       .select(col("id_b").as("dup_id"), col("id_a").as("cand_keeper"))
     df.select(col(idCol).as("doc_id"))
       .join(verified.groupBy("dup_id").agg(min("cand_keeper").as("keeper")),
@@ -502,11 +578,13 @@ object Dedup {
     * precedent). */
   def nearDupKeepersTransitiveRowwise(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int, rowsPerBand: Int, threshold: Double,
-      maxIter: Int = 10, maxBucketSize: Int = Int.MaxValue): DataFrame =
+      maxIter: Int = 10, maxBucketSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame =
     collapsedRun(df, idCol, textCol) { reps =>
       transitiveKeepersFromSigs(reps,
         minhashSignatureRowwise(reps, idCol, textCol, numHashes),
-        idCol, textCol, numHashes, rowsPerBand, threshold, maxIter, maxBucketSize)
+        idCol, textCol, numHashes, rowsPerBand, threshold, maxIter,
+        maxBucketSize, oversizeObs)
     }
 
   // CC runs over UNIQUE-text edges (collapsedRun fans groups back out):
@@ -521,9 +599,11 @@ object Dedup {
   private def transitiveKeepersFromSigs(reps: DataFrame, sig: DataFrame,
       idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
       threshold: Double, maxIter: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      oversizeObs: Option[Observation] = None): DataFrame = {
     val pairs = verifiedNearDupPairs(reps, sig,
-      idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize)
+      idCol, textCol, numHashes, rowsPerBand, threshold, maxBucketSize,
+      oversizeObs)
     val comps = connectedComponentsCanonical(
       pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
       "src", "dst", maxIter)

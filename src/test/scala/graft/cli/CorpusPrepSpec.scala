@@ -61,6 +61,60 @@ class CorpusPrepSpec extends SparkSpec {
     assert((0L until 5L).forall(!survivors.contains(_)))
   }
 
+  test("capped dedup audits dropped buckets in the signing pass itself, not a second pass") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // spam block: 30 DISTINCT texts over one token set (multiset varies) —
+    // they survive exact collapse and land in one Jaccard-1 LSH bucket per
+    // band, which a --max-bucket 10 run must drop and count
+    val toks = (0 until 8).map(j => s"spamtok$j")
+    val spam = (0 until 30).map { i =>
+      (5000L + i, toks.zipWithIndex
+        .flatMap { case (t, j) => Seq.fill(((i >> j) & 1) + 1)(t) }
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val in = Files.createTempDirectory("corpus_spam").toString + "/docs.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").unionByName(spam).write.parquet(in)
+
+    // every query that signs (minhash_sigs in the plan) must carry the
+    // oversize CollectMetrics audit — the round-6 shape was a SEPARATE
+    // banding query for the audit count, i.e. a signing plan with no metric
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Boolean)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        val s = qe.optimizedPlan.toString
+        plans.synchronized {
+          plans += ((s.contains("minhash_sigs"), s.contains("graft_oversize")))
+        }
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Files.createTempDirectory("corpus_spam_out").toString
+      val stats = CorpusPrep.run(spark, Map(
+        "in" -> in, "out" -> out, "dedup" -> "near", "max-bucket" -> "10"))
+      assert(stats("oversize_buckets_dropped") >= 4L,
+        "8 hashes / 2 rows-per-band = 4 bands of oversize spam bucket, " +
+          "plus whatever organic template buckets exceed 10 members")
+      // dropped buckets under-merge: all 30 spam docs survive
+      val survivors = spark.read.parquet(s"$out/chunks")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((0 until 30).forall(i => survivors.contains(5000L + i)))
+      // QueryExecutionListener events post asynchronously; wait for the
+      // signing queries to land before asserting on them
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.synchronized(!plans.exists(_._1)) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val signing = plans.synchronized(plans.filter(_._1).toList)
+      assert(signing.nonEmpty)
+      assert(signing.forall(_._2),
+        s"a signing query without the in-pass audit means a second audit pass: $signing")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("exact dedup stage removes the duplicates a shifted copy introduces") {
     val out = Files.createTempDirectory("corpus_prep2").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

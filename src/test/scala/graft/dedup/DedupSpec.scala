@@ -168,4 +168,71 @@ class DedupSpec extends SparkSpec {
     assert(capped.forall(_.getLong(3) < maxN))
     assert(capped.length == all.count(_.getLong(3) < maxN))
   }
+
+  /** Template-spam fixture: `n` DISTINCT texts (multiset varies with the
+    * bits of i) over one shared token SET — they survive exact-dup
+    * collapse, share every MinHash component (duplicate tokens cannot
+    * change a min), and so land in ONE bucket per band with pairwise
+    * Jaccard 1.0. The worst case the mega-bucket guardrail exists for.
+    * Two extra docs over a DIFFERENT shared token set form one small
+    * legitimate near-dup pair, keeping the verified-pairs branch non-empty
+    * (an all-empty branch is pruned by AQE together with its audit metric
+    * — see ObservationPruningSpec). */
+  private def spamDocs(n: Int) = {
+    val toks = (0 until 14).map(j => s"tok$j")
+    val spam = (0 until n).map { i =>
+      val text = toks.zipWithIndex
+        .flatMap { case (t, j) => Seq.fill(((i >> j) & 1) + 1)(t) }
+        .mkString(" ")
+      (i.toLong, text)
+    }
+    val pair = Seq(
+      (1000000L, "pairtok0 pairtok1 pairtok2 pairtok3"),
+      (1000001L, "pairtok0 pairtok0 pairtok1 pairtok2 pairtok3"))
+    (spam ++ pair).toDF("doc_id", "text")
+  }
+
+  test("default-capped rowwise run on template spam drops the mega-bucket and reports it in-pass") {
+    // 10 050 distinct spam texts > DefaultMaxBucketSize: an argument-free
+    // production run must NOT attempt the ~5·10⁷-pair verification — the
+    // bucket is dropped whole (every spam doc keeps itself) and the drop
+    // count is observed in the same pass, not by a second banding job.
+    assert(Dedup.DefaultMaxBucketSize == 10000)
+    val n = Dedup.DefaultMaxBucketSize + 50
+    val obs = org.apache.spark.sql.Observation("graft_oversize_spec")
+    val keepers = Dedup.nearDupKeepersRowwise(spamDocs(n), "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+        oversizeObs = Some(obs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.size == n + 2)
+    assert((0 until n).forall(i => keepers(i.toLong) == i.toLong),
+      "a dropped bucket must under-merge, never partially merge")
+    assert(keepers(1000001L) == 1000000L, "small legitimate buckets still verify")
+    // 8 hashes / 2 rows-per-band = 4 bands, each one oversize spam bucket;
+    // the size filter must not push through the CollectMetrics node, so
+    // the metric sees all four (the pair's size-2 buckets are kept)
+    val m = obs.get
+    assert(m("dropped_buckets") == 4L)
+    assert(m("dropped_members") == 4L * n)
+    assert(m("max_bucket") == n.toLong)
+  }
+
+  test("explicit Int.MaxValue uncaps: the same spam fixture merges to one keeper") {
+    val keepers = Dedup.nearDupKeepersRowwise(spamDocs(40), "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.size == 42)
+    assert((0 until 40).forall(i => keepers(i.toLong) == 0L),
+      "uncapped, Jaccard-1 spam all merges under doc 0")
+    // and a small explicit cap on the transitive path reports its drops too
+    val obs = org.apache.spark.sql.Observation("graft_oversize_spec_t")
+    val capped = Dedup.nearDupKeepersTransitiveRowwise(spamDocs(40), "doc_id",
+        "text", numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+        maxBucketSize = 10, oversizeObs = Some(obs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 40).forall(i => capped(i.toLong) == i.toLong))
+    assert(capped(1000001L) == 1000000L)
+    assert(obs.get("dropped_buckets") == 4L)
+  }
 }

@@ -182,4 +182,73 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight.contains((1L, 2L)))
   }
+
+  // ---- real video container-header decode ---------------------------------
+
+  test("synthesizeVideos → decodeVideo round trip follows the id arithmetic (MP4 and AVI)") {
+    val ids = Seq(0L, 1L, 2L, 17L, 500L, 501L, 1234L).toDF("doc_id")
+    val decoded = Multimodal.decodeVideoBatch(
+        Multimodal.synthesizeVideos(ids, "doc_id"))
+      .select("media_id", "width", "height", "duration_s", "format")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getString(4)))).toMap
+    for (id <- Seq(0L, 1L, 2L, 17L, 500L, 501L, 1234L)) {
+      val (w, h, d, f) = decoded(id)
+      assert(w === (id % 64 + 16).toInt)
+      assert(h === (id % 48 + 16).toInt)
+      assert(d === (id % 500 + 1) / 16.0, "1/16-s tick durations are exact doubles")
+      assert(f === (if (id % 2 == 0) "mp4" else "avi"))
+    }
+  }
+
+  test("decodeVideo rejects corrupt and truncated containers, never throws or loops") {
+    def vid(id: Long): Array[Byte] =
+      Multimodal.synthesizeVideos(Seq(id).toDF("doc_id"), "doc_id")
+        .collect()(0).getAs[Array[Byte]]("bytes")
+    val mp4 = vid(0L)
+    val avi = vid(1L)
+    assert(Multimodal.decodeVideo(null).isEmpty)
+    assert(Multimodal.decodeVideo(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeVideo("short".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(Array.fill[Byte](64)(0x41)).isEmpty)
+    // truncation anywhere inside the header walk must yield None, not an
+    // out-of-bounds read (every prefix length, both containers)
+    for (cut <- 1 until mp4.length)
+      assert(Multimodal.decodeVideo(mp4.take(cut)).isEmpty, s"mp4 prefix $cut")
+    for (cut <- 1 until avi.length)
+      assert(Multimodal.decodeVideo(avi.take(cut)).isEmpty, s"avi prefix $cut")
+    // a box size pointing past the payload terminates the walk
+    val badSize = mp4.clone()
+    badSize(0) = 0x7f.toByte // first box claims ~2 GB
+    assert(Multimodal.decodeVideo(badSize).isEmpty)
+    // corrupted RIFF LIST size likewise
+    val badAvi = avi.clone()
+    badAvi(16) = 0xff.toByte
+    assert(Multimodal.decodeVideo(badAvi).isEmpty)
+    // batch path: junk rows surface as NULL columns, not failures
+    val mixed = Seq((1L, mp4), (2L, "junk junk junk".getBytes))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeVideoBatch(mixed)
+      .select("media_id", "format").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("mp4"))
+    assert(out(2L) === None)
+  }
+
+  test("decodeVideo parses version-1 (64-bit time) mvhd/tkhd boxes") {
+    def b32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      b32(p.length + 8L) ++ t.getBytes("ISO-8859-1") ++ p
+    // v1 mvhd: verflags, 8-byte creation/modification, timescale, 8-byte
+    // duration (parser reads timescale@20, duration@24)
+    val mvhd = box("mvhd", b32(0x01000000L) ++ new Array[Byte](16) ++
+      b32(16) ++ b32(0) ++ b32(48)) // timescale 16, duration 48 → 3.0 s
+    // v1 tkhd: width/height at payload offsets 88/92
+    val tkhd = box("tkhd", b32(0x01000007L) ++ new Array[Byte](84) ++
+      b32(320L << 16) ++ b32(240L << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val meta = Multimodal.decodeVideo(moov)
+    assert(meta === Some(Multimodal.VideoMeta(320, 240, 3.0, "mp4")))
+  }
 }
