@@ -264,7 +264,8 @@ object PipelineQueries {
         val q = queryVec(s, dir)
         Similarity.lshTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
-          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8, maxHammingProbe = 2)
+          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8,
+          maxHammingProbe = 2, nTables = 3)
       },
       None),
 

@@ -279,6 +279,72 @@ object ScaleSmoke {
       s""""ahash_seconds":$hashSecs,"ahash_imgs_per_sec":${(nImgs / hashSecs).toLong},""" +
       s""""distinct_hashes":$nHashes}""")
 
+    // ---- image near-dup at scale: the Hamming-LSH banding claim -----------
+    // The gradient PNGs above collapse to few distinct hashes (a deliberate
+    // mega-clique — unusable for pair benchmarking), so near-dup pairing
+    // gets its own fixture: 100k 16x16 PNGs in groups of 5. Each group has
+    // a pseudo-random pixel pattern (≈ random 64-bit aHash per group,
+    // distinct across groups) and each member perturbs one pixel (members
+    // land within a few Hamming bits). Banding the aHash into four 16-bit
+    // keys must surface within-group pairs while candidates stay
+    // bucket-bounded: cross-group band collisions are the 2^-16-per-band
+    // chance, never a clique. The full run measured here is decode + hash
+    // (once, persisted) + band + popcount-verify.
+    val grpSize = 5
+    val nGroups = nImgs / grpSize
+    val noiseDir = java.nio.file.Files.createTempDirectory("img_neardup").toString
+    def smix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      spark.range(nImgs).select(col("id").as("media_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val group = id / grpSize
+            val member = (id % grpSize).toInt
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var p = 0
+            while (p < 256) {
+              var v = (smix(group * 257L + p) & 0xffL).toInt
+              if (member > 0 && p == (member * 53) % 256) v = v ^ 0x80
+              img.setRGB(p % 16, p / 16, (v << 16) | (v << 8) | v)
+              p += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            org.apache.spark.sql.Row(id, out.toByteArray)
+          }
+        }(enc)
+        .write.mode("overwrite").parquet(s"$noiseDir/in")
+    }
+    val noiseBlobs = spark.read.parquet(s"$noiseDir/in")
+    val (nPairs, ndShuffle, ndPeak, ndSecs) = sectionShuffle {
+      graft.multimodal.Multimodal.imageNearDupPairs(
+        noiseBlobs, "media_id", "bytes", maxHamming = 3).count()
+    }
+    // sanity, not exactness: a 1-pixel edit can shift the global luminance
+    // mean and flip borderline cells past Hamming 3, so demand a healthy
+    // majority of groups pair up rather than all C(5,2) pairs
+    require(nPairs >= nGroups,
+      s"expected at least one verified pair per group on average, got $nPairs over $nGroups groups")
+    println(s"""{"metric":"image_neardup_scale","images":$nImgs,"groups":$nGroups,""" +
+      s""""pairs":$nPairs,"seconds":$ndSecs,""" +
+      s""""pairs_per_sec":${(nPairs / ndSecs).toLong},""" +
+      s""""images_per_sec":${(nImgs / ndSecs).toLong},""" +
+      s""""shuffle_write_bytes":$ndShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$ndPeak}""")
+
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
     // 8 files, one file per micro-batch (forces 8 state-store commit

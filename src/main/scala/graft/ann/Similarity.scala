@@ -39,8 +39,24 @@ object Similarity {
   def withSignature(df: DataFrame, vecCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame =
     df.withColumn("lsh_sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, seed))
 
+  /** Seed for hash table `t` of a multi-table LSH family — one fixed
+    * stride so executors, the driver-side query signature, and any
+    * precomputed signature columns all agree. */
+  private def tableSeed(seed: Long, t: Int): Long = seed + t.toLong * 7919L
+
   /** ANN top-k: rerank only vectors whose signature matches the query's
-    * signature within `maxHammingProbe` flipped bits (0 = exact bucket). */
+    * signature within `maxHammingProbe` flipped bits (0 = exact bucket) in
+    * AT LEAST ONE of `nTables` independent hyperplane families.
+    *
+    * Recall amplification the classic LSH way: a true neighbor missed by
+    * one table's banding is caught by another (miss probability decays
+    * exponentially in `nTables`), which lifts recall far more per
+    * candidate than widening the Hamming ball of a single table — a
+    * wider ball admits uniformly more of the corpus, an extra table
+    * admits specifically the near vectors. All tables are evaluated in
+    * ONE scan (the per-table popcount predicates OR together), so there
+    * is no union or dedup pass; at 100 TB each table's signature is a
+    * precomputed column and probe-0 lookups prune by bucket. */
   def lshTopK(
       df: DataFrame,
       idCol: String,
@@ -51,20 +67,22 @@ object Similarity {
       nBits: Int = 16,
       maxHammingProbe: Int = 1,
       seed: Long = 42L,
-      roundTo: Int = 6): DataFrame = {
-    val signed = withSignature(df, vecCol, dim, nBits, seed)
-    val qSig = querySignature(query, dim, nBits, seed)
+      roundTo: Int = 6,
+      nTables: Int = 1): DataFrame = {
     // Multi-probe: every bucket within Hamming distance <= maxHammingProbe
     // of the query signature (maxHammingProbe = nBits probes everything —
     // exact recall at brute-force cost). Expressed as a popcount predicate,
     // not an enumerated IN list: O(1) expression size at any nBits, and the
     // probe-0 case stays an equality (bucket/partition-prunable at scale).
     val probe = math.max(maxHammingProbe, 0)
-    val candidates =
-      if (probe == 0) signed.filter(col("lsh_sig") === qSig)
-      else signed.filter(
-        expr(s"bit_count(lsh_sig ^ ${qSig}L)") <= math.min(probe, nBits))
-    bruteForceTopK(candidates, idCol, vecCol, query, k, roundTo)
+    val pred = (0 until math.max(nTables, 1)).map { t =>
+      val s = tableSeed(seed, t)
+      val sig = VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s)
+      val qSig = querySignature(query, dim, nBits, s)
+      if (probe == 0) sig === qSig
+      else bit_count(sig.bitwiseXOR(lit(qSig))) <= math.min(probe, nBits)
+    }.reduce(_ || _)
+    bruteForceTopK(df.filter(pred), idCol, vecCol, query, k, roundTo)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nCentroids` cells,

@@ -582,8 +582,19 @@ object Multimodal {
     * the same shape as the text MinHash/LSH pipeline. Undecodable images
     * drop out (no hash). Returns (id_a, id_b, hamming) with id_a < id_b. */
   def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int): DataFrame =
+    // hash once, band many times: without the persist the banded
+    // self-join would run the full pixel decode + aHash of every image
+    // once per join side. The cached frame is (id, ahash) — 16 bytes per
+    // image, not the blobs. Callers that manage their own hash table use
+    // the pre-hashed overload below.
+    imageNearDupPairsFromHashes(
+      imageAHashes(df, idCol, bytesCol).persist(), maxHamming)
+
+  /** [[imageNearDupPairs]] over a pre-hashed (id, ahash) frame — for
+    * pipelines that persist hashes once and band repeatedly. */
+  def imageNearDupPairsFromHashes(hashed: DataFrame,
       maxHamming: Int): DataFrame = {
-    val hashed = imageAHashes(df, idCol, bytesCol)
     val banded = hashed.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

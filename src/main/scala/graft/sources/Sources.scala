@@ -41,11 +41,36 @@ object Sources {
 
   /** Keyed time-series range scan over a JDBC store (S1/F1): the id+time
     * predicates are part of the pushed query, so the server returns only the
-    * slice — one round-trip replacing the reference's per-call procs. */
+    * slice — one round-trip replacing the reference's per-call procs.
+    *
+    * SINGLE-PARTITION contract: this overload opens ONE connection and
+    * streams the whole slice through it — correct and right-sized for its
+    * reference use (one series' window, at most thousands of rows), wrong
+    * for fat tables. Scans that return more than one executor's worth of
+    * rows belong on the partitioned overload below (or on the parquet
+    * SeriesLake, the 100 TB path). */
   def jdbcSeries(spark: SparkSession, url: String, table: String,
       id: String, start: String, end: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+      .filter(col("id") === id &&
+        col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+      .select(col("time"), col("value"))
+
+  /** Partitioned JDBC range scan for fat tables: `numPartitions` parallel
+    * connections, each reading one stride of `partitionColumn` (a numeric
+    * column; Spark appends the stride predicates server-side, and the
+    * id/time filters still push down into every partition's query). Use
+    * when a single slice exceeds one executor's memory or one connection's
+    * throughput — the partitioned sibling of the single-connection
+    * overload above. */
+  def jdbcSeriesPartitioned(spark: SparkSession, url: String, table: String,
+      id: String, start: String, end: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+        numPartitions, props)
       .filter(col("id") === id &&
         col("time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
       .select(col("time"), col("value"))

@@ -63,11 +63,19 @@ object StreamParity {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
-    // the post-data empty microbatch only exists to advance watermarks;
-    // these parity queries are unwatermarked, so it is a pure extra
-    // plan+execute cycle (both confs are captured at query start — scoped
-    // to this start call, restored for any watermarked caller)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // The post-data empty microbatch only exists to advance watermarks.
+    // For an UNWATERMARKED plan it is a pure extra plan+execute cycle, so
+    // it is disabled — but only after checking the plan: a watermarked
+    // append-mode query routed through this shared helper NEEDS that
+    // empty batch to flush its final windows under Trigger.AvailableNow,
+    // and silently suppressing it would withhold them forever. (Both
+    // confs are captured at query start — scoped to this start call.)
+    val hasWatermark = stream.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    if (!hasWatermark)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }

@@ -32,17 +32,24 @@ class RecallSpec extends SparkSpec {
     Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSeq
 
-  test("LSH multi-probe recall@10 >= 0.8 averaged over 20 queries") {
-    val recalls = (0 until 20).map { qi =>
-      val q = vecs(qi * 17 % N)._2
-      val approx = Similarity.lshTopK(df, "vec_id", "embedding", q,
-        dim = Dim, k = 10, nBits = 12, maxHammingProbe = 4)
-        .collect().map(_.getLong(0)).toSeq
-      recallAt10(approx, exactTop10(q))
+  test("LSH multi-table multi-probe recall@10 >= 0.95 averaged over 20 queries") {
+    def lshRecall(tables: Int): Double = {
+      val recalls = (0 until 20).map { qi =>
+        val q = vecs(qi * 17 % N)._2
+        val approx = Similarity.lshTopK(df, "vec_id", "embedding", q,
+          dim = Dim, k = 10, nBits = 12, maxHammingProbe = 4, nTables = tables)
+          .collect().map(_.getLong(0)).toSeq
+        recallAt10(approx, exactTop10(q))
+      }
+      recalls.sum / recalls.size
     }
-    val mean = recalls.sum / recalls.size
-    info(f"LSH recall@10 (nBits=12, probe<=4): $mean%.3f")
-    assert(mean >= 0.8, s"LSH recall@10 $mean below 0.8")
+    val one = lshRecall(1)
+    val three = lshRecall(3)
+    info(f"LSH recall@10 (nBits=12, probe<=4): tables=1 $one%.3f, tables=3 $three%.3f")
+    // a second/third independent family catches the neighbors one table's
+    // banding misses — recall amplification without widening the ball
+    assert(three >= 0.95, s"LSH 3-table recall@10 $three below 0.95")
+    assert(three >= one - 1e-9, "additional tables can only add candidates")
   }
 
   test("IVF recall@10 >= 0.9 with k-means-refined codebook; refinement does not hurt") {

@@ -40,6 +40,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked append query through the parity harness still flushes closed windows") {
+    // StreamParity.runToTable disables the no-data microbatch ONLY for
+    // unwatermarked plans. This plan IS watermarked and append-mode: its
+    // closed windows are emitted by the watermark-advancing empty batch
+    // after the data batch — if the harness suppressed it here, the sink
+    // would stay EMPTY and the asserts below fail (the ADVICE regression).
+    val dir = java.nio.file.Files.createTempDirectory("wm_parity").toFile
+    Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
+      ("a", Timestamp.valueOf("2024-01-01 00:20:00"), 2.0),
+      // sentinel far past the real data: advances the watermark beyond the
+      // real windows so append mode may flush them; its own window stays
+      // open and is correctly withheld
+      ("zz", Timestamp.valueOf("2024-01-01 03:00:00"), 0.0)
+    ).toDF("id", "time", "value").coalesce(1)
+      .write.parquet(new java.io.File(dir, "s.parquet").toString)
+    val stream = spark.readStream
+      .schema("id STRING, time TIMESTAMP, value DOUBLE")
+      .parquet(new java.io.File(dir, "s.parquet").toString)
+    val agg = StreamOps.resampleRightClosedSum(stream, 900,
+      watermarkDelay = "0 seconds")
+    val out = StreamParity.runToTable(spark, agg, "wm_parity_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = out.filter(col("id") === "a").orderBy("time")
+      .collect().map(r => (r.getString(0), r.getTimestamp(2).toString, r.getDouble(1)))
+    assert(got === Array(
+      ("a", "2024-01-01 00:15:00.0", 1.0),
+      ("a", "2024-01-01 00:30:00.0", 2.0)))
+  }
+
   test("sessionizeStream: native session_window closes sessions past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
