@@ -613,6 +613,23 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Transitive image near-dup keepers: the text pipeline's keeper
+    * semantics applied to images — duplicate CHAINS collapse to the
+    * smallest reachable id via star-contraction connected components over
+    * the [[imageNearDupPairs]] edge set (A≈B and B≈C puts C with A even
+    * when A and C never share a band). Undecodable images have no hash,
+    * produce no pairs, and keep themselves. Returns (id, keeper_id). */
+  def imageNearDupKeepers(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int, maxIter: Int = 10): DataFrame = {
+    val pairs = imageNearDupPairs(df, idCol, bytesCol, maxHamming)
+    val comps = graft.dedup.Dedup.connectedComponents(
+      pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
+      maxIter = maxIter)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("keeper_id"))
+  }
+
   /** Deterministic integer lattice underlying the fake features: per
     * dimension, three md5-hex character codes of `md5(bytes || '#' || i)`
     * folded into [0, 1000). Built only from md5/ascii/substr so an external

@@ -183,6 +183,26 @@ class MultimodalSpec extends SparkSpec {
     assert(tight.contains((1L, 2L)))
   }
 
+  test("imageNearDupKeepers: chains of re-encodes and edits collapse to one keeper") {
+    val rows = Seq(
+      (1L, imageBytes(64, 64, "png")),
+      (2L, imageBytes(64, 64, "bmp")),                        // re-encode of 1
+      (3L, imageBytes(64, 64, "png", mark = Some((48, 48)))), // edit of 1
+      (4L, imageBytes(64, 64, "bmp", mark = Some((48, 48)))), // re-encode of 3
+      (5L, "not an image".getBytes),                          // undecodable
+      (6L, imageBytes(64, 64, "png", mark = Some((0, 0))))    // distinct edit
+    ).toDF("media_id", "bytes")
+    val keepers = Multimodal.imageNearDupKeepers(rows, "media_id", "bytes",
+        maxHamming = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // 1≈2 and 1≈3 (near-edit) and 3≈4: the whole chain lands under 1 even
+    // for members that never banded with 1 directly
+    assert(keepers(1L) === 1L && keepers(2L) === 1L)
+    assert(keepers(3L) === 1L && keepers(4L) === 1L)
+    assert(keepers(5L) === 5L, "undecodable images keep themselves")
+  }
+
   // ---- real video container-header decode ---------------------------------
 
   test("synthesizeVideos → decodeVideo round trip follows the id arithmetic (MP4 and AVI)") {

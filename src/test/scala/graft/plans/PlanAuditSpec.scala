@@ -133,6 +133,13 @@ class PlanAuditSpec extends SparkSpec {
       "zero-shuffle signature expression must appear:\n" + plan.take(1200))
   }
 
+  test("q_mm_real_video synthesize→decode is one map chain — no shuffle at all") {
+    // container synthesis and header parse are both mapPartitions over the
+    // id scan; any Exchange here would mean blobs crossing the network
+    val plan = executedPlan("q_mm_real_video")
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("near-dup verification never explodes tokens into rows") {
     // the verify stage carries token sets as sorted-hash arrays and counts
     // the intersection in-row; the only Generate (explode) nodes allowed in
