@@ -207,6 +207,33 @@ object PipelineQueries {
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |SELECT id_a, id_b, round(cos, 5) AS cos FROM p WHERE round(cos, 5) >= 0.45""".stripMargin)),
 
+    // ---- embedding near-dup: transitive keepers over the cosine pairs -----
+    // Same closure semantics as q_dedup_keepers_cc, over the embedding
+    // edge set: star-contraction CC in Spark vs a recursive-CTE closure in
+    // DuckDB, edges cut on the ROUNDED cosine so both engines see the
+    // identical graph.
+    "q_dedup_embed_keepers" -> QueryDef(
+      (s, dir) => Dedup.embeddingNearDupKeepers(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", 0.45),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+             |  FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+             |ver AS (SELECT id_a, id_b FROM p WHERE round(cos, 5) >= 0.45),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+             |  UNION SELECT id_b, id_a FROM ver),
+             |reach AS (
+             |  SELECT vec_id AS id, vec_id AS comp FROM e
+             |  UNION
+             |  SELECT ed.dst AS id, r.comp AS comp
+             |  FROM reach r JOIN edges ed ON ed.src = r.id)
+             |SELECT id AS vec_id, min(comp) AS keeper_id FROM reach GROUP BY id""".stripMargin)),
+
     // ---- full near-dup pipeline: MinHash→LSH→bucket-verify→keeper ---------
     "q_dedup_keepers" -> QueryDef(
       (s, dir) => Dedup.nearDupKeepers(docsWithDups(s, dir), "doc_id", "text",

@@ -624,6 +624,25 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Transitive embedding near-dup keepers: duplicate CHAINS collapse to
+    * the smallest reachable id via star-contraction CC over the verified
+    * cosine pairs — the embedding sibling of
+    * [[nearDupKeepersTransitive]]. The threshold cuts on the ROUNDED
+    * cosine so the edge set is identical across engines despite sum-order
+    * fp noise. Pairs here are the exact small-n verifier; at corpus scale
+    * feed [[embeddingNearDupsViaLsh]] pairs through the same CC compose. */
+  def embeddingNearDupKeepers(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 5, maxIter: Int = 10): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, -2.0)
+      .filter(round(col("cos"), roundTo) >= threshold)
+    val comps = connectedComponents(
+      pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
+      maxIter = maxIter)
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(comps, col(idCol) === comps("id"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("keeper_id"))
+  }
+
   /** Embedding near-dup at corpus scale: random-hyperplane LSH buckets the
     * vectors, exact cosine runs only on same-bucket pairs — an equi-join on
     * the signature instead of a cross join. Near-identical vectors share all

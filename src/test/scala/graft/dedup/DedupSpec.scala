@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
     assert(rowwise.contains((101L, 1L)) && rowwise.contains((102L, 1L)))
   }
 
+  test("embeddingNearDupKeepers: cosine chains collapse transitively") {
+    // unit vectors at 0°, 15°, 30°, 90°: adjacent cosines ≈ 0.966 pass the
+    // 0.9 threshold, the 0°–30° cosine (0.866) does not — vec 3 joins vec 1
+    // only through the chain, which is exactly what the CC closure adds
+    def at(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq((1L, at(0)), (2L, at(15)), (3L, at(30)), (4L, at(90)))
+      .toDF("vec_id", "embedding")
+    val keepers = Dedup.embeddingNearDupKeepers(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("simhash64: identical texts share a hash; near texts are closer than far ones") {
     val h = Dedup.simhash64(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
