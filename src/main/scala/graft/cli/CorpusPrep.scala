@@ -34,26 +34,12 @@ object CorpusPrep {
     * materializes 0 rows — including a CollectMetrics audit node sitting on
     * it — after which Spark completes the observation with an EMPTY row
     * (`ObservationManager.tryComplete`). A capped dedup whose surviving
-    * buckets yield zero verified pairs is exactly that shape, so for the
-    * duration of a run the rule is excluded (the branch it would optimize
-    * is empty — there is nothing to win) and the in-pass audit count stays
-    * reliable. Restored afterwards; a defensive fallback below covers
-    * callers that race the conf. */
-  private val aqeEmptyRule =
-    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
-
-  def run(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
-    val excludedKey = "spark.sql.adaptive.optimizer.excludedRules"
-    val prevExcluded = spark.conf.getOption(excludedKey)
-    val merged = (prevExcluded.toSeq.flatMap(_.split(",")).map(_.trim)
-      .filter(_.nonEmpty) :+ aqeEmptyRule).distinct.mkString(",")
-    spark.conf.set(excludedKey, merged)
-    try runInner(spark, args)
-    finally prevExcluded match {
-      case Some(v) => spark.conf.set(excludedKey, v)
-      case None => spark.conf.unset(excludedKey)
-    }
-  }
+    * buckets yield zero verified pairs is exactly that shape, so the whole
+    * run executes under [[Dedup.withReliableOversizeAudit]] (rule excluded,
+    * re-admitted afterwards; nesting-safe). A defensive fallback below
+    * covers callers that race the conf from another thread. */
+  def run(spark: SparkSession, args: Map[String, String]): Map[String, Long] =
+    Dedup.withReliableOversizeAudit(spark)(runInner(spark, args))
 
   private def runInner(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
     val in = args("in")

@@ -29,16 +29,52 @@ object Dedup {
     * such bucket is a corpus²-shaped task. 10 000 caps the worst single
     * bucket at ~5·10⁷ in-row intersect pairs (seconds of one executor's
     * time) while sitting far above any bucket an organically-duplicated
-    * corpus produces. Capped runs are LOUD, never silent: the drop count
-    * is observed in-pass (`graft_oversize_buckets*` metric) and logged by
-    * a session-level listener whenever it is non-zero. Pass
-    * `Int.MaxValue` to uncap explicitly. */
+    * corpus produces. Capped runs are loud: the drop count is observed
+    * in-pass (`graft_oversize_buckets*` metric) and logged by a
+    * session-level listener whenever it is non-zero. ONE caveat: when the
+    * capped run leaves ZERO verified pairs corpus-wide, AQE's
+    * empty-relation propagation prunes the metric node with the branch
+    * and the observation completes empty (pinned in
+    * ObservationPruningSpec) — wrap the consuming action in
+    * [[withReliableOversizeAudit]] to make the count unconditional, or
+    * cross-check with [[oversizeBuckets]]. Pass `Int.MaxValue` to uncap
+    * explicitly. */
   val DefaultMaxBucketSize = 10000
 
   private val obsCounter = new AtomicLong(0)
+  // weak keys: the set only memoizes "listener already registered" — it
+  // must not pin stopped sessions for the JVM lifetime
   private val listenerInstalled =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private val AqeEmptyRule =
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
+  /** Runs `body` with `AQEPropagateEmptyRelation` excluded, so a capped
+    * dedup's in-pass oversize audit survives even when the candidate
+    * branch materializes empty (the all-spam worst case — exactly when
+    * the audit matters most). The rule is re-admitted afterwards by
+    * REMOVING this method's own addition from the then-current conf
+    * rather than restoring a snapshot, so overlapping/nested scopes on
+    * one session do not clobber each other's exclusions. The rule only
+    * optimizes branches that ARE empty, so excluding it costs nothing on
+    * the workloads it is excluded for. */
+  def withReliableOversizeAudit[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    def rules(v: Option[String]): Seq[String] =
+      v.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val before = spark.conf.getOption(key)
+    val hadBefore = rules(before).contains(AqeEmptyRule)
+    spark.conf.set(key, (rules(before) :+ AqeEmptyRule).distinct.mkString(","))
+    try body
+    finally if (!hadBefore) {
+      val rest = rules(spark.conf.getOption(key)).filterNot(_ == AqeEmptyRule)
+      if (rest.isEmpty) spark.conf.unset(key)
+      else spark.conf.set(key, rest.mkString(","))
+    }
+  }
 
   /** One listener per session that turns any `graft_oversize*` observed
     * metric with a non-zero drop count into a WARN log — the "capped runs
@@ -624,24 +660,39 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Transitive keepers from an arbitrary verified pair set (id_a < id_b):
+    * star-contraction CC closure, fanned back over the id universe (ids
+    * with no pair keep themselves). The compose point for ANY pair source
+    * — text LSH ([[verifiedNearDupPairs]]), embedding exact or LSH
+    * ([[embeddingNearDupPairs]]/[[embeddingNearDupsViaLsh]]), image
+    * Hamming bands ([[graft.multimodal.Multimodal.imageNearDupPairs]]).
+    * Returns (idCol, keeper_id). */
+  def keepersFromPairs(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    // comps columns renamed up front: an `ids` frame keyed by the common
+    // column name "id" must not collide with CC's (id, component) output
+    val comps = connectedComponents(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
+        maxIter = maxIter)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    ids.select(col(idCol).cast("long").as(idCol))
+      .join(comps, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__cc_comp"), col(idCol)).as("keeper_id"))
+  }
+
   /** Transitive embedding near-dup keepers: duplicate CHAINS collapse to
     * the smallest reachable id via star-contraction CC over the verified
     * cosine pairs — the embedding sibling of
     * [[nearDupKeepersTransitive]]. The threshold cuts on the ROUNDED
     * cosine so the edge set is identical across engines despite sum-order
     * fp noise. Pairs here are the exact small-n verifier; at corpus scale
-    * feed [[embeddingNearDupsViaLsh]] pairs through the same CC compose. */
+    * feed [[embeddingNearDupsViaLsh]] pairs through [[keepersFromPairs]]. */
   def embeddingNearDupKeepers(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, roundTo: Int = 5, maxIter: Int = 10): DataFrame = {
-    val pairs = embeddingNearDupPairs(df, idCol, vecCol, -2.0)
-      .filter(round(col("cos"), roundTo) >= threshold)
-    val comps = connectedComponents(
-      pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
-      maxIter = maxIter)
-    df.select(col(idCol).cast("long").as(idCol))
-      .join(comps, col(idCol) === comps("id"), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("keeper_id"))
-  }
+      threshold: Double, roundTo: Int = 5, maxIter: Int = 10): DataFrame =
+    keepersFromPairs(df, idCol,
+      embeddingNearDupPairs(df, idCol, vecCol, -2.0)
+        .filter(round(col("cos"), roundTo) >= threshold),
+      maxIter)
 
   /** Embedding near-dup at corpus scale: random-hyperplane LSH buckets the
     * vectors, exact cosine runs only on same-bucket pairs — an equi-join on

@@ -388,7 +388,7 @@ object Multimodal {
                   (be32(b, k + hOff) >> 16).toInt))
               }
             }
-            dims.map { case (w, h) =>
+            dims.collect { case (w, h) if w > 0 && h > 0 =>
               VideoMeta(w, h, duration.toDouble / timescale, "mp4")
             }
           }
@@ -420,9 +420,16 @@ object Multimodal {
             val p = c.toInt + 8
             val usPerFrame = le32(b, p)
             val totalFrames = le32(b, p + 16)
-            val w = le32(b, p + 32).toInt
-            val h = le32(b, p + 36).toInt
-            return Some(VideoMeta(w, h, totalFrames * usPerFrame / 1e6, "avi"))
+            val w = le32(b, p + 32)
+            val h = le32(b, p + 36)
+            // unsigned-field sanity, mirroring parseMp4's timescale guard:
+            // a zero frame period or absurd dimensions is corruption, not
+            // metadata. Duration multiplies in DOUBLE — two unsigned-32
+            // maxima overflow a Long (≈1.8e19 > 2⁶³).
+            if (usPerFrame <= 0 || w <= 0 || h <= 0 ||
+                w > 1000000 || h > 1000000) return None
+            return Some(VideoMeta(w.toInt, h.toInt,
+              totalFrames.toDouble * usPerFrame / 1e6, "avi"))
           }
           c += 8 + csize + (csize & 1)
         }
@@ -586,8 +593,11 @@ object Multimodal {
     // hash once, band many times: without the persist the banded
     // self-join would run the full pixel decode + aHash of every image
     // once per join side. The cached frame is (id, ahash) — 16 bytes per
-    // image, not the blobs. Callers that manage their own hash table use
-    // the pre-hashed overload below.
+    // image, not the blobs. The cache entry lives until the session ends
+    // (this method returns a lazy frame, so there is no point to
+    // unpersist at); long-running services that call repeatedly should
+    // use the pre-hashed overload below and manage persistence — the
+    // keepers path does exactly that.
     imageNearDupPairsFromHashes(
       imageAHashes(df, idCol, bytesCol).persist(), maxHamming)
 
@@ -618,16 +628,16 @@ object Multimodal {
     * smallest reachable id via star-contraction connected components over
     * the [[imageNearDupPairs]] edge set (A≈B and B≈C puts C with A even
     * when A and C never share a band). Undecodable images have no hash,
-    * produce no pairs, and keep themselves. Returns (id, keeper_id). */
+    * produce no pairs, and keep themselves. Returns (idCol, keeper_id).
+    * The hash frame is persisted for the CC closure's internal actions
+    * and released before returning (CC materializes its input eagerly, so
+    * the pair plan never re-executes). */
   def imageNearDupKeepers(df: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int, maxIter: Int = 10): DataFrame = {
-    val pairs = imageNearDupPairs(df, idCol, bytesCol, maxHamming)
-    val comps = graft.dedup.Dedup.connectedComponents(
-      pairs.select(col("id_b").as("src"), col("id_a").as("dst")),
-      maxIter = maxIter)
-    df.select(col(idCol).cast("long").as("id"))
-      .join(comps, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("keeper_id"))
+    val hashed = imageAHashes(df, idCol, bytesCol).persist()
+    try graft.dedup.Dedup.keepersFromPairs(df, idCol,
+      imageNearDupPairsFromHashes(hashed, maxHamming), maxIter)
+    finally hashed.unpersist()
   }
 
   /** Deterministic integer lattice underlying the fake features: per

@@ -154,6 +154,16 @@ class DedupSpec extends SparkSpec {
     assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("keepersFromPairs works when the id universe is keyed by the common name 'id'") {
+    // CC's own output carries an "id" column — the compose point must not
+    // produce an ambiguous-reference error for callers keyed the same way
+    val ids = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val keepers = Dedup.keepersFromPairs(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("simhash64: identical texts share a hash; near texts are closer than far ones") {
     val h = Dedup.simhash64(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -36,10 +36,11 @@ class ObservationPruningSpec extends SparkSpec {
       "empty propagation and the CorpusPrep rule exclusion can go")
 
     val key = "spark.sql.adaptive.optimizer.excludedRules"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
-    try {
+    Dedup.withReliableOversizeAudit(spark) {
+      // nesting-safe: an inner scope must not clobber the outer exclusion
+      Dedup.withReliableOversizeAudit(spark)(())
+      assert(spark.conf.get(key).contains("AQEPropagateEmptyRelation"),
+        "inner scope exit must not remove the outer scope's exclusion")
       val obsOff = Observation("prune_aqe_off")
       val off = Dedup.nearDupKeepersRowwise(allSpam(40), "doc_id", "text",
         numHashes = 8, rowsPerBand = 2, threshold = 0.8,
@@ -47,9 +48,8 @@ class ObservationPruningSpec extends SparkSpec {
       assert(off.length == 40)
       assert(obsOff.get("dropped_buckets") == 4L)
       assert(obsOff.get("dropped_members") == 160L)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
+    assert(!spark.conf.getOption(key).exists(_.contains("AQEPropagateEmptyRelation")),
+      "the helper must re-admit the rule on exit")
   }
 }

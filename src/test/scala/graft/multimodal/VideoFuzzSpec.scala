@@ -40,7 +40,9 @@ class VideoFuzzSpec extends SparkSpec {
       m(pos) = (m(pos) + delta).toByte
       Multimodal.decodeVideo(m) match {
         case Some(meta) => // mutated-but-parseable is fine; fields stay sane
-          assert(meta.durationS >= 0 || meta.durationS.isNaN == false)
+          assert(meta.durationS >= 0 && !meta.durationS.isNaN &&
+            meta.width > 0 && meta.height > 0,
+            s"insane metadata $meta after mutating offset $pos by $delta")
         case None => ()
       }
       assert(System.nanoTime() < deadline,
