@@ -80,14 +80,18 @@ object Dedup {
     * metric with a non-zero drop count into a WARN log — the "capped runs
     * are loud" half of the default-on guardrail. Covers both the
     * auto-named internal observes and caller-supplied [[Observation]]s
-    * whose name starts with `graft_oversize`. */
+    * whose name starts with `graft_oversize`. When a query's plan carries
+    * such an audit node but the executed plan reported no metric for it
+    * (AQE pruned the branch — the zero-surviving-pairs worst case), it
+    * warns about THAT instead, so even the pruned case is never silent. */
   private def ensureOversizeListener(spark: SparkSession): Unit =
     if (listenerInstalled.add(spark)) {
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
+            durationNs: Long): Unit = try {
+          val metrics = qe.observedMetrics
+          metrics.foreach { case (name, row) =>
             if (name.startsWith("graft_oversize") &&
                 row.getAs[Long]("dropped_buckets") > 0) {
               log.warn(
@@ -99,6 +103,20 @@ object Dedup {
                   "raise maxBucketSize")
             }
           }
+          qe.logical.foreach {
+            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                if c.name.startsWith("graft_oversize") &&
+                  !metrics.contains(c.name) =>
+              log.warn(
+                s"graft dedup oversize audit '${c.name}' was pruned from the " +
+                  "executed plan (AQE empty-relation propagation — zero " +
+                  "verified pairs survived this query), so the drop count is " +
+                  "UNAVAILABLE here; run the action under " +
+                  "Dedup.withReliableOversizeAudit or count via " +
+                  "Dedup.oversizeBuckets")
+            case _ => ()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
