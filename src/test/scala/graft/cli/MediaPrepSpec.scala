@@ -1,0 +1,57 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end image-prep CLI: decode gate → size floor → perceptual
+  * near-dup collapse → survivor table, and the stats contract. */
+class MediaPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, mark: Option[(Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(w - 1, 1) + y * 255 / math.max(h - 1, 1)) / 2
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    mark.foreach { case (mx, my) =>
+      for (y <- my until math.min(my + h / 4, h); x <- mx until math.min(mx + w / 4, w))
+        img.setRGB(x, y, 0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decode gate, size floor and near-dup collapse compose; stats are consistent") {
+    val dir = Files.createTempDirectory("media_prep").toString
+    Seq(
+      (1L, png(64, 64)),                         // keeper of the dup group
+      (2L, png(64, 64)),                         // exact pixel dup of 1
+      (3L, png(64, 64, mark = Some((48, 48)))),  // near-edit of 1
+      (4L, png(64, 64, mark = Some((0, 0)))),    // distinct edit
+      (5L, png(8, 64)),                          // below the width floor
+      (6L, "not an image at all".getBytes)       // undecodable
+    ).toDF("media_id", "bytes").write.parquet(s"$dir/in")
+
+    val stats = MediaPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "min-width" -> "16", "dedup-images" -> "16"))
+    assert(stats("images_in") === 6)
+    assert(stats("decodable") === 5, "the junk row fails the decode gate")
+    assert(stats("images_out") + stats("near_dups_dropped") === 4,
+      "size floor leaves 4; dedup splits them into survivors + dropped")
+    val kept = spark.read.parquet(s"$dir/out/keep")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "group minimum survives")
+    assert(!kept.contains(2L) && !kept.contains(3L),
+      "pixel dup and near-edit collapse under the keeper")
+    assert(!kept.contains(5L) && !kept.contains(6L))
+    // survivors carry the decoded metadata columns
+    val row = spark.read.parquet(s"$dir/out/keep")
+      .filter($"media_id" === 1L).head()
+    assert(row.getAs[Int]("width") === 64 && row.getAs[String]("format") === "png")
+  }
+}
