@@ -30,34 +30,50 @@ object MediaPrep {
     val idCol = args.getOrElse("id-col", "media_id")
     val bytesCol = args.getOrElse("bytes-col", "bytes")
     val blobs = spark.read.parquet(in)
-    val nIn = blobs.count()
 
-    // one real decode pass: metadata columns ride along, undecodable rows
-    // surface as NULL width and are dropped at the gate
-    var media: DataFrame = Multimodal.decodeImageBatch(blobs, bytesCol)
-      .filter(col("width").isNotNull)
-    val nDecodable = media.count()
+    // Blob scans are the budget at scale: exactly TWO — one header-only
+    // metadata pass here, one full-pixel hashing pass inside the dedup
+    // stage. Everything else (counts, floors, the survivor write) runs on
+    // this persisted metadata-only frame — a few dozen bytes per image,
+    // never the blobs.
+    val meta = Multimodal.decodeImageBatch(blobs, bytesCol)
+      .select(col(idCol), col("width"), col("height"), col("format"))
+      .persist()
+    val nIn = meta.count()
+    val nDecodable = meta.filter(col("width").isNotNull).count()
 
-    args.get("min-width").foreach(w => media = media.filter(col("width") >= w.toInt))
-    args.get("min-height").foreach(h => media = media.filter(col("height") >= h.toInt))
+    // the decode/size gate as a plain filter, applied to the metadata
+    // frame for bookkeeping AND re-applied on the hashing scan below —
+    // re-deriving the header there keeps the blob path a pure map (an
+    // id-join against the eligible set would shuffle the blobs)
+    def gate(df: DataFrame): DataFrame = {
+      var g = df.filter(col("width").isNotNull)
+      args.get("min-width").foreach(w => g = g.filter(col("width") >= w.toInt))
+      args.get("min-height").foreach(h => g = g.filter(col("height") >= h.toInt))
+      g
+    }
+    val eligible = gate(meta)
 
-    val nDupDropped: Long = args.get("dedup-images") match {
+    val survivors: DataFrame = args.get("dedup-images") match {
       case Some(maxHamming) =>
+        // second (and last) blob scan: header-gate + full-pixel hash in
+        // one pass, no shuffle touches a bytes column
         val keepers = Multimodal.imageNearDupKeepers(
-          media, idCol, bytesCol, maxHamming.toInt)
-        val kept = keepers.filter(col(idCol) === col("keeper_id"))
-          .select(col(idCol))
-        val before = media
-        media = media.join(kept, idCol)
-        before.count() - media.count()
-      case None => 0L
+          gate(Multimodal.decodeImageBatch(blobs, bytesCol)),
+          idCol, bytesCol, maxHamming.toInt)
+        eligible.join(
+          keepers.filter(col(idCol) === col("keeper_id")).select(col(idCol)),
+          idCol)
+      case None => eligible
     }
 
-    media.select(col(idCol), col("width"), col("height"), col("format"))
+    survivors.select(col(idCol), col("width"), col("height"), col("format"))
       .write.mode("overwrite").parquet(s"$out/keep")
     val nOut = spark.read.parquet(s"$out/keep").count()
+    val nEligible = eligible.count()
+    meta.unpersist()
     val stats = Map("images_in" -> nIn, "decodable" -> nDecodable,
-      "images_out" -> nOut, "near_dups_dropped" -> nDupDropped)
+      "images_out" -> nOut, "near_dups_dropped" -> (nEligible - nOut))
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"media_prep\",", ",", "}"))
     stats
