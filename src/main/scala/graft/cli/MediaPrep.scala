@@ -57,10 +57,18 @@ object MediaPrep {
     val survivors: DataFrame = args.get("dedup-images") match {
       case Some(maxHamming) =>
         // second (and last) blob scan: header-gate + full-pixel hash in
-        // one pass, no shuffle touches a bytes column
-        val keepers = Multimodal.imageNearDupKeepers(
-          gate(Multimodal.decodeImageBatch(blobs, bytesCol)),
-          idCol, bytesCol, maxHamming.toInt)
+        // one pass, no shuffle touches a bytes column. The keeper id
+        // universe is the PERSISTED metadata frame — handing the gated
+        // blob frame to the keeper helper would make its id side a third
+        // full blob scan (mapPartitions blocks column pruning). Hash-less
+        // eligible rows (header ok, pixels undecodable) keep themselves.
+        val hashed = Multimodal.imageAHashes(
+          gate(Multimodal.decodeImageBatch(blobs, bytesCol)), idCol, bytesCol)
+          .persist()
+        val keepers =
+          try graft.dedup.Dedup.keepersFromPairs(eligible, idCol,
+            Multimodal.imageNearDupPairsFromHashes(hashed, maxHamming.toInt))
+          finally hashed.unpersist() // CC materialized the pairs eagerly
         eligible.join(
           keepers.filter(col(idCol) === col("keeper_id")).select(col(idCol)),
           idCol)

@@ -52,27 +52,50 @@ object Dedup {
   private val AqeEmptyRule =
     "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 
+  // per-session refcount for the audit scope: the LAST scope out removes
+  // the exclusion (and only if the outermost scope added it) — weak keys
+  // so stopped sessions are not pinned
+  private final class AuditScope(var depth: Int, val added: Boolean)
+  private val auditScopes =
+    new java.util.WeakHashMap[SparkSession, AuditScope]()
+
   /** Runs `body` with `AQEPropagateEmptyRelation` excluded, so a capped
     * dedup's in-pass oversize audit survives even when the candidate
     * branch materializes empty (the all-spam worst case — exactly when
-    * the audit matters most). The rule is re-admitted afterwards by
-    * REMOVING this method's own addition from the then-current conf
-    * rather than restoring a snapshot, so overlapping/nested scopes on
-    * one session do not clobber each other's exclusions. The rule only
-    * optimizes branches that ARE empty, so excluding it costs nothing on
-    * the workloads it is excluded for. */
+    * the audit matters most). Scopes on one session are REFCOUNTED: the
+    * exclusion is added by the first scope in and removed by the last
+    * scope out (never if the conf already carried it), so nested and
+    * concurrent overlapping scopes compose. The rule only optimizes
+    * branches that ARE empty, so excluding it costs nothing on the
+    * workloads it is excluded for. */
   def withReliableOversizeAudit[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.optimizer.excludedRules"
     def rules(v: Option[String]): Seq[String] =
       v.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val before = spark.conf.getOption(key)
-    val hadBefore = rules(before).contains(AqeEmptyRule)
-    spark.conf.set(key, (rules(before) :+ AqeEmptyRule).distinct.mkString(","))
+    auditScopes.synchronized {
+      val s = auditScopes.get(spark)
+      if (s != null) s.depth += 1
+      else {
+        val before = rules(spark.conf.getOption(key))
+        val had = before.contains(AqeEmptyRule)
+        if (!had)
+          spark.conf.set(key, (before :+ AqeEmptyRule).mkString(","))
+        auditScopes.put(spark, new AuditScope(1, !had))
+      }
+    }
     try body
-    finally if (!hadBefore) {
-      val rest = rules(spark.conf.getOption(key)).filterNot(_ == AqeEmptyRule)
-      if (rest.isEmpty) spark.conf.unset(key)
-      else spark.conf.set(key, rest.mkString(","))
+    finally auditScopes.synchronized {
+      val s = auditScopes.get(spark)
+      s.depth -= 1
+      if (s.depth == 0) {
+        auditScopes.remove(spark)
+        if (s.added) {
+          val rest = rules(spark.conf.getOption(key))
+            .filterNot(_ == AqeEmptyRule)
+          if (rest.isEmpty) spark.conf.unset(key)
+          else spark.conf.set(key, rest.mkString(","))
+        }
+      }
     }
   }
 

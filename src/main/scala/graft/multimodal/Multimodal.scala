@@ -378,17 +378,24 @@ object Multimodal {
             }
           if (timescale <= 0 || duration < 0) None
           else {
-            val dims = findBox(b, ms, me, "trak").flatMap { case (ts, te) =>
-              findBox(b, ts, te, "tkhd").flatMap { case (ks, ke) =>
-                val k = ks.toInt
-                val v = b(k) & 0xff
-                val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
-                if (ke - ks < hOff + 4) None
-                else Some(((be32(b, k + wOff) >> 16).toInt,
-                  (be32(b, k + hOff) >> 16).toInt))
+            // scan ALL traks for the first with positive dimensions: the
+            // VIDEO track. Muxers routinely list the audio trak (tkhd dims
+            // 0x0) first — gating on the first trak would misclassify such
+            // files as undecodable.
+            def trakDims(start: Long): Option[(Int, Int)] =
+              findBox(b, start, me, "trak").flatMap { case (ts, te) =>
+                val dims = findBox(b, ts, te, "tkhd").flatMap { case (ks, ke) =>
+                  val k = ks.toInt
+                  val v = b(k) & 0xff
+                  val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
+                  if (ke - ks < hOff + 4) None
+                  else Some(((be32(b, k + wOff) >> 16).toInt,
+                    (be32(b, k + hOff) >> 16).toInt))
+                }
+                dims.filter { case (w, h) => w > 0 && h > 0 }
+                  .orElse(trakDims(te)) // next sibling trak
               }
-            }
-            dims.collect { case (w, h) if w > 0 && h > 0 =>
+            trakDims(ms).map { case (w, h) =>
               VideoMeta(w, h, duration.toDouble / timescale, "mp4")
             }
           }

@@ -9,21 +9,8 @@ import graft.SparkSpec
 class MediaPrepSpec extends SparkSpec {
   import spark.implicits._
 
-  private def png(w: Int, h: Int, mark: Option[(Int, Int)] = None): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val v = (x * 255 / math.max(w - 1, 1) + y * 255 / math.max(h - 1, 1)) / 2
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    mark.foreach { case (mx, my) =>
-      for (y <- my until math.min(my + h / 4, h); x <- mx until math.min(mx + w / 4, w))
-        img.setRGB(x, y, 0)
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  private def png(w: Int, h: Int, mark: Option[(Int, Int)] = None): Array[Byte] =
+    graft.TestImages.gradient(w, h, "png", mark)
 
   test("decode gate, size floor and near-dup collapse compose; stats are consistent") {
     val dir = Files.createTempDirectory("media_prep").toString

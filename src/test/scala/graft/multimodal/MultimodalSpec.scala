@@ -57,24 +57,9 @@ class MultimodalSpec extends SparkSpec {
 
   // ---- REAL image decode (JDK codecs, no external libs) --------------------
 
-  /** Encode a w×h gradient image (with a dark square at `mark`) to `fmt`
-    * bytes via the same JDK codecs the decoder uses. */
   private def imageBytes(w: Int, h: Int, fmt: String,
-      mark: Option[(Int, Int)] = None): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val v = (x * 255 / math.max(w - 1, 1) + y * 255 / math.max(h - 1, 1)) / 2
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    mark.foreach { case (mx, my) =>
-      for (y <- my until math.min(my + h / 4, h); x <- mx until math.min(mx + w / 4, w))
-        img.setRGB(x, y, 0)
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK cannot encode $fmt")
-    out.toByteArray
-  }
+      mark: Option[(Int, Int)] = None): Array[Byte] =
+    graft.TestImages.gradient(w, h, fmt, mark)
 
   test("decodeImage reads real PNG/JPEG/BMP headers; corrupt bytes decode to None") {
     for (fmt <- Seq("png", "jpg", "bmp")) {
@@ -253,6 +238,26 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out(1L) === Some("mp4"))
     assert(out(2L) === None)
+  }
+
+  test("decodeVideo finds the video trak behind a dims-less audio trak") {
+    def b32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      b32(p.length + 8L) ++ t.getBytes("ISO-8859-1") ++ p
+    // v0 mvhd: timescale 16, duration 32 ticks → 2.0 s
+    val mvhd = box("mvhd", b32(0) ++ b32(0) ++ b32(0) ++ b32(16) ++ b32(32))
+    def tkhd(w: Long, h: Long) = // v0: width/height at payload offsets 76/80
+      box("tkhd", b32(7) ++ new Array[Byte](72) ++ b32(w << 16) ++ b32(h << 16))
+    // muxers routinely list the 0x0-dims audio trak first — the parser
+    // must keep scanning for the video trak instead of rejecting the file
+    val moov = box("moov",
+      mvhd ++ box("trak", tkhd(0, 0)) ++ box("trak", tkhd(320, 240)))
+    assert(Multimodal.decodeVideo(moov) ===
+      Some(Multimodal.VideoMeta(320, 240, 2.0, "mp4")))
+    // a file with ONLY dims-less traks has no video track → None
+    val audioOnly = box("moov", mvhd ++ box("trak", tkhd(0, 0)))
+    assert(Multimodal.decodeVideo(audioOnly).isEmpty)
   }
 
   test("decodeVideo parses version-1 (64-bit time) mvhd/tkhd boxes") {
