@@ -250,9 +250,13 @@ object PipelineQueries {
     // different subset of borderline pairs, so no shared oracle exists —
     // that regime is covered by q_dedup_keepers, whose oracle replicates
     // the same md5 banding bit for bit.
+    // maxBucketSize pinned UNCAPPED: the oracle models uncapped banding,
+    // and the production default (10 000) dropping a bucket on some future
+    // verification corpus would silently diverge the two engines
     "q_dedup_keepers_fast" -> QueryDef(
       (s, dir) => Dedup.nearDupKeepersRowwise(docsWithDups(s, dir),
-        "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 1.0),
+        "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 1.0,
+        maxBucketSize = Int.MaxValue),
       Some(keepersOracleSqlAt("1.0"))),
 
     // ---- transitive keepers: iterative min-label connected components in

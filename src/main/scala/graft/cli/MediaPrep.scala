@@ -62,12 +62,21 @@ object MediaPrep {
         // blob frame to the keeper helper would make its id side a third
         // full blob scan (mapPartitions blocks column pruning). Hash-less
         // eligible rows (header ok, pixels undecodable) keep themselves.
+        // mega-bucket cap: default-on like CorpusPrep's (`--max-bucket N`
+        // overrides, `0` uncaps) — a crawl of identical/blank images is
+        // one n² band bucket without it
+        val maxBucket = args.get("max-bucket").map(_.toInt) match {
+          case Some(m) if m <= 0 => Int.MaxValue
+          case Some(m) => m
+          case None => graft.dedup.Dedup.DefaultMaxBucketSize
+        }
         val hashed = Multimodal.imageAHashes(
           gate(Multimodal.decodeImageBatch(blobs, bytesCol)), idCol, bytesCol)
           .persist()
         val keepers =
           try graft.dedup.Dedup.keepersFromPairs(eligible, idCol,
-            Multimodal.imageNearDupPairsFromHashes(hashed, maxHamming.toInt))
+            Multimodal.imageNearDupPairsFromHashes(hashed, maxHamming.toInt,
+              maxBucket))
           finally hashed.unpersist() // CC materialized the pairs eagerly
         eligible.join(
           keepers.filter(col(idCol) === col("keeper_id")).select(col(idCol)),

@@ -349,7 +349,12 @@ object Multimodal {
         size = be64(b, o.toInt + 8)
         hdr = 16L
       } else if (size == 0L) size = end - o
-      if (size < hdr || o + size > end) return None
+      // overflow-safe bounds: `size > end - o` instead of `o + size > end`
+      // — a crafted 64-bit largesize near 2^63 makes the addition wrap
+      // negative, pass the naive check, and cycle `o` back to a visited
+      // offset (an infinite loop, not an exception). Both operands here
+      // are non-negative, so the subtraction cannot wrap.
+      if (size < hdr || size > end - o) return None
       if (fourcc(b, o.toInt + 4) == typ) return Some((o + hdr, o + size))
       o += size
     }
@@ -381,21 +386,30 @@ object Multimodal {
             // scan ALL traks for the first with positive dimensions: the
             // VIDEO track. Muxers routinely list the audio trak (tkhd dims
             // 0x0) first — gating on the first trak would misclassify such
-            // files as undecodable.
-            def trakDims(start: Long): Option[(Int, Int)] =
-              findBox(b, start, me, "trak").flatMap { case (ts, te) =>
-                val dims = findBox(b, ts, te, "tkhd").flatMap { case (ks, ke) =>
-                  val k = ks.toInt
-                  val v = b(k) & 0xff
-                  val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
-                  if (ke - ks < hOff + 4) None
-                  else Some(((be32(b, k + wOff) >> 16).toInt,
-                    (be32(b, k + hOff) >> 16).toInt))
-                }
-                dims.filter { case (w, h) => w > 0 && h > 0 }
-                  .orElse(trakDims(te)) // next sibling trak
+            // files as undecodable. ITERATIVE sibling walk (each probe
+            // resumes at the previous trak's end, so the scan is linear):
+            // a recursive formulation would stack-overflow on a crafted
+            // moov holding thousands of empty trak boxes, and
+            // StackOverflowError escapes the NonFatal catch.
+            var trakStart = ms
+            var dims: Option[(Int, Int)] = None
+            var scanning = true
+            while (scanning && dims.isEmpty) {
+              findBox(b, trakStart, me, "trak") match {
+                case None => scanning = false
+                case Some((ts, te)) =>
+                  dims = findBox(b, ts, te, "tkhd").flatMap { case (ks, ke) =>
+                    val k = ks.toInt
+                    val v = b(k) & 0xff
+                    val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
+                    if (ke - ks < hOff + 4) None
+                    else Some(((be32(b, k + wOff) >> 16).toInt,
+                      (be32(b, k + hOff) >> 16).toInt))
+                  }.filter { case (w, h) => w > 0 && h > 0 }
+                  trakStart = te
               }
-            trakDims(ms).map { case (w, h) =>
+            }
+            dims.map { case (w, h) =>
               VideoMeta(w, h, duration.toDouble / timescale, "mp4")
             }
           }
@@ -596,7 +610,8 @@ object Multimodal {
     * the same shape as the text MinHash/LSH pipeline. Undecodable images
     * drop out (no hash). Returns (id_a, id_b, hamming) with id_a < id_b. */
   def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
-      maxHamming: Int): DataFrame =
+      maxHamming: Int,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame =
     // hash once, band many times: without the persist the banded
     // self-join would run the full pixel decode + aHash of every image
     // once per join side. The cached frame is (id, ahash) — 16 bytes per
@@ -606,21 +621,40 @@ object Multimodal {
     // use the pre-hashed overload below and manage persistence — the
     // keepers path does exactly that.
     imageNearDupPairsFromHashes(
-      imageAHashes(df, idCol, bytesCol).persist(), maxHamming)
+      imageAHashes(df, idCol, bytesCol).persist(), maxHamming, maxBucketSize)
 
   /** [[imageNearDupPairs]] over a pre-hashed (id, ahash) frame — for
-    * pipelines that persist hashes once and band repeatedly. */
-  def imageNearDupPairsFromHashes(hashed: DataFrame,
-      maxHamming: Int): DataFrame = {
+    * pipelines that persist hashes once and band repeatedly.
+    *
+    * `maxBucketSize` is the image-side mega-bucket guardrail, ON by
+    * default like the text pipeline's ([[graft.dedup.Dedup.DefaultMaxBucketSize]]):
+    * a crawl full of byte-identical or blank/placeholder images puts its
+    * whole population into ONE band bucket (images have no upstream
+    * exact-dup collapse), and the band self-join would materialize n²
+    * candidate rows. Oversize band buckets are dropped WHOLE (under-merge,
+    * never a truncated merge; a pair can still surface through its other
+    * three bands). Pass `Int.MaxValue` to uncap. */
+  def imageNearDupPairsFromHashes(hashed: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
     val banded = hashed.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
+    // mega-bucket guard: admit only band buckets within the cap (the
+    // count is one map-side-combinable aggregate over (band, key) rows —
+    // cheap insurance against the n² self-join a spam bucket produces)
+    val admitted =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("band"), col("key")),
+        Seq("band", "key"))
+    val a = admitted.select(col("band"), col("key"),
       col("id").as("id_a"), col("ahash").as("ha"))
-    val b = banded.select(col("band"), col("key"),
+    val b = admitted.select(col("band"), col("key"),
       col("id").as("id_b"), col("ahash").as("hb"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -640,10 +674,11 @@ object Multimodal {
     * and released before returning (CC materializes its input eagerly, so
     * the pair plan never re-executes). */
   def imageNearDupKeepers(df: DataFrame, idCol: String, bytesCol: String,
-      maxHamming: Int, maxIter: Int = 10): DataFrame = {
+      maxHamming: Int, maxIter: Int = 10,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
     val hashed = imageAHashes(df, idCol, bytesCol).persist()
     try graft.dedup.Dedup.keepersFromPairs(df, idCol,
-      imageNearDupPairsFromHashes(hashed, maxHamming), maxIter)
+      imageNearDupPairsFromHashes(hashed, maxHamming, maxBucketSize), maxIter)
     finally hashed.unpersist()
   }
 

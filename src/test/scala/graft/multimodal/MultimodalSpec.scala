@@ -168,6 +168,20 @@ class MultimodalSpec extends SparkSpec {
     assert(tight.contains((1L, 2L)))
   }
 
+  test("image mega-bucket cap drops oversize band buckets whole") {
+    // 6 byte-identical images = one 6-member bucket in EVERY band (images
+    // have no exact-dup collapse upstream): a cap of 5 must drop them all
+    // (under-merge, no pairs), uncapping restores the full C(6,2) set
+    val rows = (1L to 6L).map(i => (i, imageBytes(32, 32, "png")))
+      .toDF("media_id", "bytes")
+    val capped = Multimodal.imageNearDupPairs(rows, "media_id", "bytes",
+      maxHamming = 3, maxBucketSize = 5).collect()
+    assert(capped.isEmpty)
+    val uncapped = Multimodal.imageNearDupPairs(rows, "media_id", "bytes",
+      maxHamming = 3, maxBucketSize = Int.MaxValue).collect()
+    assert(uncapped.length === 15)
+  }
+
   test("imageNearDupKeepers: chains of re-encodes and edits collapse to one keeper") {
     val rows = Seq(
       (1L, imageBytes(64, 64, "png")),

@@ -50,6 +50,40 @@ class VideoFuzzSpec extends SparkSpec {
     }
   }
 
+  test("double-wrapping 64-bit largesize cannot cycle the box walk") {
+    // box(24, free) whose payload encodes a second size==1/largesize pair
+    // at the offset a wrapped walk would revisit, then a size==1 box whose
+    // largesize ~2^63 makes `o + size` wrap negative: with a naive bounds
+    // check the walk cycles 0 → 24 → -(2^63)+8 → 0 forever. The
+    // subtraction-form check must terminate it immediately.
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val blob =
+      be32(24) ++ "free".getBytes ++           // [0..7]
+      be32(1) ++ "moov".getBytes ++            // [8..15] (revisit target)
+      be64(Long.MaxValue - 7) ++               // [16..23]
+      be32(1) ++ "moov".getBytes ++            // [24..31]
+      be64(Long.MaxValue - 15)                 // [32..39]
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeVideo(blob).isEmpty)
+    assert(System.nanoTime() - t0 < 5_000_000_000L, "walk must terminate")
+  }
+
+  test("a moov with thousands of empty trak boxes neither overflows the stack nor loops") {
+    def b32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]) = b32(p.length + 8L) ++ t.getBytes ++ p
+    val mvhd = box("mvhd", b32(0) ++ b32(0) ++ b32(0) ++ b32(16) ++ b32(32))
+    val emptyTrak = box("trak", Array.empty[Byte])
+    val moov = box("moov",
+      mvhd ++ Array.fill(20000)(emptyTrak).flatten)
+    // dims-less traks all the way down → no video track → None, reached by
+    // an ITERATIVE sibling walk (a recursive one would StackOverflowError,
+    // which escapes the NonFatal catch and would kill a Spark task)
+    assert(Multimodal.decodeVideo(moov).isEmpty)
+  }
+
   test("adversarial size fields: zero, 64-bit, and overflowing boxes terminate cleanly") {
     // top-level box with size 0 (= to-end) but wrong type, then truncation
     val toEnd = Array[Byte](0, 0, 0, 0) ++ "free".getBytes ++ new Array[Byte](20)
