@@ -293,13 +293,7 @@ object ScaleSmoke {
     val grpSize = 5
     val nGroups = nImgs / grpSize
     val noiseDir = java.nio.file.Files.createTempDirectory("img_neardup").toString
-    def smix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
-    {
+    locally {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("media_id",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -316,7 +310,7 @@ object ScaleSmoke {
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             var p = 0
             while (p < 256) {
-              var v = (smix(group * 257L + p) & 0xffL).toInt
+              var v = (graft.functions.VectorFunctions.splitmix64(group * 257L + p) & 0xffL).toInt
               if (member > 0 && p == (member * 53) % 256) v = v ^ 0x80
               img.setRGB(p % 16, p / 16, (v << 16) | (v << 8) | v)
               p += 1

@@ -163,7 +163,7 @@ object Similarity {
     for (b <- 0 until nBits) {
       var d0 = 0.0
       for (d <- 0 until dim) {
-        val h = splitmix64(seed + b.toLong * 1000003L + d.toLong)
+        val h = VectorFunctions.splitmix64(seed + b.toLong * 1000003L + d.toLong)
         d0 += query(d).toDouble * (h.toDouble / Long.MaxValue.toDouble)
       }
       sig = sig * 2 + (if (d0 >= 0) 1L else 0L)
@@ -171,10 +171,4 @@ object Similarity {
     sig
   }
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
 }

@@ -56,7 +56,12 @@ object VectorFunctions {
         acc * lit(2L) + when(dot(vec, element_at(planesLit, b + 1)) >= 0, lit(1L)).otherwise(lit(0L)))
   }
 
-  private def splitmix64(x0: Long): Long = {
+  /** SplitMix64 mix (Steele et al., "Fast splittable pseudorandom number
+    * generators", OOPSLA'14) — THE shared deterministic hash behind the
+    * hyperplane planes, the driver-side query signature and the smoke
+    * harness's synthetic fixtures. One definition so signatures computed
+    * on executors and the driver can never drift. */
+  def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
