@@ -12,6 +12,24 @@ class MediaPrepSpec extends SparkSpec {
   private def png(w: Int, h: Int, mark: Option[(Int, Int)] = None): Array[Byte] =
     graft.TestImages.gradient(w, h, "png", mark)
 
+  test("--max-bucket drops spam band buckets whole; 0 uncaps") {
+    val dir = Files.createTempDirectory("media_spam").toString
+    // 8 byte-identical images: one 8-member bucket in every band
+    (1L to 8L).map(i => (i, png(32, 32))).toDF("media_id", "bytes")
+      .write.parquet(s"$dir/in")
+    val capped = MediaPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/outc",
+      "dedup-images" -> "3", "max-bucket" -> "5"))
+    assert(capped("near_dups_dropped") === 0L,
+      "oversize buckets drop whole → everything keeps itself")
+    assert(capped("images_out") === 8L)
+    val uncapped = MediaPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/outu",
+      "dedup-images" -> "3", "max-bucket" -> "0"))
+    assert(uncapped("images_out") === 1L)
+    assert(uncapped("near_dups_dropped") === 7L)
+  }
+
   test("decode gate, size floor and near-dup collapse compose; stats are consistent") {
     val dir = Files.createTempDirectory("media_prep").toString
     Seq(
