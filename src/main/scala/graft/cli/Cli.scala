@@ -44,6 +44,16 @@ object CliArgs {
   def stepMinutes(model: String): Int =
     if (model == "flo2d_250" || model.startsWith("flo2d_10")) 5 else 15
 
+  /** Shared `--max-bucket` semantics for the dedup CLIs (CorpusPrep,
+    * MediaPrep): default-on at [[graft.dedup.Dedup.DefaultMaxBucketSize]],
+    * `N` overrides, `0` (or negative) uncaps explicitly. */
+  def maxBucket(args: Map[String, String]): Int =
+    args.get("max-bucket").map(_.toInt) match {
+      case Some(m) if m <= 0 => Int.MaxValue
+      case Some(m) => m
+      case None => graft.dedup.Dedup.DefaultMaxBucketSize
+    }
+
   /** F8 window validation (reference: input/raincell/gen_raincell.py:53-71). */
   def validateWindow(start: String, end: String, model: String): Unit = {
     SlTime.requireGridAligned(java.sql.Timestamp.valueOf(start), stepMinutes(model))

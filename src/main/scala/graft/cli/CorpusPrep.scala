@@ -71,11 +71,7 @@ object CorpusPrep {
     // metric is collected in the SAME pass the pipeline pays anyway (over
     // the same collapsed-reps population), replacing the second
     // collapse+sign+band audit pass earlier rounds paid.
-    val maxBucket = args.get("max-bucket").map(_.toInt) match {
-      case Some(m) if m <= 0 => Int.MaxValue
-      case Some(m) => m
-      case None => Dedup.DefaultMaxBucketSize
-    }
+    val maxBucket = CliArgs.maxBucket(args)
     val oversizeObs =
       if (maxBucket == Int.MaxValue) None
       else Some(org.apache.spark.sql.Observation("graft_oversize_audit"))

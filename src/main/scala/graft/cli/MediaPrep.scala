@@ -24,7 +24,12 @@ import graft.multimodal.Multimodal
   */
 object MediaPrep {
 
-  def run(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
+  def run(spark: SparkSession, args: Map[String, String]): Map[String, Long] =
+    // same rationale as CorpusPrep: keep the capped-dedup audit metric
+    // alive even when zero pairs survive (AQE would prune it otherwise)
+    graft.dedup.Dedup.withReliableOversizeAudit(spark)(runInner(spark, args))
+
+  private def runInner(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
     val in = args("in")
     val out = args("out")
     val idCol = args.getOrElse("id-col", "media_id")
@@ -54,21 +59,31 @@ object MediaPrep {
     }
     val eligible = gate(meta)
 
+    var oversizeObs: Option[org.apache.spark.sql.Observation] = None
+    var obsAttached = false
     val survivors: DataFrame = args.get("dedup-images") match {
       case Some(maxHamming) =>
+        // the keeper pipeline keys on LONG ids — fail fast with a clear
+        // message instead of a ClassCastException inside an executor task
+        require(blobs.schema(idCol).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"--id-col '$idCol' must be numeric for --dedup-images " +
+            s"(found ${blobs.schema(idCol).dataType.simpleString}); " +
+            "near-dup keepers key on long ids")
         // second (and last) blob scan: header-gate + full-pixel hash in
         // one pass, no shuffle touches a bytes column. The keeper id
         // universe is the PERSISTED metadata frame — handing the gated
         // blob frame to the keeper helper would make its id side a third
         // full blob scan (mapPartitions blocks column pruning). Hash-less
         // eligible rows (header ok, pixels undecodable) keep themselves.
-        // mega-bucket cap: default-on like CorpusPrep's (`--max-bucket N`
-        // overrides, `0` uncaps) — a crawl of identical/blank images is
-        // one n² band bucket without it
-        val maxBucket = args.get("max-bucket").map(_.toInt) match {
-          case Some(m) if m <= 0 => Int.MaxValue
-          case Some(m) => m
-          case None => graft.dedup.Dedup.DefaultMaxBucketSize
+        // Mega-bucket cap: default-on, shared `--max-bucket` semantics
+        // (CliArgs.maxBucket); drops are observed in-pass and reported in
+        // the stats line, same loudness contract as CorpusPrep.
+        val maxBucket = CliArgs.maxBucket(args)
+        if (maxBucket != Int.MaxValue) {
+          oversizeObs = Some(org.apache.spark.sql.Observation(
+            "graft_oversize_media_audit"))
+          obsAttached = true
         }
         val hashed = Multimodal.imageAHashes(
           gate(Multimodal.decodeImageBatch(blobs, bytesCol)), idCol, bytesCol)
@@ -76,7 +91,7 @@ object MediaPrep {
         val keepers =
           try graft.dedup.Dedup.keepersFromPairs(eligible, idCol,
             Multimodal.imageNearDupPairsFromHashes(hashed, maxHamming.toInt,
-              maxBucket))
+              maxBucket, oversizeObs))
           finally hashed.unpersist() // CC materialized the pairs eagerly
         eligible.join(
           keepers.filter(col(idCol) === col("keeper_id")).select(col(idCol)),
@@ -89,8 +104,18 @@ object MediaPrep {
     val nOut = spark.read.parquet(s"$out/keep").count()
     val nEligible = eligible.count()
     meta.unpersist()
+    // the observation fired during the CC rounds / the survivor write; the
+    // reliable-audit wrapper keeps it un-pruned even when zero pairs
+    // survive, so an empty map only means a raced conf — report 0 and the
+    // session listener has already WARNed either way
+    val nOversize: Long =
+      if (obsAttached)
+        oversizeObs.flatMap(_.get.get("dropped_buckets"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      else 0L
     val stats = Map("images_in" -> nIn, "decodable" -> nDecodable,
-      "images_out" -> nOut, "near_dups_dropped" -> (nEligible - nOut))
+      "images_out" -> nOut, "near_dups_dropped" -> (nEligible - nOut),
+      "oversize_buckets_dropped" -> nOversize)
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"media_prep\",", ",", "}"))
     stats

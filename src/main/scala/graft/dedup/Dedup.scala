@@ -112,21 +112,27 @@ object Dedup {
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
-            durationNs: Long): Unit = try {
+            durationNs: Long): Unit = {
+          // per-row try: one malformed metric row (e.g. a caller-supplied
+          // graft_oversize-prefixed Observation with a different shape)
+          // must not swallow a sibling's genuine drop WARN
           val metrics = qe.observedMetrics
           metrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_oversize") &&
-                row.getAs[Long]("dropped_buckets") > 0) {
-              log.warn(
-                s"graft dedup mega-bucket cap dropped " +
-                  s"${row.getAs[Long]("dropped_buckets")} LSH bucket(s) " +
-                  s"covering ${row.getAs[Long]("dropped_members")} member(s) " +
-                  s"(largest bucket ${row.getAs[Long]("max_bucket")}); a capped " +
-                  "run UNDER-merges — inspect via Dedup.oversizeBuckets or " +
-                  "raise maxBucketSize")
+            if (name.startsWith("graft_oversize")) try {
+              if (row.getAs[Long]("dropped_buckets") > 0) {
+                log.warn(
+                  s"graft dedup mega-bucket cap dropped " +
+                    s"${row.getAs[Long]("dropped_buckets")} LSH bucket(s) " +
+                    s"covering ${row.getAs[Long]("dropped_members")} member(s) " +
+                    s"(largest bucket ${row.getAs[Long]("max_bucket")}); a capped " +
+                    "run UNDER-merges — inspect via Dedup.oversizeBuckets or " +
+                    "raise maxBucketSize")
+              }
+            } catch { case scala.util.control.NonFatal(e) =>
+              log.warn(s"graft oversize metric '$name' has an unexpected shape", e)
             }
           }
-          qe.logical.foreach {
+          try qe.logical.foreach {
             case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
                 if c.name.startsWith("graft_oversize") &&
                   !metrics.contains(c.name) =>
@@ -138,8 +144,8 @@ object Dedup {
                   "Dedup.withReliableOversizeAudit or count via " +
                   "Dedup.oversizeBuckets")
             case _ => ()
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
@@ -258,20 +264,37 @@ object Dedup {
     // through `oversizeBuckets`.
     if (maxBucketSize == Int.MaxValue) groups
     else {
-      ensureOversizeListener(sig.sparkSession)
-      val metrics = Seq(
-        coalesce(sum(when(col("n") > maxBucketSize, 1L)), lit(0L))
-          .as("dropped_buckets"),
-        coalesce(sum(when(col("n") > maxBucketSize, col("n"))), lit(0L))
-          .as("dropped_members"),
-        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
-      val observed = oversizeObs match {
-        case Some(obs) => groups.observe(obs, metrics.head, metrics.tail: _*)
-        case None => groups.observe(
-          s"graft_oversize_buckets_${obsCounter.incrementAndGet()}",
-          metrics.head, metrics.tail: _*)
-      }
-      observed.filter(col("n") <= maxBucketSize)
+      observeOversize(groups, col("n"), maxBucketSize, oversizeObs)
+        .filter(col("n") <= maxBucketSize)
+    }
+  }
+
+  /** Attach the in-pass oversize audit to a bucket-counts frame: observes
+    * (dropped_buckets, dropped_members, max_bucket) over `sizeCol` against
+    * `maxBucketSize` — into the caller's [[Observation]] when supplied,
+    * else an auto-named `graft_oversize_*` observe — and registers the
+    * session WARN listener. Shared by the text LSH banding and the image
+    * Hamming banding so every capped dedup surface is loud the same way.
+    *
+    * Placement caveat: the observed frame must not end up as the BUILD
+    * side of a broadcast join — a broadcast subtree materializes outside
+    * the normal execute path and its CollectMetrics silently reports
+    * zeros (pinned in MediaPrepSpec). Callers joining the observed frame
+    * against a larger side add a `shuffle_hash` hint. */
+  private[graft] def observeOversize(bucketCounts: DataFrame, sizeCol: Column,
+      maxBucketSize: Int, oversizeObs: Option[Observation]): DataFrame = {
+    ensureOversizeListener(bucketCounts.sparkSession)
+    val metrics = Seq(
+      coalesce(sum(when(sizeCol > maxBucketSize, 1L)), lit(0L))
+        .as("dropped_buckets"),
+      coalesce(sum(when(sizeCol > maxBucketSize, sizeCol)), lit(0L))
+        .as("dropped_members"),
+      coalesce(max(sizeCol), lit(0L)).as("max_bucket"))
+    oversizeObs match {
+      case Some(obs) => bucketCounts.observe(obs, metrics.head, metrics.tail: _*)
+      case None => bucketCounts.observe(
+        s"graft_oversize_buckets_${obsCounter.incrementAndGet()}",
+        metrics.head, metrics.tail: _*)
     }
   }
 

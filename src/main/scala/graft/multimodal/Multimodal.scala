@@ -633,9 +633,15 @@ object Multimodal {
     * exact-dup collapse), and the band self-join would materialize n²
     * candidate rows. Oversize band buckets are dropped WHOLE (under-merge,
     * never a truncated merge; a pair can still surface through its other
-    * three bands). Pass `Int.MaxValue` to uncap. */
+    * three bands), and LOUDLY, through the same machinery as text dedup:
+    * the drop count is observed in-pass on the bucket-count aggregate
+    * (`graft_oversize_*` metric, or the caller's `oversizeObs`) and the
+    * session listener WARNs whenever it is non-zero — same AQE caveat and
+    * [[graft.dedup.Dedup.withReliableOversizeAudit]] remedy as the text
+    * side. Pass `Int.MaxValue` to uncap. */
   def imageNearDupPairsFromHashes(hashed: DataFrame, maxHamming: Int,
-      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize,
+      oversizeObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val banded = hashed.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -644,13 +650,22 @@ object Multimodal {
       .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
     // mega-bucket guard: admit only band buckets within the cap (the
     // count is one map-side-combinable aggregate over (band, key) rows —
-    // cheap insurance against the n² self-join a spam bucket produces)
+    // cheap insurance against the n² self-join a spam bucket produces);
+    // the in-pass audit observes the SAME aggregate, so the cap is loud.
+    // shuffle_hash hint: a CollectMetrics node on the BUILD side of a
+    // broadcast join silently reports zeros (the broadcast materializes
+    // outside the normal execute path), so the admit join must not
+    // broadcast the observed side — at corpus scale the counts frame is
+    // Ω(distinct hashes) and would never broadcast anyway.
     val admitted =
       if (maxBucketSize == Int.MaxValue) banded
       else banded.join(
-        banded.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+        graft.dedup.Dedup.observeOversize(
+            banded.groupBy("band", "key").agg(count(lit(1)).as("__n")),
+            col("__n"), maxBucketSize, oversizeObs)
           .filter(col("__n") <= maxBucketSize)
-          .select(col("band"), col("key")),
+          .select(col("band"), col("key"))
+          .hint("shuffle_hash"),
         Seq("band", "key"))
     val a = admitted.select(col("band"), col("key"),
       col("id").as("id_a"), col("ahash").as("ha"))

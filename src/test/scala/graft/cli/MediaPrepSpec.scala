@@ -23,6 +23,17 @@ class MediaPrepSpec extends SparkSpec {
     assert(capped("near_dups_dropped") === 0L,
       "oversize buckets drop whole → everything keeps itself")
     assert(capped("images_out") === 8L)
+    assert(capped("oversize_buckets_dropped") === 4L,
+      "8 identical hashes = one oversize bucket in each of the 4 bands, " +
+        "counted in-pass by the observation")
+    // non-numeric ids fail fast at the driver, not as an executor CCE
+    Seq(("uuid-1", png(32, 32))).toDF("media_id", "bytes")
+      .write.parquet(s"$dir/in_str")
+    val e = intercept[IllegalArgumentException] {
+      MediaPrep.run(spark, Map(
+        "in" -> s"$dir/in_str", "out" -> s"$dir/oute", "dedup-images" -> "3"))
+    }
+    assert(e.getMessage.contains("must be numeric"))
     val uncapped = MediaPrep.run(spark, Map(
       "in" -> s"$dir/in", "out" -> s"$dir/outu",
       "dedup-images" -> "3", "max-bucket" -> "0"))
