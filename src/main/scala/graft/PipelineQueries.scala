@@ -36,6 +36,25 @@ object PipelineQueries {
       | SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
       | FROM documents WHERE doc_id < 100)""".stripMargin
 
+  /** Paragraph-structured fixture for the paragraph-level dedup demo: the
+    * synthetic texts are single-line, so doc i (i < 100) is built from base
+    * texts 2i, 2i+1, 2i, 2i+2 joined with blank lines — base 2i repeats
+    * WITHIN the doc, and base 2i+2 recurs as the opening paragraph of doc
+    * i+1 (the boilerplate-prefix shape). Both engines assemble the
+    * identical fixture from the same parquet rows. */
+  private def paraDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.select(col("doc_id").as("pid")).filter(col("pid") < 100)
+      .join(d.select(col("doc_id").as("i1"), col("text").as("t1")),
+        col("i1") === col("pid") * 2)
+      .join(d.select(col("doc_id").as("i2"), col("text").as("t2")),
+        col("i2") === col("pid") * 2 + 1)
+      .join(d.select(col("doc_id").as("i3"), col("text").as("t3")),
+        col("i3") === col("pid") * 2 + 2)
+      .select(col("pid").as("doc_id"),
+        concat_ws("\n\n", col("t1"), col("t2"), col("t1"), col("t3")).as("text"))
+  }
+
   /** The vec_id=0 embedding, the shared query vector of every ANN demo. */
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -276,6 +295,40 @@ object PipelineQueries {
         "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6),
       Some(keepersCcOracleSqlAt("0.6",
         s"SELECT * FROM $dupUnionSql WHERE doc_id < 1000 OR doc_id >= 100000"))),
+
+    // ---- paragraph-level keep-first dedup ---------------------------------
+    // The post-doc-level layer: boilerplate paragraphs recur across
+    // otherwise-distinct docs. First occurrence in corpus order (min
+    // (doc_id, pos) per paragraph hash) keeps the paragraph; later
+    // occurrences — cross-doc or within-doc — drop. Spark: min(struct)
+    // hash-aggregate + hash equi-join; oracle: row_number window.
+    "q_dedup_paragraph" -> QueryDef(
+      (s, dir) => Dedup.paragraphKeepFirst(paraDocs(s, dir), "doc_id", "text"),
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  WHERE a.doc_id < 100),
+             |p AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos,
+             |    unnest(ps) AS para
+             |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+             |        FROM spine)),
+             |norm AS (SELECT doc_id, pos, trim(para) AS para FROM p
+             |  WHERE trim(para) <> ''),
+             |ranked AS (SELECT doc_id, pos, para,
+             |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+             |  FROM norm),
+             |kept AS (SELECT doc_id,
+             |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
+             |    count(*) AS n_kept
+             |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+             |SELECT s.doc_id AS doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+             |  coalesce(k.n_kept, 0) AS n_kept
+             |FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id""".stripMargin)),
 
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(

@@ -235,8 +235,12 @@ object ScaleSmoke {
     val chainEdges = spark.range(1, nChain)
       .select(col("id").as("src"), (col("id") - 1).as("dst"))
     val (chainComps, _, _, ccSecs) = sectionShuffle {
+      // localFinishEdges = 0: this section measures the DISTRIBUTED
+      // rounds on the adversarial shape — the bounded driver-side finish
+      // (which would happily swallow 99 999 edges) is the production
+      // default, not the claim under test here
       val labels = graft.dedup.Dedup.connectedComponents(
-        chainEdges, "src", "dst", maxIter = 25)
+        chainEdges, "src", "dst", maxIter = 25, localFinishEdges = 0)
       val r = labels.agg(countDistinct(col("component")),
         count(lit(1))).head()
       require(r.getLong(0) == 1 && r.getLong(1) == nChain,

@@ -262,10 +262,15 @@ object Dedup {
     // supplied, and WARN-logged by the session listener whenever
     // non-zero. Full membership of what was dropped stays inspectable
     // through `oversizeBuckets`.
-    if (maxBucketSize == Int.MaxValue) groups
+    // An UNCAPPED run with a caller-supplied Observation still attaches it
+    // (reporting zero drops and the true max_bucket): the groups frame is
+    // the output either way, so the metric is free — and a never-attached
+    // Observation would block the caller's obs.get forever.
+    if (maxBucketSize == Int.MaxValue && oversizeObs.isEmpty) groups
     else {
-      observeOversize(groups, col("n"), maxBucketSize, oversizeObs)
-        .filter(col("n") <= maxBucketSize)
+      val audited = observeOversize(groups, col("n"), maxBucketSize, oversizeObs)
+      if (maxBucketSize == Int.MaxValue) audited
+      else audited.filter(col("n") <= maxBucketSize)
     }
   }
 
@@ -305,6 +310,90 @@ object Dedup {
       rowsPerBand: Int, maxBucketSize: Int): DataFrame =
     lshCandidateGroups(sig, idCol, numHashes, rowsPerBand)
       .filter(col("n") > maxBucketSize)
+
+  /** Cross-engine paragraph hash (md5 — any SQL engine reproduces it). */
+  val oracleParaHash: Column => Column = md5(_)
+
+  /** Throughput paragraph hash: xxhash64 → LONG keys (8-byte shuffle rows,
+    * no hex strings). Keep-first depends only on hash EQUALITY, so the
+    * output is identical to the md5 path modulo 64-bit collisions
+    * (~n²/2⁶⁵ corpus-wide — negligible; spec-asserted equal). */
+  val fastParaHash: Column => Column = xxhash64(_)
+
+  /** Paragraph-level keep-first dedup — the layer training-corpus pipelines
+    * run AFTER document-level dedup: boilerplate paragraphs (headers,
+    * footers, license blocks, templated intros) recur across
+    * otherwise-distinct documents, where document-level MinHash sees only
+    * whole-text similarity.
+    *
+    * Split on `sep` → trim → drop empty paragraphs → hash each paragraph →
+    * the FIRST occurrence in corpus order (smallest (id, position)) keeps
+    * it; every later occurrence — in another doc or later in the same doc —
+    * is dropped. Returns one row per input doc:
+    * (idCol, text_dedup, n_kept), `text_dedup` the kept paragraphs
+    * re-joined with `sep` in their original order ('' when none survive,
+    * including NULL/empty input texts).
+    *
+    * Scale shape: keep-first is a min(struct(id, pos)) hash-aggregate on
+    * the paragraph hash — map-side partial agg, skew-robust (a boilerplate
+    * paragraph in 10⁸ docs is ONE group whose partials collapse before the
+    * shuffle; nothing is ever pairwise) — plus an equi-join back on the
+    * hash and a per-doc re-assembly aggregate. `maxOccurrences` is the
+    * [[DefaultMaxBucketSize]]-style guardrail with keep-first semantics:
+    * a paragraph occurring more than `maxOccurrences` times is boilerplate
+    * and is dropped EVERYWHERE (even its first occurrence — under-keep,
+    * never a wrong merge), with the drop observed in-pass through the same
+    * `graft_oversize*` machinery (WARN-logged by the session listener;
+    * same AQE-pruning caveat and [[withReliableOversizeAudit]] remedy). */
+  def paragraphKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n",
+      hashFn: Column => Column = oracleParaHash,
+      maxOccurrences: Int = Int.MaxValue,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__para")))
+      .withColumn("__para", trim(col("__para")))
+      .filter(length(col("__para")) > 0)
+      .withColumn("__h", hashFn(col("__para")))
+    val counted = paras.groupBy("__h")
+      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
+        .as("__w"), count(lit(1)).as("__n"))
+    // uncapped + Observation still attaches (zeros + true max_bucket),
+    // same contract as lshCandidateGroups
+    val winners0 =
+      if (maxOccurrences == Int.MaxValue && oversizeObs.isEmpty) counted
+      else {
+        val audited = observeOversize(counted, col("__n"), maxOccurrences,
+          oversizeObs)
+        if (maxOccurrences == Int.MaxValue) audited
+        else audited.filter(col("__n") <= maxOccurrences)
+      }
+    // audited runs must not let the observed subtree become the BUILD side
+    // of a broadcast join (metrics would silently read zero — see
+    // observeOversize); at corpus scale the winner frame is Ω(distinct
+    // paragraphs) and never broadcasts anyway
+    val auditAttached = maxOccurrences != Int.MaxValue || oversizeObs.nonEmpty
+    val winners =
+      if (auditAttached) winners0.hint("shuffle_hash") else winners0
+    val kept = paras
+      .join(winners.select(col("__h"), col("__w")), "__h")
+      .filter(col(idCol) === col("__w.__wid") && col("__pos") === col("__w.__wpos"))
+    val rebuilt0 = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para"))))
+        .as("__ps"))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), _.getField("__para")), sep)
+          .as("text_dedup"),
+        size(col("__ps")).cast("long").as("n_kept"))
+    val rebuilt =
+      if (auditAttached) rebuilt0.hint("shuffle_hash") else rebuilt0
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd native
     * hash — the throughput path; the md5-nibble variant in PipelineQueries
@@ -507,12 +596,23 @@ object Dedup {
     * parent-pointer edge set is the answer exactly when it is a star
     * forest — every child has one parent and no parent is itself a child
     * (rounds preserve connectivity, and the u > v invariant makes each
-    * star's root its component minimum). Checking that property directly
-    * on the round's checkpointed output (two limit-1 probes) detects
-    * convergence in the SAME round it happens; a fingerprint/diff check
-    * would pay one full extra round just to observe "nothing changed". */
+    * star's root its component minimum). The witness count for that
+    * property rides the large-star phase's own aggregation as an observed
+    * metric, so each round is ONE job — no separate probe (see
+    * `largeStarAudited`).
+    *
+    * Small graphs finish DRIVER-SIDE: once the (checkpointed, counted)
+    * edge set is at most `localFinishEdges` rows — at entry, or after the
+    * rounds have contracted it below the bound — the remaining closure is
+    * a bounded collect (≤ 16 B/edge, ~1.6 MB at the default) plus a
+    * union-find, instead of 2+ more Spark rounds of pure stage overhead.
+    * The bound makes the collect dimension-sized BY CONSTRUCTION; pass
+    * `localFinishEdges = 0` to force the fully distributed path. */
+  val DefaultLocalFinishEdges = 100000
+
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 10): DataFrame = {
+      dstCol: String = "dst", maxIter: Int = 10,
+      localFinishEdges: Int = DefaultLocalFinishEdges): DataFrame = {
     // one materialization of the caller's edge plan: both the canonical
     // set and the self-loop scan read the checkpoint, so a general caller
     // passing an expensive edge-producing plan pays for it exactly once
@@ -524,7 +624,7 @@ object Dedup {
         .select(greatest(col("src"), col("dst")).as("u"),
           least(col("src"), col("dst")).as("v"))
         .distinct(),
-      maxIter)
+      maxIter, localFinishEdges)
     // a vertex whose only edges are self-loops is still a vertex: it gets
     // a singleton component (matching the min-label formulation), instead
     // of silently vanishing with the filtered loops. The union+min is
@@ -541,19 +641,63 @@ object Dedup {
     * `verifiedNearDupPairs`, which emits distinct id_a < id_b) — skipping
     * the canonicalization shuffle the general entry point pays. */
   private[dedup] def connectedComponentsCanonical(edges: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int): DataFrame =
-    ccCanonical(edges.select(col(srcCol).as("u"), col(dstCol).as("v")), maxIter)
+      srcCol: String, dstCol: String, maxIter: Int,
+      localFinishEdges: Int = DefaultLocalFinishEdges): DataFrame =
+    ccCanonical(edges.select(col(srcCol).as("u"), col(dstCol).as("v")),
+      maxIter, localFinishEdges)
 
-  private def ccCanonical(canonical: DataFrame, maxIter: Int): DataFrame = {
+  /** Driver-side closure of a bounded edge set: path-compressed union-find
+    * attaching larger roots under smaller ones, so every find lands on the
+    * component MINIMUM — the same labels the distributed rounds produce.
+    * Only called on a counted, ≤ `localFinishEdges`-row frame. Returns a
+    * LocalRelation, so downstream fan-out joins broadcast it for free. */
+  private def ccLocalFinish(e: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = p; p = gp
+      }
+      x
+    }
+    val nodes = new java.util.HashSet[Long]()
+    e.collect().foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1)
+      nodes.add(u); nodes.add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+    nodes.forEach(n => out.add(org.apache.spark.sql.Row(n, find(n))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    e.sparkSession.createDataFrame(out, schema)
+  }
+
+  private def ccCanonical(canonical: DataFrame, maxIter: Int,
+      localFinishEdges: Int = DefaultLocalFinishEdges): DataFrame = {
     // Input checkpoint: the rounds reference their input multiple times,
     // and AQE's runtime join planning does not reliably reuse a common
     // upstream exchange across those references — without the checkpoint
     // the (possibly expensive) edge-producing plan re-executes (measured
     // ~1 s slower on the sf0.1 dedup graph).
     var e = canonical.localCheckpoint()
+    // empty graph: zero rounds, empty labels — returned here both as a
+    // fast path and so the audited round below never observes a metric on
+    // an empty plan (AQE would prune the audit node with the branch)
+    if (e.isEmpty)
+      return e.select(col("u").as("id"), col("v").as("component"))
 
-    // star forest ⇔ no duplicate child AND no parent appearing as a child;
-    // one union-probe job over checkpointed data, stops at the first witness
+    // star forest ⇔ no duplicate child AND no parent appearing as a child.
+    // FALLBACK probe only (see ccRoundConverged): the per-round verdict
+    // normally rides the round's own aggregate below.
     def isStarForest(g: DataFrame): Boolean = {
       val multiParent = g.groupBy("u").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).select(lit(1).as("w"))
@@ -565,14 +709,64 @@ object Dedup {
 
     // large-star: per node, hang every LARGER neighbor off min(Γ⁺(node)).
     // Output keeps the u > v invariant: emitted (v, m) has v > node ≥ m.
-    def largeStar(g: DataFrame): DataFrame = {
-      val sym = g.unionByName(g.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    //
+    // The convergence audit rides the per-node groupBy this phase already
+    // pays: tagging each symmetrized row with its direction makes the
+    // aggregate see, per node, its child-side degree (rows where it is
+    // the u of g) and parent-side degree — and g is a star forest exactly
+    // when no node has two parents or stands on both sides. A
+    // CollectMetrics node on that aggregate surfaces the witness count in
+    // the SAME action that materializes the round (the localCheckpoint),
+    // replacing the separate per-round probe job. The audit describes g —
+    // this phase's INPUT, the smallStar output — which is sound because
+    // star forests are fixpoints of BOTH phases: zero witnesses means
+    // this round's output IS g and the loop may stop. (Detection shifts
+    // from the round's output to its midpoint; a component whose forest
+    // is first produced by the large-star half pays one extra — cheap,
+    // identity — round, while every earlier round saves its probe job.)
+    def largeStarAudited(g: DataFrame, obs: Observation): DataFrame = {
+      val sym = g.select(col("u"), col("v"), lit(1L).as("__c"))
+        .unionByName(
+          g.select(col("v").as("u"), col("u").as("v"), lit(0L).as("__c")))
+      val mins = sym.groupBy("u")
+        .agg(min("v").as("mn"), sum(col("__c")).as("__cd"),
+          sum(lit(1L) - col("__c")).as("__pd"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"),
+          (col("__cd") > 1 || (col("__cd") > 0 && col("__pd") > 0))
+            .as("__viol"))
+      // The metric sits on the JOIN OUTPUT, not on mins: mins is the
+      // (small, per-node) build side Spark rightly broadcasts, and a
+      // CollectMetrics node inside a broadcast subtree silently reports
+      // zeros (see observeOversize) — which here would fake a convergence
+      // verdict. On the probe side every mins row reappears (each node has
+      // ≥1 incident sym row), so summing the flag WITH edge multiplicity
+      // is still exactly zero iff g is a star forest. Placed BEFORE the
+      // v > u filter so nodes whose edges all point down stay visible;
+      // CollectMetrics is a pushdown barrier, so the filter cannot slide
+      // above it.
       sym.join(mins, "u")
+        .observe(obs,
+          coalesce(sum(when(col("__viol"), 1L)), lit(0L)).as("witnesses"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
+    }
+
+    // The round's verdict: the observation completed with the checkpoint
+    // action just above; poll briefly (defensive: never deadlock on an
+    // exotic plan change), then fall back to the explicit probe of the
+    // same frame the metric described.
+    def ccRoundConverged(obs: Observation, ss: DataFrame): Boolean = {
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration.DurationInt
+      try {
+        val m = Await.result(
+          Future(obs.get)(scala.concurrent.ExecutionContext.global), 10.seconds)
+        m.get("witnesses") match {
+          case Some(w: java.lang.Long) => w == 0L
+          case _ => isStarForest(ss)
+        }
+      } catch { case _: TimeoutException => isStarForest(ss) }
     }
 
     // small-star: edges already point large→small, so per node u all
@@ -597,11 +791,24 @@ object Dedup {
     // No pre-loop probe: real edge lists are almost never already stars,
     // so probing before the first round is a wasted job in the common
     // case; an already-star input just pays one no-op round instead.
+    // Bounded local finish: the graph is checkpointed at every loop head,
+    // so the count is a cheap cached-scan job; once it fits the bound the
+    // driver-side union-find replaces the remaining rounds — on a
+    // contracted near-clique graph those are 2+ rounds of pure stage
+    // overhead over a few hundred edges. Long-keyed graphs only (every
+    // dedup pipeline keys on long ids); other key types stay distributed.
+    val localFinishable = localFinishEdges > 0 &&
+      e.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      e = largeStar(smallStar(e)).localCheckpoint()
-      converged = isStarForest(e)
+      if (localFinishable && e.count() <= localFinishEdges)
+        return ccLocalFinish(e)
+      val ss = smallStar(e)
+      val obs = Observation(s"graft_cc_audit_${obsCounter.incrementAndGet()}")
+      e = largeStarAudited(ss, obs).localCheckpoint()
+      converged = ccRoundConverged(obs, ss)
       iter += 1
     }
     // a silent partial result would hand out "keepers" that are not roots —

@@ -642,6 +642,15 @@ object Multimodal {
   def imageNearDupPairsFromHashes(hashed: DataFrame, maxHamming: Int,
       maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize,
       oversizeObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // unlike the text banding (whose audited aggregate IS the output and
+    // can carry an Observation even uncapped), the bucket-count aggregate
+    // here only exists when capping — an Observation supplied to an
+    // uncapped run would never attach and the caller's obs.get would block
+    // forever. Fail fast instead.
+    require(maxBucketSize != Int.MaxValue || oversizeObs.isEmpty,
+      "oversizeObs supplied with maxBucketSize = Int.MaxValue: an uncapped " +
+        "image-banding run attaches no audit aggregate, so the Observation " +
+        "would never complete — cap the run or drop the Observation")
     val banded = hashed.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

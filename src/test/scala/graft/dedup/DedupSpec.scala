@@ -70,13 +70,19 @@ class DedupSpec extends SparkSpec {
     for (_ <- 1 to 3) {
       val n = 60
       // raw random edges: duplicates happen, self-loops kept — both
-      // implementations must agree on the full contract
+      // implementations must agree on the full contract. Run the bounded
+      // local-finish path (default) AND the fully distributed rounds
+      // (localFinishEdges = 0): identical labels from both.
       val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .toDF("src", "dst")
-      val star = Dedup.connectedComponents(edges, maxIter = 20)
+      val local = Dedup.connectedComponents(edges, maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponents(edges, maxIter = 20,
+          localFinishEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val oracle = Dedup.connectedComponentsMinLabel(edges, maxIter = 20)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === oracle)
       assert(star === oracle)
     }
   }
@@ -85,7 +91,10 @@ class DedupSpec extends SparkSpec {
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("src", "dst")
     val ex = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 1).count()
+      // localFinishEdges = 0: the 39-edge chain would otherwise be
+      // closed driver-side before any distributed round could run out
+      Dedup.connectedComponents(chain, maxIter = 1, localFinishEdges = 0)
+        .count()
     }
     assert(ex.getMessage.contains("did not converge"))
   }
@@ -108,7 +117,8 @@ class DedupSpec extends SparkSpec {
     // maxIter = 8 is exactly the contraction property the rewrite buys
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("src", "dst")
-    val comps = Dedup.connectedComponents(chain, maxIter = 8)
+    val comps = Dedup.connectedComponents(chain, maxIter = 8,
+        localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comps.length === 40)
     assert(comps.forall(_._2 === 0L))
@@ -257,5 +267,69 @@ class DedupSpec extends SparkSpec {
     assert((0 until 40).forall(i => capped(i.toLong) == i.toLong))
     assert(capped(1000001L) == 1000000L)
     assert(obs.get("dropped_buckets") == 4L)
+  }
+
+  test("paragraphKeepFirst: a paragraph shared by two docs survives only in the first") {
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared boilerplate line\n\ngamma"),
+      (2L, "delta epsilon\n\nshared boilerplate line\n\nzeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("alpha beta\n\nshared boilerplate line\n\ngamma", 3L)))
+    assert(out(2L) === (("delta epsilon\n\nzeta", 2L)))
+  }
+
+  test("paragraphKeepFirst: within-doc repeats, blank paragraphs, NULL and empty texts") {
+    val docs = Seq(
+      (1L, "p1\n\np2\n\np1\n\n   \n\np3"), // p1 repeats; one all-blank para
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("p1\n\np2\n\np3", 3L)))
+    assert(out(2L) === (("", 0L)), "NULL text yields an empty doc row, not a missing one")
+    assert(out(3L) === (("", 0L)))
+  }
+
+  test("paragraphKeepFirst: fast xxhash64 path matches the md5 oracle path") {
+    val docs = Seq(
+      (1L, "one two\n\nshared\n\nthree"),
+      (2L, "shared\n\nfour five\n\none two"),
+      (3L, "six\n\nshared")
+    ).toDF("doc_id", "text")
+    val md5Out = Dedup.paragraphKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fastOut = Dedup.paragraphKeepFirst(docs, "doc_id", "text",
+        hashFn = Dedup.fastParaHash)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(md5Out === fastOut)
+  }
+
+  test("paragraphKeepFirst: maxOccurrences drops boilerplate everywhere and reports it in-pass") {
+    val docs = (1 to 6).map(i => (i.toLong, s"unique $i\n\nboiler")).toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("graft_oversize_para")
+    val out = Dedup.paragraphKeepFirst(docs, "doc_id", "text",
+        maxOccurrences = 5, oversizeObs = Some(obs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // 'boiler' occurs 6 > 5 times: dropped from EVERY doc, first included
+    (1 to 6).foreach(i => assert(out(i.toLong) === ((s"unique $i", 1L))))
+    val m = obs.get
+    assert(m("dropped_buckets") == 1L)
+    assert(m("dropped_members") == 6L)
+    assert(m("max_bucket") == 6L)
+  }
+
+  test("paragraphKeepFirst: an uncapped run still completes a supplied Observation") {
+    val docs = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("graft_oversize_para_uncapped")
+    val out = Dedup.paragraphKeepFirst(docs, "doc_id", "text",
+        oversizeObs = Some(obs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L) === "c")
+    val m = obs.get // must not block: attached even though uncapped
+    assert(m("dropped_buckets") == 0L)
+    assert(m("max_bucket") == 2L)
   }
 }
