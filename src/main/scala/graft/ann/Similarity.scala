@@ -39,6 +39,19 @@ object Similarity {
   def withSignature(df: DataFrame, vecCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame =
     df.withColumn("lsh_sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, seed))
 
+  /** Attach one signature column per hash table (`lsh_sig_0` …
+    * `lsh_sig_{nTables-1}`, the [[tableSeed]] family) — the precompute
+    * step for [[lshTopK]]'s `sigCols` path: sign once at ingest, persist,
+    * and every later query prunes on the stored columns instead of
+    * re-hashing the corpus. */
+  def withSignatures(df: DataFrame, vecCol: String, dim: Int, nBits: Int,
+      nTables: Int, seed: Long = 42L): DataFrame =
+    (0 until nTables).foldLeft(df) { (d, t) =>
+      d.withColumn(s"lsh_sig_$t",
+        VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits,
+          tableSeed(seed, t)))
+    }
+
   /** Seed for hash table `t` of a multi-table LSH family — one fixed
     * stride so executors, the driver-side query signature, and any
     * precomputed signature columns all agree. */
@@ -55,8 +68,15 @@ object Similarity {
     * wider ball admits uniformly more of the corpus, an extra table
     * admits specifically the near vectors. All tables are evaluated in
     * ONE scan (the per-table popcount predicates OR together), so there
-    * is no union or dedup pass; at 100 TB each table's signature is a
-    * precomputed column and probe-0 lookups prune by bucket. */
+    * is no union or dedup pass.
+    *
+    * By default each table's signature is recomputed inline per row (the
+    * right shape for one-shot queries). At 100 TB, sign once instead:
+    * [[withSignatures]] persists `lsh_sig_0…n` at ingest, and passing
+    * those names as `sigCols` makes every later query filter on the
+    * STORED columns — no per-query re-hash of the corpus, and the
+    * probe-0 case is a plain column equality that bucket/partition
+    * pruning can use. */
   def lshTopK(
       df: DataFrame,
       idCol: String,
@@ -68,16 +88,23 @@ object Similarity {
       maxHammingProbe: Int = 1,
       seed: Long = 42L,
       roundTo: Int = 6,
-      nTables: Int = 1): DataFrame = {
+      nTables: Int = 1,
+      sigCols: Seq[String] = Nil): DataFrame = {
+    val tables = math.max(nTables, 1)
+    require(sigCols.isEmpty || sigCols.length == tables,
+      s"sigCols must name one precomputed signature column per table " +
+        s"(got ${sigCols.length} for $tables tables)")
     // Multi-probe: every bucket within Hamming distance <= maxHammingProbe
     // of the query signature (maxHammingProbe = nBits probes everything —
     // exact recall at brute-force cost). Expressed as a popcount predicate,
     // not an enumerated IN list: O(1) expression size at any nBits, and the
     // probe-0 case stays an equality (bucket/partition-prunable at scale).
     val probe = math.max(maxHammingProbe, 0)
-    val pred = (0 until math.max(nTables, 1)).map { t =>
+    val pred = (0 until tables).map { t =>
       val s = tableSeed(seed, t)
-      val sig = VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s)
+      val sig =
+        if (sigCols.nonEmpty) col(sigCols(t))
+        else VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s)
       val qSig = querySignature(query, dim, nBits, s)
       if (probe == 0) sig === qSig
       else bit_count(sig.bitwiseXOR(lit(qSig))) <= math.min(probe, nBits)

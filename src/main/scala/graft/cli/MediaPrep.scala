@@ -61,6 +61,11 @@ object MediaPrep {
 
     var oversizeObs: Option[org.apache.spark.sql.Observation] = None
     var obsAttached = false
+    // the (id, ahash) frame outlives the keeper computation: the
+    // pruned-audit fallback below recounts oversize buckets from it, so
+    // it is unpersisted only after the stats line is assembled
+    var hashedCache: Option[DataFrame] = None
+    var dedupMaxBucket = Int.MaxValue
     val survivors: DataFrame = args.get("dedup-images") match {
       case Some(maxHamming) =>
         // the keeper pipeline keys on LONG ids — fail fast with a clear
@@ -80,6 +85,7 @@ object MediaPrep {
         // (CliArgs.maxBucket); drops are observed in-pass and reported in
         // the stats line, same loudness contract as CorpusPrep.
         val maxBucket = CliArgs.maxBucket(args)
+        dedupMaxBucket = maxBucket
         if (maxBucket != Int.MaxValue) {
           oversizeObs = Some(org.apache.spark.sql.Observation(
             "graft_oversize_media_audit"))
@@ -88,11 +94,10 @@ object MediaPrep {
         val hashed = Multimodal.imageAHashes(
           gate(Multimodal.decodeImageBatch(blobs, bytesCol)), idCol, bytesCol)
           .persist()
-        val keepers =
-          try graft.dedup.Dedup.keepersFromPairs(eligible, idCol,
-            Multimodal.imageNearDupPairsFromHashes(hashed, maxHamming.toInt,
-              maxBucket, oversizeObs))
-          finally hashed.unpersist() // CC materialized the pairs eagerly
+        hashedCache = Some(hashed)
+        val keepers = graft.dedup.Dedup.keepersFromPairs(eligible, idCol,
+          Multimodal.imageNearDupPairsFromHashes(hashed, maxHamming.toInt,
+            maxBucket, oversizeObs))
         eligible.join(
           keepers.filter(col(idCol) === col("keeper_id")).select(col(idCol)),
           idCol)
@@ -106,13 +111,23 @@ object MediaPrep {
     meta.unpersist()
     // the observation fired during the CC rounds / the survivor write; the
     // reliable-audit wrapper keeps it un-pruned even when zero pairs
-    // survive, so an empty map only means a raced conf — report 0 and the
-    // session listener has already WARNed either way
+    // survive. If AQE still pruned the audit node (caller raced the
+    // excluded-rules conf), recount from the persisted hash frame instead
+    // of reporting a silent 0 — same fallback contract as CorpusPrep.
     val nOversize: Long =
       if (obsAttached)
         oversizeObs.flatMap(_.get.get("dropped_buckets"))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+          .map(_.asInstanceOf[Long]).getOrElse {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "oversize-bucket observation was pruned from the executed " +
+                "plan; recomputing the drop count with a one-off banding " +
+                "pass over the persisted hash frame")
+            hashedCache.map(h =>
+              Multimodal.oversizeImageBuckets(h, dedupMaxBucket).count())
+              .getOrElse(0L)
+          }
       else 0L
+    hashedCache.foreach(_.unpersist())
     val stats = Map("images_in" -> nIn, "decodable" -> nDecodable,
       "images_out" -> nOut, "near_dups_dropped" -> (nEligible - nOut),
       "oversize_buckets_dropped" -> nOversize)

@@ -321,6 +321,12 @@ object Multimodal {
   case class VideoMeta(width: Int, height: Int, durationS: Double,
       format: String)
 
+  /** Dimension sanity cap for video container headers: both parsers treat
+    * a width/height above this as corruption, not metadata. Well above any
+    * real footage (16K is 15 360 px) yet far below the unsigned-32 garbage
+    * a flipped byte produces. */
+  private[multimodal] val MaxSaneVideoDim = 1000000L
+
   // ---- byte helpers for the container parsers (big-endian ISO BMFF,
   // little-endian RIFF) — all reads are bounds-checked by callers
   private def be32(b: Array[Byte], o: Int): Long =
@@ -405,7 +411,13 @@ object Multimodal {
                     if (ke - ks < hOff + 4) None
                     else Some(((be32(b, k + wOff) >> 16).toInt,
                       (be32(b, k + hOff) >> 16).toInt))
-                  }.filter { case (w, h) => w > 0 && h > 0 }
+                  }.filter { case (w, h) =>
+                    // same sanity contract as parseAvi: oversize 16.16
+                    // dims (≤ 65535 here, but the cap keeps the two
+                    // parsers' gates identical) are corruption
+                    w > 0 && h > 0 &&
+                      w <= MaxSaneVideoDim && h <= MaxSaneVideoDim
+                  }
                   trakStart = te
               }
             }
@@ -448,7 +460,7 @@ object Multimodal {
             // metadata. Duration multiplies in DOUBLE — two unsigned-32
             // maxima overflow a Long (≈1.8e19 > 2⁶³).
             if (usPerFrame <= 0 || w <= 0 || h <= 0 ||
-                w > 1000000 || h > 1000000) return None
+                w > MaxSaneVideoDim || h > MaxSaneVideoDim) return None
             return Some(VideoMeta(w.toInt, h.toInt,
               totalFrames.toDouble * usPerFrame / 1e6, "avi"))
           }
@@ -611,17 +623,50 @@ object Multimodal {
     * drop out (no hash). Returns (id_a, id_b, hamming) with id_a < id_b. */
   def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int,
-      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame =
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
     // hash once, band many times: without the persist the banded
     // self-join would run the full pixel decode + aHash of every image
     // once per join side. The cached frame is (id, ahash) — 16 bytes per
-    // image, not the blobs. The cache entry lives until the session ends
-    // (this method returns a lazy frame, so there is no point to
-    // unpersist at); long-running services that call repeatedly should
-    // use the pre-hashed overload below and manage persistence — the
-    // keepers path does exactly that.
-    imageNearDupPairsFromHashes(
-      imageAHashes(df, idCol, bytesCol).persist(), maxHamming, maxBucketSize)
+    // image, not the blobs. This method returns a LAZY frame, so there is
+    // no in-band point to unpersist at; instead a one-shot listener
+    // releases the cache when the first action touching it completes, so
+    // repeated callers in a long-lived session do not accumulate cache
+    // entries. Multi-action pipelines should use the pre-hashed overload
+    // below and manage persistence themselves — the keepers path does.
+    val hashed = imageAHashes(df, idCol, bytesCol).persist()
+    unpersistAfterFirstUse(hashed)
+    imageNearDupPairsFromHashes(hashed, maxHamming, maxBucketSize)
+  }
+
+  /** Release a persisted frame once the FIRST completed action whose plan
+    * contains it finishes: a one-shot QueryExecutionListener that matches
+    * the frame's analyzed plan as a subtree, unpersists, and deregisters
+    * itself. Unrelated queries never match; a second action on the same
+    * frame recomputes (correctness unaffected) — callers needing the
+    * cache across actions manage persistence explicitly. */
+  private[multimodal] def unpersistAfterFirstUse(frame: DataFrame): Unit = {
+    val spark = frame.sparkSession
+    val target = frame.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        try {
+          if (qe.analyzed.exists(_.sameResult(target)) &&
+              done.compareAndSet(false, true)) {
+            frame.unpersist()
+            spark.listenerManager.unregister(this)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
 
   /** [[imageNearDupPairs]] over a pre-hashed (id, ahash) frame — for
     * pipelines that persist hashes once and band repeatedly.
@@ -651,12 +696,7 @@ object Multimodal {
       "oversizeObs supplied with maxBucketSize = Int.MaxValue: an uncapped " +
         "image-banding run attaches no audit aggregate, so the Observation " +
         "would never complete — cap the run or drop the Observation")
-    val banded = hashed.select(col("id"), col("ahash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
-        .as("bk"))
-      .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedHashKeys(hashed)
     // mega-bucket guard: admit only band buckets within the cap (the
     // count is one map-side-combinable aggregate over (band, key) rows —
     // cheap insurance against the n² self-join a spam bucket produces);
@@ -687,6 +727,29 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The four 16-bit Hamming-LSH band keys of each 64-bit perceptual hash:
+    * (id, ahash, band, key) — shared by the pair join and the oversize
+    * audit so both band the identical population. */
+  private def bandedHashKeys(hashed: DataFrame): DataFrame =
+    hashed.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("ahash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+
+  /** The band buckets a `maxBucketSize`-capped image near-dup run drops:
+    * same banding as [[imageNearDupPairsFromHashes]], size above the cap —
+    * the image sibling of [[graft.dedup.Dedup.oversizeBuckets]],
+    * dimension-sized (one row per oversize bucket). Callers reporting on
+    * a capped run (e.g. a pruned-audit fallback) recount from the SAME
+    * hash frame the pipeline banded. */
+  def oversizeImageBuckets(hashed: DataFrame, maxBucketSize: Int): DataFrame =
+    bandedHashKeys(hashed)
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
 
   /** Transitive image near-dup keepers: the text pipeline's keeper
     * semantics applied to images — duplicate CHAINS collapse to the

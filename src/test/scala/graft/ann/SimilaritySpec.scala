@@ -39,6 +39,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(7L))
   }
 
+  test("lshTopK over withSignatures-precomputed columns equals the inline-signature path") {
+    val q = vecs(3)._2
+    val signed = Similarity.withSignatures(df, "embedding",
+      dim = 4, nBits = 6, nTables = 3)
+    val pre = Similarity.lshTopK(signed, "vec_id", "embedding", q,
+        dim = 4, k = 5, nBits = 6, maxHammingProbe = 2, nTables = 3,
+        sigCols = (0 until 3).map(t => s"lsh_sig_$t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.lshTopK(df, "vec_id", "embedding", q,
+        dim = 4, k = 5, nBits = 6, maxHammingProbe = 2, nTables = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pre === inline)
+    // one signature column name per table, enforced up front
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(signed, "vec_id", "embedding", q,
+        dim = 4, k = 5, nBits = 6, nTables = 3, sigCols = Seq("lsh_sig_0"))
+    }
+    assert(ex.getMessage.contains("one precomputed signature column"))
+  }
+
   test("ivfTopK with full probing equals brute force") {
     val q = vecs(3)._2
     val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
