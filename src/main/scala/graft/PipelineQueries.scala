@@ -531,6 +531,50 @@ object PipelineQueries {
              |  'png' AS format
              |FROM documents WHERE doc_id < 300""".stripMargin)),
 
+    // ---- multimodal: REAL perceptual dHash, exact arithmetic oracle --------
+    // Full pixel decode + 9×8 integer-luminance difference hash of each
+    // synthesized gradient PNG. Every step is integer-exact (BT.601
+    // fixed-point luminance, cross-multiplied cell averages), so the
+    // oracle replays the whole downsample+gradient pipeline in SQL and
+    // predicts all 64 bits — certifying the real decode→hash machinery,
+    // not a stub. Output as an MSB-first bit string: bit 63 would
+    // overflow a signed SQL shift.
+    "q_mm_dhash" -> QueryDef(
+      (s, dir) => {
+        val imgs = Multimodal.synthesizeImages(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        Multimodal.imageAHashes(imgs, "media_id", "bytes",
+            Multimodal.imageDHash64)
+          .select(col("id").as("media_id"),
+            lpad(bin(col("ahash")), 64, "0").as("dhash_bits"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS media_id,
+             |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+             |    CAST(doc_id % 17 + 1 AS BIGINT) AS h
+             |  FROM documents WHERE doc_id < 300),
+             |xs AS (SELECT unnest(generate_series(0, 30)) AS x),
+             |ys AS (SELECT unnest(generate_series(0, 16)) AS y),
+             |px AS (SELECT media_id, w, h, x, y,
+             |    (x * 255 // greatest(w - 1, 1)
+             |     + y * 255 // greatest(h - 1, 1)) // 2 AS v
+             |  FROM d CROSS JOIN xs CROSS JOIN ys
+             |  WHERE x < w AND y < h),
+             |cells AS (SELECT media_id,
+             |    least(y * 8 // h, 7) AS cy, least(x * 9 // w, 8) AS cx,
+             |    sum(1000 * v) AS s, count(*) AS n
+             |  FROM px GROUP BY 1, 2, 3),
+             |rs AS (SELECT unnest(generate_series(0, 7)) AS r),
+             |cs AS (SELECT unnest(generate_series(0, 7)) AS c),
+             |bits AS (SELECT d.media_id AS media_id, r, c,
+             |    CASE WHEN coalesce(a.n, 0) > 0 AND coalesce(b.n, 0) > 0
+             |          AND a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+             |  FROM d CROSS JOIN rs CROSS JOIN cs
+             |  LEFT JOIN cells a ON a.media_id = d.media_id AND a.cy = r AND a.cx = c
+             |  LEFT JOIN cells b ON b.media_id = d.media_id AND b.cy = r AND b.cx = c + 1)
+             |SELECT media_id,
+             |  string_agg(CAST(bit AS VARCHAR), '' ORDER BY r DESC, c DESC) AS dhash_bits
+             |FROM bits GROUP BY media_id""".stripMargin)),
+
     // ---- multimodal: REAL audio codec round trip ---------------------------
     // Same pattern for audio: one actual RIFF/WAVE payload per doc, decoded
     // back through javax.sound.sampled; header fields predicted

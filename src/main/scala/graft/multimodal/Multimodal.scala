@@ -148,6 +148,65 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** 64-bit difference-hash (dHash): area-average the luminance onto a
+    * 9×8 grid, one bit per horizontally adjacent cell pair — set when the
+    * left cell is strictly brighter. The gradient-based complement of
+    * [[imageAHash64]]: aHash compares every cell against the GLOBAL mean,
+    * so a brightness/gamma shift that moves the mean flips the bits of
+    * cells near it; dHash compares neighbors, and any monotone tone curve
+    * preserves pointwise-ordered neighborhoods (spec-pinned on a
+    * gamma-shifted gradient aHash misclassifies). Same 64-bit shape, so
+    * it drops into the Hamming-LSH banding and keeper machinery
+    * unchanged.
+    *
+    * All arithmetic is integer-exact so an external SQL engine can
+    * replay it bit-for-bit (the q_mm_dhash oracle): luminance is BT.601
+    * fixed-point (299·R + 587·G + 114·B, no division), cell averages
+    * compare by Long cross-multiplication — exact up to ~430 MP images
+    * (sum·count < 2⁶³); anything larger returns None as absurd. Cells
+    * unpopulated by sub-9×8 images yield 0 bits. */
+  def imageDHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w.toLong * h > 400000000L) return None
+      val sums = new Array[Long](72) // 8 rows × 9 cols
+      val counts = new Array[Long](72)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * 9 / w, 8)
+          val rgb = img.getRGB(x, y)
+          sums(cy * 9 + cx) += 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          counts(cy * 9 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val a = r * 9 + c
+          val b = a + 1
+          if (counts(a) > 0 && counts(b) > 0 &&
+              sums(a) * counts(b) > sums(b) * counts(a))
+            bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic PNG synthesis: one real encoded image per input row,
     * dimensions a pure function of the id (width = id % 31 + 1, height =
     * id % 17 + 1, gradient pixels). Gives the encode→decode round trip an
@@ -594,11 +653,16 @@ object Multimodal {
     }(enc)
   }
 
-  /** Per-image perceptual hashes: (id, ahash) via [[imageAHash64]], one
+  /** Per-image perceptual hashes: (id, ahash) via `hashFn`
+    * ([[imageAHash64]] by default; pass [[imageDHash64]] for the
+    * gradient-based fingerprint — the output column name stays `ahash`
+    * because it is the banding CONTRACT of
+    * [[imageNearDupPairsFromHashes]], not a claim about the family), one
     * full-pixel decode per row in a mapPartitions pass; undecodable rows
     * drop out. The map side of [[imageNearDupPairs]], exposed for callers
     * that persist hashes (hash once, band many times). */
-  def imageAHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+  def imageAHashes(df: DataFrame, idCol: String, bytesCol: String,
+      hashFn: Array[Byte] => Option[Long] = imageAHash64): DataFrame = {
     val bytesIdx = df.schema.fieldIndex(bytesCol)
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
@@ -607,7 +671,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        imageAHash64(r.get(bytesIdx).asInstanceOf[Array[Byte]])
+        hashFn(r.get(bytesIdx).asInstanceOf[Array[Byte]])
           .map(h => Row(r.get(idIdx).asInstanceOf[Number].longValue(), h))
       }
     }(enc)

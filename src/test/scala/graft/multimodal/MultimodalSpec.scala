@@ -168,6 +168,79 @@ class MultimodalSpec extends SparkSpec {
     assert(tight.contains((1L, 2L)))
   }
 
+  /** Gamma-shift fixture: a horizontal gradient and the same pixels put
+    * through a monotone tone curve (v → 255·(v/255)^γ). Every pixel in a
+    * gradient cell is ≤ every pixel of its right neighbor, so any
+    * monotone curve preserves the neighbor-average ordering dHash bits
+    * encode — while the curve moves the GLOBAL mean that aHash compares
+    * against, flipping the bits of cells near it. */
+  private def gammaPair(w: Int, h: Int, gamma: Double): (Array[Byte], Array[Byte]) = {
+    def enc(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x * 255 / math.max(w - 1, 1))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    (enc(identity),
+      enc(v => math.round(255.0 * math.pow(v / 255.0, gamma)).toInt))
+  }
+
+  test("dHash survives a gamma shift that flips aHash bits") {
+    val (plain, shifted) = gammaPair(64, 64, 2.2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val aDist = ham(Multimodal.imageAHash64(plain).get,
+      Multimodal.imageAHash64(shifted).get)
+    val dDist = ham(Multimodal.imageDHash64(plain).get,
+      Multimodal.imageDHash64(shifted).get)
+    // aHash misclassifies the pair at the spec's maxHamming=3 working
+    // point; dHash sees the identical gradient structure
+    assert(aDist > 3, s"fixture must actually stress aHash (got $aDist)")
+    assert(dDist === 0, s"monotone tone curve must not move dHash (got $dDist)")
+  }
+
+  test("dHash drops into the Hamming-LSH pair machinery unchanged") {
+    val (plain, shifted) = gammaPair(64, 64, 2.2)
+    val rows = Seq(
+      (1L, plain), (2L, shifted),
+      (3L, imageBytes(64, 64, "png", mark = Some((0, 16)))),
+      (4L, "not an image".getBytes)
+    ).toDF("media_id", "bytes")
+    val dPairs = Multimodal.imageNearDupPairsFromHashes(
+        Multimodal.imageAHashes(rows, "media_id", "bytes",
+          Multimodal.imageDHash64),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dPairs.contains((1L, 2L)),
+      "gamma-shifted duplicate must surface through dHash banding")
+    val aPairs = Multimodal.imageNearDupPairs(rows, "media_id", "bytes",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aPairs.contains((1L, 2L)),
+      "the same pair must be the one aHash misses at this threshold")
+  }
+
+  test("imageNearDupPairs releases its internal hash cache after the first action") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val rows = Seq(
+      (1L, imageBytes(32, 32, "png")),
+      (2L, imageBytes(32, 32, "bmp"))
+    ).toDF("media_id", "bytes")
+    Multimodal.imageNearDupPairs(rows, "media_id", "bytes", maxHamming = 3)
+      .count()
+    // listener delivery is asynchronous: poll for the one-shot unpersist
+    val deadline = System.currentTimeMillis() + 10000
+    while (sc.getPersistentRDDs.keySet.diff(before).nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "the (id, ahash) cache must be released once the first pairs action completes")
+  }
+
   test("image mega-bucket cap drops oversize band buckets whole") {
     // 6 byte-identical images = one 6-member bucket in EVERY band (images
     // have no exact-dup collapse upstream): a cap of 5 must drop them all
