@@ -5,21 +5,33 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** End-to-end image-corpus preparation: the multimodal counterpart of
-  * [[CorpusPrep]] — one command from raw image-blob parquet to a
-  * deduplicated, decodability- and size-filtered survivor table plus a
-  * stats report.
+/** End-to-end media-corpus preparation: the multimodal counterpart of
+  * [[CorpusPrep]] — one command from raw blob parquet (images, audio or
+  * video via `--kind`) to a deduplicated, decodability- and floor-filtered
+  * survivor table plus a stats report.
   *
   * Stages (each optional, all scale-shaped — blobs never cross a shuffle;
-  * only (id, hash/metadata) rows do):
-  *   1. decode gate            — REAL JDK header decode; undecodable rows drop
-  *   2. size floor (`--min-width`/`--min-height`) — header metadata filter
-  *   3. near-dup collapse (`--dedup-images <maxHamming>`) — aHash64
+  * only (id, hash/digest/metadata) rows do):
+  *   1. decode gate — REAL JDK header decode per kind (ImageIO /
+  *      javax.sound.sampled / container-header byte parse); undecodable
+  *      rows drop
+  *   2. metadata floors — `--min-width`/`--min-height` (image, video),
+  *      `--min-duration` (audio, video), `--min-sample-rate` (audio);
+  *      a floor that does not apply to the kind fails fast
+  *   3. dedup — `--dedup-images <maxHamming>` (image only): aHash64
   *      perceptual fingerprint → Hamming-LSH banding → popcount verify →
-  *      star-contraction CC keepers (duplicate CHAINS collapse)
+  *      star-contraction CC keepers (duplicate CHAINS collapse);
+  *      `--dedup-exact true` (any kind): exact content digest
+  *      (sha256 of the blob, computed scan-side) → min-id keeper — the
+  *      audio/video dedup until a perceptual audio hash exists
+  *
+  * Blob scans are the budget at scale: exactly TWO — one header-only
+  * metadata pass, one hashing/digest pass inside the dedup stage (none
+  * without dedup). Counts, floors and the survivor write run on the
+  * persisted metadata-only frame.
   *
   * `runMain graft.cli.MediaPrep --in <blobs.parquet> --out <dir> [flags]`
-  * writes `<out>/keep` (media_id, width, height, format of survivors) and
+  * writes `<out>/keep` (id + the kind's header metadata of survivors) and
   * prints a one-line JSON stats report.
   */
 object MediaPrep {
@@ -29,36 +41,59 @@ object MediaPrep {
     // alive even when zero pairs survive (AQE would prune it otherwise)
     graft.dedup.Dedup.withReliableOversizeAudit(spark)(runInner(spark, args))
 
+  /** Floor flag → the metadata column it gates; kinds whose decoder does
+    * not produce the column reject the flag up front. */
+  private val FloorFlags = Seq(
+    "min-width" -> "width", "min-height" -> "height",
+    "min-duration" -> "duration_s", "min-sample-rate" -> "sample_rate_hz")
+
   private def runInner(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
     val in = args("in")
     val out = args("out")
     val idCol = args.getOrElse("id-col", "media_id")
     val bytesCol = args.getOrElse("bytes-col", "bytes")
+    val kind = args.getOrElse("kind", "image")
     val blobs = spark.read.parquet(in)
 
-    // Blob scans are the budget at scale: exactly TWO — one header-only
-    // metadata pass here, one full-pixel hashing pass inside the dedup
-    // stage. Everything else (counts, floors, the survivor write) runs on
-    // this persisted metadata-only frame — a few dozen bytes per image,
-    // never the blobs.
-    val meta = Multimodal.decodeImageBatch(blobs, bytesCol)
-      .select(col(idCol), col("width"), col("height"), col("format"))
+    val (decodeFn, metaCols): (DataFrame => DataFrame, Seq[String]) = kind match {
+      case "image" => ((d: DataFrame) => Multimodal.decodeImageBatch(d, bytesCol),
+        Seq("width", "height", "format"))
+      case "audio" => ((d: DataFrame) => Multimodal.decodeAudioBatch(d, bytesCol),
+        Seq("sample_rate_hz", "channels", "frames", "duration_s"))
+      case "video" => ((d: DataFrame) => Multimodal.decodeVideoBatch(d, bytesCol),
+        Seq("width", "height", "duration_s", "format"))
+      case other => sys.error(
+        s"--kind must be 'image', 'audio' or 'video', got '$other'")
+    }
+    FloorFlags.foreach { case (flag, c) =>
+      if (args.contains(flag) && !metaCols.contains(c))
+        sys.error(s"--$flag does not apply to --kind $kind")
+    }
+
+    // first (of at most two) blob scans: header-only metadata, persisted
+    // without the bytes column — a few dozen bytes per blob
+    val meta = decodeFn(blobs)
+      .select((idCol +: metaCols).map(col): _*)
       .persist()
     val nIn = meta.count()
-    val nDecodable = meta.filter(col("width").isNotNull).count()
+    // every decoder NULLs its whole metadata row for undecodable blobs —
+    // the first metadata column doubles as the decodability marker
+    val decodableCol = metaCols.head
+    val nDecodable = meta.filter(col(decodableCol).isNotNull).count()
 
-    // the decode/size gate as a plain filter, applied to the metadata
-    // frame for bookkeeping AND re-applied on the hashing scan below —
+    // the decode/floor gate as a plain filter, applied to the metadata
+    // frame for bookkeeping AND re-applied on the dedup scan below —
     // re-deriving the header there keeps the blob path a pure map (an
     // id-join against the eligible set would shuffle the blobs)
-    def gate(df: DataFrame): DataFrame = {
-      var g = df.filter(col("width").isNotNull)
-      args.get("min-width").foreach(w => g = g.filter(col("width") >= w.toInt))
-      args.get("min-height").foreach(h => g = g.filter(col("height") >= h.toInt))
-      g
-    }
+    def gate(df: DataFrame): DataFrame =
+      FloorFlags.foldLeft(df.filter(col(decodableCol).isNotNull)) {
+        case (g, (flag, c)) =>
+          args.get(flag).map(v => g.filter(col(c) >= v.toDouble)).getOrElse(g)
+      }
     val eligible = gate(meta)
 
+    require(!(args.contains("dedup-images") && args.contains("dedup-exact")),
+      "--dedup-images and --dedup-exact are mutually exclusive")
     var oversizeObs: Option[org.apache.spark.sql.Observation] = None
     var obsAttached = false
     // the (id, ahash) frame outlives the keeper computation: the
@@ -68,6 +103,9 @@ object MediaPrep {
     var dedupMaxBucket = Int.MaxValue
     val survivors: DataFrame = args.get("dedup-images") match {
       case Some(maxHamming) =>
+        require(kind == "image",
+          s"--dedup-images is the perceptual image path; --kind $kind " +
+            "dedups with --dedup-exact (content digest)")
         // the keeper pipeline keys on LONG ids — fail fast with a clear
         // message instead of a ClassCastException inside an executor task
         require(blobs.schema(idCol).dataType
@@ -92,7 +130,7 @@ object MediaPrep {
           obsAttached = true
         }
         val hashed = Multimodal.imageAHashes(
-          gate(Multimodal.decodeImageBatch(blobs, bytesCol)), idCol, bytesCol)
+          gate(decodeFn(blobs)), idCol, bytesCol)
           .persist()
         hashedCache = Some(hashed)
         val keepers = graft.dedup.Dedup.keepersFromPairs(eligible, idCol,
@@ -101,10 +139,24 @@ object MediaPrep {
         eligible.join(
           keepers.filter(col(idCol) === col("keeper_id")).select(col(idCol)),
           idCol)
+      case None if args.get("dedup-exact").contains("true") =>
+        // second (and last) blob scan: header-gate + scan-side sha256 in
+        // one pass — the digest is a codegen'd projection, so the shuffle
+        // (digest groupBy) carries 32-byte hashes + ids, never blobs.
+        // Exact-digest keep-first: min id per distinct payload — the
+        // kind-agnostic dedup (and the only audio/video one until a
+        // perceptual audio fingerprint exists). No bucket cap needed: a
+        // spam digest is ONE aggregation group, never a pairwise join.
+        val digests = gate(decodeFn(blobs))
+          .select(col(idCol), sha2(col(bytesCol), 256).as("__digest"))
+        eligible.join(
+          digests.groupBy("__digest").agg(min(col(idCol)).as(idCol))
+            .select(col(idCol)),
+          idCol)
       case None => eligible
     }
 
-    survivors.select(col(idCol), col("width"), col("height"), col("format"))
+    survivors.select((idCol +: metaCols).map(col): _*)
       .write.mode("overwrite").parquet(s"$out/keep")
     val nOut = spark.read.parquet(s"$out/keep").count()
     val nEligible = eligible.count()
@@ -128,11 +180,11 @@ object MediaPrep {
           }
       else 0L
     hashedCache.foreach(_.unpersist())
-    val stats = Map("images_in" -> nIn, "decodable" -> nDecodable,
-      "images_out" -> nOut, "near_dups_dropped" -> (nEligible - nOut),
+    val stats = Map("media_in" -> nIn, "decodable" -> nDecodable,
+      "media_out" -> nOut, "near_dups_dropped" -> (nEligible - nOut),
       "oversize_buckets_dropped" -> nOversize)
     println(stats.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{\"metric\":\"media_prep\",", ",", "}"))
+      .mkString(s"""{"metric":"media_prep","kind":"$kind",""", ",", "}"))
     stats
   }
 

@@ -4,8 +4,9 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 
-/** End-to-end image-prep CLI: decode gate → size floor → perceptual
-  * near-dup collapse → survivor table, and the stats contract. */
+/** End-to-end media-prep CLI: per-kind decode gate → metadata floors →
+  * dedup (perceptual for images, exact digest for audio/video) →
+  * survivor table, and the stats contract. */
 class MediaPrepSpec extends SparkSpec {
   import spark.implicits._
 
@@ -22,7 +23,7 @@ class MediaPrepSpec extends SparkSpec {
       "dedup-images" -> "3", "max-bucket" -> "5"))
     assert(capped("near_dups_dropped") === 0L,
       "oversize buckets drop whole → everything keeps itself")
-    assert(capped("images_out") === 8L)
+    assert(capped("media_out") === 8L)
     assert(capped("oversize_buckets_dropped") === 4L,
       "8 identical hashes = one oversize bucket in each of the 4 bands, " +
         "counted in-pass by the observation")
@@ -37,7 +38,7 @@ class MediaPrepSpec extends SparkSpec {
     val uncapped = MediaPrep.run(spark, Map(
       "in" -> s"$dir/in", "out" -> s"$dir/outu",
       "dedup-images" -> "3", "max-bucket" -> "0"))
-    assert(uncapped("images_out") === 1L)
+    assert(uncapped("media_out") === 1L)
     assert(uncapped("near_dups_dropped") === 7L)
   }
 
@@ -55,9 +56,9 @@ class MediaPrepSpec extends SparkSpec {
     val stats = MediaPrep.run(spark, Map(
       "in" -> s"$dir/in", "out" -> s"$dir/out",
       "min-width" -> "16", "dedup-images" -> "16"))
-    assert(stats("images_in") === 6)
+    assert(stats("media_in") === 6)
     assert(stats("decodable") === 5, "the junk row fails the decode gate")
-    assert(stats("images_out") + stats("near_dups_dropped") === 4,
+    assert(stats("media_out") + stats("near_dups_dropped") === 4,
       "size floor leaves 4; dedup splits them into survivors + dropped")
     val kept = spark.read.parquet(s"$dir/out/keep")
       .select("media_id").collect().map(_.getLong(0)).toSet
@@ -69,5 +70,71 @@ class MediaPrepSpec extends SparkSpec {
     val row = spark.read.parquet(s"$dir/out/keep")
       .filter($"media_id" === 1L).head()
     assert(row.getAs[Int]("width") === 64 && row.getAs[String]("format") === "png")
+  }
+
+  test("--kind audio: decode gate, duration/sample-rate floors, exact-digest dedup") {
+    import graft.multimodal.Multimodal
+    val dir = Files.createTempDirectory("media_audio").toString
+    // synthesizeWavs params are id mod (8, 2, 100): ids 51 and 851
+    // produce BYTE-IDENTICAL payloads (the exact-dup pair, 52 frames at
+    // 11 kHz = 4.7 ms); id 7 lasts 8/15000 s = 0.53 ms; id 2 lasts
+    // 3/10000 s = 0.3 ms — under the 0.4 ms floor
+    val wavs = Multimodal.synthesizeWavs(
+      Seq(51L, 2L, 7L, 851L).toDF("id"), "id")
+    val junk = Seq((999L, "not audio".getBytes)).toDF("media_id", "bytes")
+    wavs.toDF("media_id", "bytes").unionByName(junk)
+      .write.parquet(s"$dir/in")
+
+    val stats = MediaPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "kind" -> "audio",
+      "min-duration" -> "0.0004", "dedup-exact" -> "true"))
+    assert(stats("media_in") === 5)
+    assert(stats("decodable") === 4, "the junk row fails the audio decode gate")
+    // id 2: 3 frames / 10 kHz = 0.0003 s < floor → dropped by the floor;
+    // 51 and 851 are byte-identical → 851 collapses under keeper 51
+    assert(stats("media_out") === 2)
+    assert(stats("near_dups_dropped") === 1)
+    val kept = spark.read.parquet(s"$dir/out/keep")
+    assert(kept.select("media_id").collect().map(_.getLong(0)).toSet === Set(51L, 7L))
+    val r7 = kept.filter($"media_id" === 7L).head()
+    assert(r7.getAs[Int]("sample_rate_hz") === 15000)
+    // a floor that does not exist for the kind fails fast
+    val e = intercept[RuntimeException] {
+      MediaPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/oute",
+        "kind" -> "audio", "min-width" -> "8"))
+    }
+    assert(e.getMessage.contains("does not apply"))
+  }
+
+  test("--kind video: header decode gate, dimension/duration floors, exact-digest dedup") {
+    import graft.multimodal.Multimodal
+    val dir = Files.createTempDirectory("media_video").toString
+    // synthesizeVideos params are id mod (2, 64, 48, 500): ids 10 and
+    // 24010 produce byte-identical MP4s (11/16 s); id 4 lasts
+    // (4%500+1)/16 = 0.3125 s (under the 0.5 s floor); id 11 is an AVI
+    val vids = Multimodal.synthesizeVideos(
+      Seq(10L, 4L, 11L, 24010L).toDF("id"), "id")
+    val junk = Seq((999L, "not a video container".getBytes)).toDF("media_id", "bytes")
+    vids.toDF("media_id", "bytes").unionByName(junk)
+      .write.parquet(s"$dir/in")
+
+    val stats = MediaPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "kind" -> "video",
+      "min-duration" -> "0.5", "dedup-exact" -> "true"))
+    assert(stats("media_in") === 5)
+    assert(stats("decodable") === 4, "the junk row fails the container parse")
+    assert(stats("media_out") === 2, "floor drops id 4; digest collapses 24010 under 10")
+    assert(stats("near_dups_dropped") === 1)
+    val kept = spark.read.parquet(s"$dir/out/keep")
+    assert(kept.select("media_id").collect().map(_.getLong(0)).toSet === Set(10L, 11L))
+    val r11 = kept.filter($"media_id" === 11L).head()
+    assert(r11.getAs[String]("format") === "avi")
+    assert(r11.getAs[Int]("width") === 11 % 64 + 16)
+    // perceptual image dedup stays image-only
+    val e = intercept[IllegalArgumentException] {
+      MediaPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/oute",
+        "kind" -> "video", "dedup-images" -> "3"))
+    }
+    assert(e.getMessage.contains("--dedup-exact"))
   }
 }
