@@ -343,6 +343,106 @@ object ScaleSmoke {
       s""""shuffle_write_bytes":$ndShuffle,""" +
       s""""peak_stage_shuffle_bytes":$ndPeak}""")
 
+    // ---- ANN at scale: precomputed-signature LSH vs IVF cells -------------
+    // 100k clustered embeddings (1000 tight clusters × 100 members,
+    // dim 64). Both paths run in their at-scale serving shape: sign /
+    // assign ONCE (withSignatures / withIvfCell — at 100 TB these are
+    // stored columns and the probe-0 / cell filters become partition
+    // pruning, see EmbeddingLake), then every query filters the stored
+    // columns and exactly reranks the survivors. recall@10 is judged per
+    // query against the brute-force oracle over the same corpus.
+    val nEmb = 100000L * mult
+    val annDim = 64
+    val clusterSize = 100
+    val annDir = java.nio.file.Files.createTempDirectory("ann_scale").toString
+    locally {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      spark.range(nEmb).select(col("id").as("vec_id")).mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val cluster = id / clusterSize
+          val v = new Array[Float](annDim)
+          var d = 0
+          while (d < annDim) {
+            val c = graft.functions.VectorFunctions.splitmix64(cluster * 1009L + d)
+            val n = graft.functions.VectorFunctions.splitmix64(id * 7919L + d)
+            v(d) = (c.toDouble / Long.MaxValue +
+              0.02 * (n.toDouble / Long.MaxValue)).toFloat
+            d += 1
+          }
+          org.apache.spark.sql.Row(id, v.toSeq)
+        }
+      }(enc).write.mode("overwrite").parquet(s"$annDir/emb")
+    }
+    val embScale = spark.read.parquet(s"$annDir/emb").persist()
+    embScale.count()
+    val nQueries = 20
+    val queryIds = (0 until nQueries).map(i => i.toLong * (nEmb / nQueries))
+    val queryVecs = embScale.filter(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def top10(df: org.apache.spark.sql.DataFrame, q: Seq[Float]): Set[Long] =
+      graft.ann.Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+    def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+      queryIds.map(q => (approx(q) & exact(q)).size / 10.0).sum / nQueries
+
+    val (exact, _, _, bruteSecs) = sectionShuffle {
+      queryIds.map(q => q -> top10(embScale, queryVecs(q))).toMap
+    }
+
+    val tSign = System.nanoTime()
+    val signed = graft.ann.Similarity.withSignatures(
+      embScale, "embedding", annDim, nBits = 16, nTables = 3).persist()
+    signed.count()
+    val signSecs = (System.nanoTime() - tSign) / 1e9
+    val sigCols = (0 until 3).map(t => s"lsh_sig_$t")
+    val (lshRes, _, lshPeak, lshSecs) = sectionShuffle {
+      queryIds.map { q =>
+        q -> graft.ann.Similarity.lshTopK(signed, "vec_id", "embedding",
+            queryVecs(q), annDim, k = 10, nBits = 16, maxHammingProbe = 2,
+            nTables = 3, sigCols = sigCols)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+    }
+    val lshRecall = recallOf(lshRes, exact)
+
+    val tTrain = System.nanoTime()
+    val cents = graft.ann.Similarity.codebook(
+      embScale, "vec_id", "embedding", nCentroids = 64, iters = 2)
+    val assigned = graft.ann.Similarity.withIvfCell(embScale, "embedding", cents)
+      .persist()
+    assigned.count()
+    val ivfTrainSecs = (System.nanoTime() - tTrain) / 1e9
+    val (ivfRes, _, ivfPeak, ivfSecs) = sectionShuffle {
+      queryIds.map { q =>
+        val probes = cents.indices
+          .sortBy(i => graft.ann.Similarity.l2Local(queryVecs(q), cents(i)))
+          .take(8)
+        q -> top10(assigned.filter(col("ivf_cell").isin(probes: _*)), queryVecs(q))
+      }.toMap
+    }
+    val ivfRecall = recallOf(ivfRes, exact)
+    // sanity floors, not tuning targets: tight clusters must survive both
+    // index shapes or the multi-table/multi-probe story is broken
+    require(lshRecall >= 0.8, s"multi-table LSH recall@10 collapsed: $lshRecall")
+    require(ivfRecall >= 0.7, s"IVF recall@10 collapsed: $ivfRecall")
+    println(s"""{"metric":"ann_scale","embeddings":$nEmb,"dim":$annDim,""" +
+      s""""queries":$nQueries,""" +
+      s""""brute_qps":${nQueries / bruteSecs},""" +
+      s""""lsh_recall_at10":$lshRecall,"lsh_qps":${nQueries / lshSecs},""" +
+      s""""lsh_sign_seconds":$signSecs,""" +
+      s""""lsh_peak_stage_shuffle_bytes":$lshPeak,""" +
+      s""""ivf_recall_at10":$ivfRecall,"ivf_qps":${nQueries / ivfSecs},""" +
+      s""""ivf_train_seconds":$ivfTrainSecs,""" +
+      s""""ivf_peak_stage_shuffle_bytes":$ivfPeak}""")
+    embScale.unpersist(); signed.unpersist(); assigned.unpersist()
+
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
     // 8 files, one file per micro-batch (forces 8 state-store commit

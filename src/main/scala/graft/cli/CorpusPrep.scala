@@ -16,6 +16,9 @@ import graft.trainprep.TrainPrep
   *   2. quality floor (`--min-quality 0.5`)      — pure filter
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
+  *   4b. paragraph dedup (`--paragraph-dedup true`) — keep-first
+  *      paragraph-hash rewrite (boilerplate above `--max-bucket`
+  *      occurrences drops everywhere), BEFORE doc-level dedup
   *   5. dedup (`--dedup exact|near|transitive`)  — collapse + rowwise MinHash
   *      + LSH; mega-bucket cap DEFAULT-ON (`--max-bucket N` overrides,
   *      `0` uncaps; dropped buckets observed in-pass and logged);
@@ -62,6 +65,21 @@ object CorpusPrep {
     }
     if (args.get("redact").contains("true")) {
       docs = docs.withColumn(textCol, TrainPrep.redactPii(col(textCol)))
+    }
+    // Paragraph-level keep-first dedup BEFORE document-level dedup: it
+    // REWRITES texts (later occurrences of a paragraph drop, boilerplate
+    // shrinks toward similarity), so doc-level signatures must be
+    // computed on the rewritten corpus. maxOccurrences shares the
+    // `--max-bucket` semantics: a paragraph above the cap is boilerplate
+    // and drops everywhere, observed through the same audit machinery.
+    if (args.get("paragraph-dedup").contains("true")) {
+      val deduped = Dedup.paragraphKeepFirst(docs, idCol, textCol,
+          hashFn = Dedup.fastParaHash,
+          maxOccurrences = CliArgs.maxBucket(args))
+        .select(col(idCol), col("text_dedup"))
+      docs = docs.drop(textCol)
+        .join(deduped, Seq(idCol))
+        .withColumnRenamed("text_dedup", textCol)
     }
 
     // Mega-bucket cap: DEFAULT-ON at Dedup.DefaultMaxBucketSize;

@@ -27,6 +27,33 @@ class CorpusPrepSpec extends SparkSpec {
       Set("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"))
   }
 
+  test("--paragraph-dedup rewrites texts before packing: shared boilerplate packs once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_para").toString
+    // 20 docs, each "unique <i> ... " + the same 40-token boilerplate tail
+    val boiler = (1 to 40).map(j => s"boiler$j").mkString(" ")
+    (1 to 20).map(i => (i.toLong, s"unique$i alpha beta\n\n$boiler"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val plain = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out1", "budget" -> "64"))
+    val para = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out2", "budget" -> "64",
+      "paragraph-dedup" -> "true"))
+    assert(plain("docs_out") === 20L && para("docs_out") === 20L,
+      "paragraph dedup rewrites texts, it never drops docs")
+    // without: 20 × ~43 tokens ≈ 860 → ~14 chunks at 64; with: one
+    // boilerplate copy survives, so ~3+40 tokens once + 19 × ~3
+    assert(para("chunks") < plain("chunks"),
+      s"boilerplate must pack once (got ${para("chunks")} vs ${plain("chunks")})")
+    val toks = spark.read.parquet(s"$dir/out2/chunks")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    // 20 × 3 unique tokens + ONE 40-token boilerplate copy, minus 1: the
+    // packer's tokenCount splits on SPACES, so the "\n\n" seam in the one
+    // doc that kept its boilerplate glues two tokens into one
+    assert(toks === 20L * 3 + 40 - 1,
+      s"token mass after paragraph dedup must be unique + one boilerplate (got $toks)")
+  }
+
   test("transitive dedup keeps no more docs than one-hop near dedup") {
     // chains collapse further under the CC closure, never less
     val outNear = Files.createTempDirectory("corpus_near").toString
