@@ -330,6 +330,35 @@ object PipelineQueries {
              |  coalesce(k.n_kept, 0) AS n_kept
              |FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id""".stripMargin)),
 
+    // ---- duplicated token spans: the substring layer under paragraphs ----
+    // Every 8-token sliding window hashed in-row; spans appearing in >1
+    // doc are duplicated substrings, keep = the first occurrence in
+    // corpus order. Same overlap fixture as q_dedup_paragraph, so docs
+    // share whole paragraphs and the spans inside them.
+    "q_dedup_spans" -> QueryDef(
+      (s, dir) => Dedup.duplicatedSpans(paraDocs(s, dir), "doc_id", "text",
+        windowTokens = 8),
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  WHERE a.doc_id < 100),
+             |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM spine),
+             |spans AS (SELECT doc_id, i - 1 AS pos,
+             |    md5(array_to_string(ts[i : i + 7], ' ')) AS span_hash
+             |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+             |        FROM tok WHERE len(ts) >= 8)),
+             |dup AS (SELECT span_hash FROM spans
+             |  GROUP BY span_hash HAVING count(DISTINCT doc_id) > 1)
+             |SELECT s.doc_id, s.pos, s.span_hash,
+             |  row_number() OVER (PARTITION BY s.span_hash
+             |    ORDER BY s.doc_id, s.pos) = 1 AS keep
+             |FROM spans s JOIN dup USING (span_hash)""".stripMargin)),
+
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(
       (s, dir) => {

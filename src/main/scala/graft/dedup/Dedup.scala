@@ -395,6 +395,57 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Duplicated token-span detection — the SUBSTRING layer below
+    * [[paragraphKeepFirst]]: training corpora carry repeated spans that
+    * respect no paragraph boundary (navigation chrome, license
+    * sentences, templated intros), and exact-substring dedup finds them
+    * by hashing every `windowTokens`-token sliding window.
+    *
+    * Returns one row per OCCURRENCE of a duplicated span:
+    * (idCol, pos, span_hash, keep) — `pos` the 0-based token offset,
+    * `keep` true only for the first occurrence in corpus order
+    * (min (id, pos) per hash), which is the occurrence a keep-first
+    * rewrite would retain. A span is duplicated when its hash appears in
+    * more than one document (`crossDocOnly`, the default) or more than
+    * once anywhere (`crossDocOnly = false` also surfaces within-doc
+    * repetition).
+    *
+    * Scale shape: windows are built IN-ROW (a `transform` over the token
+    * array — no token-row explode), so the only shuffles are the span
+    * aggregation keyed on the hash (map-side combinable counts + min)
+    * and the occurrence join back on the hash; both are bounded by span
+    * volume, never pairwise. `hashFn` hashes the space-rejoined window —
+    * md5 by default so any SQL engine replays it; use [[fastParaHash]]
+    * (xxhash64) when nothing external needs to agree. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int,
+      crossDocOnly: Boolean = true,
+      hashFn: Column => Column = oracleParaHash): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val spans = df
+      .select(col(idCol),
+        // no otherwise: short/NULL docs get a NULL span array, which
+        // posexplode skips — and the branch type follows hashFn (md5
+        // strings or xxhash64 longs) without an explicit cast
+        when(size(toks) >= windowTokens,
+          transform(sequence(lit(0), size(toks) - windowTokens),
+            i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(windowTokens))))))
+          .as("__spans"))
+      .select(col(idCol), posexplode(col("__spans")).as(Seq("pos", "span_hash")))
+    val stats = spans.groupBy("span_hash").agg(
+      count(lit(1)).as("__n"),
+      count_distinct(col(idCol)).as("__docs"),
+      min(struct(col(idCol).as("__wid"), col("pos").as("__wpos"))).as("__w"))
+    val dup =
+      if (crossDocOnly) stats.filter(col("__docs") > 1)
+      else stats.filter(col("__n") > 1)
+    spans.join(dup.select(col("span_hash"), col("__w")), "span_hash")
+      .select(col(idCol), col("pos"), col("span_hash"),
+        (col(idCol) === col("__w.__wid") && col("pos") === col("__w.__wpos"))
+          .as("keep"))
+  }
+
   /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd native
     * hash — the throughput path; the md5-nibble variant in PipelineQueries
     * is the cross-engine-verifiable form). */

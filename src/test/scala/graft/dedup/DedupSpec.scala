@@ -321,6 +321,39 @@ class DedupSpec extends SparkSpec {
     assert(m("max_bucket") == 6L)
   }
 
+  test("duplicatedSpans: cross-doc spans flagged with first-occurrence keep; within-doc needs crossDocOnly=false") {
+    val docs = Seq(
+      // docs 1 and 2 share exactly the 4-token sentence "w x y z"
+      (1L, "a b c w x y z d"),
+      (2L, "p q w x y z r s"),
+      // doc 3 repeats its own 4-token span twice, shares nothing
+      (3L, "m n o t m n o t")
+    ).toDF("doc_id", "text")
+    val cross = Dedup.duplicatedSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSet
+    // the shared window at doc 1 pos 3 / doc 2 pos 2; keep = doc 1's
+    assert(cross === Set((1L, 3, true), (2L, 2, false)))
+    val within = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 4, crossDocOnly = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSet
+    assert(within.contains((3L, 0, true)) && within.contains((3L, 4, false)),
+      "within-doc repetition surfaces when crossDocOnly is off")
+    assert(within.contains((1L, 3, true)) && within.contains((2L, 2, false)),
+      "the cross-doc pair is still present")
+    assert(within.size === 4)
+  }
+
+  test("duplicatedSpans: xxhash64 fast path marks the same occurrences as md5") {
+    val docs = Seq(
+      (1L, "a b c w x y z d"),
+      (2L, "p q w x y z r s")
+    ).toDF("doc_id", "text")
+    def occ(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.duplicatedSpans(docs, "doc_id", "text", 4, hashFn = hashFn)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSet
+    assert(occ(Dedup.oracleParaHash) === occ(Dedup.fastParaHash))
+  }
+
   test("paragraphKeepFirst: an uncapped run still completes a supplied Observation") {
     val docs = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
     val obs = org.apache.spark.sql.Observation("graft_oversize_para_uncapped")
