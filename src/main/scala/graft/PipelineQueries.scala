@@ -359,6 +359,63 @@ object PipelineQueries {
              |    ORDER BY s.doc_id, s.pos) = 1 AS keep
              |FROM spans s JOIN dup USING (span_hash)""".stripMargin)),
 
+    // ---- keep-first substring rewrite over the duplicated spans -----------
+    // Later occurrences of any duplicated 8-token window are cut (after
+    // merging overlaps into maximal islands); the oracle replays the
+    // whole chain — spans → first-occurrence ranking → gaps-and-islands
+    // merge → token anti-join → ordered re-join — in SQL.
+    "q_dedup_span_rewrite" -> QueryDef(
+      (s, dir) => Dedup.removeDuplicatedSpans(paraDocs(s, dir), "doc_id",
+        "text", windowTokens = 8),
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  WHERE a.doc_id < 100),
+             |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM spine),
+             |spans AS (SELECT doc_id, i - 1 AS pos,
+             |    md5(array_to_string(ts[i : i + 7], ' ')) AS span_hash
+             |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+             |        FROM tok WHERE len(ts) >= 8)),
+             |dup AS (SELECT span_hash FROM spans
+             |  GROUP BY span_hash HAVING count(DISTINCT doc_id) > 1),
+             |occ AS (SELECT s.doc_id, s.pos, s.pos + 8 AS e,
+             |    row_number() OVER (PARTITION BY s.span_hash
+             |      ORDER BY s.doc_id, s.pos) AS rn
+             |  FROM spans s JOIN dup USING (span_hash)),
+             |del AS (SELECT doc_id, pos, e FROM occ WHERE rn > 1),
+             |isl AS (SELECT doc_id, pos, e,
+             |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+             |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -1) THEN 1 ELSE 0 END AS ni
+             |  FROM del),
+             |iv AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e
+             |  FROM (SELECT doc_id, pos, e,
+             |      sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |    FROM isl)
+             |  GROUP BY 1, 2),
+             |cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS tp FROM iv),
+             |toks AS (SELECT doc_id, unnest(generate_series(1, len(ts))) - 1 AS tp,
+             |    unnest(ts) AS tk FROM tok),
+             |kept AS (SELECT t.doc_id, t.tp, t.tk FROM toks t
+             |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tp = t.tp
+             |  WHERE c.tp IS NULL),
+             |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY tp) AS text_dedup,
+             |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+             |SELECT sp.doc_id,
+             |  CASE WHEN d.doc_id IS NULL THEN sp.text
+             |       ELSE coalesce(a.text_dedup, '') END AS text_dedup,
+             |  CASE WHEN d.doc_id IS NULL THEN 0
+             |       ELSE len(string_split(sp.text, ' ')) - coalesce(a.n_kept, 0)
+             |  END AS n_removed
+             |FROM spine sp
+             |LEFT JOIN (SELECT DISTINCT doc_id FROM del) d ON d.doc_id = sp.doc_id
+             |LEFT JOIN agg a ON a.doc_id = sp.doc_id""".stripMargin)),
+
     // ---- similarity search: exact brute-force cosine top-k ----------------
     "q_knn_cosine" -> QueryDef(
       (s, dir) => {

@@ -446,6 +446,55 @@ object Dedup {
           .as("keep"))
   }
 
+  /** Keep-first SUBSTRING rewrite over [[duplicatedSpans]]: every token
+    * covered by a duplicated `windowTokens`-token window whose occurrence
+    * is NOT the corpus-order first is deleted; the first occurrence (and
+    * all non-duplicated text) survives verbatim. Overlapping duplicate
+    * windows in one doc merge into maximal intervals before deletion, so
+    * a repeated 50-token passage costs one contiguous cut, not 43
+    * window-sized ones. Returns (idCol, text_dedup, n_removed) — the
+    * rewritten text re-joined on single spaces and the count of deleted
+    * tokens ('' / full count when everything was a later occurrence).
+    *
+    * Scale shape: interval merging is a per-doc window (gaps-and-islands
+    * over span starts — partitioned by doc, never global); the deletion
+    * itself is IN-ROW (a two-arg `filter` over the token array testing
+    * interval membership — no token-row explode), with each doc's
+    * disjoint intervals riding in as an array bounded by its own token
+    * count. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int,
+      crossDocOnly: Boolean = true,
+      hashFn: Column => Column = oracleParaHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val later = duplicatedSpans(df, idCol, textCol, windowTokens,
+        crossDocOnly, hashFn)
+      .filter(!col("keep"))
+      .select(col(idCol), col("pos"), (col("pos") + windowTokens).as("__e"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val intervals = later
+      .withColumn("__prevMax", max(col("__e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ni",
+        when(col("__prevMax").isNull || col("pos") > col("__prevMax"), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__ni")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("__s"), max(col("__e")).as("__end"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__s"), col("__end"))).as("__iv"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val keptArr = filter(toks, (_, i) =>
+      !exists(col("__iv"), iv =>
+        i >= iv.getField("__s") && i < iv.getField("__end")))
+    df.join(intervals, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__iv").isNull, coalesce(col(textCol), lit("")))
+          .otherwise(concat_ws(" ", keptArr)).as("text_dedup"),
+        when(col("__iv").isNull, lit(0L))
+          .otherwise(size(toks) - size(keptArr)).cast("long").as("n_removed"))
+  }
+
   /** 64-bit SimHash over whitespace tokens using xxhash64 (codegen'd native
     * hash — the throughput path; the md5-nibble variant in PipelineQueries
     * is the cross-engine-verifiable form). */

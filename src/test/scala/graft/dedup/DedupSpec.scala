@@ -354,6 +354,36 @@ class DedupSpec extends SparkSpec {
     assert(occ(Dedup.oracleParaHash) === occ(Dedup.fastParaHash))
   }
 
+  test("removeDuplicatedSpans: overlapping later occurrences merge into one cut") {
+    val passage = (1 to 12).map(i => s"t$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, s"intro words here $passage trailing bits"),
+      (2L, s"other start $passage different end"),
+      (3L, "totally unrelated text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((s"intro words here $passage trailing bits", 0L)),
+      "the corpus-order first occurrence survives verbatim")
+    // five 8-token windows fit the shared passage; their union is the
+    // whole 12-token passage, cut as ONE island
+    assert(out(2L) === (("other start different end", 12L)))
+    assert(out(3L) === (("totally unrelated text", 0L)))
+  }
+
+  test("removeDuplicatedSpans: a fully duplicated doc empties; NULL text passes through") {
+    val t = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, t), (2L, t),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((t, 0L)))
+    assert(out(2L) === (("", 10L)), "every token sat under a later occurrence")
+    assert(out(3L) === (("", 0L)))
+  }
+
   test("paragraphKeepFirst: an uncapped run still completes a supplied Observation") {
     val docs = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
     val obs = org.apache.spark.sql.Observation("graft_oversize_para_uncapped")
