@@ -177,6 +177,46 @@ object ScaleSmoke {
       s""""rowwise_seconds":$rowSecs,"rowwise_docs_per_sec":${(nDocs / rowSecs).toLong},""" +
       s""""explode_agg_seconds":$aggSecs,"explode_agg_docs_per_sec":${(nDocs / aggSecs).toLong}}""")
 
+    // ---- paragraph + substring rewrite over the replicated corpus ---------
+    // The two text-REWRITE dedup layers on the same 20×-replicated 100 k
+    // docs: paragraph keep-first (each single-line text is one paragraph
+    // here, so survivors = the unique-text count — the machinery under
+    // load, min(struct) agg + hash join + re-assembly) and the merged-
+    // island substring rewrite (every replica's full token mass sits
+    // under duplicated windows ⇒ ≥ 19/20 of tokens must be removed).
+    val (paraRes, _, paraPeak, paraSecs) = sectionShuffle {
+      graft.dedup.Dedup.paragraphKeepFirst(bigDocs, "doc_id", "text",
+          hashFn = graft.dedup.Dedup.fastParaHash)
+        .agg(count(lit(1)), coalesce(sum(when(col("n_kept") > 0, 1L)), lit(0L)))
+        .head()
+    }
+    require(paraRes.getLong(0) == nDocs,
+      s"paragraph rewrite must keep one row per doc, got ${paraRes.getLong(0)}")
+    val (spanRes, _, spanPeak, spanSecs) = sectionShuffle {
+      graft.dedup.Dedup.removeDuplicatedSpans(bigDocs, "doc_id", "text",
+          windowTokens = 8, hashFn = graft.dedup.Dedup.fastParaHash)
+        .agg(count(lit(1)), sum("n_removed"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text_dedup"))))
+        .head()
+    }
+    require(spanRes.getLong(0) == nDocs,
+      s"span rewrite must keep one row per doc, got ${spanRes.getLong(0)}")
+    val removedFrac = spanRes.getLong(1).toDouble /
+      (spanRes.getLong(1) + spanRes.getLong(2))
+    require(removedFrac >= 0.9,
+      s"a 20x-replicated corpus must lose >= 19/20 of token mass to the " +
+        s"substring rewrite, got $removedFrac")
+    println(s"""{"metric":"textdedup_rewrite_scale","docs":$nDocs,""" +
+      s""""paragraph_seconds":$paraSecs,""" +
+      s""""paragraph_docs_per_sec":${(nDocs / paraSecs).toLong},""" +
+      s""""paragraph_survivor_docs":${paraRes.getLong(1)},""" +
+      s""""paragraph_peak_stage_shuffle_bytes":$paraPeak,""" +
+      s""""span_seconds":$spanSecs,""" +
+      s""""span_docs_per_sec":${(nDocs / spanSecs).toLong},""" +
+      s""""span_tokens_removed":${spanRes.getLong(1)},""" +
+      s""""span_removed_fraction":$removedFrac,""" +
+      s""""span_peak_stage_shuffle_bytes":$spanPeak}""")
+
     // ---- sequence packing over the replicated corpus ----------------------
     // packChunks' prefix sum is the two-pass range-partition scan: pass 1
     // is embarrassingly parallel, pass 2 scans one row per partition — so

@@ -19,6 +19,9 @@ import graft.trainprep.TrainPrep
   *   4b. paragraph dedup (`--paragraph-dedup true`) — keep-first
   *      paragraph-hash rewrite (boilerplate above `--max-bucket`
   *      occurrences drops everywhere), BEFORE doc-level dedup
+  *   4c. span dedup (`--span-dedup <windowTokens>`) — keep-first
+  *      substring rewrite: later occurrences of duplicated token
+  *      windows are cut as merged islands
   *   5. dedup (`--dedup exact|near|transitive`)  — collapse + rowwise MinHash
   *      + LSH; mega-bucket cap DEFAULT-ON (`--max-bucket N` overrides,
   *      `0` uncaps; dropped buckets observed in-pass and logged);
@@ -79,6 +82,18 @@ object CorpusPrep {
         .select(col(idCol), col("text_dedup"))
       docs = docs.drop(textCol)
         .join(deduped, Seq(idCol))
+        .withColumnRenamed("text_dedup", textCol)
+    }
+    // Substring layer under paragraphs (`--span-dedup <windowTokens>`):
+    // later occurrences of any duplicated token window are cut from the
+    // text (merged-island keep-first rewrite) — catches the repeated
+    // passages that respect no paragraph boundary.
+    args.get("span-dedup").foreach { w =>
+      val rewritten = Dedup.removeDuplicatedSpans(docs, idCol, textCol,
+          windowTokens = w.toInt, hashFn = Dedup.fastParaHash)
+        .select(col(idCol), col("text_dedup"))
+      docs = docs.drop(textCol)
+        .join(rewritten, Seq(idCol))
         .withColumnRenamed("text_dedup", textCol)
     }
 

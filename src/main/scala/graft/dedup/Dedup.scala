@@ -411,39 +411,58 @@ object Dedup {
     * repetition).
     *
     * Scale shape: windows are built IN-ROW (a `transform` over the token
-    * array — no token-row explode), so the only shuffles are the span
-    * aggregation keyed on the hash (map-side combinable counts + min)
-    * and the occurrence join back on the hash; both are bounded by span
-    * volume, never pairwise. `hashFn` hashes the space-rejoined window —
-    * md5 by default so any SQL engine replays it; use [[fastParaHash]]
-    * (xxhash64) when nothing external needs to agree. */
+    * array — no token-row explode), and the whole dup-test + ranking is
+    * ONE shuffle on the span hash: per-hash window functions — min ≠ max
+    * over the doc id decides cross-doc duplication without a distinct
+    * aggregate (which would plan as Expand + SortAggregate; measured 45 s
+    * → 17 s at 100 k replicated docs), row_number gives the
+    * first-occurrence marker, and no join back is needed. Bounded by
+    * span volume, never pairwise; a boilerplate span shared by a large
+    * corpus fraction makes its hash partition the hotspot — inherent to
+    * emitting every occurrence of that span. `hashFn` hashes the
+    * space-rejoined window — md5 by default so any SQL engine replays
+    * it; use [[fastParaHash]] (xxhash64) when nothing external needs to
+    * agree. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int,
       crossDocOnly: Boolean = true,
       hashFn: Column => Column = oracleParaHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(windowTokens > 0, "windowTokens must be positive")
     val toks = TextFunctions.tokens(col(textCol))
-    val spans = df
-      .select(col(idCol),
+    // The fastParaHash family routes through the one-pass codegen'd
+    // span_hashes expression (bit-identical to the relational form,
+    // spec-asserted; the HOF lambda below is CodegenFallback and
+    // re-materializes every window — 20× slower at corpus scale). Any
+    // other hashFn (md5 oracle path) keeps the relational formulation.
+    val spanArr =
+      if (hashFn eq fastParaHash)
+        org.apache.spark.sql.GraftBridge.column(
+          graft.expressions.SpanHashes(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+            windowTokens))
+      else
         // no otherwise: short/NULL docs get a NULL span array, which
         // posexplode skips — and the branch type follows hashFn (md5
         // strings or xxhash64 longs) without an explicit cast
         when(size(toks) >= windowTokens,
           transform(sequence(lit(0), size(toks) - windowTokens),
             i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(windowTokens))))))
-          .as("__spans"))
+    val spans = df
+      .select(col(idCol), spanArr.as("__spans"))
       .select(col(idCol), posexplode(col("__spans")).as(Seq("pos", "span_hash")))
-    val stats = spans.groupBy("span_hash").agg(
-      count(lit(1)).as("__n"),
-      count_distinct(col(idCol)).as("__docs"),
-      min(struct(col(idCol).as("__wid"), col("pos").as("__wpos"))).as("__w"))
-    val dup =
-      if (crossDocOnly) stats.filter(col("__docs") > 1)
-      else stats.filter(col("__n") > 1)
-    spans.join(dup.select(col("span_hash"), col("__w")), "span_hash")
+    val byHash = Window.partitionBy(col("span_hash"))
+    val dupFlag =
+      if (crossDocOnly)
+        min(col(idCol)).over(byHash) =!= max(col(idCol)).over(byHash)
+      else count(lit(1)).over(byHash) > 1
+    spans
+      .withColumn("__dup", dupFlag)
+      .withColumn("__rn",
+        row_number().over(byHash.orderBy(col(idCol), col("pos"))))
+      .filter(col("__dup"))
       .select(col(idCol), col("pos"), col("span_hash"),
-        (col(idCol) === col("__w.__wid") && col("pos") === col("__w.__wpos"))
-          .as("keep"))
+        (col("__rn") === 1).as("keep"))
   }
 
   /** Keep-first SUBSTRING rewrite over [[duplicatedSpans]]: every token

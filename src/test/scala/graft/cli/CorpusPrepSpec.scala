@@ -54,6 +54,27 @@ class CorpusPrepSpec extends SparkSpec {
       s"token mass after paragraph dedup must be unique + one boilerplate (got $toks)")
   }
 
+  test("--span-dedup cuts inline boilerplate that has no paragraph boundary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_span").toString
+    // the 40-token boilerplate tail sits INLINE (no blank line), so only
+    // the substring layer can catch it
+    val boiler = (1 to 40).map(j => s"boiler$j").mkString(" ")
+    (1 to 20).map(i => (i.toLong, s"unique$i alpha beta $boiler"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "budget" -> "64",
+      "span-dedup" -> "8"))
+    assert(stats("docs_out") === 20L)
+    val toks = spark.read.parquet(s"$dir/out/chunks")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    // doc 1 keeps all 43 tokens; every later doc keeps ONLY its distinct
+    // first token — "alpha beta" is shared too, so windows from pos 1
+    // onward all recur cross-doc and the cut islands cover tokens 1..42
+    assert(toks === 43L + 19 * 1,
+      s"span rewrite must cut boilerplate plus shared prefix (got $toks)")
+  }
+
   test("transitive dedup keeps no more docs than one-hop near dedup") {
     // chains collapse further under the CC closure, never less
     val outNear = Files.createTempDirectory("corpus_near").toString

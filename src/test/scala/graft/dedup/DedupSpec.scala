@@ -384,6 +384,47 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("", 0L)))
   }
 
+  /** Naive driver-side model of the keep-first substring rewrite, for the
+    * randomized cross-check: mark every occurrence of a window whose text
+    * recurs in another doc, rank occurrences by (doc, pos), delete the
+    * token positions covered by non-first occurrences. */
+  private def localSpanRewrite(docs: Seq[(Long, String)], w: Int): Map[Long, (String, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> (if (t == null) Array.empty[String] else t.split(" ", -1))
+    }
+    val occ = for {
+      (id, ts) <- toks
+      p <- 0 to ts.length - w
+    } yield (ts.slice(p, p + w).mkString(" "), id, p)
+    val byWin = occ.groupBy(_._1).filter { case (_, os) => os.map(_._2).distinct.size > 1 }
+    val later = byWin.values.flatMap(os => os.sortBy(o => (o._2, o._3)).drop(1))
+    val covered = later.groupBy(_._2).map { case (id, os) =>
+      id -> os.flatMap(o => o._3 until o._3 + w).toSet
+    }
+    toks.map { case (id, ts) =>
+      val cut = covered.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cut(i) => t }
+      id -> ((kept.mkString(" "), (ts.length - kept.length).toLong))
+    }.toMap
+  }
+
+  test("removeDuplicatedSpans matches a naive local model on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      // small vocab + short docs force plenty of chance window collisions,
+      // overlaps and cross-doc repeats
+      val docs = (1L to 12L).map { id =>
+        val n = 8 + rnd.nextInt(20)
+        id -> Seq.fill(n)(s"v${rnd.nextInt(6)}").mkString(" ")
+      }
+      val expected = localSpanRewrite(docs, 4)
+      val got = Dedup.removeDuplicatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", windowTokens = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === expected, s"round $round mismatch")
+    }
+  }
+
   test("paragraphKeepFirst: an uncapped run still completes a supplied Observation") {
     val docs = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
     val obs = org.apache.spark.sql.Observation("graft_oversize_para_uncapped")
