@@ -16,6 +16,8 @@ class CorpusPrepSpec extends SparkSpec {
       "lang" -> "en",
       "min-quality" -> "0.4",
       "redact" -> "true",
+      "paragraph-dedup" -> "true",
+      "span-dedup" -> "8",
       "dedup" -> "near",
       "budget" -> "512"))
     assert(stats("docs_in") > 0)
