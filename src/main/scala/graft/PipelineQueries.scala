@@ -131,6 +131,27 @@ object PipelineQueries {
               |  min(doc_id) AS keeper_id, count(*) AS n_dups
               |FROM $dupUnionSql GROUP BY 1""".stripMargin)),
 
+    // ---- bloom-prefiltered cross-corpus anti-join ------------------------
+    // Incremental dedup: docs >= 100 are the "new crawl", every doc_id
+    // divisible by 7 is the "already-trained" reference set; survivors are
+    // new docs whose text digest is not in the reference. The result is
+    // exactly the plain anti-join (no false negatives + exact re-check of
+    // maybe-positives), which is what the oracle verifies; the high fpp
+    // here deliberately exercises the positive-branch re-check.
+    "q_dedup_bloom" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.bloomPrefilteredAnti(
+            d.filter(col("doc_id") >= 100).withColumn("__h", sha2(col("text"), 256)),
+            "__h",
+            d.filter(col("doc_id") % 7 === 0).select(sha2(col("text"), 256).as("__h")),
+            "__h", expectedItems = 100L, fpp = 0.03)
+          .select("doc_id", "source")
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE doc_id >= 100 AND sha256(text) NOT IN
+             |  (SELECT sha256(text) FROM documents WHERE doc_id % 7 = 0)""".stripMargin)),
+
     // ---- MinHash signatures (shingle→minhash) ----------------------------
     "q_dedup_minhash" -> QueryDef(
       (s, dir) =>

@@ -151,6 +151,62 @@ object TrainPrepQueries {
               |  round(avg(length(text)), 4) AS avg_chars
               |FROM k WHERE doc_id = keep GROUP BY source""".stripMargin)),
 
+    // ---- temperature-weighted corpus mixing (XLM-R / mC4 sampler) --------
+    // alpha=0.5 flattens the language distribution toward low-resource
+    // langs; target 120 of 500 docs. Both engines derive the same
+    // 4-hex-digit threshold from round(rate, 6), then the same
+    // deterministic sha256 row sample.
+    "q_mix_temperature" -> QueryDef(
+      (s, dir) =>
+        TrainPrep.temperatureMix(t(s, dir, "documents"), "doc_id", "lang",
+            alpha = 0.5, targetTotal = 120.0)
+          .select("doc_id", "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(pow(cnt::DOUBLE, 0.5)) AS wsum FROM c),
+             |thr AS (SELECT lang,
+             |    CASE WHEN least(1.0, 120.0 * (pow(cnt::DOUBLE, 0.5) / wsum) / cnt) >= 1.0
+             |      THEN 'g'
+             |      ELSE lpad(lower(to_hex(floor(round(
+             |        least(1.0, 120.0 * (pow(cnt::DOUBLE, 0.5) / wsum) / cnt),
+             |        6) * 65536)::BIGINT)), 4, '0') END AS t
+             |  FROM c, tot)
+             |SELECT doc_id, lang FROM documents JOIN thr USING (lang)
+             |WHERE substr(sha256(doc_id::VARCHAR), 1, 4) < t""".stripMargin)),
+
+    // ---- corpus-wide frequent n-gram mining (boilerplate detection) ------
+    "q_ngram_freq" -> QueryDef(
+      (s, dir) =>
+        TrainPrep.frequentNgrams(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 20),
+      Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT array_to_string(tk[i:i+2], ' ') AS ngram
+             |  FROM tr, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i))
+             |SELECT ngram, count(*) AS cnt FROM sh GROUP BY 1
+             |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
+
+    // ---- char-trigram LM quality scoring (CCNet-style, self-trained) -----
+    "q_lm_trigram" -> QueryDef(
+      (s, dir) =>
+        TrainPrep.charTrigramNll(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH tri AS (SELECT doc_id, substr(text, i, 3) AS tri
+             |  FROM documents, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)),
+             |cnt AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+             |pre AS (SELECT substr(tri, 1, 2) AS big, sum(c3) AS c2 FROM cnt GROUP BY 1),
+             |v AS (SELECT count(*) AS vsz FROM cnt),
+             |scored AS (SELECT t.doc_id, ln((c.c3 + 1.0) / (p.c2 + v.vsz)) AS lp
+             |  FROM tri t JOIN cnt c USING (tri) JOIN pre p ON substr(t.tri, 1, 2) = p.big, v)
+             |SELECT doc_id, count(*) AS n_trigrams, round(-avg(lp), 4) AS avg_nll
+             |FROM scored GROUP BY 1""".stripMargin)),
+
+    // ---- contiguous global ids (two-pass scan, no global-sort window) ----
+    "q_global_ids" -> QueryDef(
+      (s, dir) =>
+        TrainPrep.assignGlobalIds(t(s, dir, "documents"), Seq("doc_id"))
+          .select("doc_id", "gid"),
+      Some("""SELECT doc_id,
+             |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS gid
+             |FROM documents""".stripMargin)),
+
     // ---- streaming parity: real streaming jobs, batch oracles (§2.9) -----
     "q_stream_resample" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.resampleComplete(s, dir, 900),

@@ -168,6 +168,42 @@ object Dedup {
     df.groupBy(sentinelTextHash(idCol, textCol).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** Bloom-prefiltered anti-join — incremental / cross-corpus exact dedup:
+    * keep corpus rows whose `keyCol` does NOT appear in `ref`'s `refKeyCol`
+    * (drop re-crawls already in the trained corpus, strip rows matching a
+    * blocklist digest set, …). Result is EXACTLY the plain anti-join —
+    * Bloom filters have no false negatives, and every maybe-positive is
+    * re-checked by a real anti-join — so the operator oracle-verifies
+    * against `NOT IN` while keeping the scale shape below.
+    *
+    * Scale shape: the reference side is aggregated into a driver-built
+    * Bloom filter (`expectedItems`/`fpp` size it: 1 B keys at 1 % fpp ≈
+    * 1.2 GB — broadcast-viable where the raw key set is not) and broadcast
+    * once. Bloom-negative rows — at 100 TB, almost all of them — pass as a
+    * pure filter with NO shuffle and NO join; only the maybe-positive
+    * sliver (true hits + fpp of the rest) enters the exact anti-join, so
+    * the join's shuffle volume is `fpp`-bounded instead of corpus-sized.
+    * The corpus is scanned twice (negative filter + positive branch);
+    * persist upstream if the scan dominates. The UDF membership probe is
+    * the documented exception to the no-UDF rule: Spark exposes no public
+    * might-contain expression, and the probe guards a filter, not an
+    * aggregation path. */
+  def bloomPrefilteredAnti(corpus: DataFrame, keyCol: String,
+      ref: DataFrame, refKeyCol: String,
+      expectedItems: Long, fpp: Double): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    // eager by nature (the filter must exist before the plan runs) — the
+    // reference side is the bounded one, same contract as stat.bloomFilter
+    val bf = ref.stat.bloomFilter(refKeyCol, expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val maybe = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val negatives = corpus.filter(!maybe(col(keyCol)))
+    val positives = corpus.filter(maybe(col(keyCol)))
+      .join(ref.select(col(refKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    negatives.unionByName(positives)
+  }
+
   /** MinHash signature over whitespace tokens: `numHashes` independent
     * min-of-hash values. Uses md5(token ⊕ seed) so any SQL engine can
     * reproduce it; swap `hashFn` for xxhash64 in throughput-critical paths.

@@ -133,6 +133,122 @@ object TrainPrep {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Temperature-weighted corpus mixing (the multilingual-pretraining
+    * sampler of XLM-R / mC4): stratum `l` with `cnt_l` rows is kept at rate
+    * `min(1, target * w_l / cnt_l)` where `w_l = cnt_l^alpha / Σ_j cnt_j^alpha`
+    * — `alpha < 1` up-samples low-resource strata relative to their
+    * proportional share. Row selection is the deterministic sha256 hash
+    * sample (no RNG, engine- and layout-independent).
+    *
+    * Scale shape: the stratum-count aggregate collapses map-side to one row
+    * per stratum per partition; rates live in a strata-sized frame that
+    * broadcast-joins back onto the corpus, so the 100 TB side is scanned
+    * (twice — once for counts, once filtered; persist upstream or supply
+    * `counts` to make it one) but never shuffled. The rate → threshold
+    * conversion quantizes to a 4-hex-digit prefix (granularity 1/65536)
+    * after round(rate, 6), so both engines derive bit-identical thresholds
+    * from their own float math. A clamped rate ≥ 1 maps to threshold "g",
+    * which sorts above every hex digest prefix — keep-all, not lpad-truncated. */
+  def temperatureMix(docs: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double, targetTotal: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetTotal > 0.0, s"targetTotal must be positive, got $targetTotal")
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+    temperatureMix(docs, keyCol, stratumCol, alpha, targetTotal, counts)
+  }
+
+  /** [[temperatureMix]] with caller-supplied per-stratum counts (schema:
+    * stratumCol, `__cnt` long) — one corpus scan instead of two when counts
+    * come from table metadata or a prior aggregation. */
+  def temperatureMix(docs: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double, targetTotal: Double, counts: DataFrame): DataFrame = {
+    val w = pow(col("__cnt").cast("double"), lit(alpha))
+    val wsum = counts.agg(sum(pow(col("__cnt").cast("double"), lit(alpha))).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("__rate",
+        least(lit(1.0), lit(targetTotal) * (w / col("__wsum")) / col("__cnt")))
+      .withColumn("__thr",
+        when(col("__rate") >= 1.0, lit("g")) // above every hex prefix: keep all
+          .otherwise(lpad(lower(hex(floor(round(col("__rate"), 6) * 65536))), 4, "0")))
+      .select(col(stratumCol).as("__stratum"), col("__thr"))
+    docs.join(broadcast(rates), docs(stratumCol) === col("__stratum"))
+      .filter(substring(sha2(col(keyCol).cast("string"), 256), 1, 4) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /** Corpus-wide most-frequent word n-grams — the mining pass behind
+    * boilerplate detection (feed the resulting n-grams to the span-dedup
+    * rewrite, or alert on template explosions). Total order (count desc,
+    * n-gram asc) makes the top-k cutoff deterministic; `orderBy.limit`
+    * compiles to TakeOrdered — per-partition heaps, never a global sort.
+    * The n-gram aggregate benefits from map-side partial combine; shuffle
+    * volume is bounded by distinct n-grams × partitions, not corpus size
+    * (hash the n-gram before shuffling at real scale if vocabulary width
+    * dominates). */
+  def frequentNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(k > 0, s"top-k size must be positive, got $k")
+    ngramShingles(docs, idCol, textCol, n)
+      .groupBy(col("shingle").as("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Character-trigram language-model scoring — the CCNet-style perplexity
+    * quality filter, self-trained on the corpus itself: per document,
+    * `avg_nll = -mean(ln((c3 + 1) / (c2 + V)))` over its trigram positions,
+    * with `c3` the corpus count of the trigram, `c2` the count of its
+    * leading bigram (derived exactly as Σ c3 over trigrams sharing the
+    * prefix — no second corpus pass), and `V` the observed trigram
+    * vocabulary (add-one smoothing). Lower = more like the corpus; rank and
+    * cut at a percentile to drop gibberish.
+    *
+    * Scale shape: the trigram explode feeds a hash aggregate whose domain
+    * is charset³-bounded, so map-side combine collapses it and the count
+    * frame is tiny — it is persisted here because three downstream branches
+    * read it (the 100 TB corpus itself is scanned twice: count pass + score
+    * pass, the same budget as [[tfIdf]]'s lazy overload). Scoring
+    * broadcast-joins the per-trigram log-prob and the per-doc average's
+    * partial aggregation emits one row per doc per partition — explode
+    * keeps a doc's trigrams in one partition, so it is exactly one row per
+    * doc. `substr` on non-ASCII text re-seeks the UTF-8 offset per
+    * position; acceptable because the per-row cost is the trigram array
+    * build itself. */
+  def charTrigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val tri = docs.select(col(idCol),
+      explode(when(length(c) > 2,
+          transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))).as("tri"))
+    val cnt = tri.groupBy("tri").agg(count(lit(1)).as("c3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = cnt.groupBy(substring(col("tri"), 1, 2).as("big")).agg(sum("c3").as("c2"))
+    val v = cnt.agg(count(lit(1)).as("__vsz"))
+    val logProb = cnt.join(pre, substring(cnt("tri"), 1, 2) === pre("big"))
+      .crossJoin(broadcast(v))
+      .select(cnt("tri"),
+        log((col("c3") + 1.0) / (col("c2") + col("__vsz"))).as("lp"))
+    tri.join(broadcast(logProb), "tri")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), round(-avg("lp"), 4).as("avg_nll"))
+  }
+
+  /** Contiguous global row ids 0..n-1 in `orderCols` order — shard/sample
+    * indices for a training corpus — without the single-partition window a
+    * naive `row_number() OVER (ORDER BY …)` plans. Thin wrapper over
+    * [[TimeSeriesOps.scanCumSumLong]]: range-repartition on the order key,
+    * per-partition local ranks, then one nPartitions-row offset pass — the
+    * same two-pass distributed scan [[packChunks]] uses, so a 100 TB corpus
+    * gets ids with one bounded-size driver-free prefix stage. */
+  def assignGlobalIds(docs: DataFrame, orderCols: Seq[String],
+      out: String = "gid"): DataFrame =
+    TimeSeriesOps.scanCumSumLong(
+        docs.withColumn("__one", lit(1L)), orderCols, "__one", out)
+      .withColumn(out, col(out) - 1L)
+      .drop("__one")
+
   /** Per-document word n-gram shingles: one row per (id, position), the
     * shingle as its space-joined token string. Kept as STRINGS here so the
     * operator is verifiable cross-engine; production pipelines hash the

@@ -436,4 +436,37 @@ class DedupSpec extends SparkSpec {
     assert(m("dropped_buckets") == 0L)
     assert(m("max_bucket") == 2L)
   }
+
+  test("bloomPrefilteredAnti equals the exact anti-join even at extreme fpp") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // fpp = 0.5 forces plenty of false positives through the bloom probe —
+    // the positive-branch exact re-check must scrub every one of them
+    val corpus = spark.range(500).toDF("id")
+      .withColumn("k", concat(lit("key"), col("id")))
+    val ref = spark.range(120).toDF("rid")
+      .withColumn("k", concat(lit("key"), col("rid") * 3)) // keys 0,3,...,357
+      .select("k")
+    val got = Dedup.bloomPrefilteredAnti(corpus, "k", ref, "k",
+        expectedItems = 120L, fpp = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = corpus.join(ref, Seq("k"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === exact)
+    // sanity on the fixture: multiples of 3 under 360 are dropped
+    assert(!got.contains(0L) && !got.contains(357L) && got.contains(358L))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilteredAnti(corpus, "k", ref, "k", 0L, 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilteredAnti(corpus, "k", ref, "k", 10L, 1.5)
+    }
+  }
+
+  test("bloomPrefilteredAnti keeps null keys (membership of nothing is false)") {
+    val corpus = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "k")
+    val ref = Seq("a").toDF("k")
+    val got = Dedup.bloomPrefilteredAnti(corpus, "k", ref, "k", 10L, 0.01)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L)) // "a" dropped; NULL key survives on both branches
+  }
 }

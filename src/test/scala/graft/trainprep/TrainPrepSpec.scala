@@ -155,4 +155,89 @@ class TrainPrepSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(800))
   }
+
+  // strata: 80 "en", 16 "de", 4 "zh" rows
+  private def mixDocs = spark.range(100).toDF("id")
+    .withColumn("lang",
+      when(col("id") < 80, "en").when(col("id") < 96, "de").otherwise("zh"))
+
+  test("temperatureMix up-samples low-resource strata and clamps tiny ones") {
+    val kept = TrainPrep.temperatureMix(mixDocs, "id", "lang",
+        alpha = 0.5, targetTotal = 30.0)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh: rate = 30 * (2/14.944) / 4 = 1.0035 -> clamped to keep-all
+    // (threshold "g", NOT lpad-truncated "1000" which would keep ~6%)
+    assert(kept("zh") === 4L)
+    // alpha=0.5 flattens: de's keep fraction must exceed en's
+    assert(kept("de").toDouble / 16 > kept("en").toDouble / 80)
+    // deterministic: an identical run keeps identical rows
+    val ids1 = TrainPrep.temperatureMix(mixDocs, "id", "lang", 0.5, 30.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = TrainPrep.temperatureMix(mixDocs, "id", "lang", 0.5, 30.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2 && ids1.nonEmpty)
+  }
+
+  test("temperatureMix counts overload matches the self-counting one") {
+    val counts = mixDocs.groupBy(col("lang")).agg(count(lit(1)).as("__cnt"))
+    val a = TrainPrep.temperatureMix(mixDocs, "id", "lang", 0.5, 30.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = TrainPrep.temperatureMix(mixDocs, "id", "lang", 0.5, 30.0, counts)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      TrainPrep.temperatureMix(mixDocs, "id", "lang", 0.0, 30.0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.temperatureMix(mixDocs, "id", "lang", 0.5, -1.0)
+    }
+  }
+
+  test("frequentNgrams ranks by count with deterministic tie-break") {
+    val d = Seq(
+      (1L, "a b c d"),   // "a b c", "b c d"
+      (2L, "a b c"),     // "a b c"
+      (3L, "b c d")      // "b c d"
+    ).toDF("doc_id", "text")
+    val top = TrainPrep.frequentNgrams(d, "doc_id", "text", n = 3, k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // both 3-grams occur twice; "a b c" < "b c d" wins the tie
+    assert(top.toSeq === Seq(("a b c", 2L)))
+    intercept[IllegalArgumentException] {
+      TrainPrep.frequentNgrams(d, "doc_id", "text", 3, 0)
+    }
+  }
+
+  test("charTrigramNll matches a local add-one-smoothed trigram model") {
+    val d = Seq((1L, "abcd"), (2L, "abce"), (3L, "ab")).toDF("doc_id", "text")
+    // corpus trigrams: abc(x2), bcd, bce; V=3; prefix counts ab:2, bc:2
+    val out = TrainPrep.charTrigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(c3: Long, c2: Long) = math.log((c3 + 1.0) / (c2 + 3.0))
+    val exp1 = -(lp(2, 2) + lp(1, 2)) / 2 // abc, bcd
+    assert(out(1L)._1 === 2L)
+    // mirror Spark round(): BigDecimal HALF_UP, not rint's half-even
+    val expRounded = BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._2 - expRounded) < 1e-9)
+    // docs shorter than 3 chars emit no trigrams and are absent, not NaN
+    assert(!out.contains(3L))
+  }
+
+  test("assignGlobalIds yields the contiguous global rank without a global sort") {
+    val d = spark.range(1000).toDF("k")
+      .withColumn("k", col("k") * 7 % 1000) // permuted order column
+      .repartition(8)
+    val got = TrainPrep.assignGlobalIds(d, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 1000)
+    // gid must equal the rank of k in sorted order == k itself here
+    assert(got.forall { case (k, gid) => gid == k })
+    // the data-sized pass is range-partitioned with a per-partition window;
+    // the only single-partition stage is the nPartitions-row offset scan
+    val plan = TrainPrep.assignGlobalIds(d, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(k"), plan.take(800))
+    assert(plan.contains("windowspecdefinition(__pid"), plan.take(800))
+  }
 }
