@@ -140,6 +140,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("q_mix_temperature joins the strata-sized rate frame broadcast — corpus unshuffled") {
+    val plan = executedPlan("q_mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for the rate join:\n" + plan.take(1200))
+  }
+
+  test("q_lm_trigram scores via broadcast joins — the trigram stream never sort-merges") {
+    val plan = executedPlan("q_lm_trigram")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "per-trigram log-probs must broadcast onto the exploded stream:\n" + plan.take(1200))
+  }
+
+  test("q_dedup_bloom re-checks maybe-positives with a broadcast anti-join") {
+    val plan = executedPlan("q_dedup_bloom")
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "only the fpp-bounded sliver may join, and broadcast at this ref size:\n" + plan.take(1200))
+  }
+
   test("near-dup verification never explodes tokens into rows") {
     // the verify stage carries token sets as sorted-hash arrays and counts
     // the intersection in-row; the only Generate (explode) nodes allowed in
