@@ -26,8 +26,14 @@ import graft.trainprep.TrainPrep
   *      + LSH; mega-bucket cap DEFAULT-ON (`--max-bucket N` overrides,
   *      `0` uncaps; dropped buckets observed in-pass and logged);
   *      `transitive` closes duplicate CHAINS via star-contraction CC
+  *   2b. LM quality cut (`--lm-percentile 0.9`) — self-trained char-trigram
+  *      avg-NLL; drops the tail above the percentile (only docs the model
+  *      actually scored — <3-char docs pass through)
   *   6. decontamination (`--decontaminate <bench.parquet>` [`--ngram 13`])
   *      — drop docs sharing a word n-gram with the eval set
+  *   6b. temperature mixing (`--mix-target N` [`--mix-alpha 0.5`]
+  *      [`--mix-col lang`]) — XLM-R-style strata flattening over the
+  *      final survivor population
   *   7. sequence packing (`--budget 4096`)       — distributed prefix scan
   *
   * `runMain graft.cli.CorpusPrep --in <docs.parquet> --out <dir> [flags]`
@@ -62,6 +68,32 @@ object CorpusPrep {
     }
     args.get("min-quality").foreach { q =>
       docs = docs.filter(TextFunctions.qualityScore(col(textCol)) >= q.toDouble)
+    }
+    // Self-trained char-trigram LM filter (`--lm-percentile 0.9`): score
+    // every doc against the corpus's own trigram distribution and drop the
+    // least-corpus-like tail above the given avg-NLL percentile — the
+    // CCNet-style gibberish cut. The score frame is doc-count-sized (id,
+    // n_trigrams, avg_nll) and is persisted: the percentile scalar, the
+    // drop count and the anti-join all read the cache instead of
+    // re-scoring the corpus. Docs too short to emit a trigram (<3 chars)
+    // are NOT scored and are kept — this stage only drops what it
+    // actually measured as unlike the corpus; nothing vanishes silently.
+    // Runs before sampling so the rate applies to the cleaned population.
+    var nLmDropped = 0L
+    var lmScoreCache: Option[DataFrame] = None
+    args.get("lm-percentile").foreach { p =>
+      val pct = p.toDouble
+      require(pct > 0.0 && pct < 1.0, s"--lm-percentile must be in (0,1), got $p")
+      val scored = TrainPrep.charTrigramNll(docs, idCol, textCol).persist()
+      lmScoreCache = Some(scored)
+      val thrRow = scored.agg(
+        percentile_approx(col("avg_nll"), lit(pct), lit(10000))).head()
+      if (!thrRow.isNullAt(0)) { // null = nothing scored (all-short corpus)
+        val dropIds = scored.filter(col("avg_nll") > thrRow.getDouble(0))
+          .select(col(idCol))
+        nLmDropped = dropIds.count()
+        docs = docs.join(dropIds, Seq(idCol), "left_anti")
+      }
     }
     args.get("sample").foreach { thr =>
       docs = docs.filter(TrainPrep.hashSampleFilter(col(idCol), thr))
@@ -154,10 +186,24 @@ object CorpusPrep {
       case None => 0L
     }
 
+    // Temperature-weighted mixing LAST (`--mix-target N`, `--mix-alpha`
+    // default 0.5, `--mix-col` default "lang"): composition control over
+    // the cleaned, deduped, decontaminated survivors — the population whose
+    // strata ratios actually reach the trainer. Pure broadcast-rate filter;
+    // the corpus is not shuffled.
+    args.get("mix-target").foreach { tgt =>
+      val alpha = args.getOrElse("mix-alpha", "0.5").toDouble
+      val stratum = args.getOrElse("mix-col", "lang")
+      require(docs.columns.contains(stratum),
+        s"--mix-col '$stratum' is not a column of the input (have: ${docs.columns.mkString(", ")})")
+      docs = TrainPrep.temperatureMix(docs, idCol, stratum, alpha, tgt.toDouble)
+    }
+
     val budget = args.getOrElse("budget", "4096").toLong
     val packed = TrainPrep.packChunks(docs, idCol, textCol, budget)
     packed.write.mode("overwrite").parquet(s"$out/chunks")
     contaminatedCache.foreach(_.unpersist())
+    lmScoreCache.foreach(_.unpersist())
 
     // The observation fired during the pipeline's own actions (CC rounds /
     // the chunks write just above), so `get` returns immediately; it is
@@ -187,7 +233,7 @@ object CorpusPrep {
       else maxChunk.getLong(0) + 1
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
-      "contaminated_dropped" -> nContaminated)
+      "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped)
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_prep\",", ",", "}"))
     stats

@@ -177,4 +177,57 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("docs_in") == 2 * base.count())
     assert(stats("docs_out") == base.count())
   }
+
+  test("--lm-percentile drops the gibberish tail but keeps unscorable short docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_lm").toString
+    // 30 docs from a tiny shared vocabulary (high-count trigrams) + 3
+    // gibberish docs (unique trigrams → high avg-NLL) + 1 doc too short
+    // to emit any trigram
+    val normal = (1 to 30).map(i =>
+      (i.toLong, s"the cat sat on the mat and the dog ran fast $i"))
+    val gibberish = Seq(
+      (101L, "qzxjv wkqpf zzkwx vqjzp xkwvz"),
+      (102L, "pfkqw zjxvk wqzpx kvjwz qxzfp"),
+      (103L, "vwxqz kpjfw zqkxv pwzjq fkxwq"))
+    val short = Seq((200L, "ab"))
+    (normal ++ gibberish ++ short).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "lm-percentile" -> "0.85", "budget" -> "64"))
+    val survivors = spark.read.parquet(s"$dir/out/chunks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(101L, 102L, 103L).forall(!survivors.contains(_)),
+      s"gibberish must score in the dropped tail, survivors: $survivors")
+    assert(survivors.contains(200L), "a <3-char doc is unscorable and must pass")
+    assert(stats("lm_dropped") == stats("docs_in") - stats("docs_out"),
+      s"lm_dropped must reconcile with the doc counts: $stats")
+    assert(stats("lm_dropped") >= 3L)
+  }
+
+  test("--mix-target flattens strata over the survivors and validates --mix-col") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_mix").toString
+    (0 until 100).map { i =>
+      val lang = if (i < 80) "en" else if (i < 96) "de" else "zh"
+      (i.toLong, s"token$i alpha beta gamma", lang)
+    }.toDF("doc_id", "text", "lang").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "mix-target" -> "30", "budget" -> "64"))
+    assert(stats("docs_out") < stats("docs_in"))
+    val kept = spark.read.parquet(s"$dir/out/chunks").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // zh's rate clamps to keep-all; de's keep fraction must beat en's
+    assert((96L until 100L).forall(kept.contains), s"zh stratum must keep all 4: $kept")
+    val enFrac = kept.count(_ < 80L) / 80.0
+    val deFrac = kept.count(id => id >= 80L && id < 96L) / 16.0
+    assert(deFrac > enFrac, s"alpha=0.5 must up-sample de ($deFrac) over en ($enFrac)")
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, Map(
+        "in" -> s"$dir/in", "out" -> s"$dir/out2", "mix-target" -> "30",
+        "mix-col" -> "nope"))
+    }
+  }
 }
