@@ -274,6 +274,46 @@ object PipelineQueries {
              |  FROM reach r JOIN edges ed ON ed.src = r.id)
              |SELECT id AS vec_id, min(comp) AS keeper_id FROM reach GROUP BY id""".stripMargin)),
 
+    // ---- SemDeDup: cluster-bounded semantic dedup (Abbas et al. 2023) ----
+    // kmeansIters = 0 pins the codebook to the first 3 vectors in id order
+    // so DuckDB replays the exact cell assignment (argmin L2, ties to the
+    // lowest centroid index); edges are within-cell rounded-cosine pairs,
+    // closed transitively by the recursive CTE.
+    "q_semdedup" -> QueryDef(
+      (s, dir) => Dedup.semDedupKeepers(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", nCentroids = 3, kmeansIters = 0,
+        threshold = 0.45),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+             |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+             |  FROM e ORDER BY vec_id LIMIT 3),
+             |d AS (SELECT e.vec_id, c.ci,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+             |         * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)))) AS dist
+             |  FROM e CROSS JOIN c),
+             |assign AS (SELECT vec_id, ci AS cell FROM (
+             |    SELECT vec_id, ci,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d)
+             |  WHERE rn = 1),
+             |en AS (SELECT e.vec_id, e.embedding, a.cell,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm
+             |  FROM e JOIN assign a USING (vec_id)),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
+             |  FROM en a JOIN en b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+             |ver AS (SELECT id_a, id_b FROM p WHERE round(cos, 5) >= 0.45),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+             |  UNION SELECT id_b, id_a FROM ver),
+             |reach AS (
+             |  SELECT vec_id AS id, vec_id AS comp FROM e
+             |  UNION
+             |  SELECT ed.dst AS id, r.comp AS comp
+             |  FROM reach r JOIN edges ed ON ed.src = r.id)
+             |SELECT id AS vec_id, min(comp) AS keeper_id FROM reach GROUP BY id""".stripMargin)),
+
     // ---- full near-dup pipeline: MinHash→LSH→bucket-verify→keeper ---------
     "q_dedup_keepers" -> QueryDef(
       (s, dir) => Dedup.nearDupKeepers(docsWithDups(s, dir), "doc_id", "text",

@@ -1120,6 +1120,65 @@ object Dedup {
         .filter(round(col("cos"), roundTo) >= threshold),
       maxIter)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and collapsing near-identical vectors WITHIN
+    * each cluster — the pairwise cosine never crosses cluster boundaries,
+    * so the quadratic cost is (cell size)², not corpus². Cells come from
+    * [[graft.ann.Similarity.codebook]] (deterministic id-ordered seeds +
+    * `kmeansIters` Lloyd's refinements; the collect is nCentroids rows,
+    * bounded) and rows are assigned by the fused codegen'd argmin.
+    * Pairs above `threshold` (on the ROUNDED cosine — identical edge set
+    * across engines despite sum-order fp noise) close transitively via
+    * star-contraction CC; every id keeps the smallest reachable id.
+    *
+    * Scale shape: choose `nCentroids` so cells hold ~10³ rows (the paper
+    * runs n/k ≈ 1 k) — the within-cell join is then an equi-join on the
+    * cell id with bounded fan-out. The cap is the same loud guardrail as
+    * the LSH mega-buckets: cells larger than `maxCellSize` are dropped
+    * WHOLE (under-merge, never a silent corpus²), counted in-pass via
+    * [[observeOversize]] and WARN-logged. `kmeansIters = 0` keeps the
+    * codebook = the first nCentroids vectors in id order, which an
+    * external SQL engine can replay exactly (the oracle path);
+    * refinement iterations are for production recall. */
+  def semDedupKeepers(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, kmeansIters: Int, threshold: Double,
+      roundTo: Int = 5,
+      maxCellSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None,
+      maxIter: Int = 10): DataFrame = {
+    import graft.ann.Similarity
+    import graft.functions.VectorFunctions
+    require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
+    val assigned = Similarity.withIvfCell(
+      df.select(col(idCol), col(vecCol)), vecCol,
+      Similarity.codebook(df, idCol, vecCol, nCentroids, kmeansIters))
+    val cellCounts = assigned.groupBy(col("ivf_cell"))
+      .agg(count(lit(1)).as("__n"))
+    val admitted0 =
+      if (maxCellSize == Int.MaxValue && oversizeObs.isEmpty) cellCounts
+      else {
+        val audited = observeOversize(cellCounts, col("__n"), maxCellSize,
+          oversizeObs)
+        if (maxCellSize == Int.MaxValue) audited
+        else audited.filter(col("__n") <= maxCellSize)
+      }
+    // the observed subtree must not become a broadcast BUILD side (metrics
+    // would silently read zero — see observeOversize)
+    val auditAttached = maxCellSize != Int.MaxValue || oversizeObs.nonEmpty
+    val admitted =
+      (if (auditAttached) admitted0.hint("shuffle_hash") else admitted0)
+        .select("ivf_cell")
+    val inCells = assigned.join(admitted, Seq("ivf_cell"))
+    val a = inCells.select(col("ivf_cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = inCells.select(col("ivf_cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("ivf_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("__va"), col("__vb")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    keepersFromPairs(df.select(col(idCol)), idCol, pairs, maxIter)
+  }
+
   /** Embedding near-dup at corpus scale: random-hyperplane LSH buckets the
     * vectors, exact cosine runs only on same-bucket pairs — an equi-join on
     * the signature instead of a cross join. Near-identical vectors share all

@@ -462,6 +462,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semDedupKeepers merges within cells, misses across the boundary, and caps loudly") {
+    // ids 1/2 seed the two centroids (kmeansIters = 0); 3/4 are
+    // near-identical cluster members; 5/6 straddle the boundary — nearly
+    // parallel to each other (cos ≈ 0.9998) but assigned to different
+    // cells, the documented SemDeDup miss
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (4L, Seq(0.001f, 0.999f, 0.0f, 0.0f)),
+      (5L, Seq(0.71f, 0.70f, 0.0f, 0.0f)),
+      (6L, Seq(0.70f, 0.71f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val keepers = Dedup.semDedupKeepers(vecs, "vec_id", "embedding",
+        nCentroids = 2, kmeansIters = 0, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(3L) === 1L && keepers(4L) === 2L, s"in-cell near-dups must merge: $keepers")
+    assert(keepers(5L) === 5L && keepers(6L) === 6L,
+      s"boundary-straddling near-dups land in different cells and must NOT merge: $keepers")
+    // a 2-member cap drops both 3-member cells whole: nobody merges, and
+    // the in-pass observation reports the drop
+    // with every cell dropped the pair set is empty, so AQE's
+    // empty-relation pruning would strip the CollectMetrics node — the
+    // audit-reliant run goes under withReliableOversizeAudit, same as
+    // CorpusPrep/MediaPrep
+    val obs = org.apache.spark.sql.Observation("graft_semdedup_cap")
+    val capped = Dedup.withReliableOversizeAudit(spark) {
+      Dedup.semDedupKeepers(vecs, "vec_id", "embedding",
+          nCentroids = 2, kmeansIters = 0, threshold = 0.95,
+          maxCellSize = 2, oversizeObs = Some(obs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(capped.forall { case (id, k) => id == k }, s"capped run must under-merge: $capped")
+    assert(obs.get("dropped_buckets") === 2L)
+  }
+
   test("bloomPrefilteredAnti keeps null keys (membership of nothing is false)") {
     val corpus = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "k")
     val ref = Seq("a").toDF("k")
