@@ -483,6 +483,59 @@ object ScaleSmoke {
       s""""ivf_peak_stage_shuffle_bytes":$ivfPeak}""")
     embScale.unpersist(); signed.unpersist(); assigned.unpersist()
 
+    // ---- SemDeDup over the same clustered corpus --------------------------
+    // 1 000 true clusters of 100 near-identical vectors. Codebook seeds are
+    // the first nCentroids ids, so ids are permuted first (coprime stride)
+    // to draw seeds across clusters — the production analogue is seeding
+    // from a shuffled sample. Cap stays DEFAULT-ON: the run must complete
+    // without dropping a cell or the cell-sizing story is broken.
+    val semInput = spark.read.parquet(s"$annDir/emb")
+      .select(((col("vec_id") * 99991L) % nEmb).as("vec_id"), col("embedding"))
+      .persist()
+    semInput.count()
+    val semObs = org.apache.spark.sql.Observation("graft_semdedup_scale")
+    val (semKeepers, _, semPeak, semSecs) = sectionShuffle {
+      graft.dedup.Dedup.withReliableOversizeAudit(spark) {
+        val k = graft.dedup.Dedup.semDedupKeepers(semInput, "vec_id", "embedding",
+          nCentroids = 128, kmeansIters = 2, threshold = 0.99,
+          oversizeObs = Some(semObs)).persist()
+        k.count()
+        k
+      }
+    }
+    val nSemMerged = semKeepers.filter(col("vec_id") =!= col("keeper_id")).count()
+    val nSemComponents = semKeepers.select("keeper_id").distinct().count()
+    val semDropped = semObs.get("dropped_buckets").asInstanceOf[Long]
+    require(semDropped == 0L,
+      s"semdedup_scale must fit every cell under the default cap, dropped $semDropped")
+    // 1 000 true clusters → ideal 1 000 survivors; k-means cell splits can
+    // only leave MORE survivors (a cluster cut in two merges per side)
+    require(nSemComponents >= 1000 && nSemComponents <= 3000,
+      s"semantic collapse off the rails: $nSemComponents components for 1000 clusters")
+    println(s"""{"metric":"semdedup_scale","embeddings":$nEmb,"clusters":1000,""" +
+      s""""n_centroids":128,"merged":$nSemMerged,"survivors":$nSemComponents,""" +
+      s""""seconds":$semSecs,"embeddings_per_sec":${(nEmb / semSecs).toLong},""" +
+      s""""cells_dropped":$semDropped,""" +
+      s""""peak_stage_shuffle_bytes":$semPeak}""")
+    semKeepers.unpersist(); semInput.unpersist()
+
+    // ---- char-trigram LM scoring throughput -------------------------------
+    // Count pass + score pass over a 4×-replicated corpus; the shuffle must
+    // stay charset³/doc-count-bounded (counts and per-doc partials), never
+    // text-sized.
+    val lmDocs = spark.range(4).crossJoin(baseDocs)
+      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"), col("text"))
+    val nLmDocs = nBase * 4
+    val (nLmScored, lmShuffle, lmPeak, lmSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.charTrigramNll(lmDocs, "doc_id", "text").count()
+    }
+    require(nLmScored == nLmDocs, s"every doc must score: $nLmScored of $nLmDocs")
+    println(s"""{"metric":"lm_trigram_scale","docs":$nLmDocs,""" +
+      s""""seconds":$lmSecs,"docs_per_sec":${(nLmDocs / lmSecs).toLong},""" +
+      s""""shuffle_write_bytes":$lmShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$lmPeak}""")
+    spark.catalog.clearCache() // charTrigramNll persists its count frame
+
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
     // 8 files, one file per micro-batch (forces 8 state-store commit

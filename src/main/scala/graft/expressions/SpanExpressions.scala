@@ -131,3 +131,116 @@ case class SpanHashes(child: Expression, windowTokens: Int)
   override protected def withNewChildInternal(newChild: Expression): SpanHashes =
     copy(child = newChild)
 }
+
+/** Per-row character n-grams: `char_ngrams(text, n)` = every n-CODEPOINT
+  * substring, in order — bit-identical to
+  *
+  *   transform(sequence(1, length(text) - (n-1)), i -> substr(text, i, n))
+  *
+  * but one pass over the string bytes inside whole-stage codegen. The
+  * relational form calls `substr(i, n)` per position, and UTF8String's
+  * codepoint-indexed substring re-scans from byte 0 each call — O(chars²)
+  * per document; this expression records codepoint start offsets once and
+  * slices byte ranges. Each n-gram is COPIED out (never a view into the
+  * input buffer — unsafe-row buffers are reused across rows). NULL when
+  * the text has fewer than `n` codepoints (explode of NULL drops the row,
+  * matching the relational guard). */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "char_ngrams needs n > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // a codepoint starts at every byte that is not a UTF-8 continuation
+    var chars = 0
+    var i = 0
+    while (i < nb) {
+      if ((s.getByte(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < n) return null
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nb) {
+      if ((s.getByte(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = nb
+    val out = new Array[AnyRef](chars - n + 1)
+    var p = 0
+    while (p < out.length) {
+      val from = starts(p)
+      val len = starts(p + n) - from
+      val bytes = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + from,
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      out(p) = UTF8String.fromBytes(bytes)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gad = classOf[GenericArrayData].getName
+    val utf8 = classOf[UTF8String].getName
+    val platform = "org.apache.spark.unsafe.Platform"
+    nullSafeCodeGen(ctx, ev, s => {
+      val nb = ctx.freshName("nb")
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val chars = ctx.freshName("chars")
+      val i = ctx.freshName("i")
+      val starts = ctx.freshName("starts")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val from = ctx.freshName("from")
+      val len = ctx.freshName("len")
+      val bytes = ctx.freshName("bytes")
+      s"""
+         |int $nb = $s.numBytes();
+         |Object $base = $s.getBaseObject();
+         |long $off = $s.getBaseOffset();
+         |int $chars = 0;
+         |for (int $i = 0; $i < $nb; $i++) {
+         |  if (($s.getByte($i) & 0xC0) != 0x80) $chars++;
+         |}
+         |if ($chars < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $starts = new int[$chars + 1];
+         |  int $c = 0;
+         |  for (int $i = 0; $i < $nb; $i++) {
+         |    if (($s.getByte($i) & 0xC0) != 0x80) { $starts[$c] = $i; $c++; }
+         |  }
+         |  $starts[$chars] = $nb;
+         |  Object[] $out = new Object[$chars - $n + 1];
+         |  for (int $p = 0; $p < $out.length; $p++) {
+         |    int $from = $starts[$p];
+         |    int $len = $starts[$p + $n] - $from;
+         |    byte[] $bytes = new byte[$len];
+         |    $platform.copyMemory($base, $off + $from, $bytes, $platform.BYTE_ARRAY_OFFSET, $len);
+         |    $out[$p] = $utf8.fromBytes($bytes);
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}

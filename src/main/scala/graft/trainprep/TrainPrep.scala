@@ -213,15 +213,22 @@ object TrainPrep {
     * broadcast-joins the per-trigram log-prob and the per-doc average's
     * partial aggregation emits one row per doc per partition — explode
     * keeps a doc's trigrams in one partition, so it is exactly one row per
-    * doc. `substr` on non-ASCII text re-seeks the UTF-8 offset per
-    * position; acceptable because the per-row cost is the trigram array
-    * build itself. */
+    * doc. Trigram arrays come from the one-pass codegen'd
+    * [[graft.expressions.CharNgrams]] expression. The count-frame cache is
+    * charset³-bounded and lingers until the session drops it
+    * (`spark.catalog.clearCache()` in long-lived sessions) — same
+    * documented contract as [[tfIdf]]'s persisted intermediate. */
   def charTrigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val c = col(textCol)
+    // one-pass codegen'd trigram array — the relational
+    // `transform(sequence(...), i -> substr(text, i, 3))` re-scans the
+    // string per position (codepoint-indexed substring is O(chars) each →
+    // O(chars²) per doc) and evaluates its lambda interpreted; explode of
+    // the NULL array a <3-codepoint doc produces drops the row, same as
+    // the `when` guard the relational form needs
     val tri = docs.select(col(idCol),
-      explode(when(length(c) > 2,
-          transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))).as("tri"))
+      explode(org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.CharNgrams(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)), 3))).as("tri"))
     val cnt = tri.groupBy("tri").agg(count(lit(1)).as("c3"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = cnt.groupBy(substring(col("tri"), 1, 2).as("big")).agg(sum("c3").as("c2"))
