@@ -537,6 +537,58 @@ object PipelineQueries {
       },
       Some(knnOracleSql)),
 
+    // ---- ANN: product quantization, ADC ranking (Jégou et al. 2011).
+    // UNLIKE the LSH/IVF demos this approximate path is FULLY oracled:
+    // kmeansIters = 0 pins each subspace codebook to the subvectors of the
+    // first 8 corpus vectors in id order, so DuckDB replays codebook →
+    // argmin byte-encode (ties to the lowest code) → squared-L2 ADC lookup
+    // sum (in subspace order, matching the engine's left-to-right LUT
+    // reduce) bit for bit ------------------------------------------------
+    "q_ann_pq" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.pqAdcTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, dim = 64, k = 10, m = 8, nCodes = 8,
+          roundTo = 5)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+             |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |d AS (SELECT e.vec_id, j.j, s.c,
+             |    sqrt(list_sum(list_transform(generate_series(1, 8),
+             |      i -> (e.embedding[j.j*8+i]::DOUBLE - s.cv[j.j*8+i]::DOUBLE)
+             |         * (e.embedding[j.j*8+i]::DOUBLE - s.cv[j.j*8+i]::DOUBLE)))) AS dist
+             |  FROM e CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN seeds s),
+             |assign AS (SELECT vec_id, j, c AS code FROM (
+             |    SELECT vec_id, j, c,
+             |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d)
+             |  WHERE rn = 1),
+             |adc AS (SELECT a.vec_id, a.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (q.qv[a.j*8+i]::DOUBLE - s.cv[a.j*8+i]::DOUBLE)
+             |         * (q.qv[a.j*8+i]::DOUBLE - s.cv[a.j*8+i]::DOUBLE))) AS pd
+             |  FROM assign a JOIN seeds s ON s.c = a.code CROSS JOIN q),
+             |tot AS (SELECT vec_id, list_sum(list(pd ORDER BY j)) AS adc FROM adc GROUP BY vec_id)
+             |SELECT vec_id, round(adc, 5) AS adc_dist FROM tot
+             |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- ANN: PQ with exact rerank — the production recall shape: the ADC
+    // pass ranks on stored byte codes alone (never reads the vector), then
+    // only the shortlist is reranked by exact cosine. Engine-specific
+    // shortlist → rows-only demo; RecallSpec pins recall@10 ≥ 0.9 on the
+    // clustered fixture and the ADC arithmetic itself is oracled above ----
+    "q_ann_pq_rerank" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.pqTopKReranked(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, dim = 64, k = 10, m = 8, nCodes = 16,
+          kmeansIters = 1, shortlist = 64)
+      },
+      None),
+
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
       (s, dir) => {

@@ -468,10 +468,36 @@ object ScaleSmoke {
       }.toMap
     }
     val ivfRecall = recallOf(ivfRes, exact)
-    // sanity floors, not tuning targets: tight clusters must survive both
-    // index shapes or the multi-table/multi-probe story is broken
+
+    // PQ: encode once (the ingest step — 256-code books exercise the
+    // signed-byte wrap at scale), then per-query ADC shortlist from the
+    // m-byte codes + exact rerank of the shortlist only. The persisted
+    // query-side projection carries (id, code, vector); the ADC ranking
+    // itself reads just id + code — m bytes/row vs dim·4 float bytes, the
+    // 32× memory story measured below as the actual column sizes.
+    val tPq = System.nanoTime()
+    val pqCents = graft.ann.Similarity.pqCodebooks(
+      embScale, "vec_id", "embedding", annDim, m = 8, nCodes = 256, iters = 1)
+    val pqCoded = graft.ann.Similarity.withPqCodes(
+      embScale, "embedding", annDim, pqCents).persist()
+    pqCoded.count()
+    val pqTrainSecs = (System.nanoTime() - tPq) / 1e9
+    val (pqRes, _, pqPeak, pqSecs) = sectionShuffle {
+      queryIds.map { q =>
+        q -> graft.ann.Similarity.pqRerankedFromCodes(pqCoded, "vec_id",
+            "embedding", queryVecs(q), annDim, pqCents, k = 10, shortlist = 100)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+    }
+    val pqRecall = recallOf(pqRes, exact)
+    val codeBytes = nEmb * 8          // m bytes per row
+    val vecBytes = nEmb * annDim * 4  // float32 per dim
+    // sanity floors, not tuning targets: tight clusters must survive all
+    // three index shapes or the multi-table/multi-probe/rerank story is
+    // broken
     require(lshRecall >= 0.8, s"multi-table LSH recall@10 collapsed: $lshRecall")
     require(ivfRecall >= 0.7, s"IVF recall@10 collapsed: $ivfRecall")
+    require(pqRecall >= 0.7, s"PQ reranked recall@10 collapsed: $pqRecall")
     println(s"""{"metric":"ann_scale","embeddings":$nEmb,"dim":$annDim,""" +
       s""""queries":$nQueries,""" +
       s""""brute_qps":${nQueries / bruteSecs},""" +
@@ -480,8 +506,13 @@ object ScaleSmoke {
       s""""lsh_peak_stage_shuffle_bytes":$lshPeak,""" +
       s""""ivf_recall_at10":$ivfRecall,"ivf_qps":${nQueries / ivfSecs},""" +
       s""""ivf_train_seconds":$ivfTrainSecs,""" +
-      s""""ivf_peak_stage_shuffle_bytes":$ivfPeak}""")
+      s""""ivf_peak_stage_shuffle_bytes":$ivfPeak,""" +
+      s""""pq_recall_at10":$pqRecall,"pq_qps":${nQueries / pqSecs},""" +
+      s""""pq_train_encode_seconds":$pqTrainSecs,""" +
+      s""""pq_code_bytes":$codeBytes,"pq_vector_bytes":$vecBytes,""" +
+      s""""pq_peak_stage_shuffle_bytes":$pqPeak}""")
     embScale.unpersist(); signed.unpersist(); assigned.unpersist()
+    pqCoded.unpersist()
 
     // ---- SemDeDup over the same clustered corpus --------------------------
     // 1 000 true clusters of 100 near-identical vectors. Codebook seeds are

@@ -183,6 +183,186 @@ object Similarity {
   private[graft] def l2Local(a: Seq[Float], b: Seq[Float]): Double =
     math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
 
+  // ---- Product quantization (Jégou, Douze, Schmid: "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 2011) --------------------------
+
+  /** Per-subspace PQ codebooks: the vector is cut into `m` contiguous
+    * subvectors of `dim / m` dims, each quantized against its own
+    * `nCodes`-centroid codebook. Seeds are the subvectors of the first
+    * `nCodes` vectors in id order — `kmeansIters = 0` is therefore fully
+    * SQL-replayable (the q_ann_pq oracle recomputes the identical
+    * codebooks). `iters > 0` refines ALL m codebooks together with ONE
+    * distributed aggregate per round: cells assigned by the fused codegen'd
+    * argmin, per-(subspace, code, dim) means via posexplode + groupBy
+    * (map-side partial agg — the shuffle carries m·nCodes·(dim/m) partial
+    * sums per task, never vectors); empty cells keep their previous
+    * centroid. Returns `codebooks(j)(c)` = centroid `c` of subspace `j`. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, nCodes: Int, iters: Int): Array[Array[Seq[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val ds = dim / m
+    val seeds = df.orderBy(col(idCol)).limit(nCodes)
+      .select(vecCol).collect().map(_.getSeq[Float](0))
+    require(seeds.length == nCodes,
+      s"corpus has only ${seeds.length} vectors for $nCodes codes")
+    var cents: Array[Array[Seq[Float]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * ds, (j + 1) * ds)))
+    var it = 0
+    while (it < iters) {
+      val means = withPqCodes(df, vecCol, dim, cents)
+        .select(col("pq_code"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .withColumn("j", floor(col("d") / ds).cast("int"))
+        .withColumn("code",
+          element_at(col("pq_code"), col("j") + 1).cast("int").bitwiseAND(lit(0xFF)))
+        .groupBy("j", "code", "d")
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      cents = Array.tabulate(m) { j =>
+        Array.tabulate(nCodes) { c =>
+          val prev = cents(j)(c)
+          if (means.contains((j, c, j * ds))) // non-empty cell
+            (0 until ds).map(i => means((j, c, j * ds + i)).toFloat): Seq[Float]
+          else prev
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Encode each vector to its `m`-byte PQ code (`pq_code: array<tinyint>`,
+    * codes ≥ 128 wrap into the signed byte — readers mask with `& 0xFF`).
+    * Per subspace: argmin L2 against that subspace's codebook, ties to the
+    * lowest code index — the same fused codegen'd distance the IVF cell
+    * assignment uses, on `slice`s of the packed vector (no explode). At
+    * 100 TB this runs ONCE at ingest and the stored code column replaces
+    * the float vector in every ADC scan: dim·4 bytes → m bytes per row
+    * (32× at dim=64, m=8). */
+  def withPqCodes(df: DataFrame, vecCol: String, dim: Int,
+      codebooks: Array[Array[Seq[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val ds = dim / m
+    val codeCols = (0 until m).map { j =>
+      val cbLit = typedlit(codebooks(j).toSeq)
+      val sub = slice(col(vecCol), j * ds + 1, ds)
+      val best = array_min(transform(
+        sequence(lit(0), lit(codebooks(j).length - 1)),
+        c => struct(
+          VectorFunctions.l2(sub, element_at(cbLit, c + 1)).as("d"),
+          c.as("i"))))
+        .getField("i")
+      // explicit two's-complement wrap: ANSI-mode cast would throw on
+      // codes ≥ 128 instead of wrapping into the signed byte
+      when(best > 127, best - 256).otherwise(best).cast("tinyint")
+    }
+    df.withColumn("pq_code", array(codeCols: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the driver builds the
+    * m × nCodes lookup table of squared L2 distances between the query's
+    * subvectors and every centroid (a tiny literal — no broadcast state),
+    * and each row's distance estimate is m table lookups summed in
+    * subspace order — plain codegen'd `ElementAt`/`Add`, no interpreted
+    * lambda in the scan. Deterministic: distance rounded, ties broken by
+    * id. With `kmeansIters = 0` the whole pipeline (seed codebooks →
+    * argmin encode → ADC ranking) is replayed exactly by the q_ann_pq
+    * DuckDB oracle. At scale the scan reads ONLY the stored byte codes
+    * (see [[withPqCodes]]); recall comes from [[pqTopKReranked]]. */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      nCodes: Int = 16,
+      kmeansIters: Int = 0,
+      roundTo: Int = 6): DataFrame = {
+    val cents = pqCodebooks(df, idCol, vecCol, dim, m, nCodes, kmeansIters)
+    pqAdcTopKFromCodes(withPqCodes(df, vecCol, dim, cents),
+      idCol, query, dim, cents, k, roundTo)
+  }
+
+  /** ADC top-k over a frame that ALREADY carries `pq_code` (encoded once
+    * at ingest via [[withPqCodes]]) — the production query path: no
+    * re-encode, no codebook re-train, and the scan reads only the m-byte
+    * code column. */
+  def pqAdcTopKFromCodes(coded: DataFrame, idCol: String, query: Seq[Float],
+      dim: Int, codebooks: Array[Array[Seq[Float]]], k: Int,
+      roundTo: Int = 6): DataFrame =
+    adcScored(coded, query, dim, codebooks, roundTo)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc_dist"))
+
+  /** [[pqTopKReranked]] over pre-encoded codes — ADC shortlist from the
+    * stored byte codes, exact cosine rerank on the shortlist only. */
+  def pqRerankedFromCodes(coded: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], dim: Int, codebooks: Array[Array[Seq[Float]]],
+      k: Int, shortlist: Int, roundTo: Int = 6): DataFrame = {
+    val cand = adcScored(coded, query, dim, codebooks, roundTo)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(math.max(shortlist, k))
+      .drop("adc_dist")
+    bruteForceTopK(cand, idCol, vecCol, query, k, roundTo)
+  }
+
+  /** PQ with exact rerank — the production recall path: ADC shortlists
+    * `shortlist` candidates from the byte codes alone, then ONLY those
+    * rows are reranked by exact cosine on the float vectors. The first
+    * pass never touches the vector column; the second touches
+    * `shortlist / corpus` of it. */
+  def pqTopKReranked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      nCodes: Int = 16,
+      kmeansIters: Int = 0,
+      shortlist: Int = 64,
+      roundTo: Int = 6): DataFrame = {
+    val cents = pqCodebooks(df, idCol, vecCol, dim, m, nCodes, kmeansIters)
+    pqRerankedFromCodes(withPqCodes(df, vecCol, dim, cents),
+      idCol, vecCol, query, dim, cents, k, shortlist, roundTo)
+  }
+
+  /** Shared ADC scoring over a `pq_code`-carrying frame: m codegen'd
+    * `ElementAt` lookups into per-subspace LUT literals, summed left to
+    * right. Kept separate so the top-k and rerank paths price the same
+    * scan. */
+  private def adcScored(coded: DataFrame, query: Seq[Float], dim: Int,
+      codebooks: Array[Array[Seq[Float]]], roundTo: Int): DataFrame = {
+    val m = codebooks.length
+    val ds = dim / m
+    require(query.length == dim, s"query has ${query.length} dims, corpus $dim")
+    // lut(j)(c) = squared L2(query subvector j, centroid c), accumulated
+    // left-to-right in double — the exact arithmetic the oracle's
+    // list_sum(list_transform(...)) replays
+    val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebooks(j).toSeq.map { cent =>
+        var s = 0.0
+        var i = 0
+        while (i < ds) {
+          val dd = query(j * ds + i).toDouble - cent(i).toDouble
+          s += dd * dd
+          i += 1
+        }
+        s
+      }
+    }
+    val dist = (0 until m).map { j =>
+      element_at(typedlit(lut(j)),
+        element_at(col("pq_code"), j + 1).cast("int").bitwiseAND(lit(0xFF)) + 1)
+    }.reduce(_ + _)
+    coded.withColumn("adc_dist", round(dist, roundTo))
+  }
+
   /** Driver-side signature of the query vector — same splitmix planes the
     * executors regenerate, so bucket ids agree. */
   def querySignature(query: Seq[Float], dim: Int, nBits: Int, seed: Long = 42L): Long = {

@@ -69,4 +69,37 @@ class RecallSpec extends SparkSpec {
     assert(refined >= 0.9, s"refined IVF recall@10 $refined below 0.9")
     assert(refined >= raw - 0.05, "k-means refinement degraded recall")
   }
+
+  test("PQ reranked recall@10 >= 0.9; widening the ADC shortlist does not hurt") {
+    def pqRecall(shortlist: Int): Double = {
+      val recalls = (0 until 20).map { qi =>
+        val q = vecs(qi * 11 % N)._2
+        val approx = Similarity.pqTopKReranked(df, "vec_id", "embedding", q,
+          dim = Dim, k = 10, m = 4, nCodes = 16, kmeansIters = 2,
+          shortlist = shortlist)
+          .collect().map(_.getLong(0)).toSeq
+        recallAt10(approx, exactTop10(q))
+      }
+      recalls.sum / recalls.size
+    }
+    val narrow = pqRecall(30)
+    val wide = pqRecall(80)
+    info(f"PQ recall@10 (m=4, 16 codes): shortlist=30 $narrow%.3f, shortlist=80 $wide%.3f")
+    assert(wide >= 0.9, s"PQ reranked recall@10 $wide below 0.9")
+    assert(wide >= narrow - 1e-9,
+      "a wider ADC shortlist is a superset of candidates — recall can only grow")
+  }
+
+  test("PQ ADC ranking equals exhaustive encode-and-scan ranking (shared scan invariant)") {
+    // pqAdcTopK with shortlist-free ranking and pqTopKReranked's candidate
+    // stage must price candidates identically: rerank with shortlist = N
+    // and full-probe ADC must both recover the exact brute-force top-10
+    val q = vecs(3)._2
+    val exact = exactTop10(q)
+    val rerankAll = Similarity.pqTopKReranked(df, "vec_id", "embedding", q,
+      dim = Dim, k = 10, m = 4, nCodes = 16, kmeansIters = 2, shortlist = N)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rerankAll == exact,
+      "shortlist = corpus must make PQ rerank exactly brute force")
+  }
 }

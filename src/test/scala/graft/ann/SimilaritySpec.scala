@@ -31,6 +31,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("withPqCodes matches a local argmin model (ties to lowest code)") {
+    val cents = Similarity.pqCodebooks(df, "vec_id", "embedding", dim = 4,
+      m = 2, nCodes = 4, iters = 0)
+    val got = Similarity.withPqCodes(df, "embedding", 4, cents)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    def l2Local(a: Seq[Float], b: Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    for ((id, v) <- vecs) {
+      val expected = (0 until 2).map { j =>
+        val sub = v.slice(j * 2, j * 2 + 2)
+        cents(j).zipWithIndex.minBy { case (c, i) => (l2Local(sub, c), i) }._2.toByte
+      }
+      assert(got(id) == expected, s"vec $id")
+    }
+  }
+
+  test("PQ codes above 127 wrap into the signed byte and still rank correctly") {
+    // 300 vectors, nCodes = 200: codes 128..199 are stored as negative
+    // bytes; the ADC lookup masks with & 0xFF, so full-shortlist rerank
+    // must still equal brute force — and the wrap must actually occur
+    val big = (0L until 300L).map { i =>
+      val r = new scala.util.Random(77 + i)
+      i -> Seq.fill(4)(r.nextFloat() * 2 - 1)
+    }
+    val bigDf = big.toDF("vec_id", "embedding")
+    val cents = Similarity.pqCodebooks(bigDf, "vec_id", "embedding", dim = 4,
+      m = 2, nCodes = 200, iters = 0)
+    val codes = Similarity.withPqCodes(bigDf, "embedding", 4, cents)
+      .select("pq_code").collect().flatMap(_.getSeq[Byte](0))
+    assert(codes.exists(_ < 0), "fixture must exercise the signed-byte wrap")
+    val q = big(5)._2
+    val exact = Similarity.bruteForceTopK(bigDf, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val viaPq = Similarity.pqTopKReranked(bigDf, "vec_id", "embedding", q,
+      dim = 4, k = 10, m = 2, nCodes = 200, shortlist = 300)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaPq == exact)
+  }
+
   test("lshTopK: the query vector's own bucket contains it (self-recall)") {
     val q = vecs(7)._2
     val got = Similarity.lshTopK(df, "vec_id", "embedding", q,
