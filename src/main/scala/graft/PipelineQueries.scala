@@ -391,6 +391,42 @@ object PipelineQueries {
              |  coalesce(k.n_kept, 0) AS n_kept
              |FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id""".stripMargin)),
 
+    // ---- corpus-frequency boilerplate removal (CCNet shape): a paragraph
+    // in > 1 distinct docs is template chrome and is removed EVERYWHERE;
+    // the within-doc repeat of p1 has doc-frequency 1 and survives twice —
+    // exactly the case keep-first would collapse ---------------------------
+    "q_dedup_boilerplate" -> QueryDef(
+      (s, dir) => Dedup.boilerplateParagraphRemove(paraDocs(s, dir),
+        "doc_id", "text", maxDocFreq = 1),
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  WHERE a.doc_id < 100),
+             |p AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos,
+             |    unnest(ps) AS para
+             |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+             |        FROM spine)),
+             |norm AS (SELECT doc_id, pos, trim(para) AS para FROM p
+             |  WHERE trim(para) <> ''),
+             |f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS df
+             |  FROM norm GROUP BY 1),
+             |kept AS (SELECT n.doc_id, n.pos, n.para
+             |  FROM norm n JOIN f ON md5(n.para) = f.h WHERE f.df <= 1),
+             |tot AS (SELECT doc_id, count(*) AS n_paras FROM norm GROUP BY doc_id),
+             |agg AS (SELECT doc_id,
+             |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean,
+             |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+             |SELECT s.doc_id AS doc_id, coalesce(a.text_clean, '') AS text_clean,
+             |  coalesce(a.n_kept, 0) AS n_kept,
+             |  coalesce(t.n_paras, 0) - coalesce(a.n_kept, 0) AS n_removed
+             |FROM spine s LEFT JOIN tot t ON t.doc_id = s.doc_id
+             |LEFT JOIN agg a ON a.doc_id = s.doc_id""".stripMargin)),
+
     // ---- duplicated token spans: the substring layer under paragraphs ----
     // Every 8-token sliding window hashed in-row; spans appearing in >1
     // doc are duplicated substrings, keep = the first occurrence in

@@ -17,7 +17,10 @@ import graft.trainprep.TrainPrep
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
   *   4b. paragraph dedup (`--paragraph-dedup true`) — keep-first
-  *      paragraph-hash rewrite (boilerplate above `--max-bucket`
+  *      paragraph-hash rewrite; or frequency-threshold boilerplate
+  *      removal (`--boilerplate-max-docfreq N`) — paragraphs in > N
+  *      distinct docs drop everywhere, rare repetition survives
+  *      (boilerplate above `--max-bucket`
   *      occurrences drops everywhere), BEFORE doc-level dedup
   *   4c. span dedup (`--span-dedup <windowTokens>`) — keep-first
   *      substring rewrite: later occurrences of duplicated token
@@ -115,6 +118,21 @@ object CorpusPrep {
       docs = docs.drop(textCol)
         .join(deduped, Seq(idCol))
         .withColumnRenamed("text_dedup", textCol)
+    }
+    // Frequency-threshold boilerplate removal
+    // (`--boilerplate-max-docfreq N`): a paragraph in more than N distinct
+    // docs is template chrome and drops EVERYWHERE; rare paragraphs keep
+    // all occurrences. Runs before keep-first would be redundant with it —
+    // the two are alternatives (keep-first collapses legitimate repetition
+    // to one copy; this preserves it), both rewriting before doc-level
+    // signatures.
+    args.get("boilerplate-max-docfreq").foreach { n =>
+      val cleaned = Dedup.boilerplateParagraphRemove(docs, idCol, textCol,
+          maxDocFreq = n.toInt, hashFn = Dedup.fastParaHash)
+        .select(col(idCol), col("text_clean"))
+      docs = docs.drop(textCol)
+        .join(cleaned, Seq(idCol))
+        .withColumnRenamed("text_clean", textCol)
     }
     // Substring layer under paragraphs (`--span-dedup <windowTokens>`):
     // later occurrences of any duplicated token window are cut from the

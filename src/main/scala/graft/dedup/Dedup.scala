@@ -381,17 +381,22 @@ object Dedup {
     * never a wrong merge), with the drop observed in-pass through the same
     * `graft_oversize*` machinery (WARN-logged by the session listener;
     * same AQE-pruning caveat and [[withReliableOversizeAudit]] remedy). */
+  /** Shared paragraph stream: split on `sep` → trim → drop empties → hash.
+    * One row per (doc, position) with columns (idCol, __pos, __para, __h). */
+  private def splitParas(df: DataFrame, idCol: String, textCol: String,
+      sep: String, hashFn: Column => Column): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__para")))
+      .withColumn("__para", trim(col("__para")))
+      .filter(length(col("__para")) > 0)
+      .withColumn("__h", hashFn(col("__para")))
+
   def paragraphKeepFirst(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n",
       hashFn: Column => Column = oracleParaHash,
       maxOccurrences: Int = Int.MaxValue,
       oversizeObs: Option[Observation] = None): DataFrame = {
-    val paras = df
-      .select(col(idCol), posexplode(split(col(textCol),
-        java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__para")))
-      .withColumn("__para", trim(col("__para")))
-      .filter(length(col("__para")) > 0)
-      .withColumn("__h", hashFn(col("__para")))
+    val paras = splitParas(df, idCol, textCol, sep, hashFn)
     val counted = paras.groupBy("__h")
       .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
         .as("__w"), count(lit(1)).as("__n"))
@@ -429,6 +434,54 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Corpus-frequency boilerplate removal (the CCNet-shape complement of
+    * [[paragraphKeepFirst]]): a paragraph occurring in MORE than
+    * `maxDocFreq` distinct documents is boilerplate (header, footer,
+    * cookie banner, license block) and is removed from EVERY document —
+    * including its first occurrence — while a paragraph at or under the
+    * threshold keeps ALL its occurrences. Keep-first dedups recurring
+    * content to one copy; this filter instead preserves legitimate
+    * repetition (a quote shared by two docs survives in both) and targets
+    * only template chrome.
+    *
+    * Returns one row per input doc: (idCol, text_clean, n_kept,
+    * n_removed), `text_clean` the surviving paragraphs re-joined with
+    * `sep` in original order ('' when none survive).
+    *
+    * Scale shape: document frequency is a two-level hash aggregate —
+    * groupBy(hash, doc) collapses a boilerplate paragraph's 10⁸
+    * occurrences to one row per doc map-side, then groupBy(hash) counts
+    * docs — no Expand-based distinct aggregate, no pairwise work; the
+    * verdict joins back on the hash (Ω(distinct paragraphs), never
+    * broadcast) and re-assembly is the same per-doc aggregate as
+    * keep-first. */
+  def boilerplateParagraphRemove(df: DataFrame, idCol: String,
+      textCol: String, maxDocFreq: Int, sep: String = "\n\n",
+      hashFn: Column => Column = oracleParaHash): DataFrame = {
+    val paras = splitParas(df, idCol, textCol, sep, hashFn)
+    val docFreq = paras.select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val kept = paras
+      .join(docFreq.filter(col("__df") <= maxDocFreq).select("__h"), "__h")
+    val perDocTotal = paras.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_paras"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__para"))))
+        .as("__ps"))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), _.getField("__para")), sep)
+          .as("text_clean"),
+        size(col("__ps")).cast("long").as("n_kept"))
+    df.select(col(idCol))
+      .join(perDocTotal, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
   }
 
   /** Duplicated token-span detection — the SUBSTRING layer below

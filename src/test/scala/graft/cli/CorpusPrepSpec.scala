@@ -56,6 +56,34 @@ class CorpusPrepSpec extends SparkSpec {
       s"token mass after paragraph dedup must be unique + one boilerplate (got $toks)")
   }
 
+  test("--boilerplate-max-docfreq removes chrome everywhere, keeps rare repetition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_boiler").toString
+    // the same footer in every doc (chrome), one quote shared by two docs
+    (1 to 10).map { i =>
+      val quote = if (i <= 2) "\n\nshared quote once" else ""
+      (i.toLong, s"unique$i alpha$quote\n\nGLOBAL FOOTER CHROME")
+    }.toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "budget" -> "64",
+      "boilerplate-max-docfreq" -> "2"))
+    assert(stats("docs_out") === 10L, "boilerplate removal rewrites, never drops docs")
+    def tokenMass(out: String): Long =
+      spark.read.parquet(s"$out/chunks")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    // footer (df=10) drops everywhere; the quote (df=2) survives in BOTH
+    // docs 1-2. Space-splitting token mass: docs 1-2 "uniqueN alpha\n\n
+    // shared quote once" = 4 tokens (the \n\n seam glues two), docs 3-10
+    // "uniqueN alpha" = 2 tokens
+    assert(tokenMass(s"$dir/out") === 2L * 4 + 8L * 2,
+      "footer must drop everywhere while the 2-doc quote survives twice")
+    // tightening to df <= 1 also strips the quote from both docs
+    CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out1", "budget" -> "64",
+      "boilerplate-max-docfreq" -> "1"))
+    assert(tokenMass(s"$dir/out1") === 10L * 2)
+  }
+
   test("--span-dedup cuts inline boilerplate that has no paragraph boundary") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus_span").toString

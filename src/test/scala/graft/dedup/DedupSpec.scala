@@ -293,6 +293,34 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("", 0L)))
   }
 
+  test("boilerplateParagraphRemove: frequency threshold, not keep-first") {
+    val docs = Seq(
+      (1L, "intro one\n\nCOOKIE BANNER\n\nbody a"),
+      (2L, "COOKIE BANNER\n\nshared quote\n\nbody b"),
+      (3L, "body c\n\nshared quote\n\nCOOKIE BANNER"),
+      (4L, "rep\n\nrep\n\nbody d"), // within-doc repeat: doc-frequency 1
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val at2 = Dedup.boilerplateParagraphRemove(docs, "doc_id", "text",
+        maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // banner is in 3 docs -> removed everywhere incl. its first occurrence;
+    // the quote is in 2 docs -> survives in BOTH (keep-first would keep one)
+    assert(at2(1L) === (("intro one\n\nbody a", 2L, 1L)))
+    assert(at2(2L) === (("shared quote\n\nbody b", 2L, 1L)))
+    assert(at2(3L) === (("body c\n\nshared quote", 2L, 1L)))
+    // within-doc repetition is doc-frequency 1: both copies survive
+    assert(at2(4L) === (("rep\n\nrep\n\nbody d", 3L, 0L)))
+    assert(at2(5L) === (("", 0L, 0L)))
+    // tightening to maxDocFreq = 1 also removes the quote from both docs
+    val at1 = Dedup.boilerplateParagraphRemove(docs, "doc_id", "text",
+        maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at1(2L) === "body b")
+    assert(at1(3L) === "body c")
+  }
+
   test("paragraphKeepFirst: fast xxhash64 path matches the md5 oracle path") {
     val docs = Seq(
       (1L, "one two\n\nshared\n\nthree"),
