@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.queries.{QueryDef, Tables}
+import graft.trainprep.CorpusOverlap
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact / MinHash+LSH / SimHash /
@@ -624,6 +625,46 @@ object PipelineQueries {
           kmeansIters = 1, shortlist = 64)
       },
       None),
+
+    // ---- corpus-slice overlap: EXACT pairwise vocabulary Jaccard between
+    // language slices — distinct tokens equi-joined on the token (a token
+    // only meets its equal; never pairwise docs) ---------------------------
+    "q_slice_overlap" -> QueryDef(
+      (s, dir) => CorpusOverlap.sliceOverlapExact(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "lang", "text"),
+      Some("""WITH tok AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE doc_id < 500),
+             |n AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang),
+             |i AS (SELECT a.lang AS slice_a, b.lang AS slice_b, count(*) AS ni
+             |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang < b.lang
+             |  GROUP BY 1, 2)
+             |SELECT i.slice_a, i.slice_b,
+             |  round(ni::DOUBLE / (na.n + nb.n - ni), 6) AS jaccard
+             |FROM i JOIN n na ON na.lang = i.slice_a
+             |JOIN n nb ON nb.lang = i.slice_b""".stripMargin)),
+
+    // ---- corpus-slice overlap, MinHash-sketch ESTIMATE: per-slice
+    // min(md5(tok || '#k')) signatures compared component-wise. This md5
+    // variant is the cross-engine-replayable twin of the production
+    // minhash_sketch TypedImperativeAggregate (xxhash64 family, one
+    // fixed 8·n-byte buffer per slice, no token explode — SketchSpec pins
+    // the two paths' estimator behavior and the aggregate's merge
+    // algebra) -------------------------------------------------------------
+    "q_sketch_overlap" -> QueryDef(
+      (s, dir) => CorpusOverlap.sliceOverlapMd5(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "lang", "text",
+        numHashes = 4),
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE doc_id < 500),
+             |sig AS (SELECT lang,
+             |    min(md5(t || '#0')) AS m0, min(md5(t || '#1')) AS m1,
+             |    min(md5(t || '#2')) AS m2, min(md5(t || '#3')) AS m3
+             |  FROM tok GROUP BY lang)
+             |SELECT a.lang AS slice_a, b.lang AS slice_b,
+             |  round(((a.m0 = b.m0)::INT + (a.m1 = b.m1)::INT +
+             |    (a.m2 = b.m2)::INT + (a.m3 = b.m3)::INT)::DOUBLE / 4, 6)
+             |    AS jaccard_est
+             |FROM sig a JOIN sig b ON a.lang < b.lang""".stripMargin)),
 
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{CharNgrams, FloatVecCosine, FloatVecDot, FloatVecL2, MinHashSigs, SortedLongIntersectCount, SortedTokenHashes}
+import graft.expressions.{CharNgrams, FloatVecCosine, FloatVecDot, FloatVecL2, MinHashSigs, MinHashSketchAgg, SortedLongIntersectCount, SortedTokenHashes}
 
 /** SQL surface for the engine's custom expressions: after `register`,
   * `spark.sql("SELECT vec_cosine(a, b) ...")` resolves to the fused
@@ -45,6 +45,20 @@ object GraftFunctions {
               "got a non-constant expression")
         }
         CharNgrams(exprs(0), n)
+      }, "built-in")
+    registry.createOrReplaceTempFunction("minhash_sketch",
+      exprs => {
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Number => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_sketch(text, n): n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_sketch(text, n): n must be a literal (foldable), " +
+              "got a non-constant expression")
+        }
+        MinHashSketchAgg(exprs(0), n)
       }, "built-in")
     registry.createOrReplaceTempFunction("sorted_token_hashes",
       exprs => SortedTokenHashes(exprs(0)), "built-in")

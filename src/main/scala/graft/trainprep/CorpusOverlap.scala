@@ -1,0 +1,101 @@
+package graft.trainprep
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.MinHashSketchAgg
+
+/** Corpus-slice overlap estimation: how much vocabulary do two slices of a
+  * corpus (source vs source, shard vs shard, training corpus vs an
+  * incoming batch) share? The production path sketches each slice with the
+  * mergeable [[MinHashSketchAgg]] group aggregate — one fixed-size buffer
+  * per slice, no token explode, no pairwise doc work — and compares
+  * sketches; slices are few, so the pairwise stage is over GROUPS, never
+  * over rows. The md5 variant and the exact variant exist to be
+  * cross-engine replayable (both DuckDB-oracled).
+  *
+  * Reference scope note: the reference engine has no corpus-analysis
+  * surface; this extends the LLM-pipeline inventory (SURVEY §2.11). */
+object CorpusOverlap {
+
+  /** Group-level MinHash sketch column (xxhash64 family — the fast path).
+    * See [[MinHashSketchAgg]] for the scale shape and hash-family parity
+    * with `minhash_sigs`. */
+  def minhashSketch(text: Column, numHashes: Int): Column =
+    GraftBridge.column(
+      MinHashSketchAgg(GraftBridge.expression(text), numHashes)
+        .toAggregateExpression())
+
+  /** Jaccard estimate between two sketches: the fraction of equal
+    * components. Tiny per-pair arithmetic over group rows — the
+    * CodegenFallback HOF cost is irrelevant off the hot path. */
+  def sketchJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), b => b)).cast("double") /
+      size(a)
+
+  /** Pairwise slice overlap from per-slice sketches — the production
+    * shape: ONE pass over the corpus (map-side-combined fixed buffers),
+    * then a self-join over the handful of slice rows. Returns
+    * (slice_a, slice_b, jaccard_est) for slice_a < slice_b. */
+  def sliceOverlapSketched(docs: DataFrame, sliceCol: String,
+      textCol: String, numHashes: Int = 64): DataFrame = {
+    val sk = docs.groupBy(col(sliceCol))
+      .agg(minhashSketch(col(textCol), numHashes).as("__sk"))
+    sk.as("a").join(sk.as("b"),
+        col(s"a.$sliceCol") < col(s"b.$sliceCol"))
+      .select(
+        col(s"a.$sliceCol").as("slice_a"),
+        col(s"b.$sliceCol").as("slice_b"),
+        round(sketchJaccard(col("a.__sk"), col("b.__sk")), 6).as("jaccard_est"))
+  }
+
+  /** md5-family sketch overlap — identical estimator, built entirely from
+    * engine-portable primitives (`min(md5(tok || '#k'))` per seed), so a
+    * SQL oracle replays it bit for bit. numHashes seeds become numHashes
+    * aggregate columns; the token explode this needs is exactly what
+    * [[MinHashSketchAgg]] exists to avoid at scale. */
+  def sliceOverlapMd5(docs: DataFrame, sliceCol: String, textCol: String,
+      numHashes: Int = 4): DataFrame = {
+    val tok = docs.select(col(sliceCol),
+      explode(split(col(textCol), " ", -1)).as("__t"))
+    val mins = (0 until numHashes).map(k =>
+      min(md5(concat(col("__t"), lit(s"#$k")))).as(s"__m$k"))
+    val sk = tok.groupBy(col(sliceCol)).agg(mins.head, mins.tail: _*)
+    val eq = (0 until numHashes).map(k =>
+      when(col(s"a.__m$k") === col(s"b.__m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    sk.as("a").join(sk.as("b"),
+        col(s"a.$sliceCol") < col(s"b.$sliceCol"))
+      .select(
+        col(s"a.$sliceCol").as("slice_a"),
+        col(s"b.$sliceCol").as("slice_b"),
+        round(eq.cast("double") / numHashes, 6).as("jaccard_est"))
+  }
+
+  /** EXACT pairwise slice Jaccard over distinct token vocabularies:
+    * |A ∩ B| via an equi-join on the token (never a cross join — a token
+    * only meets its equal), |A ∪ B| = |A| + |B| − |A ∩ B|. At 100 TB the
+    * join key would be xxhash64(token) (8-byte keys); the raw-token join
+    * here keeps the DuckDB oracle byte-exact. Slices missing from the
+    * output share no tokens at all. */
+  def sliceOverlapExact(docs: DataFrame, sliceCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(sliceCol),
+      explode(split(col(textCol), " ", -1)).as("__t")).distinct()
+    val sizes = tok.groupBy(col(sliceCol)).agg(count(lit(1)).as("__n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.__t") === col("b.__t") &&
+          col(s"a.$sliceCol") < col(s"b.$sliceCol"))
+      .groupBy(col(s"a.$sliceCol").as("slice_a"),
+        col(s"b.$sliceCol").as("slice_b"))
+      .agg(count(lit(1)).as("__ni"))
+    inter
+      .join(sizes.withColumnRenamed(sliceCol, "slice_a")
+        .withColumnRenamed("__n", "__na"), "slice_a")
+      .join(sizes.withColumnRenamed(sliceCol, "slice_b")
+        .withColumnRenamed("__n", "__nb"), "slice_b")
+      .select(col("slice_a"), col("slice_b"),
+        round(col("__ni").cast("double") /
+          (col("__na") + col("__nb") - col("__ni")), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.trainprep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.trainprep.CorpusOverlap._
+
+/** The minhash_sketch group aggregate: hash-family parity with the
+  * per-row minhash_sigs expression, bit-equality with the relational
+  * explode+groupBy formulation (including under forced partial/merge),
+  * estimator sanity against exact Jaccard, and NULL/empty-group algebra. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "the quick brown fox jumps"),
+    (2L, "en", "the lazy dog sleeps"),
+    (3L, "de", "der schnelle braune fuchs"),
+    (4L, "de", "the quick brown fox rests"),
+    (5L, "fr", null.asInstanceOf[String])
+  ).toDF("doc_id", "lang", "text")
+
+  test("a single-row group's sketch equals that row's minhash_sigs signature") {
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sketch_docs")
+    val perRow = spark.sql(
+      "SELECT doc_id, minhash_sigs(text, 8) AS sig FROM sketch_docs WHERE doc_id = 1")
+      .head().getSeq[Long](1)
+    val grouped = docs.filter(col("doc_id") === 1)
+      .groupBy("doc_id").agg(minhashSketch(col("text"), 8).as("sk"))
+      .head().getSeq[Long](1)
+    assert(grouped == perRow)
+  }
+
+  test("sketch equals the relational explode+min formulation, incl. under merges") {
+    val mins = (0 until 8).map(k =>
+      min(xxhash64(lit(k), col("tok"))).as(s"m$k"))
+    val relational = docs.filter(col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("lang")
+      .agg(mins.head, mins.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> (1 to 8).map(r.getLong)).toMap
+    // repartition(7) forces partial buffers on separate tasks → real merges
+    val sketched = docs.repartition(7)
+      .groupBy("lang").agg(minhashSketch(col("text"), 8).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (l <- Seq("en", "de"))
+      assert(sketched(l) == relational(l), s"lang $l")
+    // a NULL-only group has the empty sketch (all Long.MaxValue)
+    assert(sketched("fr") == Seq.fill(8)(Long.MaxValue))
+  }
+
+  test("sketch estimate tracks exact Jaccard on slices with known overlap") {
+    // two slices sharing exactly half their vocabulary union
+    val half = Seq(
+      (1L, "a", "w1 w2 w3 w4 w5 w6"),
+      (2L, "b", "w1 w2 w3 w7 w8 w9")
+    ).toDF("doc_id", "slice", "text")
+    val exact = sliceOverlapExact(half, "slice", "text")
+      .head().getDouble(2)
+    assert(exact === 0.333333) // 3/9, rounded to 6 places by the operator
+    val est = sliceOverlapSketched(half, "slice", "text", numHashes = 512)
+      .head().getDouble(2)
+    // deterministic hashes → reproducible estimate; 512 components give
+    // σ ≈ 0.021, assert within 5σ of the true 1/3
+    assert(math.abs(est - exact) < 0.11, s"estimate $est vs exact $exact")
+    // identical slices estimate 1 exactly, disjoint ones sit near 0
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "slice", "text")
+    assert(sliceOverlapSketched(same, "slice", "text", 16)
+      .head().getDouble(2) === 1.0)
+  }
+
+  test("md5 estimator variant agrees with its own exact twin's support") {
+    // every pair of langs shares at least the space-split empty-token-free
+    // vocabulary drawn from the same generator, so both variants must
+    // produce one row per lang pair with estimates in [0, 1]
+    val est = sliceOverlapMd5(docs.filter(col("text").isNotNull),
+      "lang", "text", numHashes = 4).collect()
+    assert(est.length == 1) // de < en is the only slice pair with tokens
+    assert(est.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+  }
+}
