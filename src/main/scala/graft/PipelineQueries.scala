@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.queries.{QueryDef, Tables}
-import graft.trainprep.CorpusOverlap
+import graft.trainprep.{CorpusOverlap, QualityClassifier}
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact / MinHash+LSH / SimHash /
@@ -665,6 +665,29 @@ object PipelineQueries {
              |    (a.m2 = b.m2)::INT + (a.m3 = b.m3)::INT)::DOUBLE / 4, 6)
              |    AS jaccard_est
              |FROM sig a JOIN sig b ON a.lang < b.lang""".stripMargin)),
+
+    // ---- hashed-feature linear quality scoring: the inference path of the
+    // fastText-style classifier (QualityClassifier.trainLogReg is the
+    // iterative trainer, spec-gated like the k-means codebooks). Weights
+    // here are a fixed function of the bucket id so BOTH engines derive
+    // them: w(b) = ((b·96769) mod 2000)/1000 − 1, bucket = first 8 md5 hex
+    // digits mod 256 — engine-portable by construction ----------------------
+    "q_quality_lr" -> QueryDef(
+      (s, dir) => QualityClassifier.scoreLinear(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        weights = Array.tabulate(256)(b => ((b * 96769) % 2000) / 1000.0 - 1.0)),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE doc_id < 300),
+             |b AS (SELECT doc_id,
+             |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b
+             |  FROM tok WHERE len(t) > 0),
+             |z AS (SELECT doc_id,
+             |    sum(((b * 96769) % 2000) / 1000.0 - 1.0) AS z
+             |  FROM b GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 5) AS quality_score
+             |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+             |LEFT JOIN z USING (doc_id)""".stripMargin)),
 
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
