@@ -161,6 +161,44 @@ class PlanAuditSpec extends SparkSpec {
       "only the fpp-bounded sliver may join, and broadcast at this ref size:\n" + plan.take(1200))
   }
 
+  test("q_ann_pq encode+ADC is one map chain into TakeOrdered — no shuffle") {
+    // codebooks collect nCodes seed rows driver-side; the ranking scan
+    // itself is argmin-encode + LUT adds per row, then a TakeOrdered —
+    // an Exchange here would mean the ADC scan shuffles the corpus
+    val plan = executedPlan("q_ann_pq")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      "PQ ADC ranking must not shuffle:\n" + plan.take(1200))
+    assert(plan.contains("vec_l2") || plan.contains("FloatVecL2"),
+      "fused subvector argmin distance must appear:\n" + plan.take(1200))
+  }
+
+  test("q_sketch_overlap pairs slices AFTER aggregation — the join input is slice-sized") {
+    // the token explode feeds ONE hash aggregate; the pairwise stage joins
+    // the per-slice signature rows (a handful), so no join may sit below
+    // the aggregate
+    val plan = executedPlan("q_sketch_overlap")
+    // min(md5) over strings plans as SortAggregate; either aggregate works
+    val aggFirst = "(Sort|Hash)Aggregate".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    val joinAt = math.max(plan.indexOf("BroadcastNestedLoopJoin"),
+      math.max(plan.indexOf("SortMergeJoin"), plan.indexOf("BroadcastHashJoin")))
+    assert(aggFirst >= 0 && joinAt >= 0, plan.take(1200))
+    assert(joinAt < aggFirst, // executed plans print top-down: join above agg
+      "the pairwise join must consume aggregated slice rows:\n" + plan.take(1500))
+    assert(plan.contains("partial_min"),
+      "slice minima must partial-aggregate map-side:\n" + plan.take(1500))
+  }
+
+  test("q_quality_lr scores with one doc-level aggregate over bucketed weights") {
+    val plan = executedPlan("q_quality_lr")
+    // weight lookup is element_at on a literal array — codegen'd, no join
+    // against a weight table and no UDF
+    assert(!plan.contains("SortMergeJoin"),
+      "weights are a broadcast literal, not a joined table:\n" + plan.take(1200))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "scoring path must stay codegen'd:\n" + plan.take(1200))
+  }
+
   test("near-dup verification never explodes tokens into rows") {
     // the verify stage carries token sets as sorted-hash arrays and counts
     // the intersection in-row; the only Generate (explode) nodes allowed in
