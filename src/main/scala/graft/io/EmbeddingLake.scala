@@ -47,6 +47,53 @@ object EmbeddingLake {
     Similarity.bruteForceTopK(pruned, idCol, vecCol, query, k, roundTo)
   }
 
+  /** IVFADC layout (Jégou et al., TPAMI 2011 §IV): the IVF cell id as the
+    * partition column AND the PQ byte code stored beside the vector. A
+    * query then composes BOTH prunings: partition pruning cuts the scan to
+    * nProbe/nCentroids of the files, and the ADC ranking inside the
+    * probed cells reads only (id, pq_code) — m bytes of code instead of
+    * dim·4 bytes of vector — before a shortlist-sized fetch touches any
+    * float. Returns (cellCodebook, pqCodebooks) — both
+    * cluster-metadata-sized, persisted alongside the table. (Classic
+    * IVFADC quantizes the residual vs the cell centroid; codes here cover
+    * the raw vector — the layout and scan discipline are identical, the
+    * residual refinement drops into `withPqCodes`'s input unchanged.) */
+  def writePartitionedPq(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nCentroids: Int, m: Int, nCodes: Int,
+      kmeansIters: Int = 2, pqIters: Int = 1,
+      mode: SaveMode = SaveMode.Overwrite)
+      : (Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
+    val cents = Similarity.codebook(df, idCol, vecCol, nCentroids, kmeansIters)
+    val pq = Similarity.pqCodebooks(df, idCol, vecCol, dim, m, nCodes, pqIters)
+    Similarity.withIvfCell(
+        Similarity.withPqCodes(df, vecCol, dim, pq), vecCol, cents)
+      .write.mode(mode).partitionBy("ivf_cell").parquet(path)
+    (cents, pq)
+  }
+
+  /** IVFADC top-k: partition-prune to the `nProbe` nearest cells, ADC-rank
+    * the probed rows from the STORED byte codes (scan 1 — column-pruned to
+    * (id, pq_code); EmbeddingLakeSpec pins the read schema), then fetch
+    * only the `shortlist` candidates' vectors via a broadcast semi-join
+    * (scan 2) and rerank them exactly. */
+  def probeTopKAdc(spark: SparkSession, path: String,
+      cellCodebook: Array[Seq[Float]],
+      pqCodebooks: Array[Array[Seq[Float]]],
+      idCol: String, vecCol: String, query: Seq[Float], dim: Int, k: Int,
+      nProbe: Int, shortlist: Int = 64, roundTo: Int = 6): DataFrame = {
+    val probes = cellCodebook.indices
+      .sortBy(i => Similarity.l2Local(query, cellCodebook(i)))
+      .take(nProbe)
+    val pruned = read(spark, path).filter(col("ivf_cell").isin(probes: _*))
+    val cand = Similarity.pqAdcTopKFromCodes(
+        pruned.select(col(idCol), col("pq_code")),
+        idCol, query, dim, pqCodebooks, math.max(shortlist, k), roundTo)
+      .select(col(idCol))
+    val fetched = pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+    Similarity.bruteForceTopK(fetched, idCol, vecCol, query, k, roundTo)
+  }
+
   /** Number of files the plan will actually read — the partition-pruning
     * assertion (compare against the unfiltered table's file count). */
   def filesRead(df: DataFrame): Long = {

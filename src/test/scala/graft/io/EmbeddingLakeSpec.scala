@@ -48,6 +48,44 @@ class EmbeddingLakeSpec extends SparkSpec {
     assert(probed.collect().map(_.getLong(0)).toSeq == expected)
   }
 
+  test("IVFADC: code scan is partition-pruned AND column-pruned; full probe equals exact") {
+    val path = Files.createTempDirectory("embedding_lake_pq").toString + "/emb"
+    val df = vecs.toDF("vec_id", "embedding")
+    val (cells, pq) = EmbeddingLake.writePartitionedPq(
+      df, "vec_id", "embedding", path, dim = Dim, nCentroids = 4,
+      m = 2, nCodes = 16, kmeansIters = 1, pqIters = 1)
+
+    val q = vecs(9)._2
+    // probing EVERY cell with shortlist = corpus makes IVFADC exactly
+    // brute force — certifies the code/fetch/rerank machinery end to end
+    val full = EmbeddingLake.probeTopKAdc(spark, path, cells, pq,
+      "vec_id", "embedding", q, Dim, k = 5, nProbe = 4, shortlist = 200)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.collect().map(_.getLong(0)).toSeq == exact)
+
+    // narrow probe: partition pruning holds
+    val narrow = EmbeddingLake.probeTopKAdc(spark, path, cells, pq,
+      "vec_id", "embedding", q, Dim, k = 5, nProbe = 1, shortlist = 20)
+    narrow.collect()
+    val allFiles = EmbeddingLake.filesRead(EmbeddingLake.read(spark, path))
+    assert(EmbeddingLake.filesRead(narrow) < allFiles)
+
+    // the ADC candidate stage's scan must NOT read the embedding column —
+    // that is the m-bytes-per-row memory story
+    val cand = Similarity.pqAdcTopKFromCodes(
+      EmbeddingLake.read(spark, path)
+        .filter(col("ivf_cell") === 0).select(col("vec_id"), col("pq_code")),
+      "vec_id", q, Dim, pq, 5)
+    cand.collect()
+    val scanSchemas = cand.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSeq
+    }
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(!_.contains("embedding")),
+      s"ADC scan read $scanSchemas — the vector column must stay unread")
+  }
+
   test("rowwise minhash signing is shuffle-free (pure map)") {
     val docs = vecs.map { case (i, _) => (i, s"tok$i common words here") }
       .toDF("doc_id", "text")
