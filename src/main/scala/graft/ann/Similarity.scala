@@ -235,29 +235,29 @@ object Similarity {
   /** Encode each vector to its `m`-byte PQ code (`pq_code: array<tinyint>`,
     * codes ≥ 128 wrap into the signed byte — readers mask with `& 0xFF`).
     * Per subspace: argmin L2 against that subspace's codebook, ties to the
-    * lowest code index — the same fused codegen'd distance the IVF cell
-    * assignment uses, on `slice`s of the packed vector (no explode). At
+    * lowest code index, computed by the fused codegen'd [[graft.expressions.PqEncode]]
+    * — one loop nest per row over a flat codebook array. (The equivalent
+    * relational `transform(sequence, c -> struct(vec_l2(slice(...)), c))`
+    * formulation interprets its HOF lambdas and materializes m·nCodes
+    * slices per row — measured 98 s vs <2 s to encode 100 k × 64-dim at
+    * m=8, nCodes=256; PqEncodeSpec pins bit-parity incl. tie-breaks.) At
     * 100 TB this runs ONCE at ingest and the stored code column replaces
     * the float vector in every ADC scan: dim·4 bytes → m bytes per row
     * (32× at dim=64, m=8). */
   def withPqCodes(df: DataFrame, vecCol: String, dim: Int,
       codebooks: Array[Array[Seq[Float]]]): DataFrame = {
     val m = codebooks.length
+    val nCodes = codebooks(0).length
+    require(codebooks.forall(_.length == nCodes),
+      "every subspace codebook must have the same number of codes")
     val ds = dim / m
-    val codeCols = (0 until m).map { j =>
-      val cbLit = typedlit(codebooks(j).toSeq)
-      val sub = slice(col(vecCol), j * ds + 1, ds)
-      val best = array_min(transform(
-        sequence(lit(0), lit(codebooks(j).length - 1)),
-        c => struct(
-          VectorFunctions.l2(sub, element_at(cbLit, c + 1)).as("d"),
-          c.as("i"))))
-        .getField("i")
-      // explicit two's-complement wrap: ANSI-mode cast would throw on
-      // codes ≥ 128 instead of wrapping into the signed byte
-      when(best > 127, best - 256).otherwise(best).cast("tinyint")
-    }
-    df.withColumn("pq_code", array(codeCols: _*))
+    val flat = new Array[Float](nCodes * dim)
+    for (j <- 0 until m; c <- 0 until nCodes; i <- 0 until ds)
+      flat((j * nCodes + c) * ds + i) = codebooks(j)(c)(i)
+    df.withColumn("pq_code", org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+        dim, m, nCodes, flat)))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the driver builds the

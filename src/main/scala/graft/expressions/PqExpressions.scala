@@ -1,0 +1,118 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType}
+
+/** Fused product-quantization encoder: all `m` sub-space argmins over the
+  * codebooks in ONE codegen'd loop nest per row — the replacement for the
+  * relational `transform(sequence(0, nCodes-1), c -> struct(vec_l2(slice(
+  * vec, …), centroid), c))` formulation, whose higher-order-function
+  * lambdas are CodegenFallback: that shape interprets m·nCodes lambda
+  * bodies and materializes m·nCodes slice arrays PER ROW (measured 98 s to
+  * encode 100 k × 64-dim at m=8, nCodes=256; this expression: one flat
+  * float[] of codebooks, zero allocation beyond the m-byte output).
+  *
+  * Bit-parity with the relational form it replaces (and with the q_ann_pq
+  * DuckDB oracle): per sub-space the distance is sqrt of the in-order sum
+  * of squared differences in double — sqrt INCLUDED, because two distinct
+  * squared sums can round to the same sqrt double and tie differently than
+  * their squared forms — and ties go to the lowest code index. Codes wrap
+  * two's-complement into the signed byte (`& 0xFF` to read). NULL when the
+  * vector is NULL or has fewer than `dim` elements. */
+case class PqEncode(child: Expression, dim: Int, m: Int, nCodes: Int,
+    flatCodebooks: Array[Float]) extends UnaryExpression {
+
+  require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+  require(nCodes > 0 && nCodes <= 256, s"nCodes must be in [1,256], got $nCodes")
+  // flat layout [j][c][i]: m * nCodes * ds = nCodes * dim floats
+  require(flatCodebooks.length == nCodes * dim,
+    s"flat codebook has ${flatCodebooks.length} floats, need ${nCodes * dim}")
+
+  private val ds: Int = dim / m
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() < dim) return null
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < nCodes) {
+        var s = 0.0
+        var i = 0
+        val base = (j * nCodes + c) * ds
+        val vbase = j * ds
+        while (i < ds) {
+          val dd = vec.getFloat(vbase + i).toDouble - flatCodebooks(base + i)
+          s += dd * dd
+          i += 1
+        }
+        val d = math.sqrt(s)
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      out(j) = bestC.toByte
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqFlatCodebooks", flatCodebooks, "float[]")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val dd = ctx.freshName("dd")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val base = ctx.freshName("base")
+      val vbase = ctx.freshName("vbase")
+      s"""
+         |if ($v.numElements() < $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double $best = Double.MAX_VALUE;
+         |    int $bestC = 0;
+         |    int $vbase = $j * $ds;
+         |    for (int $c = 0; $c < $nCodes; $c++) {
+         |      double $s = 0.0;
+         |      int $base = ($j * $nCodes + $c) * $ds;
+         |      for (int $i = 0; $i < $ds; $i++) {
+         |        double $dd = (double) $v.getFloat($vbase + $i) - (double) $cb[$base + $i];
+         |        $s += $dd * $dd;
+         |      }
+         |      double $d = java.lang.Math.sqrt($s);
+         |      if ($d < $best) { $best = $d; $bestC = $c; }
+         |    }
+         |    $out[$j] = (byte) $bestC;
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
