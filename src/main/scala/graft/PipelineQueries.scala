@@ -358,6 +358,38 @@ object PipelineQueries {
       Some(keepersCcOracleSqlAt("0.6",
         s"SELECT * FROM $dupUnionSql WHERE doc_id < 1000 OR doc_id >= 100000"))),
 
+    // ---- transitive keepers, KEEP-BEST: the component winner is the
+    // longest text (argmax coalesce(length, -1), ties to lowest id) — what
+    // production pipelines retain — instead of the smallest id. Same CC
+    // closure; input bounded like q_dedup_keepers_cc (template-cluster
+    // economics) but to 500 ids so the two CC demos don't double-price the
+    // bench ----------------------------------------------------------------
+    "q_dedup_keepers_best" -> QueryDef(
+      (s, dir) => Dedup.nearDupKeepersBest(
+        docsWithDups(s, dir)
+          .filter(col("doc_id") < 500 || col("doc_id") >= 100000L)
+          .withColumn("score", coalesce(length(col("text")), lit(-1))),
+        "doc_id", "text", "score", numHashes = 4, rowsPerBand = 2,
+        threshold = 0.6),
+      Some(s"""WITH RECURSIVE ${verifiedPairsSqlAt("0.6",
+          s"SELECT * FROM $dupUnionSql WHERE doc_id < 500 OR doc_id >= 100000")},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+             |  UNION SELECT id_b, id_a FROM ver),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS comp FROM docs
+             |  UNION
+             |  SELECT e.dst AS id, r.comp AS comp
+             |  FROM reach r JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+             |sc AS (SELECT c.id, c.comp, coalesce(length(d.text), -1) AS s
+             |  FROM comp c JOIN docs d ON d.doc_id = c.id),
+             |win AS (SELECT comp, id AS best FROM (
+             |    SELECT comp, id,
+             |      row_number() OVER (PARTITION BY comp ORDER BY s DESC, id) AS rn
+             |    FROM sc) WHERE rn = 1)
+             |SELECT sc.id AS doc_id, win.best AS keeper_id
+             |FROM sc JOIN win USING (comp)""".stripMargin)),
+
     // ---- paragraph-level keep-first dedup ---------------------------------
     // The post-doc-level layer: boilerplate paragraphs recur across
     // otherwise-distinct docs. First occurrence in corpus order (min

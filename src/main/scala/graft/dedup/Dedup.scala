@@ -1085,6 +1085,35 @@ object Dedup {
         idCol, textCol, numHashes, rowsPerBand, threshold, maxIter)
     }
 
+  /** Transitive near-dup keepers that keep the BEST document of each
+    * duplicate cluster instead of the smallest id — what production
+    * pipelines actually retain (highest quality score, longest text,
+    * freshest crawl). Components come from the same star-contraction CC;
+    * the winner of each component is argmax(`scoreCol`), ties to the
+    * lowest id. Returns (doc_id, keeper_id) where keeper_id is the
+    * winning MEMBER of the doc's component.
+    *
+    * Scale shape: one groupBy over the component labels (map-side
+    * `max_by` partials) + an equi-join of the member frame against the
+    * component-count-sized winner frame — nothing beyond the CC run
+    * itself. NULL scores never win (`max_by` ignores null ordering keys)
+    * — coalesce a sentinel first if null-scored singletons must keep
+    * themselves. */
+  def nearDupKeepersBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxIter: Int = 10,
+      hashFn: (Column, Int) => Column = oracleHash): DataFrame = {
+    val comp = nearDupKeepersTransitive(df, idCol, textCol, numHashes,
+      rowsPerBand, threshold, maxIter, hashFn)
+    val scored = comp.join(
+      df.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")), "doc_id")
+    val winners = scored.groupBy(col("keeper_id").as("__comp"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__s"), (-col("doc_id")).as("__tb"))).as("__best"))
+    scored.join(winners, col("keeper_id") === col("__comp"))
+      .select(col("doc_id"), col("__best").as("keeper_id"))
+  }
+
   /** `nearDupKeepersTransitive` in its production-default shape: exact-dup
     * collapse, ZERO-SHUFFLE rowwise signatures, optional mega-bucket cap,
     * star-contraction components. The md5 explode+agg variant above stays

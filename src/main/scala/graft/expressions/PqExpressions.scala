@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType}
   * squared sums can round to the same sqrt double and tie differently than
   * their squared forms — and ties go to the lowest code index. Codes wrap
   * two's-complement into the signed byte (`& 0xFF` to read). NULL when the
-  * vector is NULL or has fewer than `dim` elements. */
+  * vector is NULL or has fewer than `dim` elements. NULL ELEMENTS inside
+  * the vector read as 0.0 (primitive ArrayData access) — embedding columns
+  * carry none; callers with nullable elements must pre-coalesce. */
 case class PqEncode(child: Expression, dim: Int, m: Int, nCodes: Int,
     flatCodebooks: Array[Float]) extends UnaryExpression {
 

@@ -293,6 +293,28 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("", 0L)))
   }
 
+  test("nearDupKeepersBest: the component winner is the highest score, not the lowest id") {
+    // docs 1,2,3 are one near-dup cluster; doc 2 is the longest → keeper;
+    // docs 10,11 tie on score → lowest id 10 wins; doc 20 is a singleton
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta PLUS EXTRA LENGTH HERE"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (10L, "totally different words one two three"),
+      (11L, "totally different words one two three"),
+      (20L, "a lone document about nothing shared")
+    ).toDF("doc_id", "text")
+      .withColumn("score", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    val out = Dedup.nearDupKeepersBest(docs, "doc_id", "text", "score",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L && out(2L) == 2L && out(3L) == 2L,
+      s"longest member must win the cluster: $out")
+    assert(out(10L) == 10L && out(11L) == 10L, "score tie breaks to lowest id")
+    assert(out(20L) == 20L, "singletons keep themselves")
+  }
+
   test("boilerplateParagraphRemove: frequency threshold, not keep-first") {
     val docs = Seq(
       (1L, "intro one\n\nCOOKIE BANNER\n\nbody a"),

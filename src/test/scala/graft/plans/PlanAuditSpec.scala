@@ -169,8 +169,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
     assert(!plan.contains("Exchange"),
       "PQ ADC ranking must not shuffle:\n" + plan.take(1200))
-    assert(plan.contains("vec_l2") || plan.contains("FloatVecL2"),
-      "fused subvector argmin distance must appear:\n" + plan.take(1200))
+    assert(plan.contains("pq_encode"),
+      "fused codegen PQ encoder must appear:\n" + plan.take(1200))
   }
 
   test("q_sketch_overlap pairs slices AFTER aggregation — the join input is slice-sized") {
