@@ -791,6 +791,56 @@ object PipelineQueries {
               |    ELSE 'es' END AS pred_lang
               |FROM documents""".stripMargin)),
 
+    // ---- text analysis: Gopher-rule composite gate -------------------------
+    // The standard pre-training document filter (Rae et al. 2021 A1.1) as
+    // one zero-shuffle select: measured values + one boolean per rule +
+    // the AND verdict, all cross-engine-exact (6-place rounding, explicit
+    // 0.0 on empty docs)
+    // minStopwordHits=1 here (paper default 2): the synthetic vocab carries
+    // only "the" from the Gopher stop set, so 2 would fail every doc and
+    // the verdict column would stop discriminating
+    "q_text_gopher" -> QueryDef(
+      (s, dir) => TextFunctions.gopherGate(
+        t(s, dir, "documents"), "doc_id", "text", minStopwordHits = 1L),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS words,
+             |    string_split(text, chr(10)) AS lines, text
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |  len(words)::BIGINT AS n_words,
+             |  CASE WHEN len(words) = 0 THEN 0.0 ELSE round(
+             |    list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words), 6)
+             |    END AS mean_word_len,
+             |  CASE WHEN len(words) = 0 THEN 0.0 ELSE round(
+             |    ((len(text) - len(replace(text, '#', ''))) +
+             |     (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
+             |    / len(words), 6) END AS symbol_ratio,
+             |  round(len(list_filter(lines, l -> starts_with(l, '- ')
+             |      OR starts_with(l, '* ') OR starts_with(l, '•')))::DOUBLE
+             |    / len(lines), 6) AS bullet_frac,
+             |  round(len(list_filter(lines, l -> ends_with(l, '...')
+             |      OR ends_with(l, '…')))::DOUBLE / len(lines), 6) AS ellipsis_frac,
+             |  CASE WHEN len(words) = 0 THEN 0.0 ELSE round(
+             |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+             |    / len(words), 6) END AS alpha_frac,
+             |  len(list_filter(['the','be','to','of','and','that','have','with'],
+             |    s -> list_contains(words, s)))::BIGINT AS stop_hits
+             |  FROM base)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             |  ellipsis_frac, alpha_frac, stop_hits,
+             |  (n_words BETWEEN 50 AND 100000) AS r_words,
+             |  (mean_word_len BETWEEN 3.0 AND 10.0) AS r_word_len,
+             |  (symbol_ratio <= 0.1) AS r_symbol,
+             |  (bullet_frac <= 0.9) AS r_bullet,
+             |  (ellipsis_frac <= 0.3) AS r_ellipsis,
+             |  (alpha_frac >= 0.8) AS r_alpha,
+             |  (stop_hits >= 1) AS r_stop,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1
+             |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+             |   AND alpha_frac >= 0.8 AND stop_hits >= 1) AS pass
+             |FROM m""".stripMargin)),
+
     // ---- text analysis: quality scoring ------------------------------------
     "q_text_quality" -> QueryDef(
       (s, dir) => {

@@ -101,6 +101,72 @@ object TextFunctions {
       round(max(col("__c")) / sum(col("__c")), 6).as("top_token_fraction"))
   }
 
+  /** The Gopher-rule stop set (Rae et al. 2021, appendix A1.1): a doc must
+    * contain at least `minStopwordHits` DISTINCT members to pass. */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Composite Gopher-rule quality gate (Rae et al. 2021, appendix A1.1) —
+    * the standard pre-training document filter: word-count bounds, mean
+    * word length bounds, symbol-to-word ratio (# and ...), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and distinct-
+    * stopword evidence. Returns one row per input row with the measured
+    * values, one boolean per rule, and `pass` = AND of all rules.
+    *
+    * Scale shape: a single `select` of codegen'd built-ins and
+    * higher-order functions — zero shuffle, zero UDFs; at 100 TB this is
+    * one map-side pass fused into the scan. Ratios round to 6 places for
+    * cross-engine float compare; empty documents fail the word-count rule
+    * with every ratio an explicit 0.0 (not NULL) so non-ANSI division
+    * can't diverge across engines. */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2L): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanWordLen = when(nWords === 0, lit(0.0))
+      .otherwise(round(sumWordLen.cast("double") / nWords, 6))
+    val hashCount = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipsisCount =
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(round((hashCount + ellipsisCount).cast("double") / nWords, 6))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long") // split("") = [""] — never 0
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val bulletFrac = round(bulletLines.cast("double") / nLines, 6)
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val ellipsisFrac = round(ellipsisLines.cast("double") / nLines, 6)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(round(alphaWords.cast("double") / nWords, 6))
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit): _*), s => array_contains(words, s)))
+      .cast("long")
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rWordLen = meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen
+    val rSymbol = symbolRatio <= maxSymbolWordRatio
+    val rBullet = bulletFrac <= maxBulletLineFrac
+    val rEllipsis = ellipsisFrac <= maxEllipsisLineFrac
+    val rAlpha = alphaFrac >= minAlphaWordFrac
+    val rStop = stopHits >= minStopwordHits
+    df.select(col(idCol), nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+      rWords.as("r_words"), rWordLen.as("r_word_len"), rSymbol.as("r_symbol"),
+      rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha &&
+        rStop).as("pass"))
+  }
+
   /** Character n-gram shingles (rolling window), for MinHash/fingerprints. */
   def charShingles(text: Column, n: Int): Column =
     transform(

@@ -29,4 +29,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(top1 - 5.0 / 6.0) < 1e-6) // rounded to 6 places upstream
     assert(n2 === 6L && d2 === 6L && ttr2 === 1.0)
   }
+
+  test("gopherGate: each rule fires on its own pathological fixture") {
+    val good = ("the cat sat with the dog and that was fine to see " +
+      "because everyone have been waiting of course ") * 4 // >50 words, stopword-rich
+    val docs = Seq(
+      (1L, good),
+      (2L, "short doc"),                               // word-count floor
+      (3L, ("## " * 60) + good),                       // symbol ratio (#/word)
+      (4L, (1 to 60).map(_ => "- bullet line").mkString("\n")), // bullet lines
+      (5L, good.split(" ").take(60).mkString("...\n") + "..."), // ellipsis line ends
+      (6L, (1 to 60).map(_ => "12345").mkString(" ")), // alpha fraction
+      (7L, (1 to 60).map(i => s"w$i").mkString(" ")),  // stopword evidence
+      (8L, "")                                         // empty: fails, no NULLs
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.gopherGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(15), s"healthy doc must pass: ${out(1L)}")
+    assert(!out(2L).getBoolean(8) && !out(2L).getBoolean(15), "word-count floor")
+    assert(!out(3L).getBoolean(10), "symbol-to-word ratio")
+    assert(!out(4L).getBoolean(11), "bullet-line fraction")
+    assert(!out(5L).getBoolean(12), "ellipsis-line fraction")
+    assert(!out(6L).getBoolean(13), "alphabetic-word fraction")
+    assert(!out(7L).getBoolean(14), "distinct-stopword evidence")
+    val empty = out(8L)
+    assert(!empty.getBoolean(15) && !empty.anyNull,
+      s"empty doc must fail with explicit zeros, not NULLs: $empty")
+  }
 }
