@@ -228,6 +228,33 @@ object PipelineQueries {
              |FROM inter JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
              |WHERE n / (sa.sz + sb.sz - n) >= 0.9""".stripMargin)),
 
+    // ---- directed containment pairs (prefix-filter set join) --------------
+    // |A∩B|/|A| over word-3-gram shingles: the asymmetric relation Jaccard
+    // misses (a doc quoted whole inside a longer one). Prefix filtering is
+    // LOSSLESS, so the approximate-free Spark path must equal the
+    // brute-force oracle exactly — exact-copy variants (ids ≥ 100000)
+    // score 1.0 both ways, plus the corpus's natural subset pairs
+    "q_dedup_contain" -> QueryDef(
+      (s, dir) => Dedup.containmentPairs(
+        docsWithDups(s, dir)
+          .filter(col("doc_id") < 300 || col("doc_id") >= 100000L),
+        "doc_id", "text", threshold = 0.9),
+      Some(s"""WITH docs AS (SELECT * FROM $dupUnionSql d
+             |    WHERE doc_id < 300 OR doc_id >= 100000),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+             |sh AS (SELECT DISTINCT doc_id, s FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(w) - 1, 1)),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w)),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS sub_id, b.doc_id AS sup_id,
+             |    count(*) AS c
+             |  FROM sh a JOIN sh b USING (s)
+             |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+             |SELECT sub_id, sup_id, round(c::DOUBLE / n.n, 6) AS containment
+             |FROM inter JOIN n ON n.doc_id = sub_id
+             |WHERE c::DOUBLE / n.n >= 0.9""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs ----------------------------------
     "q_dedup_embed" -> QueryDef(
       (s, dir) => {

@@ -786,6 +786,86 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper_id"))
   }
 
+  /** Directed CONTAINMENT pairs — |A∩B| / |A| ≥ threshold over word
+    * `shingleTokens`-gram shingle sets — the asymmetric near-dup relation
+    * resemblance-Jaccard misses: a short doc quoted whole inside a long
+    * one has Jaccard ≈ |A|/|B| (small) but containment 1.0. Returns
+    * (sub_id, sup_id, containment): `sub_id`'s shingles are ≥ threshold
+    * covered by `sup_id`'s.
+    *
+    * Candidates come from PREFIX FILTERING (Chaudhuri et al. ICDE'06 /
+    * Xiao et al. WWW'08 PPJoin): order each doc's shingle set by global
+    * document frequency ascending (rarest first, ties by hash); if
+    * C(A,B) ≥ t then B must contain one of A's first
+    * |A| − ⌊t·|A|⌋ + 1 shingles (pigeonhole — ⌊⌋ keeps the prefix
+    * conservative under float rounding of t·|A|, so pruning is LOSSLESS:
+    * unlike MinHash banding the result is exactly the brute-force answer).
+    * Joining only those prefix shingles against the inverted index bounds
+    * the candidate fan-out by the posting lists of RARE shingles.
+    *
+    * Scale shape: shingle sets are one-pass codegen rowwise
+    * ([[graft.expressions.SpanHashes]] → distinct+sort in-row, no token
+    * explode for the verify side); the exploded (doc, shingle) frame is
+    * paid once for the df count and prefix selection (the same explode
+    * LSH banding pays); verification is candidate-local — each side's
+    * set rides the pair row as a sorted xxhash64 array and intersects
+    * in-row ([[graft.expressions.SortedLongIntersectCount]]). Posting
+    * lists above `maxPostingSize` are dropped from BOTH prefix and index
+    * with the shared loud oversize audit (hot boilerplate shingles;
+    * df-ascending prefixes make this rare — a drop can only lose pairs
+    * whose every prefix shingle is that hot, and the audit counts it).
+    * Docs with fewer than `shingleTokens` tokens have no shingles and
+    * appear on neither side. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleTokens: Int = 3,
+      maxPostingSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    // the set frame feeds five plan branches (df count, prefix, index,
+    // both verify sides): persist once so text is shingled in one pass,
+    // released by the first completed action (one-shot listener — same
+    // lifecycle as the image hash frame)
+    val sets = df.select(col(idCol).as("__id"),
+      array_sort(array_distinct(GraftBridge.column(
+        graft.expressions.SpanHashes(
+          GraftBridge.expression(col(textCol)), shingleTokens)))).as("__hs"))
+      .filter(col("__hs").isNotNull)
+      .withColumn("__n", size(col("__hs")).cast("long"))
+      .persist()
+    graft.multimodal.Multimodal.unpersistAfterFirstUse(sets)
+    val ex = sets.select(col("__id"), col("__n"), explode(col("__hs")).as("__h"))
+    // sets are per-doc distinct, so count(*) IS document frequency
+    val dfreq = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val audited = observeOversize(dfreq, col("__df"), maxPostingSize,
+      oversizeObs)
+    val kept =
+      if (maxPostingSize == Int.MaxValue) audited
+      else audited.filter(col("__df") <= maxPostingSize)
+    val prefix = ex.join(kept, "__h")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__h"))))
+      .filter(col("__rn") <= col("__n") - floor(lit(threshold) * col("__n")) + 1)
+      .select(col("__id").as("sub_id"), col("__h"))
+    val cands = prefix
+      .join(ex.select(col("__id").as("sup_id"), col("__h")), "__h")
+      .filter(col("sub_id") =!= col("sup_id"))
+      .select("sub_id", "sup_id").distinct()
+    val inter = GraftBridge.column(graft.expressions.SortedLongIntersectCount(
+      GraftBridge.expression(col("__ha")), GraftBridge.expression(col("__hb"))))
+    cands
+      .join(sets.select(col("__id").as("sub_id"), col("__hs").as("__ha"),
+        col("__n").as("__na")), Seq("sub_id"))
+      .join(sets.select(col("__id").as("sup_id"), col("__hs").as("__hb")),
+        Seq("sup_id"))
+      .withColumn("__i", inter)
+      .filter(col("__i").cast("double") / col("__na") >= threshold)
+      .select(col("sub_id"), col("sup_id"),
+        round(col("__i").cast("double") / col("__na"), 6).as("containment"))
+  }
+
   /** Connected components over an undirected edge list by alternating
     * large-star/small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): every vertex ends with

@@ -708,7 +708,7 @@ object Multimodal {
     * itself. Unrelated queries never match; a second action on the same
     * frame recomputes (correctness unaffected) — callers needing the
     * cache across actions manage persistence explicitly. */
-  private[multimodal] def unpersistAfterFirstUse(frame: DataFrame): Unit = {
+  private[graft] def unpersistAfterFirstUse(frame: DataFrame): Unit = {
     val spark = frame.sparkSession
     val target = frame.queryExecution.analyzed
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {

@@ -315,6 +315,41 @@ class DedupSpec extends SparkSpec {
     assert(out(20L) == 20L, "singletons keep themselves")
   }
 
+  test("containmentPairs: asymmetric subset detection, exact vs local brute force") {
+    // doc 2 = doc 1 quoted whole inside extra prose: containment(1→2) = 1.0
+    // but Jaccard is low; 3 shares a phrase below threshold; 4 is too short
+    // for a 3-gram; 5/6 are exact copies (1.0 both ways)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, "intro words first " + base + " trailing commentary here now extra"),
+      (3L, "alpha beta gamma completely different tail of words here"),
+      (4L, "two words"),
+      (5L, "same exact duplicated content spread over many tokens right here"),
+      (6L, "same exact duplicated content spread over many tokens right here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // local brute force over string 3-gram shingle sets
+    val sets = Seq(1L -> base, 2L -> ("intro words first " + base +
+        " trailing commentary here now extra"),
+        3L -> "alpha beta gamma completely different tail of words here",
+        4L -> "two words",
+        5L -> "same exact duplicated content spread over many tokens right here",
+        6L -> "same exact duplicated content spread over many tokens right here")
+      .map { case (id, t) =>
+        id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet }
+      .filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b) -> (math.rint(c * 1e6) / 1e6)).toMap
+    assert(got === want, s"got $got want $want")
+    assert(got((1L, 2L)) === 1.0 && !got.contains((2L, 1L)),
+      "containment must be directed")
+    assert(got((5L, 6L)) === 1.0 && got((6L, 5L)) === 1.0)
+  }
+
   test("boilerplateParagraphRemove: frequency threshold, not keep-first") {
     val docs = Seq(
       (1L, "intro one\n\nCOOKIE BANNER\n\nbody a"),
