@@ -868,6 +868,35 @@ object PipelineQueries {
              |   AND alpha_frac >= 0.8 AND stop_hits >= 1) AS pass
              |FROM m""".stripMargin)),
 
+    // ---- text analysis: winnowing fingerprints -----------------------------
+    // MOSS-scheme positional fingerprints (Schleimer et al. SIGMOD'03):
+    // k=8-char grams, w=4 window minima, distinct selected set. md5 hashes
+    // so DuckDB replays the SELECTION (window minima depend on hash
+    // values) bit for bit; production uses the winnow_hashes codegen
+    // expression (WinnowSpec pins value-set equality)
+    "q_text_winnow" -> QueryDef(
+      (s, dir) => {
+        val fp = TextFunctions.winnowFingerprints(col("text"), 8, 4)
+        t(s, dir, "documents").select(col("doc_id"),
+          size(fp).cast("long").as("n_fp"),
+          array_join(fp, ",").as("fp_csv"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  CASE WHEN length(text) >= 8 THEN
+             |    list_transform(range(1, length(text) - 6),
+             |      i -> md5(substr(text, i, 8)))
+             |  ELSE NULL END AS hs FROM documents),
+             |sel AS (SELECT doc_id,
+             |  CASE WHEN hs IS NULL THEN NULL
+             |    WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+             |    ELSE list_sort(list_distinct(list_transform(
+             |      range(1, len(hs) - 2),
+             |      i -> list_aggregate(hs[i:i+3], 'min')))) END AS fp
+             |  FROM h)
+             |SELECT doc_id, len(fp)::BIGINT AS n_fp,
+             |  array_to_string(fp, ',') AS fp_csv
+             |FROM sel""".stripMargin)),
+
     // ---- text analysis: quality scoring ------------------------------------
     "q_text_quality" -> QueryDef(
       (s, dir) => {

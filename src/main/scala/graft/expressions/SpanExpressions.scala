@@ -244,3 +244,125 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+  * SIGMOD'03 — the MOSS scheme) in ONE codegen pass:
+  * `winnow_hashes(text, k, w)` = the sorted distinct minima of every
+  * `w`-wide window over the xxhash64 values of the text's k-CODEPOINT
+  * grams. Value-set-identical to the relational form
+  *
+  *   array_sort(array_distinct(transform(sequence(0, m-w), i ->
+  *     array_min(slice(hashes, i+1, w)))))        // hashes over char_ngrams
+  *
+  * (window minima are selected by VALUE, so the paper's tie rule is
+  * irrelevant to the set) but O(n) per doc via a monotonic deque instead
+  * of the HOF form's O(n·w) window re-materialization — and the k-gram
+  * hashes come straight off the codepoint byte ranges with no substring
+  * copies. Fewer than `w` windows selects the global minimum (the
+  * relational `when(m <= w, ...)` guard); fewer than `k` codepoints is
+  * NULL (char_ngrams convention). Hash parity: Spark's `xxhash64(gram)`
+  * = hashUnsafeBytes(bytes, seed 42), signed-long comparison both
+  * places. */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && w > 0, s"winnow_hashes needs k > 0 and w > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = WinnowHashes.winnow(input.asInstanceOf[UTF8String], k, w)
+    if (arr == null) null else new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = WinnowHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    val arr = ctx.freshName("arr")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |long[] $arr = $helper.winnow($s, $k, $w);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new $gad($arr); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
+object WinnowHashes {
+  /** Selection loop shared by interpreted eval and codegen (the per-doc
+    * deque gains nothing from inlining into generated Java). Returns null
+    * when the text has fewer than `k` codepoints. */
+  def winnow(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // codepoint starts: every byte that is not a UTF-8 continuation
+    var chars = 0
+    var i = 0
+    while (i < nb) {
+      if ((s.getByte(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < k) return null
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nb) {
+      if ((s.getByte(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = nb
+    val m = chars - k + 1
+    val hashes = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      val from = starts(p)
+      hashes(p) = XXH64.hashUnsafeBytes(base, off + from,
+        starts(p + k) - from, 42L)
+      p += 1
+    }
+    val sel = new Array[Long](if (m <= w) 1 else m - w + 1)
+    var nSel = 0
+    if (m <= w) {
+      var mn = hashes(0)
+      i = 1
+      while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
+      sel(0) = mn
+      nSel = 1
+    } else {
+      // monotonic deque of candidate indices: increasing hash values,
+      // head = current window minimum
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < m) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+        dq(tail) = i
+        tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) { sel(nSel) = hashes(dq(head)); nSel += 1 }
+        i += 1
+      }
+    }
+    val out = java.util.Arrays.copyOf(sel, nSel)
+    java.util.Arrays.sort(out)
+    var wr = 0
+    i = 1
+    while (i < nSel) {
+      if (out(i) != out(wr)) { wr += 1; out(wr) = out(i) }
+      i += 1
+    }
+    if (wr + 1 == nSel) out else java.util.Arrays.copyOf(out, wr + 1)
+  }
+}

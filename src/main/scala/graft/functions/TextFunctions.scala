@@ -178,4 +178,36 @@ object TextFunctions {
     * the whole-document hash. */
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(charShingles(text, n), s => md5(s)))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    * — the MOSS scheme): hash every `k`-char gram, slide a `w`-hash
+    * window, keep each window's MINIMUM hash; the distinct selected
+    * values are the fingerprint set. Guarantee: two docs sharing any
+    * substring of ≥ w + k − 1 chars share at least one fingerprint, at
+    * expected density 2/(w+1) — positional robustness that whole-doc or
+    * global-min hashing lacks. Returns the sorted distinct selected
+    * hashes.
+    *
+    * `hashFn` defaults to md5 so any SQL engine replays the SELECTION
+    * bit-for-bit (window minima depend on hash VALUES, so cross-engine
+    * agreement needs an agreed hash — same dual as MinHash's md5 oracle
+    * path). Production uses [[graft.expressions.WinnowHashes]]: same
+    * selection over xxhash64 in one codegen pass (this HOF form
+    * re-materializes every window slice — O(n·w) per doc). Fewer than w
+    * windows selects the global minimum; fewer than k chars yields NULL
+    * (the char_ngrams/span_hashes convention — explode drops the row). */
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+      hashFn: Column => Column = md5): Column = {
+    require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
+    val grams = when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+    val hashes = transform(grams, hashFn)
+    val m = size(hashes)
+    array_sort(
+      when(m <= w, array(array_min(hashes)))
+        .otherwise(array_distinct(transform(sequence(lit(0), m - w),
+          i => array_min(slice(hashes, i + 1, lit(w)))))))
+  }
 }
