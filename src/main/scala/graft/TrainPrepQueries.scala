@@ -114,6 +114,35 @@ object TrainPrepQueries {
              |SELECT DISTINCT train_id, bench_id
              |FROM trs JOIN bes USING (shingle)""".stripMargin)),
 
+    // ---- snapshot delta: incremental-ingest primitive --------------------
+    // v2 is derived from v1 identically in both engines: every 7th doc
+    // removed, every 5th survivor edited, 50 fresh ids appended. Digest
+    // full-outer join on (id, sha256) — text never shuffles
+    "q_corpus_delta" -> QueryDef(
+      (s, dir) => {
+        val v1 = t(s, dir, "documents")
+        val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" EDIT"))).otherwise(col("text")))
+          .unionByName(v1.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+        TrainPrep.corpusDelta(v1, v2, "doc_id", "text")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' EDIT' ELSE text END
+             |      AS text, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text, lang, source, n_chars
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |  CASE WHEN a.doc_id IS NULL THEN 'added'
+             |       WHEN b.doc_id IS NULL THEN 'removed'
+             |       WHEN a.text <> b.text THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id""".stripMargin)),
+
     // ---- corpus composition: filter → dedup → per-source stats -----------
     "q_corpus_stats" -> QueryDef(
       (s, dir) => {

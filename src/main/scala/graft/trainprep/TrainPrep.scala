@@ -256,6 +256,35 @@ object TrainPrep {
       .withColumn(out, col(out) - 1L)
       .drop("__one")
 
+  /** Snapshot delta between two corpus versions keyed by `idCol`:
+    * returns (idCol, status) with status ∈ added | removed | changed |
+    * unchanged — the incremental-ingest primitive (what must re-enter the
+    * dedup/filter pipeline after a crawl refresh, what to tombstone).
+    * Change detection is by sha256 content digest, so renames of
+    * identical content across ids surface as add+remove, never a false
+    * "changed".
+    *
+    * Scale shape: both sides project to (id, digest) — the 100 TB text
+    * columns never shuffle, only 40-byte digests do — then one full
+    * outer equi-join on id. At equal snapshot sizes this is the minimal
+    * movement for an exact delta; AQE picks broadcast when one side is
+    * a small incremental batch. */
+  def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digests(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"__id_$side"),
+        sha2(col(textCol), 256).as(s"__d_$side"))
+    digests(oldDocs, "old")
+      .join(digests(newDocs, "new"),
+        col("__id_old") === col("__id_new"), "full_outer")
+      .select(
+        coalesce(col("__id_old"), col("__id_new")).as(idCol),
+        when(col("__id_old").isNull, lit("added"))
+          .when(col("__id_new").isNull, lit("removed"))
+          .when(col("__d_old") =!= col("__d_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Per-document word n-gram shingles: one row per (id, position), the
     * shingle as its space-joined token string. Kept as STRINGS here so the
     * operator is verifiable cross-engine; production pipelines hash the

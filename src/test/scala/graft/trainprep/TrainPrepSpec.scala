@@ -240,4 +240,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning(k"), plan.take(800))
     assert(plan.contains("windowspecdefinition(__pid"), plan.take(800))
   }
+
+  test("corpusDelta: four statuses; identical content under a new id is add+remove") {
+    import spark.implicits._
+    val v1 = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma", 4L -> "delta")
+      .toDF("doc_id", "text")
+    val v2 = Seq(1L -> "alpha",        // unchanged
+        2L -> "beta v2",               // changed
+        5L -> "epsilon",               // added
+        6L -> "delta")                 // 4's content under a new id
+      .toDF("doc_id", "text")          // 3 and 4 removed
+    val got = TrainPrep.corpusDelta(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "removed", 5L -> "added", 6L -> "added"),
+      s"rename of identical content must be add+remove, got $got")
+  }
 }
