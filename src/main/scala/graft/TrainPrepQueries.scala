@@ -250,6 +250,19 @@ object TrainPrepQueries {
     "q_stream_maxtime" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.maxTimePerUser(s, dir),
       Some("""SELECT user_id, max(epoch_ns(ts)) AS max_ts_ns, count(*) AS n_events
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ---- streaming exact dedup at ingest ---------------------------------
+    // running (min id, copies) per sha256 digest over the doc stream +
+    // an id-shifted duplicate slice — must equal the batch digest groupBy
+    // exactly once the stream drains
+    "q_stream_dedup" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.dedupKeepers(s, dir),
+      Some("""WITH u AS (SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100)
+             |SELECT sha256(text) AS digest, min(doc_id) AS keeper_id,
+             |  count(*) AS n_copies
+             |FROM u GROUP BY 1""".stripMargin))
   )
 }

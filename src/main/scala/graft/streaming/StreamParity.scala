@@ -122,6 +122,33 @@ object StreamParity {
     runToTable(spark, dd, "stream_distinct", OutputMode.Append())
   }
 
+  /** documents.parquet as a file stream (same glob mechanism as events). */
+  private val DocsSchema =
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+  private def docsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  /** Streaming exact dedup at ingest: running (min doc_id, copy count)
+    * per content digest — the canonical-keeper form of E1 as documents
+    * arrive. Complete-mode running aggregate rather than streaming
+    * dropDuplicates because the winner must be DETERMINISTIC (min id,
+    * not first arrival — microbatch partition order is not a contract);
+    * the digest groupBy keys state by 64-hex strings, never text bodies.
+    * The stream is unioned with an id-shifted copy of its own first 100
+    * docs so real duplicate groups exist in the fixture. */
+  def dedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir)
+    val dups = src.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val agg = src.unionByName(dups)
+      .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    runToTable(spark, agg, "stream_dedup", OutputMode.Complete())
+  }
+
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */
   def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {
