@@ -112,9 +112,10 @@ object TextFunctions {
     * stopword evidence. Returns one row per input row with the measured
     * values, one boolean per rule, and `pass` = AND of all rules.
     *
-    * Scale shape: a single `select` of codegen'd built-ins and
-    * higher-order functions — zero shuffle, zero UDFs; at 100 TB this is
-    * one map-side pass fused into the scan. Ratios round to 6 places for
+    * Scale shape: a single `select` of built-ins and higher-order
+    * functions — zero shuffle, zero UDFs; at 100 TB this is one map-side
+    * pass over the scan (HOF lambdas evaluate interpreted — CodegenFallback
+    * — but stay in the same Project). Ratios round to 6 places for
     * cross-engine float compare; empty documents fail the word-count rule
     * with every ratio an explicit 0.0 (not NULL) so non-ANSI division
     * can't diverge across engines. */

@@ -221,4 +221,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(generateLines.forall(!_.contains("split(")),
       "no Generate may explode tokenized text:\n" + generateLines.mkString("\n"))
   }
+
+  test("q_text_gopher is one shuffle-free select over the scan") {
+    // HOF lambdas are CodegenFallback, so the rule arithmetic evaluates
+    // interpreted — but in ONE map-side Project with no Exchange: still a
+    // single scan pass at any scale
+    val plan = executedPlan("q_text_gopher")
+    assert(!plan.contains("Exchange"),
+      "the Gopher gate must be a pure map pass:\n" + plan.take(1200))
+    assert(plan.linesIterator.count(_.trim.startsWith("Project")) == 1,
+      "all rules must evaluate in one Project:\n" + plan.take(1200))
+  }
+
+  test("q_text_winnow is shuffle-free (fingerprints never leave the row)") {
+    val plan = executedPlan("q_text_winnow")
+    assert(!plan.contains("Exchange"),
+      "winnowing must be a pure map pass:\n" + plan.take(1200))
+  }
+
+  test("containment verify intersects in-row; shuffles carry hashes, not text") {
+    // production shape: shingle sets ride candidate rows as sorted hash
+    // arrays; the only Exchanges are the df-count aggregate, the per-doc
+    // prefix window and the candidate joins — none may repartition on the
+    // text column, and no Generate may explode tokenized text
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    val pairs = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("span_hashes"),
+      "rowwise shingle expression must appear:\n" + plan.take(1200))
+    assert(plan.contains("sorted_long_intersect_count"),
+      "in-row intersection must appear:\n" + plan.take(1200))
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(!_.contains("text")),
+      "no shuffle may carry the text column:\n" + exchangeLines.mkString("\n"))
+    val generateLines = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generateLines.forall(!_.contains("split(")),
+      "no Generate may explode tokenized text:\n" + generateLines.mkString("\n"))
+  }
 }
