@@ -567,6 +567,51 @@ object ScaleSmoke {
       s""""peak_stage_shuffle_bytes":$lmPeak}""")
     spark.catalog.clearCache() // charTrigramNll persists its count frame
 
+    // ---- containment join + winnowing at 100k-doc scale -------------------
+    // 100k unique 60-word docs + 10k true excerpts (each the first 20
+    // words of its parent — containment 1.0 toward the parent, parent
+    // toward excerpt only ~0.3). Unique text means shingle df ≈ 1, so the
+    // df-ascending prefix join generates candidates that track TRUE pairs,
+    // not corpus²: the pairs found must be exactly the planted excerpts.
+    val nCont = 100000L * mult
+    val nExcerpt = nCont / 10
+    val contVocab = 50000
+    def synthWords(n: Int) = array_join(transform(sequence(lit(1), lit(n)),
+      i => pmod(xxhash64(col("id") * 997L + i), lit(contVocab)).cast("string")),
+      " ")
+    val contParents = spark.range(nCont)
+      .select(col("id").as("doc_id"), synthWords(60).as("text"))
+    val contExcerpts = spark.range(nExcerpt)
+      .select((col("id") + 10000000L).as("doc_id"), synthWords(20).as("text"))
+    val contCorpus = contParents.unionByName(contExcerpts)
+    val (nContPairs, contShuffle, contPeak, contSecs) = sectionShuffle {
+      graft.dedup.Dedup.containmentPairs(
+        contCorpus, "doc_id", "text", threshold = 0.9).count()
+    }
+    require(nContPairs == nExcerpt,
+      s"prefix-filter containment must find exactly the $nExcerpt planted " +
+        s"excerpt pairs, got $nContPairs")
+    val nContDocs = nCont + nExcerpt
+    println(s"""{"metric":"containment_scale","docs":$nContDocs,""" +
+      s""""pairs":$nContPairs,"seconds":$contSecs,""" +
+      s""""docs_per_sec":${(nContDocs / contSecs).toLong},""" +
+      s""""shuffle_write_bytes":$contShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$contPeak}""")
+
+    // winnowing fingerprint selection over the same corpus: pure map pass
+    // (the aggregate below only counts) — fingerprints never leave the row
+    val (nFpTotal, winnowShuffle, _, winnowSecs) = sectionShuffle {
+      contCorpus.select(org.apache.spark.sql.GraftBridge.column(
+          graft.expressions.WinnowHashes(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 8, 4))
+          .as("fp"))
+        .agg(sum(size(col("fp")))).head().getLong(0)
+    }
+    println(s"""{"metric":"winnow_scale","docs":$nContDocs,""" +
+      s""""fingerprints":$nFpTotal,"seconds":$winnowSecs,""" +
+      s""""docs_per_sec":${(nContDocs / winnowSecs).toLong},""" +
+      s""""shuffle_write_bytes":$winnowShuffle}""")
+
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
     // 8 files, one file per micro-batch (forces 8 state-store commit
