@@ -14,6 +14,9 @@ import graft.trainprep.TrainPrep
   * Stages (each optional, all scale-shaped):
   *   1. language filter (`--lang en`)            — codegen'd n-gram heuristic
   *   2. quality floor (`--min-quality 0.5`)      — pure filter
+  *   2a. Gopher gate (`--gopher-gate true`
+  *      [`--gopher-min-stopwords N`])            — the composite Rae-et-al
+  *      rule verdict as one map-side predicate
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
   *   4b. paragraph dedup (`--paragraph-dedup true`) — keep-first
@@ -71,6 +74,14 @@ object CorpusPrep {
     }
     args.get("min-quality").foreach { q =>
       docs = docs.filter(TextFunctions.qualityScore(col(textCol)) >= q.toDouble)
+    }
+    // Gopher-rule gate (`--gopher-gate true` [`--gopher-min-stopwords N`]):
+    // the composite Rae-et-al verdict as a pure map-side filter predicate
+    // — no join, no shuffle, fused into whatever scan/stage runs next
+    if (args.get("gopher-gate").contains("true")) {
+      val minStop = args.getOrElse("gopher-min-stopwords", "2").toLong
+      docs = docs.filter(
+        TextFunctions.gopherPass(col(textCol), minStopwordHits = minStop))
     }
     // Self-trained char-trigram LM filter (`--lm-percentile 0.9`): score
     // every doc against the corpus's own trigram distribution and drop the

@@ -105,27 +105,16 @@ object TextFunctions {
     * contain at least `minStopwordHits` DISTINCT members to pass. */
   val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Composite Gopher-rule quality gate (Rae et al. 2021, appendix A1.1) —
-    * the standard pre-training document filter: word-count bounds, mean
-    * word length bounds, symbol-to-word ratio (# and ...), bullet-line and
-    * ellipsis-line fractions, alphabetic-word fraction, and distinct-
-    * stopword evidence. Returns one row per input row with the measured
-    * values, one boolean per rule, and `pass` = AND of all rules.
-    *
-    * Scale shape: a single `select` of built-ins and higher-order
-    * functions — zero shuffle, zero UDFs; at 100 TB this is one map-side
-    * pass over the scan (HOF lambdas evaluate interpreted — CodegenFallback
-    * — but stay in the same Project). Ratios round to 6 places for
-    * cross-engine float compare; empty documents fail the word-count rule
-    * with every ratio an explicit 0.0 (not NULL) so non-ANSI division
-    * can't diverge across engines. */
-  def gopherGate(df: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 50L, maxWords: Long = 100000L,
-      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolWordRatio: Double = 0.1, maxBulletLineFrac: Double = 0.9,
-      maxEllipsisLineFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
-      minStopwordHits: Long = 2L): DataFrame = {
-    val text = col(textCol)
+  /** The seven Gopher measurements for one text Column; single source of
+    * truth for [[gopherGate]] and [[gopherPass]]. Ratios round to 6 places
+    * for cross-engine float compare; empty documents measure an explicit
+    * 0.0 (not NULL) everywhere, so non-ANSI division can't diverge across
+    * engines. */
+  private final case class GopherMeasures(nWords: Column, meanWordLen: Column,
+      symbolRatio: Column, bulletFrac: Column, ellipsisFrac: Column,
+      alphaFrac: Column, stopHits: Column)
+
+  private def gopherMeasures(text: Column): GopherMeasures = {
     val words = filter(split(text, " "), w => length(w) > 0)
     val nWords = size(words).cast("long")
     val sumWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
@@ -140,32 +129,72 @@ object TextFunctions {
     val nLines = size(lines).cast("long") // split("") = [""] — never 0
     val bulletLines = size(filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
-    val bulletFrac = round(bulletLines.cast("double") / nLines, 6)
     val ellipsisLines = size(filter(lines, l =>
       l.endsWith("...") || l.endsWith("…")))
-    val ellipsisFrac = round(ellipsisLines.cast("double") / nLines, 6)
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val alphaFrac = when(nWords === 0, lit(0.0))
       .otherwise(round(alphaWords.cast("double") / nWords, 6))
     val stopHits = size(filter(
       array(GopherStopwords.map(lit): _*), s => array_contains(words, s)))
       .cast("long")
-    val rWords = nWords >= minWords && nWords <= maxWords
-    val rWordLen = meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen
-    val rSymbol = symbolRatio <= maxSymbolWordRatio
-    val rBullet = bulletFrac <= maxBulletLineFrac
-    val rEllipsis = ellipsisFrac <= maxEllipsisLineFrac
-    val rAlpha = alphaFrac >= minAlphaWordFrac
-    val rStop = stopHits >= minStopwordHits
-    df.select(col(idCol), nWords.as("n_words"),
-      meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
-      bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
-      alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+    GopherMeasures(nWords, meanWordLen, symbolRatio,
+      round(bulletLines.cast("double") / nLines, 6),
+      round(ellipsisLines.cast("double") / nLines, 6), alphaFrac, stopHits)
+  }
+
+  /** Composite Gopher-rule quality gate (Rae et al. 2021, appendix A1.1) —
+    * the standard pre-training document filter: word-count bounds, mean
+    * word length bounds, symbol-to-word ratio (# and ...), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and distinct-
+    * stopword evidence. Returns one row per input row with the measured
+    * values, one boolean per rule, and `pass` = AND of all rules.
+    *
+    * Scale shape: a single `select` of built-ins and higher-order
+    * functions — zero shuffle, zero UDFs; at 100 TB this is one map-side
+    * pass over the scan (HOF lambdas evaluate interpreted — CodegenFallback
+    * — but stay in the same Project). */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2L): DataFrame = {
+    val m = gopherMeasures(col(textCol))
+    val rWords = m.nWords >= minWords && m.nWords <= maxWords
+    val rWordLen =
+      m.meanWordLen >= minMeanWordLen && m.meanWordLen <= maxMeanWordLen
+    val rSymbol = m.symbolRatio <= maxSymbolWordRatio
+    val rBullet = m.bulletFrac <= maxBulletLineFrac
+    val rEllipsis = m.ellipsisFrac <= maxEllipsisLineFrac
+    val rAlpha = m.alphaFrac >= minAlphaWordFrac
+    val rStop = m.stopHits >= minStopwordHits
+    df.select(col(idCol), m.nWords.as("n_words"),
+      m.meanWordLen.as("mean_word_len"), m.symbolRatio.as("symbol_ratio"),
+      m.bulletFrac.as("bullet_frac"), m.ellipsisFrac.as("ellipsis_frac"),
+      m.alphaFrac.as("alpha_frac"), m.stopHits.as("stop_hits"),
       rWords.as("r_words"), rWordLen.as("r_word_len"), rSymbol.as("r_symbol"),
       rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
       rStop.as("r_stop"),
       (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha &&
         rStop).as("pass"))
+  }
+
+  /** The Gopher verdict alone as a boolean Column — for pure-filter use
+    * (`docs.filter(gopherPass(col("text")))`): stays a map-side predicate,
+    * no join, no extra columns. Same rules and defaults as [[gopherGate]]. */
+  def gopherPass(text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1, maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2L): Column = {
+    val m = gopherMeasures(text)
+    m.nWords >= minWords && m.nWords <= maxWords &&
+      m.meanWordLen >= minMeanWordLen && m.meanWordLen <= maxMeanWordLen &&
+      m.symbolRatio <= maxSymbolWordRatio &&
+      m.bulletFrac <= maxBulletLineFrac &&
+      m.ellipsisFrac <= maxEllipsisLineFrac &&
+      m.alphaFrac >= minAlphaWordFrac && m.stopHits >= minStopwordHits
   }
 
   /** Character n-gram shingles (rolling window), for MinHash/fingerprints. */

@@ -29,6 +29,27 @@ class CorpusPrepSpec extends SparkSpec {
       Set("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"))
   }
 
+  test("--gopher-gate filters as a predicate and composes with the pipeline") {
+    val out = Files.createTempDirectory("corpus_prep_gopher").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> "/root/testdata/sf0.001/documents.parquet",
+      "out" -> out,
+      "gopher-gate" -> "true",
+      "gopher-min-stopwords" -> "1", // synthetic vocab carries only "the"
+      "budget" -> "512"))
+    // the word-count floor must actually bite on this corpus (short docs
+    // exist at sf0.001) without draining it
+    assert(stats("docs_out") > 0 && stats("docs_out") < stats("docs_in"),
+      s"gate must drop some but not all docs: $stats")
+    // parity with the frame-form gate: same survivor count
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wantSurvivors = graft.functions.TextFunctions
+      .gopherGate(docs, "doc_id", "text", minStopwordHits = 1L)
+      .filter(org.apache.spark.sql.functions.col("pass")).count()
+    assert(stats("docs_out") == wantSurvivors,
+      "gopherPass predicate and gopherGate frame must agree")
+  }
+
   test("--paragraph-dedup rewrites texts before packing: shared boilerplate packs once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus_para").toString
