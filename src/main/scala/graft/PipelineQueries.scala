@@ -255,6 +255,41 @@ object PipelineQueries {
              |FROM inter JOIN n ON n.doc_id = sub_id
              |WHERE c::DOUBLE / n.n >= 0.9""".stripMargin)),
 
+    // ---- containment DROP rule over the same fixture ----------------------
+    // the corpus filter built on the pairs: non-mutual subsets drop,
+    // near-equal twins keep the lower id — oracled end to end so the
+    // CorpusPrep stage's semantics are correctness-gated, not just spec'd
+    "q_dedup_contain_drop" -> QueryDef(
+      (s, dir) => Dedup.containmentDrop(
+        docsWithDups(s, dir)
+          .filter(col("doc_id") < 300 || col("doc_id") >= 100000L),
+        "doc_id", "text", threshold = 0.9)
+        .select("doc_id"),
+      Some(s"""WITH docs AS (SELECT * FROM $dupUnionSql d
+             |    WHERE doc_id < 300 OR doc_id >= 100000),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+             |sh AS (SELECT DISTINCT doc_id, s FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(w) - 1, 1)),
+             |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w)),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (SELECT sub_id, sup_id FROM (
+             |  SELECT a.doc_id AS sub_id, b.doc_id AS sup_id, count(*) AS c
+             |  FROM sh a JOIN sh b USING (s)
+             |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2) i
+             |  JOIN n ON n.doc_id = i.sub_id
+             |  WHERE c::DOUBLE / n.n >= 0.9),
+             |drops AS (
+             |  SELECT p.sub_id FROM pairs p
+             |  WHERE NOT EXISTS (SELECT 1 FROM pairs q
+             |    WHERE q.sub_id = p.sup_id AND q.sup_id = p.sub_id)
+             |  UNION
+             |  SELECT p.sub_id FROM pairs p
+             |  WHERE p.sub_id > p.sup_id AND EXISTS (SELECT 1 FROM pairs q
+             |    WHERE q.sub_id = p.sup_id AND q.sup_id = p.sub_id))
+             |SELECT doc_id FROM docs
+             |WHERE doc_id NOT IN (SELECT sub_id FROM drops)""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs ----------------------------------
     "q_dedup_embed" -> QueryDef(
       (s, dir) => {

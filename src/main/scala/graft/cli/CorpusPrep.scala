@@ -32,6 +32,10 @@ import graft.trainprep.TrainPrep
   *      + LSH; mega-bucket cap DEFAULT-ON (`--max-bucket N` overrides,
   *      `0` uncaps; dropped buckets observed in-pass and logged);
   *      `transitive` closes duplicate CHAINS via star-contraction CC
+  *   5b. containment dedup (`--containment-dedup 0.9`) — drop docs whose
+  *      shingle set is ≥ t contained in a surviving doc (quoted
+  *      articles, template prefixes — the pairs Jaccard scores low);
+  *      near-equal twins keep the lower id
   *   2b. LM quality cut (`--lm-percentile 0.9`) — self-trained char-trigram
   *      avg-NLL; drops the tail above the percentile (only docs the model
   *      actually scored — <3-char docs pass through)
@@ -192,6 +196,16 @@ object CorpusPrep {
             .select(col("doc_id").as(idCol)), idCol)
       case other =>
         sys.error(s"--dedup must be 'exact', 'near' or 'transitive', got '$other'")
+    }
+
+    // Containment dedup AFTER resemblance dedup (`--containment-dedup t`):
+    // what survives doc-level near-dedup can still be a strict SUBSET of a
+    // longer surviving doc (a quoted article, a template prefix) —
+    // resemblance-Jaccard scores such pairs low. Drops the contained side;
+    // near-equal twins keep the lower id. Prefix-filter join: candidates
+    // track true pairs, never corpus².
+    args.get("containment-dedup").foreach { t =>
+      docs = Dedup.containmentDrop(docs, idCol, textCol, t.toDouble)
     }
 
     // decontamination AFTER dedup: keepers already collapsed, so the

@@ -866,6 +866,38 @@ object Dedup {
         round(col("__i").cast("double") / col("__na"), 6).as("containment"))
   }
 
+  /** Corpus filter over [[containmentPairs]]: drop every doc that is
+    * ≥ threshold contained in a doc that (transitively) survives. The
+    * rule is deterministic and safe under chains:
+    *
+    *   - non-mutual pair (A ⊂ B only): A drops — its shingles live on in
+    *     B, and non-mutual edges point small→large so they cannot cycle;
+    *     if B later drops, B's superset (or equal twin) survives, so A's
+    *     content is still covered transitively.
+    *   - mutual pair (near-equal twins): the LOWER id survives.
+    *
+    * Returns the surviving rows of `df` unchanged. */
+  def containmentDrop(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleTokens: Int = 3,
+      maxPostingSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, threshold,
+        shingleTokens, maxPostingSize, oversizeObs)
+      .select("sub_id", "sup_id")
+    // pairs whose reverse direction also qualified = near-equal twins
+    val mutual = pairs.as("p").join(pairs.as("q"),
+      col("p.sub_id") === col("q.sup_id") &&
+        col("p.sup_id") === col("q.sub_id"), "left_semi")
+    val drops = pairs.as("p").join(pairs.as("q"),
+        col("p.sub_id") === col("q.sup_id") &&
+          col("p.sup_id") === col("q.sub_id"), "left_anti")
+      .select(col("sub_id"))
+      .unionByName(mutual.filter(col("sub_id") > col("sup_id"))
+        .select(col("sub_id")))
+      .distinct()
+    df.join(drops.withColumnRenamed("sub_id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected edge list by alternating
     * large-star/small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): every vertex ends with

@@ -50,6 +50,31 @@ class CorpusPrepSpec extends SparkSpec {
       "gopherPass predicate and gopherGate frame must agree")
   }
 
+  test("--containment-dedup drops quoted subsets resemblance dedup missed") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val in = Files.createTempDirectory("contain_in").toString
+    Seq(
+      (1L, core, "en", "web", core.length.toLong),
+      (2L, "long preamble sits here " + core +
+        " followed by a very different much longer commentary tail section",
+        "en", "web", 120L),
+      (3L, "a separate unrelated document with its own words", "en", "web", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("contain_out").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> in, "out" -> out,
+      "dedup" -> "near",              // Jaccard(1,2) is low → near keeps both
+      "containment-dedup" -> "0.9",   // containment(1→2) = 1.0 → 1 drops
+      "budget" -> "512"))
+    val kept = spark.read.parquet(s"$out/chunks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L),
+      s"the quoted doc must drop, its superset and the bystander stay: $kept")
+    assert(stats("docs_out") == 2)
+  }
+
   test("--paragraph-dedup rewrites texts before packing: shared boilerplate packs once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus_para").toString

@@ -350,6 +350,23 @@ class DedupSpec extends SparkSpec {
     assert(got((5L, 6L)) === 1.0 && got((6L, 5L)) === 1.0)
   }
 
+  test("containmentDrop: subsets drop, twins keep the lower id, chains stay covered") {
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mid = "start words here " + core + " middle tail words"
+    val docs = Seq(
+      (1L, core),                                      // ⊂ 2 (chain bottom)
+      (2L, mid),                                       // ⊂ 3 (chain middle)
+      (3L, "preamble goes first " + mid + " and a much longer ending here"),
+      (10L, "identical twin content spread over quite many tokens right here"),
+      (11L, "identical twin content spread over quite many tokens right here"),
+      (20L, "an unrelated survivor document about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.containmentDrop(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 10L, 20L),
+      s"chain collapses to its top, twins keep the lower id: $kept")
+  }
+
   test("boilerplateParagraphRemove: frequency threshold, not keep-first") {
     val docs = Seq(
       (1L, "intro one\n\nCOOKIE BANNER\n\nbody a"),
