@@ -1068,6 +1068,40 @@ object PipelineQueries {
              |    / (8000 + (doc_id % 8) * 1000), 6) AS duration_s
              |FROM documents WHERE doc_id < 300""".stripMargin)),
 
+    // ---- multimodal: perceptual audio fingerprint round trip ---------------
+    // Triangle-wave WAVs (every decoded sample an INTEGER function of
+    // (id, i)) through the REAL decode → 64-window energy aHash: the
+    // window bits replay in SQL exactly — mean-|amplitude| comparisons are
+    // integer cross-multiplications, the sign bit wraps two's-complement
+    "q_mm_audio_hash" -> QueryDef(
+      (s, dir) => {
+        val wavs = Multimodal.synthesizeTriangleWavs(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        Multimodal.audioAHashes(wavs, "media_id", "bytes")
+          .select(col("id").as("media_id"), col("ahash"))
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id,
+             |    200 + doc_id % 200 AS n
+             |  FROM documents WHERE doc_id < 300),
+             |s AS (SELECT media_id, n, i,
+             |    abs(((i * 37 + media_id * 13) % 8000) - 4000)::BIGINT AS a,
+             |    ((i * 64) // n)::INT AS w
+             |  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM ids)),
+             |win AS (SELECT media_id, w, sum(a) AS sw, count(*) AS cw
+             |  FROM s GROUP BY 1, 2),
+             |tot AS (SELECT media_id, sum(a) AS ta, count(*) AS n
+             |  FROM s GROUP BY 1),
+             |bits AS (SELECT win.media_id,
+             |    sum((1::HUGEINT << win.w)) AS h
+             |  FROM win JOIN tot USING (media_id)
+             |  WHERE win.sw * tot.n > tot.ta * win.cw
+             |  GROUP BY 1)
+             |SELECT ids.media_id,
+             |  (CASE WHEN coalesce(bits.h, 0) >= 9223372036854775808::HUGEINT
+             |     THEN coalesce(bits.h, 0) - 18446744073709551616::HUGEINT
+             |     ELSE coalesce(bits.h, 0) END)::BIGINT AS ahash
+             |FROM ids LEFT JOIN bits USING (media_id)""".stripMargin)),
+
     // ---- multimodal: REAL video container-header round trip ----------------
     // The JDK has no video codec, but duration/dimensions live in the
     // container HEADER — pure byte arithmetic. Even ids synthesize an MP4

@@ -18,12 +18,14 @@ import graft.multimodal.Multimodal
   *   2. metadata floors — `--min-width`/`--min-height` (image, video),
   *      `--min-duration` (audio, video), `--min-sample-rate` (audio);
   *      a floor that does not apply to the kind fails fast
-  *   3. dedup — `--dedup-images <maxHamming>` (image only): aHash64
-  *      perceptual fingerprint → Hamming-LSH banding → popcount verify →
+  *   3. dedup — `--dedup-perceptual <maxHamming>` (image or audio;
+  *      `--dedup-images` is the image-only spelling): the kind's 64-bit
+  *      perceptual fingerprint (pixel aHash64 / PCM energy-envelope
+  *      aHash64) → Hamming-LSH banding → popcount verify →
   *      star-contraction CC keepers (duplicate CHAINS collapse);
   *      `--dedup-exact true` (any kind): exact content digest
   *      (sha256 of the blob, computed scan-side) → min-id keeper — the
-  *      audio/video dedup until a perceptual audio hash exists
+  *      only video dedup (no pixel codec in the JDK, no perceptual hash)
   *
   * Blob scans are the budget at scale: exactly TWO — one header-only
   * metadata pass, one hashing/digest pass inside the dedup stage (none
@@ -101,10 +103,19 @@ object MediaPrep {
     // it is unpersisted only after the stats line is assembled
     var hashedCache: Option[DataFrame] = None
     var dedupMaxBucket = Int.MaxValue
-    val survivors: DataFrame = args.get("dedup-images") match {
+    // `--dedup-perceptual <maxHamming>` picks the kind's fingerprint
+    // (image aHash64 / audio energy-envelope aHash64); `--dedup-images`
+    // stays as the image-only spelling. Video has no perceptual hash
+    // (no pixel codec in the JDK) — content digest only.
+    val perceptual = args.get("dedup-perceptual").orElse(args.get("dedup-images"))
+    val survivors: DataFrame = perceptual match {
       case Some(maxHamming) =>
-        require(kind == "image",
-          s"--dedup-images is the perceptual image path; --kind $kind " +
+        if (args.contains("dedup-images"))
+          require(kind == "image",
+            s"--dedup-images is the perceptual image path; --kind $kind " +
+              "uses --dedup-perceptual (audio) or --dedup-exact (digest)")
+        require(kind == "image" || kind == "audio",
+          s"--dedup-perceptual supports image and audio; --kind $kind " +
             "dedups with --dedup-exact (content digest)")
         // the keeper pipeline keys on LONG ids — fail fast with a clear
         // message instead of a ClassCastException inside an executor task
@@ -130,7 +141,9 @@ object MediaPrep {
           obsAttached = true
         }
         val hashed = Multimodal.imageAHashes(
-          gate(decodeFn(blobs)), idCol, bytesCol)
+          gate(decodeFn(blobs)), idCol, bytesCol,
+          if (kind == "audio") Multimodal.audioAHash64
+          else Multimodal.imageAHash64)
           .persist()
         hashedCache = Some(hashed)
         val keepers = graft.dedup.Dedup.keepersFromPairs(eligible, idCol,

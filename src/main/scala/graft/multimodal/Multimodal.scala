@@ -357,6 +357,129 @@ object Multimodal {
     }(enc)
   }
 
+  /** Sample cap for [[audioAHash64]]: fingerprints describe the opening
+    * ~2 min at 8 kHz (or proportionally less at higher rates) — bounds
+    * both decode work per blob and the integer ranges of the exact
+    * window-energy arithmetic (sumAbs·n stays < 2⁵⁶). */
+  val MaxFingerprintSamples: Int = 1 << 20
+
+  /** 64-bit perceptual audio fingerprint: decode PCM, mix to mono, split
+    * the (capped) sample run into 64 equal windows by `w = i·64/n`, set
+    * bit w iff that window's mean |amplitude| exceeds the global mean —
+    * the energy-envelope analog of [[imageAHash64]], robust to volume-
+    * preserving re-encodes and small edits, and INTEGER-EXACT
+    * (`sumAbs_w·n > totalAbs·n_w` — no float thresholds), so the
+    * synthesize→decode→hash round trip carries a SQL oracle.
+    *
+    * None for undecodable payloads, non-16-bit or non-PCM encodings,
+    * unknown frame counts, or fewer than 64 samples — gate before
+    * fingerprinting, same contract as [[imageAHash64]]. Multi-channel
+    * frames mix as the integer mean of their channels. */
+  def audioAHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16) return None
+      val channels = fmt.getChannels
+      val frameBytes = channels * 2
+      val frameLen = ais.getFrameLength
+      if (frameLen < 64) return None // includes the unknown (-1) sentinel
+      val n = math.min(frameLen, MaxFingerprintSamples.toLong).toInt
+      val buf = new Array[Byte](n * frameBytes)
+      var off = 0
+      var r = 0
+      while (off < buf.length && r >= 0) {
+        r = ais.read(buf, off, buf.length - off)
+        if (r > 0) off += r
+      }
+      if (off < buf.length) return None
+      val big = fmt.isBigEndian
+      val sumAbs = new Array[Long](64)
+      val cnt = new Array[Long](64)
+      var totalAbs = 0L
+      var i = 0
+      while (i < n) {
+        var c = 0
+        var acc = 0
+        while (c < channels) {
+          val o = i * frameBytes + c * 2
+          val v =
+            if (big) (buf(o) << 8) | (buf(o + 1) & 0xff)
+            else (buf(o + 1) << 8) | (buf(o) & 0xff)
+          acc += v
+          c += 1
+        }
+        val a = math.abs(acc / channels).toLong
+        val w = (i.toLong * 64 / n).toInt
+        sumAbs(w) += a
+        cnt(w) += 1
+        totalAbs += a
+        i += 1
+      }
+      var h = 0L
+      var w = 0
+      while (w < 64) {
+        if (sumAbs(w) * n > totalAbs * cnt(w)) h |= 1L << w
+        w += 1
+      }
+      Some(h)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Integer-exact WAV synthesis for the audio-fingerprint oracle: mono
+    * 16-bit PCM at 8 kHz, `200 + id%200` frames of the triangle-ish wave
+    * `((i·37 + id·13) mod 8000) − 4000` — every decoded sample is a pure
+    * INTEGER function of (id, i), so [[audioAHash64]]'s window bits replay
+    * in SQL exactly (the sine synthesizer above is for header oracles;
+    * its last-ulp libm variance would make sample-level replay fragile). */
+  def synthesizeTriangleWavs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nFrames = (200 + id % 200).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val v = (((i.toLong * 37 + id * 13) % 8000) - 4000).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** (id, ahash) over audio blobs — [[imageAHashes]]'s machinery with the
+    * audio fingerprint; feeds the same Hamming-LSH banding. */
+  def audioAHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    imageAHashes(df, idCol, bytesCol, audioAHash64)
+
+  /** Audio near-duplicate pairs: [[audioAHash64]] into the SAME Hamming-LSH
+    * band/verify pipeline as images (recall-lossless banding for
+    * maxHamming ≤ 3, mega-bucket cap default-on). Blobs are decoded once
+    * and never shuffled — the banded frame is (id, hash). */
+  def audioNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
+    val hashed = audioAHashes(df, idCol, bytesCol).persist()
+    unpersistAfterFirstUse(hashed)
+    imageNearDupPairsFromHashes(hashed, maxHamming, maxBucketSize)
+  }
+
   /** Per-partition REAL audio decode, NULLs for undecodable rows — the
     * audio sibling of [[decodeImageBatch]]. */
   def decodeAudioBatch(df: DataFrame, bytesCol: String = "bytes"): DataFrame = {

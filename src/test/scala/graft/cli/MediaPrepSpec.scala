@@ -106,6 +106,53 @@ class MediaPrepSpec extends SparkSpec {
     assert(e.getMessage.contains("does not apply"))
   }
 
+  test("--kind audio --dedup-perceptual: volume-scaled copies collapse") {
+    import graft.multimodal.Multimodal
+    val dir = Files.createTempDirectory("media_audio_perc").toString
+    // distinct burst RHYTHMS (the triangle synth's envelope is flat, so
+    // every id would hash alike): id 3 bursts early, id 7 bursts late —
+    // far apart; 1003 is id 3 at half volume — envelope hash identical,
+    // bytes (and so the exact digest) different
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val early = Array.tabulate(640)(i => if (i < 200) 8000 else 100)
+    val late = Array.tabulate(640)(i => if (i >= 440) 8000 else 100)
+    Seq((3L, wav(early)), (7L, wav(late)), (1003L, wav(early.map(_ / 2))))
+      .toDF("media_id", "bytes").write.parquet(s"$dir/in")
+
+    val stats = MediaPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "kind" -> "audio",
+      "dedup-perceptual" -> "2"))
+    assert(stats("media_in") === 3 && stats("decodable") === 3)
+    assert(stats("media_out") === 2 && stats("near_dups_dropped") === 1)
+    val kept = spark.read.parquet(s"$dir/out/keep")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 7L), s"the half-volume copy collapses: $kept")
+    // --dedup-images stays image-only; video rejects perceptual entirely
+    val e1 = intercept[IllegalArgumentException] {
+      MediaPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/oute",
+        "kind" -> "audio", "dedup-images" -> "2"))
+    }
+    assert(e1.getMessage.contains("--dedup-images"))
+    val e2 = intercept[IllegalArgumentException] {
+      MediaPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/outv",
+        "kind" -> "video", "dedup-perceptual" -> "2"))
+    }
+    assert(e2.getMessage.contains("--dedup-perceptual"))
+  }
+
   test("--kind video: header decode gate, dimension/duration floors, exact-digest dedup") {
     import graft.multimodal.Multimodal
     val dir = Files.createTempDirectory("media_video").toString

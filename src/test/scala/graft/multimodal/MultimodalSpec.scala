@@ -126,6 +126,63 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(wav).isEmpty)
   }
 
+  test("audioAHash64: volume-robust energy envelope; near-dup pairs via Hamming-LSH") {
+    // one real WAV per variant: base signal, half-volume copy (envelope
+    // SHAPE unchanged → identical hash), one loud burst moved (small
+    // hamming), and a different rhythm (far)
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 640 samples = 10 per window; loud (8000) in windows 10-19 and 40-49
+    val base = Array.tabulate(640)(i =>
+      if ((i / 100) % 3 == 1) 8000 else 100)
+    val half = base.map(_ / 2)
+    // only the FIRST burst moves one window (2 flipped bits in bands 0-1;
+    // bands 2-3 stay intact so Hamming-LSH banding must recover the pair)
+    val shifted = Array.tabulate(640)(i =>
+      if ((i >= 90 && i < 190) || (i >= 400 && i < 500)) 8000 else 100)
+    val other = Array.tabulate(640)(i => if (i % 2 == 0) 8000 else -8000)
+    val hb = Multimodal.audioAHash64(wav(base)).get
+    assert(Multimodal.audioAHash64(wav(half)).get === hb,
+      "volume scaling must not change the envelope hash")
+    val hs = Multimodal.audioAHash64(wav(shifted)).get
+    assert(java.lang.Long.bitCount(hb ^ Multimodal.audioAHash64(wav(other)).get)
+      > 8, "the different rhythm must hash far")
+    assert(java.lang.Long.bitCount(hb ^ hs) <= 8,
+      s"small time shift must stay near: ${java.lang.Long.bitCount(hb ^ hs)}")
+    assert(Multimodal.audioAHash64("junk".getBytes).isEmpty)
+    assert(Multimodal.audioAHash64(wav(Array.fill(10)(5))).isEmpty,
+      "fewer than 64 samples must not fingerprint")
+    // constant signal: no window exceeds the mean → hash 0 — still Some
+    assert(Multimodal.audioAHash64(wav(Array.fill(128)(1000))).get === 0L)
+
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, wav(base)), (2L, wav(half)), (3L, wav(shifted)),
+      (4L, wav(other)), (5L, "junk".getBytes)
+    ).toDF("media_id", "bytes")
+    val pairs = Multimodal.audioNearDupPairs(blobs, "media_id", "bytes",
+        maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "volume copy must pair with the base")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"shifted burst must pair within hamming 8: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the different rhythm must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "junk drops out")
+  }
+
   test("aHash of sub-8px images uses the pixel mean, not 64-slot zero-padding") {
     // a 4x4 image populates only 16 of the 64 cells; counting the empty
     // slots as zero luminance would deflate the mean until different small
