@@ -290,6 +290,38 @@ object PipelineQueries {
              |SELECT doc_id FROM docs
              |WHERE doc_id NOT IN (SELECT sub_id FROM drops)""".stripMargin)),
 
+    // ---- winnow-overlap candidate pairs -----------------------------------
+    // docs sharing >= 30 winnowing fingerprints (k=8, w=4): the LOCAL
+    // copying detector — md5 selection so DuckDB replays the window
+    // minima (and therefore the pair counts) bit for bit; 30 keeps the
+    // exact-copy pairs (their whole fp sets coincide) plus genuinely
+    // overlapping naturals, and drops the shared-vocab noise floor
+    "q_dedup_winnow_pairs" -> QueryDef(
+      (s, dir) => Dedup.winnowCandidatePairs(
+        docsWithDups(s, dir)
+          .filter(col("doc_id") < 200 || col("doc_id") >= 100000L),
+        "doc_id", "text", k = 8, w = 4, minShared = 30,
+        hashFn = Some(md5(_))),
+      Some(s"""WITH docs AS (SELECT * FROM $dupUnionSql d
+             |    WHERE doc_id < 200 OR doc_id >= 100000),
+             |h AS (SELECT doc_id,
+             |  CASE WHEN length(text) >= 8 THEN
+             |    list_transform(range(1, length(text) - 6),
+             |      i -> md5(substr(text, i, 8)))
+             |  ELSE NULL END AS hs FROM docs),
+             |sel AS (SELECT doc_id,
+             |  CASE WHEN hs IS NULL THEN NULL
+             |    WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+             |    ELSE list_distinct(list_transform(
+             |      range(1, len(hs) - 2),
+             |      i -> list_aggregate(hs[i:i+3], 'min'))) END AS fp
+             |  FROM h),
+             |ex AS (SELECT doc_id, unnest(fp) AS fp FROM sel)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  count(*) AS shared
+             |FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 30""".stripMargin)),
+
     // ---- embedding-cosine near-dup pairs ----------------------------------
     "q_dedup_embed" -> QueryDef(
       (s, dir) => {

@@ -866,6 +866,52 @@ object Dedup {
         round(col("__i").cast("double") / col("__na"), 6).as("containment"))
   }
 
+  /** Winnow-overlap candidate pairs: docs sharing at least `minShared`
+    * winnowing fingerprints (Schleimer et al. SIGMOD'03 selection via
+    * [[graft.functions.TextFunctions.winnowFingerprints]]). The THIRD
+    * candidate generator next to MinHash-LSH (set resemblance) and the
+    * prefix-filter join (containment): winnowing guarantees a shared
+    * fingerprint for ANY shared substring of ≥ w+k−1 chars, so this
+    * surfaces LOCAL copying — a lifted paragraph inside two otherwise
+    * unrelated docs — that both set-level generators dilute away.
+    * Returns (id_a, id_b, shared) with id_a < id_b.
+    *
+    * Scale shape: fingerprint selection is rowwise (the codegen
+    * winnow_hashes expression when `hashFn` is null-default xxhash64 via
+    * [[fastWinnow]], or the md5 HOF form for SQL replay); the pair join
+    * explodes only the SELECTED ~2/(w+1) density fingerprints, and hot
+    * fingerprints (site chrome shared by everything) cap through the
+    * same loud oversize audit as every banded pipeline here. */
+  def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int,
+      hashFn: Option[Column => Column] = None,
+      maxPostingSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    require(minShared > 0, "minShared must be positive")
+    val fps = hashFn match {
+      case Some(h) => graft.functions.TextFunctions
+        .winnowFingerprints(col(textCol), k, w, h)
+      case None => GraftBridge.column(graft.expressions.WinnowHashes(
+        GraftBridge.expression(col(textCol)), k, w))
+    }
+    val ex = df.select(col(idCol).as("__id"), explode(fps).as("__fp"))
+    val posting = ex.groupBy("__fp").agg(count(lit(1)).as("__n"))
+    val audited = observeOversize(posting, col("__n"), maxPostingSize,
+      oversizeObs)
+    val kept =
+      if (maxPostingSize == Int.MaxValue) audited
+      else audited.filter(col("__n") <= maxPostingSize)
+    ex.join(kept.select("__fp"), "__fp")
+      .select(col("__id"), col("__fp")).as("a")
+      .join(ex.select(col("__id").as("__idb"), col("__fp")), "__fp")
+      .filter(col("__id") < col("__idb"))
+      .groupBy(col("__id").as("id_a"), col("__idb").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared"))
+  }
+
   /** Corpus filter over [[containmentPairs]]: drop every doc that is
     * ≥ threshold contained in a doc that (transitively) survives. The
     * rule is deterministic and safe under chains:

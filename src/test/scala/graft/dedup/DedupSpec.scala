@@ -350,6 +350,35 @@ class DedupSpec extends SparkSpec {
     assert(got((5L, 6L)) === 1.0 && got((6L, 5L)) === 1.0)
   }
 
+  test("winnowCandidatePairs: lifted passage surfaces where MinHash resemblance dilutes") {
+    val rnd = new scala.util.Random(19)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val lifted = "this exact passage was copied verbatim between documents"
+    // two long docs sharing ONLY the lifted passage (~15% of each), plus
+    // an unrelated doc — resemblance-Jaccard over the whole docs is far
+    // below any dedup threshold, but winnowing must pair them
+    val docs = Seq(
+      (1L, noise(150) + " " + lifted + " " + noise(150)),
+      (2L, noise(160) + " " + lifted + " " + noise(140)),
+      (3L, noise(360))
+    ).toDF("doc_id", "text")
+    val viaCodegen = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaCodegen.keySet === Set((1L, 2L)),
+      s"only the lifted-passage pair may qualify: $viaCodegen")
+    // the guarantee floor: a shared run of L chars yields >= ~(L-k-w+2)/w
+    // selected-window hits; 56 shared chars at k=8,w=4 gives >= 5
+    assert(viaCodegen((1L, 2L)) >= 5L)
+    // md5 relational selection and codegen xxhash64 selection agree on
+    // the PAIR STRUCTURE (values differ, counts may differ by ties only)
+    val viaMd5 = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 5, hashFn = Some(org.apache.spark.sql.functions.md5(_)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMd5 === viaCodegen.keySet)
+  }
+
   test("containmentDrop: subsets drop, twins keep the lower id, chains stay covered") {
     val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val mid = "start words here " + core + " middle tail words"
