@@ -15,10 +15,13 @@ class CorpusPrepSpec extends SparkSpec {
       "out" -> out,
       "lang" -> "en",
       "min-quality" -> "0.4",
+      "gopher-gate" -> "true",
+      "gopher-min-stopwords" -> "1",
       "redact" -> "true",
       "paragraph-dedup" -> "true",
       "span-dedup" -> "8",
       "dedup" -> "near",
+      "containment-dedup" -> "0.9",
       "budget" -> "512"))
     assert(stats("docs_in") > 0)
     assert(stats("docs_out") > 0 && stats("docs_out") <= stats("docs_in"))
