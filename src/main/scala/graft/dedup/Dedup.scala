@@ -895,7 +895,12 @@ object Dedup {
       case None => GraftBridge.column(graft.expressions.WinnowHashes(
         GraftBridge.expression(col(textCol)), k, w))
     }
+    // the fingerprint explode feeds three plan branches (posting counts +
+    // both pair-join sides): persist once so each doc is winnowed in one
+    // pass, released by the first completed action
     val ex = df.select(col(idCol).as("__id"), explode(fps).as("__fp"))
+      .persist()
+    graft.multimodal.Multimodal.unpersistAfterFirstUse(ex)
     val posting = ex.groupBy("__fp").agg(count(lit(1)).as("__n"))
     val audited = observeOversize(posting, col("__n"), maxPostingSize,
       oversizeObs)

@@ -234,10 +234,18 @@ object TextFunctions {
       transform(sequence(lit(1), length(text) - (k - 1)),
         i => text.substr(i, lit(k))))
     val hashes = transform(grams, hashFn)
-    val m = size(hashes)
-    array_sort(
-      when(m <= w, array(array_min(hashes)))
-        .otherwise(array_distinct(transform(sequence(lit(0), m - w),
-          i => array_min(slice(hashes, i + 1, lit(w)))))))
+    // Lambda-let: Catalyst has no common-subexpression binding across a
+    // HOF boundary, so referencing `hashes` directly inside the window
+    // lambda would re-evaluate the FULL hash transform for every window
+    // (O(n²) hash calls per doc — measured 100 ms/doc on 300-char rows).
+    // Wrapping the array in a one-element array and transforming binds
+    // the evaluated hashes to a lambda variable exactly once per row.
+    element_at(transform(array(hashes), hs => {
+      val m = size(hs)
+      array_sort(
+        when(m <= w, array(array_min(hs)))
+          .otherwise(array_distinct(transform(sequence(lit(0), m - w),
+            i => array_min(slice(hs, i + 1, lit(w)))))))
+    }), 1)
   }
 }
