@@ -35,16 +35,29 @@ object Bench {
         SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // A throwing query must not record its time-to-exception as a runtime —
+    // that's how a broken round looks FAST. Failures bench as "err" (and are
+    // excluded from the total), with a top-level failed count + name list so
+    // a broken query is visible in one glance at the JSON line.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+          false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "\"err\"")
+    }.mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map(_._1)
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.length},""" +
+      s""""failed_queries":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info]/[error] prefixes the driver may fail to
     // strip — also write the raw line to a file so the metric is always

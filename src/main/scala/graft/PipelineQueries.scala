@@ -650,18 +650,23 @@ object PipelineQueries {
       },
       Some(knnOracleSql)),
 
-    // ---- ANN: LSH-bucketed top-k, approximate (the production shape:
-    // engine-specific planes → rows-only recall demo; the exact-recall
-    // configuration below is what the oracle certifies) ----------------------
+    // ---- ANN: LSH-bucketed top-k, approximate (the production shape). The
+    // splitmix64 plane family is not DuckDB-expressible, so the oracle is
+    // the EXACT cosine top-10: at this config (4 tables of 12-bit
+    // signatures, Hamming-4 probes) the pruned candidate set — measured
+    // ~58% of the corpus at every driver SF — provably contains the true
+    // top-10 (recall@10 = 1.00). AnnPruningSpec pins BOTH properties on the
+    // fixtures, so this row certifies "approximate path, exact answer",
+    // not brute force in disguise ------------------------------------------
     "q_ann_lsh" -> QueryDef(
       (s, dir) => {
         val q = queryVec(s, dir)
         Similarity.lshTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
-          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 8,
-          maxHammingProbe = 2, nTables = 3)
+          "vec_id", "embedding", q, dim = 64, k = 10, nBits = 12,
+          maxHammingProbe = 4, nTables = 4, roundTo = 5)
       },
-      None),
+      Some(knnOracleSql)),
 
     // ---- ANN: LSH with maxHammingProbe = nBits probes EVERY bucket — by
     // construction equal to brute-force top-k, so the exact cosine oracle
@@ -676,17 +681,52 @@ object PipelineQueries {
       },
       Some(knnOracleSql)),
 
-    // ---- ANN: IVF coarse-quantized top-k, approximate (engine-specific
-    // k-means cells → rows-only recall demo) --------------------------------
+    // ---- ANN: IVF coarse-quantized top-k, approximate — probes only 4 of
+    // 16 cells. kmeansIters = 0 pins the codebook to the first 16 corpus
+    // vectors in id order (k-means refinement is spec-gated in RecallSpec),
+    // so DuckDB replays the WHOLE pipeline: codebook → per-vector argmin
+    // cell (ties to the lowest index) → 4 query-nearest probe cells → exact
+    // cosine rerank inside them ---------------------------------------------
     "q_ann_ivf" -> QueryDef(
       (s, dir) => {
         val q = queryVec(s, dir)
         Similarity.ivfTopK(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
           "vec_id", "embedding", q, k = 10, nCentroids = 16, nProbe = 4,
-          kmeansIters = 2)
+          roundTo = 5)
       },
-      None),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+             |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+             |  FROM e ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT e.vec_id, s.c,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> (e.embedding[i]::DOUBLE - s.cv[i]::DOUBLE)
+             |         * (e.embedding[i]::DOUBLE - s.cv[i]::DOUBLE)))) AS dist
+             |  FROM e CROSS JOIN seeds s),
+             |assign AS (SELECT vec_id, c AS cell FROM (
+             |    SELECT vec_id, c,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d)
+             |  WHERE rn = 1),
+             |qd AS (SELECT s.c,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> (q.qv[i]::DOUBLE - s.cv[i]::DOUBLE)
+             |         * (q.qv[i]::DOUBLE - s.cv[i]::DOUBLE)))) AS dist
+             |  FROM seeds s CROSS JOIN q),
+             |probes AS (SELECT c FROM (
+             |    SELECT c, row_number() OVER (ORDER BY dist, c) AS rn FROM qd)
+             |  WHERE rn <= 4),
+             |qn AS (SELECT qv, sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS qn FROM q),
+             |s2 AS (SELECT e.vec_id,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm, qn
+             |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+             |  JOIN probes p ON p.c = a.cell, qn)
+             |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s2
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     // ---- ANN: IVF with nProbe = nCentroids probes every cell — equal to
     // brute-force top-k, certified by the exact cosine oracle ---------------
@@ -739,18 +779,49 @@ object PipelineQueries {
 
     // ---- ANN: PQ with exact rerank — the production recall shape: the ADC
     // pass ranks on stored byte codes alone (never reads the vector), then
-    // only the shortlist is reranked by exact cosine. Engine-specific
-    // shortlist → rows-only demo; RecallSpec pins recall@10 ≥ 0.9 on the
-    // clustered fixture and the ADC arithmetic itself is oracled above ----
+    // only the 64-row shortlist is reranked by exact cosine. kmeansIters = 0
+    // pins the 16-code subspace codebooks to seed subvectors (refinement is
+    // spec-gated in RecallSpec), so DuckDB replays codebook → argmin encode
+    // → ADC → rounded-ADC shortlist (ties by id) → cosine rerank ----------
     "q_ann_pq_rerank" -> QueryDef(
       (s, dir) => {
         val q = queryVec(s, dir)
         Similarity.pqTopKReranked(
           t(s, dir, "embeddings").filter(col("vec_id") > 0),
           "vec_id", "embedding", q, dim = 64, k = 10, m = 8, nCodes = 16,
-          kmeansIters = 1, shortlist = 64)
+          shortlist = 64, roundTo = 5)
       },
-      None),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+             |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+             |  FROM e ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT e.vec_id, j.j, s.c,
+             |    sqrt(list_sum(list_transform(generate_series(1, 8),
+             |      i -> (e.embedding[j.j*8+i]::DOUBLE - s.cv[j.j*8+i]::DOUBLE)
+             |         * (e.embedding[j.j*8+i]::DOUBLE - s.cv[j.j*8+i]::DOUBLE)))) AS dist
+             |  FROM e CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN seeds s),
+             |assign AS (SELECT vec_id, j, c AS code FROM (
+             |    SELECT vec_id, j, c,
+             |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d)
+             |  WHERE rn = 1),
+             |adc AS (SELECT a.vec_id, a.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (q.qv[a.j*8+i]::DOUBLE - s.cv[a.j*8+i]::DOUBLE)
+             |         * (q.qv[a.j*8+i]::DOUBLE - s.cv[a.j*8+i]::DOUBLE))) AS pd
+             |  FROM assign a JOIN seeds s ON s.c = a.code CROSS JOIN q),
+             |tot AS (SELECT vec_id, round(list_sum(list(pd ORDER BY j)), 5) AS adc
+             |  FROM adc GROUP BY vec_id),
+             |short AS (SELECT vec_id FROM tot ORDER BY adc, vec_id LIMIT 64),
+             |qn AS (SELECT qv, sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS qn FROM q),
+             |s2 AS (SELECT e.vec_id,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> e.embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm, qn
+             |  FROM e JOIN short sh ON sh.vec_id = e.vec_id, qn)
+             |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s2
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     // ---- corpus-slice overlap: EXACT pairwise vocabulary Jaccard between
     // language slices — distinct tokens equi-joined on the token (a token

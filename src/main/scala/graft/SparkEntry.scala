@@ -12,9 +12,12 @@ import graft.queries.{CoreQueries, QueryDef}
   */
 object SparkEntry {
 
-  /** Session options every entry point needs. `nanosAsLong` is required
-    * because `events.parquet` carries TIMESTAMP(NANOS) which Spark's
-    * TimestampType (µs) cannot represent; we read exact epoch-ns longs. */
+  /** Session options every entry point needs. `nanosAsLong` makes a
+    * TIMESTAMP(NANOS) `events.parquet` readable as exact epoch-ns longs
+    * (Spark's TimestampType is µs); it is a no-op for µs fixtures, which read
+    * as TIMESTAMP_NTZ — `Tables.events` adapts to whichever the producer
+    * wrote. UTC is load-bearing: the NTZ→ns conversion casts through
+    * TimestampType, which is micros-identity only under a zero-offset zone. */
   val SessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Diagnose fixture drift up front (round 9: a silent ts-precision change
+    // broke 24 queries) — but continue: the adaptive readers may still
+    // handle a drifted type, and a partial round beats an empty one.
+    FixtureSanity.report(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -198,10 +198,10 @@ object CoreQueries {
     // ---- S1/F1: time-series range scan (filter pushed to parquet scan)
     "q_s1_range_scan" -> QueryDef(
       (s, dir) => {
-        // raw-ns range [lo, hi+999] ≡ truncated-µs range [lo, hi] (bounds are
-        // µs-multiples) — stated on the raw column so it reaches PushedFilters
-        Tables.eventsRawFiltered(s, dir)(
-            col("user_id") === 7 && col("ts").between(s1RangeLo, s1RangeHi + 999L))
+        // the range is stated on the NATIVE ts column (raw-ns or timestamp,
+        // whichever the fixture carries) so it reaches PushedFilters
+        Tables.eventsRawFiltered(s, dir)(ets =>
+            col("user_id") === 7 && ets.betweenNs(s1RangeLo, s1RangeHi))
           .select(col("event_id"), col("ts"), col("value"))
       },
       Some(s"""SELECT event_id, epoch_ns(ts) AS ts, value FROM events

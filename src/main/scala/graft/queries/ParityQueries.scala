@@ -261,10 +261,11 @@ object ParityQueries {
     // ---- F2: forecast-horizon suffix filter per series --------------------
     "q_f2_horizon" -> QueryDef(
       (s, dir) => {
-        // cutoff is a µs-multiple → raw-ns `>= cutoff` ≡ truncated `>= cutoff`,
-        // and the raw form pushes to the parquet scan (partition pruning at scale)
+        // cutoff is a µs-multiple → raw `>= cutoff` ≡ truncated `>= cutoff`,
+        // stated on the native column so it pushes to the parquet scan
+        // (partition pruning at scale)
         val cutoff = 1704067200000000000L + 15L * 24 * 3600000000000L
-        Tables.eventsRawFiltered(s, dir)(col("ts") >= cutoff)
+        Tables.eventsRawFiltered(s, dir)(_.geqNs(cutoff))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_after"), min("ts").as("first_ts"))
       },

@@ -24,17 +24,23 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 object StreamParity {
 
-  /** events.parquet schema under `nanosAsLong` (TIMESTAMP(NANOS) → LONG). */
-  private val EventsSchema =
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    // the file-stream source requires a DIRECTORY path; select just the
-    // events table out of the dataset dir with a glob filter
-    spark.readStream.schema(EventsSchema)
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // The file-stream source requires a user-supplied schema AND a DIRECTORY
+    // path (glob filter selects the events table). Fixtures have shipped
+    // `ts` as both TIMESTAMP(NANOS)→LONG (under nanosAsLong) and
+    // TIMESTAMP(MICROS)→TIMESTAMP_NTZ — a hardcoded `ts LONG` schema under
+    // the micros fixture would silently reinterpret µs values as ns and
+    // produce plausible-looking WRONG buckets. Read the native type off the
+    // parquet footer (one batch schema probe) and normalize through the same
+    // ns-domain conversion as the batch path (Tables.tsToNs).
+    val native = graft.queries.Tables.eventsTsType(spark, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("ts", native).add("user_id", "long")
+      .add("event_type", "string").add("value", "double").add("props", "string")
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // mirror Tables.events: floor ns → µs so results match DuckDB exactly
-      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .withColumn("ts", graft.queries.Tables.tsToNs(native, col("ts")))
+  }
 
   /** Run `stream` to completion through a memory sink and return the sink
     * table. One fixed sink name per caller keeps re-runs in one session
