@@ -263,6 +263,58 @@ object TrainPrepQueries {
              |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100)
              |SELECT sha256(text) AS digest, min(doc_id) AS keeper_id,
              |  count(*) AS n_copies
-             |FROM u GROUP BY 1""".stripMargin))
+             |FROM u GROUP BY 1""".stripMargin)),
+
+    // ---- streaming NEAR-dup candidate discovery at ingest ----------------
+    // the LSH banding stage as a stream: rowwise md5-MinHash signature →
+    // band keys (pure projection), one complete-mode groupBy per band
+    // bucket. Must equal batch q_dedup_lsh_bands once the stream drains.
+    "q_stream_lsh_bands" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.lshCandidateBuckets(s, dir),
+      Some("""WITH u AS (SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+             |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+             |  FROM u),
+             |sig AS (SELECT doc_id, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+             |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM tok GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, sha256(mh0 || '|' || mh1) AS band_hash FROM sig
+             |  UNION ALL
+             |  SELECT doc_id, 1 AS band, sha256(mh2 || '|' || mh3) AS band_hash FROM sig)
+             |SELECT band, band_hash, string_agg(doc_id, ',' ORDER BY doc_id) AS ids_csv,
+             |  count(*) AS n
+             |FROM bands GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin)),
+
+    // ---- DSIR-style target-domain selection (Xie et al., NeurIPS 2023) ---
+    // two add-one char-trigram LMs over a SHARED vocabulary — one fit on
+    // the en-language target sample, one on the raw corpus — score each
+    // raw doc by the mean per-trigram log importance ratio; top-100 kept.
+    "q_dsir_select" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.trainprep.TrainPrep.dsirSelect(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 100)
+      },
+      Some("""WITH rt AS (SELECT doc_id, substr(text, i, 3) AS tri
+             |  FROM documents, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)),
+             |tt AS (SELECT substr(text, i, 3) AS tri
+             |  FROM documents, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)
+             |  WHERE lang = 'en'),
+             |cr AS (SELECT tri, count(*) AS cr FROM rt GROUP BY 1),
+             |ct AS (SELECT tri, count(*) AS ct FROM tt GROUP BY 1),
+             |voc AS (SELECT DISTINCT tri FROM (SELECT tri FROM cr UNION ALL SELECT tri FROM ct)),
+             |v AS (SELECT count(*) AS vsz FROM voc),
+             |prer AS (SELECT substr(tri, 1, 2) AS big, sum(cr) AS c2r FROM cr GROUP BY 1),
+             |pret AS (SELECT substr(tri, 1, 2) AS big, sum(ct) AS c2t FROM ct GROUP BY 1),
+             |lp AS (SELECT voc.tri,
+             |    ln((coalesce(ct.ct, 0) + 1.0) / (coalesce(pret.c2t, 0) + v.vsz))
+             |  - ln((coalesce(cr.cr, 0) + 1.0) / (coalesce(prer.c2r, 0) + v.vsz)) AS ratio
+             |  FROM voc LEFT JOIN cr USING (tri) LEFT JOIN ct USING (tri)
+             |  LEFT JOIN prer ON substr(voc.tri, 1, 2) = prer.big
+             |  LEFT JOIN pret ON substr(voc.tri, 1, 2) = pret.big, v)
+             |SELECT r.doc_id, round(avg(lp.ratio), 4) AS dsir_score
+             |FROM rt r JOIN lp USING (tri)
+             |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin))
   )
 }

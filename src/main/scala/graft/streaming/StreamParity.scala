@@ -155,6 +155,42 @@ object StreamParity {
     runToTable(spark, agg, "stream_dedup", OutputMode.Complete())
   }
 
+  /** Streaming NEAR-dup candidate discovery at ingest — the LSH banding
+    * stage of the MinHash pipeline run as a stream (the stateful layer
+    * above [[dedupKeepers]]'s exact-digest dedup): each arriving doc's
+    * 4-hash MinHash signature is computed as a PURE PROJECTION
+    * (`array_min(transform(tokens, md5(tok#k)))` — the SQL-replayable md5
+    * twin of the production `minhash_sigs` codegen expression; no
+    * pre-aggregation, so the plan stays a legal single-stateful-agg
+    * streaming query), banded two rows per doc, and a complete-mode
+    * groupBy per (band, band_hash) accumulates the sorted member list.
+    * Buckets with >1 member are the candidate queue a downstream verifier
+    * consumes. State is keyed by 64-hex band hashes and holds doc ids —
+    * never text. Same duplicate-slice fixture as [[dedupKeepers]], and the
+    * batch q_dedup_lsh_bands oracle shape certifies the output. */
+  def lshCandidateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir)
+    val dups = src.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    def mh(k: Int) = array_min(transform(
+      graft.functions.TextFunctions.tokens(col("text")),
+      tok => md5(concat(tok, lit(s"#$k")))))
+    val banded = src.unionByName(dups)
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"),
+          sha2(concat_ws("|", mh(0), mh(1)), 256).as("band_hash")),
+        struct(lit(1).as("band"),
+          sha2(concat_ws("|", mh(2), mh(3)), 256).as("band_hash")))).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+    val agg = banded.groupBy("band", "band_hash")
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("ids_csv"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    runToTable(spark, agg, "stream_lsh_bands", OutputMode.Complete())
+  }
+
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */
   def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {

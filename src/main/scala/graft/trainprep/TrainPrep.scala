@@ -242,6 +242,58 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_trigrams"), round(-avg("lp"), 4).as("avg_nll"))
   }
 
+  /** DSIR-style target-domain data selection (Xie, Santurkar, Ma, Liang:
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): cheap bag-of-char-trigram LMs stand in for the
+    * intractable target/raw densities. Each raw document scores the mean
+    * per-trigram log importance ratio
+    * `avg[ln p_target(tri) − ln p_raw(tri)]` under two add-one-smoothed
+    * trigram models — one fit on a (small) target-domain sample, one on
+    * the raw corpus itself — and the top-`k` by that ratio are selected.
+    * Smoothing uses the SHARED trigram vocabulary (distinct trigrams of
+    * raw ∪ target), so both models are normalized over the same support
+    * and the ratio is well-defined for trigrams unseen on either side.
+    * Deterministic: score rounded at 4, ties broken by id.
+    *
+    * Scale shape: both count frames are charset³-bounded hash aggregates
+    * (map-side combine collapses the trigram stream), the per-trigram
+    * log-ratio frame broadcasts, and the raw corpus is ONE trigram-explode
+    * scan joined against that broadcast and hash-aggregated per doc — no
+    * corpus-sized shuffle ever carries text, and the top-k plans as a
+    * distributed TakeOrdered, not a global sort. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    def triCol(df: DataFrame) = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.CharNgrams(
+        org.apache.spark.sql.GraftBridge.expression(df(textCol)), 3))
+    val rawTri = raw.select(col(idCol), explode(triCol(raw)).as("tri"))
+    val tgtTri = target.select(explode(triCol(target)).as("tri"))
+    val cr = rawTri.groupBy("tri").agg(count(lit(1)).as("cr"))
+    val ct = tgtTri.groupBy("tri").agg(count(lit(1)).as("ct"))
+    val voc = cr.select("tri").unionByName(ct.select("tri")).distinct()
+    val v = voc.agg(count(lit(1)).as("__vsz"))
+    val preR = cr.groupBy(substring(col("tri"), 1, 2).as("bigr"))
+      .agg(sum("cr").as("c2r"))
+    val preT = ct.groupBy(substring(col("tri"), 1, 2).as("bigt"))
+      .agg(sum("ct").as("c2t"))
+    val ratio = voc
+      .join(cr, Seq("tri"), "left")
+      .join(ct, Seq("tri"), "left")
+      .join(preR, substring(col("tri"), 1, 2) === col("bigr"), "left")
+      .join(preT, substring(col("tri"), 1, 2) === col("bigt"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("tri"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0)
+            / (coalesce(col("c2t"), lit(0L)) + col("__vsz")))
+          - log((coalesce(col("cr"), lit(0L)) + 1.0)
+            / (coalesce(col("c2r"), lit(0L)) + col("__vsz")))).as("ratio"))
+    rawTri.join(broadcast(ratio), "tri")
+      .groupBy(col(idCol))
+      .agg(round(avg("ratio"), 4).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Contiguous global row ids 0..n-1 in `orderCols` order — shard/sample
     * indices for a training corpus — without the single-partition window a
     * naive `row_number() OVER (ORDER BY …)` plans. Thin wrapper over

@@ -222,6 +222,17 @@ class PlanAuditSpec extends SparkSpec {
       "no Generate may explode tokenized text:\n" + generateLines.mkString("\n"))
   }
 
+  test("q_dsir_select scores via broadcast ratio frame into TakeOrdered — corpus never sort-merges") {
+    // the charset³-bounded log-ratio frame must broadcast onto the raw
+    // trigram stream, and the top-k must be a distributed TakeOrdered —
+    // a SortMergeJoin or global sort here would shuffle the corpus
+    val plan = executedPlan("q_dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus-side score join must broadcast:\n" + plan.take(1200))
+  }
+
   test("q_text_gopher is one shuffle-free select over the scan") {
     // HOF lambdas are CodegenFallback, so the rule arithmetic evaluates
     // interpreted — but in ONE map-side Project with no Exchange: still a
