@@ -172,24 +172,33 @@ object StreamParity {
     val src = docsStream(spark, dir)
     val dups = src.filter(col("doc_id") < 100)
       .withColumn("doc_id", col("doc_id") + 100000L)
+    runToTable(spark, lshBucketAgg(bandedDocs(src.unionByName(dups))),
+      "stream_lsh_bands", OutputMode.Complete())
+  }
+
+  /** The stateless signature+banding projection of [[lshCandidateBuckets]]:
+    * (doc_id, text) → (doc_id, band, band_hash), batch or stream. */
+  def bandedDocs(docs: DataFrame): DataFrame = {
     def mh(k: Int) = array_min(transform(
       graft.functions.TextFunctions.tokens(col("text")),
       tok => md5(concat(tok, lit(s"#$k")))))
-    val banded = src.unionByName(dups)
-      .select(col("doc_id"), explode(array(
+    docs.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"),
           sha2(concat_ws("|", mh(0), mh(1)), 256).as("band_hash")),
         struct(lit(1).as("band"),
           sha2(concat_ws("|", mh(2), mh(3)), 256).as("band_hash")))).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash"))
-    val agg = banded.groupBy("band", "band_hash")
+  }
+
+  /** The single stateful stage of [[lshCandidateBuckets]]: candidate
+    * buckets (>1 member) with deterministically sorted member lists. */
+  def lshBucketAgg(banded: DataFrame): DataFrame =
+    banded.groupBy("band", "band_hash")
       .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
           _.cast("string")), ",").as("ids_csv"),
         count(lit(1)).as("n"))
       .filter(col("n") > 1)
-    runToTable(spark, agg, "stream_lsh_bands", OutputMode.Complete())
-  }
 
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */

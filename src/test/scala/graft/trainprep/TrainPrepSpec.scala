@@ -256,4 +256,32 @@ class TrainPrepSpec extends SparkSpec {
       4L -> "removed", 5L -> "added", 6L -> "added"),
       s"rename of identical content must be add+remove, got $got")
   }
+
+  test("dsirSelect ranks target-like docs above off-domain docs") {
+    import spark.implicits._
+    // two clearly separated character distributions: latin-ish vs digit-ish
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "0123 4567 8901 2345 6789 0123 4567 8901"),
+      (4L, "9876 5432 1098 7654 3210 9876 5432 1098"),
+      (5L, "sphinx of black quartz judge my vow")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "the wizard quickly jinxed the gnomes before they vaporized"),
+      (101L, "bright vixens jump while my dozy fowl quack")
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.dsirSelect(raw, target, "doc_id", "text", k = 5)
+      .select("doc_id", "dsir_score").as[(Long, Double)].collect()
+    // descending by score, ties by id — and every prose doc outranks every
+    // digit doc under the target's character distribution
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val rank = got.map(_._1).toSeq
+    assert(rank.indexOf(3L) > rank.indexOf(1L) && rank.indexOf(4L) > rank.indexOf(5L),
+      s"digit docs must rank below prose docs for a prose target, got $rank")
+    // k truncates deterministically
+    val top2 = TrainPrep.dsirSelect(raw, target, "doc_id", "text", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top2 == rank.take(2))
+  }
 }
