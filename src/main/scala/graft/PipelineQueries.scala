@@ -823,6 +823,32 @@ object PipelineQueries {
              |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s2
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- embedding-space eval decontamination: the semantic twin of
+    // q_decontaminate's n-gram purge — flag train vectors with cosine ≥ 0.3
+    // to ANY eval vector; eval set rides the plan as literals, so the scan
+    // is one shuffle-free map pass (K fused cosines + greatest) ------------
+    "q_embed_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val evalVecs = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .orderBy("vec_id").select("embedding")
+          .collect().map(_.getSeq[Float](0)).toSeq
+        Similarity.embeddingDecontaminate(
+          t(s, dir, "embeddings").filter(col("vec_id") >= 10),
+          "vec_id", "embedding", evalVecs, threshold = 0.3)
+      },
+      Some("""WITH ev AS (SELECT embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+             |s AS (SELECT tr.vec_id,
+             |  list_sum(list_transform(generate_series(1, 64),
+             |    i -> tr.embedding[i]::DOUBLE * ev.qv[i]::DOUBLE))
+             |  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> tr.embedding[i]::DOUBLE * tr.embedding[i]::DOUBLE)))
+             |   * sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> ev.qv[i]::DOUBLE * ev.qv[i]::DOUBLE)))) AS cos
+             |  FROM tr CROSS JOIN ev),
+             |m AS (SELECT vec_id, round(max(cos), 5) AS max_eval_cos FROM s GROUP BY 1)
+             |SELECT vec_id, max_eval_cos, max_eval_cos < 0.3 AS keep FROM m""".stripMargin)),
+
     // ---- corpus-slice overlap: EXACT pairwise vocabulary Jaccard between
     // language slices — distinct tokens equi-joined on the token (a token
     // only meets its equal; never pairwise docs) ---------------------------

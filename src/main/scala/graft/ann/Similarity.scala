@@ -363,6 +363,27 @@ object Similarity {
     coded.withColumn("adc_dist", round(dist, roundTo))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic twin of the
+    * n-gram overlap purge (`TrainPrep.contaminationPairs`): a training
+    * vector too close (cosine ≥ `threshold`) to ANY eval-set vector is
+    * flagged for removal, catching paraphrased leakage n-gram overlap
+    * misses. The eval set rides the plan as literals (same pattern as the
+    * PQ lookup tables — eval sets are dimension-sized, never corpus-sized),
+    * so the scan is ONE shuffle-free map pass: K fused codegen'd cosines +
+    * `greatest` per row. For eval sets beyond literal size, pre-filter with
+    * [[lshTopK]]'s signature predicate and exact-check only the colliding
+    * sliver (the E38 Bloom pattern). Deterministic: max cosine rounded,
+    * keep = rounded max < threshold. */
+  def embeddingDecontaminate(train: DataFrame, idCol: String, vecCol: String,
+      evalVecs: Seq[Seq[Float]], threshold: Double, roundTo: Int = 5): DataFrame = {
+    require(evalVecs.nonEmpty, "eval set must not be empty")
+    val cosines = evalVecs.map(q => VectorFunctions.cosine(col(vecCol), typedlit(q)))
+    val mx = round(
+      if (cosines.length == 1) cosines.head else greatest(cosines: _*), roundTo)
+    train.select(col(idCol), mx.as("max_eval_cos"))
+      .withColumn("keep", col("max_eval_cos") < threshold)
+  }
+
   /** Driver-side signature of the query vector — same splitmix planes the
     * executors regenerate, so bucket ids agree. */
   def querySignature(query: Seq[Float], dim: Int, nBits: Int, seed: Long = 42L): Long = {

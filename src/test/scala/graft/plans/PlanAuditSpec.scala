@@ -222,6 +222,14 @@ class PlanAuditSpec extends SparkSpec {
       "no Generate may explode tokenized text:\n" + generateLines.mkString("\n"))
   }
 
+  test("q_embed_decontaminate is one shuffle-free map pass (eval set rides as literals)") {
+    val plan = executedPlan("q_embed_decontaminate")
+    assert(!plan.contains("Exchange"),
+      "the eval-similarity purge must not shuffle the corpus:\n" + plan.take(1200))
+    assert(plan.contains("vec_cosine") || plan.contains("FloatVecCosine"),
+      "fused cosine expressions must appear:\n" + plan.take(1200))
+  }
+
   test("q_dsir_select scores via broadcast ratio frame into TakeOrdered — corpus never sort-merges") {
     // the charset³-bounded log-ratio frame must broadcast onto the raw
     // trigram stream, and the top-k must be a distributed TakeOrdered —
