@@ -567,6 +567,22 @@ object ScaleSmoke {
       s""""peak_stage_shuffle_bytes":$lmPeak}""")
     spark.catalog.clearCache() // charTrigramNll persists its count frame
 
+    // ---- DSIR target-domain selection over the same replicated corpus ----
+    // Two trigram-count passes (raw + a ~1/500-sized target sample) feed a
+    // broadcast log-ratio frame; scoring is one more raw scan + TakeOrdered.
+    // The shuffle must stay charset³-bounded (count frames + per-doc
+    // partials) — text never shuffles.
+    val dsirTarget = baseDocs.filter(col("doc_id") < 50)
+    val (nSel, dsirShuffle, dsirPeak, dsirSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.dsirSelect(
+        lmDocs, dsirTarget, "doc_id", "text", k = 1000).count()
+    }
+    require(nSel == 1000L, s"top-k must return k rows, got $nSel")
+    println(s"""{"metric":"dsir_scale","docs":$nLmDocs,""" +
+      s""""seconds":$dsirSecs,"docs_per_sec":${(nLmDocs / dsirSecs).toLong},""" +
+      s""""shuffle_write_bytes":$dsirShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$dsirPeak}""")
+
     // ---- containment join + winnowing at 100k-doc scale -------------------
     // 100k unique 60-word docs + 10k true excerpts (each the first 20
     // words of its parent — containment 1.0 toward the parent, parent
