@@ -286,6 +286,22 @@ object TrainPrepQueries {
              |  count(*) AS n
              |FROM bands GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin)),
 
+    // ---- retrieval-style sliding-window chunking (overlap keeps context
+    // across cuts; windows never cross doc boundaries) ---------------------
+    "q_chunk_sliding" -> QueryDef(
+      (s, dir) =>
+        graft.trainprep.TrainPrep.slidingChunks(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", chunkTokens = 32, strideTokens = 24),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents WHERE doc_id < 200),
+             |ch AS (SELECT doc_id, (i - 1) // 24 AS chunk_idx,
+             |    array_to_string(ts[i : i + 31], ' ') AS chunk_text
+             |  FROM tok, UNNEST(generate_series(1, greatest(len(ts), 1), 24)) AS t(i))
+             |SELECT doc_id, chunk_idx, chunk_text,
+             |  len(string_split(chunk_text, ' '))::BIGINT AS n_tokens
+             |FROM ch""".stripMargin)),
+
     // ---- DSIR-style target-domain selection (Xie et al., NeurIPS 2023) ---
     // two add-one char-trigram LMs over a SHARED vocabulary — one fit on
     // the en-language target sample, one on the raw corpus — score each

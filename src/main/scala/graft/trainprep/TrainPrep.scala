@@ -387,6 +387,31 @@ object TrainPrep {
       .distinct()
   }
 
+  /** Retrieval-style sliding-window chunking — the complement of
+    * [[packChunks]]: each document is cut into overlapping windows of
+    * `chunkTokens` tokens advancing by `strideTokens` (overlap =
+    * chunk − stride tokens keeps context across cuts — the standard RAG
+    * corpus shape), never crossing document boundaries. The final window
+    * of a doc may be shorter; every token of every doc is covered.
+    *
+    * Scale shape: a pure per-row expression chain (split → sequence of
+    * starts → one posexplode) — zero shuffle at any corpus size, and the
+    * explode fan-out is len/stride rows per doc, bounded by the text the
+    * scan already read. */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
+    val toks = split(col(textCol), " ")
+    val starts = sequence(lit(0),
+      greatest(size(toks) - 1, lit(0)), lit(strideTokens))
+    docs.select(col(idCol), posexplode(
+        transform(starts, s => array_join(slice(toks, s + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   /** Concat-then-chunk sequence packing: lay documents end-to-end in a
     * deterministic order and cut the token stream every `budgetTokens` —
     * exactly the packing GPT-style pretraining uses (documents may span a

@@ -257,6 +257,24 @@ class TrainPrepSpec extends SparkSpec {
       s"rename of identical content must be add+remove, got $got")
   }
 
+  test("slidingChunks covers every token with the stated overlap, never crossing docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")                                   // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.slidingChunks(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4L),   // starts 0,3,6,9 — 1-token overlap
+      (1L, 1, "t4 t5 t6 t7", 4L),
+      (1L, 2, "t7 t8 t9 t10", 4L),
+      (1L, 3, "t10", 1L),           // short tail, still covered
+      (2L, 0, "a b c", 3L)))        // short doc = one chunk, no padding
+  }
+
   test("dsirSelect ranks target-like docs above off-domain docs") {
     import spark.implicits._
     // two clearly separated character distributions: latin-ish vs digit-ish
