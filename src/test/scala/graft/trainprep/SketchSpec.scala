@@ -81,4 +81,26 @@ class SketchSpec extends SparkSpec {
     assert(est.length == 1) // de < en is the only slice pair with tokens
     assert(est.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
   }
+
+  test("HLL distinct estimate lands within the m=256 error band of the exact count") {
+    import spark.implicits._
+    // 5000 distinct tokens in one group — far above the linear-counting
+    // regime, so this exercises the raw harmonic-mean estimator
+    val corpus = (0 until 500).map { i =>
+      (i.toLong, "g", (0 until 10).map(j => s"tok_${i * 10 + j}").mkString(" "))
+    }.toDF("doc_id", "grp", "text")
+    val est = CorpusOverlap.hllDistinctTokens(corpus, "grp", "text")
+      .head().getDouble(1)
+    val exact = 5000.0
+    val relErr = math.abs(est - exact) / exact
+    info(f"HLL estimate $est%.1f vs exact $exact%.0f (rel err $relErr%.4f)")
+    // σ ≈ 1.04/√256 ≈ 6.5%; assert within 4σ — deterministic hashes make
+    // this reproducible, not flaky
+    assert(relErr < 0.26, s"estimate $est too far from $exact")
+    // small-range regime: few distincts → linear counting, much tighter
+    val small = Seq((1L, "g", "a b c d e")).toDF("doc_id", "grp", "text")
+    val estSmall = CorpusOverlap.hllDistinctTokens(small, "grp", "text")
+      .head().getDouble(1)
+    assert(math.abs(estSmall - 5.0) < 1.0, s"linear-counting estimate $estSmall")
+  }
 }
