@@ -917,6 +917,28 @@ object PipelineQueries {
              |    THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS n_distinct_est
              |FROM est""".stripMargin)),
 
+    // ---- portable count-min sketch: corpus token frequencies compressed
+    // to depth×256 counters, estimates via min over md5-derived cells ------
+    "q_cms_counts" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cms = CorpusOverlap.cmsTokenCounts(docs, "text")
+        val queryToks = docs.filter(col("doc_id") < 5)
+          .select(explode(split(col("text"), " ", -1)).as("token")).distinct()
+        CorpusOverlap.cmsEstimate(cms, queryToks, "token")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |rb AS (SELECT t, g.r, substr(md5(t || '#' || g.r), 1, 2) AS b
+             |  FROM tok, UNNEST(generate_series(0, 3)) AS g(r)),
+             |cms AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+             |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+             |  FROM documents WHERE doc_id < 5),
+             |qb AS (SELECT q.token, g.r, substr(md5(q.token || '#' || g.r), 1, 2) AS b
+             |  FROM q, UNNEST(generate_series(0, 3)) AS g(r))
+             |SELECT qb.token, min(cms.cnt) AS cnt_est
+             |FROM qb JOIN cms ON cms.r = qb.r AND cms.b = qb.b
+             |GROUP BY 1""".stripMargin)),
+
     // ---- hashed-feature linear quality scoring: the inference path of the
     // fastText-style classifier (QualityClassifier.trainLogReg is the
     // iterative trainer, spec-gated like the k-means codebooks). Weights

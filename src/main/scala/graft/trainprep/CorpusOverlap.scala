@@ -143,4 +143,43 @@ object CorpusOverlap {
             lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros")))
           .otherwise(col("__raw")), 4).as("n_distinct_est"))
   }
+
+  /** Portable deterministic count-min sketch of token frequencies (Cormode
+    * & Muthukrishnan 2005) — the frequency member of the sketch family
+    * next to MinHash (similarity) and HLL (distinct): `depth` independent
+    * md5-derived hash rows over 256 buckets each, so the WHOLE corpus
+    * compresses to ≤ depth×256 counter rows (that is the entire shuffle,
+    * after map-side combine) and DuckDB replays it exactly. Estimates
+    * never underestimate; collisions only inflate, by ≤ corpus/256 per
+    * row whp, and taking the min over `depth` rows drives the inflation
+    * probability down exponentially. */
+  def cmsTokenCounts(docs: DataFrame, textCol: String,
+      depth: Int = 4): DataFrame = {
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        substring(md5(concat(col("__t"), lit(s"#$r"))), 1, 2).as("b"))
+    }
+    docs.select(explode(split(col(textCol), " ", -1)).as("__t"))
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("row"), col("rb.b").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimates for a token set from a [[cmsTokenCounts]] sketch:
+    * each query token joins its `depth` (row, bucket) cells against the
+    * BROADCAST sketch (≤ depth×256 rows however big the corpus was) and
+    * takes the min. One broadcast join + a query-set-sized aggregate —
+    * the corpus itself is never touched again. */
+  def cmsEstimate(cms: DataFrame, tokens: DataFrame, tokenCol: String,
+      depth: Int = 4): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        substring(md5(concat(col(tokenCol), lit(s"#$r"))), 1, 2).as("bucket"))
+    }
+    tokens.select(col(tokenCol), explode(array(cells: _*)).as("rb"))
+      .select(col(tokenCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy(col(tokenCol))
+      .agg(min("cnt").as("cnt_est"))
+  }
 }

@@ -103,4 +103,28 @@ class SketchSpec extends SparkSpec {
       .head().getDouble(1)
     assert(math.abs(estSmall - 5.0) < 1.0, s"linear-counting estimate $estSmall")
   }
+
+  test("CMS never underestimates and is exact on heavy hitters here") {
+    import spark.implicits._
+    // skewed corpus: token "hot" appears 1000×, 200 rare tokens once each
+    val corpus = ((0 until 100).map(i => (i.toLong, Seq.fill(10)("hot").mkString(" ")))
+      ++ (0 until 200).map(i => (1000L + i, s"rare_$i"))).toDF("doc_id", "text")
+    val cms = CorpusOverlap.cmsTokenCounts(corpus, "text")
+    // the sketch is depth×256 counters however many tokens went in
+    assert(cms.count() <= 4L * 256L)
+    val queries = ("hot" +: (0 until 200).map(i => s"rare_$i")).toDF("token")
+    val est = CorpusOverlap.cmsEstimate(cms, queries, "token")
+      .as[(String, Long)].collect().toMap
+    val exact = Map("hot" -> 1000L) ++ (0 until 200).map(i => s"rare_$i" -> 1L)
+    // CMS property: estimates are exact-or-over, never under
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t estimated ${est(t)} below true $c")
+    }
+    // the heavy hitter dominates its cells, so its estimate is exact
+    assert(est("hot") == 1000L)
+    // collision inflation stays bounded: corpus/width per row
+    val worst = exact.map { case (t, c) => est(t) - c }.max
+    info(s"max CMS overestimate: $worst (corpus 3000 tokens / 256 buckets)")
+    assert(worst <= 3000 / 256 * 4 + 50, s"overestimate $worst out of band")
+  }
 }
