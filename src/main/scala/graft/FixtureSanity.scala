@@ -37,13 +37,13 @@ object FixtureSanity {
         "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
       "orders" -> (one("o_orderkey" -> LongType, "o_custkey" -> LongType,
         "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType)
-        ++ Seq("o_orderdate" -> tsTypes) ++ one("o_orderpriority" -> StringType)),
+        ++ Seq("o_orderdate" -> dateLikeTypes) ++ one("o_orderpriority" -> StringType)),
       "lineitem" -> (one("l_orderkey" -> LongType, "l_partkey" -> LongType,
         "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
         "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
         "l_discount" -> DoubleType, "l_tax" -> DoubleType,
         "l_returnflag" -> StringType, "l_linestatus" -> StringType)
-        ++ Seq("l_shipdate" -> tsTypes)),
+        ++ Seq("l_shipdate" -> dateLikeTypes)),
       "events" -> (one("event_id" -> LongType)
         ++ Seq("ts" -> (tsTypes + LongType)) // LONG = TIMESTAMP(NANOS) under nanosAsLong
         ++ one("user_id" -> LongType, "event_type" -> StringType,
@@ -57,6 +57,11 @@ object FixtureSanity {
   }
 
   private def tsTypes: Set[DataType] = Set(TimestampNTZType, TimestampType)
+
+  /** Conceptually-date columns: a regeneration could reasonably flip them
+    * between TIMESTAMP and DATE — DateDriftSpec proves every engine access
+    * pattern yields identical results under either encoding. */
+  private def dateLikeTypes: Set[DataType] = tsTypes + DateType
 
   /** All (table, column, observed, accepted) mismatches + missing columns for
     * a fixture dir. Empty = sane. Tables absent from the dir are skipped
