@@ -567,6 +567,33 @@ object ScaleSmoke {
       s""""peak_stage_shuffle_bytes":$lmPeak}""")
     spark.catalog.clearCache() // charTrigramNll persists its count frame
 
+    // ---- distinct/frequency sketches over the replicated corpus ----------
+    // The point at scale is the SHUFFLE BOUND: HLL moves ≤ groups×256
+    // register rows and CMS ≤ depth×256 counter rows regardless of corpus
+    // size, where exact COUNT(DISTINCT)/per-token counts shuffle the token
+    // stream. Shuffle bytes are the proof.
+    val (hllRows, hllShuffle, hllPeak, hllSecs) = sectionShuffle {
+      graft.trainprep.CorpusOverlap.hllDistinctTokens(
+        bigDocs.withColumn("grp", pmod(col("doc_id"), lit(4))),
+        "grp", "text").count()
+    }
+    println(s"""{"metric":"hll_scale","docs":$nDocs,"groups":$hllRows,""" +
+      s""""seconds":$hllSecs,"docs_per_sec":${(nDocs / hllSecs).toLong},""" +
+      s""""shuffle_write_bytes":$hllShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$hllPeak}""")
+    val (cmsRows, cmsShuffle, cmsPeak, cmsSecs) = sectionShuffle {
+      graft.trainprep.CorpusOverlap.cmsTokenCountsFast(bigDocs, "text").count()
+    }
+    require(cmsRows <= 4L * 256L, s"CMS must stay depth*width-bounded: $cmsRows")
+    val (_, _, _, cmsMd5Secs) = sectionShuffle {
+      graft.trainprep.CorpusOverlap.cmsTokenCounts(bigDocs, "text").count()
+    }
+    println(s"""{"metric":"cms_scale","docs":$nDocs,"counters":$cmsRows,""" +
+      s""""seconds":$cmsSecs,"md5_variant_seconds":$cmsMd5Secs,""" +
+      s""""docs_per_sec":${(nDocs / cmsSecs).toLong},""" +
+      s""""shuffle_write_bytes":$cmsShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$cmsPeak}""")
+
     // ---- DSIR target-domain selection over the same replicated corpus ----
     // Two trigram-count passes (raw + a ~1/500-sized target sample) feed a
     // broadcast log-ratio frame; scoring is one more raw scan + TakeOrdered.

@@ -126,5 +126,13 @@ class SketchSpec extends SparkSpec {
     val worst = exact.map { case (t, c) => est(t) - c }.max
     info(s"max CMS overestimate: $worst (corpus 3000 tokens / 256 buckets)")
     assert(worst <= 3000 / 256 * 4 + 50, s"overestimate $worst out of band")
+    // the xxhash64 production twin shares every CMS property
+    val fast = CorpusOverlap.cmsEstimateFast(
+      CorpusOverlap.cmsTokenCountsFast(corpus, "text"), queries, "token")
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) =>
+      assert(fast(t) >= c, s"fast variant: $t estimated ${fast(t)} below true $c")
+    }
+    assert(fast("hot") == 1000L)
   }
 }
