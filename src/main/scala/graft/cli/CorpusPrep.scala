@@ -17,6 +17,9 @@ import graft.trainprep.TrainPrep
   *   2a. Gopher gate (`--gopher-gate true`
   *      [`--gopher-min-stopwords N`])            — the composite Rae-et-al
   *      rule verdict as one map-side predicate
+  *   2c. DSIR selection (`--dsir-target <docs.parquet>`
+  *      [`--dsir-keep N`])                        — keep the N docs most
+  *      like the target domain (dual trigram-LM importance ratio)
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
   *   4b. paragraph dedup (`--paragraph-dedup true`) — keep-first
@@ -44,7 +47,10 @@ import graft.trainprep.TrainPrep
   *   6b. temperature mixing (`--mix-target N` [`--mix-alpha 0.5`]
   *      [`--mix-col lang`]) — XLM-R-style strata flattening over the
   *      final survivor population
-  *   7. sequence packing (`--budget 4096`)       — distributed prefix scan
+  *   7. chunking (`--chunk-mode pack` [default] with `--budget 4096` —
+  *      concat-then-cut sequence packing on the distributed prefix scan;
+  *      or `--chunk-mode sliding` with `--chunk-tokens 512`
+  *      `--chunk-stride 384` — overlapping per-doc retrieval windows)
   *
   * `runMain graft.cli.CorpusPrep --in <docs.parquet> --out <dir> [flags]`
   * writes `<out>/chunks` (doc→chunk assignments) and prints a one-line
@@ -112,6 +118,20 @@ object CorpusPrep {
         nLmDropped = dropIds.count()
         docs = docs.join(dropIds, Seq(idCol), "left_anti")
       }
+    }
+    // DSIR target-domain selection (`--dsir-target <docs.parquet>`
+    // [`--dsir-keep N`]): keep the N raw docs scoring highest under the
+    // target-vs-raw trigram importance ratio — domain selection BEFORE the
+    // expensive dedup stages so they run on the docs that can survive.
+    var nDsirDropped = 0L
+    args.get("dsir-target").foreach { tgtPath =>
+      val k = args.getOrElse("dsir-keep", "100000").toInt
+      val target = spark.read.parquet(tgtPath)
+      val before = docs.count()
+      val selected = TrainPrep.dsirSelect(docs, target, idCol, textCol, k)
+        .select(col(idCol))
+      docs = docs.join(selected, Seq(idCol), "left_semi")
+      nDsirDropped = before - docs.count()
     }
     args.get("sample").foreach { thr =>
       docs = docs.filter(TrainPrep.hashSampleFilter(col(idCol), thr))
@@ -242,9 +262,23 @@ object CorpusPrep {
       docs = TrainPrep.temperatureMix(docs, idCol, stratum, alpha, tgt.toDouble)
     }
 
-    val budget = args.getOrElse("budget", "4096").toLong
-    val packed = TrainPrep.packChunks(docs, idCol, textCol, budget)
-    packed.write.mode("overwrite").parquet(s"$out/chunks")
+    // `--chunk-mode pack` (default) lays docs end-to-end and cuts every
+    // `--budget` tokens (pretraining shape); `--chunk-mode sliding` emits
+    // overlapping `--chunk-tokens` windows every `--chunk-stride` tokens
+    // per doc (retrieval/RAG shape, never crossing doc boundaries).
+    val chunkMode = args.getOrElse("chunk-mode", "pack")
+    val chunked = chunkMode match {
+      case "pack" =>
+        TrainPrep.packChunks(docs, idCol, textCol,
+          args.getOrElse("budget", "4096").toLong)
+      case "sliding" =>
+        TrainPrep.slidingChunks(docs, idCol, textCol,
+          args.getOrElse("chunk-tokens", "512").toInt,
+          args.getOrElse("chunk-stride", "384").toInt)
+      case other =>
+        sys.error(s"--chunk-mode must be 'pack' or 'sliding', got '$other'")
+    }
+    chunked.write.mode("overwrite").parquet(s"$out/chunks")
     contaminatedCache.foreach(_.unpersist())
     lmScoreCache.foreach(_.unpersist())
 
@@ -270,13 +304,20 @@ object CorpusPrep {
       else 0L
 
     val written = spark.read.parquet(s"$out/chunks")
-    val nOut = written.count()
-    val maxChunk = written.agg(max("chunk_end_id")).head()
-    val nChunks = if (nOut == 0 || maxChunk.isNullAt(0)) 0L
-      else maxChunk.getLong(0) + 1
+    // pack mode: one row per doc (chunk assignment); sliding: one per chunk
+    val nOut =
+      if (chunkMode == "sliding") written.select(idCol).distinct().count()
+      else written.count()
+    val nChunks =
+      if (chunkMode == "sliding") written.count()
+      else {
+        val maxChunk = written.agg(max("chunk_end_id")).head()
+        if (nOut == 0 || maxChunk.isNullAt(0)) 0L else maxChunk.getLong(0) + 1
+      }
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
-      "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped)
+      "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped,
+      "dsir_dropped" -> nDsirDropped)
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_prep\",", ",", "}"))
     stats

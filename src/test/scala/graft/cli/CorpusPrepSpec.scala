@@ -307,4 +307,43 @@ class CorpusPrepSpec extends SparkSpec {
         "mix-col" -> "nope"))
     }
   }
+
+  test("--dsir-target keeps the docs most like the target domain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_dsir").toString
+    // 20 prose docs + 20 digit docs; target is prose-like
+    ((0 until 20).map(i => (i.toLong, s"the quick brown fox number $i jumps"))
+      ++ (20 until 40).map(i => (i.toLong, s"0101 2323 4545 6767 $i 8989")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    // a target sample with real mass on the prose character distribution
+    (100 until 110).map(i =>
+        (i.toLong, s"the quick lazy dog number $i jumps over the brown fox"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/target")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "dsir-target" -> s"$dir/target", "dsir-keep" -> "20", "budget" -> "64"))
+    assert(stats("dsir_dropped") == 20L, s"must drop the 20 off-domain docs: $stats")
+    val kept = spark.read.parquet(s"$dir/out/chunks").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 20L).toSet,
+      s"the prose docs must be the survivors under a prose target: $kept")
+  }
+
+  test("--chunk-mode sliding emits overlapping windows instead of packed assignments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_sliding").toString
+    Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "chunk-mode" -> "sliding", "chunk-tokens" -> "4", "chunk-stride" -> "3"))
+    assert(stats("docs_out") == 1L)
+    assert(stats("chunks") == 4L) // starts 0,3,6,9 over 10 tokens
+    val chunks = spark.read.parquet(s"$dir/out/chunks")
+    assert(chunks.columns.toSet == Set("doc_id", "chunk_idx", "chunk_text", "n_tokens"))
+    intercept[RuntimeException] {
+      CorpusPrep.run(spark, Map(
+        "in" -> s"$dir/in", "out" -> s"$dir/out2", "chunk-mode" -> "nope"))
+    }
+  }
 }
