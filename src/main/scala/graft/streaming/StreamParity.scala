@@ -37,9 +37,21 @@ object StreamParity {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("event_id", "long").add("ts", native).add("user_id", "long")
       .add("event_type", "string").add("value", "double").add("props", "string")
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    tableStream(spark, dir, "events", schema)
       .withColumn("ts", graft.queries.Tables.tsToNs(native, col("ts")))
+  }
+
+  /** File-stream over one fixture table, robust to BOTH layouts a producer
+    * can ship: a single `<table>.parquet` FILE (select it out of the
+    * dataset dir with a leaf-name glob) or a `<table>.parquet/` DIRECTORY
+    * of part files (stream the directory itself — the glob would match
+    * nothing and silently stream ZERO rows, the round-9 failure class). */
+  private def tableStream(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new java.io.File(s"$dir/$table.parquet")
+    if (path.isDirectory) spark.readStream.schema(schema).parquet(path.getPath)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** Run `stream` to completion through a memory sink and return the sink
@@ -133,8 +145,8 @@ object StreamParity {
     "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 
   private def docsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(DocsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    tableStream(spark, dir, "documents",
+      org.apache.spark.sql.types.StructType.fromDDL(DocsSchema))
 
   /** Streaming exact dedup at ingest: running (min doc_id, copy count)
     * per content digest — the canonical-keeper form of E1 as documents

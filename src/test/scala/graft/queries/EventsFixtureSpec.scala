@@ -107,6 +107,20 @@ class EventsFixtureSpec extends SparkSpec {
       s"derived-filter range must be rewritten onto the native column:\n$plan")
   }
 
+  test("streaming reads a DIRECTORY-shaped events.parquet too (no silent zero-row stream)") {
+    // a producer re-shard can turn the single file into a directory of part
+    // files; the leaf-name glob then matches nothing and a naive stream
+    // yields zero rows without erroring — the round-9 failure class
+    val dir = Files.createTempDirectory("graft-ev-dir").toFile
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.StreamParity.maxTimePerUser(spark, dir.getPath)
+      .orderBy("user_id").collect().toSeq
+    assert(out.map(_.getAs[Long]("n_events")) == Seq(2L, 2L),
+      s"directory-shaped fixture must stream every row: $out")
+  }
+
   test("streaming parity operators read both precisions identically") {
     val (nanos, micros) = (nanosFixture(), microsFixture())
     def resample(dir: String): Seq[Row] =
