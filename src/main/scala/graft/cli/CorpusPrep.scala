@@ -124,12 +124,19 @@ object CorpusPrep {
     // target-vs-raw trigram importance ratio — domain selection BEFORE the
     // expensive dedup stages so they run on the docs that can survive.
     var nDsirDropped = 0L
+    var dsirCache: Option[DataFrame] = None
     args.get("dsir-target").foreach { tgtPath =>
       val k = args.getOrElse("dsir-keep", "100000").toInt
       val target = spark.read.parquet(tgtPath)
       val before = docs.count()
+      // persist the ≤k-id selection: every downstream action (dedup
+      // stages, the chunks write, the stats counts) re-evaluates the
+      // semi-join's right side, and WITHOUT the cache each re-run would
+      // repeat dsirSelect's two corpus-wide trigram aggregations — the
+      // same contract as lmScoreCache above
       val selected = TrainPrep.dsirSelect(docs, target, idCol, textCol, k)
-        .select(col(idCol))
+        .select(col(idCol)).persist()
+      dsirCache = Some(selected)
       docs = docs.join(selected, Seq(idCol), "left_semi")
       nDsirDropped = before - docs.count()
     }
@@ -281,6 +288,7 @@ object CorpusPrep {
     chunked.write.mode("overwrite").parquet(s"$out/chunks")
     contaminatedCache.foreach(_.unpersist())
     lmScoreCache.foreach(_.unpersist())
+    dsirCache.foreach(_.unpersist())
 
     // The observation fired during the pipeline's own actions (CC rounds /
     // the chunks write just above), so `get` returns immediately; it is

@@ -265,24 +265,35 @@ object Dedup {
     * Each band is a hash of `rowsPerBand` consecutive signature components;
     * near-duplicates collide in ≥1 band with high probability. Returns
     * (band, band_hash, ids) candidate groups with >1 member. */
-  def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
-      maxBucketSize: Int = Int.MaxValue,
-      oversizeObs: Option[Observation] = None): DataFrame = {
+  /** Band-key projection shared by batch [[lshCandidateGroups]] and the
+    * streaming banding (`StreamParity.bandedDocs`): an `mh0..mh{n-1}`
+    * signature frame → one (idCol, band, band_hash) row per band. The ONE
+    * definition of which mh columns pair into which band, the `"|"`
+    * separator and the sha2-256 — so the documented streaming-equals-batch
+    * invariant cannot drift. Rows with a NULL signature (NULL-text doc
+    * under the rowwise expression — nullSafeEval yields a NULL array, so
+    * every mh is NULL) get NO bucket; without that filter ALL such rows
+    * would share the one sha2(concat_ws of nulls) = sha2('') bucket and
+    * pair quadratically. (The explode-based signature path never emits
+    * such rows at all.) */
+  private[graft] def bandedByHash(sig: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), sha2(concat_ws("|", cols: _*), 256).as("band_hash"))
     }
-    // a row with a NULL signature (NULL-text doc under the rowwise
-    // expression — nullSafeEval yields a NULL array, so every mh is NULL)
-    // has no bucket; without this filter ALL such rows would share the one
-    // sha2(concat_ws of nulls) = sha2('') bucket and pair quadratically.
-    // (The explode-based signature path never emits such rows at all.)
-    val signedOnly = sig.filter(
-      (0 until numHashes).map(i => col(s"mh$i").isNotNull).reduce(_ && _))
-    val groups = signedOnly
+    sig.filter((0 until numHashes).map(i => col(s"mh$i").isNotNull).reduce(_ && _))
       .select(col(idCol), explode(array(bandStructs: _*)).as("bh"))
-      .groupBy(col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+      .select(col(idCol), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+  }
+
+  def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
+      maxBucketSize: Int = Int.MaxValue,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    val groups = bandedByHash(sig, idCol, numHashes, rowsPerBand)
+      .groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
     // Mega-bucket guard (default-ON via the `*Rowwise` entry points): with

@@ -49,6 +49,10 @@ object StreamParity {
   private def tableStream(spark: SparkSession, dir: String, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val path = new java.io.File(s"$dir/$table.parquet")
+    // a missing table must DIAGNOSE, not stream zero rows through a glob
+    // that matches nothing
+    require(path.exists(),
+      s"$dir/$table.parquet does not exist (renamed fixture? run graft.FixtureSanity)")
     if (path.isDirectory) spark.readStream.schema(schema).parquet(path.getPath)
     else spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
@@ -189,18 +193,20 @@ object StreamParity {
   }
 
   /** The stateless signature+banding projection of [[lshCandidateBuckets]]:
-    * (doc_id, text) → (doc_id, band, band_hash), batch or stream. */
+    * (doc_id, text) → (doc_id, band, band_hash), batch or stream. The
+    * signature is a rowwise projection (array_min over the md5 family —
+    * min over token multiplicity equals min over the distinct set), and
+    * the band composition itself is `Dedup.bandedByHash` — the SAME code
+    * the batch pipeline uses, including its NULL-signature guard (a
+    * NULL-text doc must get NO bucket, not the shared sha2('') bucket). */
   def bandedDocs(docs: DataFrame): DataFrame = {
     def mh(k: Int) = array_min(transform(
       graft.functions.TextFunctions.tokens(col("text")),
       tok => md5(concat(tok, lit(s"#$k")))))
-    docs.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"),
-          sha2(concat_ws("|", mh(0), mh(1)), 256).as("band_hash")),
-        struct(lit(1).as("band"),
-          sha2(concat_ws("|", mh(2), mh(3)), 256).as("band_hash")))).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"),
-        col("bh.band_hash").as("band_hash"))
+    graft.dedup.Dedup.bandedByHash(
+      docs.select(col("doc_id"), mh(0).as("mh0"), mh(1).as("mh1"),
+        mh(2).as("mh2"), mh(3).as("mh3")),
+      "doc_id", numHashes = 4, rowsPerBand = 2)
   }
 
   /** The single stateful stage of [[lshCandidateBuckets]]: candidate

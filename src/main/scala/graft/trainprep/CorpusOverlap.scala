@@ -182,7 +182,8 @@ object CorpusOverlap {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** [[cmsEstimate]] against a [[cmsTokenCountsFast]] sketch. */
+  /** [[cmsEstimate]] against a [[cmsTokenCountsFast]] sketch (same
+    * empty-cell-is-zero left-join semantics). */
   def cmsEstimateFast(cms: DataFrame, tokens: DataFrame, tokenCol: String,
       depth: Int = 4): DataFrame = {
     val cells = (0 until depth).map { r =>
@@ -191,9 +192,9 @@ object CorpusOverlap {
     }
     tokens.select(col(tokenCol), explode(array(cells: _*)).as("rb"))
       .select(col(tokenCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .join(broadcast(cms), Seq("row", "bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy(col(tokenCol))
-      .agg(min("cnt").as("cnt_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
   }
 
   /** Frequency estimates for a token set from a [[cmsTokenCounts]] sketch:
@@ -207,10 +208,13 @@ object CorpusOverlap {
       struct(lit(r).as("row"),
         substring(md5(concat(col(tokenCol), lit(s"#$r"))), 1, 2).as("bucket"))
     }
+    // LEFT join + coalesce 0: a cell with no counter row means count 0 —
+    // an inner join would drop it and min over only the nonzero cells,
+    // inflating (or losing) estimates for tokens the corpus never saw
     tokens.select(col(tokenCol), explode(array(cells: _*)).as("rb"))
       .select(col(tokenCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .join(broadcast(cms), Seq("row", "bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy(col(tokenCol))
-      .agg(min("cnt").as("cnt_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
   }
 }

@@ -405,7 +405,11 @@ object TrainPrep {
     val toks = split(col(textCol), " ")
     val starts = sequence(lit(0),
       greatest(size(toks) - 1, lit(0)), lit(strideTokens))
-    docs.select(col(idCol), posexplode(
+    // NULL-text docs emit no chunks (matching the SQL replay, where
+    // generate_series over a NULL length yields no rows) — without the
+    // filter they would emit one (id, 0, null, null) row
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
         transform(starts, s => array_join(slice(toks, s + 1, lit(chunkTokens)), " ")))
         .as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens",

@@ -15,7 +15,7 @@ import graft.queries.Tables
 class AnnPruningSpec extends SparkSpec {
 
   private val dirs =
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .filter(d => new java.io.File(s"$d/embeddings.parquet").exists())
 
   private def queryVec(dir: String): Seq[Float] =

@@ -135,4 +135,27 @@ class SketchSpec extends SparkSpec {
     }
     assert(fast("hot") == 1000L)
   }
+
+  test("CMS estimates unseen tokens as 0 when a cell is empty (left-join semantics)") {
+    import spark.implicits._
+    // sparse sketch: 5 distinct tokens → ~5/256 buckets occupied per row,
+    // so an unseen token almost surely hits an empty cell in one of the 4
+    // rows — a deterministic check that empty cells count as 0 instead of
+    // being dropped from the min
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    for ((build, est) <- Seq[(org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String)
+          => org.apache.spark.sql.DataFrame)](
+        (CorpusOverlap.cmsTokenCounts(corpus, "text"),
+          (c, q, t) => CorpusOverlap.cmsEstimate(c, q, t)),
+        (CorpusOverlap.cmsTokenCountsFast(corpus, "text"),
+          (c, q, t) => CorpusOverlap.cmsEstimateFast(c, q, t)))) {
+      val got = est(build, Seq("zzz_never_seen").toDF("token"), "token")
+        .as[(String, Long)].collect().toMap
+      assert(got.contains("zzz_never_seen"),
+        "an all-empty-cells token must still return a row")
+      assert(got("zzz_never_seen") == 0L,
+        s"unseen token must estimate 0, got ${got("zzz_never_seen")}")
+    }
+  }
 }
