@@ -50,6 +50,17 @@ class EventsFixtureSpec extends SparkSpec {
     promote(dir); dir.getPath
   }
 
+  /** Writes events.parquet carrying ts as tz-adjusted TIMESTAMP (µs,
+    * isAdjustedToUTC=true) — the third encoding a producer could ship. */
+  private def microsUtcFixture(): String = {
+    val dir = Files.createTempDirectory("graft-ev-utc").toFile
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp")
+    promote(dir); dir.getPath
+  }
+
   /** The real fixtures are a single FILE per table; mirror that. */
   private def promote(dir: java.io.File): Unit = {
     val part = new java.io.File(s"$dir/tmp").listFiles()
@@ -60,15 +71,24 @@ class EventsFixtureSpec extends SparkSpec {
   private def collectSorted(df: DataFrame): Seq[Row] =
     df.orderBy("event_id").collect().toSeq
 
-  test("Tables.events yields identical ns-domain frames under both fixture precisions") {
-    val (nanos, micros) = (nanosFixture(), microsFixture())
+  test("Tables.events yields identical ns-domain frames under all three fixture encodings") {
+    val (nanos, micros, utc) = (nanosFixture(), microsFixture(), microsUtcFixture())
     val a = collectSorted(Tables.events(spark, nanos))
     val b = collectSorted(Tables.events(spark, micros))
+    val c = collectSorted(Tables.events(spark, utc))
     assert(a == b)
+    assert(a == c, "tz-adjusted TIMESTAMP encoding must normalize identically")
     // and the ns domain is the µs-floored one
     assert(a.head.getAs[Long]("ts") == baseNs)
     assert(a.last.getAs[Long]("ts") == baseNs + 7200000000000L)
     assert(Tables.events(spark, micros).schema("ts").dataType == LongType)
+    // the tz-adjusted encoding also keeps native range predicates pushable
+    val df = Tables.eventsRawFiltered(spark, utc)(
+      _.betweenNs(baseNs, baseNs + 3600000000000L))
+    assert(df.collect().map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+    val pushed = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
   }
 
   test("eventsRawFiltered range semantics agree across precisions (incl. boundary µs)") {
