@@ -889,6 +889,28 @@ object PipelineQueries {
              |    AS jaccard_est
              |FROM sig a JOIN sig b ON a.lang < b.lang""".stripMargin)),
 
+    // ---- Unicode canonicalization under content hashing: composed é and
+    // decomposed e+U+0301 must digest identically, or cross-producer dedup
+    // silently misses byte-different same-text duplicates -------------------
+    "q_text_canonical" -> QueryDef(
+      (s, dir) => {
+        // inject the hazard around each doc: NFD "Cafe"+combining-acute,
+        // whitespace noise, uppercase composed É
+        val messy = concat(lit("Café  "), col("text"), lit("\tCAFÉ"))
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            TextFunctions.canonicalText(messy).as("canon"),
+            sha2(TextFunctions.canonicalText(messy), 256).as("canon_digest"))
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(lower(nfc_normalize(
+             |    'Cafe' || chr(769) || '  ' || text || chr(9) || 'CAF' || chr(201))),
+             |    '\s+', ' ', 'g')) AS canon,
+             |  sha256(trim(regexp_replace(lower(nfc_normalize(
+             |    'Cafe' || chr(769) || '  ' || text || chr(9) || 'CAF' || chr(201))),
+             |    '\s+', ' ', 'g'))) AS canon_digest
+             |FROM documents WHERE doc_id < 200""".stripMargin)),
+
     // ---- portable deterministic HLL distinct-token estimate per lang -----
     // md5-derived registers (exact string/int rank extraction — no float
     // log2), so DuckDB replays the sketch bit for bit; the shuffle carries

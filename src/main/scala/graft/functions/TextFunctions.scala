@@ -14,6 +14,21 @@ object TextFunctions {
     * text use `bpeishTokens`. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization (codegen'd [[graft.expressions.UnicodeNfc]];
+    * DuckDB twin: `nfc_normalize`). */
+  def unicodeNfc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.UnicodeNfc(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Canonical text for content hashing: NFC-compose (é arriving as e +
+    * combining accent must hash like composed é), Unicode-lowercase,
+    * collapse whitespace runs to one space, trim. The byte-identity layer
+    * under exact/MinHash dedup — without it the same document from two
+    * producers dedupes as two. Every step is engine-portable (DuckDB:
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`). */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(unicodeNfc(text)), "\\s+", " "))
+
   /** Exact whitespace token count without array materialization — cheap
     * enough for a first-pass quality filter over petabyte text. */
   def tokenCount(text: Column): Column =

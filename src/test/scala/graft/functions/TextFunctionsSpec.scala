@@ -56,4 +56,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!empty.getBoolean(15) && !empty.anyNull,
       s"empty doc must fail with explicit zeros, not NULLs: $empty")
   }
+
+  test("canonicalText makes composed and decomposed Unicode digest-identical") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    // the same word three ways: NFC composed, NFD decomposed, case+space noise
+    val docs = Seq(
+      (1L, "Café au lait"),          // composed é
+      (2L, "Café au lait"),         // e + combining acute
+      (3L, "  CAFÉ   AU  LAIT ")     // composed uppercase É + noise
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextFunctions.canonicalText(col("text")).as("canon"),
+        sha2(TextFunctions.canonicalText(col("text")), 256).as("digest"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "café au lait")
+    assert(out.values.map(_._1).toSet.size == 1,
+      s"all three variants must canonicalize identically: ${out.values.map(_._1)}")
+    assert(out.values.map(_._2).toSet.size == 1,
+      "content digests must collapse — this is the dedup-miss the op closes")
+    // ASCII fast path: identity, and NULL propagates
+    val ascii = Seq((1L, "plain ascii text")).toDF("doc_id", "text")
+      .select(TextFunctions.unicodeNfc(col("text"))).head().getString(0)
+    assert(ascii == "plain ascii text")
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(TextFunctions.canonicalText(col("text"))).head()
+    assert(nul.isNullAt(0))
+  }
 }
