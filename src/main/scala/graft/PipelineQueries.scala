@@ -290,6 +290,37 @@ object PipelineQueries {
              |SELECT doc_id FROM docs
              |WHERE doc_id NOT IN (SELECT sub_id FROM drops)""".stripMargin)),
 
+    // ---- edit-distance similarity join (FastSS deletion neighborhoods) ---
+    // fuzzy-KEY matching over 24-char title prefixes: the base corpus's
+    // natural shared prefixes land at dist 0, and a planted slice with
+    // the 24th char substituted lands at dist 1. Candidate generation is
+    // lossless, so the result equals DuckDB's brute-force levenshtein
+    // join (the fixture is pure ASCII — byte-based DuckDB levenshtein ==
+    // codepoint-based Spark levenshtein here).
+    "q_dedup_editdist" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val titles = d.select(col("doc_id"),
+          substring(col("text"), 1, 24).as("title"))
+        val mut = d.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(substring(col("text"), 1, 23), lit("~")).as("title"))
+        Dedup.editDistancePairs(titles.unionByName(mut), "doc_id", "title",
+            maxDist = 1)
+          .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      },
+      Some("""WITH ti AS (SELECT doc_id, substr(text, 1, 24) AS title
+             |    FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, substr(text, 1, 23) || '~'
+             |    FROM documents WHERE doc_id < 100)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+             |FROM ti a JOIN ti b
+             |  ON a.doc_id < b.doc_id
+             |  AND abs(length(a.title) - length(b.title)) <= 1
+             |WHERE levenshtein(a.title, b.title) <= 1""".stripMargin)),
+
     // ---- winnow-overlap candidate pairs -----------------------------------
     // docs sharing >= 30 winnowing fingerprints (k=8, w=4): the LOCAL
     // copying detector — md5 selection so DuckDB replays the window

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.queries.{QueryDef, Tables}
-import graft.trainprep.TrainPrep
+import graft.trainprep.{CorpusOverlap, TrainPrep}
 
 /** Training-corpus preparation queries (TF-IDF, deterministic sampling, PII
   * redaction, sequence packing, corpus composition) plus the oracle-gated
@@ -286,6 +286,29 @@ object TrainPrepQueries {
              |  count(*) AS n
              |FROM bands GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin)),
 
+    // ---- streaming gap-based sessionization (native session_window) ------
+    // sessions merge while consecutive per-user events are < gap apart;
+    // session_window does NOT merge an event landing exactly at the
+    // previous window's end, so the batch replay breaks on >= gap. The
+    // oracle pre-aggregates per (user, ts) so duplicate-timestamp tie
+    // order cannot smear rows across the island boundary.
+    "q_stream_sessionize" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.sessionizePerUser(s, dir, 1800),
+      Some("""WITH e AS (SELECT user_id, ts, count(*) AS n, sum(value) AS sv
+             |  FROM events WHERE NOT isnan(value) GROUP BY 1, 2),
+             |g AS (SELECT user_id, ts, n, sv,
+             |    CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) >= 1800000000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts, n, sv,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(epoch_ns(ts)) AS start_ns,
+             |  max(epoch_ns(ts)) + 1800000000000 AS end_ns,
+             |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 2) AS sum_value
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // ---- retrieval-style sliding-window chunking (overlap keeps context
     // across cuts; windows never cross doc boundaries) ---------------------
     "q_chunk_sliding" -> QueryDef(
@@ -331,6 +354,43 @@ object TrainPrepQueries {
              |  LEFT JOIN pret ON substr(voc.tri, 1, 2) = pret.big, v)
              |SELECT r.doc_id, round(avg(lp.ratio), 4) AS dsir_score
              |FROM rt r JOIN lp USING (tri)
-             |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin))
+             |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // ---- KMV bottom-k sample + exact rank quantiles over it --------------
+    // the quantile member of the sketch family: bottom-200 of md5(doc_id)
+    // is a deterministic uniform sample; the p50/p90 of n_chars over it
+    // estimate the corpus quantiles with O(1/√k) error at ANY corpus
+    // size, and the whole path replays in DuckDB (ORDER BY md5 LIMIT k,
+    // then row_number rank pick).
+    "q_kmv_quantile" -> QueryDef(
+      (s, dir) => CorpusOverlap.kmvQuantiles(
+        CorpusOverlap.bottomKSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", 200),
+        "n_chars", Seq(0.5, 0.9)),
+      Some("""WITH smp AS (SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents ORDER BY h LIMIT 200),
+             |r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, h) AS rn,
+             |    count(*) OVER () AS n FROM smp)
+             |SELECT count(*) AS n,
+             |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS p50,
+             |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS p90
+             |FROM r""".stripMargin)),
+
+    // ---- weighted sample without replacement (Efraimidis-Spirakis A-ES) --
+    // token-weighted corpus sampling with NO RNG: priority ln(u)/w from a
+    // md5-derived uniform, top-150 kept; md5-hex tiebreak under a
+    // 9-decimal key round makes the draw bit-stable across engines.
+    "q_sample_weighted" -> QueryDef(
+      (s, dir) => TrainPrep.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 150),
+      Some("""WITH w AS (SELECT doc_id, n_chars,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h,
+             |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |        AS BIGINT) + 1.0) / 281474976710656.0)
+             |      / CAST(n_chars AS DOUBLE), 9) AS k
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+             |SELECT doc_id, n_chars FROM w ORDER BY k DESC, h LIMIT 150""".stripMargin))
   )
 }

@@ -928,6 +928,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"))
   }
 
+  /** Edit-distance similarity join (FastSS deletion neighborhoods, Bocek
+    * et al. 2007): pairs of rows whose `strCol` values are within
+    * Levenshtein distance `maxDist` (1 or 2) — the fuzzy-KEY join the
+    * set-resemblance generators cannot express well (a one-char typo
+    * flips every shingle containing it, but barely moves the deletion
+    * neighborhood). Returns (id_a, id_b, dist) with id_a < id_b.
+    *
+    * Candidate generation is LOSSLESS: ed(a,b) ≤ d guarantees the
+    * depth-d deletion neighborhoods intersect (delete the edited
+    * positions from both sides), so after the levenshtein verify the
+    * result EQUALS the brute-force join; overgenerated candidates are
+    * simply filtered. Meant for SHORT keys (titles, normalized URLs,
+    * names): a length-L string emits 1+L variants at d=1, O(L²) at d=2.
+    *
+    * Scale shape: the neighborhood is a rowwise codegen'd expression
+    * chain whose variants md5-collapse to 32-hex bucket keys BEFORE the
+    * shuffle (the exchange carries hashes, never variant strings;
+    * per-row `array_distinct` keeps a doc from meeting a bucket twice);
+    * mega-buckets (e.g. a corpus of near-empty keys) cap through the
+    * shared loud oversize audit; the levenshtein verify runs on
+    * bucket-mates only. Distance semantics are Spark's codepoint
+    * levenshtein; variant slicing is by UTF-16 code unit, which can
+    * OVER-generate on astral-plane chars but never drops a true pair. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1,
+      maxPostingSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (neighborhood size is O(len^d)), got $maxDist")
+    val strs = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    // {s} ∪ {one-char deletions of s}; the empty string's neighborhood is
+    // itself (sequence(1,0) would walk BACKWARD, not empty — guard it)
+    def del1(s: Column): Column =
+      when(length(s) === 0, array(s)).otherwise(concat(array(s),
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i)))))
+    val nbhd =
+      if (maxDist == 1) del1(col("__s"))
+      else flatten(transform(del1(col("__s")), v => del1(v)))
+    // the exploded (id, bucket-hash) frame feeds three plan branches
+    // (posting counts + both candidate-join sides): persist once,
+    // released by the first completed action
+    val ex = strs.select(col("__id"), explode(array_distinct(nbhd)).as("__v"))
+      .select(col("__id"), md5(col("__v")).as("__h"))
+      .persist()
+    graft.multimodal.Multimodal.unpersistAfterFirstUse(ex)
+    val posting = ex.groupBy("__h").agg(count(lit(1)).as("__n"))
+    val audited = observeOversize(posting, col("__n"), maxPostingSize,
+      oversizeObs)
+    val kept =
+      if (maxPostingSize == Int.MaxValue) audited
+      else audited.filter(col("__n") <= maxPostingSize)
+    val cands = ex.join(kept.select("__h"), "__h")
+      .join(ex.select(col("__id").as("__idb"), col("__h")), "__h")
+      .filter(col("__id") < col("__idb"))
+      .select(col("__id").as("id_a"), col("__idb").as("id_b")).distinct()
+    cands
+      .join(strs.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(strs.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Corpus filter over [[containmentPairs]]: drop every doc that is
     * ≥ threshold contained in a doc that (transitively) survives. The
     * rule is deterministic and safe under chains:

@@ -218,6 +218,31 @@ object StreamParity {
         count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Streaming gap-based sessionization — Spark's NATIVE `session_window`
+    * run to completion over the event stream (the oracle-gated form of
+    * `StreamOps.sessionizeStream`). Sessions merge while consecutive
+    * events per user are < gap apart; a session's end is last event +
+    * gap, so the batch replay is the lag-island SQL with a `>= gap`
+    * break (session_window does NOT merge an event landing exactly at
+    * the previous window's end). Complete mode: the state store holds
+    * per-user open sessions and a bounded backfill must emit them all
+    * without waiting for a watermark advance that never comes. Output
+    * is in the ns domain (exact under both fixture encodings). */
+  def sessionizePerUser(spark: SparkSession, dir: String,
+      gapSeconds: Long): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .filter(!isnan(col("value")))
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+    val agg = ev
+      .groupBy(col("user_id"), session_window(col("t"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        (unix_micros(col("session_window.start")) * 1000).as("start_ns"),
+        (unix_micros(col("session_window.end")) * 1000).as("end_ns"),
+        col("n_events"), col("sum_value"))
+    runToTable(spark, agg, "stream_sessionize", OutputMode.Complete())
+  }
+
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */
   def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {

@@ -217,4 +217,53 @@ object CorpusOverlap {
       .groupBy(col(tokenCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
   }
+
+  /** Deterministic bottom-k (KMV) uniform sample: the k rows whose
+    * `md5(id)` hashes are globally smallest (Bar-Yossef et al. 2002's
+    * k-minimum-values sketch, used as a corpus sample). md5 over the
+    * UNIQUE id is a fixed random permutation of the corpus, so the
+    * bottom k of it is a uniform sample that is (a) identical on every
+    * run and every engine — DuckDB replays it with ORDER BY md5 LIMIT k —
+    * and (b) MERGEABLE: bottom-k of a union is the bottom-k of each
+    * side's bottom-k, so shards sample independently and a coordinator
+    * merges. The quantile member of the sketch family (MinHash =
+    * similarity E43, HLL = distinct E58, CMS = frequency E59):
+    * an exact quantile over the sample estimates the corpus quantile
+    * with error O(1/√k) regardless of corpus size.
+    *
+    * Scale shape: `orderBy(h).limit(k)` plans as TakeOrderedAndProject —
+    * each partition forwards at most its local bottom-k, the exchange
+    * carries ≤ k·partitions (hash, metric) rows and the text never
+    * moves. Keep the metric columns you need in `df` before calling;
+    * the sample is row-count-bounded, so downstream exact quantiles /
+    * means over it are driver-cheap at any corpus size. */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy("__h").limit(k)
+  }
+
+  /** Exact rank-based quantiles OVER a [[bottomKSample]]: for each q in
+    * `qs`, the value of `metricCol` at 1-based rank ⌈q·n⌉ of the sample
+    * (the inverted-CDF definition — no interpolation, so the result is a
+    * value the data actually contains and every engine agrees bit for
+    * bit; DuckDB replays it with row_number). Returns one row:
+    * (n, q_<label>...). The window sort is over the k-row sample only —
+    * bounded work, never corpus-shaped. */
+  def kmvQuantiles(sample: DataFrame, metricCol: String,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val ranked = sample
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col(metricCol), col("__h"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    val aggs = qs.map { q =>
+      val label = (q * 100).round.toString
+      max(when(col("__rn") === ceil(lit(q) * col("__n")),
+        col(metricCol))).as(s"p$label")
+    }
+    ranked.agg(count(lit(1)).as("n"), aggs: _*)
+  }
 }

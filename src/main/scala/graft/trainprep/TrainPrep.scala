@@ -121,6 +121,38 @@ object TrainPrep {
     }
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): keep the k rows with the largest priority
+    * u^(1/w) — equivalently the largest ln(u)/w — where w = `weightCol`
+    * and u is a DETERMINISTIC uniform in (0, 1] derived from
+    * md5(id) (first 12 hex digits + 1, scaled by 16⁻¹²). Inclusion
+    * probability is proportional to weight (token-weighted corpus
+    * sampling: a 10 k-token doc is 10× likelier than a 1 k one), yet
+    * the draw has no RNG — it replays identically on any engine or
+    * cluster layout, and DuckDB replays it exactly (hex-prefix cast +
+    * ln + round). Rows with weight ≤ 0 or NULL are excluded.
+    *
+    * The sort key is rounded to 9 decimals with the md5 hex as a total
+    * tiebreak, so cross-engine float noise in ln (≤ 1 ulp) cannot flip
+    * an ordering except on an exact rounding boundary — which the
+    * irrational ln values do not hit. Scale shape: key derivation is a
+    * rowwise codegen'd projection; `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject (each partition forwards its local top-k,
+    * never the corpus). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val h = md5(col(idCol).cast("string"))
+    val u = (conv(substring(h, 1, 12), 16, 10).cast("long").cast("double") +
+      1.0) / math.pow(16.0, 12)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__h", h)
+      .withColumn("__key", round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("__key").desc, col("__h").asc)
+      .limit(k)
+      .drop("__h", "__key")
+  }
+
   /** PII redaction: mask email addresses and NNN-NNNN phone numbers.
     * Patterns are deliberately RE2-compatible (no backrefs/lookaround) so
     * the same regex means the same thing in Java (Spark) and RE2 (DuckDB —

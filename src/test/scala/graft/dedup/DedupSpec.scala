@@ -636,4 +636,45 @@ class DedupSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got === Set(2L)) // "a" dropped; NULL key survives on both branches
   }
+
+  private def localLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs equals local brute force at maxDist 1 and 2") {
+    // substitution / deletion / insertion / exact dup / empty-vs-1-char
+    // neighbors / an unrelated far string — and a dist-2 chain (1→2→"sittin")
+    val strs = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "kitte", 4L -> "kittens",
+      5L -> "sittin", 6L -> "totally different", 7L -> "kitten",
+      8L -> "", 9L -> "a", 10L -> "b")
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val want = (for {
+        (i, a) <- strs; (j, b) <- strs if i < j
+        dd = localLev(a, b) if dd <= d
+      } yield (i, j) -> dd).toMap
+      assert(got === want, s"maxDist=$d: got $got want $want")
+    }
+  }
+
+  test("editDistancePairs: mega-bucket cap drops hot variants loudly") {
+    // 50 copies of "x" all share every bucket — a 3-cap run must drop the
+    // bucket whole and report it through the observation
+    val df = (1L to 50L).map(i => (i, "x")).toDF("id", "s")
+    val obs = org.apache.spark.sql.Observation("graft_editdist_cap")
+    val got = Dedup.withReliableOversizeAudit(spark) {
+      Dedup.editDistancePairs(df, "id", "s", maxDist = 1,
+        maxPostingSize = 3, oversizeObs = Some(obs)).collect()
+    }
+    assert(got.isEmpty)
+    assert(obs.get("dropped_buckets").asInstanceOf[Long] >= 1L)
+  }
 }

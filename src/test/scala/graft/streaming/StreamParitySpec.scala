@@ -55,6 +55,20 @@ class StreamParitySpec extends SparkSpec {
     assert(out == Set((10L, "view"), (10L, "click"), (11L, "click"), (11L, "view")))
   }
 
+  test("streaming session_window sessionization: gap merge + exact-boundary split") {
+    val base = 1700000000000000000L
+    // gap 600 s: user 10's µs-spaced pair is one session, its 901 s event
+    // opens another; user 11's 900/901 s events merge into one
+    val out = StreamParity.sessionizePerUser(spark, dir, 600)
+      .orderBy("user_id", "start_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val gapNs = 600L * 1000000000L
+    assert(out.toSeq == Seq(
+      (10L, base + 1000L, base + 2000L + gapNs, 2L, 3.0),
+      (10L, base + 901L * 1000000000L, base + 901L * 1000000000L + gapNs, 1L, 5.0),
+      (11L, base + 900L * 1000000000L, base + 901L * 1000000000L + gapNs, 2L, 7.0)))
+  }
+
   test("streaming max-time equals the batch aggregate") {
     val out = StreamParity.maxTimePerUser(spark, dir)
       .as[(Long, Long, Long)].collect().toSet

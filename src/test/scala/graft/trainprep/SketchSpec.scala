@@ -158,4 +158,38 @@ class SketchSpec extends SparkSpec {
         s"unseen token must estimate 0, got ${got("zzz_never_seen")}")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("bottomKSample: deterministic md5 bottom-k, mergeable across shards") {
+    val rows = (0L until 1000L).map(i => (i, i % 97))
+    val df = rows.toDF("id", "m")
+    val got = bottomKSample(df, "id", 50).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val want = rows.map(_._1).sortBy(i => md5hex(i.toString)).take(50).toSet
+    assert(got === want)
+    // mergeability: bottom-k over per-shard bottom-k == global bottom-k
+    val shardA = bottomKSample(df.filter(col("id") < 500), "id", 50).drop("__h")
+    val shardB = bottomKSample(df.filter(col("id") >= 500), "id", 50).drop("__h")
+    val merged = bottomKSample(shardA.unionByName(shardB), "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(merged === want)
+  }
+
+  test("kmvQuantiles: exact inverted-CDF ranks over the sample") {
+    val rows = (0L until 1000L).map(i => (i, i % 97))
+    val sample = bottomKSample(rows.toDF("id", "m"), "id", 50)
+    val r = kmvQuantiles(sample, "m", Seq(0.5, 0.9)).head()
+    assert(r.getLong(0) === 50L)
+    val vals = rows.sortBy(t => md5hex(t._1.toString)).take(50)
+      .map(_._2).sorted
+    assert(r.getLong(1) === vals(math.ceil(0.5 * 50).toInt - 1)) // p50
+    assert(r.getLong(2) === vals(math.ceil(0.9 * 50).toInt - 1)) // p90
+    // a sample smaller than k: n reflects reality, ranks stay in range
+    val tiny = bottomKSample(rows.take(3).toDF("id", "m"), "id", 50)
+    val t = kmvQuantiles(tiny, "m", Seq(1.0)).head()
+    assert(t.getLong(0) === 3L && t.getLong(1) === rows.take(3).map(_._2).max)
+  }
 }

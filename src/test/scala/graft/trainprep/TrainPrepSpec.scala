@@ -302,4 +302,29 @@ class TrainPrepSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(top2 == rank.take(2))
   }
+
+  test("weightedSample: deterministic A-ES top-k, nonpositive weights excluded") {
+    val rows = (0L until 400L).map(i => (i, (i % 7) * 10L)) // w=0 every 7th
+    val df = rows.toDF("id", "w")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def key(id: Long, w: Long): (java.math.BigDecimal, String) = {
+      val h = md5hex(id.toString)
+      val u = (java.lang.Long.parseLong(h.take(12), 16) + 1.0) / math.pow(16.0, 12)
+      (new java.math.BigDecimal(math.log(u) / w.toDouble)
+        .setScale(9, java.math.RoundingMode.HALF_UP), h)
+    }
+    val want = rows.filter(_._2 > 0)
+      .sortBy { case (id, w) => val (k, h) = key(id, w); (-k.doubleValue, h) }
+      .take(25).map(_._1).toSet
+    val got = TrainPrep.weightedSample(df, "id", "w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+    assert(!got.exists(_ % 7 == 0), "zero-weight rows must never be drawn")
+    // identical on re-run (no RNG), and a superset-k run nests the draw
+    val got2 = TrainPrep.weightedSample(df, "id", "w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(got2 === got)
+  }
 }
