@@ -377,6 +377,20 @@ object TrainPrepQueries {
              |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS p90
              |FROM r""".stripMargin)),
 
+    // ---- exact heavy hitters with a sketch-pruned shuffle ----------------
+    // pass 1 builds the xxhash64 CMS; pass 2 prunes tokens in-row against
+    // the broadcast-literal counter table before the exact groupBy. CMS
+    // never underestimates, so the result EQUALS brute force — the
+    // sketch only shrinks the shuffle, which is why the oracle is the
+    // plain HAVING query.
+    "q_heavy_hitters" -> QueryDef(
+      (s, dir) => CorpusOverlap.heavyHittersExact(
+        t(s, dir, "documents"), "text", minCount = 400),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             |  FROM documents)
+             |SELECT token, count(*) AS cnt FROM tok
+             |GROUP BY 1 HAVING count(*) >= 400""".stripMargin)),
+
     // ---- weighted sample without replacement (Efraimidis-Spirakis A-ES) --
     // token-weighted corpus sampling with NO RNG: priority ln(u)/w from a
     // md5-derived uniform, top-150 kept; md5-hex tiebreak under a

@@ -218,6 +218,39 @@ object CorpusOverlap {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
   }
 
+  /** EXACT heavy hitters (tokens with true count ≥ `minCount`) with a
+    * sketch-pruned shuffle — the two-pass pattern that makes exact
+    * frequency mining 100 TB-viable. Pass 1 builds the xxhash64 CMS
+    * ([[cmsTokenCountsFast]], ≤ depth×256 counters — driver-bounded BY
+    * CONSTRUCTION, so the collect here is a codebook fetch, not a data
+    * read). Pass 2 re-scans the corpus and estimates every token's count
+    * IN-ROW against the broadcast-literal counter table (depth
+    * element_at lookups + least — no join, no distinct), shuffling ONLY
+    * tokens whose estimate clears the bar. CMS never underestimates, so
+    * the pruned set is a SUPERSET of the true heavy hitters and the
+    * final exact groupBy + HAVING returns exactly the brute-force
+    * answer: the sketch changes the shuffle volume (vocabulary-sized →
+    * candidates-sized), never the result. Two corpus scans total —
+    * persist `docs` upstream to make them one I/O pass. */
+  def heavyHittersExact(docs: DataFrame, textCol: String, minCount: Long,
+      depth: Int = 4): DataFrame = {
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val table = Array.fill(depth)(Array.fill(256)(0L))
+    cmsTokenCountsFast(docs, textCol, depth).collect().foreach { r =>
+      table(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val est = (0 until depth).map { r =>
+      element_at(typedLit(table(r).toSeq),
+        (pmod(xxhash64(lit(r), col("__t")), lit(256L)) + 1L).cast("int"))
+    }.reduce(least(_, _))
+    docs.select(explode(split(col(textCol), " ", -1)).as("__t"))
+      .filter(est >= minCount)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("__t").as("token"), col("cnt"))
+  }
+
   /** Deterministic bottom-k (KMV) uniform sample: the k rows whose
     * `md5(id)` hashes are globally smallest (Bar-Yossef et al. 2002's
     * k-minimum-values sketch, used as a corpus sample). md5 over the

@@ -281,4 +281,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(generateLines.forall(!_.contains("split(")),
       "no Generate may explode tokenized text:\n" + generateLines.mkString("\n"))
   }
+
+  test("q_kmv_quantile samples via TakeOrdered and scans only (doc_id, n_chars)") {
+    val plan = executedPlan("q_kmv_quantile")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bottom-k must forward per-partition top-k, not globally sort:\n" + plan.take(1200))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.exists(s => s.contains("doc_id") && s.contains("n_chars")
+        && !s.contains("text")),
+      "scan must prune to the id + metric columns:\n" + read.getOrElse(""))
+  }
+
+  test("q_sample_weighted draws via TakeOrdered — the corpus never globally sorts") {
+    val plan = executedPlan("q_sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.exists(!_.contains("text")),
+      "scan must not read the text column:\n" + read.getOrElse(""))
+  }
+
+  test("q_heavy_hitters estimates in-row: one exchange, no join in the count pass") {
+    val plan = executedPlan("q_heavy_hitters")
+    assert(!plan.contains("Join"),
+      "the pruned count pass must not join — the sketch rides as a literal:\n" +
+        plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "only candidate tokens may shuffle, once:\n" + plan.take(1200))
+  }
+
+  test("q_dedup_editdist joins on md5 buckets — no cartesian, no title shuffle") {
+    val plan = executedPlan("q_dedup_editdist")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a bucketed equi-join:\n" + plan.take(1200))
+    assert(plan.contains("levenshtein"),
+      "the verify step must run in-plan:\n" + plan.take(1200))
+    // candidate generation shuffles 32-hex bucket keys, never the variant
+    // strings themselves (only the small id-keyed verify join carries keys)
+    val exchangeLines = plan.linesIterator.filter(_.contains("hashpartitioning(__h")).toSeq
+    assert(exchangeLines.nonEmpty,
+      "bucket join must partition on the md5 bucket column:\n" + plan.take(1200))
+  }
 }

@@ -178,6 +178,18 @@ class SketchSpec extends SparkSpec {
     assert(merged === want)
   }
 
+  test("heavyHittersExact equals brute force; the sketch only prunes the shuffle") {
+    // planted frequencies: "hot" 40×, "warm" 12×, everything else < 10
+    val corpus = ((1 to 40).map(i => (i.toLong, "hot x" + i)) ++
+      (41 to 52).map(i => (i.toLong, "warm y" + i)) ++
+      (53 to 60).map(i => (i.toLong, "cold z" + i))).toDF("id", "text")
+    val got = heavyHittersExact(corpus, "text", minCount = 12)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("hot" -> 40L, "warm" -> 12L))
+    // threshold above every count → empty, not an error
+    assert(heavyHittersExact(corpus, "text", minCount = 1000).count() === 0L)
+  }
+
   test("kmvQuantiles: exact inverted-CDF ranks over the sample") {
     val rows = (0L until 1000L).map(i => (i, i % 97))
     val sample = bottomKSample(rows.toDF("id", "m"), "id", 50)
