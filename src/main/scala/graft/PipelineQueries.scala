@@ -942,6 +942,54 @@ object PipelineQueries {
              |    '\s+', ' ', 'g'))) AS canon_digest
              |FROM documents WHERE doc_id < 200""".stripMargin)),
 
+    // ---- URL canonicalization (the key layer of URL-keyed dedup) ---------
+    // synthesized URLs exercise every rule: mixed-case scheme/host,
+    // default :443 port, trailing path slash, tracking params, unsorted
+    // query order, fragments — one zero-shuffle expression chain, every
+    // step replayed by DuckDB's regexp + list functions
+    "q_url_normalize" -> QueryDef(
+      (s, dir) => {
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://"))
+            .otherwise(lit("https://")),
+          upper(col("source")), lit(".example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+          lit("/Docs/"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+          lit("?z=9&utm_source=feed&a=1"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("&fbclid=abc"))
+            .otherwise(lit("")),
+          lit("#sec"))
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), url.as("url"),
+            TextFunctions.normalizeUrl(url).as("url_norm"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+             |     upper(source) || '.example.com' ||
+             |     CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+             |     '/Docs/' || doc_id ||
+             |     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+             |     '?z=9&utm_source=feed&a=1' ||
+             |     CASE WHEN doc_id % 4 = 0 THEN '&fbclid=abc' ELSE '' END ||
+             |     '#sec') AS url
+             |  FROM documents WHERE doc_id < 400),
+             |s2 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+             |s3 AS (SELECT *, regexp_replace(nofrag, '\?.*$', '') AS base,
+             |    coalesce(regexp_extract(nofrag, '\?(.*)$', 1), '') AS q FROM s2),
+             |s4 AS (SELECT *, regexp_extract(base,
+             |    '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS pre FROM s3),
+             |s5 AS (SELECT *,
+             |    regexp_replace(regexp_replace(lower(pre),
+             |      '^(https://[^/:]*):443$', '\1'), '^(http://[^/:]*):80$', '\1') AS prenp,
+             |    regexp_replace(substr(base, length(pre) + 1), '/+$', '') AS path FROM s4),
+             |s6 AS (SELECT *, list_aggregate(list_sort(list_filter(string_split(q, '&'),
+             |      x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)')
+             |        AND x <> '')), 'string_agg', '&') AS kept FROM s5)
+             |SELECT doc_id, url, prenp || path ||
+             |  CASE WHEN kept IS NULL OR kept = '' THEN '' ELSE '?' || kept END AS url_norm
+             |FROM s6""".stripMargin)),
+
     // ---- portable deterministic HLL distinct-token estimate per lang -----
     // md5-derived registers (exact string/int rank extraction — no float
     // log2), so DuckDB replays the sketch bit for bit; the shuffle carries

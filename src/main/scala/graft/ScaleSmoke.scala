@@ -655,6 +655,32 @@ object ScaleSmoke {
       s""""docs_per_sec":${(nContDocs / winnowSecs).toLong},""" +
       s""""shuffle_write_bytes":$winnowShuffle}""")
 
+    // ---- edit-distance join at 200k-key scale -----------------------------
+    // 200k unique 16-hex keys + 10k planted 1-char typos ('z' is not a hex
+    // digit, so each typo is ed-1 from exactly its parent and ≥2 from
+    // everything else whp). FastSS must find exactly the planted pairs;
+    // the shuffle carries md5 buckets of the ~17-variant neighborhoods.
+    val nKeys = 200000L * mult
+    val nTypos = nKeys / 20
+    val keyCol = lpad(hex(xxhash64(col("id"))), 16, "0")
+    val edBase = spark.range(nKeys).select(col("id").as("doc_id"), keyCol.as("k"))
+    val edTypos = spark.range(nTypos)
+      .select((col("id") + 10000000L).as("doc_id"),
+        concat(lit("z"), substring(keyCol, 2, 15)).as("k"))
+    val edCorpus = edBase.unionByName(edTypos)
+    val (nEdPairs, edShuffle, edPeak, edSecs) = sectionShuffle {
+      graft.dedup.Dedup.editDistancePairs(edCorpus, "doc_id", "k", maxDist = 1)
+        .count()
+    }
+    require(nEdPairs == nTypos,
+      s"FastSS must find exactly the $nTypos planted typo pairs, got $nEdPairs")
+    val nEdDocs = nKeys + nTypos
+    println(s"""{"metric":"editdist_scale","keys":$nEdDocs,""" +
+      s""""pairs":$nEdPairs,"seconds":$edSecs,""" +
+      s""""keys_per_sec":${(nEdDocs / edSecs).toLong},""" +
+      s""""shuffle_write_bytes":$edShuffle,""" +
+      s""""peak_stage_shuffle_bytes":$edPeak}""")
+
     // ---- Structured Streaming machinery throughput ------------------------
     // A multi-batch backfill through a stateful aggregation: 4M events in
     // 8 files, one file per micro-batch (forces 8 state-store commit

@@ -29,6 +29,36 @@ object TextFunctions {
   def canonicalText(text: Column): Column =
     trim(regexp_replace(lower(unicodeNfc(text)), "\\s+", " "))
 
+  /** URL canonicalization — the key-normalization layer URL-keyed dedup
+    * needs (the same landing page arrives as `HTTP://Site.com/a/?b=2&
+    * utm_source=feed#top` and `http://site.com/a?b=2`): lowercase the
+    * scheme://host prefix (paths stay case-sensitive), strip the
+    * fragment, drop default ports (:80 http, :443 https), strip
+    * trailing path slashes, drop tracking params (utm_*, fbclid,
+    * gclid) and SORT the survivors so param order cannot split a key.
+    * Pure codegen'd expression chain (regex + array ops on the
+    * query-string split) — zero shuffle at any corpus size, and every
+    * step has a DuckDB twin (regexp + list functions) so normalized
+    * keys replay exactly. Non-URL strings pass through lightly touched
+    * (no scheme prefix → nothing matches the host rules). */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    // scheme://authority prefix, lowercased; the path keeps its case
+    val pre = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val preLower = lower(pre)
+    val preNoPort = regexp_replace(
+      regexp_replace(preLower, "^(https://[^/:]*):443$", "$1"),
+      "^(http://[^/:]*):80$", "$1")
+    val path = regexp_replace(
+      base.substr(length(pre) + 1, length(base)), "/+$", "")
+    val kept = array_join(array_sort(filter(split(query, "&", -1),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)") && p =!= "")), "&")
+    concat(preNoPort, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** Exact whitespace token count without array materialization — cheap
     * enough for a first-pass quality filter over petabyte text. */
   def tokenCount(text: Column): Column =

@@ -82,4 +82,31 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.canonicalText(col("text"))).head()
     assert(nul.isNullAt(0))
   }
+
+  test("normalizeUrl: host case, ports, slashes, tracking params, ordering, fragments") {
+    val cases = Seq(
+      // the full gauntlet collapses to one key
+      "HTTPS://Site.COM:443/A/Path/?b=2&utm_source=x&a=1#frag" ->
+        "https://site.com/A/Path?a=1&b=2",
+      "https://site.com/A/Path?a=1&b=2" -> "https://site.com/A/Path?a=1&b=2",
+      // http default port; params all tracking → no '?' at all
+      "HTTP://x.org:80/p?utm_campaign=c&fbclid=1&gclid=2" -> "http://x.org/p",
+      // non-default port survives; path case survives
+      "https://x.org:8443/P" -> "https://x.org:8443/P",
+      // root URL: trailing slash strips to the bare authority
+      "https://x.org/" -> "https://x.org",
+      // utm must match as a PREFIX key, not a substring (param named
+      // 'autumn' survives; value mentioning utm_ survives)
+      "https://x.org/p?autumn=1&q=utm_source" ->
+        "https://x.org/p?autumn=1&q=utm_source",
+      // non-URL strings pass through lightly (no authority to rewrite)
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "u")
+      .select(col("id"), TextFunctions.normalizeUrl(col("u")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"for '$u': got '${got(i.toLong)}' want '$want'")
+    }
+  }
 }
