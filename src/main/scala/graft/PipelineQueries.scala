@@ -290,6 +290,49 @@ object PipelineQueries {
              |SELECT doc_id FROM docs
              |WHERE doc_id NOT IN (SELECT sub_id FROM drops)""".stripMargin)),
 
+    // ---- cross-corpus near-dup (fuzzy decontamination) -------------------
+    // train = docs < 300, ref = docs 200-399 under shifted ids: the 100
+    // overlapping docs verify at jaccard 1.0 through the md5 band join,
+    // plus whatever natural near-dups the band join surfaces — DuckDB
+    // replays signatures, banding, candidates and the set-Jaccard verify
+    // end to end
+    "q_dedup_cross" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.dedup.Dedup.crossCorpusNearDupPairs(
+          d.filter(col("doc_id") < 300), "doc_id", "text",
+          d.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+            .select((col("doc_id") + 500000L).as("ref_id"), col("text")),
+          "ref_id", "text",
+          numHashes = 4, rowsPerBand = 2, threshold = 0.9,
+          hashFn = Some(graft.dedup.Dedup.oracleHash))
+      },
+      Some("""WITH tr AS (SELECT doc_id AS tid, text FROM documents WHERE doc_id < 300),
+             |rf AS (SELECT doc_id + 500000 AS rid, text FROM documents
+             |  WHERE doc_id >= 200 AND doc_id < 400),
+             |ttok AS (SELECT tid, unnest(list_distinct(string_split(text, ' '))) AS t FROM tr),
+             |rtok AS (SELECT rid, unnest(list_distinct(string_split(text, ' '))) AS t FROM rf),
+             |tsig AS (SELECT tid, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+             |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM ttok GROUP BY tid),
+             |rsig AS (SELECT rid, min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+             |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3 FROM rtok GROUP BY rid),
+             |tband AS (
+             |  SELECT tid, 0 AS band, sha256(mh0 || '|' || mh1) AS bh FROM tsig
+             |  UNION ALL SELECT tid, 1, sha256(mh2 || '|' || mh3) FROM tsig),
+             |rband AS (
+             |  SELECT rid, 0 AS band, sha256(mh0 || '|' || mh1) AS bh FROM rsig
+             |  UNION ALL SELECT rid, 1, sha256(mh2 || '|' || mh3) FROM rsig),
+             |cand AS (SELECT DISTINCT tid, rid FROM tband JOIN rband USING (band, bh)),
+             |tset AS (SELECT tid, list_distinct(string_split(text, ' ')) AS ts FROM tr),
+             |rset AS (SELECT rid, list_distinct(string_split(text, ' ')) AS ts FROM rf),
+             |j AS (SELECT tid, rid,
+             |    len(list_intersect(tset.ts, rset.ts))
+             |      / (len(tset.ts) + len(rset.ts)
+             |         - len(list_intersect(tset.ts, rset.ts)))::DOUBLE AS jac
+             |  FROM cand JOIN tset USING (tid) JOIN rset USING (rid))
+             |SELECT tid AS train_id, rid AS ref_id, round(jac, 6) AS jaccard
+             |FROM j WHERE jac >= 0.9""".stripMargin)),
+
     // ---- edit-distance similarity join (FastSS deletion neighborhoods) ---
     // fuzzy-KEY matching over 24-char title prefixes: the base corpus's
     // natural shared prefixes land at dist 0, and a planted slice with

@@ -797,6 +797,72 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper_id"))
   }
 
+  /** Cross-corpus near-duplicate pairs — fuzzy decontamination and
+    * incremental-crawl dedup: (train_id, ref_id, jaccard) for train docs
+    * whose MinHash-banded candidates against a REFERENCE corpus verify
+    * at token-set Jaccard ≥ threshold. The fuzzy complement of the
+    * Bloom-prefiltered exact anti-join (E38): digests catch
+    * byte-identical re-crawls, this catches the near-identical ones
+    * (boilerplate swaps, whitespace drift, small edits) — without ever
+    * joining train×ref. Only same-bucket pairs meet, so a 100 TB crawl
+    * against a 100 TB training set stays band-join-shaped.
+    *
+    * Scale shape: signatures are rowwise codegen by default (pass
+    * `hashFn = Some(oracleHash)` for the md5 SQL-replayable family);
+    * the band join shuffles (id, 64-hex band hash) rows only — never
+    * text; hot REFERENCE buckets (site chrome every page shares) cap
+    * through the shared loud oversize audit, and a train doc landing in
+    * a dropped bucket can still match through its other bands;
+    * verification rides each candidate row as two sorted xxhash64 token
+    * arrays intersected in-row. Drop flagged rows with an anti-join on
+    * the distinct `train_id` column. */
+  def crossCorpusNearDupPairs(train: DataFrame, trainIdCol: String,
+      trainTextCol: String, ref: DataFrame, refIdCol: String,
+      refTextCol: String, numHashes: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.9,
+      hashFn: Option[(Column, Int) => Column] = None,
+      maxPostingSize: Int = DefaultMaxBucketSize,
+      oversizeObs: Option[Observation] = None): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    def sigs(df: DataFrame, id: String, text: String) = hashFn match {
+      case Some(h) => minhashSignature(df, id, text, numHashes, h)
+      case None => minhashSignatureRowwise(df, id, text, numHashes)
+    }
+    val bt = bandedByHash(sigs(train, trainIdCol, trainTextCol), trainIdCol,
+        numHashes, rowsPerBand)
+      .select(col(trainIdCol).as("__tid"), col("band"), col("band_hash"))
+    val br = bandedByHash(sigs(ref, refIdCol, refTextCol), refIdCol,
+        numHashes, rowsPerBand)
+      .select(col(refIdCol).as("__rid"), col("band"), col("band_hash"))
+    val postings = br.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+    val audited = observeOversize(postings, col("__n"), maxPostingSize,
+      oversizeObs)
+    val kept =
+      if (maxPostingSize == Int.MaxValue) audited
+      else audited.filter(col("__n") <= maxPostingSize)
+    val cands = bt
+      .join(kept.select("band", "band_hash"), Seq("band", "band_hash"))
+      .join(br, Seq("band", "band_hash"))
+      .select(col("__tid"), col("__rid")).distinct()
+    def tokSets(df: DataFrame, id: String, text: String, a: String, b: String) =
+      df.select(col(id).as(a), GraftBridge.column(
+        graft.expressions.SortedTokenHashes(
+          GraftBridge.expression(col(text)))).as(b))
+    val inter = GraftBridge.column(graft.expressions.SortedLongIntersectCount(
+      GraftBridge.expression(col("__ta")), GraftBridge.expression(col("__tb"))))
+    cands
+      .join(tokSets(train, trainIdCol, trainTextCol, "__tid", "__ta"), Seq("__tid"))
+      .join(tokSets(ref, refIdCol, refTextCol, "__rid", "__tb"), Seq("__rid"))
+      .withColumn("__i", inter)
+      .withColumn("__j",
+        col("__i") / (size(col("__ta")) + size(col("__tb")) - col("__i")))
+      .filter(col("__j") >= threshold)
+      .select(col("__tid").as("train_id"), col("__rid").as("ref_id"),
+        round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Directed CONTAINMENT pairs — |A∩B| / |A| ≥ threshold over word
     * `shingleTokens`-gram shingle sets — the asymmetric near-dup relation
     * resemblance-Jaccard misses: a short doc quoted whole inside a long

@@ -646,6 +646,29 @@ class DedupSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("crossCorpusNearDupPairs flags train docs near a reference doc, never joins corpora") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog yesterday"), // near ref 10
+      (3L, "completely unrelated training document about parquet files"),
+      (4L, "the quick brown fox jumps over the lazy dog today")  // exact ref 10? no — exact of 1
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "reference corpus text that matches nothing in training")
+    ).toDF("ref_id", "text")
+    val got = Dedup.crossCorpusNearDupPairs(train, "doc_id", "text",
+        ref, "ref_id", "text", numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 10L)) === 1.0)
+    assert(got((4L, 10L)) === 1.0)
+    // doc 2: 9-distinct-token sets differing in one token → jaccard 8/10,
+    // exactly at the >= 0.8 threshold boundary
+    assert(got((2L, 10L)) === 0.8)
+    assert(!got.keys.exists(_._1 == 3L), s"unrelated doc must not flag: $got")
+    assert(!got.keys.exists(_._2 == 11L), s"unmatched ref must not appear: $got")
+  }
+
   test("editDistancePairs equals local brute force at maxDist 1 and 2") {
     // substitution / deletion / insertion / exact dup / empty-vs-1-char
     // neighbors / an unrelated far string — and a dist-2 chain (1→2→"sittin")
