@@ -322,6 +322,22 @@ object CorpusPrep {
         val maxChunk = written.agg(max("chunk_end_id")).head()
         if (nOut == 0 || maxChunk.isNullAt(0)) 0L else maxChunk.getLong(0) + 1
       }
+    // `--export-jsonl gzip|none` [`--export-shards N`]: the consumer-facing
+    // training export — JSON-lines shards (what tokenizer/loader pipelines
+    // ingest), gzip-codec'd unless 'none'. Shard assignment is
+    // hash-partitioning on the id column: deterministic across runs and
+    // layouts, balanced by construction, and N bounds the file count a
+    // 100 TB export produces (one task per shard, no driver funnel).
+    args.get("export-jsonl").foreach { codec =>
+      require(codec == "gzip" || codec == "none",
+        s"--export-jsonl must be 'gzip' or 'none', got '$codec'")
+      val shards = args.getOrElse("export-shards", "0").toInt
+      val src = if (shards > 0) written.repartition(shards, col(idCol)) else written
+      val w = src.write.mode("overwrite")
+      (if (codec == "none") w else w.option("compression", codec))
+        .json(s"$out/export")
+    }
+
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
       "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped,

@@ -346,4 +346,28 @@ class CorpusPrepSpec extends SparkSpec {
         "in" -> s"$dir/in", "out" -> s"$dir/out2", "chunk-mode" -> "nope"))
     }
   }
+
+  test("--export-jsonl writes gzip JSON-lines shards that round-trip the chunks") {
+    val out = Files.createTempDirectory("corpus_export").toString
+    CorpusPrep.run(spark, Map(
+      "in" -> "/root/testdata/sf0.001/documents.parquet",
+      "out" -> out,
+      "export-jsonl" -> "gzip",
+      "export-shards" -> "2"))
+    val parts = new java.io.File(s"$out/export").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.length == 2, s"expected 2 gzip shards, got ${parts.map(_.getName).toSeq}")
+    val chunks = spark.read.parquet(s"$out/chunks")
+    val exported = spark.read.json(s"$out/export")
+    assert(exported.count() == chunks.count())
+    assert(exported.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      chunks.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // codec validation is loud
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "out" -> Files.createTempDirectory("corpus_export2").toString,
+        "export-jsonl" -> "zip"))
+    }
+  }
 }
