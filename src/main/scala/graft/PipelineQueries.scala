@@ -290,6 +290,30 @@ object PipelineQueries {
              |SELECT doc_id FROM docs
              |WHERE doc_id NOT IN (SELECT sub_id FROM drops)""".stripMargin)),
 
+    // ---- declarative fuzzy join (FuzzyJoinRewrite optimizer rule) --------
+    // the user writes the nested-loop-shaped `levenshtein(a, b) <= 1`
+    // join; the Catalyst rule turns it into the FastSS bucketed
+    // equi-join (PlanAuditSpec pins the plan) — and the ORACLE is the
+    // brute-force join itself, so the rewrite's losslessness is a
+    // CORRECTNESS row, not just a spec claim
+    "q_fuzzy_join" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val a = d.filter(col("doc_id") < 300)
+          .select(col("doc_id").as("id_a"), substring(col("text"), 1, 24).as("ta"))
+        val b = d.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+          .select(col("doc_id").as("id_b"), substring(col("text"), 1, 24).as("tb"))
+        a.join(b, levenshtein(col("ta"), col("tb")) <= 1 &&
+            col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM (SELECT doc_id, substr(text, 1, 24) AS t FROM documents
+             |      WHERE doc_id < 300) a
+             |JOIN (SELECT doc_id, substr(text, 1, 24) AS t FROM documents
+             |      WHERE doc_id >= 100 AND doc_id < 400) b
+             |  ON levenshtein(a.t, b.t) <= 1 AND a.doc_id <> b.doc_id""".stripMargin)),
+
     // ---- cross-corpus near-dup (fuzzy decontamination) -------------------
     // train = docs < 300, ref = docs 200-399 under shifted ids: the 100
     // overlapping docs verify at jaccard 1.0 through the md5 band join,

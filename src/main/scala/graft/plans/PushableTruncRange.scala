@@ -122,6 +122,8 @@ object PushableTruncRange extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushableTruncRange)
+    ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
+  }
 }

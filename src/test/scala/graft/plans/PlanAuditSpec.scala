@@ -309,6 +309,15 @@ class PlanAuditSpec extends SparkSpec {
       "only candidate tokens may shuffle, once:\n" + plan.take(1200))
   }
 
+  test("q_fuzzy_join: the declarative levenshtein join plans as the FastSS equi-join") {
+    val plan = executedPlan("q_fuzzy_join")
+    assert(plan.contains("__graft_h"),
+      "FuzzyJoinRewrite must key the join on neighborhood buckets:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the fuzzy join must not nested-loop:\n" + plan.take(1200))
+  }
+
   test("q_dedup_editdist joins on md5 buckets — no cartesian, no title shuffle") {
     val plan = executedPlan("q_dedup_editdist")
     assert(!plan.contains("CartesianProduct") &&
