@@ -64,5 +64,18 @@ object GraftFunctions {
       exprs => SortedTokenHashes(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("sorted_long_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    // expression-chain functions: the builder may return an UNRESOLVED
+    // tree here — registry builders run during analysis, which resolves
+    // the Column API's lambda variables (unlike an optimizer rule). The
+    // conversion must be EAGER (convertedExpression): the lazy wrapper
+    // from `expression` would survive into codegen and fail there.
+    registry.createOrReplaceTempFunction("url_normalize",
+      exprs => org.apache.spark.sql.GraftBridge.convertedExpression(
+        TextFunctions.normalizeUrl(
+          org.apache.spark.sql.GraftBridge.column(exprs(0)))), "built-in")
+    registry.createOrReplaceTempFunction("canonical_text",
+      exprs => org.apache.spark.sql.GraftBridge.convertedExpression(
+        TextFunctions.canonicalText(
+          org.apache.spark.sql.GraftBridge.column(exprs(0)))), "built-in")
   }
 }

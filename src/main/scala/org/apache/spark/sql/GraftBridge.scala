@@ -8,4 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode → Catalyst conversion. `expression` wraps the node
+    * lazily (ColumnNodeExpression), which the DataFrame API unwraps during
+    * plan conversion — but a FunctionRegistry builder's output is spliced
+    * into the plan directly, where the lazy wrapper survives to codegen
+    * and dies (`Cannot generate code for expression: columnnodeexpression`).
+    * Converting eagerly yields plain (possibly Unresolved*) Catalyst
+    * expressions, which mid-analysis resolution then handles normally. */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

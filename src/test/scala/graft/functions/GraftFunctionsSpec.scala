@@ -17,4 +17,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
     assert(math.abs(r.getDouble(2) - math.sqrt(27.0)) < 1e-12)
   }
+
+  test("url_normalize / canonical_text resolve in SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("HTTPS://Site.COM:443/A/?b=2&utm_source=x&a=1#f", "Café  X\tY"))
+      .toDF("u", "t").createOrReplaceTempView("gf_sql")
+    val r = spark.sql(
+      "SELECT url_normalize(u) AS n, canonical_text(t) AS c FROM gf_sql").head
+    assert(r.getString(0) == "https://site.com/A?a=1&b=2")
+    assert(r.getString(1) == "café x y")
+  }
 }
