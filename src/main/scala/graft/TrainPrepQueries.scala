@@ -309,6 +309,34 @@ object TrainPrepQueries {
              |  CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 2) AS sum_value
              |FROM s GROUP BY user_id, sid""".stripMargin)),
 
+    // ---- streaming HLL: the mergeable sketch registers AS stream state ---
+    // the per-(lang, bucket) max-rank aggregate is the stream's single
+    // stateful stage (state ≤ groups×256 rows regardless of volume); the
+    // estimator finishes batch over the drained sink. Same oracle as the
+    // batch q_hll_distinct — register max is backfill-order-insensitive.
+    "q_stream_hll" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.hllDistinctStream(s, dir),
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+             |hx AS (SELECT lang, md5(t) AS h FROM tok),
+             |rk AS (SELECT lang, substr(h, 1, 2) AS bucket,
+             |    regexp_replace(substr(h, 3, 15), '^0+', '') AS s FROM hx),
+             |r AS (SELECT lang, bucket,
+             |    CASE WHEN length(s) = 0 THEN 61
+             |      ELSE (15 - length(s)) * 4
+             |        + (4 - CASE WHEN substr(s, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+             |                    WHEN substr(s, 1, 1) IN ('4','5','6','7') THEN 3
+             |                    WHEN substr(s, 1, 1) IN ('2','3') THEN 2
+             |                    ELSE 1 END) + 1 END AS rank
+             |  FROM rk),
+             |regs AS (SELECT lang, bucket, max(rank) AS m FROM r GROUP BY 1, 2),
+             |agg AS (SELECT lang, sum(pow(2.0, -m)) AS sm, count(*) AS nb FROM regs GROUP BY 1),
+             |est AS (SELECT lang, 256 - nb AS zeros,
+             |    (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / (sm + (256 - nb)) AS raw
+             |  FROM agg)
+             |SELECT lang, round(CASE WHEN raw <= 640 AND zeros > 0
+             |    THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS n_distinct_est
+             |FROM est""".stripMargin)),
+
     // ---- retrieval-style sliding-window chunking (overlap keeps context
     // across cuts; windows never cross doc boundaries) ---------------------
     "q_chunk_sliding" -> QueryDef(

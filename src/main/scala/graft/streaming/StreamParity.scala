@@ -243,6 +243,21 @@ object StreamParity {
     runToTable(spark, agg, "stream_sessionize", OutputMode.Complete())
   }
 
+  /** Streaming HLL distinct-token estimate per lang: the register
+    * aggregate (per-(lang, bucket) max rank — the MERGEABLE sketch
+    * itself) is the stream's single stateful stage in complete mode, so
+    * state is ≤ groups×256 tiny rows no matter how much text streams
+    * through; the estimator arithmetic then runs BATCH over the drained
+    * sink (a groups-sized frame). Equals the batch q_hll_distinct —
+    * register max is order-insensitive, so backfill order cannot change
+    * the answer. */
+  def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
+    val regs = graft.trainprep.CorpusOverlap.hllRegisters(
+      docsStream(spark, dir), "lang", "text")
+    val sink = runToTable(spark, regs, "stream_hll_regs", OutputMode.Complete())
+    graft.trainprep.CorpusOverlap.hllEstimate(sink, "lang")
+  }
+
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */
   def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {

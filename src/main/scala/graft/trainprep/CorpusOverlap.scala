@@ -115,9 +115,16 @@ object CorpusOverlap {
     * double is a few arithmetic ops over a Σ of ≤256 powers of two, so
     * cross-engine addition order sits far below 1e-4. */
   def hllDistinctTokens(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    hllEstimate(hllRegisters(docs, groupCol, textCol), groupCol)
+
+  /** The REGISTER stage of [[hllDistinctTokens]]: per-(group, bucket)
+    * max-rank rows (≤ groups×256 however big the corpus). Split out so the
+    * streaming parity path can run it as the single stateful aggregation
+    * of a stream (complete mode — register state is exactly the mergeable
+    * sketch) and finish with [[hllEstimate]] as a batch over the sink. */
+  private[graft] def hllRegisters(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val h = md5(col("__t"))
     val sub = substring(h, 3, 15) // 60 bits after the 8-bit bucket
     val stripped = regexp_replace(sub, "^0+", "")
@@ -128,11 +135,17 @@ object CorpusOverlap {
         .otherwise(1)
     val rank = when(length(stripped) === 0, lit(61))
       .otherwise((lit(15) - length(stripped)) * 4 + (lit(4) - bitsOfFirst) + 1)
-    val regs = docs
+    docs
       .select(col(groupCol), explode(split(col(textCol), " ", -1)).as("__t"))
       .select(col(groupCol), substring(h, 1, 2).as("__bucket"), rank.as("__rank"))
       .groupBy(col(groupCol), col("__bucket"))
       .agg(max("__rank").as("__m"))
+  }
+
+  /** The ESTIMATOR finish of [[hllDistinctTokens]] over a register frame. */
+  private[graft] def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     regs.groupBy(col(groupCol))
       .agg(sum(pow(lit(2.0), -col("__m"))).as("__s"),
         count(lit(1)).as("__nb"))

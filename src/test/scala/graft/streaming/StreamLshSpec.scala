@@ -63,4 +63,35 @@ class StreamLshSpec extends SparkSpec {
     assert(buckets.map(_._1).sorted == Seq(0, 1))
     assert(buckets.forall(_._3 == 2L))
   }
+
+  test("HLL register state spans micro-batches and equals the batch estimate") {
+    val d = Files.createTempDirectory("stream_hll").toFile
+    d.deleteOnExit()
+    val batch1 = Seq((1L, "en", "alpha beta gamma delta"),
+      (2L, "de", "eins zwei drei"))
+    val batch2 = Seq((3L, "en", "gamma delta epsilon zeta eta"))
+    Seq(batch1, batch2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/stage_$i")
+      val part = new java.io.File(s"$d/stage_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new java.io.File(s"$d/docs_$i.parquet").toPath)
+    }
+    val src = spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+      .option("pathGlobFilter", "docs_*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.getAbsolutePath)
+    val regs = graft.trainprep.CorpusOverlap.hllRegisters(src, "lang", "text")
+    val sink = StreamParity.runToTable(spark, regs, "stream_hll_spec",
+      OutputMode.Complete())
+    val got = graft.trainprep.CorpusOverlap.hllEstimate(sink, "lang")
+      .as[(String, Double)].collect().toMap
+    val want = graft.trainprep.CorpusOverlap.hllDistinctTokens(
+        (batch1 ++ batch2).toDF("doc_id", "lang", "text"), "lang", "text")
+      .as[(String, Double)].collect().toMap
+    // register max is order-insensitive: stream state == batch sketch, so
+    // the estimates are bit-identical (en spans both micro-batches)
+    assert(got === want)
+    assert(got.keySet === Set("en", "de"))
+  }
 }
