@@ -337,6 +337,23 @@ object TrainPrepQueries {
              |    THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS n_distinct_est
              |FROM est""".stripMargin)),
 
+    // ---- streaming CMS: the counter aggregate as stream state ------------
+    // depth×256 counters as the single stateful stage; estimation joins
+    // the drained sink batch-side. Same oracle as the batch q_cms_counts.
+    "q_stream_cms" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.cmsStream(s, dir),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |rb AS (SELECT t, g.r, substr(md5(t || '#' || g.r), 1, 2) AS b
+             |  FROM tok, UNNEST(generate_series(0, 3)) AS g(r)),
+             |cms AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+             |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+             |  FROM documents WHERE doc_id < 5),
+             |qb AS (SELECT q.token, g.r, substr(md5(q.token || '#' || g.r), 1, 2) AS b
+             |  FROM q, UNNEST(generate_series(0, 3)) AS g(r))
+             |SELECT qb.token, min(cms.cnt) AS cnt_est
+             |FROM qb JOIN cms ON cms.r = qb.r AND cms.b = qb.b
+             |GROUP BY 1""".stripMargin)),
+
     // ---- retrieval-style sliding-window chunking (overlap keeps context
     // across cuts; windows never cross doc boundaries) ---------------------
     "q_chunk_sliding" -> QueryDef(

@@ -258,6 +258,22 @@ object StreamParity {
     graft.trainprep.CorpusOverlap.hllEstimate(sink, "lang")
   }
 
+  /** Streaming count-min sketch: the depth×256 counter aggregate (the
+    * E59 sketch) as the stream's single stateful stage — counter state
+    * is bounded at depth×256 rows at any text volume, and count is
+    * backfill-order-insensitive, so the drained sketch equals the batch
+    * one. Estimation then runs BATCH: the same query-token set as the
+    * batch q_cms_counts joins the drained counter sink. */
+  def cmsStream(spark: SparkSession, dir: String): DataFrame = {
+    val counters = graft.trainprep.CorpusOverlap.cmsTokenCounts(
+      docsStream(spark, dir), "text")
+    val sink = runToTable(spark, counters, "stream_cms", OutputMode.Complete())
+    val queryToks = graft.queries.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(explode(split(col("text"), " ", -1)).as("token")).distinct()
+    graft.trainprep.CorpusOverlap.cmsEstimate(sink, queryToks, "token")
+  }
+
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */
   def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {
