@@ -401,6 +401,48 @@ object TrainPrepQueries {
              |FROM rt r JOIN lp USING (tri)
              |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- token-distribution drift between slices (smoothed KL) -----------
+    // the corpus-monitoring number: KL(en ∥ de) over the union vocab with
+    // add-one smoothing — two hash-aggregates + one vocab-sized
+    // full-outer join, corpus never shuffled beyond (token, count)
+    "q_token_drift" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        CorpusOverlap.tokenDrift(
+          d.filter(col("lang") === "en"), d.filter(col("lang") === "de"), "text")
+      },
+      Some("""WITH ta AS (SELECT unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE lang = 'en'),
+             |tb AS (SELECT unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE lang = 'de'),
+             |ca AS (SELECT t, count(*) AS c FROM ta GROUP BY 1),
+             |cb AS (SELECT t, count(*) AS c FROM tb GROUP BY 1),
+             |j AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+             |  FROM ca FULL OUTER JOIN cb USING (t)),
+             |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v FROM j)
+             |SELECT v AS vocab, na AS n_a, nb AS n_b,
+             |  round(sum(((ca + 1.0) / (na + v))
+             |    * ln(((ca + 1.0) / (na + v)) / ((cb + 1.0) / (nb + v)))), 4) AS kl_nats
+             |FROM j, tot GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- deterministic train/val/test split assignment -------------------
+    // sha256-hash bands at 1/65536 granularity: no RNG, layout-stable,
+    // and adding new rows never flips an existing row's band. Edge
+    // literals in the oracle are round(cum*65536) of 0.8/0.1/0.1.
+    "q_split_assign" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TrainPrep.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("band")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN p < 52429 THEN 'train'
+             |       WHEN p < 58982 THEN 'val'
+             |       ELSE 'test' END AS band
+             |FROM (SELECT doc_id,
+             |    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+             |      AS BIGINT) AS p
+             |  FROM documents)""".stripMargin)),
+
     // ---- KMV bottom-k sample + exact rank quantiles over it --------------
     // the quantile member of the sketch family: bottom-200 of md5(doc_id)
     // is a deterministic uniform sample; the p50/p90 of n_chars over it

@@ -231,6 +231,38 @@ object CorpusOverlap {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
   }
 
+  /** Token-distribution drift between two corpus slices: KL(P_a ∥ P_b)
+    * in nats with add-one smoothing over the UNION vocabulary — the
+    * corpus-monitoring number that says "this crawl's language has
+    * shifted from the training distribution" before a model does.
+    * Smoothed p_i = (count_a(i)+1)/(n_a+V) (so tokens absent from one
+    * side contribute finitely), KL = Σ p_i ln(p_i/q_i). Returns one row
+    * (vocab, n_a, n_b, kl_nats).
+    *
+    * Scale shape: two token hash-aggregates (map-side combined), one
+    * vocab-sized full-outer join on the token, totals as one tiny
+    * aggregate broadcast back over the vocab frame — the corpus itself
+    * is scanned once per side and never shuffled beyond (token, count)
+    * rows. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) =
+      df.select(explode(split(col(textCol), " ", -1)).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as("c"))
+    val joined = counts(a).withColumnRenamed("c", "ca")
+      .join(counts(b).withColumnRenamed("c", "cb"), Seq("__t"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .persist()
+    graft.multimodal.Multimodal.unpersistAfterFirstUse(joined)
+    val totals = joined.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    val p = (col("ca") + 1.0) / (col("na") + col("v"))
+    val q = (col("cb") + 1.0) / (col("nb") + col("v"))
+    joined.crossJoin(broadcast(totals))
+      .groupBy(col("v").as("vocab"), col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(round(sum(p * log(p / q)), 4).as("kl_nats"))
+  }
+
   /** EXACT heavy hitters (tokens with true count ≥ `minCount`) with a
     * sketch-pruned shuffle — the two-pass pattern that makes exact
     * frequency mining 100 TB-viable. Pass 1 builds the xxhash64 CMS

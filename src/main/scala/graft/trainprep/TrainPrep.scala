@@ -121,6 +121,33 @@ object TrainPrep {
     }
   }
 
+  /** Deterministic n-way split assignment (train/val/test): each row maps
+    * to the named band whose cumulative-weight interval contains its
+    * sha256-hash fraction (first 4 hex digits → 1/65536 granularity, the
+    * same quantization as [[temperatureMix]]'s thresholds, so both
+    * engines derive identical edges from their own float math). Bands
+    * are DISJOINT and EXHAUSTIVE by construction — the last band closes
+    * at 65536 exactly, so no row is unassigned. No RNG: re-runs, other
+    * engines, and other cluster layouts assign identically, and a NEW
+    * row joining the corpus never flips an existing row's band (the
+    * property %-based random splits lose). Pure codegen'd CASE — a
+    * filter predicate, not a shuffle. */
+  def splitAssign(key: Column, bands: Seq[(String, Double)]): Column = {
+    require(bands.nonEmpty, "splitAssign needs at least one band")
+    require(bands.forall(_._2 > 0.0), s"band weights must be positive: $bands")
+    val total = bands.map(_._2).sum
+    val edges = bands.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.min(65536L, math.round(f * 65536L)))
+    val prefix = conv(substring(sha2(key.cast("string"), 256), 1, 4), 16, 10)
+      .cast("long")
+    // CASE chain, first matching edge wins; the last edge is exactly
+    // 65536 > any 4-hex prefix, so the innermost otherwise(null) is
+    // unreachable and every row lands in a band
+    bands.map(_._1).zip(edges).reverse.foldLeft(lit(null).cast("string")) {
+      case (els, (name, edge)) => when(prefix < edge, lit(name)).otherwise(els)
+    }
+  }
+
   /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES): keep the k rows with the largest priority
     * u^(1/w) — equivalently the largest ln(u)/w — where w = `weightCol`

@@ -178,6 +178,20 @@ class SketchSpec extends SparkSpec {
     assert(merged === want)
   }
 
+  test("tokenDrift: zero on identical slices, positive and asymmetric on drifted ones") {
+    val en = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta")).toDF("id", "text")
+    val de = Seq((3L, "eins eins eins zwei"), (4L, "zwei drei")).toDF("id", "text")
+    val same = tokenDrift(en, en, "text").head()
+    assert(same.getDouble(3) === 0.0, "identical distributions must have KL 0")
+    val ab = tokenDrift(en, de, "text").head()
+    val ba = tokenDrift(de, en, "text").head()
+    assert(ab.getDouble(3) > 0.0 && ba.getDouble(3) > 0.0)
+    assert(ab.getDouble(3) !== ba.getDouble(3), "KL is asymmetric")
+    // union vocab and totals are reported alongside
+    assert(ab.getLong(0) === 7L) // 4 en + 3 de distinct tokens, disjoint
+    assert(ab.getLong(1) === 7L && ab.getLong(2) === 6L)
+  }
+
   test("heavyHittersExact equals brute force; the sketch only prunes the shuffle") {
     // planted frequencies: "hot" 40×, "warm" 12×, everything else < 10
     val corpus = ((1 to 40).map(i => (i.toLong, "hot x" + i)) ++

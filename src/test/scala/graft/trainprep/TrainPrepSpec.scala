@@ -303,6 +303,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(top2 == rank.take(2))
   }
 
+  test("splitAssign: disjoint exhaustive bands, stable under corpus growth") {
+    val ids = (0L until 2000L).toDF("id")
+    val bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = ids.select(col("id"),
+        TrainPrep.splitAssign(col("id"), bands).as("band"))
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 2000 && got.values.forall(Set("train", "val", "test")))
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03)
+    // growth stability: the first 500 ids keep their bands inside a
+    // larger corpus (hash bands, not positional percentages)
+    val small = (0L until 500L).toDF("id").select(col("id"),
+        TrainPrep.splitAssign(col("id"), bands).as("band"))
+      .as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, b) => got(id) == b })
+    // unnormalized weights mean the same thing
+    val w2 = ids.select(col("id"),
+        TrainPrep.splitAssign(col("id"), Seq("train" -> 8.0, "val" -> 1.0,
+          "test" -> 1.0)).as("band"))
+      .as[(Long, String)].collect().toMap
+    assert(w2 === got)
+    intercept[IllegalArgumentException] {
+      TrainPrep.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> -0.1))
+    }
+  }
+
   test("weightedSample: deterministic A-ES top-k, nonpositive weights excluded") {
     val rows = (0L until 400L).map(i => (i, (i % 7) * 10L)) // w=0 every 7th
     val df = rows.toDF("id", "w")
