@@ -478,6 +478,25 @@ object TrainPrepQueries {
              |SELECT token, count(*) AS cnt FROM tok
              |GROUP BY 1 HAVING count(*) >= 400""".stripMargin)),
 
+    // ---- per-group KMV quantiles (per-source length profiles) ------------
+    "q_group_quantile" -> QueryDef(
+      (s, dir) => CorpusOverlap.groupQuantiles(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars",
+        k = 50, qs = Seq(0.5, 0.9)),
+      Some("""WITH s AS (SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |r1 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h) AS rs
+             |  FROM s),
+             |smp AS (SELECT source, n_chars, h FROM r1 WHERE rs <= 50),
+             |r2 AS (SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY source ORDER BY n_chars, h) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM smp)
+             |SELECT source, count(*) AS n,
+             |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS p50,
+             |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS p90
+             |FROM r2 GROUP BY source""".stripMargin)),
+
     // ---- weighted sample without replacement (Efraimidis-Spirakis A-ES) --
     // token-weighted corpus sampling with NO RNG: priority ln(u)/w from a
     // md5-derived uniform, top-150 kept; md5-hex tiebreak under a

@@ -321,6 +321,43 @@ object CorpusOverlap {
       .orderBy("__h").limit(k)
   }
 
+  /** Per-GROUP KMV sample + exact rank quantiles — the grouped form of
+    * [[bottomKSample]]+[[kmvQuantiles]] (per-source length profiles,
+    * per-lang quality spreads): within each group, the k rows with the
+    * smallest md5(id) are the deterministic uniform sample, and each
+    * requested q maps to the value at 1-based rank ⌈q·n⌉ of that sample.
+    * Returns one row per group: (group, n, p<label>...).
+    *
+    * Scale shape: the shuffle carries slim (group, hash, metric) triples
+    * once; the per-group sort is the cost — at extreme group sizes,
+    * pre-filter with a per-group hash threshold (hashSampleFilter) to
+    * cut rows before the window. Sample truncation and ranking replay
+    * exactly in any engine with row_number. */
+  def groupQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      metricCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"sample size k must be positive, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val sampled = df
+      .select(col(groupCol), col(metricCol),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__rs", row_number().over(
+        Window.partitionBy(groupCol).orderBy("__h")))
+      .filter(col("__rs") <= k)
+    val ranked = sampled
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(metricCol), col("__h"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = qs.map { q =>
+      val label = (q * 100).round.toString
+      max(when(col("__rn") === ceil(lit(q) * col("__n")),
+        col(metricCol))).as(s"p$label")
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
   /** Exact rank-based quantiles OVER a [[bottomKSample]]: for each q in
     * `qs`, the value of `metricCol` at 1-based rank ⌈q·n⌉ of the sample
     * (the inverted-CDF definition — no interpolation, so the result is a

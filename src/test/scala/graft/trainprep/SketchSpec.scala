@@ -204,6 +204,22 @@ class SketchSpec extends SparkSpec {
     assert(heavyHittersExact(corpus, "text", minCount = 1000).count() === 0L)
   }
 
+  test("groupQuantiles: per-group ranks match per-group local computation") {
+    val rows = (0L until 600L).map(i => (i, s"g${i % 3}", i % 101))
+    val got = groupQuantiles(rows.toDF("id", "g", "m"), "g", "id", "m",
+        k = 40, qs = Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val vals = rows.filter(_._2 == g)
+        .sortBy(t => md5hex(t._1.toString)).take(40).map(_._3).sorted
+      val (n, p50, p90) = got(g)
+      assert(n === 40L)
+      assert(p50 === vals(math.ceil(0.5 * 40).toInt - 1), g)
+      assert(p90 === vals(math.ceil(0.9 * 40).toInt - 1), g)
+    }
+  }
+
   test("kmvQuantiles: exact inverted-CDF ranks over the sample") {
     val rows = (0L until 1000L).map(i => (i, i % 97))
     val sample = bottomKSample(rows.toDF("id", "m"), "id", 50)
