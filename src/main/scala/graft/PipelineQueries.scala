@@ -921,6 +921,41 @@ object PipelineQueries {
              |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s2
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- SemDeDup: embedding-space near-dup pruning — k-means cluster,
+    // pairwise cosine ONLY within a cluster, greedy keep-first in id order.
+    // kmeansIters = 0 pins the codebook to the first 16 corpus vectors in
+    // id order (the q_ann_ivf pattern), so DuckDB replays codebook →
+    // argmin cell → within-cell pairs → keep flag end to end ---------------
+    "q_semdedup" -> QueryDef(
+      (s, dir) => Similarity.semDedup(
+        t(s, dir, "embeddings").filter(col("vec_id") > 0),
+        "vec_id", "embedding", nClusters = 16, threshold = 0.3),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+             |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+             |  FROM e ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT e.vec_id, s.c,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> (e.embedding[i]::DOUBLE - s.cv[i]::DOUBLE)
+             |         * (e.embedding[i]::DOUBLE - s.cv[i]::DOUBLE)))) AS dist
+             |  FROM e CROSS JOIN seeds s),
+             |assign AS (SELECT vec_id, c AS cell FROM (
+             |    SELECT vec_id, c,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d)
+             |  WHERE rn = 1),
+             |p AS (SELECT hi.vec_id,
+             |    round(list_sum(list_transform(generate_series(1, 64),
+             |        i -> eh.embedding[i]::DOUBLE * el.embedding[i]::DOUBLE))
+             |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |          i -> eh.embedding[i]::DOUBLE * eh.embedding[i]::DOUBLE)))
+             |       * sqrt(list_sum(list_transform(generate_series(1, 64),
+             |          i -> el.embedding[i]::DOUBLE * el.embedding[i]::DOUBLE)))), 5) AS cos
+             |  FROM assign hi JOIN assign lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+             |  JOIN e eh ON eh.vec_id = hi.vec_id
+             |  JOIN e el ON el.vec_id = lo.vec_id),
+             |drp AS (SELECT DISTINCT vec_id FROM p WHERE cos >= 0.3)
+             |SELECT a.vec_id, a.cell, dr.vec_id IS NULL AS keep
+             |FROM assign a LEFT JOIN drp dr ON dr.vec_id = a.vec_id""".stripMargin)),
+
     // ---- embedding-space eval decontamination: the semantic twin of
     // q_decontaminate's n-gram purge — flag train vectors with cosine ≥ 0.3
     // to ANY eval vector; eval set rides the plan as literals, so the scan

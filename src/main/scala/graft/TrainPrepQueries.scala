@@ -39,6 +39,34 @@ object TrainPrepQueries {
              |  round(tf * ln((n + 1.0) / (df + 1.0)), 5) AS tfidf
              |FROM tf JOIN df USING (token) CROSS JOIN n""".stripMargin)),
 
+    // ---- BM25 ranked retrieval: ONE 1-row stats aggregate (N + avgdl +
+    // per-term df as fused conditional sums) broadcast onto one scoring
+    // scan with in-row tf filter-counts; top-k is TakeOrdered. The oracle
+    // replays the identical arithmetic tree (assoc order matters for
+    // float-exact compare) -------------------------------------------------
+    "q_bm25" -> QueryDef(
+      (s, dir) => TrainPrep.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("vector", "join", "scan"), k = 10),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |st AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl,
+             |  sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             |  sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             |  sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END)::DOUBLE AS df2
+             |  FROM d),
+             |tfs AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+             |  len(list_filter(toks, x -> x = 'vector'))::DOUBLE AS tf0,
+             |  len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf1,
+             |  len(list_filter(toks, x -> x = 'scan'))::DOUBLE AS tf2
+             |  FROM d),
+             |s AS (SELECT doc_id,
+             |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+             |  FROM tfs CROSS JOIN st)
+             |SELECT doc_id, round(score, 5) AS score FROM s
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- deterministic hash sampling: pure pushable filter, no RNG -------
     "q_sample_hash" -> QueryDef(
       (s, dir) =>

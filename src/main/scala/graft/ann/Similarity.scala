@@ -384,6 +384,43 @@ object Similarity {
       .withColumn("keep", col("max_eval_cos") < threshold)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): embedding-space
+    * near-duplicate PRUNING — the semantic member of the dedup family
+    * (exact digest = byte identity, MinHash = token-set resemblance,
+    * winnow = lifted passages, this = paraphrases/re-renderings that share
+    * no tokens at all). The corpus is k-means clustered, then pairwise
+    * cosine runs ONLY within a cluster (the paper's scaling argument:
+    * all-pairs over N is infeasible, (N/k)^2 per cluster is not — and the
+    * cluster join is a hash-partitioned equi-join on the cell id, so at
+    * 100 TB each cluster's pairs materialize on one executor's partition,
+    * never a cartesian). A vector drops when its rounded cosine to ANY
+    * lower-id vector in the same cluster clears `threshold` — greedy
+    * keep-first in id order, deterministic, chain-safe (a kept doc is one
+    * with no qualifying lower-id partner; chains collapse to their
+    * minimum like the digest rule).
+    *
+    * `kmeansIters = 0` pins the codebook to the first `nClusters` vectors
+    * in id order, making the WHOLE pipeline (codebook → argmin cell →
+    * within-cell pairs → keep flag) SQL-replayable. Returns every input id
+    * with its cell and `keep`. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, kmeansIters: Int = 0,
+      roundTo: Int = 5): DataFrame = {
+    val cents = codebook(df, idCol, vecCol, nClusters, kmeansIters)
+    val assigned = withIvfCell(df, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("ivf_cell").as("cell"))
+    val lower = assigned
+      .select(col(idCol).as("lo_id"), col(vecCol).as("lo_vec"), col("cell"))
+    val dropped = assigned.join(lower, "cell")
+      .filter(col("lo_id") < col(idCol))
+      .filter(round(VectorFunctions.cosine(col(vecCol), col("lo_vec")), roundTo)
+        >= threshold)
+      .select(col(idCol)).distinct()
+    assigned.join(dropped.withColumn("dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
   /** Driver-side signature of the query vector — same splitmix planes the
     * executors regenerate, so bucket ids agree. */
   def querySignature(query: Seq[Float], dim: Int, nBits: Int, seed: Long = 42L): Long = {

@@ -161,6 +161,46 @@ class TrainPrepSpec extends SparkSpec {
     .withColumn("lang",
       when(col("id") < 80, "en").when(col("id") < 96, "de").otherwise("zh"))
 
+  test("bm25TopK matches a local Okapi model and ranks tf-heavy docs first") {
+    val corpus = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat dog bird fish mouse horse goat sheep"),
+      (3L, "bird fish"),
+      (4L, "cat")
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.bm25TopK(corpus, "doc_id", "text", Seq("cat", "bird"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // local model, same arithmetic
+    val texts = Map(1L -> "cat cat cat dog", 2L -> "cat dog bird fish mouse horse goat sheep",
+      3L -> "bird fish", 4L -> "cat")
+    val n = texts.size.toDouble
+    val avgdl = texts.values.map(_.split(" ").length).sum.toDouble / n
+    def score(id: Long): Double = Seq("cat", "bird").map { t =>
+      val toks = texts(id).split(" ")
+      val tf = toks.count(_ == t).toDouble
+      val df = texts.values.count(_.split(" ").contains(t)).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val dl = toks.length.toDouble
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    }.sum
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - score(id)) < 1e-5, s"doc $id: got $s want ${score(id)}")
+    }
+    // idf dominance: the rare term ('bird', df=2) in a short doc outranks
+    // the common term ('cat', df=3) even at tf=3 — doc 3 heads the ranking
+    assert(got.head._1 == 3L)
+    // results come back sorted by (score desc, id)
+    assert(got.sortBy { case (id, s) => (-s, id) }.toSeq == got.toSeq)
+  }
+
+  test("bm25TopK: a term absent from the corpus contributes zero, not NaN") {
+    val corpus = Seq((1L, "cat dog"), (2L, "dog")).toDF("doc_id", "text")
+    val got = TrainPrep.bm25TopK(corpus, "doc_id", "text", Seq("unicorn", "cat"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) == 0.0)  // no query term present
+    assert(got(1L) > 0.0)   // 'cat' scores; 'unicorn' adds 0 (tf=0 numerator)
+  }
+
   test("temperatureMix up-samples low-resource strata and clamps tiny ones") {
     val kept = TrainPrep.temperatureMix(mixDocs, "id", "lang",
         alpha = 0.5, targetTotal = 30.0)
