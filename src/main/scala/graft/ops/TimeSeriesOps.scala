@@ -287,6 +287,71 @@ object TimeSeriesOps {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Linear gap-fill interpolation per series: each NULL run takes the
+    * straight line between its nearest non-null neighbors in time order;
+    * leading/trailing gaps (no neighbor on one side) stay NULL. The
+    * analytics-side upgrade of the reference's sentinel densify (S8: TIMDEP
+    * gaps become −999 rows and are dropped — output/extract_*.py). Shape:
+    * two frame-bounded aggregates (last-non-null-before incl. current,
+    * first-non-null-after) over ONE partition-by-key sort — no self-join,
+    * no explode, each series sorts within its task. Duplicate timestamps
+    * need `tiebreak` for a total order; a neighbor at the SAME timestamp
+    * short-circuits to the previous value (0/0 guard). `timeCol` is any
+    * numeric (epoch-ns long in the query suite); the lerp fraction is
+    * double division of exact longs, so engines agree bit for bit. */
+  def interpolateGaps(df: DataFrame, keys: Seq[String],
+      timeCol: String = "time", valueCol: String = "value",
+      tiebreak: Seq[String] = Nil, out: String = "value_interp"): DataFrame = {
+    require(keys.nonEmpty, "partition keys required (unpartitioned = one task)")
+    val order = (col(timeCol) +: tiebreak.map(col)).map(_.asc)
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val t = col(timeCol)
+    val pv = last(v, ignoreNulls = true).over(wPrev)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(wPrev)
+    val nv = first(v, ignoreNulls = true).over(wNext)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(wNext)
+    val interp = when(v.isNotNull, v)
+      .when(pv.isNotNull && nv.isNotNull,
+        when(nt === pt, pv)
+          .otherwise(pv + (nv - pv) * ((t - pt).cast("double") / (nt - pt).cast("double"))))
+    df.withColumn(out, interp)
+  }
+
+  /** Rolling z-score anomaly flag per series: each value scored against the
+    * mean/stddev of the `lookback` PRECEDING observations (current row
+    * excluded — an outlier never masks itself). The cross-engine trap here
+    * is float window sums: sliding-frame aggregation order differs between
+    * engines (Spark recomputes frames; DuckDB segment-trees them), so
+    * double accumulation diverges in ULPs. This op therefore integerizes
+    * first — `scale`-fixed-point longs — making Σx and Σx² EXACT whole
+    * numbers in any summation order; mean/std/z derive from those two
+    * integers per row, bit-identical everywhere. std uses the (n·Σx² −
+    * (Σx)²)/(n·(n−1)) sample form on the integer sums. Rows with fewer than
+    * `minObs` preceding observations or zero variance get NULL z. */
+  def rollingZScore(df: DataFrame, keys: Seq[String],
+      timeCol: String = "time", valueCol: String = "value",
+      lookback: Int = 20, minObs: Int = 5, scale: Long = 1000L,
+      tiebreak: Seq[String] = Nil, out: String = "z"): DataFrame = {
+    require(keys.nonEmpty, "partition keys required (unpartitioned = one task)")
+    require(minObs >= 2, "variance needs at least 2 observations")
+    val order = (col(timeCol) +: tiebreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-lookback.toLong, -1L)
+    val x = round(col(valueCol) * scale, 0).cast("long")
+    val n = count(x).over(w)
+    val s1 = sum(x).over(w)
+    val s2 = sum(x * x).over(w)
+    val varNum = (n * s2 - s1 * s1).cast("double")
+    val sd = sqrt(varNum / (n * (n - lit(1L))).cast("double"))
+    val mean = s1.cast("double") / n.cast("double")
+    val z = when(n >= minObs && varNum > 0,
+      (x.cast("double") - mean) / sd)
+    df.withColumn(out, z)
+  }
+
   /** Skew-safe broadcast-replicated join: every row of the SMALL side is
     * replicated `saltFactor` times with a salt column, the big side salts by
     * `pmod(hash, saltFactor)` — a hot key's rows spread over `saltFactor`

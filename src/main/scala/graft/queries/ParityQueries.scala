@@ -346,6 +346,75 @@ object ParityQueries {
              |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS span_ns
              |FROM sess GROUP BY 1, 2""".stripMargin)),
 
+    // ---- Linear gap-fill interpolation: NULL runs lerp between nearest
+    // non-null neighbors (synthetic gaps: every 7th event). Two bounded
+    // window frames over one per-user sort; lerp fraction is double
+    // division of exact ns longs, so engines agree bit for bit ------------
+    "q_interp_gaps" -> QueryDef(
+      (s, dir) => {
+        val ev = evBase(s, dir)
+          .withColumn("v",
+            when(pmod(col("event_id"), lit(7)) === 0, lit(null)).otherwise(col("value")))
+          .select("user_id", "event_id", "ts", "v")
+        graft.ops.TimeSeriesOps.interpolateGaps(ev, Seq("user_id"), "ts", "v",
+            tiebreak = Seq("event_id"))
+          .select(col("user_id"), col("event_id"),
+            round(col("value_interp"), 5).as("v_interp"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)),
+             |w AS (SELECT user_id, event_id, t, v,
+             |    last_value(v IGNORE NULLS) OVER wp AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+             |    first_value(v IGNORE NULLS) OVER wn AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+             |  FROM e
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY user_id ORDER BY t, event_id
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, event_id,
+             |  round(CASE WHEN v IS NOT NULL THEN v
+             |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |               CASE WHEN nt = pt THEN pv
+             |                    ELSE pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt)::DOUBLE)
+             |               END
+             |        END, 5) AS v_interp
+             |FROM w""".stripMargin)),
+
+    // ---- Rolling z-score anomaly flag: mean/std of the 20 PRECEDING
+    // observations (current excluded). Fixed-point integerization makes
+    // the window sums exact whole numbers in ANY summation order — the
+    // only way sliding-frame float aggregation matches across engines
+    // (Spark recomputes frames, DuckDB segment-trees them) ----------------
+    "q_rolling_zscore" -> QueryDef(
+      (s, dir) => {
+        val ev = evBase(s, dir).select("user_id", "event_id", "ts", "value")
+        graft.ops.TimeSeriesOps.rollingZScore(ev, Seq("user_id"), "ts", "value",
+            lookback = 20, minObs = 5, tiebreak = Seq("event_id"))
+          .select(col("user_id"), col("event_id"), round(col("z"), 5).as("z"),
+            // coalesce keeps the flag non-null: a row with no score is "not
+            // an anomaly", and nullable booleans render differently across
+            // pandas paths (None vs NaN) breaking the hash compare
+            coalesce(abs(col("z")) > 3, lit(false)).as("anomaly"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t,
+             |    CAST(round(value * 1000, 0) AS BIGINT) AS x
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)),
+             |w AS (SELECT user_id, event_id, x,
+             |    count(x) OVER win AS n, sum(x) OVER win AS s1, sum(x * x) OVER win AS s2
+             |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+             |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT user_id, event_id,
+             |    CASE WHEN n >= 5 AND (n * s2 - s1 * s1) > 0 THEN
+             |      (x::DOUBLE - s1::DOUBLE / n::DOUBLE)
+             |      / sqrt((n * s2 - s1 * s1)::DOUBLE / (n * (n - 1))::DOUBLE)
+             |    END AS z
+             |  FROM w)
+             |SELECT user_id, event_id, round(z, 5) AS z,
+             |  coalesce(abs(z) > 3, FALSE) AS anomaly FROM z""".stripMargin)),
+
     // ---- Exact interpolated percentiles (Spark percentile = quantile_cont)
     "q_percentile" -> QueryDef(
       (s, dir) => {

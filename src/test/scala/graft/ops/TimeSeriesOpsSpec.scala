@@ -131,6 +131,78 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("interpolateGaps: interior NULL runs lerp; edges stay NULL; per-key isolation") {
+    val df = Seq(
+      // key a: values at t=0 (10.0) and t=10 (20.0); gaps at 2, 5
+      ("a", 0L, 1L, Some(10.0)), ("a", 2L, 2L, None), ("a", 5L, 3L, None),
+      ("a", 10L, 4L, Some(20.0)),
+      // leading and trailing gaps
+      ("a", -5L, 0L, None), ("a", 15L, 5L, None),
+      // key b must not see key a's neighbors
+      ("b", 3L, 6L, None)
+    ).map { case (k, t, id, v) => (k, t, id, v.map(Double.box).orNull) }
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.interpolateGaps(df, Seq("k"), "t", "v", tiebreak = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(("a", 0L)) == Some(10.0) && got(("a", 10L)) == Some(20.0))
+    assert(got(("a", 2L)) == Some(12.0))  // 10 + (20-10) * 2/10
+    assert(got(("a", 5L)) == Some(15.0))
+    assert(got(("a", -5L)).isEmpty && got(("a", 15L)).isEmpty, "edge gaps stay NULL")
+    assert(got(("b", 3L)).isEmpty, "no cross-key interpolation")
+  }
+
+  test("interpolateGaps: a null between duplicate timestamps takes the previous value") {
+    val df = Seq(
+      ("a", 1L, 1L, Some(5.0)), ("a", 1L, 2L, None), ("a", 1L, 3L, Some(9.0)))
+      .map { case (k, t, id, v) => (k, t, id, v.map(Double.box).orNull) }
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.interpolateGaps(df, Seq("k"), "t", "v", tiebreak = Seq("id"))
+      .filter(col("id") === 2L).head
+    assert(got.getDouble(4) == 5.0, "0/0 guard: same-ts neighbors short-circuit to prev")
+  }
+
+  test("rollingZScore matches a local model and excludes the current row") {
+    val vals = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.05, 50.0, 10.1, 9.95)
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, i.toLong, v) }
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.rollingZScore(df, Seq("k"), "t", "v",
+        lookback = 5, minObs = 3, tiebreak = Seq("id"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // local model on the same fixed-point integers
+    def z(i: Int): Option[Double] = {
+      val lo = math.max(0, i - 5)
+      val win = vals.slice(lo, i).map(v => math.round(v * 1000))
+      val n = win.size
+      if (n < 3) None else {
+        val s1 = win.sum; val s2 = win.map(x => x * x).sum
+        val varNum = (n.toLong * s2 - s1 * s1).toDouble
+        if (varNum <= 0) None else {
+          val sd = math.sqrt(varNum / (n.toLong * (n - 1)).toDouble)
+          Some((math.round(vals(i) * 1000).toDouble - s1.toDouble / n) / sd)
+        }
+      }
+    }
+    vals.indices.foreach { i =>
+      (got(i.toLong), z(i)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"i=$i: $a vs $b")
+        case (a, b) => assert(a == b, s"i=$i: $a vs $b")
+      }
+    }
+    assert(got(0L).isEmpty && got(2L).isEmpty, "below minObs stays NULL")
+    assert(got(7L).exists(_ > 3.0), "the planted spike flags")
+    assert(got(8L).isDefined, "the row after the spike is scored against a window containing it")
+  }
+
+  test("rollingZScore: zero-variance window yields NULL, not Infinity") {
+    val df = (0 until 8).map(i => ("a", i.toLong, i.toLong, 5.0)).toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.rollingZScore(df, Seq("k"), "t", "v",
+        lookback = 5, minObs = 3, tiebreak = Seq("id"))
+      .collect()
+    assert(got.forall(_.isNullAt(4)))
+  }
+
   test("X14: series hash id is 64 hex chars and deterministic") {
     val ids = spark.range(2).select(
       TimeSeriesOps.seriesHashId(lit("flo2d_250"), lit("MME"), lit("cell_1")).as("h"))
