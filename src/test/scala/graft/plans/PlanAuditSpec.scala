@@ -318,6 +318,40 @@ class PlanAuditSpec extends SparkSpec {
       "the fuzzy join must not nested-loop:\n" + plan.take(1200))
   }
 
+  test("q_bm25 scores in one pass: broadcast 1-row stats, no token explode, TakeOrdered") {
+    val plan = executedPlan("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row stats frame must broadcast onto the scoring scan:\n" + plan.take(1200))
+    assert(!plan.contains("Generate"),
+      "BM25 must not explode tokens into rows:\n" + plan.take(1200))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "no hash shuffle anywhere — stats are a 1-row agg, tf is in-row:\n" + plan.take(1200))
+  }
+
+  test("q_semdedup pairs only within cells — hash equi-join, never a cartesian") {
+    val plan = executedPlan("q_semdedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "pairwise cosine must stay bounded by the cell equi-join:\n" + plan.take(1200))
+    assert(plan.contains("vec_cosine") || plan.contains("FloatVecCosine"),
+      "the fused cosine must verify candidate pairs in-plan:\n" + plan.take(1200))
+  }
+
+  test("q_interp_gaps and q_rolling_zscore window per user — one shuffle, no global sort") {
+    Seq("q_interp_gaps", "q_rolling_zscore").foreach { q =>
+      val plan = executedPlan(q)
+      val windowLines = plan.split("\n").filter(_.contains("Window ["))
+      assert(windowLines.nonEmpty, s"$q: expected Window operators")
+      windowLines.foreach { l =>
+        assert("\\], \\[".r.findAllIn(l).length >= 2,
+          s"$q: unpartitioned (single-partition) window: ${l.trim.take(200)}")
+      }
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"$q: both frames must reuse ONE per-user partitioning:\n" + plan.take(1200))
+    }
+  }
+
   test("q_dedup_editdist joins on md5 buckets — no cartesian, no title shuffle") {
     val plan = executedPlan("q_dedup_editdist")
     assert(!plan.contains("CartesianProduct") &&
