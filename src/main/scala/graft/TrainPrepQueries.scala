@@ -293,6 +293,22 @@ object TrainPrepQueries {
              |  count(*) AS n_copies
              |FROM u GROUP BY 1""".stripMargin)),
 
+    // ---- streaming decontamination at ingest -----------------------------
+    // stream-static broadcast join against the eval-set digest table:
+    // STATELESS (append mode, no state store), each microbatch one map
+    // pass. Fixture plants id-shifted eval copies that must flag.
+    "q_stream_decontam" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.decontaminateStream(s, dir),
+      Some("""WITH ev AS (SELECT DISTINCT sha256(text) AS digest
+             |  FROM documents WHERE doc_id < 50),
+             |tr AS (SELECT doc_id, sha256(text) AS digest
+             |    FROM documents WHERE doc_id >= 50
+             |  UNION ALL
+             |  SELECT doc_id + 200000, sha256(text)
+             |    FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, digest IN (SELECT digest FROM ev) AS contaminated
+             |FROM tr""".stripMargin)),
+
     // ---- streaming NEAR-dup candidate discovery at ingest ----------------
     // the LSH banding stage as a stream: rowwise md5-MinHash signature →
     // band keys (pure projection), one complete-mode groupBy per band

@@ -171,6 +171,35 @@ object StreamParity {
     runToTable(spark, agg, "stream_dedup", OutputMode.Complete())
   }
 
+  /** Streaming benchmark decontamination at ingest: each arriving train doc
+    * is flagged against a STATIC eval-set digest table — the stream-static
+    * broadcast join pattern (Spark keeps the static side a batch relation
+    * inside the streaming plan; the join is STATELESS, so the query stays
+    * append-mode with zero state store). The eval side is digest-distinct
+    * (duplicate eval texts must not multiply stream rows) and
+    * dimension-sized, so it broadcasts; at 100 TB of stream the moving side
+    * never shuffles — each microbatch is one map pass over arriving files.
+    * Fixture: docs < 50 act as the eval set; the "train" stream is docs
+    * ≥ 50 plus an id-shifted copy of the eval docs, so real contamination
+    * exists and must flag. */
+  def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val evalDigests = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(sha2(col("text"), 256).as("digest"))
+      .distinct()
+      .withColumn("contaminated", lit(true))
+    val src = docsStream(spark, dir)
+    val train = src.filter(col("doc_id") >= 50)
+      .unionByName(src.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    val flagged = train
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .join(broadcast(evalDigests), Seq("digest"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    runToTable(spark, flagged, "stream_decontam", OutputMode.Append())
+  }
+
   /** Streaming NEAR-dup candidate discovery at ingest — the LSH banding
     * stage of the MinHash pipeline run as a stream (the stateful layer
     * above [[dedupKeepers]]'s exact-digest dedup): each arriving doc's

@@ -69,6 +69,33 @@ class StreamParitySpec extends SparkSpec {
       (11L, base + 900L * 1000000000L, base + 901L * 1000000000L + gapNs, 2L, 7.0)))
   }
 
+  // a docs fixture for the decontamination stream: 0-49 are "eval", 50+
+  // "train"; doc 55 carries eval doc 10's exact text (natural leak)
+  private lazy val docsDir: String = {
+    val d = Files.createTempDirectory("stream_decontam").toFile
+    d.deleteOnExit()
+    val rows = (0L until 60L).map { i =>
+      val text = if (i == 55L) "text 10" else s"text $i"
+      (i, text, "en", "src", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/staging")
+    val part = new java.io.File(s"$d/staging").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(s"$d/documents.parquet").toPath)
+    d.getAbsolutePath
+  }
+
+  test("streaming decontamination flags planted copies and natural leaks, statelessly") {
+    val out = StreamParity.decontaminateStream(spark, docsDir)
+      .as[(Long, Boolean)].collect().toMap
+    // stream side = train (50-59) + id-shifted eval copies (200000-200049)
+    assert(out.size == 60)
+    (0L until 50L).foreach(i => assert(out(200000L + i), s"planted copy $i must flag"))
+    assert(out(55L), "train doc with an eval text must flag")
+    ((50L until 60L).filter(_ != 55L)).foreach(i => assert(!out(i), s"clean doc $i"))
+  }
+
   test("streaming max-time equals the batch aggregate") {
     val out = StreamParity.maxTimePerUser(spark, dir)
       .as[(Long, Long, Long)].collect().toSet
