@@ -264,6 +264,65 @@ object TrainPrepQueries {
              |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS gid
              |FROM documents""".stripMargin)),
 
+    // ---- token-budget selection: fill each source's token quota with its
+    // best docs — one window over one per-source sort; ranking runs on the
+    // ROUNDED quality so engines agree on order, not just display ----------
+    "q_budget_select" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        TrainPrep.budgetSelect(d, "source", "doc_id", "n_tok", "quality", budget = 800L)
+          .select(col("doc_id"), col("source"), col("quality"), col("cum_tokens"))
+      },
+      Some("""WITH q AS (SELECT doc_id, source, round(
+             |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             |  (CASE WHEN (length(text)::DOUBLE - (n_tokd - 1)) / n_tokd BETWEEN 3.0 AND 10.0
+             |     THEN 1.0 ELSE 0.5 END) * 0.4
+             |  + least(stop_hits / n_tokd * 5.0, 1.0) * 0.4
+             |  + (CASE WHEN punct / length(text)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+             |  END, 6) AS quality,
+             |  n_tokd::BIGINT AS n_tok
+             |FROM (SELECT doc_id, source, text,
+             |  (CASE WHEN length(text) = 0 THEN 0
+             |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END)::DOUBLE AS n_tokd,
+             |  len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('the','a','of','and','to','is','in')))::DOUBLE AS stop_hits,
+             |  (length(text) - length(replace(replace(replace(replace(replace(text,
+             |      '.',''), ',',''), '!',''), '?',''), ';','')))::DOUBLE AS punct
+             |  FROM documents)),
+             |c AS (SELECT doc_id, source, quality,
+             |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM q)
+             |SELECT doc_id, source, quality, cum_tokens FROM c
+             |WHERE cum_tokens <= 800""".stripMargin)),
+
+    // ---- CCNet perplexity bucketing: head/middle/tail by EXACT-RANK
+    // thresholds over the corpus-trained trigram NLL — the boundary is a
+    // value the data contains (lexicographic (nll, id) compare), never an
+    // interpolated quantile whose ULPs differ across engines -------------
+    "q_ppl_buckets" -> QueryDef(
+      (s, dir) => TrainPrep.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH tri AS (SELECT doc_id, substr(text, i, 3) AS tri
+             |  FROM documents, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)),
+             |cnt AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+             |pre AS (SELECT substr(tri, 1, 2) AS big, sum(c3) AS c2 FROM cnt GROUP BY 1),
+             |v AS (SELECT count(*) AS vsz FROM cnt),
+             |scored AS (SELECT t.doc_id, ln((c.c3 + 1.0) / (p.c2 + v.vsz)) AS lp
+             |  FROM tri t JOIN cnt c USING (tri) JOIN pre p ON substr(t.tri, 1, 2) = p.big, v),
+             |sc AS (SELECT doc_id, round(-avg(lp), 4) AS nll FROM scored GROUP BY 1),
+             |r AS (SELECT doc_id, nll, row_number() OVER (ORDER BY nll, doc_id) AS rn,
+             |      count(*) OVER () AS n FROM sc),
+             |h AS (SELECT nll AS h_nll, doc_id AS h_id FROM r WHERE rn = CAST(ceil(0.3 * n) AS BIGINT)),
+             |m AS (SELECT nll AS m_nll, doc_id AS m_id FROM r WHERE rn = CAST(ceil(0.6 * n) AS BIGINT))
+             |SELECT r.doc_id, r.nll,
+             |  CASE WHEN nll < h_nll OR (nll = h_nll AND r.doc_id <= h_id) THEN 'head'
+             |       WHEN nll < m_nll OR (nll = m_nll AND r.doc_id <= m_id) THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM r CROSS JOIN h CROSS JOIN m""".stripMargin)),
+
     // ---- streaming parity: real streaming jobs, batch oracles (§2.9) -----
     "q_stream_resample" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.resampleComplete(s, dir, 900),

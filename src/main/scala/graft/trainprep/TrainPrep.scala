@@ -277,6 +277,66 @@ object TrainPrep {
       .drop("__stratum", "__thr")
   }
 
+  /** Token-budget selection: within each group (source/domain/lang), rank
+    * docs by (quality desc, id asc) and keep the PREFIX whose running token
+    * total stays ≤ `budget` — the "fill each domain's token quota with its
+    * best documents" step of corpus composition (the deterministic
+    * complement of [[temperatureMix]]'s proportional draw). Prefix-stop
+    * semantics (first overflowing doc ends the group), NOT best-fit
+    * packing: the greedy skip-and-continue variant is a sequential
+    * dependency no window can express, and prefix-stop is what makes the
+    * cut reproducible from the ranking alone. One window over one
+    * per-group sort; groups are independent, so the shuffle is the
+    * groupCol hash partitioning and nothing else. Rank on a ROUNDED
+    * quality column — raw double expression trees may differ across
+    * engines in final ULPs, and the ranking (not just the display) must
+    * agree. */
+  def budgetSelect(docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, qualityCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): docs split into
+    * head/middle/tail by their corpus-trained [[charTrigramNll]] score.
+    * Thresholds are EXACT-RANK picks, not interpolated percentiles — the
+    * k-th smallest (nll, id) pair, k = ⌈q·n⌉ — so the boundary is a value
+    * the data contains and the lexicographic tuple compare reproduces
+    * bit-for-bit in any engine (interpolated quantiles differ in final
+    * ULPs across interpolation formulas exactly at the knots where ties
+    * sit). Head gets exactly ⌈0.3n⌉ docs, middle the next ⌈0.6n⌉−⌈0.3n⌉.
+    * Corpus cost: the charTrigramNll passes + one count + two
+    * TakeOrdered threshold picks over the persisted doc-sized score frame
+    * (k rows never leave the executors; the 1-row threshold frames
+    * broadcast). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      headQ: Double = 0.3, midQ: Double = 0.6): DataFrame = {
+    require(0 < headQ && headQ < midQ && midQ < 1, s"need 0 < headQ < midQ < 1")
+    val scored = charTrigramNll(docs, idCol, textCol)
+      .select(col(idCol), round(col("avg_nll"), 4).as("nll"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = scored.count()
+    def kth(k: Int, prefix: String) = scored
+      .orderBy(col("nll").asc, col(idCol).asc).limit(k)
+      .orderBy(col("nll").desc, col(idCol).desc).limit(1)
+      .select(col("nll").as(s"${prefix}_nll"), col(idCol).as(s"${prefix}_id"))
+    val h = kth(math.ceil(headQ * n).toInt, "h")
+    val m = kth(math.ceil(midQ * n).toInt, "m")
+    scored.crossJoin(broadcast(h)).crossJoin(broadcast(m))
+      .select(col(idCol), col("nll"),
+        when(col("nll") < col("h_nll")
+          || (col("nll") === col("h_nll") && col(idCol) <= col("h_id")), "head")
+          .when(col("nll") < col("m_nll")
+            || (col("nll") === col("m_nll") && col(idCol) <= col("m_id")), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Corpus-wide most-frequent word n-grams — the mining pass behind
     * boilerplate detection (feed the resulting n-grams to the span-dedup
     * rewrite, or alert on template explosions). Total order (count desc,

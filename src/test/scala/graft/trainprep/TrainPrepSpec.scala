@@ -201,6 +201,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(1L) > 0.0)   // 'cat' scores; 'unicorn' adds 0 (tf=0 numerator)
   }
 
+  test("budgetSelect keeps each group's best-quality prefix within the token budget") {
+    val d = Seq(
+      // group a: qualities 0.9, 0.8, 0.7 with 40, 50, 30 tokens; budget 90
+      // keeps 0.9 (40) + 0.8 (cum 90), stops at 0.7 (would be 120)
+      (1L, "a", 40L, 0.9), (2L, "a", 50L, 0.8), (3L, "a", 30L, 0.7),
+      // group b independent: one doc over budget on its own drops everything
+      (4L, "b", 100L, 0.99), (5L, "b", 10L, 0.5)
+    ).toDF("doc_id", "src", "n_tok", "quality")
+    val got = TrainPrep.budgetSelect(d, "src", "doc_id", "n_tok", "quality", 90L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 40L, 2L -> 90L),
+      "prefix-stop: group b's 100-token head overflows and ends the group immediately")
+  }
+
+  test("budgetSelect ties on quality break by id — the cut is deterministic") {
+    val d = Seq((1L, "a", 60L, 0.5), (2L, "a", 60L, 0.5), (3L, "a", 60L, 0.5))
+      .toDF("doc_id", "src", "n_tok", "quality")
+    val got = TrainPrep.budgetSelect(d, "src", "doc_id", "n_tok", "quality", 120L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("perplexityBuckets: exact-rank split sizes and gibberish lands in the tail") {
+    // 18 similar docs + 2 gibberish outliers (trigrams unlike the corpus)
+    val docs = ((1L to 18L).map(i => (i, s"the cat sat on the mat number $i")) ++
+      Seq((19L, "zzqx qxzz xqzq zqxq"), (20L, "wvvw vwwv wvwv vvww")))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("head") == 6, s"head = ceil(0.3*20): $sizes")   // exactly k docs
+    assert(sizes("middle") == 6, s"middle = ceil(0.6*20) - 6: $sizes")
+    assert(sizes("tail") == 8, sizes.toString)
+    assert(got(19L) == "tail" && got(20L) == "tail", "gibberish must score worst")
+  }
+
   test("temperatureMix up-samples low-resource strata and clamps tiny ones") {
     val kept = TrainPrep.temperatureMix(mixDocs, "id", "lang",
         alpha = 0.5, targetTotal = 30.0)
