@@ -921,6 +921,24 @@ object PipelineQueries {
              |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s2
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- Z-order (Morton) layout key: interleave (user, value-band) bits
+    // so range-partitioned files are tight on BOTH dimensions — the
+    // Delta/Iceberg OPTIMIZE ZORDER primitive as an unrolled codegen'd
+    // mask/shift sum, bit-replayable in any engine --------------------------
+    "q_zorder_key" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(!isnan(col("value")))
+        ev.select(col("event_id"),
+          graft.io.Layout.zOrderKey(
+            col("user_id"), floor(col("value") / 10).cast("long"), 8).as("zkey"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(list_sum(list_transform(generate_series(0, 7), i ->
+             |    (((user_id >> i) & 1) << (2 * i))
+             |    + (((floor(value / 10)::BIGINT >> i) & 1) << (2 * i + 1))))
+             |    AS BIGINT) AS zkey
+             |FROM events WHERE NOT isnan(value)""".stripMargin)),
+
     // ---- SemDeDup: embedding-space near-dup pruning — k-means cluster,
     // pairwise cosine ONLY within a cluster, greedy keep-first in id order.
     // kmeansIters = 0 pins the codebook to the first 16 corpus vectors in

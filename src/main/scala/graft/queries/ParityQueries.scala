@@ -346,6 +346,44 @@ object ParityQueries {
              |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS span_ns
              |FROM sess GROUP BY 1, 2""".stripMargin)),
 
+    // ---- IDW spatial interpolation: the k-nearest upgrade of S5's
+    // nearest-station lookup (FLO-2D raincell maps cells to ONE gauge;
+    // Shepard 1/d² weighting over k=4 is the standard hydrology step up).
+    // Stations broadcast; weighted sums fold a rank-sorted neighbor array
+    // left-to-right so float accumulation order is pinned ------------------
+    "q_idw_interp" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(!isnan(col("value")))
+        val stations = ev.groupBy("user_id").agg(max("value").as("obs"))
+          .select(col("user_id").as("station_id"),
+            pmod(col("user_id") * 37, lit(100)).as("x"),
+            pmod(col("user_id") * 73, lit(100)).as("y"),
+            col("obs"))
+        val targets = s.range(25).select(col("id").as("cell_id"),
+          pmod(col("id") * 13, lit(100)).as("x"),
+          pmod(col("id") * 29, lit(100)).as("y"))
+        graft.ops.SpatialOps.idwInterpolate(
+          targets, stations, "cell_id", "station_id", "obs", k = 4)
+      },
+      Some("""WITH st AS (SELECT user_id AS sid,
+             |    (user_id * 37) % 100 AS sx, (user_id * 73) % 100 AS sy,
+             |    max(value) AS sv
+             |  FROM events WHERE NOT isnan(value) GROUP BY 1, 2, 3),
+             |tg AS (SELECT i AS cell_id, (i * 13) % 100 AS x, (i * 29) % 100 AS y
+             |  FROM range(25) t(i)),
+             |d AS (SELECT cell_id, sid, sv,
+             |    (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2,
+             |    row_number() OVER (PARTITION BY cell_id
+             |      ORDER BY (x - sx) * (x - sx) + (y - sy) * (y - sy), sid) AS rn
+             |  FROM tg CROSS JOIN st),
+             |nb AS (SELECT cell_id,
+             |    list(struct_pack(rn := rn, d2 := d2, v := sv) ORDER BY rn) AS nb
+             |  FROM d WHERE rn <= 4 GROUP BY 1)
+             |SELECT cell_id, round(CASE WHEN nb[1].d2 = 0 THEN nb[1].v
+             |  ELSE list_sum(list_transform(nb, e -> e.v / e.d2::DOUBLE))
+             |     / list_sum(list_transform(nb, e -> 1.0 / e.d2::DOUBLE)) END, 5) AS idw_value
+             |FROM nb""".stripMargin)),
+
     // ---- Linear gap-fill interpolation: NULL runs lerp between nearest
     // non-null neighbors (synthetic gaps: every 7th event). Two bounded
     // window frames over one per-user sort; lerp fraction is double
