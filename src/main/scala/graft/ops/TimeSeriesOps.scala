@@ -239,6 +239,28 @@ object TimeSeriesOps {
         rightVals.map(c => col("__last_r").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** The NATIVE formulation of [[asofJoin]]: a custom logical node planned
+    * by `graft.plans.AsOfJoinStrategy` into a streaming sort-merge
+    * `AsOfJoinExec` (one buffered right row per partition — no window
+    * buffer, no unioned wide schema; same exchange count as the window
+    * form, strictly less per-row movement). Semantics identical to
+    * [[asofJoin]] when `rightTiebreak` lists the right value columns (the
+    * window form's max-struct rule for right rows tied on (key, time)).
+    * `timeCol` must be LongType (epoch-ns domain) and non-null on both
+    * sides. AsOfJoinParitySpec pins the equivalence on random fixtures. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String = "time", rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val renamed = rPlan.output
+      .filterNot(a => keys.contains(a.name) || a.name == timeCol)
+      .map(a => org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        s"asof_${a.name}", a.dataType, nullable = true)())
+    org.apache.spark.sql.GraftBridge.dataset(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, keys, timeCol, rightTiebreak,
+        lPlan.output ++ renamed))
+  }
+
   /** Interval (range) join: pair each point with every interval containing
     * it, without a theta cross join. Intervals explode to the coarse
     * buckets they cover; points join their own bucket (equi-join on

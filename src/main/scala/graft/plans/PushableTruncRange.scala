@@ -125,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushableTruncRange)
     ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -292,6 +292,29 @@ object ParityQueries {
              |  r.px AS asof_px
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // ---- As-of join, NATIVE operator form: custom LogicalPlan → Strategy
+    // → streaming sort-merge AsOfJoinExec (one buffered right row; no
+    // window buffer, no union). Same oracle as q_asof_join — the operator
+    // is an execution change, never a semantics change -------------------
+    "q_asof_native" -> QueryDef(
+      (s, dir) => {
+        val ev = evBase(s, dir)
+        val trades = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select("user_id", "event_id", "ts", "value")
+        val quotes = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("user_id"), col("ts"), col("value").as("px"))
+        graft.ops.TimeSeriesOps.asofJoinNative(trades, quotes, Seq("user_id"),
+            timeCol = "ts", rightTiebreak = Seq("px"))
+          .select("user_id", "event_id", "value", "asof_px")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, ts, value FROM events
+             |    WHERE event_id % 2 = 0 AND user_id < 6 AND NOT isnan(value)),
+             |r AS (SELECT user_id, ts, value AS px FROM events
+             |    WHERE event_id % 2 = 1 AND user_id < 6 AND NOT isnan(value))
+             |SELECT l.user_id AS user_id, l.event_id AS event_id, l.value AS value,
+             |  r.px AS asof_px
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
     // ---- Interval/range join (bucketed equi-join + exact refine) ----------
     "q_range_join" -> QueryDef(
       (s, dir) => {

@@ -18,4 +18,11 @@ object GraftBridge {
     * expressions, which mid-analysis resolution then handles normally. */
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** DataFrame over a raw LogicalPlan — the entry point custom logical
+    * nodes (graft.plans.AsOfJoinPlan) need; `Dataset.ofRows` went
+    * private[sql] with the classic/connect split. */
+  def dataset(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
