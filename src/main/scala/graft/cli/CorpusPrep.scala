@@ -47,6 +47,9 @@ import graft.trainprep.TrainPrep
   *   6b. temperature mixing (`--mix-target N` [`--mix-alpha 0.5`]
   *      [`--mix-col lang`]) — XLM-R-style strata flattening over the
   *      final survivor population
+  *   6c. token-budget cap (`--budget-select N` [`--budget-col source`]) —
+  *      keep each stratum's best-quality prefix within N tokens (mixing
+  *      sets ratios, this sets absolute per-stratum volume)
   *   7. chunking (`--chunk-mode pack` [default] with `--budget 4096` —
   *      concat-then-cut sequence packing on the distributed prefix scan;
   *      or `--chunk-mode sliding` with `--chunk-tokens 512`
@@ -267,6 +270,22 @@ object CorpusPrep {
       require(docs.columns.contains(stratum),
         s"--mix-col '$stratum' is not a column of the input (have: ${docs.columns.mkString(", ")})")
       docs = TrainPrep.temperatureMix(docs, idCol, stratum, alpha, tgt.toDouble)
+    }
+
+    // Token-budget selection (`--budget-select N` [`--budget-col source`]):
+    // AFTER mixing, cap every stratum at N tokens by keeping its
+    // best-quality prefix (E79 budgetSelect — rounded-quality ranking so
+    // the cut is engine-stable). Mixing sets the strata RATIOS; this sets
+    // the absolute per-stratum VOLUME the trainer sees.
+    args.get("budget-select").foreach { b =>
+      val groupCol = args.getOrElse("budget-col", "source")
+      require(docs.columns.contains(groupCol),
+        s"--budget-col '$groupCol' is not a column of the input (have: ${docs.columns.mkString(", ")})")
+      val ranked = docs
+        .withColumn("__n_tok", TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .withColumn("__q", round(TextFunctions.qualityScore(col(textCol)), 6))
+      docs = TrainPrep.budgetSelect(ranked, groupCol, idCol, "__n_tok", "__q", b.toLong)
+        .drop("__n_tok", "__q", "cum_tokens")
     }
 
     // `--chunk-mode pack` (default) lays docs end-to-end and cuts every

@@ -308,6 +308,31 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("--budget-select caps each stratum's tokens with its best-quality prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_budget").toString
+    // 2 sources x 10 docs x ~8 tokens; budget 40 keeps roughly half each
+    (0 until 20).map { i =>
+      val src = if (i < 10) "a" else "b"
+      (i.toLong, "the data of and to is in row " + i, src)
+    }.toDF("doc_id", "text", "source").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "budget-select" -> "40", "budget" -> "64"))
+    assert(stats("docs_out") < stats("docs_in"))
+    val kept = spark.read.parquet(s"$dir/out/chunks").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // both strata survive the cap — neither source is wiped out
+    assert(kept.exists(_ < 10L) && kept.exists(_ >= 10L), kept.toString)
+    // per-source token budget: 9-token docs, 40-token budget -> 4 docs max
+    assert(kept.count(_ < 10L) <= 4 && kept.count(_ >= 10L) <= 4, kept.toString)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, Map(
+        "in" -> s"$dir/in", "out" -> s"$dir/out2",
+        "budget-select" -> "40", "budget-col" -> "nope"))
+    }
+  }
+
   test("--dsir-target keeps the docs most like the target domain") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus_dsir").toString
