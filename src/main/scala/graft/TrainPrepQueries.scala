@@ -264,6 +264,51 @@ object TrainPrepQueries {
              |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS gid
              |FROM documents""".stripMargin)),
 
+    // ---- deterministic per-epoch training order: rank by sha256(epoch:id)
+    // (fresh uniform permutation every epoch, reproducible on any layout);
+    // rank materializes via the range-partitioned two-pass scan, never a
+    // single-partition global sort; shard is epoch-stable ------------------
+    "q_epoch_order" -> QueryDef(
+      (s, dir) => TrainPrep.epochOrder(
+        t(s, dir, "documents").select("doc_id"), "doc_id", epoch = 3, nShards = 8)
+        .select("doc_id", "epoch_rank", "shard"),
+      Some("""SELECT doc_id,
+             |  (row_number() OVER (ORDER BY sha256(concat('3:', doc_id::VARCHAR))) - 1)::BIGINT
+             |    AS epoch_rank,
+             |  CAST(('0x' || substr(sha256(doc_id::VARCHAR), 1, 4)) AS BIGINT) % 8 AS shard
+             |FROM documents""".stripMargin)),
+
+    // ---- SCD-2 dimension history: observations -> per-key validity
+    // intervals [effective_from, effective_to), unchanged re-observations
+    // collapse; ONE per-key exchange carries the change lag, the version
+    // scan, the collapse and the effective_to lead --------------------------
+    "q_dim_history" -> QueryDef(
+      (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .filter(col("user_id") < 6 && !isnan(col("value")))
+          .select("user_id", "ts", "event_id", "event_type")
+        graft.ops.TimeSeriesOps.dimensionHistory(
+          obs, Seq("user_id"), "ts", Seq("event_type"), tiebreak = Seq("event_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)),
+             |f AS (SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN row_number() OVER w = 1
+             |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |v AS (SELECT user_id, ts, event_type,
+             |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+             |  FROM f),
+             |g AS (SELECT user_id, version, min(ts) AS effective_from,
+             |    min(event_type) AS event_type
+             |  FROM v GROUP BY 1, 2)
+             |SELECT user_id, effective_from, event_type, version,
+             |  lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from)
+             |    AS effective_to
+             |FROM g""".stripMargin)),
+
     // ---- token-budget selection: fill each source's token quota with its
     // best docs — one window over one per-source sort; ranking runs on the
     // ROUNDED quality so engines agree on order, not just display ----------

@@ -400,6 +400,38 @@ object TimeSeriesOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(out))
 
+  /** Dimension-history (SCD type-2) interval build: attribute observations
+    * (key, time, attrs…) become per-key validity intervals
+    * `[effective_from, effective_to)`, `effective_to` NULL for the current
+    * version — the warehouse-side history the reference's run-metadata
+    * upserts (K2/K3) overwrite away. Consecutive observations with
+    * UNCHANGED attributes collapse into one interval (re-observation never
+    * mints a spurious version; comparison is null-safe `<=>`). Shape: one
+    * per-key sort carries the change-flag lag, the running version sum,
+    * the per-version collapse AND the effective_to lead — Catalyst reuses
+    * the (key) partitioning throughout, so it is one exchange end to end.
+    * `tiebreak` totals the order under duplicate timestamps. */
+  def dimensionHistory(df: DataFrame, keys: Seq[String], timeCol: String,
+      attrCols: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty && attrCols.nonEmpty, "keys and attrCols required")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(timeCol) +: tiebreak.map(col)).map(_.asc): _*)
+    val changed = attrCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val isFirst = row_number().over(w) === 1
+    val ver = sum(when(isFirst || changed, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val byVer = df.withColumn("__ver", ver)
+      .groupBy((keys :+ "__ver").map(col): _*)
+      .agg(min(col(timeCol)).as("effective_from"),
+        attrCols.map(c => min(col(c)).as(c)): _*) // attrs constant per version
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("effective_from").asc)
+    byVer
+      .withColumn("version", col("__ver")).drop("__ver")
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wk))
+  }
+
   /** Series hash id (X14): sha256 of the `;`-joined metadata, the engine-side
     * equivalent of db_adapter's `generate_timeseries_id`
     * (reference call site: output/extract_water_level.py:211). */

@@ -337,6 +337,30 @@ object TrainPrep {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Deterministic per-epoch training order: rank = position of
+    * sha256("<epoch>:<id>") in ascending order — a different, uniformly
+    * shuffled, REPRODUCIBLE permutation every epoch with no RNG and no
+    * state (re-running epoch 3 on any cluster layout yields byte-identical
+    * order; growing the corpus permutes only where new hashes land). Rank
+    * materializes through [[assignGlobalIds]]'s two-pass range-partitioned
+    * scan — no single-partition global sort; `shard = pmod(hash(id),
+    * nShards)` gives loaders a deterministic parallel read axis. */
+  def epochOrder(docs: DataFrame, idCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = docs.withColumn("__ek",
+      sha2(concat_ws(":", lit(epoch), col(idCol).cast("string")), 256))
+    // shard is epoch-INDEPENDENT (a doc's shard never moves between
+    // epochs, so loader shard assignment is stable); sha-hex-prefix mod
+    // keeps it replayable in any engine with sha256 + hex cast
+    assignGlobalIds(keyed, Seq("__ek"), out = "epoch_rank")
+      .withColumn("shard",
+        pmod(conv(substring(sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10)
+          .cast("long"), lit(nShards.toLong)))
+      .drop("__ek")
+  }
+
   /** Corpus-wide most-frequent word n-grams — the mining pass behind
     * boilerplate detection (feed the resulting n-grams to the span-dedup
     * rewrite, or alert on template explosions). Total order (count desc,

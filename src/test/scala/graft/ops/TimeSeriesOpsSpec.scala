@@ -203,6 +203,34 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(4)))
   }
 
+  test("dimensionHistory: changes version, re-observations collapse, intervals abut") {
+    val obs = Seq(
+      ("u1", 10L, 1L, "A"), ("u1", 20L, 2L, "A"),  // re-observation: no new version
+      ("u1", 30L, 3L, "B"),                        // change
+      ("u1", 40L, 4L, "A"),                        // change back = NEW version
+      ("u2", 15L, 5L, "X"))
+      .toDF("k", "t", "id", "attr")
+    val got = TimeSeriesOps.dimensionHistory(obs, Seq("k"), "t", Seq("attr"),
+        tiebreak = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(3)) ->
+        (r.getLong(1), r.getString(2), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(got(("u1", 1L)) == (10L, "A", Some(30L)))
+    assert(got(("u1", 2L)) == (30L, "B", Some(40L)))
+    assert(got(("u1", 3L)) == (40L, "A", None), "current version is open-ended")
+    assert(got(("u2", 1L)) == (15L, "X", None))
+    assert(got.size == 4)
+  }
+
+  test("dimensionHistory: NULL attribute values compare null-safely") {
+    val obs = Seq(("u", 1L, 1L, null), ("u", 2L, 2L, null), ("u", 3L, 3L, "A"))
+      .asInstanceOf[Seq[(String, Long, Long, String)]]
+      .toDF("k", "t", "id", "attr")
+    val got = TimeSeriesOps.dimensionHistory(obs, Seq("k"), "t", Seq("attr"),
+        tiebreak = Seq("id")).collect()
+    assert(got.length == 2, "two NULL observations collapse into one version")
+  }
+
   test("X14: series hash id is 64 hex chars and deterministic") {
     val ids = spark.range(2).select(
       TimeSeriesOps.seriesHashId(lit("flo2d_250"), lit("MME"), lit("cell_1")).as("h"))

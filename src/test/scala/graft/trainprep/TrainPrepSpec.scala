@@ -201,6 +201,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(1L) > 0.0)   // 'cat' scores; 'unicorn' adds 0 (tf=0 numerator)
   }
 
+  test("epochOrder: reproducible, epoch-distinct permutations; shard is epoch-stable") {
+    val d = (0L until 50L).map(i => Tuple1(i)).toDF("doc_id")
+    def run(epoch: Int) = TrainPrep.epochOrder(d, "doc_id", epoch, nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e1 = run(1); val e1b = run(1); val e2 = run(2)
+    assert(e1 == e1b, "same epoch must reproduce byte-identically")
+    assert(e1.map(kv => kv._1 -> kv._2._1) != e2.map(kv => kv._1 -> kv._2._1),
+      "different epochs must permute differently")
+    assert(e1.forall { case (id, (_, shard)) => shard == e2(id)._2 },
+      "a doc's shard never moves between epochs")
+    assert(e1.values.map(_._1).toSeq.sorted == (0L until 50L),
+      "ranks are a contiguous 0..n-1 permutation")
+  }
+
   test("budgetSelect keeps each group's best-quality prefix within the token budget") {
     val d = Seq(
       // group a: qualities 0.9, 0.8, 0.7 with 40, 50, 30 tokens; budget 90
