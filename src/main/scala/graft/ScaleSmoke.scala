@@ -715,6 +715,38 @@ object ScaleSmoke {
     println(s"""{"metric":"stream_agg_scale","events":$nEvents,"batches":$nBatches,""" +
       s""""users":$nUsers,"seconds":$streamSecs,""" +
       s""""events_per_sec":${(nEvents / streamSecs).toLong}}""")
+
+    // ---- native vs window as-of join at scale: 4M trades against 4M
+    // quotes over 20k keys. Both forms pay the same two exchanges; the
+    // native AsOfJoinExec merges with ONE buffered right row where the
+    // window form materializes union rows + last-value window state, so
+    // the expected win is time and peak-stage shuffle, at IDENTICAL output
+    // (count cross-checked here; bit-equality is AsOfJoinParitySpec's job).
+    val nAsof = 4000000L * mult
+    val trades = spark.range(nAsof).select(
+      pmod(col("id"), lit(20000)).as("k"),
+      (lit(1700000000000000000L) + col("id") * 997L).as("time"),
+      col("id").as("trade_id"))
+    val quotes = spark.range(nAsof).select(
+      pmod(col("id") * 31L, lit(20000)).as("k"),
+      (lit(1700000000000000000L) + col("id") * 1009L).as("time"),
+      (col("id") % 1000L).cast("double").as("px"))
+    val (nNative, asofNShuffle, asofNPeak, asofNSecs) = sectionShuffle {
+      graft.ops.TimeSeriesOps.asofJoinNative(trades, quotes, Seq("k"), "time")
+        .filter(col("asof_px").isNotNull).count()
+    }
+    val (nWindow, asofWShuffle, asofWPeak, asofWSecs) = sectionShuffle {
+      graft.ops.TimeSeriesOps.asofJoin(trades, quotes, Seq("k"), "time")
+        .filter(col("asof_px").isNotNull).count()
+    }
+    require(nNative == nWindow,
+      s"as-of forms disagree: native $nNative vs window $nWindow")
+    println(s"""{"metric":"asof_native_scale","rows_per_side":$nAsof,""" +
+      s""""matched":$nNative,"native_seconds":$asofNSecs,""" +
+      s""""window_seconds":$asofWSecs,""" +
+      s""""native_rows_per_sec":${(nAsof / asofNSecs).toLong},""" +
+      s""""native_shuffle_bytes":$asofNShuffle,"window_shuffle_bytes":$asofWShuffle,""" +
+      s""""native_peak_stage_bytes":$asofNPeak,"window_peak_stage_bytes":$asofWPeak}""")
     spark.stop()
   }
 }
