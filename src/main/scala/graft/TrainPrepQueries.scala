@@ -305,8 +305,8 @@ object TrainPrepQueries {
              |    min(event_type) AS event_type
              |  FROM v GROUP BY 1, 2)
              |SELECT user_id, effective_from, event_type, version,
-             |  lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from)
-             |    AS effective_to
+             |  lead(effective_from) OVER (PARTITION BY user_id
+             |    ORDER BY effective_from, version) AS effective_to
              |FROM g""".stripMargin)),
 
     // ---- token-budget selection: fill each source's token quota with its

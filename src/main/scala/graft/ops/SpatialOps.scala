@@ -18,7 +18,13 @@ object SpatialOps {
     * weights); a cell sitting exactly on a station takes that station's
     * value (the 1/0 singularity rule). `stations` is a DIMENSION —
     * broadcast onto the cell frame, ranked per cell by (squared distance,
-    * station id) — so the only shuffle is the per-cell k-row combine.
+    * station id). Shuffle honesty: the rank window exchanges the
+    * cells × stations CANDIDATE rows (slim (cell, sid, d², v) tuples, the
+    * same volume the broadcast join emits — NOT just k rows per cell; the
+    * per-cell k-row combine after the rank filter is the second, small
+    * exchange). Fine for gauge-network-sized dimensions (10²-10⁴
+    * stations); for larger station sets prune candidates first with a
+    * coarse spatial cell join (the E81 Z-order key gives the bucketing).
     * Determinism: integer coordinates make d² exact; the weighted sums
     * fold a rank-SORTED neighbor array left-to-right (`aggregate` HOF), so
     * float accumulation order is pinned — a bare `sum()` over a group is

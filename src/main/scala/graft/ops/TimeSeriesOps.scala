@@ -252,12 +252,22 @@ object TimeSeriesOps {
       timeCol: String = "time", rightTiebreak: Seq[String] = Nil): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    val renamed = rPlan.output
+    val rightVals = rPlan.output
       .filterNot(a => keys.contains(a.name) || a.name == timeCol)
-      .map(a => org.apache.spark.sql.catalyst.expressions.AttributeReference(
+    // default tiebreak = every ORDERABLE right value column: the window
+    // form always resolves tied right (key, time) rows to the max value
+    // struct, and the native form must be deterministic by default too —
+    // an empty tiebreak would leave ties in shuffle-arrival order
+    val tiebreak =
+      if (rightTiebreak.nonEmpty) rightTiebreak
+      else rightVals.filter(a =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType)).map(_.name)
+    val renamed = rightVals.map(a =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
         s"asof_${a.name}", a.dataType, nullable = true)())
     org.apache.spark.sql.GraftBridge.dataset(left.sparkSession,
-      graft.plans.AsOfJoinPlan(lPlan, rPlan, keys, timeCol, rightTiebreak,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, keys, timeCol, tiebreak,
         lPlan.output ++ renamed))
   }
 
@@ -362,7 +372,18 @@ object TimeSeriesOps {
     val order = (col(timeCol) +: tiebreak.map(col)).map(_.asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(-lookback.toLong, -1L)
-    val x = round(col(valueCol) * scale, 0).cast("long")
+    // exactness domain: varNum = n·Σx² − (Σx)² needs n²·x² ≤ Long.Max —
+    // beyond it the long arithmetic wraps SILENTLY under non-ANSI mode
+    // (negative varNum → z suppressed, or wrapped-positive → wrong z).
+    // Values outside the domain fail LOUDLY instead; callers with larger
+    // magnitudes lower `scale`.
+    val maxAbs = math.sqrt(Long.MaxValue.toDouble) / lookback
+    val xRaw = round(col(valueCol) * scale, 0).cast("long")
+    val x = when(abs(xRaw) > lit(maxAbs),
+      raise_error(concat(lit(s"rollingZScore: |value|*$scale exceeds the " +
+        s"exact fixed-point domain (${maxAbs.toLong} at lookback $lookback) — " +
+        "lower `scale`: got "), col(valueCol).cast("string"))))
+      .otherwise(xRaw)
     val n = count(x).over(w)
     val s1 = sum(x).over(w)
     val s2 = sum(x * x).over(w)
@@ -426,10 +447,15 @@ object TimeSeriesOps {
       .groupBy((keys :+ "__ver").map(col): _*)
       .agg(min(col(timeCol)).as("effective_from"),
         attrCols.map(c => min(col(c)).as(c)): _*) // attrs constant per version
-    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("effective_from").asc)
+    // version joins the lead ordering: two versions can share effective_from
+    // under duplicate timestamps, and without the tiebreak the open (NULL)
+    // interval could land on the STALE version — inverted history
+    val wk = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("effective_from").asc, col("__ver").asc)
     byVer
-      .withColumn("version", col("__ver")).drop("__ver")
+      .withColumn("version", col("__ver"))
       .withColumn("effective_to", lead(col("effective_from"), 1).over(wk))
+      .drop("__ver")
   }
 
   /** Series hash id (X14): sha256 of the `;`-joined metadata, the engine-side

@@ -146,12 +146,19 @@ case class AsOfJoinExec(
             curKey = lk.copy()
             lastRight = null
           }
-          val lt = l.getLong(lTimeIdx)
+          // NULL times: Spark sorts nulls FIRST under Ascending, so the
+          // window form treats a null-time right row as "earliest" (always
+          // eligible) and a null-time left row as seeing only other
+          // null-time rights. Mirror that instead of letting getLong read
+          // a null slot as raw 0 and silently mis-join.
+          val ltNull = l.isNullAt(lTimeIdx)
+          val lt = if (ltNull) Long.MinValue else l.getLong(lTimeIdx)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val cmp = keyOrdering.compare(rKeyProj(rBuf.head), curKey)
             if (cmp < 0) rBuf.next() // right rows for keys already passed
-            else if (cmp == 0 && rBuf.head.getLong(rTimeIdx) <= lt)
+            else if (cmp == 0 && (rBuf.head.isNullAt(rTimeIdx)
+              || (!ltNull && rBuf.head.getLong(rTimeIdx) <= lt)))
               lastRight = rBuf.next().copy()
             else advancing = false
           }

@@ -97,7 +97,9 @@ object TrainPrep {
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
       roundTo: Int = 5): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    def toks(c: Column) = split(c, " ")
+    // ONE tokenization definition engine-wide: TextFunctions.tokens /
+    // wordHits — BM25 must never drift from the other token-based ops
+    def toks(c: Column) = TextFunctions.tokens(c)
     val dfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(toks(col(textCol)), t), 1L).otherwise(0L))
         .cast("double").as(s"__df_$i")
@@ -107,7 +109,7 @@ object TrainPrep {
     val stats = docs.agg(aggs.head, aggs.tail: _*)
     val dl = size(toks(col(textCol))).cast("double")
     val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(toks(col(textCol)), x => x === lit(t))).cast("double")
+      val tf = TextFunctions.wordHits(col(textCol), t).cast("double")
       val idf = log(lit(1.0) + (col("__N") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
       idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("__avgdl")))
     }.reduce(_ + _)

@@ -222,6 +222,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("dimensionHistory: versions sharing a timestamp keep the open interval on the NEWEST") {
+    // two changes at the same ts: the tiebreak (id) orders them; the lead
+    // window must order by (from, version) or the open interval could land
+    // on the stale version
+    val obs = Seq(("u", 10L, 1L, "A"), ("u", 10L, 2L, "B"))
+      .toDF("k", "t", "id", "attr")
+    val got = TimeSeriesOps.dimensionHistory(obs, Seq("k"), "t", Seq("attr"),
+        tiebreak = Seq("id"))
+      .collect().map(r => r.getLong(3) ->
+        (r.getString(2), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got(1L) == ("A", Some(10L)), "stale version closes")
+    assert(got(2L) == ("B", None), "newest version stays open")
+  }
+
+  test("rollingZScore fails loudly outside the exact fixed-point domain") {
+    val df = Seq(("a", 1L, 1L, 1.0e7), ("a", 2L, 2L, 2.0e7), ("a", 3L, 3L, 3.0e7))
+      .toDF("k", "t", "id", "v")
+    val ex = intercept[Exception] {
+      TimeSeriesOps.rollingZScore(df, Seq("k"), "t", "v",
+        lookback = 5, minObs = 2, tiebreak = Seq("id")).collect()
+    }
+    assert(ex.getMessage.contains("exact fixed-point domain")
+      || String.valueOf(ex.getCause).contains("exact fixed-point domain"), ex.getMessage)
+  }
+
   test("dimensionHistory: NULL attribute values compare null-safely") {
     val obs = Seq(("u", 1L, 1L, null), ("u", 2L, 2L, null), ("u", 3L, 3L, "A"))
       .asInstanceOf[Seq[(String, Long, Long, String)]]

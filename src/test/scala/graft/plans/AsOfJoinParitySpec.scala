@@ -76,5 +76,23 @@ class AsOfJoinParitySpec extends SparkSpec {
     val got = TimeSeriesOps.asofJoinNative(l, r, Seq("k"), "time",
       rightTiebreak = Seq("v")).head.getDouble(3)
     assert(got == 7.0, "last under (time, v) ascending = max v — the window form's rule")
+    // the DEFAULT tiebreak (all orderable right value columns) applies the
+    // same rule — no caller gets shuffle-arrival nondeterminism by omission
+    val dflt = TimeSeriesOps.asofJoinNative(l, r.repartition(3), Seq("k"), "time")
+      .head.getDouble(3)
+    assert(dflt == 7.0, "default tiebreak must match the window form's max rule")
+  }
+
+  test("NULL left time sees no finite-time right row; NULL right time is always eligible") {
+    val l = Seq((1L, Some(100L), "at100"), (1L, None, "atNull"))
+      .map { case (k, t, tag) => (k, t.map(Long.box).orNull, tag) }
+      .toDF("k", "time", "tag")
+    val r = Seq((1L, 50L, 4.0)).toDF("k", "time", "v")
+    val got = TimeSeriesOps.asofJoinNative(l, r, Seq("k"), "time")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("at100") == Some(4.0))
+    assert(got("atNull").isEmpty,
+      "a null-time left row sorts first (nulls-first) and must not match a finite right")
   }
 }
