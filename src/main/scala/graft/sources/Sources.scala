@@ -39,6 +39,37 @@ object Sources {
         col("up"), col("down"),
         col("wl_id"), col("wl_id_dwn"))
 
+  /** JSONL corpus ingest with corrupt-record capture — the read-side twin
+    * of CorpusPrep's `--export-jsonl` sink (E68) and the shape a crawl
+    * delivery lands in. PERMISSIVE mode routes unparseable lines into
+    * `_corrupt_record` instead of failing the 100 TB job on one bad shard
+    * (FAILFAST) or silently dropping rows (DROPMALFORMED — the dangerous
+    * default instinct: at corpus scale, silent loss is unauditable).
+    * Returns (good, bad): `good` has the schema's columns for rows that
+    * parsed clean; `bad` carries the raw offending line for quarantine +
+    * reconciliation counts. One scan feeds both (cache if both sides get
+    * actions). Schema is explicit — inference would scan twice and infer
+    * from corrupt lines too. */
+  def readJsonlCorpus(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    // persisted by contract: Spark refuses corrupt-column-only queries
+    // against the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the
+    // cache also makes good+bad one scan instead of two. Caller unpersists
+    // via either branch's lineage when done (same documented contract as
+    // tfIdf's intermediate).
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Keyed time-series range scan over a JDBC store (S1/F1): the id+time
     * predicates are part of the pushed query, so the server returns only the
     * slice — one round-trip replacing the reference's per-call procs.
