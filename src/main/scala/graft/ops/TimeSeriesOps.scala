@@ -421,6 +421,54 @@ object TimeSeriesOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(out))
 
+  /** Time-weighted average per series over `[fromNs, toNs)`: each
+    * observation's value holds until the next observation (step/sample-and-
+    * hold semantics — the sensor-network convention), weighted by its hold
+    * duration; the last observation holds to `toNs`, and the first segment
+    * starts at the first observation (not `fromNs` — no value exists
+    * before it). Irregular sampling is the POINT: a plain avg() over-weights
+    * chatty periods. Shape: one per-key sort carries the lead, then one
+    * hash aggregate; weighted sums are Σ v·w / Σ w over exact ns-long
+    * durations — w is exact, and the sum order nondeterminism of doubles is
+    * neutralized by rounding the QUOTIENT, whose inputs differ only in
+    * addend order (callers needing bit-exact cross-engine parity compare
+    * rounded, as q_twap does). */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, fromNs: Long, toNs: Long,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(fromNs < toNs, s"empty window [$fromNs, $toNs)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(timeCol) +: tiebreak.map(col)).map(_.asc): _*)
+    val in = df.filter(col(timeCol) >= fromNs && col(timeCol) < toNs)
+    val nextT = coalesce(lead(col(timeCol), 1).over(w), lit(toNs))
+    val weighted = in
+      .withColumn("__w", (nextT - col(timeCol)).cast("double"))
+    weighted.groupBy(keys.map(col): _*)
+      .agg(
+        (sum(col(valueCol) * col("__w")) / sum(col("__w"))).as("twap"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** OHLC bar aggregation: per (keys, right-closed bucket) the opening
+    * value (earliest observation, ties by `tiebreak`), high, low, and
+    * closing value (latest) — the compaction step that turns tick-grade
+    * series into chart/feature-grade bars. One hash aggregate with
+    * map-side partials: open/close via min_by/max_by on a (time, tiebreak…)
+    * struct key, so duplicate timestamps still pick a deterministic row. */
+  def ohlcBars(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, stepSeconds: Long,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val bucket = bucketRightClosedNs(col(timeCol), stepSeconds).as("bucket_ns")
+    val orderKey = struct((col(timeCol) +: tiebreak.map(col)): _*)
+    df.groupBy((keys.map(col) :+ bucket): _*)
+      .agg(
+        min_by(col(valueCol), orderKey).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), orderKey).as("close"),
+        count(lit(1)).as("n_obs"))
+  }
+
   /** Dimension-history (SCD type-2) interval build: attribute observations
     * (key, time, attrs…) become per-key validity intervals
     * `[effective_from, effective_to)`, `effective_to` NULL for the current

@@ -369,6 +369,49 @@ object ParityQueries {
              |  max(epoch_ns(ts)) - min(epoch_ns(ts)) AS span_ns
              |FROM sess GROUP BY 1, 2""".stripMargin)),
 
+    // ---- Time-weighted average: sample-and-hold integral over an
+    // irregular series — a plain avg() over-weights chatty periods. One
+    // per-user sort (lead) + one hash aggregate ---------------------------
+    "q_twap" -> QueryDef(
+      (s, dir) => {
+        val from = 1704067200000000000L
+        val to = from + 30L * 24 * 3600000000000L
+        graft.ops.TimeSeriesOps.timeWeightedAvg(
+          evBase(s, dir).select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), "ts", "value", from, to, tiebreak = Seq("event_id"))
+          .select(col("user_id"), round(col("twap"), 4).as("twap"), col("n_obs"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value
+              |  FROM events WHERE user_id < 6 AND NOT isnan(value)
+              |    AND epoch_ns(ts) >= ${1704067200000000000L}
+              |    AND epoch_ns(ts) < ${1704067200000000000L + 30L * 24 * 3600000000000L}),
+              |w AS (SELECT user_id, value,
+              |    (coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+              |      ${1704067200000000000L + 30L * 24 * 3600000000000L}) - t)::DOUBLE AS w
+              |  FROM e)
+              |SELECT user_id, round(sum(value * w) / sum(w), 4) AS twap,
+              |  count(*) AS n_obs
+              |FROM w GROUP BY 1""".stripMargin)),
+
+    // ---- OHLC bar compaction: tick-grade series -> per-bucket
+    // open/high/low/close bars; open/close via min_by/max_by on a
+    // (time, id) key so duplicate timestamps pick deterministically ------
+    "q_ohlc" -> QueryDef(
+      (s, dir) => graft.ops.TimeSeriesOps.ohlcBars(
+        evBase(s, dir).select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), "ts", "value", stepSeconds = 86400,
+        tiebreak = Seq("event_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value,
+             |    (epoch_ns(ts) - 1) - ((epoch_ns(ts) - 1) % 86400000000000)
+             |      + 86400000000000 AS bucket_ns
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value))
+             |SELECT user_id, bucket_ns,
+             |  arg_min(value, printf('%019d|%010d', t, event_id)) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  arg_max(value, printf('%019d|%010d', t, event_id)) AS close,
+             |  count(*) AS n_obs
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
     // ---- IDW spatial interpolation: the k-nearest upgrade of S5's
     // nearest-station lookup (FLO-2D raincell maps cells to ONE gauge;
     // Shepard 1/d² weighting over k=4 is the standard hydrology step up).

@@ -222,6 +222,42 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("timeWeightedAvg: hold-until-next weighting, last segment holds to the window end") {
+    // key a: v=10 holds [0,6), v=40 holds [6,10) -> twap = (10*6+40*4)/10 = 22
+    val df = Seq(("a", 0L, 1L, 10.0), ("a", 6L, 2L, 40.0),
+      ("b", 5L, 3L, 7.0)) // single obs holds the whole tail [5,10)
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.timeWeightedAvg(df, Seq("k"), "t", "v", 0L, 10L,
+        tiebreak = Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == 22.0)
+    assert(got("b") == 7.0)
+    // chatty-period control: plain avg of a's values would be 25, not 22
+  }
+
+  test("timeWeightedAvg: observations outside [from, to) are excluded") {
+    val df = Seq(("a", -5L, 1L, 100.0), ("a", 2L, 2L, 10.0), ("a", 15L, 3L, 100.0))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.timeWeightedAvg(df, Seq("k"), "t", "v", 0L, 10L)
+      .head
+    assert(got.getDouble(1) == 10.0 && got.getLong(2) == 1L)
+  }
+
+  test("ohlcBars: open/close pick the boundary rows, deterministic under duplicate ts") {
+    val df = Seq(
+      ("a", 100L, 1L, 5.0), ("a", 100L, 2L, 9.0), // same ts: id orders them
+      ("a", 200L, 3L, 1.0), ("a", 300L, 4L, 7.0))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.ohlcBars(df, Seq("k"), "t", "v", stepSeconds = 1,
+        tiebreak = Seq("id"))
+      .head
+    // all rows land in one 1s bucket (ts are sub-second ns)
+    assert(got.getDouble(2) == 5.0, "open = earliest (ts, id)")
+    assert(got.getDouble(3) == 9.0 && got.getDouble(4) == 1.0)
+    assert(got.getDouble(5) == 7.0, "close = latest (ts, id)")
+    assert(got.getLong(6) == 4L)
+  }
+
   test("dimensionHistory: versions sharing a timestamp keep the open interval on the NEWEST") {
     // two changes at the same ts: the tiebreak (id) orders them; the lead
     // window must order by (from, version) or the open interval could land
