@@ -352,6 +352,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_ohlc is one map-side-combined aggregate — no window, no sort") {
+    val plan = executedPlan("q_ohlc")
+    assert(!plan.contains("Window"), "OHLC must not window:\n" + plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "one shuffle on (user, bucket):\n" + plan.take(1200))
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "bars must hash-aggregate with partials:\n" + plan.take(1200))
+  }
+
+  test("q_twap and q_dim_history reuse ONE per-key exchange across window + aggregate") {
+    Seq("q_twap", "q_dim_history").foreach { q =>
+      val plan = executedPlan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"$q: the lead window's per-key partitioning must serve the " +
+          s"aggregate too:\n" + plan.take(1200))
+      val windowLines = plan.split("\n").filter(_.contains("Window ["))
+      windowLines.foreach { l =>
+        assert("\\], \\[".r.findAllIn(l).length >= 2,
+          s"$q: unpartitioned window: ${l.trim.take(200)}")
+      }
+    }
+  }
+
+  test("q_epoch_order ranks via range partitioning — never a single-partition data sort") {
+    val plan = executedPlan("q_epoch_order")
+    assert(plan.contains("rangepartitioning"),
+      "the global rank must be the two-pass range-partitioned scan:\n" + plan.take(1200))
+    // scanCumSumLong's design has exactly ONE unpartitioned window — the
+    // prefix scan over PER-PARTITION TOTALS (__ptot: one row per partition,
+    // cluster-sized). Any other unpartitioned window would be a
+    // data-volume single-partition sort, which is the failure this audit
+    // exists to catch.
+    val unpartitioned = plan.split("\n")
+      .filter(_.contains("Window ["))
+      .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+    assert(unpartitioned.forall(_.contains("__ptot")),
+      "unpartitioned window over data-sized input:\n" + unpartitioned.mkString("\n"))
+    assert(unpartitioned.length == 1,
+      "expected exactly the partition-totals prefix scan:\n" + plan.take(1200))
+  }
+
   test("q_dedup_editdist joins on md5 buckets — no cartesian, no title shuffle") {
     val plan = executedPlan("q_dedup_editdist")
     assert(!plan.contains("CartesianProduct") &&
