@@ -397,6 +397,14 @@ object TrainPrepQueries {
              |  count(*) AS n_copies
              |FROM u GROUP BY 1""".stripMargin)),
 
+    // ---- streaming OHLC bar compaction at ingest -------------------------
+    // E88's aggregate as stream state: min_by/max_by/min/max/count are
+    // mergeable and (ts, event_id) is unique, so bars are backfill-order-
+    // insensitive — stream == batch == oracle. Shares q_ohlc's oracle.
+    "q_stream_ohlc" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.ohlcBars(s, dir, stepSeconds = 86400),
+      graft.queries.ParityQueries.defs.toMap.apply("q_ohlc").oracle),
+
     // ---- streaming decontamination at ingest -----------------------------
     // stream-static broadcast join against the eval-set digest table:
     // STATELESS (append mode, no state store), each microbatch one map

@@ -311,4 +311,29 @@ object StreamParity {
       .agg(max("ts").as("max_ts_ns"), count(lit(1)).as("n_events"))
     runToTable(spark, agg, "stream_maxtime", OutputMode.Complete())
   }
+
+  /** Streaming OHLC bar compaction at ingest — E88's aggregate as stream
+    * state: min_by/max_by/min/max/count are all MERGEABLE, so per-(user,
+    * right-closed bucket) bars accumulate in the state store in complete
+    * mode and are backfill-order-insensitive — stream answers equal batch
+    * bit for bit, certified by sharing q_ohlc's DuckDB oracle. State is
+    * one slim bar row per (user, bucket), bounded by the bucket calendar
+    * × key cardinality at any event volume (never by event count). */
+  def ohlcBars(spark: SparkSession, dir: String, stepSeconds: Long,
+      maxUser: Long = 6L): DataFrame = {
+    val src = eventsStream(spark, dir)
+      .filter(col("user_id") < maxUser && !isnan(col("value")))
+    val orderKey = struct(col("ts"), col("event_id"))
+    val agg = src
+      .groupBy(col("user_id"),
+        graft.ops.TimeSeriesOps.bucketRightClosedNs(col("ts"), stepSeconds)
+          .as("bucket_ns"))
+      .agg(
+        min_by(col("value"), orderKey).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), orderKey).as("close"),
+        count(lit(1)).as("n_obs"))
+    runToTable(spark, agg, "stream_ohlc", OutputMode.Complete())
+  }
 }

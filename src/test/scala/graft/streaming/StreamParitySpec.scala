@@ -96,6 +96,24 @@ class StreamParitySpec extends SparkSpec {
     ((50L until 60L).filter(_ != 55L)).foreach(i => assert(!out(i), s"clean doc $i"))
   }
 
+  test("streaming OHLC bars equal the batch compaction") {
+    val out = StreamParity.ohlcBars(spark, dir, stepSeconds = 900, maxUser = 100L)
+      .orderBy("user_id", "bucket_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val batch = graft.ops.TimeSeriesOps.ohlcBars(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+          .filter(col("user_id") < 100 && !isnan(col("value"))),
+        Seq("user_id"), "ts", "value", stepSeconds = 900,
+        tiebreak = Seq("event_id"))
+      .orderBy("user_id", "bucket_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(out.sameElements(batch))
+    assert(out.nonEmpty)
+  }
+
   test("streaming max-time equals the batch aggregate") {
     val out = StreamParity.maxTimePerUser(spark, dir)
       .as[(Long, Long, Long)].collect().toSet
