@@ -264,6 +264,20 @@ object TrainPrepQueries {
              |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS gid
              |FROM documents""".stripMargin)),
 
+    // ---- per-group top-k tokens: slice-level vocabulary monitoring — one
+    // map-side-combined (lang, token) aggregate, rank window per group ----
+    "q_top_tokens_group" -> QueryDef(
+      (s, dir) => CorpusOverlap.topTokensPerGroup(
+        t(s, dir, "documents"), "lang", "text", k = 5),
+      Some("""WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |n AS (SELECT lang, token, count(*) AS cnt FROM c GROUP BY 1, 2),
+             |r AS (SELECT lang, token, cnt,
+             |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+             |  FROM n)
+             |SELECT lang, token, cnt, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 5""".stripMargin)),
+
     // ---- deterministic per-epoch training order: rank by sha256(epoch:id)
     // (fresh uniform permutation every epoch, reproducible on any layout);
     // rank materializes via the range-partitioned two-pass scan, never a

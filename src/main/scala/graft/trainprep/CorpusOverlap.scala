@@ -277,6 +277,28 @@ object CorpusOverlap {
     * answer: the sketch changes the shuffle volume (vocabulary-sized →
     * candidates-sized), never the result. Two corpus scans total —
     * persist `docs` upstream to make them one I/O pass. */
+  /** Per-group top-k tokens — the slice-level monitoring twin of global
+    * heavy hitters (E65): per-language/source vocabularies drift
+    * independently, and a global top-k hides a slice whose crawl went bad.
+    * Shape: explode feeds ONE map-side-combined (group, token) hash
+    * aggregate — the shuffle carries distinct (group, token) counts, never
+    * corpus text — then a rank window partitioned BY GROUP (each group's
+    * rank sorts within one task) cuts at k with a total order (count desc,
+    * token asc). For vocabulary-dominated workloads swap the exact count
+    * frame for the per-group CMS shortlist (the E65 prune composes). */
+  def topTokensPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"top-k size must be positive, got $k")
+    val counts = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def heavyHittersExact(docs: DataFrame, textCol: String, minCount: Long,
       depth: Int = 4): DataFrame = {
     require(minCount > 0, s"minCount must be positive, got $minCount")

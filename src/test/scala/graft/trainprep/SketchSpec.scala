@@ -234,4 +234,18 @@ class SketchSpec extends SparkSpec {
     val t = kmvQuantiles(tiny, "m", Seq(1.0)).head()
     assert(t.getLong(0) === 3L && t.getLong(1) === rows.take(3).map(_._2).max)
   }
+
+  test("topTokensPerGroup: per-group isolation, count ordering, token tiebreak") {
+    val d = Seq(
+      ("en", "a a a b b c"),
+      ("de", "x x y"),
+      ("de", "y z")).toDF("lang", "text")
+    val got = CorpusOverlap.topTokensPerGroup(d, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got(("en", 1)) == ("a", 3L) && got(("en", 2)) == ("b", 2L))
+    // de: x and y tie at 2 — token asc breaks it
+    assert(got(("de", 1)) == ("x", 2L) && got(("de", 2)) == ("y", 2L))
+    assert(got.size == 4, "k cuts per group, groups never mix")
+  }
 }
