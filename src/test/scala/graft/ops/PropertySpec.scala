@@ -86,4 +86,49 @@ class PropertySpec extends SparkSpec {
       assert(!r.getString(1).matches(s".*${graft.trainprep.TrainPrep.PhonePattern}.*"))
     }
   }
+
+  test("property: OHLC bars bound their observations and conserve the row count") {
+    val obsGen = for {
+      k <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 5000L * 1000000000L)
+      v <- Gen.chooseNum(-500, 500).map(_ / 10.0)
+    } yield (k, t, v)
+    val obs = sample(obsGen, 400).zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+    val df = obs.toDF("k", "t", "id", "v")
+    val bars = TimeSeriesOps.ohlcBars(df, Seq("k"), "t", "v", stepSeconds = 900,
+        tiebreak = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    bars.values.foreach { case (open, high, low, close, n) =>
+      assert(low <= high && low <= open && open <= high
+        && low <= close && close <= high && n > 0)
+    }
+    assert(bars.values.map(_._5).sum == obs.size, "every observation lands in one bar")
+    // each bar's bucket is the right-closed edge of its members
+    obs.foreach { case (k, t, _, _) =>
+      val bucket = ((t - 1) - Math.floorMod(t - 1, 900000000000L)) + 900000000000L
+      assert(bars.contains((k, bucket)), s"obs ($k, $t) must have a bar at $bucket")
+    }
+  }
+
+  test("property: TWAP lies within [min, max] of the window's observations") {
+    val obsGen = for {
+      k <- Gen.chooseNum(0L, 2L)
+      t <- Gen.chooseNum(0L, 999L)
+      v <- Gen.chooseNum(-100, 100).map(_ / 4.0)
+    } yield (k, t, v)
+    val obs = sample(obsGen, 200).zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+    val df = obs.toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.timeWeightedAvg(df, Seq("k"), "t", "v", 0L, 1000L,
+        tiebreak = Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    obs.groupBy(_._1).foreach { case (k, rows) =>
+      val vs = rows.map(_._4)
+      assert(got(k) >= vs.min - 1e-9 && got(k) <= vs.max + 1e-9,
+        s"key $k: twap ${got(k)} outside [${vs.min}, ${vs.max}]")
+    }
+  }
 }
