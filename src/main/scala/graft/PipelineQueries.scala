@@ -43,17 +43,27 @@ object PipelineQueries {
     * WITHIN the doc, and base 2i+2 recurs as the opening paragraph of doc
     * i+1 (the boilerplate-prefix shape). Both engines assemble the
     * identical fixture from the same parquet rows. */
-  private def paraDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def paraDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxPid: Int = 100, reps: Int = 1) = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.select(col("doc_id").as("pid")).filter(col("pid") < 100)
+    val base = d.select(col("doc_id").as("pid")).filter(col("pid") < maxPid)
       .join(d.select(col("doc_id").as("i1"), col("text").as("t1")),
         col("i1") === col("pid") * 2)
       .join(d.select(col("doc_id").as("i2"), col("text").as("t2")),
         col("i2") === col("pid") * 2 + 1)
       .join(d.select(col("doc_id").as("i3"), col("text").as("t3")),
         col("i3") === col("pid") * 2 + 2)
-      .select(col("pid").as("doc_id"),
+      .select(col("pid"),
         concat_ws("\n\n", col("t1"), col("t2"), col("t1"), col("t3")).as("text"))
+    // reps > 1 replicates every doc verbatim at doc_id = pid + rep·1000 —
+    // exact-duplicate groups of `reps` on top of the paragraph chains, so
+    // the ~2k-doc paragraph fixtures actually engage occurrence caps and
+    // multi-member buckets instead of staying under every threshold
+    if (reps == 1) base.select(col("pid").as("doc_id"), col("text"))
+    else base
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .select((col("pid") + col("rep").cast("long") * 1000L).as("doc_id"),
+        col("text"))
   }
 
   /** The vec_id=0 embedding, the shared query vector of every ANN demo. */
@@ -589,16 +599,18 @@ object PipelineQueries {
     // occurrences — cross-doc or within-doc — drop. Spark: min(struct)
     // hash-aggregate + hash equi-join; oracle: row_number window.
     "q_dedup_paragraph" -> QueryDef(
-      (s, dir) => Dedup.paragraphKeepFirst(paraDocs(s, dir), "doc_id", "text"),
+      (s, dir) => Dedup.paragraphKeepFirst(
+        paraDocs(s, dir, maxPid = 249, reps = 8), "doc_id", "text"),
       Some("""WITH spine AS (
-             |  SELECT a.doc_id AS doc_id,
+             |  SELECT a.doc_id + r.rep * 1000 AS doc_id,
              |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
              |      || p1.text || chr(10) || chr(10) || p3.text AS text
              |  FROM documents a
              |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
              |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
              |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
-             |  WHERE a.doc_id < 100),
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS rep) r
+             |  WHERE a.doc_id < 249),
              |p AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos,
              |    unnest(ps) AS para
              |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
@@ -616,22 +628,69 @@ object PipelineQueries {
              |  coalesce(k.n_kept, 0) AS n_kept
              |FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id""".stripMargin)),
 
-    // ---- corpus-frequency boilerplate removal (CCNet shape): a paragraph
-    // in > 1 distinct docs is template chrome and is removed EVERYWHERE;
-    // the within-doc repeat of p1 has doc-frequency 1 and survives twice —
-    // exactly the case keep-first would collapse ---------------------------
-    "q_dedup_boilerplate" -> QueryDef(
-      (s, dir) => Dedup.boilerplateParagraphRemove(paraDocs(s, dir),
-        "doc_id", "text", maxDocFreq = 1),
+    // ---- paragraph keep-first UNDER the occurrence cap: the mega-bucket
+    // guardrail actually ENGAGING on an oracled fixture. With the 8×
+    // replicated ~2k-doc spine, every base p1 paragraph occurs 24 times
+    // (2 in-doc × 8 reps + 8 as the previous doc's tail) — over the cap of
+    // 20, so it is dropped EVERYWHERE (boilerplate semantics), while p2/p3
+    // paragraphs sit at 8–16 and keep their first occurrence. The capped
+    // run attaches the graft_oversize CollectMetrics audit in-pass.
+    "q_dedup_para_capped" -> QueryDef(
+      (s, dir) => Dedup.paragraphKeepFirst(
+        paraDocs(s, dir, maxPid = 249, reps = 8), "doc_id", "text",
+        maxOccurrences = 20),
       Some("""WITH spine AS (
-             |  SELECT a.doc_id AS doc_id,
+             |  SELECT a.doc_id + r.rep * 1000 AS doc_id,
              |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
              |      || p1.text || chr(10) || chr(10) || p3.text AS text
              |  FROM documents a
              |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
              |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
              |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
-             |  WHERE a.doc_id < 100),
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS rep) r
+             |  WHERE a.doc_id < 249),
+             |p AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos,
+             |    unnest(ps) AS para
+             |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+             |        FROM spine)),
+             |norm AS (SELECT doc_id, pos, trim(para) AS para FROM p
+             |  WHERE trim(para) <> ''),
+             |cnt AS (SELECT md5(para) AS h, count(*) AS n FROM norm GROUP BY 1),
+             |ranked AS (SELECT doc_id, pos, para,
+             |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+             |  FROM norm),
+             |kept AS (SELECT doc_id,
+             |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
+             |    count(*) AS n_kept
+             |  FROM ranked JOIN cnt ON md5(ranked.para) = cnt.h
+             |  WHERE rn = 1 AND cnt.n <= 20 GROUP BY doc_id)
+             |SELECT s.doc_id AS doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+             |  coalesce(k.n_kept, 0) AS n_kept
+             |FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id""".stripMargin)),
+
+    // ---- corpus-frequency boilerplate removal (CCNet shape): a paragraph
+    // in > maxDocFreq distinct docs is template chrome and is removed
+    // EVERYWHERE. On the 8×-replicated spine every paragraph has df ≥ 8
+    // (its own replica group), so the threshold sits AT 8: p2 paragraphs
+    // (df = 8) survive. p1 normally doubles as the PREVIOUS doc's tail
+    // (df = 16) and is chrome — the boilerplate-chain shape — except at
+    // the chain ends: doc 0's opening has no predecessor (df = 8) and
+    // survives BOTH its in-doc occurrences (the case keep-first would
+    // collapse), and the final doc's tail (no successor, df = 8) keeps ---
+    "q_dedup_boilerplate" -> QueryDef(
+      (s, dir) => Dedup.boilerplateParagraphRemove(
+        paraDocs(s, dir, maxPid = 249, reps = 8),
+        "doc_id", "text", maxDocFreq = 8),
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id + r.rep * 1000 AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS rep) r
+             |  WHERE a.doc_id < 249),
              |p AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos,
              |    unnest(ps) AS para
              |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
@@ -641,7 +700,7 @@ object PipelineQueries {
              |f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS df
              |  FROM norm GROUP BY 1),
              |kept AS (SELECT n.doc_id, n.pos, n.para
-             |  FROM norm n JOIN f ON md5(n.para) = f.h WHERE f.df <= 1),
+             |  FROM norm n JOIN f ON md5(n.para) = f.h WHERE f.df <= 8),
              |tot AS (SELECT doc_id, count(*) AS n_paras FROM norm GROUP BY doc_id),
              |agg AS (SELECT doc_id,
              |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean,
@@ -659,7 +718,7 @@ object PipelineQueries {
     // share whole paragraphs and the spans inside them.
     "q_dedup_spans" -> QueryDef(
       (s, dir) => Dedup.duplicatedSpans(paraDocs(s, dir), "doc_id", "text",
-        windowTokens = 8),
+        windowTokens = 8, hashFn = Dedup.oracleParaHash),
       Some("""WITH spine AS (
              |  SELECT a.doc_id AS doc_id,
              |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
@@ -688,7 +747,7 @@ object PipelineQueries {
     // merge → token anti-join → ordered re-join — in SQL.
     "q_dedup_span_rewrite" -> QueryDef(
       (s, dir) => Dedup.removeDuplicatedSpans(paraDocs(s, dir), "doc_id",
-        "text", windowTokens = 8),
+        "text", windowTokens = 8, hashFn = Dedup.oracleParaHash),
       Some("""WITH spine AS (
              |  SELECT a.doc_id AS doc_id,
              |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
@@ -1523,8 +1582,36 @@ object PipelineQueries {
              |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format
              |FROM documents WHERE doc_id < 300""".stripMargin)),
 
-    // ---- multimodal: frame sampling over binary payloads -------------------
+    // ---- multimodal: REAL video frame decode (MJPEG-in-AVI) ----------------
+    // Every sampled frame is a genuine JPEG pulled out of the AVI `movi`
+    // list and decoded by the JDK codec; the oracle predicts frame count,
+    // sampling pattern, dimensions, AND that the decoded mean gray lands
+    // within the JPEG round-trip tolerance of the synthesized level — a
+    // fake decode cannot fake gray_ok.
     "q_mm_frames" -> QueryDef(
+      (s, dir) => {
+        val vids = Multimodal.synthesizeMjpegAvis(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        Multimodal.decodeAviFramesBatch(vids, "bytes", everyN = 2)
+          .withColumn("gray_ok",
+            abs(col("mean_gray") -
+              pmod(col("media_id") * 7 + col("frame_idx") * 13, lit(240))
+                .cast("double")) <= lit(3.0))
+          .select(col("media_id"), col("frame_idx"), col("frame_w"),
+            col("frame_h"), col("gray_ok"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             |  CAST(doc_id % 64 + 16 AS INT) AS frame_w,
+             |  CAST(doc_id % 48 + 16 AS INT) AS frame_h,
+             |  true AS gray_ok
+             |FROM (SELECT doc_id, unnest(range(0, doc_id % 7 + 2)) AS i
+             |      FROM documents WHERE doc_id < 300)
+             |WHERE i % 2 = 0""".stripMargin)),
+
+    // ---- multimodal: fixed-width frame sampling over opaque binaries -------
+    // The codegen'd no-decode slicing path (binary substr, no UDF) for
+    // essence the JDK cannot decode — kept alongside the real MJPEG path.
+    "q_mm_byte_slices" -> QueryDef(
       (s, dir) => {
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
         Multimodal.sampleFrames(media, "bytes", frameBytes = 64, everyN = 2)

@@ -395,10 +395,14 @@ object Similarity {
     * cluster join is a hash-partitioned equi-join on the cell id, so at
     * 100 TB each cluster's pairs materialize on one executor's partition,
     * never a cartesian). A vector drops when its rounded cosine to ANY
-    * lower-id vector in the same cluster clears `threshold` — greedy
-    * keep-first in id order, deterministic, chain-safe (a kept doc is one
-    * with no qualifying lower-id partner; chains collapse to their
-    * minimum like the digest rule).
+    * lower-id vector in the same cluster clears `threshold` — a
+    * drop-if-any-lower-id-similar rule: deterministic, and chains collapse
+    * to their minimum id like the digest rule. NOTE this is NOT sequential
+    * greedy keep-first (which compares only against kept SURVIVORS): on a
+    * non-transitive chain a~b, b~c, a≁c, greedy keeps {a, c} while this
+    * rule keeps only {a} — it can drop more than greedy, never less. The
+    * upside is a single self-join instead of an inherently sequential
+    * per-cluster scan, which is what keeps it runnable at corpus scale.
     *
     * `kmeansIters = 0` pins the codebook to the first `nClusters` vectors
     * in id order, making the WHOLE pipeline (codebook → argmin cell →

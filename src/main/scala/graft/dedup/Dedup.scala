@@ -520,13 +520,16 @@ object Dedup {
     * span volume, never pairwise; a boilerplate span shared by a large
     * corpus fraction makes its hash partition the hotspot — inherent to
     * emitting every occurrence of that span. `hashFn` hashes the
-    * space-rejoined window — md5 by default so any SQL engine replays
-    * it; use [[fastParaHash]] (xxhash64) when nothing external needs to
-    * agree. */
+    * space-rejoined window — [[fastParaHash]] (xxhash64) by DEFAULT,
+    * which routes through the one-pass codegen'd span_hashes expression;
+    * pass [[oracleParaHash]] (md5) explicitly only when an external SQL
+    * engine must replay the hash values — the md5 form takes the
+    * relational HOF path, which is CodegenFallback and ~20× slower at
+    * corpus scale. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int,
       crossDocOnly: Boolean = true,
-      hashFn: Column => Column = oracleParaHash): DataFrame = {
+      hashFn: Column => Column = fastParaHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowTokens > 0, "windowTokens must be positive")
     val toks = TextFunctions.tokens(col(textCol))
@@ -584,7 +587,7 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int,
       crossDocOnly: Boolean = true,
-      hashFn: Column => Column = oracleParaHash): DataFrame = {
+      hashFn: Column => Column = fastParaHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val later = duplicatedSpans(df, idCol, textCol, windowTokens,
         crossDocOnly, hashFn)

@@ -19,15 +19,23 @@ object Layout {
     * non-negative integer columns — column `a` occupies even bit positions,
     * `b` odd. The expression is an UNROLLED mask/shift sum (2·bits codegen'd
     * integer terms, no HOF lambda, no UDF), so it rides whole-stage codegen
-    * and replays exactly in any engine with `&`/`<<`. Inputs must already
-    * be bucketed to `bits` bits by the caller (values ≥ 2^bits fold onto
-    * the low bits — bucket, don't truncate, for meaningful locality). */
+    * and replays exactly in any engine with `&`/`<<`. Inputs are masked to
+    * their low `bits` bits up front, so out-of-range values — INCLUDING
+    * negatives, whose arithmetic shiftright would otherwise sign-extend
+    * ones into every interleaved position — fold deterministically onto
+    * the low bits. Folding preserves nothing of the original ordering,
+    * so for meaningful locality the caller should still bucket values
+    * into [0, 2^bits) (offset-shift negative domains first); the mask
+    * guarantees the key is merely non-local, never corrupt. */
   def zOrderKey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val mask = lit((1L << bits) - 1)
+    val aa = a.cast("long").bitwiseAND(mask)
+    val bb = b.cast("long").bitwiseAND(mask)
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(aa, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bb, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }

@@ -454,13 +454,25 @@ object TimeSeriesOps {
     * closing value (latest) — the compaction step that turns tick-grade
     * series into chart/feature-grade bars. One hash aggregate with
     * map-side partials: open/close via min_by/max_by on a (time, tiebreak…)
-    * struct key, so duplicate timestamps still pick a deterministic row. */
+    * struct key, so duplicate timestamps still pick a deterministic row.
+    *
+    * NaN observations are DROPPED up front when the value column is
+    * floating-point: Spark's total order sorts NaN greatest, so a NaN row
+    * would poison `high` (plain max) but not `low`/`open`/`close`
+    * (min / struct-keyed min_by·max_by) — a half-poisoned bar is worse
+    * than either answer. Dropped rows do not count toward `n_obs`. */
   def ohlcBars(df: DataFrame, keys: Seq[String], timeCol: String,
       valueCol: String, stepSeconds: Long,
       tiebreak: Seq[String] = Nil): DataFrame = {
+    val in = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType
+         | org.apache.spark.sql.types.FloatType =>
+        df.filter(!isnan(col(valueCol)))
+      case _ => df
+    }
     val bucket = bucketRightClosedNs(col(timeCol), stepSeconds).as("bucket_ns")
     val orderKey = struct((col(timeCol) +: tiebreak.map(col)): _*)
-    df.groupBy((keys.map(col) :+ bucket): _*)
+    in.groupBy((keys.map(col) :+ bucket): _*)
       .agg(
         min_by(col(valueCol), orderKey).as("open"),
         max(col(valueCol)).as("high"),

@@ -116,6 +116,15 @@ case class AsOfJoinExec(
       s"as-of join: '$timeCol' must be LongType (epoch-ns domain) on both sides")
     val lKeys = leftKeys
     val rKeys = rightKeys
+    // mismatched key types (e.g. IntegerType vs LongType) hash-partition
+    // differently AND compare through the single left-typed natural
+    // ordering below — either alone silently drops matches, so reject
+    // instead of coercing (the union+window form coerces; callers who want
+    // that behavior should cast explicitly)
+    require(lKeys.map(_.dataType) == rKeys.map(_.dataType),
+      s"as-of join: key column types must match exactly between sides, " +
+        s"got left=${lKeys.map(_.dataType.simpleString).mkString(",")} " +
+        s"right=${rKeys.map(_.dataType.simpleString).mkString(",")}")
     val rVals = rightValues
     val lTimeIdx = lOut.indexWhere(_.name == timeCol)
     val rTimeIdx = rOut.indexWhere(_.name == timeCol)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.decks.{InflowDeck, OutflowDeck, RaincellDeck}
+import graft.decks.{ChanDeck, InflowDeck, OutflowDeck, RaincellDeck}
 import graft.extract.FloOutputParsers
 
 /** FLO-2D parity operators (SURVEY.md §2 S7/S8, K1 decks, X1/X2, F2, A7)
@@ -166,6 +166,82 @@ object ParityQueries {
              |            || lpad(printf('%.3f', value), 16, ' ') AS line
              |      FROM tides WHERE value <> -99999.0)
              |SELECT * FROM k UNION ALL SELECT * FROM n UNION ALL SELECT * FROM sr""".stripMargin)),
+
+    // ---- K1 deck: CHAN body (J4 composite lookup + J6 coalesce + S4) ------
+    // Channel node pairs take their first-observed initial water level when
+    // the composite-key conditions lookup supplies one, else the template
+    // default; a pair with no downstream id writes the UPSTREAM observation
+    // for both nodes (reference: input/chan/gen_chan.py:129-178). The
+    // fixture drives all four branches: obs-hit, obs-miss → default,
+    // missing condition row, and NULL wl_id_dwn → upstream-for-both.
+    "q_deck_chan" -> QueryDef(
+      (s, dir) => {
+        val nation = t(s, dir, "nation")
+        def cell(k: org.apache.spark.sql.Column) =
+          concat(lit("c"), k.cast("string"))
+        val pairs = nation.select(
+          col("n_nationkey").cast("long").as("pair_idx"),
+          cell(col("n_nationkey") * 2).as("up"),
+          format_string("%.2f", col("n_nationkey") * 0.25 + 1.0).as("up_default"),
+          cell(col("n_nationkey") * 2 + 1).as("down"),
+          format_string("%.2f", col("n_nationkey") * 0.25 + 1.5).as("down_default"))
+        val conditions = nation.filter(col("n_nationkey") % 3 === 0).select(
+          concat_ws("_", lit("flo2d_150_v2"),
+            cell(col("n_nationkey") * 2), cell(col("n_nationkey") * 2 + 1))
+            .as("grid_id"),
+          concat(lit("wl"), col("n_nationkey").cast("string")).as("wl_id"),
+          when(col("n_nationkey") % 2 === 0,
+            concat(lit("wl"), (col("n_nationkey") + 1).cast("string")))
+            .as("wl_id_dwn"))
+        val obs = evBase(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+          .select(concat(lit("wl"), col("user_id").cast("string")).as("wl_id"),
+            format_string("%.2f", round(col("v"), 2)).as("wl"))
+        ChanDeck.lines(s, "flo2d_150_v2", pairs, conditions, obs,
+          Seq("CHAN HEAD A", "CHAN HEAD B"), Seq("CHAN TAIL"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS pair_idx,
+             |    'c' || CAST(n_nationkey * 2 AS VARCHAR) AS up,
+             |    printf('%.2f', n_nationkey * 0.25 + 1.0) AS up_default,
+             |    'c' || CAST(n_nationkey * 2 + 1 AS VARCHAR) AS down,
+             |    printf('%.2f', n_nationkey * 0.25 + 1.5) AS down_default
+             |  FROM nation),
+             |conds AS (
+             |  SELECT 'flo2d_150_v2_c' || CAST(n_nationkey * 2 AS VARCHAR)
+             |      || '_c' || CAST(n_nationkey * 2 + 1 AS VARCHAR) AS grid_id,
+             |    'wl' || CAST(n_nationkey AS VARCHAR) AS wl_id,
+             |    CASE WHEN n_nationkey % 2 = 0
+             |      THEN 'wl' || CAST(n_nationkey + 1 AS VARCHAR) END AS wl_id_dwn
+             |  FROM nation WHERE n_nationkey % 3 = 0),
+             |obs AS (
+             |  SELECT 'wl' || CAST(user_id AS VARCHAR) AS wl_id,
+             |    printf('%.2f', round(first(value ORDER BY ts, event_id), 2)) AS wl
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)
+             |  GROUP BY user_id),
+             |j AS (
+             |  SELECT p.*, c.wl_id_dwn, ou.wl AS up_wl, od.wl AS down_wl
+             |  FROM pairs p
+             |  LEFT JOIN conds c
+             |    ON c.grid_id = 'flo2d_150_v2_' || p.up || '_' || p.down
+             |  LEFT JOIN obs ou ON ou.wl_id = c.wl_id
+             |  LEFT JOIN obs od ON od.wl_id = c.wl_id_dwn),
+             |body AS (
+             |  SELECT 1 AS section, CAST(pair_idx * 2 AS BIGINT) AS seq,
+             |    rpad(up, 6, ' ') || lpad(coalesce(up_wl, up_default), 6, ' ') AS line
+             |  FROM j
+             |  UNION ALL
+             |  SELECT 1, CAST(pair_idx * 2 + 1 AS BIGINT),
+             |    rpad(down, 6, ' ') || lpad(
+             |      CASE WHEN wl_id_dwn IS NULL THEN coalesce(up_wl, down_default)
+             |           ELSE coalesce(down_wl, down_default) END, 6, ' ')
+             |  FROM j),
+             |head AS (SELECT 0 AS section, CAST(row_number() OVER () - 1 AS BIGINT) AS seq, line
+             |  FROM (VALUES ('CHAN HEAD A'), ('CHAN HEAD B')) v(line)),
+             |tl AS (SELECT 2 AS section, CAST(0 AS BIGINT) AS seq, 'CHAN TAIL' AS line)
+             |SELECT * FROM head UNION ALL SELECT * FROM body
+             |UNION ALL SELECT * FROM tl""".stripMargin)),
 
     // ---- K1 deck: RAINCELL blocks + water-supply correction (S3/X12) ------
     "q_deck_raincell" -> QueryDef(

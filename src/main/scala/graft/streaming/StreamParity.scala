@@ -164,12 +164,18 @@ object StreamParity {
     val src = docsStream(spark, dir)
     val dups = src.filter(col("doc_id") < 100)
       .withColumn("doc_id", col("doc_id") + 100000L)
-    val agg = src.unionByName(dups)
-      .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
-      .groupBy("digest")
-      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
-    runToTable(spark, agg, "stream_dedup", OutputMode.Complete())
+    runToTable(spark, dedupKeepersAgg(src.unionByName(dups)), "stream_dedup",
+      OutputMode.Complete())
   }
+
+  /** The dedup-keeper aggregate alone (docs with doc_id + text → running
+    * (min doc_id, copy count) per digest) — source-agnostic so the
+    * out-of-order spec can drive it over shuffled multi-file backfills.
+    * min/count are order-insensitive: stream state == batch answer. */
+  def dedupKeepersAgg(docs: DataFrame): DataFrame = docs
+    .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
+    .groupBy("digest")
+    .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Streaming benchmark decontamination at ingest: each arriving train doc
     * is flagged against a STATIC eval-set digest table — the stream-static
@@ -259,18 +265,24 @@ object StreamParity {
     * is in the ns domain (exact under both fixture encodings). */
   def sessionizePerUser(spark: SparkSession, dir: String,
       gapSeconds: Long): DataFrame = {
-    val ev = eventsStream(spark, dir)
-      .filter(!isnan(col("value")))
-      .withColumn("t", timestamp_micros(expr("ts div 1000")))
-    val agg = ev
-      .groupBy(col("user_id"), session_window(col("t"), s"$gapSeconds seconds"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("user_id"),
-        (unix_micros(col("session_window.start")) * 1000).as("start_ns"),
-        (unix_micros(col("session_window.end")) * 1000).as("end_ns"),
-        col("n_events"), col("sum_value"))
-    runToTable(spark, agg, "stream_sessionize", OutputMode.Complete())
+    val ev = eventsStream(spark, dir).filter(!isnan(col("value")))
+    runToTable(spark, sessionizeAgg(ev, gapSeconds), "stream_sessionize",
+      OutputMode.Complete())
   }
+
+  /** The sessionize aggregate alone (events with ts-ns + user_id + value →
+    * gap-bounded session windows) — source-agnostic for the out-of-order
+    * spec. Complete-mode session_window state MERGES adjacent windows as
+    * late members arrive, so a session split across micro-batches (even in
+    * reverse time order) converges to the batch answer. */
+  def sessionizeAgg(ev: DataFrame, gapSeconds: Long): DataFrame = ev
+    .withColumn("t", timestamp_micros(expr("ts div 1000")))
+    .groupBy(col("user_id"), session_window(col("t"), s"$gapSeconds seconds"))
+    .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    .select(col("user_id"),
+      (unix_micros(col("session_window.start")) * 1000).as("start_ns"),
+      (unix_micros(col("session_window.end")) * 1000).as("end_ns"),
+      col("n_events"), col("sum_value"))
 
   /** Streaming HLL distinct-token estimate per lang: the register
     * aggregate (per-(lang, bucket) max rank — the MERGEABLE sketch
@@ -323,8 +335,18 @@ object StreamParity {
       maxUser: Long = 6L): DataFrame = {
     val src = eventsStream(spark, dir)
       .filter(col("user_id") < maxUser && !isnan(col("value")))
+    runToTable(spark, ohlcAgg(src, stepSeconds), "stream_ohlc",
+      OutputMode.Complete())
+  }
+
+  /** The OHLC bar aggregate alone (events with ts-ns + user_id + event_id +
+    * value → per-(user, right-closed bucket) bars) — source-agnostic for
+    * the out-of-order spec. min_by/max_by on the (ts, event_id) struct key
+    * are order-insensitive merges, so a bucket whose OPENING observation
+    * arrives in the LAST micro-batch still reports it as `open`. */
+  def ohlcAgg(src: DataFrame, stepSeconds: Long): DataFrame = {
     val orderKey = struct(col("ts"), col("event_id"))
-    val agg = src
+    src
       .groupBy(col("user_id"),
         graft.ops.TimeSeriesOps.bucketRightClosedNs(col("ts"), stepSeconds)
           .as("bucket_ns"))
@@ -334,6 +356,5 @@ object StreamParity {
         min(col("value")).as("low"),
         max_by(col("value"), orderKey).as("close"),
         count(lit(1)).as("n_obs"))
-    runToTable(spark, agg, "stream_ohlc", OutputMode.Complete())
   }
 }

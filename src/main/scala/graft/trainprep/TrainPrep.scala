@@ -314,9 +314,13 @@ object TrainPrep {
     * ULPs across interpolation formulas exactly at the knots where ties
     * sit). Head gets exactly ⌈0.3n⌉ docs, middle the next ⌈0.6n⌉−⌈0.3n⌉.
     * Corpus cost: the charTrigramNll passes + one count + two
-    * TakeOrdered threshold picks over the persisted doc-sized score frame
-    * (k rows never leave the executors; the 1-row threshold frames
-    * broadcast). */
+    * TakeOrdered threshold picks over a TEMPORARILY persisted doc-sized
+    * score frame (k rows never leave the executors; the 1-row thresholds
+    * collect to the driver). The cache is released before returning — the
+    * caller's final action recomputes the score pass once, trading one
+    * extra pass for a bounded executor-cache footprint (a leaked
+    * MEMORY_AND_DISK frame per invocation compounds across a pipeline;
+    * one recompute does not). */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       headQ: Double = 0.3, midQ: Double = 0.6): DataFrame = {
     require(0 < headQ && headQ < midQ && midQ < 1, s"need 0 < headQ < midQ < 1")
@@ -324,19 +328,20 @@ object TrainPrep {
       .select(col(idCol), round(col("avg_nll"), 4).as("nll"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scored.count()
-    def kth(k: Int, prefix: String) = scored
+    def kth(k: Int): org.apache.spark.sql.Row = scored
       .orderBy(col("nll").asc, col(idCol).asc).limit(k)
       .orderBy(col("nll").desc, col(idCol).desc).limit(1)
-      .select(col("nll").as(s"${prefix}_nll"), col(idCol).as(s"${prefix}_id"))
-    val h = kth(math.ceil(headQ * n).toInt, "h")
-    val m = kth(math.ceil(midQ * n).toInt, "m")
-    scored.crossJoin(broadcast(h)).crossJoin(broadcast(m))
-      .select(col(idCol), col("nll"),
-        when(col("nll") < col("h_nll")
-          || (col("nll") === col("h_nll") && col(idCol) <= col("h_id")), "head")
-          .when(col("nll") < col("m_nll")
-            || (col("nll") === col("m_nll") && col(idCol) <= col("m_id")), "middle")
-          .otherwise("tail").as("ppl_bucket"))
+      .select(col("nll"), col(idCol))
+      .head()
+    val h = kth(math.ceil(headQ * n).toInt)
+    val m = kth(math.ceil(midQ * n).toInt)
+    scored.unpersist(blocking = false)
+    def le(t: org.apache.spark.sql.Row) =
+      col("nll") < lit(t.get(0)) ||
+        (col("nll") === lit(t.get(0)) && col(idCol) <= lit(t.get(1)))
+    scored.select(col(idCol), col("nll"),
+      when(le(h), "head").when(le(m), "middle").otherwise("tail")
+        .as("ppl_bucket"))
   }
 
   /** Deterministic per-epoch training order: rank = position of

@@ -568,6 +568,27 @@ class DedupSpec extends SparkSpec {
     assert(m("max_bucket") == 2L)
   }
 
+  test("paragraphKeepFirst: the occurrence cap ENGAGES on q_dedup_para_capped's replicated fixture") {
+    // the same 8×-replicated boilerplate-chain shape as the oracled
+    // q_dedup_para_capped query, shrunk: paragraph "B" occurs 24 times
+    // (2 in-doc × 8 reps + 8 as the neighbor's tail) — over the cap of
+    // 20 — so it drops EVERYWHERE and the in-pass audit must SAY so
+    val docs = (0 until 8).flatMap { rep =>
+      Seq((10L + rep * 1000, "B\n\nx\n\nB\n\ny"), (11L + rep * 1000, "B\n\nz"))
+    }.toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation("graft_oversize_para_capped")
+    val out = Dedup.paragraphKeepFirst(docs, "doc_id", "text",
+        maxOccurrences = 20, oversizeObs = Some(obs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = obs.get
+    assert(m("dropped_buckets") == 1L, m.toString) // exactly the B bucket
+    assert(m("dropped_members") == 24L)
+    assert(m("max_bucket") == 24L)
+    assert(out(10L) === "x\n\ny", "B dropped everywhere, even first occurrence")
+    assert(out(11L) === "z")
+    assert(!out.values.exists(_.contains("B")))
+  }
+
   test("bloomPrefilteredAnti equals the exact anti-join even at extreme fpp") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     // fpp = 0.5 forces plenty of false positives through the bloom probe —

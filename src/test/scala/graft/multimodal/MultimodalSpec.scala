@@ -420,4 +420,41 @@ class MultimodalSpec extends SparkSpec {
     val meta = Multimodal.decodeVideo(moov)
     assert(meta === Some(Multimodal.VideoMeta(320, 240, 3.0, "mp4")))
   }
+
+  test("MJPEG AVI: build → decodeAviFrames round-trips every frame through the real JPEG codec") {
+    val grays = Seq(10, 100, 200, 40, 235)
+    val avi = Multimodal.buildMjpegAvi(33, 21, grays) // odd dims: JPEG pads blocks
+    // the same container still answers the header-metadata contract
+    assert(Multimodal.decodeVideo(avi) ===
+      Some(Multimodal.VideoMeta(33, 21, 5 * 0.0625, "avi")))
+    val frames = Multimodal.decodeAviFrames(avi)
+    assert(frames.map(_.frameIdx) === Seq(0, 1, 2, 3, 4))
+    assert(frames.forall(f => f.width == 33 && f.height == 21))
+    frames.zip(grays).foreach { case (f, g) =>
+      assert(math.abs(f.meanGray - g) <= 3.0,
+        s"frame ${f.frameIdx}: decoded mean ${f.meanGray} vs synthesized $g")
+    }
+    // everyN sampling decodes only frames 0, 2, 4 — indices are STREAM
+    // positions, not positions among the sampled
+    assert(Multimodal.decodeAviFrames(avi, everyN = 2).map(_.frameIdx)
+      === Seq(0, 2, 4))
+  }
+
+  test("decodeAviFrames: non-AVI, frameless, and corrupt-chunk payloads yield no frames, no throw") {
+    assert(Multimodal.decodeAviFrames(null) === Nil)
+    assert(Multimodal.decodeAviFrames(Array[Byte](1, 2, 3)) === Nil)
+    assert(Multimodal.decodeAviFrames("not a riff at all!!".getBytes) === Nil)
+    // a movi-less AVI (header-only) has no frames
+    val headerOnly = "RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes("ISO-8859-1")
+    assert(Multimodal.decodeAviFrames(headerOnly) === Nil)
+    // corrupt essence: a movi chunk claiming JPEG but holding junk decodes
+    // to zero frames rather than throwing
+    val good = Multimodal.buildMjpegAvi(24, 16, Seq(50))
+    val bad = good.clone()
+    // zero out a stretch in the middle of the (single) JPEG payload
+    java.util.Arrays.fill(bad, bad.length / 2, bad.length - 4, 0xAB.toByte)
+    val out = Multimodal.decodeAviFrames(bad)
+    assert(out.isEmpty || out.forall(_.width == 24)) // no throw is the contract
+  }
 }

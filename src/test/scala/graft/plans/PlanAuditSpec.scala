@@ -406,4 +406,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeLines.nonEmpty,
       "bucket join must partition on the md5 bucket column:\n" + plan.take(1200))
   }
+
+  test("duplicatedSpans DEFAULT call signs via codegen'd span_hashes — no CodegenFallback HOF") {
+    // the default hashFn must route through the one-pass span_hashes
+    // expression; the relational transform(sequence(...)) form is
+    // CodegenFallback and reserved for the explicit md5 oracle variant
+    val docs = graft.queries.Tables.t(spark, Sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val df = graft.dedup.Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("span_hashes"),
+      "default path must use the codegen'd span_hashes expression:\n" + plan.take(1200))
+    assert(!plan.contains("transform(sequence"),
+      "default path must not fall back to the HOF window builder:\n" + plan.take(1200))
+  }
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+
+/** Backfill-order-insensitivity, pinned per stateful stream (round-10 ask):
+  * each aggregate is driven over a multi-file source whose files arrive in
+  * REVERSE / shuffled time order (maxFilesPerTrigger=1 → one micro-batch
+  * per file, mtimes force the arrival order), and the drained complete-mode
+  * state must equal the batch answer over the same rows bit for bit.
+  * StreamLshSpec proves the machinery for HLL/LSH; these cover the
+  * remaining stateful streams: OHLC bars, sessionize, dedup keepers. */
+class StreamOutOfOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write each row group to its own leaf parquet file with ascending
+    * mtimes (arrival order = `groups` order), return the source dir. */
+  private def stagedFiles(groups: Seq[DataFrame]): java.io.File = {
+    val d = Files.createTempDirectory("stream_ooo").toFile
+    d.deleteOnExit()
+    groups.zipWithIndex.foreach { case (rows, i) =>
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$d/stage_$i")
+      val part = new java.io.File(s"$d/stage_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(d, f"docs_$i%d.parquet")
+      Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000000000000L + i * 60000L)
+    }
+    d
+  }
+
+  /** Stream `agg(src)` to a memory sink under AvailableNow with one file
+    * per micro-batch; assert >= minBatches data batches actually ran. */
+  private def runShuffled(dir: java.io.File, ddl: String,
+      agg: DataFrame => DataFrame, name: String,
+      minBatches: Int): DataFrame = {
+    val src = spark.readStream.schema(ddl)
+      .option("pathGlobFilter", "docs_*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir.getAbsolutePath)
+    val ckpt = Files.createTempDirectory(s"${name}_ckpt").toFile
+    ckpt.deleteOnExit()
+    spark.catalog.dropTempView(name)
+    val q = agg(src).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= minBatches,
+      s"$name: expected >=$minBatches data micro-batches, saw $nBatches")
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("stream OHLC: a bucket's opening observation arriving LAST is still open") {
+    val H = 3600000000000L // 1h in ns
+    // one user, one 1-day bucket; the chronologically FIRST observation
+    // (t=1h, v=5.0) ships in the LAST file, the close (t=10h) in the first
+    val late = Seq((10L * H, 0L, 3L, 9.0), (9L * H, 0L, 2L, 1.0))
+    val mid = Seq((5L * H, 0L, 1L, 7.0), (5L * H, 0L, 9L, 7.5)) // dup ts, id tiebreak
+    val early = Seq((1L * H, 0L, 0L, 5.0))
+    val all = late ++ mid ++ early
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("ts", "user_id", "event_id", "value")
+    val dir = stagedFiles(Seq(df(late), df(mid), df(early)))
+    val got = runShuffled(dir, "ts LONG, user_id LONG, event_id LONG, value DOUBLE",
+      s => StreamParity.ohlcAgg(s, 86400), "stream_ohlc_ooo", 3)
+    val want = StreamParity.ohlcAgg(df(all), 86400)
+    assert(sortedRows(got) === sortedRows(want))
+    // and the semantics, not just parity: open = the last-arriving t=1h obs
+    val bar = got.collect().head
+    assert(bar.getDouble(2) === 5.0 && bar.getDouble(5) === 9.0
+      && bar.getDouble(3) === 9.0 && bar.getDouble(4) === 1.0
+      && bar.getLong(6) === 5L)
+  }
+
+  test("stream sessionize: session halves arriving in reverse order merge into one window") {
+    val S = 1000000000L // 1s in ns
+    // user 0: events at t=0s,10s,20s,30s with a 15s gap rule — one session
+    // IF the state merges the halves; halves arrive reversed. user 1: two
+    // genuinely separate sessions split across the same two files.
+    val fileA = Seq((20L * S, 0L, 2L, 1.0), (30L * S, 0L, 3L, 1.0),
+      (500L * S, 1L, 10L, 2.0))
+    val fileB = Seq((0L * S, 0L, 0L, 1.0), (10L * S, 0L, 1L, 1.0),
+      (100L * S, 1L, 11L, 2.0))
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("ts", "user_id", "event_id", "value")
+    val dir = stagedFiles(Seq(df(fileA), df(fileB)))
+    val got = runShuffled(dir, "ts LONG, user_id LONG, event_id LONG, value DOUBLE",
+      s => StreamParity.sessionizeAgg(s, 15), "stream_sessionize_ooo", 2)
+    val want = StreamParity.sessionizeAgg(df(fileA ++ fileB), 15)
+    assert(sortedRows(got) === sortedRows(want))
+    val byUser = got.collect().groupBy(_.getLong(0))
+    assert(byUser(0L).length === 1, "user 0's reversed halves must merge")
+    assert(byUser(0L).head.getLong(3) === 4L)
+    assert(byUser(1L).length === 2, "user 1's far-apart events stay split")
+  }
+
+  test("stream dedup keepers: the min-id keeper arriving after its copies still wins") {
+    // digest group 'aaa': ids 7, 5 arrive first, keeper id 1 arrives LAST;
+    // 'bbb' is a singleton in the middle file
+    val f1 = Seq((7L, "aaa"), (5L, "aaa"))
+    val f2 = Seq((3L, "bbb"))
+    val f3 = Seq((1L, "aaa"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val dir = stagedFiles(Seq(df(f1), df(f2), df(f3)))
+    val got = runShuffled(dir, "doc_id LONG, text STRING",
+      StreamParity.dedupKeepersAgg, "stream_dedup_ooo", 3)
+    val want = StreamParity.dedupKeepersAgg(df(f1 ++ f2 ++ f3))
+    assert(sortedRows(got) === sortedRows(want))
+    val byKeeper = got.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeeper === Map(1L -> 3L, 3L -> 1L))
+  }
+}
