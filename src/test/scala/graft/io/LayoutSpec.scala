@@ -29,6 +29,22 @@ class LayoutSpec extends SparkSpec {
     assert(got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
   }
 
+  test("zOrderKey masks out-of-range and NEGATIVE inputs to the low bits — no sign-extension garbage") {
+    // pre-mask, an arithmetic shiftright on a negative long sign-extended
+    // ones into every interleaved position; now -1 folds to 255, -256 to 0
+    val df = Seq((-1L, 0L), (-256L, 7L), (256L, 3L), (-1L, -1L))
+      .toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Layout.zOrderKey(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((-1L, 0L)) == localZ(255L, 0L, 8))
+    assert(got((-256L, 7L)) == localZ(0L, 7L, 8))
+    assert(got((256L, 3L)) == localZ(0L, 3L, 8))
+    assert(got((-1L, -1L)) == localZ(255L, 255L, 8))
+    // and every key stays inside the 2·bits-bit range
+    assert(got.values.forall(z => z >= 0 && z < (1L << 16)))
+  }
+
   test("Z-sorted chunks are tight on BOTH dims; single-dim sort is full-width on the other") {
     // a 32x32 grid, one row per cell
     val grid = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32)).toDF("a", "b")

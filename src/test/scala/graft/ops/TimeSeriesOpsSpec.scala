@@ -258,6 +258,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.getLong(6) == 4L)
   }
 
+  test("ohlcBars: NaN observations drop up front — high not poisoned, n_obs excludes them") {
+    // Spark's total order sorts NaN greatest: before the guard, a NaN row
+    // poisoned `high` (plain max) but not low/open/close (min / min_by)
+    val df = Seq(
+      ("a", 100L, 1L, 2.0), ("a", 200L, 2L, Double.NaN), ("a", 300L, 3L, 8.0))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.ohlcBars(df, Seq("k"), "t", "v", stepSeconds = 1,
+        tiebreak = Seq("id"))
+      .head
+    assert(got.getDouble(2) == 2.0 && got.getDouble(3) == 8.0
+      && got.getDouble(4) == 2.0 && got.getDouble(5) == 8.0)
+    assert(got.getLong(6) == 2L, "the NaN row must not count toward n_obs")
+  }
+
   test("dimensionHistory: versions sharing a timestamp keep the open interval on the NEWEST") {
     // two changes at the same ts: the tiebreak (id) orders them; the lead
     // window must order by (from, version) or the open interval could land

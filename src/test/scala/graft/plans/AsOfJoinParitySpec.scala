@@ -32,6 +32,22 @@ class AsOfJoinParitySpec extends SparkSpec {
         if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .sortBy(t => (t._1, t._2, t._3))
 
+  test("mismatched key types between sides are rejected, not silently mis-joined") {
+    // IntegerType vs LongType keys hash-partition differently AND compare
+    // through the left-typed natural ordering — either alone silently
+    // drops matches, so the exec must refuse at execution time
+    val l = Seq((1, 10L, "x")).toDF("k", "time", "tag") // k: Int
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "time", "v")   // k: Long
+    val ex = intercept[Exception] {
+      TimeSeriesOps.asofJoinNative(l, r, Seq("k"), "time").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      String.valueOf(c.getMessage).contains("key column types must match")),
+      s"unexpected failure: $ex")
+  }
+
   test("native as-of join equals the union+window form on random fixtures") {
     (1 to 5).foreach { seed =>
       val (l, r) = randomFixture(seed)
