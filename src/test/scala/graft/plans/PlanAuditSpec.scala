@@ -407,6 +407,28 @@ class PlanAuditSpec extends SparkSpec {
       "bucket join must partition on the md5 bucket column:\n" + plan.take(1200))
   }
 
+  test("q_deck_chan joins its three dimension sides broadcast — the pair spine never shuffles") {
+    val plan = executedPlan("q_deck_chan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "conditions/observation joins must broadcast:\n" + plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "no deck input is large enough to justify a sort-merge join:\n" + plan.take(1200))
+  }
+
+  test("q_mm_frames decodes in one map chain — no shuffle before the frame rows") {
+    val plan = executedPlan("q_mm_frames")
+    assert(!plan.contains("Exchange"),
+      "synthesize→decode must be a single mapPartitions chain:\n" + plan.take(1200))
+  }
+
+  test("q_dedup_para_capped carries the oversize audit in-pass (CollectMetrics in the executed plan)") {
+    val df: DataFrame = graft.SparkEntry.queries("q_dedup_para_capped")(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("CollectMetrics"),
+      "the capped run must observe drops in the same pass:\n" + plan.take(1200))
+  }
+
   test("duplicatedSpans DEFAULT call signs via codegen'd span_hashes — no CodegenFallback HOF") {
     // the default hashFn must route through the one-pass span_hashes
     // expression; the relational transform(sequence(...)) form is
