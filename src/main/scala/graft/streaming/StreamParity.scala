@@ -125,24 +125,33 @@ object StreamParity {
   /** Streaming form of q_a2_resample: right-closed 15-min tumbling sum over
     * the event stream, complete mode. Identical bucket arithmetic to the
     * batch path (ns-domain longs — no timestamp round-trip). */
-  def resampleComplete(spark: SparkSession, dir: String, stepSeconds: Long): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .select(graft.ops.TimeSeriesOps.bucketRightClosedNs(col("ts"), stepSeconds)
-        .as("bucket_ns"), col("value"))
-      .groupBy("bucket_ns")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-    runToTable(spark, agg, "stream_resample", OutputMode.Complete())
-  }
+  def resampleComplete(spark: SparkSession, dir: String, stepSeconds: Long): DataFrame =
+    runToTable(spark, resampleAgg(eventsStream(spark, dir), stepSeconds),
+      "stream_resample", OutputMode.Complete())
+
+  /** The resample aggregate alone (ts-ns + value → right-closed bucket
+    * count/sum) — source-agnostic for the out-of-order spec; count and
+    * sum are commutative merges. */
+  def resampleAgg(src: DataFrame, stepSeconds: Long): DataFrame = src
+    .select(graft.ops.TimeSeriesOps.bucketRightClosedNs(col("ts"), stepSeconds)
+      .as("bucket_ns"), col("value"))
+    .groupBy("bucket_ns")
+    .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
   /** Streaming distinct (stateful dropDuplicates): the set of (user_id,
     * event_type) pairs ever seen. Append mode — each first-seen key emits
     * exactly once, so the sink table IS the distinct set. */
-  def distinctPairs(spark: SparkSession, dir: String): DataFrame = {
-    val dd = eventsStream(spark, dir)
-      .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-    runToTable(spark, dd, "stream_distinct", OutputMode.Append())
-  }
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, distinctAgg(eventsStream(spark, dir)), "stream_distinct",
+      OutputMode.Append())
+
+  /** The stateful-dropDuplicates stage alone — source-agnostic for the
+    * out-of-order spec; first-seen-wins on a keyed state store, so the
+    * emitted SET is arrival-order-insensitive even though emission order
+    * is not. */
+  def distinctAgg(src: DataFrame): DataFrame = src
+    .select("user_id", "event_type")
+    .dropDuplicates("user_id", "event_type")
 
   /** documents.parquet as a file stream (same glob mechanism as events). */
   private val DocsSchema =
@@ -317,12 +326,15 @@ object StreamParity {
 
   /** Streaming form of S2 (max-time lookup): running per-user max event
     * time + event count, complete mode. */
-  def maxTimePerUser(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .groupBy("user_id")
-      .agg(max("ts").as("max_ts_ns"), count(lit(1)).as("n_events"))
-    runToTable(spark, agg, "stream_maxtime", OutputMode.Complete())
-  }
+  def maxTimePerUser(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, maxTimeAgg(eventsStream(spark, dir)), "stream_maxtime",
+      OutputMode.Complete())
+
+  /** The max-time aggregate alone — source-agnostic for the out-of-order
+    * spec; max and count are commutative merges. */
+  def maxTimeAgg(src: DataFrame): DataFrame = src
+    .groupBy("user_id")
+    .agg(max("ts").as("max_ts_ns"), count(lit(1)).as("n_events"))
 
   /** Streaming OHLC bar compaction at ingest — E88's aggregate as stream
     * state: min_by/max_by/min/max/count are all MERGEABLE, so per-(user,

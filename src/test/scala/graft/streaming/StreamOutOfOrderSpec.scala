@@ -38,7 +38,7 @@ class StreamOutOfOrderSpec extends SparkSpec {
     * per micro-batch; assert >= minBatches data batches actually ran. */
   private def runShuffled(dir: java.io.File, ddl: String,
       agg: DataFrame => DataFrame, name: String,
-      minBatches: Int): DataFrame = {
+      minBatches: Int, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val src = spark.readStream.schema(ddl)
       .option("pathGlobFilter", "docs_*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -49,7 +49,7 @@ class StreamOutOfOrderSpec extends SparkSpec {
     spark.catalog.dropTempView(name)
     val q = agg(src).writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt.getAbsolutePath)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -105,6 +105,65 @@ class StreamOutOfOrderSpec extends SparkSpec {
     assert(byUser(0L).length === 1, "user 0's reversed halves must merge")
     assert(byUser(0L).head.getLong(3) === 4L)
     assert(byUser(1L).length === 2, "user 1's far-apart events stay split")
+  }
+
+  test("stream resample: bucket halves split across reversed files merge to the batch sums") {
+    val H = 3600000000000L
+    // two buckets, each with members in BOTH files; files arrive with the
+    // later time range first
+    val fileA = Seq((25L * H, 0L, 0L, 3.0), (26L * H, 0L, 0L, 4.0),
+      (2L * H, 0L, 0L, 1.5))
+    val fileB = Seq((1L * H, 0L, 0L, 0.5), (23L * H, 0L, 0L, 2.0))
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("ts", "user_id", "event_id", "value")
+    val dir = stagedFiles(Seq(df(fileA), df(fileB)))
+    val got = runShuffled(dir, "ts LONG, user_id LONG, event_id LONG, value DOUBLE",
+      s => StreamParity.resampleAgg(s, 86400), "stream_resample_ooo", 2)
+    val want = StreamParity.resampleAgg(df(fileA ++ fileB), 86400)
+    assert(sortedRows(got) === sortedRows(want))
+    val byBucket = got.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byBucket.values.toSet === Set((3L, 4.0), (2L, 7.0)),
+      byBucket.toString) // day-1 bucket: 0.5+1.5+2.0 (n=3); day-2: 3+4 (n=2)
+  }
+
+  test("stream max-time: the max arriving in the FIRST file survives later smaller values") {
+    val fileA = Seq((900L, 0L, 0L, 1.0), (50L, 1L, 0L, 1.0))
+    val fileB = Seq((100L, 0L, 0L, 1.0), (800L, 1L, 0L, 1.0))
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("ts", "user_id", "event_id", "value")
+    val dir = stagedFiles(Seq(df(fileA), df(fileB)))
+    val got = runShuffled(dir, "ts LONG, user_id LONG, event_id LONG, value DOUBLE",
+      StreamParity.maxTimeAgg, "stream_maxtime_ooo", 2)
+    val want = StreamParity.maxTimeAgg(df(fileA ++ fileB))
+    assert(sortedRows(got) === sortedRows(want))
+    val m = got.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m === Map(0L -> ((900L, 2L)), 1L -> ((800L, 2L))))
+  }
+
+  test("stream distinct: a key repeated across micro-batches emits exactly once (append mode)") {
+    val fileA = Seq((0L, "click"), (1L, "view"))
+    val fileB = Seq((0L, "click"), (0L, "view")) // (0, click) is a cross-batch repeat
+    def df(rows: Seq[(Long, String)]) = rows.toDF("user_id", "event_type")
+    val dir = stagedFiles(Seq(df(fileA), df(fileB)))
+    val got = runShuffled(dir, "user_id LONG, event_type STRING",
+      StreamParity.distinctAgg, "stream_distinct_ooo", 2,
+      mode = OutputMode.Append())
+    val pairs = got.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pairs.length === pairs.distinct.length, "no key may emit twice")
+    assert(pairs.toSet === Set((0L, "click"), (1L, "view"), (0L, "view")))
+  }
+
+  test("stream CMS counters: drained stream sketch equals the batch sketch over shuffled files") {
+    val fileA = Seq((1L, "alpha beta beta"))
+    val fileB = Seq((2L, "beta gamma alpha alpha"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val dir = stagedFiles(Seq(df(fileA), df(fileB)))
+    val got = runShuffled(dir, "doc_id LONG, text STRING",
+      s => graft.trainprep.CorpusOverlap.cmsTokenCounts(s, "text"),
+      "stream_cms_ooo", 2)
+    val want = graft.trainprep.CorpusOverlap.cmsTokenCounts(
+      df(fileA ++ fileB), "text")
+    assert(sortedRows(got) === sortedRows(want))
   }
 
   test("stream dedup keepers: the min-id keeper arriving after its copies still wins") {
