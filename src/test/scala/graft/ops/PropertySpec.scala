@@ -131,4 +131,44 @@ class PropertySpec extends SparkSpec {
         s"key $k: twap ${got(k)} outside [${vs.min}, ${vs.max}]")
     }
   }
+
+  test("property: dimensionHistory intervals tile each key's timeline with no overlap") {
+    // few keys, few attr values, colliding timestamps — maximal churn
+    val obsGen = for {
+      k <- Gen.chooseNum(0L, 2L)
+      t <- Gen.chooseNum(0L, 50L)
+      a <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, a)
+    val obs = sample(obsGen, 150).zipWithIndex
+      .map { case ((k, t, a), i) => (k, t, i.toLong, a) }
+    val df = obs.toDF("k", "t", "id", "attr")
+    // output columns: k, effective_from, attr, version, effective_to
+    val hist = TimeSeriesOps.dimensionHistory(df, Seq("k"), "t", Seq("attr"),
+        tiebreak = Seq("id"))
+      .collect().map(r => (r.getLong(0),
+        r.getLong(1), // effective_from
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), // effective_to
+        r.getString(2), r.getLong(3)))
+    hist.groupBy(_._1).foreach { case (k, versionsArr) =>
+      val sorted = versionsArr.toSeq.sortBy(_._5) // version order = lead ordering
+      // exactly one open interval per key, and it is the LAST one
+      assert(sorted.init.forall(_._3.nonEmpty) && sorted.last._3.isEmpty,
+        s"key $k: $sorted")
+      // each interval ends where the next begins (half-open tiling)...
+      sorted.sliding(2).foreach {
+        case Seq((_, _, Some(to), _, _), (_, from2, _, _, _)) =>
+          assert(to == from2, s"key $k: gap/overlap at $to vs $from2")
+        case _ => ()
+      }
+      // ...consecutive versions really differ, and the first spans the
+      // key's earliest observation
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, a1, _), (_, _, _, a2, _)) =>
+          assert(a1 != a2, s"key $k: spurious version with unchanged attr $a1")
+        case _ => ()
+      }
+      val tMin = obs.filter(_._1 == k).map(_._2).min
+      assert(sorted.head._2 == tMin, s"key $k: first interval must open at $tMin")
+    }
+  }
 }
