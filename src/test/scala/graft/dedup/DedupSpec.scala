@@ -556,6 +556,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Naive driver-side paragraph keep-first: rank every (doc, pos)
+    * occurrence of each trimmed non-empty paragraph by (doc, pos); the
+    * rank-1 occurrence keeps, everything else drops. */
+  private def localParaKeepFirst(docs: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+    val occ = for {
+      (id, t) <- docs
+      (p, pos) <- (if (t == null) Array.empty[String] else t.split("\n\n", -1))
+        .zipWithIndex
+      trimmed = p.trim if trimmed.nonEmpty
+    } yield (trimmed, id, pos)
+    val winners = occ.groupBy(_._1).map { case (p, os) =>
+      p -> os.map(o => (o._2, o._3)).min
+    }
+    docs.map { case (id, t) =>
+      val kept = (if (t == null) Array.empty[String] else t.split("\n\n", -1))
+        .zipWithIndex
+        .map { case (p, pos) => (p.trim, pos) }
+        .collect { case (p, pos) if p.nonEmpty && winners(p) == ((id, pos)) => p }
+      id -> ((kept.mkString("\n\n"), kept.length.toLong))
+    }.toMap
+  }
+
+  test("paragraphKeepFirst matches a naive local model on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 3) {
+      // tiny paragraph vocab forces heavy cross-doc and in-doc repetition;
+      // occasional empties/whitespace exercise the trim-and-drop path
+      val docs = (1L to 15L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        id -> Seq.fill(n)(rnd.nextInt(8) match {
+          case 0 => ""
+          case 1 => "  "
+          case k => s"para v$k"
+        }).mkString("\n\n")
+      }
+      val expected = localParaKeepFirst(docs)
+      val got = Dedup.paragraphKeepFirst(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === expected, s"round $round mismatch")
+    }
+  }
+
   test("paragraphKeepFirst: an uncapped run still completes a supplied Observation") {
     val docs = Seq((1L, "a\n\nb"), (2L, "b\n\nc")).toDF("doc_id", "text")
     val obs = org.apache.spark.sql.Observation("graft_oversize_para_uncapped")
