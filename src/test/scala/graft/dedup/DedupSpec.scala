@@ -396,6 +396,59 @@ class DedupSpec extends SparkSpec {
       s"chain collapses to its top, twins keep the lower id: $kept")
   }
 
+  test("containmentDrop matches the rule computed from brute-force pairs on random corpora") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      // small vocab + 4-10 token docs: plenty of chance subsets, twins,
+      // and mutual near-equals at threshold 0.8
+      val docs = (1L to 14L).map { id =>
+        val n = 4 + rnd.nextInt(7)
+        id -> Seq.fill(n)(s"w${rnd.nextInt(5)}").mkString(" ")
+      }
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet }.toMap
+      val pairs = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        if (sa & sb).size.toDouble / sa.size >= 0.8
+      } yield (a, b)).toSet
+      // the documented rule: a non-mutual sub drops; of a mutual pair the
+      // HIGHER id drops
+      val expectDrop = pairs.collect {
+        case (sub, sup) if !pairs((sup, sub)) => sub
+        case (sub, sup) if pairs((sup, sub)) && sub > sup => sub
+      }
+      val kept = Dedup.containmentDrop(docs.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === docs.map(_._1).toSet -- expectDrop, s"round $round")
+    }
+  }
+
+  test("boilerplateParagraphRemove matches a naive doc-frequency model on random corpora") {
+    val rnd = new scala.util.Random(29)
+    for (round <- 1 to 3) {
+      val docs = (1L to 12L).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        id -> Seq.fill(n)(s"para v${rnd.nextInt(6)}").mkString("\n\n")
+      }
+      val df0 = docs.flatMap { case (id, t) => t.split("\n\n").map(_ -> id) }
+        .groupBy(_._1).map { case (p, os) => p -> os.map(_._2).distinct.size }
+      val maxDf = 2
+      val expected = docs.map { case (id, t) =>
+        val paras = t.split("\n\n")
+        val kept = paras.filter(p => df0(p) <= maxDf)
+        id -> ((kept.mkString("\n\n"), kept.length.toLong,
+          (paras.length - kept.length).toLong))
+      }.toMap
+      val got = Dedup.boilerplateParagraphRemove(docs.toDF("doc_id", "text"),
+          "doc_id", "text", maxDocFreq = maxDf)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"round $round mismatch")
+    }
+  }
+
   test("boilerplateParagraphRemove: frequency threshold, not keep-first") {
     val docs = Seq(
       (1L, "intro one\n\nCOOKIE BANNER\n\nbody a"),
