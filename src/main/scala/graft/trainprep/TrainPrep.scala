@@ -314,13 +314,16 @@ object TrainPrep {
     * ULPs across interpolation formulas exactly at the knots where ties
     * sit). Head gets exactly ⌈0.3n⌉ docs, middle the next ⌈0.6n⌉−⌈0.3n⌉.
     * Corpus cost: the charTrigramNll passes + one count + two
-    * TakeOrdered threshold picks over a TEMPORARILY persisted doc-sized
-    * score frame (k rows never leave the executors; the 1-row thresholds
-    * collect to the driver). The cache is released before returning — the
-    * caller's final action recomputes the score pass once, trading one
-    * extra pass for a bounded executor-cache footprint (a leaked
-    * MEMORY_AND_DISK frame per invocation compounds across a pipeline;
-    * one recompute does not). */
+    * TakeOrdered threshold picks over a persisted doc-sized score frame
+    * (k rows never leave the executors; the 1-row thresholds collect to
+    * the driver). The cache lifecycle is one-shot: the returned frame
+    * reads the SAME cached score pass, and a release listener
+    * ([[graft.multimodal.Multimodal.unpersistAfterFirstUse]]) drops the
+    * cache right after the caller's first completed action — no extra
+    * score pass for the normal use-once caller, and no executor-cache
+    * accumulation across repeated invocations (the round-11 advisory).
+    * A caller that materializes the result twice recomputes the score
+    * pass on the second action. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       headQ: Double = 0.3, midQ: Double = 0.6): DataFrame = {
     require(0 < headQ && headQ < midQ && midQ < 1, s"need 0 < headQ < midQ < 1")
@@ -328,20 +331,23 @@ object TrainPrep {
       .select(col(idCol), round(col("avg_nll"), 4).as("nll"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scored.count()
-    def kth(k: Int): org.apache.spark.sql.Row = scored
+    // the threshold frames stay LAZY (1-row broadcast subtrees inside the
+    // caller's single final job — no separate pick jobs); the count above
+    // is the only eager build action
+    def kth(k: Int, prefix: String) = scored
       .orderBy(col("nll").asc, col(idCol).asc).limit(k)
       .orderBy(col("nll").desc, col(idCol).desc).limit(1)
-      .select(col("nll"), col(idCol))
-      .head()
-    val h = kth(math.ceil(headQ * n).toInt)
-    val m = kth(math.ceil(midQ * n).toInt)
-    scored.unpersist(blocking = false)
-    def le(t: org.apache.spark.sql.Row) =
-      col("nll") < lit(t.get(0)) ||
-        (col("nll") === lit(t.get(0)) && col(idCol) <= lit(t.get(1)))
-    scored.select(col(idCol), col("nll"),
-      when(le(h), "head").when(le(m), "middle").otherwise("tail")
-        .as("ppl_bucket"))
+      .select(col("nll").as(s"${prefix}_nll"), col(idCol).as(s"${prefix}_id"))
+    val h = kth(math.ceil(headQ * n).toInt, "h")
+    val m = kth(math.ceil(midQ * n).toInt, "m")
+    graft.multimodal.Multimodal.unpersistAfterFirstUse(scored)
+    scored.crossJoin(broadcast(h)).crossJoin(broadcast(m))
+      .select(col(idCol), col("nll"),
+        when(col("nll") < col("h_nll")
+          || (col("nll") === col("h_nll") && col(idCol) <= col("h_id")), "head")
+          .when(col("nll") < col("m_nll")
+            || (col("nll") === col("m_nll") && col(idCol) <= col("m_id")), "middle")
+          .otherwise("tail").as("ppl_bucket"))
   }
 
   /** Deterministic per-epoch training order: rank = position of

@@ -252,17 +252,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(19L) == "tail" && got(20L) == "tail", "gibberish must score worst")
   }
 
-  test("perplexityBuckets releases its doc-sized score cache before returning") {
+  test("perplexityBuckets releases its doc-sized score cache after the first use") {
     val docs = (1L to 30L).map(i => (i, s"some plain text body $i"))
       .toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = TrainPrep.perplexityBuckets(docs, "doc_id", "text")
-    assert(out.count() == 30L) // the returned frame still materializes
-    // what may remain is charTrigramNll's charset³-BOUNDED count-frame
-    // cache (documented tfIdf-style contract); the DOC-SIZED score frame —
-    // which grows with the corpus — must be gone. Pre-fix this left BOTH
-    // (growth 2); post-fix at most the bounded one.
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(out.count() == 30L) // the first caller action reads the cache...
+    // ...then the one-shot listener releases the DOC-SIZED score frame
+    // (asynchronously — poll). What may remain is charTrigramNll's
+    // charset³-BOUNDED count-frame cache (documented tfIdf-style
+    // contract). Pre-fix this left BOTH frames cached (growth 2).
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 10000000000L
+    while (leaked.size > 1 && System.nanoTime() < deadline) Thread.sleep(50)
     assert(leaked.size <= 1,
       s"perplexityBuckets leaked beyond the bounded count cache: $leaked")
     spark.catalog.clearCache()
