@@ -1242,6 +1242,57 @@ object PipelineQueries {
              |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
              |LEFT JOIN z USING (doc_id)""".stripMargin)),
 
+    // ---- rule-based sentence segmentation + per-doc sentence stats --------
+    // The boundary regex is RE2-compatible (no lookarounds) and the stats
+    // derive from two lengths and a count — no array materialization, no
+    // HOF lambda, fully codegen'd. The fixture text carries no punctuation,
+    // so prose is CONSTRUCTED from capitalized substrings of each doc,
+    // lengths keyed to doc_id; every doc_id % 5 == 0 doc has no boundary
+    // (one sentence) to pin the degenerate path.
+    "q_text_sentences" -> QueryDef(
+      (s, dir) => {
+        def cap(c: org.apache.spark.sql.Column) =
+          concat(upper(substring(c, 1, 1)), substring(c, 2, 1000000))
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val prose = when(pmod(col("doc_id"), lit(5)) === 0,
+          cap(substring(col("text"), 1, 30)))
+          .otherwise(concat(
+            cap(expr("substring(text, 1, 1 + doc_id % 35)")), lit(". "),
+            cap(expr("substring(text, 8, 5 + doc_id % 29)")), lit("! "),
+            cap(expr("substring(text, 15, 3 + doc_id % 44)")), lit("?")))
+        val stats = TextFunctions.sentenceStats(prose)
+        d.select(col("doc_id"),
+          stats.getField("n_sentences").as("n_sentences"),
+          stats.getField("mean_sentence_chars").as("mean_sentence_chars"),
+          element_at(TextFunctions.sentences(prose), 1).as("first_sentence"))
+      },
+      Some("""WITH prose AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      upper(substr(substr(text, 1, 30), 1, 1)) || substr(substr(text, 1, 30), 2)
+             |    ELSE
+             |      upper(substr(substr(text, 1, CAST(1 + doc_id % 35 AS INT)), 1, 1))
+             |        || substr(substr(text, 1, CAST(1 + doc_id % 35 AS INT)), 2)
+             |        || '. '
+             |        || upper(substr(substr(text, 8, CAST(5 + doc_id % 29 AS INT)), 1, 1))
+             |        || substr(substr(text, 8, CAST(5 + doc_id % 29 AS INT)), 2)
+             |        || '! '
+             |        || upper(substr(substr(text, 15, CAST(3 + doc_id % 44 AS INT)), 1, 1))
+             |        || substr(substr(text, 15, CAST(3 + doc_id % 44 AS INT)), 2)
+             |        || '?'
+             |    END AS p
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    regexp_replace(p, '([.!?])\s+(\p{Lu})', '\1' || chr(1) || '\2', 'g') AS marked
+             |  FROM prose),
+             |st AS (SELECT doc_id, marked,
+             |    length(marked) - length(replace(marked, chr(1), '')) AS s
+             |  FROM m)
+             |SELECT doc_id, CAST(s + 1 AS BIGINT) AS n_sentences,
+             |  round((length(marked) - s) * 1.0 / (s + 1), 2) AS mean_sentence_chars,
+             |  string_split(marked, chr(1))[1] AS first_sentence
+             |FROM st""".stripMargin)),
+
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
       (s, dir) => {

@@ -70,6 +70,41 @@ object TextFunctions {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Sentence-boundary regex: terminal punctuation, whitespace, then an
+    * uppercase letter. Deliberately RE2-COMPATIBLE (no lookarounds —
+    * RE2/DuckDB rejects them) so any SQL engine replays the exact split:
+    * the boundary whitespace is REPLACED by a \\u0001 sentinel
+    * (backreference replacement, supported by both regex families) and the
+    * split runs on the sentinel. The abbreviation problem ("Dr. Smith") is
+    * accepted rule-based-splitter behavior, same as spaCy's sentencizer. */
+  private val SentenceBoundary = "([.!?])\\s+(\\p{Lu})"
+
+  /** Text with sentence boundaries marked by the \\u0001 sentinel (the shared base of
+    * [[sentences]] and [[sentenceStats]] — one regexp pass, codegen'd). */
+  private def sentenceMarked(text: Column): Column =
+    regexp_replace(text, SentenceBoundary, "$1\u0001$2")
+
+  /** Rule-based sentence segmentation: array of sentences in order.
+    * NULL text → NULL; a text with no boundary is one sentence. */
+  def sentences(text: Column): Column =
+    split(sentenceMarked(text), "\u0001")
+
+  /** Per-doc sentence statistics WITHOUT array materialization or HOF
+    * lambdas: the sentinel replacement drops exactly the boundary
+    * whitespace, so n = \u0001 count + 1 and the summed sentence length
+    * is length(marked) − (n − 1) — mean sentence chars from two lengths
+    * and a count, fully codegen'd. Returns a struct
+    * (n_sentences, mean_sentence_chars). */
+  def sentenceStats(text: Column): Column = {
+    val marked = sentenceMarked(text)
+    val n = (length(marked) - length(replace(marked, lit("\u0001"), lit("")))
+      + lit(1)).cast("long")
+    struct(
+      n.as("n_sentences"),
+      round((length(marked).cast("double") - (n - 1)) / n, 2)
+        .as("mean_sentence_chars"))
+  }
+
   /** Occurrences of a marker word among space-separated tokens (exact token
     * semantics via a higher-order filter — no array shuffle, stays in
     * codegen). */

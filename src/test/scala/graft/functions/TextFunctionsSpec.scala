@@ -109,4 +109,32 @@ class TextFunctionsSpec extends SparkSpec {
       assert(got(i.toLong) == want, s"for '$u': got '${got(i.toLong)}' want '$want'")
     }
   }
+
+  test("sentences: rule-based boundaries, degenerate cases, and stats agree with the split") {
+    val cases = Seq(
+      1L -> "One sentence here. Two follows!   Three asks? no boundary after lowercase",
+      2L -> "no boundary at all",
+      3L -> "", // empty → one empty sentence
+      4L -> "Dr. Smith arrived. He sat.", // abbreviation splits — documented rule behavior
+      5L -> "Ünïcode über. Ärger begins.") // \p{Lu} catches non-ASCII capitals
+    val df = cases.toDF("id", "t")
+    val got = df.select(col("id"),
+        TextFunctions.sentences(col("t")).as("ss"),
+        TextFunctions.sentenceStats(col("t")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getStruct(2).getLong(0),
+          r.getStruct(2).getDouble(1)))).toMap
+    assert(got(1L)._1 === Seq("One sentence here.", "Two follows!",
+      "Three asks? no boundary after lowercase"))
+    assert(got(2L)._1 === Seq("no boundary at all"))
+    assert(got(3L)._1 === Seq(""))
+    assert(got(4L)._1 === Seq("Dr.", "Smith arrived.", "He sat."))
+    assert(got(5L)._1 === Seq("Ünïcode über.", "Ärger begins."))
+    // stats must equal what the materialized split implies, for every case
+    got.foreach { case (id, (ss, n, mean)) =>
+      assert(n == ss.length, s"id $id")
+      val want = math.rint(ss.map(_.length).sum.toDouble / ss.length * 100) / 100
+      assert(math.abs(mean - want) < 1e-9, s"id $id: $mean vs $want")
+    }
+  }
 }
