@@ -1293,6 +1293,66 @@ object PipelineQueries {
              |  string_split(marked, chr(1))[1] AS first_sentence
              |FROM st""".stripMargin)),
 
+    // ---- sentence-aware chunking: cuts at sentence boundaries -------------
+    // Same constructed prose as q_text_sentences; maxTokens = 4 forces
+    // multi-chunk docs. Chunk membership is the prefix-sum partition
+    // (⌊tokens-before / max⌋) — deterministic and window-replayable where
+    // true greedy reset would be a sequential dependency.
+    "q_sentence_chunks" -> QueryDef(
+      (s, dir) => {
+        def cap(c: org.apache.spark.sql.Column) =
+          concat(upper(substring(c, 1, 1)), substring(c, 2, 1000000))
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val prose = when(pmod(col("doc_id"), lit(5)) === 0,
+          cap(substring(col("text"), 1, 30)))
+          .otherwise(concat(
+            cap(expr("substring(text, 1, 1 + doc_id % 35)")), lit(". "),
+            cap(expr("substring(text, 8, 5 + doc_id % 29)")), lit("! "),
+            cap(expr("substring(text, 15, 3 + doc_id % 44)")), lit("?")))
+        graft.trainprep.TrainPrep.sentenceChunks(
+          d.select(col("doc_id"), prose.as("text")), "doc_id", "text",
+          maxTokens = 4)
+      },
+      Some("""WITH prose AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      upper(substr(substr(text, 1, 30), 1, 1)) || substr(substr(text, 1, 30), 2)
+             |    ELSE
+             |      upper(substr(substr(text, 1, CAST(1 + doc_id % 35 AS INT)), 1, 1))
+             |        || substr(substr(text, 1, CAST(1 + doc_id % 35 AS INT)), 2)
+             |        || '. '
+             |        || upper(substr(substr(text, 8, CAST(5 + doc_id % 29 AS INT)), 1, 1))
+             |        || substr(substr(text, 8, CAST(5 + doc_id % 29 AS INT)), 2)
+             |        || '! '
+             |        || upper(substr(substr(text, 15, CAST(3 + doc_id % 44 AS INT)), 1, 1))
+             |        || substr(substr(text, 15, CAST(3 + doc_id % 44 AS INT)), 2)
+             |        || '?'
+             |    END AS p
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    string_split(regexp_replace(p, '([.!?])\s+(\p{Lu})',
+             |      '\1' || chr(1) || '\2', 'g'), chr(1)) AS ss
+             |  FROM prose),
+             |sent AS (SELECT doc_id,
+             |    unnest(generate_series(1, len(ss))) - 1 AS pos,
+             |    unnest(ss) AS sent
+             |  FROM m),
+             |tk AS (SELECT doc_id, pos, sent,
+             |    CASE WHEN length(sent) = 0 THEN 0
+             |      ELSE length(sent) - length(replace(sent, ' ', '')) + 1
+             |    END AS n
+             |  FROM sent),
+             |ck AS (SELECT doc_id, pos, sent, n,
+             |    coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4
+             |      AS chunk_idx
+             |  FROM tk)
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_sentences
+             |FROM ck GROUP BY doc_id, chunk_idx""".stripMargin)),
+
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
       (s, dir) => {

@@ -613,6 +613,47 @@ object TrainPrep {
         size(split(col("chunk_text"), " ")).cast("long"))
   }
 
+  /** Sentence-aware chunking: cut each document into ≈`maxTokens`-token
+    * chunks at SENTENCE boundaries (never mid-sentence) — the RAG/eval
+    * chunk shape where [[slidingChunks]]'s fixed windows would sever
+    * clauses. Sentences come from
+    * [[graft.functions.TextFunctions.sentences]]; a sentence lands in
+    * chunk ⌊tokens-before-it / maxTokens⌋, so a chunk may overrun
+    * `maxTokens` by at most one sentence − 1 token and underrun when a
+    * long sentence follows — the PARTITION-BY-PREFIX-SUM form of greedy
+    * filling, chosen because true greedy reset-on-overflow is a
+    * sequential dependency no window expresses (same argument as
+    * budgetSelect) while the prefix form is deterministic and
+    * SQL-replayable. A sentence longer than `maxTokens` becomes its own
+    * over-budget chunk (never split). Returns one row per chunk:
+    * (idCol, chunk_idx, chunk_text, n_tokens, n_sentences).
+    *
+    * Scale shape: the sentence explode fans out to rows the scan already
+    * read; the prefix sum and re-assembly are per-DOC windows/aggregates
+    * (partitioned by id — never global), one shuffle end to end. */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val sent = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
+        graft.functions.TextFunctions.sentences(col(textCol)))
+        .as(Seq("__pos", "__s")))
+      .withColumn("__n", graft.functions.TextFunctions.tokenCount(col("__s")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = sent.withColumn("__before",
+        coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("chunk_idx", (col("__before") / maxTokens).cast("long"))
+    chunked.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          _.getField("__s")), " ").as("chunk_text"),
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_sentences"))
+  }
+
   /** Concat-then-chunk sequence packing: lay documents end-to-end in a
     * deterministic order and cut the token stream every `budgetTokens` —
     * exactly the packing GPT-style pretraining uses (documents may span a

@@ -252,6 +252,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(19L) == "tail" && got(20L) == "tail", "gibberish must score worst")
   }
 
+  test("sentenceChunks: cuts only at sentence boundaries, covers every sentence, bounds overrun") {
+    val docs = Seq(
+      // sentences of 3/2/4/1 tokens; maxTokens=4 → chunks by prefix sum
+      // (before: 0,3,5,9) // 4 → chunk 0: s0+s1 (5 tokens), 1: s2, 2: s3
+      (1L, "One two three. Four five! Six seven eight nine? Ten."),
+      // a single long sentence over budget stays WHOLE as its own chunk
+      (2L, "never split this very long sentence apart"),
+      (3L, null.asInstanceOf[String]))
+    val out = graft.trainprep.TrainPrep.sentenceChunks(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((1L, 0L)) === (("One two three. Four five!", 5L, 2L)),
+      "chunk may overrun maxTokens by less than one sentence")
+    assert(out((1L, 1L)) === (("Six seven eight nine?", 4L, 1L)))
+    assert(out((1L, 2L)) === (("Ten.", 1L, 1L)))
+    assert(out((2L, 0L)) === (("never split this very long sentence apart", 7L, 1L)))
+    assert(!out.keySet.exists(_._1 == 3L), "NULL text emits no chunks")
+    // every token of every non-null doc is covered exactly once
+    assert(out.filter(_._1._1 == 1L).values.map(_._2).sum == 10L)
+  }
+
   test("perplexityBuckets releases its doc-sized score cache after the first use") {
     val docs = (1L to 30L).map(i => (i, s"some plain text body $i"))
       .toDF("doc_id", "text")
