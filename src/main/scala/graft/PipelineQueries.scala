@@ -43,6 +43,24 @@ object PipelineQueries {
     * WITHIN the doc, and base 2i+2 recurs as the opening paragraph of doc
     * i+1 (the boilerplate-prefix shape). Both engines assemble the
     * identical fixture from the same parquet rows. */
+  /** Constructed sentence-bearing prose over the documents fixture (whose
+    * raw text carries no punctuation/capitals): three capitalized
+    * substrings with ./!/? joins, lengths keyed to doc_id; doc_id % 5 == 0
+    * docs get a single boundary-less sentence. Shared by the sentence /
+    * chunking / readability queries; each oracle replays it inline. */
+  private def proseDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    def cap(c: org.apache.spark.sql.Column) =
+      concat(upper(substring(c, 1, 1)), substring(c, 2, 1000000))
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prose = when(pmod(col("doc_id"), lit(5)) === 0,
+      cap(substring(col("text"), 1, 30)))
+      .otherwise(concat(
+        cap(expr("substring(text, 1, 1 + doc_id % 35)")), lit(". "),
+        cap(expr("substring(text, 8, 5 + doc_id % 29)")), lit("! "),
+        cap(expr("substring(text, 15, 3 + doc_id % 44)")), lit("?")))
+    d.select(col("doc_id"), prose.as("text"))
+  }
+
   private def paraDocs(s: org.apache.spark.sql.SparkSession, dir: String,
       maxPid: Int = 100, reps: Int = 1) = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1251,20 +1269,11 @@ object PipelineQueries {
     // (one sentence) to pin the degenerate path.
     "q_text_sentences" -> QueryDef(
       (s, dir) => {
-        def cap(c: org.apache.spark.sql.Column) =
-          concat(upper(substring(c, 1, 1)), substring(c, 2, 1000000))
-        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val prose = when(pmod(col("doc_id"), lit(5)) === 0,
-          cap(substring(col("text"), 1, 30)))
-          .otherwise(concat(
-            cap(expr("substring(text, 1, 1 + doc_id % 35)")), lit(". "),
-            cap(expr("substring(text, 8, 5 + doc_id % 29)")), lit("! "),
-            cap(expr("substring(text, 15, 3 + doc_id % 44)")), lit("?")))
-        val stats = TextFunctions.sentenceStats(prose)
-        d.select(col("doc_id"),
+        val stats = TextFunctions.sentenceStats(col("text"))
+        proseDocs(s, dir).select(col("doc_id"),
           stats.getField("n_sentences").as("n_sentences"),
           stats.getField("mean_sentence_chars").as("mean_sentence_chars"),
-          element_at(TextFunctions.sentences(prose), 1).as("first_sentence"))
+          element_at(TextFunctions.sentences(col("text")), 1).as("first_sentence"))
       },
       Some("""WITH prose AS (
              |  SELECT doc_id,
@@ -1299,20 +1308,8 @@ object PipelineQueries {
     // (⌊tokens-before / max⌋) — deterministic and window-replayable where
     // true greedy reset would be a sequential dependency.
     "q_sentence_chunks" -> QueryDef(
-      (s, dir) => {
-        def cap(c: org.apache.spark.sql.Column) =
-          concat(upper(substring(c, 1, 1)), substring(c, 2, 1000000))
-        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val prose = when(pmod(col("doc_id"), lit(5)) === 0,
-          cap(substring(col("text"), 1, 30)))
-          .otherwise(concat(
-            cap(expr("substring(text, 1, 1 + doc_id % 35)")), lit(". "),
-            cap(expr("substring(text, 8, 5 + doc_id % 29)")), lit("! "),
-            cap(expr("substring(text, 15, 3 + doc_id % 44)")), lit("?")))
-        graft.trainprep.TrainPrep.sentenceChunks(
-          d.select(col("doc_id"), prose.as("text")), "doc_id", "text",
-          maxTokens = 4)
-      },
+      (s, dir) => graft.trainprep.TrainPrep.sentenceChunks(
+        proseDocs(s, dir), "doc_id", "text", maxTokens = 4),
       Some("""WITH prose AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 5 = 0 THEN
@@ -1352,6 +1349,44 @@ object PipelineQueries {
              |  CAST(sum(n) AS BIGINT) AS n_tokens,
              |  count(*) AS n_sentences
              |FROM ck GROUP BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- Flesch-style readability over the constructed prose --------------
+    // words/sentence varies with the doc_id-keyed substring lengths and
+    // syllable groups with the underlying text — a real spread of scores,
+    // replayed term-for-term in SQL (vowel groups via regexp_extract_all).
+    "q_text_readability" -> QueryDef(
+      (s, dir) => proseDocs(s, dir).select(col("doc_id"),
+        TextFunctions.readabilityScore(col("text")).as("flesch")),
+      Some("""WITH prose AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      upper(substr(substr(text, 1, 30), 1, 1)) || substr(substr(text, 1, 30), 2)
+             |    ELSE
+             |      upper(substr(substr(text, 1, CAST(1 + doc_id % 35 AS INT)), 1, 1))
+             |        || substr(substr(text, 1, CAST(1 + doc_id % 35 AS INT)), 2)
+             |        || '. '
+             |        || upper(substr(substr(text, 8, CAST(5 + doc_id % 29 AS INT)), 1, 1))
+             |        || substr(substr(text, 8, CAST(5 + doc_id % 29 AS INT)), 2)
+             |        || '! '
+             |        || upper(substr(substr(text, 15, CAST(3 + doc_id % 44 AS INT)), 1, 1))
+             |        || substr(substr(text, 15, CAST(3 + doc_id % 44 AS INT)), 2)
+             |        || '?'
+             |    END AS p
+             |  FROM documents),
+             |m AS (SELECT doc_id, p,
+             |    regexp_replace(p, '([.!?])\s+(\p{Lu})', '\1' || chr(1) || '\2', 'g') AS marked
+             |  FROM prose),
+             |f AS (SELECT doc_id,
+             |    CASE WHEN length(p) = 0 THEN 0
+             |      ELSE length(p) - length(replace(p, ' ', '')) + 1 END AS words,
+             |    length(marked) - length(replace(marked, chr(1), '')) + 1 AS sents,
+             |    len(regexp_extract_all(p, '[aeiouyAEIOUY]+')) AS syl
+             |  FROM m)
+             |SELECT doc_id,
+             |  CASE WHEN words = 0 THEN 0.0
+             |    ELSE round(206.835 - 1.015 * (words * 1.0 / sents)
+             |      - 84.6 * (syl * 1.0 / words), 2) END AS flesch
+             |FROM f""".stripMargin)),
 
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(

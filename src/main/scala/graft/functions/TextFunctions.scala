@@ -105,6 +105,25 @@ object TextFunctions {
         .as("mean_sentence_chars"))
   }
 
+  /** Flesch-STYLE reading-ease score: 206.835 − 1.015·(words/sentence) −
+    * 84.6·(syllables/word), with syllables approximated as VOWEL GROUPS
+    * (runs of [aeiouy], case-insensitive) — the standard cheap proxy; a
+    * vowel-less token contributes 0, so this is Flesch-style, not
+    * dictionary Flesch. Sentences via [[sentenceStats]], words via
+    * [[tokenCount]], groups via `regexp_count` — all codegen'd, and every
+    * piece has a DuckDB twin (`len(regexp_extract_all(...))`) so the score
+    * replays bit-for-bit after the shared round. Empty text scores an
+    * explicit 0.0 (same guard rationale as [[qualityScore]]). */
+  def readabilityScore(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sents = sentenceStats(text).getField("n_sentences").cast("double")
+    val syl = regexp_count(text, lit("[aeiouyAEIOUY]+")).cast("double")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(
+        lit(206.835) - lit(1.015) * (words / sents)
+          - lit(84.6) * (syl / words), 2))
+  }
+
   /** Occurrences of a marker word among space-separated tokens (exact token
     * semantics via a higher-order filter — no array shuffle, stays in
     * codegen). */

@@ -137,4 +137,21 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(mean - want) < 1e-9, s"id $id: $mean vs $want")
     }
   }
+
+  test("readabilityScore: hand-computed Flesch-style cases; short simple text scores higher") {
+    val cases = Seq(
+      // 1 sentence, 3 words, vowel groups: "The"(1) "cat"(1) "sat"(1) = 3
+      // 206.835 - 1.015*3 - 84.6*1 = 119.19
+      1L -> "The cat sat",
+      // complex: 1 sentence, 3 words, groups: in-com-pre-hen-si-bil-i-ty…
+      2L -> "incomprehensibility notwithstanding electroencephalography",
+      3L -> "")
+    val got = cases.toDF("id", "t")
+      .select(col("id"), TextFunctions.readabilityScore(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 119.19)
+    assert(got(3L) === 0.0, "empty text scores the explicit 0 guard")
+    assert(got(1L) > got(2L),
+      "polysyllabic single-sentence text must score lower (harder)")
+  }
 }
