@@ -323,6 +323,47 @@ object TrainPrepQueries {
              |    ORDER BY effective_from, version) AS effective_to
              |FROM g""".stripMargin)),
 
+    // ---- point-in-time enrichment: each sampled observation picks up the
+    // dimension version valid at its timestamp (the consumer side of
+    // q_dim_history's SCD-2 intervals) — equi-join on the key with the
+    // interval test as a residual predicate, never an interval cross
+    // product; at most one version matches by the tiling invariant --------
+    "q_pit_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("user_id") < 6 && !isnan(col("value")))
+        val hist = graft.ops.TimeSeriesOps.dimensionHistory(
+          ev.select("user_id", "ts", "event_id", "event_type"),
+          Seq("user_id"), "ts", Seq("event_type"), tiebreak = Seq("event_id"))
+        val obs = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+          .select("user_id", "ts", "event_id")
+        graft.ops.TimeSeriesOps.pointInTimeJoin(obs, hist, Seq("user_id"), "ts")
+          .select("user_id", "ts", "event_id", "event_type", "version")
+      },
+      Some("""WITH o AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+             |  FROM events WHERE user_id < 6 AND NOT isnan(value)),
+             |f AS (SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN row_number() OVER w = 1
+             |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |v AS (SELECT user_id, ts, event_type,
+             |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+             |  FROM f),
+             |g AS (SELECT user_id, version, min(ts) AS effective_from,
+             |    min(event_type) AS event_type
+             |  FROM v GROUP BY 1, 2),
+             |hist AS (SELECT user_id, effective_from, event_type, version,
+             |    lead(effective_from) OVER (PARTITION BY user_id
+             |      ORDER BY effective_from, version) AS effective_to
+             |  FROM g),
+             |sampled AS (SELECT user_id, ts, event_id FROM o WHERE event_id % 7 = 0)
+             |SELECT s.user_id, s.ts, s.event_id, h.event_type, h.version
+             |FROM sampled s LEFT JOIN hist h ON h.user_id = s.user_id
+             |  AND s.ts >= h.effective_from
+             |  AND (h.effective_to IS NULL OR s.ts < h.effective_to)""".stripMargin)),
+
     // ---- token-budget selection: fill each source's token quota with its
     // best docs — one window over one per-source sort; ranking runs on the
     // ROUNDED quality so engines agree on order, not just display ----------

@@ -518,6 +518,34 @@ object TimeSeriesOps {
       .drop("__ver")
   }
 
+  /** Point-in-time enrichment over a [[dimensionHistory]]-shaped interval
+    * table: each observation (keys…, timeCol, …) picks up the dimension
+    * version VALID at its time — `effective_from <= t` and
+    * (`effective_to` NULL or `t < effective_to`). Because the intervals
+    * tile each key's timeline without overlap (PropertySpec pins this),
+    * every observation matches AT MOST one version; observations before a
+    * key's first interval (or with no key) keep NULL attributes via the
+    * left join. Returns the observation columns plus the history's
+    * non-key columns (attrs, version, effective_from/to).
+    *
+    * Scale shape: an equi-join on the keys with the interval test as a
+    * residual range predicate — plans as a hash join whose probe side is
+    * the observation stream and whose build side is versions-per-key
+    * (dimension-sized; wrap in `broadcast(...)` upstream when it fits).
+    * Never an interval cross product. The alternative formulation — the
+    * native as-of join on `effective_from` — trades the residual for a
+    * merge but loses the NULL-attrs-before-first-interval contract. */
+  def pointInTimeJoin(obs: DataFrame, hist: DataFrame, keys: Seq[String],
+      timeCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    val cond = keys.map(k => obs(k) === hist(k)).reduce(_ && _) &&
+      obs(timeCol) >= hist("effective_from") &&
+      (hist("effective_to").isNull || obs(timeCol) < hist("effective_to"))
+    val histCols = hist.columns.filterNot(keys.contains).map(hist(_))
+    obs.join(hist, cond, "left")
+      .select(obs.columns.map(obs(_)) ++ histCols: _*)
+  }
+
   /** Series hash id (X14): sha256 of the `;`-joined metadata, the engine-side
     * equivalent of db_adapter's `generate_timeseries_id`
     * (reference call site: output/extract_water_level.py:211). */

@@ -272,6 +272,34 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.getLong(6) == 2L, "the NaN row must not count toward n_obs")
   }
 
+  test("pointInTimeJoin: each observation takes the version valid at its time; pre-history is NULL") {
+    val dimObs = Seq(
+      ("u", 10L, 1L, "A"), ("u", 20L, 2L, "B"), ("u", 30L, 3L, "C"),
+      ("v", 15L, 4L, "X"))
+      .toDF("k", "t", "id", "attr")
+    val hist = TimeSeriesOps.dimensionHistory(dimObs, Seq("k"), "t",
+      Seq("attr"), tiebreak = Seq("id"))
+    val obs = Seq(
+      ("u", 5L, 100L),  // before u's first interval → NULL
+      ("u", 10L, 101L), // exactly at a version start
+      ("u", 25L, 102L), // mid-interval
+      ("u", 99L, 103L), // open (current) interval
+      ("v", 15L, 104L), // single-version key
+      ("w", 50L, 105L)  // unknown key → NULL
+    ).toDF("k", "t", "oid")
+    val got = TimeSeriesOps.pointInTimeJoin(obs, hist, Seq("k"), "t")
+      .select("oid", "attr", "version")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      100L -> ((None, -1L)), 101L -> ((Some("A"), 1L)),
+      102L -> ((Some("B"), 2L)), 103L -> ((Some("C"), 3L)),
+      104L -> ((Some("X"), 1L)), 105L -> ((None, -1L))))
+    // at most one version per observation: row count is preserved
+    assert(TimeSeriesOps.pointInTimeJoin(obs, hist, Seq("k"), "t").count() == 6L)
+  }
+
   test("dimensionHistory: versions sharing a timestamp keep the open interval on the NEWEST") {
     // two changes at the same ts: the tiebreak (id) orders them; the lead
     // window must order by (from, version) or the open interval could land
