@@ -1051,6 +1051,29 @@ object PipelineQueries {
              |SELECT a.vec_id, a.cell, dr.vec_id IS NULL AS keep
              |FROM assign a LEFT JOIN drp dr ON dr.vec_id = a.vec_id""".stripMargin)),
 
+    // ---- per-dimension z-standardization of the embedding corpus ----------
+    // Stats collapse map-side to dim-sized (mu, sigma) rows that ride back
+    // as broadcast literals; the judged projection is %.5f CSV (raw float
+    // arrays break the driver's pandas sort, the q_mm_features lesson).
+    "q_embed_standardize" -> QueryDef(
+      (s, dir) => Similarity.standardizeEmbeddings(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(transform(col("embedding"),
+            v => format_string("%.5f", v)), ",").as("z_csv")),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |d AS (SELECT p, avg(embedding[p]::DOUBLE) AS mu,
+             |    greatest(stddev_pop(embedding[p]::DOUBLE), 1e-12) AS sd
+             |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS p)
+             |  GROUP BY p),
+             |st AS (SELECT list(mu ORDER BY p) AS mus, list(sd ORDER BY p) AS sds
+             |  FROM d)
+             |SELECT vec_id,
+             |  array_to_string(list_transform(generate_series(1, 64),
+             |    i -> printf('%.5f',
+             |      round((embedding[i]::DOUBLE - mus[i]) / sds[i], 5))), ',') AS z_csv
+             |FROM e CROSS JOIN st""".stripMargin)),
+
     // ---- embedding-space eval decontamination: the semantic twin of
     // q_decontaminate's n-gram purge — flag train vectors with cosine ≥ 0.3
     // to ANY eval vector; eval set rides the plan as literals, so the scan

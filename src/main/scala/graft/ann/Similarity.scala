@@ -440,4 +440,34 @@ object Similarity {
     sig
   }
 
+  /** Per-dimension z-standardization of an embedding column — the classic
+    * prep pass before distance-based pruning (a dominant dimension
+    * otherwise owns every cosine/L2): x'ᵢ = (xᵢ − μᵢ) / σᵢ with
+    * population σ, zero-variance dimensions pinned to 0 via an ε floor.
+    *
+    * Two corpus passes: a stats pass whose posexplode fan-out collapses
+    * map-side into `dim` (mu, sigma) rows (the only thing shuffled or
+    * collected — dimension-sized by construction, rides back into the
+    * scan as broadcast literals), then one scan-side transform. Values
+    * round to `roundTo` decimals so the result replays across engines
+    * despite summation-order ULP noise. Returns (idCol, vecCol) with the
+    * vector standardized as array<double>. */
+  def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      roundTo: Int = 5): DataFrame = {
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy("__p")
+      .agg(avg(col("__x").cast("double")).as("mu"),
+        stddev_pop(col("__x").cast("double")).as("sd"))
+      .orderBy("__p")
+      .collect()
+    val mus = stats.map(_.getDouble(1)).toSeq
+    val sds = stats.map(r => math.max(r.getDouble(2), 1e-12)).toSeq
+    df.select(col(idCol),
+      transform(col(vecCol), (x, i) =>
+        round((x.cast("double") - element_at(typedlit(mus), i + 1))
+          / element_at(typedlit(sds), i + 1), roundTo))
+        .as(vecCol))
+  }
+
 }

@@ -126,4 +126,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.contains(11L))
     assert(ivf.size === 3)
   }
+
+  test("standardizeEmbeddings: per-dim mean 0 / std 1; constant dim pins to 0") {
+    // dim 0 dominant (scale 100), dim 1 small, dim 2 CONSTANT
+    val rows = Seq(
+      (1L, Array(100.0f, 0.1f, 7.0f)), (2L, Array(300.0f, 0.3f, 7.0f)),
+      (3L, Array(200.0f, 0.2f, 7.0f)), (4L, Array(400.0f, 0.4f, 7.0f)))
+    val out = Similarity.standardizeEmbeddings(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val byDim = (0 until 3).map(d => out.values.map(_(d)).toSeq)
+    byDim.take(2).foreach { xs =>
+      assert(math.abs(xs.sum / xs.length) < 1e-4, s"mean ~ 0: $xs")
+      val sd = math.sqrt(xs.map(x => x * x).sum / xs.length)
+      assert(math.abs(sd - 1.0) < 1e-4, s"std ~ 1: $xs")
+    }
+    assert(byDim(2).forall(_ == 0.0), "zero-variance dim must pin to 0")
+    // the dominant dimension no longer dominates: same z-spread as dim 1
+    assert(byDim(0).map(math.abs).max <= byDim(1).map(math.abs).max + 1e-9)
+  }
 }
