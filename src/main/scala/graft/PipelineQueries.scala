@@ -578,6 +578,21 @@ object PipelineQueries {
       Some(keepersCcOracleSqlAt("0.6",
         s"SELECT * FROM $dupUnionSql WHERE doc_id < 1000 OR doc_id >= 100000"))),
 
+    // ---- leakage-safe train/test split: split by the near-dup COMPONENT
+    // keeper's hash, never the doc's own id — a paraphrase of a training
+    // doc cannot land in test. Same CC closure as q_dedup_keepers_cc plus
+    // one hash projection; split is cluster-atomic and deterministic ------
+    "q_leakage_split" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.leakageSafeSplit(
+        docsWithDups(s, dir).filter(col("doc_id") < 1000 || col("doc_id") >= 100000L),
+        "doc_id", "text", testThreshold = "40",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.6),
+      Some(s"""SELECT doc_id, keeper_id,
+              |  CASE WHEN substr(sha256(CAST(keeper_id AS VARCHAR)), 1, 2) < '40'
+              |    THEN 'test' ELSE 'train' END AS split
+              |FROM (${keepersCcOracleSqlAt("0.6",
+                s"SELECT * FROM $dupUnionSql WHERE doc_id < 1000 OR doc_id >= 100000")})""".stripMargin)),
+
     // ---- transitive keepers, KEEP-BEST: the component winner is the
     // longest text (argmax coalesce(length, -1), ties to lowest id) — what
     // production pipelines retain — instead of the smallest id. Same CC

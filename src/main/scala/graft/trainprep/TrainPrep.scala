@@ -134,6 +134,30 @@ object TrainPrep {
     substring(sha2(key.cast("string"), 256), 1, thr.length) < lit(thr)
   }
 
+  /** Leakage-safe train/test split: assign docs to splits by the sha256
+    * hash of their near-dup COMPONENT keeper, not their own id — every
+    * member of a duplicate/near-dup cluster lands on the SAME side, so a
+    * paraphrase of a training document can never sit in the test set (the
+    * contamination a per-doc hash split silently allows; Lee et al. 2022
+    * measure the resulting eval inflation). `testThreshold` is the
+    * [[hashSampleFilter]] hex-prefix threshold ("40" ≈ 25 % of clusters).
+    * Returns (idCol, keeper_id, split) for every input doc — split is
+    * cluster-atomic, deterministic, and reproducible on any layout.
+    *
+    * Scale shape: exactly
+    * [[graft.dedup.Dedup.nearDupKeepersTransitive]]'s cost (signatures →
+    * LSH → in-row verify → star-contraction CC) plus one hash projection —
+    * nothing new shuffles. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      testThreshold: String, numHashes: Int, rowsPerBand: Int,
+      threshold: Double, maxIter: Int = 10,
+      hashFn: (Column, Int) => Column = graft.dedup.Dedup.oracleHash): DataFrame =
+    graft.dedup.Dedup.nearDupKeepersTransitive(df, idCol, textCol,
+        numHashes, rowsPerBand, threshold, maxIter, hashFn)
+      .withColumn("split",
+        when(hashSampleFilter(col("keeper_id"), testThreshold), "test")
+          .otherwise("train"))
+
   private def normalizeHexThreshold(threshold: String): String = {
     // ASCII-only check: Character.isDigit also accepts Unicode decimal digits
     // (fullwidth '５', Arabic-Indic '٥', …) which sort above 'f' and would

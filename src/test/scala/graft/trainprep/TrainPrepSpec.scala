@@ -274,6 +274,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.filter(_._1._1 == 1L).values.map(_._2).sum == 10L)
   }
 
+  test("leakageSafeSplit: near-dup cluster members always land on the same side") {
+    val passage = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // three planted clusters (verbatim + one-token-edit members) + unique docs
+    val docs = (
+      Seq((1L, passage), (2L, passage), (3L, passage + " extra"),
+        (10L, passage.replace("tok5", "EDIT")), // still >= 0.6 jaccard vs 1
+        (20L, "a completely different document about nothing shared"),
+        (21L, "another unrelated text with its own words entirely")) ++
+      (100L to 140L).map(i =>
+        (i, s"unique doc $i " + (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = graft.trainprep.TrainPrep.leakageSafeSplit(
+        docs, "doc_id", "text", testThreshold = "80",
+        numHashes = 4, rowsPerBand = 2, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the planted cluster shares one keeper and therefore ONE split
+    val cluster = Seq(1L, 2L, 3L, 10L).map(out)
+    assert(cluster.map(_._1).distinct.size == 1, s"one component: $cluster")
+    assert(cluster.map(_._2).distinct.size == 1, s"one split side: $cluster")
+    // split is the keeper-hash rule exactly, for every doc
+    out.foreach { case (id, (keeper, split)) =>
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(keeper.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      assert(split == (if (hex < "80") "test" else "train"), s"doc $id")
+    }
+    // with threshold 0x80 (~50%) and 40+ singleton clusters, both sides occur
+    assert(out.values.map(_._2).toSet === Set("train", "test"))
+  }
+
   test("perplexityBuckets releases its doc-sized score cache after the first use") {
     val docs = (1L to 30L).map(i => (i, s"some plain text body $i"))
       .toDF("doc_id", "text")
