@@ -429,6 +429,21 @@ class PlanAuditSpec extends SparkSpec {
       "the capped run must observe drops in the same pass:\n" + plan.take(1200))
   }
 
+  test("q_pit_join plans as an equi-join with the interval test residual — never a nested loop") {
+    val plan = executedPlan("q_pit_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval membership must ride the keys equi-join as a residual:\n" + plan.take(1200))
+    assert(plan.contains("Join"), plan.take(400))
+  }
+
+  test("q_embed_standardize stats ride back as literals — the vector scan itself never shuffles") {
+    val plan = executedPlan("q_embed_standardize")
+    // the stats pass has its dim-sized exchange at build time (driver
+    // collect); the scoring scan must be exchange-free
+    assert(!plan.contains("Exchange"),
+      "standardization scan must be one map pass:\n" + plan.take(1200))
+  }
+
   test("duplicatedSpans DEFAULT call signs via codegen'd span_hashes — no CodegenFallback HOF") {
     // the default hashFn must route through the one-pass span_hashes
     // expression; the relational transform(sequence(...)) form is
