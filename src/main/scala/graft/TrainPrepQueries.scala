@@ -90,13 +90,19 @@ object TrainPrepQueries {
     "q_pii_redact" -> QueryDef(
       (s, dir) => {
         val synth = concat(col("text"), lit(" contact user"), col("doc_id"),
-          lit("@mail.example.com tel 555-1234"))
+          lit("@mail.example.com tel 555-1234 from 10.20."), col("doc_id"),
+          lit(".1 card 4111 1111 1111 111"), pmod(col("doc_id"), lit(10)),
+          lit(" and 4000-1234-5678-9010"))
         t(s, dir, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), TrainPrep.redactPii(synth).as("redacted"))
       },
-      Some("""SELECT doc_id, regexp_replace(regexp_replace(
-             |    text || ' contact user' || doc_id || '@mail.example.com tel 555-1234',
+      Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@mail.example.com tel 555-1234'
+             |      || ' from 10.20.' || doc_id || '.1 card 4111 1111 1111 111'
+             |      || doc_id % 10 || ' and 4000-1234-5678-9010',
              |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             |  '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b', '<CARD>', 'g'),
              |  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
              |FROM documents WHERE doc_id < 200""".stripMargin)),
 

@@ -247,16 +247,26 @@ object TrainPrep {
       .drop("__h", "__key")
   }
 
-  /** PII redaction: mask email addresses and NNN-NNNN phone numbers.
+  /** PII redaction: mask email addresses, IPv4 addresses, 16-digit card
+    * numbers (plain / space- / dash-grouped) and NNN-NNNN phone numbers.
     * Patterns are deliberately RE2-compatible (no backrefs/lookaround) so
     * the same regex means the same thing in Java (Spark) and RE2 (DuckDB —
-    * whose oracle needs the 'g' flag to match Spark's replace-all). */
+    * whose oracle needs the 'g' flag to match Spark's replace-all).
+    * ORDER MATTERS: cards redact before phones — the phone pattern would
+    * otherwise eat NNN-NNNN chunks out of a dash-grouped card; digit runs
+    * longer than 16 never match the card pattern (no interior `\b`). */
   val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val CardPattern = "\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\\b"
   val PhonePattern = "[0-9]{3}-[0-9]{4}"
 
   def redactPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        CardPattern, "<CARD>"),
       PhonePattern, "<PHONE>")
 
   /** Temperature-weighted corpus mixing (the multilingual-pretraining

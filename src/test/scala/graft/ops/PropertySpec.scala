@@ -84,7 +84,25 @@ class PropertySpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getString(1) == r.getString(2), "redaction must be idempotent")
       assert(!r.getString(1).matches(s".*${graft.trainprep.TrainPrep.PhonePattern}.*"))
+      assert(!r.getString(1).matches(s".*${graft.trainprep.TrainPrep.Ipv4Pattern}.*"))
+      assert(!r.getString(1).matches(s".*${graft.trainprep.TrainPrep.CardPattern}.*"))
     }
+  }
+
+  test("redactPii: card masks before the phone pattern can eat its dashed chunks") {
+    val cases = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "pay 4000-1234-5678-9010 now"),
+      (3L, "ip 192.168.0.1 and 17 digits 12345678901234567"),
+      (4L, "call 555-1234"))
+    val got = cases.toDF("id", "t")
+      .select(col("id"), graft.trainprep.TrainPrep.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "pay <CARD> now")
+    assert(got(2L) === "pay <CARD> now", "dashes must not leak as <PHONE>")
+    assert(got(3L) === "ip <IP> and 17 digits 12345678901234567",
+      "over-long digit runs are not cards")
+    assert(got(4L) === "call <PHONE>")
   }
 
   test("property: OHLC bars bound their observations and conserve the row count") {
