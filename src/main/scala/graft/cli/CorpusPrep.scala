@@ -52,8 +52,10 @@ import graft.trainprep.TrainPrep
   *      sets ratios, this sets absolute per-stratum volume)
   *   7. chunking (`--chunk-mode pack` [default] with `--budget 4096` —
   *      concat-then-cut sequence packing on the distributed prefix scan;
-  *      or `--chunk-mode sliding` with `--chunk-tokens 512`
-  *      `--chunk-stride 384` — overlapping per-doc retrieval windows)
+  *      `--chunk-mode sliding` with `--chunk-tokens 512`
+  *      `--chunk-stride 384` — overlapping per-doc retrieval windows;
+  *      or `--chunk-mode sentence` with `--chunk-tokens 512` —
+  *      sentence-boundary chunks that never sever a clause)
   *
   * `runMain graft.cli.CorpusPrep --in <docs.parquet> --out <dir> [flags]`
   * writes `<out>/chunks` (doc→chunk assignments) and prints a one-line
@@ -291,7 +293,9 @@ object CorpusPrep {
     // `--chunk-mode pack` (default) lays docs end-to-end and cuts every
     // `--budget` tokens (pretraining shape); `--chunk-mode sliding` emits
     // overlapping `--chunk-tokens` windows every `--chunk-stride` tokens
-    // per doc (retrieval/RAG shape, never crossing doc boundaries).
+    // per doc (retrieval/RAG shape, never crossing doc boundaries);
+    // `--chunk-mode sentence` cuts ≈`--chunk-tokens` chunks at SENTENCE
+    // boundaries (the RAG shape that never severs a clause).
     val chunkMode = args.getOrElse("chunk-mode", "pack")
     val chunked = chunkMode match {
       case "pack" =>
@@ -301,8 +305,11 @@ object CorpusPrep {
         TrainPrep.slidingChunks(docs, idCol, textCol,
           args.getOrElse("chunk-tokens", "512").toInt,
           args.getOrElse("chunk-stride", "384").toInt)
+      case "sentence" =>
+        TrainPrep.sentenceChunks(docs, idCol, textCol,
+          args.getOrElse("chunk-tokens", "512").toInt)
       case other =>
-        sys.error(s"--chunk-mode must be 'pack' or 'sliding', got '$other'")
+        sys.error(s"--chunk-mode must be 'pack', 'sliding' or 'sentence', got '$other'")
     }
     chunked.write.mode("overwrite").parquet(s"$out/chunks")
     contaminatedCache.foreach(_.unpersist())
@@ -331,12 +338,14 @@ object CorpusPrep {
       else 0L
 
     val written = spark.read.parquet(s"$out/chunks")
-    // pack mode: one row per doc (chunk assignment); sliding: one per chunk
+    // pack mode: one row per doc (chunk assignment); sliding/sentence:
+    // one row per chunk
+    val perChunkModes = Set("sliding", "sentence")
     val nOut =
-      if (chunkMode == "sliding") written.select(idCol).distinct().count()
+      if (perChunkModes(chunkMode)) written.select(idCol).distinct().count()
       else written.count()
     val nChunks =
-      if (chunkMode == "sliding") written.count()
+      if (perChunkModes(chunkMode)) written.count()
       else {
         val maxChunk = written.agg(max("chunk_end_id")).head()
         if (nOut == 0 || maxChunk.isNullAt(0)) 0L else maxChunk.getLong(0) + 1

@@ -372,6 +372,22 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("--chunk-mode sentence cuts at sentence boundaries") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_sentence").toString
+    Seq((1L, "One two three. Four five! Six seven eight nine? Ten."))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "chunk-mode" -> "sentence", "chunk-tokens" -> "4"))
+    assert(stats("docs_out") == 1L)
+    assert(stats("chunks") == 3L)
+    val chunks = spark.read.parquet(s"$dir/out/chunks")
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "One two three. Four five!", "Six seven eight nine?", "Ten."))
+  }
+
   test("--export-jsonl writes gzip JSON-lines shards that round-trip the chunks") {
     val out = Files.createTempDirectory("corpus_export").toString
     CorpusPrep.run(spark, Map(
