@@ -747,6 +747,56 @@ object ScaleSmoke {
       s""""native_rows_per_sec":${(nAsof / asofNSecs).toLong},""" +
       s""""native_shuffle_bytes":$asofNShuffle,"window_shuffle_bytes":$asofWShuffle,""" +
       s""""native_peak_stage_bytes":$asofNPeak,"window_peak_stage_bytes":$asofWPeak}""")
+
+    // ---- sentence segmentation + sentence-aware chunking over the
+    // replicated corpus: the boundary regex pass is scan-side codegen, the
+    // chunker adds one per-doc shuffle — throughput should sit near the
+    // other single-shuffle text rewrites ----------------------------------
+    val proseDocs = bigDocs.select(col("doc_id"),
+      concat(upper(substring(col("text"), 1, 1)), substring(col("text"), 2, 40),
+        lit(". "), upper(substring(col("text"), 8, 1)),
+        substring(col("text"), 9, 30), lit("! "),
+        upper(substring(col("text"), 15, 1)), substring(col("text"), 16, 50),
+        lit("?")).as("text"))
+    val (sentRes, _, sentPeak, sentSecs) = sectionShuffle {
+      proseDocs.select(
+          graft.functions.TextFunctions.sentenceStats(col("text")).as("st"))
+        .agg(sum(col("st.n_sentences")), count(lit(1))).head()
+    }
+    println(s"""{"metric":"sentence_stats_scale","docs":$nDocs,""" +
+      s""""sentences":${sentRes.getLong(0)},"seconds":$sentSecs,""" +
+      s""""docs_per_sec":${(nDocs / sentSecs).toLong}}""")
+    // sum(length(chunk_text)) forces the re-assembly to MATERIALIZE — a
+    // bare count() would let Catalyst prune the collect_list and measure
+    // only the explode+window half
+    val (chunkRes, chunkShuffle, chunkPeak, chunkSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.sentenceChunks(proseDocs, "doc_id", "text",
+          maxTokens = 16)
+        .agg(count(lit(1)), sum(length(col("chunk_text")))).head()
+    }
+    println(s"""{"metric":"sentence_chunks_scale","docs":$nDocs,""" +
+      s""""chunks":${chunkRes.getLong(0)},"chunk_chars":${chunkRes.getLong(1)},""" +
+      s""""seconds":$chunkSecs,""" +
+      s""""docs_per_sec":${(nDocs / chunkSecs).toLong},""" +
+      s""""shuffle_bytes":$chunkShuffle,"peak_stage_bytes":$chunkPeak}""")
+
+    // ---- embedding z-standardization over a replicated embedding corpus:
+    // the stats pass must shuffle only dim-sized partials ------------------
+    val bigVecs = spark.range(20L * mult)
+      .crossJoin(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"))
+    val nVecs = bigVecs.count()
+    // summing a standardized element forces the scale transform to run —
+    // a bare count() would prune the transformed column and measure only
+    // the stats pass
+    val (stdRes, stdShuffle, stdPeak, stdSecs) = sectionShuffle {
+      graft.ann.Similarity.standardizeEmbeddings(bigVecs, "vec_id", "embedding")
+        .agg(count(lit(1)), sum(element_at(col("embedding"), 1))).head()
+    }
+    require(stdRes.getLong(0) == nVecs, "standardize must preserve row count")
+    println(s"""{"metric":"embed_standardize_scale","vectors":$nVecs,""" +
+      s""""seconds":$stdSecs,"vecs_per_sec":${(nVecs / stdSecs).toLong},""" +
+      s""""shuffle_bytes":$stdShuffle,"peak_stage_bytes":$stdPeak}""")
     spark.stop()
   }
 }
