@@ -448,10 +448,12 @@ object Similarity {
     * Two corpus passes: a stats pass whose posexplode fan-out collapses
     * map-side into `dim` (mu, sigma) rows (the only thing shuffled or
     * collected — dimension-sized by construction, rides back into the
-    * scan as broadcast literals), then one scan-side transform. Values
-    * round to `roundTo` decimals so the result replays across engines
-    * despite summation-order ULP noise. Returns (idCol, vecCol) with the
-    * vector standardized as array<double>. */
+    * scan as EMBEDDED constants of the codegen'd `vec_zscore` expression:
+    * one fused Java loop per row, no CodegenFallback HOF lambda — the
+    * relational `transform(..., round(...))` twin is semantics-identical
+    * and spec-pinned). Values round to `roundTo` decimals so the result
+    * replays across engines despite summation-order ULP noise. Returns
+    * (idCol, vecCol) with the vector standardized as array<double>. */
   def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String,
       roundTo: Int = 5): DataFrame = {
     val stats = df
@@ -461,12 +463,13 @@ object Similarity {
         stddev_pop(col("__x").cast("double")).as("sd"))
       .orderBy("__p")
       .collect()
-    val mus = stats.map(_.getDouble(1)).toSeq
-    val sds = stats.map(r => math.max(r.getDouble(2), 1e-12)).toSeq
+    val mus = stats.map(_.getDouble(1))
+    val sds = stats.map(r => math.max(r.getDouble(2), 1e-12))
     df.select(col(idCol),
-      transform(col(vecCol), (x, i) =>
-        round((x.cast("double") - element_at(typedlit(mus), i + 1))
-          / element_at(typedlit(sds), i + 1), roundTo))
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.VecZScore(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+          mus, sds, roundTo))
         .as(vecCol))
   }
 

@@ -146,6 +146,85 @@ case class FloatVecCosine(left: Expression, right: Expression) extends VecBinary
     copy(left = l, right = r)
 }
 
+/** Per-element z-score with embedded (μ, σ) constants and HALF_UP decimal
+  * rounding — one fused codegen loop replacing the CodegenFallback
+  * `transform(vec, (x, i) -> round((x − μᵢ)/σᵢ, r))` formulation, with
+  * IDENTICAL semantics: rounding is `java.math.BigDecimal.valueOf(x)
+  * .setScale(r, HALF_UP)` exactly as Spark's `round` does it; a null
+  * element stays a null element; an element beyond the stats arrays
+  * yields null (the `element_at` out-of-range behavior). */
+case class VecZScore(child: Expression, mus: Array[Double],
+    sds: Array[Double], roundTo: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(mus.length == sds.length, "mus/sds must be same length")
+
+  override def prettyName: String = "vec_zscore"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if Seq(FloatType, DoubleType).contains(t) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got $other")
+  }
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && i < mus.length) {
+        val x = elemType match {
+          case FloatType => arr.getFloat(i).toDouble
+          case _ => arr.getDouble(i)
+        }
+        out(i) = VecZScore.zround((x - mus(i)) / sds(i), roundTo)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val musRef = ctx.addReferenceObj("zscoreMus", mus, "double[]")
+      val sdsRef = ctx.addReferenceObj("zscoreSds", sds, "double[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val getter = elemType match {
+        case FloatType => s"(double)$a.getFloat($i)"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $i < $musRef.length) {
+         |    $out[$i] = graft.expressions.VecZScore.zround(
+         |      ($getter - $musRef[$i]) / $sdsRef[$i], $roundTo);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecZScore =
+    copy(child = newChild)
+}
+
+object VecZScore {
+  /** Spark `round(double, s)` semantics exactly: shortest-decimal
+    * BigDecimal, HALF_UP. Public because generated code calls it. */
+  def zround(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
 /** Euclidean (L2) distance, fused. */
 case class FloatVecL2(left: Expression, right: Expression) extends VecBinaryExpression {
   override def prettyName: String = "vec_l2"

@@ -145,4 +145,25 @@ class SimilaritySpec extends SparkSpec {
     // the dominant dimension no longer dominates: same z-spread as dim 1
     assert(byDim(0).map(math.abs).max <= byDim(1).map(math.abs).max + 1e-9)
   }
+
+  test("vec_zscore codegen expression is bit-identical to the relational transform form") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 200L).map(i =>
+      (i, Array.fill(16)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val mus = Array.tabulate(16)(d => rnd.nextGaussian())
+    val sds = Array.tabulate(16)(d => 0.5 + rnd.nextDouble())
+    val fused = df.select(col("vec_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.expressions.VecZScore(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+          mus, sds, 5)).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val relational = df.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          round((x.cast("double") - element_at(typedlit(mus.toSeq), i + 1))
+            / element_at(typedlit(sds.toSeq), i + 1), 5)).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fused === relational)
+  }
 }
