@@ -659,8 +659,10 @@ object TrainPrep {
     * sequential dependency no window expresses (same argument as
     * budgetSelect) while the prefix form is deterministic and
     * SQL-replayable. A sentence longer than `maxTokens` becomes its own
-    * over-budget chunk (never split). Returns one row per chunk:
-    * (idCol, chunk_idx, chunk_text, n_tokens, n_sentences).
+    * over-budget chunk (never split) — and because its token mass spans
+    * more than one bucket, chunk indices are ORDERED BUT MAY SKIP values
+    * after it (consumers needing dense ids re-rank per doc). Returns one
+    * row per chunk: (idCol, chunk_idx, chunk_text, n_tokens, n_sentences).
     *
     * Scale shape: the sentence explode fans out to rows the scan already
     * read; the prefix sum and re-assembly are per-DOC windows/aggregates

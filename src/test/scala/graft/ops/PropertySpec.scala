@@ -89,6 +89,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sentenceChunks conserves tokens and sentences per doc, chunks index contiguously") {
+    val rnd = new scala.util.Random(37)
+    val pieces = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      id -> (0 until n).map { _ =>
+        val w = 1 + rnd.nextInt(8)
+        val words = Seq.fill(w)(s"w${rnd.nextInt(30)}").mkString(" ")
+        // capitalize and terminate so every piece is one real sentence
+        words.capitalize + (Seq(".", "!", "?")(rnd.nextInt(3)))
+      }
+    }.toMap
+    val docs = pieces.toSeq.map { case (id, ps) => (id, ps.mkString(" ")) }
+    val out = graft.trainprep.TrainPrep.sentenceChunks(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val chunks = byDoc(id).sortBy(_._2)
+      // chunk ids start at 0 and strictly increase; an over-budget
+      // sentence may SKIP indices (its token mass spans >1 bucket) —
+      // ordered-but-gappy is the documented contract
+      val ids = chunks.map(_._2).toSeq
+      assert(ids.head == 0L && ids == ids.sorted && ids.distinct == ids,
+        s"doc $id chunk ids: $ids")
+      // token and sentence conservation
+      assert(chunks.map(_._3).sum == text.split(" ").length,
+        s"doc $id token conservation")
+      assert(chunks.map(_._4).sum == pieces(id).length,
+        s"doc $id sentence conservation")
+    }
+  }
+
+  test("property: pointInTimeJoin equals a naive per-observation interval scan") {
+    val rnd = new scala.util.Random(41)
+    val dimObs = (0 until 60).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(40).toLong, i.toLong,
+        Seq("A", "B", "C")(rnd.nextInt(3)))
+    }
+    val obs = (0 until 80).map { i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(50).toLong, (1000 + i).toLong)
+    }
+    val hist = TimeSeriesOps.dimensionHistory(
+      dimObs.toDF("k", "t", "id", "attr"), Seq("k"), "t", Seq("attr"),
+      tiebreak = Seq("id"))
+    val got = TimeSeriesOps.pointInTimeJoin(
+        obs.toDF("k", "t", "oid"), hist, Seq("k"), "t")
+      .select("oid", "attr")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // naive model: per key, the valid attr at time t is the attr of the
+    // LATEST dim observation at or before t (ties by id)
+    val byKey = dimObs.groupBy(_._1)
+    obs.foreach { case (k, t, oid) =>
+      val want = byKey.get(k).flatMap { os =>
+        val eligible = os.filter(_._2 <= t)
+        if (eligible.isEmpty) None
+        else Some(eligible.maxBy(o => (o._2, o._3))._4)
+      }
+      assert(got(oid) == want, s"obs $oid (k=$k, t=$t): ${got(oid)} vs $want")
+    }
+    assert(got.size == obs.size, "row count preserved")
+  }
+
   test("redactPii: card masks before the phone pattern can eat its dashed chunks") {
     val cases = Seq(
       (1L, "pay 4111 1111 1111 1111 now"),
