@@ -538,6 +538,14 @@ object TimeSeriesOps {
   def pointInTimeJoin(obs: DataFrame, hist: DataFrame, keys: Seq[String],
       timeCol: String): DataFrame = {
     require(keys.nonEmpty, "keys required")
+    // both sides' non-key columns land in the output verbatim — a shared
+    // name would produce a DataFrame with duplicate columns that fails on
+    // first by-name access downstream; reject it loudly here instead
+    val clash = obs.columns.toSet
+      .intersect(hist.columns.toSet -- keys)
+    require(clash.isEmpty,
+      s"observation and history sides share non-key column(s) " +
+        s"${clash.mkString(", ")} — rename before joining")
     val cond = keys.map(k => obs(k) === hist(k)).reduce(_ && _) &&
       obs(timeCol) >= hist("effective_from") &&
       (hist("effective_to").isNull || obs(timeCol) < hist("effective_to"))
