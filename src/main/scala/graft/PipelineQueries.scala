@@ -1426,6 +1426,39 @@ object PipelineQueries {
              |      - 84.6 * (syl * 1.0 / words), 2) END AS flesch
              |FROM f""".stripMargin)),
 
+    // ---- duplicate-line repetition metrics (the Gopher line-level rule) ---
+    // Over the paragraph spine: every doc repeats its opening paragraph
+    // once (dup_line_frac = 0.5 uniformly) while the char-weighted
+    // fraction varies with the paragraph lengths — the hashed value the
+    // compare certifies. Shuffle carries line digests + counts, not text.
+    "q_dup_lines" -> QueryDef(
+      (s, dir) => TextFunctions.duplicateLineMetrics(
+        paraDocs(s, dir), "doc_id", "text", sep = "\n\n"),
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  WHERE a.doc_id < 100),
+             |l AS (SELECT doc_id, trim(para) AS l
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split(text, chr(10) || chr(10))) AS para
+             |        FROM spine)
+             |  WHERE trim(para) <> ''),
+             |pl AS (SELECT doc_id, l, count(*) AS c FROM l GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(c) AS n_lines,
+             |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dl,
+             |    sum(length(l) * c) AS ch,
+             |    coalesce(sum(CASE WHEN c > 1 THEN length(l) * c END), 0) AS dch
+             |  FROM pl GROUP BY 1)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |  round(dl * 1.0 / n_lines, 6) AS dup_line_frac,
+             |  round(dch * 1.0 / ch, 6) AS dup_char_frac
+             |FROM tot""".stripMargin)),
+
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
       (s, dir) => {

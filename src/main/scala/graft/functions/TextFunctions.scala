@@ -200,6 +200,43 @@ object TextFunctions {
       round(max(col("__c")) / sum(col("__c")), 6).as("top_token_fraction"))
   }
 
+  /** Duplicate-LINE repetition metrics (the Gopher repetition rules'
+    * line-level member, complementing [[repetitionMetrics]]' token-level
+    * TTR/top-fraction): per doc, the fraction of line OCCURRENCES whose
+    * content appears more than once in the doc, and the same fraction
+    * char-weighted — the listy/boilerplate signal ("fraction of
+    * characters in duplicate lines", Rae et al. 2021 A1.1). Lines split
+    * on `sep`, trimmed, empties dropped; a doc with no surviving lines
+    * measures explicit 0.0 (the [[qualityScore]] empty-doc rationale).
+    *
+    * Scale shape: one (doc, line-hash) hash aggregate with map-side
+    * partials + one per-doc aggregate — the shuffle carries line digests
+    * and counts, never bodies; nothing pairwise. */
+  def duplicateLineMetrics(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as("__l"))
+      .withColumn("__l", trim(col("__l")))
+      .filter(length(col("__l")) > 0)
+    val perLine = lines
+      .groupBy(col(idCol), sha2(col("__l"), 256).as("__h"))
+      .agg(count(lit(1)).as("__c"), first(length(col("__l"))).as("__len"))
+    val tot = perLine.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_lines"),
+      coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L)).as("__dl"),
+      sum(col("__len") * col("__c")).as("__ch"),
+      coalesce(sum(when(col("__c") > 1, col("__len") * col("__c"))), lit(0L))
+        .as("__dch"))
+    df.select(col(idCol)).join(tot, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        round(coalesce(col("__dl") / col("n_lines"), lit(0.0)), 6)
+          .as("dup_line_frac"),
+        round(coalesce(col("__dch") / col("__ch"), lit(0.0)), 6)
+          .as("dup_char_frac"))
+  }
+
   /** The Gopher-rule stop set (Rae et al. 2021, appendix A1.1): a doc must
     * contain at least `minStopwordHits` DISTINCT members to pass. */
   val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -138,6 +138,23 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("duplicateLineMetrics: hand-computed fractions; empties dropped; no-line doc scores 0") {
+    val docs = Seq(
+      // 4 lines, "dup" twice (3+3 of 3+3+5+4=15 chars): 2/4 lines, 6/15 chars
+      (1L, "dup\ndup\nalpha\nbeta"),
+      (2L, "a\n\n  \nb"), // whitespace-only lines drop → 2 lines, no dups
+      (3L, ""),           // no surviving lines → explicit zeros
+      (4L, "  x \nx"))    // trim makes these DUPLICATES: 2/2 lines
+      .toDF("doc_id", "text")
+    val got = TextFunctions.duplicateLineMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 0.5, 0.4)))
+    assert(got(2L) === ((2L, 0.0, 0.0)))
+    assert(got(3L) === ((0L, 0.0, 0.0)))
+    assert(got(4L) === ((2L, 1.0, 1.0)))
+  }
+
   test("readabilityScore: hand-computed Flesch-style cases; short simple text scores higher") {
     val cases = Seq(
       // 1 sentence, 3 words, vowel groups: "The"(1) "cat"(1) "sat"(1) = 3
