@@ -1459,6 +1459,32 @@ object PipelineQueries {
              |  round(dch * 1.0 / ch, 6) AS dup_char_frac
              |FROM tot""".stripMargin)),
 
+    // ---- top word-bigram repetition metrics (Gopher n-gram rule) ----------
+    "q_top_ngram" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.topNgramMetrics(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        n = 2),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,
+             |    length(text) AS chars
+             |  FROM documents WHERE doc_id < 300),
+             |sh AS (SELECT doc_id, chars, array_to_string(ts[i : i + 1], ' ') AS g
+             |  FROM (SELECT doc_id, chars, ts,
+             |          unnest(generate_series(1, len(ts) - 1)) AS i
+             |        FROM tok WHERE len(ts) >= 2)),
+             |c AS (SELECT doc_id, chars, g, count(*) AS c
+             |  FROM sh GROUP BY 1, 2, 3),
+             |r AS (SELECT doc_id, g, c, chars,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY c DESC, g ASC) AS rn
+             |  FROM c)
+             |SELECT d.doc_id, coalesce(r.g, '') AS top_ngram,
+             |  CAST(coalesce(r.c, 0) AS BIGINT) AS top_ngram_count,
+             |  round(CASE WHEN r.c IS NULL THEN 0.0
+             |    ELSE least(1.0, r.c * length(r.g) * 1.0 / r.chars) END, 6)
+             |    AS top_ngram_char_frac
+             |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+             |LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1""".stripMargin)),
+
     // ---- token-repetition quality metrics (Gopher-style filters) ----------
     "q_text_repetition" -> QueryDef(
       (s, dir) => {

@@ -427,6 +427,43 @@ object TrainPrep {
       .limit(k)
   }
 
+  /** Top word-n-gram repetition metrics (the Gopher repetition rules'
+    * n-gram member, completing the family with E30's token TTR and E97's
+    * duplicate lines): per doc, the most frequent word n-gram (ties to
+    * the lexicographically smallest — deterministic), its count, and the
+    * fraction of the doc's characters its occurrences cover
+    * (count × n-gram chars / text chars, capped at 1.0 — overlapping
+    * occurrences can over-count). Docs too short for an n-gram measure
+    * ('' / 0 / 0.0).
+    *
+    * Scale shape: the in-row shingle explode feeds one (doc, n-gram)
+    * hash aggregate with map-side partials, then a per-doc rank window —
+    * shuffles carry n-grams and counts, never full texts, and nothing is
+    * pairwise. */
+  def topNgramMetrics(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ngramShingles(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("__c"))
+    val top = counts
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__c").desc, col("shingle").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("shingle"), col("__c"))
+    docs.select(col(idCol), length(col(textCol)).as("__chars"))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("shingle"), lit("")).as("top_ngram"),
+        coalesce(col("__c"), lit(0L)).as("top_ngram_count"),
+        // NB least() IGNORES nulls in Spark and DuckDB alike — least(1.0,
+        // NULL) is 1.0, so the no-shingle case must branch explicitly
+        round(when(col("__c").isNull, lit(0.0))
+          .otherwise(least(lit(1.0),
+            col("__c") * length(col("shingle")) / col("__chars"))), 6)
+          .as("top_ngram_char_frac"))
+  }
+
   /** Character-trigram language-model scoring — the CCNet-style perplexity
     * quality filter, self-trained on the corpus itself: per document,
     * `avg_nll = -mean(ln((c3 + 1) / (c2 + V)))` over its trigram positions,

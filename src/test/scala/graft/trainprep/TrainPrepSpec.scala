@@ -274,6 +274,24 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.filter(_._1._1 == 1L).values.map(_._2).sum == 10L)
   }
 
+  test("topNgramMetrics: deterministic winner, char fraction, short-doc zeros") {
+    val docs = Seq(
+      // "a b" occurs twice (count 2, 3 chars each over 11 chars → 6/11)
+      (1L, "a b c a b x"),
+      // count tie between "x y" and "p q": lexicographically smaller wins
+      (2L, "p q x y"),
+      (3L, "single"), // too short for a bigram
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.trainprep.TrainPrep.topNgramMetrics(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === (("a b", 2L, math.rint(6.0 / 11 * 1e6) / 1e6)))
+    assert(got(2L) === (("p q", 1L, math.rint(3.0 / 7 * 1e6) / 1e6)))
+    assert(got(3L) === (("", 0L, 0.0)))
+    assert(got(4L) === (("", 0L, 0.0)))
+  }
+
   test("leakageSafeSplit: near-dup cluster members always land on the same side") {
     val passage = (1 to 30).map(i => s"tok$i").mkString(" ")
     // three planted clusters (verbatim + one-token-edit members) + unique docs
