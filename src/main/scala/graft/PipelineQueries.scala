@@ -1459,6 +1459,75 @@ object PipelineQueries {
              |  round(dch * 1.0 / ch, 6) AS dup_char_frac
              |FROM tot""".stripMargin)),
 
+    // ---- the full Gopher repetition gate over a mixed corpus --------------
+    // Repetitive paragraph-spine docs (opening paragraph duplicated →
+    // dup_line_frac 0.5) must FAIL while plain fixture docs mostly pass;
+    // the oracle recomputes all five thresholds from scratch.
+    "q_repetition_gate" -> QueryDef(
+      (s, dir) => {
+        val plain = t(s, dir, "documents")
+          .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+        TextFunctions.repetitionGate(
+          paraDocs(s, dir).unionByName(plain), "doc_id", "text",
+          lineSep = "\n\n")
+      },
+      Some("""WITH spine AS (
+             |  SELECT a.doc_id AS doc_id,
+             |    p1.text || chr(10) || chr(10) || p2.text || chr(10) || chr(10)
+             |      || p1.text || chr(10) || chr(10) || p3.text AS text
+             |  FROM documents a
+             |  JOIN documents p1 ON p1.doc_id = a.doc_id * 2
+             |  JOIN documents p2 ON p2.doc_id = a.doc_id * 2 + 1
+             |  JOIN documents p3 ON p3.doc_id = a.doc_id * 2 + 2
+             |  WHERE a.doc_id < 100),
+             |base AS (SELECT doc_id, text FROM spine
+             |  UNION ALL
+             |  SELECT doc_id + 5000, text FROM documents
+             |  WHERE doc_id >= 100 AND doc_id < 200),
+             |l AS (SELECT doc_id, trim(para) AS l
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split(text, chr(10) || chr(10))) AS para
+             |        FROM base)
+             |  WHERE trim(para) <> ''),
+             |pl AS (SELECT doc_id, l, count(*) AS c FROM l GROUP BY 1, 2),
+             |lm AS (SELECT doc_id,
+             |    round(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) * 1.0 / sum(c), 6)
+             |      AS dup_line_frac,
+             |    round(coalesce(sum(CASE WHEN c > 1 THEN length(l) * c END), 0) * 1.0
+             |      / sum(length(l) * c), 6) AS dup_char_frac
+             |  FROM pl GROUP BY 1),
+             |tok AS (SELECT doc_id, string_split(text, ' ') AS ts,
+             |    length(text) AS chars FROM base),
+             |sh AS (SELECT doc_id, chars, n,
+             |    array_to_string(ts[i : i + n - 1], ' ') AS g
+             |  FROM (SELECT doc_id, chars, ts, n,
+             |          unnest(generate_series(1, len(ts) - n + 1)) AS i
+             |        FROM tok CROSS JOIN (SELECT unnest([2, 3, 4]) AS n)
+             |        WHERE len(ts) >= n)),
+             |c AS (SELECT doc_id, chars, n, g, count(*) AS c
+             |  FROM sh GROUP BY 1, 2, 3, 4),
+             |r AS (SELECT doc_id, n,
+             |    round(CASE WHEN c IS NULL THEN 0.0
+             |      ELSE least(1.0, c * length(g) * 1.0 / chars) END, 6) AS frac,
+             |    row_number() OVER (PARTITION BY doc_id, n
+             |      ORDER BY c DESC, g ASC) AS rn
+             |  FROM c),
+             |topn AS (SELECT b.doc_id,
+             |    coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS f2,
+             |    coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS f3,
+             |    coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS f4
+             |  FROM base b LEFT JOIN r ON r.doc_id = b.doc_id AND r.rn = 1
+             |  GROUP BY 1)
+             |SELECT b.doc_id, lm.dup_line_frac, lm.dup_char_frac,
+             |  topn.f2 AS top2gram_frac, topn.f3 AS top3gram_frac,
+             |  topn.f4 AS top4gram_frac,
+             |  (lm.dup_line_frac <= 0.30 AND lm.dup_char_frac <= 0.20
+             |    AND topn.f2 <= 0.20 AND topn.f3 <= 0.18 AND topn.f4 <= 0.16)
+             |    AS pass
+             |FROM base b JOIN lm ON lm.doc_id = b.doc_id
+             |JOIN topn ON topn.doc_id = b.doc_id""".stripMargin)),
+
     // ---- top word-bigram repetition metrics (Gopher n-gram rule) ----------
     "q_top_ngram" -> QueryDef(
       (s, dir) => graft.trainprep.TrainPrep.topNgramMetrics(

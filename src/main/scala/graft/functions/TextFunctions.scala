@@ -237,6 +237,32 @@ object TextFunctions {
           .as("dup_char_frac"))
   }
 
+  /** The Gopher REPETITION gate (Rae et al. 2021, A1.1 repetition rows):
+    * a doc passes when its duplicate-line fraction ≤ 0.30, its
+    * duplicate-line CHARACTER fraction ≤ 0.20, and its top 2/3/4-gram
+    * character fractions ≤ 0.20 / 0.18 / 0.16 — the thresholds the paper
+    * publishes. Composes [[duplicateLineMetrics]] (line layer, split on
+    * `lineSep`) with three [[graft.trainprep.TrainPrep.topNgramMetrics]]
+    * passes; all metrics ride along in the output so a caller can audit
+    * WHICH rule failed. Four id-keyed aggregate pipelines, one join each —
+    * shuffles carry digests/counts, never text; nothing pairwise. */
+  def repetitionGate(df: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lines = duplicateLineMetrics(df, idCol, textCol, lineSep)
+    def ng(n: Int) = graft.trainprep.TrainPrep
+      .topNgramMetrics(df, idCol, textCol, n)
+      .select(col(idCol), col("top_ngram_char_frac").as(s"top${n}gram_frac"))
+    df.select(col(idCol))
+      .join(lines, Seq(idCol))
+      .join(ng(2), Seq(idCol)).join(ng(3), Seq(idCol)).join(ng(4), Seq(idCol))
+      .select(col(idCol), col("dup_line_frac"), col("dup_char_frac"),
+        col("top2gram_frac"), col("top3gram_frac"), col("top4gram_frac"),
+        (col("dup_line_frac") <= 0.30 && col("dup_char_frac") <= 0.20 &&
+          col("top2gram_frac") <= 0.20 && col("top3gram_frac") <= 0.18 &&
+          col("top4gram_frac") <= 0.16).as("pass"))
+  }
+
   /** The Gopher-rule stop set (Rae et al. 2021, appendix A1.1): a doc must
     * contain at least `minStopwordHits` DISTINCT members to pass. */
   val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")

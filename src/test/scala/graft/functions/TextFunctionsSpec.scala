@@ -155,6 +155,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(4L) === ((2L, 1.0, 1.0)))
   }
 
+  test("repetitionGate: each paper threshold fires on its own pathological doc") {
+    val clean = (1 to 40).map(i => s"u$i").mkString(" ") // all-unique tokens
+    val docs = Seq(
+      (1L, clean),                                      // passes everything
+      (2L, Seq.fill(4)("dup line").mkString("\n") + "\nunique one\nunique two"),
+      // ^ 4 duplicate lines of 6 → dup_line_frac = 0.667 > 0.30
+      (3L, (1 to 16).map(_ => "x y").mkString(" ") + " " + clean))
+      // ^ "x y" occurs 16x over ~214 chars → top2gram_frac ≈ 0.22 > 0.20
+      .toDF("doc_id", "text")
+    val got = TextFunctions.repetitionGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(6),
+        r.getDouble(1), r.getDouble(3)))).toMap
+    assert(got(1L)._1, s"clean doc must pass: ${got(1L)}")
+    assert(!got(2L)._1 && got(2L)._2 > 0.30,
+      s"duplicate lines must fail the line rule: ${got(2L)}")
+    assert(!got(3L)._1 && got(3L)._3 > 0.20,
+      s"bigram spam must fail the 2-gram rule: ${got(3L)}")
+  }
+
   test("readabilityScore: hand-computed Flesch-style cases; short simple text scores higher") {
     val cases = Seq(
       // 1 sentence, 3 words, vowel groups: "The"(1) "cat"(1) "sat"(1) = 3
