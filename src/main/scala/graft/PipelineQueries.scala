@@ -1459,6 +1459,31 @@ object PipelineQueries {
              |  round(dch * 1.0 / ch, 6) AS dup_char_frac
              |FROM tot""".stripMargin)),
 
+    // ---- per-slice dataset-card report over the duplicated corpus ---------
+    // Exact dup rate per source with NO Expand count-distinct: the
+    // (slice, digest) pre-aggregate collapses map-side, so the shuffle
+    // carries one row per distinct text per slice; token/char sums ride
+    // the digest rows exactly (a digest group shares its text verbatim).
+    "q_corpus_report" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.corpusReport(
+        docsWithDups(s, dir), "doc_id", "text", "source"),
+      Some(s"""WITH base AS (SELECT * FROM $dupUnionSql),
+              |pd AS (SELECT source,
+              |    coalesce(sha256(text), '__null__' || doc_id) AS h,
+              |    count(*) AS copies,
+              |    first(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+              |      ELSE length(text) - length(replace(text, ' ', '')) + 1
+              |      END) AS tok,
+              |    first(coalesce(length(text), 0)) AS len
+              |  FROM base GROUP BY 1, 2)
+              |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+              |  count(*) AS n_distinct_texts,
+              |  round(1.0 - count(*) * 1.0 / sum(copies), 6) AS dup_rate,
+              |  CAST(sum(tok * copies) AS BIGINT) AS n_tokens,
+              |  CAST(sum(len * copies) AS BIGINT) AS n_chars,
+              |  round(sum(tok * copies) * 1.0 / sum(copies), 2) AS mean_doc_tokens
+              |FROM pd GROUP BY 1""".stripMargin)),
+
     // ---- the full Gopher repetition gate over a mixed corpus --------------
     // Repetitive paragraph-spine docs (opening paragraph duplicated →
     // dup_line_frac 0.5) must FAIL while plain fixture docs mostly pass;

@@ -17,6 +17,9 @@ import graft.trainprep.TrainPrep
   *   2a. Gopher gate (`--gopher-gate true`
   *      [`--gopher-min-stopwords N`])            — the composite Rae-et-al
   *      rule verdict as one map-side predicate
+  *   2a'. Gopher repetition gate (`--repetition-gate true`
+  *      [`--repetition-line-sep S`])             — the paper's five
+  *      repetition thresholds as a keep-the-passers semi-join
   *   2c. DSIR selection (`--dsir-target <docs.parquet>`
   *      [`--dsir-keep N`])                        — keep the N docs most
   *      like the target domain (dual trigram-LM importance ratio)
@@ -97,6 +100,19 @@ object CorpusPrep {
       val minStop = args.getOrElse("gopher-min-stopwords", "2").toLong
       docs = docs.filter(
         TextFunctions.gopherPass(col(textCol), minStopwordHits = minStop))
+    }
+    // Gopher REPETITION gate (`--repetition-gate true`
+    // [`--repetition-line-sep` default "\n"]): the paper's five
+    // repetition thresholds (duplicate lines/chars, top 2/3/4-gram char
+    // fractions) as a keep-the-passers semi-join — unlike the map-side
+    // measure gate above this one aggregates per doc, so it costs its
+    // id-keyed aggregate pipelines (digests and counts shuffle, text
+    // does not)
+    if (args.get("repetition-gate").contains("true")) {
+      val sep = args.getOrElse("repetition-line-sep", "\n")
+      val passers = TextFunctions.repetitionGate(docs, idCol, textCol, sep)
+        .filter(col("pass")).select(col(idCol))
+      docs = docs.join(passers, Seq(idCol), "left_semi")
     }
     // Self-trained char-trigram LM filter (`--lm-percentile 0.9`): score
     // every doc against the corpus's own trigram distribution and drop the

@@ -464,6 +464,39 @@ object TrainPrep {
           .as("top_ngram_char_frac"))
   }
 
+  /** Per-slice dataset-card report — the composition summary a training
+    * run publishes (docs, tokens, chars, exact-duplicate rate per
+    * source/language slice). Duplicate rate is EXACT, not sketched, yet
+    * never plans an Expand-based count-distinct: a two-level aggregate
+    * first collapses (slice, sha256(text)) with map-side partials — the
+    * 100 TB corpus arrives at the shuffle as one row per distinct text
+    * per slice — then the slice-level aggregate derives everything
+    * (token/char sums ride the digest rows as first(value) × copies,
+    * exact because a digest group shares its text verbatim). NULL texts
+    * count as docs with 0 tokens/chars, each its own "distinct" text
+    * (the per-id sentinel convention of exact dedup E1). */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val perDigest = docs
+      .groupBy(col(groupCol),
+        coalesce(sha2(col(textCol), 256),
+          concat(lit("__null__"), col(idCol))).as("__h"))
+      .agg(count(lit(1)).as("__copies"),
+        first(coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)))
+          .as("__tok"),
+        first(coalesce(length(col(textCol)), lit(0))).as("__len"))
+    perDigest.groupBy(col(groupCol))
+      .agg(
+        sum(col("__copies")).as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        round(lit(1.0) - count(lit(1)) / sum(col("__copies")), 6)
+          .as("dup_rate"),
+        sum(col("__tok") * col("__copies")).as("n_tokens"),
+        sum(col("__len").cast("long") * col("__copies")).as("n_chars"),
+        round(sum(col("__tok") * col("__copies")) / sum(col("__copies")), 2)
+          .as("mean_doc_tokens"))
+  }
+
   /** Character-trigram language-model scoring — the CCNet-style perplexity
     * quality filter, self-trained on the corpus itself: per document,
     * `avg_nll = -mean(ln((c3 + 1) / (c2 + V)))` over its trigram positions,

@@ -53,6 +53,22 @@ class CorpusPrepSpec extends SparkSpec {
       "gopherPass predicate and gopherGate frame must agree")
   }
 
+  test("--repetition-gate keeps clean docs and drops line/n-gram spam") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_repgate").toString
+    val clean = (1 to 40).map(i => s"u$i").mkString(" ")
+    Seq(
+      (1L, clean),
+      (2L, Seq.fill(4)("dup line").mkString("\n") + "\nunique one\nunique two"),
+      (3L, (1 to 16).map(_ => "x y").mkString(" ") + " " + clean))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "repetition-gate" -> "true", "budget" -> "512"))
+    assert(stats("docs_out") == 1L,
+      s"only the clean doc survives the repetition thresholds: $stats")
+  }
+
   test("--containment-dedup drops quoted subsets resemblance dedup missed") {
     import spark.implicits._
     val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

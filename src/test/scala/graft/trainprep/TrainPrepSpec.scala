@@ -292,6 +292,22 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(4L) === (("", 0L, 0.0)))
   }
 
+  test("corpusReport: exact per-slice dup rate, token/char sums, NULL-text convention") {
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "one two three"), // dup pair
+      (3L, "a", "four"),
+      (4L, "b", "x y"), (5L, "b", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = graft.trainprep.TrainPrep.corpusReport(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // a: 3 docs, 2 distinct → dup_rate 1/3; tokens 3+3+1=7; chars 13+13+4=30
+    assert(got("a") === ((3L, 2L, math.rint(1.0 / 3 * 1e6) / 1e6, 7L, 30L, 2.33)))
+    // b: NULL text is its own distinct with 0 tokens/chars
+    assert(got("b") === ((2L, 2L, 0.0, 2L, 3L, 1.0)))
+  }
+
   test("leakageSafeSplit: near-dup cluster members always land on the same side") {
     val passage = (1 to 30).map(i => s"tok$i").mkString(" ")
     // three planted clusters (verbatim + one-token-edit members) + unique docs
