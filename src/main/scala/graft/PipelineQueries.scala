@@ -149,6 +149,56 @@ object PipelineQueries {
        |  FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id AS doc_id, min(comp) AS keeper_id FROM reach GROUP BY id""".stripMargin
 
+  /** The q_text_bpe merge table — shared literal for the Spark query and
+    * the generated DuckDB sweep so the two can never drift. Lowercase
+    * ASCII only (keeps the generated SQL quoting trivial) and
+    * causality-valid by construction (BpeMerges validates on use). */
+  private val oracleBpePairs: IndexedSeq[(String, String)] = IndexedSeq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("o", "u"), ("s", "t"), ("in", "g"), ("e", "n"),
+    ("a", "t"), ("o", "r"), ("e", "s"), ("t", "o"), ("i", "t"), ("a", "l"))
+
+  /** DuckDB replay of greedy BPE as a rank-order replace() sweep: each
+    * word's code points are wrapped as chr(2)sym·chr(3) units, each merge
+    * becomes one replace of the adjacent wrapped pair (left-to-right,
+    * non-overlapping — SQL replace's own semantics, matching the
+    * encoder's leftmost-first rule), applied innermost-first in rank
+    * order. Token count = chr(2) occurrences; the joined token stream is
+    * rebuilt with chr(31) boundaries. Sentinel caveat: chr(2)/chr(3)
+    * inside a document would corrupt the wrapping — impossible in the
+    * synthetic fixture, and it would fail the compare loudly, not
+    * silently. */
+  private def bpeOracleSql: String = {
+    oracleBpePairs.foreach { case (l, r) =>
+      require((l + r).forall(c => c >= 'a' && c <= 'z'),
+        s"oracle merge table must stay lowercase-ASCII: ($l, $r)")
+    }
+    def wrap(sym: String) = s"chr(2)||'$sym'||chr(3)"
+    val mergedExpr = oracleBpePairs.foldLeft("s0") { case (acc, (l, r)) =>
+      s"replace($acc, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)})"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, i, ts[i] AS w FROM (
+       |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts,
+       |      unnest(generate_series(1, len(regexp_split_to_array(text, '\\s+')))) AS i
+       |    FROM documents WHERE doc_id < 300)
+       |  WHERE ts[i] <> ''),
+       |wrapped AS (SELECT doc_id, i,
+       |    chr(2) || array_to_string(regexp_extract_all(w, '.'), chr(3)||chr(2))
+       |      || chr(3) AS s0
+       |  FROM w),
+       |merged AS (SELECT doc_id, i, $mergedExpr AS s FROM wrapped),
+       |agg AS (SELECT doc_id,
+       |    sum(length(s) - length(replace(s, chr(2), ''))) AS n,
+       |    string_agg(replace(replace(replace(s, chr(3)||chr(2), chr(31)),
+       |      chr(2), ''), chr(3), ''), chr(31) ORDER BY i) AS j
+       |  FROM merged GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(a.j, '') AS bpe_joined
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- exact dedup: hash-groupBy, one shuffle on the digest ------------
@@ -1613,6 +1663,25 @@ object PipelineQueries {
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_lex_tokens
              |FROM documents""".stripMargin)),
 
+    // ---- real BPE tokenization (merges-table-driven) ----------------------
+    // The codegen'd greedy min-rank encoder vs a DuckDB replay of the SAME
+    // literal merge table as a rank-order replace() sweep — the two
+    // algorithms agree exactly on causality-valid tables (see BpeMerges
+    // scaladoc; property-pinned in BpeSpec). Every token boundary is
+    // certified: the joined token stream is compared, not just counts.
+    "q_text_bpe" -> QueryDef(
+      (s, dir) => {
+        val m = graft.expressions.BpeMerges(oracleBpePairs)
+        val toks = graft.functions.Bpe.tokens(col("text"), m)
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_bpe_tokens"),
+          // unit-separator (U+001F) join: token BOUNDARIES are compared,
+          // not just counts
+          array_join(toks, "\u001f").as("bpe_joined"))
+      },
+      Some(bpeOracleSql)),
+
     // ---- text analysis: language-ID heuristic ------------------------------
     "q_text_langid" -> QueryDef(
       (s, dir) => {
@@ -1648,6 +1717,52 @@ object PipelineQueries {
               |      len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es','en')))) THEN 'fr'
               |    ELSE 'es' END AS pred_lang
               |FROM documents""".stripMargin)),
+
+    // ---- TRAINED language ID: one-vs-rest logistic heads, one pass --------
+    // The scoring path of LangIdClassifier (training is spec-gated in
+    // LangIdSpec, like trainLogReg / the k-means codebooks): four heads'
+    // margins in ONE (doc, bucket) aggregate, argmax with the head-order
+    // tiebreak. Weights are a fixed function of (bucket, head offset) so
+    // both engines derive them — the q_quality_lr portability contract.
+    "q_text_langid_lr" -> QueryDef(
+      (s, dir) => {
+        val heads = Seq("en", "de", "fr", "es").zipWithIndex.map {
+          case (lang, k) => graft.trainprep.LangIdClassifier.Head(lang,
+            Array.tabulate(256)(b =>
+              ((b * 96769 + k * 777) % 2000) / 1000.0 - 1.0).toSeq, 0.0)
+        }
+        graft.trainprep.LangIdClassifier.scoreArgmax(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", heads)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM documents WHERE doc_id < 300),
+             |b AS (SELECT doc_id,
+             |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b
+             |  FROM tok WHERE len(t) > 0),
+             |z AS (SELECT doc_id,
+             |    sum(((b * 96769) % 2000) / 1000.0 - 1.0) AS z_en,
+             |    sum(((b * 96769 + 777) % 2000) / 1000.0 - 1.0) AS z_de,
+             |    sum(((b * 96769 + 1554) % 2000) / 1000.0 - 1.0) AS z_fr,
+             |    sum(((b * 96769 + 2331) % 2000) / 1000.0 - 1.0) AS z_es
+             |  FROM b GROUP BY doc_id),
+             |s AS (SELECT d.doc_id,
+             |    round(1.0 / (1.0 + exp(-coalesce(z_en, 0.0))), 5) AS score_en,
+             |    round(1.0 / (1.0 + exp(-coalesce(z_de, 0.0))), 5) AS score_de,
+             |    round(1.0 / (1.0 + exp(-coalesce(z_fr, 0.0))), 5) AS score_fr,
+             |    round(1.0 / (1.0 + exp(-coalesce(z_es, 0.0))), 5) AS score_es
+             |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+             |  LEFT JOIN z USING (doc_id))
+             |SELECT doc_id, score_en, score_de, score_fr, score_es,
+             |  CASE
+             |    WHEN score_en = greatest(score_en, score_de, score_fr, score_es)
+             |      THEN 'en'
+             |    WHEN score_de = greatest(score_en, score_de, score_fr, score_es)
+             |      THEN 'de'
+             |    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es)
+             |      THEN 'fr'
+             |    ELSE 'es' END AS pred_lang
+             |FROM s""".stripMargin)),
 
     // ---- text analysis: Gopher-rule composite gate -------------------------
     // The standard pre-training document filter (Rae et al. 2021 A1.1) as

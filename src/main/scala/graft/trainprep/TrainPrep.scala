@@ -738,14 +738,16 @@ object TrainPrep {
     * read; the prefix sum and re-assembly are per-DOC windows/aggregates
     * (partitioned by id — never global), one shuffle end to end. */
   def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int): DataFrame = {
+      maxTokens: Int,
+      tokenCountFn: Column => Column =
+        graft.functions.TextFunctions.tokenCount): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     import org.apache.spark.sql.expressions.Window
     val sent = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(
         graft.functions.TextFunctions.sentences(col(textCol)))
         .as(Seq("__pos", "__s")))
-      .withColumn("__n", graft.functions.TextFunctions.tokenCount(col("__s")))
+      .withColumn("__n", tokenCountFn(col("__s")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunked = sent.withColumn("__before",
@@ -773,11 +775,15 @@ object TrainPrep {
     * longs → integer addition re-associates exactly → offsets are
     * bit-identical to a sequential scan regardless of partitioning. */
   def packChunks(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long,
+      tokenCountFn: Column => Column = TextFunctions.tokenCount): DataFrame = {
     // NULL text packs as a zero-token doc (tokenCount(NULL) is NULL, which
-    // would otherwise null out the whole chunk assignment chain)
+    // would otherwise null out the whole chunk assignment chain).
+    // `tokenCountFn` swaps in a REAL tokenizer's count — e.g.
+    // Bpe.tokenCount(_) budgets with merges-table BPE tokens (E101) while
+    // the default stays the cheap whitespace counter.
     val withTok = docs.select(col(idCol),
-      coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)).as("n_tokens"))
+      coalesce(tokenCountFn(col(textCol)), lit(0L)).as("n_tokens"))
     val cum = TimeSeriesOps.scanCumSumLong(withTok, Seq(idCol), "n_tokens", "cum_tokens")
     cum
       .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.BpeMerges
+
+/** Real-BPE tokenizer: hand-verified encodings, the min-rank ⇄ rank-order-
+  * sweep equivalence that the DuckDB oracle relies on, reconstruction and
+  * determinism properties, trainer behavior, and the codegen posture. */
+class BpeSpec extends SparkSpec {
+
+  private val tiny = BpeMerges(IndexedSeq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("in", "g")))
+
+  test("hand-verified encodings against the tiny table") {
+    assert(tiny.encodeWord("the").toSeq == Seq("the"))
+    assert(tiny.encodeWord("thern").toSeq == Seq("the", "r", "n"))
+    assert(tiny.encodeWord("and").toSeq == Seq("and"))
+    assert(tiny.encodeWord("ander").toSeq == Seq("and", "er"))
+    assert(tiny.encodeWord("singing").toSeq == Seq("s", "ing", "ing"))
+    assert(tiny.encodeWord("x").toSeq == Seq("x"))
+    assert(tiny.encodeWord("").toSeq == Seq.empty)
+    // leftmost-first on overlapping occurrences: "ththe" → th, th, e →
+    // second th then absorbs e
+    assert(tiny.encodeWord("ththe").toSeq == Seq("th", "the"))
+  }
+
+  test("min-rank iterative encoding equals the rank-order sweep (oracle form)") {
+    // independent reimplementation: apply each merge everywhere, in rank
+    // order, left-to-right — the nested-replace() form a SQL engine replays
+    def sweep(m: BpeMerges, word: String): Seq[String] = {
+      var syms: Vector[String] = word.map(_.toString).toVector
+      m.pairs.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(200).collect().map(_.getString(0))
+    val base = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+    // the synthetic vocab is small (31 words) — stress the equivalence on
+    // pairwise concatenations too (unseen shapes, partial merges)
+    val words = base ++ (for (a <- base.take(30); b <- base.take(30)) yield a + b)
+    assert(words.length > 500, "word population must be non-trivial")
+    words.foreach { w =>
+      assert(tiny.encodeWord(w).toSeq == sweep(tiny, w),
+        s"algorithms diverge on '$w'")
+    }
+    // and against the committed trained table
+    val m = Bpe.defaultMerges
+    words.foreach { w =>
+      assert(m.encodeWord(w).toSeq == sweep(m, w),
+        s"trained-table divergence on '$w'")
+    }
+  }
+
+  test("token concatenation reconstructs the word exactly") {
+    val m = Bpe.defaultMerges
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(100).collect().map(_.getString(0))
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+    words.foreach { w =>
+      assert(m.encodeWord(w).mkString == w, s"lossy encoding of '$w'")
+    }
+  }
+
+  test("symbol-causality validation rejects an acausal table") {
+    val e = intercept[IllegalArgumentException] {
+      BpeMerges(IndexedSeq(("th", "e"))) // 'th' produced by no earlier merge
+    }
+    assert(e.getMessage.contains("causality"))
+  }
+
+  test("merges.txt round-trip and comment/blank handling") {
+    val txt = "# comment\nt h\n\nth e\n"
+    val m = Bpe.loadMerges(txt.linesIterator)
+    assert(m.pairs == IndexedSeq(("t", "h"), ("th", "e")))
+    assert(Bpe.loadMerges(Bpe.renderMerges(m).linesIterator) == m)
+  }
+
+  test("trainer learns the dominant pairs deterministically") {
+    import spark.implicits._
+    val df = Seq.fill(50)("the then there").toDF("text")
+    val m1 = Bpe.train(df, "text", numMerges = 4)
+    val m2 = Bpe.train(df, "text", numMerges = 4)
+    assert(m1 == m2, "training must be deterministic")
+    // (t,h) and (h,e) tie at 150 occurrences; the lexicographic tiebreak
+    // picks (h,e), then (t,he) dominates, then the 50-count ties resolve
+    // lexicographically: (r,e) before (the,n)
+    assert(m1.pairs == IndexedSeq(("h", "e"), ("t", "he"), ("r", "e"),
+      ("the", "n")))
+    // trained tables are causal by construction (BpeMerges validated) and
+    // the learned 'the' symbol applies inside unseen words
+    assert(m1.encodeWord("thex").toSeq == Seq("the", "x"))
+  }
+
+  test("column API: codegen'd bpe_tokens with no fallback, null passthrough") {
+    import spark.implicits._
+    val df = Seq(("a", "the band sang"), ("b", ""), ("c", "in  the\nend"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), Bpe.tokens(col("text"), tiny).as("toks"),
+      Bpe.tokenCount(col("text"), tiny).as("n"))
+    val rows = out.collect().map(r =>
+      r.getString(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(rows("a")._1 == Seq("the", "b", "and", "s", "an", "g"))
+    assert(rows("b") == (Seq.empty, 0L))
+    // whitespace runs (double space, newline) split without empty tokens
+    assert(rows("c")._1 == Seq("in", "the", "e", "n", "d"))
+    // plan posture over a REAL scan (a local relation constant-folds the
+    // expression away before execution)
+    val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Bpe.tokens(col("text"), tiny).as("toks"))
+    pq.collect()
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_tokens"), plan.take(800))
+    assert(!plan.contains("CodegenFallback"), plan.take(800))
+  }
+
+  test("packChunks budgets with BPE counts when asked") {
+    import spark.implicits._
+    val df = Seq((1L, "thern thern"), (2L, "x"), (3L, "thern"))
+      .toDF("doc_id", "text")
+    // whitespace counts: 2,1,1; tiny-table BPE counts: 6,1,3 ("thern" → the,r,n)
+    val ws = graft.trainprep.TrainPrep.packChunks(df, "doc_id", "text", 4L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(ws.toSeq == Seq((2L, 0L), (1L, 0L), (1L, 0L)))
+    val bpe = graft.trainprep.TrainPrep.packChunks(df, "doc_id", "text", 4L,
+        tokenCountFn = Bpe.tokenCount(_, tiny))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // 6 BPE tokens fill chunk 0 and spill into chunk 1; doc 2 starts at
+    // offset 6 → chunk 1; doc 3 at 7 → chunk 1
+    assert(bpe.toSeq == Seq((6L, 0L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("default merges resource loads, is non-trivial, and counts differ from the lexer") {
+    val m = Bpe.defaultMerges
+    // the synthetic fixture has a 31-word vocabulary that saturates (every
+    // word one symbol) at 89 merges; the committed budget is 60 so subword
+    // splitting stays real
+    assert(m.pairs.length >= 50, s"expected a real table, got ${m.pairs.length}")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val counted = docs.select(
+      Bpe.tokenCount(col("text")).as("bpe"),
+      TextFunctions.tokenCount(col("text")).as("ws")).collect()
+    // BPE splits words into subwords: count is >= the whitespace count
+    counted.foreach { r =>
+      assert(r.getLong(0) >= r.getLong(1), s"bpe ${r.getLong(0)} < ws ${r.getLong(1)}")
+    }
+    assert(counted.exists(r => r.getLong(0) > r.getLong(1)),
+      "some document must actually split into subwords")
+  }
+}
