@@ -242,6 +242,76 @@ object PipelineQueries {
              |  min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3
              |FROM tok GROUP BY doc_id""".stripMargin)),
 
+    // ---- duplicate-cluster size histogram (dataset-card view) -------------
+    "q_dedup_cluster_hist" -> QueryDef(
+      (s, dir) => Dedup.dupClusterHistogram(
+        Dedup.nearDupKeepers(docsWithDups(s, dir), "doc_id", "text",
+          numHashes = 4, rowsPerBand = 2, threshold = 0.6)),
+      Some(s"""WITH ${verifiedPairsSqlAt("0.6")},
+              |keep AS (SELECT id_b AS dup_id, min(id_a) AS keeper
+              |  FROM ver GROUP BY 1),
+              |keepers AS (SELECT d.doc_id,
+              |    coalesce(k.keeper, d.doc_id) AS keeper_id
+              |  FROM docs d LEFT JOIN keep k ON k.dup_id = d.doc_id),
+              |cs AS (SELECT keeper_id, count(*) AS cluster_size
+              |  FROM keepers GROUP BY 1)
+              |SELECT cluster_size, count(*) AS n_clusters,
+              |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+              |FROM cs GROUP BY 1""".stripMargin)),
+
+    // ---- MinHash Jaccard estimate vs exact (the estimator the S-curve
+    // integrates): adjacent-id pairs give a spread of true similarities;
+    // both the 4-component estimate and the exact token-set Jaccard are
+    // replayed, so the estimator's VALUES (not a summary) are certified
+    "q_minhash_est" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "documents").filter(col("doc_id") < 120)
+        val sig = Dedup.minhashSignature(base, "doc_id", "text", 4)
+          .select(col("doc_id"),
+            array(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("__sig"))
+        val toks = base.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("__toks"))
+        val a = sig.join(toks, "doc_id")
+          .select(col("doc_id").as("id_a"), col("__sig").as("__sa"),
+            col("__toks").as("__ta"))
+        val b = sig.join(toks, "doc_id")
+          .select(col("doc_id").as("id_b"), col("__sig").as("__sb"),
+            col("__toks").as("__tb"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            Dedup.minhashJaccardEstimate(col("__sa"), col("__sb"))
+              .as("est_jaccard"),
+            round(size(array_intersect(col("__ta"), col("__tb")))
+              .cast("double") /
+              size(array_union(col("__ta"), col("__tb"))), 6)
+              .as("exact_jaccard"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS t
+             |  FROM documents WHERE doc_id < 120),
+             |sig AS (SELECT doc_id,
+             |    min(md5(t || '#0')) AS mh0, min(md5(t || '#1')) AS mh1,
+             |    min(md5(t || '#2')) AS mh2, min(md5(t || '#3')) AS mh3
+             |  FROM tok GROUP BY 1),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT
+             |      + (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT) / 4.0, 6)
+             |      AS est_jaccard
+             |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+             |inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+             |    count(*) AS i
+             |  FROM tok ta JOIN tok tb
+             |    ON tb.doc_id = ta.doc_id + 1 AND tb.t = ta.t
+             |  GROUP BY 1, 2)
+             |SELECT p.id_a, p.id_b, p.est_jaccard,
+             |  round(coalesce(i.i, 0) * 1.0
+             |    / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS exact_jaccard
+             |FROM p
+             |JOIN sz sa ON sa.doc_id = p.id_a
+             |JOIN sz sb ON sb.doc_id = p.id_b
+             |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin)),
+
     // ---- LSH banding: near-dups collide in >=1 band ----------------------
     "q_dedup_lsh_bands" -> QueryDef(
       (s, dir) => {
@@ -1681,6 +1751,171 @@ object PipelineQueries {
           array_join(toks, "\u001f").as("bpe_joined"))
       },
       Some(bpeOracleSql)),
+
+    // ---- C4 page cleanup gate (Raffel et al. 2020 §2.2) -------------------
+    // The fixture text has no lines/punctuation, so pages are CONSTRUCTED
+    // identically on both sides: kept lines (terminal punct, >=3 words),
+    // dropped lines (no punct / too short / "javascript"), plus planted
+    // page-level failures — doc_id%4==0 loses its second kept line (<5
+    // sentences), %5==0 carries "lorem ipsum", %7==0 carries "{". The
+    // line REWRITE (text_clean) is compared verbatim, not just verdicts.
+    "q_c4_gate" -> QueryDef(
+      (s, dir) => {
+        val t0 = col("text")
+        val l1 = concat(substring(t0, 1, 20), lit(". "),
+          substring(t0, 21, 20), lit(". "), substring(t0, 41, 20), lit("."))
+        val l5 = concat(substring(t0, 10, 20), lit("! "),
+          substring(t0, 30, 20), lit("!"))
+        val page = concat_ws("\n",
+          l1,
+          substring(t0, 31, 20),
+          lit("use javascript today."),
+          lit("a b."),
+          when(col("doc_id") % 4 =!= 0, l5),
+          when(col("doc_id") % 5 === 0, lit("and lorem ipsum text here.")),
+          when(col("doc_id") % 7 === 0, lit("config { block")))
+        TextFunctions.c4Gate(
+          t(s, dir, "documents").filter(col("doc_id") < 200)
+            .select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    concat_ws(chr(10),
+             |      substr(text, 1, 20) || '. ' || substr(text, 21, 20) || '. '
+             |        || substr(text, 41, 20) || '.',
+             |      substr(text, 31, 20),
+             |      'use javascript today.',
+             |      'a b.',
+             |      CASE WHEN doc_id % 4 <> 0 THEN substr(text, 10, 20) || '! '
+             |        || substr(text, 30, 20) || '!' END,
+             |      CASE WHEN doc_id % 5 = 0 THEN 'and lorem ipsum text here.' END,
+             |      CASE WHEN doc_id % 7 = 0 THEN 'config { block' END) AS t
+             |  FROM documents WHERE doc_id < 200),
+             |l AS (SELECT doc_id, i, trim(ts[i]) AS l
+             |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ts,
+             |          unnest(generate_series(1, len(string_split(t, chr(10))))) AS i
+             |        FROM base)),
+             |kept AS (SELECT doc_id, i, l FROM l
+             |  WHERE (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+             |    AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3
+             |    AND NOT contains(lower(l), 'javascript')),
+             |agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text_clean,
+             |    count(*) AS n_kept
+             |  FROM kept GROUP BY 1),
+             |page AS (SELECT b.doc_id,
+             |    coalesce(a.text_clean, '') AS text_clean,
+             |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+             |    CAST(len(regexp_extract_all(coalesce(a.text_clean, ''), '[.!?]'))
+             |      AS BIGINT) AS n_sentences,
+             |    NOT contains(lower(b.t), 'lorem ipsum') AS r_lorem,
+             |    NOT contains(b.t, '{') AS r_brace
+             |  FROM base b LEFT JOIN agg a USING (doc_id))
+             |SELECT doc_id, text_clean, n_lines_kept, n_sentences,
+             |  n_sentences >= 5 AS r_sentences, r_lorem, r_brace,
+             |  TRUE AS r_badwords,
+             |  (n_sentences >= 5 AND r_lorem AND r_brace) AS pass
+             |FROM page""".stripMargin)),
+
+    // ---- encoding-damage metrics (mojibake / replacement / control) -------
+    // Damage is PLANTED identically on both sides: %3==0 docs get U+FFFD
+    // replacement chars, %5==0 a C0 control byte, %7==0 the Ã© digraph.
+    "q_encoding_quality" -> QueryDef(
+      (s, dir) => {
+        val damaged = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, lit("\uFFFD\uFFFD"))
+              .otherwise(lit("\uFFFD"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\u0007")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" caf\u00C3\u00A9"))
+            .otherwise(lit("")))
+        TextFunctions.encodingQualityMetrics(
+          t(s, dir, "documents").filter(col("doc_id") < 400)
+            .select(col("doc_id"), damaged.as("text")),
+          "doc_id", "text")
+      },
+      Some("""WITH base AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0 THEN
+             |      CASE WHEN doc_id % 2 = 0 THEN chr(65533) || chr(65533)
+             |        ELSE chr(65533) END ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0 THEN ' caf' || chr(195) || chr(169)
+             |      ELSE '' END AS t
+             |  FROM documents WHERE doc_id < 400),
+             |m AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+             |      AS n_replacement,
+             |    CAST(len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))
+             |      AS BIGINT) AS n_control,
+             |    CAST(len(regexp_extract_all(t,
+             |      '[' || chr(195) || chr(194) || '][\x{80}-\x{BF}]')) AS BIGINT)
+             |      AS n_mojibake,
+             |    length(t) AS chars
+             |  FROM base)
+             |SELECT doc_id, n_replacement, n_control, n_mojibake,
+             |  CASE WHEN chars = 0 THEN 0.0
+             |    ELSE round((n_replacement + n_control + n_mojibake * 2) * 1.0
+             |      / chars, 6) END AS bad_char_ratio,
+             |  (CASE WHEN chars = 0 THEN 0.0
+             |    ELSE round((n_replacement + n_control + n_mojibake * 2) * 1.0
+             |      / chars, 6) END) <= 0.001 AS clean
+             |FROM m""".stripMargin)),
+
+    // ---- MinHash-LSH S-curve (the banding design equation) ----------------
+    // lshPlan(8, 0.8) must pick (b=2, r=4) — threshold (1/2)^(1/4)=0.841,
+    // the closest factorization — and the collision probability replays as
+    // pure arithmetic over a jaccard grid derived from doc ids.
+    "q_lsh_scurve" -> QueryDef(
+      (s, dir) => {
+        val plan = Dedup.lshPlan(8, 0.8)
+        require(plan == (2, 4), s"lshPlan(8, 0.8) must choose (2,4), got $plan")
+        val j = round((col("doc_id") + 1) / 100.0, 6)
+        t(s, dir, "documents").filter(col("doc_id") < 99).select(
+          col("doc_id"), j.as("jaccard"),
+          round(Dedup.lshCollisionProb(j, plan._1, plan._2), 6).as("p_planned"),
+          round(Dedup.lshCollisionProb(j, 4, 2), 6).as("p_b4_r2"),
+          round(Dedup.lshCollisionProb(j, 8, 1), 6).as("p_b8_r1"))
+      },
+      Some("""SELECT doc_id,
+             |  round((doc_id + 1) / 100.0, 6) AS jaccard,
+             |  round(1 - pow(1 - pow(round((doc_id + 1) / 100.0, 6), 4), 2), 6)
+             |    AS p_planned,
+             |  round(1 - pow(1 - pow(round((doc_id + 1) / 100.0, 6), 2), 4), 6)
+             |    AS p_b4_r2,
+             |  round(1 - pow(1 - pow(round((doc_id + 1) / 100.0, 6), 1), 8), 6)
+             |    AS p_b8_r1
+             |FROM documents WHERE doc_id < 99""".stripMargin)),
+
+    // ---- per-doc contamination fraction (GPT-3 appendix-C reporting) ------
+    "q_contam_frac" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.trainprep.TrainPrep.contaminationFraction(
+          d.filter(col("doc_id") >= 100 && col("doc_id") < 300), "doc_id", "text",
+          d.filter(col("doc_id") < 5), "doc_id", "text", n = 5)
+      },
+      Some("""WITH tr AS (SELECT DISTINCT doc_id,
+             |    array_to_string(ts[i : i + 4], ' ') AS shingle
+             |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+             |        FROM (SELECT doc_id, string_split(text, ' ') AS ts
+             |              FROM documents WHERE doc_id >= 100 AND doc_id < 300)
+             |        WHERE len(ts) >= 5)),
+             |bs AS (SELECT DISTINCT array_to_string(ts[i : i + 4], ' ') AS shingle
+             |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 4)) AS i
+             |        FROM (SELECT string_split(text, ' ') AS ts
+             |              FROM documents WHERE doc_id < 5)
+             |        WHERE len(ts) >= 5)),
+             |per AS (SELECT tr.doc_id, count(*) AS n_shingles,
+             |    sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_contaminated
+             |  FROM tr LEFT JOIN bs USING (shingle) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+             |  CAST(coalesce(per.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             |  round(coalesce(per.n_contaminated * 1.0 / per.n_shingles, 0.0), 6)
+             |    AS contaminated_frac
+             |FROM (SELECT doc_id FROM documents
+             |      WHERE doc_id >= 100 AND doc_id < 300) d
+             |LEFT JOIN per USING (doc_id)""".stripMargin)),
 
     // ---- text analysis: language-ID heuristic ------------------------------
     "q_text_langid" -> QueryDef(

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * would make every posting a clique. Here doc i is 40 pseudo-random
   * tokens keyed by hash(seed, j) over a 50 k-word vocabulary — shingles
   * are effectively unique — and every 4th doc is a PLANTED true-prefix
-  * sub-document of its predecessor (20 tokens, containment 1.0), so the
+  * sub-document of its predecessor (30 tokens, containment 1.0; short
+  * enough to be a true sub, long enough that a single 27-char 4-gram
+  * cannot exceed the repetition gate's 0.16 char-fraction — the e2e
+  * section needs every doc to pass the gate deterministically), so the
   * candidate population is known by construction: ~250 k true pairs in
   * 1 M docs, and the expected survivor count is exact (subs drop, all
   * else survives).
@@ -66,7 +69,7 @@ object ScaleDeep {
     val nDocs = 1000000L * mult
     val vocab = 50000
     val supTokens = 40
-    val subTokens = 20
+    val subTokens = 30
     // doc i: every 4th doc (i % 4 == 1) reuses its predecessor's seed and
     // takes only the first `subTokens` tokens — a true-prefix sub-document
     val docs = spark.range(nDocs)
@@ -127,6 +130,160 @@ object ScaleDeep {
     require(dRecs < trigramOccurrences / 10,
       s"dsirSelect shuffled $dRecs records — within 10x of the raw " +
         s"trigram stream (~$trigramOccurrences); map-side collapse is broken")
+
+    // ---- CorpusPrep END-TO-END at 1 M docs --------------------------------
+    // The stages above are scale-validated individually; this composes the
+    // realistic pipeline (gate → rewrite → near-dedup → containment →
+    // pack-chunk → export) and measures BOTH shapes:
+    //  - STAGE-WISE: each stage runs alone with parquet handoffs — exact
+    //    per-stage wall + shuffle-record attribution;
+    //  - COMPOSED: one CorpusPrep.run call with the same flags — the lazy
+    //    whole-pipeline plan the CLI actually executes.
+    // The composed run must not shuffle materially more than the stage sum
+    // (a blow-up there means a stage re-executes its upstream per action —
+    // the repeated-text-scan composition hazard this section exists to
+    // measure; inter-stage parquet I/O is NOT shuffle, so the stage-wise
+    // records are the pipeline's true shuffle floor).
+    //
+    // Population semantics are known by construction: every doc passes the
+    // repetition gate (unique pseudo-random tokens, single line), PII
+    // redaction and paragraph structure are no-ops, near-dedup verifies
+    // no pair at 0.8 (sub↔sup Jaccard is 0.75), and containment drops
+    // exactly the planted sub-docs — so docs_out is exact, and every
+    // stage's cost is measured at its honest 1 M-doc price.
+    val e2eDir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val inDir = s"$e2eDir/in"
+    docs.write.mode("overwrite").parquet(inDir)
+
+    def stageRow(name: String, recs: Long, mb: Long, secs: Double,
+        rows: Long): Unit =
+      println(s"""{"metric":"corpus_prep_stage","stage":"$name",""" +
+        s""""rows_out":$rows,"shuffle_records":$recs,"shuffle_mb":$mb,""" +
+        s""""seconds":$secs}""")
+
+    var stageRecsTotal = 0L
+    def runStage(name: String, inPath: String, outPath: String)
+        (f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      val (rows, recs, bytes, _, secs) = section {
+        val in = spark.read.parquet(inPath)
+        f(in).write.mode("overwrite").parquet(outPath)
+        spark.read.parquet(outPath).count()
+      }
+      stageRecsTotal += recs
+      stageRow(name, recs, bytes / 1000000, secs, rows)
+      rows
+    }
+
+    val rows1 = runStage("repetition_gate", inDir, s"$e2eDir/s1") { d =>
+      val passers = graft.functions.TextFunctions
+        .repetitionGate(d, "doc_id", "text")
+        .filter(col("pass")).select(col("doc_id"))
+      d.join(passers, Seq("doc_id"), "left_semi")
+    }
+    require(rows1 == built, s"every synthetic doc passes the gate: $rows1")
+    // gate units: 1 marker + 1 line + Σ n-gram shingles per doc; three
+    // count-sized shuffles (count agg, rank window, per-doc agg) plus the
+    // keep semi-join — bound 5× units
+    def unitsPerDoc(t: Int) = 2 + (t - 1) + (t - 2) + (t - 3)
+    val gateUnits = (nDocs * 3 / 4) * unitsPerDoc(supTokens) +
+      (nDocs / 4) * unitsPerDoc(subTokens)
+    require(stageRecsTotal < 5L * gateUnits,
+      s"repetition gate shuffled $stageRecsTotal — over 5x its $gateUnits units")
+
+    val rows2 = runStage("redact_pii", s"$e2eDir/s1", s"$e2eDir/s2") { d =>
+      d.withColumn("text", graft.trainprep.TrainPrep.redactPii(col("text")))
+    }
+    require(rows2 == built, s"redaction rewrites, never drops: $rows2")
+
+    val recsBeforeNear = stageRecsTotal
+    // banding via lshPlan(16, 0.8) = (4 bands, 4 rows): the default 2-row
+    // band key proved too weak for 30-40-token docs over a 50 k vocab —
+    // random band collisions made candidate pairs grow ~n^2 (measured
+    // 18 -> 41 -> 67 shuffle records/doc at 0.2/1/2 M docs); the 4-row
+    // key is similarity-driven (measured 14.5 records/doc at 1 M, linear)
+    val rows3 = runStage("dedup_near", s"$e2eDir/s2", s"$e2eDir/s3") { d =>
+      val keepers = graft.dedup.Dedup.nearDupKeepersRowwise(d, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4, threshold = 0.8)
+      d.join(keepers.filter(col("doc_id") === col("keeper_id"))
+        .select(col("doc_id")), Seq("doc_id"))
+    }
+    require(rows3 == built,
+      s"no synthetic pair verifies at 0.8 (sub-sup Jaccard is 0.75): $rows3")
+    require(stageRecsTotal - recsBeforeNear < 20L * nDocs,
+      "near-dedup must shuffle signatures/bands, never tokens: " +
+        s"${stageRecsTotal - recsBeforeNear}")
+
+    val recsBeforeContain = stageRecsTotal
+    val rows4 = runStage("containment_drop", s"$e2eDir/s3", s"$e2eDir/s4") { d =>
+      graft.dedup.Dedup.containmentDrop(d, "doc_id", "text", threshold = 0.9)
+    }
+    require(rows4 == built - expectedSubs,
+      s"containment drops exactly the planted subs: $rows4")
+    require(stageRecsTotal - recsBeforeContain < 6L * shingleOccurrences,
+      s"containment stage shuffled ${stageRecsTotal - recsBeforeContain}")
+
+    val recsBeforePack = stageRecsTotal
+    val rows5 = runStage("pack_chunks", s"$e2eDir/s4", s"$e2eDir/s5") { d =>
+      graft.trainprep.TrainPrep.packChunks(d, "doc_id", "text", 4096L)
+    }
+    require(rows5 == rows4, "pack emits one assignment row per doc")
+    require(stageRecsTotal - recsBeforePack < 6L * nDocs,
+      s"pack stage shuffled ${stageRecsTotal - recsBeforePack} — the " +
+        "range-partition prefix sum is docs-linear")
+
+    val (_, expRecs, expBytes, _, expSecs) = section {
+      spark.read.parquet(s"$e2eDir/s5").repartition(32, col("doc_id"))
+        .write.mode("overwrite").json(s"$e2eDir/export")
+    }
+    stageRecsTotal += expRecs
+    stageRow("export_jsonl", expRecs, expBytes / 1000000, expSecs, rows5)
+
+    // composed: the CLI's own lazy single-plan execution with equal flags
+    val (stats, compRecs, compBytes, _, compSecs) = section {
+      graft.cli.CorpusPrep.run(spark, Map(
+        "in" -> inDir, "out" -> s"$e2eDir/cli",
+        "repetition-gate" -> "true", "redact" -> "true",
+        "dedup" -> "near", "dedup-hashes" -> "16",
+        "dedup-rows-per-band" -> "4", "containment-dedup" -> "0.9",
+        "chunk-mode" -> "pack", "budget" -> "4096",
+        "export-jsonl" -> "none", "export-shards" -> "32"))
+    }
+    println(s"""{"metric":"corpus_prep_e2e_1m","docs":$built,""" +
+      s""""docs_out":${stats("docs_out")},"chunks":${stats("chunks")},""" +
+      s""""stage_sum_records":$stageRecsTotal,""" +
+      s""""composed_records":$compRecs,""" +
+      s""""composed_mb":${compBytes / 1000000},""" +
+      s""""composed_seconds":$compSecs}""")
+    require(stats("docs_out") == built - expectedSubs,
+      s"composed pipeline must agree with the stage-wise population: " +
+        s"${stats("docs_out")} vs ${built - expectedSubs}")
+    // composition hazard bound: the one-plan run may recompute upstream
+    // operators across its handful of actions (stats counts + the write),
+    // but must stay within 2x the honest stage-sum shuffle floor
+    require(compRecs < 2L * stageRecsTotal,
+      s"composed run shuffled $compRecs records vs stage sum " +
+        s"$stageRecsTotal — a stage is re-executing its upstream per action")
+
+    // composed again WITH --stage-cache: persisting the frame entering the
+    // internally-multi-action containment stage must erase most of the
+    // upstream re-execution the uncached run just measured
+    val (statsC, cacheRecs, _, _, cacheSecs) = section {
+      graft.cli.CorpusPrep.run(spark, Map(
+        "in" -> inDir, "out" -> s"$e2eDir/cli2",
+        "repetition-gate" -> "true", "redact" -> "true",
+        "dedup" -> "near", "dedup-hashes" -> "16",
+        "dedup-rows-per-band" -> "4", "containment-dedup" -> "0.9",
+        "chunk-mode" -> "pack", "budget" -> "4096",
+        "export-jsonl" -> "none", "export-shards" -> "32",
+        "stage-cache" -> "true"))
+    }
+    println(s"""{"metric":"corpus_prep_e2e_1m_cached","docs":$built,""" +
+      s""""docs_out":${statsC("docs_out")},""" +
+      s""""composed_records":$cacheRecs,"composed_seconds":$cacheSecs}""")
+    require(statsC("docs_out") == built - expectedSubs,
+      s"cached composed run population drifted: ${statsC("docs_out")}")
+    require(cacheRecs < compRecs,
+      s"--stage-cache must cut the composed shuffle: $cacheRecs vs $compRecs")
 
     docs.unpersist()
     spark.stop()

@@ -20,6 +20,10 @@ import graft.trainprep.TrainPrep
   *   2a'. Gopher repetition gate (`--repetition-gate true`
   *      [`--repetition-line-sep S`])             — the paper's five
   *      repetition thresholds as a keep-the-passers semi-join
+  *   2a''. encoding gate (`--encoding-max-bad-ratio 0.001`) — drop
+  *      mojibake/corrupted docs, map-side predicate (E104)
+  *   2a+. C4 page cleanup (`--c4-gate true` [`--c4-min-sentences N`])
+  *      — line-level REWRITE + page rules, Raffel et al. 2020 §2.2 (E103)
   *   2c. DSIR selection (`--dsir-target <docs.parquet>`
   *      [`--dsir-keep N`])                        — keep the N docs most
   *      like the target domain (dual trigram-LM importance ratio)
@@ -53,7 +57,10 @@ import graft.trainprep.TrainPrep
   *   6c. token-budget cap (`--budget-select N` [`--budget-col source`]) —
   *      keep each stratum's best-quality prefix within N tokens (mixing
   *      sets ratios, this sets absolute per-stratum volume)
-  *   7. chunking (`--chunk-mode pack` [default] with `--budget 4096` —
+  *   7. chunking, counting tokens with `--token-counter whitespace`
+  *      (default) or `bpe` [`--bpe-merges <file>`] — real merges-table
+  *      BPE budgeting via the codegen'd E101 expression
+  *      (`--chunk-mode pack` [default] with `--budget 4096` —
   *      concat-then-cut sequence packing on the distributed prefix scan;
   *      `--chunk-mode sliding` with `--chunk-tokens 512`
   *      `--chunk-stride 384` — overlapping per-doc retrieval windows;
@@ -100,6 +107,27 @@ object CorpusPrep {
       val minStop = args.getOrElse("gopher-min-stopwords", "2").toLong
       docs = docs.filter(
         TextFunctions.gopherPass(col(textCol), minStopwordHits = minStop))
+    }
+    // Encoding gate (`--encoding-max-bad-ratio 0.001`): drop docs whose
+    // replacement/control/mojibake character ratio exceeds the budget —
+    // a pure map-side predicate fused into the next scan (E104)
+    args.get("encoding-max-bad-ratio").foreach { r =>
+      docs = docs.filter(
+        TextFunctions.encodingClean(col(textCol), r.toDouble))
+    }
+    // C4 page cleanup (`--c4-gate true` [`--c4-min-sentences N`], Raffel
+    // et al. 2020 §2.2): REWRITES text to the kept lines and drops pages
+    // failing the page rules — one map pass for the measures, one
+    // id-join to swap the cleaned text in (E103)
+    if (args.get("c4-gate").contains("true")) {
+      val minSents = args.getOrElse("c4-min-sentences", "5").toLong
+      val gated = TextFunctions.c4Gate(docs, idCol, textCol,
+          minSentences = minSents)
+        .filter(col("pass"))
+        .select(col(idCol), col("text_clean"))
+      docs = docs.drop(textCol)
+        .join(gated, Seq(idCol))
+        .withColumnRenamed("text_clean", textCol)
     }
     // Gopher REPETITION gate (`--repetition-gate true`
     // [`--repetition-line-sep` default "\n"]): the paper's five
@@ -230,14 +258,24 @@ object CorpusPrep {
         docs = docs.join(keepers, idCol)
       case mode @ ("near" | "transitive") =>
         obsAttached = oversizeObs.isDefined
+        // `--dedup-hashes` / `--dedup-rows-per-band` size the banding key
+        // (defaults 8/2 — lshPlan(8, 0.5)). The band key's width is a
+        // SCALE control, not just a recall dial: ScaleDeep measured 2-row
+        // bands over 30-40-token docs producing ~n^2-growing random
+        // candidate pairs (18 -> 41 -> 67 shuffle records/doc at
+        // 0.2/1/2 M docs); widening to 4-row bands (16 hashes) made the
+        // candidate set similarity-driven again (14.5 records/doc at
+        // 1 M, linear). Derive the pair with Dedup.lshPlan.
+        val nh = args.getOrElse("dedup-hashes", "8").toInt
+        val rpb = args.getOrElse("dedup-rows-per-band", "2").toInt
         val keepers =
           if (mode == "near")
             Dedup.nearDupKeepersRowwise(docs, idCol, textCol,
-              numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+              numHashes = nh, rowsPerBand = rpb, threshold = 0.8,
               maxBucketSize = maxBucket, oversizeObs = oversizeObs)
           else
             Dedup.nearDupKeepersTransitiveRowwise(docs, idCol, textCol,
-              numHashes = 8, rowsPerBand = 2, threshold = 0.8,
+              numHashes = nh, rowsPerBand = rpb, threshold = 0.8,
               maxBucketSize = maxBucket, oversizeObs = oversizeObs)
         docs = docs.join(
           keepers.filter(col("doc_id") === col("keeper_id"))
@@ -252,7 +290,24 @@ object CorpusPrep {
     // resemblance-Jaccard scores such pairs low. Drops the contained side;
     // near-equal twins keep the lower id. Prefix-filter join: candidates
     // track true pairs, never corpus².
+    //
+    // `--stage-cache true`: persist the pipeline frame entering this
+    // stage. containmentDrop is internally multi-action (its verified-pair
+    // frame persists and is consumed by a second plan), so WITHOUT the
+    // cache everything upstream (gates, rewrites, near-dedup) re-executes
+    // once more — ScaleDeep's e2e section measured the composed CLI at
+    // 1.6× the stage-sum shuffle records from exactly this. The cache
+    // trades executor storage (the corpus at this point, text included)
+    // for that repeat; at 100 TB that is the standard
+    // checkpoint-before-multi-action-stage call, deliberately opt-in.
+    var stageCacheRef: Option[DataFrame] = None
     args.get("containment-dedup").foreach { t =>
+      if (args.get("stage-cache").contains("true")) {
+        val cached = docs.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stageCacheRef = Some(cached)
+        docs = cached
+      }
       docs = Dedup.containmentDrop(docs, idCol, textCol, t.toDouble)
     }
 
@@ -313,21 +368,37 @@ object CorpusPrep {
     // `--chunk-mode sentence` cuts ≈`--chunk-tokens` chunks at SENTENCE
     // boundaries (the RAG shape that never severs a clause).
     val chunkMode = args.getOrElse("chunk-mode", "pack")
+    // `--token-counter bpe` [`--bpe-merges <merges.txt>`]: budget pack /
+    // sentence chunks with REAL BPE token counts (E101) instead of the
+    // whitespace counter; the merge table defaults to the committed
+    // resource. Counting stays a zero-shuffle codegen expression.
+    val tokenCountFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      args.getOrElse("token-counter", "whitespace") match {
+        case "whitespace" => TextFunctions.tokenCount
+        case "bpe" =>
+          val merges = args.get("bpe-merges")
+            .map(graft.functions.Bpe.loadMergesFile)
+            .getOrElse(graft.functions.Bpe.defaultMerges)
+          graft.functions.Bpe.tokenCount(_, merges)
+        case other =>
+          sys.error(s"--token-counter must be 'whitespace' or 'bpe', got '$other'")
+      }
     val chunked = chunkMode match {
       case "pack" =>
         TrainPrep.packChunks(docs, idCol, textCol,
-          args.getOrElse("budget", "4096").toLong)
+          args.getOrElse("budget", "4096").toLong, tokenCountFn)
       case "sliding" =>
         TrainPrep.slidingChunks(docs, idCol, textCol,
           args.getOrElse("chunk-tokens", "512").toInt,
           args.getOrElse("chunk-stride", "384").toInt)
       case "sentence" =>
         TrainPrep.sentenceChunks(docs, idCol, textCol,
-          args.getOrElse("chunk-tokens", "512").toInt)
+          args.getOrElse("chunk-tokens", "512").toInt, tokenCountFn)
       case other =>
         sys.error(s"--chunk-mode must be 'pack', 'sliding' or 'sentence', got '$other'")
     }
     chunked.write.mode("overwrite").parquet(s"$out/chunks")
+    stageCacheRef.foreach(_.unpersist())
     contaminatedCache.foreach(_.unpersist())
     lmScoreCache.foreach(_.unpersist())
     dsirCache.foreach(_.unpersist())

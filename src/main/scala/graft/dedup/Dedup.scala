@@ -312,6 +312,64 @@ object Dedup {
         col("bh.band_hash").as("band_hash"))
   }
 
+  /** Duplicate-cluster size histogram — the dataset-card view of a dedup
+    * run (how much of the corpus is 1-of-a-kind vs 200-copy template
+    * spam): from any keepers frame (doc_id, keeper_id), one row per
+    * cluster size with the cluster count and the docs they cover. Two
+    * count-sized hash aggregates; nothing touches text. */
+  def dupClusterHistogram(keepers: DataFrame,
+      keeperCol: String = "keeper_id"): DataFrame =
+    keepers.groupBy(col(keeperCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  /** MinHash Jaccard ESTIMATE from two signature arrays: the fraction of
+    * equal components — the estimator whose concentration the banding
+    * S-curve ([[lshCollisionProb]]) integrates. Pure array arithmetic
+    * (zip_with + aggregate), replayable in any SQL engine; use it to
+    * rank candidates cheaply before the exact in-row verify. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    round(
+      aggregate(zip_with(sigA, sigB,
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / size(sigA), 6)
+
+  /** MinHash-LSH S-curve: the probability that two documents with
+    * Jaccard similarity `j` collide in at least one of `bands` bands of
+    * `rowsPerBand` rows — 1 − (1 − j^r)^b (Leskovec/Rajaraman/Ullman,
+    * "Mining of Massive Datasets" ch. 3). THE design equation of every
+    * banding scheme in this module: it says what a (b, r) choice actually
+    * promises about recall and candidate noise. Pure arithmetic Column —
+    * codegen'd, trivially replayed by any SQL engine (q_lsh_scurve). */
+  def lshCollisionProb(j: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"need positive bands/rows, got b=$bands r=$rowsPerBand")
+    lit(1.0) - pow(lit(1.0) - pow(j, lit(rowsPerBand)), lit(bands))
+  }
+
+  /** Plan a banding scheme: among the (bands, rowsPerBand) factorizations
+    * of `numHashes`, pick the one whose S-curve threshold (1/b)^(1/r) —
+    * the similarity at which collision probability crosses ~0.5 — lands
+    * closest to `targetThreshold`; ties prefer MORE rows per band (a
+    * steeper curve: fewer sub-threshold candidates at equal recall).
+    * Driver-side arithmetic over ≤ numHashes divisor pairs — use it to
+    * derive the (numHashes, rowsPerBand) arguments the near-dup entry
+    * points take instead of hand-guessing. */
+  def lshPlan(numHashes: Int, targetThreshold: Double): (Int, Int) = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(targetThreshold > 0.0 && targetThreshold < 1.0,
+      s"threshold must be in (0,1), got $targetThreshold")
+    val candidates = for {
+      r <- 1 to numHashes if numHashes % r == 0
+      b = numHashes / r
+    } yield (b, r)
+    candidates.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - targetThreshold), -r)
+    }
+  }
+
   def lshCandidateGroups(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int,
       maxBucketSize: Int = Int.MaxValue,
       oversizeObs: Option[Observation] = None): DataFrame = {

@@ -333,6 +333,50 @@ object TextFunctions {
           col("top4gram_frac") <= 0.16).as("pass"))
   }
 
+  /** C4-style page cleanup (Raffel et al. 2020, §2.2 — the other canonical
+    * pre-training filter beside Gopher): LINE-level keep rules (a line
+    * survives iff it ends in terminal punctuation `. ! ? "`, has ≥
+    * `minLineWords` words, and does not mention "javascript"
+    * case-insensitively), then PAGE-level rules on the kept text (≥
+    * `minSentences` sentences — counted as terminal punctuation marks, the
+    * cheap splitter-free proxy; no "lorem ipsum"; no `{`; no word-boundary match
+    * against `badWords`, C4's external list being caller-supplied). Returns one
+    * row per doc with `text_clean` (kept lines rejoined), the measured
+    * counts, one boolean per page rule, and `pass` — the line REWRITE
+    * applies even to failing pages so callers can audit what the gate saw.
+    *
+    * Scale shape: a single select of split/filter/HOF built-ins — zero
+    * shuffle, zero UDFs, one map pass over the scan (same posture as
+    * [[gopherGate]]); every rule has a DuckDB twin (list_filter /
+    * ends_with / regexp_count), so the whole gate is oracle-replayable
+    * (q_c4_gate). */
+  def c4Gate(df: DataFrame, idCol: String, textCol: String,
+      minSentences: Long = 5L, minLineWords: Long = 3L,
+      badWords: Seq[String] = Nil): DataFrame = {
+    val keptLines = filter(
+      transform(split(col(textCol), "\n", -1), l => trim(l)),
+      t => (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+          t.endsWith("\"")) &&
+        size(filter(split(t, " ", -1), w => length(w) > 0)) >= minLineWords &&
+        !lower(t).contains("javascript"))
+    val cleaned = array_join(keptLines, "\n")
+    val nSents = regexp_count(cleaned, lit("[.!?]")).cast("long")
+    val rSents = nSents >= minSentences
+    val rLorem = !lower(col(textCol)).contains("lorem ipsum")
+    val rBrace = !col(textCol).contains("{")
+    val rBad =
+      if (badWords.isEmpty) lit(true)
+      else !lower(col(textCol)).rlike(
+        badWords.map(w => java.util.regex.Pattern.quote(w.toLowerCase))
+          .mkString("\\b(", "|", ")\\b"))
+    df.select(col(idCol), cleaned.as("text_clean"),
+      size(keptLines).cast("long").as("n_lines_kept"),
+      nSents.as("n_sentences"),
+      rSents.as("r_sentences"), rLorem.as("r_lorem"), rBrace.as("r_brace"),
+      rBad.as("r_badwords"),
+      (rSents && rLorem && rBrace && rBad).as("pass"))
+  }
+
   /** The Gopher-rule stop set (Rae et al. 2021, appendix A1.1): a doc must
     * contain at least `minStopwordHits` DISTINCT members to pass. */
   val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -428,6 +472,45 @@ object TextFunctions {
       m.ellipsisFrac <= maxEllipsisLineFrac &&
       m.alphaFrac >= minAlphaWordFrac && m.stopHits >= minStopwordHits
   }
+
+  /** Encoding-damage metrics — the mojibake/corruption triage every
+    * web-scale text pipeline runs before spending tokens on broken bytes:
+    * counts of U+FFFD replacement characters (a decoder's "gave up"
+    * marker), of C0 control characters other than tab/newline/CR (binary
+    * bleed-through), and of the classic UTF-8-read-as-Latin-1 digraphs
+    * (Ã or Â followed by a char in the continuation range U+0080–U+00BF —
+    * the "Ã©"-for-"é" signature), plus `bad_char_ratio` over the doc's
+    * characters and a `clean` verdict at `maxBadRatio`. Empty docs are
+    * explicitly clean at ratio 0.0 (the [[qualityScore]] guard rationale).
+    *
+    * Three `regexp_count`s in one codegen'd select — zero shuffle at any
+    * corpus size; every pattern is RE2-expressible so the verdict replays
+    * in DuckDB (q_encoding_quality). */
+  private def encodingDamage(text: Column): (Column, Column, Column, Column) = {
+    val nRepl = regexp_count(text, lit("\uFFFD")).cast("long")
+    val nCtrl = regexp_count(text,
+      lit("[\u0000-\u0008\u000B\u000C\u000E-\u001F]")).cast("long")
+    val nMoji = regexp_count(text,
+      lit("[\u00C3\u00C2][\u0080-\u00BF]")).cast("long")
+    val ratio = when(length(text) === 0, lit(0.0))
+      .otherwise(round((nRepl + nCtrl + nMoji * 2).cast("double") /
+        length(text), 6))
+    (nRepl, nCtrl, nMoji, ratio)
+  }
+
+  def encodingQualityMetrics(df: DataFrame, idCol: String, textCol: String,
+      maxBadRatio: Double = 0.001): DataFrame = {
+    val (nRepl, nCtrl, nMoji, ratio) = encodingDamage(col(textCol))
+    df.select(col(idCol), nRepl.as("n_replacement"), nCtrl.as("n_control"),
+      nMoji.as("n_mojibake"), ratio.as("bad_char_ratio"),
+      (ratio <= maxBadRatio).as("clean"))
+  }
+
+  /** The encoding verdict alone, for pure-filter use — a map-side
+    * predicate like [[gopherPass]]; same measures as
+    * [[encodingQualityMetrics]]. */
+  def encodingClean(text: Column, maxBadRatio: Double = 0.001): Column =
+    encodingDamage(text)._4 <= maxBadRatio
 
   /** Character n-gram shingles (rolling window), for MinHash/fingerprints. */
   def charShingles(text: Column, n: Int): Column =

@@ -688,6 +688,42 @@ object TrainPrep {
       .distinct()
   }
 
+  /** Per-document contamination FRACTION — the GPT-3-appendix-C-style
+    * overlap REPORT that [[contaminationPairs]]'s binary verdict feeds:
+    * for every training doc, its n-gram shingle count, how many DISTINCT
+    * shingles also occur in the benchmark set, and the contaminated
+    * fraction — the number release dataset-cards publish ("X% of docs
+    * have >Y% 13-gram overlap with the eval set") and the dial for
+    * partial-contamination policies (drop at frac ≥ t rather than on any
+    * single shared shingle). Docs too short for one shingle report
+    * (0, 0, 0.0) explicitly.
+    *
+    * Scale shape: the benchmark side is eval-set-sized — its distinct
+    * shingles BROADCAST; training shingles stream map-side through the
+    * broadcast join (distinct-per-doc first, one (doc) aggregate after),
+    * so the shuffle carries one row per (doc, distinct-shingle) and the
+    * 100 TB corpus is never re-keyed by shingle. */
+  def contaminationFraction(train: DataFrame, trainId: String,
+      trainText: String, bench: DataFrame, benchId: String,
+      benchText: String, n: Int): DataFrame = {
+    val trainSh = ngramShingles(train, trainId, trainText, n)
+      .select(col(trainId), col("shingle")).distinct()
+    val benchSh = ngramShingles(bench, benchId, benchText, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    val perDoc = trainSh
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col(trainId))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+    train.select(col(trainId)).join(perDoc, Seq(trainId), "left")
+      .select(col(trainId),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated") / col("n_shingles"), lit(0.0)), 6)
+          .as("contaminated_frac"))
+  }
+
   /** Retrieval-style sliding-window chunking — the complement of
     * [[packChunks]]: each document is cut into overlapping windows of
     * `chunkTokens` tokens advancing by `strideTokens` (overlap =

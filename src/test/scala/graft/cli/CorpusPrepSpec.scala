@@ -32,6 +32,66 @@ class CorpusPrepSpec extends SparkSpec {
       Set("doc_id", "n_tokens", "start_offset", "chunk_id", "chunk_end_id"))
   }
 
+  test("--c4-gate rewrites pages to kept lines and drops failing pages") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("c4_in").toString
+    val five = "one two three. four five six. seven eight nine. " +
+      "ten eleven twelve. final sentence here."
+    Seq(
+      (1L, five + "\nno punctuation line here\nshort a."),
+      (2L, five + "\nwith lorem ipsum inside."),
+      (3L, "too few. sentences here."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("c4_out").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> in, "out" -> out, "c4-gate" -> "true", "budget" -> "64"))
+    assert(stats("docs_out") == 1L) // doc 1 passes; 2 lorem, 3 few sentences
+    // the surviving doc packed its CLEANED text: the unpunctuated line and
+    // the short line are gone, so the token count is the five-sentence core
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.select("n_tokens").head().getLong(0) == 15L)
+  }
+
+  test("--encoding-max-bad-ratio drops mojibake docs as a map-side predicate") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("enc_in").toString
+    Seq(
+      (1L, "a perfectly clean document of text"),
+      (2L, "broken ��� document"),
+      (3L, "another clean one"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("enc_out").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> in, "out" -> out, "encoding-max-bad-ratio" -> "0.01"))
+    assert(stats("docs_out") == 2L)
+  }
+
+  test("--token-counter bpe budgets chunks with real BPE counts") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("bpe_in").toString
+    // fixture-vocabulary words fully merge under the committed table;
+    // an OOV word splits into subwords, inflating its BPE count
+    Seq((1L, "batch part spark line"), (2L, "zzqq zzqq"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val outWs = Files.createTempDirectory("bpe_out1").toString
+    val outBpe = Files.createTempDirectory("bpe_out2").toString
+    CorpusPrep.run(spark, Map("in" -> in, "out" -> outWs, "budget" -> "64"))
+    CorpusPrep.run(spark, Map("in" -> in, "out" -> outBpe, "budget" -> "64",
+      "token-counter" -> "bpe"))
+    def tok(dir: String) = spark.read.parquet(s"$dir/chunks")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n_tokens")).toSeq
+    assert(tok(outWs) == Seq(4L, 2L))
+    val bpe = tok(outBpe)
+    assert(bpe.head >= 4L && bpe(1) > 2L,
+      s"OOV words must split into subwords under BPE counting: $bpe")
+    // loud on a bad counter name
+    intercept[RuntimeException] {
+      CorpusPrep.run(spark, Map("in" -> in,
+        "out" -> Files.createTempDirectory("bpe_out3").toString,
+        "token-counter" -> "wordpiece"))
+    }
+  }
+
   test("--gopher-gate filters as a predicate and composes with the pipeline") {
     val out = Files.createTempDirectory("corpus_prep_gopher").toString
     val stats = CorpusPrep.run(spark, Map(
