@@ -243,11 +243,18 @@ object PipelineQueries {
              |FROM tok GROUP BY doc_id""".stripMargin)),
 
     // ---- duplicate-cluster size histogram (dataset-card view) -------------
+    // The histogram FORCES full keeper materialization (a bare count() of
+    // the keeper frame prunes the verify), so the md5-replayable pipeline
+    // runs on a bounded sub-corpus: originals < 600 plus their shifted
+    // twins — twins pool into 2-clusters, the rest stay singletons.
     "q_dedup_cluster_hist" -> QueryDef(
       (s, dir) => Dedup.dupClusterHistogram(
-        Dedup.nearDupKeepers(docsWithDups(s, dir), "doc_id", "text",
-          numHashes = 4, rowsPerBand = 2, threshold = 0.6)),
-      Some(s"""WITH ${verifiedPairsSqlAt("0.6")},
+        Dedup.nearDupKeepers(
+          docsWithDups(s, dir)
+            .filter(col("doc_id") < 600 || col("doc_id") >= 100000L),
+          "doc_id", "text", numHashes = 4, rowsPerBand = 2, threshold = 0.6)),
+      Some(s"""WITH ${verifiedPairsSqlAt("0.6",
+             s"SELECT * FROM $dupUnionSql WHERE doc_id < 600 OR doc_id >= 100000")},
               |keep AS (SELECT id_b AS dup_id, min(id_a) AS keeper
               |  FROM ver GROUP BY 1),
               |keepers AS (SELECT d.doc_id,

@@ -797,6 +797,38 @@ object ScaleSmoke {
     println(s"""{"metric":"embed_standardize_scale","vectors":$nVecs,""" +
       s""""seconds":$stdSecs,"vecs_per_sec":${(nVecs / stdSecs).toLong},""" +
       s""""shuffle_bytes":$stdShuffle,"peak_stage_bytes":$stdPeak}""")
+
+    // ---- real-BPE tokenization: a pure map over the corpus scan — the
+    // only shuffle bytes allowed are the final count/sum partials --------
+    val (bpeRes, bpeShuffle, _, bpeSecs) = sectionShuffle {
+      bigDocs.select(graft.functions.Bpe.tokenCount(col("text")).as("n"))
+        .agg(sum(col("n")), count(lit(1))).head()
+    }
+    require(bpeShuffle < 1000000L,
+      s"BPE tokenization must not shuffle the corpus: $bpeShuffle bytes")
+    println(s"""{"metric":"bpe_encode_scale","docs":${bpeRes.getLong(1)},""" +
+      s""""bpe_tokens":${bpeRes.getLong(0)},"seconds":$bpeSecs,""" +
+      s""""tokens_per_sec":${(bpeRes.getLong(0) / bpeSecs).toLong},""" +
+      s""""shuffle_bytes":$bpeShuffle}""")
+
+    // ---- trained language ID: all four heads' margins in ONE
+    // (doc, bucket) aggregate — shuffle is bucket-partial-sized, never
+    // token rows ---------------------------------------------------------
+    val lidHeads = Seq("en", "de", "fr", "es").zipWithIndex.map { case (l, k) =>
+      graft.trainprep.LangIdClassifier.Head(l,
+        Array.tabulate(256)(b => ((b * 96769 + k * 777) % 2000) / 1000.0 - 1.0)
+          .toSeq, 0.0)
+    }
+    val (lidRes, lidShuffle, _, lidSecs) = sectionShuffle {
+      graft.trainprep.LangIdClassifier
+        .scoreArgmax(bigDocs, "doc_id", "text", lidHeads)
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n"))).head()
+    }
+    require(lidRes.getLong(0) == nDocs, "langid must score every doc")
+    println(s"""{"metric":"langid_lr_scale","docs":$nDocs,"heads":4,""" +
+      s""""seconds":$lidSecs,"docs_per_sec":${(nDocs / lidSecs).toLong},""" +
+      s""""shuffle_bytes":$lidShuffle}""")
     spark.stop()
   }
 }

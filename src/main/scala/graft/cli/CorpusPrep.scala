@@ -27,6 +27,10 @@ import graft.trainprep.TrainPrep
   *   2c. DSIR selection (`--dsir-target <docs.parquet>`
   *      [`--dsir-keep N`])                        — keep the N docs most
   *      like the target domain (dual trigram-LM importance ratio)
+  *   2d. incremental-crawl ingestion (`--incremental-ref <corpus>`
+  *      [`--incremental-fuzzy 0.9`]) — drop docs already in the trained
+  *      corpus: Bloom-prefiltered digest anti-join + optional
+  *      cross-corpus MinHash near-dup flagging (E38 + E67)
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
   *   4. PII redaction (`--redact true`)          — RE2-safe replace-all
   *   4b. paragraph dedup (`--paragraph-dedup true`) — keep-first
@@ -188,6 +192,36 @@ object CorpusPrep {
       dsirCache = Some(selected)
       docs = docs.join(selected, Seq(idCol), "left_semi")
       nDsirDropped = before - docs.count()
+    }
+    // Incremental-crawl ingestion (`--incremental-ref <corpus.parquet>`
+    // [`--incremental-fuzzy 0.9`]): drop docs already in the TRAINED
+    // corpus before spending anything else on them. Exact layer: the
+    // Bloom-prefiltered digest anti-join (E38 — ref digests become one
+    // broadcastable filter, only maybe-positives pay the real anti-join).
+    // Fuzzy layer (optional): cross-corpus MinHash banding at the given
+    // Jaccard threshold (E67) — catches re-crawls with boilerplate swaps
+    // and whitespace drift that digests miss. Runs FIRST among the
+    // dedup-shaped stages: at steady state most of a crawl is re-crawl,
+    // and every later stage is priced per surviving doc.
+    var nIncrementalDropped = 0L
+    args.get("incremental-ref").foreach { refPath =>
+      val ref = spark.read.parquet(refPath)
+      val refN = math.max(ref.count(), 1L)
+      val before = docs.count()
+      val digest = sha2(col(textCol), 256)
+      docs = Dedup.bloomPrefilteredAnti(
+          docs.withColumn("__digest", digest), "__digest",
+          ref.select(digest.as("__digest")), "__digest",
+          expectedItems = refN, fpp = 0.01)
+        .drop("__digest")
+      args.get("incremental-fuzzy").foreach { t =>
+        val flagged = Dedup.crossCorpusNearDupPairs(
+            docs, idCol, textCol, ref, idCol, textCol,
+            threshold = t.toDouble)
+          .select(col("train_id").as(idCol)).distinct()
+        docs = docs.join(flagged, Seq(idCol), "left_anti")
+      }
+      nIncrementalDropped = before - docs.count()
     }
     args.get("sample").foreach { thr =>
       docs = docs.filter(TrainPrep.hashSampleFilter(col(idCol), thr))
@@ -456,7 +490,8 @@ object CorpusPrep {
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
       "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped,
-      "dsir_dropped" -> nDsirDropped)
+      "dsir_dropped" -> nDsirDropped,
+      "incremental_dropped" -> nIncrementalDropped)
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_prep\",", ",", "}"))
     stats

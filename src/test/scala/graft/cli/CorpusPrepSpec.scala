@@ -92,6 +92,35 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("--incremental-ref drops re-crawls exactly; --incremental-fuzzy catches drifted ones") {
+    import spark.implicits._
+    val refDir = Files.createTempDirectory("incr_ref").toString
+    val inDir = Files.createTempDirectory("incr_in").toString
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq((1L, core), (2L, "an old corpus document kept around for reference"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+    Seq(
+      (10L, core),                          // byte-identical re-crawl
+      (11L, core + " phi"),                 // drifted re-crawl (J = 20/21)
+      (12L, "a genuinely new document with fresh words entirely"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val out1 = Files.createTempDirectory("incr_out1").toString
+    val s1 = CorpusPrep.run(spark, Map(
+      "in" -> inDir, "out" -> out1, "incremental-ref" -> refDir,
+      "budget" -> "64"))
+    assert(s1("incremental_dropped") == 1L, s1) // exact layer only
+    assert(s1("docs_out") == 2L)
+    val out2 = Files.createTempDirectory("incr_out2").toString
+    val s2 = CorpusPrep.run(spark, Map(
+      "in" -> inDir, "out" -> out2, "incremental-ref" -> refDir,
+      "incremental-fuzzy" -> "0.9", "budget" -> "64"))
+    assert(s2("incremental_dropped") == 2L, s2) // + the drifted re-crawl
+    val kept = spark.read.parquet(s"$out2/chunks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+  }
+
   test("--gopher-gate filters as a predicate and composes with the pipeline") {
     val out = Files.createTempDirectory("corpus_prep_gopher").toString
     val stats = CorpusPrep.run(spark, Map(

@@ -477,6 +477,24 @@ class PlanAuditSpec extends SparkSpec {
       "repetition gate must scan the corpus text exactly once:\n" + plan.take(1500))
   }
 
+  test("q_text_bpe tokenizes inside codegen — no fallback, no exchange on the scan") {
+    val plan = executedPlan("q_text_bpe")
+    assert(plan.contains("bpe_tokens"),
+      "the codegen'd BPE expression must appear in the plan:\n" + plan.take(1000))
+    assert(!plan.contains("CodegenFallback"), plan.take(1000))
+    assert(!plan.contains("Exchange"),
+      "BPE tokenization is a pure map over the scan:\n" + plan.take(1000))
+  }
+
+  test("C4 and encoding gates are single map passes — zero exchange") {
+    for (q <- Seq("q_c4_gate", "q_encoding_quality")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"),
+        s"$q must not shuffle — it is a per-row gate:\n" + plan.take(1000))
+      assert(!plan.contains("ScalaUDF"), plan.take(600))
+    }
+  }
+
   test("q_dedup_bloom probes with codegen'd might_contain — zero UDFs remain in src/main") {
     val plan = executedPlan("q_dedup_bloom")
     assert(plan.contains("might_contain"),
