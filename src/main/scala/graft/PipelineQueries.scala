@@ -168,7 +168,10 @@ object PipelineQueries {
     * inside a document would corrupt the wrapping — impossible in the
     * synthetic fixture, and it would fail the compare loudly, not
     * silently. */
-  private def bpeOracleSql: String = {
+  /** The words → wrapped-code-points → rank-order-sweep CTE chain shared
+    * by the q_text_bpe and q_bpe_fertility oracles. Yields CTEs `w`
+    * (doc_id, i, w) and `merged` (doc_id, i, s). */
+  private def bpeSweepCtes: String = {
     oracleBpePairs.foreach { case (l, r) =>
       require((l + r).forall(c => c >= 'a' && c <= 'z'),
         s"oracle merge table must stay lowercase-ASCII: ($l, $r)")
@@ -177,7 +180,7 @@ object PipelineQueries {
     val mergedExpr = oracleBpePairs.foldLeft("s0") { case (acc, (l, r)) =>
       s"replace($acc, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)})"
     }
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, i, ts[i] AS w FROM (
        |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts,
        |      unnest(generate_series(1, len(regexp_split_to_array(text, '\\s+')))) AS i
@@ -187,7 +190,12 @@ object PipelineQueries {
        |    chr(2) || array_to_string(regexp_extract_all(w, '.'), chr(3)||chr(2))
        |      || chr(3) AS s0
        |  FROM w),
-       |merged AS (SELECT doc_id, i, $mergedExpr AS s FROM wrapped),
+       |merged AS (SELECT doc_id, i, $mergedExpr AS s FROM wrapped)"""
+  } // NOTE: margin-full — the composing oracle strips ONCE (double
+    // stripMargin would eat the leading bar of every `||` continuation)
+
+  private def bpeOracleSql: String =
+    s"""WITH $bpeSweepCtes,
        |agg AS (SELECT doc_id,
        |    sum(length(s) - length(replace(s, chr(2), ''))) AS n,
        |    string_agg(replace(replace(replace(s, chr(3)||chr(2), chr(31)),
@@ -197,7 +205,19 @@ object PipelineQueries {
        |  coalesce(a.j, '') AS bpe_joined
        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
-  }
+
+  private def bpeFertilityOracleSql: String =
+    s"""WITH $bpeSweepCtes,
+       |agg AS (SELECT doc_id, count(*) AS words,
+       |    sum(length(s) - length(replace(s, chr(2), ''))) AS n
+       |  FROM merged GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN coalesce(a.words, 0) = 0 THEN 0.0
+       |    ELSE round(a.n * 1.0 / a.words, 6) END AS fertility
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -1758,6 +1778,41 @@ object PipelineQueries {
           array_join(toks, "\u001f").as("bpe_joined"))
       },
       Some(bpeOracleSql)),
+
+    // ---- tokenizer fertility (BPE tokens per word) ------------------------
+    "q_bpe_fertility" -> QueryDef(
+      (s, dir) => {
+        val m = graft.expressions.BpeMerges(oracleBpePairs)
+        val words = size(filter(split(col("text"), "\\s+", -1),
+          w => length(w) > 0)).cast("long")
+        val toks = size(graft.functions.Bpe.tokens(col("text"), m)).cast("long")
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          col("doc_id"), words.as("n_words"), toks.as("n_bpe_tokens"),
+          when(words === 0, lit(0.0))
+            .otherwise(round(toks.cast("double") / words, 6)).as("fertility"))
+      },
+      Some(bpeFertilityOracleSql)),
+
+    // ---- sequence-length histogram + padding-waste report -----------------
+    "q_seq_len_hist" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.seqLenHistogram(
+        t(s, dir, "documents"), "doc_id", "text", contextTokens = 128),
+      Some("""WITH l AS (SELECT CASE WHEN length(text) = 0 THEN 0
+             |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS len
+             |  FROM documents),
+             |b AS (SELECT len,
+             |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+             |      WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+             |      WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+             |      WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
+             |      WHEN len <= 4096 THEN 4096 ELSE 8192 END AS len_bucket,
+             |    CAST(floor((len + 127) * 1.0 / 128) AS BIGINT) AS nseq
+             |  FROM l)
+             |SELECT len_bucket, count(*) AS n_docs,
+             |  CAST(sum(len) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(nseq) AS BIGINT) AS n_sequences,
+             |  CAST(sum(nseq * 128 - len) AS BIGINT) AS pad_waste_tokens
+             |FROM b GROUP BY 1""".stripMargin)),
 
     // ---- C4 page cleanup gate (Raffel et al. 2020 §2.2) -------------------
     // The fixture text has no lines/punctuation, so pages are CONSTRUCTED

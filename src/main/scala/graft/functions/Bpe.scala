@@ -52,7 +52,10 @@ object Bpe {
   }
 
   /** The committed default table (classpath resource), trained with
-    * [[train]] (200 merges) on the driver's sf0.01 document fixture. */
+    * [[train]] on the driver's sf0.1 document fixture at a 60-merge
+    * budget (the 31-word synthetic vocabulary saturates — every word one
+    * symbol — at 89, so the budget sits below saturation to keep subword
+    * splitting real). */
   lazy val defaultMerges: BpeMerges = {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
     require(in != null, "bpe_merges.txt resource missing from classpath")
@@ -69,6 +72,17 @@ object Bpe {
   /** Real token count for budget/packing/chunking call sites. */
   def tokenCount(text: Column, merges: BpeMerges = defaultMerges): Column =
     size(tokens(text, merges)).cast("long")
+
+  /** Tokenizer-fit FERTILITY: BPE tokens per whitespace word — the
+    * standard tokenizer-evaluation metric (≈1 on in-vocabulary prose,
+    * rising on domains the merge table never saw). Zero words → explicit
+    * 0.0. Pure map, like everything else here. */
+  def fertility(text: Column, merges: BpeMerges = defaultMerges): Column = {
+    val words = size(filter(split(text, "\\s+", -1),
+      w => length(w) > 0)).cast("long")
+    when(words === 0, lit(0.0))
+      .otherwise(round(tokenCount(text, merges).cast("double") / words, 6))
+  }
 
   /** Train a merge table on a corpus column. Distributed word-frequency
     * aggregate + driver-side Sennrich merge loop over the bounded

@@ -724,6 +724,40 @@ object TrainPrep {
           .as("contaminated_frac"))
   }
 
+  /** Sequence-length histogram + padding-waste report — the batching-
+    * efficiency numbers a training run checks before choosing packed vs
+    * padded batching: docs bucketed by token length (power-of-two ladder
+    * 16…8192, fixed literal buckets so every engine cuts identically),
+    * with per-bucket doc/token sums, the UNPACKED sequence count at
+    * `contextTokens` (each doc costs ceil(len/ctx) sequences) and the
+    * padding tokens that batching shape wastes — the number that
+    * justifies [[packChunks]]. `tokenCountFn` swaps in BPE counting
+    * (E101). One map pass + one bucket-sized aggregate. */
+  def seqLenHistogram(docs: DataFrame, idCol: String, textCol: String,
+      contextTokens: Int,
+      tokenCountFn: Column => Column =
+        graft.functions.TextFunctions.tokenCount): DataFrame = {
+    require(contextTokens > 0,
+      s"contextTokens must be positive, got $contextTokens")
+    val len = coalesce(tokenCountFn(col(textCol)), lit(0L))
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val bucket = ladder.foldLeft(when(lit(false), lit(0L))) {
+      (acc, b) => acc.when(len <= b, lit(b))
+    }.otherwise(lit(8192L))
+    // integer ceil via floor of an exact double division (lengths sit far
+    // below 2^52, so the division is exact in both engines)
+    val nSeq = floor((len + (contextTokens - 1)) / lit(contextTokens.toDouble))
+      .cast("long")
+    docs
+      .select(len.as("__len"), bucket.as("len_bucket"), nSeq.as("__nseq"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_tokens"),
+        sum(col("__nseq")).as("n_sequences"),
+        sum(col("__nseq") * contextTokens - col("__len"))
+          .as("pad_waste_tokens"))
+  }
+
   /** Retrieval-style sliding-window chunking — the complement of
     * [[packChunks]]: each document is cut into overlapping windows of
     * `chunkTokens` tokens advancing by `strideTokens` (overlap =

@@ -141,6 +141,36 @@ class BpeSpec extends SparkSpec {
     assert(bpe.toSeq == Seq((6L, 0L), (1L, 1L), (3L, 1L)))
   }
 
+  test("fertility: in-vocabulary prose near 1, OOV text above, empty 0") {
+    import spark.implicits._
+    val df = Seq(("a", "the the the"), ("b", "zzqq wwxx"), ("c", ""),
+      ("d", "   ")).toDF("id", "text")
+    val out = df.select(col("id"), Bpe.fertility(col("text"), tiny).as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 1.0)       // 'the' is a single merged symbol
+    assert(out("b") == 4.0)       // untrained 4-char words stay characters
+    assert(out("c") == 0.0 && out("d") == 0.0)
+  }
+
+  test("seqLenHistogram buckets, sequence counts and padding waste are exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(_ => "w").mkString(" ")),   // 10 tokens  → bucket 16
+      (2L, (1 to 100).map(_ => "w").mkString(" ")),  // 100 tokens → bucket 128
+      (3L, (1 to 130).map(_ => "w").mkString(" ")),  // 130 tokens → bucket 256
+      (4L, "")).toDF("doc_id", "text")               // 0 tokens   → bucket 16
+    val out = graft.trainprep.TrainPrep
+      .seqLenHistogram(df, "doc_id", "text", contextTokens = 128)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bucket 16: docs {10, 0} → 1 sequence (the empty doc costs none),
+    // waste 128−10
+    assert(out(16L) == (2L, 10L, 1L, 118L))
+    assert(out(128L) == (1L, 100L, 1L, 28L))
+    // 130 tokens at ctx 128 → 2 sequences, waste 256−130
+    assert(out(256L) == (1L, 130L, 2L, 126L))
+  }
+
   test("default merges resource loads, is non-trivial, and counts differ from the lexer") {
     val m = Bpe.defaultMerges
     // the synthetic fixture has a 31-word vocabulary that saturates (every
