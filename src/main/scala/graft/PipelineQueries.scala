@@ -194,6 +194,15 @@ object PipelineQueries {
   } // NOTE: margin-full — the composing oracle strips ONCE (double
     // stripMargin would eat the leading bar of every `||` continuation)
 
+  /** (symbol → id) VALUES list for the q_bpe_ids / q_bpe_pack_ids
+    * oracles — generated from the SAME literal table as the Spark side
+    * (Bpe.vocabOf), so the id contract cannot drift. */
+  private def bpeVocabValuesSql: String =
+    graft.functions.Bpe.vocabOf(graft.expressions.BpeMerges(oracleBpePairs))
+      .zipWithIndex
+      .map { case (s, i) => s"('$s', ${i + 1})" }
+      .mkString("(VALUES ", ", ", ") v(sym, id)")
+
   private def bpeOracleSql: String =
     s"""WITH $bpeSweepCtes,
        |agg AS (SELECT doc_id,
@@ -1813,6 +1822,58 @@ object PipelineQueries {
              |  CAST(sum(nseq) AS BIGINT) AS n_sequences,
              |  CAST(sum(nseq * 128 - len) AS BIGINT) AS pad_waste_tokens
              |FROM b GROUP BY 1""".stripMargin)),
+
+    // ---- BPE token IDS under the closed vocabulary ------------------------
+    "q_bpe_ids" -> QueryDef(
+      (s, dir) => {
+        val m = graft.expressions.BpeMerges(oracleBpePairs)
+        val ids = graft.functions.Bpe.tokenIds(col("text"), m)
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          col("doc_id"),
+          size(ids).cast("long").as("n_ids"),
+          size(filter(ids, i => i === 0)).cast("long").as("n_unk"),
+          array_join(transform(ids, _.cast("string")), ",").as("ids_joined"))
+      },
+      Some(s"""WITH $bpeSweepCtes,
+              |tok AS (SELECT doc_id, i, k, ts[k] AS t FROM (
+              |    SELECT doc_id, i,
+              |      string_split(replace(replace(replace(s, chr(3)||chr(2),
+              |        chr(31)), chr(2), ''), chr(3), ''), chr(31)) AS ts
+              |    FROM merged),
+              |  unnest(generate_series(1, len(ts))) AS _(k)),
+              |ids AS (SELECT doc_id, i, k, coalesce(v.id, 0) AS tid
+              |  FROM tok LEFT JOIN $bpeVocabValuesSql ON v.sym = tok.t),
+              |agg AS (SELECT doc_id, count(*) AS n,
+              |    sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS unk,
+              |    string_agg(tid::VARCHAR, ',' ORDER BY i, k) AS j
+              |  FROM ids GROUP BY 1)
+              |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_ids,
+              |  CAST(coalesce(a.unk, 0) AS BIGINT) AS n_unk,
+              |  coalesce(a.j, '') AS ids_joined
+              |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+              |LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // ---- packed token-id sequences (the pretraining tensor shape) ---------
+    "q_bpe_pack_ids" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.packedTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        graft.expressions.BpeMerges(oracleBpePairs), contextTokens = 64),
+      Some(s"""WITH $bpeSweepCtes,
+              |tok AS (SELECT doc_id, i, k, ts[k] AS t FROM (
+              |    SELECT doc_id, i,
+              |      string_split(replace(replace(replace(s, chr(3)||chr(2),
+              |        chr(31)), chr(2), ''), chr(3), ''), chr(31)) AS ts
+              |    FROM merged),
+              |  unnest(generate_series(1, len(ts))) AS _(k)),
+              |ids AS (SELECT doc_id, i, k, coalesce(v.id, 0) AS tid
+              |  FROM tok LEFT JOIN $bpeVocabValuesSql ON v.sym = tok.t),
+              |g AS (SELECT tid,
+              |    row_number() OVER (ORDER BY doc_id, i, k) - 1 AS gpos
+              |  FROM ids)
+              |SELECT CAST(floor(gpos / 64.0) AS BIGINT) AS seq_id,
+              |  count(*) AS n_tokens,
+              |  string_agg(tid::VARCHAR, ',' ORDER BY gpos) AS token_ids
+              |FROM g GROUP BY 1""".stripMargin)),
 
     // ---- C4 page cleanup gate (Raffel et al. 2020 §2.2) -------------------
     // The fixture text has no lines/punctuation, so pages are CONSTRUCTED

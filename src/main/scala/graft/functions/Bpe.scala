@@ -84,6 +84,33 @@ object Bpe {
       .otherwise(round(tokenCount(text, merges).cast("double") / words, 6))
   }
 
+  /** The CLOSED VOCABULARY a merge table induces, in a deterministic
+    * order: the distinct single code points appearing in merge sides
+    * (sorted), then each merge's output in rank order. Id 0 is reserved
+    * for <unk> (a token outside the table — BPE without byte-fallback);
+    * real ids start at 1. The (symbol → id) contract both engines can
+    * rebuild from the same literal table. */
+  def vocabOf(merges: BpeMerges): IndexedSeq[String] = {
+    val chars = merges.pairs.flatMap { case (l, r) =>
+      (l + r).codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }.distinct.sorted
+    val outs = merges.pairs.map { case (l, r) => l + r }
+    (chars ++ outs).distinct.toIndexedSeq
+  }
+
+  /** Token IDS under the table's closed vocabulary — the array a trainer
+    * actually consumes: `transform` over the codegen'd token stream with
+    * an `element_at` on a literal map (codegen'd; no join, no shuffle).
+    * Out-of-vocabulary tokens map to 0 (<unk>). */
+  def tokenIds(text: Column, merges: BpeMerges = defaultMerges): Column = {
+    val vocab = vocabOf(merges)
+    val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i + 1))
+    }: _*)
+    transform(tokens(text, merges),
+      t => coalesce(element_at(m, t), lit(0)))
+  }
+
   /** Train a merge table on a corpus column. Distributed word-frequency
     * aggregate + driver-side Sennrich merge loop over the bounded
     * dictionary (see object doc). Deterministic: pair selection breaks

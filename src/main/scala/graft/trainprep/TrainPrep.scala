@@ -758,6 +758,41 @@ object TrainPrep {
           .as("pad_waste_tokens"))
   }
 
+  /** GPT-style packed TOKEN-ID sequences — the final training artifact:
+    * documents tokenized to ids (E101/E112), laid end-to-end in id order,
+    * and cut into fixed `contextTokens` sequences (docs span boundaries,
+    * exactly like [[packChunks]] whose distributed prefix-sum this
+    * reuses). Returns (seq_id, n_tokens, token_ids) with ids joined as a
+    * comma string for cross-engine value compare; the last sequence may
+    * be short.
+    *
+    * Scale shape: tokenize is a zero-shuffle map; the global offset is
+    * the two-pass range-partition prefix sum (never a single-partition
+    * window); the only fan-out is posexplode of ids the scan already
+    * produced, and the final aggregate groups by sequence — shuffle rows
+    * = token count, each row 3 small integers. */
+  def packedTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: graft.expressions.BpeMerges, contextTokens: Int): DataFrame = {
+    require(contextTokens > 0,
+      s"contextTokens must be positive, got $contextTokens")
+    val withIds = docs.select(col(idCol),
+        graft.functions.Bpe.tokenIds(col(textCol), merges).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val cum = graft.ops.TimeSeriesOps.scanCumSumLong(
+      withIds, Seq(idCol), "__n", "__cum")
+    cum.withColumn("__start", col("__cum") - col("__n"))
+      .select(col(idCol), col("__start"),
+        posexplode(col("__ids")).as(Seq("__p", "__tid")))
+      .withColumn("__gpos", col("__start") + col("__p"))
+      .withColumn("seq_id",
+        floor(col("__gpos") / lit(contextTokens.toDouble)).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__gpos"), col("__tid")))),
+          _.getField("__tid").cast("string")), ",").as("token_ids"))
+  }
+
   /** Retrieval-style sliding-window chunking — the complement of
     * [[packChunks]]: each document is cut into overlapping windows of
     * `chunkTokens` tokens advancing by `strideTokens` (overlap =

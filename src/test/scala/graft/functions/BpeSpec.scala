@@ -141,6 +141,19 @@ class BpeSpec extends SparkSpec {
     assert(bpe.toSeq == Seq((6L, 0L), (1L, 1L), (3L, 1L)))
   }
 
+  test("vocabOf order is deterministic and tokenIds maps OOV to 0") {
+    import spark.implicits._
+    val v = Bpe.vocabOf(tiny)
+    // sorted single code points of the sides, then outputs in rank order
+    assert(v.takeWhile(_.length == 1).sorted == v.takeWhile(_.length == 1))
+    assert(v.endsWith(Seq("th", "the", "in", "an", "and", "er", "ing")))
+    val out = Seq(("a", "the Z and")).toDF("id", "text")
+      .select(Bpe.tokenIds(col("text"), tiny).as("ids"))
+      .head().getSeq[Int](0)
+    // 'the' and 'and' are vocab entries; 'Z' is outside the table → <unk> 0
+    assert(out == Seq(v.indexOf("the") + 1, 0, v.indexOf("and") + 1))
+  }
+
   test("fertility: in-vocabulary prose near 1, OOV text above, empty 0") {
     import spark.implicits._
     val df = Seq(("a", "the the the"), ("b", "zzqq wwxx"), ("c", ""),
