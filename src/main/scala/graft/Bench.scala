@@ -183,11 +183,14 @@ object Bench {
       val p1 = onePass(); val p2 = onePass()
       var best = Seq(p1, p2).minBy(_._1)
       // Co-tenancy estimate for this query: system loadavg minus our own
-      // parallelism (process-CPU / wall across the two passes). Loadavg is a
-      // 1-min EMA — sluggish, but a sustained co-tenant shows up while our
-      // own contribution is subtracted out; ≳2 foreign runnable threads on
-      // the box is treated as a contended measurement.
-      def foreignLoad: Double = {
+      // parallelism (process-CPU / wall across the two passes). Loadavg is
+      // a 1-min EMA — sluggish, but a sustained co-tenant shows up while
+      // our own contribution is subtracted out; ≳2 foreign runnable
+      // threads on the box is treated as a contended measurement. The
+      // loadavg is SNAPSHOTTED here, immediately after the two measured
+      // passes — a live read at record time would describe the machine
+      // after the rerun loop, not during measurement.
+      val foreignLoad: Double = {
         val wall = p1._1 + p2._1
         val own = if (wall > 0) (p1._2 + p2._2) / wall else 0.0
         math.max(0.0, loadAvg - own)

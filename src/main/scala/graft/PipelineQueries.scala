@@ -228,6 +228,26 @@ object PipelineQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** The constructed C4 fixture page (the raw fixture has no lines or
+    * punctuation): kept lines, dropped lines, and planted page-level
+    * failures keyed on doc_id. Shared by q_c4_gate and its streaming
+    * twin so batch, stream and oracle all gate the same pages. */
+  private[graft] def c4FixturePage: org.apache.spark.sql.Column = {
+    val t0 = col("text")
+    val l1 = concat(substring(t0, 1, 20), lit(". "),
+      substring(t0, 21, 20), lit(". "), substring(t0, 41, 20), lit("."))
+    val l5 = concat(substring(t0, 10, 20), lit("! "),
+      substring(t0, 30, 20), lit("!"))
+    concat_ws("\n",
+      l1,
+      substring(t0, 31, 20),
+      lit("use javascript today."),
+      lit("a b."),
+      when(col("doc_id") % 4 =!= 0, l5),
+      when(col("doc_id") % 5 === 0, lit("and lorem ipsum text here.")),
+      when(col("doc_id") % 7 === 0, lit("config { block")))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- exact dedup: hash-groupBy, one shuffle on the digest ------------
@@ -1883,25 +1903,10 @@ object PipelineQueries {
     // sentences), %5==0 carries "lorem ipsum", %7==0 carries "{". The
     // line REWRITE (text_clean) is compared verbatim, not just verdicts.
     "q_c4_gate" -> QueryDef(
-      (s, dir) => {
-        val t0 = col("text")
-        val l1 = concat(substring(t0, 1, 20), lit(". "),
-          substring(t0, 21, 20), lit(". "), substring(t0, 41, 20), lit("."))
-        val l5 = concat(substring(t0, 10, 20), lit("! "),
-          substring(t0, 30, 20), lit("!"))
-        val page = concat_ws("\n",
-          l1,
-          substring(t0, 31, 20),
-          lit("use javascript today."),
-          lit("a b."),
-          when(col("doc_id") % 4 =!= 0, l5),
-          when(col("doc_id") % 5 === 0, lit("and lorem ipsum text here.")),
-          when(col("doc_id") % 7 === 0, lit("config { block")))
-        TextFunctions.c4Gate(
-          t(s, dir, "documents").filter(col("doc_id") < 200)
-            .select(col("doc_id"), page.as("text")),
-          "doc_id", "text")
-      },
+      (s, dir) => TextFunctions.c4Gate(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), PipelineQueries.c4FixturePage.as("text")),
+        "doc_id", "text"),
       Some("""WITH base AS (SELECT doc_id,
              |    concat_ws(chr(10),
              |      substr(text, 1, 20) || '. ' || substr(text, 21, 20) || '. '

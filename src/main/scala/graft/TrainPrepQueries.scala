@@ -482,6 +482,13 @@ object TrainPrepQueries {
              |SELECT doc_id, digest IN (SELECT digest FROM ev) AS contaminated
              |FROM tr""".stripMargin)),
 
+    // ---- streaming C4 page cleanup at ingest -----------------------------
+    // stateless per-row gate (append mode); shares q_c4_gate's oracle —
+    // batch, stream and oracle all gate the identical constructed pages.
+    "q_stream_c4" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.c4GateStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_c4_gate").oracle),
+
     // ---- streaming NEAR-dup candidate discovery at ingest ----------------
     // the LSH banding stage as a stream: rowwise md5-MinHash signature →
     // band keys (pure projection), one complete-mode groupBy per band

@@ -215,8 +215,16 @@ object CorpusPrep {
           expectedItems = refN, fpp = 0.01)
         .drop("__digest")
       args.get("incremental-fuzzy").foreach { t =>
+        // banding defaults to the 4-row key (16 hashes) ScaleDeep measured
+        // as linear — NOT crossCorpusNearDupPairs' 2-row default, whose
+        // random band collisions grow candidate pairs ~n^2 on short docs
+        // (the same lesson as --dedup-rows-per-band); override with
+        // --incremental-hashes / --incremental-rows-per-band
+        val nh = args.getOrElse("incremental-hashes", "16").toInt
+        val rpb = args.getOrElse("incremental-rows-per-band", "4").toInt
         val flagged = Dedup.crossCorpusNearDupPairs(
             docs, idCol, textCol, ref, idCol, textCol,
+            numHashes = nh, rowsPerBand = rpb,
             threshold = t.toDouble)
           .select(col("train_id").as(idCol)).distinct()
         docs = docs.join(flagged, Seq(idCol), "left_anti")

@@ -186,40 +186,34 @@ object Dedup {
     * The corpus is scanned twice (negative filter + positive branch);
     * persist upstream if the scan dominates.
     *
-    * The membership probe is Spark's own codegen'd
-    * `BloomFilterMightContain` — the expression injected runtime row-level
-    * filters use — bridged because it has no public Column wrapper. It
+    * The membership probe is the codegen'd
+    * [[graft.expressions.BloomMightContain]] over a BROADCAST filter: it
     * probes LONGS, so the filter is built over `xxhash64(key)` and the
     * probe hashes the corpus key identically; semantics are unchanged (a
     * Bloom prefilter only needs no-false-negatives, and the exact
     * anti-join re-checks every maybe-positive — the 64-bit pre-hash's
     * collisions fold into the fpp budget). This retired the last UDF in
     * the codebase: the probe now runs inside whole-stage codegen instead
-    * of as a per-row Scala call. The serialized filter rides the plan as a
-    * foldable Binary literal, deserialized once per codegen'd stage
-    * (`ctx.addReferenceObj`) — the same ship-once story as an explicit
-    * broadcast variable. NULL keys never probe (explicit isNotNull
-    * conjunct) and land in the kept negatives, exactly as before. */
+    * of as a per-row Scala call, while the filter keeps the broadcast
+    * ship-once property (Spark's own BloomFilterMightContain would embed
+    * the ~GB serialized filter as an in-plan literal in BOTH filter
+    * branches — plan bloat the round-12 review caught). NULL keys never
+    * probe (explicit isNotNull conjunct) and land in the kept negatives,
+    * exactly as before. */
   def bloomPrefilteredAnti(corpus: DataFrame, keyCol: String,
       ref: DataFrame, refKeyCol: String,
       expectedItems: Long, fpp: Double): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     // eager by nature (the filter must exist before the plan runs) — the
     // reference side is the bounded one, same contract as stat.bloomFilter
     val bf = ref.filter(col(refKeyCol).isNotNull)
       .select(xxhash64(col(refKeyCol)).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    def maybe = GraftBridge.column(new BloomFilterMightContain(
-      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-      GraftBridge.convertedExpression(xxhash64(col(keyCol))))) &&
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val maybe = GraftBridge.column(graft.expressions.BloomMightContain(
+      GraftBridge.convertedExpression(xxhash64(col(keyCol))), bc)) &&
       col(keyCol).isNotNull
     val negatives = corpus.filter(!maybe)
     val positives = corpus.filter(maybe)

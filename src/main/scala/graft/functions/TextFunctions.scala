@@ -337,10 +337,14 @@ object TextFunctions {
     * pre-training filter beside Gopher): LINE-level keep rules (a line
     * survives iff it ends in terminal punctuation `. ! ? "`, has ≥
     * `minLineWords` words, and does not mention "javascript"
-    * case-insensitively), then PAGE-level rules on the kept text (≥
-    * `minSentences` sentences — counted as terminal punctuation marks, the
-    * cheap splitter-free proxy; no "lorem ipsum"; no `{`; no word-boundary match
-    * against `badWords`, C4's external list being caller-supplied). Returns one
+    * case-insensitively), then PAGE-level rules: the sentence floor (≥
+    * `minSentences` — terminal punctuation marks in the KEPT text, the
+    * cheap splitter-free proxy) plus content rules evaluated on the
+    * ORIGINAL page text — no "lorem ipsum", no `{`, no word-boundary
+    * match against `badWords` (C4's external list is caller-supplied).
+    * Matching the C4 reference, a page containing `{` anywhere is
+    * rejected even when the offending line was already dropped by the
+    * line filter (spec-pinned). Returns one
     * row per doc with `text_clean` (kept lines rejoined), the measured
     * counts, one boolean per page rule, and `pass` — the line REWRITE
     * applies even to failing pages so callers can audit what the gate saw.

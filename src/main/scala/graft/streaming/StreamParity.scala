@@ -215,6 +215,20 @@ object StreamParity {
     runToTable(spark, flagged, "stream_decontam", OutputMode.Append())
   }
 
+  /** Streaming C4 page cleanup at ingest — STATELESS (the E103 gate is a
+    * pure per-row select, append mode, no state store), so stream == batch
+    * by construction; the run certifies the streaming PLUMBING (file
+    * source, microbatch projection, append sink) against the shared batch
+    * oracle. Pages come from the same constructed fixture as q_c4_gate. */
+  def c4GateStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir).filter(col("doc_id") < 200)
+    val gated = graft.functions.TextFunctions.c4Gate(
+      src.select(col("doc_id"),
+        graft.PipelineQueries.c4FixturePage.as("text")),
+      "doc_id", "text")
+    runToTable(spark, gated, "stream_c4", OutputMode.Append())
+  }
+
   /** Streaming NEAR-dup candidate discovery at ingest — the LSH banding
     * stage of the MinHash pipeline run as a stream (the stateful layer
     * above [[dedupKeepers]]'s exact-digest dedup): each arriving doc's

@@ -58,13 +58,9 @@ object LangIdClassifier {
     val n = heads.head.weights.length
     require(heads.forall(_.weights.length == n),
       "all heads must share one feature space")
-    val bucketed = docs.select(col(idCol),
-        explode(split(col(textCol), " ", -1)).as("__t"))
-      .filter(length(col("__t")) > 0)
-      .withColumn("__b",
-        QualityClassifier.tokenBucket(col("__t"), n).cast("int"))
-      .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).cast("double").as("__c"))
+    // the E44 feature space VERBATIM (shared bucketed() — not a copy, so
+    // the md5-bucket portability contract cannot drift between scorers)
+    val bucketed = QualityClassifier.bucketed(docs, idCol, textCol, None, n)
     // every head's margin in ONE per-doc aggregate — weights are literal
     // arrays, so adding a language adds a sum, not a scan
     val zCols = heads.map { h =>

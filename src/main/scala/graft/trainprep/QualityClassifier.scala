@@ -33,8 +33,10 @@ object QualityClassifier {
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % numFeatures
 
   /** Hashed-feature counts: one row per (doc, bucket) with the token
-    * count and the label carried through. The single corpus scan. */
-  private def bucketed(docs: DataFrame, idCol: String, textCol: String,
+    * count and the label carried through. The single corpus scan — THE
+    * feature-space definition, shared with LangIdClassifier so the
+    * cross-engine bucket contract cannot drift between the two scorers. */
+  private[trainprep] def bucketed(docs: DataFrame, idCol: String, textCol: String,
       labelCol: Option[String], numFeatures: Int): DataFrame = {
     val base = docs.select(
       col(idCol) +: labelCol.map(l => col(l).cast("double").as("__y")).toSeq :+

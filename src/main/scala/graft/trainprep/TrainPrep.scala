@@ -775,8 +775,12 @@ object TrainPrep {
       merges: graft.expressions.BpeMerges, contextTokens: Int): DataFrame = {
     require(contextTokens > 0,
       s"contextTokens must be positive, got $contextTokens")
+    // NULL text contributes zero tokens (the packChunks convention) —
+    // without the coalesce, size(NULL) under legacy sizeOfNull is -1 and
+    // would shift every later document's global offset
     val withIds = docs.select(col(idCol),
-        graft.functions.Bpe.tokenIds(col(textCol), merges).as("__ids"))
+        coalesce(graft.functions.Bpe.tokenIds(col(textCol), merges),
+          array().cast("array<int>")).as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
     val cum = graft.ops.TimeSeriesOps.scanCumSumLong(
       withIds, Seq(idCol), "__n", "__cum")

@@ -48,6 +48,19 @@ class CorpusGatesSpec extends SparkSpec {
     assert(!out("few").getAs[Boolean]("pass"))
   }
 
+  test("c4Gate page rules read the ORIGINAL text: a brace on a dropped line still rejects") {
+    import spark.implicits._
+    val five = "one two three. four five six. seven eight nine. " +
+      "ten eleven twelve. final sentence here."
+    // the brace sits on a line the line filter drops (no terminal punct),
+    // but C4 rejects pages containing '{' anywhere — matching the paper
+    // and the q_c4_gate oracle, which also evaluates the raw page
+    val df = Seq(("x", five + "\nnav { menu")).toDF("id", "text")
+    val r = TextFunctions.c4Gate(df, "id", "text").collect().head
+    assert(r.getAs[Long]("n_lines_kept") == 1L) // the brace line dropped
+    assert(!r.getAs[Boolean]("r_brace") && !r.getAs[Boolean]("pass"))
+  }
+
   test("encodingQualityMetrics counts each damage class and verdicts") {
     val df = Seq(
       ("clean", "a perfectly ordinary sentence of text"),
