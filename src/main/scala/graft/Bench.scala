@@ -34,13 +34,17 @@ import org.apache.spark.sql.SparkSession
   *    available processors — enough to post-hoc judge whether a slow total
   *    was the code or the machine.
   *
-  * Measured under a deliberate 16-core busy-loop co-run (this machine,
-  * loadavg 4.8 → 11.2 during the run): reported times moved 1.08–1.24×
-  * on five of six probed queries and 1.53× on the worst
-  * (q_dedup_contain_drop), total 1.28× — sustained saturation is not
-  * fully recoverable by rerunning (nothing can be), but the loadavg and
-  * wall-vs-CPU fields in the same JSON make the contention legible
-  * instead of masquerading as a regression.
+  * Measured under a deliberate 16-core busy-loop co-run with the FULL
+  * round-12 defense (rolling-min priors + co-tenancy trigger; loadavg
+  * 6.4 → 17.9 during the run, 5 outlier reruns fired): 8 of 10 probed
+  * queries reported within 1.5× of their committed clean floors (median
+  * 1.37×), including the r11 problem child q_dedup_contain_drop at
+  * 1.64× where the undefended round reported 3.9×; the worst, 2.59×,
+  * was a 0.18 s query where saturation dominates fixed costs. Sustained
+  * saturation is not fully recoverable by rerunning (nothing can be),
+  * but the loadavg, per-query foreign-load and wall-vs-CPU fields in
+  * the same JSON make the contention legible instead of masquerading as
+  * a regression.
   */
 object Bench {
 

@@ -141,6 +141,56 @@ class BpeSpec extends SparkSpec {
     assert(bpe.toSeq == Seq((6L, 0L), (1L, 1L), (3L, 1L)))
   }
 
+  test("property: random causal tables keep min-rank == sweep and reconstruction") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): Option[A] =
+      g.apply(Gen.Parameters.default, Seed(seed))
+    // grow a random CAUSAL table: each merge joins two symbols drawn from
+    // {current single chars} ∪ {earlier outputs} — exactly the population
+    // a real trainer draws from
+    val alphabet = "abcdef".map(_.toString)
+    def randomTable(seed: Long): BpeMerges = {
+      val rnd = new scala.util.Random(seed)
+      val syms = collection.mutable.ArrayBuffer[String](alphabet: _*)
+      val pairs = collection.mutable.ArrayBuffer.empty[(String, String)]
+      val seen = collection.mutable.Set.empty[(String, String)]
+      while (pairs.length < 12) {
+        val l = syms(rnd.nextInt(syms.length))
+        val r = syms(rnd.nextInt(syms.length))
+        if ((l + r).length <= 8 && !seen((l, r))) {
+          seen += ((l, r)); pairs += ((l, r)); syms += l + r
+        }
+      }
+      BpeMerges(pairs.toIndexedSeq)
+    }
+    def sweep(m: BpeMerges, word: String): Seq[String] = {
+      var syms: Vector[String] = word.map(_.toString).toVector
+      m.pairs.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val wordGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    for (ts <- 0L until 25L) {
+      val table = randomTable(ts)
+      for (ws <- 0L until 80L; w <- sample(wordGen, ts * 1000 + ws)) {
+        val enc = table.encodeWord(w)
+        assert(enc.mkString == w, s"lossy on '$w' table $ts")
+        assert(enc.toSeq == sweep(table, w),
+          s"min-rank != sweep on '$w' table $ts: ${enc.toSeq} vs ${sweep(table, w)}")
+      }
+    }
+  }
+
   test("vocabOf order is deterministic and tokenIds maps OOV to 0") {
     import spark.implicits._
     val v = Bpe.vocabOf(tiny)
