@@ -228,6 +228,18 @@ object PipelineQueries {
        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Planted encoding damage keyed on doc_id (shared by
+    * q_encoding_quality and its streaming twin): %3 docs gain U+FFFD
+    * replacement chars, %5 a C0 control byte, %7 the mojibake digraph. */
+  private[graft] def encodingFixtureText: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit("\uFFFD\uFFFD"))
+          .otherwise(lit("\uFFFD"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\u0007")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" caf\u00C3\u00A9"))
+        .otherwise(lit("")))
+
   /** The constructed C4 fixture page (the raw fixture has no lines or
     * punctuation): kept lines, dropped lines, and planted page-level
     * failures keyed on doc_id. Shared by q_c4_gate and its streaming
@@ -1948,19 +1960,10 @@ object PipelineQueries {
     // Damage is PLANTED identically on both sides: %3==0 docs get U+FFFD
     // replacement chars, %5==0 a C0 control byte, %7==0 the Ã© digraph.
     "q_encoding_quality" -> QueryDef(
-      (s, dir) => {
-        val damaged = concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            when(col("doc_id") % 2 === 0, lit("\uFFFD\uFFFD"))
-              .otherwise(lit("\uFFFD"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("\u0007")).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0, lit(" caf\u00C3\u00A9"))
-            .otherwise(lit("")))
-        TextFunctions.encodingQualityMetrics(
-          t(s, dir, "documents").filter(col("doc_id") < 400)
-            .select(col("doc_id"), damaged.as("text")),
-          "doc_id", "text")
-      },
+      (s, dir) => TextFunctions.encodingQualityMetrics(
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), PipelineQueries.encodingFixtureText.as("text")),
+        "doc_id", "text"),
       Some("""WITH base AS (SELECT doc_id, text ||
              |    CASE WHEN doc_id % 3 = 0 THEN
              |      CASE WHEN doc_id % 2 = 0 THEN chr(65533) || chr(65533)

@@ -811,6 +811,35 @@ object ScaleSmoke {
       s""""tokens_per_sec":${(bpeRes.getLong(0) / bpeSecs).toLong},""" +
       s""""shuffle_bytes":$bpeShuffle}""")
 
+    // ---- C4 + encoding gates: per-row page filters, zero corpus shuffle
+    val c4Pages = bigDocs.select(col("doc_id"),
+      concat(substring(col("text"), 1, 30), lit(". "),
+        substring(col("text"), 31, 30), lit(". "),
+        substring(col("text"), 61, 40), lit(". "),
+        substring(col("text"), 5, 30), lit(". "),
+        substring(col("text"), 35, 30), lit(".")).as("text"))
+    val (c4Res, c4Shuffle, _, c4Secs) = sectionShuffle {
+      graft.functions.TextFunctions.c4Gate(c4Pages, "doc_id", "text")
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)), count(lit(1))).head()
+    }
+    require(c4Shuffle < 1000000L,
+      s"C4 gate must not shuffle the corpus: $c4Shuffle bytes")
+    println(s"""{"metric":"c4_gate_scale","docs":${c4Res.getLong(1)},""" +
+      s""""passed":${c4Res.getLong(0)},"seconds":$c4Secs,""" +
+      s""""docs_per_sec":${(c4Res.getLong(1) / c4Secs).toLong},""" +
+      s""""shuffle_bytes":$c4Shuffle}""")
+    val (egRes, egShuffle, _, egSecs) = sectionShuffle {
+      graft.functions.TextFunctions.encodingQualityMetrics(
+          bigDocs, "doc_id", "text")
+        .agg(sum(when(col("clean"), 1L).otherwise(0L)), count(lit(1))).head()
+    }
+    require(egShuffle < 1000000L,
+      s"encoding triage must not shuffle the corpus: $egShuffle bytes")
+    println(s"""{"metric":"encoding_gate_scale","docs":${egRes.getLong(1)},""" +
+      s""""clean":${egRes.getLong(0)},"seconds":$egSecs,""" +
+      s""""docs_per_sec":${(egRes.getLong(1) / egSecs).toLong},""" +
+      s""""shuffle_bytes":$egShuffle}""")
+
     // ---- trained language ID: all four heads' margins in ONE
     // (doc, bucket) aggregate — shuffle is bucket-partial-sized, never
     // token rows ---------------------------------------------------------

@@ -489,6 +489,11 @@ object TrainPrepQueries {
       (s, dir) => graft.streaming.StreamParity.c4GateStream(s, dir),
       graft.PipelineQueries.defs.toMap.apply("q_c4_gate").oracle),
 
+    // ---- streaming encoding-damage triage at ingest ----------------------
+    "q_stream_encoding" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.encodingQualityStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_encoding_quality").oracle),
+
     // ---- streaming NEAR-dup candidate discovery at ingest ----------------
     // the LSH banding stage as a stream: rowwise md5-MinHash signature →
     // band keys (pure projection), one complete-mode groupBy per band

@@ -1,0 +1,99 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.trainprep.TrainPrep
+
+/** Dataset-card generator — the one-command REPORTING complement of
+  * CorpusPrep (which transforms): everything a training run publishes
+  * about a corpus, computed once and written as parquet sections plus a
+  * one-line JSON summary.
+  *
+  *   - `slices/`    per-`--group-col` composition (E100 corpusReport:
+  *                  docs, EXACT duplicate rate, token/char sums)
+  *   - `seq_len/`   sequence-length histogram + padding waste at
+  *                  `--context` (E111; `--token-counter bpe` swaps in
+  *                  real BPE counts, E101)
+  *   - `clusters/`  exact-duplicate cluster-size histogram (E107 over
+  *                  E1's digest groups)
+  *   - summary      corpus-level gate pass rates — Gopher (E29), C4
+  *                  (E103), Gopher-repetition (E99), encoding triage
+  *                  (E104) — plus doc/token/distinct-text totals
+  *
+  * Scale shape: every section is one aggregate over a map pass (the gate
+  * rates are conditional sums fused into ONE shared scan — the gates are
+  * per-row predicates except the repetition gate, whose id-keyed
+  * aggregate pipeline is the priced exception); nothing here is pairwise
+  * and nothing collects beyond the bucket/slice-sized section tables.
+  *
+  * `runMain graft.cli.CorpusReport --in <docs.parquet> --out <dir>
+  *   [--group-col source] [--context 4096] [--token-counter bpe]`
+  */
+object CorpusReport {
+
+  def run(spark: SparkSession, args: Map[String, String]): Map[String, Long] = {
+    val in = args("in")
+    val out = args("out")
+    val idCol = args.getOrElse("id-col", "doc_id")
+    val textCol = args.getOrElse("text-col", "text")
+    val groupCol = args.getOrElse("group-col", "source")
+    val context = args.getOrElse("context", "4096").toInt
+    val docs = spark.read.parquet(in)
+    require(docs.columns.contains(groupCol),
+      s"--group-col '$groupCol' is not a column of the input " +
+        s"(have: ${docs.columns.mkString(", ")})")
+    val tokenCountFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      args.getOrElse("token-counter", "whitespace") match {
+        case "whitespace" => TextFunctions.tokenCount
+        case "bpe" => graft.functions.Bpe.tokenCount(_, args.get("bpe-merges")
+          .map(graft.functions.Bpe.loadMergesFile)
+          .getOrElse(graft.functions.Bpe.defaultMerges))
+        case other =>
+          sys.error(s"--token-counter must be 'whitespace' or 'bpe', got '$other'")
+      }
+
+    TrainPrep.corpusReport(docs, idCol, textCol, groupCol)
+      .write.mode("overwrite").parquet(s"$out/slices")
+    TrainPrep.seqLenHistogram(docs, idCol, textCol, context, tokenCountFn)
+      .write.mode("overwrite").parquet(s"$out/seq_len")
+    // exact() already carries each digest group's size — the cluster
+    // histogram is one more count-sized aggregate on top
+    Dedup.exact(docs, idCol, textCol)
+      .groupBy(col("n_dups").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$out/clusters")
+
+    // gate rates: per-row verdicts as conditional sums in ONE scan...
+    val row = docs.agg(
+      count(lit(1)).as("docs"),
+      sum(coalesce(tokenCountFn(col(textCol)), lit(0L))).as("tokens"),
+      sum(when(TextFunctions.gopherPass(col(textCol)), 1L).otherwise(0L))
+        .as("gopher"),
+      sum(when(TextFunctions.encodingClean(col(textCol)), 1L).otherwise(0L))
+        .as("encoding")).head()
+    // ...plus the two gates that are frames, each one aggregate
+    val c4Pass = TextFunctions.c4Gate(docs, idCol, textCol)
+      .agg(sum(when(col("pass"), 1L).otherwise(0L))).head().getLong(0)
+    val repPass = TextFunctions.repetitionGate(docs, idCol, textCol)
+      .agg(sum(when(col("pass"), 1L).otherwise(0L))).head().getLong(0)
+    val distinctTexts = spark.read.parquet(s"$out/clusters")
+      .agg(sum(col("n_clusters"))).head().getLong(0)
+
+    val stats = Map(
+      "docs" -> row.getLong(0), "tokens" -> row.getLong(1),
+      "distinct_texts" -> distinctTexts,
+      "gopher_pass" -> row.getLong(2), "c4_pass" -> c4Pass,
+      "repetition_pass" -> repPass, "encoding_clean" -> row.getLong(3))
+    println(stats.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{\"metric\":\"corpus_report\",", ",", "}"))
+    stats
+  }
+
+  def main(args: Array[String]): Unit =
+    CliArgs.withSession("corpus-report")(s => run(s, CliArgs.parse(args)))
+}

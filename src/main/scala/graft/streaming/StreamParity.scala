@@ -229,6 +229,18 @@ object StreamParity {
     runToTable(spark, gated, "stream_c4", OutputMode.Append())
   }
 
+  /** Streaming encoding-damage triage at ingest — stateless like
+    * [[c4GateStream]] (three regexp_counts per row, append mode); shares
+    * q_encoding_quality's oracle over the same planted-damage fixture. */
+  def encodingQualityStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir).filter(col("doc_id") < 400)
+    val out = graft.functions.TextFunctions.encodingQualityMetrics(
+      src.select(col("doc_id"),
+        graft.PipelineQueries.encodingFixtureText.as("text")),
+      "doc_id", "text")
+    runToTable(spark, out, "stream_encoding", OutputMode.Append())
+  }
+
   /** Streaming NEAR-dup candidate discovery at ingest — the LSH banding
     * stage of the MinHash pipeline run as a stream (the stateful layer
     * above [[dedupKeepers]]'s exact-digest dedup): each arriving doc's

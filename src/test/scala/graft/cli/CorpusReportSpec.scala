@@ -1,0 +1,67 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dataset-card CLI: sections land, summary numbers cross-check against
+  * direct computations on the same fixture. */
+class CorpusReportSpec extends SparkSpec {
+
+  test("report sections and summary agree with direct computation") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("report_in").toString
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, boiler, "web"), (2L, boiler, "web"),       // exact dup pair
+      (3L, "a short clean doc of words", "web"),
+      (4L, "unique text with broken ���� chars", "books"),
+      (5L, (1 to 200).map(i => s"tok$i").mkString(" "), "books"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("report_out").toString
+    val stats = CorpusReport.run(spark, Map(
+      "in" -> in, "out" -> out, "context" -> "128"))
+
+    assert(stats("docs") == 5L)
+    assert(stats("distinct_texts") == 4L) // the dup pair collapses
+    // tokens: 12 + 12 + 6 + 6 + 200
+    assert(stats("tokens") == 236L)
+    // doc 4 carries 4 replacement chars in ~45 chars — ratio far above
+    // the 0.001 default; everything else is clean
+    assert(stats("encoding_clean") == 4L)
+
+    val slices = spark.read.parquet(s"$out/slices")
+    assert(slices.count() == 2L) // web, books
+    val web = slices.filter(col("source") === "web").head()
+    assert(web.getAs[Long]("n_docs") == 3L)
+    assert(web.getAs[Long]("n_distinct_texts") == 2L)
+
+    val clusters = spark.read.parquet(s"$out/clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 3L, 2L -> 1L))
+
+    val hist = spark.read.parquet(s"$out/seq_len")
+    // doc 5 has 200 tokens → bucket 256, 2 sequences at ctx 128
+    val b256 = hist.filter(col("len_bucket") === 256).head()
+    assert(b256.getAs[Long]("n_sequences") == 2L)
+    assert(b256.getAs[Long]("pad_waste_tokens") == 56L)
+  }
+
+  test("bad token-counter and missing group column diagnose loudly") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("report_in2").toString
+    Seq((1L, "a b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    intercept[IllegalArgumentException] {
+      CorpusReport.run(spark, Map("in" -> in,
+        "out" -> Files.createTempDirectory("report_out2").toString))
+    } // no 'source' column
+    intercept[RuntimeException] {
+      CorpusReport.run(spark, Map("in" -> in,
+        "out" -> Files.createTempDirectory("report_out3").toString,
+        "group-col" -> "doc_id", "token-counter" -> "sentencepiece"))
+    }
+  }
+}
