@@ -495,6 +495,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_contam_frac broadcasts the benchmark shingles — the corpus is never re-keyed by shingle") {
+    val plan = executedPlan("q_contam_frac")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval-set side must broadcast:\n" + plan.take(1000))
+  }
+
+  test("q_seq_len_hist is one map pass into one bucket-sized aggregate") {
+    val plan = executedPlan("q_seq_len_hist")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "the histogram must shuffle once, on the bucket:\n" + plan.take(1000))
+  }
+
   test("q_dedup_bloom probes with codegen'd might_contain — zero UDFs remain in src/main") {
     val plan = executedPlan("q_dedup_bloom")
     assert(plan.contains("might_contain"),
