@@ -1855,6 +1855,36 @@ object PipelineQueries {
              |  CAST(sum(nseq * 128 - len) AS BIGINT) AS pad_waste_tokens
              |FROM b GROUP BY 1""".stripMargin)),
 
+    // ---- the same histogram budgeted with REAL BPE counts -----------------
+    // pins the tokenCountFn plug end-to-end: per-doc BPE counts replay
+    // through the sweep chain, then the identical ladder/ceil arithmetic
+    "q_seq_len_hist_bpe" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.seqLenHistogram(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        contextTokens = 64,
+        tokenCountFn = graft.functions.Bpe.tokenCount(_,
+          graft.expressions.BpeMerges(oracleBpePairs))),
+      Some(s"""WITH $bpeSweepCtes,
+              |agg AS (SELECT doc_id,
+              |    sum(length(s) - length(replace(s, chr(2), ''))) AS n
+              |  FROM merged GROUP BY 1),
+              |l AS (SELECT coalesce(a.n, 0) AS len
+              |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+              |  LEFT JOIN agg a USING (doc_id)),
+              |b AS (SELECT len,
+              |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+              |      WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+              |      WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+              |      WHEN len <= 1024 THEN 1024 WHEN len <= 2048 THEN 2048
+              |      WHEN len <= 4096 THEN 4096 ELSE 8192 END AS len_bucket,
+              |    CAST(floor((len + 63) * 1.0 / 64) AS BIGINT) AS nseq
+              |  FROM l)
+              |SELECT len_bucket, count(*) AS n_docs,
+              |  CAST(sum(len) AS BIGINT) AS sum_tokens,
+              |  CAST(sum(nseq) AS BIGINT) AS n_sequences,
+              |  CAST(sum(nseq * 64 - len) AS BIGINT) AS pad_waste_tokens
+              |FROM b GROUP BY 1""".stripMargin)),
+
     // ---- BPE token IDS under the closed vocabulary ------------------------
     "q_bpe_ids" -> QueryDef(
       (s, dir) => {
