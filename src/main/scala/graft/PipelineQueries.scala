@@ -1937,6 +1937,39 @@ object PipelineQueries {
               |  string_agg(tid::VARCHAR, ',' ORDER BY gpos) AS token_ids
               |FROM g GROUP BY 1""".stripMargin)),
 
+    // ---- BPE DECODE: ids back to text (inspection round trip) -------------
+    // decoded text is hash-compared verbatim; the roundtrip boolean pins
+    // the whitespace-erased contract (true iff the doc is unk-free, since
+    // an OOV code point decodes to the U+FFFD marker, never the original)
+    "q_bpe_decode" -> QueryDef(
+      (s, dir) => {
+        val m = graft.expressions.BpeMerges(oracleBpePairs)
+        val dec = graft.functions.Bpe.decodeIds(
+          graft.functions.Bpe.tokenIds(col("text"), m), m)
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          col("doc_id"),
+          dec.as("decoded"),
+          (dec === regexp_replace(col("text"), "\\s+", ""))
+            .as("roundtrip_ws_erased"))
+      },
+      Some(s"""WITH $bpeSweepCtes,
+              |tok AS (SELECT doc_id, i, k, ts[k] AS t FROM (
+              |    SELECT doc_id, i,
+              |      string_split(replace(replace(replace(s, chr(3)||chr(2),
+              |        chr(31)), chr(2), ''), chr(3), ''), chr(31)) AS ts
+              |    FROM merged),
+              |  unnest(generate_series(1, len(ts))) AS _(k)),
+              |dec AS (SELECT doc_id,
+              |    string_agg(CASE WHEN v.id IS NULL THEN chr(65533) ELSE t END,
+              |      '' ORDER BY i, k) AS decoded
+              |  FROM tok LEFT JOIN $bpeVocabValuesSql ON v.sym = tok.t
+              |  GROUP BY 1)
+              |SELECT d.doc_id, coalesce(dec.decoded, '') AS decoded,
+              |  coalesce(dec.decoded, '') =
+              |    regexp_replace(d.text, '\\s+', '', 'g') AS roundtrip_ws_erased
+              |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) d
+              |LEFT JOIN dec USING (doc_id)""".stripMargin)),
+
     // ---- C4 page cleanup gate (Raffel et al. 2020 §2.2) -------------------
     // The fixture text has no lines/punctuation, so pages are CONSTRUCTED
     // identically on both sides: kept lines (terminal punct, >=3 words),

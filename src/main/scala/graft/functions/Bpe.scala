@@ -111,6 +111,28 @@ object Bpe {
       t => coalesce(element_at(m, t), lit(0)))
   }
 
+  /** DECODE: token ids back to text — the inspection path every trainer
+    * pairs with [[tokenIds]] (spot-reading packed sequences, debugging
+    * masks). Inverse literal map (id → symbol), unknown/\<unk\> ids
+    * rendered as `unkMarker`; `array_join` concatenation. Round-trip
+    * contract: a single in-vocabulary word round-trips EXACTLY
+    * (`decodeIds(tokenIds(w)) == w` whenever every token of `w` is in the
+    * closed vocabulary); across a document the tokenizer normalizes
+    * whitespace away (GPT-2 keeps it via the Ġ-prefix convention; this
+    * closed-vocabulary model splits on whitespace runs), so the document
+    * contract is `decodeIds(tokenIds(text)) == regexp_replace(text,
+    * "\\s+", "")` for unk-free text. Pure codegen'd map — zero shuffle,
+    * same posture as [[tokenIds]]. */
+  def decodeIds(ids: Column, merges: BpeMerges = defaultMerges,
+      unkMarker: String = "�"): Column = {
+    val vocab = vocabOf(merges)
+    val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(i + 1), lit(s))
+    }: _*)
+    array_join(
+      transform(ids, i => coalesce(element_at(m, i), lit(unkMarker))), "")
+  }
+
   /** Train a merge table on a corpus column. Distributed word-frequency
     * aggregate + driver-side Sennrich merge loop over the bounded
     * dictionary (see object doc). Deterministic: pair selection breaks

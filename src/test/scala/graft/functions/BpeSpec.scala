@@ -204,6 +204,36 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq(v.indexOf("the") + 1, 0, v.indexOf("and") + 1))
   }
 
+  test("decodeIds round-trips in-vocabulary words, marks unks, erases whitespace") {
+    import spark.implicits._
+    // property: any word over the table's own character set round-trips
+    // exactly (every token is a vocab symbol, so id → symbol is lossless)
+    val chars = Bpe.vocabOf(tiny).filter(_.length == 1)
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 300).map { _ =>
+      (0 until (1 + rnd.nextInt(9))).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }.distinct
+    val rt = words.toDF("w")
+      .select(col("w"),
+        Bpe.decodeIds(Bpe.tokenIds(col("w"), tiny), tiny).as("d"))
+      .filter(col("w") =!= col("d")).count()
+    assert(rt == 0L, "an in-vocabulary word failed the decode round trip")
+    // OOV code point decodes to the replacement marker; a custom marker
+    // threads through; whitespace between words is erased
+    val out = Seq(("the Zand", 1)).toDF("text", "k")
+      .select(
+        Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny).as("d"),
+        Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny, "<unk>").as("dm"))
+      .head()
+    assert(out.getString(0) == "the�and")
+    assert(out.getString(1) == "the<unk>and")
+    // empty token stream decodes to the empty string
+    val empty = Seq(("   ", 1)).toDF("text", "k")
+      .select(Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny).as("d"))
+      .head().getString(0)
+    assert(empty == "")
+  }
+
   test("fertility: in-vocabulary prose near 1, OOV text above, empty 0") {
     import spark.implicits._
     val df = Seq(("a", "the the the"), ("b", "zzqq wwxx"), ("c", ""),
