@@ -171,7 +171,13 @@ object PipelineQueries {
   /** The words → wrapped-code-points → rank-order-sweep CTE chain shared
     * by the q_text_bpe and q_bpe_fertility oracles. Yields CTEs `w`
     * (doc_id, i, w) and `merged` (doc_id, i, s). */
-  private def bpeSweepCtes: String = {
+  private def bpeSweepCtes: String = bpeSweepCtesOver("doc_id",
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 300) src")
+
+  /** The sweep chain over an arbitrary keyed text source — `srcSql` must
+    * select `keys` plus a `text` column. Yields CTEs `w` (keys, i, w) and
+    * `merged` (keys, i, s). */
+  private def bpeSweepCtesOver(keys: String, srcSql: String): String = {
     oracleBpePairs.foreach { case (l, r) =>
       require((l + r).forall(c => c >= 'a' && c <= 'z'),
         s"oracle merge table must stay lowercase-ASCII: ($l, $r)")
@@ -181,16 +187,16 @@ object PipelineQueries {
       s"replace($acc, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)})"
     }
     s"""w AS (
-       |  SELECT doc_id, i, ts[i] AS w FROM (
-       |    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts,
+       |  SELECT $keys, i, ts[i] AS w FROM (
+       |    SELECT $keys, regexp_split_to_array(text, '\\s+') AS ts,
        |      unnest(generate_series(1, len(regexp_split_to_array(text, '\\s+')))) AS i
-       |    FROM documents WHERE doc_id < 300)
+       |    FROM $srcSql)
        |  WHERE ts[i] <> ''),
-       |wrapped AS (SELECT doc_id, i,
+       |wrapped AS (SELECT $keys, i,
        |    chr(2) || array_to_string(regexp_extract_all(w, '.'), chr(3)||chr(2))
        |      || chr(3) AS s0
        |  FROM w),
-       |merged AS (SELECT doc_id, i, $mergedExpr AS s FROM wrapped)"""
+       |merged AS (SELECT $keys, i, $mergedExpr AS s FROM wrapped)"""
   } // NOTE: margin-full — the composing oracle strips ONCE (double
     // stripMargin would eat the leading bar of every `||` continuation)
 
@@ -202,6 +208,36 @@ object PipelineQueries {
       .zipWithIndex
       .map { case (s, i) => s"('$s', ${i + 1})" }
       .mkString("(VALUES ", ", ", ") v(sym, id)")
+
+  /** SFT conversation fixture (shared by q_sft_render / q_sft_loss_spans):
+    * conv i (< 100) pairs doc i's text as the user turn with doc
+    * (i+100)'s text as the assistant completion under a constant system
+    * prompt — three ordered turns, deterministic on both engines. */
+  private def sftConvs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = t(s, dir, "documents")
+    val u = d.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("conv_id"), col("text").as("utext"))
+    val a = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") - 100).as("conv_id"), col("text").as("atext"))
+    u.join(a, "conv_id").select(col("conv_id"), array(
+      struct(lit("system").as("role"), lit("be concise").as("content")),
+      struct(lit("user").as("role"), col("utext").as("content")),
+      struct(lit("assistant").as("role"), col("atext").as("content")))
+      .as("turns"))
+  }
+
+  /** The same fixture as [[sftConvs]] in SQL (margin-full; composing
+    * oracle strips once): CTEs `conv` and `turns`. */
+  private def sftTurnsCtes: String =
+    """conv AS (SELECT u.doc_id AS conv_id, u.text AS utext, a.text AS atext
+      |  FROM documents u JOIN documents a ON a.doc_id = u.doc_id + 100
+      |  WHERE u.doc_id < 100),
+      |turns AS (
+      |  SELECT conv_id, 0 AS turn_idx, 'system' AS role,
+      |    'be concise' AS content FROM conv
+      |  UNION ALL SELECT conv_id, 1, 'user', utext FROM conv
+      |  UNION ALL SELECT conv_id, 2, 'assistant', atext FROM conv)"""
 
   private def bpeOracleSql: String =
     s"""WITH $bpeSweepCtes,
@@ -1969,6 +2005,54 @@ object PipelineQueries {
               |    regexp_replace(d.text, '\\s+', '', 'g') AS roundtrip_ws_erased
               |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) d
               |LEFT JOIN dec USING (doc_id)""".stripMargin)),
+
+    // ---- SFT chat-template render (the instruction-tuning text) -----------
+    "q_sft_render" -> QueryDef(
+      (s, dir) => graft.trainprep.SftPrep.renderChat(
+        sftConvs(s, dir), "conv_id", "turns"),
+      Some(s"""WITH $sftTurnsCtes
+              |SELECT conv_id,
+              |  string_agg('<|' || role || '|>' || chr(10) || content
+              |    || chr(10) || '<|end|>' || chr(10), '' ORDER BY turn_idx)
+              |    AS text
+              |FROM turns GROUP BY 1""".stripMargin)),
+
+    // ---- completion-loss token spans over the rendered text ---------------
+    // per-turn BPE token extents + the loss extent (assistant content +
+    // end marker, header excluded); every boundary and count replayed
+    // through the generalized sweep chain over the turn segments
+    "q_sft_loss_spans" -> QueryDef(
+      (s, dir) => graft.trainprep.SftPrep.completionLossSpans(
+        sftConvs(s, dir), "conv_id", "turns",
+        graft.functions.Bpe.tokenCount(_,
+          graft.expressions.BpeMerges(oracleBpePairs))),
+      Some(s"""WITH $sftTurnsCtes,
+              |segs AS (
+              |  SELECT conv_id, turn_idx, role, 0 AS part,
+              |    '<|' || role || '|>' || chr(10) AS text FROM turns
+              |  UNION ALL
+              |  SELECT conv_id, turn_idx, role, 1,
+              |    content || chr(10) || '<|end|>' || chr(10) FROM turns),
+              |${bpeSweepCtesOver("conv_id, turn_idx, role, part", "segs")},
+              |cnt AS (SELECT conv_id, turn_idx, role, part,
+              |    sum(length(s) - length(replace(s, chr(2), ''))) AS n
+              |  FROM merged GROUP BY 1, 2, 3, 4),
+              |tt AS (SELECT conv_id, turn_idx, role,
+              |    sum(CASE WHEN part = 0 THEN n ELSE 0 END) AS h,
+              |    sum(n) AS n_tokens
+              |  FROM cnt GROUP BY 1, 2, 3),
+              |sp AS (SELECT conv_id, turn_idx, role, n_tokens, h,
+              |    sum(n_tokens) OVER (PARTITION BY conv_id
+              |      ORDER BY turn_idx) AS tok_end
+              |  FROM tt)
+              |SELECT conv_id, turn_idx, role,
+              |  CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(tok_end AS BIGINT) AS tok_end,
+              |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+              |  CAST(CASE WHEN role = 'assistant' THEN tok_end - n_tokens + h
+              |    ELSE tok_end END AS BIGINT) AS loss_start,
+              |  CAST(tok_end AS BIGINT) AS loss_end
+              |FROM sp""".stripMargin)),
 
     // ---- C4 page cleanup gate (Raffel et al. 2020 §2.2) -------------------
     // The fixture text has no lines/punctuation, so pages are CONSTRUCTED

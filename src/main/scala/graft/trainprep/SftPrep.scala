@@ -1,0 +1,96 @@
+package graft.trainprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning (SFT) data prep: render conversations to the
+  * training text and compute the completion-loss token spans — the two
+  * artifacts an instruction-tuning run consumes (render feeds the
+  * tokenizer; spans feed the loss mask, so gradient flows only through
+  * assistant completions, never through prompts).
+  *
+  * Both operators take a conversations frame: one row per conversation
+  * with an `array<struct<role: string, content: string>>` turns column,
+  * ordered. Rendering is a pure map over the array column (zero
+  * shuffle); spans explode turns and prefix-sum per-turn token counts
+  * with one per-conversation window — shuffle rows = TURN COUNT (a few
+  * small ints each), never text bytes, so the shuffle is negligible
+  * against the tokenizer's map-side scan at any corpus size.
+  */
+object SftPrep {
+
+  /** Chat template: each turn renders as
+    * `headerPrefix + role + headerSuffix + content + footer`.
+    *
+    * The requires below are the TOKEN-ADDITIVITY precondition, not
+    * style: [[completionLossSpans]] computes span boundaries from
+    * per-segment BPE counts, and `tokenCount(a ++ b) ==
+    * tokenCount(a) + tokenCount(b)` only when the boundary sits on
+    * whitespace (the tokenizer splits on whitespace runs; a merge never
+    * crosses a word boundary). headerSuffix must end with whitespace
+    * (header|content boundary), footer must start with whitespace
+    * (content|footer) AND end with whitespace (footer|next-header), so
+    * every segment boundary — and every turn boundary — is a word
+    * boundary and span arithmetic is exact against tokenizing the full
+    * rendered text. */
+  final case class ChatTemplate(headerPrefix: String = "<|",
+      headerSuffix: String = "|>\n", footer: String = "\n<|end|>\n") {
+    require(headerSuffix.nonEmpty && headerSuffix.last.isWhitespace,
+      "headerSuffix must end with whitespace — the header|content token " +
+        "boundary must be a word boundary for span counts to be additive")
+    require(footer.nonEmpty && footer.head.isWhitespace && footer.last.isWhitespace,
+      "footer must start and end with whitespace — the content|footer and " +
+        "footer|next-header boundaries must be word boundaries")
+
+    private[trainprep] def header(role: Column): Column =
+      concat(lit(headerPrefix), role, lit(headerSuffix))
+    private[trainprep] def body(content: Column): Column =
+      concat(content, lit(footer))
+  }
+
+  /** Render conversations to training text: per-turn
+    * header+content+footer, concatenated in turn order. Pure codegen'd
+    * map over the array column — zero shuffle, one scan. */
+  def renderChat(convs: DataFrame, convId: String, turnsCol: String,
+      template: ChatTemplate = ChatTemplate()): DataFrame =
+    convs.select(col(convId),
+      array_join(transform(col(turnsCol), t =>
+        concat(template.header(t.getField("role")),
+          template.body(t.getField("content")))), "").as("text"))
+
+  /** Completion-loss token spans over the rendered text: one row per
+    * turn with its token extent `[tok_start, tok_end)` and its LOSS
+    * extent — `[tok_start + header_tokens, tok_end)` for `lossRole`
+    * turns (the model learns the completion AND the end marker, never
+    * the role header), the empty span `[tok_end, tok_end)` otherwise.
+    * Offsets index the token stream of [[renderChat]]'s output under
+    * the SAME tokenizer: the template's whitespace requires make
+    * per-segment counts additive, so `sum(n_tokens) ==
+    * tokenCount(rendered)` exactly (property-pinned in SftPrepSpec).
+    *
+    * `tokenCountFn` is the [[graft.functions.Bpe.tokenCount]] plug —
+    * counts stay a codegen'd map over the exploded turns; the only
+    * shuffle is the per-conversation prefix-sum window (rows = turns).
+    */
+  def completionLossSpans(convs: DataFrame, convId: String, turnsCol: String,
+      tokenCountFn: Column => Column,
+      lossRole: String = "assistant",
+      template: ChatTemplate = ChatTemplate()): DataFrame = {
+    val ex = convs.select(col(convId),
+      posexplode(col(turnsCol)).as(Seq("turn_idx", "__t")))
+    val w = Window.partitionBy(col(convId)).orderBy(col("turn_idx"))
+    ex.select(col(convId), col("turn_idx"),
+        col("__t.role").as("role"),
+        tokenCountFn(template.header(col("__t.role"))).as("__h"),
+        tokenCountFn(template.body(col("__t.content"))).as("__b"))
+      .withColumn("n_tokens", col("__h") + col("__b"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .withColumn("loss_start",
+        when(col("role") === lit(lossRole), col("tok_start") + col("__h"))
+          .otherwise(col("tok_end")))
+      .withColumn("loss_end", col("tok_end"))
+      .drop("__h", "__b")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.trainprep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.BpeMerges
+import graft.functions.Bpe
+import graft.trainprep.SftPrep.ChatTemplate
+
+/** SFT prep: render/span agreement (the token-additivity contract the
+  * template's whitespace requires exist for), hand-verified span
+  * arithmetic, loss-role semantics, and the plan posture. */
+class SftPrepSpec extends SparkSpec {
+
+  private val merges = BpeMerges(IndexedSeq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("in", "g")))
+  private def cnt = Bpe.tokenCount(_: org.apache.spark.sql.Column, merges)
+
+  private def convs = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(("system", "be terse"), ("user", "the thing sang"),
+        ("assistant", "and it rang ander"))),
+      (2L, Seq(("user", "in and er"), ("assistant", "thern"),
+        ("user", "the"), ("assistant", "and"))),
+      (3L, Seq(("assistant", "")))
+    ).toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"),
+        t => struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("turns"))
+  }
+
+  test("span counts sum to the tokenization of the rendered text") {
+    val rendered = SftPrep.renderChat(convs, "conv_id", "turns")
+      .select(col("conv_id"), cnt(col("text")).as("full"))
+    val spans = SftPrep.completionLossSpans(convs, "conv_id", "turns", cnt)
+      .groupBy("conv_id").agg(sum("n_tokens").as("summed"),
+        max("tok_end").as("last_end"))
+    val bad = rendered.join(spans, "conv_id")
+      .filter(col("full") =!= col("summed") || col("full") =!= col("last_end"))
+      .count()
+    assert(bad == 0L, "per-turn token counts must be additive against " +
+      "tokenizing the full rendered text (the template whitespace contract)")
+  }
+
+  test("hand-verified spans: loss covers assistant content+footer, never headers") {
+    val out = SftPrep.completionLossSpans(convs, "conv_id", "turns", cnt)
+      .filter(col("conv_id") === 2L).orderBy("turn_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(5), r.getLong(4), r.getLong(6), r.getLong(7)))
+    // under the tiny table: header "<|user|>\n" = <,|,u,s,er,|,> → 7
+    // tokens; footer "\n<|end|>\n" = <,|,e,n,d,|,> → 7 (no (e,n) merge);
+    // header "<|assistant|>\n" = 13 chars with one (a,n) merge → 12
+    // turn 0 user "in and er": in/and/er = 3 tokens → n = 7+3+7 = 17
+    assert(out(0) == ((0, "user", 17L, 0L, 17L, 17L, 17L)))
+    // turn 1 assistant "thern": the,r,n = 3 → n = 12+3+7 = 22; loss
+    // skips exactly the 12 header tokens
+    assert(out(1) == ((1, "assistant", 22L, 17L, 39L, 29L, 39L)))
+    // turn 2 user "the" → 1 token, n = 7+1+7 = 15
+    assert(out(2) == ((2, "user", 15L, 39L, 54L, 54L, 54L)))
+    // turn 3 assistant "and" → 1 token, n = 12+1+7 = 20
+    assert(out(3) == ((3, "assistant", 20L, 54L, 74L, 66L, 74L)))
+  }
+
+  test("empty assistant content still earns the footer as loss") {
+    val out = SftPrep.completionLossSpans(convs, "conv_id", "turns", cnt)
+      .filter(col("conv_id") === 3L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (start, end, lossStart, lossEnd) =
+      (r.getLong(5), r.getLong(4), r.getLong(6), r.getLong(7))
+    assert(start == 0L && end == 19L)   // 12 header + 0 content + 7 footer
+    assert(lossStart == 12L && lossEnd == 19L)
+  }
+
+  test("lossRole parameter moves the mask; unknown role masks nothing") {
+    val spans = SftPrep.completionLossSpans(convs, "conv_id", "turns", cnt,
+      lossRole = "user")
+    val byRole = spans.groupBy("role")
+      .agg(sum(col("loss_end") - col("loss_start")).as("loss_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRole("user") > 0L)
+    assert(byRole("assistant") == 0L && byRole.getOrElse("system", 0L) == 0L)
+    val none = SftPrep.completionLossSpans(convs, "conv_id", "turns", cnt,
+      lossRole = "nobody")
+      .agg(sum(col("loss_end") - col("loss_start"))).head().getLong(0)
+    assert(none == 0L)
+  }
+
+  test("template whitespace contract is enforced loudly") {
+    intercept[IllegalArgumentException] {
+      ChatTemplate(headerSuffix = "|>") // no trailing whitespace
+    }
+    intercept[IllegalArgumentException] {
+      ChatTemplate(footer = "<|end|>\n") // no leading whitespace
+    }
+    intercept[IllegalArgumentException] {
+      ChatTemplate(footer = "\n<|end|>") // no trailing whitespace
+    }
+    // a custom compliant template renders and budgets consistently
+    val tpl = ChatTemplate("[", "]\t", " [eot] ")
+    val rendered = SftPrep.renderChat(convs, "conv_id", "turns", tpl)
+      .select(col("conv_id"), cnt(col("text")).as("full"))
+    val summed = SftPrep.completionLossSpans(convs, "conv_id", "turns", cnt,
+        template = tpl)
+      .groupBy("conv_id").agg(sum("n_tokens").as("summed"))
+    assert(rendered.join(summed, "conv_id")
+      .filter(col("full") =!= col("summed")).count() == 0L)
+  }
+
+  test("plan posture: render is exchange-free; spans shuffle once") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange"))
+    import spark.implicits._
+    val flat = Seq((1L, Seq(("user", "the")))).toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"),
+        t => struct(t.getField("_1").as("role"),
+          t.getField("_2").as("content"))).as("turns"))
+    assert(exchanges(SftPrep.renderChat(flat, "conv_id", "turns")) == 0,
+      "rendering must stay a pure map")
+    assert(exchanges(SftPrep.completionLossSpans(flat, "conv_id", "turns",
+      cnt)) == 1, "spans need exactly the per-conversation window exchange")
+  }
+}
