@@ -672,6 +672,35 @@ object TrainPrepQueries {
              |      AS BIGINT) AS p
              |  FROM documents)""".stripMargin)),
 
+    // ---- deterministic upsample-by-weight (the data-recipe executor) -----
+    // per-source epoch weights from a literal table; full copies
+    // unconditional, the fractional copy by salted-hash share on the
+    // same 1/65536 grid as splitAssign — every copy replayed exactly
+    "q_upsample_weight" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = element_at(
+          map(lit(0), lit(0.0), lit(1), lit(0.4), lit(2), lit(1.0),
+            lit(3), lit(2.3), lit(4), lit(3.7)),
+          substring(col("source"), 4, 10).cast("int") % 5)
+        TrainPrep.upsampleByWeight(
+          d.select(col("doc_id"), w.as("weight")), "doc_id", "weight")
+      },
+      Some("""WITH wts AS (SELECT doc_id,
+             |    CAST(CASE CAST(substr(source, 4) AS INT) % 5
+             |      WHEN 0 THEN 0.0 WHEN 1 THEN 0.4 WHEN 2 THEN 1.0
+             |      WHEN 3 THEN 2.3 ELSE 3.7 END AS DOUBLE) AS weight
+             |  FROM documents),
+             |c AS (SELECT doc_id, weight,
+             |    unnest(generate_series(0, CAST(ceil(weight) AS INT) - 1))
+             |      AS copy_idx
+             |  FROM wts WHERE weight > 0)
+             |SELECT doc_id, weight, copy_idx FROM c
+             |WHERE copy_idx < CAST(floor(weight) AS INT)
+             |   OR CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+             |       || ':upsample'), 1, 4)) AS BIGINT)
+             |     < CAST(round((weight - floor(weight)) * 65536) AS BIGINT)""".stripMargin)),
+
     // ---- KMV bottom-k sample + exact rank quantiles over it --------------
     // the quantile member of the sketch family: bottom-200 of md5(doc_id)
     // is a deterministic uniform sample; the p50/p90 of n_chars over it

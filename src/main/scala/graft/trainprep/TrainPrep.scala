@@ -215,6 +215,40 @@ object TrainPrep {
     }
   }
 
+  /** Deterministic fractional UPSAMPLING — the data-recipe executor
+    * ("source X at 2.3 epochs, source Y at 0.4"): a row with weight
+    * `w > 0` emits copies `copy_idx ∈ [0, ⌈w⌉)` — every copy below
+    * `⌊w⌋` unconditionally, plus the one fractional copy for the rows
+    * whose salted-sha256 4-hex prefix falls below the
+    * `round(frac·65536)` edge ([[splitAssign]]'s 1/65536 grid, so both
+    * engines derive identical edges from their own float math). Weights
+    * ≤ 0 or NULL drop the row; weights above `maxWeight` raise — a fat
+    * finger ("23" for 2.3) would otherwise silently 10× the corpus.
+    * Expected copy count is w to within quantization; no RNG, so
+    * re-runs, other engines and other layouts emit the same multiset,
+    * and the salt decouples the fractional draw from this id's
+    * [[hashSampleFilter]]/[[splitAssign]] decisions.
+    *
+    * Scale shape: `explode(sequence(...))` is a map-side generate —
+    * output rows = Σ⌈w⌉ with NO shuffle; compose with [[epochOrder]]
+    * for the final training order. */
+  def upsampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+      maxWeight: Double = 1000.0): DataFrame = {
+    require(maxWeight > 0, s"maxWeight must be positive, got $maxWeight")
+    val w0 = col(weightCol).cast("double")
+    val w = when(w0 > maxWeight, raise_error(concat(
+        lit(s"upsample weight exceeds maxWeight=$maxWeight: "),
+        w0.cast("string")))).otherwise(w0)
+    val full = floor(w).cast("int")
+    val prefix = conv(substring(sha2(concat(col(idCol).cast("string"),
+      lit(":upsample")), 256), 1, 4), 16, 10).cast("long")
+    val edge = round((w - floor(w)) * 65536.0, 0).cast("long")
+    df.filter(w0.isNotNull && w0 > 0)
+      .select(col("*"),
+        explode(sequence(lit(0), ceil(w).cast("int") - 1)).as("copy_idx"))
+      .filter(col("copy_idx") < full || prefix < edge)
+  }
+
   /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES): keep the k rows with the largest priority
     * u^(1/w) — equivalently the largest ln(u)/w — where w = `weightCol`

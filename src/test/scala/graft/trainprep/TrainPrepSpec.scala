@@ -549,4 +549,48 @@ class TrainPrepSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got2 === got)
   }
+
+  test("upsampleByWeight: exact full copies, quantized fractional share, loud guard") {
+    import spark.implicits._
+    val df = (1L to 2000L).map { i =>
+      (i, i % 5 match {
+        case 0 => 0.0; case 1 => 2.0; case 2 => 0.25; case 3 => 1.6
+        case _ => -1.0
+      })
+    }.toDF("id", "w")
+    val out = TrainPrep.upsampleByWeight(df, "id", "w")
+    val byId = out.groupBy("id", "w").agg(count(lit(1)).as("n"),
+        max("copy_idx").as("maxc"), min("copy_idx").as("minc"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // zero / negative weights emit nothing
+    assert(byId.keys.forall(i => i % 5 == 1 || i % 5 == 2 || i % 5 == 3))
+    // integer weight: exactly w copies for EVERY row
+    assert((1L to 2000L).filter(_ % 5 == 1)
+      .forall(i => byId(i) == ((2.0, 2L))))
+    // fractional-only weight: 0 or 1 copies, share ≈ 0.25 of the 400 rows
+    val fracKept = byId.count { case (i, (w, n)) => i % 5 == 2 && n == 1L }
+    assert((1L to 2000L).filter(_ % 5 == 2)
+      .forall(i => byId.get(i).forall(_._2 == 1L)))
+    assert(fracKept > 60 && fracKept < 140, s"0.25-share drifted: $fracKept/400")
+    // mixed weight 1.6: one guaranteed copy, second for ≈ 0.6 of rows
+    val w16 = (1L to 2000L).filter(_ % 5 == 3)
+    assert(w16.forall(i => byId(i)._2 >= 1L && byId(i)._2 <= 2L))
+    val second = w16.count(i => byId(i)._2 == 2L)
+    assert(second > 190 && second < 290, s"0.6-share drifted: $second/400")
+    // deterministic: a second run emits the identical multiset
+    val again = TrainPrep.upsampleByWeight(df, "id", "w")
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === byId.map { case (k, (_, n)) => k -> n })
+    // no shuffle: generate + filter is map-side
+    val exchanges = out.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, "upsampling must not shuffle")
+    // fat-finger guard: weight 23 where 2.3 was meant raises loudly
+    val boom = intercept[Exception] {
+      TrainPrep.upsampleByWeight(Seq((1L, 2300.0)).toDF("id", "w"), "id", "w")
+        .count()
+    }
+    assert(boom.getMessage != null)
+  }
 }
