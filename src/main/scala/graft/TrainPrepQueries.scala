@@ -489,6 +489,13 @@ object TrainPrepQueries {
       (s, dir) => graft.streaming.StreamParity.c4GateStream(s, dir),
       graft.PipelineQueries.defs.toMap.apply("q_c4_gate").oracle),
 
+    // ---- streaming SFT assembly at ingest ---------------------------------
+    // stream-static broadcast join (prompts arrive, completions static)
+    // + the stateless E116 render; shares q_sft_render's oracle.
+    "q_stream_sft" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.sftRenderStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_sft_render").oracle),
+
     // ---- streaming encoding-damage triage at ingest ----------------------
     "q_stream_encoding" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.encodingQualityStream(s, dir),

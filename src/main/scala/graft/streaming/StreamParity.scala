@@ -215,6 +215,31 @@ object StreamParity {
     runToTable(spark, flagged, "stream_decontam", OutputMode.Append())
   }
 
+  /** Streaming SFT assembly at ingest: arriving user documents pair with
+    * a STATIC completion table (the [[decontaminateStream]] stream-static
+    * broadcast-join shape — stateless, append mode, no state store) and
+    * render through the E116 chat template. The online form of SFT data
+    * assembly: prompts arrive, completions/system prompts live in a
+    * dimension table; each microbatch is one broadcast-probe + map pass,
+    * so at any stream volume nothing shuffles or accumulates. Shares
+    * q_sft_render's batch oracle over the identical doc-pair fixture. */
+  def sftRenderStream(spark: SparkSession, dir: String): DataFrame = {
+    val completions = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") - 100).as("conv_id"), col("text").as("atext"))
+    val prompts = docsStream(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("conv_id"), col("text").as("utext"))
+    val convs = prompts.join(broadcast(completions), "conv_id")
+      .select(col("conv_id"), array(
+        struct(lit("system").as("role"), lit("be concise").as("content")),
+        struct(lit("user").as("role"), col("utext").as("content")),
+        struct(lit("assistant").as("role"), col("atext").as("content")))
+        .as("turns"))
+    runToTable(spark,
+      graft.trainprep.SftPrep.renderChat(convs, "conv_id", "turns"),
+      "stream_sft", OutputMode.Append())
+  }
+
   /** Streaming C4 page cleanup at ingest — STATELESS (the E103 gate is a
     * pure per-row select, append mode, no state store), so stream == batch
     * by construction; the run certifies the streaming PLUMBING (file
