@@ -858,6 +858,53 @@ object ScaleSmoke {
     println(s"""{"metric":"langid_lr_scale","docs":$nDocs,"heads":4,""" +
       s""""seconds":$lidSecs,"docs_per_sec":${(nDocs / lidSecs).toLong},""" +
       s""""shuffle_bytes":$lidShuffle}""")
+
+    // ---- SFT completion-loss spans: BPE counting stays map-side; the
+    // only shuffle is the per-conversation prefix-sum window, whose rows
+    // are TURNS (a few small ints + a role), never text bytes ------------
+    val sftConvs = bigDocs.select(col("doc_id").as("conv_id"), array(
+      struct(lit("system").as("role"), lit("be concise").as("content")),
+      struct(lit("user").as("role"), col("text").as("content")),
+      struct(lit("assistant").as("role"),
+        substring(col("text"), 1, 200).as("content"))).as("turns"))
+    val nTurns = nDocs * 3
+    val (sftRes, sftShuffle, _, sftSecs) = sectionShuffle {
+      graft.trainprep.SftPrep.completionLossSpans(
+          sftConvs, "conv_id", "turns",
+          graft.functions.Bpe.tokenCount(_))
+        .agg(sum(col("n_tokens")), count(lit(1))).head()
+    }
+    require(sftRes.getLong(1) == nTurns, "spans must cover every turn")
+    // bound: ~100 B/turn of window shuffle is turn-metadata-sized; text
+    // at ~900 B/doc would blow this 3× over if it ever shuffled
+    require(sftShuffle < nTurns * 100,
+      s"span shuffle must stay turn-metadata-sized: $sftShuffle bytes " +
+        s"for $nTurns turns")
+    println(s"""{"metric":"sft_spans_scale","convs":$nDocs,"turns":$nTurns,""" +
+      s""""span_tokens":${sftRes.getLong(0)},"seconds":$sftSecs,""" +
+      s""""convs_per_sec":${(nDocs / sftSecs).toLong},""" +
+      s""""shuffle_bytes":$sftShuffle,""" +
+      s""""shuffle_bytes_per_turn":${sftShuffle / nTurns}}""")
+
+    // ---- upsample-by-weight: map-side generate, ZERO shuffle; output
+    // multiset tracks sum(w) to quantization ----------------------------
+    val recipe = bigDocs.select(col("doc_id"),
+      element_at(map(lit(0L), lit(0.0), lit(1L), lit(0.4), lit(2L), lit(1.0),
+        lit(3L), lit(2.3), lit(4L), lit(3.7)), pmod(col("doc_id"), lit(5L)))
+        .as("w"))
+    val expectedW = recipe.agg(sum(col("w"))).head().getDouble(0)
+    val (nUps, upsShuffle, _, upsSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.upsampleByWeight(recipe, "doc_id", "w")
+        .count()
+    }
+    require(upsShuffle < 1000000L,
+      s"upsampling must not shuffle: $upsShuffle bytes")
+    require(math.abs(nUps - expectedW) / expectedW < 0.02,
+      s"emitted copies must track sum(w): got $nUps vs ${expectedW.toLong}")
+    println(s"""{"metric":"upsample_scale","docs":$nDocs,"rows_out":$nUps,""" +
+      s""""expected_sum_w":${expectedW.toLong},"seconds":$upsSecs,""" +
+      s""""docs_per_sec":${(nDocs / upsSecs).toLong},""" +
+      s""""shuffle_bytes":$upsShuffle}""")
     spark.stop()
   }
 }

@@ -61,6 +61,10 @@ import graft.trainprep.TrainPrep
   *   6c. token-budget cap (`--budget-select N` [`--budget-col source`]) —
   *      keep each stratum's best-quality prefix within N tokens (mixing
   *      sets ratios, this sets absolute per-stratum volume)
+  *   6d. deterministic upsampling (`--upsample src0=2.3,src1=0.4`
+  *      [`--upsample-col source`] [`--upsample-default 1.0`]) — the
+  *      data-recipe executor (E118): epoch weights multiply the final
+  *      composition before chunking; copies get "<id>#<copy>" ids
   *   7. chunking, counting tokens with `--token-counter whitespace`
   *      (default) or `bpe` [`--bpe-merges <file>`] — real merges-table
   *      BPE budgeting via the codegen'd E101 expression
@@ -403,6 +407,39 @@ object CorpusPrep {
         .drop("__n_tok", "__q", "cum_tokens")
     }
 
+    // Deterministic upsampling (`--upsample src0=2.3,src1=0.4`
+    // [`--upsample-col source`] [`--upsample-default 1.0`]): the
+    // data-recipe executor (E118) — runs AFTER the selection/budget
+    // stages so epoch weights multiply the FINAL composition, and BEFORE
+    // chunking so packed sequences see the repeats. Copies get a
+    // qualified string id ("<id>#<copy>") so downstream chunk/export
+    // keys stay unique; the map-side generate adds no shuffle.
+    var nUpsampleExtra = 0L
+    args.get("upsample").foreach { spec =>
+      val upsCol = args.getOrElse("upsample-col", "source")
+      require(docs.columns.contains(upsCol),
+        s"--upsample-col '$upsCol' is not a column of the input (have: ${docs.columns.mkString(", ")})")
+      val default = args.getOrElse("upsample-default", "1.0").toDouble
+      require(default >= 0.0, s"--upsample-default must be >= 0, got $default")
+      val rates = spec.split(",").map { kv =>
+        val parts = kv.split("=")
+        require(parts.length == 2,
+          s"--upsample entries must be stratum=weight, got '$kv'")
+        require(parts(1).toDouble >= 0.0,
+          s"--upsample weight must be >= 0, got '$kv'")
+        parts(0) -> parts(1).toDouble
+      }
+      val w = rates.foldLeft(lit(default)) { case (acc, (s0, r)) =>
+        when(col(upsCol) === lit(s0), lit(r)).otherwise(acc)
+      }
+      val before = docs.count()
+      docs = TrainPrep.upsampleByWeight(docs.withColumn("__w", w), idCol, "__w")
+        .withColumn(idCol,
+          concat(col(idCol).cast("string"), lit("#"), col("copy_idx")))
+        .drop("__w", "copy_idx")
+      nUpsampleExtra = docs.count() - before
+    }
+
     // `--chunk-mode pack` (default) lays docs end-to-end and cuts every
     // `--budget` tokens (pretraining shape); `--chunk-mode sliding` emits
     // overlapping `--chunk-tokens` windows every `--chunk-stride` tokens
@@ -499,7 +536,8 @@ object CorpusPrep {
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
       "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped,
       "dsir_dropped" -> nDsirDropped,
-      "incremental_dropped" -> nIncrementalDropped)
+      "incremental_dropped" -> nIncrementalDropped,
+      "upsample_extra" -> nUpsampleExtra)
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_prep\",", ",", "}"))
     stats

@@ -438,6 +438,36 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("--upsample multiplies strata by epoch weight with qualified copy ids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_upsample").toString
+    (0 until 30).map { i =>
+      val src = if (i < 10) "heavy" else if (i < 20) "light" else "other"
+      (i.toLong, "the data of and to is in row " + i, src)
+    }.toDF("doc_id", "text", "source").write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "upsample" -> "heavy=3.0,light=0.0", "budget" -> "64"))
+    val kept = spark.read.parquet(s"$dir/out/chunks").select("doc_id")
+      .collect().map(_.getString(0))
+    // heavy: exactly 3 copies each with #0/#1/#2 ids; light: dropped;
+    // other: the 1.0 default keeps exactly one copy
+    val byBase = kept.groupBy(_.split("#")(0).toLong)
+    assert((0L until 10L).forall(i => byBase(i).toSet ==
+      Set(s"$i#0", s"$i#1", s"$i#2")), byBase.toString)
+    assert((10L until 20L).forall(i => !byBase.contains(i)))
+    assert((20L until 30L).forall(i => byBase(i).toSeq == Seq(s"$i#0")))
+    assert(stats("upsample_extra") == 10L) // +20 heavy copies, -10 light
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/out2",
+        "upsample" -> "heavy=oops"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/out3",
+        "upsample" -> "a=1.0", "upsample-col" -> "nope"))
+    }
+  }
+
   test("--dsir-target keeps the docs most like the target domain") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus_dsir").toString
