@@ -2006,6 +2006,33 @@ object PipelineQueries {
               |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) d
               |LEFT JOIN dec USING (doc_id)""".stripMargin)),
 
+    // ---- per-slice tokenizer vocabulary coverage ---------------------------
+    // unk rates under the closed oracle vocabulary, per source slice —
+    // token and unk sums replayed through the sweep + id chain
+    "q_vocab_coverage" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.vocabCoverage(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "source", "text",
+        graft.expressions.BpeMerges(oracleBpePairs)),
+      Some(s"""WITH $bpeSweepCtes,
+              |tok AS (SELECT doc_id, i, k, ts[k] AS t FROM (
+              |    SELECT doc_id, i,
+              |      string_split(replace(replace(replace(s, chr(3)||chr(2),
+              |        chr(31)), chr(2), ''), chr(3), ''), chr(31)) AS ts
+              |    FROM merged),
+              |  unnest(generate_series(1, len(ts))) AS _(k)),
+              |ids AS (SELECT doc_id, coalesce(v.id, 0) AS tid
+              |  FROM tok LEFT JOIN $bpeVocabValuesSql ON v.sym = tok.t),
+              |per AS (SELECT doc_id, count(*) AS n,
+              |    sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS u
+              |  FROM ids GROUP BY 1),
+              |d AS (SELECT doc_id, source FROM documents WHERE doc_id < 300)
+              |SELECT d.source AS slice, count(*) AS n_docs,
+              |  CAST(coalesce(sum(per.n), 0) AS BIGINT) AS n_tokens,
+              |  CAST(coalesce(sum(per.u), 0) AS BIGINT) AS n_unk,
+              |  round(coalesce(sum(per.u), 0) * 1.0
+              |    / greatest(coalesce(sum(per.n), 0), 1), 6) AS unk_rate
+              |FROM d LEFT JOIN per USING (doc_id) GROUP BY 1""".stripMargin)),
+
     // ---- SFT chat-template render (the instruction-tuning text) -----------
     "q_sft_render" -> QueryDef(
       (s, dir) => graft.trainprep.SftPrep.renderChat(

@@ -869,10 +869,13 @@ object ScaleSmoke {
         substring(col("text"), 1, 200).as("content"))).as("turns"))
     val nTurns = nDocs * 3
     val (sftRes, sftShuffle, _, sftSecs) = sectionShuffle {
+      // max(loss_end) CONSUMES the window output — an aggregate over
+      // n_tokens alone lets Catalyst prune the window (and its exchange)
+      // out of the plan, and the shuffle "measurement" goes vacuous
       graft.trainprep.SftPrep.completionLossSpans(
           sftConvs, "conv_id", "turns",
           graft.functions.Bpe.tokenCount(_))
-        .agg(sum(col("n_tokens")), count(lit(1))).head()
+        .agg(sum(col("n_tokens")), count(lit(1)), max(col("loss_end"))).head()
     }
     require(sftRes.getLong(1) == nTurns, "spans must cover every turn")
     // bound: ~100 B/turn of window shuffle is turn-metadata-sized; text

@@ -758,6 +758,28 @@ object TrainPrep {
           .as("contaminated_frac"))
   }
 
+  /** Per-slice tokenizer VOCABULARY COVERAGE — the dataset-card number
+    * for tokenizer fit (companion to per-doc fertility, E110): for each
+    * corpus slice, total BPE tokens, <unk> tokens and the unk rate under
+    * a closed vocabulary. A slice whose unk rate spikes is a domain the
+    * merge table never saw — the signal to retrain or byte-fallback the
+    * tokenizer before budgeting with its counts. Per-doc (token, unk)
+    * counts are a codegen'd map over the scan; the only shuffle carries
+    * slice-sized partials (map-side combined). */
+  def vocabCoverage(docs: DataFrame, sliceCol: String, textCol: String,
+      merges: graft.expressions.BpeMerges =
+        graft.functions.Bpe.defaultMerges): DataFrame = {
+    val ids = graft.functions.Bpe.tokenIds(col(textCol), merges)
+    docs.select(col(sliceCol).as("slice"),
+        size(ids).cast("long").as("__n"),
+        size(filter(ids, i => i === 0)).cast("long").as("__u"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__n").as("n_tokens"), sum("__u").as("n_unk"),
+        round(sum("__u") * lit(1.0) / greatest(sum("__n"), lit(1L)), 6)
+          .as("unk_rate"))
+  }
+
   /** Sequence-length histogram + padding-waste report — the batching-
     * efficiency numbers a training run checks before choosing packed vs
     * padded batching: docs bucketed by token length (power-of-two ladder

@@ -507,6 +507,27 @@ class PlanAuditSpec extends SparkSpec {
       "the histogram must shuffle once, on the bucket:\n" + plan.take(1000))
   }
 
+  test("q_bpe_decode and q_upsample_weight are pure map passes over the scan") {
+    for (q <- Seq("q_bpe_decode", "q_upsample_weight")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"),
+        s"$q is map-side (decode literal map / generate+filter):\n" +
+          plan.take(1000))
+      assert(!plan.contains("CodegenFallback") && !plan.contains("ScalaUDF"),
+        plan.take(800))
+    }
+  }
+
+  test("q_sft_loss_spans shuffles once (the per-conversation window), counts in codegen") {
+    val plan = executedPlan("q_sft_loss_spans")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "spans need exactly the prefix-sum window exchange:\n" + plan.take(1200))
+    assert(plan.contains("bpe_tokens"),
+      "segment counts must ride the codegen'd BPE expression:\n" +
+        plan.take(1200))
+    assert(!plan.contains("CodegenFallback"), plan.take(800))
+  }
+
   test("q_dedup_bloom probes with codegen'd might_contain — zero UDFs remain in src/main") {
     val plan = executedPlan("q_dedup_bloom")
     assert(plan.contains("might_contain"),

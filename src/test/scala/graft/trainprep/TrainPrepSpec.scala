@@ -550,6 +550,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("vocabCoverage: per-slice unk rates under a closed vocabulary") {
+    import spark.implicits._
+    val tiny = graft.expressions.BpeMerges(IndexedSeq(
+      ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")))
+    val df = Seq(
+      ("clean", "the and the"),  // all tokens in vocab → unk 0
+      ("clean", "than"),          // th + an, both vocab symbols
+      ("mixed", "the zoo"),       // z/o/o are outside the table → 3 unks
+      ("empty", "   ")            // zero tokens — rate guard, not NaN
+    ).toDF("source", "text")
+    val out = TrainPrep.vocabCoverage(df, "source", "text", tiny)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("clean") == ((2L, 5L, 0L, 0.0))) // the,and,the + th,an
+    // "the zoo": the=1 token + z,o,o=3 unk tokens
+    assert(out("mixed") == ((1L, 4L, 3L, 0.75)))
+    assert(out("empty") == ((1L, 0L, 0L, 0.0)))
+  }
+
   test("upsampleByWeight: exact full copies, quantized fractional share, loud guard") {
     import spark.implicits._
     val df = (1L to 2000L).map { i =>
