@@ -2081,6 +2081,69 @@ object PipelineQueries {
               |  CAST(tok_end AS BIGINT) AS loss_end
               |FROM sp""".stripMargin)),
 
+    // ---- DPO preference-pair prep ------------------------------------------
+    // shared prompt + chosen/rejected completions → both rendered
+    // sequences plus the trainer's token geometry (shared-prefix length,
+    // loss start, per-side totals), all replayed through segment sweeps
+    "q_pref_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val u = d.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("pair_id"), col("text").as("utext"))
+        val c = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") - 100).as("pair_id"), col("text").as("chosen"))
+        val r = d.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+          .select((col("doc_id") - 200).as("pair_id"), col("text").as("rejected"))
+        val pairs = u.join(c, "pair_id").join(r, "pair_id")
+          .select(col("pair_id"), array(
+            struct(lit("system").as("role"), lit("be concise").as("content")),
+            struct(lit("user").as("role"), col("utext").as("content")))
+            .as("prompt"),
+            col("chosen"), col("rejected"))
+        graft.trainprep.SftPrep.preferencePairPrep(
+          pairs, "pair_id", "prompt", "chosen", "rejected",
+          graft.functions.Bpe.tokenCount(_,
+            graft.expressions.BpeMerges(oracleBpePairs)))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT u.doc_id AS pair_id,
+              |    '<|system|>' || chr(10) || 'be concise' || chr(10)
+              |      || '<|end|>' || chr(10) || '<|user|>' || chr(10)
+              |      || u.text || chr(10) || '<|end|>' || chr(10) AS prompt,
+              |    c.text AS chosen, r.text AS rejected
+              |  FROM documents u
+              |  JOIN documents c ON c.doc_id = u.doc_id + 100
+              |  JOIN documents r ON r.doc_id = u.doc_id + 200
+              |  WHERE u.doc_id < 100),
+              |segs AS (
+              |  SELECT pair_id, 0 AS part, prompt AS text FROM base
+              |  UNION ALL SELECT pair_id, 1,
+              |    '<|assistant|>' || chr(10) FROM base
+              |  UNION ALL SELECT pair_id, 2,
+              |    chosen || chr(10) || '<|end|>' || chr(10) FROM base
+              |  UNION ALL SELECT pair_id, 3,
+              |    rejected || chr(10) || '<|end|>' || chr(10) FROM base),
+              |${bpeSweepCtesOver("pair_id, part", "segs")},
+              |cnt AS (SELECT pair_id, part,
+              |    sum(length(s) - length(replace(s, chr(2), ''))) AS n
+              |  FROM merged GROUP BY 1, 2),
+              |p AS (SELECT pair_id,
+              |    sum(CASE WHEN part = 0 THEN n ELSE 0 END) AS c0,
+              |    sum(CASE WHEN part = 1 THEN n ELSE 0 END) AS c1,
+              |    sum(CASE WHEN part = 2 THEN n ELSE 0 END) AS c2,
+              |    sum(CASE WHEN part = 3 THEN n ELSE 0 END) AS c3
+              |  FROM cnt GROUP BY 1)
+              |SELECT b.pair_id,
+              |  b.prompt || '<|assistant|>' || chr(10) || b.chosen || chr(10)
+              |    || '<|end|>' || chr(10) AS chosen_text,
+              |  b.prompt || '<|assistant|>' || chr(10) || b.rejected || chr(10)
+              |    || '<|end|>' || chr(10) AS rejected_text,
+              |  CAST(p.c0 AS BIGINT) AS prompt_tokens,
+              |  CAST(p.c0 + p.c1 AS BIGINT) AS loss_start,
+              |  CAST(p.c0 + p.c1 + p.c2 AS BIGINT) AS chosen_tokens,
+              |  CAST(p.c0 + p.c1 + p.c3 AS BIGINT) AS rejected_tokens
+              |FROM base b JOIN p USING (pair_id)""".stripMargin)),
+
     // ---- C4 page cleanup gate (Raffel et al. 2020 §2.2) -------------------
     // The fixture text has no lines/punctuation, so pages are CONSTRUCTED
     // identically on both sides: kept lines (terminal punct, >=3 words),

@@ -59,6 +59,38 @@ object SftPrep {
         concat(template.header(t.getField("role")),
           template.body(t.getField("content")))), "").as("text"))
 
+  /** Preference-pair prep — the DPO/RLHF-reward data artifact: a shared
+    * prompt (ordered turns) plus a chosen and a rejected completion
+    * render to the two full sequences, with the token geometry a
+    * preference trainer needs: `prompt_tokens` (the shared prefix both
+    * sequences start with — what prefix-sharing batchers cache),
+    * `loss_start` (= prompt + completion header; identical for both
+    * sides since they share `lossRole`'s header) and each side's total.
+    * Counts are exact against tokenizing the rendered strings by the
+    * [[ChatTemplate]] additivity contract. Pure codegen'd map — zero
+    * shuffle; the completions tokenize once each, the prompt once. */
+  def preferencePairPrep(pairs: DataFrame, pairId: String,
+      promptTurnsCol: String, chosenCol: String, rejectedCol: String,
+      tokenCountFn: Column => Column,
+      lossRole: String = "assistant",
+      template: ChatTemplate = ChatTemplate()): DataFrame = {
+    val promptText = array_join(transform(col(promptTurnsCol), t =>
+      concat(template.header(t.getField("role")),
+        template.body(t.getField("content")))), "")
+    val compHeader = template.header(lit(lossRole))
+    def full(c: Column) = concat(promptText, compHeader, template.body(c))
+    val promptToks = tokenCountFn(promptText)
+    pairs.select(col(pairId),
+      full(col(chosenCol)).as("chosen_text"),
+      full(col(rejectedCol)).as("rejected_text"),
+      promptToks.as("prompt_tokens"),
+      (promptToks + tokenCountFn(compHeader)).as("loss_start"),
+      (promptToks + tokenCountFn(compHeader) +
+        tokenCountFn(template.body(col(chosenCol)))).as("chosen_tokens"),
+      (promptToks + tokenCountFn(compHeader) +
+        tokenCountFn(template.body(col(rejectedCol)))).as("rejected_tokens"))
+  }
+
   /** Completion-loss token spans over the rendered text: one row per
     * turn with its token extent `[tok_start, tok_end)` and its LOSS
     * extent — `[tok_start + header_tokens, tok_end)` for `lossRole`

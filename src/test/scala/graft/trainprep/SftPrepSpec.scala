@@ -88,6 +88,42 @@ class SftPrepSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("preferencePairPrep: shared prefix, exact token geometry, no shuffle") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Seq(("system", "be terse"), ("user", "the thing")),
+        "and it rang", "thern"),
+      (2L, Seq(("user", "in")), "", "the and"))
+      .toDF("pair_id", "rawp", "chosen", "rejected")
+      .select(col("pair_id"), transform(col("rawp"),
+        t => struct(t.getField("_1").as("role"),
+          t.getField("_2").as("content"))).as("prompt"),
+        col("chosen"), col("rejected"))
+    val out = SftPrep.preferencePairPrep(
+      pairs, "pair_id", "prompt", "chosen", "rejected", cnt)
+    // both sides share the prompt+header prefix byte-for-byte up to the
+    // completion, and the token geometry matches tokenizing the strings
+    val rows = out.collect()
+    rows.foreach { r =>
+      val chosenText = r.getAs[String]("chosen_text")
+      val rejectedText = r.getAs[String]("rejected_text")
+      // common prefix covers prompt + assistant header on both sides
+      val common = chosenText.zip(rejectedText).takeWhile(p => p._1 == p._2).length
+      assert(chosenText.take(common).contains("<|assistant|>\n"),
+        "the shared prefix must include the completion header")
+    }
+    val geo = out.select(
+      (cnt(col("chosen_text")) === col("chosen_tokens")).as("a"),
+      (cnt(col("rejected_text")) === col("rejected_tokens")).as("b"),
+      (col("loss_start") > col("prompt_tokens")).as("c"))
+      .filter(!col("a") || !col("b") || !col("c")).count()
+    assert(geo == 0L,
+      "token geometry must match tokenizing the rendered sequences")
+    val exchanges = out.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, "preference prep is a pure map")
+  }
+
   test("template whitespace contract is enforced loudly") {
     intercept[IllegalArgumentException] {
       ChatTemplate(headerSuffix = "|>") // no trailing whitespace
