@@ -209,35 +209,44 @@ object PipelineQueries {
       .map { case (s, i) => s"('$s', ${i + 1})" }
       .mkString("(VALUES ", ", ", ") v(sym, id)")
 
-  /** SFT conversation fixture (shared by q_sft_render / q_sft_loss_spans):
-    * conv i (< 100) pairs doc i's text as the user turn with doc
-    * (i+100)'s text as the assistant completion under a constant system
-    * prompt — three ordered turns, deterministic on both engines. */
+  /** The constant system prompt of the SFT/DPO fixtures — interpolated
+    * into BOTH engines' sides so the literal cannot drift. */
+  private[graft] val SftSystemPrompt = "be concise"
+
+  /** One 100-doc arm of the SFT/DPO fixtures: docs in [lo, lo+100),
+    * keyed back to the conversation/pair id (doc_id − lo). */
+  private def docArm(s: org.apache.spark.sql.SparkSession, dir: String,
+      lo: Int, key: String, as: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") >= lo && col("doc_id") < lo + 100)
+      .select((col("doc_id") - lo).as(key), col("text").as(as))
+
+  /** SFT conversation fixture (shared by q_sft_render / q_sft_loss_spans
+    * and, extended by a rejected arm, q_pref_pairs): conv i (< 100) pairs
+    * doc i's text as the user turn with doc (i+100)'s text as the
+    * assistant completion under the constant system prompt — three
+    * ordered turns, deterministic on both engines. */
   private def sftConvs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val d = t(s, dir, "documents")
-    val u = d.filter(col("doc_id") < 100)
-      .select(col("doc_id").as("conv_id"), col("text").as("utext"))
-    val a = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
-      .select((col("doc_id") - 100).as("conv_id"), col("text").as("atext"))
-    u.join(a, "conv_id").select(col("conv_id"), array(
-      struct(lit("system").as("role"), lit("be concise").as("content")),
-      struct(lit("user").as("role"), col("utext").as("content")),
-      struct(lit("assistant").as("role"), col("atext").as("content")))
-      .as("turns"))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    docArm(s, dir, 0, "conv_id", "utext")
+      .join(docArm(s, dir, 100, "conv_id", "atext"), "conv_id")
+      .select(col("conv_id"), array(
+        struct(lit("system").as("role"), lit(SftSystemPrompt).as("content")),
+        struct(lit("user").as("role"), col("utext").as("content")),
+        struct(lit("assistant").as("role"), col("atext").as("content")))
+        .as("turns"))
 
   /** The same fixture as [[sftConvs]] in SQL (margin-full; composing
     * oracle strips once): CTEs `conv` and `turns`. */
   private def sftTurnsCtes: String =
-    """conv AS (SELECT u.doc_id AS conv_id, u.text AS utext, a.text AS atext
-      |  FROM documents u JOIN documents a ON a.doc_id = u.doc_id + 100
-      |  WHERE u.doc_id < 100),
-      |turns AS (
-      |  SELECT conv_id, 0 AS turn_idx, 'system' AS role,
-      |    'be concise' AS content FROM conv
-      |  UNION ALL SELECT conv_id, 1, 'user', utext FROM conv
-      |  UNION ALL SELECT conv_id, 2, 'assistant', atext FROM conv)"""
+    s"""conv AS (SELECT u.doc_id AS conv_id, u.text AS utext, a.text AS atext
+       |  FROM documents u JOIN documents a ON a.doc_id = u.doc_id + 100
+       |  WHERE u.doc_id < 100),
+       |turns AS (
+       |  SELECT conv_id, 0 AS turn_idx, 'system' AS role,
+       |    '$SftSystemPrompt' AS content FROM conv
+       |  UNION ALL SELECT conv_id, 1, 'user', utext FROM conv
+       |  UNION ALL SELECT conv_id, 2, 'assistant', atext FROM conv)"""
 
   private def bpeOracleSql: String =
     s"""WITH $bpeSweepCtes,
@@ -2087,16 +2096,11 @@ object PipelineQueries {
     // loss start, per-side totals), all replayed through segment sweeps
     "q_pref_pairs" -> QueryDef(
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val u = d.filter(col("doc_id") < 100)
-          .select(col("doc_id").as("pair_id"), col("text").as("utext"))
-        val c = d.filter(col("doc_id") >= 100 && col("doc_id") < 200)
-          .select((col("doc_id") - 100).as("pair_id"), col("text").as("chosen"))
-        val r = d.filter(col("doc_id") >= 200 && col("doc_id") < 300)
-          .select((col("doc_id") - 200).as("pair_id"), col("text").as("rejected"))
-        val pairs = u.join(c, "pair_id").join(r, "pair_id")
+        val pairs = docArm(s, dir, 0, "pair_id", "utext")
+          .join(docArm(s, dir, 100, "pair_id", "chosen"), "pair_id")
+          .join(docArm(s, dir, 200, "pair_id", "rejected"), "pair_id")
           .select(col("pair_id"), array(
-            struct(lit("system").as("role"), lit("be concise").as("content")),
+            struct(lit("system").as("role"), lit(SftSystemPrompt).as("content")),
             struct(lit("user").as("role"), col("utext").as("content")))
             .as("prompt"),
             col("chosen"), col("rejected"))
@@ -2107,7 +2111,7 @@ object PipelineQueries {
       },
       Some(s"""WITH base AS (
               |  SELECT u.doc_id AS pair_id,
-              |    '<|system|>' || chr(10) || 'be concise' || chr(10)
+              |    '<|system|>' || chr(10) || '$SftSystemPrompt' || chr(10)
               |      || '<|end|>' || chr(10) || '<|user|>' || chr(10)
               |      || u.text || chr(10) || '<|end|>' || chr(10) AS prompt,
               |    c.text AS chosen, r.text AS rejected

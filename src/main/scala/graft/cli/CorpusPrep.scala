@@ -414,6 +414,16 @@ object CorpusPrep {
     // chunking so packed sequences see the repeats. Copies get a
     // qualified string id ("<id>#<copy>") so downstream chunk/export
     // keys stay unique; the map-side generate adds no shuffle.
+    // The in/out counts for the stats contract come from a CHECKPOINTED
+    // (id, weight) projection: the text-heavy upstream chain executes
+    // once to materialize two small columns, and both counts (plus the
+    // emitted-copy replay, which depends only on id and weight) run
+    // against that, never re-executing the chain (the ScaleDeep
+    // composition tax). observe/CollectMetrics is NOT usable here:
+    // predicates push straight through it (an observe above the w>0
+    // filter measured 20 of 30 rows), and the two-pass pack plan
+    // references the frame twice in one action, double-counting the
+    // metric (measured 80 of 40).
     var nUpsampleExtra = 0L
     args.get("upsample").foreach { spec =>
       val upsCol = args.getOrElse("upsample-col", "source")
@@ -432,12 +442,18 @@ object CorpusPrep {
       val w = rates.foldLeft(lit(default)) { case (acc, (s0, r)) =>
         when(col(upsCol) === lit(s0), lit(r)).otherwise(acc)
       }
-      val before = docs.count()
-      docs = TrainPrep.upsampleByWeight(docs.withColumn("__w", w), idCol, "__w")
+      val slim = docs.select(col(idCol).as("__id"), w.as("__w"))
+        .localCheckpoint()
+      try {
+        val before = slim.count()
+        nUpsampleExtra =
+          TrainPrep.upsampleByWeight(slim, "__id", "__w").count() - before
+      } finally slim.unpersist()
+      docs = TrainPrep.upsampleByWeight(docs.withColumn("__w", w),
+          idCol, "__w")
         .withColumn(idCol,
           concat(col(idCol).cast("string"), lit("#"), col("copy_idx")))
         .drop("__w", "copy_idx")
-      nUpsampleExtra = docs.count() - before
     }
 
     // `--chunk-mode pack` (default) lays docs end-to-end and cuts every

@@ -135,7 +135,16 @@ final case class BpeMerges(pairs: IndexedSeq[(String, String)])
     new GenericArrayData(out.toArray[Any])
   }
 
-  private def isAsciiSpace(c: Char): Boolean =
+  private def isAsciiSpace(c: Char): Boolean = BpeMerges.isAsciiSpace(c)
+}
+
+object BpeMerges {
+  /** The EXACT split set of [[BpeMerges.encodeRow]] (Java regex `\s`
+    * without UNICODE_CHARACTER_CLASS). Callers building token-additivity
+    * contracts (e.g. SftPrep's ChatTemplate) must test boundary chars
+    * against THIS predicate, not `Char.isWhitespace` — U+2028/U+1680
+    * etc. are Unicode whitespace but do NOT split a word here. */
+  private[graft] def isAsciiSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
 }
 

@@ -231,7 +231,8 @@ object StreamParity {
       .select(col("doc_id").as("conv_id"), col("text").as("utext"))
     val convs = prompts.join(broadcast(completions), "conv_id")
       .select(col("conv_id"), array(
-        struct(lit("system").as("role"), lit("be concise").as("content")),
+        struct(lit("system").as("role"),
+          lit(graft.PipelineQueries.SftSystemPrompt).as("content")),
         struct(lit("user").as("role"), col("utext").as("content")),
         struct(lit("assistant").as("role"), col("atext").as("content")))
         .as("turns"))

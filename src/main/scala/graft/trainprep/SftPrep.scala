@@ -36,12 +36,17 @@ object SftPrep {
     * rendered text. */
   final case class ChatTemplate(headerPrefix: String = "<|",
       headerSuffix: String = "|>\n", footer: String = "\n<|end|>\n") {
-    require(headerSuffix.nonEmpty && headerSuffix.last.isWhitespace,
-      "headerSuffix must end with whitespace — the header|content token " +
-        "boundary must be a word boundary for span counts to be additive")
-    require(footer.nonEmpty && footer.head.isWhitespace && footer.last.isWhitespace,
-      "footer must start and end with whitespace — the content|footer and " +
-        "footer|next-header boundaries must be word boundaries")
+    // the boundary test is the TOKENIZER'S split predicate (ASCII \s),
+    // not Char.isWhitespace: U+2028/U+1680 are Unicode whitespace the
+    // BPE word split does NOT break on — accepting them here would let
+    // a "validated" template emit misaligned loss spans
+    private def ws(c: Char) = graft.expressions.BpeMerges.isAsciiSpace(c)
+    require(headerSuffix.nonEmpty && ws(headerSuffix.last),
+      "headerSuffix must end with ASCII whitespace — the header|content " +
+        "token boundary must be a word boundary for span counts to be additive")
+    require(footer.nonEmpty && ws(footer.head) && ws(footer.last),
+      "footer must start and end with ASCII whitespace — the content|footer " +
+        "and footer|next-header boundaries must be word boundaries")
 
     private[trainprep] def header(role: Column): Column =
       concat(lit(headerPrefix), role, lit(headerSuffix))

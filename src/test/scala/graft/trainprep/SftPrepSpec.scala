@@ -134,6 +134,15 @@ class SftPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ChatTemplate(footer = "\n<|end|>") // no trailing whitespace
     }
+    // Unicode whitespace the BPE word split does NOT break on must be
+    // rejected too — Char.isWhitespace would accept these and the spans
+    // would silently misalign (boundary words fuse)
+    intercept[IllegalArgumentException] {
+      ChatTemplate(headerSuffix = "|> ") // LINE SEPARATOR
+    }
+    intercept[IllegalArgumentException] {
+      ChatTemplate(footer = " <|end|>\n") // OGHAM SPACE MARK
+    }
     // a custom compliant template renders and budgets consistently
     val tpl = ChatTemplate("[", "]\t", " [eot] ")
     val rendered = SftPrep.renderChat(convs, "conv_id", "turns", tpl)
