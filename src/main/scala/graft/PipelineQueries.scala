@@ -2090,6 +2090,55 @@ object PipelineQueries {
               |  CAST(tok_end AS BIGINT) AS loss_end
               |FROM sp""".stripMargin)),
 
+    // ---- loss masks for PACKED sequences -----------------------------------
+    // conversations laid end-to-end in 64-token windows; each completion
+    // span lands as in-window [start, end) rows split at boundaries —
+    // offsets, splits and window ids all replayed
+    "q_sft_pack_masks" -> QueryDef(
+      (s, dir) => graft.trainprep.SftPrep.packedLossMasks(
+        sftConvs(s, dir), "conv_id", "turns",
+        graft.functions.Bpe.tokenCount(_,
+          graft.expressions.BpeMerges(oracleBpePairs)),
+        contextTokens = 64),
+      Some(s"""WITH $sftTurnsCtes,
+              |segs AS (
+              |  SELECT conv_id, turn_idx, role, 0 AS part,
+              |    '<|' || role || '|>' || chr(10) AS text FROM turns
+              |  UNION ALL
+              |  SELECT conv_id, turn_idx, role, 1,
+              |    content || chr(10) || '<|end|>' || chr(10) FROM turns),
+              |${bpeSweepCtesOver("conv_id, turn_idx, role, part", "segs")},
+              |cnt AS (SELECT conv_id, turn_idx, role, part,
+              |    sum(length(s) - length(replace(s, chr(2), ''))) AS n
+              |  FROM merged GROUP BY 1, 2, 3, 4),
+              |tt AS (SELECT conv_id, turn_idx, role,
+              |    sum(CASE WHEN part = 0 THEN n ELSE 0 END) AS h,
+              |    sum(n) AS n_tokens
+              |  FROM cnt GROUP BY 1, 2, 3),
+              |sp AS (SELECT conv_id, turn_idx, role, n_tokens, h,
+              |    sum(n_tokens) OVER (PARTITION BY conv_id
+              |      ORDER BY turn_idx) AS tok_end
+              |  FROM tt),
+              |tot AS (SELECT conv_id, max(tok_end) AS tot FROM sp GROUP BY 1),
+              |off AS (SELECT conv_id,
+              |    sum(tot) OVER (ORDER BY conv_id) - tot AS o FROM tot),
+              |ls AS (SELECT s.conv_id, s.turn_idx,
+              |    o.o + s.tok_end - s.n_tokens + s.h AS gs,
+              |    o.o + s.tok_end AS ge
+              |  FROM sp s JOIN off o USING (conv_id)
+              |  WHERE s.role = 'assistant'
+              |    AND s.tok_end - s.n_tokens + s.h < s.tok_end),
+              |m AS (SELECT conv_id, turn_idx, gs, ge,
+              |    unnest(generate_series(CAST(floor(gs / 64.0) AS BIGINT),
+              |      CAST(floor((ge - 1) / 64.0) AS BIGINT))) AS seq_id
+              |  FROM ls)
+              |SELECT CAST(seq_id AS BIGINT) AS seq_id, conv_id, turn_idx,
+              |  CAST(greatest(gs - seq_id * 64, 0) AS BIGINT)
+              |    AS loss_start_in_seq,
+              |  CAST(least(ge - seq_id * 64, 64) AS BIGINT)
+              |    AS loss_end_in_seq
+              |FROM m""".stripMargin)),
+
     // ---- DPO preference-pair prep ------------------------------------------
     // shared prompt + chosen/rejected completions → both rendered
     // sequences plus the trainer's token geometry (shared-prefix length,

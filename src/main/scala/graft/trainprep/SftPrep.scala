@@ -64,6 +64,51 @@ object SftPrep {
         concat(template.header(t.getField("role")),
           template.body(t.getField("content")))), "").as("text"))
 
+  /** Loss masks for PACKED sequences — the last piece of the SFT tensor:
+    * conversations lie end-to-end in `contextTokens` windows (exactly
+    * [[TrainPrep.packedTokenIds]] over the rendered text — the
+    * template-additivity contract makes the two token streams align),
+    * and each completion-loss span lands in its window(s) as
+    * `[loss_start_in_seq, loss_end_in_seq)` rows, split at window
+    * boundaries. Consuming (seq_id, token_ids) from packedTokenIds plus
+    * these rows yields the (input_ids, loss_mask) pair an SFT run feeds
+    * the model.
+    *
+    * Scale shape: per-conversation totals aggregate from the span frame
+    * (span-count rows), global offsets ride the distributed two-pass
+    * prefix scan (never a single-partition sort), spans join offsets
+    * keyed by conversation, and the window split is a map-side generate
+    * — every shuffled row is span metadata (a few longs), never text. */
+  def packedLossMasks(convs: DataFrame, convId: String, turnsCol: String,
+      tokenCountFn: Column => Column, contextTokens: Int,
+      lossRole: String = "assistant",
+      template: ChatTemplate = ChatTemplate()): DataFrame = {
+    require(contextTokens > 0,
+      s"contextTokens must be positive, got $contextTokens")
+    val ctx = lit(contextTokens.toLong)
+    val spans = completionLossSpans(convs, convId, turnsCol, tokenCountFn,
+      lossRole, template)
+    val perConv = spans.groupBy(col(convId)).agg(max("tok_end").as("__tot"))
+    val offs = graft.ops.TimeSeriesOps.scanCumSumLong(
+        perConv, Seq(convId), "__tot", "__cum")
+      .select(col(convId), (col("__cum") - col("__tot")).as("__off"))
+    spans.filter(col("loss_end") > col("loss_start"))
+      .join(offs, convId)
+      .withColumn("__gs", col("__off") + col("loss_start"))
+      .withColumn("__ge", col("__off") + col("loss_end"))
+      // same floor(gpos / ctx.toDouble) grid as packedTokenIds — exact
+      // below 2^52 global tokens, far past a 100 TB corpus
+      .select(col(convId), col("turn_idx"), col("__gs"), col("__ge"),
+        explode(sequence(
+          floor(col("__gs") / lit(contextTokens.toDouble)).cast("long"),
+          floor((col("__ge") - 1) / lit(contextTokens.toDouble)).cast("long")))
+          .as("seq_id"))
+      .select(col("seq_id"), col(convId), col("turn_idx"),
+        greatest(col("__gs") - col("seq_id") * ctx, lit(0L))
+          .as("loss_start_in_seq"),
+        least(col("__ge") - col("seq_id") * ctx, ctx).as("loss_end_in_seq"))
+  }
+
   /** Preference-pair prep — the DPO/RLHF-reward data artifact: a shared
     * prompt (ordered turns) plus a chosen and a rejected completion
     * render to the two full sequences, with the token geometry a

@@ -124,6 +124,49 @@ class SftPrepSpec extends SparkSpec {
     assert(exchanges == 0, "preference prep is a pure map")
   }
 
+  test("packedLossMasks aligns with packedTokenIds: masked positions carry exactly the completion ids") {
+    import spark.implicits._
+    val ctx = 16
+    // pack the RENDERED conversations with the same tokenizer
+    val rendered = SftPrep.renderChat(convs, "conv_id", "turns")
+    val packed = graft.trainprep.TrainPrep.packedTokenIds(
+        rendered, "conv_id", "text", merges, ctx)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(2).split(",").filter(_.nonEmpty).map(_.toInt)).toMap
+    val masks = SftPrep.packedLossMasks(convs, "conv_id", "turns", cnt, ctx)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // masks stay in-window, non-empty, and never overlap within a window
+    masks.foreach { case (_, s, e) =>
+      assert(s >= 0 && s < e && e <= ctx, s"bad mask [$s,$e)")
+    }
+    masks.groupBy(_._1).foreach { case (seq, ms) =>
+      val sorted = ms.sortBy(_._2).toSeq
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._3 <= b._2, s"overlap in seq $seq")
+      }
+    }
+    // gather masked ids in global (seq, position) order
+    val maskedIds = masks.sortBy(m => (m._1, m._2)).flatMap { case (seq, s, e) =>
+      packed(seq).slice(s.toInt, e.toInt)
+    }.toSeq
+    // expected: per conv in id order, per assistant turn in turn order,
+    // the ids of content+footer — computed INDEPENDENTLY via encodeWord
+    val vocab = Bpe.vocabOf(merges)
+    def idsOf(text: String): Seq[Int] = text.split("\\s+").filter(_.nonEmpty)
+      .flatMap(merges.encodeWord(_)).map(t => vocab.indexOf(t) + 1).toSeq
+    val expected = convs.select(col("conv_id"), col("turns"))
+      .collect().sortBy(_.getLong(0)).flatMap { r =>
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .filter(_.getString(0) == "assistant")
+        .flatMap(t => idsOf(t.getString(1) + "\n<|end|>\n"))
+    }.toSeq
+    assert(maskedIds == expected,
+      s"masked ids must equal the completion token stream: " +
+        s"${maskedIds.take(20)} vs ${expected.take(20)}")
+    assert(expected.nonEmpty && masks.map(_._1).distinct.length > 1,
+      "fixture must split masks across multiple windows")
+  }
+
   test("template whitespace contract is enforced loudly") {
     intercept[IllegalArgumentException] {
       ChatTemplate(headerSuffix = "|>") // no trailing whitespace
