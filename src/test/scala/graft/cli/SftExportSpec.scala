@@ -1,0 +1,79 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SftExport CLI: all four sections written, the stats contract
+  * internally consistent, the composition invariant enforced, and loud
+  * argument diagnostics. */
+class SftExportSpec extends SparkSpec {
+
+  private def writeConvs(dir: String): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(("system", "be terse"), ("user", "the thing sang"),
+        ("assistant", "and it rang ander"))),
+      (2L, Seq(("user", "in and er"), ("assistant", "thern"),
+        ("user", "the"), ("assistant", "and"))),
+      (3L, Seq(("user", "the rain"), ("assistant", "")))
+    ).toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"),
+        t => struct(t.getField("_1").as("role"),
+          t.getField("_2").as("content"))).as("turns"))
+      .write.parquet(dir)
+  }
+
+  test("exports rendered/spans/packed/masks with a consistent stats contract") {
+    val dir = Files.createTempDirectory("sft_export").toString
+    writeConvs(s"$dir/in")
+    val stats = SftExport.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "context" -> "16"))
+    assert(stats("convs") == 3L && stats("turns") == 9L)
+    assert(stats("loss_tokens") > 0L)
+    assert(stats("total_tokens") > stats("loss_tokens"))
+    // packing covers every rendered token in ceil(total/ctx) windows
+    assert(stats("sequences") == (stats("total_tokens") + 15) / 16)
+    val packed = spark.read.parquet(s"$dir/out/packed")
+    val packedTokens = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(packedTokens == stats("total_tokens"),
+      "the packed windows and the span totals must count the same stream")
+    // every mask row points into an existing window and stays in range
+    val masks = spark.read.parquet(s"$dir/out/masks")
+    val seqIds = packed.select("seq_id").collect().map(_.getLong(0)).toSet
+    masks.collect().foreach { r =>
+      assert(seqIds.contains(r.getAs[Long]("seq_id")))
+      val (s0, e0) = (r.getAs[Long]("loss_start_in_seq"),
+        r.getAs[Long]("loss_end_in_seq"))
+      assert(s0 >= 0 && s0 < e0 && e0 <= 16)
+    }
+    // loss-role parameter reaches both spans and masks consistently
+    val stats2 = SftExport.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out2", "context" -> "16",
+      "loss-role" -> "user"))
+    assert(stats2("loss_tokens") > 0L &&
+      stats2("loss_tokens") != stats("loss_tokens"))
+  }
+
+  test("argument diagnostics are loud") {
+    val dir = Files.createTempDirectory("sft_export_bad").toString
+    writeConvs(s"$dir/in")
+    intercept[IllegalArgumentException] {
+      SftExport.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/o",
+        "turns-col" -> "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      SftExport.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/o",
+        "context" -> "0"))
+    }
+    // a flat string column is not a turns array
+    import spark.implicits._
+    Seq((1L, "not turns")).toDF("conv_id", "turns")
+      .write.parquet(s"$dir/flat")
+    intercept[IllegalArgumentException] {
+      SftExport.run(spark, Map("in" -> s"$dir/flat", "out" -> s"$dir/o"))
+    }
+  }
+}
