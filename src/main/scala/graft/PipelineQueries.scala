@@ -1073,6 +1073,53 @@ object PipelineQueries {
       },
       Some(knnOracleSql)),
 
+    // ---- ANN: Matryoshka-truncated top-k (first 16 of 64 dims) ------------
+    // cosine of sliced vectors == the truncated-renormalized score; the
+    // oracle recomputes it over the same 16-dim prefix
+    "q_ann_truncated" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.truncatedTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, d = 16, k = 10, roundTo = 5)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv,
+             |  sqrt(list_sum(list_transform(generate_series(1, 16),
+             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+             |  FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT vec_id,
+             |  list_sum(list_transform(generate_series(1, 16),
+             |    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+             |  sqrt(list_sum(list_transform(generate_series(1, 16),
+             |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm, qn
+             |  FROM embeddings, q WHERE vec_id > 0)
+             |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos_trunc FROM s
+             |ORDER BY cos_trunc DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- ANN: binary-quantized Hamming top-k (sign bits, 2×32-bit words)
+    // packing and distance replayed exactly: (1<<j) sums, xor + bit_count
+    "q_ann_binary" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.binaryTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, k = 10)
+      },
+      Some("""WITH sig AS (SELECT vec_id,
+             |  list_transform(generate_series(0, 1), w ->
+             |    list_sum(list_transform(generate_series(0, 31), j ->
+             |      CASE WHEN embedding[w * 32 + j + 1] > 0
+             |        THEN (1::BIGINT << j) ELSE 0 END))) AS s
+             |  FROM embeddings),
+             |q AS (SELECT s AS qs FROM sig, embeddings e
+             |  WHERE sig.vec_id = 0 AND e.vec_id = 0),
+             |h AS (SELECT vec_id,
+             |  CAST(list_sum(list_transform(generate_series(1, 2), w ->
+             |    bit_count(xor(s[w], qs[w])))) AS BIGINT) AS hamming
+             |  FROM sig, q WHERE vec_id > 0)
+             |SELECT vec_id, hamming FROM h
+             |ORDER BY hamming ASC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- ANN: LSH-bucketed top-k, approximate (the production shape). The
     // splitmix64 plane family is not DuckDB-expressible, so the oracle is
     // the EXACT cosine top-10: at this config (4 tables of 12-bit

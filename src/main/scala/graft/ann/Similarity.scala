@@ -35,6 +35,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-style TRUNCATED retrieval (Kusupati et al. 2022): score
+    * on the first `d` dimensions only — the serving path for
+    * matryoshka-trained embeddings, where a prefix is itself a valid
+    * (coarser) embedding at d/dim of the scan cost and bandwidth.
+    * Renormalization is implicit: cosine of the sliced vectors IS the
+    * truncated-renormalized score (the sliced norms do the rescaling),
+    * so no second pass touches the data. Same plan shape as
+    * [[bruteForceTopK]] — rowwise codegen'd expression into
+    * TakeOrderedAndProject, no shuffle of the corpus. */
+  def truncatedTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], d: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    require(d > 0 && d <= query.length,
+      s"truncation dim must be in [1, ${query.length}], got $d")
+    val q = typedlit(query.take(d))
+    df.select(col(idCol),
+        round(VectorFunctions.cosine(slice(col(vecCol), 1, d), q), roundTo)
+          .as("cos_trunc"))
+      .orderBy(col("cos_trunc").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** BINARY-quantized retrieval: Hamming top-k over sign-bit signatures
+    * — 32× less bandwidth than float scan, the standard first stage of a
+    * quantized serving stack (rescore survivors with [[bruteForceTopK]]
+    * or [[truncatedTopK]] when exact order matters). Signature packing
+    * and the Hamming fold are rowwise codegen'd expressions into
+    * TakeOrderedAndProject — the corpus never shuffles; ties break by
+    * id, so the answer is deterministic on any layout. */
+  def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val qSig = typedlit(VectorFunctions.binarySignatureLocal(query))
+    df.select(col(idCol),
+        VectorFunctions.hammingDistance(
+          VectorFunctions.binarySignature(col(vecCol), query.length), qSig)
+          .as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Attach an LSH bucket id (hyperplane signature) to each vector. */
   def withSignature(df: DataFrame, vecCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame =
     df.withColumn("lsh_sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, seed))

@@ -56,6 +56,37 @@ object VectorFunctions {
         acc * lit(2L) + when(dot(vec, element_at(planesLit, b + 1)) >= 0, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** BINARY (sign-bit) quantization — the 32×-compression serving path
+    * for embeddings: dimension `i` contributes bit `i mod 32` of word
+    * `i / 32` iff its component is > 0. Words pack 32 bits (not 64) so
+    * every packed value stays non-negative — sign-safe shift/compare on
+    * any engine, and an exact SQL replay via (1<<j) sums. Pure codegen'd
+    * column expression, one pass over the vector. */
+  def binarySignature(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 32 == 0,
+      s"binary signature needs a multiple of 32 dims, got $dim")
+    array((0 until dim / 32).map { w =>
+      (0 until 32).map { j =>
+        when(element_at(vec, w * 32 + j + 1) > lit(0.0f), lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Driver-side twin of [[binarySignature]] for query vectors. */
+  def binarySignatureLocal(vec: Seq[Float]): Seq[Long] = {
+    require(vec.nonEmpty && vec.length % 32 == 0,
+      s"binary signature needs a multiple of 32 dims, got ${vec.length}")
+    vec.grouped(32).map(_.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+      if (v > 0f) acc | (1L << j) else acc
+    }).toSeq
+  }
+
+  /** Hamming distance between two packed signatures (equal length). */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, h) => acc + h.cast("long"))
+
   /** SplitMix64 mix (Steele et al., "Fast splittable pseudorandom number
     * generators", OOPSLA'14) — THE shared deterministic hash behind the
     * hyperplane planes, the driver-side query signature and the smoke

@@ -166,4 +166,85 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(fused === relational)
   }
+
+  // 64-dim clustered corpus for the quantized/truncated retrieval paths:
+  // every dimension's SIGN carries cluster signal (a ±1 pattern per
+  // cluster, magnitude jittered) — the shape of real normalized
+  // embeddings, and the regime 1-bit quantization is designed for; a
+  // corpus whose noise dims straddle zero would flip bits at random
+  private lazy val wide: Seq[(Long, Seq[Float])] = (0L until 300L).map { i =>
+    val r = new scala.util.Random(7000 + i)
+    val c = i % 6
+    i -> Seq.tabulate(64) { d =>
+      val sign =
+        if (graft.functions.VectorFunctions.splitmix64(c * 131L + d) > 0) 1f
+        else -1f
+      // energy front-loaded into the first half — the matryoshka
+      // training objective's defining property, which is what makes
+      // prefix truncation a valid coarse embedding
+      val scale = if (d < 32) 1f else 0.3f
+      (sign * (0.4f + r.nextFloat()) + (r.nextFloat() - 0.5f) * 0.3f) * scale
+    }
+  }
+  private lazy val wideDf = wide.toDF("vec_id", "embedding").cache()
+
+  test("binarySignature matches the driver-side twin bit for bit") {
+    import org.apache.spark.sql.functions._
+    val got = wideDf.select(col("vec_id"),
+        graft.functions.VectorFunctions.binarySignature(col("embedding"), 64)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    wide.foreach { case (id, v) =>
+      assert(got(id) ==
+        graft.functions.VectorFunctions.binarySignatureLocal(v),
+        s"signature drift at vec $id")
+      got(id).foreach(w => assert(w >= 0L, "packed words must stay sign-safe"))
+    }
+  }
+
+  test("binaryTopK equals the local hamming model; truncatedTopK at full dim equals brute force") {
+    val q = wide.head._2
+    def localHamming(v: Seq[Float]): Long =
+      graft.functions.VectorFunctions.binarySignatureLocal(v)
+        .zip(graft.functions.VectorFunctions.binarySignatureLocal(q))
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }.sum
+    val expected = wide.map { case (id, v) => (localHamming(v), id) }
+      .sorted.take(10).map { case (h, id) => id -> h }
+    val got = Similarity.binaryTopK(wideDf, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected)
+    val full = Similarity.bruteForceTopK(wideDf, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val trunc = Similarity.truncatedTopK(wideDf, "vec_id", "embedding", q,
+      d = 64, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(trunc == full, "d == dim truncation must be exact retrieval")
+  }
+
+  test("quantized paths keep recall@10 on the clustered corpus") {
+    import org.apache.spark.sql.functions._
+    def recall(approx: Seq[Long], exact: Seq[Long]): Double =
+      approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+    val rs = (0 until 10).map { k =>
+      val q = wide(k * 29)._2
+      val exact = Similarity.bruteForceTopK(wideDf, "vec_id", "embedding",
+        q, 10).collect().map(_.getLong(0)).toSeq
+      // the production binary pattern: 1-bit shortlist (5x over-fetch),
+      // then float rescore of the survivors — raw 1-bit top-10 alone
+      // loses fine order by design (~0.4 here), which is WHY serving
+      // stacks always rescore
+      val shortlist = Similarity.binaryTopK(wideDf, "vec_id", "embedding",
+        q, 50).collect().map(_.getLong(0)).toSet
+      val rescored = Similarity.bruteForceTopK(
+          wideDf.filter(col("vec_id").isInCollection(shortlist)),
+          "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSeq
+      val tr = Similarity.truncatedTopK(wideDf, "vec_id", "embedding", q,
+        d = 32, k = 10).collect().map(_.getLong(0)).toSeq
+      (recall(rescored, exact), recall(tr, exact))
+    }
+    val binAvg = rs.map(_._1).sum / rs.length
+    val trAvg = rs.map(_._2).sum / rs.length
+    assert(binAvg >= 0.9, s"binary shortlist+rescore recall@10 collapsed: $binAvg")
+    assert(trAvg >= 0.7, s"truncated-32 recall@10 collapsed: $trAvg")
+  }
 }
