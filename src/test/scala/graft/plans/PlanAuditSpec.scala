@@ -528,6 +528,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(800))
   }
 
+  test("quantized retrieval (q_ann_truncated, q_ann_binary) plans as TakeOrdered over a map pass") {
+    for (q <- Seq("q_ann_truncated", "q_ann_binary")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q must forward per-partition top-k, not sort globally:\n" +
+          plan.take(1000))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not re-key the corpus:\n" + plan.take(1000))
+      assert(!plan.contains("ScalaUDF"), plan.take(600))
+    }
+  }
+
   test("q_dedup_bloom probes with codegen'd might_contain — zero UDFs remain in src/main") {
     val plan = executedPlan("q_dedup_bloom")
     assert(plan.contains("might_contain"),
