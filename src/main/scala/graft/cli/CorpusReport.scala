@@ -59,6 +59,15 @@ object CorpusReport {
       .write.mode("overwrite").parquet(s"$out/slices")
     TrainPrep.seqLenHistogram(docs, idCol, textCol, context, tokenCountFn)
       .write.mode("overwrite").parquet(s"$out/seq_len")
+    // tokenizer-fit section (E119): per-slice unk rates under the closed
+    // BPE vocabulary — only meaningful when a real merge table counts
+    if (args.getOrElse("token-counter", "whitespace") == "bpe") {
+      val merges = args.get("bpe-merges")
+        .map(graft.functions.Bpe.loadMergesFile)
+        .getOrElse(graft.functions.Bpe.defaultMerges)
+      TrainPrep.vocabCoverage(docs, groupCol, textCol, merges)
+        .write.mode("overwrite").parquet(s"$out/vocab")
+    }
     // exact() already carries each digest group's size — the cluster
     // histogram is one more count-sized aggregate on top
     Dedup.exact(docs, idCol, textCol)

@@ -49,6 +49,30 @@ class CorpusReportSpec extends SparkSpec {
     assert(b256.getAs[Long]("pad_waste_tokens") == 56L)
   }
 
+  test("--token-counter bpe adds the vocab section with per-slice unk rates") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("report_vocab_in").toString
+    Seq(
+      (1L, "the and the", "clean"),   // every token in the tiny vocab
+      (2L, "zz qq", "oov"))           // nothing in vocab → all unks
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("report_vocab_out").toString
+    val merges = Files.createTempFile("merges", ".txt")
+    Files.writeString(merges, "t h\nth e\na n\nan d\n")
+    CorpusReport.run(spark, Map(
+      "in" -> in, "out" -> out, "context" -> "128",
+      "token-counter" -> "bpe", "bpe-merges" -> merges.toString))
+    val vocab = spark.read.parquet(s"$out/vocab")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_unk"), r.getAs[Double]("unk_rate"))).toMap
+    assert(vocab("clean") == ((0L, 0.0)))
+    assert(vocab("oov")._2 == 1.0)
+    // whitespace counting (the default) writes no vocab section
+    val out2 = Files.createTempDirectory("report_vocab_out2").toString
+    CorpusReport.run(spark, Map("in" -> in, "out" -> out2))
+    assert(!new java.io.File(s"$out2/vocab").exists())
+  }
+
   test("bad token-counter and missing group column diagnose loudly") {
     import spark.implicits._
     val in = Files.createTempDirectory("report_in2").toString
