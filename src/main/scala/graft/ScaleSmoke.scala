@@ -511,34 +511,40 @@ object ScaleSmoke {
       s""""pq_train_encode_seconds":$pqTrainSecs,""" +
       s""""pq_code_bytes":$codeBytes,"pq_vector_bytes":$vecBytes,""" +
       s""""pq_peak_stage_shuffle_bytes":$pqPeak}""")
-    // quantized retrieval over the same corpus: binary sign-bit shortlist
-    // (+float rescore) and matryoshka 32-dim truncation — the two
-    // compression serving paths beside PQ; recall floors + bandwidth
-    val (bqRes, _, _, bqSecs) = sectionShuffle {
+    // quantized retrieval over the same corpus, in the production
+    // two-stage shape: a compressed shortlist (binary sign bits /
+    // matryoshka 32-dim prefix) rescored by exact cosine. On this
+    // corpus — 1000 clusters of 100 NEAR-IDENTICAL vectors — the raw
+    // compressed top-10 is provably uninformative (every cluster member
+    // ties; fine order is noise the compressed score can't see), so the
+    // floors sit on the rescored answer, which is what a serving stack
+    // returns
+    def rescored(shortlistOf: Seq[Float] => Set[Long]) =
       queryIds.map { q =>
-        val shortlist = graft.ann.Similarity.binaryTopK(
-            embScale, "vec_id", "embedding", queryVecs(q), k = 100)
-          .collect().map(_.getLong(0)).toSet
         q -> top10(embScale.filter(col("vec_id")
-          .isInCollection(shortlist)), queryVecs(q))
+          .isInCollection(shortlistOf(queryVecs(q)))), queryVecs(q))
       }.toMap
+    val (bqRes, _, _, bqSecs) = sectionShuffle {
+      rescored(q => graft.ann.Similarity.binaryTopK(
+          embScale, "vec_id", "embedding", q, k = 100)
+        .collect().map(_.getLong(0)).toSet)
     }
     val bqRecall = recallOf(bqRes, exact)
     val (trRes, _, _, trSecs) = sectionShuffle {
-      queryIds.map { q =>
-        q -> graft.ann.Similarity.truncatedTopK(embScale, "vec_id",
-            "embedding", queryVecs(q), d = 32, k = 10)
-          .collect().map(_.getLong(0)).toSet
-      }.toMap
+      rescored(q => graft.ann.Similarity.truncatedTopK(embScale, "vec_id",
+          "embedding", q, d = 32, k = 100)
+        .collect().map(_.getLong(0)).toSet)
     }
     val trRecall = recallOf(trRes, exact)
-    require(bqRecall >= 0.8,
+    require(bqRecall >= 0.9,
       s"binary shortlist+rescore recall@10 collapsed: $bqRecall")
-    require(trRecall >= 0.8, s"truncated-32 recall@10 collapsed: $trRecall")
+    require(trRecall >= 0.9,
+      s"truncated shortlist+rescore recall@10 collapsed: $trRecall")
     println(s"""{"metric":"quantized_ann_scale","embeddings":$nEmb,""" +
-      s""""binary_recall_at10":$bqRecall,"binary_qps":${nQueries / bqSecs},""" +
+      s""""binary_rescored_recall_at10":$bqRecall,""" +
+      s""""binary_qps":${nQueries / bqSecs},""" +
       s""""binary_sig_bytes":${nEmb * 16},""" +
-      s""""truncated32_recall_at10":$trRecall,""" +
+      s""""truncated32_rescored_recall_at10":$trRecall,""" +
       s""""truncated_qps":${nQueries / trSecs},""" +
       s""""float_vector_bytes":${nEmb * annDim * 4}}""")
     embScale.unpersist(); signed.unpersist(); assigned.unpersist()
