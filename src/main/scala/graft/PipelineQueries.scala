@@ -1096,6 +1096,44 @@ object PipelineQueries {
              |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos_trunc FROM s
              |ORDER BY cos_trunc DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- ANN: int8 scalar-quantized top-k (asymmetric distance) -----------
+    // per-dim (min,max) recomputed by the oracle from the same corpus;
+    // codes, decode and the cosine are plain IEEE double expressions so
+    // both engines derive identical values
+    "q_ann_sq8" -> QueryDef(
+      (s, dir) => {
+        val corpus = t(s, dir, "embeddings").filter(col("vec_id") > 0)
+        val (mins, maxs) = Similarity.sq8Train(corpus, "embedding", 64)
+        Similarity.sq8TopK(corpus, "vec_id", "embedding", queryVec(s, dir),
+          mins, maxs, k = 10, roundTo = 5)
+      },
+      Some("""WITH mm AS (
+             |  SELECT i, min(embedding[i]::DOUBLE) AS mn,
+             |    max(embedding[i]::DOUBLE) AS mx
+             |  FROM embeddings, unnest(generate_series(1, 64)) AS _(i)
+             |  WHERE vec_id > 0 GROUP BY i),
+             |ml AS (SELECT list(mn ORDER BY i) AS mns,
+             |  list(mx ORDER BY i) AS mxs FROM mm),
+             |q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+             |  FROM embeddings WHERE vec_id = 0),
+             |dec AS (SELECT vec_id,
+             |    list_transform(generate_series(1, 64), i ->
+             |      mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0
+             |        ELSE least(greatest(round((embedding[i]::DOUBLE - mns[i])
+             |          * 255.0 / (mxs[i] - mns[i]), 0), 0), 255) END)
+             |        * (mxs[i] - mns[i]) / 255.0) AS dv
+             |  FROM embeddings, ml WHERE vec_id > 0),
+             |s AS (SELECT vec_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> dv[i] * qv[i])) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> dv[i] * dv[i]))) AS nd,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> qv[i] * qv[i]))) AS nq
+             |  FROM dec, q)
+             |SELECT vec_id, round(dot / (nd * nq), 5) AS cos_sq8 FROM s
+             |ORDER BY cos_sq8 DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- ANN: binary-quantized Hamming top-k (sign bits, 2×32-bit words)
     // packing and distance replayed exactly: (1<<j) sums, xor + bit_count
     "q_ann_binary" -> QueryDef(

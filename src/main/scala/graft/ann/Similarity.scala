@@ -74,6 +74,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** INT8 scalar quantization (the faiss-SQ8 tier between float vectors
+    * and sign bits, 4× compression): per-dimension (min, max) trained in
+    * one dim-keyed aggregate (dim-sized rows collected — the
+    * embed_standardize pattern), code = round((v−min)·255/(max−min))
+    * clamped to [0,255], constant-dim code 0. Both the code arithmetic
+    * and the decode are plain IEEE double expressions, so another engine
+    * recomputing (min, max) from the same data derives bit-identical
+    * codes. Returns (mins, maxs). */
+  def sq8Train(df: DataFrame, vecCol: String,
+      dim: Int): (Seq[Double], Seq[Double]) = {
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .groupBy(col("__d"))
+      .agg(min(col("__v").cast("double")).as("mn"),
+        max(col("__v").cast("double")).as("mx"))
+      .collect()
+    require(rows.length == dim,
+      s"expected $dim dims, saw ${rows.length} — ragged vectors?")
+    val byDim = rows.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    ((0 until dim).map(d => byDim(d)._1), (0 until dim).map(d => byDim(d)._2))
+  }
+
+  /** SQ8 codes of a vector column under trained (mins, maxs) — a pure
+    * codegen'd map (the bounds ride as literals). */
+  def sq8Codes(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnL = typedlit(mins); val mxL = typedlit(maxs)
+    transform(vec, (x, i) => {
+      val mn = element_at(mnL, i + 1); val mx = element_at(mxL, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(greatest(round((x.cast("double") - mn) * 255.0 / (mx - mn), 0),
+          lit(0.0)), lit(255.0)).cast("int"))
+    })
+  }
+
+  /** SQ8 retrieval: asymmetric distance — the corpus is scored from its
+    * int8 codes (decoded on the fly against the trained bounds), the
+    * query stays float. Rowwise double arithmetic into
+    * TakeOrderedAndProject; the scan reads 1 byte/dim of information
+    * instead of 4. Rescore survivors with [[bruteForceTopK]] when exact
+    * order matters (same pattern as [[binaryTopK]]). */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], mins: Seq[Double], maxs: Seq[Double],
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val mnL = typedlit(mins); val mxL = typedlit(maxs)
+    val dec = transform(sq8Codes(col(vecCol), mins, maxs), (code, i) => {
+      val mn = element_at(mnL, i + 1); val mx = element_at(mxL, i + 1)
+      mn + code.cast("double") * (mx - mn) / 255.0
+    })
+    val qL = typedlit(query.map(_.toDouble))
+    def dotD(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cos = dotD(dec, qL) /
+      (sqrt(dotD(dec, dec)) * sqrt(dotD(qL, qL)))
+    df.select(col(idCol), round(cos, roundTo).as("cos_sq8"))
+      .orderBy(col("cos_sq8").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Attach an LSH bucket id (hyperplane signature) to each vector. */
   def withSignature(df: DataFrame, vecCol: String, dim: Int, nBits: Int, seed: Long = 42L): DataFrame =
     df.withColumn("lsh_sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, seed))

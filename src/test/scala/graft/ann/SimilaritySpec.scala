@@ -220,6 +220,39 @@ class SimilaritySpec extends SparkSpec {
     assert(trunc == full, "d == dim truncation must be exact retrieval")
   }
 
+  test("sq8: codes in range, reconstruction within half a step, near-exact recall") {
+    import org.apache.spark.sql.functions._
+    val (mins, maxs) = Similarity.sq8Train(wideDf, "embedding", 64)
+    mins.zip(maxs).foreach { case (mn, mx) => assert(mn <= mx) }
+    // codes stay in [0, 255]; decode error is bounded by half a
+    // quantization step per dimension
+    val decErr = wideDf.select(col("vec_id"), col("embedding"),
+        Similarity.sq8Codes(col("embedding"), mins, maxs).as("codes"))
+      .collect()
+    decErr.foreach { r =>
+      val v = r.getSeq[Float](1); val c = r.getSeq[Int](2)
+      c.zipWithIndex.foreach { case (code, d) =>
+        assert(code >= 0 && code <= 255)
+        val step = (maxs(d) - mins(d)) / 255.0
+        val dec = mins(d) + code * (maxs(d) - mins(d)) / 255.0
+        assert(math.abs(dec - v(d)) <= step / 2 + 1e-9,
+          s"reconstruction out of bounds at dim $d")
+      }
+    }
+    // 8 bits barely disturb cosine order: recall@10 stays ~exact where
+    // 1-bit needed a rescore
+    val rs = (0 until 10).map { k =>
+      val q = wide(k * 29)._2
+      val exact = Similarity.bruteForceTopK(wideDf, "vec_id", "embedding",
+        q, 10).collect().map(_.getLong(0)).toSet
+      val sq = Similarity.sq8TopK(wideDf, "vec_id", "embedding", q,
+        mins, maxs, 10).collect().map(_.getLong(0)).toSet
+      (sq & exact).size / 10.0
+    }
+    val avg = rs.sum / rs.length
+    assert(avg >= 0.9, s"sq8 recall@10 collapsed: $avg")
+  }
+
   test("quantized paths keep recall@10 on the clustered corpus") {
     import org.apache.spark.sql.functions._
     def recall(approx: Seq[Long], exact: Seq[Long]): Double =
