@@ -524,9 +524,22 @@ object ScaleSmoke {
         q -> top10(embScale.filter(col("vec_id")
           .isInCollection(shortlistOf(queryVecs(q)))), queryVecs(q))
       }.toMap
+    // serving shape like the LSH/PQ sections: sign/encode ONCE, store the
+    // columns, queries probe the STORED signatures/codes
+    val tQuant = System.nanoTime()
+    val binStored = graft.ann.Similarity.withBinarySignature(
+      embScale, "embedding", annDim).persist()
+    binStored.count()
+    val (sq8Mins, sq8Maxs) = graft.ann.Similarity.sq8Train(
+      embScale, "embedding", annDim)
+    val sq8Stored = graft.ann.Similarity.withSq8Codes(
+      embScale, "embedding", sq8Mins, sq8Maxs).persist()
+    sq8Stored.count()
+    val quantTrainSecs = (System.nanoTime() - tQuant) / 1e9
     val (bqRes, _, _, bqSecs) = sectionShuffle {
       rescored(q => graft.ann.Similarity.binaryTopK(
-          embScale, "vec_id", "embedding", q, k = 100)
+          binStored, "vec_id", "embedding", q, k = 100,
+          sigCol = Some("bin_sig"))
         .collect().map(_.getLong(0)).toSet)
     }
     val bqRecall = recallOf(bqRes, exact)
@@ -536,17 +549,37 @@ object ScaleSmoke {
         .collect().map(_.getLong(0)).toSet)
     }
     val trRecall = recallOf(trRes, exact)
+    val (sqRes, _, _, sqSecs) = sectionShuffle {
+      queryIds.map { q =>
+        q -> graft.ann.Similarity.sq8TopK(sq8Stored, "vec_id", "embedding",
+            queryVecs(q), sq8Mins, sq8Maxs, k = 10,
+            codesCol = Some("sq8_codes"))
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+    }
+    val sqRecall = recallOf(sqRes, exact)
     require(bqRecall >= 0.9,
       s"binary shortlist+rescore recall@10 collapsed: $bqRecall")
     require(trRecall >= 0.9,
       s"truncated shortlist+rescore recall@10 collapsed: $trRecall")
+    // 8-bit codes mostly preserve fine order with NO rescore — unlike
+    // the 1-bit path — but on THIS corpus the quantization step
+    // (range ~2 / 255 ≈ 0.008) is the same magnitude as the 0.02
+    // in-cluster jitter that defines fine order, so a little churn in
+    // the tail of the top-10 is arithmetic, not a bug (measured 0.86;
+    // SimilaritySpec pins ≥ 0.9 on a normally-spread corpus)
+    require(sqRecall >= 0.8, s"sq8 raw recall@10 collapsed: $sqRecall")
     println(s"""{"metric":"quantized_ann_scale","embeddings":$nEmb,""" +
+      s""""quant_train_encode_seconds":$quantTrainSecs,""" +
       s""""binary_rescored_recall_at10":$bqRecall,""" +
       s""""binary_qps":${nQueries / bqSecs},""" +
       s""""binary_sig_bytes":${nEmb * 16},""" +
       s""""truncated32_rescored_recall_at10":$trRecall,""" +
       s""""truncated_qps":${nQueries / trSecs},""" +
+      s""""sq8_raw_recall_at10":$sqRecall,"sq8_qps":${nQueries / sqSecs},""" +
+      s""""sq8_code_bytes":${nEmb * annDim},""" +
       s""""float_vector_bytes":${nEmb * annDim * 4}}""")
+    binStored.unpersist(); sq8Stored.unpersist()
     embScale.unpersist(); signed.unpersist(); assigned.unpersist()
     pqCoded.unpersist()
 

@@ -57,22 +57,32 @@ object Similarity {
   }
 
   /** BINARY-quantized retrieval: Hamming top-k over sign-bit signatures
-    * — 32× less bandwidth than float scan, the standard first stage of a
+    * — 16× less bandwidth than the float scan (32 sign bits per 64-bit
+    * word, the sign-safe-replay tradeoff), the standard first stage of a
     * quantized serving stack (rescore survivors with [[bruteForceTopK]]
     * or [[truncatedTopK]] when exact order matters). Signature packing
     * and the Hamming fold are rowwise codegen'd expressions into
     * TakeOrderedAndProject — the corpus never shuffles; ties break by
     * id, so the answer is deterministic on any layout. */
   def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int): DataFrame = {
+      query: Seq[Float], k: Int, sigCol: Option[String] = None): DataFrame = {
     val qSig = typedlit(VectorFunctions.binarySignatureLocal(query))
+    // serving shape: sign ONCE at ingest (withBinarySignature), store the
+    // 2-long column, and every query probes the stored signatures —
+    // the inline default re-packs per scan and is for one-shot use
+    val sig = sigCol.map(col).getOrElse(
+      VectorFunctions.binarySignature(col(vecCol), query.length))
     df.select(col(idCol),
-        VectorFunctions.hammingDistance(
-          VectorFunctions.binarySignature(col(vecCol), query.length), qSig)
-          .as("hamming"))
+        VectorFunctions.hammingDistance(sig, qSig).as("hamming"))
       .orderBy(col("hamming").asc, col(idCol))
       .limit(k)
   }
+
+  /** Precompute the stored sign-bit signature column — the ingest step
+    * of the binary serving path ([[withSignatures]]' pattern). */
+  def withBinarySignature(df: DataFrame, vecCol: String, dim: Int,
+      outCol: String = "bin_sig"): DataFrame =
+    df.withColumn(outCol, VectorFunctions.binarySignature(col(vecCol), dim))
 
   /** INT8 scalar quantization (the faiss-SQ8 tier between float vectors
     * and sign bits, 4× compression): per-dimension (min, max) trained in
@@ -96,6 +106,12 @@ object Similarity {
     ((0 until dim).map(d => byDim(d)._1), (0 until dim).map(d => byDim(d)._2))
   }
 
+  /** Precompute the stored SQ8 code column — the ingest step of the
+    * int8 serving path. */
+  def withSq8Codes(df: DataFrame, vecCol: String, mins: Seq[Double],
+      maxs: Seq[Double], outCol: String = "sq8_codes"): DataFrame =
+    df.withColumn(outCol, sq8Codes(col(vecCol), mins, maxs))
+
   /** SQ8 codes of a vector column under trained (mins, maxs) — a pure
     * codegen'd map (the bounds ride as literals). */
   def sq8Codes(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
@@ -116,9 +132,13 @@ object Similarity {
     * order matters (same pattern as [[binaryTopK]]). */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], mins: Seq[Double], maxs: Seq[Double],
-      k: Int, roundTo: Int = 6): DataFrame = {
+      k: Int, roundTo: Int = 6, codesCol: Option[String] = None): DataFrame = {
     val mnL = typedlit(mins); val mxL = typedlit(maxs)
-    val dec = transform(sq8Codes(col(vecCol), mins, maxs), (code, i) => {
+    // serving shape: encode ONCE at ingest (withSq8Codes) and decode the
+    // stored byte-sized codes per query; the inline default re-encodes
+    // from the float vectors and is for one-shot use
+    val codes = codesCol.map(col).getOrElse(sq8Codes(col(vecCol), mins, maxs))
+    val dec = transform(codes, (code, i) => {
       val mn = element_at(mnL, i + 1); val mx = element_at(mxL, i + 1)
       mn + code.cast("double") * (mx - mn) / 255.0
     })

@@ -45,14 +45,21 @@ object CorpusReport {
     require(docs.columns.contains(groupCol),
       s"--group-col '$groupCol' is not a column of the input " +
         s"(have: ${docs.columns.mkString(", ")})")
-    val tokenCountFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    // one merge-table load shared by the seq_len counter and the vocab
+    // section — Some iff --token-counter bpe
+    val bpeMerges: Option[graft.expressions.BpeMerges] =
       args.getOrElse("token-counter", "whitespace") match {
-        case "whitespace" => TextFunctions.tokenCount
-        case "bpe" => graft.functions.Bpe.tokenCount(_, args.get("bpe-merges")
+        case "whitespace" => None
+        case "bpe" => Some(args.get("bpe-merges")
           .map(graft.functions.Bpe.loadMergesFile)
           .getOrElse(graft.functions.Bpe.defaultMerges))
         case other =>
           sys.error(s"--token-counter must be 'whitespace' or 'bpe', got '$other'")
+      }
+    val tokenCountFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      bpeMerges match {
+        case None => TextFunctions.tokenCount
+        case Some(m) => graft.functions.Bpe.tokenCount(_, m)
       }
 
     TrainPrep.corpusReport(docs, idCol, textCol, groupCol)
@@ -61,11 +68,8 @@ object CorpusReport {
       .write.mode("overwrite").parquet(s"$out/seq_len")
     // tokenizer-fit section (E119): per-slice unk rates under the closed
     // BPE vocabulary — only meaningful when a real merge table counts
-    if (args.getOrElse("token-counter", "whitespace") == "bpe") {
-      val merges = args.get("bpe-merges")
-        .map(graft.functions.Bpe.loadMergesFile)
-        .getOrElse(graft.functions.Bpe.defaultMerges)
-      TrainPrep.vocabCoverage(docs, groupCol, textCol, merges)
+    bpeMerges.foreach { m =>
+      TrainPrep.vocabCoverage(docs, groupCol, textCol, m)
         .write.mode("overwrite").parquet(s"$out/vocab")
     }
     // exact() already carries each digest group's size — the cluster

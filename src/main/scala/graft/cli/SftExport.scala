@@ -18,11 +18,14 @@ import graft.trainprep.SftPrep
   *                  rows (E121) — `packed/` + `masks/` are the
   *                  (input_ids, loss_mask) tensor pair
   *
-  * plus a one-line JSON stats contract. The run REQUIRES the composition
-  * invariant it exports — total masked tokens == total loss-span tokens —
-  * so a template/tokenizer mismatch fails the command, not the training
-  * run. `--loss-role` (default assistant) and `--bpe-merges` (a
-  * merges.txt; default: the committed trained table) parameterize it.
+  * plus a one-line JSON stats contract. The run REQUIRES the real
+  * composition invariant it exports — packed/ holds exactly the token
+  * total the span arithmetic predicts — so a template/tokenizer mismatch
+  * between the render and the span counts fails the command, not the
+  * training run. (Masked == loss-span tokens is true BY CONSTRUCTION —
+  * masks partition the spans — and is only sanity-asserted.)
+  * `--loss-role` (default assistant) and `--bpe-merges` (a merges.txt;
+  * default: the committed trained table) parameterize it.
   *
   * Scale shape: render/tokenize are map passes; spans shuffle turn
   * metadata once; packing rides the distributed two-pass prefix scan;
@@ -65,15 +68,19 @@ object SftExport {
       .write.mode("overwrite").parquet(s"$out/rendered")
     SftPrep.completionLossSpans(convs, convId, turnsCol, cnt, lossRole)
       .write.mode("overwrite").parquet(s"$out/spans")
-    // packing reads the render back from disk — one render computation
+    // downstream sections read rendered/ and spans/ back from disk: the
+    // render and the per-turn tokenization each compute exactly once
+    // (the masks plan references spans twice — see
+    // packedLossMasksFromSpans — which is cheap only on a materialized
+    // frame)
     val rendered = spark.read.parquet(s"$out/rendered")
+    val spans = spark.read.parquet(s"$out/spans")
     graft.trainprep.TrainPrep.packedTokenIds(
         rendered, convId, "text", merges, context)
       .write.mode("overwrite").parquet(s"$out/packed")
-    SftPrep.packedLossMasks(convs, convId, turnsCol, cnt, context, lossRole)
+    SftPrep.packedLossMasksFromSpans(spans, convId, context)
       .write.mode("overwrite").parquet(s"$out/masks")
 
-    val spans = spark.read.parquet(s"$out/spans")
     val packed = spark.read.parquet(s"$out/packed")
     val masks = spark.read.parquet(s"$out/masks")
     val spanRow = spans.agg(count(lit(1)),
@@ -81,17 +88,29 @@ object SftExport {
       sum(col("n_tokens"))).head()
     val maskRow = masks.agg(count(lit(1)),
       sum(col("loss_end_in_seq") - col("loss_start_in_seq"))).head()
-    val lossTokens = spanRow.getLong(1)
-    val maskTokens = if (maskRow.isNullAt(1)) 0L else maskRow.getLong(1)
-    require(maskTokens == lossTokens,
-      s"composition invariant violated: $maskTokens masked tokens vs " +
-        s"$lossTokens loss-span tokens — template/tokenizer mismatch")
+    def longOr0(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i) // empty input → null sums
+    val lossTokens = longOr0(spanRow, 1)
+    val maskTokens = longOr0(maskRow, 1)
+    val totalTokens = longOr0(spanRow, 2)
+    val packedRow = packed.agg(count(lit(1)), sum(col("n_tokens"))).head()
+    // THE composition invariant: the packed windows tokenize the render
+    // to exactly the token total the span arithmetic predicts — this is
+    // what breaks when template additivity or the tokenizer drifts.
+    // (masked == loss-span tokens holds by construction — masks are an
+    // exact partition of the spans — so it is only a sanity assert.)
+    require(longOr0(packedRow, 1) == totalTokens,
+      s"composition invariant violated: packed/ holds ${longOr0(packedRow, 1)} " +
+        s"tokens but the spans predict $totalTokens — template/tokenizer " +
+        "mismatch between the render and the span arithmetic")
+    assert(maskTokens == lossTokens,
+      s"mask partition identity broke: $maskTokens vs $lossTokens")
     val stats = Map(
       "convs" -> rendered.count(),
       "turns" -> spanRow.getLong(0),
-      "total_tokens" -> spanRow.getLong(2),
+      "total_tokens" -> totalTokens,
       "loss_tokens" -> lossTokens,
-      "sequences" -> packed.count(),
+      "sequences" -> packedRow.getLong(0),
       "mask_rows" -> maskRow.getLong(0))
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"sft_export\",", ",", "}"))

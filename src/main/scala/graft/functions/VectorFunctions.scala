@@ -56,12 +56,13 @@ object VectorFunctions {
         acc * lit(2L) + when(dot(vec, element_at(planesLit, b + 1)) >= 0, lit(1L)).otherwise(lit(0L)))
   }
 
-  /** BINARY (sign-bit) quantization — the 32×-compression serving path
+  /** BINARY (sign-bit) quantization — the 1-bit-per-dim serving path
     * for embeddings: dimension `i` contributes bit `i mod 32` of word
-    * `i / 32` iff its component is > 0. Words pack 32 bits (not 64) so
-    * every packed value stays non-negative — sign-safe shift/compare on
-    * any engine, and an exact SQL replay via (1<<j) sums. Pure codegen'd
-    * column expression, one pass over the vector. */
+    * `i / 32` iff its component is > 0. Words pack 32 bits into a 64-bit
+    * long (half density → 16× smaller than float32, not the dense 32×)
+    * so every packed value stays non-negative — sign-safe shift/compare
+    * on any engine, and an exact SQL replay via (1<<j) sums. Pure
+    * codegen'd column expression, one pass over the vector. */
   def binarySignature(vec: Column, dim: Int): Column = {
     require(dim > 0 && dim % 32 == 0,
       s"binary signature needs a multiple of 32 dims, got $dim")

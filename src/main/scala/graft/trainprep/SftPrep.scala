@@ -82,12 +82,24 @@ object SftPrep {
   def packedLossMasks(convs: DataFrame, convId: String, turnsCol: String,
       tokenCountFn: Column => Column, contextTokens: Int,
       lossRole: String = "assistant",
-      template: ChatTemplate = ChatTemplate()): DataFrame = {
+      template: ChatTemplate = ChatTemplate()): DataFrame =
+    packedLossMasksFromSpans(
+      completionLossSpans(convs, convId, turnsCol, tokenCountFn, lossRole,
+        template),
+      convId, contextTokens)
+
+  /** [[packedLossMasks]] over an ALREADY-COMPUTED spans frame. The spans
+    * subtree appears on BOTH sides of the offsets join below (the
+    * per-conv totals branch and the loss-rows branch), so a caller that
+    * just materialized spans — SftExport writes them to parquet anyway —
+    * should pass the disk-backed frame here rather than re-deriving from
+    * conversations, or the per-turn tokenization scan executes twice
+    * more inside one action. */
+  def packedLossMasksFromSpans(spans: DataFrame, convId: String,
+      contextTokens: Int): DataFrame = {
     require(contextTokens > 0,
       s"contextTokens must be positive, got $contextTokens")
     val ctx = lit(contextTokens.toLong)
-    val spans = completionLossSpans(convs, convId, turnsCol, tokenCountFn,
-      lossRole, template)
     val perConv = spans.groupBy(col(convId)).agg(max("tok_end").as("__tot"))
     val offs = graft.ops.TimeSeriesOps.scanCumSumLong(
         perConv, Seq(convId), "__tot", "__cum")

@@ -57,6 +57,21 @@ class SftExportSpec extends SparkSpec {
       stats2("loss_tokens") != stats("loss_tokens"))
   }
 
+  test("empty input exports empty sections instead of blowing up") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sft_export_empty").toString
+    Seq.empty[(Long, Seq[(String, String)])].toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"),
+        t => struct(t.getField("_1").as("role"),
+          t.getField("_2").as("content"))).as("turns"))
+      .write.parquet(s"$dir/in")
+    val stats = SftExport.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out", "context" -> "16"))
+    assert(stats("convs") == 0L && stats("turns") == 0L &&
+      stats("total_tokens") == 0L && stats("loss_tokens") == 0L &&
+      stats("sequences") == 0L && stats("mask_rows") == 0L)
+  }
+
   test("argument diagnostics are loud") {
     val dir = Files.createTempDirectory("sft_export_bad").toString
     writeConvs(s"$dir/in")
