@@ -153,7 +153,7 @@ object PipelineQueries {
     * the generated DuckDB sweep so the two can never drift. Lowercase
     * ASCII only (keeps the generated SQL quoting trivial) and
     * causality-valid by construction (BpeMerges validates on use). */
-  private val oracleBpePairs: IndexedSeq[(String, String)] = IndexedSeq(
+  private[graft] val oracleBpePairs: IndexedSeq[(String, String)] = IndexedSeq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"),
     ("o", "n"), ("r", "e"), ("o", "u"), ("s", "t"), ("in", "g"), ("e", "n"),
     ("a", "t"), ("o", "r"), ("e", "s"), ("t", "o"), ("i", "t"), ("a", "l"))

@@ -489,6 +489,13 @@ object TrainPrepQueries {
       (s, dir) => graft.streaming.StreamParity.c4GateStream(s, dir),
       graft.PipelineQueries.defs.toMap.apply("q_c4_gate").oracle),
 
+    // ---- streaming per-slice vocabulary coverage --------------------------
+    // complete-mode slice-sized state; sums/counts are order-insensitive
+    // so the drained stream equals batch; shares q_vocab_coverage's oracle.
+    "q_stream_vocab" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.vocabCoverageStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_vocab_coverage").oracle),
+
     // ---- streaming SFT assembly at ingest ---------------------------------
     // stream-static broadcast join (prompts arrive, completions static)
     // + the stateless E116 render; shares q_sft_render's oracle.

@@ -215,6 +215,21 @@ object StreamParity {
     runToTable(spark, flagged, "stream_decontam", OutputMode.Append())
   }
 
+  /** Streaming per-slice vocabulary coverage: the E119 tokenizer-fit
+    * report as a complete-mode running aggregate over arriving
+    * documents — per-doc (token, unk) counts are a stateless codegen'd
+    * map; the state is one row of sums per corpus slice, and counts/
+    * sums are arrival-order-insensitive, so the drained stream equals
+    * the batch answer by construction. Shares q_vocab_coverage's
+    * oracle. */
+  def vocabCoverageStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir).filter(col("doc_id") < 300)
+    runToTable(spark,
+      graft.trainprep.TrainPrep.vocabCoverage(src, "source", "text",
+        graft.expressions.BpeMerges(graft.PipelineQueries.oracleBpePairs)),
+      "stream_vocab", OutputMode.Complete())
+  }
+
   /** Streaming SFT assembly at ingest: arriving user documents pair with
     * a STATIC completion table (the [[decontaminateStream]] stream-static
     * broadcast-join shape — stateless, append mode, no state store) and

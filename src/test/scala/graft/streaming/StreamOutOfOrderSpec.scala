@@ -181,4 +181,25 @@ class StreamOutOfOrderSpec extends SparkSpec {
     val byKeeper = got.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(byKeeper === Map(1L -> 3L, 3L -> 1L))
   }
+
+  test("stream vocab coverage: slice sums over shuffled backfills equal batch") {
+    val tiny = graft.expressions.BpeMerges(IndexedSeq(
+      ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")))
+    // slice 'a' split across the first and LAST files; OOV-heavy slice
+    // 'b' in the middle — running sums must not care about arrival order
+    val f1 = Seq((1L, "the and", "a"))
+    val f2 = Seq((2L, "zoo qux", "b"))
+    val f3 = Seq((3L, "than the the", "a"))
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    val dir = stagedFiles(Seq(df(f1), df(f2), df(f3)))
+    def agg(src: DataFrame) =
+      graft.trainprep.TrainPrep.vocabCoverage(src, "source", "text", tiny)
+    val got = runShuffled(dir, "doc_id LONG, text STRING, source STRING",
+      agg, "stream_vocab_ooo", 3)
+    val want = agg(df(f1 ++ f2 ++ f3))
+    assert(sortedRows(got) === sortedRows(want))
+    val rates = got.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rates("a") == 0.0 && rates("b") == 1.0)
+  }
 }
