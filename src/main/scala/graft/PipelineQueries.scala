@@ -106,6 +106,93 @@ object PipelineQueries {
       |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB cosine over pre-cast DOUBLE lists, same shape as the codegen'd
+    * `vec_cosine` (index-order sums, dot / (√na · √nb)). */
+  private def duckCosD(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(generate_series(1, $dim), i -> $b[i] * $b[i]))))"
+
+  /** RRF hybrid oracle: the three shortlists (BM25 over documents, dense
+    * and 16-dim-truncated cosine over embeddings) re-derived exactly as
+    * their own oracles do, ranked by (rounded score DESC, id), fused as
+    * c0 + c1 + c2 in list order — the same left-to-right double adds the
+    * Spark plan performs. */
+  private val rrfHybridOracleSql = {
+    val okapi = (i: Int) =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0))" +
+        s" / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl,
+       |  sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+       |  sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+       |  sum(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END)::DOUBLE AS df2
+       |  FROM d),
+       |tfs AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+       |  len(list_filter(toks, x -> x = 'vector'))::DOUBLE AS tf0,
+       |  len(list_filter(toks, x -> x = 'join'))::DOUBLE AS tf1,
+       |  len(list_filter(toks, x -> x = 'scan'))::DOUBLE AS tf2
+       |  FROM d),
+       |bm AS (SELECT doc_id, round(${okapi(0)} + ${okapi(1)} + ${okapi(2)}, 5) AS score
+       |  FROM tfs CROSS JOIN st ORDER BY score DESC, doc_id LIMIT 20),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+       |knn AS (SELECT vec_id AS doc_id,
+       |  round(${duckCosD("v", "qv", 64)}, 5) AS score
+       |  FROM ev, q WHERE vec_id > 0 ORDER BY score DESC, doc_id LIMIT 20),
+       |tr AS (SELECT vec_id AS doc_id,
+       |  round(${duckCosD("v", "qv", 16)}, 5) AS score
+       |  FROM ev, q WHERE vec_id > 0 ORDER BY score DESC, doc_id LIMIT 20),
+       |r0 AS (SELECT doc_id, 1.0::DOUBLE / (60 +
+       |  row_number() OVER (ORDER BY score DESC, doc_id)) AS c FROM bm),
+       |r1 AS (SELECT doc_id, 1.0::DOUBLE / (60 +
+       |  row_number() OVER (ORDER BY score DESC, doc_id)) AS c FROM knn),
+       |r2 AS (SELECT doc_id, 1.0::DOUBLE / (60 +
+       |  row_number() OVER (ORDER BY score DESC, doc_id)) AS c FROM tr),
+       |f AS (SELECT coalesce(r0.doc_id, r1.doc_id, r2.doc_id) AS doc_id,
+       |    coalesce(r0.c, 0.0::DOUBLE) + coalesce(r1.c, 0.0::DOUBLE)
+       |      + coalesce(r2.c, 0.0::DOUBLE) AS rrf
+       |  FROM r0
+       |  FULL OUTER JOIN r1 ON r0.doc_id = r1.doc_id
+       |  FULL OUTER JOIN r2 ON coalesce(r0.doc_id, r1.doc_id) = r2.doc_id)
+       |SELECT doc_id, round(rrf, 6) AS rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** MMR oracle: the greedy argmax unrolled as one selection CTE per step
+    * (4 steps over the cosine top-12, λ = 0.7). rel and pairwise sims are
+    * rounded to 5 decimals BEFORE the MMR arithmetic on both engines, the
+    * (1 − λ) factor is written as `1.0 - 0.7` so its double value matches
+    * the Scala `1.0 - lambda` bit-for-bit, and argmax ties break toward
+    * the better shortlist rank — so selection order replays exactly. */
+  private val mmrOracleSql = {
+    val lam = "0.7::DOUBLE"
+    val oneMinus = "(1.0::DOUBLE - 0.7::DOUBLE)"
+    def prev(upTo: Int): String =
+      (1 to upTo).map(j => s"SELECT r FROM s$j").mkString(" UNION ALL ")
+    def step(i: Int): String =
+      s"s$i AS (SELECT c.r, c.vec_id, $lam * c.rel - $oneMinus * (" +
+        s"SELECT max(s) FROM sims WHERE ar = c.r AND br IN (${prev(i - 1)})" +
+        s") AS mmr FROM short c WHERE c.r NOT IN (${prev(i - 1)}) " +
+        "ORDER BY mmr DESC, c.r LIMIT 1)"
+    "WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),\n" +
+      "q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),\n" +
+      s"sh AS (SELECT vec_id, v, round(${duckCosD("v", "qv", 64)}, 5) AS rel\n" +
+      "  FROM ev, q WHERE vec_id > 0),\n" +
+      "short AS (SELECT vec_id, v, rel,\n" +
+      "    row_number() OVER (ORDER BY rel DESC, vec_id) AS r\n" +
+      "  FROM sh ORDER BY rel DESC, vec_id LIMIT 12),\n" +
+      s"sims AS (SELECT a.r AS ar, b.r AS br, round(${duckCosD("a.v", "b.v", 64)}, 5) AS s\n" +
+      "  FROM short a JOIN short b ON a.r <> b.r),\n" +
+      s"s1 AS (SELECT r, vec_id, $lam * rel - $oneMinus * 0.0::DOUBLE AS mmr\n" +
+      "  FROM short ORDER BY mmr DESC, r LIMIT 1),\n" +
+      (2 to 4).map(step).mkString(",\n") + "\n" +
+      (1 to 4).map(i =>
+        s"SELECT $i AS sel_rank, vec_id, round(mmr, 5) AS mmr FROM s$i")
+        .mkString(" UNION ALL ")
+  }
+
   /** Shared CTE chain (docs → tokens → md5 MinHash → bands → candidates →
     * Jaccard-verified pairs `ver`) — both keeper oracles and the recursive
     * CC oracle interpolate this so banding/tokenization changes happen in
@@ -1157,6 +1244,39 @@ object PipelineQueries {
              |  FROM sig, q WHERE vec_id > 0)
              |SELECT vec_id, hamming FROM h
              |ORDER BY hamming ASC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of a lexical BM25
+    // shortlist with the dense and matryoshka-truncated cosine shortlists
+    // (embeddings are the documents' by id). All three ranked stages and
+    // the 1/(60+rank) fusion replayed exactly; contributions summed in
+    // list order so the double adds agree bitwise -------------------------
+    "q_rrf_hybrid" -> QueryDef(
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") > 0)
+        val lexical = graft.trainprep.TrainPrep.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("vector", "join", "scan"), k = 20)
+        val dense = Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding", q, 20, roundTo = 5)
+          .select(col("vec_id").as("doc_id"), col("cos").as("score"))
+        val coarse = Similarity.truncatedTopK(
+            emb, "vec_id", "embedding", q, d = 16, k = 20, roundTo = 5)
+          .select(col("vec_id").as("doc_id"), col("cos_trunc").as("score"))
+        Similarity.rrfFuse(Seq(lexical, dense, coarse), "doc_id", "score",
+          k = 10)
+      },
+      Some(rrfHybridOracleSql)),
+
+    // ---- MMR diversification: greedy maximal-marginal-relevance pick of
+    // 4 from the cosine top-12 (λ = 0.7). The sequential greedy argmax is
+    // replayed in DuckDB as four unrolled selection CTEs over the same
+    // rounded rel/sim values — identical IEEE arithmetic, identical order
+    "q_mmr_select" -> QueryDef(
+      (s, dir) => Similarity.mmrSelect(
+        t(s, dir, "embeddings").filter(col("vec_id") > 0),
+        "vec_id", "embedding", queryVec(s, dir), m = 12, k = 4),
+      Some(mmrOracleSql)),
 
     // ---- ANN: LSH-bucketed top-k, approximate (the production shape). The
     // splitmix64 plane family is not DuckDB-expressible, so the oracle is

@@ -285,6 +285,61 @@ object ScaleDeep {
     require(cacheRecs < compRecs,
       s"--stage-cache must cut the composed shuffle: $cacheRecs vs $compRecs")
 
+    // ---- SftExport e2e at 250 k conversations -----------------------------
+    // the synthetic corpus paired into (user, assistant) turns; the CLI
+    // runs its full rendered→spans→packed→masks chain under its own
+    // composition require (packed tokens == span-predicted total). The
+    // synthetic "w12345" words are outside the committed merge table's
+    // alphabet, so they tokenize near character level (~6 tokens/word) —
+    // a deliberately heavy ~116 M-token tokenizer workload.
+    val nConvs = nDocs / 4
+    val sftDir = java.nio.file.Files.createTempDirectory("scale_sft").toString
+    docs.filter(col("doc_id") < nConvs)
+      .select(col("doc_id").as("conv_id"), col("text").as("ut"))
+      .join(docs.filter(col("doc_id") >= nConvs && col("doc_id") < 2 * nConvs)
+        .select((col("doc_id") - nConvs).as("conv_id"), col("text").as("at")),
+        "conv_id")
+      .select(col("conv_id"), array(
+        struct(lit("user").as("role"), col("ut").as("content")),
+        struct(lit("assistant").as("role"), col("at").as("content")))
+        .as("turns"))
+      .write.mode("overwrite").parquet(s"$sftDir/in")
+    val (sftStats, sRecs, sBytes, sPeak, sSecs) = section {
+      graft.cli.SftExport.run(spark, Map(
+        "in" -> s"$sftDir/in", "out" -> s"$sftDir/out",
+        "context" -> "4096"))
+    }
+    println(s"""{"metric":"sft_export_e2e","convs":${sftStats("convs")},""" +
+      s""""total_tokens":${sftStats("total_tokens")},""" +
+      s""""loss_tokens":${sftStats("loss_tokens")},""" +
+      s""""sequences":${sftStats("sequences")},""" +
+      s""""mask_rows":${sftStats("mask_rows")},""" +
+      s""""shuffle_records":$sRecs,"shuffle_mb":${sBytes / 1000000},""" +
+      s""""peak_stage_mb":${sPeak / 1000000},"seconds":$sSecs,""" +
+      s""""tokens_per_sec":${(sftStats("total_tokens") / sSecs).toLong}}""")
+    require(sftStats("convs") == nConvs,
+      s"sft export must cover every conversation: ${sftStats("convs")}")
+    require(sftStats("loss_tokens") > 0 &&
+      sftStats("loss_tokens") < sftStats("total_tokens"),
+      "loss spans must be a proper subset of the stream")
+    // contiguous global token positions make the packed-sequence count
+    // EXACTLY ceil(total/context) — this is the assert that caught the
+    // two-branch RangePartitioner inconsistency in scanCumSumLong (mean
+    // tokens/window exceeded the context: duplicate offsets)
+    require(sftStats("sequences") == (sftStats("total_tokens") + 4095) / 4096,
+      s"packed-sequence count ${sftStats("sequences")} != " +
+        s"ceil(${sftStats("total_tokens")}/4096) — global offsets have " +
+        "gaps or duplicates")
+    // shuffle bound: the token stream itself NEVER shuffles — packing's
+    // two-pass prefix scan moves per-doc (id, count) rows and the
+    // masks/spans stages move per-turn metadata, so shuffled records sit
+    // two orders below the token count (measured ~0.017 records/token at
+    // 250 k convs). tokens/10 is the alarm line for a stage starting to
+    // shuffle token-level rows (re-execution or an exploded generate)
+    require(sRecs < sftStats("total_tokens") / 10,
+      s"sft export shuffled $sRecs records for ${sftStats("total_tokens")} " +
+        "tokens — a stage is shuffling token-level rows")
+
     docs.unpersist()
     spark.stop()
   }

@@ -590,4 +590,112 @@ object Similarity {
         .as(vecCol))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * ranked SHORTLISTS — the standard hybrid-retrieval combiner (lexical
+    * BM25 + vector cosine, or any mix of ranked stages):
+    * rrf(d) = Σ_lists 1/(k0 + rank_list(d)); a document absent from a
+    * list contributes nothing there. Every input must be a top-m
+    * SHORTLIST (the output of [[bruteForceTopK]]/`bm25TopK`/…, m-sized
+    * by construction, scored descending — negate a distance first), so
+    * the per-list rank window's single partition holds m rows — never
+    * the corpus — and the fusion full-outer joins are m-sized too; the
+    * distributed work happened upstream in the stages that produced the
+    * shortlists. Determinism: ranks tie-break by id, and the per-list
+    * contributions are summed in LIST ORDER (c0 + c1 + …, absent = 0.0)
+    * so the double additions replay bit-identically on any engine. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int, k0: Int = 60, roundTo: Int = 6): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1, s"rrf k0 must be >= 1, got $k0")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol),
+        (lit(1.0) / (lit(k0) + row_number().over(w))).as(s"__c$i"))
+    }
+    val joined = ranked.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val fused = ranked.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined.select(col(idCol), round(fused, roundTo).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversification tail of a retrieval stack: greedily pick
+    * `k` of the cosine top-`m` shortlist maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (first pick: the
+    * max-sim term is 0). The DISTRIBUTED part is the shortlist itself —
+    * one codegen'd cosine scan into TakeOrdered, the corpus never
+    * shuffles; the greedy loop is inherently sequential in the selected
+    * set, so it runs on the collected shortlist — m rows, `require`-
+    * bounded by `maxShortlist`, the codebook/query-vector collect
+    * pattern — at O(k·m) driver flops over m ≤ 4096 rows. Determinism:
+    * rel and pairwise sims round to `roundTo` before the MMR arithmetic
+    * (plain IEEE doubles after that, so any engine orders identically),
+    * argmax ties break toward the better shortlist rank. Returns
+    * (sel_rank, id, mmr) in selection order. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], m: Int, k: Int, lambda: Double = 0.7,
+      roundTo: Int = 5, maxShortlist: Int = 4096): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
+    require(m <= maxShortlist,
+      s"shortlist $m exceeds maxShortlist $maxShortlist — MMR is the " +
+        "k-sized tail of a retrieval stack, not a corpus operator")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val shortlist = df.select(col(idCol), col(vecCol),
+        round(VectorFunctions.cosine(col(vecCol), typedlit(query)), roundTo)
+          .as("rel"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(m)
+    val rows = shortlist.collect() // m-sized by construction (TakeOrdered)
+    val n = rows.length
+    val vecs = rows.map(_.getSeq[Float](1))
+    val rels = rows.map(_.getDouble(2))
+    // same accumulation order as the codegen'd vec_cosine (index-order
+    // double sums, d / (√na · √nb)) then Spark-round — bit-identical to
+    // scoring the pair through the engine
+    def simR(i: Int, j: Int): Double = {
+      val (a, b) = (vecs(i), vecs(j))
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var p = 0
+      while (p < a.length && p < b.length) {
+        val x = a(p).toDouble; val y = b(p).toDouble
+        d += x * y; na += x * x; nb += y * y
+        p += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      graft.expressions.VecZScore.zround(if (nn == 0.0) 0.0 else d / nn, roundTo)
+    }
+    val oneMinus = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (step <- 1 to math.min(k, n)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      for (c <- 0 until n if !selected.contains(c)) {
+        val maxSim =
+          if (selected.isEmpty) 0.0 else selected.map(s => simR(c, s)).max
+        val score = lambda * rels(c) - oneMinus * maxSim
+        // strictly-greater + ascending c = ties go to the better
+        // shortlist rank (rel desc, id) — the order the oracle replays
+        if (score > bestScore) { bestScore = score; bestIdx = c }
+      }
+      selected += bestIdx
+      out += org.apache.spark.sql.Row(
+        step, rows(bestIdx).get(0),
+        graft.expressions.VecZScore.zround(bestScore, roundTo))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sel_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      shortlist.schema(idCol),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .BufferHasAsJava(out).asJava), schema)
+  }
+
 }

@@ -97,11 +97,13 @@ object TimeSeriesOps {
     * `sum() OVER (ORDER BY …)` window when the scanned data is NOT already
     * reduced to a bounded domain:
     *
-    *   1. range-partition by the order columns (equal keys co-locate, ranges
-    *      ascend with partition id), running sum per partition in parallel;
-    *   2. per-partition totals (one row per partition — cluster-sized, not
+    *   1. bucket by a DETERMINISTIC monotone image of the leading order
+    *      column ([[orderedBucketKey]], calibrated by a lazy broadcast
+    *      (min, max) — equal keys co-locate, bucket ids ascend with the
+    *      key), running sum per bucket in parallel;
+    *   2. per-bucket totals (one row per bucket — cluster-sized, not
     *      data-sized) get a prefix-scan offset; each row adds its
-    *      partition's offset.
+    *      bucket's offset.
     *
     * Restricted to LONG values on purpose: integer addition re-associates
     * exactly, so the result is bit-identical to the sequential window no
@@ -111,6 +113,27 @@ object TimeSeriesOps {
     *
     * `orderCols` must be a per-row total order (add a tiebreak id if the
     * time key can repeat) — same determinism rule as every window here. */
+  /** Monotone DOUBLE image of an order column, for deterministic ordered
+    * bucketing: numerics cast through double; dates/timestamps via their
+    * epoch day/micro counts; strings via their first 8 UTF-8 bytes read
+    * as an unsigned big-endian integer (hex digits are order-isomorphic
+    * to unsigned byte order — which is exactly how Spark compares
+    * strings — and right-padding with '0' keeps shorter keys prefixes).
+    * Non-strict monotone: ties and >8-byte-shared-prefix keys collapse
+    * into one bucket, which only affects spread, never order. */
+  private def orderedBucketKey(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case StringType =>
+        conv(rpad(substring(hex(col(c)), 1, 16), 16, "0"), 16, 10)
+          .cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case _: NumericType => col(c).cast("double")
+      case _ => lit(0.0) // degenerate single bucket: correct, unspread
+    }
+  }
+
   def scanCumSumLong(
       df: DataFrame,
       orderCols: Seq[String],
@@ -120,8 +143,44 @@ object TimeSeriesOps {
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ordered = orderCols.map(col)
-    val parted = df.repartitionByRange(n, ordered: _*)
-      .withColumn("__pid", spark_partition_id())
+    // The bucket id MUST be a pure function of the DATA, never of the
+    // physical layout. The windowed rows and the per-partition totals are
+    // two plan branches that each re-execute this subtree, and the
+    // original `repartitionByRange + spark_partition_id()` pinned the
+    // bucket to RangePartitioner's SAMPLED boundaries — which are not
+    // stable across executions (the sampling seed derives from the RDD
+    // id), so the totals could describe a different layout than the rows
+    // they join onto, silently corrupting the scan with duplicate/gapped
+    // offsets. Not hypothetical: ScaleDeep's 250 k-conv SftExport section
+    // measured 4 199 mean tokens inside 4 096-token windows (duplicate
+    // global positions), drifting run to run; small fixtures never see it
+    // because boundary sampling is exact at tiny row counts. (A persist
+    // pins one layout for ONE action but re-corrupts on any later action
+    // over the same subtree — the composed CorpusPrep does exactly that —
+    // so determinism, not caching, is the fix.)
+    //
+    // `orderedBucket` maps the first order column through a MONOTONE
+    // numeric image (numerics as doubles; strings via their first 8 UTF-8
+    // bytes, order-isomorphic to Spark's byte-wise string comparison)
+    // calibrated by a lazy broadcast (min, max) — deterministic on every
+    // re-execution, and one full-data exchange cheaper than the range
+    // shuffle (which still needed a hash(__pid) exchange for the window).
+    // Uniform-ish keys (ids, digests, days) spread evenly; a pathological
+    // key set sharing one 8-byte prefix degrades to fewer buckets —
+    // slower, never wrong.
+    val parted = df
+      .crossJoin(broadcast(df.groupBy().agg(
+        min(orderedBucketKey(df, orderCols.head)).as("__kmin"),
+        max(orderedBucketKey(df, orderCols.head)).as("__kmax"))))
+      .withColumn("__pid",
+        when(col("__kmin").isNull, lit(0))
+          .when(col("__kmax") <= col("__kmin"), lit(0))
+          .otherwise(least(
+            floor((orderedBucketKey(df, orderCols.head) - col("__kmin"))
+              / (col("__kmax") - col("__kmin")) * n),
+            lit(n - 1))).cast("int"))
+      .drop("__kmin", "__kmax")
+      .repartition(n, col("__pid"))
     val local = Window.partitionBy("__pid").orderBy(ordered.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = parted.withColumn("__local", sum(col(valueCol)).over(local))

@@ -25,4 +25,19 @@ object GraftBridge {
   def dataset(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The FINAL adaptive physical plan as a string, for plan-posture
+    * assertions. `executedPlan.toString` on an AQE plan prints the final
+    * plan followed by "== Initial Plan ==" — and a cached subtree
+    * (InMemoryRelation) nests ANOTHER adaptive plan whose own initial
+    * section appears mid-tree, so "split at the first initial marker"
+    * truncates everything below the cache. `finalPhysicalPlan` (package-
+    * private, hence this bridge) is the plan that actually ran, printed
+    * without the wrapper's before/after noise. */
+  def finalPlanString(df: DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan.toString
+      case p => p.toString
+    }
 }

@@ -280,4 +280,76 @@ class SimilaritySpec extends SparkSpec {
     assert(binAvg >= 0.9, s"binary shortlist+rescore recall@10 collapsed: $binAvg")
     assert(trAvg >= 0.7, s"truncated-32 recall@10 collapsed: $trAvg")
   }
+
+  test("rrfFuse matches the local reciprocal-rank model") {
+    // list A ranks 10,20,30; list B ranks 20,40 — 20 is the only overlap
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("doc_id", "score")
+    val b = Seq((20L, 9.0), (40L, 8.0)).toDF("doc_id", "score")
+    val got = Similarity.rrfFuse(Seq(a, b), "doc_id", "score", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def c(rank: Int) = 1.0 / (60 + rank)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      20L -> r6(c(2) + c(1)), // present in both lists
+      10L -> r6(c(1)), 40L -> r6(c(2)), 30L -> r6(c(3)))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got === expected)
+  }
+
+  test("rrfFuse rank ties break by id and absent docs contribute nothing") {
+    val a = Seq((7L, 5.0), (3L, 5.0)).toDF("doc_id", "score") // tie: 3 ranks first
+    val got = Similarity.rrfFuse(Seq(a), "doc_id", "score", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(3L -> r6(1.0 / 61), 7L -> r6(1.0 / 62)))
+  }
+
+  test("mmrSelect at lambda=1 is pure relevance — the brute-force order") {
+    val q = vecs.head._2
+    val mmr = Similarity.mmrSelect(df, "vec_id", "embedding", q,
+        m = 10, k = 5, lambda = 1.0, roundTo = 5)
+      .collect().map(_.getLong(1)).toSeq
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q,
+        5, roundTo = 5).collect().map(_.getLong(0)).toSeq
+    assert(mmr === exact)
+  }
+
+  test("mmrSelect skips a planted near-duplicate that plain top-k keeps") {
+    // corpus: the query's clone, a SECOND clone, and a diverse 45° vector
+    // — relevance top-2 is the clone pair; MMR's diversity term pushes
+    // the redundant second clone below the diverse vector. Note when the
+    // first pick ≈ q, a clone's step-2 score is exactly 2λ−1 while a
+    // diverse candidate's is ≈ (2λ−1)·rel — so the diversity trade only
+    // bites at λ < 0.5
+    val q = Seq(1f, 0f, 0f, 0f)
+    val planted = Seq(
+      1L -> Seq(1f, 0.001f, 0f, 0f),
+      2L -> Seq(1f, 0f, 0.001f, 0f),
+      3L -> Seq(1f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val top2 = Similarity.bruteForceTopK(planted, "vec_id", "embedding",
+      q, 2).collect().map(_.getLong(0)).toSet
+    val mmr2 = Similarity.mmrSelect(planted, "vec_id", "embedding", q,
+        m = 3, k = 2, lambda = 0.3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top2 === Set(1L, 2L))
+    assert(mmr2.head === 1L, "first MMR pick is the most relevant")
+    assert(mmr2(1) === 3L, "second pick trades relevance for diversity")
+  }
+
+  test("mmrSelect returns selection order with monotone first-pick score") {
+    val q = vecs.head._2
+    val rows = Similarity.mmrSelect(df, "vec_id", "embedding", q, m = 12, k = 4)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    // first pick is lambda * max-rel; later picks pay the diversity tax
+    assert(rows.tail.forall(_.getDouble(2) <= rows.head.getDouble(2)))
+  }
+
+  test("mmrSelect rejects an unbounded shortlist") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, "vec_id", "embedding", vecs.head._2,
+        m = 5000, k = 5, maxShortlist = 4096)
+    }
+    assert(e.getMessage.contains("maxShortlist"))
+  }
 }

@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkSpec {
   private def executedPlan(name: String): String = {
     val df: DataFrame = graft.SparkEntry.queries(name)(spark, Sf)
     df.collect() // finalize AQE
-    // AQE's toString prints "== Final Plan ==" followed by the pre-adaptive
-    // "== Initial Plan ==" — only the final section is the plan that ran
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the bridge prints AQE's finalPhysicalPlan directly — splitting
+    // toString at "== Initial Plan ==" truncated every node below a
+    // cached subtree, whose nested adaptive plan prints its own initial
+    // section mid-tree
+    org.apache.spark.sql.GraftBridge.finalPlanString(df)
   }
 
   test("q_s1_range_scan pushes the time-range predicate into the parquet scan") {
@@ -375,10 +377,10 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_epoch_order ranks via range partitioning — never a single-partition data sort") {
+  test("q_epoch_order ranks via deterministic buckets — never a single-partition data sort") {
     val plan = executedPlan("q_epoch_order")
-    assert(plan.contains("rangepartitioning"),
-      "the global rank must be the two-pass range-partitioned scan:\n" + plan.take(1200))
+    assert(plan.contains("hashpartitioning(__pid"),
+      "the global rank must be the two-pass bucketed scan:\n" + plan.take(1200))
     // scanCumSumLong's design has exactly ONE unpartitioned window — the
     // prefix scan over PER-PARTITION TOTALS (__ptot: one row per partition,
     // cluster-sized). Any other unpartitioned window would be a

@@ -428,11 +428,12 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.size === 1000)
     // gid must equal the rank of k in sorted order == k itself here
     assert(got.forall { case (k, gid) => gid == k })
-    // the data-sized pass is range-partitioned with a per-partition window;
-    // the only single-partition stage is the nPartitions-row offset scan
+    // the data-sized pass hash-clusters on the DETERMINISTIC ordered
+    // bucket id with a per-bucket window; the only single-partition stage
+    // is the nPartitions-row offset scan
     val plan = TrainPrep.assignGlobalIds(d, Seq("k"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning(k"), plan.take(800))
+    assert(plan.contains("hashpartitioning(__pid"), plan.take(800))
     assert(plan.contains("windowspecdefinition(__pid"), plan.take(800))
   }
 
