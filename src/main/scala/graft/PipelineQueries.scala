@@ -193,6 +193,117 @@ object PipelineQueries {
         .mkString(" UNION ALL ")
   }
 
+  /** Retrieval-metrics oracle: both ranked stages (truncated d=16 runs,
+    * exact full-dim qrels with grade = 11 − rank) re-derived over the same
+    * rounded cosines, then recall/MRR/nDCG@10 with the identical gain and
+    * log2 arithmetic (2^g − 1, ln(r+1)/ln 2) the Spark operator performs. */
+  private val retrievalMetricsOracleSql =
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5),
+       |corpus AS (SELECT vec_id AS doc_id, v FROM ev WHERE vec_id >= 5),
+       |runs AS (SELECT query_id, doc_id,
+       |    round(${duckCosD("v", "qv", 16)}, 5) AS score
+       |  FROM corpus CROSS JOIN qs),
+       |topk AS (SELECT * FROM (SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rnk FROM runs)
+       |  WHERE rnk <= 10),
+       |exact AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c DESC, doc_id) AS r
+       |  FROM (SELECT query_id, doc_id,
+       |      round(${duckCosD("v", "qv", 64)}, 5) AS c
+       |    FROM corpus CROSS JOIN qs)),
+       |qrels AS (SELECT query_id, doc_id, (11 - r)::DOUBLE AS g
+       |  FROM exact WHERE r <= 10),
+       |ideal AS (SELECT query_id, count(*)::BIGINT AS n_rel,
+       |    sum(CASE WHEN ir <= 10
+       |      THEN (pow(2.0, g) - 1.0) / (ln(ir + 1.0) / ln(2.0))
+       |      ELSE 0.0 END) AS idcg
+       |  FROM (SELECT query_id, g, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY g DESC, doc_id) AS ir FROM qrels)
+       |  GROUP BY query_id),
+       |per AS (SELECT t.query_id,
+       |    sum(CASE WHEN q.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS rel_found,
+       |    max(CASE WHEN q.g IS NOT NULL THEN 1.0 / t.rnk END) AS rr,
+       |    sum(CASE WHEN q.g IS NOT NULL
+       |      THEN (pow(2.0, q.g) - 1.0) / (ln(t.rnk + 1.0) / ln(2.0))
+       |      ELSE 0.0 END) AS dcg
+       |  FROM topk t LEFT JOIN qrels q
+       |    ON t.query_id = q.query_id AND t.doc_id = q.doc_id
+       |  GROUP BY t.query_id)
+       |SELECT i.query_id, i.n_rel,
+       |  coalesce(p.rel_found, 0)::BIGINT AS rel_found,
+       |  round(coalesce(p.rel_found, 0)::DOUBLE / i.n_rel::DOUBLE, 5) AS recall,
+       |  round(coalesce(p.rr, 0.0), 5) AS mrr,
+       |  round(coalesce(p.dcg, 0.0) / i.idcg, 5) AS ndcg
+       |FROM ideal i LEFT JOIN per p USING (query_id)""".stripMargin
+
+  /** PR-sweep oracle: the q_quality_lr scorer replayed (hashed-bucket
+    * weights), label = doc_id % 3 = 0, then cumulative TP/PP down the
+    * descending distinct-score axis and the same double-division
+    * precision/recall/F1 arithmetic, rounded at 5. */
+  private val prSweepOracleSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE doc_id < 300),
+      |b AS (SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b
+      |  FROM tok WHERE len(t) > 0),
+      |z AS (SELECT doc_id,
+      |    sum(((b * 96769) % 2000) / 1000.0 - 1.0) AS z
+      |  FROM b GROUP BY doc_id),
+      |s AS (SELECT d.doc_id,
+      |    round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 5) AS score,
+      |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+      |  LEFT JOIN z USING (doc_id)),
+      |by_score AS (SELECT score AS threshold, sum(y)::BIGINT AS pos,
+      |    count(*)::BIGINT AS n
+      |  FROM s GROUP BY 1),
+      |cum AS (SELECT threshold,
+      |    sum(pos) OVER (ORDER BY threshold DESC)::BIGINT AS tp,
+      |    sum(n) OVER (ORDER BY threshold DESC)::BIGINT AS pp
+      |  FROM by_score),
+      |tot AS (SELECT sum(y)::BIGINT AS p FROM s),
+      |pr AS (SELECT threshold, tp, pp, p,
+      |    tp::DOUBLE / pp::DOUBLE AS prec,
+      |    CASE WHEN p > 0 THEN tp::DOUBLE / p::DOUBLE ELSE 0.0 END AS rec
+      |  FROM cum CROSS JOIN tot)
+      |SELECT threshold, tp, (pp - tp)::BIGINT AS fp, (p - tp)::BIGINT AS fn,
+      |  round(prec, 5) AS "precision", round(rec, 5) AS recall,
+      |  round(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec)
+      |    ELSE 0.0 END, 5) AS f1
+      |FROM pr""".stripMargin
+
+  /** Batch-assembly oracle: whitespace token counts, global positions via
+    * row_number over (n_tok, doc_id) and (doc_id), integer-divided into
+    * batches of 32, per-batch max/sum/waste for both strategies. */
+  private val batchAssemblyOracleSql =
+    """WITH lens AS (SELECT doc_id,
+      |    (CASE WHEN length(text) = 0 THEN 0
+      |      ELSE length(text) - length(replace(text, ' ', '')) + 1
+      |      END)::BIGINT AS n_tok
+      |  FROM documents),
+      |srt AS (SELECT doc_id, n_tok,
+      |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch_id
+      |  FROM lens),
+      |arr AS (SELECT doc_id, n_tok,
+      |    (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id
+      |  FROM lens),
+      |rep AS (SELECT 'length_sorted' AS strategy, batch_id,
+      |    count(*)::BIGINT AS n_seqs, max(n_tok) AS max_tok,
+      |    sum(n_tok)::BIGINT AS sum_tok
+      |  FROM srt GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'arrival', batch_id, count(*)::BIGINT, max(n_tok),
+      |    sum(n_tok)::BIGINT
+      |  FROM arr GROUP BY 2)
+      |SELECT batch_id::BIGINT AS batch_id, n_seqs, max_tok, sum_tok,
+      |  (max_tok * n_seqs - sum_tok)::BIGINT AS pad_tokens, strategy
+      |FROM rep""".stripMargin
+
   /** Shared CTE chain (docs → tokens → md5 MinHash → bands → candidates →
     * Jaccard-verified pairs `ver`) — both keeper oracles and the recursive
     * CC oracle interpolate this so banding/tokenization changes happen in
@@ -1277,6 +1388,79 @@ object PipelineQueries {
         t(s, dir, "embeddings").filter(col("vec_id") > 0),
         "vec_id", "embedding", queryVec(s, dir), m = 12, k = 4),
       Some(mmrOracleSql)),
+
+    // ---- retrieval-quality metrics: recall@10 / MRR@10 / nDCG@10 of the
+    // matryoshka-truncated stage (d=16) against graded qrels derived from
+    // the exact full-dim ranking (grade = 11 − exact rank) — the operator
+    // that turns "quantized retrieval" into a measured dataset-card
+    // number. Five query vectors (vec_id < 5), corpus = the rest; both
+    // ranked stages and every metric replay exactly in DuckDB ------------
+    "q_retrieval_metrics" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val runs = corpus.crossJoin(qs)
+          .select(col("query_id"), col("doc_id"),
+            round(VectorFunctions.cosine(
+              slice(col("embedding"), 1, 16), slice(col("__qv"), 1, 16)), 5)
+              .as("score"))
+        val exactW = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("__cos").desc, col("doc_id"))
+        val qrels = corpus.crossJoin(qs)
+          .select(col("query_id"), col("doc_id"),
+            round(VectorFunctions.cosine(col("embedding"), col("__qv")), 5)
+              .as("__cos"))
+          .withColumn("__r", row_number().over(exactW))
+          .filter(col("__r") <= 10)
+          .select(col("query_id"), col("doc_id"),
+            (lit(11) - col("__r")).as("grade"))
+        graft.eval.EvalMetrics.retrievalMetrics(
+          runs, qrels, "query_id", "doc_id", "score", "grade", k = 10)
+      },
+      Some(retrievalMetricsOracleSql)),
+
+    // ---- classifier PR sweep: precision/recall/F1 at every distinct
+    // quality-classifier score threshold (the q_quality_lr scorer with a
+    // planted doc_id%3 label). The cumulative TP/predicted-positive run
+    // through the deterministic bucketed prefix scan — never a
+    // single-partition data window — and the confusion arithmetic replays
+    // in DuckDB over the identical rounded scores ------------------------
+    "q_pr_sweep" -> QueryDef(
+      (s, dir) => {
+        val scored = QualityClassifier.scoreLinear(
+            t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id",
+            "text",
+            weights = Array.tabulate(256)(b => ((b * 96769) % 2000) / 1000.0 - 1.0))
+          .withColumn("label", pmod(col("doc_id"), lit(3)) === 0)
+        graft.eval.EvalMetrics.prSweep(scored, "label", "quality_score")
+      },
+      Some(prSweepOracleSql)),
+
+    // ---- length-bucketed batch assembly: sort-by-length batches of 32 vs
+    // the arrival-order baseline, per-batch padding waste for both — the
+    // report that justifies length bucketing (and the padded-batching
+    // counterpart of q_pack_chunks). Batch membership rides the same
+    // deterministic two-pass global-id scan as q_global_ids --------------
+    "q_batch_assembly" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sorted = graft.trainprep.TrainPrep.batchAssembly(
+          docs, "doc_id", "text", batchSize = 32)
+        val arrival = graft.trainprep.TrainPrep.assignGlobalIds(
+            docs.select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).as("n_tok")),
+            Seq("doc_id"), "__gid")
+          .select(col("doc_id"), col("n_tok"),
+            floor(col("__gid") / 32).cast("long").as("batch_id"))
+        graft.trainprep.TrainPrep.batchPaddingReport(sorted)
+          .withColumn("strategy", lit("length_sorted"))
+          .unionByName(graft.trainprep.TrainPrep.batchPaddingReport(arrival)
+            .withColumn("strategy", lit("arrival")))
+      },
+      Some(batchAssemblyOracleSql)),
 
     // ---- ANN: LSH-bucketed top-k, approximate (the production shape). The
     // splitmix64 plane family is not DuckDB-expressible, so the oracle is

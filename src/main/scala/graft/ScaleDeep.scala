@@ -229,7 +229,7 @@ object ScaleDeep {
     require(rows5 == rows4, "pack emits one assignment row per doc")
     require(stageRecsTotal - recsBeforePack < 6L * nDocs,
       s"pack stage shuffled ${stageRecsTotal - recsBeforePack} — the " +
-        "range-partition prefix sum is docs-linear")
+        "bucketed prefix sum is docs-linear")
 
     val (_, expRecs, expBytes, _, expSecs) = section {
       spark.read.parquet(s"$e2eDir/s5").repartition(32, col("doc_id"))

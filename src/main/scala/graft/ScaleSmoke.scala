@@ -218,7 +218,7 @@ object ScaleSmoke {
       s""""span_peak_stage_shuffle_bytes":$spanPeak}""")
 
     // ---- sequence packing over the replicated corpus ----------------------
-    // packChunks' prefix sum is the two-pass range-partition scan: pass 1
+    // packChunks' prefix sum is the two-pass bucketed scan: pass 1
     // is embarrassingly parallel, pass 2 scans one row per partition — so
     // docs/sec should HOLD as the corpus grows. Measured at half scale and
     // full scale in one run: the ratio is the empirical scaling check (a

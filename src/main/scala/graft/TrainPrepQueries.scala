@@ -286,7 +286,7 @@ object TrainPrepQueries {
 
     // ---- deterministic per-epoch training order: rank by sha256(epoch:id)
     // (fresh uniform permutation every epoch, reproducible on any layout);
-    // rank materializes via the range-partitioned two-pass scan, never a
+    // rank materializes via the bucketed two-pass scan, never a
     // single-partition global sort; shard is epoch-stable ------------------
     "q_epoch_order" -> QueryDef(
       (s, dir) => TrainPrep.epochOrder(

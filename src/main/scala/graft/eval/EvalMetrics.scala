@@ -1,0 +1,118 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics for the retrieval stack and the quality
+  * classifiers — the measuring half of the pipeline: E75/E9/E123-E127
+  * build ranked stages, E44/E102 score documents; these operators grade
+  * them against judgments, distributedly and engine-replayably.
+  *
+  * Cross-engine determinism: every metric is arithmetic over integer
+  * counts and ranks (log2 written as ln/ln 2, gains as 2^grade − 1 over
+  * integer grades), rounded at `roundTo` before compare — the same
+  * contract as the cosine/BM25 oracles.
+  */
+object EvalMetrics {
+
+  /** trec_eval-style retrieval metrics per query: recall@k, MRR@k and
+    * nDCG@k of a run against graded relevance judgments.
+    *
+    * `runs` is the SCORED candidate frame (query, doc, score) — the
+    * operator ranks it per query (score desc, doc id tiebreak) and
+    * truncates at `k` itself, so callers pass a stage's raw output;
+    * `qrels` is (query, doc, grade) with grade > 0 meaning relevant
+    * (graded gains 2^g − 1, binary qrels degrade to gain 1). The query
+    * set is DEFINED by qrels — a run query without judgments is
+    * unmeasurable and drops (trec_eval's rule); a judged query with no
+    * run rows scores 0 across the board.
+    *
+    * Scale shape: the per-query rank windows partition by query — the
+    * corpus-sized work happened upstream in the stages that produced
+    * the runs; the qrels join is judgment-sized (AQE broadcasts the
+    * usual dimension-sized eval set) and every aggregate groups by
+    * query with map-side combine. Nothing here shuffles more than the
+    * run frame itself. */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, scoreCol: String, gradeCol: String, k: Int,
+      roundTo: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def log2(c: Column): Column = log(c) / log(lit(2.0))
+    def gain(g: Column, rank: Column): Column =
+      (pow(lit(2.0), g) - lit(1.0)) / log2(rank.cast("double") + lit(1.0))
+    val rankW = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    val topk = runs.select(col(queryCol), col(docCol), col(scoreCol))
+      .withColumn("__rank", row_number().over(rankW))
+      .filter(col("__rank") <= k)
+    val rels = qrels.filter(col(gradeCol) > 0)
+      .select(col(queryCol), col(docCol), col(gradeCol).cast("double").as("__g"))
+    // ideal ranking = qrels by grade desc (doc tiebreak), truncated at k —
+    // the nDCG denominator; n_rel is the recall denominator
+    val idealW = Window.partitionBy(col(queryCol))
+      .orderBy(col("__g").desc, col(docCol))
+    val ideal = rels.withColumn("__ir", row_number().over(idealW))
+      .groupBy(col(queryCol)).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__ir") <= k, gain(col("__g"), col("__ir")))
+          .otherwise(lit(0.0))).as("__idcg"))
+    val perQuery = topk.join(rels, Seq(queryCol, docCol), "left")
+      .groupBy(col(queryCol)).agg(
+        sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("rel_found"),
+        max(when(col("__g").isNotNull, lit(1.0) / col("__rank"))).as("__rr"),
+        sum(when(col("__g").isNotNull, gain(col("__g"), col("__rank")))
+          .otherwise(lit(0.0))).as("__dcg"))
+    ideal.join(perQuery, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("rel_found"), lit(0L)).as("rel_found"),
+        round(coalesce(col("rel_found"), lit(0L)).cast("double")
+          / col("n_rel"), roundTo).as("recall"),
+        round(coalesce(col("__rr"), lit(0.0)), roundTo).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), roundTo)
+          .as("ndcg"))
+  }
+
+  /** Precision/recall/F1 at EVERY distinct score threshold — the
+    * operating-point sweep behind a classifier's PR curve (which
+    * threshold ships is THE deployment decision for the E44/E102 quality
+    * and language gates). At each distinct score t (descending):
+    * predicted-positive = score ≥ t, so tp/fp/fn are cumulative counts
+    * down the sorted score axis. Tied scores are one threshold — a tie
+    * group enters the confusion matrix atomically, never split.
+    *
+    * Scale shape: three aggregate passes over a 2-column
+    * (score, label) projection — the (threshold, pos, n) pre-aggregate
+    * (map-side combined, output is distinct-score-sized), its reuse as
+    * the calibration scan inside the bucketed prefix scan, and the
+    * grand-total row — then the cumulatives run as ONE
+    * [[graft.ops.TimeSeriesOps.scanCumSumsLong]] two-pass scan over the
+    * distinct-score frame (never a single-partition data window, even
+    * when every score is unique and the threshold axis is data-sized).
+    * Persist the scored frame upstream if the corpus scan itself is the
+    * bottleneck. */
+  def prSweep(scored: DataFrame, labelCol: String, scoreCol: String,
+      roundTo: Int = 5): DataFrame = {
+    val byScore = scored
+      .select(col(scoreCol).as("threshold"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+      .withColumn("__negt", -col("threshold"))
+    val cum = graft.ops.TimeSeriesOps.scanCumSumsLong(
+      byScore, Seq("__negt"), Seq("__pos", "__n"), Seq("__tp", "__pp"))
+    val totals = broadcast(scored.select(
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .agg(sum(col("__y")).as("__p")))
+    val p = col("__tp").cast("double") / col("__pp")
+    val r = when(col("__p") > 0, col("__tp").cast("double") / col("__p"))
+      .otherwise(lit(0.0))
+    cum.crossJoin(totals)
+      .select(col("threshold"),
+        col("__tp").as("tp"), (col("__pp") - col("__tp")).as("fp"),
+        (col("__p") - col("__tp")).as("fn"),
+        round(p, roundTo).as("precision"), round(r, roundTo).as("recall"),
+        round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), roundTo).as("f1"))
+  }
+}

@@ -139,7 +139,22 @@ object TimeSeriesOps {
       orderCols: Seq[String],
       valueCol: String,
       out: String = "cum",
+      numParts: Int = 0): DataFrame =
+    scanCumSumsLong(df, orderCols, Seq(valueCol), Seq(out), numParts)
+
+  /** Multi-column form of [[scanCumSumLong]]: k running sums over ONE
+    * bucketed two-pass scan — same exchanges, same windows, k columns
+    * riding along (the PR-sweep's TP and predicted-positive cumulatives
+    * are the motivating pair; computing them as two separate scans would
+    * re-execute the upstream aggregate once per column). */
+  def scanCumSumsLong(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCols: Seq[String],
+      outs: Seq[String],
       numParts: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.length == outs.length,
+      s"need one output name per value column, got $valueCols -> $outs")
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ordered = orderCols.map(col)
@@ -183,18 +198,29 @@ object TimeSeriesOps {
       .repartition(n, col("__pid"))
     val local = Window.partitionBy("__pid").orderBy(ordered.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = parted.withColumn("__local", sum(col(valueCol)).over(local))
+    val withLocal = valueCols.zipWithIndex.foldLeft(parted) {
+      case (d, (v, i)) => d.withColumn(s"__local$i", sum(col(v)).over(local))
+    }
     // the offset scan runs over ONE row per partition — bounded by cluster
     // width, not data volume; the constant partition key keeps it a single
     // (tiny) window without tripping the global-window warning
     val offW = Window.partitionBy(lit(0)).orderBy(col("__pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy("__pid").agg(sum(col(valueCol)).as("__ptot"))
-      .withColumn("__off", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    withLocal.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(out, col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+    val ptots = valueCols.zipWithIndex.map {
+      case (v, i) => sum(col(v)).as(s"__ptot$i")
+    }
+    val offsets = valueCols.indices.foldLeft(
+        withLocal.groupBy("__pid").agg(ptots.head, ptots.tail: _*)) {
+        (d, i) => d.withColumn(s"__off$i",
+          coalesce(sum(col(s"__ptot$i")).over(offW), lit(0L)))
+      }
+      .select(col("__pid") +: valueCols.indices.map(i => col(s"__off$i")): _*)
+    val joined = valueCols.indices.foldLeft(
+        withLocal.join(broadcast(offsets), Seq("__pid"))) {
+      (d, i) => d.withColumn(outs(i), col(s"__local$i") + col(s"__off$i"))
+    }
+    joined.drop("__pid")
+      .drop(valueCols.indices.flatMap(i => Seq(s"__local$i", s"__off$i")): _*)
   }
 
   /** Normalized cumulative fraction (A5): `cum/total` when total > 0 else 0

@@ -334,7 +334,7 @@ object CoreQueries {
 
     // ---- A4 at scale: distributed two-pass prefix scan (no global window).
     // Same running-total semantics as q_a4_cumsum, but computed with
-    // range-partition + per-partition scan + broadcast offsets — the form
+    // ordered buckets + per-bucket scan + broadcast offsets — the form
     // that survives when the scanned column is NOT pre-aggregated to a
     // bounded domain. Cents-scaled longs make the two-pass result
     // bit-identical to the sequential window (integer math re-associates).

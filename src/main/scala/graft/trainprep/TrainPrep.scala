@@ -423,7 +423,7 @@ object TrainPrep {
     * shuffled, REPRODUCIBLE permutation every epoch with no RNG and no
     * state (re-running epoch 3 on any cluster layout yields byte-identical
     * order; growing the corpus permutes only where new hashes land). Rank
-    * materializes through [[assignGlobalIds]]'s two-pass range-partitioned
+    * materializes through [[assignGlobalIds]]'s two-pass bucketed
     * scan — no single-partition global sort; `shard = pmod(hash(id),
     * nShards)` gives loaders a deterministic parallel read axis. */
   def epochOrder(docs: DataFrame, idCol: String, epoch: Int,
@@ -632,8 +632,9 @@ object TrainPrep {
   /** Contiguous global row ids 0..n-1 in `orderCols` order — shard/sample
     * indices for a training corpus — without the single-partition window a
     * naive `row_number() OVER (ORDER BY …)` plans. Thin wrapper over
-    * [[TimeSeriesOps.scanCumSumLong]]: range-repartition on the order key,
-    * per-partition local ranks, then one nPartitions-row offset pass — the
+    * [[TimeSeriesOps.scanCumSumLong]]: deterministic ordered buckets on
+    * the order key, per-bucket local ranks, then one bucket-row offset
+    * pass — the
     * same two-pass distributed scan [[packChunks]] uses, so a 100 TB corpus
     * gets ids with one bounded-size driver-free prefix stage. */
   def assignGlobalIds(docs: DataFrame, orderCols: Seq[String],
@@ -814,6 +815,45 @@ object TrainPrep {
           .as("pad_waste_tokens"))
   }
 
+  /** Length-bucketed batch assembly — the padded-batching counterpart of
+    * [[packChunks]]: when sequences must stay whole (SFT, reranking,
+    * inference serving), batches of `batchSize` similar-length sequences
+    * minimize the padding [[seqLenHistogram]] reports. Documents sort by
+    * (token length, id) and cut into consecutive `batchSize` groups, so
+    * each batch pads to its own max instead of the corpus max — the
+    * standard length-bucketing trick. Returns (id, n_tok, batch_id);
+    * feed [[batchPaddingReport]] for the per-batch waste numbers.
+    *
+    * Scale shape: the global sort position is [[assignGlobalIds]]'s
+    * deterministic two-pass bucketed prefix scan — never a
+    * single-partition window — and the token count is a zero-shuffle
+    * map, so the whole assignment is one bounded scan + one
+    * cluster-sized offset stage. Deterministic: the (length, id) order
+    * is a total order, so batch membership is identical on every run
+    * and layout. */
+  def batchAssembly(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int,
+      tokenCountFn: Column => Column = TextFunctions.tokenCount): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val withLen = docs.select(col(idCol),
+      coalesce(tokenCountFn(col(textCol)).cast("long"), lit(0L)).as("n_tok"))
+    assignGlobalIds(withLen, Seq("n_tok", idCol), "__gid")
+      .select(col(idCol), col("n_tok"),
+        floor(col("__gid") / batchSize).cast("long").as("batch_id"))
+  }
+
+  /** Per-batch padding report over a [[batchAssembly]] assignment (or any
+    * (n_tok, batch_id) frame): each batch pads every member to the batch
+    * max, so waste = max·count − Σ len. One map-side-combined aggregate,
+    * batch-count-sized output — the number that picks length-bucketed
+    * over arrival-order batching (q_batch_assembly measures both). */
+  def batchPaddingReport(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("batch_id")).agg(
+      count(lit(1)).as("n_seqs"),
+      max(col("n_tok")).as("max_tok"),
+      sum(col("n_tok")).as("sum_tok"),
+      (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("pad_tokens"))
+
   /** GPT-style packed TOKEN-ID sequences — the final training artifact:
     * documents tokenized to ids (E101/E112), laid end-to-end in id order,
     * and cut into fixed `contextTokens` sequences (docs span boundaries,
@@ -823,7 +863,7 @@ object TrainPrep {
     * be short.
     *
     * Scale shape: tokenize is a zero-shuffle map; the global offset is
-    * the two-pass range-partition prefix sum (never a single-partition
+    * the two-pass bucketed prefix sum (never a single-partition
     * window); the only fan-out is posexplode of ids the scan already
     * produced, and the final aggregate groups by sequence — shuffle rows
     * = token count, each row 3 small integers. */
@@ -934,7 +974,7 @@ object TrainPrep {
     * touches).
     *
     * The token-offset prefix sum is `TimeSeriesOps.scanCumSumLong` — the
-    * distributed two-pass range-partition scan, NOT a single-partition
+    * distributed two-pass bucketed scan, NOT a single-partition
     * global window, so packing a 100 TB corpus parallelizes: pass 1 is
     * per-partition, pass 2 scans one row per partition. Token counts are
     * longs → integer addition re-associates exactly → offsets are

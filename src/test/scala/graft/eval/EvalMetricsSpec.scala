@@ -1,0 +1,147 @@
+package graft.eval
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+  private def gain(g: Double, r: Int): Double =
+    (math.pow(2.0, g) - 1.0) / log2(r + 1.0)
+
+  test("retrievalMetrics matches the hand model: graded gains, mrr, recall") {
+    // query 1: qrels a(2), b(1), c(1); run ranks [a, x, b] at k=3
+    val runs = Seq((1L, "a", 0.9), (1L, "x", 0.8), (1L, "b", 0.7),
+      (3L, "a", 0.5)) // query 3 has no judgments -> unmeasurable, drops
+      .toDF("q", "d", "s")
+    val qrels = Seq((1L, "a", 2), (1L, "b", 1), (1L, "c", 1),
+      (2L, "a", 1)) // query 2 judged but absent from the run -> all zeros
+      .toDF("q", "d", "g")
+    val got = EvalMetrics.retrievalMetrics(runs, qrels, "q", "d", "s", "g",
+        k = 3)
+      .orderBy("q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length === 2, "the query set is DEFINED by qrels")
+    val dcg = gain(2, 1) + gain(1, 3)
+    val idcg = gain(2, 1) + gain(1, 2) + gain(1, 3)
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) === ((1L, 3L, 2L, r5(2.0 / 3.0), 1.0, r5(dcg / idcg))))
+    assert(got(1) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrievalMetrics ranks the raw run itself and truncates at k") {
+    // unsorted scored frame; the only relevant doc sits at rank 3 of the
+    // scores, so k=2 must miss it and k=3 must find it at rank 3
+    val runs = Seq((1L, "low", 0.1), (1L, "mid", 0.5), (1L, "top", 0.9))
+      .toDF("q", "d", "s")
+    val qrels = Seq((1L, "low", 1)).toDF("q", "d", "g")
+    val at2 = EvalMetrics.retrievalMetrics(runs, qrels, "q", "d", "s", "g", 2)
+      .select("recall").head().getDouble(0)
+    val at3 = EvalMetrics.retrievalMetrics(runs, qrels, "q", "d", "s", "g", 3)
+      .select("mrr").head().getDouble(0)
+    assert(at2 === 0.0)
+    assert(at3 === BigDecimal(1.0 / 3.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("retrievalMetrics tie scores break by doc id, same as the oracle") {
+    val runs = Seq((1L, "b", 0.5), (1L, "a", 0.5)).toDF("q", "d", "s")
+    val qrels = Seq((1L, "b", 1)).toDF("q", "d", "g")
+    // tie broken toward "a" (id asc), so "b" lands at rank 2
+    val mrr = EvalMetrics.retrievalMetrics(runs, qrels, "q", "d", "s", "g", 2)
+      .select("mrr").head().getDouble(0)
+    assert(mrr === 0.5)
+  }
+
+  test("prSweep matches the hand confusion matrices; ties enter atomically") {
+    val scored = Seq((0.9, true), (0.8, false), (0.8, true), (0.7, false),
+      (0.5, true)).toDF("s", "y")
+    val got = EvalMetrics.prSweep(scored, "y", "s")
+      .orderBy(col("threshold").desc)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      (0.9, 1L, 0L, 2L, 1.0, r5(1.0 / 3.0), 0.5),
+      // the 0.8 tie group (one pos, one neg) enters as ONE threshold
+      (0.8, 2L, 1L, 1L, r5(2.0 / 3.0), r5(2.0 / 3.0), r5(2.0 / 3.0)),
+      (0.7, 2L, 2L, 1L, 0.5, r5(2.0 / 3.0), r5(2.0 * 0.5 * (2.0 / 3.0) / (0.5 + 2.0 / 3.0))),
+      (0.5, 3L, 2L, 0L, 0.6, 1.0, 0.75)))
+  }
+
+  test("prSweep with zero positives: recall and f1 are 0, never NaN") {
+    val scored = Seq((0.9, false), (0.1, false)).toDF("s", "y")
+    val got = EvalMetrics.prSweep(scored, "y", "s").collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getDouble(4) === 0.0) // precision: tp=0
+      assert(r.getDouble(5) === 0.0)
+      assert(r.getDouble(6) === 0.0)
+    }
+  }
+
+  test("batchAssembly: total assignment, full batches, sorted beats arrival") {
+    import graft.trainprep.TrainPrep
+    // lengths deliberately shuffled so arrival-order batches mix lengths
+    val docs = (0L until 20L)
+      .map(i => (i, Seq.fill((i * 7 % 13 + 1).toInt)("w").mkString(" ")))
+      .toDF("id", "text")
+    val sorted = TrainPrep.batchAssembly(docs, "id", "text", batchSize = 4)
+    val rows = sorted.collect()
+    assert(rows.length === 20, "every doc gets exactly one batch")
+    assert(rows.map(_.getLong(2)).distinct.sorted.toSeq === (0L until 5L))
+    // batch membership == consecutive runs of the (n_tok, id) sort
+    val byLen = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+    byLen.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) === i / 4, s"doc ${r.getLong(0)} in wrong batch")
+    }
+    val arrival = TrainPrep.assignGlobalIds(
+        docs.select(col("id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok")),
+        Seq("id"), "__gid")
+      .select(col("id"), col("n_tok"),
+        floor(col("__gid") / 4).cast("long").as("batch_id"))
+    def waste(assigned: org.apache.spark.sql.DataFrame): Long =
+      TrainPrep.batchPaddingReport(assigned)
+        .agg(sum("pad_tokens")).head().getLong(0)
+    assert(waste(sorted) < waste(arrival),
+      "length bucketing must cut padding on a shuffled-length corpus")
+  }
+
+  test("batchAssembly is deterministic across repartitioned layouts") {
+    val docs = (0L until 50L)
+      .map(i => (i, Seq.fill((i * 11 % 17 + 1).toInt)("w").mkString(" ")))
+      .toDF("id", "text")
+    import graft.trainprep.TrainPrep
+    val a = TrainPrep.batchAssembly(docs, "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = TrainPrep.batchAssembly(docs.repartition(7), "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("scanCumSumsLong multi-column == two independent single-column scans") {
+    import graft.ops.TimeSeriesOps
+    val df = (0L until 200L).map(i => (i % 37, i, i % 5 + 1, i % 3))
+      .toDF("k", "id", "v1", "v2")
+    val multi = TimeSeriesOps.scanCumSumsLong(df, Seq("k", "id"),
+        Seq("v1", "v2"), Seq("c1", "c2"))
+      .select("id", "c1", "c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val s1 = TimeSeriesOps.scanCumSumLong(df, Seq("k", "id"), "v1", "c1")
+      .select("id", "c1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val s2 = TimeSeriesOps.scanCumSumLong(df, Seq("k", "id"), "v2", "c2")
+      .select("id", "c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(multi.map(t => (t._1, t._2)).toSeq === s1.toSeq)
+    assert(multi.map(t => (t._1, t._3)).toSeq === s2.toSeq)
+  }
+}

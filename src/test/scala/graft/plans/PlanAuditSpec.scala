@@ -395,6 +395,35 @@ class PlanAuditSpec extends SparkSpec {
       "expected exactly the partition-totals prefix scan:\n" + plan.take(1200))
   }
 
+  test("q_pr_sweep's threshold cumulatives run bucketed, both in ONE scan") {
+    val plan = executedPlan("q_pr_sweep")
+    assert(plan.contains("hashpartitioning(__pid"),
+      "the TP/PP cumulatives must ride the bucketed prefix scan:\n" +
+        plan.take(1200))
+    // multi-column scanCumSumsLong: both running sums share one per-bucket
+    // window (no second Window stage over the data) and one totals prefix
+    val dataWindows = plan.split("\n")
+      .filter(_.contains("Window ["))
+      .filter(l => "\\], \\[".r.findAllIn(l).length >= 2) // partitioned
+    assert(dataWindows.length == 1 && dataWindows.head.contains("__local0")
+      && dataWindows.head.contains("__local1"),
+      "both cumulatives must share the one per-bucket window:\n" +
+        dataWindows.mkString("\n"))
+  }
+
+  test("q_retrieval_metrics windows partition by query — never the corpus") {
+    val plan = executedPlan("q_retrieval_metrics")
+    // every rank/ideal window is per-query (parallel across queries); an
+    // unpartitioned window here would mean a corpus-sized global sort
+    val unpartitioned = plan.split("\n")
+      .filter(_.contains("Window ["))
+      .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+    assert(unpartitioned.isEmpty,
+      "unpartitioned window in the metrics plan:\n" + unpartitioned.mkString("\n"))
+    assert(plan.contains("windowspecdefinition(query_id"),
+      "rank windows must partition by query:\n" + plan.take(1200))
+  }
+
   test("q_dedup_editdist joins on md5 buckets — no cartesian, no title shuffle") {
     val plan = executedPlan("q_dedup_editdist")
     assert(!plan.contains("CartesianProduct") &&
