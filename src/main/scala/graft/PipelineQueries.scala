@@ -277,6 +277,103 @@ object PipelineQueries {
       |    ELSE 0.0 END, 5) AS f1
       |FROM pr""".stripMargin
 
+  /** The q_quality_lr scorer + planted doc_id % 3 label — the shared
+    * fixture of the classifier-evaluation family (PR sweep, ROC AUC,
+    * calibration): scores are 5-decimal sigmoids with natural ties,
+    * labels deterministic on both engines. */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    QualityClassifier.scoreLinear(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        weights = Array.tabulate(256)(b => ((b * 96769) % 2000) / 1000.0 - 1.0))
+      .withColumn("label", pmod(col("doc_id"), lit(3)) === 0)
+
+  /** Shared margin-full fragment: the q_quality_lr scorer (hashed-bucket
+    * weights) + the planted doc_id % 3 label, ending in CTE
+    * `s(doc_id, score, y)`. Interpolated BEFORE the single stripMargin of
+    * each consumer (nesting an already-stripped fragment would eat the
+    * continuation bars). */
+  private val qualityScoredCte =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE doc_id < 300),
+      |b AS (SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b
+      |  FROM tok WHERE len(t) > 0),
+      |z AS (SELECT doc_id,
+      |    sum(((b * 96769) % 2000) / 1000.0 - 1.0) AS z
+      |  FROM b GROUP BY doc_id),
+      |s AS (SELECT d.doc_id,
+      |    round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 5) AS score,
+      |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+      |  LEFT JOIN z USING (doc_id))"""
+
+  /** ROC-AUC oracle: the Mann-Whitney rank-sum identity over the same
+    * distinct-score cumulative — tie groups at average rank cn − (n−1)/2,
+    * exact half-integer arithmetic until the final division. */
+  private val rocAucOracleSql =
+    s"""$qualityScoredCte,
+       |by_score AS (SELECT score AS sc, sum(y)::BIGINT AS pos,
+       |    count(*)::BIGINT AS n
+       |  FROM s GROUP BY 1),
+       |cum AS (SELECT pos, n,
+       |    sum(n) OVER (ORDER BY sc ASC)::BIGINT AS cn FROM by_score),
+       |sums AS (SELECT
+       |    sum(pos::DOUBLE * (cn::DOUBLE - (n::DOUBLE - 1.0) / 2.0)) AS ranksum,
+       |    sum(pos)::BIGINT AS p, sum(n)::BIGINT AS t FROM cum)
+       |SELECT p AS n_pos, (t - p)::BIGINT AS n_neg,
+       |  round(CASE WHEN p > 0 AND t > p
+       |    THEN (ranksum - p::DOUBLE * (p::DOUBLE + 1.0) / 2.0)
+       |      / (p::DOUBLE * (t - p)::DOUBLE) END, 6) AS auc
+       |FROM sums""".stripMargin
+
+  /** Calibration-report oracle: fixed equal-width bins over the sigmoid
+    * scores, per-bin count / mean confidence / empirical accuracy. */
+  private val calibrationOracleSql =
+    s"""$qualityScoredCte,
+       |binned AS (SELECT
+       |    least(greatest(floor(score * 10), 0), 9)::BIGINT AS bin, score, y
+       |  FROM s)
+       |SELECT bin, count(*)::BIGINT AS n,
+       |  round(sum(score) / count(*), 5) AS confidence,
+       |  round(sum(y)::DOUBLE / count(*), 5) AS accuracy
+       |FROM binned GROUP BY bin""".stripMargin
+
+  /** ECE oracle: the weighted |accuracy − confidence| gap over the SAME
+    * rounded per-bin report the calibration oracle emits. */
+  private val eceOracleSql =
+    s"""$qualityScoredCte,
+       |binned AS (SELECT
+       |    least(greatest(floor(score * 10), 0), 9)::BIGINT AS bin, score, y
+       |  FROM s),
+       |rep AS (SELECT bin, count(*)::BIGINT AS n,
+       |    round(sum(score) / count(*), 5) AS confidence,
+       |    round(sum(y)::DOUBLE / count(*), 5) AS accuracy
+       |  FROM binned GROUP BY bin)
+       |SELECT round(sum(n::DOUBLE * abs(accuracy - confidence)) / sum(n), 5)
+       |  AS ece
+       |FROM rep""".stripMargin
+
+  /** Cohen's-kappa oracle: the same contingency/marginal arithmetic with
+    * identical double subexpressions (po, pe/n², their quotient). */
+  private val kappaOracleSql =
+    """WITH r AS (SELECT (n_chars % 3)::VARCHAR AS a,
+      |    ((n_chars + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) % 3)::VARCHAR AS b
+      |  FROM documents),
+      |cell AS (SELECT a, b, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+      |base AS (SELECT sum(c)::BIGINT AS n,
+      |    sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS ag FROM cell),
+      |ma AS (SELECT a, sum(c)::BIGINT AS na FROM cell GROUP BY 1),
+      |mb AS (SELECT b, sum(c)::BIGINT AS nb FROM cell GROUP BY 1),
+      |pef AS (SELECT coalesce(sum(na::DOUBLE * nb::DOUBLE), 0.0) AS pe
+      |  FROM ma JOIN mb ON ma.a = mb.b)
+      |SELECT n, round(ag::DOUBLE / n::DOUBLE, 5) AS po,
+      |  round(pe / (n::DOUBLE * n::DOUBLE), 5) AS pe,
+      |  round(CASE WHEN pe < n::DOUBLE * n::DOUBLE THEN
+      |    (ag::DOUBLE / n::DOUBLE - pe / (n::DOUBLE * n::DOUBLE))
+      |      / (1.0 - pe / (n::DOUBLE * n::DOUBLE)) END, 5) AS kappa
+      |FROM base CROSS JOIN pef""".stripMargin
+
   /** Batch-assembly oracle: whitespace token counts, global positions via
     * row_number over (n_tok, doc_id) and (doc_id), integer-divided into
     * batches of 32, per-batch max/sum/waste for both strategies. */
@@ -1429,15 +1526,45 @@ object PipelineQueries {
     // single-partition data window — and the confusion arithmetic replays
     // in DuckDB over the identical rounded scores ------------------------
     "q_pr_sweep" -> QueryDef(
-      (s, dir) => {
-        val scored = QualityClassifier.scoreLinear(
-            t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id",
-            "text",
-            weights = Array.tabulate(256)(b => ((b * 96769) % 2000) / 1000.0 - 1.0))
-          .withColumn("label", pmod(col("doc_id"), lit(3)) === 0)
-        graft.eval.EvalMetrics.prSweep(scored, "label", "quality_score")
-      },
+      (s, dir) => graft.eval.EvalMetrics.prSweep(
+        qualityScored(s, dir), "label", "quality_score"),
       Some(prSweepOracleSql)),
+
+    // ---- exact tie-aware ROC AUC: the Mann-Whitney rank-sum identity
+    // over the PR sweep's distinct-score cumulative — no global sort, tie
+    // groups at average rank, exact half-integer arithmetic replayed -----
+    "q_roc_auc" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.rocAuc(
+        qualityScored(s, dir), "label", "quality_score"),
+      Some(rocAucOracleSql)),
+
+    // ---- reliability-diagram calibration report over the same scorer:
+    // 10 fixed bins, per-bin confidence vs empirical accuracy -------------
+    "q_calibration" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.calibrationReport(
+        qualityScored(s, dir), "label", "quality_score", nBins = 10),
+      Some(calibrationOracleSql)),
+
+    // ---- expected calibration error: the weighted gap over the ROUNDED
+    // per-bin report, so the scalar replays from any engine's report ------
+    "q_calibration_ece" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.expectedCalibrationError(
+        graft.eval.EvalMetrics.calibrationReport(
+          qualityScored(s, dir), "label", "quality_score", nBins = 10)),
+      Some(eceOracleSql)),
+
+    // ---- Cohen's kappa: chance-corrected agreement between two planted
+    // deterministic raters (n_chars-keyed, doc_id%4 disagreement) — the
+    // preference-data QA number for the DPO/SFT family -------------------
+    "q_kappa" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.cohenKappa(
+        t(s, dir, "documents").select(
+          pmod(col("n_chars"), lit(3)).as("rater_a"),
+          pmod(col("n_chars")
+            + when(pmod(col("doc_id"), lit(4)) === 0, 1).otherwise(0),
+            lit(3)).as("rater_b")),
+        "rater_a", "rater_b"),
+      Some(kappaOracleSql)),
 
     // ---- length-bucketed batch assembly: sort-by-length batches of 32 vs
     // the arrival-order baseline, per-batch padding waste for both — the

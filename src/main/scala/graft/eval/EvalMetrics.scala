@@ -115,4 +115,107 @@ object EvalMetrics {
         round(when(p + r > 0, lit(2.0) * p * r / (p + r))
           .otherwise(lit(0.0)), roundTo).as("f1"))
   }
+
+  /** Exact tie-aware ROC AUC via the Mann-Whitney rank-sum identity —
+    * AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N) — WITHOUT a global sort:
+    * a tie group at cumulative count cn with n members has average rank
+    * cn − (n−1)/2, so the whole statistic falls out of the same
+    * distinct-score cumulative the PR sweep uses (one bucketed prefix
+    * scan over the (score, pos, n) pre-aggregate; ranks ascend with
+    * score). Equals trapezoidal ROC integration with ties counted half —
+    * sklearn's roc_auc_score semantics. Every term is integer or
+    * half-integer (exact in doubles below 2^52), so the statistic
+    * replays bit-identically; only the final division rounds.
+    * Returns one row (n_pos, n_neg, auc); auc is NULL when either class
+    * is empty (undefined, not 0.5). */
+  def rocAuc(scored: DataFrame, labelCol: String, scoreCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val byScore = scored
+      .select(col(scoreCol).as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+    val cum = graft.ops.TimeSeriesOps.scanCumSumLong(
+      byScore, Seq("__s"), "__n", "__cn")
+    val sums = cum.agg(
+      sum(col("__pos").cast("double")
+        * (col("__cn").cast("double")
+          - (col("__n").cast("double") - 1.0) / 2.0)).as("__ranksum"),
+      sum(col("__pos")).as("__p"), sum(col("__n")).as("__t"))
+    sums.select(
+      col("__p").as("n_pos"), (col("__t") - col("__p")).as("n_neg"),
+      round(when(col("__p") > 0 && col("__t") > col("__p"),
+        (col("__ranksum")
+          - col("__p").cast("double") * (col("__p").cast("double") + 1.0) / 2.0)
+          / (col("__p").cast("double")
+            * (col("__t") - col("__p")).cast("double"))), roundTo).as("auc"))
+  }
+
+  /** Reliability-diagram calibration report: scores (assumed in [0, 1] —
+    * sigmoid outputs; out-of-range clamps into the edge bins) cut into
+    * `nBins` fixed equal-width bins, per bin the count, mean predicted
+    * score (confidence) and empirical positive rate (accuracy) — the
+    * table behind a calibration curve and the
+    * [[expectedCalibrationError]] scalar. One map pass into one
+    * bin-sized aggregate; fixed literal bin edges so every engine cuts
+    * identically (the seqLenHistogram contract). */
+  def calibrationReport(scored: DataFrame, labelCol: String,
+      scoreCol: String, nBins: Int = 10, roundTo: Int = 5): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val bin = least(greatest(
+      floor(col(scoreCol).cast("double") * nBins), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    scored
+      .select(bin.as("bin"), col(scoreCol).cast("double").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s")) / count(lit(1)), roundTo).as("confidence"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), roundTo)
+          .as("accuracy"))
+  }
+
+  /** Expected calibration error over a [[calibrationReport]]:
+    * ECE = Σ_bins (n_b / N) · |accuracy_b − confidence_b|, computed on
+    * the ROUNDED per-bin values so the scalar replays from the report
+    * any engine produced. One bin-sized aggregate. */
+  def expectedCalibrationError(report: DataFrame, roundTo: Int = 5): DataFrame =
+    report.agg(round(
+      sum(col("n").cast("double") * abs(col("accuracy") - col("confidence")))
+        / sum(col("n")), roundTo).as("ece"))
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (THE preference-data QA number: are the DPO/RLHF judgments
+    * better than coin flips?): κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement and p_e = Σ_k marginal_a(k)·marginal_b(k). One
+    * (a, b) contingency aggregate (category²-sized — tiny), marginals
+    * derived from it, everything exact integer arithmetic until the
+    * final divisions. κ is NULL when p_e = 1 (both raters constant and
+    * equal — agreement is unmeasurable, not perfect). */
+  def cohenKappa(pairs: DataFrame, aCol: String, bCol: String,
+      roundTo: Int = 5): DataFrame = {
+    // the contingency cells are one map-side-combined aggregate; the three
+    // consumers below each re-plan it (3 scans of the 2-column pair
+    // projection — persist `pairs` upstream if that scan is the bottleneck)
+    val cell = pairs
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val base = cell.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__ag"))
+    val pe = cell.groupBy(col("__a")).agg(sum(col("__c")).as("__na"))
+      .join(cell.groupBy(col("__b")).agg(sum(col("__c")).as("__nb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na").cast("double") * col("__nb").cast("double")),
+        lit(0.0)).as("__pe"))
+    val nD = col("__n").cast("double")
+    val po = col("__ag").cast("double") / nD
+    val peFrac = col("__pe") / (nD * nD)
+    base.crossJoin(broadcast(pe))
+      .select(col("__n").as("n"),
+        round(po, roundTo).as("po"),
+        round(peFrac, roundTo).as("pe"),
+        round(when(col("__pe") < nD * nD,
+          (po - peFrac) / (lit(1.0) - peFrac)), roundTo).as("kappa"))
+  }
 }

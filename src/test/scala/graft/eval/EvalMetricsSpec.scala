@@ -127,6 +127,80 @@ class EvalMetricsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("rocAuc matches the hand Mann-Whitney with tie-half counting") {
+    // ranks asc: 0.5->1(T), 0.7->2(F), 0.8 tie->avg 3.5 (F,T), 0.9->5(T)
+    // ranksum_pos = 1 + 3.5 + 5 = 9.5; U = 9.5 - 3*4/2 = 3.5; AUC = 3.5/6
+    val scored = Seq((0.9, true), (0.8, false), (0.8, true), (0.7, false),
+      (0.5, true)).toDF("s", "y")
+    val r = EvalMetrics.rocAuc(scored, "y", "s").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === BigDecimal(3.5 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // perfect separation and perfect anti-separation
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "y")
+    assert(EvalMetrics.rocAuc(sep, "y", "s").head().getDouble(2) === 1.0)
+    val anti = Seq((0.9, false), (0.2, true)).toDF("s", "y")
+    assert(EvalMetrics.rocAuc(anti, "y", "s").head().getDouble(2) === 0.0)
+  }
+
+  test("rocAuc is NULL (undefined) with a single class, never 0/NaN") {
+    val onlyPos = Seq((0.9, true), (0.2, true)).toDF("s", "y")
+    assert(EvalMetrics.rocAuc(onlyPos, "y", "s").head().isNullAt(2))
+  }
+
+  test("calibrationReport bins, clamps edges, and ECE weights the gaps") {
+    val scored = Seq(
+      (0.05, false), (0.08, true), // bin 0: conf 0.065, acc 0.5
+      (1.0, true),                 // score 1.0 clamps into bin 9
+      (-0.1, false),               // below-range clamps into bin 0
+      (0.95, true), (0.99, true)   // bin 9 with the clamp: conf/acc below
+    ).toDF("s", "y")
+    val rep = EvalMetrics.calibrationReport(scored, "y", "s", nBins = 10)
+    val byBin = rep.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(byBin.keySet === Set(0L, 9L))
+    val (n0, conf0, acc0) = byBin(0L)
+    assert(n0 === 3L)
+    assert(conf0 === BigDecimal((0.05 + 0.08 - 0.1) / 3.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(acc0 === BigDecimal(1.0 / 3.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val (n9, conf9, acc9) = byBin(9L)
+    assert(n9 === 3L && acc9 === 1.0)
+    assert(conf9 === BigDecimal((1.0 + 0.95 + 0.99) / 3.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val ece = EvalMetrics.expectedCalibrationError(rep).head().getDouble(0)
+    val expected = (3.0 * math.abs(acc0 - conf0) + 3.0 * math.abs(acc9 - conf9)) / 6.0
+    assert(ece === BigDecimal(expected)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("cohenKappa matches the textbook contingency table") {
+    // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no: po=0.7, pe=0.5, k=0.4
+    val pairs = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no"))
+      ++ Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no")))
+      .toDF("a", "b")
+    val r = EvalMetrics.cohenKappa(pairs, "a", "b").head()
+    assert(r.getLong(0) === 50L)
+    assert(r.getDouble(1) === 0.7 && r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 0.4)
+  }
+
+  test("cohenKappa: one-sided categories drop from pe; constant raters NULL") {
+    // category y rated only by a, z only by b — they contribute 0 to pe
+    val oneSided = Seq(("x", "x"), ("y", "x"), ("x", "z")).toDF("a", "b")
+    val r = EvalMetrics.cohenKappa(oneSided, "a", "b").head()
+    // po = 1/3; pe = na(x)*nb(x)/9 = 2*2/9
+    assert(r.getDouble(1) === BigDecimal(1.0 / 3.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(2) === BigDecimal(4.0 / 9.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val constant = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = EvalMetrics.cohenKappa(constant, "a", "b").head()
+    assert(c.getDouble(1) === 1.0 && c.isNullAt(3),
+      "pe = 1 means agreement is unmeasurable, not perfect")
+  }
+
   test("scanCumSumsLong multi-column == two independent single-column scans") {
     import graft.ops.TimeSeriesOps
     val df = (0L until 200L).map(i => (i % 37, i, i % 5 + 1, i % 3))
