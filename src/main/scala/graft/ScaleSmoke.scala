@@ -977,6 +977,47 @@ object ScaleSmoke {
       s""""expected_sum_w":${expectedW.toLong},"seconds":$upsSecs,""" +
       s""""docs_per_sec":${(nDocs / upsSecs).toLong},""" +
       s""""shuffle_bytes":$upsShuffle}""")
+
+    // ---- classifier-eval sweep at 1 M FULLY DISTINCT scores: the PR
+    // curve's worst case (threshold axis = data-sized) — the point of the
+    // bucketed cumulative is that this still never plans a
+    // single-partition window. Positives planted at high scores so the
+    // AUC is a strong-signal number, not noise --------------------------
+    val nEval = 1000000L * mult
+    val evalScored = spark.range(nEval).select(
+      (col("id").cast("double") / nEval).as("s"),
+      (pmod(col("id"), lit(4)) === 0 || col("id") >= nEval * 4 / 5).as("y"))
+    val (sweepLast, sweepShuffle, _, sweepSecs) = sectionShuffle {
+      graft.eval.EvalMetrics.prSweep(evalScored, "y", "s")
+        .orderBy(col("threshold").asc).limit(1)
+        .select("tp", "fp", "recall").head()
+    }
+    // inclusion-exclusion: id%4 hits + the top-fifth tail − their overlap
+    val nPos = nEval / 4 + nEval / 5 - nEval / 20
+    // at the minimum threshold everything is predicted positive: the
+    // sweep's last row must close the books exactly
+    require(sweepLast.getLong(0) == nPos && sweepLast.getDouble(2) == 1.0,
+      s"sweep must end at tp = P: got $sweepLast, expected tp=$nPos")
+    require(sweepLast.getLong(0) + sweepLast.getLong(1) == nEval,
+      "tp + fp at the floor threshold must cover every row")
+    require(sweepShuffle < nEval * 120,
+      s"PR sweep shuffled $sweepShuffle bytes for $nEval rows — the " +
+        "distinct-score frame is being moved more than the 2-pass scan needs")
+    val (aucRow, aucShuffle, _, aucSecs) = sectionShuffle {
+      graft.eval.EvalMetrics.rocAuc(evalScored, "y", "s").head()
+    }
+    require(aucRow.getLong(0) == nPos, "AUC must see every positive")
+    require(aucRow.getDouble(2) > 0.7,
+      s"planted high-score positives must dominate the ranking: $aucRow")
+    require(aucShuffle < nEval * 120,
+      s"AUC shuffled $aucShuffle bytes for $nEval rows")
+    println(s"""{"metric":"eval_sweep_scale","rows":$nEval,""" +
+      s""""distinct_thresholds":$nEval,"n_pos":$nPos,""" +
+      s""""auc":${aucRow.getDouble(2)},""" +
+      s""""sweep_seconds":$sweepSecs,"auc_seconds":$aucSecs,""" +
+      s""""rows_per_sec":${(nEval / sweepSecs).toLong},""" +
+      s""""sweep_shuffle_bytes":$sweepShuffle,""" +
+      s""""auc_shuffle_bytes":$aucShuffle}""")
     spark.stop()
   }
 }
