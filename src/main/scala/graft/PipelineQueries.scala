@@ -374,6 +374,67 @@ object PipelineQueries {
       |      / (1.0 - pe / (n::DOUBLE * n::DOUBLE)) END, 5) AS kappa
       |FROM base CROSS JOIN pef""".stripMargin
 
+  /** Shared margin-full fragment for the classification-report pair: a
+    * planted predictor over the documents' lang label (every zh and
+    * every 4th doc predicted en — so one class is never predicted and
+    * en is over-predicted), ending in the per-class CTE
+    * `r(class, n_actual, n_pred, tp, prec, rec)`. */
+  private val classReportCte =
+    """WITH d AS (SELECT lang AS a,
+      |    CASE WHEN lang = 'zh' THEN 'en'
+      |      WHEN doc_id % 4 = 0 THEN 'en' ELSE lang END AS p
+      |  FROM documents),
+      |cell AS (SELECT a, p, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+      |am AS (SELECT a AS class, sum(c)::BIGINT AS n_actual FROM cell GROUP BY 1),
+      |pm AS (SELECT p AS class, sum(c)::BIGINT AS n_pred FROM cell GROUP BY 1),
+      |diag AS (SELECT a AS class, c::BIGINT AS tp FROM cell WHERE a = p),
+      |j AS (SELECT coalesce(am.class, pm.class) AS class,
+      |    coalesce(n_actual, 0)::BIGINT AS n_actual,
+      |    coalesce(n_pred, 0)::BIGINT AS n_pred
+      |  FROM am FULL OUTER JOIN pm ON am.class = pm.class),
+      |r AS (SELECT j.class, n_actual, n_pred,
+      |    coalesce(diag.tp, 0)::BIGINT AS tp,
+      |    CASE WHEN n_pred > 0
+      |      THEN coalesce(diag.tp, 0)::DOUBLE / n_pred::DOUBLE
+      |      ELSE 0.0 END AS prec,
+      |    CASE WHEN n_actual > 0
+      |      THEN coalesce(diag.tp, 0)::DOUBLE / n_actual::DOUBLE
+      |      ELSE 0.0 END AS rec
+      |  FROM j LEFT JOIN diag ON j.class = diag.class)"""
+
+  /** Classification-report oracle: per-class counts + P/R/F1 with the
+    * sklearn zero-division conventions. */
+  private val classReportOracleSql =
+    s"""$classReportCte
+       |SELECT class, n_actual, n_pred, tp,
+       |  round(prec, 5) AS "precision", round(rec, 5) AS recall,
+       |  round(CASE WHEN prec + rec > 0
+       |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 5) AS f1
+       |FROM r""".stripMargin
+
+  /** Classification-summary oracle: accuracy from the exact counts,
+    * macro averages of the ROUNDED per-class values. */
+  private val classSummaryOracleSql =
+    s"""$classReportCte,
+       |rr AS (SELECT n_actual, tp, round(prec, 5) AS p5, round(rec, 5) AS r5,
+       |    round(CASE WHEN prec + rec > 0
+       |      THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 5) AS f5
+       |  FROM r)
+       |SELECT sum(n_actual)::BIGINT AS n,
+       |  round(sum(tp)::DOUBLE / sum(n_actual)::DOUBLE, 5) AS accuracy,
+       |  round(avg(p5), 5) AS macro_precision,
+       |  round(avg(r5), 5) AS macro_recall,
+       |  round(avg(f5), 5) AS macro_f1
+       |FROM rr""".stripMargin
+
+  /** The planted predictor frame shared by the classification pair. */
+  private def classPredictions(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    t(s, dir, "documents").select(col("lang").as("actual"),
+      when(col("lang") === "zh", lit("en"))
+        .when(pmod(col("doc_id"), lit(4)) === 0, lit("en"))
+        .otherwise(col("lang")).as("pred"))
+
   /** Batch-assembly oracle: whitespace token counts, global positions via
     * row_number over (n_tok, doc_id) and (doc_id), integer-divided into
     * batches of 32, per-batch max/sum/waste for both strategies. */
@@ -1552,6 +1613,22 @@ object PipelineQueries {
         graft.eval.EvalMetrics.calibrationReport(
           qualityScored(s, dir), "label", "quality_score", nBins = 10)),
       Some(eceOracleSql)),
+
+    // ---- multi-class classification report: per-class P/R/F1 from one
+    // contingency aggregate over a planted predictor (zh never predicted,
+    // en over-predicted — both zero-division conventions exercised) ------
+    "q_class_report" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.classificationReport(
+        classPredictions(s, dir), "actual", "pred"),
+      Some(classReportOracleSql)),
+
+    // ---- macro summary over the ROUNDED report (the ECE replay
+    // contract): accuracy from exact counts, macro P/R/F1 means ----------
+    "q_class_summary" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.classificationSummary(
+        graft.eval.EvalMetrics.classificationReport(
+          classPredictions(s, dir), "actual", "pred")),
+      Some(classSummaryOracleSql)),
 
     // ---- Cohen's kappa: chance-corrected agreement between two planted
     // deterministic raters (n_chars-keyed, doc_id%4 disagreement) — the

@@ -184,6 +184,54 @@ object EvalMetrics {
       sum(col("n").cast("double") * abs(col("accuracy") - col("confidence")))
         / sum(col("n")), roundTo).as("ece"))
 
+  /** Multi-class classification report — the confusion-matrix summary for
+    * the E102 language-ID and E44 quality heads: per class its support
+    * (n_actual), prediction count (n_pred), true positives and
+    * precision/recall/F1. The class set is the UNION of actual and
+    * predicted labels; a class never predicted scores precision 0 (the
+    * sklearn zero-division convention), a class predicted but never true
+    * scores recall 0. One (actual, pred) contingency aggregate
+    * (category²-sized), marginals and the diagonal derived from it —
+    * the corpus shuffles nothing but label pairs. */
+  def classificationReport(df: DataFrame, actualCol: String,
+      predCol: String, roundTo: Int = 5): DataFrame = {
+    val cell = df
+      .select(col(actualCol).cast("string").as("__a"),
+        col(predCol).cast("string").as("__p"))
+      .groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__c"))
+    val actualM = cell.groupBy(col("__a").as("class"))
+      .agg(sum(col("__c")).as("n_actual"))
+    val predM = cell.groupBy(col("__p").as("class"))
+      .agg(sum(col("__c")).as("n_pred"))
+    val diag = cell.filter(col("__a") === col("__p"))
+      .select(col("__a").as("class"), col("__c").as("__tp"))
+    val na = coalesce(col("n_actual"), lit(0L))
+    val np = coalesce(col("n_pred"), lit(0L))
+    val tp = coalesce(col("__tp"), lit(0L))
+    val p = when(np > 0, tp.cast("double") / np).otherwise(lit(0.0))
+    val r = when(na > 0, tp.cast("double") / na).otherwise(lit(0.0))
+    actualM.join(predM, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left")
+      .select(col("class"), na.as("n_actual"), np.as("n_pred"), tp.as("tp"),
+        round(p, roundTo).as("precision"), round(r, roundTo).as("recall"),
+        round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), roundTo).as("f1"))
+  }
+
+  /** One-row macro summary over a [[classificationReport]]: accuracy
+    * (= micro-F1 for single-label multi-class) from the exact counts,
+    * macro precision/recall/F1 as unweighted means of the ROUNDED
+    * per-class values — replayable from any engine's report, the ECE
+    * contract. */
+  def classificationSummary(report: DataFrame, roundTo: Int = 5): DataFrame =
+    report.agg(
+      sum(col("n_actual")).as("n"),
+      round(sum(col("tp")).cast("double") / sum(col("n_actual")), roundTo)
+        .as("accuracy"),
+      round(avg(col("precision")), roundTo).as("macro_precision"),
+      round(avg(col("recall")), roundTo).as("macro_recall"),
+      round(avg(col("f1")), roundTo).as("macro_f1"))
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters (THE preference-data QA number: are the DPO/RLHF judgments
     * better than coin flips?): κ = (p_o − p_e)/(1 − p_e) with p_o the

@@ -175,6 +175,28 @@ class EvalMetricsSpec extends SparkSpec {
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("classificationReport covers the label union with sklearn zero rules") {
+    // "c" is never predicted (precision 0), "x" never actual (recall 0)
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "x"))
+      .toDF("actual", "pred")
+    val rep = EvalMetrics.classificationReport(df, "actual", "pred")
+    val byClass = rep.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(byClass.keySet === Set("a", "b", "c", "x"))
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byClass("a") === ((3L, 2L, 2L, 1.0, r5(2.0 / 3.0), 0.8)))
+    assert(byClass("b") === ((1L, 2L, 1L, 0.5, 1.0, r5(2.0 / 3.0))))
+    assert(byClass("c") === ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(byClass("x") === ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    val sum = EvalMetrics.classificationSummary(rep).head()
+    assert(sum.getLong(0) === 5L)
+    assert(sum.getDouble(1) === 0.6) // 3 diagonal hits of 5
+    assert(sum.getDouble(2) === r5((1.0 + 0.5 + 0.0 + 0.0) / 4.0))
+    assert(sum.getDouble(4) === r5((0.8 + r5(2.0 / 3.0)) / 4.0))
+  }
+
   test("cohenKappa matches the textbook contingency table") {
     // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no: po=0.7, pe=0.5, k=0.4
     val pairs = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no"))
