@@ -489,6 +489,20 @@ object TrainPrepQueries {
       (s, dir) => graft.streaming.StreamParity.c4GateStream(s, dir),
       graft.PipelineQueries.defs.toMap.apply("q_c4_gate").oracle),
 
+    // ---- streaming confusion-matrix monitor -------------------------------
+    // the E134 contingency cells as complete-mode category²-sized state;
+    // counts are order-insensitive so the drained stream equals batch.
+    // The stream stops at the cells (the report's marginals would chain a
+    // second stateful aggregate); the oracle is the cells directly.
+    "q_stream_confusion" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.confusionStream(s, dir),
+      Some("""WITH d AS (SELECT lang AS actual,
+             |    CASE WHEN lang = 'zh' THEN 'en'
+             |      WHEN doc_id % 4 = 0 THEN 'en' ELSE lang END AS pred
+             |  FROM documents)
+             |SELECT actual, pred, count(*)::BIGINT AS n
+             |FROM d GROUP BY 1, 2""".stripMargin)),
+
     // ---- streaming per-slice vocabulary coverage --------------------------
     // complete-mode slice-sized state; sums/counts are order-insensitive
     // so the drained stream equals batch; shares q_vocab_coverage's oracle.

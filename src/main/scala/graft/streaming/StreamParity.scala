@@ -215,6 +215,32 @@ object StreamParity {
     runToTable(spark, flagged, "stream_decontam", OutputMode.Append())
   }
 
+  /** Streaming confusion-matrix monitor: the E134 report's contingency
+    * cells as a live dashboard over arriving (actual, predicted) labels —
+    * the online form of classifier QA (is the deployed gate drifting?).
+    * ONE complete-mode aggregate keyed by label pairs (category²-sized
+    * state, never documents); counts are arrival-order-insensitive, so
+    * the drained stream equals the batch cells by construction. The
+    * stream stops at the CELLS on purpose: the per-class report chains a
+    * second aggregate (marginals), which streaming complete mode cannot
+    * plan — derive the report from the drained cells in batch
+    * ([[graft.eval.EvalMetrics.classificationReport]]). Fixture: the
+    * q_class_report planted predictor over the documents' lang label. */
+  def confusionStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, confusionAgg(docsStream(spark, dir)),
+      "stream_confusion", OutputMode.Complete())
+
+  /** The confusion-cell aggregate alone (docs with doc_id + lang →
+    * planted predictor → (actual, pred, n)) — source-agnostic so the
+    * out-of-order spec can drive it over shuffled backfills. */
+  def confusionAgg(docs: DataFrame): DataFrame = docs
+    .select(col("lang").as("actual"),
+      when(col("lang") === "zh", lit("en"))
+        .when(pmod(col("doc_id"), lit(4)) === 0, lit("en"))
+        .otherwise(col("lang")).as("pred"))
+    .groupBy(col("actual"), col("pred"))
+    .agg(count(lit(1)).as("n"))
+
   /** Streaming per-slice vocabulary coverage: the E119 tokenizer-fit
     * report as a complete-mode running aggregate over arriving
     * documents — per-doc (token, unk) counts are a stateless codegen'd

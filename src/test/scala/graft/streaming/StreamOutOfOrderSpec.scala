@@ -202,4 +202,23 @@ class StreamOutOfOrderSpec extends SparkSpec {
     val rates = got.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(rates("a") == 0.0 && rates("b") == 1.0)
   }
+
+  test("stream confusion cells: counts over shuffled backfills equal batch") {
+    // the (zh -> en) misprediction cell split across the first and LAST
+    // files; an en%4 over-prediction in the middle — cell counts must
+    // not care about arrival order
+    val f1 = Seq((1L, "zh"), (2L, "de"))
+    val f2 = Seq((4L, "fr")) // doc_id % 4 == 0: fr predicted en
+    val f3 = Seq((3L, "zh"), (5L, "de"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "lang")
+    val dir = stagedFiles(Seq(df(f1), df(f2), df(f3)))
+    val got = runShuffled(dir, "doc_id LONG, lang STRING",
+      StreamParity.confusionAgg, "stream_confusion_ooo", 3)
+    val want = StreamParity.confusionAgg(df(f1 ++ f2 ++ f3))
+    assert(sortedRows(got) === sortedRows(want))
+    val cells = got.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells === Map(("zh", "en") -> 2L, ("de", "de") -> 2L,
+      ("fr", "en") -> 1L))
+  }
 }
