@@ -241,11 +241,12 @@ object PipelineQueries {
        |  round(coalesce(p.dcg, 0.0) / i.idcg, 5) AS ndcg
        |FROM ideal i LEFT JOIN per p USING (query_id)""".stripMargin
 
-  /** PR-sweep oracle: the q_quality_lr scorer replayed (hashed-bucket
-    * weights), label = doc_id % 3 = 0, then cumulative TP/PP down the
-    * descending distinct-score axis and the same double-division
-    * precision/recall/F1 arithmetic, rounded at 5. */
-  private val prSweepOracleSql =
+  /** Shared margin-full fragment: the q_quality_lr scorer (hashed-bucket
+    * weights) + the planted doc_id % 3 label, ending in CTE
+    * `s(doc_id, score, y)`. Interpolated BEFORE the single stripMargin of
+    * each consumer (nesting an already-stripped fragment would eat the
+    * continuation bars). */
+  private val qualityScoredCte =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
       |  FROM documents WHERE doc_id < 300),
       |b AS (SELECT doc_id,
@@ -258,7 +259,14 @@ object PipelineQueries {
       |    round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 5) AS score,
       |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
-      |  LEFT JOIN z USING (doc_id)),
+      |  LEFT JOIN z USING (doc_id))"""
+
+  /** PR-sweep oracle: the q_quality_lr scorer replayed (hashed-bucket
+    * weights), label = doc_id % 3 = 0, then cumulative TP/PP down the
+    * descending distinct-score axis and the same double-division
+    * precision/recall/F1 arithmetic, rounded at 5. */
+  private val prSweepOracleSql =
+    s"""$qualityScoredCte,
       |by_score AS (SELECT score AS threshold, sum(y)::BIGINT AS pos,
       |    count(*)::BIGINT AS n
       |  FROM s GROUP BY 1),
@@ -287,26 +295,6 @@ object PipelineQueries {
         t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
         weights = Array.tabulate(256)(b => ((b * 96769) % 2000) / 1000.0 - 1.0))
       .withColumn("label", pmod(col("doc_id"), lit(3)) === 0)
-
-  /** Shared margin-full fragment: the q_quality_lr scorer (hashed-bucket
-    * weights) + the planted doc_id % 3 label, ending in CTE
-    * `s(doc_id, score, y)`. Interpolated BEFORE the single stripMargin of
-    * each consumer (nesting an already-stripped fragment would eat the
-    * continuation bars). */
-  private val qualityScoredCte =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-      |  FROM documents WHERE doc_id < 300),
-      |b AS (SELECT doc_id,
-      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS b
-      |  FROM tok WHERE len(t) > 0),
-      |z AS (SELECT doc_id,
-      |    sum(((b * 96769) % 2000) / 1000.0 - 1.0) AS z
-      |  FROM b GROUP BY doc_id),
-      |s AS (SELECT d.doc_id,
-      |    round(1.0 / (1.0 + exp(-coalesce(z.z, 0.0))), 5) AS score,
-      |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
-      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
-      |  LEFT JOIN z USING (doc_id))"""
 
   /** ROC-AUC oracle: the Mann-Whitney rank-sum identity over the same
     * distinct-score cumulative — tie groups at average rank cn − (n−1)/2,
@@ -427,13 +415,20 @@ object PipelineQueries {
        |  round(avg(f5), 5) AS macro_f1
        |FROM rr""".stripMargin
 
+  /** The planted lang predictor — ONE definition shared by the batch
+    * classification pair AND the streaming confusion monitor (their
+    * stream-equals-batch parity depends on the copies never drifting). */
+  private[graft] def plantedLangPred(lang: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(lang === "zh", lit("en"))
+      .when(pmod(id, lit(4)) === 0, lit("en"))
+      .otherwise(lang)
+
   /** The planted predictor frame shared by the classification pair. */
   private def classPredictions(s: org.apache.spark.sql.SparkSession,
       dir: String) =
     t(s, dir, "documents").select(col("lang").as("actual"),
-      when(col("lang") === "zh", lit("en"))
-        .when(pmod(col("doc_id"), lit(4)) === 0, lit("en"))
-        .otherwise(col("lang")).as("pred"))
+      plantedLangPred(col("lang"), col("doc_id")).as("pred"))
 
   /** Batch-assembly oracle: whitespace token counts, global positions via
     * row_number over (n_tok, doc_id) and (doc_id), integer-divided into
@@ -1653,12 +1648,8 @@ object PipelineQueries {
         val docs = t(s, dir, "documents")
         val sorted = graft.trainprep.TrainPrep.batchAssembly(
           docs, "doc_id", "text", batchSize = 32)
-        val arrival = graft.trainprep.TrainPrep.assignGlobalIds(
-            docs.select(col("doc_id"),
-              TextFunctions.tokenCount(col("text")).as("n_tok")),
-            Seq("doc_id"), "__gid")
-          .select(col("doc_id"), col("n_tok"),
-            floor(col("__gid") / 32).cast("long").as("batch_id"))
+        val arrival = graft.trainprep.TrainPrep.batchAssembly(
+          docs, "doc_id", "text", batchSize = 32, orderByLength = false)
         graft.trainprep.TrainPrep.batchPaddingReport(sorted)
           .withColumn("strategy", lit("length_sorted"))
           .unionByName(graft.trainprep.TrainPrep.batchPaddingReport(arrival)

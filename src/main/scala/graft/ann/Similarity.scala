@@ -647,6 +647,10 @@ object Similarity {
     val shortlist = df.select(col(idCol), col(vecCol),
         round(VectorFunctions.cosine(col(vecCol), typedlit(query)), roundTo)
           .as("rel"))
+      // non-finite rel (a NaN embedding element poisons the cosine) is
+      // unorderable — it can neither rank in the shortlist nor terminate
+      // the greedy argmax (NaN > x is false for every x), so it drops here
+      .filter(!isnan(col("rel")) && col("rel").isNotNull)
       .orderBy(col("rel").desc, col(idCol))
       .limit(m)
     val rows = shortlist.collect() // m-sized by construction (TakeOrdered)
@@ -669,20 +673,32 @@ object Similarity {
       graft.expressions.VecZScore.zround(if (nn == 0.0) 0.0 else d / nn, roundTo)
     }
     val oneMinus = 1.0 - lambda
-    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // incremental max-sim-to-selected: each candidate updates ONCE per
+    // step against only the newly selected row — O(k·m) simR calls total
+    // (the naive recompute against the whole selected set is O(k²·m));
+    // max over the same rounded sims, so selection replays identically
+    // -Infinity init, NOT 0.0: cosines can be negative and the max-sim
+    // term is the TRUE max over selected (a 0 floor would silently favor
+    // anti-correlated candidates less than the recomputed form does);
+    // only the first pick — no selected set — scores with a literal 0
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val taken = Array.fill(n)(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     for (step <- 1 to math.min(k, n)) {
       var bestIdx = -1
       var bestScore = Double.NegativeInfinity
-      for (c <- 0 until n if !selected.contains(c)) {
-        val maxSim =
-          if (selected.isEmpty) 0.0 else selected.map(s => simR(c, s)).max
-        val score = lambda * rels(c) - oneMinus * maxSim
+      for (c <- 0 until n if !taken(c)) {
+        val ms = if (step == 1) 0.0 else maxSim(c)
+        val score = lambda * rels(c) - oneMinus * ms
         // strictly-greater + ascending c = ties go to the better
         // shortlist rank (rel desc, id) — the order the oracle replays
         if (score > bestScore) { bestScore = score; bestIdx = c }
       }
-      selected += bestIdx
+      taken(bestIdx) = true
+      for (c <- 0 until n if !taken(c)) {
+        val s = simR(c, bestIdx)
+        if (s > maxSim(c)) maxSim(c) = s
+      }
       out += org.apache.spark.sql.Row(
         step, rows(bestIdx).get(0),
         graft.expressions.VecZScore.zround(bestScore, roundTo))

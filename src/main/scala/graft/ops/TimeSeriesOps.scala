@@ -188,7 +188,13 @@ object TimeSeriesOps {
         min(orderedBucketKey(df, orderCols.head)).as("__kmin"),
         max(orderedBucketKey(df, orderCols.head)).as("__kmax"))))
       .withColumn("__pid",
-        when(col("__kmin").isNull, lit(0))
+        // NULL keys take bucket 0: Spark's ascending sort is nulls-FIRST,
+        // so a null leading key must land below every non-null bucket for
+        // the cross-bucket offsets to describe the sequential-window order
+        // (least() skips nulls, which would otherwise shove them into the
+        // LAST bucket and hand them every earlier bucket's offset)
+        when(orderedBucketKey(df, orderCols.head).isNull, lit(0))
+          .when(col("__kmin").isNull, lit(0))
           .when(col("__kmax") <= col("__kmin"), lit(0))
           .otherwise(least(
             floor((orderedBucketKey(df, orderCols.head) - col("__kmin"))

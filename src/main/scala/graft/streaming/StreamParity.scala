@@ -235,9 +235,8 @@ object StreamParity {
     * out-of-order spec can drive it over shuffled backfills. */
   def confusionAgg(docs: DataFrame): DataFrame = docs
     .select(col("lang").as("actual"),
-      when(col("lang") === "zh", lit("en"))
-        .when(pmod(col("doc_id"), lit(4)) === 0, lit("en"))
-        .otherwise(col("lang")).as("pred"))
+      graft.PipelineQueries.plantedLangPred(col("lang"), col("doc_id"))
+        .as("pred"))
     .groupBy(col("actual"), col("pred"))
     .agg(count(lit(1)).as("n"))
 

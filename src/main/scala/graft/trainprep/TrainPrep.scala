@@ -833,11 +833,16 @@ object TrainPrep {
     * and layout. */
   def batchAssembly(docs: DataFrame, idCol: String, textCol: String,
       batchSize: Int,
-      tokenCountFn: Column => Column = TextFunctions.tokenCount): DataFrame = {
+      tokenCountFn: Column => Column = TextFunctions.tokenCount,
+      orderByLength: Boolean = true): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val withLen = docs.select(col(idCol),
       coalesce(tokenCountFn(col(textCol)).cast("long"), lit(0L)).as("n_tok"))
-    assignGlobalIds(withLen, Seq("n_tok", idCol), "__gid")
+    // orderByLength = false is the arrival-order (id-order) BASELINE the
+    // padding comparison grades length bucketing against — one shared
+    // cutting definition so the two strategies can never drift
+    val order = if (orderByLength) Seq("n_tok", idCol) else Seq(idCol)
+    assignGlobalIds(withLen, order, "__gid")
       .select(col(idCol), col("n_tok"),
         floor(col("__gid") / batchSize).cast("long").as("batch_id"))
   }

@@ -102,12 +102,8 @@ class EvalMetricsSpec extends SparkSpec {
     byLen.zipWithIndex.foreach { case (r, i) =>
       assert(r.getLong(2) === i / 4, s"doc ${r.getLong(0)} in wrong batch")
     }
-    val arrival = TrainPrep.assignGlobalIds(
-        docs.select(col("id"),
-          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok")),
-        Seq("id"), "__gid")
-      .select(col("id"), col("n_tok"),
-        floor(col("__gid") / 4).cast("long").as("batch_id"))
+    val arrival = TrainPrep.batchAssembly(docs, "id", "text", batchSize = 4,
+      orderByLength = false)
     def waste(assigned: org.apache.spark.sql.DataFrame): Long =
       TrainPrep.batchPaddingReport(assigned)
         .agg(sum("pad_tokens")).head().getLong(0)
@@ -221,6 +217,19 @@ class EvalMetricsSpec extends SparkSpec {
     val c = EvalMetrics.cohenKappa(constant, "a", "b").head()
     assert(c.getDouble(1) === 1.0 && c.isNullAt(3),
       "pe = 1 means agreement is unmeasurable, not perfect")
+  }
+
+  test("scanCumSumLong puts NULL leading keys FIRST, matching sort order") {
+    import graft.ops.TimeSeriesOps
+    // nulls-first is Spark's ascending-sort contract: the null-key rows
+    // must take bucket 0 and contribute to every later bucket's offset
+    val df = Seq((Some("b"), 1L, 10L), (None, 2L, 1L), (Some("a"), 3L, 100L),
+      (None, 4L, 2L)).toDF("k", "id", "v")
+    val got = TimeSeriesOps.scanCumSumLong(df, Seq("k", "id"), "v", "cum",
+        numParts = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // sequential order: (null,2)=1, (null,4)=3, (a,3)=103, (b,1)=113
+    assert(got === Map(2L -> 1L, 4L -> 3L, 3L -> 103L, 1L -> 113L))
   }
 
   test("scanCumSumsLong multi-column == two independent single-column scans") {
