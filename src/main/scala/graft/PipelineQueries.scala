@@ -430,6 +430,59 @@ object PipelineQueries {
     t(s, dir, "documents").select(col("lang").as("actual"),
       plantedLangPred(col("lang"), col("doc_id")).as("pred"))
 
+  /** Hard-negative oracle: relevance = the exact cosine top-3 per query,
+    * negatives = the rank window over everything the anti-join keeps. */
+  private val hardNegOracleSql =
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5),
+       |runs AS (SELECT query_id, vec_id AS doc_id,
+       |    round(${duckCosD("v", "qv", 64)}, 5) AS score
+       |  FROM ev CROSS JOIN qs WHERE vec_id >= 5),
+       |exact AS (SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS r
+       |  FROM runs),
+       |rels AS (SELECT query_id, doc_id FROM exact WHERE r <= 3),
+       |neg AS (SELECT n.query_id, n.doc_id, n.score,
+       |    row_number() OVER (PARTITION BY n.query_id
+       |      ORDER BY n.score DESC, n.doc_id) AS neg_rank
+       |  FROM runs n LEFT JOIN rels
+       |    ON n.query_id = rels.query_id AND n.doc_id = rels.doc_id
+       |  WHERE rels.doc_id IS NULL)
+       |SELECT query_id, doc_id, score, neg_rank::INT AS neg_rank
+       |FROM neg WHERE neg_rank <= 5""".stripMargin
+
+  /** Bradley-Terry oracle: wins + unordered pair counts, then the MM
+    * update unrolled twice from the uniform start (iteration-1 denom is
+    * n/(1+1); strengths round to 6 after each iteration, exactly as the
+    * operator does). */
+  private val bradleyTerryOracleSql =
+    """WITH p AS (SELECT a.lang AS w, b.lang AS l FROM documents a
+      |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.lang <> b.lang),
+      |wins AS (SELECT w AS item, count(*)::DOUBLE AS wins FROM p GROUP BY 1),
+      |pc AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+      |    count(*)::DOUBLE AS n
+      |  FROM p GROUP BY 1, 2),
+      |items AS (SELECT DISTINCT item FROM
+      |  (SELECT w AS item FROM p UNION ALL SELECT l FROM p)),
+      |d1 AS (SELECT item, sum(c) AS d FROM (
+      |    SELECT a AS item, n / (1.0 + 1.0) AS c FROM pc
+      |    UNION ALL SELECT b, n / (1.0 + 1.0) FROM pc) GROUP BY 1),
+      |w1 AS (SELECT i.item, round(coalesce(wins.wins, 0.0) / d1.d, 6) AS s
+      |  FROM items i JOIN d1 USING (item)
+      |  LEFT JOIN wins ON wins.item = i.item),
+      |d2 AS (SELECT item, sum(c) AS d FROM (
+      |    SELECT pc.a AS item, pc.n / (wa.s + wb.s) AS c FROM pc
+      |      JOIN w1 wa ON wa.item = pc.a JOIN w1 wb ON wb.item = pc.b
+      |    UNION ALL
+      |    SELECT pc.b, pc.n / (wa.s + wb.s) FROM pc
+      |      JOIN w1 wa ON wa.item = pc.a JOIN w1 wb ON wb.item = pc.b)
+      |  GROUP BY 1)
+      |SELECT i.item, round(coalesce(wins.wins, 0.0) / d2.d, 6) AS strength
+      |FROM items i JOIN d2 USING (item)
+      |LEFT JOIN wins ON wins.item = i.item""".stripMargin
+
   /** Batch-assembly oracle: whitespace token counts, global positions via
     * row_number over (n_tok, doc_id) and (doc_id), integer-divided into
     * batches of 32, per-batch max/sum/waste for both strategies. */
@@ -1585,6 +1638,47 @@ object PipelineQueries {
       (s, dir) => graft.eval.EvalMetrics.prSweep(
         qualityScored(s, dir), "label", "quality_score"),
       Some(prSweepOracleSql)),
+
+    // ---- hard-negative mining: per query the top-5 highest-scored NON-
+    // relevant candidates (relevance = the exact top-3) — the contrastive
+    // training set a dense-retriever trainer wants; anti-join + per-query
+    // rank windows, replayed exactly --------------------------------------
+    "q_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+        val runs = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+          .crossJoin(qs)
+          .select(col("query_id"), col("doc_id"),
+            round(VectorFunctions.cosine(col("embedding"), col("__qv")), 5)
+              .as("score"))
+        val exactW = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+        val qrels = runs.withColumn("__r", row_number().over(exactW))
+          .filter(col("__r") <= 3)
+          .select(col("query_id"), col("doc_id"), lit(1).as("grade"))
+        graft.trainprep.TrainPrep.hardNegatives(
+          runs, qrels, "query_id", "doc_id", "score", "grade", k = 5)
+      },
+      Some(hardNegOracleSql)),
+
+    // ---- Bradley-Terry preference strengths: the MM update unrolled for
+    // two fixed iterations (the kmeansIters determinism contract) over
+    // lang-vs-lang preference pairs planted from adjacent documents ------
+    "q_bradley_terry" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val pairs = d.join(
+            d.select((col("doc_id") - 1).as("doc_id"),
+              col("lang").as("__lang2")), "doc_id")
+          .filter(col("lang") =!= col("__lang2"))
+          .select(col("lang").as("winner"), col("__lang2").as("loser"))
+        graft.trainprep.TrainPrep.bradleyTerryStrengths(
+          pairs, "winner", "loser", iters = 2)
+      },
+      Some(bradleyTerryOracleSql)),
 
     // ---- exact tie-aware ROC AUC: the Mann-Whitney rank-sum identity
     // over the PR sweep's distinct-score cumulative — no global sort, tie

@@ -859,6 +859,86 @@ object TrainPrep {
       sum(col("n_tok")).as("sum_tok"),
       (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("pad_tokens"))
 
+  /** Hard-negative mining — the contrastive-training counterpart of the
+    * retrieval metrics: per query, the `k` HIGHEST-scored candidates that
+    * are NOT relevant (the negatives a dense-retriever trainer actually
+    * wants — top random negatives teach nothing, top-scored wrong answers
+    * teach the boundary). `runs` is a scored candidate frame
+    * (query, doc, score); `qrels` marks relevance (grade > 0). Returns
+    * (query, doc, score, neg_rank) with neg_rank 1..k per query.
+    *
+    * Scale shape: one judgment-sized left anti join (AQE broadcasts the
+    * eval-set side) then per-query rank windows — parallel across
+    * queries, nothing beyond the run frame ever shuffles; ties break by
+    * doc id so the mined set is layout-independent. */
+  def hardNegatives(runs: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, scoreCol: String, gradeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rels = qrels.filter(col(gradeCol) > 0)
+      .select(col(queryCol), col(docCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    runs.select(col(queryCol), col(docCol), col(scoreCol))
+      .join(rels, Seq(queryCol, docCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+  }
+
+  /** Bradley-Terry preference strengths — the reward-model-shaped fit
+    * over pairwise judgments (Bradley & Terry 1952; the MM update of
+    * Hunter 2004): item strengths w with
+    * P(i beats j) = w_i / (w_i + w_j), iterated
+    * w_i ← wins_i / Σ_j n_ij / (w_i + w_j) from a uniform start. Fixed
+    * `iters` (the kmeansIters determinism contract — another engine
+    * replays the exact schedule); each iteration's strengths round to
+    * `roundTo` so cross-engine float-sum order cannot drift the replay.
+    * Items that never win get strength 0 after one iteration (the MLE
+    * boundary); items never paired don't appear.
+    *
+    * Scale shape: wins and unordered pair counts are two
+    * map-side-combined aggregates of the pair stream (the pair-count
+    * frame is persisted — each iteration re-reads IT, never the raw
+    * pairs); per iteration the item-sized strengths broadcast onto the
+    * pair counts, one pair-sized union + item-sized aggregate. State
+    * never exceeds (distinct pairs + items). The cache lingers until the
+    * caller's session drops it — the tfIdf(nDocs) contract. */
+  def bradleyTerryStrengths(pairs: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 3, roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val typed = pairs.select(col(winnerCol).cast("string").as("__w"),
+      col(loserCol).cast("string").as("__l"))
+    val wins = typed.groupBy(col("__w").as("item"))
+      .agg(count(lit(1)).cast("double").as("__wins"))
+    val pc = typed
+      .select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = typed.select(col("__w").as("item"))
+      .union(typed.select(col("__l").as("item"))).distinct()
+    var w = items.withColumn("__s", lit(1.0))
+    for (_ <- 1 to iters) {
+      val withA = pc
+        .join(broadcast(w.select(col("item").as("__a"), col("__s").as("__sa"))),
+          Seq("__a"))
+        .join(broadcast(w.select(col("item").as("__b"), col("__s").as("__sb"))),
+          Seq("__b"))
+      val contrib = withA
+        .select(col("__a").as("item"),
+          (col("__n") / (col("__sa") + col("__sb"))).as("__c"))
+        .unionByName(withA.select(col("__b").as("item"),
+          (col("__n") / (col("__sa") + col("__sb"))).as("__c")))
+      val denom = contrib.groupBy(col("item")).agg(sum(col("__c")).as("__d"))
+      w = denom.join(wins, Seq("item"), "left")
+        .select(col("item"),
+          round(coalesce(col("__wins"), lit(0.0)) / col("__d"), roundTo)
+            .as("__s"))
+    }
+    w.select(col("item"), col("__s").as("strength"))
+  }
+
   /** GPT-style packed TOKEN-ID sequences — the final training artifact:
     * documents tokenized to ids (E101/E112), laid end-to-end in id order,
     * and cut into fixed `contextTokens` sequences (docs span boundaries,

@@ -613,4 +613,37 @@ class TrainPrepSpec extends SparkSpec {
     }
     assert(boom.getMessage != null)
   }
+
+  test("hardNegatives: relevant docs excluded, top wrong answers ranked") {
+    val runs = Seq(
+      (1L, "rel1", 0.9), (1L, "hard1", 0.8), (1L, "rel2", 0.7),
+      (1L, "hard2", 0.6), (1L, "easy", 0.1),
+      (2L, "only_rel", 0.5)) // query 2: everything relevant -> no rows
+      .toDF("q", "d", "s")
+    val qrels = Seq((1L, "rel1", 1), (1L, "rel2", 2), (2L, "only_rel", 1),
+      (1L, "hard1", 0)) // grade 0 is NOT relevant -> stays minable
+      .toDF("q", "d", "g")
+    val got = TrainPrep.hardNegatives(runs, qrels, "q", "d", "s", "g", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(got.toSet === Set((1L, "hard1", 1), (1L, "hard2", 2)),
+      "top NON-relevant by score, k-truncated, all-relevant query empty")
+  }
+
+  test("bradleyTerryStrengths: 2-item MLE fixed point and win ordering") {
+    // A beats B 3:1 -> stationary strengths ratio 3:1 from iteration 1
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq.fill(1)(("B", "A")))
+      .toDF("w", "l")
+    val got = TrainPrep.bradleyTerryStrengths(ab, "w", "l", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("A" -> 1.5, "B" -> 0.5),
+      "wins/(n/(wA+wB)) is stationary at the 3:1 MLE")
+    // transitive tournament: strengths must order with dominance, and a
+    // never-winning item hits the MLE boundary at 0
+    val abc = (Seq.fill(4)(("A", "B")) ++ Seq.fill(4)(("B", "C"))
+      ++ Seq.fill(1)(("A", "C"))).toDF("w", "l")
+    val s = TrainPrep.bradleyTerryStrengths(abc, "w", "l", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("A") > s("B") && s("B") > s("C"), s.toString)
+    assert(s("C") === 0.0, "an item with zero wins sits at the boundary")
+  }
 }
