@@ -225,19 +225,26 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY g DESC, doc_id) AS ir FROM qrels)
        |  GROUP BY query_id),
-       |per AS (SELECT t.query_id,
-       |    sum(CASE WHEN q.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS rel_found,
-       |    max(CASE WHEN q.g IS NOT NULL THEN 1.0 / t.rnk END) AS rr,
-       |    sum(CASE WHEN q.g IS NOT NULL
-       |      THEN (pow(2.0, q.g) - 1.0) / (ln(t.rnk + 1.0) / ln(2.0))
-       |      ELSE 0.0 END) AS dcg
+       |hits AS (SELECT t.query_id, t.rnk,
+       |    CASE WHEN q.g IS NOT NULL THEN 1 ELSE 0 END AS hit, q.g
        |  FROM topk t LEFT JOIN qrels q
-       |    ON t.query_id = q.query_id AND t.doc_id = q.doc_id
-       |  GROUP BY t.query_id)
+       |    ON t.query_id = q.query_id AND t.doc_id = q.doc_id),
+       |per AS (SELECT query_id,
+       |    sum(hit)::BIGINT AS rel_found,
+       |    max(CASE WHEN hit = 1 THEN 1.0 / rnk END) AS rr,
+       |    sum(CASE WHEN hit = 1 THEN cum::DOUBLE / rnk ELSE 0.0 END) AS apnum,
+       |    sum(CASE WHEN hit = 1
+       |      THEN (pow(2.0, g) - 1.0) / (ln(rnk + 1.0) / ln(2.0))
+       |      ELSE 0.0 END) AS dcg
+       |  FROM (SELECT *, sum(hit) OVER (PARTITION BY query_id
+       |      ORDER BY rnk ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+       |    FROM hits)
+       |  GROUP BY query_id)
        |SELECT i.query_id, i.n_rel,
        |  coalesce(p.rel_found, 0)::BIGINT AS rel_found,
        |  round(coalesce(p.rel_found, 0)::DOUBLE / i.n_rel::DOUBLE, 5) AS recall,
        |  round(coalesce(p.rr, 0.0), 5) AS mrr,
+       |  round(coalesce(p.apnum, 0.0) / i.n_rel, 5) AS ap,
        |  round(coalesce(p.dcg, 0.0) / i.idcg, 5) AS ndcg
        |FROM ideal i LEFT JOIN per p USING (query_id)""".stripMargin
 

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
-  /** trec_eval-style retrieval metrics per query: recall@k, MRR@k and
-    * nDCG@k of a run against graded relevance judgments.
+  /** trec_eval-style retrieval metrics per query: recall@k, MRR@k,
+    * AP@k (whose mean over queries is MAP) and nDCG@k of a run against
+    * graded relevance judgments.
     *
     * `runs` is the SCORED candidate frame (query, doc, score) — the
     * operator ranks it per query (score desc, doc id tiebreak) and
@@ -57,10 +58,20 @@ object EvalMetrics {
         count(lit(1)).as("n_rel"),
         sum(when(col("__ir") <= k, gain(col("__g"), col("__ir")))
           .otherwise(lit(0.0))).as("__idcg"))
+    // running relevant-count down the ranking: precision@r for the AP sum
+    // (average precision per query; its mean over queries is MAP). The
+    // window partitions by query over ≤ k rows — never data-sized.
+    val cumW = Window.partitionBy(col(queryCol)).orderBy(col("__rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perQuery = topk.join(rels, Seq(queryCol, docCol), "left")
+      .withColumn("__hit", when(col("__g").isNotNull, 1L).otherwise(0L))
+      .withColumn("__cum", sum(col("__hit")).over(cumW))
       .groupBy(col(queryCol)).agg(
-        sum(when(col("__g").isNotNull, 1L).otherwise(0L)).as("rel_found"),
+        sum(col("__hit")).as("rel_found"),
         max(when(col("__g").isNotNull, lit(1.0) / col("__rank"))).as("__rr"),
+        sum(when(col("__g").isNotNull,
+          col("__cum").cast("double") / col("__rank"))
+          .otherwise(lit(0.0))).as("__apnum"),
         sum(when(col("__g").isNotNull, gain(col("__g"), col("__rank")))
           .otherwise(lit(0.0))).as("__dcg"))
     ideal.join(perQuery, Seq(queryCol), "left")
@@ -69,6 +80,8 @@ object EvalMetrics {
         round(coalesce(col("rel_found"), lit(0L)).cast("double")
           / col("n_rel"), roundTo).as("recall"),
         round(coalesce(col("__rr"), lit(0.0)), roundTo).as("mrr"),
+        round(coalesce(col("__apnum"), lit(0.0)) / col("n_rel"), roundTo)
+          .as("ap"),
         round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), roundTo)
           .as("ndcg"))
   }

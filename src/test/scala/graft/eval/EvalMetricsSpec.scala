@@ -24,14 +24,17 @@ class EvalMetricsSpec extends SparkSpec {
       .orderBy("q")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5)))
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
     assert(got.length === 2, "the query set is DEFINED by qrels")
     val dcg = gain(2, 1) + gain(1, 3)
     val idcg = gain(2, 1) + gain(1, 2) + gain(1, 3)
+    // AP: precision at the hit ranks (1 and 3) over n_rel = 3
+    val ap = (1.0 / 1.0 + 2.0 / 3.0) / 3.0
     def r5(x: Double) = BigDecimal(x)
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(0) === ((1L, 3L, 2L, r5(2.0 / 3.0), 1.0, r5(dcg / idcg))))
-    assert(got(1) === ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(0) === ((1L, 3L, 2L, r5(2.0 / 3.0), 1.0, r5(ap),
+      r5(dcg / idcg))))
+    assert(got(1) === ((2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
   test("retrievalMetrics ranks the raw run itself and truncates at k") {
