@@ -374,11 +374,18 @@ object PipelineQueries {
     * every 4th doc predicted en — so one class is never predicted and
     * en is over-predicted), ending in the per-class CTE
     * `r(class, n_actual, n_pred, tp, prec, rec)`. */
-  private val classReportCte =
-    """WITH d AS (SELECT lang AS a,
+  /** The planted lang predictor as a margin-full SQL fragment — the
+    * single source interpolated into BOTH the batch report oracles and
+    * the streaming confusion oracle (same no-drift contract as the Scala
+    * [[plantedLangPred]]). Ends in CTE `d(a, p)`. */
+  private[graft] val plantedLangPredCte =
+    """d AS (SELECT lang AS a,
       |    CASE WHEN lang = 'zh' THEN 'en'
       |      WHEN doc_id % 4 = 0 THEN 'en' ELSE lang END AS p
-      |  FROM documents),
+      |  FROM documents)"""
+
+  private val classReportCte =
+    s"""WITH $plantedLangPredCte,
       |cell AS (SELECT a, p, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
       |am AS (SELECT a AS class, sum(c)::BIGINT AS n_actual FROM cell GROUP BY 1),
       |pm AS (SELECT p AS class, sum(c)::BIGINT AS n_pred FROM cell GROUP BY 1),
@@ -476,7 +483,10 @@ object PipelineQueries {
       |d1 AS (SELECT item, sum(c) AS d FROM (
       |    SELECT a AS item, n / (1.0 + 1.0) AS c FROM pc
       |    UNION ALL SELECT b, n / (1.0 + 1.0) FROM pc) GROUP BY 1),
-      |w1 AS (SELECT i.item, round(coalesce(wins.wins, 0.0) / d1.d, 6) AS s
+      |w1 AS (SELECT i.item,
+      |    CASE WHEN coalesce(wins.wins, 0.0) > 0
+      |      THEN greatest(round(coalesce(wins.wins, 0.0) / d1.d, 6), 0.000001)
+      |      ELSE 0.0 END AS s
       |  FROM items i JOIN d1 USING (item)
       |  LEFT JOIN wins ON wins.item = i.item),
       |d2 AS (SELECT item, sum(c) AS d FROM (
@@ -486,7 +496,10 @@ object PipelineQueries {
       |    SELECT pc.b, pc.n / (wa.s + wb.s) FROM pc
       |      JOIN w1 wa ON wa.item = pc.a JOIN w1 wb ON wb.item = pc.b)
       |  GROUP BY 1)
-      |SELECT i.item, round(coalesce(wins.wins, 0.0) / d2.d, 6) AS strength
+      |SELECT i.item,
+      |  CASE WHEN coalesce(wins.wins, 0.0) > 0
+      |    THEN greatest(round(coalesce(wins.wins, 0.0) / d2.d, 6), 0.000001)
+      |    ELSE 0.0 END AS strength
       |FROM items i JOIN d2 USING (item)
       |LEFT JOIN wins ON wins.item = i.item""".stripMargin
 

@@ -496,11 +496,8 @@ object TrainPrepQueries {
     // second stateful aggregate); the oracle is the cells directly.
     "q_stream_confusion" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.confusionStream(s, dir),
-      Some("""WITH d AS (SELECT lang AS actual,
-             |    CASE WHEN lang = 'zh' THEN 'en'
-             |      WHEN doc_id % 4 = 0 THEN 'en' ELSE lang END AS pred
-             |  FROM documents)
-             |SELECT actual, pred, count(*)::BIGINT AS n
+      Some(s"""WITH ${graft.PipelineQueries.plantedLangPredCte}
+             |SELECT a AS actual, p AS pred, count(*)::BIGINT AS n
              |FROM d GROUP BY 1, 2""".stripMargin)),
 
     // ---- streaming per-slice vocabulary coverage --------------------------

@@ -695,9 +695,12 @@ object Similarity {
         if (score > bestScore) { bestScore = score; bestIdx = c }
       }
       taken(bestIdx) = true
-      for (c <- 0 until n if !taken(c)) {
-        val s = simR(c, bestIdx)
-        if (s > maxSim(c)) maxSim(c) = s
+      // no later step reads maxSim after the final pick — skip the update
+      if (step < math.min(k, n)) {
+        for (c <- 0 until n if !taken(c)) {
+          val s = simR(c, bestIdx)
+          if (s > maxSim(c)) maxSim(c) = s
+        }
       }
       out += org.apache.spark.sql.Row(
         step, rows(bestIdx).get(0),

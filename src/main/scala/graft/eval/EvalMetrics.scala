@@ -208,9 +208,14 @@ object EvalMetrics {
     * the corpus shuffles nothing but label pairs. */
   def classificationReport(df: DataFrame, actualCol: String,
       predCol: String, roundTo: Int = 5): DataFrame = {
+    // NULL labels become the explicit "(null)" class up front: the
+    // marginal joins below use plain equality (null keys would produce
+    // TWO disjoint null-class rows) and the diagonal filter would score
+    // a (null, null) agreement as a miss (null === null is null). A real
+    // "(null)" label collides with the sentinel — rename it first.
+    def cls(c: Column) = coalesce(c.cast("string"), lit("(null)"))
     val cell = df
-      .select(col(actualCol).cast("string").as("__a"),
-        col(predCol).cast("string").as("__p"))
+      .select(cls(col(actualCol)).as("__a"), cls(col(predCol)).as("__p"))
       .groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__c"))
     val actualM = cell.groupBy(col("__a").as("class"))
       .agg(sum(col("__c")).as("n_actual"))

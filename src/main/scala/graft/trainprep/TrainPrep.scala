@@ -931,10 +931,18 @@ object TrainPrep {
         .unionByName(withA.select(col("__b").as("item"),
           (col("__n") / (col("__sa") + col("__sb"))).as("__c")))
       val denom = contrib.groupBy(col("item")).agg(sum(col("__c")).as("__d"))
+      // a WINNING item's strength floors at one rounding ulp: round-6 can
+      // snap a tiny-but-positive strength to exactly 0.0, and a pair of
+      // two such items would divide by zero next iteration (Infinity
+      // contributions silently zeroing the fit). Zero-win items stay at
+      // the true 0.0 MLE boundary — they never sit on both sides of a
+      // positive denominator.
+      val raw = round(coalesce(col("__wins"), lit(0.0)) / col("__d"), roundTo)
       w = denom.join(wins, Seq("item"), "left")
         .select(col("item"),
-          round(coalesce(col("__wins"), lit(0.0)) / col("__d"), roundTo)
-            .as("__s"))
+          when(coalesce(col("__wins"), lit(0.0)) > 0,
+            greatest(raw, lit(math.pow(10.0, -roundTo))))
+            .otherwise(lit(0.0)).as("__s"))
     }
     w.select(col("item"), col("__s").as("strength"))
   }

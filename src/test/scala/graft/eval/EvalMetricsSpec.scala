@@ -196,6 +196,19 @@ class EvalMetricsSpec extends SparkSpec {
     assert(sum.getDouble(4) === r5((0.8 + r5(2.0 / 3.0)) / 4.0))
   }
 
+  test("classificationReport folds NULL labels into ONE (null) class") {
+    val df = Seq((Some("a"), None), (None, Some("a")), (None, None))
+      .toDF("actual", "pred")
+    val rep = EvalMetrics.classificationReport(df, "actual", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // one (null) row, not two disjoint null-keyed rows — and the
+    // (null, null) agreement reaches the diagonal
+    assert(rep.keySet === Set("a", "(null)"))
+    assert(rep("(null)") === ((2L, 2L, 1L)))
+    assert(rep("a") === ((1L, 1L, 0L)))
+  }
+
   test("cohenKappa matches the textbook contingency table") {
     // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no: po=0.7, pe=0.5, k=0.4
     val pairs = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no"))
