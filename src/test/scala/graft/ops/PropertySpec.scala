@@ -251,4 +251,71 @@ class PropertySpec extends SparkSpec {
       assert(sorted.head._2 == tMin, s"key $k: first interval must open at $tMin")
     }
   }
+
+  test("property: ROC AUC is a rank statistic — invariant under monotone score transforms") {
+    // generated scores with deliberate ties, labels from an independent gen
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 30), Gen.oneOf(true, false)), 400)
+      .map { case (s, y) => (s / 10.0, y) }
+    val df = rows.toDF("s", "y")
+    val base = graft.eval.EvalMetrics.rocAuc(df, "y", "s").head().getDouble(2)
+    // strictly monotone transforms preserve every pairwise order AND every
+    // tie group, so the Mann-Whitney statistic must not move at all
+    val stretched = rows.map { case (s, y) => (s * 17.0 - 3.0, y) }.toDF("s", "y")
+    val exped = rows.map { case (s, y) => (math.exp(s), y) }.toDF("s", "y")
+    assert(graft.eval.EvalMetrics.rocAuc(stretched, "y", "s").head().getDouble(2) === base)
+    assert(graft.eval.EvalMetrics.rocAuc(exped, "y", "s").head().getDouble(2) === base)
+    assert(base >= 0.0 && base <= 1.0)
+    // label inversion reflects the statistic around 1/2 (tie mass is
+    // symmetric): AUC_pos + AUC_neg == 1 exactly in the rank identity
+    val flipped = rows.map { case (s, y) => (s, !y) }.toDF("s", "y")
+    val inv = graft.eval.EvalMetrics.rocAuc(flipped, "y", "s").head().getDouble(2)
+    assert(math.abs(base + inv - 1.0) < 2e-6, s"$base + $inv != 1")
+  }
+
+  test("property: PR sweep books always balance and move monotonically") {
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 50), Gen.oneOf(true, false)), 500)
+      .map { case (s, y) => (s / 25.0, y) }
+    val df = rows.toDF("s", "y")
+    val p = rows.count(_._2).toLong
+    val sweep = graft.eval.EvalMetrics.prSweep(df, "y", "s")
+      .orderBy(col("threshold").desc).collect()
+    var (prevTp, prevPp) = (0L, 0L)
+    sweep.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp + fn == p, "tp + fn must always equal total positives")
+      assert(tp >= prevTp && tp + fp >= prevPp,
+        "cumulatives must be monotone down the threshold axis")
+      prevTp = tp; prevPp = tp + fp
+    }
+    assert(prevTp == p && prevPp == rows.length,
+      "the floor threshold must predict everything positive")
+    // threshold axis covers every distinct score exactly once
+    assert(sweep.length == rows.map(_._1).distinct.length)
+  }
+
+  test("property: retrieval metrics bounds and perfect-run fixed points") {
+    val qrels = (1L to 5L).flatMap(q => (1 to 4).map(d => (q, s"d$d", 1)))
+      .toDF("q", "d", "g")
+    // the run that IS the ideal ranking scores 1.0 on every metric
+    val perfect = (1L to 5L).flatMap(q =>
+      (1 to 4).map(d => (q, s"d$d", 1.0 - d / 10.0))).toDF("q", "d", "s")
+    val m = graft.eval.EvalMetrics.retrievalMetrics(
+      perfect, qrels, "q", "d", "s", "g", k = 4).collect()
+    m.foreach { r =>
+      assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0 &&
+        r.getDouble(5) === 1.0 && r.getDouble(6) === 1.0, r.toString)
+    }
+    // generated noisy runs stay within [0, 1] on every metric
+    val noisy = sample(Gen.zip(Gen.chooseNum(1L, 5L),
+        Gen.chooseNum(1, 30), Gen.chooseNum(0, 100)), 400)
+      .map { case (q, d, s) => (q, s"d$d", s / 100.0) }
+      .toDF("q", "d", "s").distinct()
+    val nm = graft.eval.EvalMetrics.retrievalMetrics(
+      noisy, qrels, "q", "d", "s", "g", k = 4).collect()
+    nm.foreach { r =>
+      (3 to 6).foreach { i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, r.toString)
+      }
+    }
+  }
 }
