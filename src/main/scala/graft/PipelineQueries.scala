@@ -444,6 +444,30 @@ object PipelineQueries {
     t(s, dir, "documents").select(col("lang").as("actual"),
       plantedLangPred(col("lang"), col("doc_id")).as("pred"))
 
+  /** Rank-agreement oracle: both cosine rankings over the shared corpus,
+    * distinct integer ranks (score desc, doc tiebreak), the exact
+    * Spearman footrule 1 − 6Σd²/(n(n²−1)). */
+  private val rankAgreementOracleSql =
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5),
+       |scored AS (SELECT query_id, vec_id AS doc_id,
+       |    round(${duckCosD("v", "qv", 64)}, 5) AS sa,
+       |    round(${duckCosD("v", "qv", 16)}, 5) AS sb
+       |  FROM ev CROSS JOIN qs WHERE vec_id >= 5),
+       |ranked AS (SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sa DESC, doc_id) AS ra,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sb DESC, doc_id) AS rb
+       |  FROM scored)
+       |SELECT query_id, count(*)::BIGINT AS n,
+       |  round(CASE WHEN count(*) >= 2 THEN
+       |    1.0 - 6.0 * sum(pow(ra - rb, 2))
+       |      / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0))
+       |    END, 5) AS spearman
+       |FROM ranked GROUP BY query_id""".stripMargin
+
   /** Hard-negative oracle: relevance = the exact cosine top-3 per query,
     * negatives = the rank window over everything the anti-join keeps. */
   private val hardNegOracleSql =
@@ -1699,6 +1723,28 @@ object PipelineQueries {
           pairs, "winner", "loser", iters = 2)
       },
       Some(bradleyTerryOracleSql)),
+
+    // ---- Spearman rank agreement: how much does the matryoshka-d16
+    // ORDER disagree with the exact full-dim one, per query — exact
+    // integer footrule over the shared candidate set, replayed verbatim --
+    "q_rank_agreement" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+        def run(dim: Int, scoreName: String) =
+          emb.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("doc_id"), col("embedding"))
+            .crossJoin(qs)
+            .select(col("query_id"), col("doc_id"),
+              round(VectorFunctions.cosine(
+                slice(col("embedding"), 1, dim), slice(col("__qv"), 1, dim)),
+                5).as(scoreName))
+        graft.eval.EvalMetrics.rankAgreement(
+          run(64, "exact"), run(16, "coarse"),
+          "query_id", "doc_id", "exact", "coarse")
+      },
+      Some(rankAgreementOracleSql)),
 
     // ---- exact tie-aware ROC AUC: the Mann-Whitney rank-sum identity
     // over the PR sweep's distinct-score cumulative — no global sort, tie

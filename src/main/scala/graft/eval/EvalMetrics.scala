@@ -86,6 +86,44 @@ object EvalMetrics {
           .as("ndcg"))
   }
 
+  /** Spearman rank agreement between two scored runs, per query — the
+    * quantization-QA number beyond recall: how much does the cheap
+    * stage's ORDER disagree with the exact one? Both rankings are
+    * recomputed inside the SHARED candidate set (inner join on
+    * (query, doc)) with the engine's ranking contract (score desc, doc
+    * id tiebreak — a total order, so ranks are distinct integers and
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) is exact integer arithmetic until the
+    * final division; classic average-rank tie handling doesn't apply
+    * because the REALIZED serving order is what's being graded). ρ is
+    * NULL for queries with fewer than 2 shared candidates. Σd² sums as
+    * doubles — exact below 2^52, i.e. shortlists to ~10⁵ rows; rounding
+    * absorbs anything beyond.
+    *
+    * Scale shape: one (query, doc)-keyed equi-join of the two run
+    * frames, two per-query rank windows, one per-query aggregate —
+    * parallel across queries, nothing beyond the run frames shuffles. */
+  def rankAgreement(runA: DataFrame, runB: DataFrame, queryCol: String,
+      docCol: String, scoreColA: String, scoreColB: String,
+      roundTo: Int = 5): DataFrame = {
+    val joined = runA
+      .select(col(queryCol), col(docCol), col(scoreColA).as("__sa"))
+      .join(runB.select(col(queryCol), col(docCol), col(scoreColB).as("__sb")),
+        Seq(queryCol, docCol))
+    def w(s: String) = Window.partitionBy(col(queryCol))
+      .orderBy(col(s).desc, col(docCol))
+    val nD = col("n").cast("double")
+    joined
+      .withColumn("__ra", row_number().over(w("__sa")))
+      .withColumn("__rb", row_number().over(w("__sb")))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n"),
+        sum(pow(col("__ra") - col("__rb"), 2)).as("__d2"))
+      .select(col(queryCol), col("n"),
+        round(when(col("n") >= 2,
+          lit(1.0) - lit(6.0) * col("__d2") / (nD * (nD * nD - 1.0))),
+          roundTo).as("spearman"))
+  }
+
   /** Precision/recall/F1 at EVERY distinct score threshold — the
     * operating-point sweep behind a classifier's PR curve (which
     * threshold ships is THE deployment decision for the E44/E102 quality

@@ -174,6 +174,24 @@ class EvalMetricsSpec extends SparkSpec {
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("rankAgreement: exact Spearman over the shared set, NULL under n=2") {
+    // query 1: B reverses A's 4-doc order exactly -> rho = -1
+    // query 2: identical order -> rho = 1
+    // query 3: one shared doc -> undefined (NULL)
+    // doc "x" exists only in run A -> inner-join drops it everywhere
+    val runA = Seq((1L, "a", 0.9), (1L, "b", 0.8), (1L, "c", 0.7),
+      (1L, "d", 0.6), (1L, "x", 0.99),
+      (2L, "a", 0.9), (2L, "b", 0.1), (3L, "a", 0.5)).toDF("q", "d", "sa")
+    val runB = Seq((1L, "a", 0.1), (1L, "b", 0.2), (1L, "c", 0.3),
+      (1L, "d", 0.4),
+      (2L, "a", 0.7), (2L, "b", 0.6), (3L, "a", 0.5)).toDF("q", "d", "sb")
+    val got = EvalMetrics.rankAgreement(runA, runB, "q", "d", "sa", "sb")
+      .orderBy("q").collect()
+    assert(got(0).getLong(1) === 4L && got(0).getDouble(2) === -1.0)
+    assert(got(1).getDouble(2) === 1.0)
+    assert(got(2).getLong(1) === 1L && got(2).isNullAt(2))
+  }
+
   test("classificationReport covers the label union with sklearn zero rules") {
     // "c" is never predicted (precision 0), "x" never actual (recall 0)
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "x"))
