@@ -424,6 +424,33 @@ class PlanAuditSpec extends SparkSpec {
       "rank windows must partition by query:\n" + plan.take(1200))
   }
 
+  test("q_rank_agreement and q_hard_negatives window per query, join on keys") {
+    for (name <- Seq("q_rank_agreement", "q_hard_negatives")) {
+      val plan = executedPlan(name)
+      val unpartitioned = plan.split("\n")
+        .filter(_.contains("Window ["))
+        .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+      assert(unpartitioned.isEmpty,
+        s"$name has an unpartitioned window:\n" + unpartitioned.mkString("\n"))
+      assert(plan.contains("windowspecdefinition(query_id"),
+        s"$name rank windows must partition by query:\n" + plan.take(1200))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan a cartesian over data:\n" + plan.take(1200))
+    }
+  }
+
+  test("q_bradley_terry broadcasts the item-sized strengths every iteration") {
+    val plan = executedPlan("q_bradley_terry")
+    // both per-iteration strength joins hit the pair-count frame as
+    // broadcast hash joins (items are dimension-sized by construction);
+    // a sort-merge join here would mean strengths got data-sized
+    assert(plan.contains("BroadcastHashJoin"),
+      "strengths must broadcast onto pair counts:\n" + plan.take(1200))
+    assert(plan.contains("InMemoryTableScan"),
+      "iterations must re-read the persisted pair-count frame, not the raw pairs:\n"
+        + plan.take(1200))
+  }
+
   test("q_dedup_editdist joins on md5 buckets — no cartesian, no title shuffle") {
     val plan = executedPlan("q_dedup_editdist")
     assert(!plan.contains("CartesianProduct") &&
