@@ -197,7 +197,7 @@ object PipelineQueries {
     * exact full-dim qrels with grade = 11 − rank) re-derived over the same
     * rounded cosines, then recall/MRR/nDCG@10 with the identical gain and
     * log2 arithmetic (2^g − 1, ln(r+1)/ln 2) the Spark operator performs. */
-  private val retrievalMetricsOracleSql =
+  private val retrievalMetricsCte =
     s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |qs AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5),
@@ -239,14 +239,29 @@ object PipelineQueries {
        |  FROM (SELECT *, sum(hit) OVER (PARTITION BY query_id
        |      ORDER BY rnk ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
        |    FROM hits)
-       |  GROUP BY query_id)
-       |SELECT i.query_id, i.n_rel,
+       |  GROUP BY query_id),
+       |m AS (SELECT i.query_id, i.n_rel,
        |  coalesce(p.rel_found, 0)::BIGINT AS rel_found,
        |  round(coalesce(p.rel_found, 0)::DOUBLE / i.n_rel::DOUBLE, 5) AS recall,
        |  round(coalesce(p.rr, 0.0), 5) AS mrr,
        |  round(coalesce(p.apnum, 0.0) / i.n_rel, 5) AS ap,
        |  round(coalesce(p.dcg, 0.0) / i.idcg, 5) AS ndcg
-       |FROM ideal i LEFT JOIN per p USING (query_id)""".stripMargin
+       |FROM ideal i LEFT JOIN per p USING (query_id))""".stripMargin
+
+  private val retrievalMetricsOracleSql =
+    s"""$retrievalMetricsCte
+       |SELECT query_id, n_rel, rel_found, recall, mrr, ap, ndcg FROM m""".stripMargin
+
+  /** Retrieval-summary oracle: the macro means over the ROUNDED per-query
+    * report (the ECE replay contract) — MAP is the ap mean. */
+  private val retrievalSummaryOracleSql =
+    s"""$retrievalMetricsCte
+       |SELECT count(*)::BIGINT AS n_queries,
+       |  round(avg(recall), 5) AS mean_recall,
+       |  round(avg(mrr), 5) AS mean_mrr,
+       |  round(avg(ap), 5) AS map,
+       |  round(avg(ndcg), 5) AS mean_ndcg
+       |FROM m""".stripMargin
 
   /** Shared margin-full fragment: the q_quality_lr scorer (hashed-bucket
     * weights) + the planted doc_id % 3 label, ending in CTE
@@ -443,6 +458,35 @@ object PipelineQueries {
       dir: String) =
     t(s, dir, "documents").select(col("lang").as("actual"),
       plantedLangPred(col("lang"), col("doc_id")).as("pred"))
+
+  /** The retrieval-eval fixture shared by q_retrieval_metrics and
+    * q_retrieval_summary: runs = the matryoshka-d16 stage's scores,
+    * qrels = graded judgments from the exact full-dim ranking
+    * (grade = 11 − rank over the top 10). */
+  private def retrievalEvalFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val emb = t(s, dir, "embeddings")
+    val qs = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val runs = corpus.crossJoin(qs)
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFunctions.cosine(
+          slice(col("embedding"), 1, 16), slice(col("__qv"), 1, 16)), 5)
+          .as("score"))
+    val exactW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__cos").desc, col("doc_id"))
+    val qrels = corpus.crossJoin(qs)
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("__qv")), 5)
+          .as("__cos"))
+      .withColumn("__r", row_number().over(exactW))
+      .filter(col("__r") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        (lit(11) - col("__r")).as("grade"))
+    (runs, qrels)
+  }
 
   /** Rank-agreement oracle: both cosine rankings over the shared corpus,
     * distinct integer ranks (score desc, doc tiebreak), the exact
@@ -1647,30 +1691,22 @@ object PipelineQueries {
     // ranked stages and every metric replay exactly in DuckDB ------------
     "q_retrieval_metrics" -> QueryDef(
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val qs = broadcast(emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
-        val corpus = emb.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("doc_id"), col("embedding"))
-        val runs = corpus.crossJoin(qs)
-          .select(col("query_id"), col("doc_id"),
-            round(VectorFunctions.cosine(
-              slice(col("embedding"), 1, 16), slice(col("__qv"), 1, 16)), 5)
-              .as("score"))
-        val exactW = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("__cos").desc, col("doc_id"))
-        val qrels = corpus.crossJoin(qs)
-          .select(col("query_id"), col("doc_id"),
-            round(VectorFunctions.cosine(col("embedding"), col("__qv")), 5)
-              .as("__cos"))
-          .withColumn("__r", row_number().over(exactW))
-          .filter(col("__r") <= 10)
-          .select(col("query_id"), col("doc_id"),
-            (lit(11) - col("__r")).as("grade"))
+        val (runs, qrels) = retrievalEvalFixture(s, dir)
         graft.eval.EvalMetrics.retrievalMetrics(
           runs, qrels, "query_id", "doc_id", "score", "grade", k = 10)
       },
       Some(retrievalMetricsOracleSql)),
+
+    // ---- the macro rollup a retrieval eval quotes: MAP and the mean
+    // recall/MRR/nDCG over the ROUNDED per-query report ------------------
+    "q_retrieval_summary" -> QueryDef(
+      (s, dir) => {
+        val (runs, qrels) = retrievalEvalFixture(s, dir)
+        graft.eval.EvalMetrics.retrievalSummary(
+          graft.eval.EvalMetrics.retrievalMetrics(
+            runs, qrels, "query_id", "doc_id", "score", "grade", k = 10))
+      },
+      Some(retrievalSummaryOracleSql)),
 
     // ---- classifier PR sweep: precision/recall/F1 at every distinct
     // quality-classifier score threshold (the q_quality_lr scorer with a

@@ -86,6 +86,19 @@ object EvalMetrics {
           .as("ndcg"))
   }
 
+  /** One-row macro summary over a [[retrievalMetrics]] report: the
+    * numbers a retrieval eval actually quotes — MAP (the ap mean),
+    * mean recall/MRR/nDCG — as unweighted means of the ROUNDED
+    * per-query values (replayable from any engine's report, the ECE
+    * contract). One query-set-sized aggregate. */
+  def retrievalSummary(report: DataFrame, roundTo: Int = 5): DataFrame =
+    report.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), roundTo).as("mean_recall"),
+      round(avg(col("mrr")), roundTo).as("mean_mrr"),
+      round(avg(col("ap")), roundTo).as("map"),
+      round(avg(col("ndcg")), roundTo).as("mean_ndcg"))
+
   /** Spearman rank agreement between two scored runs, per query — the
     * quantization-QA number beyond recall: how much does the cheap
     * stage's ORDER disagree with the exact one? Both rankings are

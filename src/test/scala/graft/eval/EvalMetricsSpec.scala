@@ -174,6 +174,17 @@ class EvalMetricsSpec extends SparkSpec {
       .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("retrievalSummary: macro means over the rounded per-query report") {
+    val runs = Seq((1L, "a", 0.9), (1L, "b", 0.8), (2L, "x", 0.5))
+      .toDF("q", "d", "s")
+    val qrels = Seq((1L, "a", 1), (1L, "b", 1), (2L, "z", 1)).toDF("q", "d", "g")
+    val rep = EvalMetrics.retrievalMetrics(runs, qrels, "q", "d", "s", "g", 2)
+    val sum = EvalMetrics.retrievalSummary(rep).head()
+    // query 1 perfect (all metrics 1.0), query 2 total miss (all 0.0)
+    assert(sum.getLong(0) === 2L)
+    (1 to 4).foreach(i => assert(sum.getDouble(i) === 0.5, sum.toString))
+  }
+
   test("rankAgreement: exact Spearman over the shared set, NULL under n=2") {
     // query 1: B reverses A's 4-doc order exactly -> rho = -1
     // query 2: identical order -> rho = 1
