@@ -246,7 +246,7 @@ object PipelineQueries {
        |  round(coalesce(p.rr, 0.0), 5) AS mrr,
        |  round(coalesce(p.apnum, 0.0) / i.n_rel, 5) AS ap,
        |  round(coalesce(p.dcg, 0.0) / i.idcg, 5) AS ndcg
-       |FROM ideal i LEFT JOIN per p USING (query_id))""".stripMargin
+       |FROM ideal i LEFT JOIN per p USING (query_id))"""
 
   private val retrievalMetricsOracleSql =
     s"""$retrievalMetricsCte
@@ -463,24 +463,31 @@ object PipelineQueries {
     * q_retrieval_summary: runs = the matryoshka-d16 stage's scores,
     * qrels = graded judgments from the exact full-dim ranking
     * (grade = 11 − rank over the top 10). */
-  private def retrievalEvalFixture(s: org.apache.spark.sql.SparkSession,
-      dir: String) = {
+  /** One scored stage of the multi-query retrieval fixture: queries =
+    * vec_id < 5, corpus = the rest, per-pair cosine on the first `dim`
+    * dimensions rounded to 5 — the single construction every retrieval
+    * eval query (metrics, summary, rank agreement, hard negatives)
+    * derives its runs/qrels from. */
+  private def scoredRun(s: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int, scoreName: String) = {
     val emb = t(s, dir, "embeddings")
     val qs = broadcast(emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
-    val corpus = emb.filter(col("vec_id") >= 5)
+    emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    val runs = corpus.crossJoin(qs)
+      .crossJoin(qs)
       .select(col("query_id"), col("doc_id"),
         round(VectorFunctions.cosine(
-          slice(col("embedding"), 1, 16), slice(col("__qv"), 1, 16)), 5)
-          .as("score"))
+          slice(col("embedding"), 1, dim), slice(col("__qv"), 1, dim)), 5)
+          .as(scoreName))
+  }
+
+  private def retrievalEvalFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val runs = scoredRun(s, dir, 16, "score")
     val exactW = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__cos").desc, col("doc_id"))
-    val qrels = corpus.crossJoin(qs)
-      .select(col("query_id"), col("doc_id"),
-        round(VectorFunctions.cosine(col("embedding"), col("__qv")), 5)
-          .as("__cos"))
+    val qrels = scoredRun(s, dir, 64, "__cos")
       .withColumn("__r", row_number().over(exactW))
       .filter(col("__r") <= 10)
       .select(col("query_id"), col("doc_id"),
@@ -490,7 +497,7 @@ object PipelineQueries {
 
   /** Rank-agreement oracle: both cosine rankings over the shared corpus,
     * distinct integer ranks (score desc, doc tiebreak), the exact
-    * Spearman footrule 1 − 6Σd²/(n(n²−1)). */
+    * Spearman ρ over squared rank displacements 1 − 6Σd²/(n(n²−1)). */
   private val rankAgreementOracleSql =
     s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
@@ -1725,15 +1732,7 @@ object PipelineQueries {
     // rank windows, replayed exactly --------------------------------------
     "q_hard_negatives" -> QueryDef(
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val qs = broadcast(emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
-        val runs = emb.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("doc_id"), col("embedding"))
-          .crossJoin(qs)
-          .select(col("query_id"), col("doc_id"),
-            round(VectorFunctions.cosine(col("embedding"), col("__qv")), 5)
-              .as("score"))
+        val runs = scoredRun(s, dir, 64, "score")
         val exactW = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
         val qrels = runs.withColumn("__r", row_number().over(exactW))
@@ -1762,24 +1761,11 @@ object PipelineQueries {
 
     // ---- Spearman rank agreement: how much does the matryoshka-d16
     // ORDER disagree with the exact full-dim one, per query — exact
-    // integer footrule over the shared candidate set, replayed verbatim --
+    // integer rank-displacement sum over the shared set, replayed verbatim
     "q_rank_agreement" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val qs = broadcast(emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
-        def run(dim: Int, scoreName: String) =
-          emb.filter(col("vec_id") >= 5)
-            .select(col("vec_id").as("doc_id"), col("embedding"))
-            .crossJoin(qs)
-            .select(col("query_id"), col("doc_id"),
-              round(VectorFunctions.cosine(
-                slice(col("embedding"), 1, dim), slice(col("__qv"), 1, dim)),
-                5).as(scoreName))
-        graft.eval.EvalMetrics.rankAgreement(
-          run(64, "exact"), run(16, "coarse"),
-          "query_id", "doc_id", "exact", "coarse")
-      },
+      (s, dir) => graft.eval.EvalMetrics.rankAgreement(
+        scoredRun(s, dir, 64, "exact"), scoredRun(s, dir, 16, "coarse"),
+        "query_id", "doc_id", "exact", "coarse"),
       Some(rankAgreementOracleSql)),
 
     // ---- exact tie-aware ROC AUC: the Mann-Whitney rank-sum identity

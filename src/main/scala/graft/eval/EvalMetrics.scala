@@ -118,10 +118,16 @@ object EvalMetrics {
   def rankAgreement(runA: DataFrame, runB: DataFrame, queryCol: String,
       docCol: String, scoreColA: String, scoreColB: String,
       roundTo: Int = 5): DataFrame = {
-    val joined = runA
-      .select(col(queryCol), col(docCol), col(scoreColA).as("__sa"))
-      .join(runB.select(col(queryCol), col(docCol), col(scoreColB).as("__sb")),
-        Seq(queryCol, docCol))
+    // duplicate (query, doc) rows collapse to their MAX score first: the
+    // join would otherwise fan identical rows out and the two windows
+    // could pair their copies differently across layouts — the one place
+    // in the eval family where duplicate keys would make output
+    // nondeterministic (max is order-free, so the collapse is not)
+    def dedup(df: DataFrame, s: String, out: String) = df
+      .groupBy(col(queryCol), col(docCol))
+      .agg(max(col(s)).as(out))
+    val joined = dedup(runA, scoreColA, "__sa")
+      .join(dedup(runB, scoreColB, "__sb"), Seq(queryCol, docCol))
     def w(s: String) = Window.partitionBy(col(queryCol))
       .orderBy(col(s).desc, col(docCol))
     val nD = col("n").cast("double")
