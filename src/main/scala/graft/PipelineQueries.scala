@@ -1759,6 +1759,40 @@ object PipelineQueries {
       },
       Some(bradleyTerryOracleSql)),
 
+    // ---- forecast skill scores: MAE/RMSE/bias/NSE per series over the
+    // (key, time) join of a planted forecast against the observed events
+    // values — the verification step downstream of the extract pipeline,
+    // Nash-Sutcliffe via the one-pass computational identity -------------
+    "q_forecast_skill" -> QueryDef(
+      (s, dir) => {
+        val obs = graft.queries.Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"))
+        // fcst stays UNROUNDED: the identical literal/op sequence is
+        // bit-identical IEEE on both engines, while round(_, 2) on a
+        // computed double hits .xx5 ties the engines break differently
+        val fcst = obs.select(col("user_id"), col("event_id"),
+          (col("value") * 1.07 + pmod(col("user_id"), lit(5)) * 0.3 - 0.6)
+            .as("fcst"))
+        graft.ops.TimeSeriesOps.forecastSkill(
+          fcst, obs, Seq("user_id"), "event_id", "fcst", "value")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, value FROM events),
+             |f AS (SELECT user_id, event_id,
+             |    value * 1.07 + (user_id % 5) * 0.3 - 0.6 AS fcst
+             |  FROM o),
+             |j AS (SELECT o.user_id, f.fcst - o.value AS e, o.value AS ov
+             |  FROM o JOIN f
+             |    ON o.user_id = f.user_id AND o.event_id = f.event_id)
+             |SELECT user_id, count(*)::BIGINT AS n,
+             |  round(avg(abs(e)), 5) AS mae,
+             |  round(sqrt(avg(e * e)), 5) AS rmse,
+             |  round(avg(e), 5) AS bias,
+             |  round(CASE WHEN sum(ov * ov) - sum(ov) * sum(ov) / count(*)::DOUBLE > 0
+             |    THEN 1.0 - sum(e * e)
+             |      / (sum(ov * ov) - sum(ov) * sum(ov) / count(*)::DOUBLE)
+             |    END, 5) AS nse
+             |FROM j GROUP BY user_id""".stripMargin)),
+
     // ---- Spearman rank agreement: how much does the matryoshka-d16
     // ORDER disagree with the exact full-dim one, per query — exact
     // integer rank-displacement sum over the shared set, replayed verbatim

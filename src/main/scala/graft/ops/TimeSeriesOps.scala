@@ -654,4 +654,44 @@ object TimeSeriesOps {
   /** String series-selection key (X15), e.g. `rainfall_{obsId}_{name}_MDPA`
     * (reference: input/rain/gen_rain.py:130). */
   def seriesKey(parts: Column*): Column = concat_ws("_", parts: _*)
+
+  /** Forecast skill scores per series — the verification step downstream
+    * of the extract pipeline (reference: the extracted HYCHAN/TIMDEP
+    * forecasts get compared against observed gauges; this is that
+    * comparison as one operator): per key group over the (key, time)
+    * inner join of forecast and observation, n, MAE, RMSE, bias
+    * (mean forecast − observed) and the Nash-Sutcliffe efficiency
+    * NSE = 1 − Σe²/Σ(o − ō)² — hydrology's standard skill score (1 =
+    * perfect, 0 = no better than the mean-observation forecast,
+    * negative = worse). NSE's denominator uses the computational
+    * identity Σ(o − ō)² = Σo² − (Σo)²/n so the whole report is ONE
+    * map-side-combined aggregate over the join — no second
+    * mean-centering pass; the identity is plain double arithmetic, so
+    * any engine replays it term for term. NSE is NULL for constant
+    * observations (zero variance — skill undefined, not perfect).
+    *
+    * Scale shape: one (key, time) equi-join (forecast and observation
+    * stores co-partition on the same series keys) + one grouped
+    * aggregate; nothing but the matched pairs shuffles. */
+  def forecastSkill(fcst: DataFrame, obs: DataFrame, keyCols: Seq[String],
+      timeCol: String, fcstCol: String, obsCol: String,
+      roundTo: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty, "forecastSkill needs at least one series key")
+    val joinCols = keyCols :+ timeCol
+    val joined = fcst
+      .select((joinCols.map(col) :+ col(fcstCol).cast("double").as("__f")): _*)
+      .join(obs.select(
+        (joinCols.map(col) :+ col(obsCol).cast("double").as("__o")): _*),
+        joinCols)
+    val e = col("__f") - col("__o")
+    val nD = count(lit(1)).cast("double")
+    val ssErr = sum(e * e)
+    val ssObs = sum(col("__o") * col("__o")) - sum(col("__o")) * sum(col("__o")) / nD
+    joined.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      round(avg(abs(e)), roundTo).as("mae"),
+      round(sqrt(avg(e * e)), roundTo).as("rmse"),
+      round(avg(e), roundTo).as("bias"),
+      round(when(ssObs > 0, lit(1.0) - ssErr / ssObs), roundTo).as("nse"))
+  }
 }

@@ -341,4 +341,25 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(ids(0) === ids(1))
     assert(ids(0).matches("[0-9a-f]{64}"))
   }
+
+  test("forecastSkill: hand scores, mean-forecast baseline, constant-obs NULL") {
+    // series A: obs (1, 2, 3), fcst (1, 2, 3) -> perfect: errors 0, NSE 1
+    // series B: obs (1, 3), fcst (3, 1) -> e = (2, -2): MAE 2, RMSE 2,
+    //   bias 0, NSE = 1 - 8/2 = -3 (worse than the mean forecast)
+    // series C: constant obs -> zero variance, NSE NULL
+    val obs = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 1L, 1.0), ("B", 2L, 3.0), ("C", 1L, 5.0), ("C", 2L, 5.0))
+      .toDF("k", "t", "o")
+    val fcst = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 1L, 3.0), ("B", 2L, 1.0), ("C", 1L, 4.0), ("C", 2L, 6.0))
+      .toDF("k", "t", "f")
+    val got = TimeSeriesOps.forecastSkill(fcst, obs, Seq("k"), "t", "f", "o")
+      .orderBy("k").collect()
+    assert(got(0).getLong(1) === 3L)
+    assert((2 to 5).forall(i => got(0).getDouble(i) == (if (i == 5) 1.0 else 0.0)),
+      got(0).toString)
+    assert(got(1).getDouble(2) === 2.0 && got(1).getDouble(3) === 2.0)
+    assert(got(1).getDouble(4) === 0.0 && got(1).getDouble(5) === -3.0)
+    assert(got(2).isNullAt(5), "constant observations have undefined skill")
+  }
 }
