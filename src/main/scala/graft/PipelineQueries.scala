@@ -1841,6 +1841,41 @@ object PipelineQueries {
           classPredictions(s, dir), "actual", "pred")),
       Some(classSummaryOracleSql)),
 
+    // ---- Brier score: the proper scoring rule over the same scorer —
+    // punishes miscalibration, not just misordering ----------------------
+    "q_brier" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.brierScore(
+        qualityScored(s, dir), "label", "quality_score"),
+      Some(s"""$qualityScoredCte
+             |SELECT count(*)::BIGINT AS n,
+             |  round(avg((score - y) * (score - y)), 6) AS brier
+             |FROM s""".stripMargin)),
+
+    // ---- Murphy decomposition over the ROUNDED calibration report:
+    // reliability / resolution / uncertainty — binned Brier = REL − RES
+    // + UNC to rounding ---------------------------------------------------
+    "q_brier_murphy" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.murphyDecomposition(
+        graft.eval.EvalMetrics.calibrationReport(
+          qualityScored(s, dir), "label", "quality_score", nBins = 10)),
+      Some(s"""$qualityScoredCte,
+             |binned AS (SELECT
+             |    least(greatest(floor(score * 10), 0), 9)::BIGINT AS bin,
+             |    score, y
+             |  FROM s),
+             |rep AS (SELECT bin, count(*)::BIGINT AS n,
+             |    round(sum(score) / count(*), 5) AS confidence,
+             |    round(sum(y)::DOUBLE / count(*), 5) AS accuracy
+             |  FROM binned GROUP BY bin),
+             |yb AS (SELECT sum(n * accuracy) / sum(n) AS ybar FROM rep)
+             |SELECT sum(n)::BIGINT AS n,
+             |  round(sum(n * (confidence - accuracy) * (confidence - accuracy))
+             |    / sum(n), 5) AS reliability,
+             |  round(sum(n * (accuracy - ybar) * (accuracy - ybar))
+             |    / sum(n), 5) AS resolution,
+             |  round(any_value(ybar) * (1.0 - any_value(ybar)), 5) AS uncertainty
+             |FROM rep CROSS JOIN yb""".stripMargin)),
+
     // ---- Cohen's kappa: chance-corrected agreement between two planted
     // deterministic raters (n_chars-keyed, doc_id%4 disagreement) — the
     // preference-data QA number for the DPO/SFT family -------------------

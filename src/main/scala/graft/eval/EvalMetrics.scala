@@ -307,6 +307,40 @@ object EvalMetrics {
       round(avg(col("recall")), roundTo).as("macro_recall"),
       round(avg(col("f1")), roundTo).as("macro_f1"))
 
+  /** Brier score — the proper scoring rule over probabilistic scores:
+    * mean (score − label)². One map-side aggregate; lower is better,
+    * and unlike AUC it punishes MIScalibration, not just misordering —
+    * the capstone of the sweep/AUC/calibration triple. */
+  def brierScore(scored: DataFrame, labelCol: String, scoreCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val y = when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0)
+    val e = col(scoreCol).cast("double") - y
+    scored.agg(count(lit(1)).as("n"),
+      round(avg(e * e), roundTo).as("brier"))
+  }
+
+  /** Murphy decomposition of the Brier score over a
+    * [[calibrationReport]]: reliability REL = Σ n_b(conf_b − acc_b)²/N
+    * (how far predictions sit from their realized rates — lower
+    * better), resolution RES = Σ n_b(acc_b − ȳ)²/N (how much the bins
+    * separate outcomes — higher better), uncertainty UNC = ȳ(1 − ȳ);
+    * binned Brier ≈ REL − RES + UNC (exact when conf_b is the exact bin
+    * mean; computed here over the ROUNDED report, the ECE replay
+    * contract, so the identity holds to rounding). Two bin-sized
+    * aggregates (ȳ first, broadcast back). */
+  def murphyDecomposition(report: DataFrame, roundTo: Int = 5): DataFrame = {
+    val ybar = broadcast(report.agg(
+      (sum(col("n") * col("accuracy")) / sum(col("n"))).as("__ybar")))
+    report.crossJoin(ybar)
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("n") * pow(col("confidence") - col("accuracy"), 2))
+          / sum(col("n")), roundTo).as("reliability"),
+        round(sum(col("n") * pow(col("accuracy") - col("__ybar"), 2))
+          / sum(col("n")), roundTo).as("resolution"),
+        round(first(col("__ybar")) * (lit(1.0) - first(col("__ybar"))),
+          roundTo).as("uncertainty"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters (THE preference-data QA number: are the DPO/RLHF judgments
     * better than coin flips?): κ = (p_o − p_e)/(1 − p_e) with p_o the

@@ -238,6 +238,34 @@ class EvalMetricsSpec extends SparkSpec {
     assert(rep("a") === ((1L, 1L, 0L)))
   }
 
+  test("brierScore + Murphy decomposition reconstruct the binned Brier") {
+    val scored = Seq((0.1, false), (0.15, false), (0.12, true),
+      (0.8, true), (0.85, true), (0.9, false), (0.95, true))
+      .toDF("s", "y")
+    val b = EvalMetrics.brierScore(scored, "y", "s").head()
+    val exact = Seq(0.1 * 0.1, 0.15 * 0.15, 0.88 * 0.88, 0.2 * 0.2,
+      0.15 * 0.15, 0.9 * 0.9, 0.05 * 0.05).sum / 7.0
+    assert(b.getLong(0) === 7L)
+    assert(b.getDouble(1) === BigDecimal(exact)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the decomposition over the binned report: REL - RES + UNC equals the
+    // BINNED Brier (scores replaced by their bin-mean confidence) up to
+    // the report's rounding
+    val rep = EvalMetrics.calibrationReport(scored, "y", "s", nBins = 10)
+    val m = EvalMetrics.murphyDecomposition(rep).head()
+    // binned Brier = mean (conf_b - y)^2; per bin that expands to
+    // (conf - acc)^2 + acc(1 - acc), and Murphy's REL - RES + UNC equals
+    // it exactly when computed over the same bin means (here: to rounding)
+    val binnedBrier = rep.collect().map { r =>
+      val (n, conf, acc) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      n * (math.pow(conf - acc, 2) + acc * (1 - acc))
+    }.sum / 7.0
+    val recon = m.getDouble(1) - m.getDouble(2) + m.getDouble(3)
+    assert(math.abs(recon - binnedBrier) < 1e-4,
+      s"identity drifted: $recon vs $binnedBrier")
+    assert(m.getDouble(3) > 0 && m.getDouble(1) >= 0 && m.getDouble(2) >= 0)
+  }
+
   test("cohenKappa matches the textbook contingency table") {
     // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no: po=0.7, pe=0.5, k=0.4
     val pairs = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no"))
