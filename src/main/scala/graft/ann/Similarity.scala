@@ -600,18 +600,33 @@ object Similarity {
     * the per-list rank window's single partition holds m rows — never
     * the corpus — and the fusion full-outer joins are m-sized too; the
     * distributed work happened upstream in the stages that produced the
-    * shortlists. Determinism: ranks tie-break by id, and the per-list
-    * contributions are summed in LIST ORDER (c0 + c1 + …, absent = 0.0)
-    * so the double additions replay bit-identically on any engine. */
+    * shortlists. The shortlist contract is ENFORCED, not documentary
+    * (the [[mmrSelect]] precedent): an `assert_true` on the rank, folded
+    * into the consumed contribution expression so column pruning can't
+    * drop it, fails the job the moment any list yields a row past
+    * `maxShortlist` — with zero extra scans or actions for compliant
+    * inputs (a driver-side count() would re-execute each shortlist's
+    * upstream top-k scan just to check its size). Determinism: ranks
+    * tie-break by id, and the per-list contributions are summed in LIST
+    * ORDER (c0 + c1 + …, absent = 0.0) so the double additions replay
+    * bit-identically on any engine (the +0.0 from the null-returning
+    * assert is IEEE-exact on the positive contributions). */
   def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
-      k: Int, k0: Int = 60, roundTo: Int = 6): DataFrame = {
+      k: Int, k0: Int = 60, roundTo: Int = 6,
+      maxShortlist: Int = 4096): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k0 >= 1, s"rrf k0 must be >= 1, got $k0")
+    require(maxShortlist >= 1, s"maxShortlist must be >= 1, got $maxShortlist")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol).desc, col(idCol))
     val ranked = lists.zipWithIndex.map { case (l, i) =>
+      val rn = row_number().over(w)
+      val guard = coalesce(assert_true(rn <= maxShortlist,
+        lit(s"rrfFuse input list $i exceeds maxShortlist=$maxShortlist " +
+          "rows — every input must be a top-m SHORTLIST, not a corpus")),
+        lit(0.0))
       l.select(col(idCol),
-        (lit(1.0) / (lit(k0) + row_number().over(w))).as(s"__c$i"))
+        (lit(1.0) / (lit(k0) + rn) + guard).as(s"__c$i"))
     }
     val joined = ranked.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val fused = ranked.indices

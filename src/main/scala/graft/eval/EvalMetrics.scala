@@ -344,35 +344,52 @@ object EvalMetrics {
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters (THE preference-data QA number: are the DPO/RLHF judgments
     * better than coin flips?): κ = (p_o − p_e)/(1 − p_e) with p_o the
-    * observed agreement and p_e = Σ_k marginal_a(k)·marginal_b(k). One
-    * (a, b) contingency aggregate (category²-sized — tiny), marginals
-    * derived from it, everything exact integer arithmetic until the
-    * final divisions. κ is NULL when p_e = 1 (both raters constant and
-    * equal — agreement is unmeasurable, not perfect). */
+    * observed agreement and p_e = Σ_k marginal_a(k)·marginal_b(k). ONE
+    * (a, b) contingency aggregate over the pair projection — the cells
+    * are category²-sized by construction, so they collect (the
+    * codebook/shortlist pattern) and the marginals, diagonal and p_e
+    * derive driver-side in exact integer arithmetic; only the final
+    * divisions and rounding run as Spark expressions over the collected
+    * scalars, keeping the rounding semantics identical to every other
+    * metric here. (r12 shipped this as three re-plans of the pair
+    * projection = 3 input scans; the cells were always tiny enough to
+    * collect once.) NULL rater labels become the explicit "(null)"
+    * class — the [[classificationReport]] sentinel — so a (null, null)
+    * pair counts as agreement and null categories participate in the
+    * p_e marginals instead of silently deflating κ. κ is NULL when
+    * p_e = 1 (both raters constant and equal — agreement is
+    * unmeasurable, not perfect). */
   def cohenKappa(pairs: DataFrame, aCol: String, bCol: String,
       roundTo: Int = 5): DataFrame = {
-    // the contingency cells are one map-side-combined aggregate; the three
-    // consumers below each re-plan it (3 scans of the 2-column pair
-    // projection — persist `pairs` upstream if that scan is the bottleneck)
-    val cell = pairs
-      .select(col(aCol).cast("string").as("__a"),
-        col(bCol).cast("string").as("__b"))
+    def cls(c: Column) = coalesce(c.cast("string"), lit("(null)"))
+    val cells = pairs
+      .select(cls(col(aCol)).as("__a"), cls(col(bCol)).as("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
-    val base = cell.agg(sum(col("__c")).as("__n"),
-      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__ag"))
-    val pe = cell.groupBy(col("__a")).agg(sum(col("__c")).as("__na"))
-      .join(cell.groupBy(col("__b")).agg(sum(col("__c")).as("__nb")),
-        col("__a") === col("__b"))
-      .agg(coalesce(sum(col("__na").cast("double") * col("__nb").cast("double")),
-        lit(0.0)).as("__pe"))
+      .collect() // category²-sized — bounded by the label vocabulary
+    val n = cells.iterator.map(_.getLong(2)).sum
+    val ag = cells.iterator
+      .filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    val na = cells.groupBy(_.getString(0)).map { case (k, rs) =>
+      k -> rs.iterator.map(_.getLong(2)).sum }
+    val nb = cells.groupBy(_.getString(1)).map { case (k, rs) =>
+      k -> rs.iterator.map(_.getLong(2)).sum }
+    // Σ na·nb over the shared categories: each product and every partial
+    // sum is an exact integer below 2^53, so the double sum is exact in
+    // any order — bit-identical to the aggregate it replaces
+    val pe = na.keysIterator.toSeq.sorted.iterator
+      .map(k => na(k).toDouble * nb.getOrElse(k, 0L).toDouble).sum
+    // empty input replays the old aggregate's null row (sum over zero
+    // rows is NULL, so po/pe/kappa all null out downstream)
+    val one = pairs.sparkSession.range(1).select(
+      (if (n > 0) lit(n) else lit(null).cast("long")).as("__n"),
+      lit(ag).as("__ag"), lit(pe).as("__pe"))
     val nD = col("__n").cast("double")
     val po = col("__ag").cast("double") / nD
     val peFrac = col("__pe") / (nD * nD)
-    base.crossJoin(broadcast(pe))
-      .select(col("__n").as("n"),
-        round(po, roundTo).as("po"),
-        round(peFrac, roundTo).as("pe"),
-        round(when(col("__pe") < nD * nD,
-          (po - peFrac) / (lit(1.0) - peFrac)), roundTo).as("kappa"))
+    one.select(col("__n").as("n"),
+      round(po, roundTo).as("po"),
+      round(peFrac, roundTo).as("pe"),
+      round(when(col("__pe") < nD * nD,
+        (po - peFrac) / (lit(1.0) - peFrac)), roundTo).as("kappa"))
   }
 }

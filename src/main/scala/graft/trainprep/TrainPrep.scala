@@ -901,8 +901,12 @@ object TrainPrep {
     * frame is persisted — each iteration re-reads IT, never the raw
     * pairs); per iteration the item-sized strengths broadcast onto the
     * pair counts, one pair-sized union + item-sized aggregate. State
-    * never exceeds (distinct pairs + items). The cache lingers until the
-    * caller's session drops it — the tfIdf(nDocs) contract. */
+    * never exceeds (distinct pairs + items). The item-sized result is
+    * eagerly localCheckpoint'ed so the pair-count cache can be DROPPED
+    * before returning — a lingering persist both grows the session cache
+    * unboundedly across a long run and lets CacheManager plan-matching
+    * silently serve a later measured pass from an earlier pass's cache
+    * (the q_ppl_buckets lie-low trap, round 11). */
   def bradleyTerryStrengths(pairs: DataFrame, winnerCol: String,
       loserCol: String, iters: Int = 3, roundTo: Int = 6): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -944,7 +948,14 @@ object TrainPrep {
             greatest(raw, lit(math.pow(10.0, -roundTo))))
             .otherwise(lit(0.0)).as("__s"))
     }
-    w.select(col("item"), col("__s").as("strength"))
+    // materialize the item-sized strengths (eager) BEFORE unpersisting:
+    // the iterations only built a plan referencing pc's InMemoryRelation,
+    // so dropping the cache any earlier would make each of the 2·iters
+    // occurrences recompute the pair aggregate from the raw stream
+    val out = w.select(col("item"), col("__s").as("strength"))
+      .localCheckpoint(true)
+    pc.unpersist()
+    out
   }
 
   /** GPT-style packed TOKEN-ID sequences — the final training artifact:

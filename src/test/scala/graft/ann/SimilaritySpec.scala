@@ -304,6 +304,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(3L -> r6(1.0 / 61), 7L -> r6(1.0 / 62)))
   }
 
+  test("rrfFuse ENFORCES the shortlist contract at execution time") {
+    // a corpus-sized frame passed as a "shortlist" must fail loudly, not
+    // silently plan a single-partition global sort (the mmrSelect
+    // maxShortlist precedent) — and with zero extra actions for compliant
+    // inputs (no count() re-executing the upstream top-k scan)
+    val big = (1L to 50L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val ok = Similarity.rrfFuse(Seq(big), "doc_id", "score", k = 3,
+      maxShortlist = 50).collect()
+    assert(ok.length === 3)
+    val e = intercept[Exception] {
+      Similarity.rrfFuse(Seq(big), "doc_id", "score", k = 3,
+        maxShortlist = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxShortlist")),
+      s"expected the shortlist-contract assert, got: $e")
+  }
+
   test("mmrSelect at lambda=1 is pure relevance — the brute-force order") {
     val q = vecs.head._2
     val mmr = Similarity.mmrSelect(df, "vec_id", "embedding", q,

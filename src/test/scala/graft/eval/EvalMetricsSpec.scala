@@ -292,6 +292,39 @@ class EvalMetricsSpec extends SparkSpec {
       "pe = 1 means agreement is unmeasurable, not perfect")
   }
 
+  test("cohenKappa: NULL labels are the '(null)' class, not silent disagreement") {
+    // (null, null) is an AGREEMENT on the null class, and the null class
+    // participates in the pe marginals — the classificationReport sentinel
+    // convention. Without it, null === null is null in the diagonal sum
+    // and null keys drop from the marginal join, deflating kappa.
+    val pairs = Seq((Some("x"), Some("x")), (None, None),
+      (Some("x"), None), (None, Some("x"))).toDF("a", "b")
+    val r = EvalMetrics.cohenKappa(pairs, "a", "b").head()
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // po = 2/4; pe = (na(x)*nb(x) + na(null)*nb(null))/16 = (4+4)/16
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.5 && r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === r5(0.0))
+    // the sentinel also means kappa REWARDS all-null agreement
+    val allNull = Seq((None: Option[String], None: Option[String]),
+      (None, None)).toDF("a", "b")
+    val an = EvalMetrics.cohenKappa(allNull, "a", "b").head()
+    assert(an.getDouble(1) === 1.0 && an.isNullAt(3),
+      "constant-null raters hit the same pe=1 unmeasurable branch")
+  }
+
+  test("cohenKappa plans ZERO scans of the input in its returned frame") {
+    // the contingency cells collect once inside the call (category²-sized);
+    // the returned one-row frame is literals over range(1) — consuming it
+    // must not re-scan the pair projection (r12 shipped 3 re-plans)
+    val pairs = Seq(("x", "x"), ("x", "y")).toDF("a", "b")
+    val plan = EvalMetrics.cohenKappa(pairs, "a", "b")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation [a") && !plan.contains("Join"),
+      s"returned kappa frame should be literal-only, got:\n$plan")
+  }
+
   test("scanCumSumLong puts NULL leading keys FIRST, matching sort order") {
     import graft.ops.TimeSeriesOps
     // nulls-first is Spark's ascending-sort contract: the null-key rows
