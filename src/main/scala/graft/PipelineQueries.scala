@@ -708,6 +708,48 @@ object PipelineQueries {
       .map { case (s, i) => s"('$s', ${i + 1})" }
       .mkString("(VALUES ", ", ", ") v(sym, id)")
 
+  /** SQL IN-list of the oracle table's CLOSED vocabulary (single chars +
+    * merge outputs) — the byte-fallback membership test, generated from
+    * the same literal as the Spark-side `knownSymbols` set. */
+  private def bpeKnownSymbolsInList: String =
+    graft.functions.Bpe.vocabOf(graft.expressions.BpeMerges(oracleBpePairs))
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** The byte-fallback fixture: whitespace normalized to single interior
+    * spaces (so the oracle can model separators as exactly one `<0x20>`
+    * token between word streams) plus a planted multi-byte tail —
+    * é (C3 A9), € (E2 82 AC), 🐕 (F0 9F 90 95) exercise 2/3/4-byte UTF-8
+    * decomposition; the lowercase fixture itself already contains letters
+    * outside the 13-letter merge alphabet (b, c, f, j, k, m, …), so
+    * fallback fires on ordinary text too. Spark and SQL forms built from
+    * the same shape so they cannot drift. */
+  private def bpeBytesFixtureCol: org.apache.spark.sql.Column =
+    concat(trim(regexp_replace(col("text"), "\\s+", " ")), lit(" é€🐕"))
+  private def bpeBytesFixtureSrcSql: String =
+    "(SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g'))" +
+      " || ' é€🐕' AS text FROM documents WHERE doc_id < 300) src"
+
+  /** DuckDB replay of the BYTE-FALLBACK token stream: the rank-order
+    * sweep (see [[bpeSweepCtesOver]]) yields each word's final symbols;
+    * symbols outside the closed vocabulary expand to one `<0xAB>` token
+    * per UTF-8 byte (`hex(encode(t))` split into byte pairs — uppercase
+    * hex on both engines), and the single-space separators the fixture
+    * guarantees become one `<0x20>` token between word streams. Yields
+    * CTE `fbagg` (doc_id, j) with the chr(31)-joined lossless stream. */
+  private def bpeFallbackCtes: String =
+    s"""${bpeSweepCtesOver("doc_id", bpeBytesFixtureSrcSql)},
+       |fb AS (SELECT doc_id, i,
+       |    array_to_string(list_transform(
+       |      string_split(trim(s, chr(2)||chr(3)), chr(3)||chr(2)),
+       |      t -> CASE WHEN t IN $bpeKnownSymbolsInList THEN t
+       |        ELSE array_to_string(list_transform(
+       |          regexp_extract_all(hex(encode(t)), '..'),
+       |          x -> '<0x' || x || '>'), chr(31)) END), chr(31)) AS ws
+       |  FROM merged),
+       |fbagg AS (SELECT doc_id,
+       |    string_agg(ws, chr(31) || '<0x20>' || chr(31) ORDER BY i) AS j
+       |  FROM fb GROUP BY 1)"""
+
   /** The constant system prompt of the SFT/DPO fixtures — interpolated
     * into BOTH engines' sides so the literal cannot drift. */
   private[graft] val SftSystemPrompt = "be concise"
@@ -2869,6 +2911,66 @@ object PipelineQueries {
               |per AS (SELECT doc_id, count(*) AS n,
               |    sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS u
               |  FROM ids GROUP BY 1),
+              |d AS (SELECT doc_id, source FROM documents WHERE doc_id < 300)
+              |SELECT d.source AS slice, count(*) AS n_docs,
+              |  CAST(coalesce(sum(per.n), 0) AS BIGINT) AS n_tokens,
+              |  CAST(coalesce(sum(per.u), 0) AS BIGINT) AS n_unk,
+              |  round(coalesce(sum(per.u), 0) * 1.0
+              |    / greatest(coalesce(sum(per.n), 0), 1), 6) AS unk_rate
+              |FROM d LEFT JOIN per USING (doc_id) GROUP BY 1""".stripMargin)),
+
+    // ---- BYTE-FALLBACK BPE: the zero-unk lossless token stream ------------
+    // every out-of-vocabulary symbol decomposes into <0xAB> byte tokens
+    // (SentencePiece rendering) and whitespace separators are KEPT as byte
+    // tokens, so decode(encode(text)) == text EXACTLY — the GPT-2-class
+    // guarantee. The full token stream (boundaries included) is replayed
+    // in DuckDB through the sweep + hex(encode()) byte expansion; the
+    // roundtrip flag is asserted TRUE by the oracle and DEMONSTRATED by
+    // Spark running the actual decodeIds∘tokenIds composition per row
+    "q_bpe_bytes" -> QueryDef(
+      (s, dir) => {
+        val m = graft.expressions.BpeMerges(oracleBpePairs)
+        val fixture = bpeBytesFixtureCol
+        val toks = graft.functions.Bpe.tokens(fixture, m, byteFallback = true)
+        val dec = graft.functions.Bpe.decodeIds(
+          graft.functions.Bpe.tokenIds(fixture, m, byteFallback = true), m,
+          byteFallback = true)
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, tk => tk.startsWith("<0x"))).cast("long")
+            .as("n_byte_tokens"),
+          (dec === fixture).as("roundtrip_exact"),
+          array_join(toks, "\u001f").as("bpe_joined"))
+      },
+      Some(s"""WITH $bpeFallbackCtes
+              |SELECT d.doc_id,
+              |  CAST(len(string_split(a.j, chr(31))) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_filter(string_split(a.j, chr(31)),
+              |    t -> t LIKE '<0x%')) AS BIGINT) AS n_byte_tokens,
+              |  TRUE AS roundtrip_exact,
+              |  a.j AS bpe_joined
+              |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+              |JOIN fbagg a USING (doc_id)""".stripMargin)),
+
+    // ---- vocabulary coverage under byte fallback: unk is structurally 0 ---
+    // same report as q_vocab_coverage but with the fallback encoder — the
+    // unk column flips from a loss report to a health metric (any nonzero
+    // value is a bug); the oracle computes unk honestly as tokens neither
+    // in the closed vocabulary nor byte symbols
+    "q_vocab_fallback" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.vocabCoverage(
+        t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("source"), bpeBytesFixtureCol.as("ftext")),
+        "source", "ftext", graft.expressions.BpeMerges(oracleBpePairs),
+        byteFallback = true),
+      Some(s"""WITH $bpeFallbackCtes,
+              |per AS (SELECT doc_id,
+              |    len(string_split(j, chr(31))) AS n,
+              |    len(list_filter(string_split(j, chr(31)),
+              |      t -> NOT (t IN $bpeKnownSymbolsInList
+              |        OR t LIKE '<0x%'))) AS u
+              |  FROM fbagg),
               |d AS (SELECT doc_id, source FROM documents WHERE doc_id < 300)
               |SELECT d.source AS slice, count(*) AS n_docs,
               |  CAST(coalesce(sum(per.n), 0) AS BIGINT) AS n_tokens,

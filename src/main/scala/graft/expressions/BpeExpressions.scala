@@ -135,6 +135,65 @@ final case class BpeMerges(pairs: IndexedSeq[(String, String)])
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** The CLOSED-VOCABULARY symbol set this table can emit: every single
+    * code point appearing in a merge side plus every merge output —
+    * exactly `Bpe.vocabOf`'s membership, as a set for the fallback test. */
+  @transient lazy val knownSymbols: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String](pairs.length * 4)
+    pairs.foreach { case (l, r) =>
+      val w = l + r
+      var ci = 0
+      while (ci < w.length) {
+        val n = Character.charCount(w.codePointAt(ci))
+        set.add(w.substring(ci, ci + n))
+        ci += n
+      }
+      set.add(w)
+    }
+    set
+  }
+
+  /** BYTE-FALLBACK row entry point — the GPT-2-class zero-unk contract:
+    * every symbol the greedy encoder leaves OUTSIDE the closed vocabulary
+    * decomposes into its UTF-8 bytes, one `<0xAB>` token per byte (the
+    * SentencePiece byte-fallback rendering), and the ASCII whitespace
+    * separators the plain tokenizer DROPS are emitted as byte tokens too
+    * (space = `<0x20>` …) — so `decodeIds(tokenIds(text))` reproduces ANY
+    * input byte-for-byte, whitespace runs included, with id 0 (<unk>)
+    * unreachable. Same one-pass zero-shuffle posture as [[encodeRow]]. */
+  def encodeRowFallback(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val out = new collection.mutable.ArrayBuffer[UTF8String](s.length / 4 + 1)
+    val known = knownSymbols
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || isAsciiSpace(s.charAt(i))) {
+        if (i > start) {
+          val toks = encodeWord(s.substring(start, i))
+          var k = 0
+          while (k < toks.length) {
+            val t = toks(k)
+            if (known.contains(t)) out += UTF8String.fromString(t)
+            else {
+              val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var bi = 0
+              while (bi < bytes.length) {
+                out += BpeMerges.byteSymbolU(bytes(bi) & 0xFF); bi += 1
+              }
+            }
+            k += 1
+          }
+        }
+        // the separator itself: ASCII by isAsciiSpace, so one byte
+        if (i < s.length) out += BpeMerges.byteSymbolU(s.charAt(i).toInt)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   private def isAsciiSpace(c: Char): Boolean = BpeMerges.isAsciiSpace(c)
 }
 
@@ -146,6 +205,19 @@ object BpeMerges {
     * etc. are Unicode whitespace but do NOT split a word here. */
   private[graft] def isAsciiSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+
+  /** The 256 byte-fallback symbols in byte order — SentencePiece's
+    * `<0xAB>` rendering (uppercase hex), appended after the closed
+    * vocabulary by `Bpe.vocabOf(_, byteFallback = true)` so existing
+    * symbol ids never move. */
+  val ByteSymbols: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  private val byteSymbolsU: Array[UTF8String] =
+    ByteSymbols.map(UTF8String.fromString).toArray
+
+  /** Interned UTF8String for byte `b` (0–255) — hot-path allocation-free. */
+  def byteSymbolU(b: Int): UTF8String = byteSymbolsU(b)
 }
 
 /** `bpe_tokens(text)` — greedy BPE tokenization against a fixed merge
@@ -159,8 +231,14 @@ object BpeMerges {
   * that budgets/packing/chunking key on. Cross-engine replay: see
   * [[BpeMerges]] — the rank-order-sweep equivalence lets a SQL oracle
   * reproduce the exact token stream with nested `replace()` calls.
+  *
+  * With `byteFallback = true` the encoder runs
+  * [[BpeMerges.encodeRowFallback]] instead: out-of-vocabulary symbols
+  * decompose into `<0xAB>` byte tokens and whitespace separators are
+  * kept as byte tokens — the zero-unk exact-round-trip mode.
   */
-case class BpeTokens(child: Expression, merges: BpeMerges)
+case class BpeTokens(child: Expression, merges: BpeMerges,
+    byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -172,12 +250,14 @@ case class BpeTokens(child: Expression, merges: BpeMerges)
   override def prettyName: String = "bpe_tokens"
 
   override def nullSafeEval(input: Any): Any =
-    merges.encodeRow(input.asInstanceOf[UTF8String])
+    if (byteFallback) merges.encodeRowFallback(input.asInstanceOf[UTF8String])
+    else merges.encodeRow(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", merges,
       classOf[BpeMerges].getName)
-    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.encodeRow($s);")
+    val m = if (byteFallback) "encodeRowFallback" else "encodeRow"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.$m($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =

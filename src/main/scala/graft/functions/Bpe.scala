@@ -64,10 +64,16 @@ object Bpe {
   }
 
   /** BPE token stream of `text` (split on whitespace runs, each word
-    * greedily merged). Codegen'd one-pass expression — zero shuffle. */
-  def tokens(text: Column, merges: BpeMerges = defaultMerges): Column =
+    * greedily merged). Codegen'd one-pass expression — zero shuffle.
+    * `byteFallback = true` switches to the zero-unk mode: symbols outside
+    * the closed vocabulary decompose into `<0xAB>` byte tokens
+    * (SentencePiece rendering) and whitespace separators are KEPT as
+    * byte tokens, so the stream is lossless — see
+    * [[graft.expressions.BpeMerges.encodeRowFallback]]. */
+  def tokens(text: Column, merges: BpeMerges = defaultMerges,
+      byteFallback: Boolean = false): Column =
     org.apache.spark.sql.GraftBridge.column(BpeTokens(
-      org.apache.spark.sql.GraftBridge.expression(text), merges))
+      org.apache.spark.sql.GraftBridge.expression(text), merges, byteFallback))
 
   /** Real token count for budget/packing/chunking call sites. */
   def tokenCount(text: Column, merges: BpeMerges = defaultMerges): Column =
@@ -89,25 +95,35 @@ object Bpe {
     * (sorted), then each merge's output in rank order. Id 0 is reserved
     * for <unk> (a token outside the table — BPE without byte-fallback);
     * real ids start at 1. The (symbol → id) contract both engines can
-    * rebuild from the same literal table. */
-  def vocabOf(merges: BpeMerges): IndexedSeq[String] = {
+    * rebuild from the same literal table.
+    *
+    * With `byteFallback = true` the 256 `<0xAB>` byte symbols are
+    * APPENDED after the closed vocabulary (byte b = id size+1+b), so
+    * every closed-vocabulary id is identical in both modes and existing
+    * packed-id artifacts never shift; under fallback id 0 is
+    * unreachable. */
+  def vocabOf(merges: BpeMerges, byteFallback: Boolean = false): IndexedSeq[String] = {
     val chars = merges.pairs.flatMap { case (l, r) =>
       (l + r).codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     }.distinct.sorted
     val outs = merges.pairs.map { case (l, r) => l + r }
-    (chars ++ outs).distinct.toIndexedSeq
+    val base = (chars ++ outs).distinct.toIndexedSeq
+    if (byteFallback) base ++ graft.expressions.BpeMerges.ByteSymbols else base
   }
 
   /** Token IDS under the table's closed vocabulary — the array a trainer
     * actually consumes: `transform` over the codegen'd token stream with
     * an `element_at` on a literal map (codegen'd; no join, no shuffle).
-    * Out-of-vocabulary tokens map to 0 (<unk>). */
-  def tokenIds(text: Column, merges: BpeMerges = defaultMerges): Column = {
-    val vocab = vocabOf(merges)
+    * Out-of-vocabulary tokens map to 0 (<unk>); under
+    * `byteFallback = true` the stream contains only vocab + byte symbols,
+    * so 0 never appears. */
+  def tokenIds(text: Column, merges: BpeMerges = defaultMerges,
+      byteFallback: Boolean = false): Column = {
+    val vocab = vocabOf(merges, byteFallback)
     val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
       Seq(lit(s), lit(i + 1))
     }: _*)
-    transform(tokens(text, merges),
+    transform(tokens(text, merges, byteFallback),
       t => coalesce(element_at(m, t), lit(0)))
   }
 
@@ -115,23 +131,46 @@ object Bpe {
     * pairs with [[tokenIds]] (spot-reading packed sequences, debugging
     * masks). Inverse literal map (id → symbol), unknown/\<unk\> ids
     * rendered as `unkMarker`; `array_join` concatenation. Round-trip
-    * contract: a single in-vocabulary word round-trips EXACTLY
-    * (`decodeIds(tokenIds(w)) == w` whenever every token of `w` is in the
-    * closed vocabulary); across a document the tokenizer normalizes
-    * whitespace away (GPT-2 keeps it via the Ġ-prefix convention; this
-    * closed-vocabulary model splits on whitespace runs), so the document
-    * contract is `decodeIds(tokenIds(text)) == regexp_replace(text,
-    * "\\s+", "")` for unk-free text. Pure codegen'd map — zero shuffle,
-    * same posture as [[tokenIds]]. */
+    * contract WITHOUT fallback: a single in-vocabulary word round-trips
+    * EXACTLY (`decodeIds(tokenIds(w)) == w` whenever every token of `w`
+    * is in the closed vocabulary); across a document the plain tokenizer
+    * normalizes whitespace away, so the document contract is
+    * `decodeIds(tokenIds(text)) == regexp_replace(text, "\\s+", "")` for
+    * unk-free text.
+    *
+    * With `byteFallback = true` the contract is TOTAL:
+    * `decodeIds(tokenIds(text, m, true), m, true) == text` for ANY input
+    * — whitespace, emoji, CJK, control bytes — because the encoder emits
+    * lossless byte tokens for everything outside the closed vocabulary
+    * (whitespace separators included) and the decoder reassembles
+    * through bytes: every symbol maps to the HEX of its UTF-8 bytes
+    * (byte symbols to their one byte), the concatenation `unhex`es to
+    * binary and decodes as UTF-8 — multi-byte sequences split across
+    * byte tokens fuse back correctly, which a per-token string decode
+    * could never do. Pure codegen'd builtins (`transform`/`element_at`/
+    * `unhex`/`decode`) — zero shuffle, same posture as [[tokenIds]]. */
   def decodeIds(ids: Column, merges: BpeMerges = defaultMerges,
-      unkMarker: String = "�"): Column = {
-    val vocab = vocabOf(merges)
-    val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(i + 1), lit(s))
-    }: _*)
-    array_join(
-      transform(ids, i => coalesce(element_at(m, i), lit(unkMarker))), "")
-  }
+      byteFallback: Boolean = false, unkMarker: String = "�"): Column =
+    if (!byteFallback) {
+      val vocab = vocabOf(merges)
+      val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit(i + 1), lit(s))
+      }: _*)
+      array_join(
+        transform(ids, i => coalesce(element_at(m, i), lit(unkMarker))), "")
+    } else {
+      def hexOf(s: String): String =
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xFF}%02X").mkString
+      val base = vocabOf(merges)
+      val entries =
+        base.zipWithIndex.map { case (s, i) => (i + 1) -> hexOf(s) } ++
+          (0 until 256).map(b => (base.size + 1 + b) -> f"$b%02X")
+      val m = map(entries.flatMap { case (i, h) => Seq(lit(i), lit(h)) }: _*)
+      decode(unhex(array_join(
+        transform(ids, i => coalesce(element_at(m, i), lit(hexOf(unkMarker)))),
+        "")), "UTF-8")
+    }
 
   /** Train a merge table on a corpus column. Distributed word-frequency
     * aggregate + driver-side Sennrich merge loop over the bounded

@@ -769,8 +769,12 @@ object TrainPrep {
     * slice-sized partials (map-side combined). */
   def vocabCoverage(docs: DataFrame, sliceCol: String, textCol: String,
       merges: graft.expressions.BpeMerges =
-        graft.functions.Bpe.defaultMerges): DataFrame = {
-    val ids = graft.functions.Bpe.tokenIds(col(textCol), merges)
+        graft.functions.Bpe.defaultMerges,
+      byteFallback: Boolean = false): DataFrame = {
+    // under byteFallback the encoder can never emit id 0, so n_unk is 0
+    // by construction and unk_rate becomes a tokenizer HEALTH metric
+    // (any nonzero value is a bug) instead of a loss report
+    val ids = graft.functions.Bpe.tokenIds(col(textCol), merges, byteFallback)
     docs.select(col(sliceCol).as("slice"),
         size(ids).cast("long").as("__n"),
         size(filter(ids, i => i === 0)).cast("long").as("__u"))

@@ -223,7 +223,7 @@ class BpeSpec extends SparkSpec {
     val out = Seq(("the Zand", 1)).toDF("text", "k")
       .select(
         Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny).as("d"),
-        Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny, "<unk>").as("dm"))
+        Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny, unkMarker = "<unk>").as("dm"))
       .head()
     assert(out.getString(0) == "the�and")
     assert(out.getString(1) == "the<unk>and")
@@ -232,6 +232,66 @@ class BpeSpec extends SparkSpec {
       .select(Bpe.decodeIds(Bpe.tokenIds(col("text"), tiny), tiny).as("d"))
       .head().getString(0)
     assert(empty == "")
+  }
+
+  test("byte fallback: exact round-trip of ANY input, zero unk") {
+    import spark.implicits._
+    // adversarial inputs: emoji (4-byte UTF-8, surrogate pair in UTF-16),
+    // CJK, combining marks, mixed scripts, tabs/newlines/runs of spaces,
+    // leading/trailing whitespace, C0 control chars, U+FFFD itself, and
+    // plain in-vocabulary prose
+    val inputs = Seq(
+      "the inner thing", "  leading and trailing  ", "tabs\there\nnewline",
+      "emoji 🐕🦺 mix", "日本語のテキスト", "café né é", "αβγ δ",
+      "ctrlchars", "repl�acement", "ｆｕｌｌwidth",
+      "a", "", " ", "\t\n", "👨‍👩‍👧 zwj family",
+      "mixed the 日本 🐕 and er")
+    val df = inputs.toDF("text")
+    val enc = Bpe.tokenIds(col("text"), tiny, byteFallback = true)
+    val got = df.select(
+        col("text"),
+        Bpe.decodeIds(enc, tiny, byteFallback = true).as("rt"),
+        size(filter(enc, i => i === 0)).as("n_unk"),
+        size(enc).as("n"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"round-trip broke on '${r.getString(0)}' -> '${r.getString(1)}'")
+      assert(r.getInt(2) === 0, s"unk appeared on '${r.getString(0)}'")
+    }
+    // empty string: zero tokens, decodes to empty
+    assert(got.find(_.getString(0) == "").get.getInt(3) === 0)
+    // and on the real fixture: every doc round-trips exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ids = Bpe.tokenIds(col("text"), tiny, byteFallback = true)
+    val bad = docs.select(col("text"),
+        Bpe.decodeIds(ids, tiny, byteFallback = true).as("rt"),
+        size(filter(ids, i => i === 0)).as("u"))
+      .filter(col("rt") =!= col("text") || col("u") > 0)
+      .count()
+    assert(bad === 0L, s"$bad fixture docs failed the lossless contract")
+  }
+
+  test("byte fallback: vocab layout appends bytes, closed ids never move") {
+    val base = Bpe.vocabOf(tiny)
+    val ext = Bpe.vocabOf(tiny, byteFallback = true)
+    assert(ext.take(base.size) == base,
+      "closed-vocabulary ids must be identical in both modes")
+    assert(ext.size == base.size + 256)
+    assert(ext(base.size) == "<0x00>" && ext.last == "<0xFF>")
+    // fallback on a known-OOV word: 'q' is outside the merge alphabet —
+    // it must become exactly its UTF-8 byte id, not unk
+    import spark.implicits._
+    val ids = Seq("q").toDF("text")
+      .select(Bpe.tokenIds(col("text"), tiny, byteFallback = true).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(base.size + 1 + 'q'.toInt),
+      s"expected the <0x71> byte id, got $ids")
+    // whitespace separators are kept: "a b" has a <0x20> token between
+    val toks = Seq("in in").toDF("text")
+      .select(Bpe.tokens(col("text"), tiny, byteFallback = true).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("in", "<0x20>", "in"))
   }
 
   test("fertility: in-vocabulary prose near 1, OOV text above, empty 0") {
