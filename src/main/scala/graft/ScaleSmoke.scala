@@ -1018,6 +1018,70 @@ object ScaleSmoke {
       s""""rows_per_sec":${(nEval / sweepSecs).toLong},""" +
       s""""sweep_shuffle_bytes":$sweepShuffle,""" +
       s""""auc_shuffle_bytes":$aucShuffle}""")
+
+    // ---- file-lake MERGE upsert: the K2 copy-on-write sink at a fleet-
+    // sized lake — 120 date partitions × 500 stations × 96 steps/day
+    // (5.76 M rows). The claim that makes the lake the 100 TB fcst store:
+    // a daily re-extraction (point upsert, one date) rewrites ONE
+    // partition and reads/moves NOTHING else — work scales with the
+    // update's date span, never the lake. require'd, not asserted. ------
+    val lakeDays = 120
+    val lakeStations = 500
+    val stepsPerDay = 96
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("scale_lake").toString + "/lake"
+    val dayUs = 86400000000L
+    // id decomposes as (day, station, step) — div/mod, NOT two mods
+    // (id%500 with id%96 would repeat every lcm and duplicate keys)
+    val lakeRows = spark.range(lakeDays.toLong * lakeStations * stepsPerDay)
+      .select(
+        concat(lit("wl_"),
+          pmod(floor(col("id") / stepsPerDay), lit(lakeStations))
+            .cast("long").cast("string")).as("tms_id"),
+        lit("2024-01-01 00:00:00").as("fgt"),
+        date_format(timestamp_micros(lit(startUs)
+          + floor(col("id") / (lakeStations * stepsPerDay)).cast("long") * dayUs
+          + pmod(col("id"), lit(stepsPerDay)).cast("long") * 900000000L),
+          "yyyy-MM-dd HH:mm:ss").as("time"),
+        rand(7).as("value"))
+    val lakeInit = graft.io.LakeMerge.withPartDate(lakeRows)
+    val t70 = System.nanoTime()
+    graft.io.LakeMerge.writeLake(lakeInit, lakeDir)
+    val lakeWriteSecs = (System.nanoTime() - t70) / 1e9
+    // the daily cron overlap: day 60 re-extracted with corrected values
+    val pointDay = "2024-02-29"
+    val pointUpdates = graft.io.LakeMerge.withPartDate(
+      spark.range(lakeStations.toLong * stepsPerDay).select(
+        concat(lit("wl_"),
+          floor(col("id") / stepsPerDay).cast("long").cast("string")).as("tms_id"),
+        lit("2024-01-01 00:00:00").as("fgt"),
+        date_format(timestamp_micros(lit(graft.model.SlTime.microsOf(
+          pointDay + " 00:00:00"))
+          + pmod(col("id"), lit(stepsPerDay)).cast("long") * 900000000L),
+          "yyyy-MM-dd HH:mm:ss").as("time"),
+        lit(0.5).as("value")))
+    val (mergeStats, mergeShuffle, _, mergeSecs) = sectionShuffle {
+      graft.io.LakeMerge.merge(spark, lakeDir, pointUpdates)
+    }
+    require(mergeStats.partitionsRewritten == 1
+      && mergeStats.partitionsTotal == lakeDays,
+      s"point upsert must rewrite 1 of $lakeDays partitions: $mergeStats")
+    require(mergeStats.rowsInserted == 0
+      && mergeStats.rowsUpdated == lakeStations.toLong * stepsPerDay,
+      s"day re-extraction must be pure in-place updates: $mergeStats")
+    // rewrite work bound: the anti-join + staging write shuffles the ONE
+    // affected partition (48 k rows ≈ tens of bytes each) plus the
+    // broadcast batch — never the 120-day lake
+    require(mergeShuffle < 64L * 1024 * 1024,
+      s"point merge shuffled $mergeShuffle bytes — the lake is being moved")
+    println(s"""{"metric":"lake_merge_scale","days":$lakeDays,""" +
+      s""""rows":${lakeDays.toLong * lakeStations * stepsPerDay},""" +
+      s""""init_write_seconds":$lakeWriteSecs,""" +
+      s""""point_update_rows":${mergeStats.rowsUpserted},""" +
+      s""""partitions_rewritten":${mergeStats.partitionsRewritten},""" +
+      s""""partitions_total":${mergeStats.partitionsTotal},""" +
+      s""""merge_seconds":$mergeSecs,""" +
+      s""""merge_shuffle_bytes":$mergeShuffle}""")
     spark.stop()
   }
 }

@@ -1,0 +1,194 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE upsert over a partitioned parquet series lake —
+  * the file-sink half of K2 (SURVEY.md §1.5: the reference's
+  * `insert_data(timeseries, tms_id, fgt, upsert=True)` keyed
+  * `(tms_id, fgt, time)`, reference output/extract_water_level.py:206-217,
+  * maps to MySQL ON DUPLICATE KEY UPDATE at station count and to a
+  * Delta-style MERGE over a partitioned lake at 100 TB).
+  *
+  * Layout contract (the [[SeriesLake]] layout re-expressed for a
+  * path-based lake): one directory per event date
+  * (`part_date=yyyy-MM-dd/`), files within a partition clustered and
+  * sorted by `(tms_id, time)` — date pruning serves the reference's
+  * ubiquitous `[start, end]` scans, series clustering keeps per-series
+  * reads to a handful of files. Metastore `bucketBy` metadata cannot
+  * survive a directory swap (Spark records bucketing in the catalog, not
+  * the files — Delta/Iceberg move that metadata into a transaction log,
+  * which is the production upgrade path), so the merge reproduces the
+  * CLUSTERING physically (`repartition` by series + sort within files)
+  * without the catalog entry.
+  *
+  * Merge algorithm — the standard copy-on-write shape:
+  *
+  *  1. PRUNE: the affected partition set is `updates`' distinct partition
+  *     values (collected — bounded by the date span of one extraction,
+  *     a handful of values for the reference's daily runs);
+  *  2. REWRITE: only those partitions are read back (explicit per-
+  *     directory reads — never a full-lake scan), matched rows removed
+  *     with a BROADCAST anti-join on the key (an extraction batch is
+  *     always dimension-sized next to the lake), updates unioned in, and
+  *     the result staged under a dot-prefixed directory Spark readers
+  *     ignore;
+  *  3. SWAP: each affected partition directory is atomically renamed
+  *     into place (old → trash, staged → live, trash deleted — rename is
+  *     the atomic primitive on HDFS/POSIX; on rename-less object stores
+  *     this step is where a manifest commit would substitute). Untouched
+  *     partitions are never read, rewritten, or moved — the property
+  *     [[graft.ScaleSmoke]] measures as partitions-rewritten ≪ total.
+  *
+  * Idempotency contract (K2): the merge is exactly-once-by-key — re-
+  * applying the same update batch, or overlapping re-extractions,
+  * converge to the same table a JDBC upsert would produce
+  * (LakeMergeSpec proves equality against [[JdbcUpsertSink]] on the same
+  * batches). `updates` must be unique by key (checked with one
+  * updates-sized aggregate unless `requireUniqueKeys = false`):
+  * duplicate keys in ONE batch have no defined winner in any upsert
+  * dialect — MySQL takes statement order, which a distributed write
+  * cannot reproduce.
+  */
+object LakeMerge {
+
+  final case class MergeStats(partitionsTotal: Int, partitionsRewritten: Int,
+      rowsBeforeAffected: Long, rowsUpserted: Long, rowsUpdated: Long,
+      rowsInserted: Long, rowsAfterAffected: Long)
+
+  /** Derive the lake partition column from an event-time column — one
+    * date directory per day, matching the reference's scan axis. */
+  def withPartDate(df: DataFrame, timeCol: String = "time",
+      partitionCol: String = "part_date"): DataFrame =
+    df.withColumn(partitionCol, date_format(col(timeCol), "yyyy-MM-dd"))
+
+  /** Initialize (or fully rewrite) a lake from `df`: date-partitioned
+    * parquet, `filesPerPartition` series-clustered sorted files per date. */
+  def writeLake(df: DataFrame, lakeDir: String,
+      partitionCol: String = "part_date", seriesCol: String = "tms_id",
+      timeCol: String = "time", filesPerPartition: Int = 4): Unit =
+    df.repartition(filesPerPartition, col(partitionCol), col(seriesCol))
+      .sortWithinPartitions(partitionCol, seriesCol, timeCol)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(lakeDir)
+
+  /** Read the whole lake with the partition column restored AS STRING
+    * (yyyy-MM-dd), independent of Spark's partition-type inference. */
+  def readLake(spark: SparkSession, lakeDir: String,
+      partitionCol: String = "part_date"): DataFrame =
+    spark.read.parquet(lakeDir)
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+
+  /** The partition directory values present on disk. */
+  def partitionValues(spark: SparkSession, lakeDir: String,
+      partitionCol: String = "part_date"): Seq[String] = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "="))
+      .map(_.stripPrefix(partitionCol + "="))
+      .sorted
+  }
+
+  /** Explicit pruned read of the named partitions: one read per affected
+    * directory with the partition value restored as a literal — never a
+    * full-lake scan, and immune to partition-column type inference
+    * (a date-shaped string would otherwise read back as DATE and poison
+    * the union with `updates`). Empty selection → empty frame shaped
+    * like `updates` minus nothing (caller guards). */
+  private def readPartitions(spark: SparkSession, lakeDir: String,
+      partitionCol: String, values: Seq[String]): Option[DataFrame] = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = values.filter(v =>
+      fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
+    if (existing.isEmpty) None
+    else Some(existing.map { v =>
+      spark.read.parquet(s"$lakeDir/$partitionCol=$v")
+        .withColumn(partitionCol, lit(v))
+    }.reduce(_ unionByName _))
+  }
+
+  /** MERGE `updates` into the lake at `lakeDir`, keyed `keyCols` —
+    * matched keys take the update row, unmatched insert. `updates` must
+    * carry `partitionCol` (see [[withPartDate]]) and the lake's exact
+    * column set. Returns per-merge stats; all counts ride parquet
+    * footers / the staged write, never an extra data scan. */
+  def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
+      keyCols: Seq[String] = Seq("tms_id", "fgt", "time"),
+      partitionCol: String = "part_date", seriesCol: String = "tms_id",
+      timeCol: String = "time", filesPerPartition: Int = 4,
+      requireUniqueKeys: Boolean = true): MergeStats = {
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry the lake partition column '$partitionCol' " +
+        "(derive it with LakeMerge.withPartDate)")
+    val allParts = partitionValues(spark, lakeDir, partitionCol)
+    require(allParts.nonEmpty,
+      s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
+    val lakeCols = readLake(spark, lakeDir, partitionCol).columns.sorted.toSeq
+    require(updates.columns.sorted.toSeq == lakeCols,
+      s"updates columns ${updates.columns.sorted.mkString(",")} must match " +
+        s"lake columns ${lakeCols.mkString(",")}")
+
+    if (requireUniqueKeys) {
+      val dup = updates.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
+      require(dup == 0L,
+        s"updates contain duplicate (${keyCols.mkString(", ")}) keys — " +
+          "no upsert dialect defines a winner inside one batch")
+    }
+
+    // 1. PRUNE — the affected partitions are the updates' date span
+    val affected = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // 2. REWRITE into staging (dot-prefixed: invisible to Spark readers)
+    val staging = new Path(lakeDir, s".merge-staging-${java.util.UUID.randomUUID}")
+    val current = readPartitions(spark, lakeDir, partitionCol, affected)
+    val rowsBefore = current.map(_.count()).getOrElse(0L) // footer-count only
+    val rowsUpserted = updates.count()
+    val merged = current match {
+      case Some(cur) =>
+        // broadcast anti-join: the extraction batch is dimension-sized
+        // next to the lake, so matched-row removal never shuffles the lake
+        cur.join(broadcast(updates.select(keyCols.map(col): _*)),
+            keyCols, "left_anti")
+          .unionByName(updates.select(cur.columns.map(col): _*))
+      case None => updates
+    }
+    merged.repartition(filesPerPartition, col(partitionCol), col(seriesCol))
+      .sortWithinPartitions(partitionCol, seriesCol, timeCol)
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staging.toString)
+    val rowsAfter =
+      spark.read.parquet(staging.toString).count() // footer-count only
+
+    // 3. SWAP — per affected partition: old → trash, staged → live.
+    // rename is atomic; the trash hop means a crash mid-swap leaves either
+    // the old or the new directory live, never a half-written mix. (A
+    // manifest/transaction log is the multi-partition-atomic upgrade.)
+    affected.foreach { v =>
+      val live = new Path(lakeDir, s"$partitionCol=$v")
+      val staged = new Path(staging, s"$partitionCol=$v")
+      require(fs.exists(staged),
+        s"staged partition $partitionCol=$v missing — staging write failed")
+      val trash = new Path(staging, s".old-$partitionCol=$v")
+      if (fs.exists(live)) require(fs.rename(live, trash),
+        s"could not move old partition $live aside")
+      require(fs.rename(staged, live),
+        s"could not move staged partition $staged into place")
+    }
+    fs.delete(staging, true)
+
+    // updated = keys that existed before (rows replaced in place);
+    // inserted = net new rows. Both derive from the three footer counts.
+    val rowsUpdated = rowsBefore + rowsUpserted - rowsAfter
+    MergeStats(allParts.length, affected.length, rowsBefore, rowsUpserted,
+      rowsUpdated, rowsUpserted - rowsUpdated, rowsAfter)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.io
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** File-lake MERGE upsert (K2's file-sink half, SURVEY §1.5): copy-on-
+  * write merge over a date-partitioned parquet lake converges to the SAME
+  * table as the JDBC upsert sink on the same overlapping re-extraction
+  * batches (the reference's cron-overlap contract,
+  * output/extract_water_level.py:206-217), re-apply is a no-op, and the
+  * rewrite touches ONLY the partitions the batch's date span names. */
+class LakeMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:lakemergedb;create=true"
+
+  private def freshTable(table: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try { st.execute(s"DROP TABLE $table") } catch { case _: Exception => () }
+      st.execute(s"CREATE TABLE $table (tms_id VARCHAR(64), fgt VARCHAR(19), " +
+        "time VARCHAR(19), value DOUBLE, PRIMARY KEY (tms_id, fgt, time))")
+      st.close()
+    } finally conn.close()
+  }
+
+  private def readJdbc(table: String): Seq[(String, String, String, Double)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT tms_id, fgt, time, value FROM $table ORDER BY tms_id, fgt, time")
+      val buf = scala.collection.mutable.ListBuffer.empty[(String, String, String, Double)]
+      while (rs.next())
+        buf += ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getDouble(4)))
+      buf.toList
+    } finally conn.close()
+  }
+
+  private def readLakeSorted(dir: String): Seq[(String, String, String, Double)] =
+    LakeMerge.readLake(spark, dir)
+      .select("tms_id", "fgt", "time", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq.sorted
+
+  /** A reference-shaped extraction batch: water levels for `ids` over
+    * `times` at forecast-generation time `fgt`, value = planted fn. */
+  private def batch(ids: Seq[String], fgt: String, times: Seq[String],
+      v: (String, String) => Double): DataFrame =
+    LakeMerge.withPartDate(
+      ids.flatMap(id => times.map(t => (id, fgt, t, v(id, t))))
+        .toDF("tms_id", "fgt", "time", "value"))
+
+  private val day1 = Seq("2024-01-01 00:00:00", "2024-01-01 12:00:00")
+  private val day2 = Seq("2024-01-02 00:00:00", "2024-01-02 12:00:00")
+  private val day3 = Seq("2024-01-03 00:00:00")
+
+  test("overlapping re-extractions converge to the JDBC sink's table; re-apply no-op") {
+    freshTable("lakeref")
+    val dir = java.nio.file.Files.createTempDirectory("lakemerge").toString + "/lake"
+    val keys = Seq("tms_id", "fgt", "time")
+
+    // extraction 1: two stations, days 1-2
+    val b1 = batch(Seq("wl_a", "wl_b"), "2024-01-02 06:00:00", day1 ++ day2,
+      (id, t) => id.length + t.takeRight(8).take(2).toDouble)
+    // extraction 2 (cron overlap): re-extracts day 2 with CORRECTED values
+    // and extends into day 3; station b gains a new series point
+    val b2 = batch(Seq("wl_a", "wl_b"), "2024-01-03 06:00:00", day3,
+      (_, _) => 99.0)
+      .unionByName(batch(Seq("wl_a"), "2024-01-02 06:00:00", day2,
+        (_, _) => 42.5))
+
+    LakeMerge.writeLake(b1, dir)
+    JdbcUpsertSink.upsert(b1.drop("part_date"), url, "lakeref",
+      keys, Seq("value"), JdbcUpsertSink.UpdateInsertDialect)
+
+    val s2 = LakeMerge.merge(spark, dir, b2, keys)
+    JdbcUpsertSink.upsert(b2.drop("part_date"), url, "lakeref",
+      keys, Seq("value"), JdbcUpsertSink.UpdateInsertDialect)
+    assert(readLakeSorted(dir) === readJdbc("lakeref"))
+    assert(s2.rowsUpdated === 2L && s2.rowsInserted === 2L,
+      s"day-2 corrections update, day-3 rows insert: $s2")
+
+    // idempotency: the SAME batch again converges (no growth, same values)
+    val s3 = LakeMerge.merge(spark, dir, b2, keys)
+    JdbcUpsertSink.upsert(b2.drop("part_date"), url, "lakeref",
+      keys, Seq("value"), JdbcUpsertSink.UpdateInsertDialect)
+    assert(readLakeSorted(dir) === readJdbc("lakeref"))
+    assert(s3.rowsInserted === 0L && s3.rowsUpdated === s3.rowsUpserted,
+      s"re-apply must be pure updates: $s3")
+  }
+
+  test("rewrite touches ONLY the affected date partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("lakemerge2").toString + "/lake"
+    val b1 = batch(Seq("wl_a", "wl_b", "wl_c"), "2024-01-02 06:00:00",
+      day1 ++ day2, (_, _) => 1.0)
+    LakeMerge.writeLake(b1, dir)
+
+    // snapshot day-1 file listing (names + mtimes), then point-upsert day 2
+    def day1Files(): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$dir/part_date=2024-01-01")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSeq.sorted
+    }
+    val before = day1Files()
+    assert(before.nonEmpty)
+    val point = batch(Seq("wl_b"), "2024-01-02 06:00:00",
+      Seq("2024-01-02 12:00:00"), (_, _) => 7.25)
+    val stats = LakeMerge.merge(spark, dir, point)
+    assert(stats.partitionsRewritten === 1 && stats.partitionsTotal === 2,
+      s"point upsert must rewrite one of two partitions: $stats")
+    assert(day1Files() === before,
+      "untouched partition files must not be rewritten or moved")
+    // and the value landed
+    val got = LakeMerge.readLake(spark, dir)
+      .filter(col("tms_id") === "wl_b" && col("time") === "2024-01-02 12:00:00")
+      .select("value").head().getDouble(0)
+    assert(got === 7.25)
+  }
+
+  test("duplicate keys in one batch are rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("lakemerge3").toString + "/lake"
+    LakeMerge.writeLake(
+      batch(Seq("wl_a"), "2024-01-02 06:00:00", day1, (_, _) => 1.0), dir)
+    val dup = batch(Seq("wl_a", "wl_a"), "2024-01-02 06:00:00",
+      Seq(day1.head), (_, _) => 2.0)
+    val e = intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, dir, dup)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+}
