@@ -1074,6 +1074,82 @@ object ScaleSmoke {
     // broadcast batch — never the 120-day lake
     require(mergeShuffle < 64L * 1024 * 1024,
       s"point merge shuffled $mergeShuffle bytes — the lake is being moved")
+    // ---- embedding lake grown by APPEND: frozen-codebook ingest ---------
+    // 200 k vectors written once, 20 k appended against the PERSISTED
+    // codebook (ingest = one map pass, no retrain, files only added);
+    // the probe on the grown lake still partition-prunes, and equals the
+    // probe over a full rebuild with the same codebook — require'd.
+    val embDim = 32
+    val nEmbLake = 200000L
+    val nAppend = 20000L
+    def synthVecs(lo: Long, n: Long, shift: Double) = {
+      // deterministic per-id floats: k hash-derived values in [-1, 1)
+      val hv = (k: Int) => (pmod(xxhash64(col("id") * 97 + k), lit(2000000))
+        .cast("double") / 1000000.0 - 1.0 + shift).cast("float")
+      spark.range(lo, lo + n).select(col("id").as("vec_id"),
+        array((0 until embDim).map(hv): _*).as("embedding"))
+    }
+    val embLakeDir = java.nio.file.Files
+      .createTempDirectory("scale_emb_lake").toString + "/emb"
+    val embRebuildDir = java.nio.file.Files
+      .createTempDirectory("scale_emb_rebuild").toString + "/emb"
+    val t80 = System.nanoTime()
+    val embCodebook = graft.io.EmbeddingLake.writePartitioned(
+      synthVecs(0, nEmbLake, 0.0), "vec_id", "embedding", embLakeDir,
+      nCentroids = 16, kmeansIters = 1)
+    val embInitSecs = (System.nanoTime() - t80) / 1e9
+    // drift baseline at training time, BEFORE any append — eagerly
+    // materialized (cell-count-sized), else the lazy plan would re-read
+    // the lake post-append and the comparison would be vacuous
+    val embBaseline = graft.io.EmbeddingLake.driftReport(
+      spark, embLakeDir, "embedding", embCodebook).localCheckpoint(true)
+    val (_, appendShuffle, _, appendSecs) = sectionShuffle {
+      graft.io.EmbeddingLake.append(
+        synthVecs(nEmbLake, nAppend, 0.0), "embedding", embLakeDir, embCodebook)
+    }
+    // append is a pure map over the batch: assignment + partitioned write,
+    // no corpus shuffle beyond the write's own partitioning
+    require(appendShuffle < 32L * 1024 * 1024,
+      s"append shuffled $appendShuffle bytes — ingest is re-reading the lake")
+    val embQuery = (0 until embDim).map(k =>
+      (((5 * 97 + k) % 1000) / 500.0 - 1.0).toFloat)
+    val (probeIds, _, _, probeSecs) = sectionShuffle {
+      graft.io.EmbeddingLake.probeTopK(spark, embLakeDir, embCodebook,
+          "vec_id", "embedding", embQuery, k = 10, nProbe = 4)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val grownProbe = graft.io.EmbeddingLake.probeTopK(spark, embLakeDir,
+      embCodebook, "vec_id", "embedding", embQuery, k = 10, nProbe = 4)
+    val embFilesAll = graft.io.EmbeddingLake.filesRead(
+      graft.io.EmbeddingLake.read(spark, embLakeDir))
+    val embFilesProbe = graft.io.EmbeddingLake.filesRead(grownProbe)
+    require(embFilesProbe * 2 <= embFilesAll,
+      s"grown-lake probe read $embFilesProbe of $embFilesAll files — " +
+        "appends broke partition pruning")
+    // rebuild with the SAME frozen codebook → identical probe answers
+    graft.ann.Similarity.withIvfCell(
+        synthVecs(0, nEmbLake + nAppend, 0.0), "embedding", embCodebook)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(embRebuildDir)
+    val rebuiltIds = graft.io.EmbeddingLake.probeTopK(spark, embRebuildDir,
+        embCodebook, "vec_id", "embedding", embQuery, k = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    require(probeIds == rebuiltIds,
+      s"append-grown lake diverged from rebuild: $probeIds vs $rebuiltIds")
+    // drift stays calm on in-distribution appends (same generator): the
+    // post-append report against the pre-append baseline flags nothing
+    val embCurrent = graft.io.EmbeddingLake.driftReport(
+      spark, embLakeDir, "embedding", embCodebook)
+    val embCalm = graft.io.EmbeddingLake.retrainAdvice(
+        embBaseline, embCurrent, growthThreshold = 1.5)
+      .filter(col("retrain")).count()
+    require(embCalm == 0L,
+      "in-distribution appends must not demand a retrain")
+    println(s"""{"metric":"embedding_lake_append_scale","vectors":$nEmbLake,""" +
+      s""""appended":$nAppend,"init_seconds":$embInitSecs,""" +
+      s""""append_seconds":$appendSecs,"append_shuffle_bytes":$appendShuffle,""" +
+      s""""probe_seconds":$probeSecs,"files_probed":$embFilesProbe,""" +
+      s""""files_total":$embFilesAll}""")
+
     println(s"""{"metric":"lake_merge_scale","days":$lakeDays,""" +
       s""""rows":${lakeDays.toLong * lakeStations * stepsPerDay},""" +
       s""""init_write_seconds":$lakeWriteSecs,""" +

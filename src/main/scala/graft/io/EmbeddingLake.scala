@@ -102,4 +102,74 @@ object EmbeddingLake {
     }
     scans.map(_.selectedPartitions.totalNumberOfFiles).sum
   }
+
+  // ---- incremental ingest (round 13) ---------------------------------------
+
+  /** APPEND new vectors into an existing lake: assign cells from the
+    * PERSISTED codebook — ingest never retrains — and write new files
+    * into the cell partitions (`SaveMode.Append` adds files beside the
+    * existing ones; nothing is read, rewritten, or moved). Because cell
+    * assignment is a pure function of (vector, codebook), a lake grown by
+    * appends is row-identical to one rebuilt from scratch WITH THE SAME
+    * codebook — probes return the same results (EmbeddingLakeSpec pins
+    * recall parity) — while the work is one map pass over the batch.
+    * The price of frozen codebooks is DRIFT: see [[driftReport]]. */
+  def append(df: DataFrame, vecCol: String, path: String,
+      cellCodebook: Array[Seq[Float]]): Unit =
+    Similarity.withIvfCell(df, vecCol, cellCodebook)
+      .write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(path)
+
+  /** [[append]] for the IVFADC layout: PQ codes from the persisted
+    * per-subspace codebooks ride along, same frozen-codebook contract. */
+  def appendPq(df: DataFrame, vecCol: String, path: String,
+      cellCodebook: Array[Seq[Float]],
+      pqCodebooks: Array[Array[Seq[Float]]], dim: Int): Unit =
+    Similarity.withIvfCell(
+        Similarity.withPqCodes(df, vecCol, dim, pqCodebooks), vecCol,
+        cellCodebook)
+      .write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(path)
+
+  /** Per-cell DRIFT report — the number that decides when a frozen
+    * codebook must retrain/compact: for every cell its row count and the
+    * mean + max L2 residual to the cell centroid. A lake that only ever
+    * saw in-distribution appends keeps residuals near the training-time
+    * baseline; rising mean residual means the centroid no longer sits in
+    * its cell's mass (probes scan more junk per hit), and a hot max is an
+    * outlier magnet. ONE aggregate over (ivf_cell, vector); the centroid
+    * lookup is an `element_at` on the broadcast codebook literal. */
+  def driftReport(spark: SparkSession, path: String, vecCol: String,
+      cellCodebook: Array[Seq[Float]], roundTo: Int = 6): DataFrame = {
+    val cLit = typedlit(cellCodebook.toSeq)
+    read(spark, path)
+      .select(col("ivf_cell"),
+        graft.functions.VectorFunctions
+          .l2(col(vecCol), element_at(cLit, col("ivf_cell") + 1))
+          .as("__r"))
+      .groupBy(col("ivf_cell"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__r")), roundTo).as("mean_residual"),
+        round(max(col("__r")), roundTo).as("max_residual"))
+  }
+
+  /** Retrain/compact advice: joins a training-time baseline [[driftReport]]
+    * against the current one and flags cells whose mean residual grew past
+    * `growthThreshold`× (or that baseline never saw — unseeded cells have
+    * no honest baseline and always warrant a look). Both frames are
+    * cell-count-sized; the join broadcasts. */
+  def retrainAdvice(baseline: DataFrame, current: DataFrame,
+      growthThreshold: Double = 1.5): DataFrame = {
+    require(growthThreshold > 1.0,
+      s"growthThreshold must exceed 1.0, got $growthThreshold")
+    val b = baseline.select(col("ivf_cell"),
+      col("n").as("n_base"), col("mean_residual").as("mean_base"))
+    current.select(col("ivf_cell"), col("n").as("n_now"),
+        col("mean_residual").as("mean_now"), col("max_residual"))
+      .join(broadcast(b), Seq("ivf_cell"), "left")
+      .select(col("ivf_cell"), col("n_base"), col("n_now"),
+        col("mean_base"), col("mean_now"),
+        round(col("mean_now") / col("mean_base"), 4).as("growth"),
+        (col("mean_base").isNull ||
+          col("mean_now") > col("mean_base") * growthThreshold)
+          .as("retrain"))
+  }
 }

@@ -86,6 +86,83 @@ class EmbeddingLakeSpec extends SparkSpec {
       s"ADC scan read $scanSchemas — the vector column must stay unread")
   }
 
+  test("append == rebuild at fixed codebooks: identical probes, no file rewrites") {
+    val pathA = Files.createTempDirectory("emb_append").toString + "/emb"
+    val pathB = Files.createTempDirectory("emb_rebuild").toString + "/emb"
+    val (oldVecs, newVecs) = vecs.splitAt(150)
+    val dfOld = oldVecs.toDF("vec_id", "embedding")
+    val dfNew = newVecs.toDF("vec_id", "embedding")
+
+    // lake A: initial write on the old half, then APPEND the new half
+    val codebook = EmbeddingLake.writePartitioned(
+      dfOld, "vec_id", "embedding", pathA, nCentroids = 8, kmeansIters = 1)
+    def fileSet(p: String): Set[String] = {
+      val root = new java.io.File(p)
+      root.listFiles().filter(_.isDirectory).flatMap(d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => d.getName + "/" + f.getName + ":" + f.lastModified)).toSet
+    }
+    val before = fileSet(pathA)
+    EmbeddingLake.append(dfNew, "embedding", pathA, codebook)
+    val after = fileSet(pathA)
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must only ADD files — never rewrite or move existing ones")
+
+    // lake B: full rebuild over ALL vectors with the SAME frozen codebook
+    Similarity.withIvfCell(vecs.toDF("vec_id", "embedding"), "embedding",
+        codebook)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(pathB)
+
+    // probes over the two lakes are IDENTICAL (assignment is a pure
+    // function of (vector, codebook)) — recall parity by construction
+    for (qi <- Seq(3, 42, 180)) {
+      val q = vecs(qi)._2
+      val a = EmbeddingLake.probeTopK(spark, pathA, codebook,
+        "vec_id", "embedding", q, k = 7, nProbe = 3)
+        .collect().map(_.getLong(0)).toSeq
+      val b = EmbeddingLake.probeTopK(spark, pathB, codebook,
+        "vec_id", "embedding", q, k = 7, nProbe = 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"query $qi diverged: appended=$a rebuilt=$b")
+    }
+    // and the grown lake still prunes
+    val probed = EmbeddingLake.probeTopK(spark, pathA, codebook,
+      "vec_id", "embedding", vecs(3)._2, k = 7, nProbe = 3)
+    assert(EmbeddingLake.filesRead(probed) <
+      EmbeddingLake.filesRead(EmbeddingLake.read(spark, pathA)))
+  }
+
+  test("drift report flags out-of-distribution appends for retrain") {
+    val path = Files.createTempDirectory("emb_drift").toString + "/emb"
+    val dfOld = vecs.toDF("vec_id", "embedding")
+    val codebook = EmbeddingLake.writePartitioned(
+      dfOld, "vec_id", "embedding", path, nCentroids = 4, kmeansIters = 1)
+    val baseline = EmbeddingLake.driftReport(
+      spark, path, "embedding", codebook)
+    baseline.collect().foreach(r => assert(r.getLong(1) > 0))
+
+    // in-distribution append: residual stats stay put (same generator)
+    val inDist = (1000L until 1100L).map { i =>
+      val r = new scala.util.Random(i % 200)
+      (i, Seq.fill(Dim)(r.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    EmbeddingLake.append(inDist, "embedding", path, codebook)
+    val mid = EmbeddingLake.driftReport(spark, path, "embedding", codebook)
+    val calm = EmbeddingLake.retrainAdvice(baseline, mid, growthThreshold = 1.5)
+      .filter(col("retrain")).count()
+    assert(calm === 0L, "in-distribution appends must not demand a retrain")
+
+    // out-of-distribution append: vectors far from every centroid
+    val outDist = (2000L until 2100L).map { i =>
+      (i, Seq.fill(Dim)(10.0f + (i % 7)))
+    }.toDF("vec_id", "embedding")
+    EmbeddingLake.append(outDist, "embedding", path, codebook)
+    val cur = EmbeddingLake.driftReport(spark, path, "embedding", codebook)
+    val advice = EmbeddingLake.retrainAdvice(baseline, cur, growthThreshold = 1.5)
+    assert(advice.filter(col("retrain")).count() > 0,
+      "a cell absorbing far-field vectors must flag for retrain")
+  }
+
   test("rowwise minhash signing is shuffle-free (pure map)") {
     val docs = vecs.map { case (i, _) => (i, s"tok$i common words here") }
       .toDF("doc_id", "text")
