@@ -500,6 +500,19 @@ object TrainPrepQueries {
              |SELECT a AS actual, p AS pred, count(*)::BIGINT AS n
              |FROM d GROUP BY 1, 2""".stripMargin)),
 
+    // ---- streaming calibration + Brier monitors ---------------------------
+    // the E132/E138 metrics as live state over the deployed quality gate's
+    // scored traffic: per-bin (n, Σscore, Σlabel) / global (n, Σe²) are
+    // order-insensitive, state is bin-sized / one row; the per-doc score
+    // is a stateless higher-order-aggregate map (scoreLinear's groupBy
+    // can't chain under a streaming aggregate). Share the batch oracles.
+    "q_stream_calibration" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.calibrationStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_calibration").oracle),
+    "q_stream_brier" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.brierStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_brier").oracle),
+
     // ---- streaming per-slice vocabulary coverage --------------------------
     // complete-mode slice-sized state; sums/counts are order-insensitive
     // so the drained stream equals batch; shares q_vocab_coverage's oracle.

@@ -240,6 +240,59 @@ object StreamParity {
     .groupBy(col("actual"), col("pred"))
     .agg(count(lit(1)).as("n"))
 
+  /** The classifier-eval fixture as a STATELESS map — the streaming form
+    * of PipelineQueries' qualityScored (scoreLinear + planted doc_id % 3
+    * label). scoreLinear's per-doc groupBy cannot chain under another
+    * streaming aggregate (complete mode plans ONE stateful aggregate), so
+    * the per-doc margin is computed as a higher-order `aggregate` over
+    * the token array instead — the identical bucket→weight function
+    * (w[b] = ((b·96769) % 2000)/1000 − 1, the same literal the batch
+    * fixture tabulates) summed per row inside codegen, zero state. The
+    * score rounds to 5 decimals exactly like the batch path, which is
+    * what absorbs the token-order-vs-bucket-order FP difference (both
+    * engines' replays already sum in their own orders today). */
+  private def qualityScoredMap(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " ", -1), t => length(t) > 0)
+    val z = aggregate(toks, lit(0.0), (acc, t) => {
+      val b = graft.trainprep.QualityClassifier.tokenBucket(t, 256)
+      acc + ((b * 96769 % 2000).cast("double") / 1000.0 - 1.0)
+    })
+    docs.filter(col("doc_id") < 300).select(
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 5).as("quality_score"),
+      (pmod(col("doc_id"), lit(3)) === 0).as("label"))
+  }
+
+  /** Streaming CALIBRATION monitor — the online QA number for a deployed
+    * quality gate (is the classifier drifting out of calibration while
+    * it filters live traffic?): the E132 reliability-diagram aggregate
+    * as complete-mode state over arriving scored documents. State is one
+    * row per bin (nBins-sized, never documents); per-bin n / Σscore /
+    * Σlabel are arrival-order-insensitive, so the drained stream equals
+    * the batch report by construction. Shares q_calibration's oracle. */
+  def calibrationStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      graft.eval.EvalMetrics.calibrationReport(
+        qualityScoredMap(docsStream(spark, dir)),
+        "label", "quality_score", nBins = 10),
+      "stream_calibration", OutputMode.Complete())
+
+  /** Streaming BRIER monitor — the proper-scoring-rule twin of
+    * [[calibrationStream]]: one global complete-mode aggregate
+    * (count + mean squared error — single-row state), punishing
+    * miscalibration live where AUC would only see misordering. Shares
+    * q_brier's oracle. */
+  def brierStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      graft.eval.EvalMetrics.brierScore(
+        qualityScoredMap(docsStream(spark, dir)), "label", "quality_score"),
+      "stream_brier", OutputMode.Complete())
+
+  /** The calibration aggregate over a batch frame — source-agnostic so
+    * the out-of-order spec can drive it over shuffled backfills. */
+  def calibrationAgg(docs: DataFrame): DataFrame =
+    graft.eval.EvalMetrics.calibrationReport(
+      qualityScoredMap(docs), "label", "quality_score", nBins = 10)
+
   /** Streaming per-slice vocabulary coverage: the E119 tokenizer-fit
     * report as a complete-mode running aggregate over arriving
     * documents — per-doc (token, unk) counts are a stateless codegen'd

@@ -221,4 +221,24 @@ class StreamOutOfOrderSpec extends SparkSpec {
     assert(cells === Map(("zh", "en") -> 2L, ("de", "de") -> 2L,
       ("fr", "en") -> 1L))
   }
+
+  test("stream calibration: bin sums over shuffled backfills equal batch") {
+    // one bin's members split across the first and LAST files (the
+    // positive label %3 docs land where the score map puts them); an
+    // empty-text doc (score exactly 0.5, the bin-edge case) in the middle
+    val f1 = Seq((299L, "table row value"), (6L, "the the the and"))
+    val f2 = Seq((150L, ""))
+    val f3 = Seq((0L, "agg merge batch"), (9L, "key scan value part"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val dir = stagedFiles(Seq(df(f1), df(f2), df(f3)))
+    val got = runShuffled(dir, "doc_id LONG, text STRING",
+      StreamParity.calibrationAgg, "stream_calibration_ooo", 3)
+    val want = StreamParity.calibrationAgg(df(f1 ++ f2 ++ f3))
+    assert(sortedRows(got) === sortedRows(want))
+    // the empty doc scores σ(0) = 0.5 and must sit in bin 5 with the
+    // fixed-edge cut (floor(0.5 · 10)) on both engines
+    val n = got.collect().map(r => r.getLong(1)).sum
+    assert(n === 5L, s"every doc must land in exactly one bin, got $n")
+    assert(got.filter(col("bin") === 5L).count() >= 1)
+  }
 }
