@@ -1931,6 +1931,111 @@ object PipelineQueries {
         "rater_a", "rater_b"),
       Some(kappaOracleSql)),
 
+    // ---- McNemar's paired test: is classifier B actually better than A? --
+    // planted paired predictors over the documents label (A errs on %5
+    // docs, B on %7) — only the discordant counts carry signal; exact
+    // integers until the final division, Edwards continuity correction
+    "q_mcnemar" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.mcnemarTest(
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          pmod(col("doc_id"), lit(3)).as("label"),
+          pmod(col("doc_id") + when(pmod(col("doc_id"), lit(5)) === 0, 1)
+            .otherwise(0), lit(3)).as("pred_a"),
+          pmod(col("doc_id") + when(pmod(col("doc_id"), lit(7)) === 0, 2)
+            .otherwise(0), lit(3)).as("pred_b")),
+        "label", "pred_a", "pred_b"),
+      Some("""WITH p AS (SELECT doc_id % 3 AS label,
+             |    (doc_id + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) % 3 AS pa,
+             |    (doc_id + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END) % 3 AS pb
+             |  FROM documents WHERE doc_id < 300),
+             |agg AS (SELECT count(*)::BIGINT AS n,
+             |    sum(CASE WHEN pa = label AND pb <> label THEN 1 ELSE 0 END)::BIGINT AS b,
+             |    sum(CASE WHEN pa <> label AND pb = label THEN 1 ELSE 0 END)::BIGINT AS c
+             |  FROM p)
+             |SELECT n, b, c,
+             |  CASE WHEN b + c > 0 THEN round(
+             |    greatest(abs(b::DOUBLE - c::DOUBLE) - 1.0, 0.0)
+             |      * greatest(abs(b::DOUBLE - c::DOUBLE) - 1.0, 0.0)
+             |      / (b::DOUBLE + c::DOUBLE), 5) END AS chi2
+             |FROM agg""".stripMargin)),
+
+    // ---- Poisson-bootstrap accuracy CI: the distributed bootstrap --------
+    // deterministic hash multiplicities (md5 integer vs Poisson(1) CDF
+    // thresholds as INTEGER literals generated from the same series on
+    // both engines), exact-rank percentiles over the resample values
+    "q_bootstrap_ci" -> QueryDef(
+      (s, dir) => graft.eval.EvalMetrics.bootstrapAccuracyCI(
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          col("doc_id"),
+          (pmod(col("doc_id"), lit(3)) === 0 || pmod(col("n_chars"), lit(4)) === 1)
+            .as("correct")),
+        "doc_id", "correct", resamples = 40),
+      Some {
+        val ts = graft.eval.EvalMetrics.PoissonThresholds
+          .map(_.toString).mkString("[", ", ", "]")
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 OR n_chars % 4 = 1 THEN 1 ELSE 0 END AS x
+           |  FROM documents WHERE doc_id < 300),
+           |per AS (SELECT r,
+           |    round(sum(m * x)::DOUBLE / greatest(sum(m), 1), 5) AS acc
+           |  FROM (SELECT d.doc_id, d.x, r,
+           |      len(list_filter($ts, t -> t <=
+           |        ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || r::VARCHAR),
+           |          1, 8))::BIGINT)) AS m
+           |    FROM d, unnest(generate_series(1, 40)) AS _(r))
+           |  GROUP BY r),
+           |ranked AS (SELECT acc, row_number() OVER (ORDER BY acc) AS rk
+           |  FROM per)
+           |SELECT 40 AS resamples,
+           |  (SELECT round(sum(x)::DOUBLE / count(*), 5) FROM d) AS acc,
+           |  (SELECT acc FROM ranked WHERE rk = 1) AS ci_lo,
+           |  (SELECT acc FROM ranked WHERE rk = 39) AS ci_hi""".stripMargin
+      }),
+
+    // ---- Fleiss' kappa: multi-rater chance-corrected agreement -----------
+    // three planted deterministic raters per document (the q_kappa pair
+    // plus a third %5-keyed head) — n_ij cell arithmetic exact to the
+    // final divisions
+    "q_fleiss_kappa" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        def rater(shiftWhen: org.apache.spark.sql.Column, shift: Int) =
+          pmod(col("n_chars")
+          + when(shiftWhen, shift).otherwise(0), lit(3)).cast("string")
+        val ratings = base.select(col("doc_id"),
+            rater(lit(false), 0).as("r"))
+          .unionByName(base.select(col("doc_id"),
+            rater(pmod(col("doc_id"), lit(4)) === 0, 1).as("r")))
+          .unionByName(base.select(col("doc_id"),
+            rater(pmod(col("doc_id"), lit(5)) === 0, 2).as("r")))
+        graft.eval.EvalMetrics.fleissKappa(ratings, "doc_id", "r")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, (n_chars % 3)::VARCHAR AS j
+             |    FROM documents WHERE doc_id < 300
+             |  UNION ALL
+             |  SELECT doc_id, ((n_chars + CASE WHEN doc_id % 4 = 0 THEN 1
+             |    ELSE 0 END) % 3)::VARCHAR FROM documents WHERE doc_id < 300
+             |  UNION ALL
+             |  SELECT doc_id, ((n_chars + CASE WHEN doc_id % 5 = 0 THEN 2
+             |    ELSE 0 END) % 3)::VARCHAR FROM documents WHERE doc_id < 300),
+             |cells AS (SELECT doc_id, j, count(*)::BIGINT AS c
+             |  FROM r GROUP BY 1, 2),
+             |peritem AS (SELECT doc_id, sum(c * c) AS sq, sum(c) AS n
+             |  FROM cells GROUP BY 1),
+             |tot AS (SELECT count(*)::BIGINT AS items FROM peritem),
+             |pbar AS (SELECT sum((sq - n)::DOUBLE)
+             |    / (items * 3.0 * 2.0) AS pbar
+             |  FROM peritem CROSS JOIN tot GROUP BY items),
+             |pe AS (SELECT sum(power(nj::DOUBLE / (items * 3.0), 2)) AS pe
+             |  FROM (SELECT j, sum(c) AS nj FROM cells GROUP BY 1)
+             |  CROSS JOIN tot GROUP BY items)
+             |SELECT (SELECT items FROM tot) AS n_items, 3::BIGINT AS n_raters,
+             |  round(pbar, 5) AS pbar, round(pe, 5) AS pe,
+             |  CASE WHEN pe < 1.0
+             |    THEN round((pbar - pe) / (1.0 - pe), 5) END AS kappa
+             |FROM pbar CROSS JOIN pe""".stripMargin)),
+
     // ---- length-bucketed batch assembly: sort-by-length batches of 32 vs
     // the arrival-order baseline, per-batch padding waste for both — the
     // report that justifies length bucketing (and the padded-batching

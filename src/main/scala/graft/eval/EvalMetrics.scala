@@ -341,6 +341,140 @@ object EvalMetrics {
           roundTo).as("uncertainty"))
   }
 
+  /** McNemar's test — the PAIRED comparison of two classifiers on the
+    * same items (the A/B question "is the new quality gate actually
+    * better?" asked correctly: marginal accuracies share the items, so
+    * only the DISCORDANT pairs carry signal): b = items A got right and
+    * B wrong, c = the reverse, χ² = (|b−c| − 1)²/(b+c) with the Edwards
+    * continuity correction (the textbook small-sample default; pass
+    * `continuity = false` for the raw (b−c)²/(b+c)). ONE map-side
+    * aggregate — four conditional sums over the (label, predA, predB)
+    * projection; exact integer arithmetic until the final division.
+    * Statistic is NULL when b + c = 0 (no discordant pairs — the test
+    * is undefined, not zero). Reference under ~3.84 (χ²₁ at α=0.05)
+    * means no evidence of a difference. */
+  def mcnemarTest(df: DataFrame, labelCol: String, predACol: String,
+      predBCol: String, continuity: Boolean = true,
+      roundTo: Int = 5): DataFrame = {
+    val okA = col(predACol) === col(labelCol)
+    val okB = col(predBCol) === col(labelCol)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(okA && !okB, 1L).otherwise(0L)).as("b"),
+      sum(when(!okA && okB, 1L).otherwise(0L)).as("c"))
+    val bD = col("b").cast("double")
+    val cD = col("c").cast("double")
+    val diff = if (continuity)
+      greatest(abs(bD - cD) - lit(1.0), lit(0.0)) else abs(bD - cD)
+    agg.select(col("n"), col("b"), col("c"),
+      round(when(col("b") + col("c") > 0,
+        diff * diff / (bD + cD)), roundTo).as("chi2"))
+  }
+
+  /** Poisson-bootstrap confidence interval — THE distributed bootstrap
+    * (each classic resample would need a corpus-wide multinomial draw;
+    * the Poisson approximation gives every row an INDEPENDENT
+    * Poisson(1) multiplicity per resample, so resampling becomes a map
+    * pass). Deterministic and engine-portable: multiplicity m_r(id)
+    * derives from the md5 integer hash of `id#r` compared against
+    * integer thresholds floor(cdf_k · 2³²) of the Poisson(1) CDF —
+    * exact integer compares, no float RNG to drift between engines.
+    * Per resample the metric is weighted accuracy Σm·x / Σm; the CI is
+    * EXACT-RANK percentiles over the B resample values (never
+    * interpolated — the group_quantile contract). Shuffle: rows fan out
+    * ×B as (resample, m, m·x) triples but map-side combine collapses to
+    * B partials per task — shuffled records = O(B · tasks), never
+    * O(rows · B). Returns one row (resamples, mean, lo, hi). */
+  def bootstrapAccuracyCI(df: DataFrame, idCol: String, correctCol: String,
+      resamples: Int = 40, alpha: Double = 0.05,
+      roundTo: Int = 5): DataFrame = {
+    require(resamples >= 4, s"need >= 4 resamples, got $resamples")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    // Poisson(1) CDF as integer thresholds on the 32-bit hash space:
+    // m = #{k : h >= floor(cdf_k · 2^32)} — identical literals on both
+    // engines by construction (generated from the same series here)
+    val cdfThresholds: Seq[Long] = PoissonThresholds
+    val tLit = typedlit(cdfThresholds)
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("#"), col("__r").cast("string"))), 1, 8), 16, 10).cast("long")
+    val perResample = df
+      .select(col(idCol),
+        when(col(correctCol).cast("boolean"), 1L).otherwise(0L).as("__x"),
+        explode(sequence(lit(1), lit(resamples))).as("__r"))
+      .withColumn("__m", size(filter(tLit, t => h >= t)).cast("long"))
+      .groupBy(col("__r"))
+      .agg(sum(col("__m") * col("__x")).as("__hits"), sum(col("__m")).as("__n"))
+      .select(col("__r"),
+        round(col("__hits").cast("double") /
+          greatest(col("__n"), lit(1L)), roundTo).as("__acc"))
+    // B is literal-sized: exact-rank percentile over the collected values
+    val accs = perResample.collect().map(_.getDouble(1)).sorted
+    val lo = accs(math.max(0, math.ceil(alpha / 2 * resamples).toInt - 1))
+    val hi = accs(math.min(resamples - 1,
+      math.ceil((1 - alpha / 2) * resamples).toInt - 1))
+    val mean = df.agg(
+      round(sum(when(col(correctCol).cast("boolean"), 1.0).otherwise(0.0))
+        / count(lit(1)), roundTo).as("acc"))
+    mean.select(lit(resamples).as("resamples"), col("acc"),
+      lit(lo).as("ci_lo"), lit(hi).as("ci_hi"))
+  }
+
+  /** floor(cdf · 2³²) thresholds of the Poisson(1) CDF for k = 0..8 —
+    * the shared literal both [[bootstrapAccuracyCI]] and its SQL oracle
+    * build from (multiplicity capped at 9; P(X > 8) < 1.1e-6). */
+  private[graft] val PoissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Iterator.iterate((0, e1)) { case (k, p) =>
+      (k + 1, p / (k + 1)) }.take(9).map(_._2).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.min((c * 4294967296.0).toLong, 4294967296L))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for MANY raters (the
+    * multi-annotator QA number preference data actually needs: Cohen's
+    * κ only compares two): with n raters per item and n_ij the count of
+    * raters putting item i in category j, per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)), observed P̄ = mean_i P_i, chance
+    * P̄_e = Σ_j p_j² over the category marginals p_j = Σ_i n_ij/(Nn),
+    * κ = (P̄ − P̄_e)/(1 − P̄_e). Input is one row per (item, rater
+    * label); every item must carry the SAME rater count (require'd from
+    * the data — a missing rating breaks the formula, not the code).
+    * Two (item, category)-cell aggregates, exact integer arithmetic
+    * until the final divisions; NULL κ when P̄_e = 1. NULL labels take
+    * the '(null)' sentinel class, the [[classificationReport]]
+    * convention. */
+  def fleissKappa(ratings: DataFrame, itemCol: String, labelCol: String,
+      roundTo: Int = 5): DataFrame = {
+    def cls(c: Column) = coalesce(c.cast("string"), lit("(null)"))
+    val cells = ratings
+      .select(col(itemCol).as("__i"), cls(col(labelCol)).as("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // (item × category)-sized; read twice below
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__c") * col("__c")).as("__sq"), sum(col("__c")).as("__n"))
+    val nRatersRow = perItem.agg(min(col("__n")).as("lo"),
+      max(col("__n")).as("hi"), count(lit(1)).as("items")).head()
+    val (nLo, nHi, nItems) =
+      (nRatersRow.getLong(0), nRatersRow.getLong(1), nRatersRow.getLong(2))
+    require(nLo == nHi,
+      s"Fleiss' kappa needs a constant rater count per item; got [$nLo, $nHi]")
+    require(nLo >= 2, s"need >= 2 raters per item, got $nLo")
+    val n = nLo.toDouble
+    val pbar = perItem.agg(
+      (sum((col("__sq") - col("__n")).cast("double")) /
+        (lit(nItems.toDouble) * n * (n - 1))).as("__pbar"))
+    val pe = cells.groupBy(col("__j")).agg(sum(col("__c")).as("__nj"))
+      .agg(sum(pow(col("__nj").cast("double") /
+        lit(nItems.toDouble * n), 2)).as("__pe"))
+    pbar.crossJoin(broadcast(pe)).select(
+      lit(nItems).as("n_items"), lit(nLo).as("n_raters"),
+      round(col("__pbar"), roundTo).as("pbar"),
+      round(col("__pe"), roundTo).as("pe"),
+      round(when(col("__pe") < 1.0,
+        (col("__pbar") - col("__pe")) / (lit(1.0) - col("__pe"))),
+        roundTo).as("kappa"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters (THE preference-data QA number: are the DPO/RLHF judgments
     * better than coin flips?): κ = (p_o − p_e)/(1 − p_e) with p_o the

@@ -266,6 +266,72 @@ class EvalMetricsSpec extends SparkSpec {
     assert(m.getDouble(3) > 0 && m.getDouble(1) >= 0 && m.getDouble(2) >= 0)
   }
 
+  test("mcnemarTest: textbook discordant counts, continuity, undefined case") {
+    import org.apache.spark.sql.Row
+    // 10 items only A gets right, 4 only B, 30 both, 6 neither
+    val rows = Seq.fill(10)(("x", "x", "y")) ++ Seq.fill(4)(("x", "y", "x")) ++
+      Seq.fill(30)(("x", "x", "x")) ++ Seq.fill(6)(("x", "y", "y"))
+    val df = rows.toDF("label", "pa", "pb")
+    val r = EvalMetrics.mcnemarTest(df, "label", "pa", "pb").head()
+    assert(r === Row(50L, 10L, 4L, BigDecimal((6.0 - 1) * 5 / 14.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val raw = EvalMetrics.mcnemarTest(df, "label", "pa", "pb",
+      continuity = false).head()
+    assert(raw.getDouble(3) === BigDecimal(36.0 / 14.0)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // no discordant pairs: the statistic is undefined, not zero
+    val agree = Seq(("x", "x", "x"), ("y", "z", "z")).toDF("label", "pa", "pb")
+    assert(EvalMetrics.mcnemarTest(agree, "label", "pa", "pb").head().isNullAt(3))
+  }
+
+  test("bootstrapAccuracyCI: deterministic, ordered, degenerate-perfect") {
+    val df = spark.range(200).select(col("id").as("doc_id"),
+      (pmod(col("id"), lit(3)) === 0).as("correct"))
+    val a = EvalMetrics.bootstrapAccuracyCI(df, "doc_id", "correct",
+      resamples = 20).head()
+    val b = EvalMetrics.bootstrapAccuracyCI(df, "doc_id", "correct",
+      resamples = 20).head()
+    assert(a === b, "hash-driven resampling must be bit-deterministic")
+    val (acc, lo, hi) = (a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    assert(lo <= hi && lo <= acc + 0.05 && hi >= acc - 0.05,
+      s"CI [$lo, $hi] must bracket the point estimate $acc")
+    assert(hi - lo < 0.25, s"CI [$lo, $hi] absurdly wide for n=200")
+    // every row correct → every resample's weighted accuracy is exactly 1
+    val perfect = spark.range(50).select(col("id").as("doc_id"),
+      lit(true).as("correct"))
+    val p = EvalMetrics.bootstrapAccuracyCI(perfect, "doc_id", "correct",
+      resamples = 8).head()
+    assert(p.getDouble(1) === 1.0 && p.getDouble(2) === 1.0 &&
+      p.getDouble(3) === 1.0)
+  }
+
+  test("fleissKappa: hand-computed table, perfect, unmeasurable, ragged") {
+    // items: (a,a,a) (a,b,b) (a,a,b) (b,b,b) — P̄ = 2/3, Pe = 1/2, κ = 1/3
+    val ratings = Seq(
+      (1, "a"), (1, "a"), (1, "a"), (2, "a"), (2, "b"), (2, "b"),
+      (3, "a"), (3, "a"), (3, "b"), (4, "b"), (4, "b"), (4, "b"))
+      .toDF("item", "r")
+    val k = EvalMetrics.fleissKappa(ratings, "item", "r").head()
+    def r5(x: Double) = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k.getLong(0) === 4L && k.getLong(1) === 3L)
+    assert(k.getDouble(2) === r5(2.0 / 3.0) && k.getDouble(3) === 0.5)
+    assert(k.getDouble(4) === r5(1.0 / 3.0))
+    // perfect agreement on a non-degenerate category split → κ = 1
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b")).toDF("item", "r")
+    assert(EvalMetrics.fleissKappa(perfect, "item", "r")
+      .head().getDouble(4) === 1.0)
+    // one category only: pe = 1, agreement unmeasurable → NULL
+    val constant = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a")).toDF("item", "r")
+    assert(EvalMetrics.fleissKappa(constant, "item", "r").head().isNullAt(4))
+    // ragged rater counts break the formula → reject loudly
+    val ragged = Seq((1, "a"), (1, "a"), (2, "a")).toDF("item", "r")
+    val e = intercept[IllegalArgumentException] {
+      EvalMetrics.fleissKappa(ragged, "item", "r")
+    }
+    assert(e.getMessage.contains("constant rater count"))
+  }
+
   test("cohenKappa matches the textbook contingency table") {
     // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no: po=0.7, pe=0.5, k=0.4
     val pairs = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no"))
