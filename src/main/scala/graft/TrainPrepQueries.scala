@@ -122,6 +122,36 @@ object TrainPrepQueries {
               |    AS chunk_end_id
               |FROM cum""".stripMargin)),
 
+    // ---- NO-SPLIT greedy packing (atomic samples, bounded groups) --------
+    // packChunks' complement: docs never split across sequences; greedy
+    // first-fit in deterministic global-rank order within 64-doc groups
+    // (bins never cross groups — the bounded sequential scope); every
+    // doc's bin replayed through a DuckDB recursive CTE running the same
+    // fold
+    "q_pack_nosplit" -> QueryDef(
+      (s, dir) => TrainPrep.packNoSplit(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        contextTokens = 256L, groupSize = 64),
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, $nTokSql::BIGINT AS n
+              |  FROM documents WHERE doc_id < 300),
+              |g AS (SELECT doc_id, n,
+              |    row_number() OVER (ORDER BY doc_id) - 1 AS gid FROM d),
+              |gg AS (SELECT doc_id, n, (gid // 64)::BIGINT AS grp,
+              |    row_number() OVER (PARTITION BY gid // 64 ORDER BY gid) AS rn
+              |  FROM g),
+              |rec AS (
+              |  SELECT grp, rn, doc_id, n, n AS filled, 0::BIGINT AS bin
+              |    FROM gg WHERE rn = 1
+              |  UNION ALL
+              |  SELECT gg.grp, gg.rn, gg.doc_id, gg.n,
+              |    CASE WHEN rec.filled > 0 AND rec.filled + gg.n > 256
+              |      THEN gg.n ELSE rec.filled + gg.n END,
+              |    CASE WHEN rec.filled > 0 AND rec.filled + gg.n > 256
+              |      THEN rec.bin + 1 ELSE rec.bin END
+              |  FROM rec JOIN gg ON gg.grp = rec.grp AND gg.rn = rec.rn + 1)
+              |SELECT doc_id, n AS n_tokens, grp, bin AS bin_in_grp
+              |FROM rec""".stripMargin)),
+
     // ---- decontamination: training × benchmark word-n-gram overlap -------
     // GPT-3-style eval-set contamination check: docs < 50 stand in for the
     // benchmark, docs in [100, 600) for the training corpus; any shared

@@ -1108,4 +1108,79 @@ object TrainPrep {
         floor(greatest(col("cum_tokens") - 1, col("start_offset")) / budgetTokens))
       .select(idCol, "n_tokens", "start_offset", "chunk_id", "chunk_end_id")
   }
+
+  /** NO-SPLIT sequence packing — [[packChunks]]' complement for samples
+    * that must stay ATOMIC (SFT conversations, retrieval passages, eval
+    * items: splitting one across sequences corrupts the sample): greedy
+    * first-fit in deterministic global order, opening a new bin whenever
+    * the next document would overflow `contextTokens`. A document longer
+    * than the context gets a bin of its own (flagged `oversize` in the
+    * report — the caller decides truncate/drop; the packer never splits).
+    *
+    * Greedy packing is inherently SEQUENTIAL (each bin boundary depends
+    * on the running remainder — not prefix-summable), so the scalable
+    * form bounds the sequential scope: [[TimeSeriesOps.scanCumSumLong]]'s
+    * deterministic global ranks cut the corpus into `groupSize`-doc
+    * GROUPS, each group collects to one array row (bounded by
+    * construction — the codebook/shortlist collect pattern, here per-row
+    * instead of per-driver) and a higher-order `aggregate` folds the
+    * greedy rule over it; bins never cross groups, so the only packing
+    * loss vs a fully sequential pass is ≤ one underfull bin per group
+    * (≤ contextTokens · corpus/groupSize tokens — at groupSize 4096 that
+    * is noise), and the result is bit-deterministic on any cluster
+    * layout. Returns one row per document: (idCol, n_tokens, grp, bin —
+    * bin global across groups via the per-group running max). */
+  def packNoSplit(docs: DataFrame, idCol: String, textCol: String,
+      contextTokens: Long, groupSize: Int = 4096,
+      tokenCountFn: Column => Column = TextFunctions.tokenCount): DataFrame = {
+    require(contextTokens > 0, s"contextTokens must be positive, got $contextTokens")
+    require(groupSize > 0, s"groupSize must be positive, got $groupSize")
+    val withLen = docs.select(col(idCol).cast("long").as("__id"),
+      coalesce(tokenCountFn(col(textCol)), lit(0L)).as("__len"))
+    val ranked = assignGlobalIds(withLen, Seq("__id"), out = "__gid")
+    val grouped = ranked
+      .withColumn("__grp", floor(col("__gid") / groupSize).cast("long"))
+      .groupBy(col("__grp"))
+      .agg(array_sort(collect_list(struct(
+        col("__gid"), col("__id"), col("__len")))).as("__docs"))
+    // the greedy fold: state (filled, bin, bins); a doc that would
+    // overflow a NON-EMPTY bin opens the next one (an oversize doc into
+    // an empty bin stays — atomic, never split)
+    val lens = transform(col("__docs"), d => d.getField("__len"))
+    val bins = aggregate(lens,
+      struct(lit(0L).as("filled"), lit(0L).as("bin"),
+        array().cast("array<bigint>").as("bins")),
+      (acc, len) => {
+        val over = acc.getField("filled") > 0 &&
+          acc.getField("filled") + len > contextTokens
+        struct(
+          when(over, len).otherwise(acc.getField("filled") + len).as("filled"),
+          when(over, acc.getField("bin") + 1).otherwise(acc.getField("bin"))
+            .as("bin"),
+          concat(acc.getField("bins"),
+            array(when(over, acc.getField("bin") + 1)
+              .otherwise(acc.getField("bin")))).as("bins"))
+      },
+      acc => acc.getField("bins"))
+    grouped
+      .select(col("__grp"),
+        explode(arrays_zip(col("__docs"), bins.as("__bin")))
+          .as("__z"))
+      .select(col("__z.__docs.__id").as(idCol),
+        col("__z.__docs.__len").as("n_tokens"),
+        col("__grp").as("grp"),
+        col("__z.__bin").as("bin_in_grp"))
+  }
+
+  /** Padding-efficiency report over a [[packNoSplit]] assignment: one row
+    * per (grp, bin) with doc count, token sum, padding at `contextTokens`
+    * and the oversize flag (a single atomic doc longer than the context —
+    * pad 0, the caller's truncate/drop decision). One bin-sized
+    * aggregate. */
+  def packNoSplitReport(packed: DataFrame, contextTokens: Long): DataFrame =
+    packed.groupBy(col("grp"), col("bin_in_grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .select(col("grp"), col("bin_in_grp"), col("n_docs"), col("tokens"),
+        greatest(lit(contextTokens) - col("tokens"), lit(0L)).as("pad"),
+        (col("tokens") > contextTokens).as("oversize"))
 }

@@ -646,4 +646,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(s("A") > s("B") && s("B") > s("C"), s.toString)
     assert(s("C") === 0.0, "an item with zero wins sits at the boundary")
   }
+
+  test("packNoSplit: greedy first-fit bins, atomic oversize, group fences") {
+    // token counts by construction: doc i has i+1 single-char words
+    def doc(i: Int) = (i.toLong, Seq.fill(i + 1)("w").mkString(" "))
+    // lens 1..6 at context 6: [1,2,3] fills bin 0 exactly, 4 opens bin 1,
+    // 5 overflows -> bin 2, 6 (== context) -> bin 3
+    val df = (0 to 5).map(doc).toDF("doc_id", "text")
+    val got = TrainPrep.packNoSplit(df, "doc_id", "text",
+        contextTokens = 6L, groupSize = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(0L -> ((0L, 0L)), 1L -> ((0L, 0L)), 2L -> ((0L, 0L)),
+      3L -> ((0L, 1L)), 4L -> ((0L, 2L)), 5L -> ((0L, 3L))), got.toString)
+
+    // an OVERSIZE doc (len 9 > context 6) gets a bin alone — never split,
+    // never merged — and the report flags it with pad 0
+    val over = Seq(doc(1), doc(8), doc(2)).toDF("doc_id", "text")
+    val packed = TrainPrep.packNoSplit(over, "doc_id", "text", 6L, 100)
+    val rep = TrainPrep.packNoSplitReport(packed, 6L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+      .sortBy(_._1)
+    // greedy order is doc_id: lens 2+3 share bin 0 (pad 1), len 9 alone
+    // in bin 1 — oversize flagged, pad clamped to 0
+    assert(rep === Seq((0L, 2L, 5L, 1L, false), (1L, 1L, 9L, 0L, true)),
+      rep.toString)
+
+    // GROUP FENCE: with groupSize 2, docs 2 and 3 (lens 1,1) would share a
+    // bin under one group but land in different groups → different bins;
+    // and the assignment is identical however the input is partitioned
+    val four = (0 to 3).map(i => (i.toLong, "w")).toDF("doc_id", "text")
+    val fenced = TrainPrep.packNoSplit(four, "doc_id", "text", 10L, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(fenced === Map(0L -> ((0L, 0L)), 1L -> ((0L, 0L)),
+      2L -> ((1L, 0L)), 3L -> ((1L, 0L))), fenced.toString)
+    val repart = TrainPrep.packNoSplit(four.repartition(7), "doc_id", "text",
+        10L, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(repart === fenced, "packing must not depend on input partitioning")
+  }
 }
