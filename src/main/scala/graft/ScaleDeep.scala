@@ -340,6 +340,59 @@ object ScaleDeep {
       s"sft export shuffled $sRecs records for ${sftStats("total_tokens")} " +
         "tokens — a stage is shuffling token-level rows")
 
+    // ---- CorpusReport (the dataset card, E114) at 1 M docs ----------------
+    // CorpusPrep (transform) and SftExport (tensor export) compose above;
+    // the card was the one CLI not yet scale-composed — and stage
+    // composition is exactly what bit both of them (the 1.60× tax, the
+    // RangePartitioner offset bug). The card fuses four gates + histograms
+    // + dup clusters into shared scans; at 1 M docs its work must stay
+    // per-doc-metadata-sized: the 37.5 M-token corpus is scanned, never
+    // shuffled.
+    val cardDir = java.nio.file.Files.createTempDirectory("scale_card").toString
+    docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string")))
+      .write.mode("overwrite").parquet(s"$cardDir/in")
+    val (cardStats, rRecs, rBytes, rPeak, rSecs) = section {
+      graft.cli.CorpusReport.run(spark, Map(
+        "in" -> s"$cardDir/in", "out" -> s"$cardDir/out",
+        "context" -> "4096"))
+    }
+    val expectedTokens = (nDocs / 4) * subTokens + (nDocs - nDocs / 4) * supTokens
+    println(s"""{"metric":"corpus_report_1m","docs":${cardStats("docs")},""" +
+      s""""tokens":${cardStats("tokens")},""" +
+      s""""distinct_texts":${cardStats("distinct_texts")},""" +
+      s""""gopher_pass":${cardStats("gopher_pass")},""" +
+      s""""c4_pass":${cardStats("c4_pass")},""" +
+      s""""repetition_pass":${cardStats("repetition_pass")},""" +
+      s""""encoding_clean":${cardStats("encoding_clean")},""" +
+      s""""shuffle_records":$rRecs,"shuffle_mb":${rBytes / 1000000},""" +
+      s""""peak_stage_mb":${rPeak / 1000000},"seconds":$rSecs,""" +
+      s""""docs_per_sec":${(built / rSecs).toLong}}""")
+    require(cardStats("docs") == built, s"card lost docs: ${cardStats("docs")}")
+    // token sum is EXACT on the synthetic corpus: 3/4 × 40 + 1/4 × 30
+    require(cardStats("tokens") == expectedTokens,
+      s"card tokens ${cardStats("tokens")} != $expectedTokens")
+    // prefix sub-docs are near-dups, not exact dups — every text distinct
+    require(cardStats("distinct_texts") == built,
+      s"distinct_texts ${cardStats("distinct_texts")} != $built")
+    // the synthetic corpus is pure ASCII — the encoding gate must agree
+    require(cardStats("encoding_clean") == built,
+      s"encoding_clean ${cardStats("encoding_clean")} != $built")
+    require(Seq("gopher_pass", "c4_pass", "repetition_pass")
+      .forall(k => cardStats(k) >= 0 && cardStats(k) <= built),
+      s"gate counts out of range: $cardStats")
+    // shuffle bound: ONE section is token-scale by design — the Gopher-
+    // repetition gate's kind-tagged n-gram stream (its CorpusPrep stage
+    // line above prices it at ~6 records/token; measured 222.7 M of the
+    // card's 223.7 M records at 1 M docs). Every OTHER section aggregates
+    // per-doc metadata (digests, lengths, verdicts) with map-side
+    // combine, so the card's total must sit within ~8 records/token; a
+    // doc×doc blowup or a re-executed text scan lands far above
+    require(rRecs < 8L * expectedTokens,
+      s"dataset card shuffled $rRecs records for $expectedTokens tokens — " +
+        "beyond the repetition gate's priced n-gram stream plus per-doc " +
+        "metadata; a section is re-scanning or exploding")
+
     docs.unpersist()
     spark.stop()
   }

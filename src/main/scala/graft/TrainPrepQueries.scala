@@ -152,6 +152,27 @@ object TrainPrepQueries {
               |SELECT doc_id, n AS n_tokens, grp, bin AS bin_in_grp
               |FROM rec""".stripMargin)),
 
+    // ---- stride-scheduled source interleave (the data-loader order) ------
+    // Waldspurger-style stride scheduling: item n of source s at pass
+    // (n+0.5)/w_s, merged order = sort by pass — every prefix holds the
+    // weighted mix, no RNG, reproducible and resumable; weights derived
+    // from the source name so both engines compute them without a dim
+    "q_mix_interleave" -> QueryDef(
+      (s, dir) => graft.trainprep.TrainPrep.strideInterleave(
+        t(s, dir, "documents").filter(col("doc_id") < 300)
+          .withColumn("w", lit(1.0) + pmod(length(col("source")), lit(3))),
+        "doc_id", "source", "w"),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    1.0 + length(source) % 3 AS w
+             |  FROM documents WHERE doc_id < 300),
+             |r AS (SELECT doc_id, source, w,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+             |      AS rin FROM d)
+             |SELECT doc_id, source, rin AS rank_in_source,
+             |  row_number() OVER (ORDER BY (rin + 0.5) / w, source, doc_id) - 1
+             |    AS mix_rank
+             |FROM r""".stripMargin)),
+
     // ---- decontamination: training × benchmark word-n-gram overlap -------
     // GPT-3-style eval-set contamination check: docs < 50 stand in for the
     // benchmark, docs in [100, 600) for the training corpus; any shared

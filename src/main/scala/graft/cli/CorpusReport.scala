@@ -89,19 +89,23 @@ object CorpusReport {
         .as("gopher"),
       sum(when(TextFunctions.encodingClean(col(textCol)), 1L).otherwise(0L))
         .as("encoding")).head()
+    // sum() over ZERO rows is NULL, not 0 — on an empty corpus a bare
+    // getLong would NPE (the SftExport longOr0 guard, applied here too)
+    def longOr0(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
     // ...plus the two gates that are frames, each one aggregate
-    val c4Pass = TextFunctions.c4Gate(docs, idCol, textCol)
-      .agg(sum(when(col("pass"), 1L).otherwise(0L))).head().getLong(0)
-    val repPass = TextFunctions.repetitionGate(docs, idCol, textCol)
-      .agg(sum(when(col("pass"), 1L).otherwise(0L))).head().getLong(0)
-    val distinctTexts = spark.read.parquet(s"$out/clusters")
-      .agg(sum(col("n_clusters"))).head().getLong(0)
+    val c4Pass = longOr0(TextFunctions.c4Gate(docs, idCol, textCol)
+      .agg(sum(when(col("pass"), 1L).otherwise(0L))).head(), 0)
+    val repPass = longOr0(TextFunctions.repetitionGate(docs, idCol, textCol)
+      .agg(sum(when(col("pass"), 1L).otherwise(0L))).head(), 0)
+    val distinctTexts = longOr0(spark.read.parquet(s"$out/clusters")
+      .agg(sum(col("n_clusters"))).head(), 0)
 
     val stats = Map(
-      "docs" -> row.getLong(0), "tokens" -> row.getLong(1),
+      "docs" -> row.getLong(0), "tokens" -> longOr0(row, 1),
       "distinct_texts" -> distinctTexts,
-      "gopher_pass" -> row.getLong(2), "c4_pass" -> c4Pass,
-      "repetition_pass" -> repPass, "encoding_clean" -> row.getLong(3))
+      "gopher_pass" -> longOr0(row, 2), "c4_pass" -> c4Pass,
+      "repetition_pass" -> repPass, "encoding_clean" -> longOr0(row, 3))
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_report\",", ",", "}"))
     stats

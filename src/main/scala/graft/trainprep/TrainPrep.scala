@@ -1183,4 +1183,43 @@ object TrainPrep {
       .select(col("grp"), col("bin_in_grp"), col("n_docs"), col("tokens"),
         greatest(lit(contextTokens) - col("tokens"), lit(0L)).as("pad"),
         (col("tokens") > contextTokens).as("oversize"))
+
+  /** STRIDE-SCHEDULED source interleave — the deterministic data-loader
+    * order a weighted mixture actually trains in (the runtime twin of
+    * the [[mixTemperature]]-style weight PLANNERS, which only say how
+    * much of each source; this says in WHICH ORDER the merged stream
+    * yields them). Stride scheduling (Waldspurger & Weihl, OSDI '94):
+    * item n of source s gets pass value (n + 0.5) / w_s and the merged
+    * order sorts by pass — every length-k prefix holds ≈ k·w_s/Σw of
+    * each source (low-discrepancy, no RNG), and the schedule is a pure
+    * function of (data, weights): reproducible on any cluster layout,
+    * resumable from any offset.
+    *
+    * Weights ride in a COLUMN (join a mixture dim or derive from the
+    * source name) — enforced positive at execution time via the folded
+    * `assert_true` (the rrfFuse guard pattern: no extra scan, column
+    * pruning can't drop it). Fully parallel: per-source ranks and the
+    * final merged rank are both [[assignGlobalIds]] two-pass scans (no
+    * per-source single-partition windows — a source is usually HUGE),
+    * plus one source-sized broadcast of per-source offsets. Returns
+    * (idCol, sourceCol, rank_in_source, mix_rank). */
+  def strideInterleave(docs: DataFrame, idCol: String, sourceCol: String,
+      weightCol: String): DataFrame = {
+    val gids = assignGlobalIds(
+      docs.select(col(idCol), col(sourceCol), col(weightCol)),
+      Seq(sourceCol, idCol), out = "__gid")
+    val offsets = broadcast(gids.groupBy(col(sourceCol))
+      .agg(min(col("__gid")).as("__off")))
+    val guard = coalesce(assert_true(col(weightCol) > 0,
+      lit(s"strideInterleave: $weightCol must be positive for every row")),
+      lit(0.0))
+    val passed = gids.join(offsets, Seq(sourceCol))
+      .withColumn("rank_in_source", col("__gid") - col("__off"))
+      .withColumn("__pass",
+        (col("rank_in_source").cast("double") + 0.5)
+          / col(weightCol).cast("double") + guard)
+    assignGlobalIds(passed, Seq("__pass", sourceCol, idCol), out = "mix_rank")
+      .select(col(idCol), col(sourceCol), col("rank_in_source"),
+        col("mix_rank"))
+  }
 }

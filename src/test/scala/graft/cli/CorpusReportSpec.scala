@@ -49,6 +49,20 @@ class CorpusReportSpec extends SparkSpec {
     assert(b256.getAs[Long]("pad_waste_tokens") == 56L)
   }
 
+  test("an EMPTY input corpus reports zeros instead of throwing") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("report_empty_in").toString
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("report_empty_out").toString
+    // sum() over zero rows is NULL — every summary read-back must take
+    // the longOr0 path (docs/tokens/gates/clusters), not NPE
+    val stats = CorpusReport.run(spark, Map("in" -> in, "out" -> out))
+    assert(stats === Map("docs" -> 0L, "tokens" -> 0L,
+      "distinct_texts" -> 0L, "gopher_pass" -> 0L, "c4_pass" -> 0L,
+      "repetition_pass" -> 0L, "encoding_clean" -> 0L))
+  }
+
   test("--token-counter bpe adds the vocab section with per-slice unk rates") {
     import spark.implicits._
     val in = Files.createTempDirectory("report_vocab_in").toString

@@ -685,4 +685,42 @@ class TrainPrepSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(repart === fenced, "packing must not depend on input partitioning")
   }
+
+  test("strideInterleave: low-discrepancy prefixes, layout independence, guard") {
+    // sources a (w=3) and b (w=1): every prefix of the merged order must
+    // hold counts within ONE stride of the 3:1 mix — the stride property
+    val docs = ((0 until 90).map(i => (i.toLong, "a", 3.0)) ++
+      (100 until 130).map(i => (i.toLong, "b", 1.0)))
+      .toDF("doc_id", "source", "w")
+    val order = TrainPrep.strideInterleave(docs, "doc_id", "source", "w")
+      .orderBy("mix_rank").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(order.map(_._2).toSeq == (0L until 120L), "mix_rank must be 0..n-1")
+    var na = 0; var nb = 0
+    order.foreach { case (s, _) =>
+      if (s == "a") na += 1 else nb += 1
+      // ideal mix is 3:1 — deviation from it stays within one item of
+      // each source at every prefix (stride scheduling's guarantee)
+      val k = na + nb
+      assert(math.abs(na - 0.75 * k) <= 1.0 && math.abs(nb - 0.25 * k) <= 1.0,
+        s"prefix $k drifted from the 3:1 mix: a=$na b=$nb")
+    }
+    // pure function of (data, weights): any input layout, same schedule
+    val shuffled = TrainPrep.strideInterleave(
+        docs.repartition(13), "doc_id", "source", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val base = TrainPrep.strideInterleave(docs, "doc_id", "source", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(shuffled === base)
+    // a NEGATIVE weight divides fine and would silently reorder — the
+    // folded assert must fail the job instead (w = 0 already fails loud
+    // under ANSI divide-by-zero before the guard is reached)
+    val bad = Seq((1L, "a", -1.0)).toDF("doc_id", "source", "w")
+    val e = intercept[Exception] {
+      TrainPrep.strideInterleave(bad, "doc_id", "source", "w").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be positive")), e.toString)
+  }
 }
