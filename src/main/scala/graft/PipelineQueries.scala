@@ -3095,6 +3095,43 @@ object PipelineQueries {
               |    AS text
               |FROM turns GROUP BY 1""".stripMargin)),
 
+    // ---- conversation-STRUCTURE gate (SFT schema QA) ----------------------
+    // planted violations over the sftConvs shape: %7 convs get a
+    // whitespace-only assistant turn, %11 swap user/assistant roles, %13
+    // append a trailing user turn — each must gate with ITS reason in the
+    // gate's fixed precedence (empty_turn → bad_alternation →
+    // no_assistant_end); the oracle derives the expected verdicts from
+    // the same construction
+    "q_chat_gate" -> QueryDef(
+      (s, dir) => {
+        val convs = docArm(s, dir, 0, "conv_id", "utext")
+          .join(docArm(s, dir, 100, "conv_id", "atext"), "conv_id")
+        val m7 = pmod(col("conv_id"), lit(7)) === 0
+        val m11 = pmod(col("conv_id"), lit(11)) === 0
+        val m13 = pmod(col("conv_id"), lit(13)) === 0
+        val arr4 = array(
+          struct(lit("system").as("role"), lit(SftSystemPrompt).as("content")),
+          struct(when(m11, "assistant").otherwise("user").as("role"),
+            col("utext").as("content")),
+          struct(when(m11, "user").otherwise("assistant").as("role"),
+            when(m7, "  ").otherwise(col("atext")).as("content")),
+          struct(lit("user").as("role"), lit("more please").as("content")))
+        graft.trainprep.SftPrep.chatGate(
+          convs.select(col("conv_id"),
+            when(m13, arr4).otherwise(slice(arr4, 1, 3)).as("turns")),
+          "conv_id", "turns")
+      },
+      Some("""WITH v AS (SELECT doc_id AS conv_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'empty_turn'
+             |      WHEN doc_id % 11 = 0 THEN 'bad_alternation'
+             |      WHEN doc_id % 13 = 0 THEN 'no_assistant_end'
+             |      ELSE '' END AS reason,
+             |    CASE WHEN doc_id % 13 = 0 THEN 4 ELSE 3 END AS n_turns
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT conv_id, n_turns::BIGINT AS n_turns, TRUE AS has_system,
+             |  reason = '' AS pass, reason
+             |FROM v""".stripMargin)),
+
     // ---- completion-loss token spans over the rendered text ---------------
     // per-turn BPE token extents + the loss extent (assistant content +
     // end marker, header excluded); every boundary and count replayed

@@ -152,6 +152,33 @@ object TrainPrepQueries {
               |SELECT doc_id, n AS n_tokens, grp, bin AS bin_in_grp
               |FROM rec""".stripMargin)),
 
+    // ---- best-of-n rejection sampling (winner + runner-up margin) --------
+    // 50 prompts × 6 scored candidates; winner = max score with the
+    // lower-candidate tiebreak, margin = best − runner-up (NULL when no
+    // runner-up); scores k/13 never hit a rounding tie
+    "q_best_of_n" -> QueryDef(
+      (s, dir) => graft.trainprep.SftPrep.bestOfN(
+        t(s, dir, "documents").filter(col("doc_id") < 300).select(
+          pmod(col("doc_id"), lit(50)).as("prompt_id"),
+          col("doc_id").as("cand"),
+          (pmod(col("doc_id") * 7, lit(13)).cast("double") / 13.0).as("score")),
+        "prompt_id", "cand", "score"),
+      Some("""WITH c AS (SELECT doc_id % 50 AS prompt_id, doc_id AS cand,
+             |    round((doc_id * 7 % 13) / 13.0, 6) AS score
+             |  FROM documents WHERE doc_id < 300),
+             |r AS (SELECT prompt_id, cand, score,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |      ORDER BY score DESC, cand ASC) AS rk
+             |  FROM c)
+             |SELECT prompt_id,
+             |  max(CASE WHEN rk = 1 THEN cand END) AS best_cand,
+             |  max(CASE WHEN rk = 1 THEN score END) AS best_score,
+             |  count(*)::BIGINT AS n_cands,
+             |  CASE WHEN count(*) > 1 THEN
+             |    max(CASE WHEN rk = 1 THEN score END)
+             |      - max(CASE WHEN rk = 2 THEN score END) END AS margin
+             |FROM r GROUP BY 1""".stripMargin)),
+
     // ---- stride-scheduled source interleave (the data-loader order) ------
     // Waldspurger-style stride scheduling: item n of source s at pass
     // (n+0.5)/w_s, merged order = sort by pass — every prefix holds the

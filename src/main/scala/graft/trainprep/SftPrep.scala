@@ -187,4 +187,82 @@ object SftPrep {
       .withColumn("loss_end", col("tok_end"))
       .drop("__h", "__b")
   }
+
+  /** BEST-OF-N selection — rejection sampling over scored candidate
+    * completions (the RLHF data-prep step between the reward model and
+    * SFT-on-winners: sample n, keep the best, and keep the MARGIN to the
+    * runner-up as the confidence signal that gates weak prompts out).
+    * Input: one row per (prompt, candidate, score). Winner = max score,
+    * ties broken toward the LOWER candidate id (deterministic on any
+    * engine); margin = best − runner-up, NULL for single-candidate
+    * prompts (no runner-up — unmeasurable, not zero). One groupBy: the
+    * per-prompt candidate list is n-sized BY CONSTRUCTION (best-of-n,
+    * n ≤ dozens), so `sort_array(collect_list(...))` is the bounded
+    * per-row collect pattern, never a data-sized array. */
+  def bestOfN(cands: DataFrame, promptCol: String, candCol: String,
+      scoreCol: String, roundTo: Int = 6): DataFrame = {
+    // sort key: score DESC then candidate id ASC — struct ordering is
+    // lexicographic, so (−score′, cand) ascending gives exactly that;
+    // negating a rounded score is exact
+    val sorted = sort_array(collect_list(struct(
+      (-round(col(scoreCol).cast("double"), roundTo)).as("__ns"),
+      col(candCol).cast("long").as("__c"))))
+    cands.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_cands"), sorted.as("__s"))
+      .select(col(promptCol),
+        col("__s").getItem(0).getField("__c").as("best_cand"),
+        (-col("__s").getItem(0).getField("__ns")).as("best_score"),
+        col("n_cands"),
+        when(col("n_cands") > 1,
+          col("__s").getItem(1).getField("__ns")
+            - col("__s").getItem(0).getField("__ns")).as("margin"))
+  }
+
+  /** Conversation-STRUCTURE gate — the schema half of SFT corpus QA
+    * (render/spans assume well-formed conversations; a malformed one
+    * silently trains garbage): per conversation,
+    *
+    *  - an optional leading system turn, then STRICT user/assistant
+    *    alternation starting at user;
+    *  - no empty or whitespace-only content anywhere (NULL counts as
+    *    empty);
+    *  - the last turn is the assistant's (a trailing user turn has no
+    *    completion to learn);
+    *  - body turn count (system excluded) in [2, maxTurns].
+    *
+    * Returns (convId, n_turns, has_system, pass, reason) with `reason`
+    * the FIRST failed check in the fixed order empty_turn →
+    * bad_alternation → no_assistant_end → too_short → too_long ('' when
+    * pass). Pure map over the turns array (higher-order functions) —
+    * zero shuffle, gate rates aggregate map-side. */
+  def chatGate(convs: DataFrame, convId: String, turnsCol: String,
+      maxTurns: Int = 64): DataFrame = {
+    require(maxTurns >= 2, s"maxTurns must be >= 2, got $maxTurns")
+    val turns = coalesce(col(turnsCol),
+      array().cast(convs.schema(turnsCol).dataType))
+    val nAll = size(turns)
+    val hasSystem = nAll >= 1 &&
+      element_at(turns, 1).getField("role") === "system"
+    val body = when(hasSystem, slice(turns, lit(2), greatest(nAll - 1, lit(0))))
+      .otherwise(turns)
+    val n = size(body)
+    val emptyTurn = exists(turns, t =>
+      length(trim(coalesce(t.getField("content"), lit("")))) === 0)
+    // sequence(1, 0) would DESCEND — guard the empty body explicitly
+    val alternates = when(n < 1, lit(false)).otherwise(
+      forall(sequence(lit(1), n), i =>
+        element_at(body, i).getField("role") ===
+          when(pmod(i, lit(2)) === 1, "user").otherwise("assistant")))
+    val endsAssistant = n >= 1 &&
+      element_at(body, -1).getField("role") === "assistant"
+    val reason = when(emptyTurn, "empty_turn")
+      .when(!alternates, "bad_alternation")
+      .when(!endsAssistant, "no_assistant_end")
+      .when(n < 2, "too_short")
+      .when(n > maxTurns, "too_long")
+      .otherwise("")
+    convs.select(col(convId), nAll.cast("long").as("n_turns"),
+      hasSystem.as("has_system"),
+      (reason === "").as("pass"), reason.as("reason"))
+  }
 }

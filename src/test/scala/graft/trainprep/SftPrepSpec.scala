@@ -211,4 +211,62 @@ class SftPrepSpec extends SparkSpec {
     assert(exchanges(SftPrep.completionLossSpans(flat, "conv_id", "turns",
       cnt)) == 1, "spans need exactly the per-conversation window exchange")
   }
+
+  test("bestOfN: winner, lower-cand tiebreak, NULL margin for singletons") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.9), // tie at 0.9 → cand 10
+      (2L, 20L, 0.5),                                 // singleton
+      (3L, 30L, 0.1), (3L, 31L, 0.4))
+      .toDF("prompt_id", "cand", "score")
+    val got = SftPrep.bestOfN(cands, "prompt_id", "cand", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got(1L) === ((10L, 0.9, 3L, Some(0.0))),
+      "equal scores tie toward the LOWER candidate id, margin 0")
+    assert(got(2L) === ((20L, 0.5, 1L, None)),
+      "a single candidate has no runner-up: margin NULL, not 0")
+    assert(got(3L)._1 === 31L &&
+      math.abs(got(3L)._4.get - 0.3) < 1e-12)
+  }
+
+  test("chatGate: no-system convs, short/long/empty edges, null safety") {
+    import spark.implicits._
+    def conv(id: Long, ts: Seq[(String, String)]) = (id, ts)
+    val df = Seq(
+      conv(1, Seq("user" -> "hi", "assistant" -> "hello")),   // pass, no system
+      conv(2, Seq("system" -> "s", "user" -> "hi",
+        "assistant" -> "hello")),                              // pass, system
+      conv(3, Seq("user" -> "hi")),                            // ends user
+      conv(4, Seq("system" -> "s")),                           // empty body
+      conv(5, Seq("assistant" -> "hi", "user" -> "x")),        // swapped
+      conv(6, Seq("user" -> "hi", "assistant" -> " ")),        // blank content
+      conv(7, Seq.empty[(String, String)]))                    // no turns at all
+      .toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"),
+        t => struct(t.getField("_1").as("role"),
+          t.getField("_2").as("content"))).as("turns"))
+    val got = SftPrep.chatGate(df, "conv_id", "turns")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(got(1L) === ((2L, false, true, "")))
+    assert(got(2L) === ((3L, true, true, "")))
+    assert(got(3L) === ((1L, false, false, "no_assistant_end")))
+    assert(got(4L) === ((1L, true, false, "bad_alternation")),
+      "a system-only conversation has an empty body")
+    assert(got(5L) === ((2L, false, false, "bad_alternation")))
+    assert(got(6L) === ((2L, false, false, "empty_turn")))
+    assert(got(7L) === ((0L, false, false, "bad_alternation")))
+    // too_long fires past maxTurns on an otherwise-valid conversation
+    val long = Seq((8L, (0 until 3).flatMap(_ =>
+      Seq("user" -> "q", "assistant" -> "a"))))
+      .toDF("conv_id", "raw")
+      .select(col("conv_id"), transform(col("raw"),
+        t => struct(t.getField("_1").as("role"),
+          t.getField("_2").as("content"))).as("turns"))
+    val l = SftPrep.chatGate(long, "conv_id", "turns", maxTurns = 4)
+      .head()
+    assert(!l.getBoolean(3) && l.getString(4) === "too_long")
+  }
 }
