@@ -454,6 +454,15 @@ object EvalMetrics {
       .agg(sum(col("__c") * col("__c")).as("__sq"), sum(col("__c")).as("__n"))
     val nRatersRow = perItem.agg(min(col("__n")).as("lo"),
       max(col("__n")).as("hi"), count(lit(1)).as("items")).head()
+    // EMPTY ratings: min/max over zero rows are NULL (the CorpusReport
+    // longOr0 class) — return the all-null row the siblings produce
+    // instead of NPE-ing on getLong (review-pass finding)
+    if (nRatersRow.isNullAt(0)) {
+      val nullD = lit(null).cast("double")
+      return ratings.sparkSession.range(1).select(
+        lit(0L).as("n_items"), lit(null).cast("long").as("n_raters"),
+        nullD.as("pbar"), nullD.as("pe"), nullD.as("kappa"))
+    }
     val (nLo, nHi, nItems) =
       (nRatersRow.getLong(0), nRatersRow.getLong(1), nRatersRow.getLong(2))
     require(nLo == nHi,

@@ -139,11 +139,34 @@ object LakeMerge {
       require(dup == 0L,
         s"updates contain duplicate (${keyCols.mkString(", ")}) keys — " +
           "no upsert dialect defines a winner inside one batch")
+      // the partition value must agree with the layout's derivation: a
+      // mis-derived part_date (different session timezone, hand-set)
+      // would prune to the WRONG partition, miss the existing key in the
+      // anti-join and silently INSERT a duplicate — breaking
+      // exactly-once-by-key (review-pass finding). One updates-sized
+      // scan; custom layouts whose partition column is not
+      // date_format(timeCol) pass requireUniqueKeys = false and own both
+      // checks themselves.
+      val drifted = updates.filter(
+        col(partitionCol).cast("string") =!=
+          date_format(col(timeCol), "yyyy-MM-dd")).limit(1).count()
+      require(drifted == 0L,
+        s"updates carry a $partitionCol that disagrees with " +
+          s"date_format($timeCol) — a mis-derived partition would upsert " +
+          "into the wrong directory and duplicate its key")
     }
 
-    // 1. PRUNE — the affected partitions are the updates' date span
-    val affected = updates.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    // 1. PRUNE — the affected partitions are the updates' date span.
+    // A NULL partition value must fail HERE, before anything is written:
+    // the staging write would name it __HIVE_DEFAULT_PARTITION__ while
+    // the swap loop looks for 'part_date=null', throwing only after
+    // other partitions already swapped (review-pass finding)
+    val affectedRaw = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSeq
+    require(affectedRaw.forall(_.isDefined),
+      s"updates contain NULL $partitionCol values — derive the partition " +
+        "from a non-null event time before merging")
+    val affected = affectedRaw.flatten.sorted
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -168,20 +191,36 @@ object LakeMerge {
     val rowsAfter =
       spark.read.parquet(staging.toString).count() // footer-count only
 
-    // 3. SWAP — per affected partition: old → trash, staged → live.
-    // rename is atomic; the trash hop means a crash mid-swap leaves either
-    // the old or the new directory live, never a half-written mix. (A
-    // manifest/transaction log is the multi-partition-atomic upgrade.)
+    // 3. SWAP — per affected partition: old → trash, staged → live. Each
+    // rename is atomic, but the PAIR is not: between the two renames the
+    // partition exists in NEITHER location, so a failed second rename
+    // ROLLS BACK (trash → live) before surfacing the error, restoring the
+    // old data. What this per-partition discipline canNOT give is
+    // multi-partition atomicity: a crash mid-LOOP leaves earlier
+    // partitions on the new data and later ones on the old — each
+    // partition individually consistent, the merge as a whole
+    // half-applied. Re-running the same merge converges it (the
+    // exactly-once-by-key contract makes the retry safe); a
+    // manifest/transaction log (Delta/Iceberg) is the upgrade that makes
+    // the whole commit one atomic pointer swing.
     affected.foreach { v =>
       val live = new Path(lakeDir, s"$partitionCol=$v")
       val staged = new Path(staging, s"$partitionCol=$v")
       require(fs.exists(staged),
         s"staged partition $partitionCol=$v missing — staging write failed")
       val trash = new Path(staging, s".old-$partitionCol=$v")
-      if (fs.exists(live)) require(fs.rename(live, trash),
+      val hadOld = fs.exists(live)
+      if (hadOld) require(fs.rename(live, trash),
         s"could not move old partition $live aside")
-      require(fs.rename(staged, live),
-        s"could not move staged partition $staged into place")
+      if (!fs.rename(staged, live)) {
+        val restored = hadOld && fs.rename(trash, live)
+        throw new IllegalStateException(
+          s"could not move staged partition $staged into place" +
+            (if (hadOld)
+              (if (restored) s" — old data ROLLED BACK into $live"
+               else s" — ROLLBACK ALSO FAILED: old data is at $trash")
+             else ""))
+      }
     }
     fs.delete(staging, true)
 

@@ -195,10 +195,15 @@ object SftPrep {
     * Input: one row per (prompt, candidate, score). Winner = max score,
     * ties broken toward the LOWER candidate id (deterministic on any
     * engine); margin = best − runner-up, NULL for single-candidate
-    * prompts (no runner-up — unmeasurable, not zero). One groupBy: the
-    * per-prompt candidate list is n-sized BY CONSTRUCTION (best-of-n,
-    * n ≤ dozens), so `sort_array(collect_list(...))` is the bounded
-    * per-row collect pattern, never a data-sized array. */
+    * prompts (no runner-up — unmeasurable, not zero). NULL-scored
+    * candidates (a reward-model scoring failure) are EXCLUDED before
+    * selection — Spark's ascending struct sort puts a null field FIRST,
+    * so an unscored candidate would otherwise silently WIN best-of-n
+    * (review-pass finding); a prompt with no scored candidate yields no
+    * row. One groupBy: the per-prompt candidate list is n-sized BY
+    * CONSTRUCTION (best-of-n, n ≤ dozens), so
+    * `sort_array(collect_list(...))` is the bounded per-row collect
+    * pattern, never a data-sized array. */
   def bestOfN(cands: DataFrame, promptCol: String, candCol: String,
       scoreCol: String, roundTo: Int = 6): DataFrame = {
     // sort key: score DESC then candidate id ASC — struct ordering is
@@ -207,7 +212,8 @@ object SftPrep {
     val sorted = sort_array(collect_list(struct(
       (-round(col(scoreCol).cast("double"), roundTo)).as("__ns"),
       col(candCol).cast("long").as("__c"))))
-    cands.groupBy(col(promptCol))
+    cands.filter(col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_cands"), sorted.as("__s"))
       .select(col(promptCol),
         col("__s").getItem(0).getField("__c").as("best_cand"),
@@ -241,8 +247,12 @@ object SftPrep {
     val turns = coalesce(col(turnsCol),
       array().cast(convs.schema(turnsCol).dataType))
     val nAll = size(turns)
-    val hasSystem = nAll >= 1 &&
-      element_at(turns, 1).getField("role") === "system"
+    // a NULL role must FAIL the structural checks, not null them out:
+    // `null === "user"` is NULL, and a when() chain SKIPS a NULL
+    // predicate — without the coalesce a null-role turn would fall
+    // through every branch to the pass verdict (review-pass finding)
+    def roleOf(t: Column) = coalesce(t.getField("role"), lit(""))
+    val hasSystem = nAll >= 1 && roleOf(element_at(turns, 1)) === "system"
     val body = when(hasSystem, slice(turns, lit(2), greatest(nAll - 1, lit(0))))
       .otherwise(turns)
     val n = size(body)
@@ -251,10 +261,10 @@ object SftPrep {
     // sequence(1, 0) would DESCEND — guard the empty body explicitly
     val alternates = when(n < 1, lit(false)).otherwise(
       forall(sequence(lit(1), n), i =>
-        element_at(body, i).getField("role") ===
+        roleOf(element_at(body, i)) ===
           when(pmod(i, lit(2)) === 1, "user").otherwise("assistant")))
     val endsAssistant = n >= 1 &&
-      element_at(body, -1).getField("role") === "assistant"
+      roleOf(element_at(body, -1)) === "assistant"
     val reason = when(emptyTurn, "empty_turn")
       .when(!alternates, "bad_alternation")
       .when(!endsAssistant, "no_assistant_end")

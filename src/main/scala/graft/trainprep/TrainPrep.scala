@@ -913,6 +913,25 @@ object TrainPrep {
     * (the q_ppl_buckets lie-low trap, round 11). */
   def bradleyTerryStrengths(pairs: DataFrame, winnerCol: String,
       loserCol: String, iters: Int = 3, roundTo: Int = 6): DataFrame = {
+    val (plan, pc) = bradleyTerryStrengthsPlan(pairs, winnerCol, loserCol,
+      iters, roundTo)
+    // materialize the item-sized strengths (eager) BEFORE unpersisting:
+    // the iterations only built a plan referencing pc's InMemoryRelation,
+    // so dropping the cache any earlier would make each of the 2·iters
+    // occurrences recompute the pair aggregate from the raw stream
+    val out = plan.localCheckpoint(true)
+    pc.unpersist()
+    out
+  }
+
+  /** The LAZY strengths plan + the persisted pair-count frame it rides —
+    * the auditable internals of [[bradleyTerryStrengths]] (PlanAuditSpec
+    * pins the per-iteration broadcast joins HERE; the public entry point
+    * returns an eager item-sized checkpoint whose plan is just the
+    * checkpoint scan). Callers of THIS variant own the unpersist. */
+  private[graft] def bradleyTerryStrengthsPlan(pairs: DataFrame,
+      winnerCol: String, loserCol: String, iters: Int = 3,
+      roundTo: Int = 6): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val typed = pairs.select(col(winnerCol).cast("string").as("__w"),
       col(loserCol).cast("string").as("__l"))
@@ -952,14 +971,7 @@ object TrainPrep {
             greatest(raw, lit(math.pow(10.0, -roundTo))))
             .otherwise(lit(0.0)).as("__s"))
     }
-    // materialize the item-sized strengths (eager) BEFORE unpersisting:
-    // the iterations only built a plan referencing pc's InMemoryRelation,
-    // so dropping the cache any earlier would make each of the 2·iters
-    // occurrences recompute the pair aggregate from the raw stream
-    val out = w.select(col("item"), col("__s").as("strength"))
-      .localCheckpoint(true)
-    pc.unpersist()
-    out
+    (w.select(col("item"), col("__s").as("strength")), pc)
   }
 
   /** GPT-style packed TOKEN-ID sequences — the final training artifact:

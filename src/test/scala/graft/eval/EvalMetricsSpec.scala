@@ -330,6 +330,11 @@ class EvalMetricsSpec extends SparkSpec {
       EvalMetrics.fleissKappa(ragged, "item", "r")
     }
     assert(e.getMessage.contains("constant rater count"))
+    // EMPTY input: the all-null row, never an NPE on the null min/max
+    // (the CorpusReport longOr0 class — review fix)
+    val empty = EvalMetrics.fleissKappa(
+      ratings.filter(lit(false)), "item", "r").head()
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(4))
   }
 
   test("cohenKappa matches the textbook contingency table") {

@@ -123,6 +123,38 @@ class LakeMergeSpec extends SparkSpec {
     assert(got === 7.25)
   }
 
+  test("NULL partition values and mis-derived partitions fail BEFORE any write") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lakemerge4").toString + "/lake"
+    LakeMerge.writeLake(
+      batch(Seq("wl_a"), "2024-01-02 06:00:00", day1 ++ day2, (_, _) => 1.0), dir)
+    val before = readLakeSorted(dir)
+
+    // a null event time derives a null part_date — must fail fast, not
+    // strand rows under __HIVE_DEFAULT_PARTITION__ after a partial swap
+    val nullPart = Seq(("wl_a", "2024-01-02 06:00:00",
+      null.asInstanceOf[String], 2.0))
+      .toDF("tms_id", "fgt", "time", "value")
+      .withColumn("part_date", lit(null).cast("string"))
+    val e1 = intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, dir, nullPart)
+    }
+    assert(e1.getMessage.contains("NULL part_date"), e1.getMessage)
+
+    // a part_date disagreeing with date_format(time) (wrong-timezone
+    // derivation) would prune to the wrong directory and duplicate the
+    // key — rejected by the strict check
+    val drifted = batch(Seq("wl_a"), "2024-01-02 06:00:00",
+        Seq(day1.head), (_, _) => 9.0)
+      .withColumn("part_date", lit("2024-02-15"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, dir, drifted)
+    }
+    assert(e2.getMessage.contains("disagrees"), e2.getMessage)
+    assert(readLakeSorted(dir) === before,
+      "a rejected merge must leave the lake untouched")
+  }
+
   test("duplicate keys in one batch are rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lakemerge3").toString + "/lake"
     LakeMerge.writeLake(

@@ -269,4 +269,31 @@ class SftPrepSpec extends SparkSpec {
       .head()
     assert(!l.getBoolean(3) && l.getString(4) === "too_long")
   }
+
+  test("chatGate: a NULL role FAILS — never nulls through to pass (review fix)") {
+    import spark.implicits._
+    // null === "user" is NULL and when() skips NULL predicates — without
+    // the role coalesce this conversation fell through to pass = true
+    val df = Seq(1L).toDF("conv_id").select(col("conv_id"), array(
+      struct(lit(null).cast("string").as("role"), lit("x").as("content")),
+      struct(lit("assistant").as("role"), lit("ok").as("content"))).as("turns"))
+    val r = SftPrep.chatGate(df, "conv_id", "turns").head()
+    assert(!r.getBoolean(3) && r.getString(4) === "bad_alternation",
+      s"null-role conversation must gate: $r")
+  }
+
+  test("bestOfN: NULL-scored candidates never win (review fix)") {
+    import spark.implicits._
+    // ascending struct sort puts a null field FIRST — an unscored
+    // candidate would otherwise beat every real score
+    val cands = Seq((1L, 10L, Some(0.9)), (1L, 11L, None),
+      (2L, 20L, None))
+      .toDF("prompt_id", "cand", "score")
+    val got = SftPrep.bestOfN(cands, "prompt_id", "cand", "score").collect()
+    assert(got.length === 1, "a prompt with only null scores yields no row")
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 10L &&
+      r.getDouble(2) === 0.9 && r.getLong(3) === 1L && r.isNullAt(4),
+      s"the scored candidate must win with the null one excluded: $r")
+  }
 }
