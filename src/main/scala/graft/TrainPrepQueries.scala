@@ -578,6 +578,14 @@ object TrainPrepQueries {
              |SELECT a AS actual, p AS pred, count(*)::BIGINT AS n
              |FROM d GROUP BY 1, 2""".stripMargin)),
 
+    // ---- streaming conversation-structure gate at ingest ------------------
+    // stateless E152 gate over the stream-static SFT assembly (append
+    // mode, no state store); shares q_chat_gate's oracle over the same
+    // planted violations.
+    "q_stream_chat_gate" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.chatGateStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_chat_gate").oracle),
+
     // ---- streaming calibration + Brier monitors ---------------------------
     // the E132/E138 metrics as live state over the deployed quality gate's
     // scored traffic: per-bin (n, Σscore, Σlabel) / global (n, Σe²) are

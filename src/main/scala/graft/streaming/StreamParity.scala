@@ -334,6 +334,38 @@ object StreamParity {
       "stream_sft", OutputMode.Append())
   }
 
+  /** Streaming conversation-structure gate at ingest — SFT schema QA as
+    * arriving prompts join the static completion table (the
+    * [[sftRenderStream]] stream-static broadcast shape) and pass through
+    * the E152 gate: STATELESS (the gate is a pure map over the turns
+    * array — append mode, no state store), so stream == batch by
+    * construction; the fixture plants the same %7/%11/%13 violations as
+    * q_chat_gate and shares its oracle. */
+  def chatGateStream(spark: SparkSession, dir: String): DataFrame = {
+    val completions = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") - 100).as("conv_id"), col("text").as("atext"))
+    val prompts = docsStream(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("conv_id"), col("text").as("utext"))
+    val m7 = pmod(col("conv_id"), lit(7)) === 0
+    val m11 = pmod(col("conv_id"), lit(11)) === 0
+    val m13 = pmod(col("conv_id"), lit(13)) === 0
+    val arr4 = array(
+      struct(lit("system").as("role"),
+        lit(graft.PipelineQueries.SftSystemPrompt).as("content")),
+      struct(when(m11, "assistant").otherwise("user").as("role"),
+        col("utext").as("content")),
+      struct(when(m11, "user").otherwise("assistant").as("role"),
+        when(m7, "  ").otherwise(col("atext")).as("content")),
+      struct(lit("user").as("role"), lit("more please").as("content")))
+    val convs = prompts.join(broadcast(completions), "conv_id")
+      .select(col("conv_id"),
+        when(m13, arr4).otherwise(slice(arr4, 1, 3)).as("turns"))
+    runToTable(spark,
+      graft.trainprep.SftPrep.chatGate(convs, "conv_id", "turns"),
+      "stream_chat_gate", OutputMode.Append())
+  }
+
   /** Streaming C4 page cleanup at ingest — STATELESS (the E103 gate is a
     * pure per-row select, append mode, no state store), so stream == batch
     * by construction; the run certifies the streaming PLUMBING (file
