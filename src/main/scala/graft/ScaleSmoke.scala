@@ -978,6 +978,40 @@ object ScaleSmoke {
       s""""docs_per_sec":${(nDocs / upsSecs).toLong},""" +
       s""""shuffle_bytes":$upsShuffle}""")
 
+    // ---- no-split packing + stride interleave over the replicated corpus --
+    // the two round-13 ordering operators at 100 k docs: packNoSplit's
+    // shuffled records must scale with DOCS (ranks + the groupSize-bounded
+    // collect rows), never tokens; strideInterleave is two rank scans +
+    // a source-sized broadcast. Both require-bounded.
+    val (npBins, npShuffle, _, npSecs) = sectionShuffle {
+      val packed = graft.trainprep.TrainPrep.packNoSplit(
+        bigDocs, "doc_id", "text", contextTokens = 4096L, groupSize = 4096)
+      graft.trainprep.TrainPrep.packNoSplitReport(packed, 4096L).count()
+    }
+    // measured 2.6 MB at 100 k docs — (id, len) ranks + the bounded group
+    // structs; the corpus's ~35 MB of text bodies would blow straight
+    // through this bound if a stage started shuffling them
+    require(npShuffle < 8L * 1024 * 1024,
+      s"packNoSplit shuffled $npShuffle bytes — text is moving")
+    require(npBins > 0, "packNoSplit must have produced bins")
+    val (mixCount, mixRecsB, _, mixSecs) = sectionShuffle {
+      graft.trainprep.TrainPrep.strideInterleave(
+        bigDocs.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16)).cast("string")))
+          .withColumn("w", lit(1.0) + pmod(length(col("text")), lit(5))),
+        "doc_id", "source", "w").count()
+    }
+    require(mixCount == nDocs, s"interleave lost docs: $mixCount")
+    // measured 1.7 MB: two (id, source, w, rank) scans — same text alarm
+    require(mixRecsB < 8L * 1024 * 1024,
+      s"strideInterleave shuffled $mixRecsB bytes — text is moving")
+    println(s"""{"metric":"pack_interleave_scale","docs":$nDocs,""" +
+      s""""pack_bins":$npBins,"pack_seconds":$npSecs,""" +
+      s""""pack_shuffle_bytes":$npShuffle,""" +
+      s""""interleave_seconds":$mixSecs,""" +
+      s""""interleave_shuffle_bytes":$mixRecsB,""" +
+      s""""docs_per_sec":${(nDocs / mixSecs).toLong}}""")
+
     // ---- classifier-eval sweep at 1 M FULLY DISTINCT scores: the PR
     // curve's worst case (threshold axis = data-sized) — the point of the
     // bucketed cumulative is that this still never plans a
