@@ -754,6 +754,27 @@ object PipelineQueries {
     * into BOTH engines' sides so the literal cannot drift. */
   private[graft] val SftSystemPrompt = "be concise"
 
+  /** The chat-gate fixture with planted structure violations, shared by
+    * q_chat_gate AND its streaming twin (one builder so the two sides of
+    * the shared oracle can never drift): conv %7 gets a whitespace-only
+    * assistant turn, %11 swaps the user/assistant roles, %13 appends a
+    * trailing user turn. Input: (conv_id, utext, atext). */
+  private[graft] def chatGateFixture(
+      convs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m7 = pmod(col("conv_id"), lit(7)) === 0
+    val m11 = pmod(col("conv_id"), lit(11)) === 0
+    val m13 = pmod(col("conv_id"), lit(13)) === 0
+    val arr4 = array(
+      struct(lit("system").as("role"), lit(SftSystemPrompt).as("content")),
+      struct(when(m11, "assistant").otherwise("user").as("role"),
+        col("utext").as("content")),
+      struct(when(m11, "user").otherwise("assistant").as("role"),
+        when(m7, "  ").otherwise(col("atext")).as("content")),
+      struct(lit("user").as("role"), lit("more please").as("content")))
+    convs.select(col("conv_id"),
+      when(m13, arr4).otherwise(slice(arr4, 1, 3)).as("turns"))
+  }
+
   /** One 100-doc arm of the SFT/DPO fixtures: docs in [lo, lo+100),
     * keyed back to the conversation/pair id (doc_id − lo). */
   private def docArm(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -3103,24 +3124,10 @@ object PipelineQueries {
     // no_assistant_end); the oracle derives the expected verdicts from
     // the same construction
     "q_chat_gate" -> QueryDef(
-      (s, dir) => {
-        val convs = docArm(s, dir, 0, "conv_id", "utext")
-          .join(docArm(s, dir, 100, "conv_id", "atext"), "conv_id")
-        val m7 = pmod(col("conv_id"), lit(7)) === 0
-        val m11 = pmod(col("conv_id"), lit(11)) === 0
-        val m13 = pmod(col("conv_id"), lit(13)) === 0
-        val arr4 = array(
-          struct(lit("system").as("role"), lit(SftSystemPrompt).as("content")),
-          struct(when(m11, "assistant").otherwise("user").as("role"),
-            col("utext").as("content")),
-          struct(when(m11, "user").otherwise("assistant").as("role"),
-            when(m7, "  ").otherwise(col("atext")).as("content")),
-          struct(lit("user").as("role"), lit("more please").as("content")))
-        graft.trainprep.SftPrep.chatGate(
-          convs.select(col("conv_id"),
-            when(m13, arr4).otherwise(slice(arr4, 1, 3)).as("turns")),
-          "conv_id", "turns")
-      },
+      (s, dir) => graft.trainprep.SftPrep.chatGate(
+        chatGateFixture(docArm(s, dir, 0, "conv_id", "utext")
+          .join(docArm(s, dir, 100, "conv_id", "atext"), "conv_id")),
+        "conv_id", "turns"),
       Some("""WITH v AS (SELECT doc_id AS conv_id,
              |    CASE WHEN doc_id % 7 = 0 THEN 'empty_turn'
              |      WHEN doc_id % 11 = 0 THEN 'bad_alternation'

@@ -23,6 +23,13 @@ object CliArgs {
       k.dropWhile(_ == '-') -> v
     }.toMap
 
+  /** Null-safe long read of an aggregate row: `sum()`/`min()` over ZERO
+    * rows is NULL and a bare `getLong` NPEs — the empty-corpus guard
+    * every summary read-back needs (ONE definition; SftExport,
+    * CorpusReport and future CLIs share it instead of hand-rolling). */
+  def longOr0(r: org.apache.spark.sql.Row, i: Int): Long =
+    if (r.isNullAt(i)) 0L else r.getLong(i)
+
   def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkEntry.configure(SparkSession.builder()

@@ -90,9 +90,8 @@ object CorpusReport {
       sum(when(TextFunctions.encodingClean(col(textCol)), 1L).otherwise(0L))
         .as("encoding")).head()
     // sum() over ZERO rows is NULL, not 0 — on an empty corpus a bare
-    // getLong would NPE (the SftExport longOr0 guard, applied here too)
-    def longOr0(r: org.apache.spark.sql.Row, i: Int): Long =
-      if (r.isNullAt(i)) 0L else r.getLong(i)
+    // getLong would NPE; shared guard (one definition for every CLI)
+    def longOr0(r: org.apache.spark.sql.Row, i: Int): Long = CliArgs.longOr0(r, i)
     // ...plus the two gates that are frames, each one aggregate
     val c4Pass = longOr0(TextFunctions.c4Gate(docs, idCol, textCol)
       .agg(sum(when(col("pass"), 1L).otherwise(0L))).head(), 0)

@@ -88,8 +88,8 @@ object SftExport {
       sum(col("n_tokens"))).head()
     val maskRow = masks.agg(count(lit(1)),
       sum(col("loss_end_in_seq") - col("loss_start_in_seq"))).head()
-    def longOr0(r: org.apache.spark.sql.Row, i: Int): Long =
-      if (r.isNullAt(i)) 0L else r.getLong(i) // empty input → null sums
+    // empty input → null sums: the shared CliArgs.longOr0 guard
+    def longOr0(r: org.apache.spark.sql.Row, i: Int): Long = CliArgs.longOr0(r, i)
     val lossTokens = longOr0(spanRow, 1)
     val maskTokens = longOr0(maskRow, 1)
     val totalTokens = longOr0(spanRow, 2)

@@ -395,13 +395,19 @@ object EvalMetrics {
     // engines by construction (generated from the same series here)
     val cdfThresholds: Seq[Long] = PoissonThresholds
     val tLit = typedlit(cdfThresholds)
-    val h = conv(substring(md5(concat(col(idCol).cast("string"),
-      lit("#"), col("__r").cast("string"))), 1, 8), 16, 10).cast("long")
     val perResample = df
       .select(col(idCol),
         when(col(correctCol).cast("boolean"), 1L).otherwise(0L).as("__x"),
         explode(sequence(lit(1), lit(resamples))).as("__r"))
-      .withColumn("__m", size(filter(tLit, t => h >= t)).cast("long"))
+      // the hash is hoisted into its OWN column: inlined in the filter
+      // lambda it would re-evaluate (md5 + conv) once per threshold
+      // element — 9× the hashing on the ×B hot path (second-review
+      // finding)
+      .withColumn("__h", conv(substring(md5(concat(
+        col(idCol).cast("string"), lit("#"), col("__r").cast("string"))),
+        1, 8), 16, 10).cast("long"))
+      .withColumn("__m",
+        size(filter(tLit, t => col("__h") >= t)).cast("long"))
       .groupBy(col("__r"))
       .agg(sum(col("__m") * col("__x")).as("__hits"), sum(col("__m")).as("__n"))
       .select(col("__r"),
@@ -409,6 +415,15 @@ object EvalMetrics {
           greatest(col("__n"), lit(1L)), roundTo).as("__acc"))
     // B is literal-sized: exact-rank percentile over the collected values
     val accs = perResample.collect().map(_.getDouble(1)).sorted
+    // EMPTY input: zero exploded rows → zero resample groups — the
+    // all-null row, not an ArrayIndexOutOfBounds (second-review finding;
+    // the fleissKappa/CorpusReport empty-input class)
+    if (accs.isEmpty) {
+      val nullD = lit(null).cast("double")
+      return df.sparkSession.range(1).select(
+        lit(resamples).as("resamples"), nullD.as("acc"),
+        nullD.as("ci_lo"), nullD.as("ci_hi"))
+    }
     val lo = accs(math.max(0, math.ceil(alpha / 2 * resamples).toInt - 1))
     val hi = accs(math.min(resamples - 1,
       math.ceil((1 - alpha / 2) * resamples).toInt - 1))

@@ -45,11 +45,14 @@ import org.apache.spark.sql.functions._
   * applying the same update batch, or overlapping re-extractions,
   * converge to the same table a JDBC upsert would produce
   * (LakeMergeSpec proves equality against [[JdbcUpsertSink]] on the same
-  * batches). `updates` must be unique by key (checked with one
-  * updates-sized aggregate unless `requireUniqueKeys = false`):
-  * duplicate keys in ONE batch have no defined winner in any upsert
-  * dialect — MySQL takes statement order, which a distributed write
-  * cannot reproduce.
+  * batches). `updates` must be unique by key with no NULL key values and
+  * a partition column agreeing with its derivation — all checked with
+  * batch-sized aggregates over an entry `localCheckpoint` (ONE
+  * evaluation of the batch lineage for the whole merge) unless
+  * `requireUniqueKeys = false`: duplicate keys in ONE batch have no
+  * defined winner in any upsert dialect — MySQL takes statement order,
+  * which a distributed write cannot reproduce — and NULL keys never
+  * equi-join, so re-applying a batch would duplicate them forever.
   */
 object LakeMerge {
 
@@ -133,8 +136,29 @@ object LakeMerge {
       s"updates columns ${updates.columns.sorted.mkString(",")} must match " +
         s"lake columns ${lakeCols.mkString(",")}")
 
+    // evaluate the batch ONCE: the validations, counts, anti-join and
+    // staging write below are ~6 actions, and an un-cached `updates`
+    // (typically the tail of an extraction pipeline) would re-run its
+    // full lineage for each — the merge's cost must scale with the date
+    // span, not 6× the batch's production cost (second-review finding).
+    // Batch-sized by contract, released before return.
+    val upd = updates.localCheckpoint(true)
+    try {
+
     if (requireUniqueKeys) {
-      val dup = updates.groupBy(keyCols.map(col): _*)
+      // NULL key columns break exactly-once-by-key at its root: the
+      // anti-join's EqualTo never matches NULL, so a re-applied batch
+      // would INSERT its null-key rows again every run (the JDBC sink's
+      // PRIMARY KEY rejects them loudly; so do we) — and a NULL timeCol
+      // would also fail the derivation check OPEN (=!= on NULL is NULL,
+      // filter drops it). Second-review finding.
+      val nullKeys = upd.filter(
+        keyCols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+      require(nullKeys == 0L,
+        s"updates contain NULL (${keyCols.mkString(", ")}) key values — " +
+          "no upsert key may be NULL (re-applying the batch would " +
+          "duplicate such rows: NULL never equi-joins)")
+      val dup = upd.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
       require(dup == 0L,
         s"updates contain duplicate (${keyCols.mkString(", ")}) keys — " +
@@ -143,11 +167,11 @@ object LakeMerge {
       // mis-derived part_date (different session timezone, hand-set)
       // would prune to the WRONG partition, miss the existing key in the
       // anti-join and silently INSERT a duplicate — breaking
-      // exactly-once-by-key (review-pass finding). One updates-sized
+      // exactly-once-by-key (review-pass finding). One batch-sized
       // scan; custom layouts whose partition column is not
-      // date_format(timeCol) pass requireUniqueKeys = false and own both
-      // checks themselves.
-      val drifted = updates.filter(
+      // date_format(timeCol) pass requireUniqueKeys = false and own
+      // these checks themselves.
+      val drifted = upd.filter(
         col(partitionCol).cast("string") =!=
           date_format(col(timeCol), "yyyy-MM-dd")).limit(1).count()
       require(drifted == 0L,
@@ -161,7 +185,7 @@ object LakeMerge {
     // the staging write would name it __HIVE_DEFAULT_PARTITION__ while
     // the swap loop looks for 'part_date=null', throwing only after
     // other partitions already swapped (review-pass finding)
-    val affectedRaw = updates.select(col(partitionCol).cast("string"))
+    val affectedRaw = upd.select(col(partitionCol).cast("string"))
       .distinct().collect().map(r => Option(r.getString(0))).toSeq
     require(affectedRaw.forall(_.isDefined),
       s"updates contain NULL $partitionCol values — derive the partition " +
@@ -174,15 +198,15 @@ object LakeMerge {
     val staging = new Path(lakeDir, s".merge-staging-${java.util.UUID.randomUUID}")
     val current = readPartitions(spark, lakeDir, partitionCol, affected)
     val rowsBefore = current.map(_.count()).getOrElse(0L) // footer-count only
-    val rowsUpserted = updates.count()
+    val rowsUpserted = upd.count()
     val merged = current match {
       case Some(cur) =>
         // broadcast anti-join: the extraction batch is dimension-sized
         // next to the lake, so matched-row removal never shuffles the lake
-        cur.join(broadcast(updates.select(keyCols.map(col): _*)),
+        cur.join(broadcast(upd.select(keyCols.map(col): _*)),
             keyCols, "left_anti")
-          .unionByName(updates.select(cur.columns.map(col): _*))
-      case None => updates
+          .unionByName(upd.select(cur.columns.map(col): _*))
+      case None => upd
     }
     merged.repartition(filesPerPartition, col(partitionCol), col(seriesCol))
       .sortWithinPartitions(partitionCol, seriesCol, timeCol)
@@ -229,5 +253,8 @@ object LakeMerge {
     val rowsUpdated = rowsBefore + rowsUpserted - rowsAfter
     MergeStats(allParts.length, affected.length, rowsBefore, rowsUpserted,
       rowsUpdated, rowsUpserted - rowsUpdated, rowsAfter)
+
+    // release the entry checkpoint — every action above has completed
+    } finally upd.unpersist()
   }
 }

@@ -347,20 +347,10 @@ object StreamParity {
       .select((col("doc_id") - 100).as("conv_id"), col("text").as("atext"))
     val prompts = docsStream(spark, dir).filter(col("doc_id") < 100)
       .select(col("doc_id").as("conv_id"), col("text").as("utext"))
-    val m7 = pmod(col("conv_id"), lit(7)) === 0
-    val m11 = pmod(col("conv_id"), lit(11)) === 0
-    val m13 = pmod(col("conv_id"), lit(13)) === 0
-    val arr4 = array(
-      struct(lit("system").as("role"),
-        lit(graft.PipelineQueries.SftSystemPrompt).as("content")),
-      struct(when(m11, "assistant").otherwise("user").as("role"),
-        col("utext").as("content")),
-      struct(when(m11, "user").otherwise("assistant").as("role"),
-        when(m7, "  ").otherwise(col("atext")).as("content")),
-      struct(lit("user").as("role"), lit("more please").as("content")))
-    val convs = prompts.join(broadcast(completions), "conv_id")
-      .select(col("conv_id"),
-        when(m13, arr4).otherwise(slice(arr4, 1, 3)).as("turns"))
+    // the SHARED planted-violation builder — one fixture definition for
+    // the batch query, this stream and their common oracle
+    val convs = graft.PipelineQueries.chatGateFixture(
+      prompts.join(broadcast(completions), "conv_id"))
     runToTable(spark,
       graft.trainprep.SftPrep.chatGate(convs, "conv_id", "turns"),
       "stream_chat_gate", OutputMode.Append())

@@ -1140,8 +1140,10 @@ object TrainPrep {
     * loss vs a fully sequential pass is ≤ one underfull bin per group
     * (≤ contextTokens · corpus/groupSize tokens — at groupSize 4096 that
     * is noise), and the result is bit-deterministic on any cluster
-    * layout. Returns one row per document: (idCol, n_tokens, grp, bin —
-    * bin global across groups via the per-group running max). */
+    * layout. Returns one row per document: (idCol, n_tokens, grp,
+    * bin_in_grp) — the bin id is LOCAL to its group and restarts at 0;
+    * the globally unique sequence key is the PAIR (grp, bin_in_grp),
+    * which is what [[packNoSplitReport]] and the oracle aggregate on. */
   def packNoSplit(docs: DataFrame, idCol: String, textCol: String,
       contextTokens: Long, groupSize: Int = 4096,
       tokenCountFn: Column => Column = TextFunctions.tokenCount): DataFrame = {

@@ -303,6 +303,12 @@ class EvalMetricsSpec extends SparkSpec {
       resamples = 8).head()
     assert(p.getDouble(1) === 1.0 && p.getDouble(2) === 1.0 &&
       p.getDouble(3) === 1.0)
+    // EMPTY input: the all-null row, never an index-out-of-bounds on the
+    // zero collected resamples (second-review fix)
+    val none = EvalMetrics.bootstrapAccuracyCI(
+      perfect.filter(lit(false)), "doc_id", "correct", resamples = 8).head()
+    assert(none.getInt(0) === 8 && none.isNullAt(1) && none.isNullAt(2)
+      && none.isNullAt(3))
   }
 
   test("fleissKappa: hand-computed table, perfect, unmeasurable, ragged") {

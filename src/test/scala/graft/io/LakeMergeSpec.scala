@@ -130,11 +130,24 @@ class LakeMergeSpec extends SparkSpec {
       batch(Seq("wl_a"), "2024-01-02 06:00:00", day1 ++ day2, (_, _) => 1.0), dir)
     val before = readLakeSorted(dir)
 
-    // a null event time derives a null part_date — must fail fast, not
-    // strand rows under __HIVE_DEFAULT_PARTITION__ after a partial swap
-    val nullPart = Seq(("wl_a", "2024-01-02 06:00:00",
+    // a NULL key value would re-insert forever (NULL never equi-joins) —
+    // the key guard fires first, before anything is written
+    val nullKey = Seq(("wl_a", "2024-01-02 06:00:00",
       null.asInstanceOf[String], 2.0))
       .toDF("tms_id", "fgt", "time", "value")
+      .withColumn("part_date", lit(null).cast("string"))
+    val e0 = intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, dir, nullKey)
+    }
+    assert(e0.getMessage.contains("NULL (tms_id, fgt, time) key"),
+      e0.getMessage)
+
+    // valid keys but a hand-set NULL part_date slips the drift check
+    // (=!= on NULL is NULL) — the partition guard must still fail fast,
+    // not strand rows under __HIVE_DEFAULT_PARTITION__ after a partial
+    // swap
+    val nullPart = batch(Seq("wl_a"), "2024-01-02 06:00:00",
+        Seq(day1.head), (_, _) => 2.0)
       .withColumn("part_date", lit(null).cast("string"))
     val e1 = intercept[IllegalArgumentException] {
       LakeMerge.merge(spark, dir, nullPart)

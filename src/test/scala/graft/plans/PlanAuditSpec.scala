@@ -444,15 +444,19 @@ class PlanAuditSpec extends SparkSpec {
     // (so the pair-count cache can be RELEASED — the q_ppl_buckets
     // lie-low trap), so the iteration joins are pinned on the LAZY plan
     // variant; the public result must be exactly the checkpoint scan
+    // the EXACT q_bradley_terry fixture and iteration count (lang pairs,
+    // iters = 2) on the suite-wide Sf — auditing a different dataset or
+    // depth would miss a plan regression specific to the real wiring
     import org.apache.spark.sql.functions._
-    val pairs = spark.read
-      .parquet("/root/testdata/sf0.01/documents.parquet")
-      .filter(col("doc_id") < 300)
-      .select(pmod(col("doc_id"), lit(7)).cast("string").as("w"),
-        pmod(col("doc_id"), lit(5)).cast("string").as("l"))
-      .filter(col("w") =!= col("l"))
+    val d = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val pairs = d.join(
+        d.select((col("doc_id") - 1).as("doc_id"), col("lang").as("__lang2")),
+        "doc_id")
+      .filter(col("lang") =!= col("__lang2"))
+      .select(col("lang").as("w"), col("__lang2").as("l"))
     val (lazyPlan, pc) = graft.trainprep.TrainPrep
-      .bradleyTerryStrengthsPlan(pairs, "w", "l")
+      .bradleyTerryStrengthsPlan(pairs, "w", "l", iters = 2)
     val plan = lazyPlan.queryExecution.executedPlan.toString
     // both per-iteration strength joins hit the pair-count frame as
     // broadcast hash joins (items are dimension-sized by construction);
@@ -468,7 +472,7 @@ class PlanAuditSpec extends SparkSpec {
     // and the pair-count InMemoryRelation is gone from the session cache
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val pub = graft.trainprep.TrainPrep
-      .bradleyTerryStrengths(pairs, "w", "l")
+      .bradleyTerryStrengths(pairs, "w", "l", iters = 2)
     val pubPlan = pub.queryExecution.executedPlan.toString
     assert(pubPlan.contains("ExistingRDD") && !pubPlan.contains("Join"),
       "public strengths must be the eager checkpoint (cache-release " +
