@@ -641,4 +641,66 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
       "the probe must stay inside whole-stage codegen:\n" + plan.take(1200))
   }
+
+  test("q_bpe_bytes is a pure map over the scan — zero exchanges") {
+    // byte-fallback tokenize + decode + per-row counts: everything is a
+    // per-doc projection, so the plan must contain NO shuffle at all
+    val plan = executedPlan("q_bpe_bytes")
+    assert(!plan.contains("Exchange"),
+      "byte-fallback BPE must stay a map pass:\n" + plan.take(1200))
+    assert(plan.contains("bpe_tokens"),
+      "the codegen'd tokenizer expression must appear:\n" + plan.take(800))
+  }
+
+  test("q_chat_gate is a stateless per-row gate after its fixture join") {
+    // the gate itself adds no window, no aggregate and no extra shuffle
+    // beyond the fixture's one broadcast self-join
+    val plan = executedPlan("q_chat_gate")
+    assert(!plan.contains("Window"),
+      "the structure gate must not window:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the two doc arms must join broadcast:\n" + plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
+
+  test("q_best_of_n is ONE hash aggregate — no window, no join") {
+    val plan = executedPlan("q_best_of_n")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "best-of-n must not rank with windows or join sides:\n" + plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "one prompt-keyed shuffle only:\n" + plan.take(1200))
+  }
+
+  test("q_pack_nosplit and q_mix_interleave ride the bucketed scan — no single-partition data window") {
+    // both rank through scanCumSum's deterministic __pid buckets; a
+    // windowspecdefinition WITHOUT a partition key would be the
+    // single-partition global sort these operators exist to avoid
+    for (name <- Seq("q_pack_nosplit", "q_mix_interleave")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("hashpartitioning(__pid"),
+        s"$name must bucket its prefix scan:\n" + plan.take(1200))
+      assert(!"windowspecdefinition\\(aggregate".r.findFirstIn(plan).nonEmpty &&
+        !plan.contains("windowspecdefinition()"),
+        s"$name planned an unpartitioned window:\n" + plan.take(1200))
+      assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    }
+  }
+
+  test("q_mcnemar and q_brier are map-side-combined global aggregates") {
+    // mcnemar's planted predictors are pure projections → no join at all;
+    // brier rides the qualityScored FIXTURE whose scorer broadcast-joins
+    // per-doc margins back onto ids — the metric itself adds only the
+    // global aggregate, so no window and no sort-merge join anywhere
+    val mc = executedPlan("q_mcnemar")
+    assert(!mc.contains("Window") && !mc.contains("Join"),
+      "mcnemar must be one aggregate over a projection:\n" + mc.take(1200))
+    assert(mc.contains("partial_"),
+      "mcnemar must combine map-side:\n" + mc.take(1200))
+    val br = executedPlan("q_brier")
+    assert(!br.contains("Window") && !br.contains("SortMergeJoin"),
+      "brier must not window or data-join:\n" + br.take(1200))
+    assert(br.contains("partial_"),
+      "brier must combine map-side:\n" + br.take(1200))
+  }
 }
