@@ -152,6 +152,27 @@ object TrainPrepQueries {
               |SELECT doc_id, n AS n_tokens, grp, bin AS bin_in_grp
               |FROM rec""".stripMargin)),
 
+    // ---- needle-in-a-haystack synthesis (long-context eval prep) ---------
+    // needle 'the secret code is k<doc·31+di>' planted at 5 depths per
+    // doc; the whole haystack TEXT plus the needle's word offset is
+    // hash-compared verbatim, so splice arithmetic cannot drift
+    "q_needle_haystack" -> QueryDef(
+      (s, dir) => TrainPrep.needleHaystack(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+             |  FROM documents WHERE doc_id < 200),
+             |x AS (SELECT doc_id, ws, di, f,
+             |    floor(f * len(ws))::BIGINT AS p,
+             |    'the secret code is k' || (doc_id * 31 + di) AS needle
+             |  FROM d CROSS JOIN (VALUES (0, 0.0), (1, 0.25), (2, 0.5),
+             |    (3, 0.75), (4, 1.0)) v(di, f))
+             |SELECT doc_id, di::BIGINT AS depth_idx, f AS depth_frac,
+             |  len(ws)::BIGINT AS n_words, p AS needle_start_word, needle,
+             |  array_to_string(list_concat(list_concat(
+             |    ws[1:p], [needle]), ws[p+1:]), ' ') AS haystack
+             |FROM x""".stripMargin)),
+
     // ---- best-of-n rejection sampling (winner + runner-up margin) --------
     // 50 prompts × 6 scored candidates; winner = max score with the
     // lower-candidate tiebreak, margin = best − runner-up (NULL when no

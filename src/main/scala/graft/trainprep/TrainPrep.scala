@@ -1198,6 +1198,42 @@ object TrainPrep {
         greatest(lit(contextTokens) - col("tokens"), lit(0L)).as("pad"),
         (col("tokens") > contextTokens).as("oversize"))
 
+  /** NEEDLE-IN-A-HAYSTACK synthesis — the long-context eval artifact
+    * (Kamradt's NIAH and its descendants): plant a KNOWN needle sentence
+    * at each of `depths` fractional positions inside a haystack built
+    * from corpus text, emitting the exact word offset of the needle so
+    * scoring is mechanical (did the model retrieve the code planted at
+    * 75% depth of a long context?). The needle value derives from
+    * (doc, depth) — `the secret code is k<doc·31+depth_idx>` — so every
+    * sample's expected answer is reproducible on any engine with no
+    * side table, and the digit suffix cannot collide with corpus words.
+    * Pure map: words split once, `slice ⊕ needle ⊕ slice` per depth —
+    * the only fan-out is the |depths|-element literal explode. Returns
+    * (idCol, depth_idx, depth_frac, n_words, needle_start_word, needle,
+    * haystack). */
+  def needleHaystack(docs: DataFrame, idCol: String, textCol: String,
+      depths: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    require(depths.nonEmpty && depths.forall(d => d >= 0.0 && d <= 1.0),
+      s"depths must be fractions in [0, 1], got $depths")
+    val words = filter(split(col(textCol), " ", -1), w => length(w) > 0)
+    val exploded = docs
+      .select(col(idCol), words.as("__ws"),
+        posexplode(typedlit(depths)).as(Seq("depth_idx", "depth_frac")))
+    val n = size(col("__ws"))
+    val p = floor(col("depth_frac") * n).cast("int")
+    val needle = concat(lit("the secret code is k"),
+      (col(idCol).cast("long") * 31 + col("depth_idx")).cast("string"))
+    exploded.select(col(idCol),
+      col("depth_idx").cast("long").as("depth_idx"), col("depth_frac"),
+      n.cast("long").as("n_words"),
+      p.cast("long").as("needle_start_word"),
+      needle.as("needle"),
+      array_join(concat(
+        slice(col("__ws"), lit(1), p),
+        array(needle),
+        slice(col("__ws"), p + 1, n - p)), " ").as("haystack"))
+  }
+
   /** STRIDE-SCHEDULED source interleave — the deterministic data-loader
     * order a weighted mixture actually trains in (the runtime twin of
     * the [[mixTemperature]]-style weight PLANNERS, which only say how

@@ -686,6 +686,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(repart === fenced, "packing must not depend on input partitioning")
   }
 
+  test("needleHaystack: splice positions, uniqueness, empty-doc edge") {
+    import spark.implicits._
+    val docs = Seq((7L, "alpha beta gamma delta"), (9L, "")).toDF("doc_id", "text")
+    val got = TrainPrep.needleHaystack(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    // depth 0: needle is the very first element
+    val (p0, n0, h0) = got((7L, 0L))
+    assert(p0 === 0L && n0 === "the secret code is k217"
+      && h0 === s"$n0 alpha beta gamma delta")
+    // depth 1.0: needle after every word
+    val (p4, n4, h4) = got((7L, 4L))
+    assert(p4 === 4L && h4 === s"alpha beta gamma delta $n4")
+    // depth 0.5 of 4 words → after word 2
+    val (p2, n2, h2) = got((7L, 2L))
+    assert(p2 === 2L && h2 === s"alpha beta $n2 gamma delta")
+    // the needle occurs EXACTLY once (digit suffix can't collide with
+    // corpus words), at the promised word offset
+    got.foreach { case ((_, _), (p, needle, hay)) =>
+      val words = hay.split(" ")
+      assert(hay.indexOf(needle) >= 0 && hay.indexOf(needle) ==
+        hay.lastIndexOf(needle), s"needle not unique in '$hay'")
+      assert(words(p.toInt) === "the" &&
+        words.slice(p.toInt, p.toInt + 5).mkString(" ") === needle,
+        s"needle not at word $p of '$hay'")
+    }
+    // empty doc: haystack IS the needle, planted at word 0 for every depth
+    (0L to 4L).foreach { di =>
+      val (p, n, h) = got((9L, di))
+      assert(p === 0L && h === n, s"empty doc must yield the bare needle: $h")
+    }
+  }
+
   test("strideInterleave: low-discrepancy prefixes, layout independence, guard") {
     // sources a (w=3) and b (w=1): every prefix of the merged order must
     // hold counts within ONE stride of the 3:1 mix — the stride property
