@@ -2413,6 +2413,43 @@ object PipelineQueries {
              |    '\s+', ' ', 'g'))) AS canon_digest
              |FROM documents WHERE doc_id < 200""".stripMargin)),
 
+    // ---- fuzzy-match FOLD key: accents stripped on top of canonical ------
+    // the S5 station-name class: "Hanwëlla " from a degraded feed must
+    // equi-join the dimension's "hanwella". Accents planted in BOTH
+    // composed (ë = U+00EB) and decomposed (e + U+0308) forms plus
+    // non-decomposable letters (ø, ß) that must pass through — folded
+    // text AND the equality of the two forms hash-compared
+    "q_text_fold" -> QueryDef(
+      (s, dir) => {
+        val composed = concat(lit("Hanw"), lit("ë"), lit("lla  St"),
+          lit("ä"), lit("tion "), col("text").substr(1, 20),
+          lit(" Øystein straße"))
+        val decomposed = concat(lit("Hanwe"), lit("̈"), lit("lla  Sta"),
+          lit("̈"), lit("tion "), col("text").substr(1, 20),
+          lit(" Øystein straße"))
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            TextFunctions.foldForMatch(composed).as("folded"),
+            (TextFunctions.foldForMatch(composed) ===
+              TextFunctions.foldForMatch(decomposed)).as("forms_agree"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    'Hanw' || chr(235) || 'lla  St' || chr(228) || 'tion '
+             |      || substr(text, 1, 20) || ' ' || chr(216) || 'ystein stra'
+             |      || chr(223) || 'e' AS composed,
+             |    'Hanwe' || chr(776) || 'lla  Sta' || chr(776) || 'tion '
+             |      || substr(text, 1, 20) || ' ' || chr(216) || 'ystein stra'
+             |      || chr(223) || 'e' AS decomposed
+             |  FROM documents WHERE doc_id < 200),
+             |g AS (SELECT doc_id,
+             |    trim(regexp_replace(lower(strip_accents(nfc_normalize(composed))),
+             |      '\s+', ' ', 'g')) AS fc,
+             |    trim(regexp_replace(lower(strip_accents(nfc_normalize(decomposed))),
+             |      '\s+', ' ', 'g')) AS fd
+             |  FROM f)
+             |SELECT doc_id, fc AS folded, fc = fd AS forms_agree
+             |FROM g""".stripMargin)),
+
     // ---- URL canonicalization (the key layer of URL-keyed dedup) ---------
     // synthesized URLs exercise every rule: mixed-case scheme/host,
     // default :443 port, trailing path slash, tracking params, unsorted

@@ -51,3 +51,70 @@ object UnicodeNfc {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Accent stripping: `strip_accents(text)` — NFD decomposition with every
+  * COMBINING mark dropped (é → e, ü → u, ñ → n), the second primitive
+  * under fuzzy-match canonical keys (station names, titles: "Hanwella"
+  * must match "Hanwëlla" from a degraded feed). Deliberately NOT a
+  * transliterator: ß/ø/æ/đ are distinct LETTERS with no canonical
+  * decomposition and pass through unchanged — exactly the semantics of
+  * DuckDB's `strip_accents` (utf8proc is NFD-based too; engine agreement
+  * verified over the combining and non-decomposable classes), so folded
+  * keys replay byte-for-byte. Identity fast path (no allocation) for text
+  * containing no decomposable characters — all-ASCII rows scan once. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    StripAccents.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = StripAccents.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $helper.strip($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  /** Shared by interpreted eval and codegen. NFD, then drop combining
+    * marks; identity (no allocation) when already NFD-normalized with no
+    * marks — the all-ASCII common case. */
+  def strip(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val nfd =
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFD)) str
+      else java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < nfd.length && !hasMark) {
+      val t = Character.getType(nfd.charAt(i))
+      hasMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK || t == Character.ENCLOSING_MARK
+      i += 1
+    }
+    if (!hasMark) {
+      if (nfd eq str) s else UTF8String.fromString(nfd)
+    } else {
+      val out = new java.lang.StringBuilder(nfd.length)
+      var j = 0
+      while (j < nfd.length) {
+        val c = nfd.charAt(j)
+        val t = Character.getType(c)
+        if (t != Character.NON_SPACING_MARK &&
+            t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK) out.append(c)
+        j += 1
+      }
+      UTF8String.fromString(out.toString)
+    }
+  }
+}

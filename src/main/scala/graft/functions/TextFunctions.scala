@@ -14,6 +14,23 @@ object TextFunctions {
     * text use `bpeishTokens`. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Accent stripping — NFD with combining marks dropped (é → e, ü → u;
+    * ß/ø/æ pass through: letters, not accents). Codegen'd
+    * [[graft.expressions.StripAccents]]; DuckDB twin: `strip_accents`
+    * (utf8proc, same NFD semantics — parity pinned by q_text_fold). */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.StripAccents(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** FUZZY-MATCH fold key: NFC-compose, strip accents, Unicode-lowercase,
+    * collapse whitespace — the canonical key under which "Hanwëlla  " from
+    * a degraded feed equi-joins the dimension's "Hanwella" (the S5
+    * station-name class) and near-dup titles bucket together before edit
+    * distance. All codegen'd maps; DuckDB twin:
+    * `trim(regexp_replace(lower(strip_accents(nfc_normalize(t))), '\s+', ' ', 'g'))`. */
+  def foldForMatch(text: Column): Column =
+    trim(regexp_replace(lower(stripAccents(unicodeNfc(text))), "\\s+", " "))
+
   /** Unicode NFC normalization (codegen'd [[graft.expressions.UnicodeNfc]];
     * DuckDB twin: `nfc_normalize`). */
   def unicodeNfc(text: Column): Column =

@@ -83,6 +83,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("stripAccents/foldForMatch: marks dropped, letters kept, forms collapse") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "Hanwëlla"),              // composed diaeresis
+      (2L, "Hanwëlla"),             // e + combining diaeresis (NFD)
+      (3L, "café señor āē"),         // acute/tilde/macron
+      (4L, "Øystein straße æon"),    // NON-decomposable letters: unchanged
+      (5L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextFunctions.stripAccents(col("text")).as("s"),
+        TextFunctions.foldForMatch(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == "Hanwella" && got(2L)._1 == "Hanwella",
+      "both Unicode forms must strip to the same ASCII")
+    assert(got(1L)._2 == "hanwella" && got(2L)._2 == "hanwella")
+    assert(got(3L)._1 == "cafe senor ae")
+    // ß/ø/æ are LETTERS, not accents — a transliterator would be lying
+    assert(got(4L)._1 == "Øystein straße æon")
+    assert(got(5L)._1 == "plain ascii", "ASCII identity fast path")
+    // NULL propagates; codegen (no fallback) for the expression chain
+    val df = rows.select(TextFunctions.foldForMatch(col("text")))
+    assert(!df.queryExecution.executedPlan.toString.contains("CodegenFallback"))
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(TextFunctions.stripAccents(col("text"))).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("normalizeUrl: host case, ports, slashes, tracking params, ordering, fragments") {
     val cases = Seq(
       // the full gauntlet collapses to one key
