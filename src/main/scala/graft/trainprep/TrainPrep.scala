@@ -1215,7 +1215,11 @@ object TrainPrep {
       depths: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
     require(depths.nonEmpty && depths.forall(d => d >= 0.0 && d <= 1.0),
       s"depths must be fractions in [0, 1], got $depths")
-    val words = filter(split(col(textCol), " ", -1), w => length(w) > 0)
+    // NULL text = empty haystack host (size(NULL) is NULL and would null
+    // the whole splice chain) — the packedTokenIds coalesce convention
+    val words = coalesce(
+      filter(split(col(textCol), " ", -1), w => length(w) > 0),
+      array().cast("array<string>"))
     val exploded = docs
       .select(col(idCol), words.as("__ws"),
         posexplode(typedlit(depths)).as(Seq("depth_idx", "depth_frac")))

@@ -717,6 +717,13 @@ class TrainPrepSpec extends SparkSpec {
       val (p, n, h) = got((9L, di))
       assert(p === 0L && h === n, s"empty doc must yield the bare needle: $h")
     }
+    // NULL text behaves as empty, never nulls the splice chain
+    val nul = TrainPrep.needleHaystack(
+        Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    assert(nul.length === 5 && nul.forall(r =>
+      !r.isNullAt(6) && r.getString(6) == r.getString(5)))
   }
 
   test("strideInterleave: low-discrepancy prefixes, layout independence, guard") {
