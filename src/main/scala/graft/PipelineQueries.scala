@@ -878,6 +878,34 @@ object PipelineQueries {
               |  min(doc_id) AS keeper_id, count(*) AS n_dups
               |FROM $dupUnionSql GROUP BY 1""".stripMargin)),
 
+    // ---- source-provenance duplicate matrix ------------------------------
+    // which source feeds duplicate content INTO which: a 'recrawl' slice
+    // re-ingesting the first 100 docs must pair with each original source
+    // by exactly its shared digest count (the fixture's sources never
+    // overlap naturally — verified 0 cross-source dups in the raw corpus)
+    "q_dedup_source_overlap" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val recrawl = d.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("source", lit("recrawl"))
+        Dedup.sourceOverlapMatrix(d.unionByName(recrawl),
+          "doc_id", "text", "source")
+      },
+      Some("""WITH u AS (SELECT doc_id, text, source FROM documents
+             | UNION ALL
+             | SELECT doc_id + 100000, text, 'recrawl'
+             | FROM documents WHERE doc_id < 100),
+             |cells AS (SELECT
+             |    coalesce(sha256(text), '__null__' || doc_id) AS d,
+             |    source AS s, count(*) AS n
+             |  FROM u GROUP BY 1, 2)
+             |SELECT a.s AS source_a, b.s AS source_b,
+             |  count(*)::BIGINT AS shared_digests,
+             |  sum(a.n)::BIGINT AS dup_docs_a, sum(b.n)::BIGINT AS dup_docs_b
+             |FROM cells a JOIN cells b ON a.d = b.d AND a.s < b.s
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- bloom-prefiltered cross-corpus anti-join ------------------------
     // Incremental dedup: docs >= 100 are the "new crawl", every doc_id
     // divisible by 7 is the "already-trained" reference set; survivors are

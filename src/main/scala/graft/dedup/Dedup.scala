@@ -168,6 +168,36 @@ object Dedup {
     df.groupBy(sentinelTextHash(idCol, textCol).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** Source-provenance duplicate matrix — the curation question BEHIND
+    * dedup counts: which source feeds duplicate content INTO which (is
+    * "forum_mirror" a scrape of "forum"? does a crawl snapshot re-ingest
+    * the books slice?). For every content digest present in ≥ 2 sources,
+    * one (source_a, source_b) pair per unordered source pair, counting
+    * shared digests and the total duplicate-document mass on each side —
+    * the table that decides which source to DROP rather than dedup
+    * piecemeal.
+    *
+    * Scale shape: one (digest, source) aggregate over the corpus scan
+    * (map-side combined; carries per-cell doc counts), then a digest-
+    * keyed self-join of THAT frame — posting-list sized: rows = distinct
+    * (digest, source) cells, and the join only fans out where a digest
+    * truly spans sources, so work tracks cross-source duplication, never
+    * corpus². Output is source²-bounded. */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val cells = df
+      .groupBy(sentinelTextHash(idCol, textCol).as("__d"),
+        col(sourceCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.__d") === col("b.__d") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(count(lit(1)).as("shared_digests"),
+        sum(col("a.__n")).as("dup_docs_a"),
+        sum(col("b.__n")).as("dup_docs_b"))
+  }
+
   /** Bloom-prefiltered anti-join — incremental / cross-corpus exact dedup:
     * keep corpus rows whose `keyCol` does NOT appear in `ref`'s `refKeyCol`
     * (drop re-crawls already in the trained corpus, strip rows matching a

@@ -817,4 +817,25 @@ class DedupSpec extends SparkSpec {
     assert(got.isEmpty)
     assert(obs.get("dropped_buckets").asInstanceOf[Long] >= 1L)
   }
+
+  test("sourceOverlapMatrix: cross-source pairs only, duplicate mass counted") {
+    import spark.implicits._
+    // t1 lives in A(×1) and B(×2); t2 in A and C; t3 only in C (twice —
+    // same-source dup, must NOT pair); NULL text never pairs (per-id hash)
+    val docs = Seq(
+      (1L, "t1", "A"), (2L, "t2", "A"),
+      (3L, "t1", "B"), (4L, "t1", "B"),
+      (5L, "t2", "C"), (6L, "t3", "C"), (7L, "t3", "C"),
+      (8L, null.asInstanceOf[String], "A"),
+      (9L, null.asInstanceOf[String], "B"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.dedup.Dedup
+      .sourceOverlapMatrix(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 1L, 2L)), // t1: one digest, 1 doc in A, 2 in B
+      ("A", "C") -> ((1L, 1L, 1L))), // t2 only; t3's same-source dup no pair
+      got.toString)
+  }
 }
