@@ -652,6 +652,19 @@ class PlanAuditSpec extends SparkSpec {
       "the codegen'd tokenizer expression must appear:\n" + plan.take(800))
   }
 
+  test("q_needle_haystack and q_text_fold are zero-exchange map passes") {
+    // haystack splicing is slice⊕needle⊕slice per (doc, depth) — the
+    // depth explode is a generate, never a shuffle; the fold key is a
+    // codegen'd expression chain with no fallback
+    for (name <- Seq("q_needle_haystack", "q_text_fold")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("Exchange"),
+        s"$name must stay a map pass:\n" + plan.take(1200))
+      assert(!plan.contains("CodegenFallback"),
+        s"$name fell out of codegen:\n" + plan.take(1200))
+    }
+  }
+
   test("q_chat_gate is a stateless per-row gate after its fixture join") {
     // the gate itself adds no window, no aggregate and no extra shuffle
     // beyond the fixture's one broadcast self-join
