@@ -754,6 +754,25 @@ object PipelineQueries {
     * into BOTH engines' sides so the literal cannot drift. */
   private[graft] val SftSystemPrompt = "be concise"
 
+  /** The fold-key fixture with accents planted in BOTH composed and
+    * decomposed Unicode forms plus non-decomposable letters — shared by
+    * q_text_fold and its streaming twin (one builder, one oracle; the
+    * chatGateFixture anti-drift pattern). Input needs (doc_id, text). */
+  private[graft] def textFoldFixture(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val composed = concat(lit("Hanw"), lit("ë"), lit("lla  St"),
+      lit("ä"), lit("tion "), col("text").substr(1, 20),
+      lit(" Øystein straße"))
+    val decomposed = concat(lit("Hanwe"), lit("̈"), lit("lla  Sta"),
+      lit("̈"), lit("tion "), col("text").substr(1, 20),
+      lit(" Øystein straße"))
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.foldForMatch(composed).as("folded"),
+      (graft.functions.TextFunctions.foldForMatch(composed) ===
+        graft.functions.TextFunctions.foldForMatch(decomposed))
+        .as("forms_agree"))
+  }
+
   /** The chat-gate fixture with planted structure violations, shared by
     * q_chat_gate AND its streaming twin (one builder so the two sides of
     * the shared oracle can never drift): conv %7 gets a whitespace-only
@@ -2448,19 +2467,8 @@ object PipelineQueries {
     // non-decomposable letters (ø, ß) that must pass through — folded
     // text AND the equality of the two forms hash-compared
     "q_text_fold" -> QueryDef(
-      (s, dir) => {
-        val composed = concat(lit("Hanw"), lit("ë"), lit("lla  St"),
-          lit("ä"), lit("tion "), col("text").substr(1, 20),
-          lit(" Øystein straße"))
-        val decomposed = concat(lit("Hanwe"), lit("̈"), lit("lla  Sta"),
-          lit("̈"), lit("tion "), col("text").substr(1, 20),
-          lit(" Øystein straße"))
-        t(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"),
-            TextFunctions.foldForMatch(composed).as("folded"),
-            (TextFunctions.foldForMatch(composed) ===
-              TextFunctions.foldForMatch(decomposed)).as("forms_agree"))
-      },
+      (s, dir) => textFoldFixture(
+        t(s, dir, "documents").filter(col("doc_id") < 200)),
       Some("""WITH f AS (SELECT doc_id,
              |    'Hanw' || chr(235) || 'lla  St' || chr(228) || 'tion '
              |      || substr(text, 1, 20) || ' ' || chr(216) || 'ystein stra'

@@ -607,6 +607,13 @@ object TrainPrepQueries {
       (s, dir) => graft.streaming.StreamParity.chatGateStream(s, dir),
       graft.PipelineQueries.defs.toMap.apply("q_chat_gate").oracle),
 
+    // ---- streaming fuzzy-match fold at ingest ------------------------------
+    // the E154 canonical key as a stateless append-mode map over arriving
+    // rows; shares q_text_fold's oracle over the same planted fixture.
+    "q_stream_text_fold" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.textFoldStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_text_fold").oracle),
+
     // ---- streaming calibration + Brier monitors ---------------------------
     // the E132/E138 metrics as live state over the deployed quality gate's
     // scored traffic: per-bin (n, Σscore, Σlabel) / global (n, Σe²) are

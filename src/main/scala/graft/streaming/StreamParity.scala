@@ -356,6 +356,18 @@ object StreamParity {
       "stream_chat_gate", OutputMode.Append())
   }
 
+  /** Streaming fuzzy-match fold at ingest — the E154 canonical key
+    * computed as station/title rows arrive (a degraded feed's accented
+    * names must fold BEFORE they hit the dimension join): STATELESS pure
+    * map (append mode, no state store), the same planted composed/
+    * decomposed fixture as q_text_fold, whose oracle it shares. */
+  def textFoldStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir).filter(col("doc_id") < 200)
+    runToTable(spark,
+      graft.PipelineQueries.textFoldFixture(src),
+      "stream_text_fold", OutputMode.Append())
+  }
+
   /** Streaming C4 page cleanup at ingest — STATELESS (the E103 gate is a
     * pure per-row select, append mode, no state store), so stream == batch
     * by construction; the run certifies the streaming PLUMBING (file
