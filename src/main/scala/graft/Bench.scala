@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
-  * Each query runs once unmeasured — absorbing JIT/codegen/file-cache
-  * warmup, the reference being a long-lived cron service where steady-state
-  * is the comparable regime — then TWICE measured, reporting the min.
+  * A stride-sampled ~12-query preamble runs UNTIMED first (absorbing
+  * whole-process JIT/codegen ramp — see the preamble comment in main),
+  * then each query runs once unmeasured — absorbing its own
+  * JIT/codegen/file-cache warmup, the reference being a long-lived cron
+  * service where steady-state is the comparable regime — then TWICE
+  * measured, reporting the min.
   *
   * Measurement is `count()` of the result (kept stable across rounds for
   * comparability). Caveat: Catalyst may eliminate work under a count — a
@@ -162,6 +165,33 @@ object Bench {
     val cpuStart = processCpuNs
     val wallStart = System.currentTimeMillis()
 
+    // == Whole-process JIT/codegen ramp preamble (round 14) ==
+    // The per-query warmup pass absorbs each query's OWN first-run costs,
+    // but a fresh JVM still pays process-wide ramp — C2 compilation of
+    // Spark's interpreter/codegen/shuffle/parquet hot paths, Janino's own
+    // compiler warm-up — that bleeds into the first ~25 queries' MEASURED
+    // passes: an independent fresh-JVM observer read the alphabetically
+    // first queries (the ANN family) at a median 1.27× of a warmed
+    // process's numbers on identical code (max 3.35×, 13 false >1.5×
+    // alarms), while the remaining 190 read 0.99×. Running ~12 queries
+    // stride-sampled across the sorted key list UNTIMED first pushes that
+    // ramp outside the timed window for every query equally, so a single
+    // fresh run reads the same floors a long-lived process does. The spent
+    // wall is recorded as ramp_secs (it is real cost, just not per-query
+    // cost). Skipped for small SPARK_GRAFT_BENCH_ONLY iteration subsets,
+    // where cross-observer comparability is not the point.
+    val rampStart = System.nanoTime()
+    val rampNames: Seq[String] =
+      if (selected.size >= 20) {
+        val sortedNames = selected.keys.toSeq.sorted
+        val n = 12.min(sortedNames.size)
+        (0 until n).map(i => sortedNames(i * sortedNames.size / n)).distinct
+      } else Seq.empty
+    rampNames.foreach { name =>
+      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val rampSecs = (System.nanoTime() - rampStart) / 1e9
+
     // A throwing query must not record its time-to-exception as a runtime —
     // that's how a broken round looks FAST. Failures bench as "err" (and are
     // excluded from the total), with a top-level failed count + name list so
@@ -244,6 +274,7 @@ object Bench {
       s""""process_cpu_secs":${(processCpuNs - cpuStart) / 1e9},""" +
       s""""wall_secs":${(System.currentTimeMillis() - wallStart) / 1e3},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      f""""ramp_secs":$rampSecs%.2f,"ramp_queries":${rampNames.length},""" +
       s""""prior_file_queries":${prior.size},"outlier_reruns":$rerun}"""
     // vs_best summary: how this run compares to the committed per-query
     // rolling best — a future regression (or a dirty machine) is visible in

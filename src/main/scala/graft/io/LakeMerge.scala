@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,12 +34,38 @@ import org.apache.spark.sql.functions._
   *     always dimension-sized next to the lake), updates unioned in, and
   *     the result staged under a dot-prefixed directory Spark readers
   *     ignore;
-  *  3. SWAP: each affected partition directory is atomically renamed
-  *     into place (old → trash, staged → live, trash deleted — rename is
-  *     the atomic primitive on HDFS/POSIX; on rename-less object stores
-  *     this step is where a manifest commit would substitute). Untouched
-  *     partitions are never read, rewritten, or moved — the property
-  *     [[graft.ScaleSmoke]] measures as partitions-rewritten ≪ total.
+  *  3. COMMIT: once every staged partition is verified on disk, a
+  *     `_merge_manifest.json` (staged partition list + staging dir) is
+  *     written ATOMICALLY at the lake root — this write IS the commit
+  *     point, the single-file stand-in for Delta's `_delta_log` entry /
+  *     Iceberg's snapshot pointer swing;
+  *  4. SWAP: each affected partition directory is renamed into place
+  *     (old → trash inside staging, staged → live — rename is the atomic
+  *     primitive on HDFS/POSIX; on rename-less object stores the
+  *     manifest ALONE would carry the commit and readers would resolve
+  *     through it permanently, which is exactly the Delta/Iceberg
+  *     design). Untouched partitions are never read, rewritten, or
+  *     moved — the property [[graft.ScaleSmoke]] measures as
+  *     partitions-rewritten ≪ total;
+  *  5. CLEAN: staging (with the trashed old data) is deleted, then the
+  *     manifest — completing the commit.
+  *
+  * == Whole-merge atomicity (round 14) ==
+  * Individual renames are atomic but the swap LOOP is not; the manifest
+  * closes that gap with write-ahead roll-forward semantics:
+  *
+  *  - crash BEFORE the manifest write (during staging): the live lake is
+  *    untouched; the orphaned dot-staging directory is invisible to
+  *    readers and garbage-collected (rolled back) by the next
+  *    [[recover]]/[[merge]] call;
+  *  - crash AFTER the manifest write (mid-swap-loop): the merge is
+  *    logically committed. [[readLake]] sees the manifest and assembles
+  *    the COMMITTED view without mutating anything — manifest-listed
+  *    partitions read from staging where the swap hasn't happened yet,
+  *    live otherwise — so no reader ever observes a torn (half-old,
+  *    half-new) table. The next [[merge]] (or an explicit [[recover]])
+  *    ROLLS FORWARD: it completes the remaining swaps idempotently
+  *    (staged-missing ⇒ that partition already swapped) and cleans up.
   *
   * Idempotency contract (K2): the merge is exactly-once-by-key — re-
   * applying the same update batch, or overlapping re-extractions,
@@ -60,6 +86,143 @@ object LakeMerge {
       rowsBeforeAffected: Long, rowsUpserted: Long, rowsUpdated: Long,
       rowsInserted: Long, rowsAfterAffected: Long)
 
+  /** A committed-but-not-fully-swapped merge, as recorded in
+    * `_merge_manifest.json`. Existence of the manifest == the merge is
+    * logically committed; its absence == the live directories are the
+    * whole truth. */
+  final case class PendingMerge(mergeId: String, staging: String,
+      partitionCol: String, partitions: Seq[String])
+
+  private val StagingPrefix = ".merge-staging-"
+  private val ManifestName = "_merge_manifest.json"
+
+  private def manifestPath(lakeDir: String) = new Path(lakeDir, ManifestName)
+
+  private def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
+    new Path(lakeDir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Write the commit manifest ATOMICALLY: full content to a dot-prefixed
+    * temp file, then one rename. Underscore-prefixed names are ignored by
+    * Spark's file index (the `_SUCCESS` convention), so the manifest is
+    * invisible to a plain parquet read of the lake. */
+  private[io] def writeManifest(fs: FileSystem, lakeDir: String,
+      m: PendingMerge): Unit = {
+    // partition values come from date_format (yyyy-MM-dd) in the default
+    // layout; a custom layout could pass anything, and a quote/backslash
+    // would corrupt the hand-rolled JSON below
+    (m.partitions :+ m.partitionCol :+ m.staging).foreach(v =>
+      require(!v.exists(c => c == '"' || c == '\\' || c.isControl),
+        s"manifest value '$v' contains JSON-unsafe characters"))
+    val json =
+      s"""{"merge_id":"${m.mergeId}","staging":"${m.staging}",""" +
+        s""""partition_col":"${m.partitionCol}",""" +
+        m.partitions.map("\"" + _ + "\"").mkString("\"partitions\":[", ",", "]}")
+    val tmp = new Path(lakeDir, s".$ManifestName.tmp-${m.mergeId}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(lakeDir)),
+      s"could not commit merge manifest at ${manifestPath(lakeDir)} — " +
+        "is another merge in flight?")
+  }
+
+  /** The pending merge recorded at the lake root, if any. Regex-parsed —
+    * the manifest is our own fixed single-line shape, no JSON dep. */
+  private[io] def readManifest(fs: FileSystem, lakeDir: String): Option[PendingMerge] = {
+    val p = manifestPath(lakeDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      def field(name: String): String =
+        ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
+          .map(_.group(1))
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt merge manifest at $p: missing $name in: $txt"))
+      val parts = "\"partitions\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+        .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt merge manifest at $p: missing partitions in: $txt"))
+      Some(PendingMerge(field("merge_id"), field("staging"),
+        field("partition_col"), parts))
+    }
+  }
+
+  /** The swap loop, roll-forward idempotent: a partition whose staged
+    * directory is gone has already been swapped by a previous attempt and
+    * is skipped; one whose staged directory remains is swapped now (old
+    * data parked in a trash dir INSIDE staging, so CLEAN removes it).
+    * `failAfter` is crash injection for LakeMergeSpec — the simulated
+    * kill between renames the recovery contract is specified against. */
+  private[io] def applySwaps(fs: FileSystem, lakeDir: String,
+      partitionCol: String, staging: Path, values: Seq[String],
+      failAfter: Int = Int.MaxValue): Unit = {
+    var done = 0
+    values.foreach { v =>
+      if (done >= failAfter)
+        throw new IllegalStateException(
+          s"simulated crash after $done partition swaps (test injection)")
+      val live = new Path(lakeDir, s"$partitionCol=$v")
+      val staged = new Path(staging, s"$partitionCol=$v")
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) {
+          // uuid suffix: a recovery re-run after a crash DURING recovery
+          // must not collide with the previous attempt's trash name
+          // (local-FS rename onto an existing directory fails)
+          val trash = new Path(staging,
+            s".old-$partitionCol=$v-${java.util.UUID.randomUUID}")
+          require(fs.rename(live, trash),
+            s"could not move old partition $live aside")
+        }
+        require(fs.rename(staged, live),
+          s"could not move staged partition $staged into place")
+      } else require(fs.exists(live),
+        s"partition $partitionCol=$v missing from BOTH staging and live — " +
+          "lake corrupted beyond roll-forward")
+      done += 1
+    }
+  }
+
+  /** CLEAN: staging first (the point of no return for the trashed old
+    * data), then the manifest. A crash between the two leaves a manifest
+    * whose staged directories are all gone — recovery reads every
+    * partition as already-swapped and just deletes the manifest. */
+  private[io] def finishCommit(fs: FileSystem, lakeDir: String,
+      m: PendingMerge): Unit = {
+    fs.delete(new Path(lakeDir, m.staging), true)
+    fs.delete(manifestPath(lakeDir), false)
+  }
+
+  /** Recover the lake at `lakeDir` from an interrupted merge, if any:
+    * a pending manifest is ROLLED FORWARD (remaining swaps completed,
+    * staging + manifest cleaned); orphaned pre-commit staging directories
+    * (crash before the manifest write) are ROLLED BACK (deleted — the
+    * live lake never saw them). Called automatically at the top of every
+    * [[merge]]; safe (and a no-op) on a healthy lake. Returns true iff a
+    * pending merge was completed. */
+  def recover(spark: SparkSession, lakeDir: String): Boolean = {
+    val root = new Path(lakeDir)
+    val fs = hadoopFs(spark, lakeDir)
+    if (!fs.exists(root)) return false
+    val pending = readManifest(fs, lakeDir)
+    pending.foreach { m =>
+      applySwaps(fs, lakeDir, m.partitionCol,
+        new Path(lakeDir, m.staging), m.partitions)
+      finishCommit(fs, lakeDir, m)
+    }
+    // any staging dir still present is un-manifested pre-commit debris
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
+      .foreach(s => fs.delete(s.getPath, true))
+    pending.isDefined
+  }
+
   /** Derive the lake partition column from an event-time column — one
     * date directory per day, matching the reference's scan axis. */
   def withPartDate(df: DataFrame, timeCol: String = "time",
@@ -75,18 +238,51 @@ object LakeMerge {
       .sortWithinPartitions(partitionCol, seriesCol, timeCol)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(lakeDir)
 
-  /** Read the whole lake with the partition column restored AS STRING
-    * (yyyy-MM-dd), independent of Spark's partition-type inference. */
+  /** Read the lake with the partition column restored AS STRING
+    * (yyyy-MM-dd), independent of Spark's partition-type inference.
+    *
+    * Manifest-aware: while a `_merge_manifest.json` is pending (a merge
+    * committed but interrupted mid-swap), the plain directory listing is
+    * a TORN table — some listed partitions already swapped to new data,
+    * others still live-old. This reader assembles the COMMITTED view
+    * without mutating anything: manifest-listed partitions resolve to
+    * their staged directory when it still exists (swap not yet applied)
+    * and to live otherwise (swap done); unlisted partitions read live.
+    * That is exactly how a Delta/Iceberg reader resolves through the
+    * transaction log rather than trusting the directory listing. */
   def readLake(spark: SparkSession, lakeDir: String,
-      partitionCol: String = "part_date"): DataFrame =
-    spark.read.parquet(lakeDir)
-      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      partitionCol: String = "part_date"): DataFrame = {
+    val fs = hadoopFs(spark, lakeDir)
+    readManifest(fs, lakeDir) match {
+      case None =>
+        spark.read.parquet(lakeDir)
+          .withColumn(partitionCol, col(partitionCol).cast("string"))
+      case Some(m) =>
+        require(m.partitionCol == partitionCol,
+          s"pending merge manifests partition column '${m.partitionCol}' " +
+            s"but the read asked for '$partitionCol'")
+        val staging = new Path(lakeDir, m.staging)
+        val touched = m.partitions.toSet
+        val untouched = partitionValues(spark, lakeDir, partitionCol)
+          .filterNot(touched)
+        val dirs =
+          m.partitions.map { v =>
+            val staged = new Path(staging, s"$partitionCol=$v")
+            val src = if (fs.exists(staged)) staged
+                      else new Path(lakeDir, s"$partitionCol=$v")
+            (v, src.toString)
+          } ++ untouched.map(v => (v, s"$lakeDir/$partitionCol=$v"))
+        dirs.map { case (v, d) =>
+          spark.read.parquet(d).withColumn(partitionCol, lit(v))
+        }.reduce(_ unionByName _)
+    }
+  }
 
   /** The partition directory values present on disk. */
   def partitionValues(spark: SparkSession, lakeDir: String,
       partitionCol: String = "part_date"): Seq[String] = {
     val root = new Path(lakeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hadoopFs(spark, lakeDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
@@ -104,8 +300,7 @@ object LakeMerge {
     * like `updates` minus nothing (caller guards). */
   private def readPartitions(spark: SparkSession, lakeDir: String,
       partitionCol: String, values: Seq[String]): Option[DataFrame] = {
-    val fs = new Path(lakeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hadoopFs(spark, lakeDir)
     val existing = values.filter(v =>
       fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
     if (existing.isEmpty) None
@@ -119,15 +314,26 @@ object LakeMerge {
     * matched keys take the update row, unmatched insert. `updates` must
     * carry `partitionCol` (see [[withPartDate]]) and the lake's exact
     * column set. Returns per-merge stats; all counts ride parquet
-    * footers / the staged write, never an extra data scan. */
+    * footers / the staged write, never an extra data scan. Recovers any
+    * interrupted prior merge first (see [[recover]]). */
   def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
       keyCols: Seq[String] = Seq("tms_id", "fgt", "time"),
       partitionCol: String = "part_date", seriesCol: String = "tms_id",
       timeCol: String = "time", filesPerPartition: Int = 4,
-      requireUniqueKeys: Boolean = true): MergeStats = {
+      requireUniqueKeys: Boolean = true): MergeStats =
+    mergeImpl(spark, lakeDir, updates, keyCols, partitionCol, seriesCol,
+      timeCol, filesPerPartition, requireUniqueKeys, Int.MaxValue)
+
+  /** [[merge]] with crash injection (`crashAfterSwaps`) for
+    * LakeMergeSpec's kill-between-renames cases. */
+  private[io] def mergeImpl(spark: SparkSession, lakeDir: String,
+      updates: DataFrame, keyCols: Seq[String], partitionCol: String,
+      seriesCol: String, timeCol: String, filesPerPartition: Int,
+      requireUniqueKeys: Boolean, crashAfterSwaps: Int): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry the lake partition column '$partitionCol' " +
         "(derive it with LakeMerge.withPartDate)")
+    recover(spark, lakeDir) // roll forward / clean up any interrupted merge
     val allParts = partitionValues(spark, lakeDir, partitionCol)
     require(allParts.nonEmpty,
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
@@ -191,11 +397,11 @@ object LakeMerge {
       s"updates contain NULL $partitionCol values — derive the partition " +
         "from a non-null event time before merging")
     val affected = affectedRaw.flatten.sorted
-    val fs = new Path(lakeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hadoopFs(spark, lakeDir)
 
     // 2. REWRITE into staging (dot-prefixed: invisible to Spark readers)
-    val staging = new Path(lakeDir, s".merge-staging-${java.util.UUID.randomUUID}")
+    val mergeId = java.util.UUID.randomUUID.toString
+    val staging = new Path(lakeDir, StagingPrefix + mergeId)
     val current = readPartitions(spark, lakeDir, partitionCol, affected)
     val rowsBefore = current.map(_.count()).getOrElse(0L) // footer-count only
     val rowsUpserted = upd.count()
@@ -215,38 +421,22 @@ object LakeMerge {
     val rowsAfter =
       spark.read.parquet(staging.toString).count() // footer-count only
 
-    // 3. SWAP — per affected partition: old → trash, staged → live. Each
-    // rename is atomic, but the PAIR is not: between the two renames the
-    // partition exists in NEITHER location, so a failed second rename
-    // ROLLS BACK (trash → live) before surfacing the error, restoring the
-    // old data. What this per-partition discipline canNOT give is
-    // multi-partition atomicity: a crash mid-LOOP leaves earlier
-    // partitions on the new data and later ones on the old — each
-    // partition individually consistent, the merge as a whole
-    // half-applied. Re-running the same merge converges it (the
-    // exactly-once-by-key contract makes the retry safe); a
-    // manifest/transaction log (Delta/Iceberg) is the upgrade that makes
-    // the whole commit one atomic pointer swing.
+    // 3. COMMIT — every staged partition must be on disk BEFORE the
+    // manifest is written: the manifest promises roll-forward can finish,
+    // so a missing staged directory must abort pre-commit (live lake
+    // untouched, staging garbage-collected by the next recover)
     affected.foreach { v =>
-      val live = new Path(lakeDir, s"$partitionCol=$v")
-      val staged = new Path(staging, s"$partitionCol=$v")
-      require(fs.exists(staged),
+      require(fs.exists(new Path(staging, s"$partitionCol=$v")),
         s"staged partition $partitionCol=$v missing — staging write failed")
-      val trash = new Path(staging, s".old-$partitionCol=$v")
-      val hadOld = fs.exists(live)
-      if (hadOld) require(fs.rename(live, trash),
-        s"could not move old partition $live aside")
-      if (!fs.rename(staged, live)) {
-        val restored = hadOld && fs.rename(trash, live)
-        throw new IllegalStateException(
-          s"could not move staged partition $staged into place" +
-            (if (hadOld)
-              (if (restored) s" — old data ROLLED BACK into $live"
-               else s" — ROLLBACK ALSO FAILED: old data is at $trash")
-             else ""))
-      }
     }
-    fs.delete(staging, true)
+    val manifest = PendingMerge(mergeId, StagingPrefix + mergeId,
+      partitionCol, affected)
+    writeManifest(fs, lakeDir, manifest)
+
+    // 4. SWAP + 5. CLEAN — from here on a crash is recoverable forward:
+    // the manifest survives until every swap landed and staging is gone
+    applySwaps(fs, lakeDir, partitionCol, staging, affected, crashAfterSwaps)
+    finishCommit(fs, lakeDir, manifest)
 
     // updated = keys that existed before (rows replaced in place);
     // inserted = net new rows. Both derive from the three footer counts.

@@ -168,6 +168,115 @@ class LakeMergeSpec extends SparkSpec {
       "a rejected merge must leave the lake untouched")
   }
 
+  // == Whole-merge atomicity: manifest commit + crash recovery (r14) ==
+  // The swap loop is not atomic across partitions; the _merge_manifest
+  // write is the commit point. These cases simulate the kill-between-
+  // renames crash with mergeImpl's injection hook and specify the full
+  // recovery contract: readers never see a torn table, the next call
+  // rolls forward, a pre-commit crash rolls back.
+
+  /** Raw directory view — what a manifest-UNAWARE reader would see. */
+  private def rawLakeSorted(dir: String): Seq[(String, String, String, Double)] =
+    spark.read.parquet(dir)
+      .select("tms_id", "fgt", "time", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSeq.sorted
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Build twin lakes from b1, merge b2 into `clean` fully (the expected
+    * end state) and into `crash` with a simulated kill after `failAfter`
+    * partition swaps. Returns (crashDir, expected rows). */
+  private def crashScenario(failAfter: Int): (String, Seq[(String, String, String, Double)]) = {
+    val root = java.nio.file.Files.createTempDirectory("lakecrash").toString
+    val (cleanDir, crashDir) = (s"$root/clean", s"$root/crash")
+    val b1 = batch(Seq("wl_a", "wl_b"), "2024-01-02 06:00:00", day1 ++ day2,
+      (id, t) => id.length + t.takeRight(8).take(2).toDouble)
+    // touches TWO partitions: day-2 correction + day-3 insert — so a
+    // crash after one swap leaves the directory listing genuinely torn
+    val b2 = batch(Seq("wl_a", "wl_b"), "2024-01-03 06:00:00", day3,
+        (_, _) => 99.0)
+      .unionByName(batch(Seq("wl_a"), "2024-01-02 06:00:00", day2,
+        (_, _) => 42.5))
+    LakeMerge.writeLake(b1, cleanDir)
+    LakeMerge.writeLake(b1, crashDir)
+    LakeMerge.merge(spark, cleanDir, b2)
+    val e = intercept[IllegalStateException] {
+      LakeMerge.mergeImpl(spark, crashDir, b2, Seq("tms_id", "fgt", "time"),
+        "part_date", "tms_id", "time", 4, true, failAfter)
+    }
+    assert(e.getMessage.contains("simulated crash"), e.getMessage)
+    (crashDir, readLakeSorted(cleanDir))
+  }
+
+  test("crash mid-swap: readLake serves the COMMITTED view, never a torn table") {
+    val (dir, expected) = crashScenario(failAfter = 1)
+    val fs = fsOf(dir)
+    assert(LakeMerge.readManifest(fs, dir).isDefined,
+      "a mid-swap crash must leave the commit manifest in place")
+    // the raw directory listing IS torn (one partition swapped, one not) —
+    // this is the failure mode the manifest exists to hide
+    assert(rawLakeSorted(dir) !== expected,
+      "scenario must produce a genuinely torn directory listing")
+    // ...but the manifest-aware reader resolves through staging and sees
+    // exactly the committed post-merge table, mutating nothing
+    assert(readLakeSorted(dir) === expected)
+    assert(LakeMerge.readManifest(fs, dir).isDefined,
+      "readLake must not mutate the lake (recovery belongs to merge/recover)")
+  }
+
+  test("crash BEFORE any swap: committed view resolves wholly from staging") {
+    val (dir, expected) = crashScenario(failAfter = 0)
+    assert(readLakeSorted(dir) === expected)
+  }
+
+  test("recover() rolls an interrupted merge forward; re-merge converges") {
+    val (dir, expected) = crashScenario(failAfter = 1)
+    assert(LakeMerge.recover(spark, dir), "a pending merge must be recovered")
+    val fs = fsOf(dir)
+    assert(LakeMerge.readManifest(fs, dir).isEmpty, "manifest cleaned")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .forall(!_.getPath.getName.startsWith(".merge-staging-")),
+      "staging cleaned")
+    // post-recovery the RAW listing equals the committed table — swaps done
+    assert(rawLakeSorted(dir) === expected)
+    assert(LakeMerge.recover(spark, dir) === false, "second recover is a no-op")
+  }
+
+  test("the NEXT merge auto-recovers first, then applies its own batch") {
+    val (dir, expected) = crashScenario(failAfter = 1)
+    // a later cron run merges a fresh day-3 correction without ever being
+    // told about the crash — entry recovery completes the old merge first
+    val b3 = batch(Seq("wl_b"), "2024-01-03 06:00:00", day3, (_, _) => 7.0)
+    LakeMerge.merge(spark, dir, b3)
+    val want = expected.map {
+      case ("wl_b", f, t, _) if t.startsWith("2024-01-03") => ("wl_b", f, t, 7.0)
+      case row => row
+    }
+    assert(rawLakeSorted(dir) === want.sorted)
+    assert(LakeMerge.readManifest(fsOf(dir), dir).isEmpty)
+  }
+
+  test("crash BEFORE the manifest write rolls back: lake untouched, staging GC'd") {
+    val dir = java.nio.file.Files.createTempDirectory("lakepre").toString + "/lake"
+    LakeMerge.writeLake(
+      batch(Seq("wl_a"), "2024-01-02 06:00:00", day1, (_, _) => 1.0), dir)
+    val before = readLakeSorted(dir)
+    // simulate a crash during the staging write: an orphan staging dir
+    // with no manifest — readers ignore it (dot-prefixed), recover GC's it
+    val fs = fsOf(dir)
+    val orphan = new org.apache.hadoop.fs.Path(dir, ".merge-staging-orphan")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "part_date=2024-01-09"))
+    assert(readLakeSorted(dir) === before, "orphan staging invisible to readers")
+    assert(LakeMerge.recover(spark, dir) === false,
+      "no manifest -> nothing to roll forward")
+    assert(!fs.exists(orphan), "pre-commit staging must be garbage-collected")
+    assert(readLakeSorted(dir) === before)
+  }
+
   test("duplicate keys in one batch are rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lakemerge3").toString + "/lake"
     LakeMerge.writeLake(
