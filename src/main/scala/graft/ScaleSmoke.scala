@@ -1184,6 +1184,49 @@ object ScaleSmoke {
       s""""probe_seconds":$probeSecs,"files_probed":$embFilesProbe,""" +
       s""""files_total":$embFilesAll}""")
 
+    // ---- drift-driven cell compact: rewrite ≪ total -------------------
+    // 10 k out-of-distribution vectors (all dims shifted) pile into the
+    // few cells nearest the shifted mass; retrainAdvice flags exactly
+    // those, and compactCells rewrites ONLY them — the 100 TB contract is
+    // that a drift repair touches the drifted fraction of the lake, never
+    // the lake
+    val nDrift = 10000L
+    graft.io.EmbeddingLake.append(
+      synthVecs(nEmbLake + nAppend, nDrift, 3.0), "embedding",
+      embLakeDir, embCodebook)
+    val embFlagged = graft.io.EmbeddingLake.retrainAdvice(embBaseline,
+        graft.io.EmbeddingLake.driftReport(
+          spark, embLakeDir, "embedding", embCodebook))
+      .filter(col("retrain")).select("ivf_cell")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    require(embFlagged.nonEmpty && embFlagged.length * 4 <= 16,
+      s"the shifted mass must flag a small cell subset, got $embFlagged")
+    val t81 = System.nanoTime()
+    val (compactCb, compactStats) = graft.io.EmbeddingLake.compactCells(
+      spark, embLakeDir, "vec_id", "embedding", embCodebook, embFlagged,
+      splitInto = 2, kmeansIters = 1)
+    val compactSecs = (System.nanoTime() - t81) / 1e9
+    require(compactStats.partitionsRewritten == embFlagged.length
+      && compactStats.partitionsRewritten * 4 <= compactStats.partitionsTotal,
+      s"compact must rewrite only the flagged cells: $compactStats")
+    require(graft.io.EmbeddingLake.read(spark, embLakeDir).count()
+      == nEmbLake + nAppend + nDrift,
+      "compact must preserve every row exactly once")
+    val postProbe = graft.io.EmbeddingLake.probeTopK(spark, embLakeDir,
+      compactCb, "vec_id", "embedding", embQuery, k = 10, nProbe = 4)
+    postProbe.collect()
+    require(graft.io.EmbeddingLake.filesRead(postProbe) * 2 <=
+      graft.io.EmbeddingLake.filesRead(
+        graft.io.EmbeddingLake.read(spark, embLakeDir)),
+      "post-compact probes must still partition-prune")
+    println(s"""{"metric":"embedding_lake_compact_scale",""" +
+      s""""drift_vectors":$nDrift,"flagged_cells":${embFlagged.length},""" +
+      s""""partitions_rewritten":${compactStats.partitionsRewritten},""" +
+      s""""partitions_total":${compactStats.partitionsTotal},""" +
+      s""""cells_added":${compactStats.cellsAdded},""" +
+      s""""rows_reassigned":${compactStats.rowsReassigned},""" +
+      s""""compact_seconds":$compactSecs}""")
+
     println(s"""{"metric":"lake_merge_scale","days":$lakeDays,""" +
       s""""rows":${lakeDays.toLong * lakeStations * stepsPerDay},""" +
       s""""init_write_seconds":$lakeWriteSecs,""" +

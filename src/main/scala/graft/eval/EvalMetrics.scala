@@ -518,12 +518,23 @@ object EvalMetrics {
     * p_e = 1 (both raters constant and equal — agreement is
     * unmeasurable, not perfect). */
   def cohenKappa(pairs: DataFrame, aCol: String, bCol: String,
-      roundTo: Int = 5): DataFrame = {
+      roundTo: Int = 5, maxCells: Int = 10000): DataFrame = {
     def cls(c: Column) = coalesce(c.cast("string"), lit("(null)"))
+    // the collect is category²-sized BY CONTRACT; a misuse with
+    // high-cardinality rater columns (ids, free text) must fail loudly
+    // at `maxCells` distributed rows, not as a driver OOM (ADVICE r13).
+    // limit(maxCells + 1) keeps the guard zero-extra-scan: the overflow
+    // row rides the same collect that would have fetched the cells.
     val cells = pairs
       .select(cls(col(aCol)).as("__a"), cls(col(bCol)).as("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
-      .collect() // category²-sized — bounded by the label vocabulary
+      .limit(maxCells + 1)
+      .collect()
+    require(cells.length <= maxCells,
+      s"cohenKappa saw more than $maxCells (rater_a, rater_b) contingency " +
+        s"cells — '$aCol'/'$bCol' look like high-cardinality columns, not " +
+        "categorical labels (raise maxCells only if the label vocabulary " +
+        "is genuinely that large)")
     val n = cells.iterator.map(_.getLong(2)).sum
     val ag = cells.iterator
       .filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum

@@ -108,7 +108,20 @@ object Bpe {
     }.distinct.sorted
     val outs = merges.pairs.map { case (l, r) => l + r }
     val base = (chars ++ outs).distinct.toIndexedSeq
-    if (byteFallback) base ++ graft.expressions.BpeMerges.ByteSymbols else base
+    if (byteFallback) {
+      // a merge output that equals a literal byte-symbol string (an
+      // adversarial table containing e.g. "<0xAB>") would put the same
+      // key in both vocabulary halves — duplicate map keys in
+      // tokenIds/decodeIds (runtime DUPLICATED_MAP_KEY / ambiguous
+      // decode). Refuse the table up front (ADVICE r13).
+      val collide = base.toSet
+        .intersect(graft.expressions.BpeMerges.ByteSymbols.toSet)
+      require(collide.isEmpty,
+        s"closed vocabulary collides with byte-fallback symbols: " +
+          s"${collide.toSeq.sorted.take(5).mkString(", ")} — this merge " +
+          "table cannot be used with byteFallback = true")
+      base ++ graft.expressions.BpeMerges.ByteSymbols
+    } else base
   }
 
   /** Token IDS under the table's closed vocabulary — the array a trainer
@@ -139,7 +152,8 @@ object Bpe {
     * unk-free text.
     *
     * With `byteFallback = true` the contract is TOTAL:
-    * `decodeIds(tokenIds(text, m, true), m, true) == text` for ANY input
+    * `decodeIds(tokenIds(text, m, true), m, byteFallback = true) == text`
+    * for ANY input
     * — whitespace, emoji, CJK, control bytes — because the encoder emits
     * lossless byte tokens for everything outside the closed vocabulary
     * (whitespace separators included) and the decoder reassembles
@@ -150,7 +164,7 @@ object Bpe {
     * could never do. Pure codegen'd builtins (`transform`/`element_at`/
     * `unhex`/`decode`) — zero shuffle, same posture as [[tokenIds]]. */
   def decodeIds(ids: Column, merges: BpeMerges = defaultMerges,
-      byteFallback: Boolean = false, unkMarker: String = "�"): Column =
+      unkMarker: String = "�", byteFallback: Boolean = false): Column =
     if (!byteFallback) {
       val vocab = vocabOf(merges)
       val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>

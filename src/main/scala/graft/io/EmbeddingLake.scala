@@ -20,6 +20,9 @@ import graft.ann.Similarity
   */
 object EmbeddingLake {
 
+  final case class CompactStats(partitionsTotal: Int, partitionsRewritten: Int,
+      cellsSplit: Int, cellsAdded: Int, rowsReassigned: Long)
+
   /** Assign each vector its IVF cell and write partitioned by `ivf_cell`.
     * Returns the codebook used, to be persisted alongside the table. */
   def writePartitioned(df: DataFrame, idCol: String, vecCol: String,
@@ -31,8 +34,35 @@ object EmbeddingLake {
     cents
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read the lake. Manifest-aware (round 14): while a [[compactCells]]
+    * commit manifest is pending (compact committed but interrupted
+    * mid-swap), the directory listing is torn — this reader assembles the
+    * committed view through the manifest exactly as [[LakeMerge.readLake]]
+    * does, with `ivf_cell` restored as INT (the partition-inference type),
+    * mutating nothing. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    LakeMerge.readManifest(fs, path) match {
+      case None => spark.read.parquet(path)
+      case Some(m) =>
+        require(m.partitionCol == "ivf_cell",
+          s"pending manifest at $path names partition column " +
+            s"'${m.partitionCol}', not an embedding lake's ivf_cell")
+        val staging = new org.apache.hadoop.fs.Path(path, m.staging)
+        val touched = m.partitions.toSet
+        val untouched = LakeMerge.partitionValues(spark, path, "ivf_cell")
+          .filterNot(touched)
+        (m.partitions.map { v =>
+          val staged = new org.apache.hadoop.fs.Path(staging, s"ivf_cell=$v")
+          val src = if (fs.exists(staged)) staged.toString
+                    else s"$path/ivf_cell=$v"
+          (v, src)
+        } ++ untouched.map(v => (v, s"$path/ivf_cell=$v"))).map { case (v, d) =>
+          spark.read.parquet(d).withColumn("ivf_cell", lit(v.toInt))
+        }.reduce(_ unionByName _)
+    }
+  }
 
   /** Top-k cosine search against the lake: prune to the `nProbe` cells
     * nearest the query (partition filter — pruned at file listing), rerank
@@ -171,5 +201,103 @@ object EmbeddingLake {
         (col("mean_base").isNull ||
           col("mean_now") > col("mean_base") * growthThreshold)
           .as("retrain"))
+  }
+
+  // ---- drift-driven cell retrain/compact (round 14) ------------------------
+
+  /** Re-cluster ONLY the flagged cells — the action behind
+    * [[retrainAdvice]]: each flagged (drifted / hot) cell is split into up
+    * to `splitInto` sub-cells by a k-means over THAT CELL'S vectors alone
+    * (cell-scoped [[Similarity.codebook]] — distributed aggregates, no
+    * driver collect of vectors), its rows reassigned among the new
+    * sub-centroids, and ONLY the touched cell partitions rewritten through
+    * the [[LakeMerge]] swap machinery (staged write → `_merge_manifest`
+    * commit → atomic per-partition swaps → clean). Untouched partitions
+    * are never read, rewritten, or moved — they stay BYTE-identical
+    * (EmbeddingLakeSpec compares file bytes) — and a crash mid-swap is
+    * recoverable exactly like a LakeMerge crash: [[read]] resolves the
+    * committed view through the manifest, the next compact (or
+    * [[LakeMerge.recover]]) rolls forward.
+    *
+    * Cell-id discipline keeps the rewrite minimal: the flagged id is
+    * reused for the first non-empty sub-cell, extra non-empty sub-cells
+    * take fresh ids appended after the codebook (so unflagged cells keep
+    * their ids and their directories), and empty sub-cells (k-means can
+    * leave a seed clusterless) are dropped rather than allocated. Because
+    * PQ codes cover the raw vector (not the cell residual — see
+    * [[writePartitionedPq]]), stored `pq_code` columns ride through a
+    * split unchanged; the compact is layout-agnostic over extra columns.
+    *
+    * Returns the NEW codebook (old centroids at their old indices except
+    * flagged ones replaced by their first sub-centroid; fresh sub-cells
+    * appended) plus stats whose `partitionsRewritten ≪ partitionsTotal`
+    * is the scale contract ScaleSmoke measures. */
+  def compactCells(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, cellCodebook: Array[Seq[Float]], flagged: Seq[Int],
+      splitInto: Int = 2, kmeansIters: Int = 2)
+      : (Array[Seq[Float]], CompactStats) = {
+    require(splitInto >= 1, s"splitInto must be >= 1, got $splitInto")
+    val flaggedSorted = flagged.distinct.sorted
+    flaggedSorted.foreach(f => require(f >= 0 && f < cellCodebook.length,
+      s"flagged cell $f outside codebook [0, ${cellCodebook.length})"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    LakeMerge.recover(spark, path) // roll forward any interrupted compact
+    val allParts = LakeMerge.partitionValues(spark, path, "ivf_cell")
+    if (flaggedSorted.isEmpty)
+      return (cellCodebook, CompactStats(allParts.length, 0, 0, 0, 0L))
+
+    // per flagged cell: cell-scoped k-means, local child assignment, and
+    // the local→global id mapping (first non-empty child reuses the
+    // flagged id; the rest allocate fresh ids)
+    var nextId = cellCodebook.length
+    val newCents = scala.collection.mutable.ArrayBuffer(cellCodebook.toSeq: _*)
+    var rowsReassigned = 0L
+    val perCell = flaggedSorted.map { f =>
+      val cellDf = spark.read.parquet(s"$path/ivf_cell=$f") // one-dir read
+      val local = Similarity.codebook(cellDf, idCol, vecCol,
+        splitInto, kmeansIters)
+      val assigned = Similarity.withIvfCell(cellDf, vecCol, local)
+        .withColumnRenamed("ivf_cell", "__child")
+      val counts = assigned.groupBy(col("__child")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nonEmpty = local.indices.filter(counts.getOrElse(_, 0L) > 0L)
+      require(nonEmpty.nonEmpty, s"flagged cell $f has no rows — only " +
+        "cells reported by driftReport can be compacted")
+      rowsReassigned += counts.values.sum
+      val mapping: Map[Int, Int] = nonEmpty.zipWithIndex.map {
+        case (child, 0) => child -> f
+        case (child, _) => val g = nextId; nextId += 1; child -> g
+      }.toMap
+      newCents(f) = local(nonEmpty.head)
+      nonEmpty.drop(1).foreach(c => newCents += local(c))
+      val mapLit = typedlit(mapping)
+      assigned.withColumn("ivf_cell", element_at(mapLit, col("__child")))
+        .drop("__child")
+    }
+    val touched = (flaggedSorted ++ (cellCodebook.length until nextId))
+      .map(_.toString)
+
+    // staged write → manifest commit → swaps → clean: the same four-step
+    // discipline (and the same crash windows) as LakeMerge.merge
+    val mergeId = java.util.UUID.randomUUID.toString
+    val stagingName = s".merge-staging-$mergeId"
+    val staging = new org.apache.hadoop.fs.Path(path, stagingName)
+    perCell.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).partitionBy("ivf_cell")
+      .parquet(staging.toString)
+    touched.foreach { v =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(staging, s"ivf_cell=$v")),
+        s"staged cell ivf_cell=$v missing — staging write failed")
+    }
+    val manifest = LakeMerge.PendingMerge(mergeId, stagingName,
+      "ivf_cell", touched)
+    LakeMerge.writeManifest(fs, path, manifest)
+    LakeMerge.applySwaps(fs, path, "ivf_cell", staging, touched)
+    LakeMerge.finishCommit(fs, path, manifest)
+
+    (newCents.toArray,
+      CompactStats(allParts.length, flaggedSorted.length, flaggedSorted.length,
+        nextId - cellCodebook.length, rowsReassigned))
   }
 }

@@ -206,6 +206,17 @@ object SftPrep {
     * pattern, never a data-sized array. */
   def bestOfN(cands: DataFrame, promptCol: String, candCol: String,
       scoreCol: String, roundTo: Int = 6): DataFrame = {
+    // the tiebreak cast to long must be loud, not lossy: under non-ANSI
+    // semantics a non-numeric candidate id casts to NULL, sorts FIRST
+    // within equal scores, and is returned as a NULL best_cand instead of
+    // failing (ADVICE r13) — so require a numeric/long-safe column type
+    // at plan time
+    val candType = cands.schema(candCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(candType.typeName),
+      s"candidate column '$candCol' must be an integral type for the " +
+        s"deterministic tiebreak, got ${candType.typeName} — cast it " +
+        "explicitly (and losslessly) before bestOfN")
     // sort key: score DESC then candidate id ASC — struct ordering is
     // lexicographic, so (−score′, cand) ascending gives exactly that;
     // negating a rounded score is exact

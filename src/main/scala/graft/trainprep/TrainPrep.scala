@@ -1146,16 +1146,27 @@ object TrainPrep {
     * which is what [[packNoSplitReport]] and the oracle aggregate on. */
   def packNoSplit(docs: DataFrame, idCol: String, textCol: String,
       contextTokens: Long, groupSize: Int = 4096,
-      tokenCountFn: Column => Column = TextFunctions.tokenCount): DataFrame = {
+      tokenCountFn: Column => Column = TextFunctions.tokenCount,
+      orderBy: String = "id"): DataFrame = {
     require(contextTokens > 0, s"contextTokens must be positive, got $contextTokens")
     require(groupSize > 0, s"groupSize must be positive, got $groupSize")
+    require(Seq("id", "lengthDesc").contains(orderBy),
+      s"orderBy must be 'id' or 'lengthDesc', got '$orderBy'")
     val withLen = docs.select(col(idCol).cast("long").as("__id"),
       coalesce(tokenCountFn(col(textCol)), lit(0L)).as("__len"))
     val ranked = assignGlobalIds(withLen, Seq("__id"), out = "__gid")
+    // fold order within the group: "id" = global-rank order (stable,
+    // stream-friendly); "lengthDesc" = first-fit-DECREASING (classic
+    // FFD — long docs place first, short ones backfill the gaps, which
+    // typically cuts padding materially; see packNoSplitReport). Both
+    // keys are total orders (gid tiebreak), so both stay
+    // bit-deterministic on any cluster layout, and the oracle replays
+    // either by flipping one ORDER BY.
+    val sortKey = if (orderBy == "id") col("__gid") else -col("__len")
     val grouped = ranked
       .withColumn("__grp", floor(col("__gid") / groupSize).cast("long"))
       .groupBy(col("__grp"))
-      .agg(array_sort(collect_list(struct(
+      .agg(array_sort(collect_list(struct(sortKey.as("__k"),
         col("__gid"), col("__id"), col("__len")))).as("__docs"))
     // the greedy fold: state (filled, bin, bins); a doc that would
     // overflow a NON-EMPTY bin opens the next one (an oversize doc into

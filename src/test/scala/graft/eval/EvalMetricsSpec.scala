@@ -369,6 +369,19 @@ class EvalMetricsSpec extends SparkSpec {
       "pe = 1 means agreement is unmeasurable, not perfect")
   }
 
+  test("cohenKappa: high-cardinality rater columns fail loudly, not driver-OOM") {
+    // ids/free text passed as rater labels used to degrade into an
+    // unbounded collect (ADVICE r13): the cell cap turns that into a
+    // distributed-side limit + loud require
+    val ids = (0 until 50).map(i => (s"id_$i", s"id_${i + 1}")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      EvalMetrics.cohenKappa(ids, "a", "b", maxCells = 20).head()
+    }
+    assert(e.getMessage.contains("contingency"), e.getMessage)
+    // at a sufficient cap the same input is legal (50 distinct cells)
+    assert(EvalMetrics.cohenKappa(ids, "a", "b").head().getLong(0) === 50L)
+  }
+
   test("cohenKappa: NULL labels are the '(null)' class, not silent disagreement") {
     // (null, null) is an AGREEMENT on the null class, and the null class
     // participates in the pe marginals — the classificationReport sentinel

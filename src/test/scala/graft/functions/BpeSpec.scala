@@ -294,6 +294,22 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("in", "<0x20>", "in"))
   }
 
+  test("byte fallback: a vocab colliding with byte symbols is refused") {
+    // an adversarial merge table whose output IS a literal byte-symbol
+    // string would duplicate map keys in tokenIds/decodeIds — vocabOf
+    // refuses it up front (ADVICE r13)
+    // built causally (each side a single char or an earlier output) so
+    // only the collision check can reject it
+    val evil = graft.expressions.BpeMerges(IndexedSeq(
+      ("<", "0"), ("<0", "x"), ("<0x", "4"), ("<0x4", "1"), ("<0x41", ">")))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.vocabOf(evil, byteFallback = true)
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    // without fallback the same table is fine — no byte half to collide
+    assert(Bpe.vocabOf(evil).contains("<0x41>"))
+  }
+
   test("fertility: in-vocabulary prose near 1, OOV text above, empty 0") {
     import spark.implicits._
     val df = Seq(("a", "the the the"), ("b", "zzqq wwxx"), ("c", ""),

@@ -163,6 +163,98 @@ class EmbeddingLakeSpec extends SparkSpec {
       "a cell absorbing far-field vectors must flag for retrain")
   }
 
+  test("drift-driven compact: flagged cells split, recall recovers, untouched partitions byte-identical") {
+    val path = Files.createTempDirectory("emb_compact").toString + "/emb"
+    def noise(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(Dim - 2)(r.nextFloat() * 0.2f - 0.1f)
+    }
+    // four tight core clusters; ids interleaved so codebook seeding
+    // (first-4-by-id) lands one seed per cluster. Geometry is engineered
+    // around the L2-probe/cosine-rerank split: C3/C4 sit L2-CLOSER to the
+    // upcoming query than C1/C2 (they win the probe) but point 0.58 off
+    // its direction (they lose the rerank), while the drift mass points
+    // 0.8 along it
+    val centers = Seq((30f, 0f, 0f), (-30f, 0f, 0f),
+      (0f, 10f, 14f), (0f, 10f, -14f))
+    val core = (0L until 160L).map { i =>
+      val (cx, cy, cz) = centers((i % 4).toInt)
+      (i, Seq(cx + noise(i).head * 5, cy + noise(i + 7).head * 5,
+        cz + noise(i + 11).head * 5) ++ noise(i).drop(1))
+    }
+    val codebook = EmbeddingLake.writePartitioned(
+      core.toDF("vec_id", "embedding"), "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 1)
+    val baseline = EmbeddingLake.driftReport(spark, path, "embedding", codebook)
+
+    // drift: a new mass at y=40 SPLIT across the two x=±30 cells (each
+    // half is L2-nearest its side's frozen centroid) — the worst case for
+    // frozen codebooks: a probe near the mass ranks the UNDRIFTED middle
+    // cells closer than either holder
+    val drift = (1000L until 1020L).map(i =>
+        (i, Seq(30f + noise(i).head, 40f + noise(i + 3).head,
+          noise(i + 5).head) ++ noise(i).drop(1))) ++
+      (1020L until 1040L).map(i =>
+        (i, Seq(-30f + noise(i).head, 40f + noise(i + 3).head,
+          noise(i + 5).head) ++ noise(i).drop(1)))
+    EmbeddingLake.append(drift.toDF("vec_id", "embedding"), "embedding",
+      path, codebook)
+
+    val advice = EmbeddingLake.retrainAdvice(baseline,
+      EmbeddingLake.driftReport(spark, path, "embedding", codebook))
+    val flagged = advice.filter(col("retrain"))
+      .select("ivf_cell").collect().map(_.getInt(0)).toSeq.sorted
+    assert(flagged.length === 2,
+      s"exactly the two drift-absorbing cells must flag, got $flagged")
+
+    // ground truth + pre-compact recall@10 for a query aimed at the mass
+    val q = Seq(0f, 40f) ++ Seq.fill(Dim - 2)(0f)
+    val all = (core ++ drift).toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(all, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(cb: Array[Seq[Float]]): Double = {
+      val got = EmbeddingLake.probeTopK(spark, path, cb,
+        "vec_id", "embedding", q, k = 10, nProbe = 2)
+        .collect().map(_.getLong(0)).toSet
+      (got & truth).size / 10.0
+    }
+    val pre = recall(codebook)
+    assert(pre <= 0.2, s"fixture must mislead the frozen probe, recall=$pre")
+
+    // snapshot the unflagged cells' files (name, size, checksum)
+    def partFiles(cell: Int): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$path/ivf_cell=$cell")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        (f.getName, f.length, java.util.Arrays.hashCode(bytes).toLong)
+      }.toSeq.sortBy(_._1)
+    }
+    val untouchedCells = codebook.indices.filterNot(flagged.contains)
+    val before = untouchedCells.map(partFiles)
+
+    val (newCb, stats) = EmbeddingLake.compactCells(spark, path,
+      "vec_id", "embedding", codebook, flagged, splitInto = 2, kmeansIters = 3)
+    assert(stats.partitionsTotal === 4 && stats.partitionsRewritten === 2,
+      s"only the flagged cells may be rewritten: $stats")
+    assert(stats.cellsAdded >= 1 && newCb.length === 4 + stats.cellsAdded)
+    assert(untouchedCells.map(partFiles) === before,
+      "unflagged cell partitions must stay byte-identical")
+    assert(LakeMerge.readManifest(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()), path).isEmpty,
+      "compact must finish its commit")
+
+    // the split gave the drift mass its own centroids — the same probe
+    // budget now lands on it
+    val post = recall(newCb)
+    assert(post >= 0.9 && post > pre,
+      s"post-compact recall must recover: pre=$pre post=$post")
+    // and nothing was lost: the lake still holds every row exactly once
+    val ids = EmbeddingLake.read(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length === ids.distinct.length && ids.length === 200)
+  }
+
   test("rowwise minhash signing is shuffle-free (pure map)") {
     val docs = vecs.map { case (i, _) => (i, s"tok$i common words here") }
       .toDF("doc_id", "text")

@@ -282,6 +282,19 @@ class SftPrepSpec extends SparkSpec {
       s"null-role conversation must gate: $r")
   }
 
+  test("bestOfN: a non-integral candidate column is refused at plan time") {
+    import spark.implicits._
+    // a string candidate id would cast to NULL under non-ANSI semantics,
+    // sort first within equal scores, and be returned as a NULL best_cand
+    // instead of failing (ADVICE r13)
+    val cands = Seq((1L, "c-10", 0.9), (1L, "c-11", 0.7))
+      .toDF("prompt_id", "cand", "score")
+    val e = intercept[IllegalArgumentException] {
+      SftPrep.bestOfN(cands, "prompt_id", "cand", "score")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("bestOfN: NULL-scored candidates never win (review fix)") {
     import spark.implicits._
     // ascending struct sort puts a null field FIRST — an unscored
