@@ -994,6 +994,29 @@ object ScaleSmoke {
     require(npShuffle < 8L * 1024 * 1024,
       s"packNoSplit shuffled $npShuffle bytes — text is moving")
     require(npBins > 0, "packNoSplit must have produced bins")
+    // FFD comparison (r14): same corpus, orderBy = lengthDesc — true
+    // first-fit-decreasing inside each bounded group. Padding must come
+    // DOWN (FFD ≤ next-fit is the classic bin-packing result on any
+    // distribution with length spread); same shuffle discipline.
+    val padOf = (orderBy: String) =>
+      graft.trainprep.TrainPrep.packNoSplitReport(
+        graft.trainprep.TrainPrep.packNoSplit(bigDocs, "doc_id", "text",
+          contextTokens = 4096L, groupSize = 4096, orderBy = orderBy), 4096L)
+        .agg(sum(col("pad")).as("p"), count(lit(1)).as("b"))
+        .head()
+    val idRep = padOf("id")
+    val (ffdRep, ffdShuffle, _, ffdSecs) = sectionShuffle { padOf("lengthDesc") }
+    require(ffdShuffle < 8L * 1024 * 1024,
+      s"FFD pack shuffled $ffdShuffle bytes — text is moving")
+    require(ffdRep.getLong(0) <= idRep.getLong(0),
+      s"FFD padding ${ffdRep.getLong(0)} must not exceed next-fit " +
+        s"${idRep.getLong(0)}")
+    println(s"""{"metric":"pack_ffd_scale","docs":$nDocs,""" +
+      s""""nextfit_pad_tokens":${idRep.getLong(0)},""" +
+      s""""nextfit_bins":${idRep.getLong(1)},""" +
+      s""""ffd_pad_tokens":${ffdRep.getLong(0)},""" +
+      s""""ffd_bins":${ffdRep.getLong(1)},""" +
+      s""""ffd_seconds":$ffdSecs,"ffd_shuffle_bytes":$ffdShuffle}""")
     val (mixCount, mixRecsB, _, mixSecs) = sectionShuffle {
       graft.trainprep.TrainPrep.strideInterleave(
         bigDocs.withColumn("source",

@@ -152,6 +152,42 @@ object TrainPrepQueries {
               |SELECT doc_id, n AS n_tokens, grp, bin AS bin_in_grp
               |FROM rec""".stripMargin)),
 
+    // ---- first-fit-DECREASING packing (orderBy = lengthDesc) -------------
+    // classic FFD inside the same bounded groups: docs fold in
+    // (length DESC, rank ASC) order and each takes the FIRST open bin
+    // with room (the id-order variant is streaming next-fit — one open
+    // bin). Long docs place first, short ones backfill the gaps —
+    // packNoSplitReport measures the padding delta (README table). The
+    // oracle carries the per-bin fill LIST through the recursive CTE and
+    // runs the identical first-fit probe with list_filter.
+    "q_pack_nosplit_ffd" -> QueryDef(
+      (s, dir) => TrainPrep.packNoSplit(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text",
+        contextTokens = 256L, groupSize = 64, orderBy = "lengthDesc"),
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, $nTokSql::BIGINT AS n
+              |  FROM documents WHERE doc_id < 300),
+              |g AS (SELECT doc_id, n,
+              |    row_number() OVER (ORDER BY doc_id) - 1 AS gid FROM d),
+              |gg AS (SELECT doc_id, n, (gid // 64)::BIGINT AS grp,
+              |    row_number() OVER (PARTITION BY gid // 64
+              |      ORDER BY n DESC, gid) AS rn
+              |  FROM g),
+              |rec AS (
+              |  SELECT grp, rn, doc_id, n, [n] AS fills, 0::BIGINT AS bin
+              |    FROM gg WHERE rn = 1
+              |  UNION ALL
+              |  SELECT gg.grp, gg.rn, gg.doc_id, gg.n,
+              |    CASE WHEN fit.i IS NULL THEN list_append(rec.fills, gg.n)
+              |      ELSE list_transform(range(1, len(rec.fills) + 1),
+              |        j -> CASE WHEN j = fit.i THEN rec.fills[j] + gg.n
+              |             ELSE rec.fills[j] END) END,
+              |    (coalesce(fit.i, len(rec.fills) + 1) - 1)::BIGINT
+              |  FROM rec JOIN gg ON gg.grp = rec.grp AND gg.rn = rec.rn + 1,
+              |  LATERAL (SELECT list_filter(range(1, len(rec.fills) + 1),
+              |    j -> rec.fills[j] + gg.n <= 256)[1] AS i) fit)
+              |SELECT doc_id, n AS n_tokens, grp, bin AS bin_in_grp
+              |FROM rec""".stripMargin)),
+
     // ---- needle-in-a-haystack synthesis (long-context eval prep) ---------
     // needle 'the secret code is k<doc·31+di>' planted at 5 depths per
     // doc; the whole haystack TEXT plus the needle's word offset is

@@ -89,6 +89,39 @@ object StreamOps {
         JdbcUpsertSink.upsert(batch, url, table, keyCols, valueCols, dialect)
       }
 
+  /** Sink a stream through the FILE-LAKE merge — [[upsertSink]]'s twin
+    * for the path-based lake (K2's file half, streaming closure): each
+    * micro-batch MERGEs into the date-partitioned lake through
+    * [[graft.io.LakeMerge.merge]], so out-of-order events land in their
+    * event-date partitions and a REPLAYED batch (restart-from-checkpoint
+    * re-delivery — foreachBatch is at-least-once) converges instead of
+    * duplicating: the merge is exactly-once-by-key, which is precisely
+    * the property that turns at-least-once delivery into effectively-once
+    * results. Batches must be unique by key — true by construction for
+    * Update-mode aggregations (one row per changed key per batch); raw
+    * append streams with in-batch duplicates should aggregate first
+    * (same contract as the JDBC twin, where MySQL would take
+    * arbitrary statement order). The lake must exist
+    * ([[graft.io.LakeMerge.writeLake]]) before the first batch; a crash
+    * mid-merge is recovered by the NEXT batch's entry roll-forward
+    * (the manifest protocol), so the sink needs no extra crash handling. */
+  def lakeMergeSink(stream: DataFrame, lakeDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String] = Seq("tms_id", "fgt", "time"),
+      timeCol: String = "time",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.LakeMerge.merge(batch.sparkSession, lakeDir,
+            graft.io.LakeMerge.withPartDate(batch, timeCol), keyCols,
+            timeCol = timeCol)
+        () // discard stats: DataStreamWriter's foreachBatch wants Unit
+      }
+
   /** Horizon-filtered enriched extraction stream: the streaming form of the
     * extract path's F2 + X14 steps (cutoff filter + hash-id derivation). */
   def enrichForecast(stream: DataFrame, cutoff: String,

@@ -1123,11 +1123,17 @@ object TrainPrep {
 
   /** NO-SPLIT sequence packing — [[packChunks]]' complement for samples
     * that must stay ATOMIC (SFT conversations, retrieval passages, eval
-    * items: splitting one across sequences corrupts the sample): greedy
-    * first-fit in deterministic global order, opening a new bin whenever
-    * the next document would overflow `contextTokens`. A document longer
-    * than the context gets a bin of its own (flagged `oversize` in the
-    * report — the caller decides truncate/drop; the packer never splits).
+    * items: splitting one across sequences corrupts the sample). Two
+    * greedy disciplines, both bit-deterministic (`orderBy`):
+    * `"id"` folds in global-rank order with ONE open bin (streaming
+    * next-fit — order-preserving, the default); `"lengthDesc"` is
+    * classic FIRST-FIT-DECREASING — docs fold longest-first and each
+    * takes the first open bin with room, so short docs backfill the
+    * gaps and padding drops materially (ScaleSmoke's pack_ffd_scale
+    * section and the README table quote the delta). A document longer
+    * than the context gets a bin of its own in either mode (flagged
+    * `oversize` in the report — the caller decides truncate/drop via
+    * e.g. [[SftExport]]'s --oversize; the packer never splits).
     *
     * Greedy packing is inherently SEQUENTIAL (each bin boundary depends
     * on the running remainder — not prefix-summable), so the scalable
@@ -1168,11 +1174,37 @@ object TrainPrep {
       .groupBy(col("__grp"))
       .agg(array_sort(collect_list(struct(sortKey.as("__k"),
         col("__gid"), col("__id"), col("__len")))).as("__docs"))
-    // the greedy fold: state (filled, bin, bins); a doc that would
-    // overflow a NON-EMPTY bin opens the next one (an oversize doc into
-    // an empty bin stays — atomic, never split)
+    // the greedy fold. orderBy = "id": streaming NEXT-FIT — state
+    // (filled, bin, bins), ONE open bin, a doc that would overflow a
+    // non-empty bin opens the next (an oversize doc into an empty bin
+    // stays — atomic, never split). orderBy = "lengthDesc": classic
+    // FIRST-FIT-DECREASING — the state carries every open bin's fill
+    // level and each doc takes the FIRST bin with room (opening one
+    // only when none fits), which is what lets short docs backfill the
+    // gaps long docs leave; O(bins) per doc, bounded by groupSize. An
+    // oversize doc fits no bin and opens its own, same atomicity.
     val lens = transform(col("__docs"), d => d.getField("__len"))
-    val bins = aggregate(lens,
+    val bins = if (orderBy == "lengthDesc") aggregate(lens,
+      struct(array().cast("array<bigint>").as("fills"),
+        array().cast("array<bigint>").as("bins")),
+      (acc, len) => {
+        val fills = acc.getField("fills")
+        // first open bin with room, 1-based; NULL = open a new one.
+        // sequence(1, 0) would DESCEND — guard the empty state
+        val fit = when(size(fills) === 0, lit(null).cast("integer"))
+          .otherwise(get(filter(sequence(lit(1), size(fills)),
+            i => element_at(fills, i) + len <= contextTokens), lit(0)))
+        struct(
+          when(fit.isNull, concat(fills, array(len)))
+            .otherwise(transform(sequence(lit(1), size(fills)),
+              i => when(i === fit, element_at(fills, i) + len)
+                .otherwise(element_at(fills, i)))).as("fills"),
+          concat(acc.getField("bins"),
+            array((coalesce(fit, size(fills) + 1) - 1).cast("bigint")))
+            .as("bins"))
+      },
+      acc => acc.getField("bins"))
+    else aggregate(lens,
       struct(lit(0L).as("filled"), lit(0L).as("bin"),
         array().cast("array<bigint>").as("bins")),
       (acc, len) => {
@@ -1208,6 +1240,85 @@ object TrainPrep {
       .select(col("grp"), col("bin_in_grp"), col("n_docs"), col("tokens"),
         greatest(lit(contextTokens) - col("tokens"), lit(0L)).as("pad"),
         (col("tokens") > contextTokens).as("oversize"))
+
+  /** Per-document sequence OFFSETS for an atomic ([[packNoSplit]])
+    * packing, with the OVERSIZE DECISION applied — the bridge between
+    * the packer (which never splits and only FLAGS a too-long doc) and
+    * an exporter that must ship fixed-context tensors:
+    *
+    *  - `oversize = "truncate"`: an oversize doc keeps exactly its first
+    *    `contextTokens` BPE ids — token-exact truncation on the SAME ids
+    *    path the export ships (`truncated ids == prefix of full ids` is
+    *    spec-pinned), so the emitted sequence is still real model input;
+    *  - `oversize = "drop"`: oversize docs leave the corpus (their lone
+    *    bins vanish with them).
+    *
+    * Returns one row per surviving document: (idCol, grp, bin_in_grp,
+    * n_tokens_doc (pre-policy), n_tokens (post-policy = shipped),
+    * start_in_seq (token offset of this doc inside its (grp, bin)
+    * sequence, in fold order), oversize flag, token_ids
+    * (post-policy id array)). Scale shape: the packer's two-pass rank
+    * scan + one id-keyed join of the ids map pass + ONE fine-grained
+    * window (partitioned by (grp, bin) — thousands of tiny partitions,
+    * never a global sort). */
+  def packNoSplitOffsets(docs: DataFrame, idCol: String, textCol: String,
+      merges: graft.expressions.BpeMerges, contextTokens: Int,
+      groupSize: Int = 4096, orderBy: String = "id",
+      oversize: String = "truncate"): DataFrame = {
+    require(Seq("truncate", "drop").contains(oversize),
+      s"oversize must be 'truncate' or 'drop', got '$oversize'")
+    val cnt = graft.functions.Bpe.tokenCount(_: Column, merges)
+    val packed = packNoSplit(docs, idCol, textCol, contextTokens.toLong,
+      groupSize, cnt, orderBy)
+    val ids = docs.select(col(idCol),
+      coalesce(graft.functions.Bpe.tokenIds(col(textCol), merges),
+        array().cast("array<int>")).as("__ids"))
+    val joined = packed.join(ids, Seq(idCol))
+      .withColumn("__over", col("n_tokens") > contextTokens)
+    val surviving =
+      if (oversize == "drop") joined.filter(!col("__over"))
+      else joined.withColumn("__ids",
+        when(col("__over"), slice(col("__ids"), 1, contextTokens))
+          .otherwise(col("__ids")))
+    // layout order inside a sequence = the packer's fold order
+    val orderCols =
+      if (orderBy == "id") Seq(col(idCol).cast("long"))
+      else Seq((-col("n_tokens")).cast("long"), col(idCol).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("bin_in_grp"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    surviving
+      .withColumn("__np", size(col("__ids")).cast("long"))
+      .select(col(idCol), col("grp"), col("bin_in_grp"),
+        col("n_tokens").as("n_tokens_doc"),
+        col("__np").as("n_tokens"),
+        (sum(col("__np")).over(w) - col("__np")).as("start_in_seq"),
+        col("__over").as("oversize"),
+        col("__ids").as("token_ids"))
+  }
+
+  /** ATOMIC packed sequences — [[packNoSplitOffsets]] rolled up to one
+    * row per (grp, bin_in_grp): (n_docs, n_tokens, token_ids) with
+    * token_ids the comma-joined concatenation in layout order (the
+    * [[packedTokenIds]] string convention). With the oversize policy
+    * applied, `n_tokens <= contextTokens` holds for EVERY sequence —
+    * the exporter's require. */
+  def packNoSplitIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: graft.expressions.BpeMerges, contextTokens: Int,
+      groupSize: Int = 4096, orderBy: String = "id",
+      oversize: String = "truncate"): DataFrame =
+    packNoSplitOffsets(docs, idCol, textCol, merges, contextTokens,
+        groupSize, orderBy, oversize)
+      .groupBy(col("grp"), col("bin_in_grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(transform(
+          flatten(transform(
+            array_sort(collect_list(struct(
+              col("start_in_seq"), col("token_ids")))),
+            _.getField("token_ids"))),
+          i => i.cast("string")), ",").as("token_ids"))
 
   /** NEEDLE-IN-A-HAYSTACK synthesis — the long-context eval artifact
     * (Kamradt's NIAH and its descendants): plant a KNOWN needle sentence

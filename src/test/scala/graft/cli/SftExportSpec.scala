@@ -57,6 +57,65 @@ class SftExportSpec extends SparkSpec {
       stats2("loss_tokens") != stats("loss_tokens"))
   }
 
+  test("atomic pack: convs stay whole, truncate ships the exact id prefix, drop omits") {
+    import graft.functions.Bpe
+    val dir = Files.createTempDirectory("sft_export_atomic").toString
+    writeConvs(s"$dir/in")
+    val convs = spark.read.parquet(s"$dir/in")
+    // choose a context that makes the LONGEST conversation oversize —
+    // the policy path must actually fire
+    val fullIds = graft.trainprep.SftPrep.renderChat(convs, "conv_id", "turns")
+      .select(col("conv_id"), Bpe.tokenIds(col("text")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val ctx = fullIds.values.map(_.size).max - 1
+    assert(ctx >= 2, s"fixture too small for an oversize case: $fullIds")
+
+    val stats = SftExport.run(spark, Map("in" -> s"$dir/in",
+      "out" -> s"$dir/out", "context" -> ctx.toString, "pack" -> "atomic"))
+    assert(stats("oversize_convs") >= 1L && stats("tokens_removed") >= 1L)
+    val docs = spark.read.parquet(s"$dir/out/packed_docs").collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[Boolean]("oversize"),
+          r.getSeq[Int](r.fieldIndex("token_ids")).toList)))
+      .toMap
+    assert(docs.size === 3, "truncate keeps every conversation")
+    docs.foreach { case (id, (over, shipped)) =>
+      val full = fullIds(id).toList
+      if (over) assert(shipped === full.take(ctx),
+        s"conv $id: truncated ids must be the exact prefix of the full ids")
+      else assert(shipped === full)
+    }
+    // the atomic require held: no sequence exceeds the context
+    val packed = spark.read.parquet(s"$dir/out/packed")
+    assert(packed.agg(max("n_tokens")).head().getLong(0) <= ctx)
+    // oversize-adjusted composition: shipped == predicted − removed
+    assert(packed.agg(sum("n_tokens")).head().getLong(0) ===
+      stats("total_tokens") - stats("tokens_removed"))
+    // masks stay inside their conv's shipped range
+    spark.read.parquet(s"$dir/out/masks").collect().foreach { r =>
+      val (s0, e0) = (r.getAs[Long]("loss_start_in_seq"),
+        r.getAs[Long]("loss_end_in_seq"))
+      assert(s0 >= 0 && s0 < e0 && e0 <= ctx)
+    }
+
+    // drop: the oversize conversation leaves the corpus entirely
+    val stats2 = SftExport.run(spark, Map("in" -> s"$dir/in",
+      "out" -> s"$dir/out2", "context" -> ctx.toString,
+      "pack" -> "atomic", "oversize" -> "drop"))
+    val kept = spark.read.parquet(s"$dir/out2/packed_docs")
+      .select("conv_id").collect().map(_.getLong(0)).toSet
+    val overIds = docs.collect { case (id, (true, _)) => id }.toSet
+    assert(kept === docs.keySet -- overIds, s"dropped wrong convs: $kept")
+    assert(stats2("tokens_removed") === overIds.toSeq.map(fullIds(_).size.toLong).sum)
+
+    // --oversize is an atomic-only flag
+    val e = intercept[IllegalArgumentException] {
+      SftExport.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/o3",
+        "oversize" -> "truncate"))
+    }
+    assert(e.getMessage.contains("atomic"), e.getMessage)
+  }
+
   test("empty input exports empty sections instead of blowing up") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sft_export_empty").toString

@@ -686,6 +686,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(repart === fenced, "packing must not depend on input partitioning")
   }
 
+  test("packNoSplit lengthDesc: FFD order, less padding, layout-independent") {
+    def doc(i: Int, len: Int) = (i.toLong, Seq.fill(len)("w").mkString(" "))
+    // lens (5,1,4,2,3) at context 6: id-order first-fit → [5,1],[4,2],[3]
+    // = 3 bins (pad 6); FFD folds (5,4,3,2,1) → [5,1],[4,2],[3] same
+    // here, so use a sharper case: lens (4,4,3,3,2,2) at context 6:
+    // id-order → [4],[4],[3,3],[2,2] = 4 bins pad 2+2+0+2=6; FFD order
+    // (4,4,3,3,2,2) is the same sequence — descending already. Flip:
+    // lens (2,2,3,3,4,4): id-order → [2,2],[3,3],[4],[4] pad 6; FFD
+    // (4,4,3,3,2,2) → [4,2],[4,2],[3,3] = 3 bins pad 0 — strictly less
+    val df = Seq(doc(0, 2), doc(1, 2), doc(2, 3), doc(3, 3),
+      doc(4, 4), doc(5, 4)).toDF("doc_id", "text")
+    val ctx = 6L
+    def padOf(orderBy: String): (Long, Long) = {
+      val rep = TrainPrep.packNoSplitReport(
+        TrainPrep.packNoSplit(df, "doc_id", "text", ctx, 100,
+          orderBy = orderBy), ctx).collect()
+      (rep.length.toLong, rep.map(_.getLong(4)).sum)
+    }
+    val (idBins, idPad) = padOf("id")
+    val (ffdBins, ffdPad) = padOf("lengthDesc")
+    assert((idBins, idPad) === ((4L, 6L)), s"id-order: $idBins bins, $idPad pad")
+    assert((ffdBins, ffdPad) === ((3L, 0L)),
+      s"FFD must backfill: $ffdBins bins, $ffdPad pad")
+    // FFD assignment in detail: 4s seed bins 0/1, 3s share bin 2, 2s
+    // backfill bins 0/1 — and the fold ignores input partitioning
+    val ffd = TrainPrep.packNoSplit(df.repartition(5), "doc_id", "text",
+        ctx, 100, orderBy = "lengthDesc")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ffd === Map(4L -> 0L, 5L -> 1L, 2L -> 2L, 3L -> 2L,
+      0L -> 0L, 1L -> 1L), ffd.toString)
+    // unknown order refused loudly
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.packNoSplit(df, "doc_id", "text", ctx, 100, orderBy = "random")
+    }
+    assert(e.getMessage.contains("orderBy"), e.getMessage)
+  }
+
   test("needleHaystack: splice positions, uniqueness, empty-doc edge") {
     import spark.implicits._
     val docs = Seq((7L, "alpha beta gamma delta"), (9L, "")).toDF("doc_id", "text")
