@@ -928,6 +928,46 @@ object ScaleSmoke {
       s""""seconds":$lidSecs,"docs_per_sec":${(nDocs / lidSecs).toLong},""" +
       s""""shuffle_bytes":$lidShuffle}""")
 
+    // ---- fused trainer at HIGH head count: literal-cost audit (r14) ----
+    // each fused iteration embeds H × numFeatures weight literals in its
+    // two aggregate plans (H typedlit arrays of 256 doubles per side);
+    // the aggregates it saves are worth it only while Catalyst
+    // analysis/codegen over those literals stays linear-ish in H. This
+    // section measures per-iteration wall at H ∈ {8, 32, 64} on the same
+    // corpus and REQUIRES the 8→64 per-iteration growth stays within
+    // 12× (linear in H is 8×; a literal-analysis blowup would breach).
+    // If this bound ever fails, the escape hatch is array-typed weight
+    // accumulation (ONE array<array<double>> literal + a transform fold
+    // instead of H scalar sum columns).
+    val lidTrain = spark.range(4).crossJoin(baseDocs)
+      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
+        col("text"))
+      .localCheckpoint(true) // flat lineage across the three trainings
+    val nTrain = lidTrain.count()
+    val fusedIters = 2
+    val hTimes = Seq(8, 32, 64).map { h =>
+      val langs = (0 until h).map(k => f"h$k%02d")
+      val labeled = lidTrain.withColumn("label",
+        format_string("h%02d", pmod(col("doc_id"), lit(h))))
+      val t = System.nanoTime()
+      val heads = graft.trainprep.LangIdClassifier.trainOneVsRestFused(
+        labeled, "doc_id", "text", "label", langs, numFeatures = 256,
+        iters = fusedIters)
+      val perIter = (System.nanoTime() - t) / 1e9 / fusedIters
+      require(heads.length == h, s"trained ${heads.length} of $h heads")
+      h -> perIter
+    }
+    val perIterJson = hTimes.map { case (h, s) => s""""h$h":$s""" }
+      .mkString(",")
+    require(hTimes.last._2 <= hTimes.head._2 * 12,
+      s"fused per-iteration wall grew ${hTimes.last._2 / hTimes.head._2}x " +
+        "from H=8 to H=64 — literal analysis is blowing up; switch the " +
+        "margins aggregate to array-typed accumulation")
+    lidTrain.unpersist()
+    println(s"""{"metric":"langid_fused_heads_scale","docs":$nTrain,""" +
+      s""""iters":$fusedIters,"per_iter_seconds":{$perIterJson},""" +
+      s""""growth_8_to_64":${hTimes.last._2 / hTimes.head._2}}""")
+
     // ---- SFT completion-loss spans: BPE counting stays map-side; the
     // only shuffle is the per-conversation prefix-sum window, whose rows
     // are TURNS (a few small ints + a role), never text bytes ------------

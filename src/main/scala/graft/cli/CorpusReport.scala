@@ -29,8 +29,18 @@ import graft.trainprep.TrainPrep
   * aggregate pipeline is the priced exception); nothing here is pairwise
   * and nothing collects beyond the bucket/slice-sized section tables.
   *
+  *   - `embedding_drift/` (with `--embedding-lake <lake>`) per-cell
+  *                  drift of an IVF-partitioned embedding lake — the
+  *                  EMBEDDING-health half of the card (codebook from the
+  *                  lake's `_codebook/`); add `--lake-baseline
+  *                  <driftReport.parquet>` for the per-cell
+  *                  retrain/compact verdict, summarized as
+  *                  `lake_retrain_cells`
+  *
   * `runMain graft.cli.CorpusReport --in <docs.parquet> --out <dir>
-  *   [--group-col source] [--context 4096] [--token-counter bpe]`
+  *   [--group-col source] [--context 4096] [--token-counter bpe]
+  *   [--embedding-lake <lake> [--embedding-col embedding]
+  *    [--lake-baseline <driftReport.parquet>]]`
   */
 object CorpusReport {
 
@@ -100,11 +110,41 @@ object CorpusReport {
     val distinctTexts = longOr0(spark.read.parquet(s"$out/clusters")
       .agg(sum(col("n_clusters"))).head(), 0)
 
+    // embedding-lake health section (r14): the dataset card reports TEXT
+    // health above; --embedding-lake adds the EMBEDDING side — the
+    // per-cell drift report of an IVF-partitioned lake (codebook read
+    // from the lake's own _codebook/), and, when --lake-baseline names a
+    // persisted training-time driftReport, the retrainAdvice verdict per
+    // cell. Written as embedding_drift/; the summary carries cell/vector
+    // totals and the number of cells flagged for retrain/compact.
+    val lakeStats: Map[String, Long] = args.get("embedding-lake").map { lake =>
+      val vecCol = args.getOrElse("embedding-col", "embedding")
+      val cb = graft.io.EmbeddingLake.readCodebook(spark, lake)
+      val current = graft.io.EmbeddingLake.driftReport(spark, lake, vecCol, cb)
+      val section = args.get("lake-baseline") match {
+        case Some(basePath) => graft.io.EmbeddingLake.retrainAdvice(
+          spark.read.parquet(basePath), current)
+        case None => current
+      }
+      section.write.mode("overwrite").parquet(s"$out/embedding_drift")
+      val drift = spark.read.parquet(s"$out/embedding_drift")
+      val retrain =
+        if (drift.columns.contains("retrain"))
+          drift.agg(sum(when(col("retrain"), 1L).otherwise(0L))).head()
+        else null
+      val nCol = if (drift.columns.contains("n")) "n" else "n_now"
+      val totals = drift.agg(count(lit(1)), sum(col(nCol))).head()
+      Map("lake_cells" -> totals.getLong(0),
+        "lake_vectors" -> longOr0(totals, 1)) ++
+        Option(retrain).map(r => "lake_retrain_cells" -> longOr0(r, 0))
+    }.getOrElse(Map.empty)
+
     val stats = Map(
       "docs" -> row.getLong(0), "tokens" -> longOr0(row, 1),
       "distinct_texts" -> distinctTexts,
       "gopher_pass" -> longOr0(row, 2), "c4_pass" -> c4Pass,
-      "repetition_pass" -> repPass, "encoding_clean" -> longOr0(row, 3))
+      "repetition_pass" -> repPass, "encoding_clean" -> longOr0(row, 3)) ++
+      lakeStats
     println(stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"metric\":\"corpus_report\",", ",", "}"))
     stats

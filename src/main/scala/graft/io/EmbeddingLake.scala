@@ -133,6 +133,32 @@ object EmbeddingLake {
     scans.map(_.selectedPartitions.totalNumberOfFiles).sum
   }
 
+  /** Persist the codebook WITH the table — an underscore-prefixed parquet
+    * directory inside the lake (Spark's file index skips `_`-paths, the
+    * `_SUCCESS` convention, so probes over the lake never scan it). One
+    * row per cell: (cell_id, centroid). */
+  def writeCodebook(spark: SparkSession, path: String,
+      codebook: Array[Seq[Float]]): Unit = {
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_codebook")
+  }
+
+  /** Read back a [[writeCodebook]]-persisted codebook, cell order
+    * restored. */
+  def readCodebook(spark: SparkSession, path: String): Array[Seq[Float]] = {
+    val rows = spark.read.parquet(s"$path/_codebook")
+      .orderBy(col("cell_id")).collect()
+    require(rows.nonEmpty, s"no codebook at $path/_codebook")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"codebook at $path/_codebook has a gap: expected cell $i, " +
+          s"found ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Float](1))
+  }
+
   // ---- incremental ingest (round 13) ---------------------------------------
 
   /** APPEND new vectors into an existing lake: assign cells from the

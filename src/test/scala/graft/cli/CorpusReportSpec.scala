@@ -49,6 +49,53 @@ class CorpusReportSpec extends SparkSpec {
     assert(b256.getAs[Long]("pad_waste_tokens") == 56L)
   }
 
+  test("--embedding-lake adds the drift section; --lake-baseline adds verdicts") {
+    import spark.implicits._
+    import graft.io.EmbeddingLake
+    val in = Files.createTempDirectory("report_emb_in").toString
+    Seq((1L, "a doc", "web"), (2L, "b doc", "web"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    // a small lake with its codebook persisted inside, then a drifted
+    // append so the baseline comparison has something to flag
+    val lake = Files.createTempDirectory("report_lake").toString + "/emb"
+    val vecs = (0L until 60L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(4)(r.nextFloat() * 2 - 1))
+    }
+    val cb = EmbeddingLake.writePartitioned(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", lake,
+      nCentroids = 3, kmeansIters = 1)
+    EmbeddingLake.writeCodebook(spark, lake, cb)
+    assert((EmbeddingLake.readCodebook(spark, lake) zip cb)
+      .forall { case (a, b) => a == b }, "codebook round-trips")
+    val basePath = Files.createTempDirectory("report_base").toString + "/drift"
+    EmbeddingLake.driftReport(spark, lake, "embedding", cb)
+      .write.parquet(basePath)
+    EmbeddingLake.append((100L until 140L).map(i =>
+        (i, Seq.fill(4)(9.0f + (i % 3)))).toDF("vec_id", "embedding"),
+      "embedding", lake, cb)
+
+    // without a baseline: raw drift report + totals in the summary
+    val out1 = Files.createTempDirectory("report_emb_o1").toString
+    val s1 = CorpusReport.run(spark, Map("in" -> in, "out" -> out1,
+      "embedding-lake" -> lake))
+    assert(s1("lake_cells") == 3L && s1("lake_vectors") == 100L)
+    assert(!s1.contains("lake_retrain_cells"),
+      "no baseline -> no verdict column to summarize")
+    assert(spark.read.parquet(s"$out1/embedding_drift")
+      .columns.toSet == Set("ivf_cell", "n", "mean_residual", "max_residual"))
+
+    // with the training-time baseline: per-cell retrain verdicts
+    val out2 = Files.createTempDirectory("report_emb_o2").toString
+    val s2 = CorpusReport.run(spark, Map("in" -> in, "out" -> out2,
+      "embedding-lake" -> lake, "lake-baseline" -> basePath))
+    assert(s2("lake_cells") == 3L && s2("lake_vectors") == 100L)
+    assert(s2("lake_retrain_cells") >= 1L,
+      "the far-field append must flag at least one cell")
+    val drift = spark.read.parquet(s"$out2/embedding_drift")
+    assert(drift.columns.contains("retrain") && drift.count() == 3L)
+  }
+
   test("an EMPTY input corpus reports zeros instead of throwing") {
     import spark.implicits._
     val in = Files.createTempDirectory("report_empty_in").toString
