@@ -689,7 +689,10 @@ class PlanAuditSpec extends SparkSpec {
     // both rank through scanCumSum's deterministic __pid buckets; a
     // windowspecdefinition WITHOUT a partition key would be the
     // single-partition global sort these operators exist to avoid
-    for (name <- Seq("q_pack_nosplit", "q_mix_interleave")) {
+    // q_pack_nosplit_ffd shares the posture: FFD only changes the
+    // in-group fold, never the rank/bucket plan shape
+    for (name <- Seq("q_pack_nosplit", "q_pack_nosplit_ffd",
+        "q_mix_interleave")) {
       val plan = executedPlan(name)
       assert(plan.contains("hashpartitioning(__pid"),
         s"$name must bucket its prefix scan:\n" + plan.take(1200))
