@@ -636,6 +636,29 @@ object ScaleSmoke {
       s""""peak_stage_shuffle_bytes":$lmPeak}""")
     spark.catalog.clearCache() // charTrigramNll persists its count frame
 
+    // ---- word-bigram stupid-backoff LM over the replicated corpus (r14) --
+    // train on the 5 k-doc base slice, score 100 k docs: the CCNet shape —
+    // a fixed reference LM, web-scale text streaming through three
+    // word-keyed equi-joins. Shuffle carries (word, count) partials and
+    // the transition stream's join keys — token-scale, never text bodies.
+    val (lmbRows, lmbShuffle, _, lmbSecs) = sectionShuffle {
+      val uni = graft.trainprep.NgramLm.unigramCounts(baseDocs, "text")
+      val bi = graft.trainprep.NgramLm.bigramCounts(baseDocs, "text")
+      val total = uni.agg(sum(col("c"))).head().getLong(0)
+      graft.trainprep.NgramLm.stupidBackoffNll(
+        bigDocs, "doc_id", "text", uni, bi, total).count()
+    }
+    require(lmbRows == nDocs,
+      s"LM must score every multi-token doc: $lmbRows of $nDocs")
+    // measured ~0.4 GB at 100 k docs (~3.5 M transitions × 3 joins of
+    // word-string keys); text bodies (~35 MB × joins would be fine too,
+    // but the point is the bound scales with TOKENS, not pairs)
+    require(lmbShuffle < 2L * 1024 * 1024 * 1024,
+      s"LM scoring shuffled $lmbShuffle bytes — something is exploding")
+    println(s"""{"metric":"lm_backoff_scale","docs":$nDocs,""" +
+      s""""seconds":$lmbSecs,"docs_per_sec":${(nDocs / lmbSecs).toLong},""" +
+      s""""shuffle_write_bytes":$lmbShuffle}""")
+
     // ---- distinct/frequency sketches over the replicated corpus ----------
     // The point at scale is the SHUFFLE BOUND: HLL moves ≤ groups×256
     // register rows and CMS ≤ depth×256 counter rows regardless of corpus

@@ -19,6 +19,37 @@ object TrainPrepQueries {
     """(CASE WHEN length(text) = 0 THEN 0
       |  ELSE length(text) - length(replace(text, ' ', '')) + 1 END)""".stripMargin
 
+  // shared by q_lm_backoff and its streaming twin
+  private val lmBackoffOracle: String =
+    """WITH tr_d AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+      |  FROM documents WHERE doc_id < 150),
+      |sc_d AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+      |  FROM documents WHERE doc_id < 300),
+      |uni AS (SELECT w, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(ws) AS w FROM tr_d) GROUP BY w),
+      |tot AS (SELECT count(*)::BIGINT AS t
+      |  FROM (SELECT unnest(ws) AS w FROM tr_d)),
+      |bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+      |    SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM tr_d,
+      |      LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u)
+      |  GROUP BY 1, 2),
+      |sct AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM sc_d,
+      |  LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u),
+      |s AS (SELECT sct.doc_id,
+      |    CASE WHEN bi.c12 IS NOT NULL
+      |      THEN bi.c12::DOUBLE / u1.c::DOUBLE
+      |      ELSE 0.4 * coalesce(u2.c, 1)::DOUBLE / tot.t::DOUBLE END AS sc,
+      |    CASE WHEN bi.c12 IS NULL THEN 1.0 ELSE 0.0 END AS bo
+      |  FROM sct LEFT JOIN bi ON sct.w1 = bi.w1 AND sct.w2 = bi.w2
+      |    LEFT JOIN uni u1 ON sct.w1 = u1.w
+      |    LEFT JOIN uni u2 ON sct.w2 = u2.w, tot)
+      |SELECT doc_id, count(*)::BIGINT AS n_trans,
+      |  round(avg(bo), 6) AS backoff_rate,
+      |  round(avg(-ln(sc)), 6) AS avg_nll
+      |FROM s GROUP BY doc_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- TF-IDF weighting: explode → 2 hash-aggs → vocab-sized join ------
@@ -564,6 +595,50 @@ object TrainPrepQueries {
              |       ELSE 'tail' END AS ppl_bucket
              |FROM r CROSS JOIN h CROSS JOIN m""".stripMargin)),
 
+    // ---- CCNet-class word-bigram LM with STUPID BACKOFF (E162): train
+    // on docs < 150, score docs < 300 — the held-out half exercises all
+    // three branches (seen bigram c12/c1, unigram backoff α·c2/T, OOV
+    // α·1/T) and the backoff_rate coverage diagnostic; every count ratio
+    // and ln replays as plain SQL -----------------------------------------
+    "q_lm_backoff" -> QueryDef(
+      (s, dir) => {
+        val train = t(s, dir, "documents").filter(col("doc_id") < 150)
+        val uni = graft.trainprep.NgramLm.unigramCounts(train, "text")
+        val bi = graft.trainprep.NgramLm.bigramCounts(train, "text")
+        val total = uni.agg(sum(col("c"))).head().getLong(0)
+        graft.trainprep.NgramLm.stupidBackoffNll(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", uni, bi, total)
+      },
+      Some(lmBackoffOracle)),
+
+    // ---- source-pair Jensen–Shannon divergence (E163): the domain-
+    // similarity matrix mixture planning reads — shared-word inner join
+    // + the closed-form one-sided tail (a word on one side contributes
+    // exactly p·ln2), so no full-outer join and a verbatim SQL replay ----
+    "q_mix_jsd" -> QueryDef(
+      (s, dir) => graft.trainprep.NgramLm.sourceJsDivergence(
+        t(s, dir, "documents"), "source", "text"),
+      Some("""WITH w AS (SELECT source AS src,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |c AS (SELECT src, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+             |t AS (SELECT src, sum(c)::BIGINT AS t FROM c GROUP BY 1),
+             |p AS (SELECT c.src, c.w, c.c::DOUBLE / t.t::DOUBLE AS p
+             |  FROM c JOIN t USING (src)),
+             |j AS (SELECT a.src AS source_a, b.src AS source_b,
+             |    count(*)::BIGINT AS shared_words,
+             |    sum(a.p * ln(2 * a.p / (a.p + b.p))
+             |      + b.p * ln(2 * b.p / (a.p + b.p))) AS core,
+             |    sum(a.p) AS sa, sum(b.p) AS sb
+             |  FROM p a JOIN p b ON a.w = b.w AND a.src < b.src
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, shared_words,
+             |  round(0.5 * core + 0.5 * ln(2) * ((1 - sa) + (1 - sb)), 6)
+             |    AS js_div
+             |FROM j""".stripMargin)),
+
     // ---- streaming parity: real streaming jobs, batch oracles (§2.9) -----
     "q_stream_resample" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.resampleComplete(s, dir, 900),
@@ -642,6 +717,14 @@ object TrainPrepQueries {
     "q_stream_chat_gate" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.chatGateStream(s, dir),
       graft.PipelineQueries.defs.toMap.apply("q_chat_gate").oracle),
+
+    // ---- streaming LM quality scoring at ingest ----------------------------
+    // the E162 stupid-backoff score as documents arrive, counts from
+    // static offline-trained tables (stream-static joins + complete-mode
+    // per-doc roll-up); shares q_lm_backoff's oracle.
+    "q_stream_lm_backoff" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.lmBackoffStream(s, dir),
+      Some(lmBackoffOracle)),
 
     // ---- streaming fuzzy-match fold at ingest ------------------------------
     // the E154 canonical key as a stateless append-mode map over arriving

@@ -368,6 +368,27 @@ object StreamParity {
       "stream_text_fold", OutputMode.Append())
   }
 
+  /** Streaming LM quality scoring at ingest — the E162 stupid-backoff
+    * score computed as documents arrive, against STATIC count tables
+    * trained offline (the CCNet deployment shape: the reference-domain
+    * LM is a fixed artifact; web text streams through it). Stream-static
+    * equi-joins resolve the counts per micro-batch; the per-doc roll-up
+    * is a complete-mode aggregate whose per-key sums are
+    * arrival-order-insensitive, so the drained stream equals the batch
+    * answer by construction. Shares q_lm_backoff's oracle. */
+  def lmBackoffStream(spark: SparkSession, dir: String): DataFrame = {
+    val train = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 150)
+    val uni = graft.trainprep.NgramLm.unigramCounts(train, "text")
+    val bi = graft.trainprep.NgramLm.bigramCounts(train, "text")
+    val total = uni.agg(sum(col("c"))).head().getLong(0)
+    val src = docsStream(spark, dir).filter(col("doc_id") < 300)
+    runToTable(spark,
+      graft.trainprep.NgramLm.stupidBackoffNll(
+        src, "doc_id", "text", uni, bi, total),
+      "stream_lm_backoff", OutputMode.Complete())
+  }
+
   /** Streaming C4 page cleanup at ingest — STATELESS (the E103 gate is a
     * pure per-row select, append mode, no state store), so stream == batch
     * by construction; the run certifies the streaming PLUMBING (file

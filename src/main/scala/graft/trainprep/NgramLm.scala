@@ -1,0 +1,139 @@
+package graft.trainprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Word-level n-gram language model with STUPID BACKOFF — the CCNet-class
+  * quality filter (Wenzek et al. 2020 score web text with a reference-
+  * domain LM and keep the low-perplexity tail; Brants et al. 2007 showed
+  * the unnormalized backoff score `S(w2|w1) = c12/c1, else α·c2/T` is all
+  * a LARGE corpus needs — no discounting mass to tune, every quantity a
+  * plain count ratio, which is also exactly what makes the score
+  * replayable in any SQL engine). Complements [[TrainPrep]]'s
+  * char-trigram NLL (`charTrigramNll` — robust to tokenization, blind to
+  * word choice): the word-bigram score is the one that separates "fluent
+  * but off-domain" from "in-domain" text, the CCNet head/tail axis.
+  *
+  * Scale shape: training is two hash aggregates over the token /
+  * transition streams (map-side partial combine applies — the shuffle
+  * carries (word, partial-count) records, vocabulary-sized per task, not
+  * token-sized). Scoring explodes each doc into its transition stream
+  * and resolves counts with THREE equi-joins (bigram table on (w1, w2),
+  * unigram table on w1 and on w2) — count tables are vocabulary-sized,
+  * so at fixture scale they broadcast and at 100 TB they shuffle-join on
+  * word keys exactly like the sharded LMs CCNet runs; the per-doc roll-up
+  * is one aggregate. Nothing collects to the driver.
+  */
+object NgramLm {
+
+  /** Whitespace token stream (the engine-portable split used across the
+    * text family — real tokenizers plug in upstream of the LM). */
+  private def toks(textCol: Column): Column =
+    filter(split(coalesce(textCol, lit("")), " ", -1), w => length(w) > 0)
+
+  /** Unigram counts over the training slice: (w, c). */
+  def unigramCounts(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Bigram (transition) counts over the training slice: (w1, w2, c12). */
+  def bigramCounts(train: DataFrame, textCol: String): DataFrame =
+    train.select(explode(transitions(col(textCol))).as("__t"))
+      .select(col("__t.w1"), col("__t.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  /** Adjacent-word transition structs of a text: [(w1, w2), …] —
+    * sequence(1, n-1) guarded against the n<2 DESCENDING-sequence trap. */
+  private def transitions(textCol: Column): Column = {
+    val ws = toks(textCol)
+    val n = size(ws)
+    when(n < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), n - 1), i =>
+        struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+  }
+
+  /** Per-document stupid-backoff score against a trained (uni, bi, T)
+    * model: for each adjacent pair,
+    *
+    *   S(w2|w1) = c12/c1          when the bigram was seen in training,
+    *            = α·c2/T          backoff to the unigram when not,
+    *            = α·1/T           out-of-vocabulary w2 (pseudo-count 1),
+    *
+    * and the document score is the mean negative log over its
+    * transitions (`avg_nll`, lower = more in-domain), plus the fraction
+    * of transitions that needed backoff (`backoff_rate` — the
+    * model-coverage diagnostic: a rate near 1 means the model never saw
+    * this domain and the score is mostly the α floor). Documents with
+    * fewer than two tokens have no transitions and emit no row (nothing
+    * to score — matching the SQL replay, where the lateral unnest over
+    * an empty range yields no rows). Returns
+    * (idCol, n_trans, backoff_rate, avg_nll). */
+  def stupidBackoffNll(docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, totalTokens: Long,
+      alpha: Double = 0.4, roundTo: Int = 6): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val tr = docs
+      .select(col(idCol), explode(transitions(col(textCol))).as("__t"))
+      .select(col(idCol), col("__t.w1"), col("__t.w2"))
+    val scored = tr
+      .join(bi.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .withColumn("__s",
+        when(col("c12").isNotNull,
+          col("c12").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(alpha) * coalesce(col("c2"), lit(1L)).cast("double")
+            / lit(totalTokens.toDouble)))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"),
+        round(avg(when(col("c12").isNull, 1.0).otherwise(0.0)), roundTo)
+          .as("backoff_rate"),
+        round(avg(-log(col("__s"))), roundTo).as("avg_nll"))
+  }
+
+  /** Jensen–Shannon divergence between every source pair's unigram
+    * distribution — the domain-SIMILARITY matrix mixture planning needs
+    * (which slices are near-duplicates of a domain vs genuinely new
+    * signal; 0 = identical distributions, ln 2 ≈ 0.693 = disjoint
+    * vocabularies). Computed from the SHARED-word inner join plus a
+    * closed-form tail: for m = (p+q)/2,
+    *
+    *   JSD = ½·Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    *       + ½·ln2·[(1 − Σ_shared p) + (1 − Σ_shared q)]
+    *
+    * because a word on only one side contributes exactly p·ln2 — so the
+    * full-outer join the textbook formula implies collapses to an inner
+    * join on w plus two scalar tails, which is also what lets DuckDB
+    * replay it verbatim. Shape: one (source, w) count aggregate, a
+    * source-count-sized totals broadcast, and a self-join on w whose
+    * fan-out is vocabulary × co-occurring source pairs (sources are
+    * dimension-sized). Returns (source_a < source_b, shared_words,
+    * js_div); a pair sharing NO words has no row — its divergence is
+    * ln 2 by definition (fully disjoint), not a missing value. */
+  def sourceJsDivergence(docs: DataFrame, sourceCol: String,
+      textCol: String, roundTo: Int = 6): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("__src"), explode(toks(col(textCol))).as("w"))
+      .groupBy(col("__src"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("__src")).agg(sum(col("c")).as("t"))
+    val p = counts.join(broadcast(totals), Seq("__src"))
+      .select(col("__src"), col("w"),
+        (col("c").cast("double") / col("t").cast("double")).as("p"))
+    val a = p.select(col("__src").as("source_a"), col("w"), col("p").as("pa"))
+    val b = p.select(col("__src").as("source_b"), col("w"), col("p").as("pb"))
+    val ln2 = math.log(2.0)
+    val shared = a.join(b, Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_words"),
+        sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .as("__core"),
+        sum(col("pa")).as("__sa"), sum(col("pb")).as("__sb"))
+    shared.select(col("source_a"), col("source_b"), col("shared_words"),
+      round(lit(0.5) * col("__core")
+        + lit(0.5) * lit(ln2) * ((lit(1.0) - col("__sa"))
+          + (lit(1.0) - col("__sb"))), roundTo).as("js_div"))
+  }
+}
