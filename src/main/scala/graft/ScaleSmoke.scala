@@ -1058,9 +1058,14 @@ object ScaleSmoke {
       s"packNoSplit shuffled $npShuffle bytes — text is moving")
     require(npBins > 0, "packNoSplit must have produced bins")
     // FFD comparison (r14): same corpus, orderBy = lengthDesc — true
-    // first-fit-decreasing inside each bounded group. Padding must come
-    // DOWN (FFD ≤ next-fit is the classic bin-packing result on any
-    // distribution with length spread); same shuffle discipline.
+    // first-fit-decreasing inside each bounded group. FFD ≤ next-fit is
+    // NOT a per-instance theorem (FFD's guarantee is 11/9·OPT+6/9; a
+    // lucky id order can beat it on a contrived instance — review
+    // finding), so the require carries 5% slack: it exists to catch an
+    // implementation regression (FFD degenerating to next-fit or worse),
+    // not to assert a theorem the literature doesn't offer. On realistic
+    // length spreads FFD wins comfortably (−18.9% padding on this
+    // corpus, README table).
     val padOf = (orderBy: String) =>
       graft.trainprep.TrainPrep.packNoSplitReport(
         graft.trainprep.TrainPrep.packNoSplit(bigDocs, "doc_id", "text",
@@ -1071,9 +1076,10 @@ object ScaleSmoke {
     val (ffdRep, ffdShuffle, _, ffdSecs) = sectionShuffle { padOf("lengthDesc") }
     require(ffdShuffle < 8L * 1024 * 1024,
       s"FFD pack shuffled $ffdShuffle bytes — text is moving")
-    require(ffdRep.getLong(0) <= idRep.getLong(0),
-      s"FFD padding ${ffdRep.getLong(0)} must not exceed next-fit " +
-        s"${idRep.getLong(0)}")
+    require(ffdRep.getLong(0) <= idRep.getLong(0) * 1.05,
+      s"FFD padding ${ffdRep.getLong(0)} exceeds next-fit " +
+        s"${idRep.getLong(0)} by more than the 5% instance slack — " +
+        "the FFD fold has regressed")
     println(s"""{"metric":"pack_ffd_scale","docs":$nDocs,""" +
       s""""nextfit_pad_tokens":${idRep.getLong(0)},""" +
       s""""nextfit_bins":${idRep.getLong(1)},""" +

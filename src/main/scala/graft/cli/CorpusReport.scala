@@ -117,6 +117,11 @@ object CorpusReport {
     // persisted training-time driftReport, the retrainAdvice verdict per
     // cell. Written as embedding_drift/; the summary carries cell/vector
     // totals and the number of cells flagged for retrain/compact.
+    // a baseline without a lake would be SILENTLY ignored — the user
+    // believes the lake was checked (review finding; the SftExport
+    // --oversize/--pack guard is the same flag-dependency shape)
+    require(args.contains("embedding-lake") || !args.contains("lake-baseline"),
+      "--lake-baseline only applies together with --embedding-lake")
     val lakeStats: Map[String, Long] = args.get("embedding-lake").map { lake =>
       val vecCol = args.getOrElse("embedding-col", "embedding")
       val cb = graft.io.EmbeddingLake.readCodebook(spark, lake)

@@ -141,14 +141,22 @@ object SftExport {
         // one case the packer cannot: a conversation longer than the
         // context. packed_docs/ carries per-conv offsets so masks are a
         // shift (+clip for truncated tails) of the conv-local spans.
-        val offsets = graft.trainprep.TrainPrep.packNoSplitOffsets(
-          rendered, convId, "text", merges, context, oversize = oversizePolicy)
-        offsets.write.mode("overwrite").parquet(s"$out/packed_docs")
-        graft.trainprep.TrainPrep.packNoSplitIds(
+        // compute-once discipline (review finding — the first cut ran the
+        // tokenize/pack pipeline twice and tokenized rendered a third
+        // time for the oversize count): the offsets pipeline runs ONCE,
+        // everything downstream aggregates the disk-backed frames —
+        // packed/ is a roll-up of packed_docs/, and the oversize
+        // arithmetic comes from spans/ (which keeps the composition
+        // check a comparison of two INDEPENDENT token accountings:
+        // tokenization-of-render on one side, span arithmetic on the
+        // other)
+        graft.trainprep.TrainPrep.packNoSplitOffsets(
             rendered, convId, "text", merges, context,
             oversize = oversizePolicy)
-          .write.mode("overwrite").parquet(s"$out/packed")
+          .write.mode("overwrite").parquet(s"$out/packed_docs")
         val docs = spark.read.parquet(s"$out/packed_docs")
+        graft.trainprep.TrainPrep.packNoSplitRollup(docs)
+          .write.mode("overwrite").parquet(s"$out/packed")
         // masks: conv-local loss spans shifted to sequence coordinates,
         // clipped to the shipped (possibly truncated) token range
         spans.filter(col("loss_end") > col("loss_start"))
@@ -173,9 +181,12 @@ object SftExport {
             s"> --context $context — oversize policy failed")
         // exact composition invariant, oversize-adjusted: shipped tokens
         // == span-predicted total MINUS the tokens the policy removed
-        // (truncate: each oversize conv loses total−context; drop: all)
-        val overRow = rendered
-          .select(graft.functions.Bpe.tokenCount(col("text"), merges).as("__n"))
+        // (truncate: each oversize conv loses total−context; drop: all).
+        // Derived from spans/ — the SPAN-side accounting, independent of
+        // the ids-side tokenization it cross-checks — via template
+        // additivity (a conv's span total IS its render's token count)
+        val overRow = spans.groupBy(col(convId))
+          .agg(sum(col("n_tokens")).as("__n"))
           .filter(col("__n") > context)
           .agg(count(lit(1)), coalesce(sum(
             if (oversizePolicy == "truncate") col("__n") - context

@@ -49,18 +49,7 @@ object EmbeddingLake {
         require(m.partitionCol == "ivf_cell",
           s"pending manifest at $path names partition column " +
             s"'${m.partitionCol}', not an embedding lake's ivf_cell")
-        val staging = new org.apache.hadoop.fs.Path(path, m.staging)
-        val touched = m.partitions.toSet
-        val untouched = LakeMerge.partitionValues(spark, path, "ivf_cell")
-          .filterNot(touched)
-        (m.partitions.map { v =>
-          val staged = new org.apache.hadoop.fs.Path(staging, s"ivf_cell=$v")
-          val src = if (fs.exists(staged)) staged.toString
-                    else s"$path/ivf_cell=$v"
-          (v, src)
-        } ++ untouched.map(v => (v, s"$path/ivf_cell=$v"))).map { case (v, d) =>
-          spark.read.parquet(d).withColumn("ivf_cell", lit(v.toInt))
-        }.reduce(_ unionByName _)
+        LakeMerge.committedView(spark, path, m, "ivf_cell")(v => lit(v.toInt))
     }
   }
 
@@ -270,6 +259,14 @@ object EmbeddingLake {
       .getFileSystem(spark.sessionState.newHadoopConf())
     LakeMerge.recover(spark, path) // roll forward any interrupted compact
     val allParts = LakeMerge.partitionValues(spark, path, "ivf_cell")
+    // fresh sub-cell ids allocate from cellCodebook.length up — a STALE
+    // (shorter-than-lake) codebook would hand a new sub-cell an id an
+    // existing partition already owns and the swap would destroy that
+    // cell's data (review finding). Loud, not lossy.
+    allParts.foreach(v => require(v.toInt < cellCodebook.length,
+      s"lake has cell partition ivf_cell=$v outside the ${cellCodebook.length}-" +
+        "entry codebook — the codebook is stale (use the one the last " +
+        "compact returned / the lake's _codebook)"))
     if (flaggedSorted.isEmpty)
       return (cellCodebook, CompactStats(allParts.length, 0, 0, 0, 0L))
 
@@ -321,6 +318,13 @@ object EmbeddingLake {
     LakeMerge.writeManifest(fs, path, manifest)
     LakeMerge.applySwaps(fs, path, "ivf_cell", staging, touched)
     LakeMerge.finishCommit(fs, path, manifest)
+
+    // a lake that persists its codebook must not keep serving the STALE
+    // one after the cell structure changed — post-compact drift reports
+    // would NULL out on the new cells and retrainAdvice would silently
+    // undercount (review finding). Refresh it as part of the compact.
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
+      writeCodebook(spark, path, newCents.toArray)
 
     (newCents.toArray,
       CompactStats(allParts.length, flaggedSorted.length, flaggedSorted.length,

@@ -107,6 +107,20 @@ object LakeMerge {
     * invisible to a plain parquet read of the lake. */
   private[io] def writeManifest(fs: FileSystem, lakeDir: String,
       m: PendingMerge): Unit = {
+    // single-writer contract: merges on one lake must be serialized (the
+    // reference's cron and the streaming sink's sequential micro-batches
+    // both are). A manifest already present here means another merge is
+    // in flight — NOT an interrupted one, which this merge's entry
+    // recover() would have rolled forward — so fail before clobbering
+    // its bookkeeping. (Review finding: rename-onto-existing SUCCEEDS on
+    // the local/POSIX filesystem, so the rename below alone is no guard;
+    // this check closes the common case, and the residual window between
+    // check and rename is exactly why concurrent writers stay
+    // unsupported rather than "mostly working".)
+    require(!fs.exists(manifestPath(lakeDir)),
+      s"a merge manifest already exists at ${manifestPath(lakeDir)} — " +
+        "another merge is in flight on this lake (concurrent merges are " +
+        "not supported; serialize writers)")
     // partition values come from date_format (yyyy-MM-dd) in the default
     // layout; a custom layout could pass anything, and a quote/backslash
     // would corrupt the hand-rolled JSON below
@@ -261,21 +275,33 @@ object LakeMerge {
         require(m.partitionCol == partitionCol,
           s"pending merge manifests partition column '${m.partitionCol}' " +
             s"but the read asked for '$partitionCol'")
-        val staging = new Path(lakeDir, m.staging)
-        val touched = m.partitions.toSet
-        val untouched = partitionValues(spark, lakeDir, partitionCol)
-          .filterNot(touched)
-        val dirs =
-          m.partitions.map { v =>
-            val staged = new Path(staging, s"$partitionCol=$v")
-            val src = if (fs.exists(staged)) staged
-                      else new Path(lakeDir, s"$partitionCol=$v")
-            (v, src.toString)
-          } ++ untouched.map(v => (v, s"$lakeDir/$partitionCol=$v"))
-        dirs.map { case (v, d) =>
-          spark.read.parquet(d).withColumn(partitionCol, lit(v))
-        }.reduce(_ unionByName _)
+        committedView(spark, lakeDir, m, partitionCol)(v => lit(v))
     }
+  }
+
+  /** The COMMITTED view of a lake while manifest `m` pends: listed
+    * partitions resolve to their staged directory when the swap hasn't
+    * landed yet, live otherwise; unlisted partitions read live. Shared
+    * by [[readLake]] and [[EmbeddingLake.read]] (review finding: the
+    * resolution semantics must live in ONE place); `valueLit` restores
+    * the partition value with the caller's column type. */
+  private[io] def committedView(spark: SparkSession, lakeDir: String,
+      m: PendingMerge, partitionCol: String)
+      (valueLit: String => org.apache.spark.sql.Column): DataFrame = {
+    val fs = hadoopFs(spark, lakeDir)
+    val staging = new Path(lakeDir, m.staging)
+    val touched = m.partitions.toSet
+    val untouched = partitionValues(spark, lakeDir, partitionCol)
+      .filterNot(touched)
+    (m.partitions.map { v =>
+      val staged = new Path(staging, s"$partitionCol=$v")
+      val src = if (fs.exists(staged)) staged.toString
+                else s"$lakeDir/$partitionCol=$v"
+      (v, src)
+    } ++ untouched.map(v => (v, s"$lakeDir/$partitionCol=$v")))
+      .map { case (v, d) =>
+        spark.read.parquet(d).withColumn(partitionCol, valueLit(v))
+      }.reduce(_ unionByName _)
   }
 
   /** The partition directory values present on disk. */

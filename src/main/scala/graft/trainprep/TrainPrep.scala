@@ -1308,8 +1308,16 @@ object TrainPrep {
       merges: graft.expressions.BpeMerges, contextTokens: Int,
       groupSize: Int = 4096, orderBy: String = "id",
       oversize: String = "truncate"): DataFrame =
-    packNoSplitOffsets(docs, idCol, textCol, merges, contextTokens,
-        groupSize, orderBy, oversize)
+    packNoSplitRollup(packNoSplitOffsets(docs, idCol, textCol, merges,
+      contextTokens, groupSize, orderBy, oversize))
+
+  /** The sequence roll-up alone, over an ALREADY-COMPUTED (typically
+    * disk-backed) [[packNoSplitOffsets]] frame — an exporter that just
+    * wrote the offsets must aggregate THAT frame rather than re-running
+    * the whole tokenize/pack pipeline (review finding: the fused
+    * [[packNoSplitIds]] convenience recomputed it from scratch). */
+  def packNoSplitRollup(offsets: DataFrame): DataFrame =
+    offsets
       .groupBy(col("grp"), col("bin_in_grp"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

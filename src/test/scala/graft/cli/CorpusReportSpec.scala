@@ -94,6 +94,13 @@ class CorpusReportSpec extends SparkSpec {
       "the far-field append must flag at least one cell")
     val drift = spark.read.parquet(s"$out2/embedding_drift")
     assert(drift.columns.contains("retrain") && drift.count() == 3L)
+
+    // a baseline without a lake must be refused, not silently ignored
+    val e = intercept[IllegalArgumentException] {
+      CorpusReport.run(spark, Map("in" -> in, "out" -> out2,
+        "lake-baseline" -> basePath))
+    }
+    assert(e.getMessage.contains("--embedding-lake"), e.getMessage)
   }
 
   test("an EMPTY input corpus reports zeros instead of throwing") {

@@ -232,8 +232,23 @@ class EmbeddingLakeSpec extends SparkSpec {
     val untouchedCells = codebook.indices.filterNot(flagged.contains)
     val before = untouchedCells.map(partFiles)
 
+    // a STALE codebook (shorter than the lake's cell range) would hand a
+    // fresh sub-cell an id an existing partition owns and the swap would
+    // destroy it — refused loudly (review finding)
+    val stale = intercept[IllegalArgumentException] {
+      EmbeddingLake.compactCells(spark, path, "vec_id", "embedding",
+        codebook.take(3), Seq(0), splitInto = 2)
+    }
+    assert(stale.getMessage.contains("stale"), stale.getMessage)
+
+    // persist the codebook so the compact's refresh obligation is live
+    EmbeddingLake.writeCodebook(spark, path, codebook)
     val (newCb, stats) = EmbeddingLake.compactCells(spark, path,
       "vec_id", "embedding", codebook, flagged, splitInto = 2, kmeansIters = 3)
+    assert((EmbeddingLake.readCodebook(spark, path) zip newCb)
+      .forall { case (a, b) => a == b } &&
+      EmbeddingLake.readCodebook(spark, path).length == newCb.length,
+      "compact must refresh the persisted _codebook (review finding)")
     assert(stats.partitionsTotal === 4 && stats.partitionsRewritten === 2,
       s"only the flagged cells may be rewritten: $stats")
     assert(stats.cellsAdded >= 1 && newCb.length === 4 + stats.cellsAdded)

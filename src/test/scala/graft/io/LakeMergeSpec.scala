@@ -277,6 +277,18 @@ class LakeMergeSpec extends SparkSpec {
     assert(readLakeSorted(dir) === before)
   }
 
+  test("a second merge while a manifest pends is refused (single-writer contract)") {
+    val (dir, _) = crashScenario(failAfter = 1) // leaves a pending manifest
+    // writeManifest is the commit gate: rename-onto-existing SUCCEEDS on
+    // POSIX, so the explicit exists-check is the only thing standing
+    // between a concurrent writer and clobbered bookkeeping
+    val e = intercept[IllegalArgumentException] {
+      LakeMerge.writeManifest(fsOf(dir), dir,
+        LakeMerge.PendingMerge("x", ".merge-staging-x", "part_date", Seq("2024-01-09")))
+    }
+    assert(e.getMessage.contains("in flight"), e.getMessage)
+  }
+
   test("duplicate keys in one batch are rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lakemerge3").toString + "/lake"
     LakeMerge.writeLake(
