@@ -38,14 +38,27 @@ object NgramLm {
 
   /** Bigram (transition) counts over the training slice: (w1, w2, c12). */
   def bigramCounts(train: DataFrame, textCol: String): DataFrame =
-    train.select(explode(transitions(col(textCol))).as("__t"))
-      .select(col("__t.w1"), col("__t.w2"))
+    explodedTransitions(train, Seq.empty, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
 
-  /** Adjacent-word transition structs of a text: [(w1, w2), …] —
-    * sequence(1, n-1) guarded against the n<2 DESCENDING-sequence trap. */
-  private def transitions(textCol: Column): Column = {
-    val ws = toks(textCol)
+  /** One row per adjacent-word transition: (keep…, w1, w2). The token
+    * array is BOUND to its own projection first — `transitions` references
+    * it once per `element_at`, and a Column-level `toks(textCol)` inlined
+    * there would re-run the whole split/filter subtree PER ARRAY ACCESS
+    * (O(tokens²) per document — measured 80 s for 100 k docs vs ~8 s
+    * bound; CollapseProject keeps the two projections apart because the
+    * alias is non-cheap and multiply referenced). */
+  private def explodedTransitions(df: DataFrame, keep: Seq[String],
+      textCol: String): DataFrame =
+    df.select(keep.map(col) :+ toks(col(textCol)).as("__ws"): _*)
+      .select(keep.map(col) :+ explode(transitions(col("__ws"))).as("__t"): _*)
+      .select(keep.map(col) :+ col("__t.w1") :+ col("__t.w2"): _*)
+
+  /** Adjacent-word transition structs of a BOUND token-array column:
+    * [(w1, w2), …] — sequence(1, n-1) guarded against the n<2
+    * DESCENDING-sequence trap. `ws` must be a plain column reference
+    * (see [[explodedTransitions]]), never an unbound expression. */
+  private def transitions(ws: Column): Column = {
     val n = size(ws)
     when(n < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), n - 1), i =>
@@ -73,9 +86,7 @@ object NgramLm {
       alpha: Double = 0.4, roundTo: Int = 6): DataFrame = {
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val tr = docs
-      .select(col(idCol), explode(transitions(col(textCol))).as("__t"))
-      .select(col(idCol), col("__t.w1"), col("__t.w2"))
+    val tr = explodedTransitions(docs, Seq(idCol), textCol)
     val scored = tr
       .join(bi.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left")

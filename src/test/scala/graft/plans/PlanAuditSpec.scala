@@ -703,6 +703,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_lm_backoff joins stay equi (no cartesian), counts combine map-side") {
+    // the scoring path is three word-keyed equi-joins over the transition
+    // stream; a cartesian (or a nest-loop from a mis-specified key) would
+    // be vocab × transitions. Count training must partial-aggregate —
+    // the shuffle carries (word, partial) records, never raw tokens.
+    val lm = executedPlan("q_lm_backoff")
+    assert(!lm.contains("CartesianProduct") &&
+      !lm.contains("BroadcastNestedLoopJoin"),
+      "LM scoring must stay equi-join:\n" + lm.take(1500))
+    assert(lm.contains("partial_count"),
+      "count training must combine map-side:\n" + lm.take(1500))
+    val jsd = executedPlan("q_mix_jsd")
+    assert(!jsd.contains("CartesianProduct") &&
+      !jsd.contains("BroadcastNestedLoopJoin"),
+      "JSD pair join must be the w-keyed equi self-join:\n" + jsd.take(1500))
+    assert(jsd.contains("partial_count"),
+      "unigram counts must combine map-side:\n" + jsd.take(1500))
+  }
+
   test("q_mcnemar and q_brier are map-side-combined global aggregates") {
     // mcnemar's planted predictors are pure projections → no join at all;
     // brier rides the qualityScored FIXTURE whose scorer broadcast-joins
