@@ -51,6 +51,15 @@ object CorpusReport {
     val textCol = args.getOrElse("text-col", "text")
     val groupCol = args.getOrElse("group-col", "source")
     val context = args.getOrElse("context", "4096").toInt
+    // a baseline without a lake would be SILENTLY ignored — the user
+    // believes the lake was checked (review finding; the SftExport
+    // --oversize/--pack guard is the same flag-dependency shape). Up
+    // HERE with the rest of the argument validation (second-review
+    // finding): failing after the text sections were already computed
+    // and overwritten would burn full-corpus scans and leave $out half
+    // rewritten by a refused invocation.
+    require(args.contains("embedding-lake") || !args.contains("lake-baseline"),
+      "--lake-baseline only applies together with --embedding-lake")
     val docs = spark.read.parquet(in)
     require(docs.columns.contains(groupCol),
       s"--group-col '$groupCol' is not a column of the input " +
@@ -117,11 +126,6 @@ object CorpusReport {
     // persisted training-time driftReport, the retrainAdvice verdict per
     // cell. Written as embedding_drift/; the summary carries cell/vector
     // totals and the number of cells flagged for retrain/compact.
-    // a baseline without a lake would be SILENTLY ignored — the user
-    // believes the lake was checked (review finding; the SftExport
-    // --oversize/--pack guard is the same flag-dependency shape)
-    require(args.contains("embedding-lake") || !args.contains("lake-baseline"),
-      "--lake-baseline only applies together with --embedding-lake")
     val lakeStats: Map[String, Long] = args.get("embedding-lake").map { lake =>
       val vecCol = args.getOrElse("embedding-col", "embedding")
       val cb = graft.io.EmbeddingLake.readCodebook(spark, lake)

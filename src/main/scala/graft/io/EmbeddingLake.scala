@@ -313,18 +313,25 @@ object EmbeddingLake {
       require(fs.exists(new org.apache.hadoop.fs.Path(staging, s"ivf_cell=$v")),
         s"staged cell ivf_cell=$v missing — staging write failed")
     }
+    // a lake that persists its codebook must not keep serving the STALE
+    // one after the cell structure changed — post-compact drift reports
+    // would NULL out on the new cells and retrainAdvice would silently
+    // undercount (review finding). Refreshed BEFORE the manifest commit
+    // (second-review finding): the new centroids exist only in driver
+    // memory, so a crash mid-swap after the commit point would lose them
+    // forever and the stale-codebook require would brick every future
+    // compact. Writing early is benign in the pre-commit crash window —
+    // a longer-than-lake codebook passes every check and its extra
+    // centroids are just empty cells — and a crash DURING this write
+    // fails readCodebook loudly (nonEmpty/gap requires), never silently.
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
+      writeCodebook(spark, path, newCents.toArray)
+
     val manifest = LakeMerge.PendingMerge(mergeId, stagingName,
       "ivf_cell", touched)
     LakeMerge.writeManifest(fs, path, manifest)
     LakeMerge.applySwaps(fs, path, "ivf_cell", staging, touched)
     LakeMerge.finishCommit(fs, path, manifest)
-
-    // a lake that persists its codebook must not keep serving the STALE
-    // one after the cell structure changed — post-compact drift reports
-    // would NULL out on the new cells and retrainAdvice would silently
-    // undercount (review finding). Refresh it as part of the compact.
-    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
-      writeCodebook(spark, path, newCents.toArray)
 
     (newCents.toArray,
       CompactStats(allParts.length, flaggedSorted.length, flaggedSorted.length,

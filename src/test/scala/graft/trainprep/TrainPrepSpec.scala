@@ -721,6 +721,23 @@ class TrainPrepSpec extends SparkSpec {
       TrainPrep.packNoSplit(df, "doc_id", "text", ctx, 100, orderBy = "random")
     }
     assert(e.getMessage.contains("orderBy"), e.getMessage)
+
+    // the fused packNoSplitIds convenience must stay EQUAL to the
+    // offsets + rollup composition SftExport actually ships through
+    // (second-review finding: with no caller, the delegation could
+    // silently drift) — pinned on the FFD order, where layout order is
+    // the nontrivial part
+    val m = graft.expressions.BpeMerges(graft.PipelineQueries.oracleBpePairs)
+    val fused = TrainPrep.packNoSplitIds(df, "doc_id", "text", m, 8,
+        orderBy = "lengthDesc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val composed = TrainPrep.packNoSplitRollup(
+        TrainPrep.packNoSplitOffsets(df, "doc_id", "text", m, 8,
+          orderBy = "lengthDesc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(fused === composed && fused.nonEmpty)
   }
 
   test("needleHaystack: splice positions, uniqueness, empty-doc edge") {
