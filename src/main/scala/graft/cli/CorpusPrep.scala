@@ -176,6 +176,39 @@ object CorpusPrep {
         docs = docs.join(dropIds, Seq(idCol), "left_anti")
       }
     }
+    // CCNet word-LM reference filter (`--word-lm-ref <docs.parquet>`
+    // [`--word-lm-percentile 0.7`]): the E162 stupid-backoff bigram LM
+    // trained on a REFERENCE domain scores the corpus, and the
+    // above-percentile tail (least reference-like) drops — the CCNet
+    // head/middle keep. Differs from --lm-percentile (char-trigram,
+    // SELF-trained: catches gibberish regardless of domain) in exactly
+    // the CCNet way: this one needs a reference corpus and measures
+    // domain fit at the word level. Docs with < 2 tokens are unscored
+    // and KEPT (same contract as the char-trigram stage).
+    var nWordLmDropped = 0L
+    var wordLmCache: Option[DataFrame] = None
+    args.get("word-lm-ref").foreach { refPath =>
+      val pct = args.getOrElse("word-lm-percentile", "0.7").toDouble
+      require(pct > 0.0 && pct < 1.0,
+        s"--word-lm-percentile must be in (0,1), got $pct")
+      val ref = spark.read.parquet(refPath)
+      val uni = graft.trainprep.NgramLm.unigramCounts(ref, textCol)
+      val bi = graft.trainprep.NgramLm.bigramCounts(ref, textCol)
+      val total = CliArgs.longOr0(uni.agg(sum(col("c"))).head(), 0)
+      require(total > 0,
+        s"--word-lm-ref corpus at $refPath has no tokens to train on")
+      val scored = graft.trainprep.NgramLm.stupidBackoffNll(
+        docs, idCol, textCol, uni, bi, total).persist()
+      wordLmCache = Some(scored)
+      val thrRow = scored.agg(
+        percentile_approx(col("avg_nll"), lit(pct), lit(10000))).head()
+      if (!thrRow.isNullAt(0)) {
+        val dropIds = scored.filter(col("avg_nll") > thrRow.getDouble(0))
+          .select(col(idCol))
+        nWordLmDropped = dropIds.count()
+        docs = docs.join(dropIds, Seq(idCol), "left_anti")
+      }
+    }
     // DSIR target-domain selection (`--dsir-target <docs.parquet>`
     // [`--dsir-keep N`]): keep the N raw docs scoring highest under the
     // target-vs-raw trigram importance ratio — domain selection BEFORE the
@@ -496,6 +529,7 @@ object CorpusPrep {
     stageCacheRef.foreach(_.unpersist())
     contaminatedCache.foreach(_.unpersist())
     lmScoreCache.foreach(_.unpersist())
+    wordLmCache.foreach(_.unpersist())
     dsirCache.foreach(_.unpersist())
 
     // The observation fired during the pipeline's own actions (CC rounds /
@@ -551,6 +585,7 @@ object CorpusPrep {
     val stats = Map("docs_in" -> nIn, "docs_out" -> nOut,
       "chunks" -> nChunks, "oversize_buckets_dropped" -> nDropped,
       "contaminated_dropped" -> nContaminated, "lm_dropped" -> nLmDropped,
+      "word_lm_dropped" -> nWordLmDropped,
       "dsir_dropped" -> nDsirDropped,
       "incremental_dropped" -> nIncrementalDropped,
       "upsample_extra" -> nUpsampleExtra)

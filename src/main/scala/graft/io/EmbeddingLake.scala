@@ -250,7 +250,17 @@ object EmbeddingLake {
   def compactCells(spark: SparkSession, path: String, idCol: String,
       vecCol: String, cellCodebook: Array[Seq[Float]], flagged: Seq[Int],
       splitInto: Int = 2, kmeansIters: Int = 2)
-      : (Array[Seq[Float]], CompactStats) = {
+      : (Array[Seq[Float]], CompactStats) =
+    compactCellsImpl(spark, path, idCol, vecCol, cellCodebook, flagged,
+      splitInto, kmeansIters, Int.MaxValue)
+
+  /** [[compactCells]] with crash injection (`crashAfterSwaps`) for
+    * EmbeddingLakeSpec's kill-between-renames cases — the same hook
+    * shape as [[LakeMerge.mergeImpl]]. */
+  private[io] def compactCellsImpl(spark: SparkSession, path: String,
+      idCol: String, vecCol: String, cellCodebook: Array[Seq[Float]],
+      flagged: Seq[Int], splitInto: Int, kmeansIters: Int,
+      crashAfterSwaps: Int): (Array[Seq[Float]], CompactStats) = {
     require(splitInto >= 1, s"splitInto must be >= 1, got $splitInto")
     val flaggedSorted = flagged.distinct.sorted
     flaggedSorted.foreach(f => require(f >= 0 && f < cellCodebook.length,
@@ -330,7 +340,8 @@ object EmbeddingLake {
     val manifest = LakeMerge.PendingMerge(mergeId, stagingName,
       "ivf_cell", touched)
     LakeMerge.writeManifest(fs, path, manifest)
-    LakeMerge.applySwaps(fs, path, "ivf_cell", staging, touched)
+    LakeMerge.applySwaps(fs, path, "ivf_cell", staging, touched,
+      crashAfterSwaps)
     LakeMerge.finishCommit(fs, path, manifest)
 
     (newCents.toArray,

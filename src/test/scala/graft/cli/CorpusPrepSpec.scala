@@ -388,6 +388,50 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("lm_dropped") >= 3L)
   }
 
+  test("--word-lm-ref drops the off-domain tail under a reference-trained bigram LM") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus_wordlm").toString
+    // reference domain: weather-report prose with strong bigram structure
+    (1 to 40).map(i =>
+      (i.toLong, s"the river level rose above the gauge at station $i"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/ref")
+    // corpus: 20 in-domain docs (reference bigrams throughout) + 4
+    // off-domain docs (valid words, alien bigrams → backoff floor) + 1
+    // single-token doc (no transitions, unscorable → kept)
+    val inDomain = (1 to 20).map(i =>
+      (i.toLong, "the river level rose above the gauge at station alpha"))
+    val offDomain = Seq(
+      (101L, "purple elephants juggle quantum spreadsheets on tuesday"),
+      (102L, "spreadsheet tuesday elephant quantum juggles purple on"),
+      (103L, "gauge station the at above rose level river the"), // words in-vocab, bigrams reversed
+      (104L, "zz qq vv ww pp kk"))
+    val short = Seq((200L, "the"))
+    (inDomain ++ offDomain ++ short).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in")
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/out",
+      "word-lm-ref" -> s"$dir/ref", "word-lm-percentile" -> "0.8",
+      "budget" -> "64"))
+    val survivors = spark.read.parquet(s"$dir/out/chunks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(101L, 102L, 104L).forall(!survivors.contains(_)),
+      s"off-domain docs must drop, survivors: $survivors")
+    assert((1L to 20L).forall(survivors.contains),
+      "in-domain docs must all survive")
+    assert(survivors.contains(200L),
+      "a transition-less doc is unscorable and must pass")
+    assert(stats("word_lm_dropped") == stats("docs_in") - stats("docs_out")
+      && stats("word_lm_dropped") >= 3L, stats.toString)
+    // an empty reference is refused before any scoring
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$dir/empty")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/o2",
+        "word-lm-ref" -> s"$dir/empty", "budget" -> "64"))
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+  }
+
   test("--mix-target flattens strata over the survivors and validates --mix-col") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus_mix").toString

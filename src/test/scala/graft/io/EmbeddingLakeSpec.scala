@@ -270,6 +270,62 @@ class EmbeddingLakeSpec extends SparkSpec {
     assert(ids.length === ids.distinct.length && ids.length === 200)
   }
 
+  test("compact crash mid-swap: committed read survives, codebook persisted, recover heals") {
+    // small lake with a persisted codebook and a drifted far-field mass
+    val path = Files.createTempDirectory("emb_compact_crash").toString + "/emb"
+    val base = (0L until 80L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(Dim)(r.nextFloat() * 2 - 1))
+    }
+    val cb = EmbeddingLake.writePartitioned(
+      base.toDF("vec_id", "embedding"), "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 1)
+    EmbeddingLake.writeCodebook(spark, path, cb)
+    EmbeddingLake.append((500L until 540L).map(i =>
+        (i, Seq.fill(Dim)(8.0f + (i % 3)))).toDF("vec_id", "embedding"),
+      "embedding", path, cb)
+    val idsBefore = EmbeddingLake.read(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // the far-field mass lands in ONE cell; splitting it touches that
+    // cell + one fresh id = 2 swaps — crash between them
+    val flagged = EmbeddingLake.retrainAdvice(
+        EmbeddingLake.driftReport(spark, path, "embedding", cb)
+          .filter(col("ivf_cell") =!= -999), // shape no-op, keeps lineage fresh
+        EmbeddingLake.driftReport(spark, path, "embedding", cb))
+      .filter(col("n_now") > 25).select("ivf_cell") // the drift-absorbing cell
+      .collect().map(_.getInt(0)).toSeq
+    assert(flagged.nonEmpty)
+    val e = intercept[IllegalStateException] {
+      EmbeddingLake.compactCellsImpl(spark, path, "vec_id", "embedding",
+        cb, flagged, 2, 2, crashAfterSwaps = 1)
+    }
+    assert(e.getMessage.contains("simulated crash"), e.getMessage)
+
+    // mid-crash: the manifest-aware reader still serves every row once,
+    // and the POST-compact codebook is already on disk (written before
+    // the commit point — a crash here must not strand new cells without
+    // centroids)
+    val midIds = EmbeddingLake.read(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(midIds === idsBefore, "committed view must not tear")
+    val persisted = EmbeddingLake.readCodebook(spark, path)
+    assert(persisted.length > cb.length,
+      "refreshed codebook must be on disk before the commit point")
+
+    // recovery heals; the persisted codebook matches the healed lake:
+    // drift over it has NO null residuals and a further compact works
+    assert(graft.io.LakeMerge.recover(spark, path))
+    assert(EmbeddingLake.read(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === idsBefore)
+    val drift = EmbeddingLake.driftReport(spark, path, "embedding", persisted)
+    assert(drift.filter(col("mean_residual").isNull).count() === 0L,
+      "post-recovery drift must cover every cell (no stale-codebook NULLs)")
+    val (_, again) = EmbeddingLake.compactCells(spark, path, "vec_id",
+      "embedding", persisted, Seq.empty)
+    assert(again.partitionsRewritten === 0, "no-op compact after recovery")
+  }
+
   test("rowwise minhash signing is shuffle-free (pure map)") {
     val docs = vecs.map { case (i, _) => (i, s"tok$i common words here") }
       .toDF("doc_id", "text")
