@@ -639,6 +639,34 @@ object TrainPrepQueries {
              |    AS js_div
              |FROM j""".stripMargin)),
 
+    // ---- corpus integrity manifest (E164): tamper-evident fingerprint —
+    // leaves route by their own hash prefix, each group's sorted leaves
+    // fold into a sha256 chain; flip one byte anywhere and its group
+    // hash (and the root) changes. Replayed with a recursive-CTE chain.
+    "q_integrity_manifest" -> QueryDef(
+      (s, dir) => graft.io.IntegrityManifest.manifest(
+        t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", groups = 16),
+      Some("""WITH RECURSIVE g AS (SELECT
+             |    (('0x' || substr(sha256(doc_id::VARCHAR), 1, 4))::BIGINT % 16)
+             |      AS grp,
+             |    sha256(doc_id::VARCHAR || ':' ||
+             |      CASE WHEN text IS NULL THEN '1' ELSE '0' END || ':' ||
+             |      coalesce(text, '')) AS leaf
+             |  FROM documents WHERE doc_id < 300),
+             |r AS (SELECT grp, leaf,
+             |    row_number() OVER (PARTITION BY grp ORDER BY leaf) AS rn
+             |  FROM g),
+             |rec AS (
+             |  SELECT grp, rn, sha256(repeat('0', 64) || leaf) AS h
+             |    FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r2.grp, r2.rn, sha256(rec.h || r2.leaf)
+             |  FROM rec JOIN r r2 ON r2.grp = rec.grp AND r2.rn = rec.rn + 1)
+             |SELECT grp, max(rn)::BIGINT AS n_docs,
+             |  max_by(h, rn) AS group_hash
+             |FROM rec GROUP BY grp""".stripMargin)),
+
     // ---- streaming parity: real streaming jobs, batch oracles (§2.9) -----
     "q_stream_resample" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.resampleComplete(s, dir, 900),
