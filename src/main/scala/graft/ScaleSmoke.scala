@@ -659,6 +659,33 @@ object ScaleSmoke {
       s""""seconds":$lmbSecs,"docs_per_sec":${(nDocs / lmbSecs).toLong},""" +
       s""""shuffle_write_bytes":$lmbShuffle}""")
 
+    // ---- corpus integrity manifest over the replicated corpus (r14) ------
+    // one aggregate: leaves (64-byte hex) shuffle to their identity-hash
+    // group and chain-fold — the shuffle is docs × ~80 bytes, never text
+    val t90 = System.nanoTime()
+    val (imRoot, imShuffle, _, imSecs) = sectionShuffle {
+      val m = graft.io.IntegrityManifest.manifest(
+        bigDocs, "doc_id", "text", groups = 256).localCheckpoint(true)
+      val r = graft.io.IntegrityManifest.root(m)
+      val counts = m.agg(sum(col("n_docs")), max(col("n_docs"))).head()
+      require(counts.getLong(0) == nDocs,
+        s"manifest must cover every doc: ${counts.getLong(0)} of $nDocs")
+      // identity hashes are uniform: the biggest group stays within 2×
+      // the mean — the bounded-collect contract the chain fold rides on
+      require(counts.getLong(1) < 2L * nDocs / 256,
+        s"group skew broke the bounded-collect contract: max ${counts.getLong(1)}")
+      m.unpersist()
+      r
+    }
+    require(imRoot.length == 64, s"root must be one sha256 hex: $imRoot")
+    require(imShuffle < 64L * 1024 * 1024,
+      s"manifest shuffled $imShuffle bytes — text bodies are moving")
+    println(s"""{"metric":"integrity_manifest_scale","docs":$nDocs,""" +
+      s""""groups":256,"seconds":$imSecs,""" +
+      s""""docs_per_sec":${(nDocs / imSecs).toLong},""" +
+      s""""shuffle_bytes":$imShuffle,""" +
+      s""""total_seconds":${(System.nanoTime() - t90) / 1e9}}""")
+
     // ---- distinct/frequency sketches over the replicated corpus ----------
     // The point at scale is the SHUFFLE BOUND: HLL moves ≤ groups×256
     // register rows and CMS ≤ depth×256 counter rows regardless of corpus
