@@ -57,6 +57,31 @@ object IntegrityManifest {
           (acc, l) => sha2(concat(acc, l), 256)).as("group_hash"))
   }
 
+  /** The localization step of an integrity audit: which groups diverge
+    * between two manifests (two snapshots, or publisher-vs-verifier).
+    * One row per divergent group with both sides' counts/hashes and a
+    * verdict — `group_added` / `group_dropped` (present on one side
+    * only), `count_changed` (docs added or removed within the group),
+    * `content_changed` (same count, different bytes — an in-place
+    * edit). Empty result == identical corpora. Both inputs are
+    * groups-sized, so this is a broadcast-trivial full-outer join; the
+    * expensive leaf-level diff then runs only over the named groups'
+    * ~1/groups slices. */
+  def diff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("grp"), col("n_docs").as("n_a"),
+      col("group_hash").as("hash_a"))
+    val r = b.select(col("grp"), col("n_docs").as("n_b"),
+      col("group_hash").as("hash_b"))
+    l.join(r, Seq("grp"), "full_outer")
+      .filter(col("hash_a").isNull || col("hash_b").isNull ||
+        col("hash_a") =!= col("hash_b"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        when(col("hash_a").isNull, "group_added")
+          .when(col("hash_b").isNull, "group_dropped")
+          .when(col("n_a") =!= col("n_b"), "count_changed")
+          .otherwise("content_changed").as("verdict"))
+  }
+
   /** Fold a [[manifest]] to the ONE publishable scalar: the group chains
     * re-chained in group order (driver-side — the manifest is
     * groups-sized by construction). Missing groups (no leaf routed

@@ -54,6 +54,26 @@ class IntegrityManifestSpec extends SparkSpec {
     assert(r0 !== IntegrityManifest.root(mf(swapped)))
   }
 
+  test("diff localizes: verdicts per divergent group, empty on identical corpora") {
+    val m0 = mf(base).localCheckpoint(true)
+    assert(IntegrityManifest.diff(m0, mf(base)).count() === 0L,
+      "identical corpora must diff empty")
+    // in-place edit: one group, content_changed, counts intact
+    val edited = IntegrityManifest.diff(m0, mf(base.map {
+      case (7L, _) => (7L, "edited body")
+      case row => row
+    })).collect()
+    assert(edited.length === 1 && edited.head.getString(3) === "content_changed"
+      && edited.head.getLong(1) === edited.head.getLong(2), edited.mkString)
+    // added doc: its group reads count_changed (or group_added if new)
+    val added = IntegrityManifest.diff(m0, mf(base :+ (999L, "new doc")))
+      .collect()
+    assert(added.length === 1 &&
+      Set("count_changed", "group_added").contains(added.head.getString(3)),
+      added.mkString)
+    m0.unpersist()
+  }
+
   test("NULL text and empty text are distinct; layout never matters") {
     val r0 = IntegrityManifest.root(mf(base))
     // turn the NULL doc into an empty-string doc: must flip
