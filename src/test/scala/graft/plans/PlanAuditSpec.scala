@@ -722,6 +722,19 @@ class PlanAuditSpec extends SparkSpec {
       "unigram counts must combine map-side:\n" + jsd.take(1500))
   }
 
+  test("q_integrity_manifest is one grouped aggregate — no window, no join") {
+    // leaves shuffle once to their identity-hash group and chain-fold
+    // there; any window (a global sort would be the classic wrong plan
+    // for 'sorted chain') or join would mean the fingerprint stopped
+    // being a single-pass aggregate
+    val im = executedPlan("q_integrity_manifest")
+    assert(!im.contains("Window") && !im.contains("Join") &&
+      !im.contains("CartesianProduct"),
+      "manifest must be one grouped aggregate:\n" + im.take(1500))
+    assert(im.contains("partial_count"),
+      "group counts must combine map-side:\n" + im.take(1500))
+  }
+
   test("q_mcnemar and q_brier are map-side-combined global aggregates") {
     // mcnemar's planted predictors are pure projections → no join at all;
     // brier rides the qualityScored FIXTURE whose scorer broadcast-joins
