@@ -137,6 +137,29 @@ object Bench {
     case _ => -1L
   }
 
+  /** The regression-alarm gate (round 15): a query flags only when BOTH
+    * channels agree — ratio vs the rolling floor > `ratioGate` AND the
+    * absolute excess > `deltaGate` seconds. The ratio channel alone
+    * produced persistent false alarms on sub-0.4 s queries: a fresh run
+    * sits ~1.16× above best-EVER floors by construction (the floors are
+    * min-merged across every honest run), so a 0.25 s query reading
+    * 0.37 s trips 1.5× on 0.12 s of timer noise while a real regression
+    * on a 2 s query is hundreds of ms. Requiring an absolute delta keeps
+    * the alarm meaningful across the whole size spectrum; both channels
+    * are reported in the JSON so the ratio-only count stays visible. */
+  private[graft] def regressionAlarm(secs: Double, floor: Double,
+      ratioGate: Double = 1.5, deltaGate: Double = 0.25): Boolean =
+    secs > floor * ratioGate && secs - floor > deltaGate
+
+  /** `SPARK_GRAFT_BENCH_INJECT_MS="q_a:300,q_b:500"` → per-query sleep
+    * (test knob: BenchGateSpec injects a deliberate slowdown end-to-end
+    * and asserts the gated alarm still trips). */
+  private[graft] def parseInject(v: Option[String]): Map[String, Long] =
+    v.map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+      val Array(k, ms) = kv.split(":", 2)
+      k -> ms.toLong
+    }.toMap).getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -150,6 +173,18 @@ object Bench {
     // (unset in driver runs → full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    runBench(spark, sfDir, only,
+      parseInject(sys.env.get("SPARK_GRAFT_BENCH_INJECT_MS")),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json"))
+    spark.stop()
+  }
+
+  /** The whole benchmark pass, factored out of [[main]] so a spec can run
+    * it against the shared test session (with injection) without the
+    * env-var / session-lifecycle gymnastics. Returns the core JSON line. */
+  private[graft] def runBench(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]], injectMs: Map[String, Long] = Map.empty,
+      outPath: String = "bench_result.json"): String = {
     val selected = only match {
       case Some(names) =>
         // a typo'd name would otherwise silently shrink (or empty) the run
@@ -211,6 +246,7 @@ object Bench {
               String.valueOf(e.getMessage).linesIterator.take(1).mkString)
             ok = false
         }
+        injectMs.get(name).foreach(Thread.sleep) // test-only slowdown knob
         ((System.nanoTime() - t0) / 1e9, (processCpuNs - c0) / 1e9)
       }
       var runs = 2
@@ -280,15 +316,22 @@ object Bench {
     // rolling best — a future regression (or a dirty machine) is visible in
     // the stdout tail as a median/max ratio instead of needing a prior
     // round's artifact to diff against.
-    val ratios = results.filter(_.ok).flatMap(r => ratioOf(r).map(r.name -> _))
-    val vsBest = if (ratios.isEmpty) """{"queries_compared":0}""" else {
+    val ratioRows = results.filter(_.ok).flatMap(r =>
+      prior.get(r.name).filter(_ >= 0.05).map(f => (r.name, r.secs, f)))
+    val vsBest = if (ratioRows.isEmpty) """{"queries_compared":0}""" else {
+      val ratios = ratioRows.map { case (n, s, f) => (n, s / f) }
       val sorted = ratios.map(_._2).sorted
       val median = sorted(sorted.length / 2)
       val (worstName, worstRatio) = ratios.maxBy(_._2)
+      // two alarm channels (round 15): gt1_5x is the GATED count (ratio
+      // > 1.5 AND absolute excess > 0.25 s — see regressionAlarm);
+      // gt1_5x_ratio_only keeps the raw ratio channel visible so the
+      // gate's effect is auditable in the same line
       s"""{"queries_compared":${ratios.length},""" +
         f""""median":$median%.2f,"max":$worstRatio%.2f,""" +
         s""""worst_query":"$worstName",""" +
-        s""""gt1_5x":${ratios.count(_._2 > 1.5)}}"""
+        s""""gt1_5x":${ratioRows.count { case (_, s, f) => regressionAlarm(s, f) }},""" +
+        s""""gt1_5x_ratio_only":${ratios.count(_._2 > 1.5)}}"""
     }
     // the driver keeps only a ~2 KB TAIL of stdout (BENCH_r10 showed the
     // line truncated from the FRONT), so stdout puts the bulky queries map
@@ -304,7 +347,7 @@ object Bench {
     // min-merge this run into the committed rolling best (full runs only —
     // a SPARK_GRAFT_BENCH_ONLY subset at a smaller SF would poison the
     // floor with numbers from different data)
-    if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
+    if (only.isEmpty && injectMs.isEmpty && sfDir.endsWith("sf0.1")) try {
       val merged = updateBest(prior,
         results.filter(_.ok).map(r => r.name -> r.secs))
       val body = merged.toSeq.sorted.map { case (k, v) =>
@@ -318,9 +361,8 @@ object Bench {
     // strip — also write the raw line to a file so the metric is always
     // machine-readable (BENCH_r01.json came back "parsed": null)
     val full = core.dropRight(1) + s""","detail":$detail}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
+    core
   }
 }

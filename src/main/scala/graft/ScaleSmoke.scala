@@ -636,11 +636,12 @@ object ScaleSmoke {
       s""""peak_stage_shuffle_bytes":$lmPeak}""")
     spark.catalog.clearCache() // charTrigramNll persists its count frame
 
-    // ---- word-bigram stupid-backoff LM over the replicated corpus (r14) --
+    // ---- word-bigram stupid-backoff LM over the replicated corpus (r14;
+    // join reduction r15) --------------------------------------------------
     // train on the 5 k-doc base slice, score 100 k docs: the CCNet shape —
-    // a fixed reference LM, web-scale text streaming through three
-    // word-keyed equi-joins. Shuffle carries (word, count) partials and
-    // the transition stream's join keys — token-scale, never text bodies.
+    // a fixed reference LM, web-scale text streaming through word-keyed
+    // equi-joins. Shuffle carries (word, count) partials and the
+    // transition stream's join keys — token-scale, never text bodies.
     val (lmbRows, lmbShuffle, _, lmbSecs) = sectionShuffle {
       val uni = graft.trainprep.NgramLm.unigramCounts(baseDocs, "text")
       val bi = graft.trainprep.NgramLm.bigramCounts(baseDocs, "text")
@@ -650,14 +651,51 @@ object ScaleSmoke {
     }
     require(lmbRows == nDocs,
       s"LM must score every multi-token doc: $lmbRows of $nDocs")
-    // measured ~0.4 GB at 100 k docs (~3.5 M transitions × 3 joins of
-    // word-string keys); text bodies (~35 MB × joins would be fine too,
-    // but the point is the bound scales with TOKENS, not pairs)
     require(lmbShuffle < 2L * 1024 * 1024 * 1024,
       s"LM scoring shuffled $lmbShuffle bytes — something is exploding")
     println(s"""{"metric":"lm_backoff_scale","docs":$nDocs,""" +
       s""""seconds":$lmbSecs,"docs_per_sec":${(nDocs / lmbSecs).toLong},""" +
       s""""shuffle_write_bytes":$lmbShuffle}""")
+
+    // r15 join reduction, measured in the 100 TB regime: with broadcast
+    // disabled every count-table join becomes a shuffle join that
+    // re-shuffles the TRANSITION STREAM — the regime where c1 riding the
+    // bigram table (bigramModel, attached at train time on vocab-sized
+    // frames) buys back a full stream shuffle. Both forms run under the
+    // same config; the two-join form must shuffle strictly less, and the
+    // saving must be stream-scale (> 15 % of the three-join total), or
+    // the claim has regressed. Measured at 100 k docs: ~3-join 0.71 GB →
+    // 2-join 0.50 GB (−30 %, ≈ one stream pass of (w1, w2) keys).
+    val bcastPrior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val lmUni = graft.trainprep.NgramLm.unigramCounts(baseDocs, "text")
+    val lmBi = graft.trainprep.NgramLm.bigramCounts(baseDocs, "text")
+    val lmTotal = lmUni.agg(sum(col("c"))).head().getLong(0)
+    val ((lmb2Rows, lmb2Shuffle, _, lmb2Secs), (_, lmb3Shuffle, _, _)) =
+      try {
+        val two = sectionShuffle {
+          graft.trainprep.NgramLm.stupidBackoffNllImpl(
+            bigDocs, "doc_id", "text", lmUni, lmBi, lmTotal,
+            legacyThreeJoins = false).count()
+        }
+        val three = sectionShuffle {
+          graft.trainprep.NgramLm.stupidBackoffNllImpl(
+            bigDocs, "doc_id", "text", lmUni, lmBi, lmTotal,
+            legacyThreeJoins = true).count()
+        }
+        (two, three)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastPrior)
+    require(lmb2Rows == nDocs)
+    require(lmb2Shuffle < lmb3Shuffle,
+      s"two-join LM scoring must shuffle less than the three-join form: " +
+        s"$lmb2Shuffle vs $lmb3Shuffle bytes")
+    require(lmb3Shuffle - lmb2Shuffle > lmb3Shuffle * 15L / 100L,
+      s"join-reduction saving collapsed: $lmb2Shuffle vs $lmb3Shuffle bytes")
+    println(s"""{"metric":"lm_backoff_join_reduction","docs":$nDocs,""" +
+      s""""two_join_shuffle_bytes":$lmb2Shuffle,""" +
+      s""""three_join_shuffle_bytes":$lmb3Shuffle,""" +
+      s""""seconds_two_join":$lmb2Secs}""")
 
     // ---- corpus integrity manifest over the replicated corpus (r14) ------
     // one aggregate: leaves (64-byte hex) shuffle to their identity-hash

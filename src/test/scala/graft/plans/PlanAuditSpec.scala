@@ -704,14 +704,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_lm_backoff joins stay equi (no cartesian), counts combine map-side") {
-    // the scoring path is three word-keyed equi-joins over the transition
-    // stream; a cartesian (or a nest-loop from a mis-specified key) would
+    // the scoring path is TWO word-keyed equi-joins over the transition
+    // stream (round 15: c1 rides the bigram table from train time — the
+    // third, w1-keyed stream join was a full extra corpus shuffle at
+    // scale); a cartesian (or a nest-loop from a mis-specified key) would
     // be vocab × transitions. Count training must partial-aggregate —
     // the shuffle carries (word, partial) records, never raw tokens.
     val lm = executedPlan("q_lm_backoff")
     assert(!lm.contains("CartesianProduct") &&
       !lm.contains("BroadcastNestedLoopJoin"),
       "LM scoring must stay equi-join:\n" + lm.take(1500))
+    // the token-stream joins are exactly the LeftOuter ones (unmatched
+    // transitions must survive into the backoff branch); the train-time
+    // bigramModel join is Inner and vocabulary-sized. Three LeftOuters
+    // would mean the w1 unigram join crept back onto the stream.
+    assert("LeftOuter".r.findAllMatchIn(lm).size == 2,
+      "LM scoring must join the transition stream exactly twice:\n" +
+        lm.take(1500))
     assert(lm.contains("partial_count"),
       "count training must combine map-side:\n" + lm.take(1500))
     val jsd = executedPlan("q_mix_jsd")
