@@ -639,33 +639,58 @@ object TrainPrepQueries {
              |    AS js_div
              |FROM j""".stripMargin)),
 
-    // ---- corpus integrity manifest (E164): tamper-evident fingerprint —
-    // leaves route by their own hash prefix, each group's sorted leaves
-    // fold into a sha256 chain; flip one byte anywhere and its group
-    // hash (and the root) changes. Replayed with a recursive-CTE chain.
+    // ---- corpus integrity manifest (E164; two-level + injective leaf
+    // r15): tamper-evident fingerprint — docs route by identity-hash
+    // digits into (group, sub-group), each sub-group's sorted leaves fold
+    // into a sha256 chain, each group's sub-chains fold (in sub order,
+    // sub id included) into the group hash; flip one byte anywhere and
+    // its group hash (and the root) changes. The leaf is the injective
+    // fixed-width form sha256(sha256(id) ∥ flag ∥ sha256(text)).
+    // Replayed with TWO recursive-CTE chain levels.
     "q_integrity_manifest" -> QueryDef(
       (s, dir) => graft.io.IntegrityManifest.manifest(
         t(s, dir, "documents").filter(col("doc_id") < 300),
-        "doc_id", "text", groups = 16),
+        "doc_id", "text", groups = 16, subGroups = 4),
       Some("""WITH RECURSIVE g AS (SELECT
-             |    (('0x' || substr(sha256(doc_id::VARCHAR), 1, 4))::BIGINT % 16)
+             |    (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 16)
              |      AS grp,
-             |    sha256(doc_id::VARCHAR || ':' ||
-             |      CASE WHEN text IS NULL THEN '1' ELSE '0' END || ':' ||
-             |      coalesce(text, '')) AS leaf
+             |    (('0x' || substr(sha256(doc_id::VARCHAR), 9, 4))::BIGINT % 4)
+             |      AS sub,
+             |    sha256(sha256(doc_id::VARCHAR) ||
+             |      CASE WHEN text IS NULL THEN '1' ELSE '0' END ||
+             |      sha256(coalesce(text, ''))) AS leaf
              |  FROM documents WHERE doc_id < 300),
-             |r AS (SELECT grp, leaf,
-             |    row_number() OVER (PARTITION BY grp ORDER BY leaf) AS rn
+             |r AS (SELECT grp, sub, leaf,
+             |    row_number() OVER (PARTITION BY grp, sub ORDER BY leaf) AS rn
              |  FROM g),
              |rec AS (
-             |  SELECT grp, rn, sha256(repeat('0', 64) || leaf) AS h
+             |  SELECT grp, sub, rn, sha256(repeat('0', 64) || leaf) AS h
              |    FROM r WHERE rn = 1
              |  UNION ALL
-             |  SELECT r2.grp, r2.rn, sha256(rec.h || r2.leaf)
-             |  FROM rec JOIN r r2 ON r2.grp = rec.grp AND r2.rn = rec.rn + 1)
-             |SELECT grp, max(rn)::BIGINT AS n_docs,
-             |  max_by(h, rn) AS group_hash
-             |FROM rec GROUP BY grp""".stripMargin)),
+             |  SELECT r2.grp, r2.sub, r2.rn, sha256(rec.h || r2.leaf)
+             |  FROM rec JOIN r r2
+             |    ON r2.grp = rec.grp AND r2.sub = rec.sub AND r2.rn = rec.rn + 1),
+             |sc AS (SELECT grp, sub, max(rn)::BIGINT AS n,
+             |    max_by(h, rn) AS sub_hash
+             |  FROM rec GROUP BY grp, sub),
+             |s2 AS (SELECT grp, sub, n, sub_hash,
+             |    row_number() OVER (PARTITION BY grp ORDER BY sub) AS rn2
+             |  FROM sc),
+             |rec2 AS (
+             |  SELECT grp, rn2,
+             |      sha256(repeat('0', 64) || sub::VARCHAR || ':' || sub_hash)
+             |        AS h
+             |    FROM s2 WHERE rn2 = 1
+             |  UNION ALL
+             |  SELECT x.grp, x.rn2, sha256(rec2.h || x.sub::VARCHAR || ':' ||
+             |      x.sub_hash)
+             |  FROM rec2 JOIN s2 x
+             |    ON x.grp = rec2.grp AND x.rn2 = rec2.rn2 + 1),
+             |nd AS (SELECT grp, sum(n)::BIGINT AS n_docs FROM sc GROUP BY grp),
+             |gh AS (SELECT grp, max_by(h, rn2) AS group_hash
+             |  FROM rec2 GROUP BY grp)
+             |SELECT grp, n_docs, group_hash FROM nd JOIN gh USING (grp)"""
+        .stripMargin)),
 
     // ---- streaming parity: real streaming jobs, batch oracles (§2.9) -----
     "q_stream_resample" -> QueryDef(

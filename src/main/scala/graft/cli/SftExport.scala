@@ -155,6 +155,25 @@ object SftExport {
             oversize = oversizePolicy)
           .write.mode("overwrite").parquet(s"$out/packed_docs")
         val docs = spark.read.parquet(s"$out/packed_docs")
+        // per-ROW policy cross-check (r15 ADVICE): the aggregate
+        // composition invariant below compares two corpus-level sums, so
+        // offsetting per-conv drifts could in principle cancel in it;
+        // this pins the oversize policy at max granularity on the
+        // already-materialized frame — shipped == min(doc, context)
+        // under truncate (== doc under drop: oversize rows are gone),
+        // and the shipped count IS the shipped ids array's length
+        val expectShipped =
+          if (oversizePolicy == "truncate")
+            least(col("n_tokens_doc"), lit(context.toLong))
+          else col("n_tokens_doc")
+        val policyDrift = docs.filter(
+          col("n_tokens") =!= expectShipped ||
+            col("n_tokens") =!= size(col("token_ids")).cast("long"))
+          .limit(1).count()
+        require(policyDrift == 0L,
+          s"oversize policy drifted on at least one conversation: a row's " +
+            s"shipped n_tokens disagrees with min(n_tokens_doc, $context) " +
+            "or with its own token_ids length")
         graft.trainprep.TrainPrep.packNoSplitRollup(docs)
           .write.mode("overwrite").parquet(s"$out/packed")
         // masks: conv-local loss spans shifted to sequence coordinates,

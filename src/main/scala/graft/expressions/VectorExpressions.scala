@@ -265,3 +265,74 @@ case class FloatVecL2(left: Expression, right: Expression) extends VecBinaryExpr
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Canonical IEEE-754 bit encoding of a float/double vector as one hex
+  * string — the integrity-manifest leaf primitive for embedding lakes
+  * ([[graft.io.IntegrityManifest.embeddingManifest]]): each element emits
+  * its EXACT bit pattern (`Float.floatToIntBits` — NaNs canonicalize to
+  * the single quiet-NaN pattern, so equal-by-bits means equal-for-
+  * training) as a FIXED-WIDTH zero-padded hex field (8 chars per float,
+  * 16 per double; a null element emits the same-width non-hex sentinel
+  * `n…n`), making the encoding injective: two different vectors can
+  * never produce the same string, and the string never depends on
+  * decimal formatting. Fused codegen loop — a relational
+  * `transform(vec, x -> lpad(hex(…)))` has no float→bits primitive to
+  * call and would cross an interpreted lambda per element. */
+case class FloatVecBitsHex(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "vec_bits_hex"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if Seq(FloatType, DoubleType).contains(t) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    FloatVecBitsHex.encode(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.FloatVecBitsHex.encode($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecBitsHex =
+    copy(child = newChild)
+}
+
+object FloatVecBitsHex {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Public because generated code calls it. */
+  def encode(arr: ArrayData, isFloat: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    val width = if (isFloat) 8 else 16
+    val out = new Array[Byte](n * width)
+    var i = 0
+    while (i < n) {
+      val base = i * width
+      if (arr.isNullAt(i)) {
+        var j = 0
+        while (j < width) { out(base + j) = 'n'; j += 1 }
+      } else {
+        val bits: Long =
+          if (isFloat) java.lang.Float.floatToIntBits(arr.getFloat(i)) & 0xFFFFFFFFL
+          else java.lang.Double.doubleToLongBits(arr.getDouble(i))
+        var j = 0
+        while (j < width) {
+          out(base + j) =
+            HexDigits(((bits >>> ((width - 1 - j) * 4)) & 0xF).toInt).toByte
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{FloatVecCosine, FloatVecDot, FloatVecL2}
+import graft.expressions.{FloatVecBitsHex, FloatVecCosine, FloatVecDot, FloatVecL2}
 
 /** Dense-vector math over `array<float|double>` embedding columns, backed
   * by the custom codegen'd Catalyst expressions in `graft.expressions` —
@@ -33,6 +33,13 @@ object VectorFunctions {
 
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column = c(FloatVecL2(e(a), e(b)))
+
+  /** Canonical IEEE-754 bit encoding of a vector as one fixed-width hex
+    * string (8 chars/float, 16/double; null elements emit `n…n`) — the
+    * injective, bit-exact vector fingerprint
+    * [[graft.io.IntegrityManifest.embeddingManifest]] hashes into its
+    * leaves. */
+  def bitsHex(a: Column): Column = c(FloatVecBitsHex(e(a)))
 
   /** Random-hyperplane (SimHash-family) LSH signature of a vector: `nBits`
     * sign bits packed into a long. Hyperplane components are deterministic

@@ -49,7 +49,8 @@ object EmbeddingLake {
         require(m.partitionCol == "ivf_cell",
           s"pending manifest at $path names partition column " +
             s"'${m.partitionCol}', not an embedding lake's ivf_cell")
-        LakeMerge.committedView(spark, path, m, "ivf_cell")(v => lit(v.toInt))
+        LakeMerge.committedView(spark, path, m, "ivf_cell")(
+          v => lit(v.toInt), _.cast("int"))
     }
   }
 
@@ -125,13 +126,34 @@ object EmbeddingLake {
   /** Persist the codebook WITH the table — an underscore-prefixed parquet
     * directory inside the lake (Spark's file index skips `_`-paths, the
     * `_SUCCESS` convention, so probes over the lake never scan it). One
-    * row per cell: (cell_id, centroid). */
+    * row per cell: (cell_id, centroid).
+    *
+    * Atomic (r14 ADVICE): a plain `SaveMode.Overwrite` deletes the live
+    * directory BEFORE the new write is durable, so a crash mid-write
+    * destroyed BOTH codebooks. The refresh now writes to a dot-prefixed
+    * temp directory and renames into place — the same discipline as the
+    * merge manifest — so the old codebook stays readable until the swap
+    * instant; the residual window is one move-aside + one rename
+    * (matching [[LakeMerge.applySwaps]]'s own per-partition window), and
+    * a crash inside it leaves the complete old copy parked at
+    * `._codebook_old` for hand recovery instead of nothing. */
   def writeCodebook(spark: SparkSession, path: String,
       codebook: Array[Seq[Float]]): Unit = {
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
+    val old = new org.apache.hadoop.fs.Path(path, "._codebook_old")
+    val live = new org.apache.hadoop.fs.Path(path, "_codebook")
+    fs.delete(tmp, true) // debris from a crashed prior refresh
     codebook.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell_id", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_codebook")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"could not move $live aside")
+    require(fs.rename(tmp, live), s"could not swap refreshed codebook into $live")
+    fs.delete(old, true)
   }
 
   /** Read back a [[writeCodebook]]-persisted codebook, cell order
@@ -332,8 +354,9 @@ object EmbeddingLake {
     // forever and the stale-codebook require would brick every future
     // compact. Writing early is benign in the pre-commit crash window —
     // a longer-than-lake codebook passes every check and its extra
-    // centroids are just empty cells — and a crash DURING this write
-    // fails readCodebook loudly (nonEmpty/gap requires), never silently.
+    // centroids are just empty cells — and the refresh itself is atomic
+    // (r15: temp dir + rename inside writeCodebook), so a crash during
+    // it leaves the OLD codebook serving, never a torn or missing one.
     if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
       writeCodebook(spark, path, newCents.toArray)
 

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tamper-evident corpus FINGERPRINT — the dataset-versioning /
@@ -8,53 +8,188 @@ import org.apache.spark.sql.functions._
   * card: flip one byte of one document (or add, drop, or re-id a row)
   * and the root hash changes, so two parties can verify they trained on
   * the same bytes without shipping the bytes (the Merkle-manifest idea
-  * behind Delta/Iceberg snapshot checksums and artifact registries,
-  * flattened to two levels so it stays two aggregates).
+  * behind Delta/Iceberg snapshot checksums and artifact registries).
   *
-  *  - LEAF: `sha256(id ':' nullFlag ':' text)` — binds identity AND
-  *    content (a swap of two docs' texts changes two leaves), with NULL
-  *    text distinguished from empty text by the flag, not a sentinel
-  *    string a real document could collide with;
-  *  - GROUP: docs bucket by their IDENTITY hash (`sha256(id)` first 4
-  *    hex digits mod `groups` — uniform, so groups are
-  *    corpus/groups-sized with tight concentration: the bounded-collect
-  *    contract). Routing by identity, NOT by the content-bearing leaf,
-  *    is what makes the audit local: an EDIT changes one group's hash
-  *    with its count intact, instead of reading as a drop in one group
-  *    plus an add in another. Each group's sorted leaves fold into a
-  *    hash CHAIN: `h₀ = 64×'0'; hᵢ₊₁ = sha256(hᵢ ∥ leafᵢ)` — sorting
-  *    makes the chain a pure function of the group's leaf SET,
+  *  - LEAF: `sha256(sha256(id) ∥ nullFlag ∥ sha256(text))` — binds
+  *    identity AND content (a swap of two docs' texts changes two
+  *    leaves), with NULL text distinguished from empty text by the flag.
+  *    Every field is FIXED WIDTH (64 hex ∥ 1 char ∥ 64 hex), so the
+  *    encoding is injective: no (id, text) pair can imitate another by
+  *    moving bytes across a delimiter (the r14 `id ':' text` form was
+  *    ambiguous when the id itself contained ':'). A NULL id refuses
+  *    loudly (an `assert_true` folded into the leaf expression — zero
+  *    extra scan), because a NULL routes nowhere honest and its leaf
+  *    would silently vanish from a hash chain;
+  *  - SUB-GROUP / GROUP (two-level Merkle): docs route by their IDENTITY
+  *    hash — `grp` from hex digits 1–8 of `sha256(id)` (mod `groups`, so
+  *    up to 2²⁴ groups), `sub` from digits 9–12 (mod `subGroups`) —
+  *    uniform, so every chain buffer holds ~corpus/(groups·subGroups)
+  *    leaves with tight concentration: the bounded-buffer contract that
+  *    caps `collect_list` at 100 B docs. Routing by identity, NOT by the
+  *    content-bearing leaf, is what makes the audit local: an EDIT
+  *    changes one group's hash with its count intact, instead of reading
+  *    as a drop in one group plus an add in another. Each sub-group's
+  *    sorted leaves fold into a hash CHAIN
+  *    (`h₀ = 64×'0'; hᵢ₊₁ = sha256(hᵢ ∥ leafᵢ)`), then each group's
+  *    sub-chains fold — in sub order, sub id included — into the group
+  *    hash. Sorting makes both levels pure functions of the leaf SET,
   *    independent of partitioning, insertion order, or cluster layout;
   *  - ROOT: the groups-sized manifest folds driver-side in group order
   *    ([[root]]) — one scalar to publish, compare, or sign.
   *
   * Incremental audit property: a mismatch localizes — compare the two
-  * manifests' group rows to find WHICH ~1/groups slice of the corpus
-  * diverged, then diff leaves only there (the same prune-to-the-
-  * difference shape as [[LakeMerge]]'s date pruning). Every hash is a
-  * plain sha256 over hex strings, so DuckDB replays the manifest
+  * manifests' group rows ([[diff]]) to find WHICH ~1/groups slice of the
+  * corpus diverged, then diff leaves only there. Incremental MAINTENANCE
+  * ([[updated]]): after an upsert batch, only the groups the batch's ids
+  * route to are recomputed and spliced into the previous manifest — the
+  * publish-time fingerprint stops being a full-shuffle tax. Every hash
+  * is a plain sha256 over hex strings, so DuckDB replays the manifest
   * verbatim (q_integrity_manifest). */
 object IntegrityManifest {
 
   private val Zero64 = "0" * 64
 
-  /** One row per group: (grp, n_docs, group_hash). */
-  def manifest(docs: DataFrame, idCol: String, textCol: String,
-      groups: Int = 256): DataFrame = {
-    require(groups >= 1 && groups <= 65536,
-      s"groups must be in [1, 65536] (4 hex digits route them), got $groups")
-    val leaf = sha2(concat(col(idCol).cast("string"), lit(":"),
-      when(col(textCol).isNull, lit("1")).otherwise(lit("0")), lit(":"),
-      coalesce(col(textCol), lit(""))), 256)
-    val grp = pmod(conv(substring(
-        sha2(col(idCol).cast("string"), 256), 1, 4), 16, 10).cast("long"),
+  /** Identity hash of the id column — the routing AND leaf-prefix
+    * primitive. One `sha2` subtree that Catalyst CSEs across grp/sub/leaf
+    * within a projection. */
+  private def idHash(id: Column): Column = sha2(id.cast("string"), 256)
+
+  /** Group route: hex digits 1–8 of the identity hash, mod `groups`. */
+  private def grpExpr(id: Column, groups: Int): Column =
+    pmod(conv(substring(idHash(id), 1, 8), 16, 10).cast("long"),
       lit(groups.toLong))
-    docs.select(grp.as("grp"), leaf.as("__leaf"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_docs"),
+
+  /** Sub-group route: hex digits 9–12 (independent of the group digits),
+    * mod `subGroups`. */
+  private def subExpr(id: Column, subGroups: Int): Column =
+    pmod(conv(substring(idHash(id), 9, 4), 16, 10).cast("long"),
+      lit(subGroups.toLong))
+
+  /** The injective leaf. The NULL-id refusal rides the leaf expression
+    * itself (`coalesce(assert_true(…), '')` prepends an empty string —
+    * hash input unchanged) so column pruning can never drop the check
+    * and it costs no extra scan. */
+  private def leafExpr(id: Column, text: Column): Column =
+    sha2(concat(
+      coalesce(assert_true(id.isNotNull,
+        lit("integrity manifest: NULL id — every doc must carry a " +
+          "non-null identity")), lit("")),
+      idHash(id),
+      when(text.isNull, lit("1")).otherwise(lit("0")),
+      sha2(coalesce(text, lit("")), 256)), 256)
+
+  private def checkShape(groups: Int, subGroups: Int): Unit = {
+    require(groups >= 1 && groups <= (1 << 24),
+      s"groups must be in [1, ${1 << 24}] (8 hex digits route them; the " +
+        s"driver-side root folds a groups-sized manifest), got $groups")
+    require(subGroups >= 1 && subGroups <= 65536,
+      s"subGroups must be in [1, 65536] (4 hex digits route them), " +
+        s"got $subGroups")
+  }
+
+  /** One row per group: (grp, n_docs, group_hash). Two grouped
+    * aggregates — the (grp, sub) level chains sorted leaves, the grp
+    * level chains the sub-chains — with map-side partial counts; no
+    * window, no join, nothing driver-side. */
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+      groups: Int = 256, subGroups: Int = 16): DataFrame = {
+    checkShape(groups, subGroups)
+    chainTwoLevel(docs.select(
+      grpExpr(col(idCol), groups).as("grp"),
+      subExpr(col(idCol), subGroups).as("sub"),
+      leafExpr(col(idCol), col(textCol)).as("__leaf")))
+  }
+
+  /** The two-level chain over pre-routed (grp, sub, __leaf) rows — shared
+    * by the corpus manifest and [[embeddingManifest]]. Level 1 buffers
+    * only ONE sub-group's leaves per aggregation buffer
+    * (~corpus/(groups·subGroups) — the scale ceiling the r14 single-level
+    * fold hit); level 2 buffers subGroups-sized (sub, sub_hash) structs. */
+  private def chainTwoLevel(routed: DataFrame): DataFrame = {
+    val l1 = routed
+      .groupBy(col("grp"), col("sub"))
+      .agg(count(lit(1)).as("__n"),
         aggregate(array_sort(collect_list(col("__leaf"))),
           lit(Zero64),
-          (acc, l) => sha2(concat(acc, l), 256)).as("group_hash"))
+          (acc, l) => sha2(concat(acc, l), 256)).as("__sub_hash"))
+    l1.groupBy(col("grp"))
+      .agg(sum(col("__n")).as("n_docs"),
+        aggregate(
+          array_sort(collect_list(struct(col("sub"), col("__sub_hash")))),
+          lit(Zero64),
+          (acc, s) => sha2(concat(acc,
+            s.getField("sub").cast("string"), lit(":"),
+            s.getField("__sub_hash")), 256)).as("group_hash"))
+  }
+
+  /** Incremental maintenance (round 15): splice a fresh recompute of ONLY
+    * the groups touched by an upsert/delete batch into the previous
+    * manifest. `changedIds` is the batch's id set — adds, edits AND drops
+    * (a dropped id still routes to the group that must re-chain); `corpus`
+    * is the POST-change corpus. Only the ~touched/groups slice of the
+    * corpus is leaf-hashed and shuffled — the rest of the manifest rides
+    * through untouched, so the publish-time fingerprint scales with the
+    * batch, not the lake ([[graft.ScaleSmoke]] bounds groups-recomputed ≈
+    * batch-distinct-groups ≪ groups). Hash-exact to a full recompute by
+    * construction (IntegrityManifestSpec proves it on add/edit/drop
+    * batches): group hashes are pure functions of the group's leaf set,
+    * and untouched groups' leaf sets are untouched. A group emptied by
+    * drops disappears from the fresh slice — exactly as it would from a
+    * full recompute. */
+  def updated(prev: DataFrame, corpus: DataFrame, changedIds: DataFrame,
+      idCol: String, textCol: String,
+      groups: Int = 256, subGroups: Int = 16): DataFrame = {
+    checkShape(groups, subGroups)
+    // batch-distinct-groups collect: bounded by min(|batch|, groups)
+    val touched = changedIds
+      .select(grpExpr(col(idCol), groups).as("grp")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) prev
+    else {
+      val fresh = manifest(
+        corpus.filter(grpExpr(col(idCol), groups).isin(touched: _*)),
+        idCol, textCol, groups, subGroups)
+      prev.filter(!col("grp").isin(touched: _*)).unionByName(fresh)
+    }
+  }
+
+  /** Stamp a manifest with the merge/batch id it reflects — the
+    * provenance column a published fingerprint carries so a verifier
+    * knows WHICH lake state it attests (pair with
+    * [[LakeMerge.MergeStats.mergeId]]). */
+  def stamped(manifest: DataFrame, asOf: String): DataFrame =
+    manifest.withColumn("as_of", lit(asOf))
+
+  /** Integrity manifest over an EMBEDDING lake ([[EmbeddingLake]]):
+    * vectors are training inputs too. The group IS the `ivf_cell`
+    * partition — the lake's audit unit, so a [[EmbeddingLake.compactCells]]
+    * run must change exactly the touched cells' group hashes and leave
+    * every other row of the manifest byte-identical (EmbeddingLakeSpec
+    * measures that, upgrading the "untouched partitions byte-identical"
+    * contract from spec-only to manifest-attested). The leaf binds the id
+    * to the vector's CANONICAL IEEE-754 bit encoding
+    * ([[graft.functions.VectorFunctions.bitsHex]] — fixed 8 hex chars per
+    * float, so the encoding is injective and bit-exact; quantized/PQ
+    * columns can be manifested the same way by passing them as `vecCol`
+    * after a cast). Replay note: DuckDB has no float→IEEE-bits primitive,
+    * so this variant is SPEC-GATED (no SQL oracle row) — the corpus
+    * manifest's oracle covers the chain arithmetic, and the float-bit
+    * leaf is pinned by round-trip specs instead. */
+  def embeddingManifest(lake: DataFrame, idCol: String, vecCol: String,
+      subGroups: Int = 16): DataFrame = {
+    require(subGroups >= 1 && subGroups <= 65536,
+      s"subGroups must be in [1, 65536], got $subGroups")
+    val leaf = sha2(concat(
+      coalesce(assert_true(col(idCol).isNotNull,
+        lit("embedding manifest: NULL id")), lit("")),
+      idHash(col(idCol)),
+      when(col(vecCol).isNull, lit("1")).otherwise(lit("0")),
+      coalesce(graft.functions.VectorFunctions.bitsHex(col(vecCol)),
+        lit(""))), 256)
+    chainTwoLevel(lake.select(
+      col("ivf_cell").cast("long").as("grp"),
+      subExpr(col(idCol), subGroups).as("sub"),
+      leaf.as("__leaf")))
   }
 
   /** The localization step of an integrity audit: which groups diverge
@@ -84,10 +219,12 @@ object IntegrityManifest {
 
   /** Fold a [[manifest]] to the ONE publishable scalar: the group chains
     * re-chained in group order (driver-side — the manifest is
-    * groups-sized by construction). Missing groups (no leaf routed
-    * there) are skipped, not zero-filled: the group ID participates in
-    * the chain, so the same set of present groups in the same order is
-    * part of what the root attests. */
+    * groups-sized by construction; practical to ~2²⁰ groups, beyond
+    * which publish the manifest parquet itself and compare with
+    * [[diff]]). Missing groups (no leaf routed there) are skipped, not
+    * zero-filled: the group ID participates in the chain, so the same
+    * set of present groups in the same order is part of what the root
+    * attests. */
   def root(manifest: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def sha(s: String): String = {

@@ -84,7 +84,8 @@ object LakeMerge {
 
   final case class MergeStats(partitionsTotal: Int, partitionsRewritten: Int,
       rowsBeforeAffected: Long, rowsUpserted: Long, rowsUpdated: Long,
-      rowsInserted: Long, rowsAfterAffected: Long)
+      rowsInserted: Long, rowsAfterAffected: Long,
+      mergeId: String = "")
 
   /** A committed-but-not-fully-swapped merge, as recorded in
     * `_merge_manifest.json`. Existence of the manifest == the merge is
@@ -123,10 +124,17 @@ object LakeMerge {
         "not supported; serialize writers)")
     // partition values come from date_format (yyyy-MM-dd) in the default
     // layout; a custom layout could pass anything, and a quote/backslash
-    // would corrupt the hand-rolled JSON below
+    // would corrupt the hand-rolled JSON below. '[' and ']' are rejected
+    // too (r14 ADVICE): readManifest's partitions regex is
+    // bracket-bounded, so a ']' inside a value would TRUNCATE the parsed
+    // partition list and recovery would silently skip the tail's swaps —
+    // committed data deleted with staging. Reject at write time, where
+    // the merge can still abort cleanly.
     (m.partitions :+ m.partitionCol :+ m.staging).foreach(v =>
-      require(!v.exists(c => c == '"' || c == '\\' || c.isControl),
-        s"manifest value '$v' contains JSON-unsafe characters"))
+      require(!v.exists(c => c == '"' || c == '\\' || c == '[' ||
+          c == ']' || c.isControl),
+        s"manifest value '$v' contains JSON-unsafe characters " +
+          "(\", \\, [, ], control)"))
     val json =
       s"""{"merge_id":"${m.mergeId}","staging":"${m.staging}",""" +
         s""""partition_col":"${m.partitionCol}",""" +
@@ -275,7 +283,8 @@ object LakeMerge {
         require(m.partitionCol == partitionCol,
           s"pending merge manifests partition column '${m.partitionCol}' " +
             s"but the read asked for '$partitionCol'")
-        committedView(spark, lakeDir, m, partitionCol)(v => lit(v))
+        committedView(spark, lakeDir, m, partitionCol)(
+          v => lit(v), _.cast("string"))
     }
   }
 
@@ -284,24 +293,47 @@ object LakeMerge {
     * landed yet, live otherwise; unlisted partitions read live. Shared
     * by [[readLake]] and [[EmbeddingLake.read]] (review finding: the
     * resolution semantics must live in ONE place); `valueLit` restores
-    * the partition value with the caller's column type. */
+    * a manifest-listed partition's value with the caller's column type,
+    * `colCast` casts the rooted read's inferred partition column to the
+    * same type.
+    *
+    * Plan shape (r14 ADVICE): only the manifest-listed partitions need
+    * per-directory resolution — everything else reads through ONE
+    * lake-rooted parquet scan with the touched values filtered out, so
+    * the plan is O(manifest) unions over one file index, not
+    * O(partitions), and partition pruning keeps working for filtered
+    * readers (probeTopK's cell filter, date-range scans) while a merge
+    * pends on a thousand-partition lake. */
   private[io] def committedView(spark: SparkSession, lakeDir: String,
       m: PendingMerge, partitionCol: String)
-      (valueLit: String => org.apache.spark.sql.Column): DataFrame = {
+      (valueLit: String => org.apache.spark.sql.Column,
+       colCast: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val fs = hadoopFs(spark, lakeDir)
     val staging = new Path(lakeDir, m.staging)
-    val touched = m.partitions.toSet
-    val untouched = partitionValues(spark, lakeDir, partitionCol)
-      .filterNot(touched)
-    (m.partitions.map { v =>
+    val listed = m.partitions.map { v =>
       val staged = new Path(staging, s"$partitionCol=$v")
       val src = if (fs.exists(staged)) staged.toString
                 else s"$lakeDir/$partitionCol=$v"
-      (v, src)
-    } ++ untouched.map(v => (v, s"$lakeDir/$partitionCol=$v")))
-      .map { case (v, d) =>
-        spark.read.parquet(d).withColumn(partitionCol, valueLit(v))
-      }.reduce(_ unionByName _)
+      spark.read.parquet(src).withColumn(partitionCol, valueLit(v))
+    }
+    // untouched partitions: one rooted read; the NOT-IN over the cast
+    // partition column is a deterministic partition filter, so file
+    // listing itself prunes the touched directories (a mid-swap touched
+    // directory may hold either old or new bytes — neither may leak into
+    // the committed view through this branch). Skipped entirely when
+    // every live partition is manifest-listed: a single-partition lake
+    // crashed between its two swap renames has NO live directory, and
+    // the rooted read would fail schema inference on zero files.
+    val touchedSet = m.partitions.toSet
+    val anyUntouched = partitionValues(spark, lakeDir, partitionCol)
+      .exists(v => !touchedSet(v))
+    val frames =
+      if (!anyUntouched) listed
+      else spark.read.parquet(lakeDir)
+        .filter(!col(partitionCol).cast("string").isin(m.partitions: _*))
+        .withColumn(partitionCol, colCast(col(partitionCol))) +: listed
+    frames.reduce(_ unionByName _)
   }
 
   /** The partition directory values present on disk. */
@@ -467,8 +499,11 @@ object LakeMerge {
     // updated = keys that existed before (rows replaced in place);
     // inserted = net new rows. Both derive from the three footer counts.
     val rowsUpdated = rowsBefore + rowsUpserted - rowsAfter
+    // mergeId rides the stats so callers can stamp derived artifacts
+    // (e.g. an incremental IntegrityManifest) with the lake state they
+    // reflect (round 15)
     MergeStats(allParts.length, affected.length, rowsBefore, rowsUpserted,
-      rowsUpdated, rowsUpserted - rowsUpdated, rowsAfter)
+      rowsUpdated, rowsUpserted - rowsUpdated, rowsAfter, mergeId)
 
     // release the entry checkpoint — every action above has completed
     } finally upd.unpersist()

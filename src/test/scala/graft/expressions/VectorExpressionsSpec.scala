@@ -59,4 +59,29 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.dot(col("a"), col("b"))).head
     assert(r.isNullAt(0))
   }
+
+  test("bitsHex: exact IEEE bits, fixed width, injective, both elem types") {
+    def hexOf(v: Seq[Float]): String =
+      Seq(Tuple1(v)).toDF("v").select(VectorFunctions.bitsHex(col("v")))
+        .head.getString(0)
+    // 1.0f = 0x3f800000, -2.5f = 0xc0200000, 0.0f = 0x00000000
+    assert(hexOf(Seq(1.0f, -2.5f, 0.0f)) === "3f800000c0200000" + "0" * 8)
+    // fixed width ⇒ [1.0] and [1.0, 0.0] differ; -0.0 and 0.0 differ by bits
+    assert(hexOf(Seq(1.0f)) !== hexOf(Seq(1.0f, 0.0f)))
+    assert(hexOf(Seq(-0.0f)) === "80000000")
+    // NaN canonicalizes (floatToIntBits): any NaN payload → one pattern
+    assert(hexOf(Seq(Float.NaN)) ===
+      hexOf(Seq(java.lang.Float.intBitsToFloat(0x7fc00001))))
+    // doubles use 16 hex chars
+    val d = Seq(Tuple1(Seq(1.0))).toDF("v")
+      .select(VectorFunctions.bitsHex(col("v"))).head.getString(0)
+    assert(d === "3ff0000000000000")
+    // null vector → null; interpreted agrees with codegen
+    val r = Seq(Tuple1(Option.empty[Seq[Float]])).toDF("v")
+      .select(VectorFunctions.bitsHex(col("v"))).head
+    assert(r.isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", false)
+    try assert(hexOf(Seq(1.5f, -1.5f)) === "3fc00000bfc00000")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+  }
 }

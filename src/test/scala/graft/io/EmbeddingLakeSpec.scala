@@ -243,6 +243,12 @@ class EmbeddingLakeSpec extends SparkSpec {
 
     // persist the codebook so the compact's refresh obligation is live
     EmbeddingLake.writeCodebook(spark, path, codebook)
+    // r15: fingerprint the lake before the compact — the embedding
+    // manifest's group IS the ivf_cell, so the compact's touched set must
+    // read directly off IntegrityManifest.diff afterwards
+    val mBefore = IntegrityManifest.embeddingManifest(
+      EmbeddingLake.read(spark, path), "vec_id", "embedding")
+      .localCheckpoint(true)
     val (newCb, stats) = EmbeddingLake.compactCells(spark, path,
       "vec_id", "embedding", codebook, flagged, splitInto = 2, kmeansIters = 3)
     assert((EmbeddingLake.readCodebook(spark, path) zip newCb)
@@ -254,6 +260,19 @@ class EmbeddingLakeSpec extends SparkSpec {
     assert(stats.cellsAdded >= 1 && newCb.length === 4 + stats.cellsAdded)
     assert(untouchedCells.map(partFiles) === before,
       "unflagged cell partitions must stay byte-identical")
+    // …and the same contract MEASURED as a manifest comparison (r15):
+    // exactly the flagged cells diverge (rows moved out → count_changed
+    // or content change) plus the fresh sub-cells appear as group_added;
+    // every untouched cell's (count, hash) row is identical
+    val mAfter = IntegrityManifest.embeddingManifest(
+      EmbeddingLake.read(spark, path), "vec_id", "embedding")
+    val verdicts = IntegrityManifest.diff(mBefore, mAfter).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val addedCells = (codebook.length until newCb.length).map(_.toLong).toSet
+    assert(verdicts.keySet === flagged.map(_.toLong).toSet ++ addedCells,
+      s"manifest must attest exactly the compact's touched set: $verdicts")
+    assert(addedCells.forall(c => verdicts(c) == "group_added"), verdicts)
+    mBefore.unpersist()
     assert(LakeMerge.readManifest(
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf()), path).isEmpty,

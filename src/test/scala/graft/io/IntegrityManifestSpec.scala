@@ -74,6 +74,112 @@ class IntegrityManifestSpec extends SparkSpec {
     m0.unpersist()
   }
 
+  test("incremental update == full recompute, hash-exact, on add/edit/drop") {
+    val m0 = mf(base).localCheckpoint(true)
+    // one batch exercising all three shapes at once: edit doc 7, add 999,
+    // drop 11 — changedIds carries every touched id including the drop
+    val after = base.map {
+      case (7L, _) => (7L, "edited body 7")
+      case row => row
+    }.filterNot(_._1 == 11L) :+ (999L, "brand new doc")
+    val changed = Seq(7L, 999L, 11L).map(i => (i, "")).toDF("doc_id", "text")
+    val inc = IntegrityManifest.updated(m0, after.toDF("doc_id", "text"),
+      changed, "doc_id", "text", groups = 8)
+    val full = mf(after)
+    assert(byGrp(inc) === byGrp(full),
+      "incremental manifest must be hash-exact to the full recompute")
+    assert(IntegrityManifest.root(inc) === IntegrityManifest.root(full))
+    // an empty batch is the identity
+    assert(byGrp(IntegrityManifest.updated(m0,
+      base.toDF("doc_id", "text"),
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", groups = 8)) === byGrp(m0))
+    m0.unpersist()
+  }
+
+  test("incremental update through a LakeMerge upsert, stamped with its merge id") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("im-lake").toString
+    val docs = (0L until 60L)
+      .map(i => (i, s"doc $i", f"2024-01-${(i % 3) + 1}%02d"))
+      .toDF("doc_id", "text", "part")
+    LakeMerge.writeLake(docs, dir, partitionCol = "part",
+      seriesCol = "doc_id", timeCol = "doc_id")
+    val m0 = IntegrityManifest.manifest(
+      LakeMerge.readLake(spark, dir, "part"), "doc_id", "text", groups = 8)
+      .localCheckpoint(true)
+    val batch = Seq((7L, "doc 7 v2", "2024-01-02"),
+      (100L, "new doc 100", "2024-01-01")).toDF("doc_id", "text", "part")
+    val stats = LakeMerge.merge(spark, dir, batch, keyCols = Seq("doc_id"),
+      partitionCol = "part", seriesCol = "doc_id", timeCol = "doc_id",
+      requireUniqueKeys = false)
+    val now = LakeMerge.readLake(spark, dir, "part")
+    val inc = IntegrityManifest.stamped(
+      IntegrityManifest.updated(m0, now, batch, "doc_id", "text", groups = 8),
+      stats.mergeId)
+    val full = IntegrityManifest.manifest(now, "doc_id", "text", groups = 8)
+    assert(byGrp(inc.drop("as_of")) === byGrp(full))
+    assert(inc.select(col("as_of")).distinct().collect()
+      .map(_.getString(0)).toSeq === Seq(stats.mergeId))
+    m0.unpersist()
+  }
+
+  test("two-level chain: 2^20 groups work, sub level is exercised, buffers bound") {
+    // a small corpus under a HUGE group space: routing must not overflow,
+    // and the root/replay machinery is routing-width-agnostic
+    val wide = IntegrityManifest.manifest(
+      base.toDF("doc_id", "text"), "doc_id", "text", groups = 1 << 20)
+    assert(wide.count() > 100,
+      "at 2^20 groups almost every doc gets its own group")
+    assert(IntegrityManifest.root(wide).length === 64)
+    // sub-level exercised: groups=1 forces every doc into one group, so
+    // the sub split is what keeps any single chain buffer small; the
+    // result must equal the same corpus chained with a different
+    // PARTITION layout (pure function of the leaf set), and differ from
+    // a subGroups=1 single-chain manifest only in hash VALUE, never count
+    val one = IntegrityManifest.manifest(
+      base.toDF("doc_id", "text"), "doc_id", "text",
+      groups = 1, subGroups = 8)
+    val oneFlat = IntegrityManifest.manifest(
+      base.toDF("doc_id", "text"), "doc_id", "text",
+      groups = 1, subGroups = 1)
+    assert(one.count() === 1L && oneFlat.count() === 1L)
+    val (nSplit, hSplit) = byGrp(one)(0L)
+    val (nFlat, hFlat) = byGrp(oneFlat)(0L)
+    assert(nSplit === nFlat)
+    assert(hSplit !== hFlat,
+      "the sub level must participate in the chain (Merkle, not a no-op)")
+    // guards
+    intercept[IllegalArgumentException] {
+      IntegrityManifest.manifest(base.toDF("doc_id", "text"),
+        "doc_id", "text", groups = (1 << 24) + 1)
+    }
+    intercept[IllegalArgumentException] {
+      IntegrityManifest.manifest(base.toDF("doc_id", "text"),
+        "doc_id", "text", subGroups = 0)
+    }
+  }
+
+  test("injective leaf: ':'-bearing ids cannot imitate another doc; NULL id is loud") {
+    // the r14 encoding sha256(id ':' flag ':' text) collided
+    // (id="a:0", text="x") with (id="a", text="0:x") once group routes
+    // aligned; the fixed-width form keeps the leaves distinct
+    val a = IntegrityManifest.root(IntegrityManifest.manifest(
+      Seq(("a:0", "x")).toDF("doc_id", "text"), "doc_id", "text", groups = 1))
+    val b = IntegrityManifest.root(IntegrityManifest.manifest(
+      Seq(("a", "0:x")).toDF("doc_id", "text"), "doc_id", "text", groups = 1))
+    assert(a !== b, "colon-shifted id/text pairs must hash differently")
+    val err = intercept[Exception] {
+      IntegrityManifest.manifest(
+        Seq((null.asInstanceOf[String], "x")).toDF("doc_id", "text"),
+        "doc_id", "text", groups = 1).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(chain.contains("NULL id"),
+      s"NULL id must refuse loudly, got: $chain")
+  }
+
   test("NULL text and empty text are distinct; layout never matters") {
     val r0 = IntegrityManifest.root(mf(base))
     // turn the NULL doc into an empty-string doc: must flip

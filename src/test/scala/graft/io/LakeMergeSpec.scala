@@ -289,6 +289,65 @@ class LakeMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("in flight"), e.getMessage)
   }
 
+  test("manifest values with brackets are rejected at write time") {
+    // r14 ADVICE: readManifest's partitions regex is bracket-bounded, so
+    // a ']' inside a custom-layout partition value would silently
+    // truncate the parsed list and recovery would skip (then delete) the
+    // tail's swaps — the write must refuse instead
+    val dir = java.nio.file.Files.createTempDirectory("lakemergeB").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (bad <- Seq("2024]01", "2024[01", "a\"b", "a\\b", "ab")) {
+      val e = intercept[IllegalArgumentException] {
+        LakeMerge.writeManifest(fs, dir, LakeMerge.PendingMerge(
+          "m1", ".merge-staging-m1", "part", Seq("ok", bad)))
+      }
+      assert(e.getMessage.contains("JSON-unsafe"), s"$bad: ${e.getMessage}")
+    }
+    // and a round-trip of legal values still parses exactly
+    LakeMerge.writeManifest(fs, dir, LakeMerge.PendingMerge(
+      "m2", ".merge-staging-m2", "part", Seq("2024-01-01", "2024-01-02")))
+    assert(LakeMerge.readManifest(fs, dir).get.partitions ===
+      Seq("2024-01-01", "2024-01-02"))
+  }
+
+  test("committed view plans O(manifest) scans, not O(partitions), and still prunes") {
+    // 12-date lake, one-partition merge crashed before its swap: the
+    // pending committed view must read the 11 untouched dates through ONE
+    // rooted scan (r14 ADVICE: the per-directory union made analysis
+    // O(partitions) and killed partition pruning for filtered readers)
+    val dir = java.nio.file.Files.createTempDirectory("lakemergeCV").toString + "/lake"
+    val days = (1 to 12).map(d => f"2024-03-$d%02d 06:00:00")
+    LakeMerge.writeLake(
+      batch(Seq("wl_a", "wl_b"), "2024-03-01 00:00:00", days, (_, _) => 1.0),
+      dir, filesPerPartition = 1)
+    val upd = batch(Seq("wl_a"), "2024-03-01 00:00:00",
+      Seq("2024-03-05 06:00:00"), (_, _) => 9.0)
+    intercept[IllegalStateException] {
+      LakeMerge.mergeImpl(spark, dir, upd, Seq("tms_id", "fgt", "time"),
+        "part_date", "tms_id", "time", 1, true, crashAfterSwaps = 0)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(LakeMerge.readManifest(fs, dir).isDefined, "manifest must pend")
+    val view = LakeMerge.readLake(spark, dir)
+    val scans = view.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length === 2,
+      s"1 rooted + 1 manifest-listed scan expected, got ${scans.length}")
+    // committed content: the touched date serves the STAGED (new) rows
+    assert(view.filter(col("part_date") === "2024-03-05" &&
+      col("tms_id") === "wl_a").select("value").head.getDouble(0) === 9.0)
+    // pruning through the pending view: an untouched-date filter reads
+    // ONE file (filesPerPartition = 1), not the whole lake
+    assert(EmbeddingLake.filesRead(
+      view.filter(col("part_date") === "2024-03-09")) === 1L,
+      "partition pruning must survive the committed view")
+    // heal for good measure
+    assert(LakeMerge.recover(spark, dir))
+  }
+
   test("duplicate keys in one batch are rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lakemerge3").toString + "/lake"
     LakeMerge.writeLake(
