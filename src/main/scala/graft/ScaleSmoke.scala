@@ -724,6 +724,47 @@ object ScaleSmoke {
       s""""shuffle_bytes":$imShuffle,""" +
       s""""total_seconds":${(System.nanoTime() - t90) / 1e9}}""")
 
+    // ---- incremental manifest maintenance at 2^20 groups (r15) -----------
+    // an upsert batch touches ≈ batch-distinct groups; updated() must
+    // recompute ONLY those (shuffle ≪ the full recompute above) and land
+    // hash-exact on the same manifest. 2^20-group routing also exercises
+    // the two-level chain far beyond the r14 65,536-group ceiling.
+    val incGroups = 1 << 20
+    // the previous full state sits on disk already (checkpointed) — only
+    // the MAINTENANCE step is measured
+    val incM0 = graft.io.IntegrityManifest.manifest(
+      bigDocs, "doc_id", "text", groups = incGroups).localCheckpoint(true)
+    val incBatch = bigDocs.filter(col("doc_id") < 400) // one base slice's ids
+      .localCheckpoint(true)
+    val (incManifest, incShuffle, _, incSecs) = sectionShuffle {
+      val inc = graft.io.IntegrityManifest.updated(
+        incM0, bigDocs, incBatch, "doc_id", "text", groups = incGroups)
+        .localCheckpoint(true)
+      inc
+    }
+    // no actual content change → the spliced manifest must be IDENTICAL;
+    // exceptAll is manifest-sized (≤ docs rows), never corpus — runs
+    // OUTSIDE the measured window (it is verification, not maintenance)
+    val incDrift = incManifest.exceptAll(incM0).count() +
+      incM0.exceptAll(incManifest).count()
+    require(incDrift == 0L,
+      s"incremental manifest drifted from the full recompute: $incDrift rows")
+    val nManifestGroups = incM0.count()
+    val batchDistinct = incBatch.select(col("doc_id")).distinct().count()
+    incM0.unpersist(); incBatch.unpersist(); incManifest.unpersist()
+    // groups-recomputed ≈ batch-distinct-groups ≪ groups: the touched set
+    // is bounded by the batch's distinct ids (routing is per-id)
+    require(batchDistinct < nManifestGroups / 100,
+      s"fixture broke: batch ($batchDistinct ids) must be ≪ groups " +
+        s"($nManifestGroups populated)")
+    require(incShuffle < imShuffle / 2,
+      s"incremental maintenance must shuffle well below the full " +
+        s"recompute: $incShuffle vs $imShuffle bytes")
+    println(s"""{"metric":"integrity_manifest_incremental","docs":$nDocs,""" +
+      s""""groups":$incGroups,"populated_groups":$nManifestGroups,""" +
+      s""""batch_ids":$batchDistinct,"seconds":$incSecs,""" +
+      s""""shuffle_bytes":$incShuffle,"full_shuffle_bytes":$imShuffle}""")
+
     // ---- distinct/frequency sketches over the replicated corpus ----------
     // The point at scale is the SHUFFLE BOUND: HLL moves ≤ groups×256
     // register rows and CMS ≤ depth×256 counter rows regardless of corpus

@@ -37,10 +37,18 @@ import graft.trainprep.TrainPrep
   *                  retrain/compact verdict, summarized as
   *                  `lake_retrain_cells`
   *
+  *   - `integrity/` (with `--integrity <groups>`) the tamper-evident
+  *                  [[graft.io.IntegrityManifest]], its root published
+  *                  in the card JSON (`integrity_root`); add
+  *                  `--integrity-baseline <manifest.parquet>` for
+  *                  `integrity_diff/` + per-verdict counts against a
+  *                  prior published manifest
+  *
   * `runMain graft.cli.CorpusReport --in <docs.parquet> --out <dir>
   *   [--group-col source] [--context 4096] [--token-counter bpe]
   *   [--embedding-lake <lake> [--embedding-col embedding]
-  *    [--lake-baseline <driftReport.parquet>]]`
+  *    [--lake-baseline <driftReport.parquet>]]
+  *   [--integrity <groups> [--integrity-baseline <manifest.parquet>]]`
   */
 object CorpusReport {
 
@@ -60,6 +68,8 @@ object CorpusReport {
     // rewritten by a refused invocation.
     require(args.contains("embedding-lake") || !args.contains("lake-baseline"),
       "--lake-baseline only applies together with --embedding-lake")
+    require(args.contains("integrity") || !args.contains("integrity-baseline"),
+      "--integrity-baseline only applies together with --integrity <groups>")
     val docs = spark.read.parquet(in)
     require(docs.columns.contains(groupCol),
       s"--group-col '$groupCol' is not a column of the input " +
@@ -148,13 +158,45 @@ object CorpusReport {
         Option(retrain).map(r => "lake_retrain_cells" -> longOr0(r, 0))
     }.getOrElse(Map.empty)
 
+    // integrity section (r15): `--integrity <groups>` emits the
+    // tamper-evident manifest (integrity/) and the publishable root into
+    // the card; `--integrity-baseline <manifest.parquet>` adds the diff
+    // against a prior published manifest (integrity_diff/) with per-
+    // verdict counts — the governance numbers a card consumer actually
+    // reads ("same corpus?" → root match; "what moved?" → verdicts).
+    val integrityStats: Map[String, Long] =
+      args.get("integrity").map { g =>
+        val m = graft.io.IntegrityManifest.manifest(
+          docs, idCol, textCol, groups = g.toInt)
+        m.write.mode("overwrite").parquet(s"$out/integrity")
+        val written = spark.read.parquet(s"$out/integrity")
+        val diffStats = args.get("integrity-baseline").map { basePath =>
+          val d = graft.io.IntegrityManifest.diff(
+            spark.read.parquet(basePath), written)
+          d.write.mode("overwrite").parquet(s"$out/integrity_diff")
+          val verdicts = spark.read.parquet(s"$out/integrity_diff")
+            .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          Seq("group_added", "group_dropped", "count_changed",
+            "content_changed")
+            .map(v => s"integrity_$v" -> verdicts.getOrElse(v, 0L)).toMap
+        }.getOrElse(Map.empty)
+        Map("integrity_groups" -> written.count()) ++ diffStats
+      }.getOrElse(Map.empty)
+    // the root is a hex STRING — carried as a quoted JSON field beside
+    // the numeric stats (and recomputable from integrity/ at any time)
+    val integrityRoot: Option[String] = args.get("integrity").map { _ =>
+      graft.io.IntegrityManifest.root(spark.read.parquet(s"$out/integrity"))
+    }
+
     val stats = Map(
       "docs" -> row.getLong(0), "tokens" -> longOr0(row, 1),
       "distinct_texts" -> distinctTexts,
       "gopher_pass" -> longOr0(row, 2), "c4_pass" -> c4Pass,
       "repetition_pass" -> repPass, "encoding_clean" -> longOr0(row, 3)) ++
-      lakeStats
-    println(stats.map { case (k, v) => s""""$k":$v""" }
+      lakeStats ++ integrityStats
+    println((stats.map { case (k, v) => s""""$k":$v""" } ++
+        integrityRoot.map(r => s""""integrity_root":"$r""""))
       .mkString("{\"metric\":\"corpus_report\",", ",", "}"))
     stats
   }

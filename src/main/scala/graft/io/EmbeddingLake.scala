@@ -289,6 +289,12 @@ object EmbeddingLake {
       s"flagged cell $f outside codebook [0, ${cellCodebook.length})"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // a compact is a WRITER: it runs under the same single-writer lease
+    // as LakeMerge.merge (r15), so a compact racing a merge (or another
+    // compact) fails fast instead of interleaving staging/commit
+    val mergeId = java.util.UUID.randomUUID.toString
+    LakeMerge.acquireLease(fs, path, mergeId)
+    try {
     LakeMerge.recover(spark, path) // roll forward any interrupted compact
     val allParts = LakeMerge.partitionValues(spark, path, "ivf_cell")
     // fresh sub-cell ids allocate from cellCodebook.length up — a STALE
@@ -335,7 +341,6 @@ object EmbeddingLake {
 
     // staged write → manifest commit → swaps → clean: the same four-step
     // discipline (and the same crash windows) as LakeMerge.merge
-    val mergeId = java.util.UUID.randomUUID.toString
     val stagingName = s".merge-staging-$mergeId"
     val staging = new org.apache.hadoop.fs.Path(path, stagingName)
     perCell.reduce(_ unionByName _)
@@ -370,5 +375,6 @@ object EmbeddingLake {
     (newCents.toArray,
       CompactStats(allParts.length, flaggedSorted.length, flaggedSorted.length,
         nextId - cellCodebook.length, rowsReassigned))
+    } finally LakeMerge.releaseLease(fs, path, mergeId)
   }
 }

@@ -96,11 +96,91 @@ object LakeMerge {
 
   private val StagingPrefix = ".merge-staging-"
   private val ManifestName = "_merge_manifest.json"
+  private val LeaseName = "_merge_lease"
 
   private def manifestPath(lakeDir: String) = new Path(lakeDir, ManifestName)
+  private def leasePath(lakeDir: String) = new Path(lakeDir, LeaseName)
 
   private def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
     new Path(lakeDir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ---- single-writer lease (round 15) ---------------------------------
+
+  /** Acquire the lake's single-writer LEASE, or throw. The manifest
+    * exists-check in [[writeManifest]] closes the common double-writer
+    * case but only at commit time — two writers racing the check could
+    * still interleave STAGING work and one would fail late and messily.
+    * The lease makes the exclusion explicit and fail-FAST at merge entry:
+    * a `_merge_lease` file created with create-exclusive semantics (the
+    * one atomic test-and-set a filesystem gives us), holding the writer
+    * id, heartbeat = file mtime ([[heartbeatLease]] bumps it between
+    * merge phases).
+    *
+    * Stale-lease takeover contract: a holder that died without releasing
+    * leaves its lease behind; a lease whose heartbeat is older than
+    * `staleMs` may be taken over (delete + one create-exclusive retry —
+    * two racing claimants resolve by the create, one wins, the other
+    * throws). `staleMs` must comfortably exceed the longest inter-
+    * heartbeat phase of a healthy merge; the default (15 min) is sized
+    * for daily-cron batch merges, streaming sinks heartbeat every batch. */
+  private[io] def acquireLease(fs: FileSystem, lakeDir: String,
+      writerId: String, staleMs: Long = 15L * 60 * 1000): Unit = {
+    val lease = leasePath(lakeDir)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lease, false) // create-exclusive
+        try out.write(writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val (holder, ageMs) =
+        try {
+          val st = fs.getFileStatus(lease)
+          (leaseHolder(fs, lakeDir).getOrElse("?"),
+            System.currentTimeMillis() - st.getModificationTime)
+        } catch { case _: java.io.IOException => ("?", Long.MaxValue) }
+      if (ageMs <= staleMs)
+        throw new IllegalStateException(
+          s"another writer ($holder) holds the merge lease on $lakeDir " +
+            s"(heartbeat ${ageMs / 1000} s ago) — concurrent merges are " +
+            "not supported; serialize writers or wait for the lease")
+      fs.delete(lease, false) // stale: the holder is gone — take over
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"lost the stale-lease takeover race on $lakeDir to another " +
+            "claimant — retry when its merge completes")
+    }
+  }
+
+  /** The writer id recorded in the lease file, if one is held. */
+  private[io] def leaseHolder(fs: FileSystem, lakeDir: String): Option[String] =
+    try {
+      val in = fs.open(leasePath(lakeDir))
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Bump the lease heartbeat — called between merge phases so a healthy
+    * long merge never looks stale. Only the holder may heartbeat. */
+  private[io] def heartbeatLease(fs: FileSystem, lakeDir: String,
+      writerId: String): Unit =
+    if (leaseHolder(fs, lakeDir).contains(writerId)) {
+      val now = System.currentTimeMillis()
+      fs.setTimes(leasePath(lakeDir), now, now)
+    }
+
+  /** Release the lease IF this writer still holds it. After a stale
+    * takeover the original holder's release must not delete the new
+    * holder's lease — the id check makes release idempotent and safe. */
+  private[io] def releaseLease(fs: FileSystem, lakeDir: String,
+      writerId: String): Unit =
+    if (leaseHolder(fs, lakeDir).contains(writerId))
+      fs.delete(leasePath(lakeDir), false)
 
   /** Write the commit manifest ATOMICALLY: full content to a dot-prefixed
     * temp file, then one rename. Underscore-prefixed names are ignored by
@@ -378,19 +458,31 @@ object LakeMerge {
       keyCols: Seq[String] = Seq("tms_id", "fgt", "time"),
       partitionCol: String = "part_date", seriesCol: String = "tms_id",
       timeCol: String = "time", filesPerPartition: Int = 4,
-      requireUniqueKeys: Boolean = true): MergeStats =
+      requireUniqueKeys: Boolean = true,
+      leaseStaleMs: Long = 15L * 60 * 1000): MergeStats =
     mergeImpl(spark, lakeDir, updates, keyCols, partitionCol, seriesCol,
-      timeCol, filesPerPartition, requireUniqueKeys, Int.MaxValue)
+      timeCol, filesPerPartition, requireUniqueKeys, Int.MaxValue,
+      leaseStaleMs)
 
   /** [[merge]] with crash injection (`crashAfterSwaps`) for
     * LakeMergeSpec's kill-between-renames cases. */
   private[io] def mergeImpl(spark: SparkSession, lakeDir: String,
       updates: DataFrame, keyCols: Seq[String], partitionCol: String,
       seriesCol: String, timeCol: String, filesPerPartition: Int,
-      requireUniqueKeys: Boolean, crashAfterSwaps: Int): MergeStats = {
+      requireUniqueKeys: Boolean, crashAfterSwaps: Int,
+      leaseStaleMs: Long = 15L * 60 * 1000): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry the lake partition column '$partitionCol' " +
         "(derive it with LakeMerge.withPartDate)")
+    val fsEntry = hadoopFs(spark, lakeDir)
+    require(fsEntry.exists(new Path(lakeDir)),
+      s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
+    // the whole merge — recovery included — runs under the single-writer
+    // lease; the merge id doubles as the lease holder id, so a stuck
+    // lease names the merge that held it
+    val mergeId = java.util.UUID.randomUUID.toString
+    acquireLease(fsEntry, lakeDir, mergeId, leaseStaleMs)
+    try {
     recover(spark, lakeDir) // roll forward / clean up any interrupted merge
     val allParts = partitionValues(spark, lakeDir, partitionCol)
     require(allParts.nonEmpty,
@@ -458,7 +550,7 @@ object LakeMerge {
     val fs = hadoopFs(spark, lakeDir)
 
     // 2. REWRITE into staging (dot-prefixed: invisible to Spark readers)
-    val mergeId = java.util.UUID.randomUUID.toString
+    heartbeatLease(fs, lakeDir, mergeId) // validations done — still alive
     val staging = new Path(lakeDir, StagingPrefix + mergeId)
     val current = readPartitions(spark, lakeDir, partitionCol, affected)
     val rowsBefore = current.map(_.count()).getOrElse(0L) // footer-count only
@@ -479,6 +571,7 @@ object LakeMerge {
     val rowsAfter =
       spark.read.parquet(staging.toString).count() // footer-count only
 
+    heartbeatLease(fs, lakeDir, mergeId) // staging written — still alive
     // 3. COMMIT — every staged partition must be on disk BEFORE the
     // manifest is written: the manifest promises roll-forward can finish,
     // so a missing staged directory must abort pre-commit (live lake
@@ -507,5 +600,6 @@ object LakeMerge {
 
     // release the entry checkpoint — every action above has completed
     } finally upd.unpersist()
+    } finally releaseLease(fsEntry, lakeDir, mergeId)
   }
 }

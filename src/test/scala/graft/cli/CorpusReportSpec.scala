@@ -103,6 +103,45 @@ class CorpusReportSpec extends SparkSpec {
     assert(e.getMessage.contains("--embedding-lake"), e.getMessage)
   }
 
+  test("--integrity emits the manifest + root; baseline localizes one planted edit") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("report_int_in").toString
+    val docs = (0L until 80L).map(i => (i, s"doc body $i", "web"))
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("report_int_out").toString
+    val stats = CorpusReport.run(spark, Map(
+      "in" -> in, "out" -> out, "integrity" -> "8"))
+    // fresh shape: manifest section on disk, groups counted in the card,
+    // root recomputable from the published parquet
+    val m = spark.read.parquet(s"$out/integrity")
+    assert(stats("integrity_groups") == m.count())
+    assert(graft.io.IntegrityManifest.root(m).length == 64)
+    assert(m.agg(sum(col("n_docs"))).head.getLong(0) == 80L)
+
+    // one planted edit → exactly one content_changed group in the diff
+    val in2 = Files.createTempDirectory("report_int_in2").toString
+    docs.map { case (7L, _, s) => (7L, "doc body 7 EDITED", s); case r => r }
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in2)
+    val out2 = Files.createTempDirectory("report_int_out2").toString
+    val stats2 = CorpusReport.run(spark, Map(
+      "in" -> in2, "out" -> out2, "integrity" -> "8",
+      "integrity-baseline" -> s"$out/integrity"))
+    assert(stats2("integrity_content_changed") == 1L, stats2.toString)
+    assert(stats2("integrity_group_added") == 0L &&
+      stats2("integrity_group_dropped") == 0L &&
+      stats2("integrity_count_changed") == 0L)
+    assert(spark.read.parquet(s"$out2/integrity_diff").count() == 1L)
+    // roots differ across the edit (the card's headline comparison)
+    assert(graft.io.IntegrityManifest.root(m) !==
+      graft.io.IntegrityManifest.root(spark.read.parquet(s"$out2/integrity")))
+    // flag dependency refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusReport.run(spark, Map("in" -> in, "out" -> out,
+        "integrity-baseline" -> s"$out/integrity"))
+    }
+    assert(e.getMessage.contains("--integrity"))
+  }
+
   test("an EMPTY input corpus reports zeros instead of throwing") {
     import spark.implicits._
     val in = Files.createTempDirectory("report_empty_in").toString

@@ -289,6 +289,44 @@ class LakeMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("in flight"), e.getMessage)
   }
 
+  test("single-writer lease: a concurrent merge is refused fail-fast; stale lease is taken over") {
+    val dir = java.nio.file.Files.createTempDirectory("lakemergeL").toString + "/lake"
+    LakeMerge.writeLake(
+      batch(Seq("wl_a"), "2024-01-02 06:00:00", day1, (_, _) => 1.0), dir)
+    val fs = fsOf(dir)
+    val upd = batch(Seq("wl_a"), "2024-01-02 06:00:00",
+      Seq(day1.head), (_, _) => 2.0)
+
+    // writer A holds the lease (fresh heartbeat) → B's merge refuses at
+    // ENTRY, before any staging work, naming the holder
+    LakeMerge.acquireLease(fs, dir, "writer-A")
+    val e = intercept[IllegalStateException] { LakeMerge.merge(spark, dir, upd) }
+    assert(e.getMessage.contains("writer-A") &&
+      e.getMessage.contains("lease"), e.getMessage)
+    // ...and a second direct claimant is refused too
+    intercept[IllegalStateException] {
+      LakeMerge.acquireLease(fs, dir, "writer-B")
+    }
+    // only the holder's release removes the lease
+    LakeMerge.releaseLease(fs, dir, "writer-B")
+    assert(LakeMerge.leaseHolder(fs, dir).contains("writer-A"))
+    LakeMerge.releaseLease(fs, dir, "writer-A")
+    assert(LakeMerge.leaseHolder(fs, dir).isEmpty)
+
+    // stale takeover: a lease whose heartbeat stopped long ago (holder
+    // died without releasing) must not wedge the lake forever — the next
+    // merge takes it over and completes
+    LakeMerge.acquireLease(fs, dir, "dead-writer")
+    val lease = new org.apache.hadoop.fs.Path(dir, "_merge_lease")
+    val old = System.currentTimeMillis() - 60L * 60 * 1000
+    fs.setTimes(lease, old, old)
+    val stats = LakeMerge.merge(spark, dir, upd)
+    assert(stats.rowsUpdated === 1L)
+    assert(LakeMerge.leaseHolder(fs, dir).isEmpty,
+      "a completed merge must release the lease it took over")
+    assert(readLakeSorted(dir).exists(_._4 == 2.0))
+  }
+
   test("manifest values with brackets are rejected at write time") {
     // r14 ADVICE: readManifest's partitions regex is bracket-bounded, so
     // a ']' inside a custom-layout partition value would silently
