@@ -954,6 +954,45 @@ object TrainPrepQueries {
              |FROM rt r JOIN lp USING (tri)
              |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- DSIR over WORD n-grams (E165): Xie et al.'s actual feature
+    // space, reusing the NgramLm transition machinery — bigram counts for
+    // raw and target, shared-vocab add-one smoothing normalized per
+    // leading word, log-ratio broadcast onto one raw transition scan,
+    // distributed TakeOrdered top-k. Full replay like q_dsir_select. ----
+    "q_dsir_words" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.trainprep.NgramLm.dsirSelectWords(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 100)
+      },
+      Some("""WITH rd AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+             |  FROM documents),
+             |rt AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM rd,
+             |  LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u),
+             |td AS (SELECT
+             |    list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+             |  FROM documents WHERE lang = 'en'),
+             |tt AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM td,
+             |  LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) u),
+             |cr AS (SELECT w1, w2, count(*) AS cr FROM rt GROUP BY 1, 2),
+             |ct AS (SELECT w1, w2, count(*) AS ct FROM tt GROUP BY 1, 2),
+             |voc AS (SELECT DISTINCT w1, w2 FROM
+             |  (SELECT w1, w2 FROM cr UNION ALL SELECT w1, w2 FROM ct)),
+             |v AS (SELECT count(*) AS vsz FROM voc),
+             |prer AS (SELECT w1, sum(cr) AS c1r FROM cr GROUP BY 1),
+             |pret AS (SELECT w1, sum(ct) AS c1t FROM ct GROUP BY 1),
+             |lp AS (SELECT voc.w1, voc.w2,
+             |    ln((coalesce(ct.ct, 0) + 1.0) / (coalesce(pret.c1t, 0) + v.vsz))
+             |  - ln((coalesce(cr.cr, 0) + 1.0) / (coalesce(prer.c1r, 0) + v.vsz))
+             |      AS ratio
+             |  FROM voc LEFT JOIN cr USING (w1, w2) LEFT JOIN ct USING (w1, w2)
+             |  LEFT JOIN prer ON voc.w1 = prer.w1
+             |  LEFT JOIN pret ON voc.w1 = pret.w1, v)
+             |SELECT r.doc_id, round(avg(lp.ratio), 4) AS dsir_score
+             |FROM rt r JOIN lp USING (w1, w2)
+             |GROUP BY 1 ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ---- token-distribution drift between slices (smoothed KL) -----------
     // the corpus-monitoring number: KL(en ∥ de) over the union vocab with
     // add-one smoothing — two hash-aggregates + one vocab-sized

@@ -25,8 +25,10 @@ import graft.trainprep.TrainPrep
   *   2a+. C4 page cleanup (`--c4-gate true` [`--c4-min-sentences N`])
   *      — line-level REWRITE + page rules, Raffel et al. 2020 §2.2 (E103)
   *   2c. DSIR selection (`--dsir-target <docs.parquet>`
-  *      [`--dsir-keep N`])                        — keep the N docs most
-  *      like the target domain (dual trigram-LM importance ratio)
+  *      [`--dsir-keep N`] [`--dsir-features trigrams|words`]) — keep the
+  *      N docs most like the target domain (dual importance-ratio LMs:
+  *      char trigrams by default, word bigrams — Xie et al.'s actual
+  *      feature space — with `words`)
   *   2d. incremental-crawl ingestion (`--incremental-ref <corpus>`
   *      [`--incremental-fuzzy 0.9`]) — drop docs already in the trained
   *      corpus: Bloom-prefiltered digest anti-join + optional
@@ -219,12 +221,23 @@ object CorpusPrep {
       val k = args.getOrElse("dsir-keep", "100000").toInt
       val target = spark.read.parquet(tgtPath)
       val before = docs.count()
+      // `--dsir-features trigrams|words` (r15): char trigrams are the
+      // tokenization-robust default; `words` switches to Xie et al.'s
+      // actual word-bigram feature space (NgramLm.dsirSelectWords)
+      val score: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          String, String, Int) => org.apache.spark.sql.DataFrame =
+        args.getOrElse("dsir-features", "trigrams") match {
+          case "trigrams" => TrainPrep.dsirSelect
+          case "words" => graft.trainprep.NgramLm.dsirSelectWords
+          case other => sys.error(
+            s"--dsir-features must be 'trigrams' or 'words', got '$other'")
+        }
       // persist the ≤k-id selection: every downstream action (dedup
       // stages, the chunks write, the stats counts) re-evaluates the
       // semi-join's right side, and WITHOUT the cache each re-run would
       // repeat dsirSelect's two corpus-wide trigram aggregations — the
       // same contract as lmScoreCache above
-      val selected = TrainPrep.dsirSelect(docs, target, idCol, textCol, k)
+      val selected = score(docs, target, idCol, textCol, k)
         .select(col(idCol)).persist()
       dsirCache = Some(selected)
       docs = docs.join(selected, Seq(idCol), "left_semi")

@@ -148,6 +148,57 @@ object NgramLm {
         round(avg(-log(col("__s"))), roundTo).as("avg_nll"))
   }
 
+  /** DSIR target-domain selection over Xie et al.'s ACTUAL feature space —
+    * word n-grams (NeurIPS 2023 §3.2 hashes word uni+bigrams; the
+    * char-trigram variant in [[TrainPrep.dsirSelect]] is the
+    * tokenization-robust stand-in). Each raw document scores the mean
+    * per-TRANSITION log importance ratio
+    * `avg[ln p_t(w2|w1) − ln p_r(w2|w1)]` under two add-one-smoothed
+    * bigram models — one fit on the (small) target-domain sample, one on
+    * the raw corpus itself — normalized per leading word
+    * (`c1 = Σ_w2 c12`, the bigram-prefix count, exactly how dsirSelect
+    * derives its bigram denominator) and smoothed over the SHARED bigram
+    * vocabulary, so the ratio is well-defined for transitions unseen on
+    * either side. Top-`k` by score, ties broken by id; docs with fewer
+    * than two tokens have no transitions and are never selected (same
+    * contract as dsirSelect's <3-char docs).
+    *
+    * Scale shape (the E55 posture): both count frames are
+    * vocabulary²-bounded hash aggregates reusing [[bigramCounts]]'
+    * transition machinery, the per-transition log-ratio frame broadcasts,
+    * and the raw corpus pays one counting scan plus ONE scoring scan
+    * joined against that broadcast — no corpus-sized shuffle ever
+    * carries text, and the top-k plans as a distributed TakeOrdered,
+    * never a global sort. */
+  def dsirSelectWords(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val rawTr = explodedTransitions(raw, Seq(idCol), textCol)
+    val cr = rawTr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cr"))
+    val ct = explodedTransitions(target, Seq.empty, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+    val voc = cr.select(col("w1"), col("w2"))
+      .unionByName(ct.select(col("w1"), col("w2"))).distinct()
+    val v = voc.agg(count(lit(1)).as("__vsz"))
+    val preR = cr.groupBy(col("w1")).agg(sum(col("cr")).as("c1r"))
+    val preT = ct.groupBy(col("w1")).agg(sum(col("ct")).as("c1t"))
+    val ratio = voc
+      .join(cr, Seq("w1", "w2"), "left")
+      .join(ct, Seq("w1", "w2"), "left")
+      .join(preR, Seq("w1"), "left")
+      .join(preT, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0)
+            / (coalesce(col("c1t"), lit(0L)) + col("__vsz")))
+          - log((coalesce(col("cr"), lit(0L)) + 1.0)
+            / (coalesce(col("c1r"), lit(0L)) + col("__vsz")))).as("ratio"))
+    rawTr.join(broadcast(ratio), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("ratio")), 4).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Jensen–Shannon divergence between every source pair's unigram
     * distribution — the domain-SIMILARITY matrix mixture planning needs
     * (which slices are near-duplicates of a domain vs genuinely new

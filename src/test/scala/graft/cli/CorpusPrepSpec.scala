@@ -531,6 +531,22 @@ class CorpusPrepSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == (0L until 20L).toSet,
       s"the prose docs must be the survivors under a prose target: $kept")
+
+    // word-bigram feature space (r15): same fixture, same survivors —
+    // the prose/digit split is visible to both feature spaces
+    val statsW = CorpusPrep.run(spark, Map(
+      "in" -> s"$dir/in", "out" -> s"$dir/outw",
+      "dsir-target" -> s"$dir/target", "dsir-keep" -> "20",
+      "dsir-features" -> "words", "budget" -> "64"))
+    assert(statsW("dsir_dropped") == 20L, statsW.toString)
+    val keptW = spark.read.parquet(s"$dir/outw/chunks").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptW == (0L until 20L).toSet, keptW.toString)
+    // unknown feature space refuses loudly
+    intercept[RuntimeException] {
+      CorpusPrep.run(spark, Map("in" -> s"$dir/in", "out" -> s"$dir/outx",
+        "dsir-target" -> s"$dir/target", "dsir-features" -> "emoji"))
+    }
   }
 
   test("--chunk-mode sliding emits overlapping windows instead of packed assignments") {

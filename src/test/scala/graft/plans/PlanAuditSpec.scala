@@ -241,6 +241,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
     assert(!plan.contains("SortMergeJoin"),
       "the corpus-side score join must broadcast:\n" + plan.take(1200))
+    // the word-bigram variant (E165) shares the posture: vocabulary-sized
+    // ratio frame broadcast onto the transition stream, TakeOrdered top-k,
+    // text never shuffles (the only exchanges carry (w1, w2, count) rows)
+    val words = executedPlan("q_dsir_words")
+    assert(words.contains("TakeOrderedAndProject"), words.take(1200))
+    assert(words.contains("BroadcastHashJoin"), words.take(1200))
+    assert(!words.contains("SortMergeJoin"),
+      "the corpus-side score join must broadcast:\n" + words.take(1200))
+    assert(!"Exchange hashpartitioning\\([^)\\n]*text".r
+        .findFirstIn(words).nonEmpty,
+      "text bodies must never shuffle in DSIR scoring:\n" + words.take(1500))
   }
 
   test("q_text_gopher is one shuffle-free select over the scan") {
@@ -731,15 +742,18 @@ class PlanAuditSpec extends SparkSpec {
       "unigram counts must combine map-side:\n" + jsd.take(1500))
   }
 
-  test("q_integrity_manifest is one grouped aggregate — no window, no join") {
-    // leaves shuffle once to their identity-hash group and chain-fold
-    // there; any window (a global sort would be the classic wrong plan
-    // for 'sorted chain') or join would mean the fingerprint stopped
-    // being a single-pass aggregate
+  test("q_integrity_manifest is two stacked grouped aggregates — no window, no join") {
+    // leaves shuffle once to their identity-hash (group, sub) bucket and
+    // chain-fold there, then sub-chains fold per group (r15 two-level
+    // Merkle — the second exchange carries only the groups·subGroups
+    // sub-chain rows, never leaves); any
+    // window (a global sort would be the classic wrong plan for 'sorted
+    // chain') or join would mean the fingerprint stopped being a
+    // single-pass aggregate stack
     val im = executedPlan("q_integrity_manifest")
     assert(!im.contains("Window") && !im.contains("Join") &&
       !im.contains("CartesianProduct"),
-      "manifest must be one grouped aggregate:\n" + im.take(1500))
+      "manifest must be an aggregate stack:\n" + im.take(1500))
     assert(im.contains("partial_count"),
       "group counts must combine map-side:\n" + im.take(1500))
   }
