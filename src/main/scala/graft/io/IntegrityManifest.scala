@@ -192,6 +192,27 @@ object IntegrityManifest {
       leaf.as("__leaf")))
   }
 
+  /** Incremental [[embeddingManifest]] maintenance — the per-cell
+    * analogue of [[updated]], STRONGER at scale because the group IS the
+    * `ivf_cell` partition: the recompute's cell filter is a partition
+    * filter, so only the touched cells' DIRECTORIES are ever read (file-
+    * listing-level pruning — EmbeddingLakeSpec measures it with
+    * [[EmbeddingLake.filesRead]]), where the corpus variant still scans
+    * ids lake-wide to route. `touchedCells` is an append's assigned cell
+    * set or a compact's flagged+added set; a cell emptied by the change
+    * disappears, exactly as it would from a full recompute. */
+  def embeddingManifestUpdated(prev: DataFrame, lake: DataFrame,
+      touchedCells: Seq[Int], idCol: String, vecCol: String,
+      subGroups: Int = 16): DataFrame =
+    if (touchedCells.isEmpty) prev
+    else {
+      val fresh = embeddingManifest(
+        lake.filter(col("ivf_cell").isin(touchedCells: _*)),
+        idCol, vecCol, subGroups)
+      prev.filter(!col("grp").isin(touchedCells.map(_.toLong): _*))
+        .unionByName(fresh)
+    }
+
   /** The localization step of an integrity audit: which groups diverge
     * between two manifests (two snapshots, or publisher-vs-verifier).
     * One row per divergent group with both sides' counts/hashes and a

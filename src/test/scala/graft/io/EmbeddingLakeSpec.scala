@@ -130,6 +130,38 @@ class EmbeddingLakeSpec extends SparkSpec {
       "vec_id", "embedding", vecs(3)._2, k = 7, nProbe = 3)
     assert(EmbeddingLake.filesRead(probed) <
       EmbeddingLake.filesRead(EmbeddingLake.read(spark, pathA)))
+
+    // r15: incremental manifest maintenance across an append — recompute
+    // ONLY the cells the appended vectors landed in, splice into the
+    // pre-append manifest, and land hash-exact on the full recompute.
+    // A SMALL batch (3 vectors) so the touched set is a strict subset of
+    // the cells and the partition-pruning claim is non-vacuous.
+    val pathC = Files.createTempDirectory("emb_incmf").toString + "/emb"
+    val cbC = EmbeddingLake.writePartitioned(dfOld, "vec_id", "embedding",
+      pathC, nCentroids = 8, kmeansIters = 1)
+    val mPre = IntegrityManifest.embeddingManifest(
+      EmbeddingLake.read(spark, pathC), "vec_id", "embedding")
+      .localCheckpoint(true)
+    val small = dfNew.limit(3)
+    EmbeddingLake.append(small, "embedding", pathC, cbC)
+    val touched = Similarity.withIvfCell(small, "embedding", cbC)
+      .select("ivf_cell").distinct().collect().map(_.getInt(0)).toSeq
+    assert(touched.size < 8, s"fixture: 3 vectors must not touch all cells")
+    val lakeNow = EmbeddingLake.read(spark, pathC)
+    val inc = IntegrityManifest.embeddingManifestUpdated(
+      mPre, lakeNow, touched, "vec_id", "embedding")
+    val full = IntegrityManifest.embeddingManifest(lakeNow, "vec_id", "embedding")
+    assert(inc.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet === full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet,
+      "incremental embedding manifest must equal the full recompute")
+    // the cell filter IS a partition filter: the recompute reads only the
+    // touched directories (file-listing-level pruning)
+    val prunedScan = lakeNow.filter(col("ivf_cell").isin(touched: _*))
+    assert(EmbeddingLake.filesRead(prunedScan) <
+      EmbeddingLake.filesRead(lakeNow),
+      "the incremental recompute's cell filter must prune at file listing")
+    mPre.unpersist()
   }
 
   test("drift report flags out-of-distribution appends for retrain") {
