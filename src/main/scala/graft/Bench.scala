@@ -293,8 +293,10 @@ object Bench {
     // per-query ratio vs the committed rolling best (clean floor). Tiny
     // queries (< 50 ms floor) are pure noise at this resolution — excluded
     // from the summary so one 10 ms → 40 ms blip can't become "4× worst".
-    def ratioOf(r: QRes): Option[Double] =
-      prior.get(r.name).filter(_ >= 0.05).map(b => r.secs / b)
+    // floorOf is the ONE definition of that noise filter: the detail
+    // field, the vs_best summary and the gated alarm all derive from it.
+    def floorOf(r: QRes): Option[Double] = prior.get(r.name).filter(_ >= 0.05)
+    def ratioOf(r: QRes): Option[Double] = floorOf(r).map(b => r.secs / b)
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"secs\":" + (if (r.ok) r.secs.toString else "\"err\"") +
         ",\"cpu_secs\":" + r.cpuSecs + ",\"start_ms\":" + r.startMs +
@@ -317,7 +319,7 @@ object Bench {
     // the stdout tail as a median/max ratio instead of needing a prior
     // round's artifact to diff against.
     val ratioRows = results.filter(_.ok).flatMap(r =>
-      prior.get(r.name).filter(_ >= 0.05).map(f => (r.name, r.secs, f)))
+      floorOf(r).map(f => (r.name, r.secs, f)))
     val vsBest = if (ratioRows.isEmpty) """{"queries_compared":0}""" else {
       val ratios = ratioRows.map { case (n, s, f) => (n, s / f) }
       val sorted = ratios.map(_._2).sorted

@@ -142,6 +142,7 @@ object EmbeddingLake {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCodebook(fs, path) // heal a crashed prior refresh first
     val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
     val old = new org.apache.hadoop.fs.Path(path, "._codebook_old")
     val live = new org.apache.hadoop.fs.Path(path, "_codebook")
@@ -156,9 +157,35 @@ object EmbeddingLake {
     fs.delete(old, true)
   }
 
+  /** Heal a refresh that crashed between its two renames (live moved
+    * aside, replacement not yet in place): roll FORWARD to the completed
+    * new copy when its `_SUCCESS` marker proves the write finished, else
+    * roll BACK to the parked old copy. Without this, `_codebook` stays
+    * missing and [[compactCellsImpl]]'s exists-gate would silently stop
+    * refreshing forever (review finding). Idempotent; no-op on a healthy
+    * lake. */
+  private[io] def recoverCodebook(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
+    val old = new org.apache.hadoop.fs.Path(path, "._codebook_old")
+    val live = new org.apache.hadoop.fs.Path(path, "_codebook")
+    if (!fs.exists(live)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, live), s"could not roll codebook forward at $path")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, live), s"could not roll codebook back at $path")
+        fs.delete(tmp, true)
+      }
+    }
+  }
+
   /** Read back a [[writeCodebook]]-persisted codebook, cell order
-    * restored. */
+    * restored; heals an interrupted refresh first (see
+    * [[recoverCodebook]]). */
   def readCodebook(spark: SparkSession, path: String): Array[Seq[Float]] = {
+    recoverCodebook(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()), path)
     val rows = spark.read.parquet(s"$path/_codebook")
       .orderBy(col("cell_id")).collect()
     require(rows.nonEmpty, s"no codebook at $path/_codebook")
@@ -183,18 +210,38 @@ object EmbeddingLake {
     * The price of frozen codebooks is DRIFT: see [[driftReport]]. */
   def append(df: DataFrame, vecCol: String, path: String,
       cellCodebook: Array[Seq[Float]]): Unit =
-    Similarity.withIvfCell(df, vecCol, cellCodebook)
-      .write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(path)
+    underWriterLease(df.sparkSession, path) {
+      Similarity.withIvfCell(df, vecCol, cellCodebook)
+        .write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(path)
+    }
 
   /** [[append]] for the IVFADC layout: PQ codes from the persisted
     * per-subspace codebooks ride along, same frozen-codebook contract. */
   def appendPq(df: DataFrame, vecCol: String, path: String,
       cellCodebook: Array[Seq[Float]],
       pqCodebooks: Array[Array[Seq[Float]]], dim: Int): Unit =
-    Similarity.withIvfCell(
-        Similarity.withPqCodes(df, vecCol, dim, pqCodebooks), vecCol,
-        cellCodebook)
-      .write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(path)
+    underWriterLease(df.sparkSession, path) {
+      Similarity.withIvfCell(
+          Similarity.withPqCodes(df, vecCol, dim, pqCodebooks), vecCol,
+          cellCodebook)
+        .write.mode(SaveMode.Append).partitionBy("ivf_cell").parquet(path)
+    }
+
+  /** Appends are add-files-only, but they are still WRITERS: an append
+    * racing a [[compactCells]] would land its new file in a live cell
+    * directory AFTER the compact snapshotted it — the swap then trashes
+    * the directory (appended file included) and CLEAN deletes it, silent
+    * data loss (review finding). Every mutation of the lake therefore
+    * takes the same single-writer lease; an append is one map pass, so
+    * the hold is short. */
+  private def underWriterLease[T](spark: SparkSession, path: String)
+      (body: => T): T = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val writerId = java.util.UUID.randomUUID.toString
+    LakeMerge.acquireLease(fs, path, writerId)
+    try body finally LakeMerge.releaseLease(fs, path, writerId)
+  }
 
   /** Per-cell DRIFT report — the number that decides when a frozen
     * codebook must retrain/compact: for every cell its row count and the
@@ -271,10 +318,11 @@ object EmbeddingLake {
     * is the scale contract ScaleSmoke measures. */
   def compactCells(spark: SparkSession, path: String, idCol: String,
       vecCol: String, cellCodebook: Array[Seq[Float]], flagged: Seq[Int],
-      splitInto: Int = 2, kmeansIters: Int = 2)
+      splitInto: Int = 2, kmeansIters: Int = 2,
+      leaseStaleMs: Long = 15L * 60 * 1000)
       : (Array[Seq[Float]], CompactStats) =
     compactCellsImpl(spark, path, idCol, vecCol, cellCodebook, flagged,
-      splitInto, kmeansIters, Int.MaxValue)
+      splitInto, kmeansIters, Int.MaxValue, leaseStaleMs)
 
   /** [[compactCells]] with crash injection (`crashAfterSwaps`) for
     * EmbeddingLakeSpec's kill-between-renames cases — the same hook
@@ -282,7 +330,8 @@ object EmbeddingLake {
   private[io] def compactCellsImpl(spark: SparkSession, path: String,
       idCol: String, vecCol: String, cellCodebook: Array[Seq[Float]],
       flagged: Seq[Int], splitInto: Int, kmeansIters: Int,
-      crashAfterSwaps: Int): (Array[Seq[Float]], CompactStats) = {
+      crashAfterSwaps: Int, leaseStaleMs: Long = 15L * 60 * 1000)
+      : (Array[Seq[Float]], CompactStats) = {
     require(splitInto >= 1, s"splitInto must be >= 1, got $splitInto")
     val flaggedSorted = flagged.distinct.sorted
     flaggedSorted.foreach(f => require(f >= 0 && f < cellCodebook.length,
@@ -293,7 +342,7 @@ object EmbeddingLake {
     // as LakeMerge.merge (r15), so a compact racing a merge (or another
     // compact) fails fast instead of interleaving staging/commit
     val mergeId = java.util.UUID.randomUUID.toString
-    LakeMerge.acquireLease(fs, path, mergeId)
+    LakeMerge.acquireLease(fs, path, mergeId, leaseStaleMs)
     try {
     LakeMerge.recover(spark, path) // roll forward any interrupted compact
     val allParts = LakeMerge.partitionValues(spark, path, "ivf_cell")
@@ -315,6 +364,11 @@ object EmbeddingLake {
     val newCents = scala.collection.mutable.ArrayBuffer(cellCodebook.toSeq: _*)
     var rowsReassigned = 0L
     val perCell = flaggedSorted.map { f =>
+      // per-cell heartbeat: each flagged cell runs a k-means (several
+      // Spark jobs), so a many-cell compact must keep proving liveness
+      // or a concurrent writer legally takes the lease mid-write
+      // (review finding: compactCells never heartbeat)
+      LakeMerge.heartbeatLease(fs, path, mergeId)
       val cellDf = spark.read.parquet(s"$path/ivf_cell=$f") // one-dir read
       val local = Similarity.codebook(cellDf, idCol, vecCol,
         splitInto, kmeansIters)
@@ -346,6 +400,7 @@ object EmbeddingLake {
     perCell.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).partitionBy("ivf_cell")
       .parquet(staging.toString)
+    LakeMerge.heartbeatLease(fs, path, mergeId) // staging written
     touched.foreach { v =>
       require(fs.exists(new org.apache.hadoop.fs.Path(staging, s"ivf_cell=$v")),
         s"staged cell ivf_cell=$v missing — staging write failed")
@@ -362,6 +417,11 @@ object EmbeddingLake {
     // centroids are just empty cells — and the refresh itself is atomic
     // (r15: temp dir + rename inside writeCodebook), so a crash during
     // it leaves the OLD codebook serving, never a torn or missing one.
+    // the exists-gate heals a crashed prior refresh first, so a lake that
+    // persists its codebook can never silently lose the refresh
+    // obligation to the crash window between writeCodebook's two renames
+    // (review finding)
+    recoverCodebook(fs, path)
     if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
       writeCodebook(spark, path, newCents.toArray)
 

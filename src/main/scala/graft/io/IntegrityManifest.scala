@@ -135,23 +135,57 @@ object IntegrityManifest {
     * batches): group hashes are pure functions of the group's leaf set,
     * and untouched groups' leaf sets are untouched. A group emptied by
     * drops disappears from the fresh slice — exactly as it would from a
-    * full recompute. */
+    * full recompute. `prev` may be a [[stamped]] published manifest —
+    * only the (grp, n_docs, group_hash) triple rides through; re-stamp
+    * the result. The returned plan references ONE batch-groups-sized
+    * localCheckpoint (the touched-set frame), released when the result
+    * is garbage-collected — the repo's standard checkpoint contract. */
   def updated(prev: DataFrame, corpus: DataFrame, changedIds: DataFrame,
       idCol: String, textCol: String,
       groups: Int = 256, subGroups: Int = 16): DataFrame = {
     checkShape(groups, subGroups)
-    // batch-distinct-groups collect: bounded by min(|batch|, groups)
-    val touched = changedIds
-      .select(grpExpr(col(idCol), groups).as("grp")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (touched.isEmpty) prev
+    // the touched-groups set stays a (checkpointed, batch-groups-sized)
+    // FRAME joined broadcast, never a driver collect spliced into isin()
+    // literals: a production batch can touch 10⁵⁺ of 2²⁴ groups, and a
+    // literal list that size serializes a multi-MB expression tree to
+    // every task (review finding). A NULL id in the batch refuses loudly
+    // — it routes nowhere honest (same contract as the manifest leaf).
+    val touchedDf = changedIds
+      .select(coalesce(grpExpr(col(idCol), groups),
+        raiseNullId("update batch")).as("__touched_grp"))
+      .distinct().localCheckpoint(true)
+    if (touchedDf.isEmpty) { touchedDf.unpersist(); prev }
     else {
+      // NULL-id corpus rows must refuse here exactly as a FULL recompute
+      // would (the leaf's assert_true) — the group filter would otherwise
+      // silently DROP them before the leaf ever evaluates, and the
+      // incremental manifest would attest a corpus the full pipeline
+      // rejects (review finding)
+      val routed = corpus.withColumn("__grp",
+        coalesce(grpExpr(col(idCol), groups), raiseNullId("corpus")))
       val fresh = manifest(
-        corpus.filter(grpExpr(col(idCol), groups).isin(touched: _*)),
+        routed.join(broadcast(touchedDf),
+            routed("__grp") === touchedDf("__touched_grp"), "left_semi")
+          .drop("__grp"),
         idCol, textCol, groups, subGroups)
-      prev.filter(!col("grp").isin(touched: _*)).unionByName(fresh)
+      // tolerate a stamped()/decorated prev: only the manifest triple
+      // rides through (a published as_of column would break unionByName —
+      // review finding); the caller re-stamps the result
+      prev.select(col("grp"), col("n_docs"), col("group_hash"))
+        .join(broadcast(touchedDf),
+          col("grp") === col("__touched_grp"), "left_anti")
+        .unionByName(fresh)
     }
   }
+
+  /** The loud NULL-id refusal, foldable into a long-typed expression:
+    * `assert_true` throws at evaluation when the id was NULL, and the
+    * surrounding `coalesce` keeps the type checker happy (the repo-wide
+    * zero-extra-scan contract-enforcement shape). */
+  private def raiseNullId(where: String): Column =
+    assert_true(lit(false),
+      lit(s"integrity manifest: NULL id in the $where — every doc must " +
+        "carry a non-null identity")).cast("long")
 
   /** Stamp a manifest with the merge/batch id it reflects — the
     * provenance column a published fingerprint carries so a verifier
@@ -209,7 +243,11 @@ object IntegrityManifest {
       val fresh = embeddingManifest(
         lake.filter(col("ivf_cell").isin(touchedCells: _*)),
         idCol, vecCol, subGroups)
-      prev.filter(!col("grp").isin(touchedCells.map(_.toLong): _*))
+      // cells are dimension-sized, so isin literals are fine HERE (unlike
+      // updated()'s group sets); prev projects to the manifest triple so
+      // a stamped() published manifest round-trips
+      prev.select(col("grp"), col("n_docs"), col("group_hash"))
+        .filter(!col("grp").isin(touchedCells.map(_.toLong): _*))
         .unionByName(fresh)
     }
 

@@ -145,11 +145,24 @@ object LakeMerge {
           s"another writer ($holder) holds the merge lease on $lakeDir " +
             s"(heartbeat ${ageMs / 1000} s ago) — concurrent merges are " +
             "not supported; serialize writers or wait for the lease")
-      fs.delete(lease, false) // stale: the holder is gone — take over
-      if (!tryCreate())
+      // stale: the holder is gone — take over by atomically CLAIMING the
+      // stale lease via rename (exactly one claimant's rename succeeds;
+      // the loser's source is gone). A bare delete+create here would let
+      // claimant B's delete remove claimant A's FRESH lease between A's
+      // create and B's create — two live writers (review finding).
+      val claim = new Path(lakeDir, s".$LeaseName.stale-$writerId")
+      val claimed =
+        try fs.rename(lease, claim)
+        catch { case _: java.io.IOException => false }
+      if (!claimed)
         throw new IllegalStateException(
           s"lost the stale-lease takeover race on $lakeDir to another " +
             "claimant — retry when its merge completes")
+      fs.delete(claim, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"lost the lease on $lakeDir to a new writer that arrived " +
+            "during the stale takeover — retry when its merge completes")
     }
   }
 
@@ -166,13 +179,25 @@ object LakeMerge {
     } catch { case _: java.io.IOException => None }
 
   /** Bump the lease heartbeat — called between merge phases so a healthy
-    * long merge never looks stale. Only the holder may heartbeat. */
+    * long merge never looks stale. Doubles as the THEFT CHECK: a writer
+    * whose lease was legally taken over (it exceeded staleMs — stuck GC,
+    * frozen executor) must ABORT at the next phase boundary, before its
+    * pre-theft snapshot reaches the commit point, not silently continue
+    * beside the new holder (review finding: the silent no-op left the
+    * robbed writer running). All heartbeats happen pre-commit, so the
+    * abort is always clean: the thief's entry recover() GC's the robbed
+    * writer's staging. */
   private[io] def heartbeatLease(fs: FileSystem, lakeDir: String,
-      writerId: String): Unit =
-    if (leaseHolder(fs, lakeDir).contains(writerId)) {
-      val now = System.currentTimeMillis()
-      fs.setTimes(leasePath(lakeDir), now, now)
-    }
+      writerId: String): Unit = {
+    val holder = leaseHolder(fs, lakeDir)
+    if (!holder.contains(writerId))
+      throw new IllegalStateException(
+        s"merge lease on $lakeDir lost to ${holder.getOrElse("(released)")} " +
+          s"— this writer exceeded the stale threshold and was taken " +
+          "over; aborting before the commit point")
+    val now = System.currentTimeMillis()
+    fs.setTimes(leasePath(lakeDir), now, now)
+  }
 
   /** Release the lease IF this writer still holds it. After a stale
     * takeover the original holder's release must not delete the new
@@ -379,9 +404,9 @@ object LakeMerge {
     *
     * Plan shape (r14 ADVICE): only the manifest-listed partitions need
     * per-directory resolution — everything else reads through ONE
-    * lake-rooted parquet scan with the touched values filtered out, so
-    * the plan is O(manifest) unions over one file index, not
-    * O(partitions), and partition pruning keeps working for filtered
+    * basePath-rooted multi-path parquet scan (touched directories simply
+    * not listed), so the plan is O(manifest) unions over one file index,
+    * not O(partitions), and partition pruning keeps working for filtered
     * readers (probeTopK's cell filter, date-range scans) while a merge
     * pends on a thousand-partition lake. */
   private[io] def committedView(spark: SparkSession, lakeDir: String,
@@ -397,21 +422,25 @@ object LakeMerge {
                 else s"$lakeDir/$partitionCol=$v"
       spark.read.parquet(src).withColumn(partitionCol, valueLit(v))
     }
-    // untouched partitions: one rooted read; the NOT-IN over the cast
-    // partition column is a deterministic partition filter, so file
-    // listing itself prunes the touched directories (a mid-swap touched
-    // directory may hold either old or new bytes — neither may leak into
-    // the committed view through this branch). Skipped entirely when
-    // every live partition is manifest-listed: a single-partition lake
-    // crashed between its two swap renames has NO live directory, and
-    // the rooted read would fail schema inference on zero files.
+    // untouched partitions: ONE basePath-rooted multi-path read — a
+    // single file index / scan node however many partitions the lake
+    // holds, with partition pruning intact for filtered readers. The
+    // touched directories are simply NOT LISTED, rather than excluded by
+    // a NOT-IN filter over the inferred partition column: inference can
+    // normalize values (a custom layout's "01" infers as int 1), and a
+    // normalized value would fail to match its manifest string, leaking
+    // a mid-swap touched directory's bytes into the committed view
+    // (review finding). Empty when every live partition is
+    // manifest-listed (e.g. a single-partition lake crashed between its
+    // two swap renames has no untouched directory to read).
     val touchedSet = m.partitions.toSet
-    val anyUntouched = partitionValues(spark, lakeDir, partitionCol)
-      .exists(v => !touchedSet(v))
+    val untouchedDirs = partitionValues(spark, lakeDir, partitionCol)
+      .filterNot(touchedSet)
+      .map(v => s"$lakeDir/$partitionCol=$v")
     val frames =
-      if (!anyUntouched) listed
-      else spark.read.parquet(lakeDir)
-        .filter(!col(partitionCol).cast("string").isin(m.partitions: _*))
+      if (untouchedDirs.isEmpty) listed
+      else spark.read.option("basePath", lakeDir)
+        .parquet(untouchedDirs: _*)
         .withColumn(partitionCol, colCast(col(partitionCol))) +: listed
     frames.reduce(_ unionByName _)
   }

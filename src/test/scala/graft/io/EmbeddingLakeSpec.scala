@@ -377,6 +377,42 @@ class EmbeddingLakeSpec extends SparkSpec {
     assert(again.partitionsRewritten === 0, "no-op compact after recovery")
   }
 
+  test("codebook refresh crash window heals: roll forward with _SUCCESS, roll back without") {
+    // the refresh's residual window is between its two renames: live
+    // moved aside, replacement not yet in place. readCodebook /
+    // writeCodebook / compactCells must HEAL that (review finding: the
+    // exists-gate used to silently disable refreshes forever)
+    val path = Files.createTempDirectory("emb_cbrec").toString + "/emb"
+    new java.io.File(path).mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cbV1 = Array(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val cbV2 = Array(Seq(2.0f, 0.0f), Seq(0.0f, 2.0f), Seq(1.0f, 1.0f))
+    import spark.implicits._
+    def writeDir(cb: Array[Seq[Float]], name: String): Unit =
+      cb.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$name")
+
+    // crash AFTER tmp completed, live moved aside (tmp has _SUCCESS,
+    // old parked, no live): roll FORWARD to the new copy
+    writeDir(cbV2, "._codebook_tmp")
+    writeDir(cbV1, "._codebook_old")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
+    val healed = EmbeddingLake.readCodebook(spark, path)
+    assert(healed.toSeq === cbV2.toSeq, "must roll FORWARD to the completed tmp")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "._codebook_old")))
+
+    // crash BEFORE tmp completed (no _SUCCESS): roll BACK to the old copy
+    fs.rename(new org.apache.hadoop.fs.Path(path, "_codebook"),
+      new org.apache.hadoop.fs.Path(path, "._codebook_old"))
+    val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
+    fs.mkdirs(tmp) // torn write: directory exists, no _SUCCESS
+    val rolled = EmbeddingLake.readCodebook(spark, path)
+    assert(rolled.toSeq === cbV2.toSeq, "must roll BACK to the parked old copy")
+    assert(!fs.exists(tmp))
+  }
+
   test("rowwise minhash signing is shuffle-free (pure map)") {
     val docs = vecs.map { case (i, _) => (i, s"tok$i common words here") }
       .toDF("doc_id", "text")

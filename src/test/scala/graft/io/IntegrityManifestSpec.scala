@@ -94,6 +94,34 @@ class IntegrityManifestSpec extends SparkSpec {
       base.toDF("doc_id", "text"),
       spark.emptyDataset[(Long, String)].toDF("doc_id", "text"),
       "doc_id", "text", groups = 8)) === byGrp(m0))
+
+    // a STAMPED published manifest round-trips as prev (review finding:
+    // the extra as_of column used to break the splice's unionByName)
+    val stampedPrev = IntegrityManifest.stamped(m0, "merge-1")
+    assert(byGrp(IntegrityManifest.updated(stampedPrev,
+      after.toDF("doc_id", "text"), changed, "doc_id", "text", groups = 8))
+      === byGrp(full))
+
+    // NULL ids refuse loudly in BOTH incremental inputs, exactly like the
+    // full recompute (review finding: the group filter used to silently
+    // DROP a null-id corpus row the full pipeline rejects)
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    val nullCorpus = intercept[Exception] {
+      IntegrityManifest.updated(m0,
+        (after.map { case (i, t) => (java.lang.Long.valueOf(i), t) } :+
+          ((null.asInstanceOf[java.lang.Long], "x")))
+          .toDF("doc_id", "text"),
+        changed, "doc_id", "text", groups = 8).collect()
+    }
+    assert(msgChain(nullCorpus).contains("NULL id"), msgChain(nullCorpus))
+    val nullBatch = intercept[Exception] {
+      IntegrityManifest.updated(m0, after.toDF("doc_id", "text"),
+        Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("doc_id", "text"),
+        "doc_id", "text", groups = 8).collect()
+    }
+    assert(msgChain(nullBatch).contains("NULL id"), msgChain(nullBatch))
     m0.unpersist()
   }
 

@@ -325,6 +325,18 @@ class LakeMergeSpec extends SparkSpec {
     assert(LakeMerge.leaseHolder(fs, dir).isEmpty,
       "a completed merge must release the lease it took over")
     assert(readLakeSorted(dir).exists(_._4 == 2.0))
+
+    // theft check: a ROBBED writer (its lease legally taken over) must
+    // abort at its next heartbeat, never continue beside the new holder
+    LakeMerge.acquireLease(fs, dir, "slow-writer")
+    fs.setTimes(lease, old, old) // slow-writer goes stale
+    LakeMerge.acquireLease(fs, dir, "thief") // legal takeover
+    val robbed = intercept[IllegalStateException] {
+      LakeMerge.heartbeatLease(fs, dir, "slow-writer")
+    }
+    assert(robbed.getMessage.contains("taken") ||
+      robbed.getMessage.contains("lost"), robbed.getMessage)
+    LakeMerge.releaseLease(fs, dir, "thief")
   }
 
   test("manifest values with brackets are rejected at write time") {
