@@ -181,12 +181,24 @@ object EmbeddingLake {
   }
 
   /** Read back a [[writeCodebook]]-persisted codebook, cell order
-    * restored; heals an interrupted refresh first (see
-    * [[recoverCodebook]]). */
+    * restored. A reader must not MUTATE the lake (second-review finding:
+    * a healing rename here raced the lease-holding writer between ITS
+    * two renames, and raced other readers — the loser's rename threw on
+    * a healthy lake), so an interrupted refresh is RESOLVED, not healed:
+    * read the completed new copy when its `_SUCCESS` proves the write
+    * finished, else the parked old copy. Healing renames stay with the
+    * writers ([[recoverCodebook]], called under the lease). */
   def readCodebook(spark: SparkSession, path: String): Array[Seq[Float]] = {
-    recoverCodebook(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf()), path)
-    val rows = spark.read.parquet(s"$path/_codebook")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dir =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
+        s"$path/_codebook"
+      else if (fs.exists(new org.apache.hadoop.fs.Path(
+          path, "._codebook_tmp/_SUCCESS")))
+        s"$path/._codebook_tmp"
+      else s"$path/._codebook_old"
+    val rows = spark.read.parquet(dir)
       .orderBy(col("cell_id")).collect()
     require(rows.nonEmpty, s"no codebook at $path/_codebook")
     rows.zipWithIndex.foreach { case (r, i) =>
@@ -240,7 +252,16 @@ object EmbeddingLake {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val writerId = java.util.UUID.randomUUID.toString
     LakeMerge.acquireLease(fs, path, writerId)
-    try body finally LakeMerge.releaseLease(fs, path, writerId)
+    try {
+      // EVERY writer recovers first (the same discipline as merge /
+      // compact): with a crashed compact's manifest still pending, an
+      // append would land its file in a not-yet-swapped LIVE cell dir —
+      // invisible to committed-view readers, then destroyed by the next
+      // recover()'s swap+clean (second-review finding). Roll the pending
+      // commit forward before adding anything.
+      LakeMerge.recover(spark, path)
+      body
+    } finally LakeMerge.releaseLease(fs, path, writerId)
   }
 
   /** Per-cell DRIFT report — the number that decides when a frozen
@@ -429,7 +450,8 @@ object EmbeddingLake {
       "ivf_cell", touched)
     LakeMerge.writeManifest(fs, path, manifest)
     LakeMerge.applySwaps(fs, path, "ivf_cell", staging, touched,
-      crashAfterSwaps)
+      crashAfterSwaps,
+      onProgress = () => LakeMerge.heartbeatLease(fs, path, mergeId))
     LakeMerge.finishCommit(fs, path, manifest)
 
     (newCents.toArray,

@@ -161,6 +161,14 @@ object IntegrityManifest {
       // silently DROP them before the leaf ever evaluates, and the
       // incremental manifest would attest a corpus the full pipeline
       // rejects (review finding)
+      // sha2(id) is computed once per corpus row for routing and once
+      // more per SURVIVOR inside manifest() — deliberately NOT fused:
+      // projecting (grp, sub, leaf) before the semi-join would either be
+      // rewritten by PushDownLeftSemiAntiJoin back into this exact shape
+      // (same hash count) or, if the push-down ever declined, hash the
+      // full TEXT of every corpus row pre-filter — catastrophically
+      // worse. The extra survivor-side id-hash is the price of routing;
+      // sha256(text) stays strictly post-filter.
       val routed = corpus.withColumn("__grp",
         coalesce(grpExpr(col(idCol), groups), raiseNullId("corpus")))
       val fresh = manifest(

@@ -101,6 +101,18 @@ object LakeMerge {
   private def manifestPath(lakeDir: String) = new Path(lakeDir, ManifestName)
   private def leasePath(lakeDir: String) = new Path(lakeDir, LeaseName)
 
+  /** Backslash-escape Hadoop glob metacharacters in a path fragment.
+    * Strings handed to `spark.read.parquet(...)` are GLOB PATTERNS, so a
+    * partition value containing `*?[]{}` would expand to OTHER
+    * directories — including, while a merge pends, a manifest-touched
+    * mid-swap directory whose torn bytes must never reach a committed
+    * view (second-review finding). Applied to every directory path this
+    * object constructs from a partition value. */
+  private def escapeGlob(s: String): String =
+    s.flatMap { c =>
+      if ("*?[]{}\\".indexOf(c.toInt) >= 0) s"\\$c" else c.toString
+    }
+
   private def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
     new Path(lakeDir).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -154,15 +166,19 @@ object LakeMerge {
       val claimed =
         try fs.rename(lease, claim)
         catch { case _: java.io.IOException => false }
-      if (!claimed)
-        throw new IllegalStateException(
-          s"lost the stale-lease takeover race on $lakeDir to another " +
-            "claimant — retry when its merge completes")
-      fs.delete(claim, false)
+      if (claimed) fs.delete(claim, false)
+      // a failed claim can ALSO mean the holder simply RELEASED between
+      // our failed create and the status read (the age=MaxValue path) —
+      // the lease is gone, nothing to take over. Either way one
+      // create-exclusive retry resolves every interleave: the winner
+      // acquires, every other claimant's create fails and throws
+      // (second-review finding: throwing on a missing rename source
+      // regressed the released-holder race the old delete+create path
+      // handled).
       if (!tryCreate())
         throw new IllegalStateException(
-          s"lost the lease on $lakeDir to a new writer that arrived " +
-            "during the stale takeover — retry when its merge completes")
+          s"lost the lease on $lakeDir to another writer during the " +
+            "stale takeover — retry when its merge completes")
     }
   }
 
@@ -178,25 +194,37 @@ object LakeMerge {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** Bump the lease heartbeat — called between merge phases so a healthy
-    * long merge never looks stale. Doubles as the THEFT CHECK: a writer
-    * whose lease was legally taken over (it exceeded staleMs — stuck GC,
-    * frozen executor) must ABORT at the next phase boundary, before its
-    * pre-theft snapshot reaches the commit point, not silently continue
-    * beside the new holder (review finding: the silent no-op left the
-    * robbed writer running). All heartbeats happen pre-commit, so the
-    * abort is always clean: the thief's entry recover() GC's the robbed
-    * writer's staging. */
+  /** Bump the lease heartbeat — called between merge phases AND per swap
+    * so a healthy long merge never looks stale. Doubles as the THEFT
+    * CHECK: a writer whose lease was legally taken over (it exceeded
+    * staleMs — stuck GC, frozen executor) must ABORT at its next
+    * heartbeat, not silently continue beside the new holder (review
+    * finding: the silent no-op left the robbed writer running). A
+    * pre-commit abort is clean (the thief's entry recover() GC's the
+    * robbed staging); a post-commit abort stops the robbed swap loop
+    * before its next partition, leaving roll-forward to the thief's
+    * recover(). */
   private[io] def heartbeatLease(fs: FileSystem, lakeDir: String,
       writerId: String): Unit = {
-    val holder = leaseHolder(fs, lakeDir)
-    if (!holder.contains(writerId))
-      throw new IllegalStateException(
-        s"merge lease on $lakeDir lost to ${holder.getOrElse("(released)")} " +
-          s"— this writer exceeded the stale threshold and was taken " +
-          "over; aborting before the commit point")
+    def checkHolder(): Unit = {
+      val holder = leaseHolder(fs, lakeDir)
+      if (!holder.contains(writerId))
+        throw new IllegalStateException(
+          s"merge lease on $lakeDir lost to ${holder.getOrElse("(released)")} " +
+            s"— this writer exceeded the stale threshold and was taken " +
+            "over; aborting at this phase boundary")
+    }
+    checkHolder()
     val now = System.currentTimeMillis()
-    fs.setTimes(leasePath(lakeDir), now, now)
+    try fs.setTimes(leasePath(lakeDir), now, now)
+    catch { case _: java.io.IOException => () } // re-checked below
+    // check-then-act is unavoidable without a CAS primitive, so the act
+    // is bracketed by a SECOND check: a takeover landing inside the
+    // window merely refreshes the thief's mtime (harmless to the thief)
+    // and is caught here instead of at the next phase (second-review
+    // finding). A theft landing after this line is caught by the next
+    // heartbeat — see the applySwaps per-swap cadence.
+    checkHolder()
   }
 
   /** Release the lease IF this writer still holds it. After a stale
@@ -289,12 +317,23 @@ object LakeMerge {
     * kill between renames the recovery contract is specified against. */
   private[io] def applySwaps(fs: FileSystem, lakeDir: String,
       partitionCol: String, staging: Path, values: Seq[String],
-      failAfter: Int = Int.MaxValue): Unit = {
+      failAfter: Int = Int.MaxValue,
+      onProgress: () => Unit = () => ()): Unit = {
     var done = 0
     values.foreach { v =>
       if (done >= failAfter)
         throw new IllegalStateException(
           s"simulated crash after $done partition swaps (test injection)")
+      // per-swap liveness (second-review finding): a thousand-partition
+      // swap loop must keep heartbeating — and keep CHECKING for theft —
+      // or a takeover's recover() would roll this same manifest forward
+      // CONCURRENTLY with this loop. The committing writer passes its
+      // heartbeat here; a robbed writer throws before touching the next
+      // partition. Residual window: a single swap (two renames) that
+      // itself stalls past staleMs — an mtime-heartbeat lease cannot
+      // fence that without a CAS store; size leaseStaleMs above the
+      // store's worst-case rename stall.
+      onProgress()
       val live = new Path(lakeDir, s"$partitionCol=$v")
       val staged = new Path(staging, s"$partitionCol=$v")
       if (fs.exists(staged)) {
@@ -420,7 +459,8 @@ object LakeMerge {
       val staged = new Path(staging, s"$partitionCol=$v")
       val src = if (fs.exists(staged)) staged.toString
                 else s"$lakeDir/$partitionCol=$v"
-      spark.read.parquet(src).withColumn(partitionCol, valueLit(v))
+      spark.read.parquet(escapeGlob(src))
+        .withColumn(partitionCol, valueLit(v))
     }
     // untouched partitions: ONE basePath-rooted multi-path read — a
     // single file index / scan node however many partitions the lake
@@ -436,7 +476,7 @@ object LakeMerge {
     val touchedSet = m.partitions.toSet
     val untouchedDirs = partitionValues(spark, lakeDir, partitionCol)
       .filterNot(touchedSet)
-      .map(v => s"$lakeDir/$partitionCol=$v")
+      .map(v => escapeGlob(s"$lakeDir/$partitionCol=$v"))
     val frames =
       if (untouchedDirs.isEmpty) listed
       else spark.read.option("basePath", lakeDir)
@@ -472,7 +512,7 @@ object LakeMerge {
       fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
     if (existing.isEmpty) None
     else Some(existing.map { v =>
-      spark.read.parquet(s"$lakeDir/$partitionCol=$v")
+      spark.read.parquet(escapeGlob(s"$lakeDir/$partitionCol=$v"))
         .withColumn(partitionCol, lit(v))
     }.reduce(_ unionByName _))
   }
@@ -615,7 +655,8 @@ object LakeMerge {
 
     // 4. SWAP + 5. CLEAN — from here on a crash is recoverable forward:
     // the manifest survives until every swap landed and staging is gone
-    applySwaps(fs, lakeDir, partitionCol, staging, affected, crashAfterSwaps)
+    applySwaps(fs, lakeDir, partitionCol, staging, affected, crashAfterSwaps,
+      onProgress = () => heartbeatLease(fs, lakeDir, mergeId))
     finishCommit(fs, lakeDir, manifest)
 
     // updated = keys that existed before (rows replaced in place);

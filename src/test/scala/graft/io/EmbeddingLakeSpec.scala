@@ -395,22 +395,35 @@ class EmbeddingLakeSpec extends SparkSpec {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/$name")
 
     // crash AFTER tmp completed, live moved aside (tmp has _SUCCESS,
-    // old parked, no live): roll FORWARD to the new copy
+    // old parked, no live): a READER resolves forward WITHOUT mutating
+    // (second-review finding: a healing rename in the read path races
+    // the lease-holding writer and other readers); the WRITER-side
+    // recoverCodebook then heals by rename
     writeDir(cbV2, "._codebook_tmp")
     writeDir(cbV1, "._codebook_old")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
-    val healed = EmbeddingLake.readCodebook(spark, path)
-    assert(healed.toSeq === cbV2.toSeq, "must roll FORWARD to the completed tmp")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "._codebook_old")))
+    val resolved = EmbeddingLake.readCodebook(spark, path)
+    assert(resolved.toSeq === cbV2.toSeq, "reader must RESOLVE to the completed tmp")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "._codebook_tmp")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")),
+      "a reader must not mutate the lake")
+    EmbeddingLake.recoverCodebook(fs, path) // the writer-side heal
+    assert(EmbeddingLake.readCodebook(spark, path).toSeq === cbV2.toSeq)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(path, "._codebook_old")),
+      "the writer-side heal must roll FORWARD and clean the old copy")
 
-    // crash BEFORE tmp completed (no _SUCCESS): roll BACK to the old copy
+    // crash BEFORE tmp completed (no _SUCCESS): reader resolves BACK to
+    // the parked old copy; writer-side heal rolls back
     fs.rename(new org.apache.hadoop.fs.Path(path, "_codebook"),
       new org.apache.hadoop.fs.Path(path, "._codebook_old"))
     val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
     fs.mkdirs(tmp) // torn write: directory exists, no _SUCCESS
-    val rolled = EmbeddingLake.readCodebook(spark, path)
-    assert(rolled.toSeq === cbV2.toSeq, "must roll BACK to the parked old copy")
-    assert(!fs.exists(tmp))
+    assert(EmbeddingLake.readCodebook(spark, path).toSeq === cbV2.toSeq,
+      "reader must resolve back to the parked old copy")
+    EmbeddingLake.recoverCodebook(fs, path)
+    assert(EmbeddingLake.readCodebook(spark, path).toSeq === cbV2.toSeq)
+    assert(!fs.exists(tmp), "the writer-side heal must clean the torn tmp")
   }
 
   test("rowwise minhash signing is shuffle-free (pure map)") {
