@@ -142,62 +142,35 @@ object EmbeddingLake {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    recoverCodebook(fs, path) // heal a crashed prior refresh first
-    val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
-    val old = new org.apache.hadoop.fs.Path(path, "._codebook_old")
-    val live = new org.apache.hadoop.fs.Path(path, "_codebook")
-    fs.delete(tmp, true) // debris from a crashed prior refresh
-    codebook.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cell_id", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(live))
-      require(fs.rename(live, old), s"could not move $live aside")
-    require(fs.rename(tmp, live), s"could not swap refreshed codebook into $live")
-    fs.delete(old, true)
-  }
-
-  /** Heal a refresh that crashed between its two renames (live moved
-    * aside, replacement not yet in place): roll FORWARD to the completed
-    * new copy when its `_SUCCESS` marker proves the write finished, else
-    * roll BACK to the parked old copy. Without this, `_codebook` stays
-    * missing and [[compactCellsImpl]]'s exists-gate would silently stop
-    * refreshing forever (review finding). Idempotent; no-op on a healthy
-    * lake. */
-  private[io] def recoverCodebook(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(path, "._codebook_tmp")
-    val old = new org.apache.hadoop.fs.Path(path, "._codebook_old")
-    val live = new org.apache.hadoop.fs.Path(path, "_codebook")
-    if (!fs.exists(live)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        require(fs.rename(tmp, live), s"could not roll codebook forward at $path")
-        fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        require(fs.rename(old, live), s"could not roll codebook back at $path")
-        fs.delete(tmp, true)
-      }
+    LakeMerge.atomicReplaceDir(fs,
+        new org.apache.hadoop.fs.Path(path, "_codebook")) { tmp =>
+      codebook.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell_id", "centroid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
   }
+
+  /** Writer-side heal of a refresh that crashed between its two renames —
+    * delegates to the shared [[LakeMerge.recoverReplacedDir]] discipline.
+    * Without it, `_codebook` stays missing and [[compactCellsImpl]]'s
+    * exists-gate would silently stop refreshing forever (review
+    * finding). */
+  private[io] def recoverCodebook(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit =
+    LakeMerge.recoverReplacedDir(fs,
+      new org.apache.hadoop.fs.Path(path, "_codebook"))
 
   /** Read back a [[writeCodebook]]-persisted codebook, cell order
     * restored. A reader must not MUTATE the lake (second-review finding:
     * a healing rename here raced the lease-holding writer between ITS
-    * two renames, and raced other readers — the loser's rename threw on
-    * a healthy lake), so an interrupted refresh is RESOLVED, not healed:
-    * read the completed new copy when its `_SUCCESS` proves the write
-    * finished, else the parked old copy. Healing renames stay with the
-    * writers ([[recoverCodebook]], called under the lease). */
+    * two renames, and raced other readers), so an interrupted refresh is
+    * RESOLVED, not healed ([[LakeMerge.resolveReplacedDir]]); healing
+    * renames stay with the writers. */
   def readCodebook(spark: SparkSession, path: String): Array[Seq[Float]] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val dir =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_codebook")))
-        s"$path/_codebook"
-      else if (fs.exists(new org.apache.hadoop.fs.Path(
-          path, "._codebook_tmp/_SUCCESS")))
-        s"$path/._codebook_tmp"
-      else s"$path/._codebook_old"
+    val dir = LakeMerge.resolveReplacedDir(fs,
+      new org.apache.hadoop.fs.Path(path, "_codebook")).toString
     val rows = spark.read.parquet(dir)
       .orderBy(col("cell_id")).collect()
     require(rows.nonEmpty, s"no codebook at $path/_codebook")

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tamper-evident corpus FINGERPRINT — the dataset-versioning /
@@ -258,6 +258,108 @@ object IntegrityManifest {
         .filter(!col("grp").isin(touchedCells.map(_.toLong): _*))
         .unionByName(fresh)
     }
+
+  // ---- the manifest MAINTAINED INSIDE a lake (round 15, E170) ----------
+
+  private val LiveDirName = "_integrity"
+  private val PendingPrefix = "._integrity_pending-"
+
+  /** The corpus-integrity manifest maintained inside the lake at
+    * `lakeDir`, resolved through any mid-replacement state without
+    * mutating (reader discipline — [[LakeMerge.resolveReplacedDir]]).
+    * None when the lake has never been manifested. Schema:
+    * (grp, n_docs, group_hash, as_of) — `as_of` names the merge whose
+    * post-state the manifest attests. */
+  def readLakeManifest(spark: SparkSession, lakeDir: String)
+      : Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = LakeMerge.resolveReplacedDir(fs,
+      new org.apache.hadoop.fs.Path(lakeDir, LiveDirName))
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** MERGE an update batch into a documents lake AND maintain its
+    * integrity manifest, under ONE writer lease — the fingerprint
+    * becomes a live lake artifact (`_integrity/`, underscore-prefixed:
+    * invisible to plain reads) instead of a side-channel the caller must
+    * remember to recompute. Incremental by construction: only the groups
+    * the batch's ids route to re-chain ([[updated]]); the first call on
+    * an unmanifested lake computes the full [[manifest]].
+    *
+    * Crash consistency — the UNION-REPAIR contract: before the merge,
+    * the batch's distinct ids persist to a uniquely named
+    * `._integrity_pending-*` marker. The maintenance step recomputes the
+    * groups of EVERY pending marker's ids (all crashed predecessors plus
+    * this batch) and deletes the markers only after the refreshed
+    * manifest swapped in ([[LakeMerge.atomicReplaceDir]] — same
+    * tmp/parked-old discipline as the codebook). Any crash interleave
+    * therefore heals: a marker whose maintenance never ran keeps its
+    * groups on the repair list until some run completes them, and a
+    * repair set that is a SUPERSET of the truly-stale groups is still
+    * hash-exact (recomputing an untouched group is the identity). The
+    * stored manifest lags the lake by AT MOST the markers present, and
+    * its `as_of` stamp names exactly the merge state it attests.
+    *
+    * The lake must carry (`idCol`, `textCol`) among its columns; `keyCols`
+    * defaults to the document id. Returns the merge stats (whose
+    * `mergeId` equals the stored manifest's `as_of` on success). */
+  def mergeAndMaintain(spark: SparkSession, lakeDir: String,
+      updates: DataFrame, idCol: String, textCol: String,
+      keyCols: Seq[String] = Seq.empty, partitionCol: String = "part_date",
+      seriesCol: String = "", timeCol: String = "",
+      filesPerPartition: Int = 4, requireUniqueKeys: Boolean = false,
+      groups: Int = 256, subGroups: Int = 16,
+      leaseStaleMs: Long = 15L * 60 * 1000): LakeMerge.MergeStats = {
+    checkShape(groups, subGroups)
+    val keys = if (keyCols.nonEmpty) keyCols else Seq(idCol)
+    val series = if (seriesCol.nonEmpty) seriesCol else idCol
+    val time = if (timeCol.nonEmpty) timeCol else idCol
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val writerId = java.util.UUID.randomUUID.toString
+    LakeMerge.acquireLease(fs, lakeDir, writerId, leaseStaleMs)
+    try {
+      // heal a torn manifest replacement from a crashed predecessor
+      // (writer-side — we hold the lease)
+      LakeMerge.recoverReplacedDir(fs,
+        new org.apache.hadoop.fs.Path(lakeDir, LiveDirName))
+      // persist THIS batch's ids as a fresh marker (unique name — never
+      // replaces a crashed predecessor's marker, so no repair id is ever
+      // lost to a delete/rename window)
+      val marker = new org.apache.hadoop.fs.Path(
+        lakeDir, PendingPrefix + writerId)
+      updates.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(marker.toString)
+
+      val stats = LakeMerge.mergeImpl(spark, lakeDir, updates, keys,
+        partitionCol, series, time, filesPerPartition, requireUniqueKeys,
+        Int.MaxValue, leaseStaleMs, externalLease = Some(writerId))
+
+      // repair set = every pending marker (crashed predecessors + ours)
+      val markers = fs.listStatus(new org.apache.hadoop.fs.Path(lakeDir))
+        .toSeq.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(PendingPrefix)).map(_.getPath)
+      val repairIds = markers.map(p => spark.read.parquet(p.toString))
+        .reduce(_ unionByName _).distinct()
+      val now = LakeMerge.readLake(spark, lakeDir, partitionCol)
+      val refreshed = readLakeManifest(spark, lakeDir) match {
+        case Some(prev) =>
+          updated(prev, now, repairIds, idCol, textCol, groups, subGroups)
+        case None => manifest(now, idCol, textCol, groups, subGroups)
+      }
+      val toStore = stamped(refreshed, stats.mergeId)
+        .localCheckpoint(true) // the swap must not re-read _integrity mid-replace
+      try {
+        LakeMerge.atomicReplaceDir(fs,
+            new org.apache.hadoop.fs.Path(lakeDir, LiveDirName)) { tmp =>
+          toStore.write.mode("overwrite").parquet(tmp.toString)
+        }
+      } finally toStore.unpersist()
+      markers.foreach(p => fs.delete(p, true))
+      stats
+    } finally LakeMerge.releaseLease(fs, lakeDir, writerId)
+  }
 
   /** The localization step of an integrity audit: which groups diverge
     * between two manifests (two snapshots, or publisher-vs-verifier).

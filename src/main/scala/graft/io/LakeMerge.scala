@@ -101,6 +101,66 @@ object LakeMerge {
   private def manifestPath(lakeDir: String) = new Path(lakeDir, ManifestName)
   private def leasePath(lakeDir: String) = new Path(lakeDir, LeaseName)
 
+  // ---- atomic directory replacement (round 15) -------------------------
+  // ONE definition of the tmp → live swap-with-parked-old discipline,
+  // shared by the embedding lake's codebook refresh and the maintained
+  // integrity manifest (the r15 reviews found this pattern twice with
+  // independently discovered crash windows — it must not be hand-rolled
+  // a third time). Writers call atomicReplaceDir/recoverReplacedDir under
+  // the lake's writer lease; readers call resolveReplacedDir, which
+  // never mutates.
+
+  /** Replace `liveDir` with freshly written content, atomically up to
+    * the two-rename window: `write` lands in a dot-prefixed tmp dir,
+    * the old copy parks aside, tmp renames into place, old is deleted.
+    * A crash anywhere leaves either the old copy serving, or a healable
+    * window ([[recoverReplacedDir]] rolls forward iff tmp completed —
+    * its `_SUCCESS` marker — else back). Heals any prior crashed
+    * replacement first. Caller must hold the lake's writer lease. */
+  private[io] def atomicReplaceDir(fs: FileSystem, liveDir: Path)
+      (write: Path => Unit): Unit = {
+    recoverReplacedDir(fs, liveDir)
+    val tmp = new Path(liveDir.getParent, s".${liveDir.getName}_tmp")
+    val old = new Path(liveDir.getParent, s".${liveDir.getName}_old")
+    fs.delete(tmp, true) // debris from a crashed prior attempt
+    write(tmp)
+    fs.delete(old, true)
+    if (fs.exists(liveDir))
+      require(fs.rename(liveDir, old), s"could not move $liveDir aside")
+    require(fs.rename(tmp, liveDir), s"could not swap $tmp into $liveDir")
+    fs.delete(old, true)
+  }
+
+  /** Writer-side heal of a crashed [[atomicReplaceDir]]: roll FORWARD to
+    * a completed tmp (its `_SUCCESS` proves the write finished), else
+    * BACK to the parked old copy. Idempotent; no-op on a healthy dir. */
+  private[io] def recoverReplacedDir(fs: FileSystem, liveDir: Path): Unit = {
+    val tmp = new Path(liveDir.getParent, s".${liveDir.getName}_tmp")
+    val old = new Path(liveDir.getParent, s".${liveDir.getName}_old")
+    if (!fs.exists(liveDir)) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        require(fs.rename(tmp, liveDir), s"could not roll $liveDir forward")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, liveDir), s"could not roll $liveDir back")
+        fs.delete(tmp, true)
+      }
+    }
+  }
+
+  /** Reader-side RESOLUTION of a possibly-mid-replacement dir — never
+    * mutates (a healing rename in a read path races the lease-holding
+    * writer and other readers): live when present, else the completed
+    * tmp, else the parked old. Returns the directory to read; the caller
+    * reads it and fails loudly if nothing exists. */
+  private[io] def resolveReplacedDir(fs: FileSystem, liveDir: Path): Path = {
+    val tmp = new Path(liveDir.getParent, s".${liveDir.getName}_tmp")
+    val old = new Path(liveDir.getParent, s".${liveDir.getName}_old")
+    if (fs.exists(liveDir)) liveDir
+    else if (fs.exists(new Path(tmp, "_SUCCESS"))) tmp
+    else old
+  }
+
   /** Backslash-escape Hadoop glob metacharacters in a path fragment.
     * Strings handed to `spark.read.parquet(...)` are GLOB PATTERNS, so a
     * partition value containing `*?[]{}` would expand to OTHER
@@ -534,12 +594,18 @@ object LakeMerge {
       leaseStaleMs)
 
   /** [[merge]] with crash injection (`crashAfterSwaps`) for
-    * LakeMergeSpec's kill-between-renames cases. */
+    * LakeMergeSpec's kill-between-renames cases, and an `externalLease`
+    * hook for compound writers ([[IntegrityManifest.mergeAndMaintain]])
+    * that must hold the lake's lease ACROSS the merge plus their own
+    * follow-up work — the lease is not reentrant, so the outer holder
+    * passes its writer id down and this merge heartbeats/identifies as
+    * it instead of acquiring. */
   private[io] def mergeImpl(spark: SparkSession, lakeDir: String,
       updates: DataFrame, keyCols: Seq[String], partitionCol: String,
       seriesCol: String, timeCol: String, filesPerPartition: Int,
       requireUniqueKeys: Boolean, crashAfterSwaps: Int,
-      leaseStaleMs: Long = 15L * 60 * 1000): MergeStats = {
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      externalLease: Option[String] = None): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry the lake partition column '$partitionCol' " +
         "(derive it with LakeMerge.withPartDate)")
@@ -549,8 +615,10 @@ object LakeMerge {
     // the whole merge — recovery included — runs under the single-writer
     // lease; the merge id doubles as the lease holder id, so a stuck
     // lease names the merge that held it
-    val mergeId = java.util.UUID.randomUUID.toString
-    acquireLease(fsEntry, lakeDir, mergeId, leaseStaleMs)
+    val mergeId = externalLease
+      .getOrElse(java.util.UUID.randomUUID.toString)
+    if (externalLease.isEmpty)
+      acquireLease(fsEntry, lakeDir, mergeId, leaseStaleMs)
     try {
     recover(spark, lakeDir) // roll forward / clean up any interrupted merge
     val allParts = partitionValues(spark, lakeDir, partitionCol)
@@ -670,6 +738,8 @@ object LakeMerge {
 
     // release the entry checkpoint — every action above has completed
     } finally upd.unpersist()
-    } finally releaseLease(fsEntry, lakeDir, mergeId)
+    } finally {
+      if (externalLease.isEmpty) releaseLease(fsEntry, lakeDir, mergeId)
+    }
   }
 }

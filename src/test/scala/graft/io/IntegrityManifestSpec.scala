@@ -152,6 +152,62 @@ class IntegrityManifestSpec extends SparkSpec {
     m0.unpersist()
   }
 
+  test("mergeAndMaintain: the manifest lives in the lake, survives crashes by union-repair") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("im-maintain").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def full(): Map[Long, (Long, String)] = byGrp(IntegrityManifest.manifest(
+      LakeMerge.readLake(spark, dir, "part"), "doc_id", "text", groups = 8))
+    val docs = (0L until 60L)
+      .map(i => (i, s"doc $i", f"2024-02-${(i % 3) + 1}%02d"))
+      .toDF("doc_id", "text", "part")
+    LakeMerge.writeLake(docs, dir, partitionCol = "part",
+      seriesCol = "doc_id", timeCol = "doc_id")
+
+    // first call on an unmanifested lake: FULL manifest, stamped
+    val s1 = IntegrityManifest.mergeAndMaintain(spark, dir,
+      Seq((100L, "new 100", "2024-02-01")).toDF("doc_id", "text", "part"),
+      "doc_id", "text", partitionCol = "part", groups = 8)
+    val m1 = IntegrityManifest.readLakeManifest(spark, dir).get
+    assert(byGrp(m1.drop("as_of")) === full())
+    assert(m1.select("as_of").distinct().head.getString(0) === s1.mergeId)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .forall(!_.getPath.getName.startsWith("._integrity_pending")),
+      "markers must be consumed on success")
+
+    // second call: INCREMENTAL maintenance, still hash-exact to full
+    val s2 = IntegrityManifest.mergeAndMaintain(spark, dir,
+      Seq((7L, "doc 7 v2", "2024-02-02")).toDF("doc_id", "text", "part"),
+      "doc_id", "text", partitionCol = "part", groups = 8)
+    val m2 = IntegrityManifest.readLakeManifest(spark, dir).get
+    assert(byGrp(m2.drop("as_of")) === full())
+    assert(m2.select("as_of").distinct().head.getString(0) === s2.mergeId)
+
+    // crash between merge and maintenance, simulated exactly as it
+    // happens: a pending marker left behind plus a PLAIN merge whose
+    // manifest update never ran — the stored manifest is now stale
+    val lostBatch = Seq((11L, "doc 11 v2", "2024-02-03"),
+      (200L, "new 200", "2024-02-01")).toDF("doc_id", "text", "part")
+    lostBatch.select(col("doc_id")).distinct().write
+      .parquet(s"$dir/._integrity_pending-crashed")
+    LakeMerge.merge(spark, dir, lostBatch, keyCols = Seq("doc_id"),
+      partitionCol = "part", seriesCol = "doc_id", timeCol = "doc_id",
+      requireUniqueKeys = false)
+    assert(byGrp(IntegrityManifest.readLakeManifest(spark, dir).get
+      .drop("as_of")) !== full(), "fixture: manifest must actually be stale")
+    // the NEXT maintained merge repairs the crashed batch's groups too
+    val s3 = IntegrityManifest.mergeAndMaintain(spark, dir,
+      Seq((13L, "doc 13 v2", "2024-02-02")).toDF("doc_id", "text", "part"),
+      "doc_id", "text", partitionCol = "part", groups = 8)
+    val m3 = IntegrityManifest.readLakeManifest(spark, dir).get
+    assert(byGrp(m3.drop("as_of")) === full(),
+      "union-repair must heal the crashed predecessor's stale groups")
+    assert(m3.select("as_of").distinct().head.getString(0) === s3.mergeId)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .forall(!_.getPath.getName.startsWith("._integrity_pending")))
+  }
+
   test("two-level chain: 2^20 groups work, sub level is exercised, buffers bound") {
     // a small corpus under a HUGE group space: routing must not overflow,
     // and the root/replay machinery is routing-width-agnostic
