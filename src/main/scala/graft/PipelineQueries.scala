@@ -3919,6 +3919,38 @@ object PipelineQueries {
              |SELECT media_id,
              |  array_to_string(list_transform(l, v -> CAST(v AS VARCHAR)), ',') AS features_csv,
              |  CAST(list_sum(l) AS BIGINT) AS features_sum
-             |FROM lat""".stripMargin))
+             |FROM lat""".stripMargin)),
+
+    // ---- change data feed of a corpus upsert (E172) ------------------------
+    // The row-image feed a merge emits (Delta CDF shape): corpus = docs with
+    // id % 7 != 0, update batch = docs with id % 3 == 0 re-crawled with new
+    // text — ids in both become an update (pre + post image), batch ids new
+    // to the corpus (multiples of 21, which %7 excluded) become inserts.
+    // LakeMerge.changeFeed is a PURE function of the two frames, so the
+    // oracle replays it with two IN-subqueries; the lake-side capture
+    // (merge(captureChanges = true) → _changes/seq=N) writes exactly this
+    // frame — LakeCdfSpec pins written == pure and the replay soundness.
+    "q_lake_changes" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source", "text")
+        val cur = d.filter(col("doc_id") % 7 =!= 0)
+        val upd = d.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(lit("v2:"), substring(col("text"), 1, 40)))
+        graft.io.LakeMerge.changeFeed(Some(cur), upd, Seq("doc_id"))
+          .withColumnRenamed(graft.io.LakeMerge.ChangeTypeCol, "change_type")
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+             |upd AS (
+             |  SELECT doc_id, source, 'v2:' || substr(text, 1, 40) AS text
+             |  FROM documents WHERE doc_id % 3 = 0)
+             |SELECT c.doc_id, c.source, c.text, 'update_preimage' AS change_type
+             |  FROM cur c WHERE c.doc_id IN (SELECT doc_id FROM upd)
+             |UNION ALL
+             |SELECT u.doc_id, u.source, u.text, 'update_postimage' AS change_type
+             |  FROM upd u WHERE u.doc_id IN (SELECT doc_id FROM cur)
+             |UNION ALL
+             |SELECT u.doc_id, u.source, u.text, 'insert' AS change_type
+             |  FROM upd u WHERE u.doc_id NOT IN (SELECT doc_id FROM cur)""".stripMargin))
   )
 }

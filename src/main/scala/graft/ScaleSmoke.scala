@@ -1313,6 +1313,85 @@ object ScaleSmoke {
     // broadcast batch — never the 120-day lake
     require(mergeShuffle < 64L * 1024 * 1024,
       s"point merge shuffled $mergeShuffle bytes — the lake is being moved")
+
+    // ---- lake maintenance: small-file compaction (E171) -----------------
+    // the OPTIMIZE pass over the same lake: every date partition carries 4
+    // series-hashed files whose ideal at this partition size is 1; ONE
+    // bounded maintenance run (maxPartitions = 10) drains exactly the 10
+    // worst offenders and touches nothing else — compaction work scales
+    // with the knob, never the lake, and rows ride through bit-identical
+    val t72 = System.nanoTime()
+    val compactLakeStats = graft.io.LakeMerge.compactPartitions(spark,
+      lakeDir, targetFileBytes = 256L * 1024 * 1024, maxPartitions = 10)
+    val compactLakeSecs = (System.nanoTime() - t72) / 1e9
+    require(compactLakeStats.partitionsCompacted == 10
+      && compactLakeStats.partitionsTotal == lakeDays,
+      s"a bounded run must compact exactly maxPartitions: $compactLakeStats")
+    require(compactLakeStats.filesAfter <= compactLakeStats.filesBefore - 30,
+      s"10 partitions at 4→1 files must drop ≥30 files: $compactLakeStats")
+    require(graft.io.LakeMerge.readLake(spark, lakeDir).count()
+      == lakeDays.toLong * lakeStations * stepsPerDay,
+      "compaction must preserve every row exactly once")
+    println(s"""{"metric":"lake_compact_scale","days":$lakeDays,""" +
+      s""""compacted":${compactLakeStats.partitionsCompacted},""" +
+      s""""files_before":${compactLakeStats.filesBefore},""" +
+      s""""files_after":${compactLakeStats.filesAfter},""" +
+      s""""compact_seconds":$compactLakeSecs}""")
+
+    // ---- change data feed capture (E172) ---------------------------------
+    // the SAME day re-extracted with capture on: the published feed is
+    // pre+post images of the one affected partition (96 k rows), and the
+    // capture's extra cost stays partition-bounded — the 100 TB contract
+    // that lets every downstream incremental consumer read the feed's few
+    // commits instead of re-diffing the lake
+    val pointUpdates2 = pointUpdates.withColumn("value", lit(0.25))
+    val (cdfStats, cdfShuffle, _, cdfSecs) = sectionShuffle {
+      graft.io.LakeMerge.merge(spark, lakeDir, pointUpdates2,
+        captureChanges = true)
+    }
+    require(cdfStats.partitionsRewritten == 1
+      && cdfStats.rowsInserted == 0,
+      s"captured re-extraction must stay a one-partition update: $cdfStats")
+    val cdfRows = graft.io.LakeMerge.readChanges(spark, lakeDir).count()
+    require(cdfRows == 2L * lakeStations * stepsPerDay,
+      s"feed must carry pre+post images of the day, got $cdfRows")
+    require(cdfShuffle < 96L * 1024 * 1024,
+      s"CDC capture shuffled $cdfShuffle bytes — must stay partition-bounded")
+    println(s"""{"metric":"lake_cdf_scale","feed_rows":$cdfRows,""" +
+      s""""merge_seconds":$cdfSecs,"merge_shuffle_bytes":$cdfShuffle}""")
+
+    // ---- time travel (E173) ----------------------------------------------
+    // one more point re-extraction, this time with retention: the
+    // snapshot BEFORE it reads the 119 untouched partitions live (one
+    // rooted scan) plus the one retained pre-image — snapshot cost is
+    // O(touched history), never a lake copy — and vacuum bounds the
+    // horizon loudly
+    val pointUpdates3 = pointUpdates.withColumn("value", lit(0.75))
+    graft.io.LakeMerge.merge(spark, lakeDir, pointUpdates3,
+      retainHistory = true) // commit seq 0
+    val t73 = System.nanoTime()
+    val snap = graft.io.LakeTimeTravel.readLakeAsOf(spark, lakeDir, -1L)
+    val snapOld = snap.filter(col("part_date") === pointDay
+      && col("value") === 0.25).count()
+    val snapSecs = (System.nanoTime() - t73) / 1e9
+    require(snapOld == lakeStations.toLong * stepsPerDay,
+      s"the pre-merge snapshot must read the retained pre-image, got $snapOld")
+    require(graft.io.LakeMerge.readLake(spark, lakeDir)
+      .filter(col("part_date") === pointDay && col("value") === 0.75).count()
+      == lakeStations.toLong * stepsPerDay,
+      "the live lake must hold the retained merge's values")
+    require(graft.io.LakeTimeTravel.vacuum(spark, lakeDir, oldestAsOf = 0L) == 1,
+      "vacuum must drop exactly the one retained pre-image")
+    val ttRefused =
+      try {
+        graft.io.LakeTimeTravel.readLakeAsOf(spark, lakeDir, -1L).count(); false
+      } catch {
+        case e: IllegalStateException => e.getMessage.contains("vacuumed")
+      }
+    require(ttRefused, "a vacuumed snapshot must refuse loudly, not improvise")
+    println(s"""{"metric":"lake_time_travel_scale","days":$lakeDays,""" +
+      s""""snapshot_read_seconds":$snapSecs,"history_partitions":1}""")
+
     // ---- embedding lake grown by APPEND: frozen-codebook ingest ---------
     // 200 k vectors written once, 20 k appended against the PERSISTED
     // codebook (ingest = one map pass, no retrain, files only added);

@@ -90,13 +90,29 @@ object LakeMerge {
   /** A committed-but-not-fully-swapped merge, as recorded in
     * `_merge_manifest.json`. Existence of the manifest == the merge is
     * logically committed; its absence == the live directories are the
-    * whole truth. */
+    * whole truth. `changeSeq` is set iff the merge captured a change
+    * feed ([[changeFeed]]) — publication of `_changes/seq=N` is then
+    * part of the committed roll-forward work. `histSeq`/`retainHist`/
+    * `created`/`op` carry the commit-log record ([[LakeTimeTravel]]):
+    * when `histSeq` is set the roll-forward also appends the record, and
+    * when `retainHist` is set the swaps move pre-images to
+    * `_history/seq=N` instead of the staging trash. */
   final case class PendingMerge(mergeId: String, staging: String,
-      partitionCol: String, partitions: Seq[String])
+      partitionCol: String, partitions: Seq[String],
+      changeSeq: Option[Long] = None, histSeq: Option[Long] = None,
+      retainHist: Boolean = false, created: Seq[String] = Seq.empty,
+      op: String = "merge")
 
   private val StagingPrefix = ".merge-staging-"
   private val ManifestName = "_merge_manifest.json"
   private val LeaseName = "_merge_lease"
+  private val ChangesDirName = "_changes"
+  private val ChangeFeedStagedName = "_changefeed"
+
+  /** The change-type column a change feed carries beside the lake's own
+    * columns: `insert` / `update_preimage` / `update_postimage` (the lake
+    * is upsert-only, so there is no delete type). */
+  val ChangeTypeCol = "_change_type"
 
   private def manifestPath(lakeDir: String) = new Path(lakeDir, ManifestName)
   private def leasePath(lakeDir: String) = new Path(lakeDir, LeaseName)
@@ -323,14 +339,20 @@ object LakeMerge {
     // partition list and recovery would silently skip the tail's swaps —
     // committed data deleted with staging. Reject at write time, where
     // the merge can still abort cleanly.
-    (m.partitions :+ m.partitionCol :+ m.staging).foreach(v =>
-      require(!v.exists(c => c == '"' || c == '\\' || c == '[' ||
-          c == ']' || c.isControl),
-        s"manifest value '$v' contains JSON-unsafe characters " +
-          "(\", \\, [, ], control)"))
+    (m.partitions ++ m.created :+ m.partitionCol :+ m.staging :+ m.op)
+      .foreach(v =>
+        require(!v.exists(c => c == '"' || c == '\\' || c == '[' ||
+            c == ']' || c.isControl),
+          s"manifest value '$v' contains JSON-unsafe characters " +
+            "(\", \\, [, ], control)"))
     val json =
       s"""{"merge_id":"${m.mergeId}","staging":"${m.staging}",""" +
-        s""""partition_col":"${m.partitionCol}",""" +
+        s""""partition_col":"${m.partitionCol}","op":"${m.op}",""" +
+        m.changeSeq.map(s => s""""change_seq":"$s",""").getOrElse("") +
+        m.histSeq.map(s => s""""hist_seq":"$s",""").getOrElse("") +
+        (if (m.retainHist) s""""hist_keep":"1",""" else "") +
+        m.created.map("\"" + _ + "\"")
+          .mkString("\"created\":[", ",", "],") +
         m.partitions.map("\"" + _ + "\"").mkString("\"partitions\":[", ",", "]}")
     val tmp = new Path(lakeDir, s".$ManifestName.tmp-${m.mergeId}")
     val out = fs.create(tmp, true)
@@ -360,12 +382,25 @@ object LakeMerge {
           .map(_.group(1))
           .getOrElse(throw new IllegalStateException(
             s"corrupt merge manifest at $p: missing $name in: $txt"))
-      val parts = "\"partitions\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-        .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      def listField(name: String): Option[Seq[String]] =
+        ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+          .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSeq)
+      val parts = listField("partitions")
         .getOrElse(throw new IllegalStateException(
           s"corrupt merge manifest at $p: missing partitions in: $txt"))
+      val changeSeq = "\"change_seq\":\"([0-9]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+      val histSeq = "\"hist_seq\":\"([0-9]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+      // op/created default for manifests written before round 15's
+      // time-travel fields existed
+      val op = "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("merge")
       Some(PendingMerge(field("merge_id"), field("staging"),
-        field("partition_col"), parts))
+        field("partition_col"), parts, changeSeq, histSeq,
+        txt.contains("\"hist_keep\":\"1\""),
+        listField("created").getOrElse(Seq.empty), op))
     }
   }
 
@@ -378,7 +413,8 @@ object LakeMerge {
   private[io] def applySwaps(fs: FileSystem, lakeDir: String,
       partitionCol: String, staging: Path, values: Seq[String],
       failAfter: Int = Int.MaxValue,
-      onProgress: () => Unit = () => ()): Unit = {
+      onProgress: () => Unit = () => (),
+      historyTo: Option[Path] = None): Unit = {
     var done = 0
     values.foreach { v =>
       if (done >= failAfter)
@@ -397,14 +433,29 @@ object LakeMerge {
       val live = new Path(lakeDir, s"$partitionCol=$v")
       val staged = new Path(staging, s"$partitionCol=$v")
       if (fs.exists(staged)) {
-        if (fs.exists(live)) {
-          // uuid suffix: a recovery re-run after a crash DURING recovery
-          // must not collide with the previous attempt's trash name
-          // (local-FS rename onto an existing directory fails)
-          val trash = new Path(staging,
-            s".old-$partitionCol=$v-${java.util.UUID.randomUUID}")
-          require(fs.rename(live, trash),
-            s"could not move old partition $live aside")
+        if (fs.exists(live)) historyTo match {
+          case Some(h) =>
+            // retention (E173): the pre-image moves to the commit's
+            // history dir instead of the trash — DETERMINISTIC name, and
+            // a recovery re-run can only reach this branch before the
+            // first attempt's live→history rename landed (afterwards
+            // live is gone until staged swaps in), so the target never
+            // pre-exists
+            val dest = new Path(h, s"$partitionCol=$v")
+            fs.mkdirs(h)
+            require(!fs.exists(dest),
+              s"history pre-image $dest already present while live " +
+                "still exists — lake corrupted")
+            require(fs.rename(live, dest),
+              s"could not retain old partition $live at $dest")
+          case None =>
+            // uuid suffix: a recovery re-run after a crash DURING
+            // recovery must not collide with the previous attempt's
+            // trash name (local-FS rename onto an existing dir fails)
+            val trash = new Path(staging,
+              s".old-$partitionCol=$v-${java.util.UUID.randomUUID}")
+            require(fs.rename(live, trash),
+              s"could not move old partition $live aside")
         }
         require(fs.rename(staged, live),
           s"could not move staged partition $staged into place")
@@ -425,6 +476,29 @@ object LakeMerge {
     fs.delete(manifestPath(lakeDir), false)
   }
 
+  /** Publish a committed merge's staged change feed to
+    * `_changes/seq=N` — one rename, part of the manifest's roll-forward
+    * work (runs after [[applySwaps]], before [[finishCommit]], in both
+    * the merge path and [[recover]]). Idempotent across crash-and-retry:
+    * the staged feed gone + the target present means a prior attempt's
+    * rename landed; both present cannot happen (rename is atomic), so
+    * that interleave defensively drops the stale staged copy. */
+  private[io] def publishFeed(fs: FileSystem, lakeDir: String,
+      m: PendingMerge): Unit = m.changeSeq.foreach { seq =>
+    val staged = new Path(new Path(lakeDir, m.staging), ChangeFeedStagedName)
+    val target = new Path(lakeDir, s"$ChangesDirName/seq=$seq")
+    if (fs.exists(staged)) {
+      if (fs.exists(target)) fs.delete(staged, true)
+      else {
+        fs.mkdirs(target.getParent)
+        require(fs.rename(staged, target),
+          s"could not publish change feed to $target")
+      }
+    } else require(fs.exists(target),
+      s"change feed for merge ${m.mergeId} missing from BOTH staging and " +
+        s"$target — lake corrupted beyond roll-forward")
+  }
+
   /** Recover the lake at `lakeDir` from an interrupted merge, if any:
     * a pending manifest is ROLLED FORWARD (remaining swaps completed,
     * staging + manifest cleaned); orphaned pre-commit staging directories
@@ -439,7 +513,13 @@ object LakeMerge {
     val pending = readManifest(fs, lakeDir)
     pending.foreach { m =>
       applySwaps(fs, lakeDir, m.partitionCol,
-        new Path(lakeDir, m.staging), m.partitions)
+        new Path(lakeDir, m.staging), m.partitions,
+        historyTo = m.histSeq.filter(_ => m.retainHist)
+          .map(LakeTimeTravel.historyDir(lakeDir, _)))
+      publishFeed(fs, lakeDir, m)
+      m.histSeq.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
+        LakeTimeTravel.CommitRecord(seq, m.mergeId, m.op, m.partitionCol,
+          m.partitions, m.created, m.retainHist)))
       finishCommit(fs, lakeDir, m)
     }
     // any staging dir still present is un-manifested pre-commit debris
@@ -559,6 +639,106 @@ object LakeMerge {
       .sorted
   }
 
+  // ---- change data feed (round 15, E172) -------------------------------
+
+  /** The CHANGE FEED a merge of `updates` onto `current` emits — the
+    * Delta CDF / Debezium row-image shape, as a PURE function of the two
+    * frames so it is oracle-replayable (q_lake_changes) independent of
+    * any lake side effects. One output row per change, carrying the
+    * lake's own columns plus [[ChangeTypeCol]]:
+    *
+    *  - `insert`           — an update row whose key is new;
+    *  - `update_preimage`  — the current row an update replaces;
+    *  - `update_postimage` — the update row that replaces it.
+    *
+    * The lake is upsert-only (K2), so there is no delete type; replaying
+    * `insert` + `update_postimage` rows onto the pre-merge snapshot as an
+    * upsert reproduces the post-merge table exactly (LakeMergeSpec pins
+    * that soundness property — a downstream incremental consumer needs
+    * nothing but the feed).
+    *
+    * Plan shape at 100 TB: the preimage side removes nothing from the
+    * lake — it SEMI-joins `current` (in-merge: only the pruned affected
+    * partitions) against the BROADCAST batch keys, so the lake never
+    * shuffles; the update-side split joins the batch against `current`'s
+    * key-only projection (columns pruned to the key — text/payload never
+    * rides that exchange), batch-sized output. `current = None` (a brand
+    * new corpus) makes every row an insert. */
+  def changeFeed(current: Option[DataFrame], updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = current match {
+    case None => updates.withColumn(ChangeTypeCol, lit("insert"))
+    case Some(cur) =>
+      val updKeys = updates.select(keyCols.map(col): _*)
+      val curKeys = cur.select(keyCols.map(col): _*)
+      val pre = cur.join(broadcast(updKeys), keyCols, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val post = updates.join(curKeys, keyCols, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      val ins = updates.join(curKeys, keyCols, "left_anti")
+        .withColumn(ChangeTypeCol, lit("insert"))
+      pre.unionByName(post).unionByName(ins)
+  }
+
+  /** The next change-feed sequence number: max published + 1 (the lease
+    * serializes writers, so the listing race is closed). Sequence 0 is
+    * the first feed-capturing merge; merges run WITHOUT `changeFeed` do
+    * not consume numbers — consumers track completeness by the seq they
+    * last read, not by counting merges. */
+  private def nextChangeSeq(fs: FileSystem, lakeDir: String): Long = {
+    val dir = new Path(lakeDir, ChangesDirName)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("seq="))
+      .map(_.stripPrefix("seq=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** Read the published change feed, commits with seq > `sinceSeq` —
+    * the incremental-consumer API ("every change since the last training
+    * snapshot" at 100 TB reads the feed's few commits, never re-diffs the
+    * lake). One basePath-rooted read of `_changes/` (seq-partition-pruned
+    * when `sinceSeq` bounds it), plus — mirroring [[readLake]]'s
+    * committed-view discipline — a merge that COMMITTED but crashed
+    * before its feed publication landed resolves through its staged feed,
+    * so the feed a consumer sees is exactly the committed history. */
+  def readChanges(spark: SparkSession, lakeDir: String,
+      sinceSeq: Long = -1L): DataFrame = {
+    val fs = hadoopFs(spark, lakeDir)
+    val dir = new Path(lakeDir, ChangesDirName)
+    val pendingFeed = readManifest(fs, lakeDir).flatMap { m =>
+      m.changeSeq.filter(_ > sinceSeq).flatMap { seq =>
+        val staged = new Path(new Path(lakeDir, m.staging),
+          ChangeFeedStagedName)
+        // staged gone ⇒ the publication rename already landed — the
+        // rooted read below covers it
+        if (fs.exists(staged))
+          Some(spark.read.parquet(staged.toString)
+            .withColumn("seq", lit(seq)))
+        else None
+      }
+    }
+    // an empty _changes/ can exist transiently (publishFeed's mkdirs
+    // landed, its rename not yet) — schema inference would throw on it
+    val hasPublished = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("seq="))
+    val published =
+      if (hasPublished)
+        Some(spark.read.option("basePath", dir.toString)
+          .parquet(dir.toString)
+          .withColumn("seq", col("seq").cast("long"))
+          .filter(col("seq") > sinceSeq))
+      else None
+    (published, pendingFeed) match {
+      case (Some(p), Some(q)) => p.unionByName(q)
+      case (Some(p), None) => p
+      case (None, Some(q)) => q
+      case (None, None) => throw new IllegalArgumentException(
+        s"no change feed at $lakeDir/$ChangesDirName — merge with " +
+          "changeFeed = true to start capturing one")
+    }
+  }
+
   /** Explicit pruned read of the named partitions: one read per affected
     * directory with the partition value restored as a literal — never a
     * full-lake scan, and immune to partition-column type inference
@@ -582,16 +762,22 @@ object LakeMerge {
     * carry `partitionCol` (see [[withPartDate]]) and the lake's exact
     * column set. Returns per-merge stats; all counts ride parquet
     * footers / the staged write, never an extra data scan. Recovers any
-    * interrupted prior merge first (see [[recover]]). */
+    * interrupted prior merge first (see [[recover]]).
+    * `captureChanges = true` additionally publishes this merge's
+    * [[changeFeed]] at `_changes/seq=N` (read it back with
+    * [[readChanges]]) — crash-atomic with the merge itself. */
   def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
       keyCols: Seq[String] = Seq("tms_id", "fgt", "time"),
       partitionCol: String = "part_date", seriesCol: String = "tms_id",
       timeCol: String = "time", filesPerPartition: Int = 4,
       requireUniqueKeys: Boolean = true,
-      leaseStaleMs: Long = 15L * 60 * 1000): MergeStats =
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      captureChanges: Boolean = false,
+      retainHistory: Boolean = false): MergeStats =
     mergeImpl(spark, lakeDir, updates, keyCols, partitionCol, seriesCol,
       timeCol, filesPerPartition, requireUniqueKeys, Int.MaxValue,
-      leaseStaleMs)
+      leaseStaleMs, captureChanges = captureChanges,
+      retainHistory = retainHistory)
 
   /** [[merge]] with crash injection (`crashAfterSwaps`) for
     * LakeMergeSpec's kill-between-renames cases, and an `externalLease`
@@ -605,7 +791,9 @@ object LakeMerge {
       seriesCol: String, timeCol: String, filesPerPartition: Int,
       requireUniqueKeys: Boolean, crashAfterSwaps: Int,
       leaseStaleMs: Long = 15L * 60 * 1000,
-      externalLease: Option[String] = None): MergeStats = {
+      externalLease: Option[String] = None,
+      captureChanges: Boolean = false,
+      retainHistory: Boolean = false): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry the lake partition column '$partitionCol' " +
         "(derive it with LakeMerge.withPartDate)")
@@ -709,6 +897,21 @@ object LakeMerge {
       spark.read.parquet(staging.toString).count() // footer-count only
 
     heartbeatLease(fs, lakeDir, mergeId) // staging written — still alive
+
+    // CHANGE FEED (optional, round 15): captured into staging BEFORE the
+    // manifest write so the commit point covers it — a pre-commit crash
+    // rolls the feed back with the rest of staging, a post-commit crash
+    // publishes it during roll-forward ([[publishFeed]]). The preimage
+    // side re-reads the affected partitions (still live here — the swap
+    // has not run), one extra pruned scan that exists only when capture
+    // is on.
+    val changeSeqOpt =
+      if (captureChanges) {
+        changeFeed(current, upd, keyCols).write.mode("overwrite")
+          .parquet(new Path(staging, ChangeFeedStagedName).toString)
+        Some(nextChangeSeq(fs, lakeDir))
+      } else None
+
     // 3. COMMIT — every staged partition must be on disk BEFORE the
     // manifest is written: the manifest promises roll-forward can finish,
     // so a missing staged directory must abort pre-commit (live lake
@@ -717,14 +920,33 @@ object LakeMerge {
       require(fs.exists(new Path(staging, s"$partitionCol=$v")),
         s"staged partition $partitionCol=$v missing — staging write failed")
     }
+    // commit-log record (E173): assigned when retention is requested OR
+    // the lake already logs commits — once a log exists EVERY commit
+    // records itself (even non-retaining ones), or readLakeAsOf's
+    // broken-chain refusal could not see the gap
+    val recordCommit = retainHistory ||
+      fs.exists(LakeTimeTravel.commitsDir(lakeDir))
+    val histSeqOpt =
+      if (recordCommit) Some(LakeTimeTravel.nextCommitSeq(fs, lakeDir))
+      else None
+    val createdParts = affected.filterNot(v =>
+      fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
     val manifest = PendingMerge(mergeId, StagingPrefix + mergeId,
-      partitionCol, affected)
+      partitionCol, affected, changeSeqOpt, histSeqOpt, retainHistory,
+      createdParts, "merge")
     writeManifest(fs, lakeDir, manifest)
 
     // 4. SWAP + 5. CLEAN — from here on a crash is recoverable forward:
-    // the manifest survives until every swap landed and staging is gone
+    // the manifest survives until every swap landed, the feed (if any)
+    // published, the commit (if any) recorded, and staging is gone
     applySwaps(fs, lakeDir, partitionCol, staging, affected, crashAfterSwaps,
-      onProgress = () => heartbeatLease(fs, lakeDir, mergeId))
+      onProgress = () => heartbeatLease(fs, lakeDir, mergeId),
+      historyTo = histSeqOpt.filter(_ => retainHistory)
+        .map(LakeTimeTravel.historyDir(lakeDir, _)))
+    publishFeed(fs, lakeDir, manifest)
+    histSeqOpt.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
+      LakeTimeTravel.CommitRecord(seq, mergeId, "merge", partitionCol,
+        affected, createdParts, retainHistory)))
     finishCommit(fs, lakeDir, manifest)
 
     // updated = keys that existed before (rows replaced in place);
@@ -741,5 +963,143 @@ object LakeMerge {
     } finally {
       if (externalLease.isEmpty) releaseLease(fsEntry, lakeDir, mergeId)
     }
+  }
+
+  // ---- small-file compaction (round 15, E171) ---------------------------
+
+  final case class CompactStats(partitionsTotal: Int,
+      partitionsCompacted: Int, filesBefore: Long, filesAfter: Long,
+      bytesCompacted: Long, compactId: String = "")
+
+  /** Per-partition physical file stats: (value, dataFiles, bytes).
+    * Driver-side metadata listing only — O(partitions) RPCs, never a data
+    * read (the same budget a table-format OPTIMIZE planner spends). */
+  private def partitionFileStats(fs: FileSystem, lakeDir: String,
+      partitionCol: String, values: Seq[String]): Seq[(String, Int, Long)] =
+    values.map { v =>
+      val files = fs.listStatus(new Path(lakeDir, s"$partitionCol=$v"))
+        .toSeq.filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      (v, files.length, files.map(_.getLen).sum)
+    }
+
+  /** COMPACT partitions that have accumulated too many small files — the
+    * table-format `OPTIMIZE` / bin-packing maintenance operation. At
+    * 100 TB the scan tax of a fragmented lake is file-COUNT-shaped
+    * (listing, footer reads, per-file task setup), so a partition is
+    * selected iff its data-file count EXCEEDS the ideal for
+    * `targetFileBytes` (`max(1, ceil(bytes/target))`); too-FEW-large-files
+    * is deliberately not a trigger — Spark parallelizes large parquet
+    * files by row group (`files.maxPartitionBytes`), so splitting them
+    * buys nothing, and rewriting them risks never converging (a
+    * partition with fewer distinct series than the ideal count can NEVER
+    * produce the ideal — hash clustering leaves the surplus writers
+    * empty). Selection > rewrite guarantees convergence: a compacted
+    * partition has ≤ ideal files and is never re-selected (idempotence —
+    * LakeCompactSpec pins run-twice-selects-zero).
+    *
+    * The rewrite is PHYSICAL only: per selected partition, one pruned
+    * read → `repartition(ideal, seriesCol)` → the lake's sort contract →
+    * staging; commit/swap/clean and crash recovery ride the merge's own
+    * manifest machinery unchanged (a crashed compact heals exactly like
+    * a crashed merge), the whole run under the single-writer lease. Rows
+    * are bit-identical before/after — LakeCompactSpec proves it with
+    * [[IntegrityManifest]] roots (content identity, not just counts).
+    *
+    * `maxPartitions` bounds one maintenance run (worst offenders first,
+    * by surplus file count) — the operational knob that keeps a backlog
+    * drain incremental. The per-partition writes are separate small jobs
+    * by design: each selected partition needs its OWN ideal file count,
+    * which one global `repartition` cannot express, and a maintenance
+    * run's job count is already bounded by `maxPartitions`. */
+  def compactPartitions(spark: SparkSession, lakeDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCol: String = "part_date", seriesCol: String = "tms_id",
+      timeCol: String = "time", maxPartitions: Int = Int.MaxValue,
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      retainHistory: Boolean = false): CompactStats =
+    compactImpl(spark, lakeDir, targetFileBytes, partitionCol, seriesCol,
+      timeCol, maxPartitions, leaseStaleMs, Int.MaxValue, retainHistory)
+
+  /** [[compactPartitions]] with the crash-injection hook
+    * (LakeCompactSpec's kill-between-renames case). */
+  private[io] def compactImpl(spark: SparkSession, lakeDir: String,
+      targetFileBytes: Long, partitionCol: String, seriesCol: String,
+      timeCol: String, maxPartitions: Int, leaseStaleMs: Long,
+      crashAfterSwaps: Int, retainHistory: Boolean = false): CompactStats = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    require(maxPartitions >= 1, s"maxPartitions must be >= 1")
+    val fs = hadoopFs(spark, lakeDir)
+    require(fs.exists(new Path(lakeDir)),
+      s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
+    val compactId = java.util.UUID.randomUUID.toString
+    acquireLease(fs, lakeDir, compactId, leaseStaleMs)
+    try {
+      recover(spark, lakeDir) // roll forward any interrupted writer first
+      val all = partitionValues(spark, lakeDir, partitionCol)
+      val stats = partitionFileStats(fs, lakeDir, partitionCol, all)
+      val totalFiles = stats.map(_._2.toLong).sum
+      val candidates = stats.flatMap { case (v, files, bytes) =>
+        val ideal = math.max(1L,
+          (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (files > ideal) Some((v, files, bytes, ideal)) else None
+      }
+      val selected = candidates
+        .sortBy { case (v, files, _, ideal) => (-(files - ideal), v) }
+        .take(maxPartitions)
+        .sortBy(_._1)
+      if (selected.isEmpty)
+        return CompactStats(all.length, 0, totalFiles, totalFiles, 0L,
+          compactId)
+      heartbeatLease(fs, lakeDir, compactId)
+
+      // REWRITE the selected partitions into staging — same clustering
+      // contract as the merge (series-hashed files, sorted within), with
+      // each partition's own ideal file count
+      val staging = new Path(lakeDir, StagingPrefix + compactId)
+      selected.foreach { case (v, _, _, ideal) =>
+        spark.read.parquet(escapeGlob(s"$lakeDir/$partitionCol=$v"))
+          .repartition(ideal, col(seriesCol))
+          .sortWithinPartitions(seriesCol, timeCol)
+          .write.mode("overwrite")
+          .parquet(new Path(staging, s"$partitionCol=$v").toString)
+        heartbeatLease(fs, lakeDir, compactId)
+      }
+
+      // COMMIT / SWAP / CLEAN — the merge's manifest machinery verbatim,
+      // so a crash anywhere here heals through the same recover() path
+      selected.foreach { case (v, _, _, _) =>
+        require(fs.exists(new Path(staging, s"$partitionCol=$v")),
+          s"staged partition $partitionCol=$v missing — rewrite failed")
+      }
+      // a compact never CREATES partitions; it records a commit under the
+      // same rule as the merge so snapshot resolution sees every rewrite
+      val recordCommit = retainHistory ||
+        fs.exists(LakeTimeTravel.commitsDir(lakeDir))
+      val histSeqOpt =
+        if (recordCommit) Some(LakeTimeTravel.nextCommitSeq(fs, lakeDir))
+        else None
+      val manifest = PendingMerge(compactId, StagingPrefix + compactId,
+        partitionCol, selected.map(_._1), None, histSeqOpt, retainHistory,
+        Seq.empty, "compact")
+      writeManifest(fs, lakeDir, manifest)
+      applySwaps(fs, lakeDir, partitionCol, staging, selected.map(_._1),
+        crashAfterSwaps,
+        onProgress = () => heartbeatLease(fs, lakeDir, compactId),
+        historyTo = histSeqOpt.filter(_ => retainHistory)
+          .map(LakeTimeTravel.historyDir(lakeDir, _)))
+      histSeqOpt.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
+        LakeTimeTravel.CommitRecord(seq, compactId, "compact", partitionCol,
+          selected.map(_._1), Seq.empty, retainHistory)))
+      finishCommit(fs, lakeDir, manifest)
+
+      val after = partitionFileStats(fs, lakeDir, partitionCol,
+        selected.map(_._1)).map(_._2.toLong).sum
+      val untouchedFiles = totalFiles - selected.map(_._2.toLong).sum
+      CompactStats(all.length, selected.length, totalFiles,
+        untouchedFiles + after, selected.map(_._3).sum, compactId)
+    } finally releaseLease(fs, lakeDir, compactId)
   }
 }

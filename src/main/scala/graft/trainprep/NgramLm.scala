@@ -219,11 +219,23 @@ object NgramLm {
     * js_div); a pair sharing NO words has no row — its divergence is
     * ln 2 by definition (fully disjoint), not a missing value. */
   def sourceJsDivergence(docs: DataFrame, sourceCol: String,
-      textCol: String, roundTo: Int = 6): DataFrame = {
+      textCol: String, roundTo: Int = 6, maxSources: Int = 4096): DataFrame = {
     val counts = docs
       .select(col(sourceCol).as("__src"), explode(toks(col(textCol))).as("w"))
       .groupBy(col("__src"), col("w")).agg(count(lit(1)).as("c"))
+    // the shared-word self-join below fans out up to sources²/2 rows per
+    // universally-shared word — sound only while sources stay
+    // dimension-sized, so that contract is REQUIRED, not assumed
+    // (r14 verdict watch-item). Zero extra corpus scans: `totals` was
+    // already evaluated independently for its broadcast, so checkpointing
+    // it here just makes that one evaluation explicit and the row count
+    // free.
     val totals = counts.groupBy(col("__src")).agg(sum(col("c")).as("t"))
+      .localCheckpoint(true)
+    require(totals.count() <= maxSources,
+      s"sourceJsDivergence fans out sources²/2 per shared word — got more " +
+        s"than $maxSources distinct sources; aggregate upstream (e.g. to " +
+        "source families) or raise maxSources deliberately")
     val p = counts.join(broadcast(totals), Seq("__src"))
       .select(col("__src"), col("w"),
         (col("c").cast("double") / col("t").cast("double")).as("p"))

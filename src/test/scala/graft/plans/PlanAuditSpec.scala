@@ -254,6 +254,18 @@ class PlanAuditSpec extends SparkSpec {
       "text bodies must never shuffle in DSIR scoring:\n" + words.take(1500))
   }
 
+  test("q_lake_changes: key-equi joins only, preimage side broadcasts the batch") {
+    // E172's pure change feed: the corpus-side (preimage) semi-join must
+    // build on the broadcast batch keys so the lake never shuffles; all
+    // three splits are key-equi joins — a cartesian anywhere means the
+    // key columns fell out of an equality
+    val plan = executedPlan("q_lake_changes")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      "change-feed splits must stay key-equi joins:\n" + plan.take(1500))
+  }
+
   test("q_text_gopher is one shuffle-free select over the scan") {
     // HOF lambdas are CodegenFallback, so the rule arithmetic evaluates
     // interpreted — but in ONE map-side Project with no Exchange: still a

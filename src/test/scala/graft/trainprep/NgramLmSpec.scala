@@ -82,4 +82,18 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.stupidBackoffNll(docs, "doc_id", "text", uni, bi, 6L, alpha = 0.0)
     }
   }
+
+  test("sourceJsDivergence refuses a non-dimension-sized source column") {
+    // the shared-word self-join fans out sources²/2 per shared word — a
+    // source column that is secretly a document id must fail loudly, not
+    // quadratically
+    val docs = Seq(("A", "x y"), ("B", "x y"), ("C", "x z"))
+      .toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.sourceJsDivergence(docs, "source", "text", maxSources = 2)
+    }
+    assert(e.getMessage.contains("distinct sources"), e.getMessage)
+    // at the default bound the same frame passes
+    assert(NgramLm.sourceJsDivergence(docs, "source", "text").count() === 3L)
+  }
 }
