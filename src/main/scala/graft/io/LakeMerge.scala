@@ -183,14 +183,52 @@ object LakeMerge {
     * directories — including, while a merge pends, a manifest-touched
     * mid-swap directory whose torn bytes must never reach a committed
     * view (second-review finding). Applied to every directory path this
-    * object constructs from a partition value. */
-  private def escapeGlob(s: String): String =
+    * object and [[LakeTimeTravel]] construct from a partition value. */
+  private[io] def escapeGlob(s: String): String =
     s.flatMap { c =>
       if ("*?[]{}\\".indexOf(c.toInt) >= 0) s"\\$c" else c.toString
     }
 
-  private def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
+  private[io] def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
     new Path(lakeDir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Read a small metadata file (manifest, commit record) fully. */
+  private[io] def readSmallText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Parse a `"name":"value"` field out of our fixed single-line JSON
+    * shapes (manifest, commit record) — shared so the hand-rolled format
+    * has ONE reader per field kind. */
+  private[io] def jsonStr(txt: String, name: String): Option[String] =
+    ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+
+  /** Parse a `"name":["a","b"]` list field (same shapes). */
+  private[io] def jsonList(txt: String, name: String): Option[Seq[String]] =
+    ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+      .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+
+  /** Next sequence number from a directory of `<prefix>N<suffix>` names:
+    * max + 1, 0 when empty/missing — the one listing-based counter shape
+    * behind the change feed and the commit log (safe under the writer
+    * lease; [[LakeTimeTravel]] records are never deleted, so a seq is
+    * never reused). */
+  private[io] def nextSeqIn(fs: FileSystem, dir: Path, prefix: String,
+      suffix: String): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+      .map(_.stripPrefix(prefix).stripSuffix(suffix).toLong)
+      .foldLeft(-1L)(math.max) + 1L
 
   // ---- single-writer lease (round 15) ---------------------------------
 
@@ -369,38 +407,22 @@ object LakeMerge {
     val p = manifestPath(lakeDir)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
-      val txt = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toString("UTF-8")
-      } finally in.close()
+      val txt = readSmallText(fs, p)
       def field(name: String): String =
-        ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
-          .map(_.group(1))
-          .getOrElse(throw new IllegalStateException(
-            s"corrupt merge manifest at $p: missing $name in: $txt"))
-      def listField(name: String): Option[Seq[String]] =
-        ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
-          .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
-            .map(_.group(1)).toSeq)
-      val parts = listField("partitions")
+        jsonStr(txt, name).getOrElse(throw new IllegalStateException(
+          s"corrupt merge manifest at $p: missing $name in: $txt"))
+      val parts = jsonList(txt, "partitions")
         .getOrElse(throw new IllegalStateException(
           s"corrupt merge manifest at $p: missing partitions in: $txt"))
-      val changeSeq = "\"change_seq\":\"([0-9]+)\"".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong)
-      val histSeq = "\"hist_seq\":\"([0-9]+)\"".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong)
-      // op/created default for manifests written before round 15's
-      // time-travel fields existed
-      val op = "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("merge")
+      // change_seq/hist_seq/op/created default for manifests written
+      // before round 15's CDF/time-travel fields existed
       Some(PendingMerge(field("merge_id"), field("staging"),
-        field("partition_col"), parts, changeSeq, histSeq,
+        field("partition_col"), parts,
+        jsonStr(txt, "change_seq").map(_.toLong),
+        jsonStr(txt, "hist_seq").map(_.toLong),
         txt.contains("\"hist_keep\":\"1\""),
-        listField("created").getOrElse(Seq.empty), op))
+        jsonList(txt, "created").getOrElse(Seq.empty),
+        jsonStr(txt, "op").getOrElse("merge")))
     }
   }
 
@@ -499,6 +521,50 @@ object LakeMerge {
         s"$target — lake corrupted beyond roll-forward")
   }
 
+  /** The COMMIT tail shared by every partition-rewriting writer (merge,
+    * compact): verify staging, assign the commit-log seq, write the
+    * manifest (the commit point), swap with optional history retention,
+    * publish the feed, append the commit record, clean. ONE definition so
+    * the once-a-log-exists-every-commit-records invariant — which
+    * [[LakeTimeTravel.readLakeAsOf]]'s broken-chain refusal depends on —
+    * cannot drift between writers (review finding). Caller holds the
+    * lease as `writerId` and has staged every partition in `values`. */
+  private def commitStagedSwaps(fs: FileSystem, lakeDir: String,
+      writerId: String, op: String, partitionCol: String, staging: Path,
+      values: Seq[String], changeSeq: Option[Long], retainHistory: Boolean,
+      crashAfterSwaps: Int): Unit = {
+    values.foreach { v =>
+      require(fs.exists(new Path(staging, s"$partitionCol=$v")),
+        s"staged partition $partitionCol=$v missing — staging write failed")
+    }
+    // commit-log record (E173): assigned when retention is requested OR
+    // the lake already logs commits — once a log exists EVERY commit
+    // records itself (even non-retaining ones), or readLakeAsOf's
+    // broken-chain refusal could not see the gap
+    val recordCommit = retainHistory ||
+      fs.exists(LakeTimeTravel.commitsDir(lakeDir))
+    val histSeqOpt =
+      if (recordCommit) Some(LakeTimeTravel.nextCommitSeq(fs, lakeDir))
+      else None
+    val created = values.filterNot(v =>
+      fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
+    val manifest = PendingMerge(writerId, staging.getName, partitionCol,
+      values, changeSeq, histSeqOpt, retainHistory, created, op)
+    writeManifest(fs, lakeDir, manifest)
+    // from here on a crash is recoverable forward: the manifest survives
+    // until every swap landed, the feed (if any) published, the commit
+    // (if any) recorded, and staging is gone
+    applySwaps(fs, lakeDir, partitionCol, staging, values, crashAfterSwaps,
+      onProgress = () => heartbeatLease(fs, lakeDir, writerId),
+      historyTo = histSeqOpt.filter(_ => retainHistory)
+        .map(LakeTimeTravel.historyDir(lakeDir, _)))
+    publishFeed(fs, lakeDir, manifest)
+    histSeqOpt.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
+      LakeTimeTravel.CommitRecord(seq, writerId, op, partitionCol, values,
+        created, retainHistory)))
+    finishCommit(fs, lakeDir, manifest)
+  }
+
   /** Recover the lake at `lakeDir` from an interrupted merge, if any:
     * a pending manifest is ROLLED FORWARD (remaining swaps completed,
     * staging + manifest cleaned); orphaned pre-commit staging directories
@@ -522,10 +588,19 @@ object LakeMerge {
           m.partitions, m.created, m.retainHist)))
       finishCommit(fs, lakeDir, m)
     }
-    // any staging dir still present is un-manifested pre-commit debris
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
-      .foreach(s => fs.delete(s.getPath, true))
+    // any staging dir still present is un-manifested pre-commit debris;
+    // orphan metadata TEMP files (a crash between a manifest/commit-record
+    // create and its rename) are equally dead — both names are
+    // regenerated per attempt, so nothing live ever matches (review
+    // finding: they previously accumulated forever)
+    fs.listStatus(root).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(StagingPrefix))
+        fs.delete(s.getPath, true)
+      else if (s.isFile && (n.startsWith(s".$ManifestName.tmp-") ||
+          (n.startsWith(".commit-") && n.endsWith(".tmp"))))
+        fs.delete(s.getPath, false)
+    }
     pending.isDefined
   }
 
@@ -684,15 +759,8 @@ object LakeMerge {
     * the first feed-capturing merge; merges run WITHOUT `changeFeed` do
     * not consume numbers — consumers track completeness by the seq they
     * last read, not by counting merges. */
-  private def nextChangeSeq(fs: FileSystem, lakeDir: String): Long = {
-    val dir = new Path(lakeDir, ChangesDirName)
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("seq="))
-      .map(_.stripPrefix("seq=").toLong)
-      .foldLeft(-1L)(math.max) + 1L
-  }
+  private def nextChangeSeq(fs: FileSystem, lakeDir: String): Long =
+    nextSeqIn(fs, new Path(lakeDir, ChangesDirName), "seq=", "")
 
   /** Read the published change feed, commits with seq > `sinceSeq` —
     * the incremental-consumer API ("every change since the last training
@@ -707,7 +775,7 @@ object LakeMerge {
     val fs = hadoopFs(spark, lakeDir)
     val dir = new Path(lakeDir, ChangesDirName)
     val pendingFeed = readManifest(fs, lakeDir).flatMap { m =>
-      m.changeSeq.filter(_ > sinceSeq).flatMap { seq =>
+      m.changeSeq.flatMap { seq =>
         val staged = new Path(new Path(lakeDir, m.staging),
           ChangeFeedStagedName)
         // staged gone ⇒ the publication rename already landed — the
@@ -726,17 +794,21 @@ object LakeMerge {
       if (hasPublished)
         Some(spark.read.option("basePath", dir.toString)
           .parquet(dir.toString)
-          .withColumn("seq", col("seq").cast("long"))
-          .filter(col("seq") > sinceSeq))
+          .withColumn("seq", col("seq").cast("long")))
       else None
-    (published, pendingFeed) match {
-      case (Some(p), Some(q)) => p.unionByName(q)
-      case (Some(p), None) => p
-      case (None, Some(q)) => q
-      case (None, None) => throw new IllegalArgumentException(
-        s"no change feed at $lakeDir/$ChangesDirName — merge with " +
-          "changeFeed = true to start capturing one")
+    // the sinceSeq cut applies AFTER assembly: a lake whose only feed is
+    // a committed-but-unpublished commit must answer an already-consumed
+    // sinceSeq with an EMPTY frame (like every published lake), not the
+    // no-feed refusal (review finding — it crashed the consumer's poll
+    // loop in exactly the crash window the feed exists to survive)
+    val all = (published, pendingFeed) match {
+      case (Some(p), Some(q)) => Some(p.unionByName(q))
+      case (p, q) => p.orElse(q)
     }
+    all.getOrElse(throw new IllegalArgumentException(
+        s"no change feed at $lakeDir/$ChangesDirName — merge with " +
+          "captureChanges = true to start capturing one"))
+      .filter(col("seq") > sinceSeq)
   }
 
   /** Explicit pruned read of the named partitions: one read per affected
@@ -912,42 +984,13 @@ object LakeMerge {
         Some(nextChangeSeq(fs, lakeDir))
       } else None
 
-    // 3. COMMIT — every staged partition must be on disk BEFORE the
-    // manifest is written: the manifest promises roll-forward can finish,
-    // so a missing staged directory must abort pre-commit (live lake
-    // untouched, staging garbage-collected by the next recover)
-    affected.foreach { v =>
-      require(fs.exists(new Path(staging, s"$partitionCol=$v")),
-        s"staged partition $partitionCol=$v missing — staging write failed")
-    }
-    // commit-log record (E173): assigned when retention is requested OR
-    // the lake already logs commits — once a log exists EVERY commit
-    // records itself (even non-retaining ones), or readLakeAsOf's
-    // broken-chain refusal could not see the gap
-    val recordCommit = retainHistory ||
-      fs.exists(LakeTimeTravel.commitsDir(lakeDir))
-    val histSeqOpt =
-      if (recordCommit) Some(LakeTimeTravel.nextCommitSeq(fs, lakeDir))
-      else None
-    val createdParts = affected.filterNot(v =>
-      fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
-    val manifest = PendingMerge(mergeId, StagingPrefix + mergeId,
-      partitionCol, affected, changeSeqOpt, histSeqOpt, retainHistory,
-      createdParts, "merge")
-    writeManifest(fs, lakeDir, manifest)
-
-    // 4. SWAP + 5. CLEAN — from here on a crash is recoverable forward:
-    // the manifest survives until every swap landed, the feed (if any)
-    // published, the commit (if any) recorded, and staging is gone
-    applySwaps(fs, lakeDir, partitionCol, staging, affected, crashAfterSwaps,
-      onProgress = () => heartbeatLease(fs, lakeDir, mergeId),
-      historyTo = histSeqOpt.filter(_ => retainHistory)
-        .map(LakeTimeTravel.historyDir(lakeDir, _)))
-    publishFeed(fs, lakeDir, manifest)
-    histSeqOpt.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
-      LakeTimeTravel.CommitRecord(seq, mergeId, "merge", partitionCol,
-        affected, createdParts, retainHistory)))
-    finishCommit(fs, lakeDir, manifest)
+    // 3. COMMIT + 4. SWAP + 5. CLEAN — the shared tail: every staged
+    // partition verified on disk BEFORE the manifest is written (the
+    // manifest promises roll-forward can finish, so a missing staged
+    // directory aborts pre-commit — live lake untouched, staging
+    // garbage-collected by the next recover)
+    commitStagedSwaps(fs, lakeDir, mergeId, "merge", partitionCol,
+      staging, affected, changeSeqOpt, retainHistory, crashAfterSwaps)
 
     // updated = keys that existed before (rows replaced in place);
     // inserted = net new rows. Both derive from the three footer counts.
@@ -1068,32 +1111,13 @@ object LakeMerge {
         heartbeatLease(fs, lakeDir, compactId)
       }
 
-      // COMMIT / SWAP / CLEAN — the merge's manifest machinery verbatim,
-      // so a crash anywhere here heals through the same recover() path
-      selected.foreach { case (v, _, _, _) =>
-        require(fs.exists(new Path(staging, s"$partitionCol=$v")),
-          s"staged partition $partitionCol=$v missing — rewrite failed")
-      }
-      // a compact never CREATES partitions; it records a commit under the
-      // same rule as the merge so snapshot resolution sees every rewrite
-      val recordCommit = retainHistory ||
-        fs.exists(LakeTimeTravel.commitsDir(lakeDir))
-      val histSeqOpt =
-        if (recordCommit) Some(LakeTimeTravel.nextCommitSeq(fs, lakeDir))
-        else None
-      val manifest = PendingMerge(compactId, StagingPrefix + compactId,
-        partitionCol, selected.map(_._1), None, histSeqOpt, retainHistory,
-        Seq.empty, "compact")
-      writeManifest(fs, lakeDir, manifest)
-      applySwaps(fs, lakeDir, partitionCol, staging, selected.map(_._1),
-        crashAfterSwaps,
-        onProgress = () => heartbeatLease(fs, lakeDir, compactId),
-        historyTo = histSeqOpt.filter(_ => retainHistory)
-          .map(LakeTimeTravel.historyDir(lakeDir, _)))
-      histSeqOpt.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
-        LakeTimeTravel.CommitRecord(seq, compactId, "compact", partitionCol,
-          selected.map(_._1), Seq.empty, retainHistory)))
-      finishCommit(fs, lakeDir, manifest)
+      // COMMIT / SWAP / CLEAN — the merge's shared tail verbatim, so a
+      // crash anywhere here heals through the same recover() path (a
+      // compact never CREATES partitions — the tail's created computation
+      // is vacuously empty here — and records a commit under the same
+      // once-a-log-exists rule so snapshot resolution sees every rewrite)
+      commitStagedSwaps(fs, lakeDir, compactId, "compact", partitionCol,
+        staging, selected.map(_._1), None, retainHistory, crashAfterSwaps)
 
       val after = partitionFileStats(fs, lakeDir, partitionCol,
         selected.map(_._1)).map(_._2.toLong).sum

@@ -49,9 +49,6 @@ object LakeTimeTravel {
       partitionCol: String, partitions: Seq[String], created: Seq[String],
       retained: Boolean)
 
-  private def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
-    new Path(lakeDir).getFileSystem(spark.sessionState.newHadoopConf())
-
   private[io] def commitsDir(lakeDir: String) = new Path(lakeDir, CommitsDirName)
 
   private[io] def historyDir(lakeDir: String, seq: Long) =
@@ -60,15 +57,8 @@ object LakeTimeTravel {
   /** The next commit sequence number — max recorded + 1 (the writer
     * lease serializes assignment; records are never deleted, so a seq is
     * never reused). */
-  private[io] def nextCommitSeq(fs: FileSystem, lakeDir: String): Long = {
-    val dir = commitsDir(lakeDir)
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .foldLeft(-1L)(math.max) + 1L
-  }
+  private[io] def nextCommitSeq(fs: FileSystem, lakeDir: String): Long =
+    LakeMerge.nextSeqIn(fs, commitsDir(lakeDir), "", ".json")
 
   /** Append the commit record — idempotent (recovery may re-run it while
     * the manifest still pends; an existing record is the same content). */
@@ -91,49 +81,32 @@ object LakeTimeTravel {
     require(fs.rename(tmp, p), s"could not record commit at $p")
   }
 
-  private def strField(txt: String, name: String, where: Path): String =
-    ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt)
-      .map(_.group(1))
-      .getOrElse(throw new IllegalStateException(
-        s"corrupt commit record at $where: missing $name in: $txt"))
-
-  private def listField(txt: String, name: String, where: Path): Seq[String] =
-    ("\"" + name + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
-      .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(throw new IllegalStateException(
-        s"corrupt commit record at $where: missing $name in: $txt"))
-
   /** The full commit log, seq-ascending. Driver-side metadata — one tiny
-    * file per commit. */
+    * file per commit; parsing rides [[LakeMerge]]'s shared JSON-field
+    * readers (one definition of the hand-rolled format). */
   def readCommits(spark: SparkSession, lakeDir: String): Seq[CommitRecord] = {
-    val fs = hadoopFs(spark, lakeDir)
+    val fs = LakeMerge.hadoopFs(spark, lakeDir)
     val dir = commitsDir(lakeDir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath)
       .filter(_.getName.endsWith(".json"))
       .map { p =>
-        val in = fs.open(p)
-        val txt = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toString("UTF-8")
-        } finally in.close()
-        CommitRecord(strField(txt, "seq", p).toLong,
-          strField(txt, "merge_id", p), strField(txt, "op", p),
-          strField(txt, "partition_col", p),
-          listField(txt, "partitions", p), listField(txt, "created", p),
-          strField(txt, "retained", p) == "1")
+        val txt = LakeMerge.readSmallText(fs, p)
+        def str(name: String): String =
+          LakeMerge.jsonStr(txt, name).getOrElse(
+            throw new IllegalStateException(
+              s"corrupt commit record at $p: missing $name in: $txt"))
+        def list(name: String): Seq[String] =
+          LakeMerge.jsonList(txt, name).getOrElse(
+            throw new IllegalStateException(
+              s"corrupt commit record at $p: missing $name in: $txt"))
+        CommitRecord(str("seq").toLong, str("merge_id"), str("op"),
+          str("partition_col"), list("partitions"), list("created"),
+          str("retained") == "1")
       }
       .sortBy(_.seq)
   }
-
-  private def escapeGlob(s: String): String =
-    s.flatMap { c =>
-      if ("*?[]{}\\".indexOf(c.toInt) >= 0) s"\\$c" else c.toString
-    }
 
   /** Read the lake EXACTLY as it stood after commit `asOfSeq`
     * (`asOfSeq = -1` is the state before the first recorded commit).
@@ -144,22 +117,28 @@ object LakeTimeTravel {
     * non-retaining commit, or a [[vacuum]]ed one). */
   def readLakeAsOf(spark: SparkSession, lakeDir: String, asOfSeq: Long,
       partitionCol: String = "part_date"): DataFrame = {
-    val fs = hadoopFs(spark, lakeDir)
+    val fs = LakeMerge.hadoopFs(spark, lakeDir)
     val recorded = readCommits(spark, lakeDir)
-    require(recorded.nonEmpty,
+    // a pending manifest is a committed-but-unswapped commit — its
+    // record (appended during roll-forward) may not exist yet, so it is
+    // synthesized from the manifest. That includes the very FIRST
+    // retained commit crashed mid-swap before `_commits/` exists (review
+    // finding: refusing 'no commit log' there contradicted the
+    // works-while-pending contract); only a seq-less manifest is treated
+    // as unrecorded.
+    val pending = LakeMerge.readManifest(fs, lakeDir)
+    val pendingRec = pending.flatMap { m =>
+      m.histSeq.map(seq => CommitRecord(seq, m.mergeId, m.op,
+        m.partitionCol, m.partitions, m.created, m.retainHist))
+    }
+    pending.foreach(m => require(m.histSeq.nonEmpty || recorded.isEmpty,
+      s"pending merge ${m.mergeId} carries no commit seq although the " +
+        "lake has a commit log — manifest written by an older writer? " +
+        "run LakeMerge.recover first"))
+    val commits = (recorded ++ pendingRec).sortBy(_.seq)
+    require(commits.nonEmpty,
       s"no commit log at $lakeDir/$CommitsDirName — run merges with " +
         "retainHistory = true to enable time travel")
-    // a pending manifest is a committed-but-unswapped commit; once the
-    // log exists every writer records, so it must carry a seq
-    val pending = LakeMerge.readManifest(fs, lakeDir)
-    val pendingRec = pending.map { m =>
-      val seq = m.histSeq.getOrElse(throw new IllegalStateException(
-        s"pending merge ${m.mergeId} carries no commit seq although the " +
-          "lake has a commit log — manifest written by an older writer?"))
-      CommitRecord(seq, m.mergeId, m.op, m.partitionCol, m.partitions,
-        m.created, m.retainHist)
-    }
-    val commits = (recorded ++ pendingRec).sortBy(_.seq)
     require(asOfSeq >= -1L && asOfSeq <= commits.last.seq,
       s"asOfSeq $asOfSeq out of range: the log records commits " +
         s"0..${commits.last.seq}")
@@ -203,7 +182,7 @@ object LakeTimeTravel {
             acc.copy(litDirs = acc.litDirs :+ ((dir, v)))
           case None =>
             acc.copy(liveDirs = acc.liveDirs :+
-              escapeGlob(s"$lakeDir/$partitionCol=$v"))
+              LakeMerge.escapeGlob(s"$lakeDir/$partitionCol=$v"))
           case Some(c) if c.created.contains(v) =>
             acc // did not exist at asOfSeq
           case Some(c) =>
@@ -234,7 +213,7 @@ object LakeTimeTravel {
         .parquet(resolved.liveDirs: _*)
         .withColumn(partitionCol, col(partitionCol).cast("string")))
     val litFrames = resolved.litDirs.map { case (dir, v) =>
-      spark.read.parquet(escapeGlob(dir))
+      spark.read.parquet(LakeMerge.escapeGlob(dir))
         .withColumn(partitionCol, lit(v))
     }
     val frames = liveFrame.toVector ++ litFrames
@@ -253,7 +232,7 @@ object LakeTimeTravel {
     * Returns the number of history directories removed. */
   def vacuum(spark: SparkSession, lakeDir: String, oldestAsOf: Long,
       leaseStaleMs: Long = 15L * 60 * 1000): Int = {
-    val fs = hadoopFs(spark, lakeDir)
+    val fs = LakeMerge.hadoopFs(spark, lakeDir)
     val writerId = java.util.UUID.randomUUID.toString
     LakeMerge.acquireLease(fs, lakeDir, writerId, leaseStaleMs)
     try {
@@ -261,6 +240,17 @@ object LakeTimeTravel {
       // half-written history dir would leave its recovery with nowhere
       // to park the remaining pre-images' deterministic names
       LakeMerge.recover(spark, lakeDir)
+      // range-check BEFORE the irreversible delete (review finding): the
+      // lake surfaces two counters named 'seq' (change feed, commit log);
+      // a change-feed seq — or a stray timestamp — passed here would
+      // otherwise silently destroy every snapshot and report a normal
+      // count. readLakeAsOf validates its seq; so does the delete.
+      val maxSeq = readCommits(spark, lakeDir)
+        .lastOption.map(_.seq).getOrElse(-1L)
+      require(oldestAsOf <= maxSeq,
+        s"vacuum oldestAsOf $oldestAsOf exceeds the recorded COMMIT range " +
+          s"(max $maxSeq) — is this a change-feed seq or a timestamp? " +
+          "vacuum takes a commit-log seq")
       val root = new Path(lakeDir, HistoryDirName)
       if (!fs.exists(root)) 0
       else {

@@ -124,6 +124,11 @@ class LakeCdfSpec extends SparkSpec {
       === Seq(0L))
     val pendingRows = sortedRows(pending)
     assert(pendingRows.count(_._5 == "update_postimage") === 2)
+    // a consumer that already saw seq 0 polls again BEFORE any recovery:
+    // an empty frame, exactly like a published lake — never the no-feed
+    // refusal (review finding: it crashed the poll loop in the very
+    // crash window the feed exists to survive)
+    assert(LakeMerge.readChanges(spark, dir, sinceSeq = 0L).count() === 0L)
 
     // roll-forward publishes the feed exactly once, then cleans up
     assert(LakeMerge.recover(spark, dir))

@@ -94,6 +94,13 @@ class LakeTimeTravelSpec extends SparkSpec {
     assert(asOf(dir, 1L) === s0)
     assert(LakeTimeTravel.readCommits(spark, dir).length === 2,
       "vacuum must never delete commit records")
+    // the delete is irreversible, so its seq is range-checked like the
+    // read's (review finding: a change-feed seq or timestamp passed here
+    // would silently destroy every snapshot)
+    val eRange = intercept[IllegalArgumentException] {
+      LakeTimeTravel.vacuum(spark, dir, oldestAsOf = 99L)
+    }
+    assert(eRange.getMessage.contains("COMMIT range"), eRange.getMessage)
   }
 
   test("a non-retaining commit breaks only the snapshots that need its pre-image") {
@@ -145,6 +152,30 @@ class LakeTimeTravelSpec extends SparkSpec {
     assert(asOf(dir, 1L) === lakeNow(dir))
     assert(LakeTimeTravel.readCommits(spark, dir).map(_.seq) === Seq(0L, 1L),
       "roll-forward must append the pending commit's record")
+  }
+
+  test("the FIRST retained commit crashed mid-swap is already time-travelable") {
+    // before recovery ever runs, _commits/ does not exist — the pending
+    // manifest alone must carry the snapshot (review finding: the
+    // no-commit-log refusal contradicted the works-while-pending contract)
+    val dir = java.nio.file.Files.createTempDirectory("laketi6").toString + "/lake"
+    LakeMerge.writeLake(batch(Seq("wl_a"), "2024-01-02 06:00:00",
+      day1 ++ day2, (_, _) => 1.0), dir)
+    val sInit = lakeNow(dir)
+    val e = intercept[IllegalStateException] {
+      LakeMerge.mergeImpl(spark, dir,
+        batch(Seq("wl_a"), "2024-01-02 06:00:00", day1 ++ day2, (_, _) => 9.0),
+        keys, "part_date", "tms_id", "time", 4, true, crashAfterSwaps = 1,
+        retainHistory = true)
+    }
+    assert(e.getMessage.contains("simulated crash"), e.getMessage)
+    assert(LakeTimeTravel.readCommits(spark, dir).isEmpty,
+      "the record is roll-forward work — not yet appended")
+    assert(asOf(dir, -1L) === sInit)
+    assert(asOf(dir, 0L) === lakeNow(dir), "pending commit = committed view")
+    assert(LakeMerge.recover(spark, dir))
+    assert(asOf(dir, -1L) === sInit)
+    assert(LakeTimeTravel.readCommits(spark, dir).map(_.seq) === Seq(0L))
   }
 
   test("guards: unlogged lake and out-of-range seq refuse") {
