@@ -3951,6 +3951,35 @@ object PipelineQueries {
              |  FROM upd u WHERE u.doc_id IN (SELECT doc_id FROM cur)
              |UNION ALL
              |SELECT u.doc_id, u.source, u.text, 'insert' AS change_type
-             |  FROM upd u WHERE u.doc_id NOT IN (SELECT doc_id FROM cur)""".stripMargin))
+             |  FROM upd u WHERE u.doc_id NOT IN (SELECT doc_id FROM cur)""".stripMargin)),
+
+    // ---- keyed delete of a corpus (E174) ------------------------------------
+    // The GDPR/takedown purge as a pure frame function: corpus = docs with
+    // id % 7 != 0, purge set = ids % 5 == 0. Output = the delete-typed feed
+    // rows (full pre-images — LakeMerge.deleteFeed, what a
+    // delete(captureChanges = true) publishes at _changes/seq=N) plus the
+    // surviving rows tagged 'kept' (what the post-delete lake holds — the
+    // broadcast anti-join the partition rewrite runs). LakeDeleteSpec pins
+    // the lake side effects (partition rewrite, empty-partition drop, crash
+    // recovery, time travel) against these same semantics.
+    "q_lake_delete" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source", "text")
+        val cur = d.filter(col("doc_id") % 7 =!= 0)
+        val keys = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+        val feed = graft.io.LakeMerge.deleteFeed(cur, keys, Seq("doc_id"))
+          .withColumnRenamed(graft.io.LakeMerge.ChangeTypeCol, "change_type")
+        val kept = cur.join(broadcast(keys), Seq("doc_id"), "left_anti")
+          .withColumn("change_type", lit("kept"))
+        feed.unionByName(kept)
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+             |ks AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+             |SELECT doc_id, source, text, 'delete' AS change_type
+             |  FROM cur WHERE doc_id IN (SELECT doc_id FROM ks)
+             |UNION ALL
+             |SELECT doc_id, source, text, 'kept' AS change_type
+             |  FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM ks)""".stripMargin))
   )
 }

@@ -1,0 +1,91 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL AGGREGATE MAINTENANCE from the lake's change feed
+  * (E175) — the consumer-side payoff of capturing changes: a downstream
+  * aggregate table (per-source doc counts, token totals, quality-score
+  * sums — the dataset-card numbers) stays current by folding each
+  * published commit's row images into the previous aggregate, instead of
+  * re-scanning 100 TB per publish. This is classic incremental view
+  * maintenance restricted to ADDITIVE aggregates (count and sums — the
+  * abelian-group case where a row's retraction is its negation; avg and
+  * ratios derive from maintained sums at read time):
+  *
+  *   agg'(g) = agg(g) + Σ_{insert, update_postimage ∈ g} m(row)
+  *                    − Σ_{update_preimage, delete ∈ g}  m(row)
+  *
+  * which is why the feed carries full pre-images: the preimage IS the
+  * retraction certificate — without it an update could not be subtracted
+  * from the group it leaves.
+  *
+  * Equivalence contract (the oracle, q_agg_maintain): maintaining the
+  * snapshot-0 aggregate through any feed sequence equals the direct
+  * recompute over the final snapshot — EXACTLY for integer measures
+  * (counts, lengths, token counts; float sums agree only up to addition
+  * order, the standard IVM caveat). A group whose rows all retract
+  * vanishes (n_rows reaches 0), exactly as the direct recompute would
+  * never emit it.
+  *
+  * Plan shape at 100 TB: the delta aggregate shuffles the FEED (commit-
+  * sized), never the lake; the previous aggregate is groups-sized; one
+  * union + one map-side-combined groupBy merges them. Maintaining across
+  * N commits is N feed-sized folds — or one, since [[LakeMerge.readChanges]]
+  * returns the commits unioned and the fold is associative. */
+object FeedMaintain {
+
+  /** The additive aggregate of a snapshot: one row per group,
+    * `n_rows` plus one summed column per measure. `measures` maps each
+    * output column name to its per-row expression — integer-typed
+    * expressions keep the maintenance equivalence exact (cast to long
+    * here so snapshot and delta sides sum in the same type). */
+  def snapshotAgg(df: DataFrame, groupCols: Seq[String],
+      measures: Seq[(String, Column)]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        measures.map { case (n, e) => sum(e.cast("long")).as(n) }: _*)
+
+  /** The ±1 multiplicity of one feed row: additions count forward,
+    * retractions backward. An unrecognized change type refuses LOUDLY at
+    * evaluation (a silently dropped type would make the maintained
+    * aggregate drift from the lake — the failure mode IVM must never
+    * have). */
+  private def signExpr: Column =
+    when(col(LakeMerge.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L))
+      .when(col(LakeMerge.ChangeTypeCol)
+        .isin("update_preimage", "delete"), lit(-1L))
+      .otherwise(coalesce(
+        assert_true(lit(false),
+          concat(lit("FeedMaintain: unknown change type '"),
+            col(LakeMerge.ChangeTypeCol), lit("'"))).cast("long"),
+        lit(0L)))
+
+  /** Fold `changes` (one or more commits of a [[LakeMerge.readChanges]]
+    * feed — any frame carrying [[LakeMerge.ChangeTypeCol]] plus the
+    * lake's columns) into a previously computed [[snapshotAgg]].
+    * `groupCols`/`measures` must be the ones the aggregate was built
+    * with. Returns the maintained aggregate, same schema. */
+  def maintain(agg: DataFrame, changes: DataFrame, groupCols: Seq[String],
+      measures: Seq[(String, Column)]): DataFrame = {
+    val names = measures.map(_._1)
+    require(agg.columns.contains("n_rows") &&
+        names.forall(agg.columns.contains),
+      s"aggregate must carry n_rows and every measure column " +
+        s"(${names.mkString(", ")}) — build it with snapshotAgg, got " +
+        agg.columns.mkString(", "))
+    val sign = signExpr
+    val deltas = changes.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("n_rows"),
+        measures.map { case (n, e) =>
+          sum(sign * e.cast("long")).as(n)
+        }: _*)
+    val cols = groupCols.map(col) ++ ("n_rows" +: names).map(col)
+    agg.select(cols: _*).unionByName(deltas.select(cols: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        names.map(n => sum(col(n)).as(n)): _*)
+      .filter(col("n_rows") > 0)
+  }
+}

@@ -336,29 +336,91 @@ object IntegrityManifest {
         partitionCol, series, time, filesPerPartition, requireUniqueKeys,
         Int.MaxValue, leaseStaleMs, externalLease = Some(writerId))
 
-      // repair set = every pending marker (crashed predecessors + ours)
-      val markers = fs.listStatus(new org.apache.hadoop.fs.Path(lakeDir))
-        .toSeq.filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(PendingPrefix)).map(_.getPath)
-      val repairIds = markers.map(p => spark.read.parquet(p.toString))
-        .reduce(_ unionByName _).distinct()
-      val now = LakeMerge.readLake(spark, lakeDir, partitionCol)
-      val refreshed = readLakeManifest(spark, lakeDir) match {
-        case Some(prev) =>
-          updated(prev, now, repairIds, idCol, textCol, groups, subGroups)
-        case None => manifest(now, idCol, textCol, groups, subGroups)
-      }
-      val toStore = stamped(refreshed, stats.mergeId)
-        .localCheckpoint(true) // the swap must not re-read _integrity mid-replace
-      try {
-        LakeMerge.atomicReplaceDir(fs,
-            new org.apache.hadoop.fs.Path(lakeDir, LiveDirName)) { tmp =>
-          toStore.write.mode("overwrite").parquet(tmp.toString)
-        }
-      } finally toStore.unpersist()
-      markers.foreach(p => fs.delete(p, true))
+      repairPendingGroups(spark, fs, lakeDir, partitionCol, idCol, textCol,
+        groups, subGroups, asOf = stats.mergeId)
       stats
     } finally LakeMerge.releaseLease(fs, lakeDir, writerId)
+  }
+
+  /** DELETE a purge batch from a documents lake AND maintain its
+    * integrity manifest — the erasure-side twin of [[mergeAndMaintain]],
+    * closing the loop a GDPR purge would otherwise leave open: the lake
+    * forgets the rows while the published fingerprint still attests them.
+    * Same union-repair contract (the purged ids persist to a pending
+    * marker BEFORE the delete; a dropped id still routes to the group
+    * that must re-chain, and a group emptied by the purge disappears from
+    * the manifest exactly as a full recompute would drop it), same single
+    * writer lease across delete + refresh. `keys` must carry `idCol`
+    * among its key columns. Returns the delete stats (whose `deleteId`
+    * equals the stored manifest's `as_of` on success). */
+  def deleteAndMaintain(spark: SparkSession, lakeDir: String,
+      keys: DataFrame, idCol: String, textCol: String,
+      keyCols: Seq[String] = Seq.empty, partitionCol: String = "part_date",
+      seriesCol: String = "", timeCol: String = "",
+      filesPerPartition: Int = 4, groups: Int = 256, subGroups: Int = 16,
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      captureChanges: Boolean = false,
+      retainHistory: Boolean = false): LakeMerge.DeleteStats = {
+    checkShape(groups, subGroups)
+    val keyset = if (keyCols.nonEmpty) keyCols else Seq(idCol)
+    require(keyset.contains(idCol),
+      s"the purge key columns (${keyset.mkString(", ")}) must include the " +
+        s"manifest id column '$idCol' — the manifest routes repairs by id")
+    val series = if (seriesCol.nonEmpty) seriesCol else idCol
+    val time = if (timeCol.nonEmpty) timeCol else idCol
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val writerId = java.util.UUID.randomUUID.toString
+    LakeMerge.acquireLease(fs, lakeDir, writerId, leaseStaleMs)
+    try {
+      LakeMerge.recoverReplacedDir(fs,
+        new org.apache.hadoop.fs.Path(lakeDir, LiveDirName))
+      val marker = new org.apache.hadoop.fs.Path(
+        lakeDir, PendingPrefix + writerId)
+      keys.select(col(idCol)).distinct()
+        .write.mode("overwrite").parquet(marker.toString)
+
+      val stats = LakeMerge.deleteImpl(spark, lakeDir, keys, keyset,
+        partitionCol, series, time, filesPerPartition, Int.MaxValue,
+        leaseStaleMs, captureChanges, retainHistory,
+        externalLease = Some(writerId))
+
+      repairPendingGroups(spark, fs, lakeDir, partitionCol, idCol, textCol,
+        groups, subGroups, asOf = stats.deleteId)
+      stats
+    } finally LakeMerge.releaseLease(fs, lakeDir, writerId)
+  }
+
+  /** The union-repair tail shared by [[mergeAndMaintain]] and
+    * [[deleteAndMaintain]]: recompute the groups of EVERY pending
+    * marker's ids (crashed predecessors plus the current batch), swap the
+    * refreshed manifest in atomically, and consume the markers only after
+    * the swap landed. ONE definition so the crash-consistency contract
+    * cannot drift between the two writers. Caller holds the lease. */
+  private def repairPendingGroups(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, lakeDir: String,
+      partitionCol: String, idCol: String, textCol: String,
+      groups: Int, subGroups: Int, asOf: String): Unit = {
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(lakeDir))
+      .toSeq.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(PendingPrefix)).map(_.getPath)
+    val repairIds = markers.map(p => spark.read.parquet(p.toString))
+      .reduce(_ unionByName _).distinct()
+    val now = LakeMerge.readLake(spark, lakeDir, partitionCol)
+    val refreshed = readLakeManifest(spark, lakeDir) match {
+      case Some(prev) =>
+        updated(prev, now, repairIds, idCol, textCol, groups, subGroups)
+      case None => manifest(now, idCol, textCol, groups, subGroups)
+    }
+    val toStore = stamped(refreshed, asOf)
+      .localCheckpoint(true) // the swap must not re-read _integrity mid-replace
+    try {
+      LakeMerge.atomicReplaceDir(fs,
+          new org.apache.hadoop.fs.Path(lakeDir, LiveDirName)) { tmp =>
+        toStore.write.mode("overwrite").parquet(tmp.toString)
+      }
+    } finally toStore.unpersist()
+    markers.foreach(p => fs.delete(p, true))
   }
 
   /** The localization step of an integrity audit: which groups diverge

@@ -101,7 +101,7 @@ object LakeMerge {
       partitionCol: String, partitions: Seq[String],
       changeSeq: Option[Long] = None, histSeq: Option[Long] = None,
       retainHist: Boolean = false, created: Seq[String] = Seq.empty,
-      op: String = "merge")
+      op: String = "merge", dropped: Seq[String] = Seq.empty)
 
   private val StagingPrefix = ".merge-staging-"
   private val ManifestName = "_merge_manifest.json"
@@ -110,8 +110,10 @@ object LakeMerge {
   private val ChangeFeedStagedName = "_changefeed"
 
   /** The change-type column a change feed carries beside the lake's own
-    * columns: `insert` / `update_preimage` / `update_postimage` (the lake
-    * is upsert-only, so there is no delete type). */
+    * columns: `insert` / `update_preimage` / `update_postimage` from a
+    * merge ([[changeFeed]] — an upsert emits no deletes), `delete` from a
+    * keyed purge ([[deleteFeed]], E174 — the full pre-image of each
+    * removed row). */
   val ChangeTypeCol = "_change_type"
 
   private def manifestPath(lakeDir: String) = new Path(lakeDir, ManifestName)
@@ -377,7 +379,8 @@ object LakeMerge {
     // partition list and recovery would silently skip the tail's swaps —
     // committed data deleted with staging. Reject at write time, where
     // the merge can still abort cleanly.
-    (m.partitions ++ m.created :+ m.partitionCol :+ m.staging :+ m.op)
+    (m.partitions ++ m.created ++ m.dropped :+ m.partitionCol :+ m.staging
+        :+ m.op)
       .foreach(v =>
         require(!v.exists(c => c == '"' || c == '\\' || c == '[' ||
             c == ']' || c.isControl),
@@ -391,6 +394,8 @@ object LakeMerge {
         (if (m.retainHist) s""""hist_keep":"1",""" else "") +
         m.created.map("\"" + _ + "\"")
           .mkString("\"created\":[", ",", "],") +
+        m.dropped.map("\"" + _ + "\"")
+          .mkString("\"dropped\":[", ",", "],") +
         m.partitions.map("\"" + _ + "\"").mkString("\"partitions\":[", ",", "]}")
     val tmp = new Path(lakeDir, s".$ManifestName.tmp-${m.mergeId}")
     val out = fs.create(tmp, true)
@@ -422,7 +427,8 @@ object LakeMerge {
         jsonStr(txt, "hist_seq").map(_.toLong),
         txt.contains("\"hist_keep\":\"1\""),
         jsonList(txt, "created").getOrElse(Seq.empty),
-        jsonStr(txt, "op").getOrElse("merge")))
+        jsonStr(txt, "op").getOrElse("merge"),
+        jsonList(txt, "dropped").getOrElse(Seq.empty)))
     }
   }
 
@@ -436,7 +442,8 @@ object LakeMerge {
       partitionCol: String, staging: Path, values: Seq[String],
       failAfter: Int = Int.MaxValue,
       onProgress: () => Unit = () => (),
-      historyTo: Option[Path] = None): Unit = {
+      historyTo: Option[Path] = None,
+      dropped: Set[String] = Set.empty): Unit = {
     var done = 0
     values.foreach { v =>
       if (done >= failAfter)
@@ -454,31 +461,36 @@ object LakeMerge {
       onProgress()
       val live = new Path(lakeDir, s"$partitionCol=$v")
       val staged = new Path(staging, s"$partitionCol=$v")
-      if (fs.exists(staged)) {
-        if (fs.exists(live)) historyTo match {
-          case Some(h) =>
-            // retention (E173): the pre-image moves to the commit's
-            // history dir instead of the trash — DETERMINISTIC name, and
-            // a recovery re-run can only reach this branch before the
-            // first attempt's live→history rename landed (afterwards
-            // live is gone until staged swaps in), so the target never
-            // pre-exists
-            val dest = new Path(h, s"$partitionCol=$v")
-            fs.mkdirs(h)
-            require(!fs.exists(dest),
-              s"history pre-image $dest already present while live " +
-                "still exists — lake corrupted")
-            require(fs.rename(live, dest),
-              s"could not retain old partition $live at $dest")
-          case None =>
-            // uuid suffix: a recovery re-run after a crash DURING
-            // recovery must not collide with the previous attempt's
-            // trash name (local-FS rename onto an existing dir fails)
-            val trash = new Path(staging,
-              s".old-$partitionCol=$v-${java.util.UUID.randomUUID}")
-            require(fs.rename(live, trash),
-              s"could not move old partition $live aside")
-        }
+      // park the live pre-image aside: into the commit's history dir when
+      // retention is on (E173 — DETERMINISTIC name; a recovery re-run can
+      // only reach this before the first attempt's rename landed, since
+      // afterwards live is gone, so the target never pre-exists), into a
+      // uuid-suffixed staging trash otherwise (a recovery re-run after a
+      // crash DURING recovery must not collide with the previous
+      // attempt's trash name — local-FS rename onto an existing dir
+      // fails)
+      def parkLive(): Unit = historyTo match {
+        case Some(h) =>
+          val dest = new Path(h, s"$partitionCol=$v")
+          fs.mkdirs(h)
+          require(!fs.exists(dest),
+            s"history pre-image $dest already present while live " +
+              "still exists — lake corrupted")
+          require(fs.rename(live, dest),
+            s"could not retain old partition $live at $dest")
+        case None =>
+          val trash = new Path(staging,
+            s".old-$partitionCol=$v-${java.util.UUID.randomUUID}")
+          require(fs.rename(live, trash),
+            s"could not move old partition $live aside")
+      }
+      if (dropped.contains(v)) {
+        // a DELETE emptied this partition (E174): no staged replacement
+        // exists by construction — park the pre-image and leave nothing.
+        // Live already gone ⇒ a previous attempt finished this value.
+        if (fs.exists(live)) parkLive()
+      } else if (fs.exists(staged)) {
+        if (fs.exists(live)) parkLive()
         require(fs.rename(staged, live),
           s"could not move staged partition $staged into place")
       } else require(fs.exists(live),
@@ -532,8 +544,8 @@ object LakeMerge {
   private def commitStagedSwaps(fs: FileSystem, lakeDir: String,
       writerId: String, op: String, partitionCol: String, staging: Path,
       values: Seq[String], changeSeq: Option[Long], retainHistory: Boolean,
-      crashAfterSwaps: Int): Unit = {
-    values.foreach { v =>
+      crashAfterSwaps: Int, dropped: Seq[String] = Seq.empty): Unit = {
+    values.filterNot(dropped.toSet).foreach { v =>
       require(fs.exists(new Path(staging, s"$partitionCol=$v")),
         s"staged partition $partitionCol=$v missing — staging write failed")
     }
@@ -549,7 +561,7 @@ object LakeMerge {
     val created = values.filterNot(v =>
       fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
     val manifest = PendingMerge(writerId, staging.getName, partitionCol,
-      values, changeSeq, histSeqOpt, retainHistory, created, op)
+      values, changeSeq, histSeqOpt, retainHistory, created, op, dropped)
     writeManifest(fs, lakeDir, manifest)
     // from here on a crash is recoverable forward: the manifest survives
     // until every swap landed, the feed (if any) published, the commit
@@ -557,11 +569,12 @@ object LakeMerge {
     applySwaps(fs, lakeDir, partitionCol, staging, values, crashAfterSwaps,
       onProgress = () => heartbeatLease(fs, lakeDir, writerId),
       historyTo = histSeqOpt.filter(_ => retainHistory)
-        .map(LakeTimeTravel.historyDir(lakeDir, _)))
+        .map(LakeTimeTravel.historyDir(lakeDir, _)),
+      dropped = dropped.toSet)
     publishFeed(fs, lakeDir, manifest)
     histSeqOpt.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
       LakeTimeTravel.CommitRecord(seq, writerId, op, partitionCol, values,
-        created, retainHistory)))
+        created, retainHistory, dropped)))
     finishCommit(fs, lakeDir, manifest)
   }
 
@@ -581,11 +594,12 @@ object LakeMerge {
       applySwaps(fs, lakeDir, m.partitionCol,
         new Path(lakeDir, m.staging), m.partitions,
         historyTo = m.histSeq.filter(_ => m.retainHist)
-          .map(LakeTimeTravel.historyDir(lakeDir, _)))
+          .map(LakeTimeTravel.historyDir(lakeDir, _)),
+        dropped = m.dropped.toSet)
       publishFeed(fs, lakeDir, m)
       m.histSeq.foreach(seq => LakeTimeTravel.writeCommitRecord(fs, lakeDir,
         LakeTimeTravel.CommitRecord(seq, m.mergeId, m.op, m.partitionCol,
-          m.partitions, m.created, m.retainHist)))
+          m.partitions, m.created, m.retainHist, m.dropped)))
       finishCommit(fs, lakeDir, m)
     }
     // any staging dir still present is un-manifested pre-commit debris;
@@ -670,7 +684,9 @@ object LakeMerge {
       : DataFrame = {
     val fs = hadoopFs(spark, lakeDir)
     val staging = new Path(lakeDir, m.staging)
-    val listed = m.partitions.map { v =>
+    // a DROPPED partition's committed content is EMPTY (E174) — it is
+    // simply not read, whether its live dir is already parked or not
+    val listed = m.partitions.filterNot(m.dropped.toSet).map { v =>
       val staged = new Path(staging, s"$partitionCol=$v")
       val src = if (fs.exists(staged)) staged.toString
                 else s"$lakeDir/$partitionCol=$v"
@@ -726,11 +742,12 @@ object LakeMerge {
     *  - `update_preimage`  — the current row an update replaces;
     *  - `update_postimage` — the update row that replaces it.
     *
-    * The lake is upsert-only (K2), so there is no delete type; replaying
-    * `insert` + `update_postimage` rows onto the pre-merge snapshot as an
-    * upsert reproduces the post-merge table exactly (LakeMergeSpec pins
-    * that soundness property — a downstream incremental consumer needs
-    * nothing but the feed).
+    * A MERGE emits no delete type (it is an upsert — [[delete]] commits
+    * emit [[deleteFeed]] rows); replaying `insert` + `update_postimage`
+    * rows onto the pre-merge snapshot as an upsert reproduces the
+    * post-merge table exactly (LakeMergeSpec pins that soundness
+    * property — a downstream incremental consumer needs nothing but the
+    * feed).
     *
     * Plan shape at 100 TB: the preimage side removes nothing from the
     * lake — it SEMI-joins `current` (in-merge: only the pruned affected
@@ -753,6 +770,26 @@ object LakeMerge {
         .withColumn(ChangeTypeCol, lit("insert"))
       pre.unionByName(post).unionByName(ins)
   }
+
+  /** The change feed a keyed DELETE emits — one `delete`-typed row per
+    * removed row, carrying its FULL pre-image (the Delta CDF delete
+    * shape: a downstream consumer learns both that the key is gone and
+    * what it held). Like [[changeFeed]] this is a PURE function of the
+    * two frames, oracle-replayable (q_lake_delete) independent of lake
+    * side effects; [[delete]] with `captureChanges = true` publishes
+    * exactly this frame at `_changes/seq=N`. Feed-replay soundness
+    * (LakeDeleteSpec): pre-merge snapshot MINUS the feed's delete keys ==
+    * the post-delete table.
+    *
+    * Plan shape at 100 TB: the purge set is dimension-sized next to the
+    * lake (a right-to-be-forgotten batch), so the semi-join BROADCASTS
+    * it — the lake side (in-delete: only the pruned affected partitions)
+    * never shuffles. */
+  def deleteFeed(current: DataFrame, keys: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    current.join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+      .withColumn(ChangeTypeCol, lit("delete"))
 
   /** The next change-feed sequence number: max published + 1 (the lease
     * serializes writers, so the listing race is closed). Sequence 0 is
@@ -1005,6 +1042,177 @@ object LakeMerge {
     } finally upd.unpersist()
     } finally {
       if (externalLease.isEmpty) releaseLease(fsEntry, lakeDir, mergeId)
+    }
+  }
+
+  // ---- keyed delete (round 15, E174) -------------------------------------
+
+  final case class DeleteStats(partitionsTotal: Int, partitionsAffected: Int,
+      partitionsDropped: Int, rowsBeforeAffected: Long, rowsDeleted: Long,
+      rowsAfterAffected: Long, deleteId: String = "")
+
+  /** DELETE every lake row whose key appears in `keys` — the GDPR /
+    * right-to-be-forgotten purge, takedown compliance, and
+    * contaminated-document removal primitive the upsert-only K2 surface
+    * lacked (E174). Same copy-on-write discipline as [[merge]]: only the
+    * affected partitions are rewritten (surviving rows re-staged under
+    * the lake's clustering contract), the commit is the atomic manifest
+    * write, a crash anywhere heals through the same [[recover]]
+    * roll-forward, and the whole run holds the single-writer lease.
+    *
+    * A partition whose every row is purged is DROPPED: no staged
+    * replacement exists, the manifest's `dropped` list records the fact,
+    * the swap parks the pre-image (history when `retainHistory`, staging
+    * trash otherwise) and leaves nothing — readers of the committed view
+    * and time-travel snapshots treat it as empty/absent. A delete that
+    * would drop EVERY partition is refused (an empty lake has no schema
+    * to read back — remove the lake directory instead).
+    *
+    * Partition pruning, two modes:
+    *  - `keys` carries `partitionCol`: only those partitions are
+    *    rewritten — the caller ASSERTS where the keys live, mirroring the
+    *    merge's partition-derivation contract (a key asserted into the
+    *    wrong partition silently survives, exactly as a mis-derived merge
+    *    would duplicate);
+    *  - no `partitionCol`: a key-column-only pruned scan locates the
+    *    affected partitions (parquet column pruning keeps the read to the
+    *    key columns — text/payload never loads), so "purge these doc ids
+    *    wherever they are" works without the caller knowing dates. At
+    *    100 TB prefer the first mode when the partition is derivable.
+    *
+    * `captureChanges = true` publishes this delete's [[deleteFeed]] at
+    * `_changes/seq=N`, crash-atomic with the delete itself;
+    * `retainHistory = true` keeps every touched partition's pre-image
+    * readable via [[LakeTimeTravel.readLakeAsOf]] (note the tension with
+    * a true forget-me purge: retained history still HOLDS the purged
+    * rows until [[LakeTimeTravel.vacuum]] passes the commit — run
+    * retention-free deletes, or vacuum promptly, when erasure is the
+    * point). Idempotent: re-running the same purge set finds no matches
+    * and rewrites nothing. */
+  def delete(spark: SparkSession, lakeDir: String, keys: DataFrame,
+      keyCols: Seq[String] = Seq("tms_id", "fgt", "time"),
+      partitionCol: String = "part_date", seriesCol: String = "tms_id",
+      timeCol: String = "time", filesPerPartition: Int = 4,
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      captureChanges: Boolean = false,
+      retainHistory: Boolean = false): DeleteStats =
+    deleteImpl(spark, lakeDir, keys, keyCols, partitionCol, seriesCol,
+      timeCol, filesPerPartition, Int.MaxValue, leaseStaleMs,
+      captureChanges, retainHistory)
+
+  /** [[delete]] with crash injection (LakeDeleteSpec's kill-between-
+    * renames cases, including a kill between a DROP's park and the next
+    * partition's swap) and the `externalLease` hook for compound writers
+    * ([[IntegrityManifest.deleteAndMaintain]]) — same contract as
+    * [[mergeImpl]]'s. */
+  private[io] def deleteImpl(spark: SparkSession, lakeDir: String,
+      keys: DataFrame, keyCols: Seq[String], partitionCol: String,
+      seriesCol: String, timeCol: String, filesPerPartition: Int,
+      crashAfterSwaps: Int, leaseStaleMs: Long = 15L * 60 * 1000,
+      captureChanges: Boolean = false,
+      retainHistory: Boolean = false,
+      externalLease: Option[String] = None): DeleteStats = {
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"keys must carry every key column — missing '$c'"))
+    val fs = hadoopFs(spark, lakeDir)
+    require(fs.exists(new Path(lakeDir)),
+      s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
+    val deleteId = externalLease
+      .getOrElse(java.util.UUID.randomUUID.toString)
+    if (externalLease.isEmpty)
+      acquireLease(fs, lakeDir, deleteId, leaseStaleMs)
+    try {
+      recover(spark, lakeDir) // roll forward any interrupted writer first
+      val allParts = partitionValues(spark, lakeDir, partitionCol)
+      require(allParts.nonEmpty,
+        s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
+      // evaluate the purge batch ONCE (it is typically the tail of a
+      // takedown/contamination pipeline); deduped — duplicate purge keys
+      // are harmless to an anti-join but bloat the broadcast
+      val hasPart = keys.columns.contains(partitionCol)
+      val kCols = keyCols ++ (if (hasPart) Seq(partitionCol) else Nil)
+      val k = keys.select(kCols.map(col): _*).distinct().localCheckpoint(true)
+      try {
+        // NULL keys never equi-join: such a row would silently SURVIVE
+        // the purge — for a forget-me operation a silent miss is the
+        // worst failure mode, so refuse loudly
+        val nullKeys = k.filter(
+          keyCols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+        require(nullKeys == 0L,
+          s"purge keys contain NULL (${keyCols.mkString(", ")}) values — " +
+            "NULL never equi-joins, so those rows would silently survive " +
+            "the delete")
+
+        // PRUNE — asserted partitions, or a key-only scan to find them
+        val affected: Seq[String] =
+          if (hasPart) {
+            val raw = k.select(col(partitionCol).cast("string"))
+              .distinct().collect().map(r => Option(r.getString(0))).toSeq
+            require(raw.forall(_.isDefined),
+              s"purge keys contain NULL $partitionCol values — omit the " +
+                "column entirely to let the delete locate partitions itself")
+            raw.flatten
+              .filter(v => fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
+              .sorted
+          } else
+            readLake(spark, lakeDir, partitionCol)
+              .select((keyCols :+ partitionCol).map(col): _*)
+              .join(broadcast(k), keyCols, "left_semi")
+              .select(col(partitionCol).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+        if (affected.isEmpty)
+          return DeleteStats(allParts.length, 0, 0, 0L, 0L, 0L, deleteId)
+        heartbeatLease(fs, lakeDir, deleteId)
+
+        // REWRITE the survivors into staging — the lake's clustering
+        // contract unchanged; a partition whose every row is purged
+        // writes NO staged directory (partitionBy emits nothing for an
+        // empty partition), which is exactly the dropped signal
+        val staging = new Path(lakeDir, StagingPrefix + deleteId)
+        val current = readPartitions(spark, lakeDir, partitionCol, affected)
+          .getOrElse(throw new IllegalStateException(
+            s"affected partitions vanished mid-delete on $lakeDir"))
+        val rowsBefore = current.count() // footer-count only
+        val keyOnly = k.select(keyCols.map(col): _*)
+        current.join(broadcast(keyOnly), keyCols, "left_anti")
+          .repartition(filesPerPartition, col(partitionCol), col(seriesCol))
+          .sortWithinPartitions(partitionCol, seriesCol, timeCol)
+          .write.mode("overwrite").partitionBy(partitionCol)
+          .parquet(staging.toString)
+        val dropped = affected.filterNot(v =>
+          fs.exists(new Path(staging, s"$partitionCol=$v")))
+        // the degenerate full-lake drop is refused PRE-commit: live lake
+        // untouched, staging GC'd by the next recover()
+        require(dropped.length < allParts.length,
+          s"delete would remove every partition of $lakeDir — an empty " +
+            "lake has no schema to read back; remove the lake directory " +
+            "instead")
+        val rowsAfter =
+          if (dropped.length == affected.length) 0L
+          else spark.read.parquet(staging.toString).count() // footers only
+        heartbeatLease(fs, lakeDir, deleteId)
+
+        // CHANGE FEED (optional): the purged pre-images, staged before
+        // the manifest write so the commit point covers it — same
+        // crash-atomicity as the merge's feed
+        val changeSeqOpt =
+          if (captureChanges) {
+            deleteFeed(current, keyOnly, keyCols).write.mode("overwrite")
+              .parquet(new Path(staging, ChangeFeedStagedName).toString)
+            Some(nextChangeSeq(fs, lakeDir))
+          } else None
+
+        // COMMIT / SWAP / CLEAN — the shared tail; dropped partitions
+        // park their pre-image and leave nothing
+        commitStagedSwaps(fs, lakeDir, deleteId, "delete", partitionCol,
+          staging, affected, changeSeqOpt, retainHistory, crashAfterSwaps,
+          dropped)
+
+        DeleteStats(allParts.length, affected.length, dropped.length,
+          rowsBefore, rowsBefore - rowsAfter, rowsAfter, deleteId)
+      } finally k.unpersist()
+    } finally {
+      if (externalLease.isEmpty) releaseLease(fs, lakeDir, deleteId)
     }
   }
 

@@ -44,10 +44,13 @@ object LakeTimeTravel {
   private[io] val HistoryDirName = "_history"
   private[io] val CommitsDirName = "_commits"
 
-  /** One committed writer run, as recorded in `_commits/<seq>.json`. */
+  /** One committed writer run, as recorded in `_commits/<seq>.json`.
+    * `created` partitions had no pre-image (born at this commit);
+    * `dropped` partitions were emptied by a delete (E174) and have no
+    * post-image. */
   final case class CommitRecord(seq: Long, mergeId: String, op: String,
       partitionCol: String, partitions: Seq[String], created: Seq[String],
-      retained: Boolean)
+      retained: Boolean, dropped: Seq[String] = Seq.empty)
 
   private[io] def commitsDir(lakeDir: String) = new Path(lakeDir, CommitsDirName)
 
@@ -73,6 +76,7 @@ object LakeTimeTravel {
         s""""partition_col":"${r.partitionCol}",""" +
         s""""retained":"${if (r.retained) "1" else "0"}",""" +
         s""""partitions":${arr(r.partitions)},""" +
+        s""""dropped":${arr(r.dropped)},""" +
         s""""created":${arr(r.created)}}"""
     val tmp = new Path(lakeDir, s".commit-${r.seq}-${r.mergeId}.tmp")
     val out = fs.create(tmp, true)
@@ -103,7 +107,8 @@ object LakeTimeTravel {
               s"corrupt commit record at $p: missing $name in: $txt"))
         CommitRecord(str("seq").toLong, str("merge_id"), str("op"),
           str("partition_col"), list("partitions"), list("created"),
-          str("retained") == "1")
+          str("retained") == "1",
+          LakeMerge.jsonList(txt, "dropped").getOrElse(Seq.empty))
       }
       .sortBy(_.seq)
   }
@@ -129,7 +134,7 @@ object LakeTimeTravel {
     val pending = LakeMerge.readManifest(fs, lakeDir)
     val pendingRec = pending.flatMap { m =>
       m.histSeq.map(seq => CommitRecord(seq, m.mergeId, m.op,
-        m.partitionCol, m.partitions, m.created, m.retainHist))
+        m.partitionCol, m.partitions, m.created, m.retainHist, m.dropped))
     }
     pending.foreach(m => require(m.histSeq.nonEmpty || recorded.isEmpty,
       s"pending merge ${m.mergeId} carries no commit seq although the " +
@@ -164,10 +169,13 @@ object LakeTimeTravel {
 
     // partitions of an INCLUDED pending commit (pendingSeq ≤ asOfSeq) are
     // mid-swap: the committed content is the staged copy where the swap
-    // has not landed — the readLake committed-view resolution
+    // has not landed — the readLake committed-view resolution — and a
+    // pending-DROPPED partition's committed content is EMPTY (E174)
     val pendingIncluded: Set[String] = pendingRec
       .filter(_.seq <= asOfSeq).map(_.partitions.toSet)
       .getOrElse(Set.empty)
+    val pendingDropped: Set[String] = pendingRec
+      .map(_.dropped.toSet).getOrElse(Set.empty)
 
     final case class Sources(liveDirs: Vector[String],
         litDirs: Vector[(String, String)]) // (dir, restoredValue)
@@ -175,11 +183,14 @@ object LakeTimeTravel {
       (acc, v) =>
         touchedFirst.get(v) match {
           case None if pendingIncluded.contains(v) =>
-            val staged = new Path(new Path(lakeDir, pending.get.staging),
-              s"$partitionCol=$v")
-            val dir = if (fs.exists(staged)) staged.toString
-                      else s"$lakeDir/$partitionCol=$v"
-            acc.copy(litDirs = acc.litDirs :+ ((dir, v)))
+            if (pendingDropped.contains(v)) acc // deleted at the pending seq
+            else {
+              val staged = new Path(new Path(lakeDir, pending.get.staging),
+                s"$partitionCol=$v")
+              val dir = if (fs.exists(staged)) staged.toString
+                        else s"$lakeDir/$partitionCol=$v"
+              acc.copy(litDirs = acc.litDirs :+ ((dir, v)))
+            }
           case None =>
             acc.copy(liveDirs = acc.liveDirs :+
               LakeMerge.escapeGlob(s"$lakeDir/$partitionCol=$v"))
@@ -192,13 +203,17 @@ object LakeTimeTravel {
                 "re-run writers with retainHistory = true to keep " +
                 "snapshots readable")
             val hist = new Path(historyDir(lakeDir, c.seq), s"$partitionCol=$v")
+            val pendingHere = pendingRec.exists(_.seq == c.seq)
             if (fs.exists(hist))
               acc.copy(litDirs = acc.litDirs :+ ((hist.toString, v)))
-            else if (pendingRec.exists(_.seq == c.seq) &&
-                fs.exists(new Path(new Path(lakeDir, pending.get.staging),
-                  s"$partitionCol=$v")))
-              // the pending commit has not swapped this partition yet —
-              // live still IS the pre-image
+            else if (pendingHere &&
+                (fs.exists(new Path(new Path(lakeDir, pending.get.staging),
+                    s"$partitionCol=$v")) ||
+                  (c.dropped.contains(v) &&
+                    fs.exists(new Path(lakeDir, s"$partitionCol=$v")))))
+              // the pending commit has not swapped (or, for a pending
+              // DROP, not parked) this partition yet — live still IS the
+              // pre-image
               acc.copy(litDirs = acc.litDirs :+
                 ((s"$lakeDir/$partitionCol=$v", v)))
             else throw new IllegalStateException(
