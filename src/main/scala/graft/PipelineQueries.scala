@@ -3980,6 +3980,45 @@ object PipelineQueries {
              |  FROM cur WHERE doc_id IN (SELECT doc_id FROM ks)
              |UNION ALL
              |SELECT doc_id, source, text, 'kept' AS change_type
-             |  FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM ks)""".stripMargin))
+             |  FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM ks)""".stripMargin)),
+
+    // ---- incremental aggregate maintenance from the change feed (E175) -----
+    // Classic IVM over additive aggregates: the per-source (count, char-sum)
+    // card numbers maintained through TWO feed commits — a re-crawl merge
+    // (insert/pre/post images) then a purge (delete images) — must equal the
+    // direct recompute over the final corpus. The oracle computes the direct
+    // side; the Spark side never touches the final corpus, only snapshot-0
+    // plus the two pure feeds, so equality IS the maintenance proof.
+    "q_agg_maintain" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source", "text")
+        val cur = d.filter(col("doc_id") % 7 =!= 0)
+        val upd = d.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(lit("v2:"), substring(col("text"), 1, 40)))
+        val merged = cur.join(upd, Seq("doc_id"), "left_anti").unionByName(upd)
+        val delKeys = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+        val measures = Seq("chars" -> length(col("text")))
+        val agg0 = graft.io.FeedMaintain.snapshotAgg(cur, Seq("source"), measures)
+        val afterMerge = graft.io.FeedMaintain.maintain(agg0,
+          graft.io.LakeMerge.changeFeed(Some(cur), upd, Seq("doc_id")),
+          Seq("source"), measures)
+        graft.io.FeedMaintain.maintain(afterMerge,
+          graft.io.LakeMerge.deleteFeed(merged, delKeys, Seq("doc_id")),
+          Seq("source"), measures)
+      },
+      Some("""WITH cur AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+             |upd AS (
+             |  SELECT doc_id, source, 'v2:' || substr(text, 1, 40) AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |merged AS (
+             |  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+             |  UNION ALL SELECT * FROM upd),
+             |final AS (
+             |  SELECT * FROM merged
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0))
+             |SELECT source, COUNT(*) AS n_rows,
+             |  CAST(SUM(length(text)) AS BIGINT) AS chars
+             |FROM final GROUP BY source""".stripMargin))
   )
 }

@@ -1392,6 +1392,51 @@ object ScaleSmoke {
     println(s"""{"metric":"lake_time_travel_scale","days":$lakeDays,""" +
       s""""snapshot_read_seconds":$snapSecs,"history_partitions":1}""")
 
+    // ---- keyed delete (E174) + feed-driven agg maintenance (E175) --------
+    // the GDPR purge: one station's day, purge batch ASSERTING its
+    // partition — exactly 1 of 120 partitions rewritten, shuffle bounded
+    // by that partition (never the lake). The captured delete feed then
+    // maintains a per-station aggregate: fold cost rides the 96-row FEED
+    // into the 500-group table, and equals the direct recompute of the
+    // post-purge lake (the IVM contract that retires the per-publish
+    // full-scan tax).
+    val aggMeasures = Seq("v_sum" -> (col("value") * 1000).cast("long"))
+    val agg0 = graft.io.FeedMaintain.snapshotAgg(
+      graft.io.LakeMerge.readLake(spark, lakeDir), Seq("tms_id"), aggMeasures)
+      .localCheckpoint(true)
+    val purgeBatch = pointUpdates3
+      .filter(col("tms_id") === "wl_0")
+      .select("tms_id", "fgt", "time", "part_date")
+    val (delStats, delShuffle, _, delSecs) = sectionShuffle {
+      graft.io.LakeMerge.delete(spark, lakeDir, purgeBatch,
+        captureChanges = true)
+    }
+    require(delStats.partitionsAffected == 1
+      && delStats.partitionsTotal == lakeDays
+      && delStats.rowsDeleted == stepsPerDay,
+      s"asserted-partition purge must rewrite 1 of $lakeDays: $delStats")
+    require(delShuffle < 64L * 1024 * 1024,
+      s"purge shuffled $delShuffle bytes — the lake is being moved")
+    val delFeed = graft.io.LakeMerge.readChanges(spark, lakeDir, sinceSeq = 0L)
+    val (maintained, maintainShuffle, _, maintainSecs) = sectionShuffle {
+      graft.io.FeedMaintain.maintain(agg0, delFeed, Seq("tms_id"),
+        aggMeasures).localCheckpoint(true)
+    }
+    val direct = graft.io.FeedMaintain.snapshotAgg(
+      graft.io.LakeMerge.readLake(spark, lakeDir), Seq("tms_id"), aggMeasures)
+    require(maintained.count() == direct.count()
+      && maintained.unionByName(direct).distinct().count() == direct.count(),
+      "feed-maintained aggregate must equal the direct recompute exactly")
+    // the fold's shuffle is feed+groups-sized: 96 feed rows + 500 groups
+    require(maintainShuffle < 4L * 1024 * 1024,
+      s"maintenance fold shuffled $maintainShuffle bytes — it is re-" +
+        "scanning the lake instead of riding the feed")
+    maintained.unpersist(); agg0.unpersist()
+    println(s"""{"metric":"lake_delete_scale","purged_rows":$stepsPerDay,""" +
+      s""""delete_seconds":$delSecs,"delete_shuffle_bytes":$delShuffle,""" +
+      s""""maintain_seconds":$maintainSecs,""" +
+      s""""maintain_shuffle_bytes":$maintainShuffle}""")
+
     // ---- embedding lake grown by APPEND: frozen-codebook ingest ---------
     // 200 k vectors written once, 20 k appended against the PERSISTED
     // codebook (ingest = one map pass, no retrain, files only added);

@@ -66,7 +66,8 @@ object FeedMaintain {
     * feed — any frame carrying [[LakeMerge.ChangeTypeCol]] plus the
     * lake's columns) into a previously computed [[snapshotAgg]].
     * `groupCols`/`measures` must be the ones the aggregate was built
-    * with. Returns the maintained aggregate, same schema. */
+    * with. Returns the maintained aggregate, same schema. Pure-frame
+    * form; [[foldInto]] is the stored/effectively-once twin. */
   def maintain(agg: DataFrame, changes: DataFrame, groupCols: Seq[String],
       measures: Seq[(String, Column)]): DataFrame = {
     val names = measures.map(_._1)
@@ -87,5 +88,77 @@ object FeedMaintain {
       .agg(sum(col("n_rows")).as("n_rows"),
         names.map(n => sum(col(n)).as(n)): _*)
       .filter(col("n_rows") > 0)
+  }
+
+  // ---- the aggregate MAINTAINED ON DISK (E176: the streaming consumer) --
+
+  /** Initialize a stored maintained aggregate at `aggDir` from a
+    * snapshot: [[snapshotAgg]] stamped with `as_of_seq` — the change-feed
+    * seq the snapshot already INCLUDES (−1 for a snapshot taken before
+    * any captured commit). The stamp is the fold's idempotency
+    * watermark; get it wrong and the aggregate double-counts or skips a
+    * commit, so seed from a snapshot read in the same lease-quiet moment
+    * the seq was observed. Refuses to overwrite an existing aggregate. */
+  def seedAggregate(snapshot: DataFrame, aggDir: String,
+      groupCols: Seq[String], measures: Seq[(String, Column)],
+      asOfSeq: Long = -1L): Unit =
+    snapshotAgg(snapshot, groupCols, measures)
+      .withColumn("as_of_seq", lit(asOfSeq))
+      .write.mode("errorifexists").parquet(aggDir)
+
+  /** Read the stored aggregate, resolved through any mid-replacement
+    * state without mutating ([[LakeMerge.resolveReplacedDir]] — the
+    * reader discipline shared with the lake-maintained integrity
+    * manifest). */
+  def readAggregate(spark: org.apache.spark.sql.SparkSession,
+      aggDir: String): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(aggDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = LakeMerge.resolveReplacedDir(fs, live)
+    require(fs.exists(dir),
+      s"no maintained aggregate at $aggDir — seed it with seedAggregate")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Fold one delivered slice of the change feed (rows carrying a `seq`
+    * column — a [[graft.streaming.StreamOps.changesStream]] micro-batch,
+    * or a [[LakeMerge.readChanges]] read) into the STORED aggregate at
+    * `aggDir`, EFFECTIVELY ONCE: rows with `seq` ≤ the stored
+    * `as_of_seq` stamp are dropped before the fold, so an at-least-once
+    * redelivery (foreachBatch crash-replay, a restarted stream with a
+    * fresh checkpoint) is a no-op instead of a double-count — the
+    * additive fold is not idempotent by itself, the watermark makes it
+    * so. The refreshed aggregate swaps in atomically
+    * ([[LakeMerge.atomicReplaceDir]]); a crash mid-swap heals at the
+    * next fold (writer-side recover — single-consumer contract, like
+    * every stored-artifact writer here). Partial slices are safe:
+    * whole feed COMMITS are the delivery unit (a `_changes/seq=N`
+    * directory's files all carry that seq, and the file source delivers
+    * whole files), so a slice never splits a commit. */
+  def foldInto(changes: DataFrame, aggDir: String, groupCols: Seq[String],
+      measures: Seq[(String, Column)]): Unit = {
+    val spark = changes.sparkSession
+    val live = new org.apache.hadoop.fs.Path(aggDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    LakeMerge.recoverReplacedDir(fs, live)
+    require(fs.exists(live),
+      s"no maintained aggregate at $aggDir — seed it with seedAggregate")
+    val agg = spark.read.parquet(live.toString)
+    val storedSeq = agg.agg(max(col("as_of_seq"))).head().getLong(0)
+    val fresh = changes.withColumn("seq", col("seq").cast("long"))
+      .filter(col("seq") > storedSeq)
+      .localCheckpoint(true) // evaluated twice (watermark probe + fold)
+    try {
+      val hi = fresh.agg(max(col("seq"))).head()
+      if (!hi.isNullAt(0)) {
+        val maintained = maintain(agg.drop("as_of_seq"), fresh,
+            groupCols, measures)
+          .withColumn("as_of_seq", lit(hi.getLong(0)))
+          .localCheckpoint(true) // must not re-read aggDir mid-swap
+        try LakeMerge.atomicReplaceDir(fs, live) { tmp =>
+          maintained.write.mode("overwrite").parquet(tmp.toString)
+        } finally maintained.unpersist()
+      }
+    } finally fresh.unpersist()
   }
 }

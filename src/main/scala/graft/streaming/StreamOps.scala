@@ -122,6 +122,45 @@ object StreamOps {
         () // discard stats: DataStreamWriter's foreachBatch wants Unit
       }
 
+  /** STREAM the lake's published change feed (E176): a file source over
+    * `_changes/` — each commit a merge/delete publishes as `seq=N/`
+    * appears to the stream as new files, so the feed doubles as a
+    * message log without any broker (the Delta "streaming source"
+    * posture). Data schema is probed from the already-published feed
+    * (the source requires one), `seq` rides as the directory-partition
+    * column cast long. Requires at least one captured commit — the
+    * schema cannot be invented before the feed exists. */
+  def changesStream(spark: SparkSession, lakeDir: String): DataFrame = {
+    val dir = s"$lakeDir/_changes"
+    val batchView = spark.read.option("basePath", dir).parquet(dir)
+    spark.readStream.schema(batchView.schema)
+      .option("basePath", dir).parquet(dir)
+      .withColumn("seq", col("seq").cast("long"))
+  }
+
+  /** Sink a change-feed stream into a STORED maintained aggregate
+    * (E175's IVM fold as a live consumer): each micro-batch folds
+    * through [[graft.io.FeedMaintain.foldInto]], whose `as_of_seq`
+    * watermark turns foreachBatch's at-least-once redelivery into
+    * effectively-once — a replayed batch's commits are ≤ the stamp and
+    * drop out before the fold (the additive fold is NOT idempotent by
+    * itself; contrast [[lakeMergeSink]], where the keyed merge is).
+    * Seed `aggDir` with [[graft.io.FeedMaintain.seedAggregate]] before
+    * the first batch. */
+  def feedMaintainSink(changes: DataFrame, aggDir: String,
+      groupCols: Seq[String],
+      measures: Seq[(String, org.apache.spark.sql.Column)],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.FeedMaintain.foldInto(batch, aggDir, groupCols, measures)
+      }
+
   /** Horizon-filtered enriched extraction stream: the streaming form of the
     * extract path's F2 + X14 steps (cutoff filter + hash-id derivation). */
   def enrichForecast(stream: DataFrame, cutoff: String,

@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental aggregate maintenance from the change feed (E175):
+  * folding a feed sequence into a snapshot-0 additive aggregate equals
+  * the direct recompute over the final snapshot — exactly, for integer
+  * measures — including through deletes, group extinction, and
+  * commit-at-a-time vs all-at-once folding. */
+class FeedMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("tms_id", "fgt", "time")
+  private val measures = Seq("v_sum" -> (col("value") * 100).cast("long"))
+
+  private def batch(ids: Seq[String], fgt: String, times: Seq[String],
+      v: (String, String) => Double): DataFrame =
+    LakeMerge.withPartDate(
+      ids.flatMap(id => times.map(t => (id, fgt, t, v(id, t))))
+        .toDF("tms_id", "fgt", "time", "value"))
+
+  private def aggRows(df: DataFrame): Seq[(String, Long, Long)] =
+    df.select("tms_id", "n_rows", "v_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+  private val fgt = "2024-01-03 06:00:00"
+  private val day1 = Seq("2024-01-01 00:00:00", "2024-01-01 12:00:00")
+  private val day2 = Seq("2024-01-02 00:00:00", "2024-01-02 12:00:00")
+
+  test("maintained through a lake's published merge+delete feed == direct recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("feedmaint").toString + "/lake"
+    val b0 = batch(Seq("wl_a", "wl_b", "wl_c"), fgt, day1 ++ day2,
+      (id, t) => id.length + t.takeRight(8).take(2).toDouble)
+    LakeMerge.writeLake(b0, dir)
+    val agg0 = FeedMaintain.snapshotAgg(
+      LakeMerge.readLake(spark, dir), Seq("tms_id"), measures)
+      .localCheckpoint(true)
+
+    // commit 0: a re-crawl merge (updates day-2 values, adds a day-2 row)
+    val b1 = batch(Seq("wl_a", "wl_b"), fgt, day2, (_, _) => 42.5)
+      .unionByName(batch(Seq("wl_d"), fgt, day2.take(1), (_, _) => 7.0))
+    LakeMerge.merge(spark, dir, b1, keys, captureChanges = true)
+    // commit 1: a purge (all of wl_c, one wl_a row)
+    val purge = day1.map(t => ("wl_c", fgt, t)).toDF("tms_id", "fgt", "time")
+      .unionByName(day2.map(t => ("wl_c", fgt, t)).toDF("tms_id", "fgt", "time"))
+      .unionByName(Seq(("wl_a", fgt, day1.head)).toDF("tms_id", "fgt", "time"))
+    LakeMerge.delete(spark, dir, purge, keys, captureChanges = true)
+
+    val direct = aggRows(FeedMaintain.snapshotAgg(
+      LakeMerge.readLake(spark, dir), Seq("tms_id"), measures))
+
+    // all commits folded at once
+    val allChanges = LakeMerge.readChanges(spark, dir)
+    assert(aggRows(FeedMaintain.maintain(agg0, allChanges,
+      Seq("tms_id"), measures)) === direct)
+
+    // commit-at-a-time folding agrees (the fold is associative)
+    val step1 = FeedMaintain.maintain(agg0,
+      allChanges.filter(col("seq") === 0), Seq("tms_id"), measures)
+    val step2 = FeedMaintain.maintain(step1,
+      allChanges.filter(col("seq") === 1), Seq("tms_id"), measures)
+    assert(aggRows(step2) === direct)
+
+    // group extinction: wl_c retracted to zero rows must be ABSENT, not
+    // a zero row (the direct recompute never emits it)
+    assert(!direct.exists(_._1 == "wl_c"))
+    agg0.unpersist()
+  }
+
+  test("pure-feed maintenance equals direct recompute; unknown change type refuses") {
+    val cur = batch(Seq("wl_a", "wl_b"), fgt, day1 ++ day2,
+      (id, t) => id.length + t.takeRight(8).take(2).toDouble)
+    val upd = batch(Seq("wl_a", "wl_x"), fgt, day2, (_, _) => 3.25)
+    val post = cur.join(upd, keys, "left_anti").unionByName(upd)
+    val maintained = FeedMaintain.maintain(
+      FeedMaintain.snapshotAgg(cur, Seq("tms_id"), measures),
+      LakeMerge.changeFeed(Some(cur), upd, keys), Seq("tms_id"), measures)
+    assert(aggRows(maintained) ===
+      aggRows(FeedMaintain.snapshotAgg(post, Seq("tms_id"), measures)))
+
+    val bogus = cur.withColumn(LakeMerge.ChangeTypeCol, lit("upsert"))
+    val e = intercept[Exception] {
+      FeedMaintain.maintain(
+        FeedMaintain.snapshotAgg(cur, Seq("tms_id"), measures),
+        bogus, Seq("tms_id"), measures).collect()
+    }
+    assert(e.getMessage.contains("unknown change type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown change type")),
+      s"unknown change type must refuse loudly: $e")
+
+    // a malformed aggregate (missing the measure column) refuses at entry
+    val e2 = intercept[IllegalArgumentException] {
+      FeedMaintain.maintain(cur, bogus, Seq("tms_id"), measures)
+    }
+    assert(e2.getMessage.contains("snapshotAgg"), e2.getMessage)
+  }
+}

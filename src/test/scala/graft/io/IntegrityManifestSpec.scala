@@ -208,6 +208,46 @@ class IntegrityManifestSpec extends SparkSpec {
       .forall(!_.getPath.getName.startsWith("._integrity_pending")))
   }
 
+  test("deleteAndMaintain: the fingerprint forgets purged docs, hash-exact to full") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("im-delete").toString
+    def full(): Map[Long, (Long, String)] = byGrp(IntegrityManifest.manifest(
+      LakeMerge.readLake(spark, dir, "part"), "doc_id", "text", groups = 8))
+    val docs = (0L until 60L)
+      .map(i => (i, s"doc $i", f"2024-03-${(i % 3) + 1}%02d"))
+      .toDF("doc_id", "text", "part")
+    LakeMerge.writeLake(docs, dir, partitionCol = "part",
+      seriesCol = "doc_id", timeCol = "doc_id")
+    IntegrityManifest.mergeAndMaintain(spark, dir,
+      Seq((100L, "new 100", "2024-03-01")).toDF("doc_id", "text", "part"),
+      "doc_id", "text", partitionCol = "part", groups = 8)
+
+    // the purge: a spread of ids across groups — the stored manifest must
+    // STOP attesting them (the erasure loop the lake-maintained
+    // fingerprint exists to close) and stay hash-exact to a recompute
+    val purged = Seq(3L, 7L, 21L, 100L)
+    val before = byGrp(IntegrityManifest.readLakeManifest(spark, dir).get
+      .drop("as_of"))
+    val s = IntegrityManifest.deleteAndMaintain(spark, dir,
+      purged.map(i => Tuple1(i)).toDF("doc_id"), "doc_id", "text",
+      partitionCol = "part", groups = 8)
+    assert(s.rowsDeleted === 4L, s"$s")
+    val m = IntegrityManifest.readLakeManifest(spark, dir).get
+    assert(byGrp(m.drop("as_of")) === full(),
+      "post-purge manifest must equal the full recompute")
+    assert(byGrp(m.drop("as_of")) !== before,
+      "the purge must actually change the fingerprint")
+    assert(m.select("as_of").distinct().head.getString(0) === s.deleteId)
+
+    // the purge keys must include the manifest id column
+    val e = intercept[IllegalArgumentException] {
+      IntegrityManifest.deleteAndMaintain(spark, dir,
+        Seq(Tuple1("x")).toDF("other"), "doc_id", "text",
+        keyCols = Seq("other"), partitionCol = "part", groups = 8)
+    }
+    assert(e.getMessage.contains("must include"), e.getMessage)
+  }
+
   test("two-level chain: 2^20 groups work, sub level is exercised, buffers bound") {
     // a small corpus under a HUGE group space: routing must not overflow,
     // and the root/replay machinery is routing-width-agnostic

@@ -266,6 +266,25 @@ class PlanAuditSpec extends SparkSpec {
       "change-feed splits must stay key-equi joins:\n" + plan.take(1500))
   }
 
+  test("q_lake_delete and q_agg_maintain: purge/feed sides broadcast, no cartesian") {
+    // E174's pure delete semantics and E175's IVM fold: every join is a
+    // key-equi broadcast of the dimension-sized purge set — the corpus
+    // side never shuffles for a join — and the maintenance fold's only
+    // exchanges are the groupBy hash partitionings (feed- and
+    // groups-sized), with map-side partial sums
+    for (q <- Seq("q_lake_delete", "q_agg_maintain")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n" + plan.take(1200))
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("SortMergeJoin"),
+        s"$q must keep the purge/update set broadcast:\n" + plan.take(1500))
+    }
+    val m = executedPlan("q_agg_maintain")
+    assert(m.contains("partial_sum") || m.contains("partial_count"),
+      "the IVM fold must combine map-side:\n" + m.take(1500))
+  }
+
   test("q_text_gopher is one shuffle-free select over the scan") {
     // HOF lambdas are CodegenFallback, so the rule arithmetic evaluates
     // interpreted — but in ONE map-side Project with no Exchange: still a

@@ -202,6 +202,85 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changesStream -> feedMaintainSink: live IVM over the feed, effectively-once") {
+    import graft.io.{FeedMaintain, LakeMerge}
+    val root = java.nio.file.Files.createTempDirectory("feedstream").toString
+    val (lakeDir, aggDir) = (s"$root/lake", s"$root/agg")
+    val fgt = "2024-01-02 06:00:00"
+    val keys = Seq("tms_id", "fgt", "time")
+    val measures = Seq("v_sum" -> (col("value") * 100).cast("long"))
+    def mkBatch(rows: Seq[(String, String, String, Double)]) =
+      LakeMerge.withPartDate(rows.toDF("tms_id", "fgt", "time", "value"))
+    LakeMerge.writeLake(mkBatch(Seq(
+      ("wl_a", fgt, "2024-01-01 00:00:00", 1.0),
+      ("wl_a", fgt, "2024-01-02 00:00:00", 2.0),
+      ("wl_b", fgt, "2024-01-01 00:00:00", 3.0))), lakeDir)
+
+    // seq 0 captured, THEN the aggregate seeded from the post-seq-0
+    // snapshot (stamp 0) — the stream must skip 0 and fold 1..2
+    LakeMerge.merge(spark, lakeDir, mkBatch(Seq(
+      ("wl_a", fgt, "2024-01-01 00:00:00", 1.5),
+      ("wl_c", fgt, "2024-01-02 00:00:00", 4.0))), keys,
+      captureChanges = true)
+    FeedMaintain.seedAggregate(LakeMerge.readLake(spark, lakeDir), aggDir,
+      Seq("tms_id"), measures, asOfSeq = 0L)
+    LakeMerge.merge(spark, lakeDir, mkBatch(Seq(
+      ("wl_b", fgt, "2024-01-01 00:00:00", 3.25))), keys,
+      captureChanges = true) // seq 1
+    LakeMerge.delete(spark, lakeDir,
+      Seq(("wl_a", fgt, "2024-01-02 00:00:00")).toDF("tms_id", "fgt", "time"),
+      keys, captureChanges = true) // seq 2
+
+    def direct() = FeedMaintain.snapshotAgg(
+      LakeMerge.readLake(spark, lakeDir), Seq("tms_id"), measures)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    def stored() = FeedMaintain.readAggregate(spark, aggDir)
+      .select("tms_id", "n_rows", "v_sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+    val ckpt1 = java.nio.file.Files.createTempDirectory("feedckpt1").toString
+    val q1 = StreamOps.feedMaintainSink(
+      StreamOps.changesStream(spark, lakeDir), aggDir, Seq("tms_id"),
+      measures, ckpt1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(stored() === direct(),
+      "the streamed fold must equal the direct recompute")
+    assert(FeedMaintain.readAggregate(spark, aggDir)
+      .agg(max(col("as_of_seq"))).head().getLong(0) === 2L)
+
+    // FULL redelivery (fresh checkpoint replays every commit): the
+    // as_of_seq watermark must absorb it — no double-count
+    val ckpt2 = java.nio.file.Files.createTempDirectory("feedckpt2").toString
+    val q2 = StreamOps.feedMaintainSink(
+      StreamOps.changesStream(spark, lakeDir), aggDir, Seq("tms_id"),
+      measures, ckpt2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(stored() === direct(),
+      "a fully replayed feed must be absorbed by the seq watermark")
+
+    // a LIVE commit while a consumer runs: picked up and folded
+    val ckpt3 = java.nio.file.Files.createTempDirectory("feedckpt3").toString
+    val q3 = StreamOps.feedMaintainSink(
+      StreamOps.changesStream(spark, lakeDir), aggDir, Seq("tms_id"),
+      measures, ckpt3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      LakeMerge.merge(spark, lakeDir, mkBatch(Seq(
+        ("wl_d", fgt, "2024-01-01 00:00:00", 8.0))), keys,
+        captureChanges = true) // seq 3
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(stored() === direct(),
+      "a commit published while the consumer runs must fold in")
+  }
+
   test("runningSeriesStats: mapGroupsWithState folds state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
