@@ -1,0 +1,163 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
+
+/** Lake ADMINISTRATION — the operational surface of the copy-on-write
+  * lake's maintenance quartet (merge is the pipelines' job; everything
+  * an operator runs by hand or cron lives here), one `--op` per duty:
+  *
+  *   - `recover`   roll an interrupted writer forward / GC pre-commit
+  *                 debris ([[LakeMerge.recover]])
+  *   - `compact`   small-file OPTIMIZE, worst offenders first
+  *                 (E171 [[LakeMerge.compactPartitions]])
+  *   - `vacuum`    drop pre-images older snapshots need
+  *                 (E173 [[LakeTimeTravel.vacuum]])
+  *   - `vacuum-changes` drop feed commits every consumer has passed
+  *                 (E172 [[LakeMerge.vacuumChanges]], `--consumed-seq`)
+  *   - `delete`    keyed purge, keys from a parquet file
+  *                 (E174 [[LakeMerge.delete]] — GDPR/takedown batches
+  *                 arrive as files, not code)
+  *   - `log`       print the commit log as JSON lines
+  *                 ([[LakeTimeTravel.readCommits]])
+  *   - `snapshot`  export the lake as of a commit seq
+  *                 ([[LakeTimeTravel.readLakeAsOf]] → `--out`)
+  *   - `changes`   export the change feed since a seq
+  *                 (E172 [[LakeMerge.readChanges]] → `--out`)
+  *   - `integrity` print the stored manifest's root + as_of stamp
+  *                 (E170 [[IntegrityManifest.readLakeManifest]])
+  *
+  * Every op prints ONE summary JSON line (the cron-log contract shared
+  * by the other CLIs); mutating ops ride the writers' own lease/
+  * manifest machinery, so concurrent admin vs pipeline runs fail fast
+  * instead of corrupting.
+  *
+  * `runMain graft.cli.LakeAdmin --op <op> --lake <dir>
+  *   [--partition-col part_date] [--series-col tms_id] [--time-col time]
+  *   [--target-file-mb 128] [--max-partitions N] [--retain-history true]
+  *   [--oldest-asof N] [--consumed-seq N] [--keys <parquet>] [--key-cols a,b,c]
+  *   [--capture-changes true] [--asof N] [--since N] [--out <dir>]`
+  */
+object LakeAdmin {
+
+  def run(spark: SparkSession, args: Map[String, String]): Map[String, String] = {
+    val lake = args.getOrElse("lake",
+      throw new IllegalArgumentException("--lake <dir> is required"))
+    val partCol = args.getOrElse("partition-col", "part_date")
+    val seriesCol = args.getOrElse("series-col", "tms_id")
+    val timeCol = args.getOrElse("time-col", "time")
+    val retain = args.get("retain-history").exists(_.toBoolean)
+    val op = args.getOrElse("op",
+      throw new IllegalArgumentException("--op <recover|compact|vacuum|" +
+        "vacuum-changes|delete|log|snapshot|changes|integrity> is required"))
+
+    val result: Map[String, String] = op match {
+      case "recover" =>
+        Map("recovered" -> LakeMerge.recover(spark, lake).toString)
+
+      case "compact" =>
+        val s = LakeMerge.compactPartitions(spark, lake,
+          targetFileBytes =
+            args.getOrElse("target-file-mb", "128").toLong * 1024 * 1024,
+          partitionCol = partCol, seriesCol = seriesCol, timeCol = timeCol,
+          maxPartitions = args.get("max-partitions").map(_.toInt)
+            .getOrElse(Int.MaxValue),
+          retainHistory = retain)
+        Map("partitions_total" -> s.partitionsTotal.toString,
+          "partitions_compacted" -> s.partitionsCompacted.toString,
+          "files_before" -> s.filesBefore.toString,
+          "files_after" -> s.filesAfter.toString)
+
+      case "vacuum" =>
+        val oldest = args.getOrElse("oldest-asof",
+          throw new IllegalArgumentException(
+            "--oldest-asof <commit seq> is required for vacuum")).toLong
+        Map("history_dirs_removed" ->
+          LakeTimeTravel.vacuum(spark, lake, oldest).toString)
+
+      case "vacuum-changes" =>
+        val consumed = args.getOrElse("consumed-seq",
+          throw new IllegalArgumentException(
+            "--consumed-seq <feed seq> is required for vacuum-changes")).toLong
+        Map("feed_commits_removed" ->
+          LakeMerge.vacuumChanges(spark, lake, consumed).toString)
+
+      case "delete" =>
+        val keysPath = args.getOrElse("keys",
+          throw new IllegalArgumentException(
+            "--keys <parquet of purge keys> is required for delete"))
+        val keyCols = args.getOrElse("key-cols", "tms_id,fgt,time")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val s = LakeMerge.delete(spark, lake,
+          spark.read.parquet(keysPath), keyCols,
+          partitionCol = partCol, seriesCol = seriesCol, timeCol = timeCol,
+          captureChanges = args.get("capture-changes").exists(_.toBoolean),
+          retainHistory = retain)
+        Map("partitions_affected" -> s.partitionsAffected.toString,
+          "partitions_dropped" -> s.partitionsDropped.toString,
+          "rows_deleted" -> s.rowsDeleted.toString,
+          "delete_id" -> s.deleteId)
+
+      case "log" =>
+        val commits = LakeTimeTravel.readCommits(spark, lake)
+        commits.foreach { c =>
+          println(s"""{"seq":${c.seq},"op":"${c.op}",""" +
+            s""""merge_id":"${c.mergeId}","retained":${c.retained},""" +
+            s""""partitions":${c.partitions.length},""" +
+            s""""created":${c.created.length},""" +
+            s""""dropped":${c.dropped.length}}""")
+        }
+        Map("commits" -> commits.length.toString)
+
+      case "snapshot" =>
+        val asOf = args.getOrElse("asof",
+          throw new IllegalArgumentException(
+            "--asof <commit seq> is required for snapshot")).toLong
+        val out = args.getOrElse("out",
+          throw new IllegalArgumentException("--out <dir> is required"))
+        val snap = LakeTimeTravel.readLakeAsOf(spark, lake, asOf, partCol)
+        snap.write.mode("errorifexists").partitionBy(partCol).parquet(out)
+        Map("asof" -> asOf.toString,
+          "rows" -> spark.read.parquet(out).count().toString)
+
+      case "changes" =>
+        val out = args.getOrElse("out",
+          throw new IllegalArgumentException("--out <dir> is required"))
+        val since = args.getOrElse("since", "-1").toLong
+        val feed = LakeMerge.readChanges(spark, lake, since)
+        feed.write.mode("errorifexists").parquet(out)
+        Map("since" -> since.toString,
+          "rows" -> spark.read.parquet(out).count().toString)
+
+      case "integrity" =>
+        val m = IntegrityManifest.readLakeManifest(spark, lake)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no maintained integrity manifest at $lake/_integrity — " +
+              "write one with IntegrityManifest.mergeAndMaintain/" +
+              "deleteAndMaintain"))
+        val asOf = m.select(col("as_of")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        Map("integrity_root" -> IntegrityManifest.root(m),
+          "as_of" -> asOf.mkString(","),
+          "groups" -> m.count().toString)
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown --op '$other'")
+    }
+    val json = result.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        val quoted =
+          if (v.forall(c => c.isDigit || c == '-') && v.nonEmpty) v
+          else "\"" + v + "\""
+        s""""$k":$quoted"""
+      }
+      .mkString(s"""{"op":"$op",""", ",", "}")
+    println(json)
+    result
+  }
+
+  def main(args: Array[String]): Unit =
+    CliArgs.withSession("lake-admin")(s => run(s, CliArgs.parse(args)))
+}

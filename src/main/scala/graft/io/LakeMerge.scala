@@ -848,6 +848,47 @@ object LakeMerge {
       .filter(col("seq") > sinceSeq)
   }
 
+  /** RETENTION for the change feed: drop published commits with
+    * seq ≤ `consumedSeq` — the GC that keeps `_changes/` from growing
+    * forever once every consumer's watermark has passed them (pair with
+    * [[FeedMaintain.readAggregate]]'s `as_of_seq` stamp: the min stamp
+    * across consumers is the safe horizon). Runs under the writer lease
+    * after healing any crashed writer — a pending merge's UNPUBLISHED
+    * staged feed is never touched (it lives in staging, and its seq is
+    * by construction greater than every published one). Range-checked
+    * like [[LakeTimeTravel.vacuum]]: the lake surfaces two counters
+    * named "seq", and a commit-log seq passed here must not silently
+    * destroy feed history beyond what exists. Deleting consumed commits
+    * is safe for NEW consumers only from a fresh snapshot seed — a
+    * consumer seeded at `as_of_seq < consumedSeq` would find its next
+    * commits gone and must re-seed; that is the same contract as Delta's
+    * CDF retention. Returns the number of commits removed. */
+  def vacuumChanges(spark: SparkSession, lakeDir: String, consumedSeq: Long,
+      leaseStaleMs: Long = 15L * 60 * 1000): Int = {
+    val fs = hadoopFs(spark, lakeDir)
+    val writerId = java.util.UUID.randomUUID.toString
+    acquireLease(fs, lakeDir, writerId, leaseStaleMs)
+    try {
+      recover(spark, lakeDir)
+      val dir = new Path(lakeDir, ChangesDirName)
+      val published =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("seq="))
+      val maxSeq = published
+        .map(_.getName.stripPrefix("seq=").toLong)
+        .foldLeft(-1L)(math.max)
+      require(consumedSeq <= maxSeq,
+        s"vacuumChanges consumedSeq $consumedSeq exceeds the published " +
+          s"feed range (max $maxSeq) — is this a commit-log seq? " +
+          "vacuumChanges takes a change-feed seq")
+      val victims = published
+        .filter(_.getName.stripPrefix("seq=").toLong <= consumedSeq)
+      victims.foreach(p => fs.delete(p, true))
+      victims.length
+    } finally releaseLease(fs, lakeDir, writerId)
+  }
+
   /** Explicit pruned read of the named partitions: one read per affected
     * directory with the partition value restored as a literal — never a
     * full-lake scan, and immune to partition-column type inference
