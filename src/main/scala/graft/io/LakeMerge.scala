@@ -108,6 +108,8 @@ object LakeMerge {
   private val LeaseName = "_merge_lease"
   private val ChangesDirName = "_changes"
   private val ChangeFeedStagedName = "_changefeed"
+  private val SchemaPrefix = "_schema-v"
+  private val SchemaSuffix = ".json"
 
   /** The change-type column a change feed carries beside the lake's own
     * columns: `insert` / `update_preimage` / `update_postimage` from a
@@ -231,6 +233,61 @@ object LakeMerge {
       .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
       .map(_.stripPrefix(prefix).stripSuffix(suffix).toLong)
       .foldLeft(-1L)(math.max) + 1L
+
+  // ---- schema evolution (round 15, E178) -------------------------------
+
+  /** The lake's AUTHORITATIVE schema, once evolution has recorded one:
+    * the highest `_schema-vN.json` at the lake root (append-only
+    * versions, each written whole + renamed — a reader sees either the
+    * old max or the new max, never a torn file; the audit trail of
+    * widenings comes free). None on a never-evolved lake — the files'
+    * own footers are then the schema, exactly as before E178. Readers
+    * apply the stored schema to every scan (schema-on-read): parquet
+    * treats columns absent from a file as NULL, so partitions written
+    * before a widening read back null-filled with ZERO rewrite — the
+    * Delta/Iceberg `mergeSchema` posture, without the per-read footer
+    * merge job `spark.read.option("mergeSchema")` would cost at 100 TB. */
+  private[io] def lakeSchema(fs: FileSystem, lakeDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val root = new Path(lakeDir)
+    if (!fs.exists(root)) None
+    else {
+      val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(SchemaPrefix) && n.endsWith(SchemaSuffix))
+        .map(_.stripPrefix(SchemaPrefix).stripSuffix(SchemaSuffix).toLong)
+      if (versions.isEmpty) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(
+          readSmallText(fs,
+            new Path(lakeDir, s"$SchemaPrefix${versions.max}$SchemaSuffix")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Record a widened schema as the next version (tmp + rename; caller
+    * holds the writer lease, which serializes version assignment). */
+  private def writeSchemaVersion(fs: FileSystem, lakeDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val v = nextSeqIn(fs, new Path(lakeDir), SchemaPrefix, SchemaSuffix)
+    val target = new Path(lakeDir, s"$SchemaPrefix$v$SchemaSuffix")
+    val tmp = new Path(lakeDir, s".$SchemaPrefix$v$SchemaSuffix.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, target), s"could not record lake schema at $target")
+  }
+
+  /** The stored schema shaped for a PER-DIRECTORY read (the partition
+    * column lives in the directory name, not the files). */
+  private def dirSchema(stored: Option[org.apache.spark.sql.types.StructType],
+      partitionCol: String): Option[org.apache.spark.sql.types.StructType] =
+    stored.map(s => org.apache.spark.sql.types.StructType(
+      s.filterNot(_.name == partitionCol)))
+
+  /** A parquet reader with the stored schema applied when one exists. */
+  private def readerFor(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.DataFrameReader =
+    schema.foldLeft(spark.read)((r, s) => r.schema(s))
 
   // ---- single-writer lease (round 15) ---------------------------------
 
@@ -612,6 +669,7 @@ object LakeMerge {
       if (s.isDirectory && n.startsWith(StagingPrefix))
         fs.delete(s.getPath, true)
       else if (s.isFile && (n.startsWith(s".$ManifestName.tmp-") ||
+          (n.startsWith(s".$SchemaPrefix") && n.endsWith(".tmp")) ||
           (n.startsWith(".commit-") && n.endsWith(".tmp"))))
         fs.delete(s.getPath, false)
     }
@@ -650,7 +708,7 @@ object LakeMerge {
     val fs = hadoopFs(spark, lakeDir)
     readManifest(fs, lakeDir) match {
       case None =>
-        spark.read.parquet(lakeDir)
+        readerFor(spark, lakeSchema(fs, lakeDir)).parquet(lakeDir)
           .withColumn(partitionCol, col(partitionCol).cast("string"))
       case Some(m) =>
         require(m.partitionCol == partitionCol,
@@ -684,13 +742,15 @@ object LakeMerge {
       : DataFrame = {
     val fs = hadoopFs(spark, lakeDir)
     val staging = new Path(lakeDir, m.staging)
+    val stored = lakeSchema(fs, lakeDir)
     // a DROPPED partition's committed content is EMPTY (E174) — it is
     // simply not read, whether its live dir is already parked or not
     val listed = m.partitions.filterNot(m.dropped.toSet).map { v =>
       val staged = new Path(staging, s"$partitionCol=$v")
       val src = if (fs.exists(staged)) staged.toString
                 else s"$lakeDir/$partitionCol=$v"
-      spark.read.parquet(escapeGlob(src))
+      readerFor(spark, dirSchema(stored, partitionCol))
+        .parquet(escapeGlob(src))
         .withColumn(partitionCol, valueLit(v))
     }
     // untouched partitions: ONE basePath-rooted multi-path read — a
@@ -710,7 +770,7 @@ object LakeMerge {
       .map(v => escapeGlob(s"$lakeDir/$partitionCol=$v"))
     val frames =
       if (untouchedDirs.isEmpty) listed
-      else spark.read.option("basePath", lakeDir)
+      else readerFor(spark, stored).option("basePath", lakeDir)
         .parquet(untouchedDirs: _*)
         .withColumn(partitionCol, colCast(col(partitionCol))) +: listed
     frames.reduce(_ unionByName _)
@@ -898,11 +958,15 @@ object LakeMerge {
   private def readPartitions(spark: SparkSession, lakeDir: String,
       partitionCol: String, values: Seq[String]): Option[DataFrame] = {
     val fs = hadoopFs(spark, lakeDir)
+    // the stored schema (E178) makes mixed-vintage partitions uniform:
+    // files older than a widening read back null-filled
+    val schema = dirSchema(lakeSchema(fs, lakeDir), partitionCol)
     val existing = values.filter(v =>
       fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
     if (existing.isEmpty) None
     else Some(existing.map { v =>
-      spark.read.parquet(escapeGlob(s"$lakeDir/$partitionCol=$v"))
+      readerFor(spark, schema)
+        .parquet(escapeGlob(s"$lakeDir/$partitionCol=$v"))
         .withColumn(partitionCol, lit(v))
     }.reduce(_ unionByName _))
   }
@@ -923,11 +987,12 @@ object LakeMerge {
       requireUniqueKeys: Boolean = true,
       leaseStaleMs: Long = 15L * 60 * 1000,
       captureChanges: Boolean = false,
-      retainHistory: Boolean = false): MergeStats =
+      retainHistory: Boolean = false,
+      schemaEvolution: Boolean = false): MergeStats =
     mergeImpl(spark, lakeDir, updates, keyCols, partitionCol, seriesCol,
       timeCol, filesPerPartition, requireUniqueKeys, Int.MaxValue,
       leaseStaleMs, captureChanges = captureChanges,
-      retainHistory = retainHistory)
+      retainHistory = retainHistory, schemaEvolution = schemaEvolution)
 
   /** [[merge]] with crash injection (`crashAfterSwaps`) for
     * LakeMergeSpec's kill-between-renames cases, and an `externalLease`
@@ -943,7 +1008,8 @@ object LakeMerge {
       leaseStaleMs: Long = 15L * 60 * 1000,
       externalLease: Option[String] = None,
       captureChanges: Boolean = false,
-      retainHistory: Boolean = false): MergeStats = {
+      retainHistory: Boolean = false,
+      schemaEvolution: Boolean = false): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry the lake partition column '$partitionCol' " +
         "(derive it with LakeMerge.withPartDate)")
@@ -962,10 +1028,37 @@ object LakeMerge {
     val allParts = partitionValues(spark, lakeDir, partitionCol)
     require(allParts.nonEmpty,
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
-    val lakeCols = readLake(spark, lakeDir, partitionCol).columns.sorted.toSeq
+    // SCHEMA EVOLUTION (E178): when enabled and the batch carries columns
+    // the lake lacks, WIDEN the authoritative schema first — new fields
+    // appended nullable, so every reader (this merge's own partition
+    // reads included) immediately sees old rows null-filled. The schema
+    // version lands BEFORE the staging/commit work: a crash after it is
+    // harmless (a widened schema over unchanged data reads as an all-null
+    // column), where the reverse order could commit new-column data that
+    // pre-widening readers would silently DROP. Evolution only ADDS:
+    // updates must still carry every existing lake column, and a
+    // same-name column keeps its type (no widening/retyping here).
+    if (schemaEvolution) {
+      val curSchema = lakeSchema(fsEntry, lakeDir)
+        .getOrElse(readLake(spark, lakeDir, partitionCol).schema)
+      val curNames = curSchema.fieldNames.toSet
+      val missing = curNames -- updates.columns.toSet
+      require(missing.isEmpty,
+        s"schema evolution ADDS columns; updates must still carry every " +
+          s"lake column — missing ${missing.toSeq.sorted.mkString(", ")}")
+      val extra = updates.schema.fields.filterNot(f => curNames(f.name))
+      if (extra.nonEmpty)
+        writeSchemaVersion(fsEntry, lakeDir,
+          org.apache.spark.sql.types.StructType(
+            curSchema.fields ++ extra.map(_.copy(nullable = true))))
+    }
+    val lakeCols = lakeSchema(fsEntry, lakeDir).map(_.fieldNames.toSeq)
+      .getOrElse(readLake(spark, lakeDir, partitionCol).columns.toSeq)
+      .sorted
     require(updates.columns.sorted.toSeq == lakeCols,
       s"updates columns ${updates.columns.sorted.mkString(",")} must match " +
-        s"lake columns ${lakeCols.mkString(",")}")
+        s"lake columns ${lakeCols.mkString(",")} (pass schemaEvolution = " +
+        "true to add new columns)")
 
     // evaluate the batch ONCE: the validations, counts, anti-join and
     // staging write below are ~6 actions, and an un-cached `updates`
@@ -1351,8 +1444,14 @@ object LakeMerge {
       // contract as the merge (series-hashed files, sorted within), with
       // each partition's own ideal file count
       val staging = new Path(lakeDir, StagingPrefix + compactId)
+      // the stored schema (E178) rides the rewrite: compacting a
+      // pre-widening partition UPGRADES its files to the current schema
+      // (null-filled new columns) — the table-format "schema migration
+      // happens on rewrite" behavior
+      val schemaE178 = dirSchema(lakeSchema(fs, lakeDir), partitionCol)
       selected.foreach { case (v, _, _, ideal) =>
-        spark.read.parquet(escapeGlob(s"$lakeDir/$partitionCol=$v"))
+        readerFor(spark, schemaE178)
+          .parquet(escapeGlob(s"$lakeDir/$partitionCol=$v"))
           .repartition(ideal, col(seriesCol))
           .sortWithinPartitions(seriesCol, timeCol)
           .write.mode("overwrite")

@@ -222,13 +222,23 @@ object LakeTimeTravel {
                 "snapshots older than the vacuum horizon are gone")
         }
     }
+    // the stored schema (E178) applies to snapshots too: a snapshot
+    // renders in the CURRENT schema — partitions (and retained
+    // pre-images) written before a widening read back null-filled, the
+    // same shape a full recompute of that era's data would produce today
+    val stored = LakeMerge.lakeSchema(fs, lakeDir)
     val liveFrame =
       if (resolved.liveDirs.isEmpty) None
-      else Some(spark.read.option("basePath", lakeDir)
+      else Some(stored.foldLeft(spark.read)((r, s) => r.schema(s))
+        .option("basePath", lakeDir)
         .parquet(resolved.liveDirs: _*)
         .withColumn(partitionCol, col(partitionCol).cast("string")))
+    val dirStored = stored.map(s =>
+      org.apache.spark.sql.types.StructType(
+        s.filterNot(_.name == partitionCol)))
     val litFrames = resolved.litDirs.map { case (dir, v) =>
-      spark.read.parquet(LakeMerge.escapeGlob(dir))
+      dirStored.foldLeft(spark.read)((r, s) => r.schema(s))
+        .parquet(LakeMerge.escapeGlob(dir))
         .withColumn(partitionCol, lit(v))
     }
     val frames = liveFrame.toVector ++ litFrames
