@@ -28,6 +28,8 @@ import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
   *                 (E172 [[LakeMerge.readChanges]] → `--out`)
   *   - `integrity` print the stored manifest's root + as_of stamp
   *                 (E170 [[IntegrityManifest.readLakeManifest]])
+  *   - `schema`    print the effective column set + whether (and how
+  *                 often) the schema has evolved (E178)
   *
   * Every op prints ONE summary JSON line (the cron-log contract shared
   * by the other CLIs); mutating ops ride the writers' own lease/
@@ -51,7 +53,8 @@ object LakeAdmin {
     val retain = args.get("retain-history").exists(_.toBoolean)
     val op = args.getOrElse("op",
       throw new IllegalArgumentException("--op <recover|compact|vacuum|" +
-        "vacuum-changes|delete|log|snapshot|changes|integrity> is required"))
+        "vacuum-changes|delete|log|snapshot|changes|integrity|schema> " +
+        "is required"))
 
     val result: Map[String, String] = op match {
       case "recover" =>
@@ -130,6 +133,14 @@ object LakeAdmin {
         feed.write.mode("errorifexists").parquet(out)
         Map("since" -> since.toString,
           "rows" -> spark.read.parquet(out).count().toString)
+
+      case "schema" =>
+        val versions = LakeMerge.schemaVersions(spark, lake)
+        val cols = LakeMerge.readLake(spark, lake, partCol).schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}")
+        Map("schema_versions" -> versions.length.toString,
+          "evolved" -> versions.nonEmpty.toString,
+          "columns" -> cols.mkString(","))
 
       case "integrity" =>
         val m = IntegrityManifest.readLakeManifest(spark, lake)

@@ -144,7 +144,14 @@ object FeedMaintain {
     require(fs.exists(live),
       s"no maintained aggregate at $aggDir — seed it with seedAggregate")
     val agg = spark.read.parquet(live.toString)
-    val storedSeq = agg.agg(max(col("as_of_seq"))).head().getLong(0)
+    val seqRow = agg.agg(max(col("as_of_seq"))).head()
+    // an EMPTY stored aggregate has no watermark row — folding from a
+    // guessed seq could double-count, so refuse loudly (it can only
+    // happen from an empty seed snapshot; re-seed at a known seq)
+    require(!seqRow.isNullAt(0),
+      s"maintained aggregate at $aggDir is empty — its as_of_seq " +
+        "watermark is gone; re-seed it from a snapshot")
+    val storedSeq = seqRow.getLong(0)
     val fresh = changes.withColumn("seq", col("seq").cast("long"))
       .filter(col("seq") > storedSeq)
       .localCheckpoint(true) // evaluated twice (watermark probe + fold)

@@ -263,6 +263,18 @@ object LakeMerge {
     }
   }
 
+  /** The stored schema versions present at the lake root, ascending —
+    * the widening audit trail ([[cli.LakeAdmin]] `--op schema`). */
+  def schemaVersions(spark: SparkSession, lakeDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, lakeDir)
+    val root = new Path(lakeDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(SchemaPrefix) && n.endsWith(SchemaSuffix))
+      .map(_.stripPrefix(SchemaPrefix).stripSuffix(SchemaSuffix).toLong)
+      .sorted
+  }
+
   /** Record a widened schema as the next version (tmp + rename; caller
     * holds the writer lease, which serializes version assignment). */
   private def writeSchemaVersion(fs: FileSystem, lakeDir: String,
@@ -683,7 +695,12 @@ object LakeMerge {
     df.withColumn(partitionCol, date_format(col(timeCol), "yyyy-MM-dd"))
 
   /** Initialize (or fully rewrite) a lake from `df`: date-partitioned
-    * parquet, `filesPerPartition` series-clustered sorted files per date. */
+    * parquet, `filesPerPartition` series-clustered sorted files per date.
+    * A full rewrite does NOT reset lake metadata (`_schema-vN.json`,
+    * `_commits/`, `_changes/`, `_history/`): rewriting an EVOLVED lake
+    * with a narrower frame leaves the stored schema authoritative and
+    * the missing columns read back NULL — start a genuinely new lake in
+    * a fresh directory. */
   def writeLake(df: DataFrame, lakeDir: String,
       partitionCol: String = "part_date", seriesCol: String = "tms_id",
       timeCol: String = "time", filesPerPartition: Int = 4): Unit =

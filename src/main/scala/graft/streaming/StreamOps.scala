@@ -132,6 +132,14 @@ object StreamOps {
     * schema cannot be invented before the feed exists. */
   def changesStream(spark: SparkSession, lakeDir: String): DataFrame = {
     val dir = s"$lakeDir/_changes"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .exists(_.getPath.getName.startsWith("seq=")),
+      s"no published change feed at $dir — run a merge/delete with " +
+        "captureChanges = true before starting a consumer (the stream " +
+        "needs the feed's schema)")
     val batchView = spark.read.option("basePath", dir).parquet(dir)
     spark.readStream.schema(batchView.schema)
       .option("basePath", dir).parquet(dir)

@@ -76,6 +76,14 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
         .withColumn("qc", lit(null: String)).withColumn("src", lit("late")),
       keys)
     assert(LakeMerge.readLake(spark, dir).count() === 4L)
+
+    // the widening audit trail + the admin surface
+    assert(LakeMerge.schemaVersions(spark, dir) === Seq(0L, 1L))
+    val adm = graft.cli.LakeAdmin.run(spark,
+      Map("op" -> "schema", "lake" -> dir))
+    assert(adm("evolved") === "true" && adm("schema_versions") === "2")
+    assert(adm("columns").contains("qc:string") &&
+      adm("columns").contains("src:string"))
   }
 
   test("delete, compact and the committed view work across mixed-vintage partitions") {
