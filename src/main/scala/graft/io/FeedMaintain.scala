@@ -131,10 +131,13 @@ object FeedMaintain {
     * so. The refreshed aggregate swaps in atomically
     * ([[LakeMerge.atomicReplaceDir]]); a crash mid-swap heals at the
     * next fold (writer-side recover — single-consumer contract, like
-    * every stored-artifact writer here). Partial slices are safe:
-    * whole feed COMMITS are the delivery unit (a `_changes/seq=N`
-    * directory's files all carry that seq, and the file source delivers
-    * whole files), so a slice never splits a commit. */
+    * every stored-artifact writer here). Whole feed COMMITS must be the
+    * delivery unit: a `_changes/seq=N` directory appears atomically
+    * (one rename) and the default file source lists all its files into
+    * one batch — do not set `maxFilesPerTrigger` on a feed consumer, it
+    * could split a commit, and the contiguity check below refuses the
+    * torn slice loudly. The same check catches a feed vacuumed past
+    * this consumer's watermark. */
   def foldInto(changes: DataFrame, aggDir: String, groupCols: Seq[String],
       measures: Seq[(String, Column)]): Unit = {
     val spark = changes.sparkSession
@@ -156,8 +159,25 @@ object FeedMaintain {
       .filter(col("seq") > storedSeq)
       .localCheckpoint(true) // evaluated twice (watermark probe + fold)
     try {
-      val hi = fresh.agg(max(col("seq"))).head()
+      val hi = fresh.agg(max(col("seq")), min(col("seq"))).head()
       if (!hi.isNullAt(0)) {
+        // GAP DETECTION (review finding): published seqs are DENSE
+        // (max+1 assignment), so the slice must start at watermark+1
+        // and hold a contiguous run — a hole means vacuumChanges passed
+        // this consumer's watermark (re-seed from a snapshot) or a
+        // partial delivery split a commit; folding past it would make
+        // the aggregate silently wrong forever, the one failure IVM
+        // must never have. Delta CDF likewise throws on reads past the
+        // retention horizon. The distinct-seq probe is commit-count-
+        // sized (tiny next to the fold itself).
+        val seqs = fresh.select(col("seq")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        require(hi.getLong(1) == storedSeq + 1 &&
+            seqs.zip(seqs.tail).forall { case (a, b) => b == a + 1 },
+          s"change-feed gap: the aggregate's watermark is $storedSeq but " +
+            s"the delivered commits are ${seqs.mkString(",")} — the feed " +
+            "was vacuumed past this consumer (re-seed from a snapshot) " +
+            "or a commit was split across deliveries")
         val maintained = maintain(agg.drop("as_of_seq"), fresh,
             groupCols, measures)
           .withColumn("as_of_seq", lit(hi.getLong(0)))

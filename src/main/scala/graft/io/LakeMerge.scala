@@ -289,14 +289,17 @@ object LakeMerge {
   }
 
   /** The stored schema shaped for a PER-DIRECTORY read (the partition
-    * column lives in the directory name, not the files). */
-  private def dirSchema(stored: Option[org.apache.spark.sql.types.StructType],
+    * column lives in the directory name, not the files). Shared with
+    * [[LakeTimeTravel]] — the committed-view and snapshot read paths
+    * must apply ONE schema discipline or they drift. */
+  private[io] def dirSchema(
+      stored: Option[org.apache.spark.sql.types.StructType],
       partitionCol: String): Option[org.apache.spark.sql.types.StructType] =
     stored.map(s => org.apache.spark.sql.types.StructType(
       s.filterNot(_.name == partitionCol)))
 
   /** A parquet reader with the stored schema applied when one exists. */
-  private def readerFor(spark: SparkSession,
+  private[io] def readerFor(spark: SparkSession,
       schema: Option[org.apache.spark.sql.types.StructType])
       : org.apache.spark.sql.DataFrameReader =
     schema.foldLeft(spark.read)((r, s) => r.schema(s))
@@ -935,11 +938,18 @@ object LakeMerge {
     * by construction greater than every published one). Range-checked
     * like [[LakeTimeTravel.vacuum]]: the lake surfaces two counters
     * named "seq", and a commit-log seq passed here must not silently
-    * destroy feed history beyond what exists. Deleting consumed commits
-    * is safe for NEW consumers only from a fresh snapshot seed — a
-    * consumer seeded at `as_of_seq < consumedSeq` would find its next
-    * commits gone and must re-seed; that is the same contract as Delta's
-    * CDF retention. Returns the number of commits removed. */
+    * destroy feed history beyond what exists. The NEWEST published
+    * commit is always retained even when `consumedSeq` covers it: the
+    * feed listing IS the seq counter ([[nextChangeSeq]] reads max + 1),
+    * so emptying `_changes/` entirely would restart assignment at 0 and
+    * every consumer's `seq > watermark` filter would silently drop the
+    * reused numbers forever (review finding) — one anchor commit is the
+    * price of a listing-based counter, exactly as `_commits/` records
+    * are never deleted. Deleting consumed commits is safe for NEW
+    * consumers only from a fresh snapshot seed — a consumer seeded at
+    * `as_of_seq < consumedSeq` would find its next commits gone and must
+    * re-seed; that is the same contract as Delta's CDF retention.
+    * Returns the number of commits removed. */
   def vacuumChanges(spark: SparkSession, lakeDir: String, consumedSeq: Long,
       leaseStaleMs: Long = 15L * 60 * 1000): Int = {
     val fs = hadoopFs(spark, lakeDir)
@@ -960,7 +970,10 @@ object LakeMerge {
           s"feed range (max $maxSeq) — is this a commit-log seq? " +
           "vacuumChanges takes a change-feed seq")
       val victims = published
-        .filter(_.getName.stripPrefix("seq=").toLong <= consumedSeq)
+        .filter { p =>
+          val seq = p.getName.stripPrefix("seq=").toLong
+          seq <= consumedSeq && seq < maxSeq // newest = the seq anchor
+        }
       victims.foreach(p => fs.delete(p, true))
       victims.length
     } finally releaseLease(fs, lakeDir, writerId)
@@ -1046,30 +1059,36 @@ object LakeMerge {
     require(allParts.nonEmpty,
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
     // SCHEMA EVOLUTION (E178): when enabled and the batch carries columns
-    // the lake lacks, WIDEN the authoritative schema first — new fields
+    // the lake lacks, the authoritative schema WIDENS — new fields
     // appended nullable, so every reader (this merge's own partition
-    // reads included) immediately sees old rows null-filled. The schema
-    // version lands BEFORE the staging/commit work: a crash after it is
-    // harmless (a widened schema over unchanged data reads as an all-null
-    // column), where the reverse order could commit new-column data that
-    // pre-widening readers would silently DROP. Evolution only ADDS:
-    // updates must still carry every existing lake column, and a
-    // same-name column keeps its type (no widening/retyping here).
-    if (schemaEvolution) {
-      val curSchema = lakeSchema(fsEntry, lakeDir)
-        .getOrElse(readLake(spark, lakeDir, partitionCol).schema)
-      val curNames = curSchema.fieldNames.toSet
-      val missing = curNames -- updates.columns.toSet
-      require(missing.isEmpty,
-        s"schema evolution ADDS columns; updates must still carry every " +
-          s"lake column — missing ${missing.toSeq.sorted.mkString(", ")}")
-      val extra = updates.schema.fields.filterNot(f => curNames(f.name))
-      if (extra.nonEmpty)
-        writeSchemaVersion(fsEntry, lakeDir,
-          org.apache.spark.sql.types.StructType(
-            curSchema.fields ++ extra.map(_.copy(nullable = true))))
-    }
-    val lakeCols = lakeSchema(fsEntry, lakeDir).map(_.fieldNames.toSeq)
+    // reads included) sees old rows null-filled. The widened schema is
+    // COMPUTED here but WRITTEN only after the batch validations pass
+    // (review finding: writing it first meant a refused batch — one
+    // duplicate key — permanently widened the schema and bricked every
+    // existing non-evolution writer on a column whose data never
+    // landed); it still lands BEFORE the staging/commit work, because a
+    // crash after a widening is harmless (an all-null column) where the
+    // reverse order could commit new-column data that pre-widening
+    // readers would silently DROP. Evolution only ADDS: updates must
+    // still carry every existing lake column, and a same-name column
+    // keeps its type (no widening/retyping here).
+    val widenedSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (!schemaEvolution) None
+      else {
+        val curSchema = lakeSchema(fsEntry, lakeDir)
+          .getOrElse(readLake(spark, lakeDir, partitionCol).schema)
+        val curNames = curSchema.fieldNames.toSet
+        val missing = curNames -- updates.columns.toSet
+        require(missing.isEmpty,
+          s"schema evolution ADDS columns; updates must still carry every " +
+            s"lake column — missing ${missing.toSeq.sorted.mkString(", ")}")
+        val extra = updates.schema.fields.filterNot(f => curNames(f.name))
+        if (extra.isEmpty) None
+        else Some(org.apache.spark.sql.types.StructType(
+          curSchema.fields ++ extra.map(_.copy(nullable = true))))
+      }
+    val lakeCols = widenedSchema.map(_.fieldNames.toSeq)
+      .orElse(lakeSchema(fsEntry, lakeDir).map(_.fieldNames.toSeq))
       .getOrElse(readLake(spark, lakeDir, partitionCol).columns.toSeq)
       .sorted
     require(updates.columns.sorted.toSeq == lakeCols,
@@ -1121,6 +1140,11 @@ object LakeMerge {
           "into the wrong directory and duplicate its key")
     }
 
+    // the batch validated — NOW the widening may land (see the E178
+    // ordering note above): readers from here on, including this merge's
+    // own affected-partition reads, resolve through the widened schema
+    widenedSchema.foreach(writeSchemaVersion(fsEntry, lakeDir, _))
+
     // 1. PRUNE — the affected partitions are the updates' date span.
     // A NULL partition value must fail HERE, before anything is written:
     // the staging write would name it __HIVE_DEFAULT_PARTITION__ while
@@ -1165,8 +1189,11 @@ object LakeMerge {
     // side re-reads the affected partitions (still live here — the swap
     // has not run), one extra pruned scan that exists only when capture
     // is on.
+    // rowsUpserted == 0 publishes nothing: an EMPTY commit's seq never
+    // reaches a consumer as a row, so the feed's dense-seq contract
+    // (FeedMaintain.foldInto's gap check) would read it as a hole
     val changeSeqOpt =
-      if (captureChanges) {
+      if (captureChanges && rowsUpserted > 0) {
         changeFeed(current, upd, keyCols).write.mode("overwrite")
           .parquet(new Path(staging, ChangeFeedStagedName).toString)
         Some(nextChangeSeq(fs, lakeDir))
@@ -1219,12 +1246,15 @@ object LakeMerge {
     * would drop EVERY partition is refused (an empty lake has no schema
     * to read back — remove the lake directory instead).
     *
-    * Partition pruning, two modes:
+    * Partition pruning, two modes — both rewrite only partitions that
+    * actually HOLD a match, so a re-run of the same purge set finds
+    * nothing and rewrites nothing:
     *  - `keys` carries `partitionCol`: only those partitions are
-    *    rewritten — the caller ASSERTS where the keys live, mirroring the
-    *    merge's partition-derivation contract (a key asserted into the
-    *    wrong partition silently survives, exactly as a mis-derived merge
-    *    would duplicate);
+    *    examined (a key-column probe of the asserted directories, then
+    *    the rewrite) — the caller ASSERTS where the keys live, mirroring
+    *    the merge's partition-derivation contract (a key asserted into
+    *    the wrong partition silently survives, exactly as a mis-derived
+    *    merge would duplicate);
     *  - no `partitionCol`: a key-column-only pruned scan locates the
     *    affected partitions (parquet column pruning keeps the read to the
     *    key columns — text/payload never loads), so "purge these doc ids
@@ -1294,7 +1324,19 @@ object LakeMerge {
             "NULL never equi-joins, so those rows would silently survive " +
             "the delete")
 
-        // PRUNE — asserted partitions, or a key-only scan to find them
+        // PRUNE — asserted partitions, or a key-only scan to find them;
+        // BOTH modes then keep only partitions actually HOLDING a match
+        // (review finding: rewriting a matchless asserted partition broke
+        // the documented re-run idempotence and, with captureChanges,
+        // could publish an empty feed commit). The asserted mode's
+        // match probe reads only the asserted partitions' key columns —
+        // still partition-bounded, never a lake scan.
+        def matchedPartitions(keysOnly: DataFrame): Seq[String] =
+          keysOnly
+            .join(broadcast(k.select(keyCols.map(col): _*)),
+              keyCols, "left_semi")
+            .select(col(partitionCol).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
         val affected: Seq[String] =
           if (hasPart) {
             val raw = k.select(col(partitionCol).cast("string"))
@@ -1302,15 +1344,16 @@ object LakeMerge {
             require(raw.forall(_.isDefined),
               s"purge keys contain NULL $partitionCol values — omit the " +
                 "column entirely to let the delete locate partitions itself")
-            raw.flatten
+            val asserted = raw.flatten
               .filter(v => fs.exists(new Path(lakeDir, s"$partitionCol=$v")))
               .sorted
+            readPartitions(spark, lakeDir, partitionCol, asserted)
+              .map(cur => matchedPartitions(
+                cur.select((keyCols :+ partitionCol).map(col): _*)))
+              .getOrElse(Seq.empty)
           } else
-            readLake(spark, lakeDir, partitionCol)
-              .select((keyCols :+ partitionCol).map(col): _*)
-              .join(broadcast(k), keyCols, "left_semi")
-              .select(col(partitionCol).cast("string")).distinct()
-              .collect().map(_.getString(0)).toSeq.sorted
+            matchedPartitions(readLake(spark, lakeDir, partitionCol)
+              .select((keyCols :+ partitionCol).map(col): _*))
         if (affected.isEmpty)
           return DeleteStats(allParts.length, 0, 0, 0L, 0L, 0L, deleteId)
         heartbeatLease(fs, lakeDir, deleteId)

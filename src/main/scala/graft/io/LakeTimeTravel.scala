@@ -229,15 +229,12 @@ object LakeTimeTravel {
     val stored = LakeMerge.lakeSchema(fs, lakeDir)
     val liveFrame =
       if (resolved.liveDirs.isEmpty) None
-      else Some(stored.foldLeft(spark.read)((r, s) => r.schema(s))
+      else Some(LakeMerge.readerFor(spark, stored)
         .option("basePath", lakeDir)
         .parquet(resolved.liveDirs: _*)
         .withColumn(partitionCol, col(partitionCol).cast("string")))
-    val dirStored = stored.map(s =>
-      org.apache.spark.sql.types.StructType(
-        s.filterNot(_.name == partitionCol)))
     val litFrames = resolved.litDirs.map { case (dir, v) =>
-      dirStored.foldLeft(spark.read)((r, s) => r.schema(s))
+      LakeMerge.readerFor(spark, LakeMerge.dirSchema(stored, partitionCol))
         .parquet(LakeMerge.escapeGlob(dir))
         .withColumn(partitionCol, lit(v))
     }

@@ -70,6 +70,31 @@ class FeedMaintainSpec extends SparkSpec {
     agg0.unpersist()
   }
 
+  test("foldInto refuses a feed gap instead of folding past it") {
+    val root = java.nio.file.Files.createTempDirectory("feedgap").toString
+    val (dir, aggDir) = (s"$root/lake", s"$root/agg")
+    LakeMerge.writeLake(batch(Seq("wl_a", "wl_b"), fgt, day1,
+      (id, t) => id.length + t.takeRight(8).take(2).toDouble), dir)
+    // three captured commits; the consumer is seeded at seq 0
+    for (v <- Seq(10.0, 11.0, 12.0))
+      LakeMerge.merge(spark, dir,
+        batch(Seq("wl_a"), fgt, day2.take(1), (_, _) => v),
+        keys, captureChanges = true)
+    FeedMaintain.seedAggregate(LakeMerge.readLake(spark, dir), aggDir,
+      Seq("tms_id"), measures, asOfSeq = 0L)
+    // ...but commit 1 was vacuumed past this consumer's watermark
+    LakeMerge.hadoopFs(spark, dir).delete(
+      new org.apache.hadoop.fs.Path(dir, "_changes/seq=1"), true)
+    val e = intercept[IllegalArgumentException] {
+      FeedMaintain.foldInto(LakeMerge.readChanges(spark, dir), aggDir,
+        Seq("tms_id"), measures)
+    }
+    assert(e.getMessage.contains("gap"), e.getMessage)
+    // the watermark must not have advanced — the aggregate is untouched
+    assert(FeedMaintain.readAggregate(spark, aggDir)
+      .agg(max(col("as_of_seq"))).head().getLong(0) === 0L)
+  }
+
   test("pure-feed maintenance equals direct recompute; unknown change type refuses") {
     val cur = batch(Seq("wl_a", "wl_b"), fgt, day1 ++ day2,
       (id, t) => id.length + t.takeRight(8).take(2).toDouble)

@@ -105,6 +105,17 @@ class LakeDeleteSpec extends SparkSpec {
     val s = LakeMerge.delete(spark, dir, purge, keys)
     assert(s.partitionsAffected === 1 && s.rowsDeleted === 2L, s"$s")
     assert(sortedRows(LakeMerge.readLake(spark, dir)) === expected)
+
+    // asserted-mode re-run: the keys are gone, so NOTHING is rewritten
+    // (review finding: a matchless asserted partition used to be fully
+    // rewritten — and with captureChanges would have published an empty
+    // feed commit, crashing consumers' schema inference)
+    val s2 = LakeMerge.delete(spark, dir, purge, keys,
+      captureChanges = true)
+    assert(s2.partitionsAffected === 0 && s2.rowsDeleted === 0L, s"$s2")
+    assert(!LakeMerge.hadoopFs(spark, dir).exists(
+      new Path(dir, "_changes")),
+      "a matchless purge must not publish a feed commit")
   }
 
   test("crash mid-swap with a dropped partition: committed view torn-free, recover rolls forward") {

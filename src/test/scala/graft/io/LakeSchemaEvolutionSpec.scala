@@ -77,6 +77,22 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
       keys)
     assert(LakeMerge.readLake(spark, dir).count() === 4L)
 
+    // a REFUSED evolution batch must not widen the schema: a duplicate
+    // key aborts the merge pre-commit, and the phantom column must not
+    // brick every existing non-evolution writer (review finding)
+    val dup = mkBatch(Seq(
+      ("wl_z", fgt, "2024-01-01 00:00:00", 1.0),
+      ("wl_z", fgt, "2024-01-01 00:00:00", 2.0)))
+      .withColumn("qc", lit("x")).withColumn("src", lit("x"))
+      .withColumn("phantom", lit(1))
+    val before = LakeMerge.schemaVersions(spark, dir)
+    intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, dir, dup, keys, schemaEvolution = true)
+    }
+    assert(LakeMerge.schemaVersions(spark, dir) === before,
+      "a refused evolution batch must not widen the schema")
+    assert(!LakeMerge.readLake(spark, dir).columns.contains("phantom"))
+
     // the widening audit trail + the admin surface
     assert(LakeMerge.schemaVersions(spark, dir) === Seq(0L, 1L))
     val adm = graft.cli.LakeAdmin.run(spark,
