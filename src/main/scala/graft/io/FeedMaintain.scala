@@ -157,30 +157,32 @@ object FeedMaintain {
     val storedSeq = seqRow.getLong(0)
     val fresh = changes.withColumn("seq", col("seq").cast("long"))
       .filter(col("seq") > storedSeq)
-      .localCheckpoint(true) // evaluated twice (watermark probe + fold)
+      .localCheckpoint(true) // evaluated twice (seq probe + fold)
     try {
-      val hi = fresh.agg(max(col("seq")), min(col("seq"))).head()
-      if (!hi.isNullAt(0)) {
-        // GAP DETECTION (review finding): published seqs are DENSE
-        // (max+1 assignment), so the slice must start at watermark+1
-        // and hold a contiguous run — a hole means vacuumChanges passed
-        // this consumer's watermark (re-seed from a snapshot) or a
-        // partial delivery split a commit; folding past it would make
-        // the aggregate silently wrong forever, the one failure IVM
-        // must never have. Delta CDF likewise throws on reads past the
-        // retention horizon. The distinct-seq probe is commit-count-
-        // sized (tiny next to the fold itself).
-        val seqs = fresh.select(col("seq")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        require(hi.getLong(1) == storedSeq + 1 &&
+      // GAP DETECTION (review finding): published seqs are DENSE (max+1
+      // assignment; producers skip empty commits), so the slice must
+      // start at watermark+1 and hold a contiguous run — a hole means
+      // vacuumChanges passed this consumer's watermark, a commit was
+      // split across deliveries (maxFilesPerTrigger — see above), or a
+      // pre-r15-review producer published an empty commit; folding past
+      // it would make the aggregate silently wrong forever, the one
+      // failure IVM must never have. Delta CDF likewise throws on reads
+      // past the retention horizon. ONE commit-count-sized probe serves
+      // the check and both watermark bounds.
+      val seqs = fresh.select(col("seq")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (seqs.nonEmpty) {
+        require(seqs.head == storedSeq + 1 &&
             seqs.zip(seqs.tail).forall { case (a, b) => b == a + 1 },
           s"change-feed gap: the aggregate's watermark is $storedSeq but " +
             s"the delivered commits are ${seqs.mkString(",")} — the feed " +
-            "was vacuumed past this consumer (re-seed from a snapshot) " +
-            "or a commit was split across deliveries")
+            "was vacuumed past this consumer (re-seed from a snapshot), " +
+            "a commit was split across deliveries (never set " +
+            "maxFilesPerTrigger on a feed consumer), or an old producer " +
+            "published an empty commit (vacuum past it)")
         val maintained = maintain(agg.drop("as_of_seq"), fresh,
             groupCols, measures)
-          .withColumn("as_of_seq", lit(hi.getLong(0)))
+          .withColumn("as_of_seq", lit(seqs.last))
           .localCheckpoint(true) // must not re-read aggDir mid-swap
         try LakeMerge.atomicReplaceDir(fs, live) { tmp =>
           maintained.write.mode("overwrite").parquet(tmp.toString)

@@ -871,13 +871,33 @@ object LakeMerge {
         keyCols, "left_semi")
       .withColumn(ChangeTypeCol, lit("delete"))
 
-  /** The next change-feed sequence number: max published + 1 (the lease
-    * serializes writers, so the listing race is closed). Sequence 0 is
-    * the first feed-capturing merge; merges run WITHOUT `changeFeed` do
-    * not consume numbers — consumers track completeness by the seq they
-    * last read, not by counting merges. */
+  /** The highest change-feed seq EVER published, surviving retention:
+    * [[vacuumChanges]] records it as an empty `_hwm-<seq>` marker INSIDE
+    * `_changes/` before deleting commits — the value rides in the NAME,
+    * so one atomic create is the whole write (underscore-prefixed:
+    * invisible to Spark reads of the feed). −1 when nothing was ever
+    * recorded. */
+  private def changeHwm(fs: FileSystem, lakeDir: String): Long = {
+    val dir = new Path(lakeDir, ChangesDirName)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_hwm-"))
+      .map(_.stripPrefix("_hwm-").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The next change-feed sequence number: one past the highest seq ever
+    * published — max of the live listing and the retention high-water
+    * marker, so numbers stay monotonic even after [[vacuumChanges]]
+    * removes every published commit (second-review finding: the listing
+    * alone would restart at 0 and consumer watermarks would silently
+    * drop the reused numbers). The lease serializes writers, closing the
+    * listing race. Sequence 0 is the first feed-capturing merge; merges
+    * run WITHOUT `changeFeed` do not consume numbers — consumers track
+    * completeness by the seq they last read, not by counting merges. */
   private def nextChangeSeq(fs: FileSystem, lakeDir: String): Long =
-    nextSeqIn(fs, new Path(lakeDir, ChangesDirName), "seq=", "")
+    math.max(nextSeqIn(fs, new Path(lakeDir, ChangesDirName), "seq=", ""),
+      changeHwm(fs, lakeDir) + 1L)
 
   /** Read the published change feed, commits with seq > `sinceSeq` —
     * the incremental-consumer API ("every change since the last training
@@ -922,9 +942,19 @@ object LakeMerge {
       case (Some(p), Some(q)) => Some(p.unionByName(q))
       case (p, q) => p.orElse(q)
     }
-    all.getOrElse(throw new IllegalArgumentException(
-        s"no change feed at $lakeDir/$ChangesDirName — merge with " +
-          "captureChanges = true to start capturing one"))
+    all.getOrElse {
+        val hwm = changeHwm(fs, lakeDir)
+        if (hwm >= 0)
+          throw new IllegalArgumentException(
+            s"the change feed at $lakeDir/$ChangesDirName was fully " +
+              s"vacuumed (highest published seq was $hwm) — new commits " +
+              "will resume at a monotonic seq; consumers behind the " +
+              "vacuum horizon must re-seed from a snapshot")
+        else
+          throw new IllegalArgumentException(
+            s"no change feed at $lakeDir/$ChangesDirName — merge with " +
+              "captureChanges = true to start capturing one")
+      }
       .filter(col("seq") > sinceSeq)
   }
 
@@ -938,17 +968,18 @@ object LakeMerge {
     * by construction greater than every published one). Range-checked
     * like [[LakeTimeTravel.vacuum]]: the lake surfaces two counters
     * named "seq", and a commit-log seq passed here must not silently
-    * destroy feed history beyond what exists. The NEWEST published
-    * commit is always retained even when `consumedSeq` covers it: the
-    * feed listing IS the seq counter ([[nextChangeSeq]] reads max + 1),
-    * so emptying `_changes/` entirely would restart assignment at 0 and
-    * every consumer's `seq > watermark` filter would silently drop the
-    * reused numbers forever (review finding) — one anchor commit is the
-    * price of a listing-based counter, exactly as `_commits/` records
-    * are never deleted. Deleting consumed commits is safe for NEW
-    * consumers only from a fresh snapshot seed — a consumer seeded at
-    * `as_of_seq < consumedSeq` would find its next commits gone and must
-    * re-seed; that is the same contract as Delta's CDF retention.
+    * destroy feed history beyond what exists. Before anything is
+    * deleted, the highest published seq persists as a `_hwm-<seq>`
+    * marker so [[nextChangeSeq]] stays monotonic even when retention
+    * empties the feed completely (first-pass review: the listing alone
+    * restarted at 0 and consumer watermarks silently dropped the reused
+    * numbers; second pass: retaining an "anchor" commit instead made a
+    * GDPR delete's captured pre-images — the newest commit on a quiet
+    * lake — permanently unvacuumable, so the marker replaced it: full
+    * erasure AND monotonic seqs). Deleting consumed commits is safe for
+    * NEW consumers only from a fresh snapshot seed — a consumer seeded
+    * at `as_of_seq < consumedSeq` would find its next commits gone and
+    * must re-seed; that is the same contract as Delta's CDF retention.
     * Returns the number of commits removed. */
   def vacuumChanges(spark: SparkSession, lakeDir: String, consumedSeq: Long,
       leaseStaleMs: Long = 15L * 60 * 1000): Int = {
@@ -969,11 +1000,21 @@ object LakeMerge {
         s"vacuumChanges consumedSeq $consumedSeq exceeds the published " +
           s"feed range (max $maxSeq) — is this a commit-log seq? " +
           "vacuumChanges takes a change-feed seq")
+      // persist the high-water mark BEFORE deleting: the marker's name
+      // carries the value, so the create is the whole (atomic) write; a
+      // crash between marker and deletes leaves commits the next run
+      // re-vacuums. Older markers are consumed after the new one exists.
+      if (maxSeq > changeHwm(fs, lakeDir)) {
+        val marker = new Path(dir, s"_hwm-$maxSeq")
+        val out = fs.create(marker, true)
+        out.close()
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("_hwm-") &&
+            p.getName.stripPrefix("_hwm-").toLong < maxSeq)
+          .foreach(p => fs.delete(p, false))
+      }
       val victims = published
-        .filter { p =>
-          val seq = p.getName.stripPrefix("seq=").toLong
-          seq <= consumedSeq && seq < maxSeq // newest = the seq anchor
-        }
+        .filter(_.getName.stripPrefix("seq=").toLong <= consumedSeq)
       victims.foreach(p => fs.delete(p, true))
       victims.length
     } finally releaseLease(fs, lakeDir, writerId)
@@ -1140,11 +1181,6 @@ object LakeMerge {
           "into the wrong directory and duplicate its key")
     }
 
-    // the batch validated — NOW the widening may land (see the E178
-    // ordering note above): readers from here on, including this merge's
-    // own affected-partition reads, resolve through the widened schema
-    widenedSchema.foreach(writeSchemaVersion(fsEntry, lakeDir, _))
-
     // 1. PRUNE — the affected partitions are the updates' date span.
     // A NULL partition value must fail HERE, before anything is written:
     // the staging write would name it __HIVE_DEFAULT_PARTITION__ while
@@ -1157,6 +1193,13 @@ object LakeMerge {
         "from a non-null event time before merging")
     val affected = affectedRaw.flatten.sorted
     val fs = hadoopFs(spark, lakeDir)
+
+    // EVERY batch refusal is behind us — NOW the widening may land (see
+    // the E178 ordering note above; the second review pass caught the
+    // NULL-partition refusal still sitting after the first fix's write
+    // point): readers from here on, including this merge's own
+    // affected-partition reads, resolve through the widened schema
+    widenedSchema.foreach(writeSchemaVersion(fsEntry, lakeDir, _))
 
     // 2. REWRITE into staging (dot-prefixed: invisible to Spark readers)
     heartbeatLease(fs, lakeDir, mergeId) // validations done — still alive

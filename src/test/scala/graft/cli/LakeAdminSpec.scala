@@ -92,21 +92,26 @@ class LakeAdminSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L),
       "only the consumed commit may be dropped")
 
-    // the NEWEST commit is the seq anchor: consuming it retains it, and
-    // the next captured commit still gets a fresh monotonic seq (the
-    // listing IS the counter — emptying it would restart at 0 and every
-    // consumer watermark would silently drop the reused numbers)
+    // FULL retention: the newest commit is erasable too (a GDPR
+    // delete's captured pre-images must not be pinned by the counter —
+    // second-review finding); the _hwm marker keeps seq assignment
+    // monotonic, and the fully-vacuumed feed refuses reads with the
+    // vacuum diagnosis rather than the never-captured one
     val fvac2 = LakeAdmin.run(spark, Map("op" -> "vacuum-changes",
       "lake" -> dir, "consumed-seq" -> "1"))
-    assert(fvac2("feed_commits_removed") === "0",
-      "the newest commit must be retained as the seq anchor")
+    assert(fvac2("feed_commits_removed") === "1",
+      "the newest commit must be erasable")
+    val eFeed = intercept[IllegalArgumentException] {
+      LakeMerge.readChanges(spark, dir)
+    }
+    assert(eFeed.getMessage.contains("vacuumed"), eFeed.getMessage)
     LakeMerge.merge(spark, dir, LakeMerge.withPartDate(
       Seq(("wl_a", fgt, "2024-01-01 00:00:00", 2.25))
         .toDF("tms_id", "fgt", "time", "value")),
       keys, captureChanges = true)
     assert(LakeMerge.readChanges(spark, dir, sinceSeq = 1L)
       .select("seq").distinct().collect().map(_.getLong(0)).toSeq ===
-      Seq(2L), "seq assignment must stay monotonic across retention")
+      Seq(2L), "seq assignment must stay monotonic across full retention")
   }
 
   test("recover / compact / integrity ops; unknown op and missing args refuse") {

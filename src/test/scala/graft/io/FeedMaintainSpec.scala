@@ -75,13 +75,18 @@ class FeedMaintainSpec extends SparkSpec {
     val (dir, aggDir) = (s"$root/lake", s"$root/agg")
     LakeMerge.writeLake(batch(Seq("wl_a", "wl_b"), fgt, day1,
       (id, t) => id.length + t.takeRight(8).take(2).toDouble), dir)
-    // three captured commits; the consumer is seeded at seq 0
-    for (v <- Seq(10.0, 11.0, 12.0))
+    // the consumer seeds from the post-seq-0 snapshot, THEN two more
+    // commits land (the honest seedAggregate contract: snapshot and
+    // stamp observed together)
+    LakeMerge.merge(spark, dir,
+      batch(Seq("wl_a"), fgt, day2.take(1), (_, _) => 10.0),
+      keys, captureChanges = true)
+    FeedMaintain.seedAggregate(LakeMerge.readLake(spark, dir), aggDir,
+      Seq("tms_id"), measures, asOfSeq = 0L)
+    for (v <- Seq(11.0, 12.0))
       LakeMerge.merge(spark, dir,
         batch(Seq("wl_a"), fgt, day2.take(1), (_, _) => v),
         keys, captureChanges = true)
-    FeedMaintain.seedAggregate(LakeMerge.readLake(spark, dir), aggDir,
-      Seq("tms_id"), measures, asOfSeq = 0L)
     // ...but commit 1 was vacuumed past this consumer's watermark
     LakeMerge.hadoopFs(spark, dir).delete(
       new org.apache.hadoop.fs.Path(dir, "_changes/seq=1"), true)
