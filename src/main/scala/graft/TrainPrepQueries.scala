@@ -779,6 +779,14 @@ object TrainPrepQueries {
       (s, dir) => graft.streaming.StreamParity.lmBackoffStream(s, dir),
       Some(lmBackoffOracle)),
 
+    // ---- streaming IVM delta over the change feed (E175 x §2.9) ------------
+    // the sign-weighted per-source roll-up as a complete-mode aggregate
+    // over statelessly-derived change rows, published onto the static
+    // snapshot-0 base post-drain; shares q_agg_maintain's oracle.
+    "q_stream_agg_maintain" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.aggMaintainStream(s, dir),
+      graft.PipelineQueries.defs.toMap.apply("q_agg_maintain").oracle),
+
     // ---- streaming fuzzy-match fold at ingest ------------------------------
     // the E154 canonical key as a stateless append-mode map over arriving
     // rows; shares q_text_fold's oracle over the same planted fixture.

@@ -389,6 +389,52 @@ object StreamParity {
       "stream_lm_backoff", OutputMode.Complete())
   }
 
+  /** Streaming IVM delta over a live change feed — E175's fold as the
+    * arrival-time half: each arriving doc's change rows derive
+    * STATELESSLY (an explode of the same pure merge+purge feeds
+    * q_agg_maintain replays), the sign-weighted per-source roll-up runs
+    * as ONE complete-mode aggregate (±1-weighted sums are
+    * arrival-order-insensitive, state is groups-sized — never text),
+    * and the PUBLISH step — merging the drained delta onto the static
+    * snapshot-0 base — is a batch combine on the sink table, exactly
+    * where [[graft.io.FeedMaintain.foldInto]] publishes a batch fold.
+    * Shares q_agg_maintain's oracle. */
+  def aggMaintainStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = docsStream(spark, dir)
+    val inCur = col("doc_id") % 7 =!= 0
+    val inUpd = col("doc_id") % 3 === 0
+    val v2 = concat(lit("v2:"), substring(col("text"), 1, 40))
+    val mergedText = when(inUpd, v2).otherwise(col("text"))
+    val inDel = (inCur || inUpd) && (col("doc_id") % 5 === 0)
+    val candidates = array(
+      struct(lit("update_preimage").as("ct"), col("text").as("t"),
+        (inUpd && inCur).as("keep")),
+      struct(lit("update_postimage").as("ct"), v2.as("t"),
+        (inUpd && inCur).as("keep")),
+      struct(lit("insert").as("ct"), v2.as("t"),
+        (inUpd && !inCur).as("keep")),
+      struct(lit("delete").as("ct"), mergedText.as("t"),
+        inDel.as("keep")))
+    val changes = src.select(col("source"),
+      explode(filter(candidates, s => s.getField("keep"))).as("ch"))
+    val sign = when(col("ch.ct").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = changes.groupBy(col("source"))
+      .agg(sum(sign).as("n_rows"),
+        sum(sign * length(col("ch.t")).cast("long")).as("chars"))
+    val sink = runToTable(spark, deltas, "stream_agg_maintain",
+      OutputMode.Complete())
+    val agg0 = graft.io.FeedMaintain.snapshotAgg(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 7 =!= 0),
+      Seq("source"), Seq("chars" -> length(col("text"))))
+    val cols = Seq(col("source"), col("n_rows"), col("chars"))
+    agg0.select(cols: _*).unionByName(sink.select(cols: _*))
+      .groupBy(col("source"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("chars")).as("chars"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** Streaming C4 page cleanup at ingest — STATELESS (the E103 gate is a
     * pure per-row select, append mode, no state store), so stream == batch
     * by construction; the run certifies the streaming PLUMBING (file
