@@ -13,6 +13,8 @@ import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
   *                 debris ([[LakeMerge.recover]])
   *   - `compact`   small-file OPTIMIZE, worst offenders first
   *                 (E171 [[LakeMerge.compactPartitions]])
+  *   - `zorder`    OPTIMIZE ZORDER BY (`--dim-a/--dim-b [--bits]
+  *                 [--partitions v1,v2]`, [[LakeMerge.clusterPartitions]])
   *   - `vacuum`    drop pre-images older snapshots need
   *                 (E173 [[LakeTimeTravel.vacuum]])
   *   - `vacuum-changes` drop feed commits every consumer has passed
@@ -71,6 +73,26 @@ object LakeAdmin {
         Map("partitions_total" -> s.partitionsTotal.toString,
           "partitions_compacted" -> s.partitionsCompacted.toString,
           "files_before" -> s.filesBefore.toString,
+          "files_after" -> s.filesAfter.toString)
+
+      case "zorder" =>
+        val dimA = args.getOrElse("dim-a", throw new IllegalArgumentException(
+          "--dim-a <column> is required for zorder"))
+        val dimB = args.getOrElse("dim-b", throw new IllegalArgumentException(
+          "--dim-b <column> is required for zorder"))
+        val s = LakeMerge.clusterPartitions(spark, lake, dimA, dimB,
+          bits = args.getOrElse("bits", "16").toInt,
+          targetFileBytes =
+            args.getOrElse("target-file-mb", "128").toLong * 1024 * 1024,
+          partitionCol = partCol,
+          partitions = args.get("partitions")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty),
+          maxPartitions = args.get("max-partitions").map(_.toInt)
+            .getOrElse(Int.MaxValue),
+          retainHistory = retain)
+        Map("partitions_total" -> s.partitionsTotal.toString,
+          "partitions_clustered" -> s.partitionsCompacted.toString,
           "files_after" -> s.filesAfter.toString)
 
       case "vacuum" =>

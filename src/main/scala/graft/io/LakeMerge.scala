@@ -1577,4 +1577,100 @@ object LakeMerge {
         untouchedFiles + after, selected.map(_._3).sum, compactId)
     } finally releaseLease(fs, lakeDir, compactId)
   }
+
+  // ---- Z-order clustering maintenance (round 15) -------------------------
+
+  /** Z-ORDER a lake's partitions in place — the `OPTIMIZE ZORDER BY`
+    * half of the maintenance surface ([[compactPartitions]] is the
+    * bin-packing half): each selected partition is rewritten with its
+    * rows range-partitioned and sorted by the Morton interleave of
+    * (`dimA`, `dimB`) ([[Layout.zOrderKey]]), so every output file
+    * covers a small RECTANGLE in the two query dimensions and parquet
+    * min-max skipping prunes on BOTH access paths at once — the layout
+    * a lake queried by either of two dimensions needs, which no
+    * single-column sort can provide. Dim columns must be integer-like
+    * and bucketed into [0, 2^bits) for meaningful locality (the key
+    * masks out-of-range values deterministically — see
+    * [[Layout.zOrderKey]]).
+    *
+    * Unlike compaction this is a REQUESTED layout change, not a
+    * converging repair: there is no selection trigger, so a re-run
+    * rewrites again — scope it with `partitions` (must name existing
+    * directories) and/or `maxPartitions` (worst-fragmented first, the
+    * same backlog-drain knob). File counts follow `targetFileBytes`
+    * exactly as in compaction; commit/swap/clean, crash recovery,
+    * optional history retention, and the stored-schema upgrade all ride
+    * the shared writer tail, the whole run under the single-writer
+    * lease. NOTE: the rewrite replaces the lake's default
+    * (series, time) sort within the touched partitions — series-scan
+    * locality trades against two-dimensional pruning; choose per
+    * workload. */
+  def clusterPartitions(spark: SparkSession, lakeDir: String,
+      dimA: String, dimB: String, bits: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCol: String = "part_date",
+      partitions: Seq[String] = Seq.empty,
+      maxPartitions: Int = Int.MaxValue,
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      retainHistory: Boolean = false): CompactStats =
+    clusterImpl(spark, lakeDir, dimA, dimB, bits, targetFileBytes,
+      partitionCol, partitions, maxPartitions, leaseStaleMs, Int.MaxValue,
+      retainHistory)
+
+  /** [[clusterPartitions]] with the crash-injection hook. */
+  private[io] def clusterImpl(spark: SparkSession, lakeDir: String,
+      dimA: String, dimB: String, bits: Int, targetFileBytes: Long,
+      partitionCol: String, partitions: Seq[String], maxPartitions: Int,
+      leaseStaleMs: Long, crashAfterSwaps: Int,
+      retainHistory: Boolean): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxPartitions >= 1, "maxPartitions must be >= 1")
+    val fs = hadoopFs(spark, lakeDir)
+    require(fs.exists(new Path(lakeDir)),
+      s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
+    val clusterId = java.util.UUID.randomUUID.toString
+    acquireLease(fs, lakeDir, clusterId, leaseStaleMs)
+    try {
+      recover(spark, lakeDir)
+      val all = partitionValues(spark, lakeDir, partitionCol)
+      val unknown = partitions.filterNot(all.contains)
+      require(unknown.isEmpty,
+        s"no such partitions to z-order: ${unknown.mkString(", ")}")
+      val scope = if (partitions.nonEmpty) partitions.sorted else all
+      val stats = partitionFileStats(fs, lakeDir, partitionCol, scope)
+      val totalFiles = partitionFileStats(fs, lakeDir, partitionCol, all)
+        .map(_._2.toLong).sum
+      val selected = stats
+        .sortBy { case (v, files, _) => (-files, v) }
+        .take(maxPartitions)
+        .sortBy(_._1)
+      if (selected.isEmpty)
+        return CompactStats(all.length, 0, totalFiles, totalFiles, 0L,
+          clusterId)
+      heartbeatLease(fs, lakeDir, clusterId)
+
+      val staging = new Path(lakeDir, StagingPrefix + clusterId)
+      val schema = dirSchema(lakeSchema(fs, lakeDir), partitionCol)
+      selected.foreach { case (v, _, bytes) =>
+        val ideal = math.max(1L,
+          (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        Layout.writeZOrdered(
+            readerFor(spark, schema)
+              .parquet(escapeGlob(s"$lakeDir/$partitionCol=$v")),
+            col(dimA), col(dimB), bits, ideal)
+          .write.mode("overwrite")
+          .parquet(new Path(staging, s"$partitionCol=$v").toString)
+        heartbeatLease(fs, lakeDir, clusterId)
+      }
+
+      commitStagedSwaps(fs, lakeDir, clusterId, "zorder", partitionCol,
+        staging, selected.map(_._1), None, retainHistory, crashAfterSwaps)
+
+      val after = partitionFileStats(fs, lakeDir, partitionCol,
+        selected.map(_._1)).map(_._2.toLong).sum
+      val untouchedFiles = totalFiles - selected.map(_._2.toLong).sum
+      CompactStats(all.length, selected.length, totalFiles,
+        untouchedFiles + after, selected.map(_._3).sum, clusterId)
+    } finally releaseLease(fs, lakeDir, clusterId)
+  }
 }
