@@ -21,7 +21,10 @@ import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
   *                 (E172 [[LakeMerge.vacuumChanges]], `--consumed-seq`)
   *   - `delete`    keyed purge, keys from a parquet file
   *                 (E174 [[LakeMerge.delete]] — GDPR/takedown batches
-  *                 arrive as files, not code)
+  *                 arrive as files, not code; add `--maintain-integrity
+  *                 <idCol>,<textCol>` to refresh the lake's stored
+  *                 fingerprint under the same lease,
+  *                 [[IntegrityManifest.deleteAndMaintain]])
   *   - `log`       print the commit log as JSON lines
   *                 ([[LakeTimeTravel.readCommits]])
   *   - `snapshot`  export the lake as of a commit seq
@@ -115,11 +118,30 @@ object LakeAdmin {
             "--keys <parquet of purge keys> is required for delete"))
         val keyCols = args.getOrElse("key-cols", "tms_id,fgt,time")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val s = LakeMerge.delete(spark, lake,
-          spark.read.parquet(keysPath), keyCols,
-          partitionCol = partCol, seriesCol = seriesCol, timeCol = timeCol,
-          captureChanges = args.get("capture-changes").exists(_.toBoolean),
-          retainHistory = retain)
+        val capture = args.get("capture-changes").exists(_.toBoolean)
+        // --maintain-integrity <idCol>,<textCol>: the purge refreshes the
+        // lake's stored fingerprint under the SAME lease (E170 x E174) —
+        // a purge that leaves the published manifest attesting the
+        // forgotten rows has not finished forgetting
+        val s = args.get("maintain-integrity") match {
+          case Some(spec) =>
+            val parts = spec.split(",").map(_.trim).filter(_.nonEmpty)
+            require(parts.length == 2,
+              "--maintain-integrity takes <idCol>,<textCol>")
+            IntegrityManifest.deleteAndMaintain(spark, lake,
+              spark.read.parquet(keysPath), parts(0), parts(1),
+              keyCols = keyCols, partitionCol = partCol,
+              seriesCol = seriesCol, timeCol = timeCol,
+              groups = args.getOrElse("integrity-groups", "256").toInt,
+              subGroups = args.getOrElse("integrity-subgroups", "16").toInt,
+              captureChanges = capture, retainHistory = retain)
+          case None =>
+            LakeMerge.delete(spark, lake,
+              spark.read.parquet(keysPath), keyCols,
+              partitionCol = partCol, seriesCol = seriesCol,
+              timeCol = timeCol,
+              captureChanges = capture, retainHistory = retain)
+        }
         Map("partitions_affected" -> s.partitionsAffected.toString,
           "partitions_dropped" -> s.partitionsDropped.toString,
           "rows_deleted" -> s.rowsDeleted.toString,

@@ -409,10 +409,27 @@ object IntegrityManifest {
     val now = LakeMerge.readLake(spark, lakeDir, partitionCol)
     val refreshed = readLakeManifest(spark, lakeDir) match {
       case Some(prev) =>
+        // the stored manifest REMEMBERS its routing shape: splicing a
+        // fresh slice routed mod `groups` into rows routed mod a
+        // DIFFERENT modulus would silently corrupt the fingerprint
+        // (same ids, different grp buckets) — refuse, naming the shape
+        // to pass. Manifests stored before the shape columns existed
+        // cannot be checked and are accepted as-is.
+        if (prev.columns.contains("grp_mod")) {
+          val shape = prev.select(col("grp_mod"), col("sub_mod"))
+            .distinct().head()
+          require(shape.getInt(0) == groups && shape.getInt(1) == subGroups,
+            s"the stored manifest at $lakeDir was built with groups = " +
+              s"${shape.getInt(0)}, subGroups = ${shape.getInt(1)} — " +
+              s"maintenance must pass the same shape (got $groups, " +
+              s"$subGroups)")
+        }
         updated(prev, now, repairIds, idCol, textCol, groups, subGroups)
       case None => manifest(now, idCol, textCol, groups, subGroups)
     }
     val toStore = stamped(refreshed, asOf)
+      .withColumn("grp_mod", lit(groups))
+      .withColumn("sub_mod", lit(subGroups))
       .localCheckpoint(true) // the swap must not re-read _integrity mid-replace
     try {
       LakeMerge.atomicReplaceDir(fs,

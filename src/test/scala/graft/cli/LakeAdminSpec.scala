@@ -148,6 +148,37 @@ class LakeAdminSpec extends SparkSpec {
     assert(integ("as_of") === s.mergeId)
     assert(integ("integrity_root").length === 64)
 
+    // a CLI purge with --maintain-integrity refreshes the fingerprint
+    // under the same lease: the stored manifest equals a full recompute
+    // and its as_of names the delete
+    val purgePath = java.nio.file.Files
+      .createTempDirectory("lakeadmin-purge").toString + "/keys.parquet"
+    Seq(("wl_c", fgt, "2024-01-01 00:00:00")).toDF("tms_id", "fgt", "time")
+      .write.parquet(purgePath)
+    val del = LakeAdmin.run(spark, Map("op" -> "delete", "lake" -> dir,
+      "keys" -> purgePath, "key-cols" -> "tms_id,fgt,time",
+      "maintain-integrity" -> "tms_id,time", "integrity-groups" -> "8"))
+    assert(del("rows_deleted") === "1")
+    val m = IntegrityManifest.readLakeManifest(spark, dir).get
+    assert(m.select("as_of").distinct().head.getString(0) === del("delete_id"))
+    val full = IntegrityManifest.manifest(
+      graft.io.LakeMerge.readLake(spark, dir), "tms_id", "time", groups = 8)
+    assert(IntegrityManifest.diff(m, full).isEmpty,
+      "post-purge stored manifest must equal the full recompute")
+    intercept[IllegalArgumentException] {
+      LakeAdmin.run(spark, Map("op" -> "delete", "lake" -> dir,
+        "keys" -> purgePath, "maintain-integrity" -> "tms_id"))
+    }
+    // routing-shape mismatch refuses: the stored manifest was built with
+    // groups = 8, so a default-shape (256) maintenance would silently
+    // corrupt the fingerprint if it were allowed through
+    val eShape = intercept[IllegalArgumentException] {
+      LakeAdmin.run(spark, Map("op" -> "delete", "lake" -> dir,
+        "keys" -> purgePath, "key-cols" -> "tms_id,fgt,time",
+        "maintain-integrity" -> "tms_id,time"))
+    }
+    assert(eShape.getMessage.contains("same shape"), eShape.getMessage)
+
     intercept[IllegalArgumentException] {
       LakeAdmin.run(spark, Map("op" -> "defrag", "lake" -> dir))
     }
