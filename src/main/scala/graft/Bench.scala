@@ -77,6 +77,11 @@ object Bench {
     // key shape is qN_* / q_* exactly — a looser q\w* would swallow the
     // vs_best block's own "queries_compared" scalar back out of artifacts
     val re = "\"(q\\d*_\\w+)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+    // the host-speed probe rides the same min-merge under ProbeKey: the
+    // floors file stores it as "_probe_secs", bench artifacts as the
+    // load block's "probe_secs" (possibly \"-escaped inside the driver's
+    // truncated-tail string, like the query keys)
+    val probeRe = "\"_?probe_secs\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
     def parse(p: java.nio.file.Path): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(p),
@@ -88,7 +93,11 @@ object Bench {
         if (p.getFileName.toString != "bench_best.json" && !txt.contains("sf0.1"))
           Map.empty
         else
-          re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap ++
+            probeRe.findAllMatchIn(txt).map(m => ProbeKey -> m.group(1).toDouble)
+              .foldLeft(Map.empty[String, Double]) { case (a, (k, v)) =>
+                a.updated(k, math.min(a.getOrElse(k, Double.MaxValue), v))
+              }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val dirs = Seq(".", "/root/repo").map(java.nio.file.Paths.get(_))
       .filter(java.nio.file.Files.isDirectory(_))
@@ -111,6 +120,18 @@ object Bench {
       }
   }
 
+  /** The floors-file key the calibration probe min-merges under. */
+  private[graft] val ProbeKey = "_probe_secs"
+
+  /** May this run's numbers min-merge into the floors file? Only when its
+    * calibration probe is within 1.3× of the floors' probe — a slower
+    * host's numbers are upper bounds, not floors (min-merge can't raise
+    * an existing floor, but it WOULD seed a contended first value for a
+    * new query). No recorded floors probe → allowed (seeds it). */
+  private[graft] def floorMergeGate(probeSecs: Double,
+      probeFloor: Option[Double]): Boolean =
+    probeFloor.forall(pf => probeSecs <= pf * 1.3)
+
   /** Path of the committed rolling-best file (created on first run). */
   private def bestPath: java.nio.file.Path = {
     val candidates = Seq(".", "/root/repo").map(d =>
@@ -129,6 +150,33 @@ object Bench {
     run.foldLeft(best) { case (a, (k, v)) =>
       a.updated(k, math.min(a.getOrElse(k, Double.MaxValue), v))
     }
+
+  /** Host-speed CALIBRATION PROBE (round 16): one deterministic CPU-bound
+    * Spark job — 32 partitions of chained xxhash64 over a range, summed —
+    * no IO, no shuffle beyond the final 32-row agg, whole-stage codegen.
+    * Its wall time measures what the queries' wall times are divided by:
+    * available parallel CPU. Round 15 committed a bench whose every
+    * number was ~2.6× inflated by co-tenant load, indistinguishable in
+    * the artifact from a fleet-wide code regression (the judge needed an
+    * A/B rebuild to adjudicate); the probe makes host speed a measured
+    * quantity carried IN the artifact: `probe_secs` is stored with the
+    * floors at min-merge time, every run reports raw AND
+    * probe-normalized vs_best ratios (normalized = secs × probeFloor /
+    * probe), the regression alarm gates on the NORMALIZED ratio, and a
+    * run whose probe exceeds 1.3× the floors' probe refuses to min-merge
+    * (its numbers are upper bounds, not floors). */
+  private[graft] def calibrationProbe(spark: SparkSession,
+      rows: Long = ProbeRows): Double = {
+    val df = spark.range(0L, rows, 1L, 32)
+      .selectExpr("xxhash64(xxhash64(xxhash64(id), id + 1), id + 2) AS h")
+      .selectExpr("sum(h % 1048576) AS s") // bounded: no ANSI long overflow
+    val t0 = System.nanoTime()
+    df.collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Sized for ~1 s at this class of host's clean floor speed. */
+  private[graft] val ProbeRows: Long = 800L * 1000 * 1000
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
   private def loadAvg: Double = osBean.getSystemLoadAverage
@@ -184,7 +232,8 @@ object Bench {
     * env-var / session-lifecycle gymnastics. Returns the core JSON line. */
   private[graft] def runBench(spark: SparkSession, sfDir: String,
       only: Option[Set[String]], injectMs: Map[String, Long] = Map.empty,
-      outPath: String = "bench_result.json"): String = {
+      outPath: String = "bench_result.json",
+      floorsOverride: Option[Map[String, Double]] = None): String = {
     val selected = only match {
       case Some(names) =>
         // a typo'd name would otherwise silently shrink (or empty) the run
@@ -195,10 +244,24 @@ object Bench {
         SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val prior = priorSeconds()
+    val prior = floorsOverride.getOrElse(priorSeconds())
     val loadStart = loadAvg
     val cpuStart = processCpuNs
     val wallStart = System.currentTimeMillis()
+
+    // calibration probe, bracketing the suite: one untimed warmup pass
+    // (the probe's own JIT), then min-of-2 before the ramp and min-of-2
+    // after the suite; the reported probe is the min of all four —
+    // contention only ever inflates it, so the min is the best estimate
+    // of what this host could actually do during the run
+    calibrationProbe(spark) // warmup
+    val probeStart = math.min(calibrationProbe(spark), calibrationProbe(spark))
+    val probeFloorOpt = prior.get(ProbeKey).filter(_ > 0.0)
+    // host speed as known at query time (start probe only): used by the
+    // rerun triggers so a uniformly slow host doesn't fire hundreds of
+    // futile outlier reruns (r15: 125 reruns, 47-minute suite)
+    val speedStart = probeFloorOpt.map(pf => math.max(1.0, probeStart / pf))
+      .getOrElse(1.0)
 
     // == Whole-process JIT/codegen ramp preamble (round 14) ==
     // The per-query warmup pass absorbs each query's OWN first-run costs,
@@ -277,9 +340,13 @@ object Bench {
       //    reported value already sits above the rolling floor — the
       //    machine is known-dirty, so fight for a cleaner min.
       val floor = prior.get(name)
-      def suspect = (floor.exists(f => best._1 > f * 1.5) ||
+      // floor comparisons are HOST-SPEED NORMALIZED (round 16): on a
+      // host running 1.8× slower than the floor-setting sessions, every
+      // query sits ~1.8× over its floor and the raw trigger would fire
+      // futile reruns suite-wide (r15's 125)
+      def suspect = (floor.exists(f => best._1 / speedStart > f * 1.5) ||
         math.max(p1._1, p2._1) > 2.0 * math.min(p1._1, p2._1) ||
-        (foreignLoad >= 2.0 && floor.exists(f => best._1 > f * 1.2))) &&
+        (foreignLoad >= 2.0 && floor.exists(f => best._1 / speedStart > f * 1.2))) &&
         best._1 > 0.5
       while (ok && runs < 5 && suspect) {
         best = Seq(best, onePass()).minBy(_._1)
@@ -287,6 +354,17 @@ object Bench {
       }
       QRes(name, best._1, best._2, startMs, runs, ok, foreignLoad)
     }
+    // closing probe bracket + the run's overall host-speed estimate
+    val probeEnd = math.min(calibrationProbe(spark), calibrationProbe(spark))
+    val probeSecs = math.min(probeStart, probeEnd)
+    // clamped at 1.0: normalization only ever CORRECTS a slow host, it
+    // never inflates a fast host's numbers — floors are minima over all
+    // sessions, so on a faster-than-floor host the raw ratios are already
+    // the honest comparison (and the probe itself min-merges down, so the
+    // clamp engages only transiently after a slow-day seed)
+    val hostSpeed = probeFloorOpt.map(pf => math.max(1.0, probeSecs / pf))
+      .getOrElse(1.0)
+    def normSecs(secs: Double): Double = secs / hostSpeed
     val qs = results.map { r =>
       "\"" + r.name + "\":" + (if (r.ok) r.secs.toString else "\"err\"")
     }.mkString("{", ",", "}")
@@ -297,11 +375,13 @@ object Bench {
     // field, the vs_best summary and the gated alarm all derive from it.
     def floorOf(r: QRes): Option[Double] = prior.get(r.name).filter(_ >= 0.05)
     def ratioOf(r: QRes): Option[Double] = floorOf(r).map(b => r.secs / b)
+    def ratioNormOf(r: QRes): Option[Double] = floorOf(r).map(b => normSecs(r.secs) / b)
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"secs\":" + (if (r.ok) r.secs.toString else "\"err\"") +
         ",\"cpu_secs\":" + r.cpuSecs + ",\"start_ms\":" + r.startMs +
         ",\"runs\":" + r.runs + ",\"foreign_load\":" + f"${r.foreign}%.2f" +
         ratioOf(r).filter(_ => r.ok).map(x => f""","vs_best":$x%.2f""").getOrElse("") +
+        ratioNormOf(r).filter(_ => r.ok).map(x => f""","vs_best_norm":$x%.2f""").getOrElse("") +
         "}"
     }.mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map(_.name)
@@ -313,6 +393,10 @@ object Bench {
       s""""wall_secs":${(System.currentTimeMillis() - wallStart) / 1e3},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
       f""""ramp_secs":$rampSecs%.2f,"ramp_queries":${rampNames.length},""" +
+      f""""probe_secs":$probeSecs%.3f,"probe_start":$probeStart%.3f,""" +
+      f""""probe_end":$probeEnd%.3f,""" +
+      probeFloorOpt.map(pf =>
+        f""""probe_floor":$pf%.3f,"host_speed":$hostSpeed%.2f,""").getOrElse("") +
       s""""prior_file_queries":${prior.size},"outlier_reruns":$rerun}"""
     // vs_best summary: how this run compares to the committed per-query
     // rolling best — a future regression (or a dirty machine) is visible in
@@ -325,14 +409,20 @@ object Bench {
       val sorted = ratios.map(_._2).sorted
       val median = sorted(sorted.length / 2)
       val (worstName, worstRatio) = ratios.maxBy(_._2)
-      // two alarm channels (round 15): gt1_5x is the GATED count (ratio
-      // > 1.5 AND absolute excess > 0.25 s — see regressionAlarm);
-      // gt1_5x_ratio_only keeps the raw ratio channel visible so the
-      // gate's effect is auditable in the same line
+      val normRatios = ratioRows.map { case (_, s, f) => normSecs(s) / f }.sorted
+      val medianNorm = normRatios(normRatios.length / 2)
+      // alarm channels: gt1_5x is the GATED count on the HOST-SPEED
+      // NORMALIZED seconds (ratio > 1.5 AND absolute excess > 0.25 s —
+      // see regressionAlarm; round 16: r15's raw-gated channel read 132
+      // false regressions on a contended host, drowning any real one);
+      // gt1_5x_raw and gt1_5x_ratio_only keep the raw channels visible
+      // so the normalization's effect is auditable in the same line
       s"""{"queries_compared":${ratios.length},""" +
         f""""median":$median%.2f,"max":$worstRatio%.2f,""" +
+        f""""median_norm":$medianNorm%.2f,"max_norm":${normRatios.last}%.2f,""" +
         s""""worst_query":"$worstName",""" +
-        s""""gt1_5x":${ratioRows.count { case (_, s, f) => regressionAlarm(s, f) }},""" +
+        s""""gt1_5x":${ratioRows.count { case (_, s, f) => regressionAlarm(normSecs(s), f) }},""" +
+        s""""gt1_5x_raw":${ratioRows.count { case (_, s, f) => regressionAlarm(s, f) }},""" +
         s""""gt1_5x_ratio_only":${ratios.count(_._2 > 1.5)}}"""
     }
     // the driver keeps only a ~2 KB TAIL of stdout (BENCH_r10 showed the
@@ -348,10 +438,18 @@ object Bench {
     println(core)
     // min-merge this run into the committed rolling best (full runs only —
     // a SPARK_GRAFT_BENCH_ONLY subset at a smaller SF would poison the
-    // floor with numbers from different data)
-    if (only.isEmpty && injectMs.isEmpty && sfDir.endsWith("sf0.1")) try {
+    // floor with numbers from different data). Round 16: a run measured
+    // on a host >1.3× slower than the floors' probe REFUSES to merge —
+    // its numbers are upper bounds, not floors, and while min-merge
+    // can't raise an existing floor it WOULD seed a contended first
+    // value for any NEW query (the r11 contaminated-prior hole, back
+    // through the probe door). The probe itself min-merges alongside.
+    val mergeAllowed = floorMergeGate(probeSecs, probeFloorOpt)
+    if (only.isEmpty && injectMs.isEmpty && sfDir.endsWith("sf0.1") &&
+        mergeAllowed) try {
       val merged = updateBest(prior,
-        results.filter(_.ok).map(r => r.name -> r.secs))
+        results.filter(_.ok).map(r => r.name -> r.secs) :+
+          (ProbeKey -> probeSecs))
       val body = merged.toSeq.sorted.map { case (k, v) =>
         s""""$k":$v"""
       }.mkString("{\n  ", ",\n  ", "\n}")
@@ -359,6 +457,10 @@ object Bench {
         (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] best-file update skipped: $e") }
+    else if (!mergeAllowed)
+      System.err.println(f"[bench] floors min-merge REFUSED: probe " +
+        f"$probeSecs%.3f s > 1.3x the floors' probe " +
+        f"${probeFloorOpt.getOrElse(0.0)}%.3f s - host too slow for floor duty")
     // sbt wraps stdout in [info]/[error] prefixes the driver may fail to
     // strip — also write the raw line to a file so the metric is always
     // machine-readable (BENCH_r01.json came back "parsed": null)

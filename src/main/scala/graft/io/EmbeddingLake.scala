@@ -232,7 +232,7 @@ object EmbeddingLake {
       // invisible to committed-view readers, then destroyed by the next
       // recover()'s swap+clean (second-review finding). Roll the pending
       // commit forward before adding anything.
-      LakeMerge.recover(spark, path)
+      LakeMerge.recoverHeld(spark, path, writerId)
       body
     } finally LakeMerge.releaseLease(fs, path, writerId)
   }
@@ -338,7 +338,7 @@ object EmbeddingLake {
     val mergeId = java.util.UUID.randomUUID.toString
     LakeMerge.acquireLease(fs, path, mergeId, leaseStaleMs)
     try {
-    LakeMerge.recover(spark, path) // roll forward any interrupted compact
+    LakeMerge.recoverHeld(spark, path, mergeId) // roll forward any interrupted compact
     val allParts = LakeMerge.partitionValues(spark, path, "ivf_cell")
     // fresh sub-cell ids allocate from cellCodebook.length up — a STALE
     // (shorter-than-lake) codebook would hand a new sub-cell an id an

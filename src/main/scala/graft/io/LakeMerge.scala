@@ -247,7 +247,7 @@ object LakeMerge {
     * before a widening read back null-filled with ZERO rewrite — the
     * Delta/Iceberg `mergeSchema` posture, without the per-read footer
     * merge job `spark.read.option("mergeSchema")` would cost at 100 TB. */
-  private[io] def lakeSchema(fs: FileSystem, lakeDir: String)
+  private[graft] def lakeSchema(fs: FileSystem, lakeDir: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val root = new Path(lakeDir)
     if (!fs.exists(root)) None
@@ -656,8 +656,33 @@ object LakeMerge {
     * (crash before the manifest write) are ROLLED BACK (deleted — the
     * live lake never saw them). Called automatically at the top of every
     * [[merge]]; safe (and a no-op) on a healthy lake. Returns true iff a
-    * pending merge was completed. */
-  def recover(spark: SparkSession, lakeDir: String): Boolean = {
+    * pending merge was completed.
+    *
+    * MUTATES the lake (roll-forward swaps, staging GC), so it runs under
+    * the single-writer lease like every other mutator: this public entry
+    * acquires/releases its own lease (review finding: a leaseless
+    * `LakeAdmin --op recover` racing a live merge could delete the
+    * in-flight writer's pre-commit staging, or double-roll-forward the
+    * same pending manifest against the committing writer's swap loop).
+    * Lease-holding writers call [[recoverHeld]] with their own id. */
+  def recover(spark: SparkSession, lakeDir: String,
+      leaseStaleMs: Long = 15L * 60 * 1000): Boolean = {
+    val fs = hadoopFs(spark, lakeDir)
+    if (!fs.exists(new Path(lakeDir))) return false
+    val recoverId = java.util.UUID.randomUUID.toString
+    acquireLease(fs, lakeDir, recoverId, leaseStaleMs)
+    try recoverHeld(spark, lakeDir, recoverId)
+    finally releaseLease(fs, lakeDir, recoverId)
+  }
+
+  /** [[recover]] for a caller that ALREADY holds the lease as
+    * `writerId`. Heartbeats the lease per roll-forward swap (review
+    * finding: a long recovery swap loop under the default no-op
+    * onProgress could exceed staleMs and be stolen mid-loop — the same
+    * double-roll-forward race the per-swap heartbeat in
+    * commitStagedSwaps closes for the committing writer). */
+  private[io] def recoverHeld(spark: SparkSession, lakeDir: String,
+      writerId: String): Boolean = {
     val root = new Path(lakeDir)
     val fs = hadoopFs(spark, lakeDir)
     if (!fs.exists(root)) return false
@@ -665,6 +690,7 @@ object LakeMerge {
     pending.foreach { m =>
       applySwaps(fs, lakeDir, m.partitionCol,
         new Path(lakeDir, m.staging), m.partitions,
+        onProgress = () => heartbeatLease(fs, lakeDir, writerId),
         historyTo = m.histSeq.filter(_ => m.retainHist)
           .map(LakeTimeTravel.historyDir(lakeDir, _)),
         dropped = m.dropped.toSet)
@@ -987,7 +1013,7 @@ object LakeMerge {
     val writerId = java.util.UUID.randomUUID.toString
     acquireLease(fs, lakeDir, writerId, leaseStaleMs)
     try {
-      recover(spark, lakeDir)
+      recoverHeld(spark, lakeDir, writerId)
       val dir = new Path(lakeDir, ChangesDirName)
       val published =
         if (!fs.exists(dir)) Seq.empty
@@ -996,7 +1022,10 @@ object LakeMerge {
       val maxSeq = published
         .map(_.getName.stripPrefix("seq=").toLong)
         .foldLeft(-1L)(math.max)
-      require(consumedSeq <= maxSeq,
+      // the _hwm marker proves seqs up to it were once published, so an
+      // idempotent cron re-run after a prior run fully vacuumed the feed
+      // (live maxSeq back to -1) must no-op, not throw (review finding)
+      require(consumedSeq <= math.max(maxSeq, changeHwm(fs, lakeDir)),
         s"vacuumChanges consumedSeq $consumedSeq exceeds the published " +
           s"feed range (max $maxSeq) — is this a commit-log seq? " +
           "vacuumChanges takes a change-feed seq")
@@ -1095,7 +1124,7 @@ object LakeMerge {
     if (externalLease.isEmpty)
       acquireLease(fsEntry, lakeDir, mergeId, leaseStaleMs)
     try {
-    recover(spark, lakeDir) // roll forward / clean up any interrupted merge
+    recoverHeld(spark, lakeDir, mergeId) // roll forward any interrupted merge
     val allParts = partitionValues(spark, lakeDir, partitionCol)
     require(allParts.nonEmpty,
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
@@ -1297,7 +1326,10 @@ object LakeMerge {
     *    the rewrite) — the caller ASSERTS where the keys live, mirroring
     *    the merge's partition-derivation contract (a key asserted into
     *    the wrong partition silently survives, exactly as a mis-derived
-    *    merge would duplicate);
+    *    merge would duplicate). The assertion scopes each key to ITS
+    *    partition: with several partitions asserted, a key asserted into
+    *    partition A never deletes a same-key row living in partition B
+    *    (the probe and the rewrite both join on key+partition);
     *  - no `partitionCol`: a key-column-only pruned scan locates the
     *    affected partitions (parquet column pruning keeps the read to the
     *    key columns — text/payload never loads), so "purge these doc ids
@@ -1346,7 +1378,7 @@ object LakeMerge {
     if (externalLease.isEmpty)
       acquireLease(fs, lakeDir, deleteId, leaseStaleMs)
     try {
-      recover(spark, lakeDir) // roll forward any interrupted writer first
+      recoverHeld(spark, lakeDir, deleteId) // roll forward interrupted writers
       val allParts = partitionValues(spark, lakeDir, partitionCol)
       require(allParts.nonEmpty,
         s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
@@ -1356,6 +1388,15 @@ object LakeMerge {
       val hasPart = keys.columns.contains(partitionCol)
       val kCols = keyCols ++ (if (hasPart) Seq(partitionCol) else Nil)
       val k = keys.select(kCols.map(col): _*).distinct().localCheckpoint(true)
+      // per-partition key scoping (review finding): when partitions are
+      // asserted, the probe and the rewrite join on key+partition so a
+      // key asserted into partition A cannot delete a matching key row
+      // living in a different affected partition B. Cast the asserted
+      // partition to string to match readPartitions' restored literal.
+      val joinCols = if (hasPart) keyCols :+ partitionCol else keyCols
+      val kScoped =
+        if (hasPart) k.withColumn(partitionCol, col(partitionCol).cast("string"))
+        else k
       try {
         // NULL keys never equi-join: such a row would silently SURVIVE
         // the purge — for a forget-me operation a silent miss is the
@@ -1376,8 +1417,8 @@ object LakeMerge {
         // still partition-bounded, never a lake scan.
         def matchedPartitions(keysOnly: DataFrame): Seq[String] =
           keysOnly
-            .join(broadcast(k.select(keyCols.map(col): _*)),
-              keyCols, "left_semi")
+            .join(broadcast(kScoped.select(joinCols.map(col): _*)),
+              joinCols, "left_semi")
             .select(col(partitionCol).cast("string")).distinct()
             .collect().map(_.getString(0)).toSeq.sorted
         val affected: Seq[String] =
@@ -1410,8 +1451,8 @@ object LakeMerge {
           .getOrElse(throw new IllegalStateException(
             s"affected partitions vanished mid-delete on $lakeDir"))
         val rowsBefore = current.count() // footer-count only
-        val keyOnly = k.select(keyCols.map(col): _*)
-        current.join(broadcast(keyOnly), keyCols, "left_anti")
+        val keyOnly = kScoped.select(joinCols.map(col): _*)
+        current.join(broadcast(keyOnly), joinCols, "left_anti")
           .repartition(filesPerPartition, col(partitionCol), col(seriesCol))
           .sortWithinPartitions(partitionCol, seriesCol, timeCol)
           .write.mode("overwrite").partitionBy(partitionCol)
@@ -1434,7 +1475,7 @@ object LakeMerge {
         // crash-atomicity as the merge's feed
         val changeSeqOpt =
           if (captureChanges) {
-            deleteFeed(current, keyOnly, keyCols).write.mode("overwrite")
+            deleteFeed(current, keyOnly, joinCols).write.mode("overwrite")
               .parquet(new Path(staging, ChangeFeedStagedName).toString)
             Some(nextChangeSeq(fs, lakeDir))
           } else None
@@ -1525,7 +1566,7 @@ object LakeMerge {
     val compactId = java.util.UUID.randomUUID.toString
     acquireLease(fs, lakeDir, compactId, leaseStaleMs)
     try {
-      recover(spark, lakeDir) // roll forward any interrupted writer first
+      recoverHeld(spark, lakeDir, compactId) // roll forward interrupted writers
       val all = partitionValues(spark, lakeDir, partitionCol)
       val stats = partitionFileStats(fs, lakeDir, partitionCol, all)
       val totalFiles = stats.map(_._2.toLong).sum
@@ -1631,7 +1672,7 @@ object LakeMerge {
     val clusterId = java.util.UUID.randomUUID.toString
     acquireLease(fs, lakeDir, clusterId, leaseStaleMs)
     try {
-      recover(spark, lakeDir)
+      recoverHeld(spark, lakeDir, clusterId)
       val all = partitionValues(spark, lakeDir, partitionCol)
       val unknown = partitions.filterNot(all.contains)
       require(unknown.isEmpty,

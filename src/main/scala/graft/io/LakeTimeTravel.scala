@@ -261,7 +261,7 @@ object LakeTimeTravel {
       // heal any crashed writer first: deleting a PENDING commit's
       // half-written history dir would leave its recovery with nowhere
       // to park the remaining pre-images' deterministic names
-      LakeMerge.recover(spark, lakeDir)
+      LakeMerge.recoverHeld(spark, lakeDir, writerId)
       // range-check BEFORE the irreversible delete (review finding): the
       // lake surfaces two counters named 'seq' (change feed, commit log);
       // a change-feed seq — or a stray timestamp — passed here would

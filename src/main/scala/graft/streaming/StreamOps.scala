@@ -126,10 +126,19 @@ object StreamOps {
     * `_changes/` — each commit a merge/delete publishes as `seq=N/`
     * appears to the stream as new files, so the feed doubles as a
     * message log without any broker (the Delta "streaming source"
-    * posture). Data schema is probed from the already-published feed
-    * (the source requires one), `seq` rides as the directory-partition
-    * column cast long. Requires at least one captured commit — the
-    * schema cannot be invented before the feed exists. */
+    * posture). Data schema comes from the lake's STORED schema when one
+    * exists (plus the feed's `_change_type`/`seq` bookkeeping columns),
+    * so a stream started after an E178 widening sees the new columns —
+    * commits published before the widening read them back NULL, the
+    * same schema-on-read rule the lake itself applies (review finding:
+    * pinning from the already-published feed silently dropped
+    * post-widening columns for the stream's lifetime). Falls back to
+    * probing the published feed on a pre-evolution lake; `seq` rides as
+    * the directory-partition column cast long. Requires at least one
+    * captured commit — the schema cannot be invented before the feed
+    * exists. NOTE: a widening published WHILE the stream runs still
+    * requires a consumer restart (Spark pins the source schema at
+    * stream start). */
   def changesStream(spark: SparkSession, lakeDir: String): DataFrame = {
     val dir = s"$lakeDir/_changes"
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -140,8 +149,19 @@ object StreamOps {
       s"no published change feed at $dir — run a merge/delete with " +
         "captureChanges = true before starting a consumer (the stream " +
         "needs the feed's schema)")
-    val batchView = spark.read.option("basePath", dir).parquet(dir)
-    spark.readStream.schema(batchView.schema)
+    val feedSchema = spark.read.option("basePath", dir).parquet(dir).schema
+    val schema = graft.io.LakeMerge.lakeSchema(fs, lakeDir) match {
+      case Some(stored) =>
+        // stored lake schema is authoritative for the data columns; the
+        // feed contributes only its bookkeeping fields (_change_type,
+        // the seq partition) and any column the stored schema lacks
+        val storedNames = stored.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          stored.fields ++ feedSchema.fields.filterNot(f =>
+            storedNames.contains(f.name)))
+      case None => feedSchema
+    }
+    spark.readStream.schema(schema)
       .option("basePath", dir).parquet(dir)
       .withColumn("seq", col("seq").cast("long"))
   }

@@ -45,6 +45,102 @@ class BenchGateSpec extends SparkSpec {
       "\"gt1_5x_ratio_only\":(\\d+)".r.findFirstMatchIn(core).get.group(1).toInt
     assert(gated === 1, s"injected slowdown must trip the gated alarm: $core")
     assert(ratioOnly >= gated)
+    // the round-16 calibration evidence rides in the same artifact
+    assert(core.contains("\"probe_secs\":"), s"probe missing: $core")
+    assert(core.contains("\"median_norm\":"), s"normalized vs_best missing: $core")
     java.nio.file.Files.deleteIfExists(out)
+  }
+
+  test("floors min-merge gate: slow-host runs refuse, seeding allowed") {
+    assert(Bench.floorMergeGate(probeSecs = 1.0, probeFloor = None))
+    assert(Bench.floorMergeGate(probeSecs = 1.2, probeFloor = Some(1.0)))
+    assert(!Bench.floorMergeGate(probeSecs = 1.4, probeFloor = Some(1.0)))
+    assert(!Bench.floorMergeGate(probeSecs = 2.6, probeFloor = Some(1.0)))
+  }
+
+  private def num(key: String, core: String): Double =
+    ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(core)
+      .getOrElse(fail(s"$key missing from $core")).group(1).toDouble
+
+  test("normalization: floors from a 2x-faster host read raw ~2x, normalized ~1x") {
+    // the r15 failure mode, synthesized deterministically: floors (and
+    // the floors' probe) as a host exactly 2× faster than this one would
+    // have recorded them — CLEAN measurements of this host, halved. Raw
+    // vs_best must read ~2×; the probe-normalized channel must collapse
+    // to ~1× and the gated alarm must stay silent.
+    val q = "q_dedup_simhash"
+    Bench.calibrationProbe(spark) // JIT warmup
+    val probe = math.min(Bench.calibrationProbe(spark), Bench.calibrationProbe(spark))
+    def oneQ(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    oneQ() // warmup
+    val qSecs = math.min(oneQ(), oneQ())
+    val out = java.nio.file.Files.createTempFile("bench-norm", ".json")
+    val core = Bench.runBench(spark, "/root/testdata/sf0.01",
+      only = Some(Set(q)), outPath = out.toString,
+      floorsOverride = Some(Map(q -> qSecs / 2, Bench.ProbeKey -> probe / 2)))
+    java.nio.file.Files.deleteIfExists(out)
+    val raw = num("median", core)
+    val norm = num("median_norm", core)
+    val speed = num("host_speed", core)
+    assert(raw > 1.4, s"raw ratio should read ~2x on synthetic fast floors: $core")
+    assert(speed > 1.4 && speed < 2.8, s"host_speed should read ~2: $core")
+    assert(norm > 0.4 && norm < 1.5,
+      s"normalized ratio should collapse to ~1x: $core")
+    assert(num("gt1_5x", core) === 0.0,
+      s"gated alarm must be quiet after normalization: $core")
+  }
+
+  test("normalization: a deliberately loaded run inflates raw, not normalized") {
+    // busy-spin co-tenant load (2 spinners per hardware thread), the
+    // probe and the queries slowed together: the raw ratios inflate, the
+    // probe-normalized ratios stay near the clean baseline. Floors are
+    // CLEAN same-session measurements, so tolerances only have to cover
+    // load-vs-load variance, not cross-session drift.
+    val q = "q_dedup_simhash"
+    Bench.calibrationProbe(spark) // JIT warmup
+    val cleanProbe =
+      math.min(Bench.calibrationProbe(spark), Bench.calibrationProbe(spark))
+    def oneQ(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    oneQ() // warmup
+    val cleanQ = math.min(oneQ(), oneQ())
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to 2 * Runtime.getRuntime.availableProcessors).map { i =>
+      val t = new Thread(() => {
+        var x = i.toLong
+        while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+        if (x == 42L) println(x) // defeat dead-code elimination
+      }, s"bench-spec-spin-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val loadedProbe =
+        math.min(Bench.calibrationProbe(spark), Bench.calibrationProbe(spark))
+      assert(loadedProbe > cleanProbe * 1.2,
+        f"busy-spin should slow the probe: clean $cleanProbe%.3f " +
+          f"loaded $loadedProbe%.3f")
+      val out = java.nio.file.Files.createTempFile("bench-load", ".json")
+      val core = Bench.runBench(spark, "/root/testdata/sf0.01",
+        only = Some(Set(q)), outPath = out.toString,
+        floorsOverride = Some(Map(q -> cleanQ, Bench.ProbeKey -> cleanProbe)))
+      java.nio.file.Files.deleteIfExists(out)
+      val raw = num("median", core)
+      val norm = num("median_norm", core)
+      assert(raw > 1.2, s"loaded run should inflate raw vs_best: $core")
+      assert(norm < raw * 0.9,
+        s"normalization should absorb most of the load inflation: $core")
+      assert(norm > 0.3 && norm < 2.0,
+        s"normalized ratio should stay near 1x under load: $core")
+    } finally {
+      stop.set(true)
+      spinners.foreach(_.join(2000))
+    }
   }
 }

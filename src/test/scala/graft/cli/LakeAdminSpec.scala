@@ -105,6 +105,13 @@ class LakeAdminSpec extends SparkSpec {
       LakeMerge.readChanges(spark, dir)
     }
     assert(eFeed.getMessage.contains("vacuumed"), eFeed.getMessage)
+    // idempotent cron re-run after FULL retention: the same consumed
+    // seq must no-op via the _hwm marker (which proves the seq was once
+    // published), not refuse as out-of-range (review finding)
+    val fvac3 = LakeAdmin.run(spark, Map("op" -> "vacuum-changes",
+      "lake" -> dir, "consumed-seq" -> "1"))
+    assert(fvac3("feed_commits_removed") === "0",
+      "re-vacuuming an already-vacuumed seq must be a no-op")
     LakeMerge.merge(spark, dir, LakeMerge.withPartDate(
       Seq(("wl_a", fgt, "2024-01-01 00:00:00", 2.25))
         .toDF("tms_id", "fgt", "time", "value")),

@@ -118,6 +118,27 @@ class LakeDeleteSpec extends SparkSpec {
       "a matchless purge must not publish a feed commit")
   }
 
+  test("asserted partitions scope their keys: key in A never deletes same key in B") {
+    val dir = freshLake("lakedel-scope")
+    // non-time-derived key columns (tms_id, fgt): both ids hold rows in
+    // BOTH asserted partitions. wl_a is asserted into day 2 only, wl_b
+    // into day 3 only — the cross matches (wl_a@day3, wl_b@day2) must
+    // SURVIVE (review finding: the rewrite anti-joined on keyCols alone
+    // across all affected partitions, deleting them)
+    val kc = Seq("tms_id", "fgt")
+    val purge = Seq(("wl_a", fgt, "2024-01-02"), ("wl_b", fgt, "2024-01-03"))
+      .toDF("tms_id", "fgt", "part_date")
+    val before = sortedRows(LakeMerge.readLake(spark, dir))
+    val s = LakeMerge.delete(spark, dir, purge, kc)
+    val expected = before.filterNot { case (id, _, t, _) =>
+      (id == "wl_a" && t.startsWith("2024-01-02")) ||
+        (id == "wl_b" && t.startsWith("2024-01-03"))
+    }
+    assert(s.rowsDeleted === (before.length - expected.length).toLong, s"$s")
+    assert(sortedRows(LakeMerge.readLake(spark, dir)) === expected,
+      "a key asserted into one partition must not delete its twin in another")
+  }
+
   test("crash mid-swap with a dropped partition: committed view torn-free, recover rolls forward") {
     val dir = freshLake("lakedel-crash")
     val fs = LakeMerge.hadoopFs(spark, dir)

@@ -339,6 +339,27 @@ class LakeMergeSpec extends SparkSpec {
     LakeMerge.releaseLease(fs, dir, "thief")
   }
 
+  test("recover() is lease-guarded: refused while a live writer holds the lease") {
+    val dir = java.nio.file.Files.createTempDirectory("lakerecoverlease")
+      .toString + "/lake"
+    LakeMerge.writeLake(batch(Seq("wl_a"), "2024-01-02 06:00:00", day1,
+      (_, _) => 1.0), dir)
+    val fs = LakeMerge.hadoopFs(spark, dir)
+    LakeMerge.acquireLease(fs, dir, "live-writer")
+    try {
+      // a leaseless admin recover racing a live merge could GC the
+      // in-flight writer's pre-commit staging or double-roll-forward its
+      // manifest (review finding) — it must refuse fail-fast instead
+      val e = intercept[IllegalStateException] { LakeMerge.recover(spark, dir) }
+      assert(e.getMessage.contains("lease"), e.getMessage)
+    } finally LakeMerge.releaseLease(fs, dir, "live-writer")
+    // released: recover acquires its own lease, no-ops on a healthy lake,
+    // and releases it (a follow-up writer must not find it held)
+    assert(LakeMerge.recover(spark, dir) === false)
+    assert(LakeMerge.leaseHolder(fs, dir).isEmpty,
+      "recover must release its own lease")
+  }
+
   test("manifest values with brackets are rejected at write time") {
     // r14 ADVICE: readManifest's partitions regex is bracket-bounded, so
     // a ']' inside a custom-layout partition value would silently

@@ -202,6 +202,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changesStream reads post-widening columns via the stored lake schema") {
+    import graft.io.LakeMerge
+    val root = java.nio.file.Files.createTempDirectory("cswiden").toString
+    val lakeDir = s"$root/lake"
+    val fgt = "2024-01-02 06:00:00"
+    val keys = Seq("tms_id", "fgt", "time")
+    def mk(rows: Seq[(String, String, String, Double)]) =
+      LakeMerge.withPartDate(rows.toDF("tms_id", "fgt", "time", "value"))
+    LakeMerge.writeLake(mk(Seq(("wl_a", fgt, "2024-01-01 00:00:00", 1.0))),
+      lakeDir)
+    // seq 0: pre-widening feed files (no `quality` column on disk)
+    LakeMerge.merge(spark, lakeDir,
+      mk(Seq(("wl_b", fgt, "2024-01-01 06:00:00", 2.0))), keys,
+      captureChanges = true)
+    // E178 widening, published as seq 1 — its feed files DO carry quality
+    LakeMerge.merge(spark, lakeDir,
+      mk(Seq(("wl_c", fgt, "2024-01-01 12:00:00", 3.0)))
+        .withColumn("quality", lit(7)), keys,
+      captureChanges = true, schemaEvolution = true)
+    // a stream started NOW must see the widened column (review finding:
+    // pinning the schema from the published feed made `quality` absent —
+    // parquet schema probing could pick a pre-widening file)
+    val stream = StreamOps.changesStream(spark, lakeDir)
+    assert(stream.schema.fieldNames.contains("quality"),
+      s"stored schema must be authoritative: ${stream.schema.treeString}")
+    val q = stream.writeStream.format("memory").queryName("cs_widen")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("cs_widen")
+      .select("seq", "tms_id", "quality", LakeMerge.ChangeTypeCol).collect()
+    assert(rows.filter(_.getLong(0) == 0L).forall(_.isNullAt(2)),
+      "pre-widening commits read the new column back NULL")
+    val seq1Inserts = rows.filter(r =>
+      r.getLong(0) == 1L && r.getString(3) == "insert")
+    assert(seq1Inserts.nonEmpty && seq1Inserts.forall(_.getInt(2) == 7),
+      "post-widening commits carry the new column's values")
+  }
+
   test("changesStream -> feedMaintainSink: live IVM over the feed, effectively-once") {
     import graft.io.{FeedMaintain, LakeMerge}
     val root = java.nio.file.Files.createTempDirectory("feedstream").toString
