@@ -1682,6 +1682,31 @@ object PipelineQueries {
       },
       Some(knnOracleSql)),
 
+    // ---- batched multi-query ANN: a 100-query block, ONE corpus scan ------
+    // the eval-sweep shape (E128/E136 consumers): query block broadcast,
+    // per-task bounded top-k partial agg — the oracle is the full
+    // brute-force cross join ranked per query
+    "q_ann_batch" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.topKForQueries(
+          emb.filter(col("vec_id") >= 100), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+          k = 5, roundTo = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id,
+             |  list_transform(embedding, x -> x::DOUBLE) AS qv
+             |  FROM embeddings WHERE vec_id < 100),
+             |c AS (SELECT vec_id,
+             |  list_transform(embedding, x -> x::DOUBLE) AS cv
+             |  FROM embeddings WHERE vec_id >= 100),
+             |s AS (SELECT query_id, vec_id,
+             |  round(${duckCosD("cv", "qv", 64)}, 5) AS cos FROM q, c),
+             |r AS (SELECT query_id, vec_id, cos, row_number() OVER (
+             |  PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM s)
+             |SELECT query_id, vec_id, cos, rn::INT AS rank FROM r
+             |WHERE rn <= 5""".stripMargin)),
+
     // ---- ANN: Matryoshka-truncated top-k (first 16 of 64 dims) ------------
     // cosine of sliced vectors == the truncated-renormalized score; the
     // oracle recomputes it over the same 16-dim prefix

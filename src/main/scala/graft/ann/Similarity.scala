@@ -255,6 +255,84 @@ object Similarity {
       assigned.filter(col("ivf_cell").isin(probes: _*)), idCol, vecCol, query, k, roundTo)
   }
 
+  // ---- batched multi-query retrieval (round 16) --------------------------
+
+  /** Exact top-k for a TABLE of queries in ONE corpus scan — the eval /
+    * hard-negative-mining shape ([[graft.eval.EvalMetrics.retrievalMetrics]]
+    * takes the output directly as its `runs` frame). The per-query entry
+    * points ([[bruteForceTopK]] et al.) take one literal vector, so a
+    * 10k-query sweep pays 10k plans and 10k corpus scans; here the query
+    * block broadcasts, every corpus row scores all queries in a fused
+    * codegen'd loop, and a bounded partial-merge-able top-k aggregate
+    * ([[graft.expressions.ScoreTopKAgg]]) folds each task's scores to k
+    * entries per query BEFORE the shuffle — the exchange carries
+    * |queries| × |tasks| × k entries, never the |corpus| × |queries|
+    * scored rows a window-rank formulation would (and the corpus itself
+    * never moves). Determinism: score rounded, ties broken by id, so the
+    * result equals looping [[bruteForceTopK]] per query (spec-pinned).
+    *
+    * Output: one row per (query_id, id) kept pair: `query_id`, `idCol`,
+    * `cos`, `rank` (1 = best). `queries` must be broadcast-sized (an eval
+    * block, not a second corpus — typically ≤ 100k vectors). */
+  def topKForQueries(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
+    corpus.crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("__qv")), roundTo)
+          .as("cos"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.scoreTopK(col("cos"), col(idCol), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as(idCol),
+        col("__e.score").as("cos"), (col("__p") + 1).as("rank"))
+  }
+
+  /** The nProbe nearest centroid indices of a vector column — the same
+    * fused argmin family as [[withIvfCell]], ranked instead of argmin'd
+    * (ties by cell index, matching a sorted (distance, index) struct). */
+  private def probeCells(vec: Column, centroids: Array[Seq[Float]],
+      nProbe: Int): Column = {
+    val cLit = typedlit(centroids.toSeq)
+    val ranked = array_sort(transform(
+      sequence(lit(0), lit(centroids.length - 1)),
+      i => struct(
+        VectorFunctions.l2(vec, element_at(cLit, i + 1)).as("d"),
+        i.as("i"))))
+    transform(slice(ranked, 1, math.min(nProbe, centroids.length)),
+      e => e.getField("i"))
+  }
+
+  /** IVF-pruned batched retrieval: like [[topKForQueries]] but each query
+    * scores ONLY its own nProbe nearest cells. The corpus is assigned its
+    * cell once; the query block (with its per-query probe cells exploded
+    * to (cell, query) pairs) broadcasts, and the equi-join on `ivf_cell`
+    * replaces the cross join — each corpus row meets only the queries
+    * probing its cell, ~nProbe/nCentroids of the batched brute-force work.
+    * On a cell-partitioned lake the same join prunes entire partitions. */
+  def ivfTopKForQueries(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, roundTo: Int = 6,
+      kmeansIters: Int = 0): DataFrame = {
+    val centroids = codebook(corpus, idCol, vecCol, nCentroids, kmeansIters)
+    val assigned = withIvfCell(corpus, vecCol, centroids)
+    val qCells = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("ivf_cell",
+        explode(probeCells(col("__qv"), centroids, nProbe)))
+    assigned.join(broadcast(qCells), Seq("ivf_cell"))
+      .select(col("query_id"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("__qv")), roundTo)
+          .as("cos"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.scoreTopK(col("cos"), col(idCol), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as(idCol),
+        col("__e.score").as("cos"), (col("__p") + 1).as("rank"))
+  }
+
   /** IVF codebook: deterministic id-ordered seeds refined by `iters`
     * Lloyd's-k-means steps. Each step is ONE distributed aggregate — cells
     * assigned by the fused codegen'd argmin, per-cell mean via explode +

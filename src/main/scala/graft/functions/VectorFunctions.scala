@@ -34,6 +34,14 @@ object VectorFunctions {
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column = c(FloatVecL2(e(a), e(b)))
 
+  /** Bounded per-group top-k aggregate (score DESC, id ASC), evaluating
+    * to a rank-ordered `array<struct<id, score>>` — partial-merge-able,
+    * so map-side combine caps the shuffle at k entries per (group × task).
+    * See [[graft.expressions.ScoreTopKAgg]] for the scale rationale. */
+  def scoreTopK(score: Column, id: Column, k: Int): Column =
+    c(graft.expressions.ScoreTopKAgg(e(score), e(id), k)
+      .toAggregateExpression())
+
   /** Canonical IEEE-754 bit encoding of a vector as one fixed-width hex
     * string (8 chars/float, 16/double; null elements emit `n…n`) — the
     * injective, bit-exact vector fingerprint

@@ -70,6 +70,71 @@ class RecallSpec extends SparkSpec {
     assert(refined >= raw - 0.05, "k-means refinement degraded recall")
   }
 
+  test("batched topKForQueries equals looping bruteForceTopK per query") {
+    // 40-query block against the remaining corpus — the batched single-
+    // scan result must be ROW-IDENTICAL (ids, scores, rank order) to the
+    // one-plan-per-query loop it replaces
+    val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+    val corpus = df.filter(org.apache.spark.sql.functions.col("vec_id") >= 40)
+    val batched = Similarity.topKForQueries(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, roundTo = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val looped = (0L until 40L).flatMap { qid =>
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        vecs(qid.toInt)._2, k = 10, roundTo = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(batched.length === looped.length)
+    assert(batched.toSeq === looped,
+      "batched and looped retrieval must agree exactly")
+  }
+
+  test("ivfTopKForQueries: full probe equals batched brute force; narrow probe keeps recall") {
+    val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val corpus = df.filter(org.apache.spark.sql.functions.col("vec_id") >= 20)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val exact = rows(Similarity.topKForQueries(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, roundTo = 5))
+    val fullProbe = rows(Similarity.ivfTopKForQueries(corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 10,
+      nCentroids = 8, nProbe = 8, roundTo = 5, kmeansIters = 2))
+    assert(fullProbe === exact, "probing every cell must equal brute force")
+    val narrow = Similarity.ivfTopKForQueries(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10,
+      nCentroids = 8, nProbe = 2, roundTo = 5, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val exactByQ = exact.map(t => (t._1, t._3)).groupBy(_._1)
+    val recall = (0L until 20L).map { qid =>
+      val a = narrow.getOrElse(qid, Array.empty).map(_._2).toSet
+      val e = exactByQ(qid).map(_._2).toSet
+      a.intersect(e).size.toDouble / e.size
+    }.sum / 20
+    info(f"batched IVF recall@10 (8 cells, probe 2): $recall%.3f")
+    assert(recall >= 0.85, s"batched IVF recall@10 $recall below 0.85")
+  }
+
+  test("batched retrieval output feeds retrievalMetrics as the runs frame") {
+    import org.apache.spark.sql.functions._
+    val queries = df.filter(col("vec_id") < 10)
+    val corpus = df.filter(col("vec_id") >= 10)
+    val runs = Similarity.topKForQueries(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, roundTo = 5)
+    // qrels = the exact top-3 per query (grade 1): a perfect-ranking run
+    // must score recall 1, MRR 1 at k=5
+    val qrels = Similarity.topKForQueries(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, roundTo = 5)
+      .select(col("query_id"), col("vec_id"), lit(1).as("grade"))
+    val report = graft.eval.EvalMetrics.retrievalMetrics(runs, qrels,
+      "query_id", "vec_id", "cos", "grade", k = 5)
+    val bad = report.filter(col("recall") < 1.0 || col("mrr") < 1.0).count()
+    assert(bad === 0L, "a perfect run must score recall=1, mrr=1 per query")
+    assert(report.count() === 10L)
+  }
+
   test("PQ reranked recall@10 >= 0.9; widening the ADC shortlist does not hurt") {
     def pqRecall(shortlist: Int): Double = {
       val recalls = (0 until 20).map { qi =>

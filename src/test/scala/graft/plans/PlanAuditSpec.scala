@@ -127,6 +127,36 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("q_ann_batch: one corpus scan, broadcast query block, bounded partial top-k") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val df = graft.SparkEntry.queries("q_ann_batch")(spark, Sf)
+    df.collect()
+    val plan = org.apache.spark.sql.GraftBridge.finalPlanString(df)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val fileScans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+    // exactly two file scans: the corpus ONCE (not once per query) and
+    // the broadcast query block — a per-query loop would plan 100 scans
+    assert(fileScans == 2,
+      s"batched retrieval must scan the corpus once, saw $fileScans scans:\n" +
+        plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the query block must broadcast:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "the score join must never be a shuffled cartesian:\n" + plan.take(1200))
+    // the bounded top-k aggregate folds map-side BEFORE the exchange —
+    // the shuffle carries k-entry buffers, not |corpus| × |queries| rows
+    assert(plan.contains("partial_score_topk") ||
+      "ObjectHashAggregate.*score_topk".r.findFirstIn(plan).nonEmpty,
+      "partial top-k must appear below the exchange:\n" + plan.take(2000))
+  }
+
   test("q_dedup_keepers_fast signs without shuffling (rowwise expression inside)") {
     val df = graft.SparkEntry.queries("q_dedup_keepers_fast")(spark, Sf)
     df.collect()
