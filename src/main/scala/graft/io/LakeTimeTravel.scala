@@ -123,6 +123,41 @@ object LakeTimeTravel {
   def readLakeAsOf(spark: SparkSession, lakeDir: String, asOfSeq: Long,
       partitionCol: String = "part_date"): DataFrame = {
     val fs = LakeMerge.hadoopFs(spark, lakeDir)
+    val resolved = resolveAsOf(spark, lakeDir, asOfSeq, partitionCol)
+    // the stored schema (E178) applies to snapshots too: a snapshot
+    // renders in the CURRENT schema — partitions (and retained
+    // pre-images) written before a widening read back null-filled, the
+    // same shape a full recompute of that era's data would produce today
+    val stored = LakeMerge.lakeSchema(fs, lakeDir)
+    val liveFrame =
+      if (resolved.liveDirs.isEmpty) None
+      else Some(LakeMerge.readerFor(spark, stored)
+        .option("basePath", lakeDir)
+        .parquet(resolved.liveDirs.map(LakeMerge.escapeGlob): _*)
+        .withColumn(partitionCol, col(partitionCol).cast("string")))
+    val litFrames = resolved.litDirs.map { case (dir, v) =>
+      LakeMerge.readerFor(spark, LakeMerge.dirSchema(stored, partitionCol))
+        .parquet(LakeMerge.escapeGlob(dir))
+        .withColumn(partitionCol, lit(v))
+    }
+    val frames = liveFrame.toVector ++ litFrames
+    require(frames.nonEmpty,
+      s"the lake had no partitions at seq $asOfSeq")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** The directory sources a snapshot at `asOfSeq` resolves to —
+    * [[readLakeAsOf]]'s resolution, shared with the `graftlake` format's
+    * file index so the two read paths cannot drift: `liveDirs` are live
+    * partition directories (value derivable from the dir name),
+    * `litDirs` carry (dir, restoredValue) for history/staged sources
+    * whose names don't encode the value. */
+  private[graft] final case class ResolvedSnapshot(liveDirs: Vector[String],
+      litDirs: Vector[(String, String)])
+
+  private[graft] def resolveAsOf(spark: SparkSession, lakeDir: String,
+      asOfSeq: Long, partitionCol: String): ResolvedSnapshot = {
+    val fs = LakeMerge.hadoopFs(spark, lakeDir)
     val recorded = readCommits(spark, lakeDir)
     // a pending manifest is a committed-but-unswapped commit — its
     // record (appended during roll-forward) may not exist yet, so it is
@@ -177,9 +212,7 @@ object LakeTimeTravel {
     val pendingDropped: Set[String] = pendingRec
       .map(_.dropped.toSet).getOrElse(Set.empty)
 
-    final case class Sources(liveDirs: Vector[String],
-        litDirs: Vector[(String, String)]) // (dir, restoredValue)
-    val resolved = allVals.foldLeft(Sources(Vector.empty, Vector.empty)) {
+    allVals.foldLeft(ResolvedSnapshot(Vector.empty, Vector.empty)) {
       (acc, v) =>
         touchedFirst.get(v) match {
           case None if pendingIncluded.contains(v) =>
@@ -193,7 +226,7 @@ object LakeTimeTravel {
             }
           case None =>
             acc.copy(liveDirs = acc.liveDirs :+
-              LakeMerge.escapeGlob(s"$lakeDir/$partitionCol=$v"))
+              s"$lakeDir/$partitionCol=$v")
           case Some(c) if c.created.contains(v) =>
             acc // did not exist at asOfSeq
           case Some(c) =>
@@ -222,26 +255,6 @@ object LakeTimeTravel {
                 "snapshots older than the vacuum horizon are gone")
         }
     }
-    // the stored schema (E178) applies to snapshots too: a snapshot
-    // renders in the CURRENT schema — partitions (and retained
-    // pre-images) written before a widening read back null-filled, the
-    // same shape a full recompute of that era's data would produce today
-    val stored = LakeMerge.lakeSchema(fs, lakeDir)
-    val liveFrame =
-      if (resolved.liveDirs.isEmpty) None
-      else Some(LakeMerge.readerFor(spark, stored)
-        .option("basePath", lakeDir)
-        .parquet(resolved.liveDirs: _*)
-        .withColumn(partitionCol, col(partitionCol).cast("string")))
-    val litFrames = resolved.litDirs.map { case (dir, v) =>
-      LakeMerge.readerFor(spark, LakeMerge.dirSchema(stored, partitionCol))
-        .parquet(LakeMerge.escapeGlob(dir))
-        .withColumn(partitionCol, lit(v))
-    }
-    val frames = liveFrame.toVector ++ litFrames
-    require(frames.nonEmpty,
-      s"the lake had no partitions at seq $asOfSeq")
-    frames.reduce(_ unionByName _)
   }
 
   /** Drop the pre-images needed only by snapshots OLDER than

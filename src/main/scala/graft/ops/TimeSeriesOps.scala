@@ -362,6 +362,32 @@ object TimeSeriesOps {
         lPlan.output ++ renamed))
   }
 
+  /** [[asofJoinNative]] with SALTED keys for skew: a hot key (one device,
+    * one symbol holding 90% of the rows) lands its whole group on ONE task
+    * under the plain ClusteredDistribution — custom physical nodes opt out
+    * of AQE's skew-join splitting, so at 100× that task IS the stage. The
+    * salt splits each key's LEFT rows across `saltBuckets` sub-groups
+    * (deterministic hash of the time value — any spread works, the result
+    * is salt-invariant) and REPLICATES the right side into every bucket,
+    * so each bucket still sees the key's full right history: the output
+    * is row-identical to the unsalted join (AsOfJoinScaleSpec pins it),
+    * while the hot key's work fans out `saltBuckets` ways. Cost: the
+    * right side shuffles ×saltBuckets — the standard salting trade, worth
+    * it when the right side is the small (quote/dimension) stream. */
+  def asofJoinNativeSalted(left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String = "time",
+      rightTiebreak: Seq[String] = Nil, saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    if (saltBuckets == 1)
+      return asofJoinNative(left, right, keys, timeCol, rightTiebreak)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(timeCol)), lit(saltBuckets)).cast("int"))
+    val buckets = typedlit((0 until saltBuckets).toList)
+    val replicated = right.withColumn("__salt", explode(buckets))
+    asofJoinNative(salted, replicated, keys :+ "__salt", timeCol,
+      rightTiebreak).drop("__salt")
+  }
+
   /** Interval (range) join: pair each point with every interval containing
     * it, without a theta cross join. Intervals explode to the coarse
     * buckets they cover; points join their own bucket (equi-join on

@@ -143,10 +143,29 @@ case class AsOfJoinExec(
         lOut ++ rVals, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight: InternalRow = new GenericInternalRow(rWidth)
       val joiner = new JoinedRow
-      val rBuf = rIter.buffered
       new Iterator[InternalRow] {
         private var curKey: UnsafeRow = null
         private var lastRight: InternalRow = null
+        // the buffered right head, its key PROJECTED ONCE when the row is
+        // pulled — the first formulation re-projected the same head once
+        // per LEFT row (rKeyProj per output row), which is where the
+        // interpreted merge lost 2× to the codegen'd window form at 400k
+        // rows/side (round-16 task 5); with the memo the right side pays
+        // one projection + one copy per RIGHT row, period
+        private var rHead: InternalRow = null
+        private var rHeadKey: UnsafeRow = null
+        // cached key comparison of rHead vs curKey: recomputed only when
+        // either side advances, not per left row
+        private var rHeadCmp: Int = 0
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyProj(rHead).copy()
+            if (curKey != null)
+              rHeadCmp = keyOrdering.compare(rHeadKey, curKey)
+          } else { rHead = null; rHeadKey = null }
+        }
+        advanceRight()
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
@@ -154,6 +173,8 @@ case class AsOfJoinExec(
           if (curKey == null || keyOrdering.compare(lk, curKey) != 0) {
             curKey = lk.copy()
             lastRight = null
+            if (rHead != null)
+              rHeadCmp = keyOrdering.compare(rHeadKey, curKey)
           }
           // NULL times: Spark sorts nulls FIRST under Ascending, so the
           // window form treats a null-time right row as "earliest" (always
@@ -163,13 +184,13 @@ case class AsOfJoinExec(
           val ltNull = l.isNullAt(lTimeIdx)
           val lt = if (ltNull) Long.MinValue else l.getLong(lTimeIdx)
           var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val cmp = keyOrdering.compare(rKeyProj(rBuf.head), curKey)
-            if (cmp < 0) rBuf.next() // right rows for keys already passed
-            else if (cmp == 0 && (rBuf.head.isNullAt(rTimeIdx)
-              || (!ltNull && rBuf.head.getLong(rTimeIdx) <= lt)))
-              lastRight = rBuf.next().copy()
-            else advancing = false
+          while (advancing && rHead != null) {
+            if (rHeadCmp < 0) advanceRight() // keys already passed
+            else if (rHeadCmp == 0 && (rHead.isNullAt(rTimeIdx)
+              || (!ltNull && rHead.getLong(rTimeIdx) <= lt))) {
+              lastRight = rHead.copy()
+              advanceRight()
+            } else advancing = false
           }
           outProj(joiner(l, if (lastRight == null) nullRight else lastRight))
         }
