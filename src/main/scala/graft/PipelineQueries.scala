@@ -2339,6 +2339,36 @@ object PipelineQueries {
              |    AS BIGINT) AS zkey
              |FROM events WHERE NOT isnan(value)""".stripMargin)),
 
+    // ---- Hilbert-curve clustering key (round 16): the 4-state machine
+    // replayed in SQL — a recursive CTE walks the levels carrying the
+    // 2-bit state, indexing the SAME literal digit/next tables as the
+    // unrolled Catalyst expression, so the key is bit-exact across
+    // engines ---------------------------------------------------------------
+    "q_hilbert_key" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(!isnan(col("value")))
+        ev.select(col("event_id"),
+          graft.io.Layout.hilbertKey(
+            col("user_id"), floor(col("value") / 10).cast("long"), 8).as("hkey"))
+      },
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT event_id, (user_id & 255)::BIGINT AS x,
+             |    (floor(value / 10)::BIGINT & 255) AS y
+             |  FROM events WHERE NOT isnan(value)),
+             |hil AS (
+             |  SELECT event_id, x, y, 7 AS lvl, 0::BIGINT AS st, 0::BIGINT AS d
+             |  FROM ev
+             |  UNION ALL
+             |  SELECT event_id, x, y, lvl - 1,
+             |    ([1,0,2,0, 0,3,1,1, 2,2,0,3, 3,1,3,2])[
+             |      (st * 4 + ((x >> lvl) & 1) * 2 + ((y >> lvl) & 1) + 1)::INT
+             |    ]::BIGINT,
+             |    ((d << 2) | ([0,1,3,2, 0,3,1,2, 2,1,3,0, 2,3,1,0])[
+             |      (st * 4 + ((x >> lvl) & 1) * 2 + ((y >> lvl) & 1) + 1)::INT
+             |    ]::BIGINT)
+             |  FROM hil WHERE lvl >= 0)
+             |SELECT event_id, d AS hkey FROM hil WHERE lvl = -1""".stripMargin)),
+
     // ---- SemDeDup: embedding-space near-dup pruning — k-means cluster,
     // pairwise cosine ONLY within a cluster, greedy keep-first in id order.
     // kmeansIters = 0 pins the codebook to the first 16 corpus vectors in
@@ -4044,6 +4074,47 @@ object PipelineQueries {
              |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0))
              |SELECT source, COUNT(*) AS n_rows,
              |  CAST(SUM(length(text)) AS BIGINT) AS chars
-             |FROM final GROUP BY source""".stripMargin))
+             |FROM final GROUP BY source""".stripMargin)),
+
+    // ---- CDF-maintained exact-dedup keepers (round 16, E175's dedup
+    // consumer): the keeper table maintained through a merge feed (text
+    // rewrites move docs between digests) and a delete feed that kills
+    // KEEPERS whose duplicate twins survive (the retraction-re-election
+    // case: min folds forward, the member list makes it retractable) —
+    // the oracle is the FULL RECOMPUTE over the final corpus, which is
+    // exactly what the maintained table must always equal ---------------
+    "q_dedup_maintain" -> QueryDef(
+      (s, dir) => {
+        val base = docsWithDups(s, dir).select("doc_id", "text")
+        val cur = base.filter(col("doc_id") % 7 =!= 0)
+        val upd = base.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(lit("v2:"), substring(col("text"), 1, 40)))
+        val merged = cur.join(upd, Seq("doc_id"), "left_anti").unionByName(upd)
+        // originals only: each %5 keeper's +100000 twin SURVIVES and must
+        // re-elect as its digest's keeper
+        val delKeys = base.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") < 100000L).select("doc_id")
+        val state0 = Dedup.keeperState(cur, "doc_id", "text")
+        val s1 = Dedup.maintainKeepers(state0,
+          graft.io.LakeMerge.changeFeed(Some(cur), upd, Seq("doc_id")),
+          "doc_id", "text")
+        val s2 = Dedup.maintainKeepers(s1,
+          graft.io.LakeMerge.deleteFeed(merged, delKeys, Seq("doc_id")),
+          "doc_id", "text")
+        Dedup.keepersOf(s2)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text FROM $dupUnionSql),
+             |cur AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+             |upd AS (SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text
+             |  FROM base WHERE doc_id % 3 = 0),
+             |merged AS (
+             |  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+             |  UNION ALL SELECT * FROM upd),
+             |final AS (SELECT * FROM merged
+             |  WHERE NOT (doc_id % 5 = 0 AND doc_id < 100000))
+             |SELECT coalesce(sha256(text), '__null__' || doc_id) AS text_hash,
+             |  min(doc_id) AS keeper_id, count(*) AS n_dups
+             |FROM final GROUP BY 1""".stripMargin))
   )
 }

@@ -30,7 +30,10 @@ import graft.trainprep.TrainPrep
   *      char trigrams by default, word bigrams — Xie et al.'s actual
   *      feature space — with `words`)
   *   2d. incremental-crawl ingestion (`--incremental-ref <corpus>`
-  *      [`--incremental-fuzzy 0.9`]) — drop docs already in the trained
+  *      [`--incremental-fuzzy 0.9`], and/or
+  *      `--incremental-keepers <stateDir>` — the feed-maintained exact
+  *      keeper state, so the trained corpus is never re-hashed)
+  *      — drop docs already in the trained
   *      corpus: Bloom-prefiltered digest anti-join + optional
   *      cross-corpus MinHash near-dup flagging (E38 + E67)
   *   3. deterministic sample (`--sample 28`)     — sha256 prefix < threshold
@@ -254,6 +257,24 @@ object CorpusPrep {
     // dedup-shaped stages: at steady state most of a crawl is re-crawl,
     // and every later stage is priced per surviving doc.
     var nIncrementalDropped = 0L
+    // `--incremental-keepers <stateDir>`: the exact-digest reference is
+    // the FEED-MAINTAINED keeper state (Dedup.foldKeeperStateInto keeps
+    // it current per lake commit), so the crawl ingests against
+    // precomputed digests — the trained corpus is never re-scanned or
+    // re-hashed (round 16: E1 re-runs stop at 100 TB). Composable with
+    // --incremental-ref (both drop; the keeper state covers the exact
+    // tier, the ref corpus the fuzzy tier).
+    args.get("incremental-keepers").foreach { statePath =>
+      val state = Dedup.readKeeperState(spark, statePath)
+        .select(col("text_hash").as("__digest"))
+      val refN = math.max(state.count(), 1L)
+      val before = docs.count()
+      docs = Dedup.bloomPrefilteredAnti(
+          docs.withColumn("__digest", sha2(col(textCol), 256)), "__digest",
+          state, "__digest", expectedItems = refN, fpp = 0.01)
+        .drop("__digest")
+      nIncrementalDropped += before - docs.count()
+    }
     args.get("incremental-ref").foreach { refPath =>
       val ref = spark.read.parquet(refPath)
       val refN = math.max(ref.count(), 1L)
@@ -279,7 +300,7 @@ object CorpusPrep {
           .select(col("train_id").as(idCol)).distinct()
         docs = docs.join(flagged, Seq(idCol), "left_anti")
       }
-      nIncrementalDropped = before - docs.count()
+      nIncrementalDropped += before - docs.count()
     }
     args.get("sample").foreach { thr =>
       docs = docs.filter(TrainPrep.hashSampleFilter(col(idCol), thr))

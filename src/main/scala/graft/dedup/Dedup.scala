@@ -168,6 +168,92 @@ object Dedup {
     df.groupBy(sentinelTextHash(idCol, textCol).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  // ---- FEED-MAINTAINED exact keepers (round 16, E175's dedup consumer) --
+
+  /** The maintainable exact-dedup STATE: one row per live digest holding
+    * the SORTED live member ids. [[keepersOf]] derives the [[exact]]
+    * keeper view from it; [[maintainKeepers]] folds a change-feed slice
+    * into it, so an incremental crawl consults a current keeper table
+    * without re-hashing the corpus (E1 re-runs stop at 100 TB — the
+    * expensive part of exact dedup is the full-text scan+sha256, and the
+    * feed carries only commit-sized text). The member list is what makes
+    * MIN maintainable under retraction: a deleted keeper RE-ELECTS from
+    * the remaining ids of its digest (min alone folds forward but cannot
+    * retract). Per-digest frames are duplicate-group-sized — small by
+    * construction for exact content dups; the state table overall is one
+    * (digest, ids) row per distinct text. */
+  def keeperState(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sentinelTextHash(idCol, textCol).as("text_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+
+  /** The (text_hash, keeper_id, n_dups) view of a [[keeperState]] —
+    * row-identical to [[exact]] over the same corpus (q_dedup_maintain
+    * pins the equivalence through a merge+delete feed sequence). */
+  def keepersOf(state: DataFrame): DataFrame =
+    state.select(col("text_hash"),
+      element_at(col("ids"), 1).as("keeper_id"),
+      size(col("ids")).cast("long").as("n_dups"))
+
+  /** Fold one change-feed slice (rows carrying the lake's columns plus
+    * [[graft.io.LakeMerge.ChangeTypeCol]]) into a [[keeperState]]:
+    * additions join their digest's member list, retractions (preimages,
+    * deletes) leave it, a digest whose members all retract vanishes, and
+    * a retracted keeper re-elects the next-smallest id — all set algebra
+    * over per-digest frames, the feed (commit-sized) is the only thing
+    * hashed or shuffled. An update whose text is UNCHANGED nets to zero
+    * for its digest (preimage and postimage cancel per (digest, id)
+    * BEFORE the set difference — order-insensitive). */
+  def maintainKeepers(state: DataFrame, changes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val net = changes.select(
+        sentinelTextHash(idCol, textCol).as("text_hash"),
+        col(idCol).as("__id"), graft.io.FeedMaintain.signExpr.as("__s"))
+      .groupBy(col("text_hash"), col("__id"))
+      .agg(sum(col("__s")).as("__net"))
+      .filter(col("__net") =!= 0)
+    val delta = net.groupBy(col("text_hash")).agg(
+      sort_array(collect_list(when(col("__net") > 0, col("__id"))))
+        .as("__adds"),
+      collect_list(when(col("__net") < 0, col("__id"))).as("__rems"))
+    val combined = when(col("ids").isNull, col("__adds"))
+      .when(col("__adds").isNull, col("ids"))
+      .otherwise(concat(col("ids"), col("__adds")))
+    val afterRems = when(col("__rems").isNull, combined)
+      .otherwise(array_except(combined, col("__rems")))
+    state.join(delta, Seq("text_hash"), "full")
+      .select(col("text_hash"), array_sort(afterRems).as("ids"))
+      .filter(size(col("ids")) > 0)
+  }
+
+  /** Seed a STORED keeper state at `stateDir` from a snapshot, stamped
+    * with the change-feed seq the snapshot already includes — the same
+    * watermark contract as [[graft.io.FeedMaintain.seedAggregate]]. */
+  def seedKeeperState(snapshot: DataFrame, stateDir: String,
+      idCol: String, textCol: String, asOfSeq: Long = -1L): Unit =
+    keeperState(snapshot, idCol, textCol)
+      .withColumn("as_of_seq", lit(asOfSeq))
+      .write.mode("errorifexists").parquet(stateDir)
+
+  /** Read the stored keeper state (mid-replacement-safe). */
+  def readKeeperState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = graft.io.LakeMerge.resolveReplacedDir(fs, live)
+    require(fs.exists(dir),
+      s"no keeper state at $stateDir — seed it with seedKeeperState")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Fold a delivered feed slice into the STORED keeper state at
+    * `stateDir`, effectively once — the watermark/gap/atomic-swap
+    * discipline is [[graft.io.FeedMaintain.foldInto]]'s, shared. */
+  def foldKeeperStateInto(changes: DataFrame, stateDir: String,
+      idCol: String, textCol: String): Unit =
+    graft.io.FeedMaintain.foldStoredSlice(changes, stateDir,
+      "seedKeeperState")((state, fresh) =>
+      maintainKeepers(state, fresh, idCol, textCol))
+
   /** Source-provenance duplicate matrix — the curation question BEHIND
     * dedup counts: which source feeds duplicate content INTO which (is
     * "forum_mirror" a scrape of "forum"? does a crawl snapshot re-ingest

@@ -51,7 +51,7 @@ object FeedMaintain {
     * evaluation (a silently dropped type would make the maintained
     * aggregate drift from the lake — the failure mode IVM must never
     * have). */
-  private def signExpr: Column =
+  private[graft] def signExpr: Column =
     when(col(LakeMerge.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L))
       .when(col(LakeMerge.ChangeTypeCol)
@@ -139,20 +139,31 @@ object FeedMaintain {
     * torn slice loudly. The same check catches a feed vacuumed past
     * this consumer's watermark. */
   def foldInto(changes: DataFrame, aggDir: String, groupCols: Seq[String],
-      measures: Seq[(String, Column)]): Unit = {
+      measures: Seq[(String, Column)]): Unit =
+    foldStoredSlice(changes, aggDir, "seedAggregate")((agg, fresh) =>
+      maintain(agg, fresh, groupCols, measures))
+
+  /** The stored-fold DISCIPLINE shared by every feed-maintained artifact
+    * (the additive aggregate above, the exact-dedup keeper state in
+    * [[graft.dedup.Dedup.foldKeeperStateInto]]): resolve any
+    * mid-replacement state, drop already-folded commits by the
+    * `as_of_seq` watermark (effectively-once under at-least-once
+    * delivery), REFUSE feed gaps loudly, fold, stamp, atomic-swap. */
+  private[graft] def foldStoredSlice(changes: DataFrame, dir: String,
+      seeder: String)(fold: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = changes.sparkSession
-    val live = new org.apache.hadoop.fs.Path(aggDir)
+    val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     LakeMerge.recoverReplacedDir(fs, live)
     require(fs.exists(live),
-      s"no maintained aggregate at $aggDir — seed it with seedAggregate")
+      s"no maintained state at $dir — seed it with $seeder")
     val agg = spark.read.parquet(live.toString)
     val seqRow = agg.agg(max(col("as_of_seq"))).head()
-    // an EMPTY stored aggregate has no watermark row — folding from a
+    // an EMPTY stored state has no watermark row — folding from a
     // guessed seq could double-count, so refuse loudly (it can only
     // happen from an empty seed snapshot; re-seed at a known seq)
     require(!seqRow.isNullAt(0),
-      s"maintained aggregate at $aggDir is empty — its as_of_seq " +
+      s"maintained state at $dir is empty — its as_of_seq " +
         "watermark is gone; re-seed it from a snapshot")
     val storedSeq = seqRow.getLong(0)
     val fresh = changes.withColumn("seq", col("seq").cast("long"))
@@ -180,8 +191,7 @@ object FeedMaintain {
             "a commit was split across deliveries (never set " +
             "maxFilesPerTrigger on a feed consumer), or an old producer " +
             "published an empty commit (vacuum past it)")
-        val maintained = maintain(agg.drop("as_of_seq"), fresh,
-            groupCols, measures)
+        val maintained = fold(agg.drop("as_of_seq"), fresh)
           .withColumn("as_of_seq", lit(seqs.last))
           .localCheckpoint(true) // must not re-read aggDir mid-swap
         try LakeMerge.atomicReplaceDir(fs, live) { tmp =>

@@ -173,7 +173,7 @@ object LakeMerge {
     * writer and other readers): live when present, else the completed
     * tmp, else the parked old. Returns the directory to read; the caller
     * reads it and fails loudly if nothing exists. */
-  private[io] def resolveReplacedDir(fs: FileSystem, liveDir: Path): Path = {
+  private[graft] def resolveReplacedDir(fs: FileSystem, liveDir: Path): Path = {
     val tmp = new Path(liveDir.getParent, s".${liveDir.getName}_tmp")
     val old = new Path(liveDir.getParent, s".${liveDir.getName}_old")
     if (fs.exists(liveDir)) liveDir
@@ -188,12 +188,12 @@ object LakeMerge {
     * mid-swap directory whose torn bytes must never reach a committed
     * view (second-review finding). Applied to every directory path this
     * object and [[LakeTimeTravel]] construct from a partition value. */
-  private[io] def escapeGlob(s: String): String =
+  private[graft] def escapeGlob(s: String): String =
     s.flatMap { c =>
       if ("*?[]{}\\".indexOf(c.toInt) >= 0) s"\\$c" else c.toString
     }
 
-  private[io] def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
+  private[graft] def hadoopFs(spark: SparkSession, lakeDir: String): FileSystem =
     new Path(lakeDir).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Read a small metadata file (manifest, commit record) fully. */
@@ -292,7 +292,7 @@ object LakeMerge {
     * column lives in the directory name, not the files). Shared with
     * [[LakeTimeTravel]] — the committed-view and snapshot read paths
     * must apply ONE schema discipline or they drift. */
-  private[io] def dirSchema(
+  private[graft] def dirSchema(
       stored: Option[org.apache.spark.sql.types.StructType],
       partitionCol: String): Option[org.apache.spark.sql.types.StructType] =
     stored.map(s => org.apache.spark.sql.types.StructType(
@@ -616,7 +616,8 @@ object LakeMerge {
   private def commitStagedSwaps(fs: FileSystem, lakeDir: String,
       writerId: String, op: String, partitionCol: String, staging: Path,
       values: Seq[String], changeSeq: Option[Long], retainHistory: Boolean,
-      crashAfterSwaps: Int, dropped: Seq[String] = Seq.empty): Unit = {
+      crashAfterSwaps: Int, dropped: Seq[String] = Seq.empty,
+      forceRecord: Boolean = false): Unit = {
     values.filterNot(dropped.toSet).foreach { v =>
       require(fs.exists(new Path(staging, s"$partitionCol=$v")),
         s"staged partition $partitionCol=$v missing — staging write failed")
@@ -625,7 +626,7 @@ object LakeMerge {
     // the lake already logs commits — once a log exists EVERY commit
     // records itself (even non-retaining ones), or readLakeAsOf's
     // broken-chain refusal could not see the gap
-    val recordCommit = retainHistory ||
+    val recordCommit = retainHistory || forceRecord ||
       fs.exists(LakeTimeTravel.commitsDir(lakeDir))
     val histSeqOpt =
       if (recordCommit) Some(LakeTimeTravel.nextCommitSeq(fs, lakeDir))
@@ -666,12 +667,13 @@ object LakeMerge {
     * same pending manifest against the committing writer's swap loop).
     * Lease-holding writers call [[recoverHeld]] with their own id. */
   def recover(spark: SparkSession, lakeDir: String,
-      leaseStaleMs: Long = 15L * 60 * 1000): Boolean = {
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      occStaleMs: Long = 15L * 60 * 1000): Boolean = {
     val fs = hadoopFs(spark, lakeDir)
     if (!fs.exists(new Path(lakeDir))) return false
     val recoverId = java.util.UUID.randomUUID.toString
     acquireLease(fs, lakeDir, recoverId, leaseStaleMs)
-    try recoverHeld(spark, lakeDir, recoverId)
+    try recoverHeld(spark, lakeDir, recoverId, occStaleMs)
     finally releaseLease(fs, lakeDir, recoverId)
   }
 
@@ -682,7 +684,7 @@ object LakeMerge {
     * double-roll-forward race the per-swap heartbeat in
     * commitStagedSwaps closes for the committing writer). */
   private[io] def recoverHeld(spark: SparkSession, lakeDir: String,
-      writerId: String): Boolean = {
+      writerId: String, occStaleMs: Long = 15L * 60 * 1000): Boolean = {
     val root = new Path(lakeDir)
     val fs = hadoopFs(spark, lakeDir)
     if (!fs.exists(root)) return false
@@ -707,8 +709,15 @@ object LakeMerge {
     // finding: they previously accumulated forever)
     fs.listStatus(root).toSeq.foreach { s =>
       val n = s.getPath.getName
-      if (s.isDirectory && n.startsWith(StagingPrefix))
-        fs.delete(s.getPath, true)
+      if (s.isDirectory && n.startsWith(StagingPrefix)) {
+        // an OPTIMISTIC writer stages WITHOUT the lease, so its
+        // (manifest-less) staging is live in-flight work, not pre-commit
+        // debris — GC it only once stale (a crashed OCC loser's staging
+        // goes stale and is collected here; occStaleMs = 0 in specs)
+        val occFresh = n.startsWith(StagingPrefix + "occ-") &&
+          (System.currentTimeMillis() - s.getModificationTime) <= occStaleMs
+        if (!occFresh) fs.delete(s.getPath, true)
+      }
       else if (s.isFile && (n.startsWith(s".$ManifestName.tmp-") ||
           (n.startsWith(s".$SchemaPrefix") && n.endsWith(".tmp")) ||
           (n.startsWith(".commit-") && n.endsWith(".tmp"))))
@@ -820,6 +829,74 @@ object LakeMerge {
         .parquet(untouchedDirs: _*)
         .withColumn(partitionCol, colCast(col(partitionCol))) +: listed
     frames.reduce(_ unionByName _)
+  }
+
+  /** The (value, dir) pairs the COMMITTED live view resolves to — the
+    * same resolution [[readLake]]/[[committedView]] applies (manifest-
+    * listed partitions read staged-until-swapped, dropped partitions are
+    * absent, everything else reads live), exposed as data for the
+    * `graftlake` format's file index. Spec-pinned bit-identical to
+    * [[readLake]] across the crash windows (GraftLakeSourceSpec). */
+  private[graft] def resolveCommitted(spark: SparkSession, lakeDir: String,
+      partitionCol: String): Seq[(String, String)] = {
+    val fs = hadoopFs(spark, lakeDir)
+    val live = partitionValues(spark, lakeDir, partitionCol)
+    readManifest(fs, lakeDir) match {
+      case None => live.map(v => v -> s"$lakeDir/$partitionCol=$v")
+      case Some(m) =>
+        require(m.partitionCol == partitionCol,
+          s"pending merge manifests partition column '${m.partitionCol}' " +
+            s"but the read asked for '$partitionCol'")
+        val listed = m.partitions.filterNot(m.dropped.toSet).map { v =>
+          val staged = new Path(new Path(lakeDir, m.staging),
+            s"$partitionCol=$v")
+          v -> (if (fs.exists(staged)) staged.toString
+                else s"$lakeDir/$partitionCol=$v")
+        }
+        val touched = m.partitions.toSet
+        val untouched = live.filterNot(touched)
+          .map(v => v -> s"$lakeDir/$partitionCol=$v")
+        (untouched ++ listed).sortBy(_._1)
+    }
+  }
+
+  /** The (seq, dir) pairs the committed change feed resolves to — the
+    * [[readChanges]] resolution (published `_changes/seq=N` directories
+    * plus a committed-but-unpublished merge's staged feed) as data, for
+    * the `graftlake` format's changes mode. */
+  private[graft] def resolveChanges(spark: SparkSession,
+      lakeDir: String): Seq[(Long, String)] = {
+    val fs = hadoopFs(spark, lakeDir)
+    val dir = new Path(lakeDir, ChangesDirName)
+    val published =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("seq="))
+        .map(p => p.getName.stripPrefix("seq=").toLong -> p.toString)
+    val pending = readManifest(fs, lakeDir).flatMap { m =>
+      m.changeSeq.flatMap { seq =>
+        val staged = new Path(new Path(lakeDir, m.staging),
+          ChangeFeedStagedName)
+        if (fs.exists(staged)) Some(seq -> staged.toString) else None
+      }
+    }
+    (published ++ pending).sortBy(_._1)
+  }
+
+  /** [[readChanges]]' no-feed refusal, shared with the format reader. */
+  private[graft] def refuseNoFeed(spark: SparkSession,
+      lakeDir: String): Nothing = {
+    val hwm = changeHwm(hadoopFs(spark, lakeDir), lakeDir)
+    if (hwm >= 0)
+      throw new IllegalArgumentException(
+        s"the change feed at $lakeDir/$ChangesDirName was fully " +
+          s"vacuumed (highest published seq was $hwm) — new commits " +
+          "will resume at a monotonic seq; consumers behind the " +
+          "vacuum horizon must re-seed from a snapshot")
+    else
+      throw new IllegalArgumentException(
+        s"no change feed at $lakeDir/$ChangesDirName — merge with " +
+          "captureChanges = true to start capturing one")
   }
 
   /** The partition directory values present on disk. */
@@ -968,19 +1045,7 @@ object LakeMerge {
       case (Some(p), Some(q)) => Some(p.unionByName(q))
       case (p, q) => p.orElse(q)
     }
-    all.getOrElse {
-        val hwm = changeHwm(fs, lakeDir)
-        if (hwm >= 0)
-          throw new IllegalArgumentException(
-            s"the change feed at $lakeDir/$ChangesDirName was fully " +
-              s"vacuumed (highest published seq was $hwm) — new commits " +
-              "will resume at a monotonic seq; consumers behind the " +
-              "vacuum horizon must re-seed from a snapshot")
-        else
-          throw new IllegalArgumentException(
-            s"no change feed at $lakeDir/$ChangesDirName — merge with " +
-              "captureChanges = true to start capturing one")
-      }
+    all.getOrElse(refuseNoFeed(spark, lakeDir))
       .filter(col("seq") > sinceSeq)
   }
 
@@ -1088,11 +1153,13 @@ object LakeMerge {
       leaseStaleMs: Long = 15L * 60 * 1000,
       captureChanges: Boolean = false,
       retainHistory: Boolean = false,
-      schemaEvolution: Boolean = false): MergeStats =
+      schemaEvolution: Boolean = false,
+      occ: Boolean = false): MergeStats =
     mergeImpl(spark, lakeDir, updates, keyCols, partitionCol, seriesCol,
       timeCol, filesPerPartition, requireUniqueKeys, Int.MaxValue,
       leaseStaleMs, captureChanges = captureChanges,
-      retainHistory = retainHistory, schemaEvolution = schemaEvolution)
+      retainHistory = retainHistory, schemaEvolution = schemaEvolution,
+      occ = occ)
 
   /** [[merge]] with crash injection (`crashAfterSwaps`) for
     * LakeMergeSpec's kill-between-renames cases, and an `externalLease`
@@ -1101,7 +1168,7 @@ object LakeMerge {
     * follow-up work — the lease is not reentrant, so the outer holder
     * passes its writer id down and this merge heartbeats/identifies as
     * it instead of acquiring. */
-  private[io] def mergeImpl(spark: SparkSession, lakeDir: String,
+  private[graft] def mergeImpl(spark: SparkSession, lakeDir: String,
       updates: DataFrame, keyCols: Seq[String], partitionCol: String,
       seriesCol: String, timeCol: String, filesPerPartition: Int,
       requireUniqueKeys: Boolean, crashAfterSwaps: Int,
@@ -1109,7 +1176,9 @@ object LakeMerge {
       externalLease: Option[String] = None,
       captureChanges: Boolean = false,
       retainHistory: Boolean = false,
-      schemaEvolution: Boolean = false): MergeStats = {
+      schemaEvolution: Boolean = false,
+      occ: Boolean = false,
+      beforeOccCommit: () => Unit = () => ()): MergeStats = {
     require(updates.columns.contains(partitionCol),
       s"updates must carry the lake partition column '$partitionCol' " +
         "(derive it with LakeMerge.withPartDate)")
@@ -1119,12 +1188,32 @@ object LakeMerge {
     // the whole merge — recovery included — runs under the single-writer
     // lease; the merge id doubles as the lease holder id, so a stuck
     // lease names the merge that held it
-    val mergeId = externalLease
-      .getOrElse(java.util.UUID.randomUUID.toString)
-    if (externalLease.isEmpty)
+    require(!(occ && externalLease.nonEmpty),
+      "optimistic merges manage their own commit-time lease — " +
+        "externalLease is a pessimistic-writer hook")
+    require(!(occ && schemaEvolution),
+      "schema evolution is a lake-wide metadata write — run it under the " +
+        "pessimistic writer (occ = false)")
+    val mergeId =
+      if (occ) "occ-" + java.util.UUID.randomUUID.toString
+      else externalLease.getOrElse(java.util.UUID.randomUUID.toString)
+    if (externalLease.isEmpty && !occ)
       acquireLease(fsEntry, lakeDir, mergeId, leaseStaleMs)
+    // OCC SNAPSHOT (round 16): the newest commit visible before any input
+    // is read. At commit time every commit above this seq that touches our
+    // partitions is a conflict; a pending manifest counts as committed
+    // (the manifest IS the commit point), hence its histSeq joins the max.
+    // Conflict detection is sound once the lake HAS a commit log — OCC
+    // commits force-record themselves and every pessimistic commit records
+    // once a log exists, so the first OCC commit bootstraps coverage.
+    val snapshotSeq: Long =
+      if (!occ) -1L
+      else (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
+        readManifest(fsEntry, lakeDir).flatMap(_.histSeq))
+        .foldLeft(-1L)(math.max)
     try {
-    recoverHeld(spark, lakeDir, mergeId) // roll forward any interrupted merge
+    if (!occ) // an OCC writer holds no lease here; recovery runs at commit
+      recoverHeld(spark, lakeDir, mergeId)
     val allParts = partitionValues(spark, lakeDir, partitionCol)
     require(allParts.nonEmpty,
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
@@ -1222,6 +1311,17 @@ object LakeMerge {
         "from a non-null event time before merging")
     val affected = affectedRaw.flatten.sorted
     val fs = hadoopFs(spark, lakeDir)
+    // an OCC writer reads live directories directly (no lease to recover
+    // under); a manifest mid-swap on OUR partitions would make those
+    // reads torn or stale — refuse up front. A DISJOINT pending commit
+    // never intersects what we read and proceeds.
+    if (occ) readManifest(fs, lakeDir).foreach { m =>
+      val overlap = m.partitions.toSet.intersect(affected.toSet)
+      require(overlap.isEmpty,
+        s"optimistic merge: writer ${m.mergeId} is committing on " +
+          s"${overlap.toSeq.sorted.mkString(", ")} — run recover() or " +
+          "retry after its roll-forward")
+    }
 
     // EVERY batch refusal is behind us — NOW the widening may land (see
     // the E178 ordering note above; the second review pass caught the
@@ -1231,7 +1331,7 @@ object LakeMerge {
     widenedSchema.foreach(writeSchemaVersion(fsEntry, lakeDir, _))
 
     // 2. REWRITE into staging (dot-prefixed: invisible to Spark readers)
-    heartbeatLease(fs, lakeDir, mergeId) // validations done — still alive
+    if (!occ) heartbeatLease(fs, lakeDir, mergeId) // validations done
     val staging = new Path(lakeDir, StagingPrefix + mergeId)
     val current = readPartitions(spark, lakeDir, partitionCol, affected)
     val rowsBefore = current.map(_.count()).getOrElse(0L) // footer-count only
@@ -1252,7 +1352,7 @@ object LakeMerge {
     val rowsAfter =
       spark.read.parquet(staging.toString).count() // footer-count only
 
-    heartbeatLease(fs, lakeDir, mergeId) // staging written — still alive
+    if (!occ) heartbeatLease(fs, lakeDir, mergeId) // staging written
 
     // CHANGE FEED (optional, round 15): captured into staging BEFORE the
     // manifest write so the commit point covers it — a pre-commit crash
@@ -1264,20 +1364,51 @@ object LakeMerge {
     // rowsUpserted == 0 publishes nothing: an EMPTY commit's seq never
     // reaches a consumer as a row, so the feed's dense-seq contract
     // (FeedMaintain.foldInto's gap check) would read it as a hole
+    val captureFeed = captureChanges && rowsUpserted > 0
+    if (captureFeed)
+      changeFeed(current, upd, keyCols).write.mode("overwrite")
+        .parquet(new Path(staging, ChangeFeedStagedName).toString)
+    // the feed seq is assigned UNDER the lease: a pessimistic writer
+    // holds it here already; an OCC writer defers assignment to its
+    // commit window below (two leaseless writers would race the number)
     val changeSeqOpt =
-      if (captureChanges && rowsUpserted > 0) {
-        changeFeed(current, upd, keyCols).write.mode("overwrite")
-          .parquet(new Path(staging, ChangeFeedStagedName).toString)
-        Some(nextChangeSeq(fs, lakeDir))
-      } else None
+      if (captureFeed && !occ) Some(nextChangeSeq(fs, lakeDir)) else None
 
     // 3. COMMIT + 4. SWAP + 5. CLEAN — the shared tail: every staged
     // partition verified on disk BEFORE the manifest is written (the
     // manifest promises roll-forward can finish, so a missing staged
     // directory aborts pre-commit — live lake untouched, staging
     // garbage-collected by the next recover)
-    commitStagedSwaps(fs, lakeDir, mergeId, "merge", partitionCol,
-      staging, affected, changeSeqOpt, retainHistory, crashAfterSwaps)
+    if (occ) {
+      // OPTIMISTIC COMMIT (round 16, Delta-style): the lease is held only
+      // for this window — roll forward any pending writer, re-read the
+      // commit log, succeed iff no commit since our snapshot touched our
+      // partitions (else refuse NAMING the conflicting seq, staging
+      // cleaned — the caller re-runs against the fresh lake)
+      beforeOccCommit()
+      acquireLease(fs, lakeDir, mergeId, leaseStaleMs)
+      try {
+        recoverHeld(spark, lakeDir, mergeId)
+        val mine = affected.toSet
+        val conflicts = LakeTimeTravel.readCommits(spark, lakeDir)
+          .filter(c => c.seq > snapshotSeq && c.partitions.exists(mine))
+        if (conflicts.nonEmpty) {
+          fs.delete(staging, true)
+          val named = conflicts.map(c => s"seq ${c.seq} (${c.op} on " +
+            s"${c.partitions.filter(mine).sorted.mkString(",")})")
+            .mkString("; ")
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic merge conflicts with $named — committed since " +
+              s"snapshot seq $snapshotSeq; re-run against the fresh lake")
+        }
+        val occSeq = if (captureFeed) Some(nextChangeSeq(fs, lakeDir)) else None
+        commitStagedSwaps(fs, lakeDir, mergeId, "merge", partitionCol,
+          staging, affected, occSeq, retainHistory, crashAfterSwaps,
+          forceRecord = true)
+      } finally releaseLease(fs, lakeDir, mergeId)
+    } else
+      commitStagedSwaps(fs, lakeDir, mergeId, "merge", partitionCol,
+        staging, affected, changeSeqOpt, retainHistory, crashAfterSwaps)
 
     // updated = keys that existed before (rows replaced in place);
     // inserted = net new rows. Both derive from the three footer counts.
@@ -1291,7 +1422,8 @@ object LakeMerge {
     // release the entry checkpoint — every action above has completed
     } finally upd.unpersist()
     } finally {
-      if (externalLease.isEmpty) releaseLease(fsEntry, lakeDir, mergeId)
+      if (externalLease.isEmpty && !occ)
+        releaseLease(fsEntry, lakeDir, mergeId)
     }
   }
 
@@ -1548,27 +1680,47 @@ object LakeMerge {
       partitionCol: String = "part_date", seriesCol: String = "tms_id",
       timeCol: String = "time", maxPartitions: Int = Int.MaxValue,
       leaseStaleMs: Long = 15L * 60 * 1000,
-      retainHistory: Boolean = false): CompactStats =
+      retainHistory: Boolean = false,
+      occ: Boolean = false): CompactStats =
     compactImpl(spark, lakeDir, targetFileBytes, partitionCol, seriesCol,
-      timeCol, maxPartitions, leaseStaleMs, Int.MaxValue, retainHistory)
+      timeCol, maxPartitions, leaseStaleMs, Int.MaxValue, retainHistory,
+      occ = occ)
 
   /** [[compactPartitions]] with the crash-injection hook
     * (LakeCompactSpec's kill-between-renames case). */
-  private[io] def compactImpl(spark: SparkSession, lakeDir: String,
+  private[graft] def compactImpl(spark: SparkSession, lakeDir: String,
       targetFileBytes: Long, partitionCol: String, seriesCol: String,
       timeCol: String, maxPartitions: Int, leaseStaleMs: Long,
-      crashAfterSwaps: Int, retainHistory: Boolean = false): CompactStats = {
+      crashAfterSwaps: Int, retainHistory: Boolean = false,
+      occ: Boolean = false,
+      beforeOccCommit: () => Unit = () => ()): CompactStats = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     require(maxPartitions >= 1, s"maxPartitions must be >= 1")
     val fs = hadoopFs(spark, lakeDir)
     require(fs.exists(new Path(lakeDir)),
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
-    val compactId = java.util.UUID.randomUUID.toString
-    acquireLease(fs, lakeDir, compactId, leaseStaleMs)
+    val compactId = (if (occ) "occ-" else "") +
+      java.util.UUID.randomUUID.toString
+    if (!occ) acquireLease(fs, lakeDir, compactId, leaseStaleMs)
+    // OCC snapshot — see mergeImpl; compaction conflicts exactly like a
+    // merge (it rewrites partitions), so the same commit-window check
+    // applies. A long compaction no longer blocks disjoint ingest merges.
+    val snapshotSeq: Long =
+      if (!occ) -1L
+      else (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
+        readManifest(fs, lakeDir).flatMap(_.histSeq))
+        .foldLeft(-1L)(math.max)
     try {
-      recoverHeld(spark, lakeDir, compactId) // roll forward interrupted writers
+      if (!occ) recoverHeld(spark, lakeDir, compactId)
       val all = partitionValues(spark, lakeDir, partitionCol)
-      val stats = partitionFileStats(fs, lakeDir, partitionCol, all)
+      // an OCC compaction must not read (or rewrite) a partition some
+      // pending manifest is mid-swap on — just skip it this run
+      val pendingTouched: Set[String] =
+        if (!occ) Set.empty
+        else readManifest(fs, lakeDir).map(_.partitions.toSet)
+          .getOrElse(Set.empty)
+      val stats = partitionFileStats(fs, lakeDir, partitionCol,
+        all.filterNot(pendingTouched))
       val totalFiles = stats.map(_._2.toLong).sum
       val candidates = stats.flatMap { case (v, files, bytes) =>
         val ideal = math.max(1L,
@@ -1582,7 +1734,7 @@ object LakeMerge {
       if (selected.isEmpty)
         return CompactStats(all.length, 0, totalFiles, totalFiles, 0L,
           compactId)
-      heartbeatLease(fs, lakeDir, compactId)
+      if (!occ) heartbeatLease(fs, lakeDir, compactId)
 
       // REWRITE the selected partitions into staging — same clustering
       // contract as the merge (series-hashed files, sorted within), with
@@ -1600,7 +1752,7 @@ object LakeMerge {
           .sortWithinPartitions(seriesCol, timeCol)
           .write.mode("overwrite")
           .parquet(new Path(staging, s"$partitionCol=$v").toString)
-        heartbeatLease(fs, lakeDir, compactId)
+        if (!occ) heartbeatLease(fs, lakeDir, compactId)
       }
 
       // COMMIT / SWAP / CLEAN — the merge's shared tail verbatim, so a
@@ -1608,15 +1760,38 @@ object LakeMerge {
       // compact never CREATES partitions — the tail's created computation
       // is vacuously empty here — and records a commit under the same
       // once-a-log-exists rule so snapshot resolution sees every rewrite)
-      commitStagedSwaps(fs, lakeDir, compactId, "compact", partitionCol,
-        staging, selected.map(_._1), None, retainHistory, crashAfterSwaps)
+      if (occ) {
+        beforeOccCommit()
+        acquireLease(fs, lakeDir, compactId, leaseStaleMs)
+        try {
+          recoverHeld(spark, lakeDir, compactId)
+          val mine = selected.map(_._1).toSet
+          val conflicts = LakeTimeTravel.readCommits(spark, lakeDir)
+            .filter(c => c.seq > snapshotSeq && c.partitions.exists(mine))
+          if (conflicts.nonEmpty) {
+            fs.delete(staging, true)
+            val named = conflicts.map(c => s"seq ${c.seq} (${c.op} on " +
+              s"${c.partitions.filter(mine).sorted.mkString(",")})")
+              .mkString("; ")
+            throw new java.util.ConcurrentModificationException(
+              s"optimistic compaction conflicts with $named — committed " +
+                s"since snapshot seq $snapshotSeq; re-run (the skipped " +
+                "partitions stay fragmented, nothing is lost)")
+          }
+          commitStagedSwaps(fs, lakeDir, compactId, "compact", partitionCol,
+            staging, selected.map(_._1), None, retainHistory,
+            crashAfterSwaps, forceRecord = true)
+        } finally releaseLease(fs, lakeDir, compactId)
+      } else
+        commitStagedSwaps(fs, lakeDir, compactId, "compact", partitionCol,
+          staging, selected.map(_._1), None, retainHistory, crashAfterSwaps)
 
       val after = partitionFileStats(fs, lakeDir, partitionCol,
         selected.map(_._1)).map(_._2.toLong).sum
       val untouchedFiles = totalFiles - selected.map(_._2.toLong).sum
       CompactStats(all.length, selected.length, totalFiles,
         untouchedFiles + after, selected.map(_._3).sum, compactId)
-    } finally releaseLease(fs, lakeDir, compactId)
+    } finally if (!occ) releaseLease(fs, lakeDir, compactId)
   }
 
   // ---- Z-order clustering maintenance (round 15) -------------------------
@@ -1653,17 +1828,18 @@ object LakeMerge {
       partitions: Seq[String] = Seq.empty,
       maxPartitions: Int = Int.MaxValue,
       leaseStaleMs: Long = 15L * 60 * 1000,
-      retainHistory: Boolean = false): CompactStats =
+      retainHistory: Boolean = false,
+      curve: String = "zorder"): CompactStats =
     clusterImpl(spark, lakeDir, dimA, dimB, bits, targetFileBytes,
       partitionCol, partitions, maxPartitions, leaseStaleMs, Int.MaxValue,
-      retainHistory)
+      retainHistory, curve)
 
   /** [[clusterPartitions]] with the crash-injection hook. */
   private[io] def clusterImpl(spark: SparkSession, lakeDir: String,
       dimA: String, dimB: String, bits: Int, targetFileBytes: Long,
       partitionCol: String, partitions: Seq[String], maxPartitions: Int,
       leaseStaleMs: Long, crashAfterSwaps: Int,
-      retainHistory: Boolean): CompactStats = {
+      retainHistory: Boolean, curve: String = "zorder"): CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(maxPartitions >= 1, "maxPartitions must be >= 1")
     val fs = hadoopFs(spark, lakeDir)
@@ -1695,10 +1871,10 @@ object LakeMerge {
       selected.foreach { case (v, _, bytes) =>
         val ideal = math.max(1L,
           (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        Layout.writeZOrdered(
+        Layout.writeClustered(
             readerFor(spark, schema)
               .parquet(escapeGlob(s"$lakeDir/$partitionCol=$v")),
-            col(dimA), col(dimB), bits, ideal)
+            col(dimA), col(dimB), bits, ideal, curve)
           .write.mode("overwrite")
           .parquet(new Path(staging, s"$partitionCol=$v").toString)
         heartbeatLease(fs, lakeDir, clusterId)

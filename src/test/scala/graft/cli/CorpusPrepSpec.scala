@@ -121,6 +121,45 @@ class CorpusPrepSpec extends SparkSpec {
     assert(kept == Set(12L))
   }
 
+  test("--incremental-keepers ingests against the FEED-MAINTAINED digest state") {
+    import spark.implicits._
+    import graft.io.LakeMerge
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // the trained corpus lives in a lake whose keeper state is maintained
+    // from the change feed — the crawl never re-reads or re-hashes it
+    val lakeDir = Files.createTempDirectory("incrk_lake").toString + "/lake"
+    LakeMerge.writeLake(LakeMerge.withPartDate(Seq(
+      (1L, "2024-01-01 00:00:00", core),
+      (2L, "2024-01-01 01:00:00", "an old corpus document kept for reference"))
+      .toDF("doc_id", "time", "text")), lakeDir, seriesCol = "doc_id")
+    val stateDir = Files.createTempDirectory("incrk_state").toString + "/st"
+    graft.dedup.Dedup.seedKeeperState(LakeMerge.readLake(spark, lakeDir),
+      stateDir, "doc_id", "text")
+    // a later commit adds a doc; the state folds current BEFORE the crawl
+    LakeMerge.merge(spark, lakeDir, LakeMerge.withPartDate(Seq(
+      (3L, "2024-01-02 00:00:00", "freshly merged trained document"))
+      .toDF("doc_id", "time", "text")), Seq("doc_id"),
+      seriesCol = "doc_id", captureChanges = true)
+    graft.dedup.Dedup.foldKeeperStateInto(
+      LakeMerge.readChanges(spark, lakeDir), stateDir, "doc_id", "text")
+
+    val inDir = Files.createTempDirectory("incrk_in").toString
+    Seq(
+      (10L, core),                                    // dup of seed doc 1
+      (11L, "freshly merged trained document"),       // dup of FOLDED doc 3
+      (12L, "a genuinely new document with fresh words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val out = Files.createTempDirectory("incrk_out").toString
+    val stats = CorpusPrep.run(spark, Map(
+      "in" -> inDir, "out" -> out, "incremental-keepers" -> stateDir,
+      "budget" -> "64"))
+    assert(stats("incremental_dropped") == 2L, stats.toString)
+    val kept = spark.read.parquet(s"$out/chunks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L),
+      "only the genuinely new doc survives — including vs the folded commit")
+  }
+
   test("--gopher-gate filters as a predicate and composes with the pipeline") {
     val out = Files.createTempDirectory("corpus_prep_gopher").toString
     val stats = CorpusPrep.run(spark, Map(

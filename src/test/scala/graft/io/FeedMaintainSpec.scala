@@ -70,6 +70,67 @@ class FeedMaintainSpec extends SparkSpec {
     agg0.unpersist()
   }
 
+  test("keeper maintenance: retraction RE-ELECTS; maintained == recompute; stored twin effectively-once") {
+    import graft.dedup.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("keepermaint").toString + "/lake"
+    // documents-shaped lake: doc 1 and doc 2 share a text (keeper = 1),
+    // docs 3..5 distinct; the delete kills doc 1 (THE KEEPER) and doc 4
+    // (a singleton digest, which must vanish)
+    val docs = Seq(
+      (1L, "2024-01-01 00:00:00", "shared text"),
+      (2L, "2024-01-01 01:00:00", "shared text"),
+      (3L, "2024-01-01 02:00:00", "solo three"),
+      (4L, "2024-01-02 00:00:00", "solo four"),
+      (5L, "2024-01-02 01:00:00", "solo five")).toDF("doc_id", "time", "text")
+    val dKeys = Seq("doc_id")
+    LakeMerge.writeLake(LakeMerge.withPartDate(docs), dir,
+      seriesCol = "doc_id")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("keeperstate").toString + "/state"
+    Dedup.seedKeeperState(LakeMerge.readLake(spark, dir), stateDir,
+      "doc_id", "text", asOfSeq = -1L)
+
+    // commit 0: doc 5 rewrites onto the shared digest (insert-side move),
+    // doc 6 arrives as a brand-new duplicate of "solo three"
+    val b1 = LakeMerge.withPartDate(Seq(
+      (5L, "2024-01-02 01:00:00", "shared text"),
+      (6L, "2024-01-02 02:00:00", "solo three")).toDF("doc_id", "time", "text"))
+    LakeMerge.merge(spark, dir, b1, dKeys, seriesCol = "doc_id",
+      captureChanges = true)
+    // commit 1: DELETE the shared digest's keeper (doc 1) and doc 4
+    LakeMerge.delete(spark, dir,
+      Seq((1L), (4L)).toDF("doc_id"), dKeys, seriesCol = "doc_id",
+      captureChanges = true)
+
+    Dedup.foldKeeperStateInto(LakeMerge.readChanges(spark, dir), stateDir,
+      "doc_id", "text")
+    def keeperRows(df: DataFrame) =
+      df.select("text_hash", "keeper_id", "n_dups").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val maintained = keeperRows(
+      Dedup.keepersOf(Dedup.readKeeperState(spark, stateDir)))
+    val recomputed = keeperRows(
+      Dedup.exact(LakeMerge.readLake(spark, dir), "doc_id", "text"))
+    assert(maintained === recomputed,
+      "maintained keepers must equal the full recompute")
+    // the re-election itself: "shared text" (now members {2, 5}) lost
+    // keeper 1 and must re-elect doc 2 — the MIN of the remaining
+    // members, not the newest arrival (5); nothing is keepered by the
+    // retracted doc 1, and "solo four"'s digest vanished with its only row
+    assert(maintained.exists(r => r._2 == 2L && r._3 == 2L),
+      s"shared digest must re-elect keeper 2: $maintained")
+    assert(!maintained.exists(_._2 == 1L),
+      s"the deleted keeper must not survive: $maintained")
+    assert(maintained.map(_._3) === Seq(2L, 2L),
+      s"exactly two digests remain, both pairs: $maintained")
+
+    // effectively-once: re-delivering the whole feed is a no-op
+    Dedup.foldKeeperStateInto(LakeMerge.readChanges(spark, dir), stateDir,
+      "doc_id", "text")
+    assert(keeperRows(Dedup.keepersOf(
+      Dedup.readKeeperState(spark, stateDir))) === maintained)
+  }
+
   test("foldInto refuses a feed gap instead of folding past it") {
     val root = java.nio.file.Files.createTempDirectory("feedgap").toString
     val (dir, aggDir) = (s"$root/lake", s"$root/agg")
