@@ -120,7 +120,16 @@ object Bench {
       }
   }
 
-  /** The floors-file key the calibration probe min-merges under. */
+  /** The floors-file key the calibration probe min-merges under.
+    * SEEDING NOTE (round 16): the committed floors predate the probe, so
+    * the first probe value was seeded as probe(today) / median_raw_ratio
+    * (0.922 / 1.72 = 0.536) — the best available estimate of the
+    * floor-era host speed, required for the floors and the probe floor
+    * to refer to the SAME host class (seeding today's slow-host probe
+    * verbatim would have made normalization a permanent no-op against
+    * floors set on ~1.7× faster sessions). Future fast-host runs
+    * min-merge the estimate toward the truth; the merge gate keeps
+    * slow-host runs from ever raising it. */
   private[graft] val ProbeKey = "_probe_secs"
 
   /** May this run's numbers min-merge into the floors file? Only when its

@@ -699,6 +699,25 @@ object TrainPrepQueries {
              |  count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---- append-mode watermark parity (round 16): windowed counts with
+    // PLANTED late events; the oracle replays Spark's drop rule — a late
+    // row survives iff its window end clears the watermark the on-time
+    // batch fixed (ms-truncated max − 15 days; sized so both fates occur) -----------------------------
+    "q_stream_late_window" -> QueryDef(
+      (s, dir) => graft.streaming.StreamParity.lateWindowAppend(s, dir),
+      Some("""WITH ev AS (SELECT event_id, epoch_us(ts) AS us, user_id, value
+             |  FROM events WHERE NOT isnan(value) AND user_id < 6),
+             |on_time AS (SELECT * FROM ev WHERE event_id % 13 <> 0),
+             |late AS (SELECT * FROM ev WHERE event_id % 13 = 0),
+             |wm AS (SELECT ((max(us) // 1000) - 1296000000) * 1000 AS wm_us
+             |  FROM on_time),
+             |kept_late AS (SELECT l.* FROM late l, wm
+             |  WHERE ((l.us // 3600000000) + 1) * 3600000000 > wm.wm_us),
+             |final AS (SELECT * FROM on_time UNION ALL SELECT * FROM kept_late)
+             |SELECT (us // 3600000000) * 3600 AS w_start, user_id,
+             |  count(*) AS n_events, round(sum(value), 2) AS v_sum
+             |FROM final GROUP BY 1, 2""".stripMargin)),
+
     "q_stream_distinct" -> QueryDef(
       (s, dir) => graft.streaming.StreamParity.distinctPairs(s, dir),
       Some("SELECT DISTINCT user_id, event_type FROM events")),

@@ -14,7 +14,8 @@ import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
   *   - `compact`   small-file OPTIMIZE, worst offenders first
   *                 (E171 [[LakeMerge.compactPartitions]])
   *   - `zorder`    OPTIMIZE ZORDER BY (`--dim-a/--dim-b [--bits]
-  *                 [--partitions v1,v2]`, [[LakeMerge.clusterPartitions]])
+  *                 [--partitions v1,v2] [--curve zorder|hilbert]`,
+  *                 [[LakeMerge.clusterPartitions]])
   *   - `vacuum`    drop pre-images older snapshots need
   *                 (E173 [[LakeTimeTravel.vacuum]])
   *   - `vacuum-changes` drop feed commits every consumer has passed
@@ -93,7 +94,8 @@ object LakeAdmin {
             .getOrElse(Seq.empty),
           maxPartitions = args.get("max-partitions").map(_.toInt)
             .getOrElse(Int.MaxValue),
-          retainHistory = retain)
+          retainHistory = retain,
+          curve = args.getOrElse("curve", "zorder"))
         Map("partitions_total" -> s.partitionsTotal.toString,
           "partitions_clustered" -> s.partitionsCompacted.toString,
           "files_after" -> s.filesAfter.toString)

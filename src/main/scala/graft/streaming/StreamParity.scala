@@ -122,6 +122,60 @@ object StreamParity {
     spark.table(name)
   }
 
+  /** APPEND-mode windowed count/sum under a REAL event-time watermark
+    * (round 16, q_stream_late_window) — the one production stream shape
+    * the complete/AvailableNow parity rows above cannot exercise: late
+    * data genuinely DROPPED by the watermark. Delivery is deterministic
+    * three-batch: the on-time slice first (fixing the watermark at
+    * max(on-time) − 15 days — sized against the fixture's ~30-day span so
+    * both fates occur: roughly half the planted rows drop, half land in
+    * still-open windows), then the PLANTED late slice
+    * (event_id % 13 == 0, delivered a full micro-batch behind), then one
+    * far-future flush row that advances the watermark past every real
+    * window so append mode emits them (its own window stays withheld and
+    * is filtered out). A late row survives iff its WINDOW's end is above
+    * the watermark the on-time batch established — Spark keys the
+    * late-data filter on the aggregation window, and the DuckDB oracle
+    * applies exactly that rule explicitly (watermark ms-truncated the
+    * way EventTimeStats tracks it). Driver-side delivery is the
+    * HARNESS's batching control, bounded by the filtered fixture slice;
+    * production consumers read a source with real arrival order. */
+  def lateWindowAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.queries.Tables.events(spark, dir)
+      .filter(!isnan(col("value")) && col("user_id") < 6)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (late, onTime) = ev.partition(_._1 % 13 == 0)
+    val flushTs = ev.map(_._2).max + 30L * 24 * 3600 * 1000000000L
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF.toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_time", "1296000 seconds")
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("v_sum"))
+      .select(col("w.start").cast("long").as("w_start"), col("user_id"),
+        col("n_events"), col("v_sum"))
+    val name = "stream_late_window"
+    spark.catalog.dropTempView(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val q = try agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      mem.addData(onTime.toSeq: _*); q.processAllAvailable()
+      mem.addData(late.toSeq: _*); q.processAllAvailable()
+      mem.addData((-1L, flushTs, -1L, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** Streaming form of q_a2_resample: right-closed 15-min tumbling sum over
     * the event stream, complete mode. Identical bucket arithmetic to the
     * batch path (ns-domain longs — no timestamp round-trip). */

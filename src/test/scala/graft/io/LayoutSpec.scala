@@ -45,6 +45,74 @@ class LayoutSpec extends SparkSpec {
     assert(got.values.forall(z => z >= 0 && z < (1L << 16)))
   }
 
+  /** The classic iterative xy2d (public reference algorithm) — the
+    * driver-side model the unrolled state-table expression must match. */
+  private def localHilbert(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertKey equals the classic xy2d model over a FULL grid; bijective; masks negatives") {
+    val n = 32 // bits = 5, exhaustive
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("a", "b")
+    val got = grid.select(col("a"), col("b"),
+        Layout.hilbertKey(col("a"), col("b"), 5).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    got.foreach { case ((a, b), h) =>
+      assert(h == localHilbert(a, b, 5), s"($a,$b): got $h")
+    }
+    // a space-filling curve is a bijection onto [0, n^2)
+    assert(got.map(_._2).toSet === (0L until (n.toLong * n)).toSet)
+    // ADJACENCY — the property z-order lacks: consecutive keys are grid
+    // neighbors (|Δa| + |Δb| == 1), every single step of the traversal
+    val byKey = got.map { case (ab, h) => h -> ab }.toMap
+    (0L until n.toLong * n - 1).foreach { h =>
+      val (a1, b1) = byKey(h); val (a2, b2) = byKey(h + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) == 1,
+        s"keys $h->${h + 1} jump from ($a1,$b1) to ($a2,$b2)")
+    }
+    // negative / out-of-range inputs mask onto the low bits like zOrderKey
+    val masked = Seq((-1L, 0L), (32L, 3L)).toDF("a", "b")
+      .select(Layout.hilbertKey(col("a"), col("b"), 5).as("h"))
+      .collect().map(_.getLong(0))
+    assert(masked(0) == localHilbert(31L, 0L, 5))
+    assert(masked(1) == localHilbert(0L, 3L, 5))
+  }
+
+  test("hilbert chunks are at least as tight as z-order at matched chunk counts") {
+    // 64x64 grid split into 32 contiguous key ranges per curve: mean
+    // per-chunk bounding-box area — the min-max skipping quantity — must
+    // not be worse under hilbert (typically ~20-30% tighter)
+    val n = 64
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n))
+      .toDF("a", "b")
+    def meanArea(curve: String): Double = {
+      val keyed = grid.select(col("a"), col("b"),
+        Layout.curveKey(curve, col("a"), col("b"), 6).as("k"))
+      val chunk = (col("k") * 32 / (n * n)).cast("int")
+      keyed.groupBy(chunk.as("c"))
+        .agg(((max(col("a")) - min(col("a")) + 1) *
+          (max(col("b")) - min(col("b")) + 1)).as("area"))
+        .agg(avg(col("area"))).head().getDouble(0)
+    }
+    val z = meanArea("zorder"); val h = meanArea("hilbert")
+    info(f"mean 32-chunk bounding-box area: zorder $z%.1f, hilbert $h%.1f")
+    assert(h <= z,
+      f"hilbert must not be looser than z-order at matched chunks: $h%.1f vs $z%.1f")
+  }
+
   test("Z-sorted chunks are tight on BOTH dims; single-dim sort is full-width on the other") {
     // a 32x32 grid, one row per cell
     val grid = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32)).toDF("a", "b")

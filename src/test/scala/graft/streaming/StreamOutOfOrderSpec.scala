@@ -63,6 +63,49 @@ class StreamOutOfOrderSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("append-mode watermark: a planted too-late row is DROPPED; a within-delay row lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = mem.toDF.toDF("id", "event_time", "value")
+    val agg = stream
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").cast("string").as("w_start"), col("n"), col("v"))
+    spark.catalog.dropTempView("late_drop")
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    try {
+      // batch 1 fixes the watermark at 12:00 − 10 min = 11:50
+      mem.addData((1L, ts("2024-01-01 11:40:30"), 1.0),
+        (2L, ts("2024-01-01 12:00:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: one row BEYOND the watermark (its 5-min window
+      // [11:30, 11:35) ended before 11:50 — must be dropped) and one
+      // within delay (window [11:45, 11:50) ... ends exactly 11:50 →
+      // also dropped under end<=wm; use [11:50,11:55) to land)
+      mem.addData((3L, ts("2024-01-01 11:31:00"), 100.0), // too late: DROPPED
+        (4L, ts("2024-01-01 11:52:00"), 4.0))             // open window: lands
+      q.processAllAvailable()
+      // flush: advance the watermark past every real window
+      mem.addData((5L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_drop")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    // the same drop rule the q_stream_late_window oracle applies: row 3's
+    // window ended before the batch-1 watermark, so no [11:30) window
+    // exists and no count anywhere includes it
+    assert(got === Seq(
+      ("2024-01-01 11:40:00", 1L, 1.0),
+      ("2024-01-01 11:50:00", 1L, 4.0),
+      ("2024-01-01 12:00:00", 1L, 2.0)),
+      s"planted late row must be dropped, within-delay row must land: $got")
+  }
+
   test("stream OHLC: a bucket's opening observation arriving LAST is still open") {
     val H = 3600000000000L // 1h in ns
     // one user, one 1-day bucket; the chronologically FIRST observation
