@@ -511,6 +511,53 @@ object ScaleSmoke {
       s""""pq_train_encode_seconds":$pqTrainSecs,""" +
       s""""pq_code_bytes":$codeBytes,"pq_vector_bytes":$vecBytes,""" +
       s""""pq_peak_stage_shuffle_bytes":$pqPeak}""")
+
+    // ---- BATCHED multi-query retrieval (E180): a 1000-query block in ONE
+    // corpus scan vs the one-plan-per-query loop. The loop pays per-query
+    // plan+scan; the batch pays one scan + a bounded partial top-k whose
+    // exchange carries |queries|×|tasks|×k entries. Equality is asserted
+    // on a query sample (the full equality is RecallSpec's job at small
+    // scale); the headline number is queries/second.
+    locally {
+      val batchQ = 1000
+      val queries = embScale.filter(col("vec_id") % (nEmb / batchQ) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .persist()
+      val nQ = queries.count()
+      val (batchedRows, batchShuffle, _, batchSecs) = sectionShuffle {
+        graft.ann.Similarity.topKForQueries(embScale, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10, roundTo = 5).count()
+      }
+      require(batchedRows == nQ * 10,
+        s"batched retrieval must return k rows per query: $batchedRows")
+      // loop a 20-query sample for the per-plan baseline + equality probe
+      val sample = queries.limit(20).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      val (loopSets, _, _, loopSecs) = sectionShuffle {
+        sample.map { case (qid, qv) =>
+          qid -> graft.ann.Similarity.bruteForceTopK(embScale, "vec_id",
+            "embedding", qv, 10, roundTo = 5)
+            .collect().map(_.getLong(0)).toSeq
+        }.toMap
+      }
+      val batchedSample = graft.ann.Similarity.topKForQueries(embScale,
+          "vec_id", "embedding", queries, "qid", "qv", k = 10, roundTo = 5)
+        .filter(col("query_id").isin(sample.map(_._1): _*))
+        .orderBy(col("query_id"), col("rank"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSeq }
+      sample.foreach { case (qid, _) =>
+        require(batchedSample(qid) == loopSets(qid),
+          s"batched != looped for query $qid")
+      }
+      println(s"""{"metric":"batched_ann_scale","embeddings":$nEmb,""" +
+        s""""queries":$nQ,"batched_seconds":$batchSecs,""" +
+        s""""batched_qps":${(nQ / batchSecs).toLong},""" +
+        s""""batched_shuffle_bytes":$batchShuffle,""" +
+        s""""loop_sample_qps":${(sample.length / loopSecs).toLong},""" +
+        s""""speedup_vs_loop":${(nQ / batchSecs) / (sample.length / loopSecs)}}""")
+      queries.unpersist()
+    }
     // quantized retrieval over the same corpus, in the production
     // two-stage shape: a compressed shortlist (binary sign bits /
     // matryoshka 32-dim prefix) rescored by exact cosine. On this
