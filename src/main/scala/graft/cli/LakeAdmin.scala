@@ -16,6 +16,10 @@ import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
   *   - `zorder`    OPTIMIZE ZORDER BY (`--dim-a/--dim-b [--bits]
   *                 [--partitions v1,v2] [--curve zorder|hilbert]`,
   *                 [[LakeMerge.clusterPartitions]])
+  *   - `keeper-seed`/`keeper-fold`  seed the exact-dedup keeper state
+  *                 from a lake snapshot / fold the published feed into it
+  *                 (E183 [[graft.dedup.Dedup.seedKeeperState]]/
+  *                 [[graft.dedup.Dedup.foldKeeperStateInto]])
   *   - `vacuum`    drop pre-images older snapshots need
   *                 (E173 [[LakeTimeTravel.vacuum]])
   *   - `vacuum-changes` drop feed commits every consumer has passed
@@ -59,8 +63,8 @@ object LakeAdmin {
     val retain = args.get("retain-history").exists(_.toBoolean)
     val op = args.getOrElse("op",
       throw new IllegalArgumentException("--op <recover|compact|vacuum|" +
-        "vacuum-changes|delete|log|snapshot|changes|integrity|schema> " +
-        "is required"))
+        "vacuum-changes|delete|log|snapshot|changes|integrity|schema|" +
+        "keeper-seed|keeper-fold> is required"))
 
     val result: Map[String, String] = op match {
       case "recover" =>
@@ -99,6 +103,34 @@ object LakeAdmin {
         Map("partitions_total" -> s.partitionsTotal.toString,
           "partitions_clustered" -> s.partitionsCompacted.toString,
           "files_after" -> s.filesAfter.toString)
+
+      case "keeper-seed" =>
+        val stateDir = args.getOrElse("state",
+          throw new IllegalArgumentException(
+            "--state <dir> is required for keeper-seed"))
+        val idCol = args.getOrElse("id-col", "doc_id")
+        val textCol = args.getOrElse("text-col", "text")
+        val asOf = args.getOrElse("as-of-seq", "-1").toLong
+        graft.dedup.Dedup.seedKeeperState(
+          LakeMerge.readLake(spark, lake, partCol), stateDir,
+          idCol, textCol, asOf)
+        Map("seeded" -> "true", "as_of_seq" -> asOf.toString,
+          "digests" -> graft.dedup.Dedup.readKeeperState(spark, stateDir)
+            .count().toString)
+
+      case "keeper-fold" =>
+        val stateDir = args.getOrElse("state",
+          throw new IllegalArgumentException(
+            "--state <dir> is required for keeper-fold"))
+        val idCol = args.getOrElse("id-col", "doc_id")
+        val textCol = args.getOrElse("text-col", "text")
+        graft.dedup.Dedup.foldKeeperStateInto(
+          LakeMerge.readChanges(spark, lake), stateDir, idCol, textCol)
+        val st = graft.dedup.Dedup.readKeeperState(spark, stateDir)
+        Map("digests" -> st.count().toString,
+          "as_of_seq" -> st.agg(org.apache.spark.sql.functions
+            .max(org.apache.spark.sql.functions.col("as_of_seq")))
+            .head().getLong(0).toString)
 
       case "vacuum" =>
         val oldest = args.getOrElse("oldest-asof",

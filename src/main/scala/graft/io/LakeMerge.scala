@@ -1483,10 +1483,11 @@ object LakeMerge {
       timeCol: String = "time", filesPerPartition: Int = 4,
       leaseStaleMs: Long = 15L * 60 * 1000,
       captureChanges: Boolean = false,
-      retainHistory: Boolean = false): DeleteStats =
+      retainHistory: Boolean = false,
+      occ: Boolean = false): DeleteStats =
     deleteImpl(spark, lakeDir, keys, keyCols, partitionCol, seriesCol,
       timeCol, filesPerPartition, Int.MaxValue, leaseStaleMs,
-      captureChanges, retainHistory)
+      captureChanges, retainHistory, occ = occ)
 
   /** [[delete]] with crash injection (LakeDeleteSpec's kill-between-
     * renames cases, including a kill between a DROP's park and the next
@@ -1499,18 +1500,31 @@ object LakeMerge {
       crashAfterSwaps: Int, leaseStaleMs: Long = 15L * 60 * 1000,
       captureChanges: Boolean = false,
       retainHistory: Boolean = false,
-      externalLease: Option[String] = None): DeleteStats = {
+      externalLease: Option[String] = None,
+      occ: Boolean = false,
+      beforeOccCommit: () => Unit = () => ()): DeleteStats = {
     keyCols.foreach(c => require(keys.columns.contains(c),
       s"keys must carry every key column — missing '$c'"))
+    require(!(occ && externalLease.nonEmpty),
+      "optimistic deletes manage their own commit-time lease — " +
+        "externalLease is a pessimistic-writer hook")
     val fs = hadoopFs(spark, lakeDir)
     require(fs.exists(new Path(lakeDir)),
       s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
-    val deleteId = externalLease
-      .getOrElse(java.util.UUID.randomUUID.toString)
-    if (externalLease.isEmpty)
+    val deleteId =
+      if (occ) "occ-" + java.util.UUID.randomUUID.toString
+      else externalLease.getOrElse(java.util.UUID.randomUUID.toString)
+    if (externalLease.isEmpty && !occ)
       acquireLease(fs, lakeDir, deleteId, leaseStaleMs)
+    // OCC snapshot — see mergeImpl: a GDPR purge must not wait behind a
+    // long compaction touching OTHER partitions
+    val snapshotSeq: Long =
+      if (!occ) -1L
+      else (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
+        readManifest(fs, lakeDir).flatMap(_.histSeq))
+        .foldLeft(-1L)(math.max)
     try {
-      recoverHeld(spark, lakeDir, deleteId) // roll forward interrupted writers
+      if (!occ) recoverHeld(spark, lakeDir, deleteId)
       val allParts = partitionValues(spark, lakeDir, partitionCol)
       require(allParts.nonEmpty,
         s"no lake at $lakeDir — initialize with LakeMerge.writeLake")
@@ -1572,7 +1586,16 @@ object LakeMerge {
               .select((keyCols :+ partitionCol).map(col): _*))
         if (affected.isEmpty)
           return DeleteStats(allParts.length, 0, 0, 0L, 0L, 0L, deleteId)
-        heartbeatLease(fs, lakeDir, deleteId)
+        // OCC: refuse a mid-swap overlap up front (torn reads) — the
+        // disjoint case proceeds; see mergeImpl
+        if (occ) readManifest(fs, lakeDir).foreach { m =>
+          val overlap = m.partitions.toSet.intersect(affected.toSet)
+          require(overlap.isEmpty,
+            s"optimistic delete: writer ${m.mergeId} is committing on " +
+              s"${overlap.toSeq.sorted.mkString(", ")} — run recover() " +
+              "or retry after its roll-forward")
+        }
+        if (!occ) heartbeatLease(fs, lakeDir, deleteId)
 
         // REWRITE the survivors into staging — the lake's clustering
         // contract unchanged; a partition whose every row is purged
@@ -1600,29 +1623,56 @@ object LakeMerge {
         val rowsAfter =
           if (dropped.length == affected.length) 0L
           else spark.read.parquet(staging.toString).count() // footers only
-        heartbeatLease(fs, lakeDir, deleteId)
+        if (!occ) heartbeatLease(fs, lakeDir, deleteId)
 
         // CHANGE FEED (optional): the purged pre-images, staged before
         // the manifest write so the commit point covers it — same
-        // crash-atomicity as the merge's feed
+        // crash-atomicity as the merge's feed; under OCC the seq is
+        // assigned inside the commit window (see mergeImpl)
+        if (captureChanges)
+          deleteFeed(current, keyOnly, joinCols).write.mode("overwrite")
+            .parquet(new Path(staging, ChangeFeedStagedName).toString)
         val changeSeqOpt =
-          if (captureChanges) {
-            deleteFeed(current, keyOnly, joinCols).write.mode("overwrite")
-              .parquet(new Path(staging, ChangeFeedStagedName).toString)
-            Some(nextChangeSeq(fs, lakeDir))
-          } else None
+          if (captureChanges && !occ) Some(nextChangeSeq(fs, lakeDir))
+          else None
 
         // COMMIT / SWAP / CLEAN — the shared tail; dropped partitions
         // park their pre-image and leave nothing
-        commitStagedSwaps(fs, lakeDir, deleteId, "delete", partitionCol,
-          staging, affected, changeSeqOpt, retainHistory, crashAfterSwaps,
-          dropped)
+        if (occ) {
+          beforeOccCommit()
+          acquireLease(fs, lakeDir, deleteId, leaseStaleMs)
+          try {
+            recoverHeld(spark, lakeDir, deleteId)
+            val mine = affected.toSet
+            val conflicts = LakeTimeTravel.readCommits(spark, lakeDir)
+              .filter(c => c.seq > snapshotSeq && c.partitions.exists(mine))
+            if (conflicts.nonEmpty) {
+              fs.delete(staging, true)
+              val named = conflicts.map(c => s"seq ${c.seq} (${c.op} on " +
+                s"${c.partitions.filter(mine).sorted.mkString(",")})")
+                .mkString("; ")
+              throw new java.util.ConcurrentModificationException(
+                s"optimistic delete conflicts with $named — committed " +
+                  s"since snapshot seq $snapshotSeq; re-run the purge " +
+                  "against the fresh lake (erasure obligations make the " +
+                  "retry mandatory, not optional)")
+            }
+            val occSeq =
+              if (captureChanges) Some(nextChangeSeq(fs, lakeDir)) else None
+            commitStagedSwaps(fs, lakeDir, deleteId, "delete", partitionCol,
+              staging, affected, occSeq, retainHistory, crashAfterSwaps,
+              dropped, forceRecord = true)
+          } finally releaseLease(fs, lakeDir, deleteId)
+        } else
+          commitStagedSwaps(fs, lakeDir, deleteId, "delete", partitionCol,
+            staging, affected, changeSeqOpt, retainHistory, crashAfterSwaps,
+            dropped)
 
         DeleteStats(allParts.length, affected.length, dropped.length,
           rowsBefore, rowsBefore - rowsAfter, rowsAfter, deleteId)
       } finally k.unpersist()
     } finally {
-      if (externalLease.isEmpty) releaseLease(fs, lakeDir, deleteId)
+      if (externalLease.isEmpty && !occ) releaseLease(fs, lakeDir, deleteId)
     }
   }
 

@@ -121,6 +121,27 @@ class LakeAdminSpec extends SparkSpec {
       Seq(2L), "seq assignment must stay monotonic across full retention")
   }
 
+  test("keeper-seed / keeper-fold: the dedup keeper state as admin ops") {
+    val dir = freshLake("lakeadmin-keeper")
+    val root = java.nio.file.Files.createTempDirectory("lakeadmin-kst").toString
+    val st = s"$root/state"
+    val seeded = LakeAdmin.run(spark, Map("op" -> "keeper-seed",
+      "lake" -> dir, "state" -> st, "id-col" -> "tms_id",
+      "text-col" -> "fgt"))
+    assert(seeded("seeded") === "true" && seeded("digests").toLong > 0)
+    // a captured commit folds in; the watermark advances
+    LakeMerge.merge(spark, dir, LakeMerge.withPartDate(
+      Seq(("wl_z", "2024-01-09 06:00:00", "2024-01-01 00:00:00", 5.0))
+        .toDF("tms_id", "fgt", "time", "value")),
+      keys, captureChanges = true)
+    val folded = LakeAdmin.run(spark, Map("op" -> "keeper-fold",
+      "lake" -> dir, "state" -> st, "id-col" -> "tms_id",
+      "text-col" -> "fgt"))
+    assert(folded("as_of_seq") === "0", folded.toString)
+    assert(folded("digests").toLong === seeded("digests").toLong + 1,
+      "the new fgt digest must join the state")
+  }
+
   test("recover / compact / integrity ops; unknown op and missing args refuse") {
     val dir = freshLake("lakeadmin2")
     // healthy lake: recover is a clean no-op

@@ -144,6 +144,46 @@ class LakeOccSpec extends SparkSpec {
       .rowsInserted === 1L)
   }
 
+  test("OCC delete: a disjoint purge commits while a compaction is staged; overlap refuses") {
+    val dir = freshLake("occ-delete")
+    // fragment day 1 for the compaction; the purge hits day 3 (disjoint)
+    val frag = LakeMerge.readLake(spark, dir)
+      .filter(col("part_date") === "2024-01-01").drop("part_date")
+      .localCheckpoint(true)
+    frag.repartition(8).write.mode("overwrite")
+      .parquet(s"$dir/part_date=2024-01-01")
+    var delStats: LakeMerge.DeleteStats = null
+    val compactStats = LakeMerge.compactImpl(spark, dir,
+      targetFileBytes = Long.MaxValue / 2, partitionCol = "part_date",
+      seriesCol = "tms_id", timeCol = "time", maxPartitions = 1,
+      leaseStaleMs = 15L * 60 * 1000, crashAfterSwaps = Int.MaxValue,
+      occ = true, beforeOccCommit = () => {
+        delStats = LakeMerge.delete(spark, dir,
+          Seq(("wl_a", fgt, day3.head)).toDF("tms_id", "fgt", "time"),
+          keys, occ = true, captureChanges = true)
+      })
+    assert(delStats != null && delStats.rowsDeleted === 1L, s"$delStats")
+    assert(compactStats.partitionsCompacted === 1, s"$compactStats")
+    val commits = LakeTimeTravel.readCommits(spark, dir)
+    assert(commits.map(c => (c.seq, c.op)) === Seq((0L, "delete"), (1L, "compact")),
+      commits.toString)
+    assert(LakeMerge.readChanges(spark, dir)
+      .filter(col(LakeMerge.ChangeTypeCol) === "delete").count() === 1L)
+    // an overlapping OCC delete refuses with the conflicting seq named
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LakeMerge.deleteImpl(spark, dir,
+        Seq(("wl_b", fgt, day1.head)).toDF("tms_id", "fgt", "time"),
+        keys, "part_date", "tms_id", "time", 4,
+        crashAfterSwaps = Int.MaxValue, occ = true,
+        beforeOccCommit = () => {
+          LakeMerge.merge(spark, dir,
+            batch(Seq("wl_b"), "2024-01-04 06:00:00", day1, (_, _) => 8.0),
+            keys, occ = true)
+        })
+    }
+    assert(e.getMessage.contains("2024-01-01"), e.getMessage)
+  }
+
   test("CDF seq and snapshot reads stay coherent across OCC commits") {
     val dir = freshLake("occ-cdf")
     LakeMerge.merge(spark, dir,
