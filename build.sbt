@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Wall-clock-asserting specs (BenchGateSpec's busy-spin co-tenant case,
+// AsOfJoinScaleSpec's merge-vs-window bounds) are only meaningful run
+// SERIALLY: under parallel suite execution the spin load bleeds into
+// other suites' timed sections (r16 judge: 2 timing failures, both green
+// in isolation). Pin both knobs explicitly so a user-level sbt config
+// cannot re-parallelize them.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 // The bench/verify drivers parse raw stdout lines (one JSON object per
 // line); sbt's default logger wraps forked output as "[info] {...}" which
 // breaks that parse (BENCH_r02 "parsed": null). Inherit the JVM's stdout

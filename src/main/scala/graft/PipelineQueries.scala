@@ -2369,6 +2369,42 @@ object PipelineQueries {
              |  FROM hil WHERE lvl >= 0)
              |SELECT event_id, d AS hkey FROM hil WHERE lvl = -1""".stripMargin)),
 
+    // ---- 3-dimensional Hilbert key (round 17): the SAME machine shape at
+    // d=3 — tables DERIVED from Hamilton's compact-Hilbert construction
+    // (Layout.hilbertMachine, exhaustively bijectivity/adjacency-verified
+    // in LayoutSpec) and interpolated into the SQL verbatim, so the
+    // recursive CTE replays the identical generated tables the unrolled
+    // Catalyst expression ships --------------------------------------------
+    "q_hilbert3_key" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(!isnan(col("value")))
+        ev.select(col("event_id"),
+          graft.io.Layout.hilbertKeyN(Seq(
+            col("user_id"), floor(col("value") / 10).cast("long"),
+            col("event_id")), 4).as("hkey3"))
+      },
+      Some {
+        val m = graft.io.Layout.Hilbert3
+        val dig = m.digit.mkString("[", ",", "]")
+        val nxt = m.next.mkString("[", ",", "]")
+        val cell = "((x >> lvl) & 1) + ((y >> lvl) & 1) * 2 + ((z >> lvl) & 1) * 4"
+        s"""WITH RECURSIVE ev AS (
+           |  SELECT event_id, (user_id & 15)::BIGINT AS x,
+           |    (floor(value / 10)::BIGINT & 15) AS y,
+           |    (event_id & 15)::BIGINT AS z
+           |  FROM events WHERE NOT isnan(value)),
+           |hil AS (
+           |  SELECT event_id, x, y, z, 3 AS lvl, 0::BIGINT AS st,
+           |    0::BIGINT AS d
+           |  FROM ev
+           |  UNION ALL
+           |  SELECT event_id, x, y, z, lvl - 1,
+           |    ($nxt)[(st * 8 + $cell + 1)::INT]::BIGINT,
+           |    ((d << 3) | ($dig)[(st * 8 + $cell + 1)::INT]::BIGINT)
+           |  FROM hil WHERE lvl >= 0)
+           |SELECT event_id, d AS hkey3 FROM hil WHERE lvl = -1""".stripMargin
+      }),
+
     // ---- SemDeDup: embedding-space near-dup pruning — k-means cluster,
     // pairwise cosine ONLY within a cluster, greedy keep-first in id order.
     // kmeansIters = 0 pins the codebook to the first 16 corpus vectors in

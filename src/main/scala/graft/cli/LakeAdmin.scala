@@ -13,9 +13,10 @@ import graft.io.{FeedMaintain, IntegrityManifest, LakeMerge, LakeTimeTravel}
   *                 debris ([[LakeMerge.recover]])
   *   - `compact`   small-file OPTIMIZE, worst offenders first
   *                 (E171 [[LakeMerge.compactPartitions]])
-  *   - `zorder`    OPTIMIZE ZORDER BY (`--dim-a/--dim-b [--bits]
+  *   - `zorder`    OPTIMIZE ZORDER BY (`--dim-a/--dim-b` or
+  *                 `--curve-cols a,b[,c[,d]]` for 3-4 dims, `[--bits]
   *                 [--partitions v1,v2] [--curve zorder|hilbert]`,
-  *                 [[LakeMerge.clusterPartitions]])
+  *                 [[LakeMerge.clusterPartitionsN]])
   *   - `keeper-seed`/`keeper-fold`  seed the exact-dedup keeper state
   *                 from a lake snapshot / fold the published feed into it
   *                 (E183 [[graft.dedup.Dedup.seedKeeperState]]/
@@ -84,11 +85,19 @@ object LakeAdmin {
           "files_after" -> s.filesAfter.toString)
 
       case "zorder" =>
-        val dimA = args.getOrElse("dim-a", throw new IllegalArgumentException(
-          "--dim-a <column> is required for zorder"))
-        val dimB = args.getOrElse("dim-b", throw new IllegalArgumentException(
-          "--dim-b <column> is required for zorder"))
-        val s = LakeMerge.clusterPartitions(spark, lake, dimA, dimB,
+        // --curve-cols a,b,c (2-4 columns, round 17) supersedes the 2-D
+        // --dim-a/--dim-b pair; both remain accepted
+        val dims: Seq[String] = args.get("curve-cols") match {
+          case Some(cs) => cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          case None => Seq(
+            args.getOrElse("dim-a", throw new IllegalArgumentException(
+              "--dim-a <column> (or --curve-cols a,b[,c[,d]]) is required " +
+                "for zorder")),
+            args.getOrElse("dim-b", throw new IllegalArgumentException(
+              "--dim-b <column> (or --curve-cols a,b[,c[,d]]) is required " +
+                "for zorder")))
+        }
+        val s = LakeMerge.clusterPartitionsN(spark, lake, dims,
           bits = args.getOrElse("bits", "16").toInt,
           targetFileBytes =
             args.getOrElse("target-file-mb", "128").toLong * 1024 * 1024,

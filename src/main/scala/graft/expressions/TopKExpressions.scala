@@ -39,7 +39,11 @@ case class ScoreTopKAgg(
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Any)]]
   with BinaryLike[Expression] {
 
-  require(k > 0, "score_topk needs k > 0")
+  // the upper bound is the 100 TB contract made explicit: the buffer is
+  // O(k) per group per task and the shuffle carries |groups|×|tasks|×k
+  // entries — a runaway k would silently turn the bounded partial top-k
+  // back into the quadratic exchange this aggregate exists to avoid
+  require(k > 0 && k <= 10000, s"score_topk needs 0 < k <= 10000, got $k")
 
   override def left: Expression = score
   override def right: Expression = id
@@ -74,9 +78,16 @@ case class ScoreTopKAgg(
     case other => throw new IllegalStateException(s"unsupported id type $other")
   }
 
-  /** Rank order: score DESC, id ASC — a `<` under which "smaller" = better. */
-  private def rankLt(a: (Double, Any), b: (Double, Any)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && idLt(a._2, b._2))
+  /** Rank order: score DESC, id ASC — a `<` under which "smaller" = better.
+    * Compares via `java.lang.Double.compare` for a TOTAL order: a raw
+    * `>`/`==` pair is intransitive on NaN (NaN ties with everything while
+    * real values still order), which TimSort rejects with "Comparison
+    * method violates its general contract". NaN scores are also skipped
+    * at [[update]], so none should reach here — totality is the backstop. */
+  private def rankLt(a: (Double, Any), b: (Double, Any)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && idLt(a._2, b._2))
+  }
 
   /** Compaction threshold: amortize the sort, bound the buffer. */
   private def cap: Int = math.max(4 * k, 64)
@@ -97,7 +108,11 @@ case class ScoreTopKAgg(
       input: InternalRow): ArrayBuffer[(Double, Any)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s == null || i == null) return buf
+    // NaN skipped alongside NULL: a NaN score (e.g. a NaN vector element
+    // propagated through cosine) never outranks a real score, and letting
+    // it into the buffer would poison the sort's total order
+    if (s == null || i == null ||
+      java.lang.Double.isNaN(s.asInstanceOf[Double])) return buf
     // UTF8String from an UnsafeRow may alias reused row memory — copy
     val iv = i match {
       case u: UTF8String => u.clone()

@@ -713,10 +713,16 @@ object LakeMerge {
         // an OPTIMISTIC writer stages WITHOUT the lease, so its
         // (manifest-less) staging is live in-flight work, not pre-commit
         // debris — GC it only once stale (a crashed OCC loser's staging
-        // goes stale and is collected here; occStaleMs = 0 in specs)
+        // goes stale and is collected here; occStaleMs = 0 in specs).
+        // Never GC the CALLER's own staging: the OCC writer's own
+        // commit-window recoverHeld runs while its staged write is live
+        // (r16 ADVICE — mtime-staleness deleted the live staging and the
+        // commit failed with a misleading "staging write failed"); the
+        // writer id IS the staging suffix, so the match is exact.
+        val own = n == StagingPrefix + writerId
         val occFresh = n.startsWith(StagingPrefix + "occ-") &&
           (System.currentTimeMillis() - s.getModificationTime) <= occStaleMs
-        if (!occFresh) fs.delete(s.getPath, true)
+        if (!own && !occFresh) fs.delete(s.getPath, true)
       }
       else if (s.isFile && (n.startsWith(s".$ManifestName.tmp-") ||
           (n.startsWith(s".$SchemaPrefix") && n.endsWith(".tmp")) ||
@@ -724,6 +730,47 @@ object LakeMerge {
         fs.delete(s.getPath, false)
     }
     pending.isDefined
+  }
+
+  /** The OCC snapshot seq, with the commit log BOOTSTRAPPED first (r16
+    * ADVICE): conflict detection reads only the commit log, and a
+    * pessimistic commit records itself only once a log EXISTS — on a
+    * logless (pre-OCC) lake a pessimistic merge landing during our
+    * leaseless staging phase would leave no trace, and the commit window
+    * would see no conflict and silently overwrite its partitions (lost
+    * update). Creating `_commits/` BEFORE the snapshot is read puts every
+    * later commit under the once-a-log-exists recording rule; an empty
+    * log dir reads as zero commits everywhere, so the bootstrap is
+    * observable only as recording switching on. */
+  private def occSnapshotSeq(spark: SparkSession, fs: FileSystem,
+      lakeDir: String): Long = {
+    fs.mkdirs(LakeTimeTravel.commitsDir(lakeDir))
+    (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
+      readManifest(fs, lakeDir).flatMap(_.histSeq))
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Keep a leaseless OCC writer's staging directory visibly LIVE while
+    * a long write runs (r16 ADVICE): [[recoverHeld]]'s GC keys freshness
+    * on the staging ROOT's mtime, which only updates when a direct child
+    * lands — a single partition staged for longer than occStaleMs looked
+    * stale mid-write, and a CONCURRENT writer's recover deleted the live
+    * staging (long compactions being the OCC feature's stated use case).
+    * A daemon thread refreshes the root's mtime every 30 s until closed;
+    * transient absence (the write's own overwrite cycle) is tolerated. */
+  private def stagingHeartbeat(fs: FileSystem, staging: Path): AutoCloseable = {
+    fs.mkdirs(staging)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try fs.setTimes(staging, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () }
+        try Thread.sleep(30000) catch { case _: InterruptedException => () }
+      }
+    }, s"graft-occ-staging-hb-${staging.getName}")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.set(true); t.interrupt(); t.join(2000) }
   }
 
   /** Derive the lake partition column from an event-time column — one
@@ -1203,14 +1250,11 @@ object LakeMerge {
     // is read. At commit time every commit above this seq that touches our
     // partitions is a conflict; a pending manifest counts as committed
     // (the manifest IS the commit point), hence its histSeq joins the max.
-    // Conflict detection is sound once the lake HAS a commit log — OCC
-    // commits force-record themselves and every pessimistic commit records
-    // once a log exists, so the first OCC commit bootstraps coverage.
+    // The snapshot read BOOTSTRAPS the commit log (see occSnapshotSeq) so
+    // a concurrent pessimistic commit on a previously logless lake still
+    // records itself and the conflict is visible.
     val snapshotSeq: Long =
-      if (!occ) -1L
-      else (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
-        readManifest(fsEntry, lakeDir).flatMap(_.histSeq))
-        .foldLeft(-1L)(math.max)
+      if (!occ) -1L else occSnapshotSeq(spark, fsEntry, lakeDir)
     try {
     if (!occ) // an OCC writer holds no lease here; recovery runs at commit
       recoverHeld(spark, lakeDir, mergeId)
@@ -1333,6 +1377,10 @@ object LakeMerge {
     // 2. REWRITE into staging (dot-prefixed: invisible to Spark readers)
     if (!occ) heartbeatLease(fs, lakeDir, mergeId) // validations done
     val staging = new Path(lakeDir, StagingPrefix + mergeId)
+    // leaseless staging stays mtime-fresh for the whole write + commit
+    // window, however long the write runs (see stagingHeartbeat)
+    val stagingHb = if (occ) Some(stagingHeartbeat(fs, staging)) else None
+    try {
     val current = readPartitions(spark, lakeDir, partitionCol, affected)
     val rowsBefore = current.map(_.count()).getOrElse(0L) // footer-count only
     val rowsUpserted = upd.count()
@@ -1419,6 +1467,7 @@ object LakeMerge {
     MergeStats(allParts.length, affected.length, rowsBefore, rowsUpserted,
       rowsUpdated, rowsUpserted - rowsUpdated, rowsAfter, mergeId)
 
+    } finally stagingHb.foreach(_.close())
     // release the entry checkpoint — every action above has completed
     } finally upd.unpersist()
     } finally {
@@ -1516,13 +1565,10 @@ object LakeMerge {
       else externalLease.getOrElse(java.util.UUID.randomUUID.toString)
     if (externalLease.isEmpty && !occ)
       acquireLease(fs, lakeDir, deleteId, leaseStaleMs)
-    // OCC snapshot — see mergeImpl: a GDPR purge must not wait behind a
-    // long compaction touching OTHER partitions
+    // OCC snapshot (log-bootstrapping — see occSnapshotSeq): a GDPR purge
+    // must not wait behind a long compaction touching OTHER partitions
     val snapshotSeq: Long =
-      if (!occ) -1L
-      else (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
-        readManifest(fs, lakeDir).flatMap(_.histSeq))
-        .foldLeft(-1L)(math.max)
+      if (!occ) -1L else occSnapshotSeq(spark, fs, lakeDir)
     try {
       if (!occ) recoverHeld(spark, lakeDir, deleteId)
       val allParts = partitionValues(spark, lakeDir, partitionCol)
@@ -1602,6 +1648,8 @@ object LakeMerge {
         // writes NO staged directory (partitionBy emits nothing for an
         // empty partition), which is exactly the dropped signal
         val staging = new Path(lakeDir, StagingPrefix + deleteId)
+        val stagingHb = if (occ) Some(stagingHeartbeat(fs, staging)) else None
+        try {
         val current = readPartitions(spark, lakeDir, partitionCol, affected)
           .getOrElse(throw new IllegalStateException(
             s"affected partitions vanished mid-delete on $lakeDir"))
@@ -1670,6 +1718,7 @@ object LakeMerge {
 
         DeleteStats(allParts.length, affected.length, dropped.length,
           rowsBefore, rowsBefore - rowsAfter, rowsAfter, deleteId)
+        } finally stagingHb.foreach(_.close())
       } finally k.unpersist()
     } finally {
       if (externalLease.isEmpty && !occ) releaseLease(fs, lakeDir, deleteId)
@@ -1752,14 +1801,12 @@ object LakeMerge {
     val compactId = (if (occ) "occ-" else "") +
       java.util.UUID.randomUUID.toString
     if (!occ) acquireLease(fs, lakeDir, compactId, leaseStaleMs)
-    // OCC snapshot — see mergeImpl; compaction conflicts exactly like a
-    // merge (it rewrites partitions), so the same commit-window check
-    // applies. A long compaction no longer blocks disjoint ingest merges.
+    // OCC snapshot (log-bootstrapping — see occSnapshotSeq); compaction
+    // conflicts exactly like a merge (it rewrites partitions), so the same
+    // commit-window check applies. A long compaction no longer blocks
+    // disjoint ingest merges.
     val snapshotSeq: Long =
-      if (!occ) -1L
-      else (LakeTimeTravel.readCommits(spark, lakeDir).map(_.seq) ++
-        readManifest(fs, lakeDir).flatMap(_.histSeq))
-        .foldLeft(-1L)(math.max)
+      if (!occ) -1L else occSnapshotSeq(spark, fs, lakeDir)
     try {
       if (!occ) recoverHeld(spark, lakeDir, compactId)
       val all = partitionValues(spark, lakeDir, partitionCol)
@@ -1790,6 +1837,8 @@ object LakeMerge {
       // contract as the merge (series-hashed files, sorted within), with
       // each partition's own ideal file count
       val staging = new Path(lakeDir, StagingPrefix + compactId)
+      val stagingHb = if (occ) Some(stagingHeartbeat(fs, staging)) else None
+      try {
       // the stored schema (E178) rides the rewrite: compacting a
       // pre-widening partition UPGRADES its files to the current schema
       // (null-filled new columns) — the table-format "schema migration
@@ -1841,6 +1890,7 @@ object LakeMerge {
       val untouchedFiles = totalFiles - selected.map(_._2.toLong).sum
       CompactStats(all.length, selected.length, totalFiles,
         untouchedFiles + after, selected.map(_._3).sum, compactId)
+      } finally stagingHb.foreach(_.close())
     } finally if (!occ) releaseLease(fs, lakeDir, compactId)
   }
 
@@ -1880,16 +1930,34 @@ object LakeMerge {
       leaseStaleMs: Long = 15L * 60 * 1000,
       retainHistory: Boolean = false,
       curve: String = "zorder"): CompactStats =
-    clusterImpl(spark, lakeDir, dimA, dimB, bits, targetFileBytes,
+    clusterImpl(spark, lakeDir, Seq(dimA, dimB), bits, targetFileBytes,
+      partitionCol, partitions, maxPartitions, leaseStaleMs, Int.MaxValue,
+      retainHistory, curve)
+
+  /** [[clusterPartitions]] over d ∈ [2, 4] dimension columns (round 17):
+    * the real-layout shape is 3–4 access paths (source × lang ×
+    * time-bucket) — the `--curve-cols` surface. */
+  def clusterPartitionsN(spark: SparkSession, lakeDir: String,
+      dims: Seq[String], bits: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCol: String = "part_date",
+      partitions: Seq[String] = Seq.empty,
+      maxPartitions: Int = Int.MaxValue,
+      leaseStaleMs: Long = 15L * 60 * 1000,
+      retainHistory: Boolean = false,
+      curve: String = "zorder"): CompactStats =
+    clusterImpl(spark, lakeDir, dims, bits, targetFileBytes,
       partitionCol, partitions, maxPartitions, leaseStaleMs, Int.MaxValue,
       retainHistory, curve)
 
   /** [[clusterPartitions]] with the crash-injection hook. */
   private[io] def clusterImpl(spark: SparkSession, lakeDir: String,
-      dimA: String, dimB: String, bits: Int, targetFileBytes: Long,
+      dims: Seq[String], bits: Int, targetFileBytes: Long,
       partitionCol: String, partitions: Seq[String], maxPartitions: Int,
       leaseStaleMs: Long, crashAfterSwaps: Int,
       retainHistory: Boolean, curve: String = "zorder"): CompactStats = {
+    require(dims.length >= 2 && dims.length <= 4,
+      s"clustering takes 2-4 dimension columns, got ${dims.mkString(", ")}")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(maxPartitions >= 1, "maxPartitions must be >= 1")
     val fs = hadoopFs(spark, lakeDir)
@@ -1921,10 +1989,10 @@ object LakeMerge {
       selected.foreach { case (v, _, bytes) =>
         val ideal = math.max(1L,
           (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        Layout.writeClustered(
+        Layout.writeClusteredN(
             readerFor(spark, schema)
               .parquet(escapeGlob(s"$lakeDir/$partitionCol=$v")),
-            col(dimA), col(dimB), bits, ideal, curve)
+            dims.map(col), bits, ideal, curve)
           .write.mode("overwrite")
           .parquet(new Path(staging, s"$partitionCol=$v").toString)
         heartbeatLease(fs, lakeDir, clusterId)

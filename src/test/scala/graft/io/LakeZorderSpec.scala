@@ -91,6 +91,47 @@ class LakeZorderSpec extends SparkSpec {
       f"hilbert must not be looser than z-order: $h%.1f vs $z%.1f")
   }
 
+  test("3-dim clustering (round 17): rows bit-identical; per-file boxes tight on ALL THREE dims") {
+    // an 8x8x8 (id, ts, band) cube per partition — three access paths
+    val dir = java.nio.file.Files.createTempDirectory("lakez3").toString + "/lake"
+    val rows = for (i <- 0 until 512)
+      yield (i.toLong % 8, (i.toLong / 8) % 8, i.toLong / 64, i.toDouble, "p0")
+    LakeMerge.writeLake(rows.toDF("id", "ts", "band", "value", "part"), dir,
+      partitionCol = "part", seriesCol = "id", timeCol = "ts",
+      filesPerPartition = 8)
+    val before = LakeMerge.readLake(spark, dir, "part")
+      .select("id", "ts", "band", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    def meanVol(): Double = spark.read.parquet(s"$dir/part=p0")
+      .groupBy(input_file_name().as("f"))
+      .agg(((max(col("id")) - min(col("id")) + 1) *
+        (max(col("ts")) - min(col("ts")) + 1) *
+        (max(col("band")) - min(col("band")) + 1)).as("vol"))
+      .agg(avg(col("vol"))).head().getDouble(0)
+    val volBefore = meanVol()
+    val fs = LakeMerge.hadoopFs(spark, dir)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "part=p0"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val s = LakeMerge.clusterPartitionsN(spark, dir,
+      Seq("id", "ts", "band"), bits = 3,
+      targetFileBytes = math.max(1L, bytes / 8), partitionCol = "part",
+      curve = "hilbert")
+    assert(s.partitionsCompacted === 1, s"$s")
+    val after = LakeMerge.readLake(spark, dir, "part")
+      .select("id", "ts", "band", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(after === before, "3-dim clustering must preserve every row")
+    val volAfter = meanVol()
+    info(f"mean per-file bounding volume: before $volBefore%.1f, after $volAfter%.1f")
+    // series-hash files span full ts x band width (vol ~8x8x8 /id slice);
+    // hilbert ranges cover small boxes — demand a 2x mean-volume win
+    assert(volAfter * 2 <= volBefore,
+      s"3-dim clustering must tighten file boxes: $volBefore -> $volAfter")
+  }
+
   test("scope knobs, unknown-partition refusal, crash recovery") {
     val dir = freshLake("lakez2", parts = 3)
     // named-partition scope: only p1 is rewritten
@@ -110,7 +151,7 @@ class LakeZorderSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
       .toSeq.sorted
     intercept[IllegalStateException] {
-      LakeMerge.clusterImpl(spark, dir, "id", "ts", 5, 4L * 1024, "part",
+      LakeMerge.clusterImpl(spark, dir, Seq("id", "ts"), 5, 4L * 1024, "part",
         Seq.empty, Int.MaxValue, 15L * 60 * 1000, crashAfterSwaps = 1,
         retainHistory = false)
     }

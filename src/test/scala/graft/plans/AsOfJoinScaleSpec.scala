@@ -64,8 +64,9 @@ class AsOfJoinScaleSpec extends SparkSpec {
     val tW = timeMin(3)(window())
     info(f"asof at ${n / 1000}k/side: native $tN%.2f s, window $tW%.2f s " +
       f"(ratio ${tN / tW}%.2f)")
-    // the claim is native <= window; 1.25 absorbs shared-host timer noise
-    assert(tN <= tW * 1.25,
+    // the claim is native <= window; 1.25 absorbs shared-host timer noise;
+    // a FOREIGN-loaded host cancels instead of failing (assertTiming)
+    assertTiming(tN <= tW * 1.25,
       f"native merge should not lose to the window form at scale: " +
         f"native $tN%.2f s vs window $tW%.2f s")
   }
@@ -87,7 +88,7 @@ class AsOfJoinScaleSpec extends SparkSpec {
     val tS = timeMin(3)(hotSalted())
     info(f"asof skew at ${n / 1000}k/side: uniform $tU%.2f s, " +
       f"hot-salted $tS%.2f s (ratio ${tS / tU}%.2f)")
-    assert(tS <= tU * 2.0,
+    assertTiming(tS <= tU * 2.0,
       f"salting must keep the hot-key join within 2x of uniform: " +
         f"salted $tS%.2f s vs uniform $tU%.2f s")
   }

@@ -31,6 +31,7 @@ class StreamFloorSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1e9
     }
     info(f"no-op AvailableNow floor: ${times.map(t => f"$t%.3f").mkString(", ")} s")
-    assert(times.min < 2.0)
+    assertTiming(times.min < 2.0,
+      f"harness floor ${times.min}%.2f s exceeds the 2 s smoke bound")
   }
 }
