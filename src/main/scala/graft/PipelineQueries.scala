@@ -2321,6 +2321,65 @@ object PipelineQueries {
              |SELECT vec_id, round(dot / (nrm * qn), 5) AS cos FROM s2
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- batched PQ/ADC retrieval (round 17): a 20-query block over the
+    // SAME seed-codebook PQ pipeline as q_ann_pq_rerank — per-query ADC
+    // LUTs ride the broadcast query block as array columns, ONE scan of
+    // the byte codes shortlists every query, exact cosine reranks the
+    // union shortlist; the oracle replays codebook → argmin encode →
+    // per-query ADC → shortlist → rerank end to end ---------------------------
+    "q_ann_batch_pq" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopKForQueries(
+          emb.filter(col("vec_id") >= 100), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          dim = 64, k = 5, m = 8, nCodes = 16, kmeansIters = 0,
+          shortlist = 20, roundTo = 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 20),
+             |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100),
+             |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+             |  FROM e ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT e.vec_id, j.j, s.c,
+             |    sqrt(list_sum(list_transform(generate_series(1, 8),
+             |      i -> (e.embedding[j.j*8+i]::DOUBLE - s.cv[j.j*8+i]::DOUBLE)
+             |         * (e.embedding[j.j*8+i]::DOUBLE - s.cv[j.j*8+i]::DOUBLE)))) AS dist
+             |  FROM e CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN seeds s),
+             |assign AS (SELECT vec_id, j, c AS code FROM (
+             |    SELECT vec_id, j, c,
+             |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d)
+             |  WHERE rn = 1),
+             |adc AS (SELECT q.query_id, a.vec_id, a.j,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> (q.qv[a.j*8+i]::DOUBLE - s.cv[a.j*8+i]::DOUBLE)
+             |         * (q.qv[a.j*8+i]::DOUBLE - s.cv[a.j*8+i]::DOUBLE))) AS pd
+             |  FROM assign a JOIN seeds s ON s.c = a.code CROSS JOIN q),
+             |tot AS (SELECT query_id, vec_id,
+             |    round(list_sum(list(pd ORDER BY j)), 5) AS adc
+             |  FROM adc GROUP BY query_id, vec_id),
+             |short AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+             |    FROM tot) WHERE rn <= 20),
+             |qn AS (SELECT query_id, qv,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS qn FROM q),
+             |s2 AS (SELECT sh.query_id, e.vec_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> e.embedding[i]::DOUBLE * qn.qv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, 64),
+             |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+             |    qn.qn
+             |  FROM short sh JOIN e ON e.vec_id = sh.vec_id
+             |  JOIN qn ON qn.query_id = sh.query_id),
+             |r AS (SELECT query_id, vec_id, round(dot / (nrm * qn), 5) AS cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY round(dot / (nrm * qn), 5) DESC, vec_id) AS rn
+             |  FROM s2)
+             |SELECT query_id, vec_id, cos, rn::INT AS rank FROM r
+             |WHERE rn <= 5""".stripMargin)),
+
     // ---- Z-order (Morton) layout key: interleave (user, value-band) bits
     // so range-partitioned files are tight on BOTH dimensions — the
     // Delta/Iceberg OPTIMIZE ZORDER primitive as an unrolled codegen'd

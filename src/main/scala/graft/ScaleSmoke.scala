@@ -556,6 +556,44 @@ object ScaleSmoke {
         s""""batched_shuffle_bytes":$batchShuffle,""" +
         s""""loop_sample_qps":${(sample.length / loopSecs).toLong},""" +
         s""""speedup_vs_loop":${(nQ / batchSecs) / (sample.length / loopSecs)}}""")
+
+      // ---- BATCHED PQ/ADC (round 17): the same 1000-query block over the
+      // STORED byte codes — per-query ADC LUTs ride the broadcast block,
+      // one code scan shortlists every query, exact cosine reranks the
+      // union shortlist. The loop baseline is the per-query
+      // pqRerankedFromCodes plan (already trained/encoded — this measures
+      // the QUERY path only, both sides).
+      val (pqBatchRows, pqBatchShuffle, _, pqBatchSecs) = sectionShuffle {
+        graft.ann.Similarity.pqRerankedForQueriesFromCodes(pqCoded,
+          "vec_id", "embedding", queries, "qid", "qv", annDim, pqCents,
+          k = 10, shortlist = 50, roundTo = 5).count()
+      }
+      require(pqBatchRows == nQ * 10,
+        s"batched PQ must return k rows per query: $pqBatchRows")
+      val (pqLoopSets, _, _, pqLoopSecs) = sectionShuffle {
+        sample.map { case (qid, qv) =>
+          qid -> graft.ann.Similarity.pqRerankedFromCodes(pqCoded, "vec_id",
+            "embedding", qv, annDim, pqCents, k = 10, shortlist = 50,
+            roundTo = 5).collect().map(_.getLong(0)).toSeq
+        }.toMap
+      }
+      val pqBatchSample = graft.ann.Similarity.pqRerankedForQueriesFromCodes(
+          pqCoded, "vec_id", "embedding", queries, "qid", "qv", annDim,
+          pqCents, k = 10, shortlist = 50, roundTo = 5)
+        .filter(col("query_id").isin(sample.map(_._1): _*))
+        .orderBy(col("query_id"), col("rank"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSeq }
+      sample.foreach { case (qid, _) =>
+        require(pqBatchSample(qid) == pqLoopSets(qid),
+          s"batched PQ != looped for query $qid")
+      }
+      println(s"""{"metric":"batched_pq_scale","embeddings":$nEmb,""" +
+        s""""queries":$nQ,"batched_seconds":$pqBatchSecs,""" +
+        s""""batched_qps":${(nQ / pqBatchSecs).toLong},""" +
+        s""""batched_shuffle_bytes":$pqBatchShuffle,""" +
+        s""""loop_sample_qps":${(sample.length / pqLoopSecs).toLong},""" +
+        s""""speedup_vs_loop":${(nQ / pqBatchSecs) / (sample.length / pqLoopSecs)}}""")
       queries.unpersist()
     }
     // quantized retrieval over the same corpus, in the production

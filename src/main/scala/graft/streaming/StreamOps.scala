@@ -189,6 +189,32 @@ object StreamOps {
           graft.io.FeedMaintain.foldInto(batch, aggDir, groupCols, measures)
       }
 
+  /** Sink a change-feed stream into the STORED exact-dedup keeper state
+    * (round 17, judge task 5 — E183's fold as a LIVE consumer, the
+    * keeper twin of [[feedMaintainSink]]): each micro-batch folds through
+    * [[graft.dedup.Dedup.foldKeeperStateInto]], so insertions join their
+    * digest's member list, retractions leave it, and a retracted keeper
+    * RE-ELECTS — continuously, as commits publish. Effectively-once under
+    * foreachBatch's at-least-once redelivery via the shared `as_of_seq`
+    * watermark; the file source delivers whole `seq=N` commits per batch
+    * (never set `maxFilesPerTrigger` — the foldStoredSlice gap check
+    * refuses a torn commit loudly), and one-commit-per-batch delivery is
+    * exactly a contiguous slice, so the gap refusal composes with
+    * micro-batching by construction. Seed `stateDir` with
+    * [[graft.dedup.Dedup.seedKeeperState]] before the first batch. */
+  def keeperMaintainSink(changes: DataFrame, stateDir: String,
+      idCol: String, textCol: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.dedup.Dedup.foldKeeperStateInto(batch, stateDir, idCol,
+            textCol)
+      }
+
   /** Horizon-filtered enriched extraction stream: the streaming form of the
     * extract path's F2 + X14 steps (cutoff filter + hash-id derivation). */
   def enrichForecast(stream: DataFrame, cutoff: String,

@@ -135,6 +135,43 @@ class RecallSpec extends SparkSpec {
     assert(report.count() === 10L)
   }
 
+  test("batched PQ (ADC + rerank) equals looping the per-query PQ plans (shared codes)") {
+    import org.apache.spark.sql.functions.col
+    val queries = df.filter(col("vec_id") < 15)
+    val corpus = df.filter(col("vec_id") >= 15)
+    val cents = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      Dim, m = 4, nCodes = 16, iters = 2)
+    val coded = Similarity.withPqCodes(corpus, "embedding", Dim, cents)
+    // ADC-only stage: batched == looping pqAdcTopKFromCodes
+    val adcBatched = Similarity.pqAdcTopKForQueriesFromCodes(coded,
+      "vec_id", queries, "vec_id", "embedding", Dim, cents, k = 10,
+      roundTo = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val adcLooped = (0L until 15L).flatMap { qid =>
+      Similarity.pqAdcTopKFromCodes(coded, "vec_id", vecs(qid.toInt)._2,
+        Dim, cents, k = 10, roundTo = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(adcBatched.toSeq === adcLooped,
+      "batched ADC must equal the per-query ADC loop exactly")
+    // full rerank stage: batched == looping pqRerankedFromCodes
+    val batched = Similarity.pqRerankedForQueriesFromCodes(coded, "vec_id",
+      "embedding", queries, "vec_id", "embedding", Dim, cents, k = 10,
+      shortlist = 30, roundTo = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val looped = (0L until 15L).flatMap { qid =>
+      Similarity.pqRerankedFromCodes(coded, "vec_id", "embedding",
+        vecs(qid.toInt)._2, Dim, cents, k = 10, shortlist = 30, roundTo = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(batched.toSeq === looped,
+      "batched PQ rerank must equal the per-query loop exactly")
+  }
+
   test("PQ reranked recall@10 >= 0.9; widening the ADC shortlist does not hurt") {
     def pqRecall(shortlist: Int): Double = {
       val recalls = (0 until 20).map { qi =>

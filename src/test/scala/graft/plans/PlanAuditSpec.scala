@@ -157,6 +157,36 @@ class PlanAuditSpec extends SparkSpec {
       "partial top-k must appear below the exchange:\n" + plan.take(2000))
   }
 
+  test("q_ann_batch_pq: query-count-independent scan count, broadcast LUT block, partial top-k") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val df = graft.SparkEntry.queries("q_ann_batch_pq")(spark, Sf)
+    df.collect()
+    val plan = org.apache.spark.sql.GraftBridge.finalPlanString(df)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val fileScans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+    // a FIXED scan count however many queries ride the block: the ADC
+    // stage reads the codes once + the query block; the rerank stage
+    // re-reads the corpus once for the union shortlist + the block for
+    // the vector re-attach — 4 total, where a 20-query loop plans 20+
+    assert(fileScans <= 4,
+      s"batched PQ must plan a query-count-independent scan count, saw " +
+        s"$fileScans scans:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the LUT query block must broadcast:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "the ADC join must never be a shuffled cartesian:\n" + plan.take(1200))
+    assert(plan.contains("partial_score_topk") ||
+      "ObjectHashAggregate.*score_topk".r.findFirstIn(plan).nonEmpty,
+      "partial top-k must appear below the exchange:\n" + plan.take(2000))
+  }
+
   test("q_dedup_keepers_fast signs without shuffling (rowwise expression inside)") {
     val df = graft.SparkEntry.queries("q_dedup_keepers_fast")(spark, Sf)
     df.collect()

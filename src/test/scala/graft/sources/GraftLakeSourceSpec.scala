@@ -184,4 +184,147 @@ class GraftLakeSourceSpec extends SparkSpec {
         .option("asOf", 0).option("changesSince", 0).load(dir)
     }
   }
+
+  // ---- write path (round 17, judge task 2) --------------------------------
+
+  test("df.write append == LakeMerge.merge (rows, CDF seqs monotonic, commit recorded)") {
+    val viaScala = freshLake("glsrc-w-scala")
+    val viaWrite = freshLake("glsrc-w-fmt")
+    val upd = batch(Seq("wl_a", "wl_z"), "2024-01-05 06:00:00", day2, (_, _) => 5.5)
+    LakeMerge.merge(spark, viaScala, upd, keys, captureChanges = true)
+    upd.write.format("graftlake").mode("append")
+      .option("captureChanges", true).save(viaWrite)
+    assert(rows(LakeMerge.readLake(spark, viaWrite)) ===
+      rows(LakeMerge.readLake(spark, viaScala)),
+      "format append must equal the Scala merge")
+    // the OCC append RECORDS its commit; a second append's feed seq is
+    // monotonic
+    val commits = LakeTimeTravel.readCommits(spark, viaWrite)
+    assert(commits.map(_.seq) === Seq(0L), s"$commits")
+    assert(commits.head.op === "merge")
+    batch(Seq("wl_y"), "2024-01-06 06:00:00", day3, (_, _) => 6.5)
+      .write.format("graftlake").mode("append")
+      .option("captureChanges", true).save(viaWrite)
+    assert(LakeMerge.readChanges(spark, viaWrite).select("seq")
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+  }
+
+  test("df.write bootstraps a missing lake; ErrorIfExists/Overwrite refuse; Ignore no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("glsrc-w-new").toString
+    val dir = root + "/lake"
+    val df = batch(Seq("wl_a"), fgt, day1, (_, _) => 1.0)
+    df.write.format("graftlake").save(dir) // ErrorIfExists on MISSING → create
+    assert(rows(spark.read.format("graftlake").load(dir)) === rows(df))
+    val e1 = intercept[IllegalArgumentException] {
+      df.write.format("graftlake").save(dir) // now it exists
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      df.write.format("graftlake").mode("overwrite").save(dir)
+    }
+    assert(e2.getMessage.contains("bypass the commit log"), e2.getMessage)
+    val before = rows(LakeMerge.readLake(spark, dir))
+    batch(Seq("wl_b"), fgt, day1, (_, _) => 2.0)
+      .write.format("graftlake").mode("ignore").save(dir)
+    assert(rows(LakeMerge.readLake(spark, dir)) === before,
+      "Ignore on an existing lake must write nothing")
+    // a batch MISSING part_date derives it from timeCol
+    val noPart = Seq(("wl_c", fgt, day1.head, 3.0))
+      .toDF("tms_id", "fgt", "time", "value")
+    noPart.write.format("graftlake").mode("append").save(dir)
+    assert(LakeMerge.readLake(spark, dir)
+      .filter(col("tms_id") === "wl_c" && col("part_date") === "2024-01-01")
+      .count() === 1L)
+  }
+
+  test("concurrent DISJOINT SQL appends both land (OCC, E182)") {
+    val dir = freshLake("glsrc-w-occ")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def appendDay(ids: Seq[String], times: Seq[String], v: Double) = Future {
+      batch(ids, "2024-01-07 06:00:00", times, (_, _) => v)
+        .write.format("graftlake").mode("append")
+        .option("captureChanges", true).save(dir)
+    }
+    // day-2-only and day-3-only writers — disjoint partitions
+    val f1 = appendDay(Seq("occ_a"), day2, 21.0)
+    val f2 = appendDay(Seq("occ_b"), day3, 31.0)
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    val lake = LakeMerge.readLake(spark, dir)
+    assert(lake.filter(col("tms_id") === "occ_a").count() === 2L)
+    assert(lake.filter(col("tms_id") === "occ_b").count() === 1L)
+    // both commits recorded, distinct monotonic seqs
+    val seqs = LakeTimeTravel.readCommits(spark, dir).map(_.seq)
+    assert(seqs === seqs.sorted && seqs.distinct === seqs && seqs.size === 2,
+      s"$seqs")
+  }
+
+  test("SQL INSERT INTO routes through the OCC merge (commit log grows; OVERWRITE refuses)") {
+    val dir = freshLake("glsrc-w-sql")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_ins
+      USING graftlake OPTIONS (path '$dir')""")
+    val commitsBefore = LakeTimeTravel.readCommits(spark, dir).length
+    // relation schema order: data columns then part_date last
+    spark.sql("""INSERT INTO lake_ins
+      VALUES ('ins_a', '2024-01-08 06:00:00', '2024-01-02 00:00:00', 88.0,
+              '2024-01-02')""")
+    assert(LakeMerge.readLake(spark, dir)
+      .filter(col("tms_id") === "ins_a" && col("value") === 88.0)
+      .count() === 1L, "INSERT INTO must land in the committed view")
+    // the insert went through the MERGE, not a raw file write: the OCC
+    // commit recorded itself, and no un-merged debris sits in the root
+    val commits = LakeTimeTravel.readCommits(spark, dir)
+    assert(commits.length === commitsBefore + 1 &&
+      commits.last.op === "merge", s"$commits")
+    val e = intercept[Exception] {
+      spark.sql("""INSERT OVERWRITE TABLE lake_ins
+        VALUES ('x', 'f', '2024-01-02 00:00:00', 1.0, '2024-01-02')""")
+    }
+    assert(e.getMessage.contains("bypass the commit log") ||
+      e.getMessage.contains("INSERT OVERWRITE"), e.getMessage)
+    spark.catalog.dropTempView("lake_ins")
+  }
+
+  test("raw file writes against a graftlake relation refuse loudly (guarded format)") {
+    // the safety net for sessions built WITHOUT GraftExtensions: any plan
+    // reaching InsertIntoHadoopFsRelationCommand hits prepareWrite first
+    val e = intercept[UnsupportedOperationException] {
+      new GraftLakeGuardedParquet().prepareWrite(spark, null, Map.empty,
+        new org.apache.spark.sql.types.StructType())
+    }
+    assert(e.getMessage.contains("bypass the commit log"), e.getMessage)
+  }
+
+  test("history option: commit log as a table == readCommits; OCC refusal seqs queryable") {
+    val dir = freshLake("glsrc-hist")
+    LakeMerge.merge(spark, dir,
+      batch(Seq("wl_a"), "2024-01-09 06:00:00", day2, (_, _) => 1.0),
+      keys, retainHistory = true) // seq 0
+    LakeMerge.delete(spark, dir,
+      Seq(("wl_b", fgt, day3.head)).toDF("tms_id", "fgt", "time"),
+      keys) // seq 1
+    val hist = spark.read.format("graftlake").option("history", true)
+      .load(dir).orderBy("seq").collect()
+    val commits = LakeTimeTravel.readCommits(spark, dir)
+    assert(hist.length === commits.length && commits.length === 2)
+    hist.zip(commits).foreach { case (r, c) =>
+      assert(r.getAs[Long]("seq") === c.seq)
+      assert(r.getAs[String]("op") === c.op)
+      assert(r.getAs[String]("writer") === c.mergeId)
+      assert(r.getAs[Seq[String]]("partitions") === c.partitions)
+      assert(r.getAs[Boolean]("retained") === c.retained)
+    }
+    assert(hist.last.getAs[String]("op") === "delete")
+    // history is mutually exclusive with asOf/changesSince
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftlake").option("history", true)
+        .option("asOf", 0).load(dir)
+    }
+    // SQL surface
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_hist
+      USING graftlake OPTIONS (path '$dir', history 'true')""")
+    assert(spark.sql("SELECT max(seq) FROM lake_hist").head().getLong(0) === 1L)
+    spark.catalog.dropTempView("lake_hist")
+  }
 }

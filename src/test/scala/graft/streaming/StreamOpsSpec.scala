@@ -319,6 +319,95 @@ class StreamOpsSpec extends SparkSpec {
       "a commit published while the consumer runs must fold in")
   }
 
+  test("changesStream -> keeperMaintainSink: live keeper maintenance == recompute; replay folds once") {
+    import graft.dedup.Dedup
+    import graft.io.LakeMerge
+    val root = java.nio.file.Files.createTempDirectory("keeperstream").toString
+    val (lakeDir, stateDir) = (s"$root/lake", s"$root/keepers")
+    val keys = Seq("doc_id")
+    def docs(rows: Seq[(String, String, String)]) =
+      LakeMerge.withPartDate(rows.toDF("doc_id", "time", "text"))
+    LakeMerge.writeLake(docs(Seq(
+      ("d1", "2024-01-01 00:00:00", "alpha"),
+      ("d2", "2024-01-01 06:00:00", "alpha"),
+      ("d3", "2024-01-02 00:00:00", "beta"))), lakeDir,
+      seriesCol = "doc_id")
+
+    // seq 0 captured, THEN the state seeded from the post-seq-0 snapshot
+    LakeMerge.merge(spark, lakeDir, docs(Seq(
+      ("d4", "2024-01-01 12:00:00", "alpha"),
+      ("d3", "2024-01-02 00:00:00", "gamma"))), keys,
+      seriesCol = "doc_id", captureChanges = true) // seq 0
+    Dedup.seedKeeperState(LakeMerge.readLake(spark, lakeDir), stateDir,
+      "doc_id", "text", asOfSeq = 0L)
+    // seq 1: a SMALLER id joins the alpha group → new keeper candidate
+    LakeMerge.merge(spark, lakeDir, docs(Seq(
+      ("d0", "2024-01-01 18:00:00", "alpha"))), keys,
+      seriesCol = "doc_id", captureChanges = true)
+    // seq 2: the original alpha keeper d1 is PURGED → re-election path
+    LakeMerge.delete(spark, lakeDir,
+      Seq(("d1", "2024-01-01 00:00:00")).toDF("doc_id", "time"),
+      keys, seriesCol = "doc_id", timeCol = "time", captureChanges = true)
+
+    def recompute() = Dedup.keeperState(
+      LakeMerge.readLake(spark, lakeDir), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).mkString("|")))
+      .toSeq.sorted
+    def stored() = Dedup.readKeeperState(spark, stateDir)
+      .select("text_hash", "ids")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).mkString("|")))
+      .toSeq.sorted
+
+    val ckpt1 = java.nio.file.Files.createTempDirectory("keeperckpt1").toString
+    val q1 = StreamOps.keeperMaintainSink(
+      StreamOps.changesStream(spark, lakeDir), stateDir, "doc_id", "text",
+      ckpt1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(stored() === recompute(),
+      "streamed keeper maintenance must equal the full recompute")
+    assert(Dedup.readKeeperState(spark, stateDir)
+      .agg(max(col("as_of_seq"))).head().getLong(0) === 2L)
+    // the retraction actually re-elected: alpha's keeper is now d0
+    val alphaKeeper = Dedup.keepersOf(
+      Dedup.readKeeperState(spark, stateDir).drop("as_of_seq"))
+      .filter(col("n_dups") >= 2).select("keeper_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(alphaKeeper === Seq("d0"), s"$alphaKeeper")
+
+    // RESTART mid-stream with a FRESH checkpoint: the full feed redelivers
+    // and the as_of_seq watermark folds it exactly once (no drift)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("keeperckpt2").toString
+    val q2 = StreamOps.keeperMaintainSink(
+      StreamOps.changesStream(spark, lakeDir), stateDir, "doc_id", "text",
+      ckpt2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(stored() === recompute(),
+      "a fully replayed feed must fold exactly once (watermark absorbs)")
+
+    // a LIVE commit while the consumer runs: picked up, folded, equal at
+    // the new watermark — "maintained == recompute at every commit"
+    val ckpt3 = java.nio.file.Files.createTempDirectory("keeperckpt3").toString
+    val q3 = StreamOps.keeperMaintainSink(
+      StreamOps.changesStream(spark, lakeDir), stateDir, "doc_id", "text",
+      ckpt3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      LakeMerge.merge(spark, lakeDir, docs(Seq(
+        ("d5", "2024-01-02 12:00:00", "beta"))), keys,
+        seriesCol = "doc_id", captureChanges = true) // seq 3
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(stored() === recompute(),
+      "a commit published while the consumer runs must fold in")
+    assert(Dedup.readKeeperState(spark, stateDir)
+      .agg(max(col("as_of_seq"))).head().getLong(0) === 3L)
+  }
+
   test("runningSeriesStats: mapGroupsWithState folds state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
