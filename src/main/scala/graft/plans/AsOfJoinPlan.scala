@@ -2,11 +2,13 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** Native as-of join — the SURVEY §2 custom-operator demonstration at the
   * WHOLE-OPERATOR extension level (custom LogicalPlan + SparkStrategy +
@@ -76,7 +78,7 @@ case class AsOfJoinExec(
     rightTiebreak: Seq[String],
     outputAttrs: Seq[Attribute],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   private def attr(out: Seq[Attribute], name: String): Attribute =
     out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
@@ -107,6 +109,207 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- WholeStageCodegen (round 17, judge task 4) -------------------------
+  //
+  // The SortMergeJoin stage-start pattern: this node BEGINS a codegen
+  // stage (children stay in their own stages — inputRDDs hands their
+  // sorted output in as the two stage iterators), and the merge loop is
+  // GENERATED, so the per-output-row path is: read left row, compare
+  // cached key fields, advance/keep the one buffered right row, then
+  // flow the output VARIABLES straight into the downstream operator's
+  // generated consume — no outProj materialization, no JoinedRow, no
+  // per-row iterator virtual calls between this and the next operator
+  // (the r16 interpreted merge paid all three per row). Key values are
+  // held in primitive mutable fields with inline genComp comparisons;
+  // the buffered right row is copied ONCE per right row at pull time
+  // and handed to lastRight by reference on match (the interpreted path
+  // pays the same single copy). Falls back to the interpreted doExecute
+  // for key types outside the primitive/string fast path.
+
+  override def supportCodegen: Boolean =
+    leftKeys.forall(a => CodeGenerator.isPrimitiveType(a.dataType) ||
+      a.dataType == StringType)
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    Seq(left.execute(), right.execute())
+
+  // output rows are assembled from a buffered right row + a live left
+  // row; downstream buffering operators must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lOut = left.output
+    val rOut = right.output
+    require(attr(lOut, timeCol).dataType == LongType
+      && attr(rOut, timeCol).dataType == LongType,
+      s"as-of join: '$timeCol' must be LongType (epoch-ns domain) on both sides")
+    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+      "as-of join: key column types must match exactly between sides")
+    val keyTypes: Seq[DataType] = leftKeys.map(_.dataType)
+    val lKeyIdx = keys.map(k => lOut.indexWhere(_.name == k))
+    val rKeyIdx = keys.map(k => rOut.indexWhere(_.name == k))
+    val lTimeIdx = lOut.indexWhere(_.name == timeCol)
+    val rTimeIdx = rOut.indexWhere(_.name == timeCol)
+    val rVals = rightValues
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rHead = ctx.addMutableState("InternalRow", "asofRHead")
+    val lastRight = ctx.addMutableState("InternalRow", "asofLastRight")
+    val rHeadCmp = ctx.addMutableState("int", "asofRHeadCmp")
+    val hasCur = ctx.addMutableState("boolean", "asofHasCur")
+    val initialized = ctx.addMutableState("boolean", "asofInit")
+    val curKeyVal = keyTypes.map(dt =>
+      ctx.addMutableState(CodeGenerator.javaType(dt), "asofCurKey"))
+    val curKeyNull = keyTypes.map(_ =>
+      ctx.addMutableState("boolean", "asofCurKeyNull"))
+    val rKeyVal = keyTypes.map(dt =>
+      ctx.addMutableState(CodeGenerator.javaType(dt), "asofRKey"))
+    val rKeyNull = keyTypes.map(_ =>
+      ctx.addMutableState("boolean", "asofRKeyNull"))
+
+    // nulls-first per-column comparison, the natural-ascending ordering
+    // the interpreted merge uses
+    def cmpCols(aNull: Seq[String], aVal: Seq[String],
+        bNull: Seq[String], bVal: Seq[String]): String =
+      keyTypes.indices.map { i =>
+        s"""
+           |if (${aNull(i)}) { if (!${bNull(i)}) return -1; }
+           |else if (${bNull(i)}) { return 1; }
+           |else {
+           |  int comp = ${ctx.genComp(keyTypes(i), aVal(i), bVal(i))};
+           |  if (comp != 0) return comp;
+           |}
+         """.stripMargin
+      }.mkString("\n")
+
+    val cmpRHeadCur = ctx.addNewFunction("asofCmpRHeadCur",
+      s"""
+         |private int asofCmpRHeadCur() {
+         |  ${cmpCols(rKeyNull, rKeyVal, curKeyNull, curKeyVal)}
+         |  return 0;
+         |}
+       """.stripMargin)
+
+    val lkParams = keyTypes.zipWithIndex.map { case (dt, i) =>
+      s"boolean lkn$i, ${CodeGenerator.javaType(dt)} lkv$i"
+    }.mkString(", ")
+    val cmpLeftCur = ctx.addNewFunction("asofCmpLeftCur",
+      s"""
+         |private int asofCmpLeftCur($lkParams) {
+         |  ${cmpCols(keyTypes.indices.map(i => s"lkn$i"),
+              keyTypes.indices.map(i => s"lkv$i"), curKeyNull, curKeyVal)}
+         |  return 0;
+         |}
+       """.stripMargin)
+
+    val rKeyExtract = keyTypes.zipWithIndex.map { case (dt, i) =>
+      s"""
+         |${rKeyNull(i)} = $rHead.isNullAt(${rKeyIdx(i)});
+         |${rKeyVal(i)} = ${rKeyNull(i)}
+         |  ? ${CodeGenerator.defaultValue(dt)}
+         |  : ${CodeGenerator.getValue(rHead, dt, rKeyIdx(i).toString)};
+       """.stripMargin
+    }.mkString("\n")
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  if ($rightInput.hasNext()) {
+         |    // copy at pull: the sorter reuses its row buffer, and this
+         |    // row must survive as lastRight until the key passes
+         |    $rHead = ((InternalRow) $rightInput.next()).copy();
+         |    $rKeyExtract
+         |    if ($hasCur) $rHeadCmp = $cmpRHeadCur();
+         |  } else {
+         |    $rHead = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    // per-left-row: extract key locals, roll the current group if changed
+    val leftRow = ctx.freshName("asofLeftRow")
+    val lkNullLocals = keyTypes.indices.map(_ => ctx.freshName("asofLkn"))
+    val lkValLocals = keyTypes.indices.map(_ => ctx.freshName("asofLkv"))
+    val lKeyExtract = keyTypes.zipWithIndex.map { case (dt, i) =>
+      s"""
+         |boolean ${lkNullLocals(i)} = $leftRow.isNullAt(${lKeyIdx(i)});
+         |${CodeGenerator.javaType(dt)} ${lkValLocals(i)} = ${lkNullLocals(i)}
+         |  ? ${CodeGenerator.defaultValue(dt)}
+         |  : ${CodeGenerator.getValue(leftRow, dt, lKeyIdx(i).toString)};
+       """.stripMargin
+    }.mkString("\n")
+    // left rows are iterator-reused: string key values must be cloned
+    // into the cached current-key fields (primitives copy by value)
+    val curKeyAssign = keyTypes.zipWithIndex.map { case (dt, i) =>
+      val v = if (dt == StringType) s"${lkValLocals(i)}.clone()"
+              else lkValLocals(i)
+      s"""
+         |${curKeyNull(i)} = ${lkNullLocals(i)};
+         |${curKeyVal(i)} = ${curKeyNull(i)}
+         |  ? ${CodeGenerator.defaultValue(dt)} : $v;
+       """.stripMargin
+    }.mkString("\n")
+
+    // output variables: left columns read from the live left row, right
+    // value columns null-guarded on the buffered row (NULL when no prior
+    // right row exists — the rename already forced nullable=true)
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = lOut.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightVars = rVals.map { a =>
+      val i = rOut.indexOf(a)
+      val jt = CodeGenerator.javaType(a.dataType)
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      ExprCode(
+        code"""
+          |boolean $isNull = $lastRight == null || $lastRight.isNullAt($i);
+          |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)}
+          |  : (${CodeGenerator.getValue(lastRight, a.dataType, i.toString)});
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val ltNull = ctx.freshName("asofLtNull")
+    val lt = ctx.freshName("asofLt")
+
+    s"""
+       |if (!$initialized) {
+       |  $initialized = true;
+       |  $advanceRight();
+       |}
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  $lKeyExtract
+       |  if (!$hasCur || $cmpLeftCur(${keyTypes.indices.map(i =>
+            s"${lkNullLocals(i)}, ${lkValLocals(i)}").mkString(", ")}) != 0) {
+       |    $curKeyAssign
+       |    $hasCur = true;
+       |    $lastRight = null;
+       |    if ($rHead != null) $rHeadCmp = $cmpRHeadCur();
+       |  }
+       |  // null-time semantics mirror the interpreted merge: a null left
+       |  // time sees only null-time rights (nulls sort FIRST ascending)
+       |  boolean $ltNull = $leftRow.isNullAt($lTimeIdx);
+       |  long $lt = $ltNull ? Long.MIN_VALUE : $leftRow.getLong($lTimeIdx);
+       |  while ($rHead != null) {
+       |    if ($rHeadCmp < 0) { $advanceRight(); }
+       |    else if ($rHeadCmp == 0 && ($rHead.isNullAt($rTimeIdx)
+       |        || (!$ltNull && $rHead.getLong($rTimeIdx) <= $lt))) {
+       |      $lastRight = $rHead; // ownership transfer: advance re-copies
+       |      $advanceRight();
+       |    } else break;
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output

@@ -32,6 +32,23 @@ class AsOfJoinScaleSpec extends SparkSpec {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Min-of-N for TWO bodies, passes INTERLEAVED a-b-a-b: sequential
+    * min-of-N-each lets one-directional drift (GC buildup, page-cache
+    * state, a co-tenant arriving mid-test) bias whichever side ran
+    * second — measured ratios swung 0.69–1.21 run to run before
+    * interleaving. */
+  private def timeMinPair(passes: Int)(a: => Unit)(b: => Unit): (Double, Double) = {
+    var bestA = Double.MaxValue
+    var bestB = Double.MaxValue
+    (1 to passes).foreach { _ =>
+      val t0 = System.nanoTime(); a
+      bestA = math.min(bestA, (System.nanoTime() - t0) / 1e9)
+      val t1 = System.nanoTime(); b
+      bestB = math.min(bestB, (System.nanoTime() - t1) / 1e9)
+    }
+    (bestA, bestB)
+  }
+
   test("salted == unsalted: the salt never changes the answer (skewed fixture)") {
     val trades = side(50000, 16, 0.9, "v", 0)
     val quotes = side(50000, 16, 0.9, "px", 500)
@@ -60,14 +77,25 @@ class AsOfJoinScaleSpec extends SparkSpec {
     def window() = force(TimeSeriesOps.asofJoin(
       trades, quotes, Seq("k"), "time"))
     native(); window() // warm: JIT + codegen outside the timed window
-    val tN = timeMin(3)(native())
-    val tW = timeMin(3)(window())
+    // round 17: the merge is WholeStageCodegen'd (the SMJ stage-start
+    // pattern) — pin that the executed plan actually fuses it (the `*(N)`
+    // marker), so a silent fallback to the interpreted path can't hide
+    val planStr = org.apache.spark.sql.GraftBridge.finalPlanString(
+      TimeSeriesOps.asofJoinNative(trades, quotes, Seq("k"), "time")
+        .agg(sum(xxhash64(col("asof_px"), col("v")) % 1048576)))
+    assert("\\*\\(\\d+\\) AsOfJoin".r.findFirstIn(planStr).nonEmpty,
+      "AsOfJoin must sit inside a WholeStageCodegen stage:\n" +
+        planStr.take(1200))
+    val (tN, tW) = timeMinPair(4)(native())(window())
     info(f"asof at ${n / 1000}k/side: native $tN%.2f s, window $tW%.2f s " +
       f"(ratio ${tN / tW}%.2f)")
-    // the claim is native <= window; 1.25 absorbs shared-host timer noise;
-    // a FOREIGN-loaded host cancels instead of failing (assertTiming)
-    assertTiming(tN <= tW * 1.25,
-      f"native merge should not lose to the window form at scale: " +
+    // measured after codegen (quiet 32-core host, interleaved min-of-4):
+    // the merge+downstream-agg is one generated loop (r16's interpreted
+    // merge sat at ~1.0× of the window form); the bound asserts the
+    // codegen win sticks with margin for timer noise; a FOREIGN-loaded
+    // host cancels instead of failing (assertTiming).
+    assertTiming(tN <= tW * 0.9,
+      f"codegen'd native merge must beat the window form at scale: " +
         f"native $tN%.2f s vs window $tW%.2f s")
   }
 
@@ -84,8 +112,7 @@ class AsOfJoinScaleSpec extends SparkSpec {
     def hotSalted() = force(TimeSeriesOps.asofJoinNativeSalted(
       hotT, hotQ, Seq("k"), "time", saltBuckets = 2))
     uniform(); hotSalted() // warm
-    val tU = timeMin(3)(uniform())
-    val tS = timeMin(3)(hotSalted())
+    val (tU, tS) = timeMinPair(3)(uniform())(hotSalted())
     info(f"asof skew at ${n / 1000}k/side: uniform $tU%.2f s, " +
       f"hot-salted $tS%.2f s (ratio ${tS / tU}%.2f)")
     assertTiming(tS <= tU * 2.0,
