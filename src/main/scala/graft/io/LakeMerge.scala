@@ -758,6 +758,7 @@ object LakeMerge {
     * staging (long compactions being the OCC feature's stated use case).
     * A daemon thread refreshes the root's mtime every 30 s until closed;
     * transient absence (the write's own overwrite cycle) is tolerated. */
+  @volatile private[io] var stagingHeartbeatMs: Long = 30000 // spec knob
   private def stagingHeartbeat(fs: FileSystem, staging: Path): AutoCloseable = {
     fs.mkdirs(staging)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -765,7 +766,8 @@ object LakeMerge {
       while (!stop.get()) {
         try fs.setTimes(staging, System.currentTimeMillis(), -1)
         catch { case scala.util.control.NonFatal(_) => () }
-        try Thread.sleep(30000) catch { case _: InterruptedException => () }
+        try Thread.sleep(stagingHeartbeatMs)
+        catch { case _: InterruptedException => () }
       }
     }, s"graft-occ-staging-hb-${staging.getName}")
     t.setDaemon(true)

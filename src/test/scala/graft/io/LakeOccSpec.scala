@@ -91,6 +91,88 @@ class LakeOccSpec extends SparkSpec {
       .count(f => f.isFile && !f.getPath.getName.startsWith("_")) === 1)
   }
 
+  test("LOGLESS lake: a pessimistic commit during OCC staging is still a detected conflict (r16 ADVICE)") {
+    // pre-fix lost update: on a lake with NO commit log, a pessimistic
+    // merge records nothing, so an OCC writer staging concurrently saw no
+    // conflict at its commit window and silently overwrote it. The OCC
+    // snapshot now BOOTSTRAPS `_commits/` first, putting the pessimistic
+    // commit under the once-a-log-exists recording rule.
+    val dir = freshLake("occ-logless")
+    assert(LakeTimeTravel.readCommits(spark, dir).isEmpty, "fixture must be logless")
+    val pessimistic = batch(Seq("wl_p"), "2024-01-04 06:00:00", day2, (_, _) => 77.0)
+    val occUpd = batch(Seq("wl_o"), "2024-01-04 06:00:00", day2, (_, _) => 88.0)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LakeMerge.mergeImpl(spark, dir, occUpd, keys, "part_date", "tms_id",
+        "time", 4, requireUniqueKeys = true, Int.MaxValue, occ = true,
+        beforeOccCommit = () =>
+          // lands DURING the OCC writer's leaseless staging phase,
+          // touching the SAME partitions
+          LakeMerge.merge(spark, dir, pessimistic, keys))
+    }
+    assert(e.getMessage.contains("seq 0"), e.getMessage)
+    // the pessimistic writer's data survived; the OCC batch never landed
+    val vals = LakeMerge.readLake(spark, dir)
+      .filter(col("tms_id").isin("wl_p", "wl_o"))
+      .select("tms_id").distinct().collect().map(_.getString(0)).toSeq
+    assert(vals === Seq("wl_p"), s"$vals")
+    // and the bootstrap is why: the pessimistic commit RECORDED itself
+    assert(LakeTimeTravel.readCommits(spark, dir).map(_.seq) === Seq(0L))
+  }
+
+  test("commit-window recover spares the writer's OWN stale-looking staging (r16 ADVICE)") {
+    // a staged write longer than occStaleMs leaves the staging root's
+    // mtime old; the OCC writer's own commit-window recoverHeld used to
+    // GC it and the commit failed with a misleading 'staging write
+    // failed'. Self-exclusion keeps the caller's staging; the heartbeat
+    // is silenced (long period) so ONLY the exclusion can save it here.
+    val dir = freshLake("occ-ownstale")
+    val prev = LakeMerge.stagingHeartbeatMs
+    LakeMerge.stagingHeartbeatMs = 10L * 60 * 1000
+    try {
+      val fs = LakeMerge.hadoopFs(spark, dir)
+      val upd = batch(Seq("wl_s"), "2024-01-05 06:00:00", day3, (_, _) => 3.0)
+      val stats = LakeMerge.mergeImpl(spark, dir, upd, keys, "part_date",
+        "tms_id", "time", 4, requireUniqueKeys = true, Int.MaxValue,
+        occ = true,
+        beforeOccCommit = () =>
+          // simulate a write that outlived occStaleMs: age every OCC
+          // staging root to the epoch
+          fs.listStatus(new Path(dir)).foreach { s =>
+            if (s.isDirectory && s.getPath.getName.startsWith(".merge-staging-occ-"))
+              fs.setTimes(s.getPath, 1000L, -1)
+          })
+      assert(stats.rowsInserted === 1L,
+        s"the commit must survive its own recover pass: $stats")
+      assert(LakeMerge.readLake(spark, dir)
+        .filter(col("tms_id") === "wl_s").count() === 1L)
+    } finally LakeMerge.stagingHeartbeatMs = prev
+  }
+
+  test("leaseless staging stays mtime-fresh under the heartbeat (r16 ADVICE)") {
+    val dir = freshLake("occ-hb")
+    val prev = LakeMerge.stagingHeartbeatMs
+    LakeMerge.stagingHeartbeatMs = 100L
+    try {
+      val fs = LakeMerge.hadoopFs(spark, dir)
+      val upd = batch(Seq("wl_h"), "2024-01-06 06:00:00", day3, (_, _) => 4.0)
+      var freshMtime = false
+      LakeMerge.mergeImpl(spark, dir, upd, keys, "part_date", "tms_id",
+        "time", 4, requireUniqueKeys = true, Int.MaxValue, occ = true,
+        beforeOccCommit = () => {
+          // the staged write is long done; beats must keep refreshing
+          Thread.sleep(600)
+          val now = System.currentTimeMillis()
+          freshMtime = fs.listStatus(new Path(dir)).exists { s =>
+            s.isDirectory &&
+              s.getPath.getName.startsWith(".merge-staging-occ-") &&
+              now - s.getModificationTime < 500
+          }
+        })
+      assert(freshMtime,
+        "the heartbeat must refresh the staging root's mtime after the write")
+    } finally LakeMerge.stagingHeartbeatMs = prev
+  }
+
   test("overlapping OCC writers: the second refuses, naming the winning seq") {
     val dir = freshLake("occ-conflict")
     val mine = batch(Seq("wl_a"), "2024-01-03 06:00:00", day2, (_, _) => 1.0)
