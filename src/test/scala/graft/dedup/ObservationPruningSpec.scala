@@ -13,6 +13,12 @@ import org.apache.spark.sql.Observation
   * count. If a Spark upgrade makes the AQE-on branch below start returning
   * real metrics, the exclusion and fallback can be retired. */
 class ObservationPruningSpec extends SparkSpec {
+  // conf-state CANARY: must run on an isolated session — a concurrent
+  // suite's withReliableOversizeAudit scope on the shared session would
+  // make the AQE-on phase see the exclusion and flake (observed under
+  // testForkedParallel)
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    graft.TestSession.isolated()
   import spark.implicits._
 
   // all-spam corpus: every bucket oversize at cap 10 → zero verified pairs

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * and double element types, degenerate inputs, and interpreted-path
   * agreement (the same expressions run with whole-stage codegen disabled). */
 class VectorExpressionsSpec extends SparkSpec {
+  // conf-mutating suite: isolated session (see TestSession.isolated)
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    graft.TestSession.isolated()
   import spark.implicits._
 
   private val fdf = Seq(

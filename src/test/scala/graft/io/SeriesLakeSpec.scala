@@ -9,6 +9,9 @@ import graft.SparkSpec
 /** Bucketed series-lake layout: joins and aggregations on the bucket key
   * run without any Exchange in the physical plan. */
 class SeriesLakeSpec extends SparkSpec {
+  // conf-mutating suite: isolated session (see TestSession.isolated)
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    graft.TestSession.isolated()
   import spark.implicits._
 
   private def series(seed: Int) = (0 until 100).map { i =>

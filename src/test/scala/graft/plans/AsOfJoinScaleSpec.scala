@@ -63,6 +63,7 @@ class AsOfJoinScaleSpec extends SparkSpec {
   }
 
   test("10x fixture scale: native merge <= window form (strictly less movement)") {
+    withTimingLock {
     val n = 400000L
     val trades = side(n, 16, 0.0, "v", 0)
     val quotes = side(n, 16, 0.0, "px", 500)
@@ -97,9 +98,11 @@ class AsOfJoinScaleSpec extends SparkSpec {
     assertTiming(tN <= tW * 0.9,
       f"codegen'd native merge must beat the window form at scale: " +
         f"native $tN%.2f s vs window $tW%.2f s")
+    }
   }
 
   test("skew: one key holding 90% completes within 2x of uniform when salted") {
+    withTimingLock {
     val n = 400000L
     val uniT = side(n, 64, 0.0, "v", 0)
     val uniQ = side(n, 64, 0.0, "px", 500)
@@ -118,5 +121,6 @@ class AsOfJoinScaleSpec extends SparkSpec {
     assertTiming(tS <= tU * 2.0,
       f"salting must keep the hot-key join within 2x of uniform: " +
         f"salted $tS%.2f s vs uniform $tU%.2f s")
+    }
   }
 }

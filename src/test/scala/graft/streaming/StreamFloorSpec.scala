@@ -13,6 +13,7 @@ class StreamFloorSpec extends SparkSpec {
   import spark.implicits._
 
   test("no-op AvailableNow run: measure harness floor") {
+    withTimingLock {
     val dir = java.nio.file.Files.createTempDirectory("stream_floor").toFile
     Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
       .coalesce(1).write.parquet(new java.io.File(dir, "tiny.parquet").toString)
@@ -33,5 +34,6 @@ class StreamFloorSpec extends SparkSpec {
     info(f"no-op AvailableNow floor: ${times.map(t => f"$t%.3f").mkString(", ")} s")
     assertTiming(times.min < 2.0,
       f"harness floor ${times.min}%.2f s exceeds the 2 s smoke bound")
+    }
   }
 }

@@ -106,6 +106,61 @@ class StreamOutOfOrderSpec extends SparkSpec {
       s"planted late row must be dropped, within-delay row must land: $got")
   }
 
+  test("append-mode watermark against a FILE source drops late data identically (production path)") {
+    // the r16 verdict's minor note: lateWindowAppend proves the drop rule
+    // through a MemoryStream harness; the PRODUCTION consumer reads
+    // files. Same planted scenario, delivered as three parquet files
+    // ARRIVING between micro-batches (the fileSeriesStream pattern —
+    // arrival order is the one ordering a file source guarantees; the
+    // initial-listing mtime order is not contractual), so the watermark
+    // advances between files exactly as it did between addData batches.
+    val dir = java.nio.file.Files.createTempDirectory("late_file").toString
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    def addFile(n: Int, rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("late_file_w")
+        .toString + "/out"
+      rows.toDF("id", "event_time", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, f"f$n%02d.parquet").toPath)
+    }
+    addFile(1, Seq((1L, ts("2024-01-01 11:40:30"), 1.0),
+      (2L, ts("2024-01-01 12:00:00"), 2.0)))   // fixes watermark at 11:50
+    val stream = spark.readStream
+      .schema("id LONG, event_time TIMESTAMP, value DOUBLE")
+      .parquet(dir)
+    val agg = stream
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").cast("string").as("w_start"), col("n"), col("v"))
+    spark.catalog.dropTempView("late_drop_file")
+    val q = agg.writeStream.format("memory").queryName("late_drop_file")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      addFile(2, Seq((3L, ts("2024-01-01 11:31:00"), 100.0), // too late: DROPPED
+        (4L, ts("2024-01-01 11:52:00"), 4.0)))  // open window: lands
+      q.processAllAvailable()
+      addFile(3, Seq((5L, ts("2024-01-02 00:00:00"), 0.0))) // flush
+      q.processAllAvailable()
+    } finally {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      assert(dataBatches >= 3,
+        s"one file per micro-batch expected (3+ data batches), saw $dataBatches")
+    }
+    val got = spark.table("late_drop_file")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got === Seq(
+      ("2024-01-01 11:40:00", 1L, 1.0),
+      ("2024-01-01 11:50:00", 1L, 4.0),
+      ("2024-01-01 12:00:00", 1L, 2.0)),
+      s"file-source late row must drop exactly like the harness path: $got")
+  }
+
   test("stream OHLC: a bucket's opening observation arriving LAST is still open") {
     val H = 3600000000000L // 1h in ns
     // one user, one 1-day bucket; the chronologically FIRST observation
