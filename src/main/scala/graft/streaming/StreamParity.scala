@@ -58,12 +58,19 @@ object StreamParity {
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
+  /** Sink names must be unique among the session's ACTIVE queries — two
+    * suites running the same parity helper concurrently (parallel test
+    * execution) collided on the fixed name ("query with that name is
+    * already active"); a per-call counter disambiguates while keeping
+    * names recognizable in the UI/logs. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Run `stream` to completion through a memory sink and return the sink
-    * table. One fixed sink name per caller keeps re-runs in one session
-    * idempotent (memory sink truncates on (re)start in complete mode; for
-    * append we drop the old view first). */
-  def runToTable(spark: SparkSession, stream: DataFrame, name: String,
+    * table (callers consume the RETURN value — the generated sink name is
+    * internal). */
+  def runToTable(spark: SparkSession, stream: DataFrame, baseName: String,
       mode: OutputMode): DataFrame = {
+    val name = s"${baseName}_${sinkSeq.incrementAndGet()}"
     spark.catalog.dropTempView(name) // no-op when absent
     // Offset/commit logs and state-store delta files are written to the
     // checkpoint location each microbatch. A parity run has no
@@ -161,7 +168,7 @@ object StreamParity {
         round(sum(col("value")), 2).as("v_sum"))
       .select(col("w.start").cast("long").as("w_start"), col("user_id"),
         col("n_events"), col("v_sum"))
-    val name = "stream_late_window"
+    val name = s"stream_late_window_${sinkSeq.incrementAndGet()}"
     spark.catalog.dropTempView(name)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")

@@ -294,7 +294,7 @@ class MultimodalSpec extends SparkSpec {
     val deadline = System.currentTimeMillis() + 10000
     while (sc.getPersistentRDDs.keySet.diff(before).nonEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
-    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+    assertIsolated(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
       "the (id, ahash) cache must be released once the first pairs action completes")
   }
 

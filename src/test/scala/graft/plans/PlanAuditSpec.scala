@@ -584,7 +584,7 @@ class PlanAuditSpec extends SparkSpec {
     // (CacheManager would otherwise serve a later measured bench pass
     // from the warmup's cache: the q_ppl_buckets lie-low trap)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
-    assert(leaked.size <= 1,
+    assertIsolated(leaked.size <= 1,
       s"bradleyTerryStrengths leaked ${leaked.size} persisted RDDs")
   }
 

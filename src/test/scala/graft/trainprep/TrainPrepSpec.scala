@@ -351,7 +351,7 @@ class TrainPrepSpec extends SparkSpec {
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     val deadline = System.nanoTime() + 10000000000L
     while (leaked.size > 1 && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(leaked.size <= 1,
+    assertIsolated(leaked.size <= 1,
       s"perplexityBuckets leaked beyond the bounded count cache: $leaked")
     spark.catalog.clearCache()
   }
