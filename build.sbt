@@ -20,6 +20,15 @@ run / fork := true
 // spin can never overlap a measurement, and assertTiming CANCELS (not
 // fails) under observed foreign co-tenant load.
 Test / testForkedParallel := true
+// sbt sizes the forked suite pool by availableProcessors — 32 concurrent
+// suites over ONE local[4] session adds no throughput (4 task slots are
+// the bottleneck) but multiplies execution-memory pressure until
+// TaskMemoryManager livelocks on page allocation ("Failed to allocate a
+// page, try again" every ~60 s). Capping the fork's visible processors
+// bounds suite concurrency at 8; the extra heap absorbs 8 suites'
+// concurrent shuffles.
+Test / javaOptions ++= Seq("-XX:ActiveProcessorCount=8",
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}")
 // The bench/verify drivers parse raw stdout lines (one JSON object per
 // line); sbt's default logger wraps forked output as "[info] {...}" which
 // breaks that parse (BENCH_r02 "parsed": null). Inherit the JVM's stdout
