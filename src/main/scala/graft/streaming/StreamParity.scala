@@ -126,7 +126,16 @@ object StreamParity {
       q.awaitTermination()
       q.stop()
     } finally rm(ckpt)
-    spark.table(name)
+    // materialize the sink and DROP the view: with per-call unique names
+    // the memory sinks would otherwise accumulate driver heap for the
+    // whole suite run; the returned frame is a self-contained local
+    // relation (parity fixtures are small by construction)
+    val out = spark.table(name)
+    val rows = out.collect()
+    val schema = out.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** APPEND-mode windowed count/sum under a REAL event-time watermark
@@ -180,7 +189,13 @@ object StreamParity {
       mem.addData(late.toSeq: _*); q.processAllAvailable()
       mem.addData((-1L, flushTs, -1L, 0.0)); q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).filter(col("user_id") >= 0)
+    // materialize + drop (see runToTable's sink-accumulation note)
+    val outT = spark.table(name)
+    val outRows = outT.collect()
+    val outSchema = outT.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
+      .filter(col("user_id") >= 0)
   }
 
   /** Streaming form of q_a2_resample: right-closed 15-min tumbling sum over

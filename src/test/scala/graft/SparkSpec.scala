@@ -10,6 +10,13 @@ object TestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // Spark sizes TaskMemoryManager pages from heap/visible-cores and
+      // caps at 64 MB; with the build's ActiveProcessorCount=8 the
+      // computed size hits that cap, and 64 MB requests from concurrent
+      // suites' tasks fragment unified memory into an allocation
+      // livelock ("Failed to allocate a page, try again" for minutes).
+      // Small fixed pages keep allocation granular under parallel suites.
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
