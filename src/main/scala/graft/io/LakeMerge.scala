@@ -677,6 +677,29 @@ object LakeMerge {
     finally releaseLease(fs, lakeDir, recoverId)
   }
 
+
+  /** [[acquireLease]] with a bounded WAIT — for OCC COMMIT WINDOWS only
+    * (round 17): an optimistic writer holds the lease just for its short
+    * commit window, so a second writer colliding exactly then should
+    * wait the window out, not abort (observed under loaded parallel
+    * runs: two disjoint SQL appenders, one failing "another writer holds
+    * the merge lease" — Delta's OCC retries the same way). Pessimistic
+    * writers keep the fail-fast [[acquireLease]]: their hold spans the
+    * whole merge, so waiting could be unbounded and the loud refusal is
+    * the right answer. */
+  private def acquireLeaseWaiting(fs: FileSystem, lakeDir: String,
+      writerId: String, staleMs: Long, waitMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var done = false
+    while (!done) {
+      try { acquireLease(fs, lakeDir, writerId, staleMs); done = true }
+      catch { case e: IllegalStateException =>
+        if (System.currentTimeMillis() >= deadline) throw e
+        Thread.sleep(200)
+      }
+    }
+  }
+
   /** [[recover]] for a caller that ALREADY holds the lease as
     * `writerId`. Heartbeats the lease per roll-forward swap (review
     * finding: a long recovery swap loop under the default no-op
@@ -1436,7 +1459,7 @@ object LakeMerge {
       // partitions (else refuse NAMING the conflicting seq, staging
       // cleaned — the caller re-runs against the fresh lake)
       beforeOccCommit()
-      acquireLease(fs, lakeDir, mergeId, leaseStaleMs)
+      acquireLeaseWaiting(fs, lakeDir, mergeId, leaseStaleMs)
       try {
         recoverHeld(spark, lakeDir, mergeId)
         val mine = affected.toSet
@@ -1690,7 +1713,7 @@ object LakeMerge {
         // park their pre-image and leave nothing
         if (occ) {
           beforeOccCommit()
-          acquireLease(fs, lakeDir, deleteId, leaseStaleMs)
+          acquireLeaseWaiting(fs, lakeDir, deleteId, leaseStaleMs)
           try {
             recoverHeld(spark, lakeDir, deleteId)
             val mine = affected.toSet
@@ -1863,7 +1886,7 @@ object LakeMerge {
       // once-a-log-exists rule so snapshot resolution sees every rewrite)
       if (occ) {
         beforeOccCommit()
-        acquireLease(fs, lakeDir, compactId, leaseStaleMs)
+        acquireLeaseWaiting(fs, lakeDir, compactId, leaseStaleMs)
         try {
           recoverHeld(spark, lakeDir, compactId)
           val mine = selected.map(_._1).toSet
