@@ -299,8 +299,12 @@ case class AsOfJoinExec(
        |  long $lt = $ltNull ? Long.MIN_VALUE : $leftRow.getLong($lTimeIdx);
        |  while ($rHead != null) {
        |    if ($rHeadCmp < 0) { $advanceRight(); }
-       |    else if ($rHeadCmp == 0 && ($rHead.isNullAt($rTimeIdx)
-       |        || (!$ltNull && $rHead.getLong($rTimeIdx) <= $lt))) {
+       |    // NOTE: '||' must end the line, never begin one — enclosing
+       |    // operators re-apply stripMargin to embedded child code, and a
+       |    // leading "||" is eaten as margin chars (invalid Java survived
+       |    // to Janino in round 16's first cut of this generator)
+       |    else if ($rHeadCmp == 0 && ($rHead.isNullAt($rTimeIdx) ||
+       |        (!$ltNull && $rHead.getLong($rTimeIdx) <= $lt))) {
        |      $lastRight = $rHead; // ownership transfer: advance re-copies
        |      $advanceRight();
        |    } else break;

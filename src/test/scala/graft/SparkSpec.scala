@@ -93,6 +93,18 @@ trait SparkSpec extends AnyFunSuite {
   protected def hostLoadEvidence: Option[String] = {
     if (TimingGate.coTenantActive)
       return Some("deliberate busy-spin co-tenant test active")
+    // In-JVM co-tenancy: sibling suites share this SparkContext's task
+    // slots and FIFO scheduler queue, so their jobs inflate a timed
+    // section's wall clock without moving the SYSTEM loadavg anywhere
+    // near the threshold below (r17: the normalization magnitude check
+    // read 1.66 at loadavg 5.3 — scheduler queuing, not host load).
+    // The timing lock already serializes timed sections against each
+    // other; this is the evidence arm for ORDINARY suites' jobs, checked
+    // at failure time like the rest — a bound that holds under parallel
+    // siblings still passes, and isolation re-runs stay strict.
+    val others = TimingGate.activeTests.get - 1
+    if (others > 0)
+      return Some(s"$others concurrent test(s) sharing the SparkContext scheduler")
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cores = Runtime.getRuntime.availableProcessors
