@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Round-17 measurement loop (optimization guide §1): for each named query,
+  * dump the formatted physical plan to `<planDir>/<name>_<tag>.txt`, then
+  * time `count()` (the bench's action, for comparability) over warmup +
+  * `passes` measured runs, reporting per-pass wall seconds plus aggregate
+  * job/stage/task/shuffle counters from a listener — the Exchange count and
+  * shuffle bytes are what the guide says to drive down.
+  *
+  * `runMain graft.Profile <q1,q2,...> [sfDir] [planDir] [tag] [passes]`
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val planDir = args.lift(2).getOrElse("plans/r17")
+    val tag = args.lift(3).getOrElse("before")
+    val passes = args.lift(4).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkEntry.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(planDir).mkdirs()
+
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var jobs = 0
+    @volatile var shufWrite = 0L
+    @volatile var shufRead = 0L
+    @volatile var spill = 0L
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobLines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs += 1
+        jobStart.put(js.jobId, System.nanoTime())
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStart.remove(je.jobId)
+        if (t0 != 0L && sys.env.contains("SPARK_GRAFT_PROFILE_JOBS"))
+          jobLines.add(f"    job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += sc.stageInfo.numTasks
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite += m.shuffleWriteMetrics.bytesWritten
+          shufRead += m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead
+          spill += m.diskBytesSpilled
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // plan dump (pre-execution, AQE isFinalPlan=false — the shape audit)
+      val planTxt = {
+        val df = fn(spark, sfDir)
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$planDir/${name}_$tag.txt"),
+        planTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val ex = planTxt.linesIterator.count(_.contains("Exchange"))
+      spark.sparkContext.setJobDescription(s"profile:$name warmup")
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        println(f"$name%-26s FAILED ${e.getMessage.take(120)}"); return }
+      val times = (1 to passes).map { i =>
+        stages = 0; tasks = 0; jobs = 0; shufWrite = 0L; shufRead = 0L; spill = 0L
+        jobLines.clear()
+        spark.sparkContext.setJobDescription(s"profile:$name pass$i")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS"))
+        jobLines.forEach(println(_))
+      println(f"$name%-26s ${times.map(t => f"$t%6.3f").mkString(" ")}  " +
+        f"jobs=$jobs%3d stages=$stages%3d tasks=$tasks%4d " +
+        f"shufW=${shufWrite / 1024}%6d KB shufR=${shufRead / 1024}%6d KB " +
+        f"spill=${spill / 1024}%d KB exch=$ex")
+    }
+    spark.stop()
+  }
+}

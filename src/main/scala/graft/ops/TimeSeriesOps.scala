@@ -158,6 +158,18 @@ object TimeSeriesOps {
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ordered = orderCols.map(col)
+    // Lineage cut (round 17, guide §3.3/§7.2): the input subtree is
+    // referenced TWICE below (the min/max calibration aggregate and the
+    // bucketed main branch), and COMPOSED scans — strideInterleave chains
+    // two of these, epochOrder/packChunks feed one into further joins —
+    // multiply those references: q_mix_interleave's physical plan carried
+    // 64 separate parquet scans / 160 Exchanges of the same 300-row input
+    // (measured 4.1 s for a sub-second query). A LAZY local checkpoint
+    // (no extra job — the first action materializes it, MEMORY_AND_DISK)
+    // makes every reference read one materialized copy. Callers pass
+    // narrow (id, key, value) projections, so at 100 TB this stores the
+    // §8 "lightweight proxy", never payload columns.
+    val in = df.localCheckpoint(false)
     // The bucket id MUST be a pure function of the DATA, never of the
     // physical layout. The windowed rows and the per-partition totals are
     // two plan branches that each re-execute this subtree, and the
@@ -183,21 +195,21 @@ object TimeSeriesOps {
     // Uniform-ish keys (ids, digests, days) spread evenly; a pathological
     // key set sharing one 8-byte prefix degrades to fewer buckets —
     // slower, never wrong.
-    val parted = df
-      .crossJoin(broadcast(df.groupBy().agg(
-        min(orderedBucketKey(df, orderCols.head)).as("__kmin"),
-        max(orderedBucketKey(df, orderCols.head)).as("__kmax"))))
+    val parted = in
+      .crossJoin(broadcast(in.groupBy().agg(
+        min(orderedBucketKey(in, orderCols.head)).as("__kmin"),
+        max(orderedBucketKey(in, orderCols.head)).as("__kmax"))))
       .withColumn("__pid",
         // NULL keys take bucket 0: Spark's ascending sort is nulls-FIRST,
         // so a null leading key must land below every non-null bucket for
         // the cross-bucket offsets to describe the sequential-window order
         // (least() skips nulls, which would otherwise shove them into the
         // LAST bucket and hand them every earlier bucket's offset)
-        when(orderedBucketKey(df, orderCols.head).isNull, lit(0))
+        when(orderedBucketKey(in, orderCols.head).isNull, lit(0))
           .when(col("__kmin").isNull, lit(0))
           .when(col("__kmax") <= col("__kmin"), lit(0))
           .otherwise(least(
-            floor((orderedBucketKey(df, orderCols.head) - col("__kmin"))
+            floor((orderedBucketKey(in, orderCols.head) - col("__kmin"))
               / (col("__kmax") - col("__kmin")) * n),
             lit(n - 1))).cast("int"))
       .drop("__kmin", "__kmax")
@@ -215,8 +227,12 @@ object TimeSeriesOps {
     val ptots = valueCols.zipWithIndex.map {
       case (v, i) => sum(col(v)).as(s"__ptot$i")
     }
+    // per-bucket totals come from `parted` (pre-window), not `withLocal`:
+    // summing the raw value columns per __pid needs no running sums, and
+    // reading the shared repartition Exchange directly lets ReuseExchange
+    // serve both branches instead of re-running the sort+window (round 17)
     val offsets = valueCols.indices.foldLeft(
-        withLocal.groupBy("__pid").agg(ptots.head, ptots.tail: _*)) {
+        parted.groupBy("__pid").agg(ptots.head, ptots.tail: _*)) {
         (d, i) => d.withColumn(s"__off$i",
           coalesce(sum(col(s"__ptot$i")).over(offW), lit(0L)))
       }

@@ -935,18 +935,57 @@ object TrainPrep {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val typed = pairs.select(col(winnerCol).cast("string").as("__w"),
       col(loserCol).cast("string").as("__l"))
-    val wins = typed.groupBy(col("__w").as("item"))
-      .agg(count(lit(1)).cast("double").as("__wins"))
+    // ONE pass over the raw pair stream builds the persisted pair-count
+    // frame; `wins` and `items` then DERIVE from that cache instead of
+    // re-aggregating the stream. This matters because the unrolled
+    // iterations reference `w` (hence `wins`/`items`) at every nesting
+    // level — 2^iters plan occurrences — and before round 17 each
+    // occurrence re-ran the caller's (possibly join-shaped) pair plan:
+    // q_bradley_terry measured 18.9 CPU-s / 2.4 s wall for a
+    // dimension-sized fit (30 Spark jobs). `__wa` (wins by the
+    // lexicographically smaller item) makes per-item win totals exactly
+    // recoverable from the undirected counts: wins(i) = Σ __wa over rows
+    // with __a = i plus Σ (__n − __wa) over rows with __b = i; a
+    // degenerate i-beats-i row lands once (1 + 0), matching the direct
+    // group-by.
     val pc = typed
       .select(least(col("__w"), col("__l")).as("__a"),
-        greatest(col("__w"), col("__l")).as("__b"))
+        greatest(col("__w"), col("__l")).as("__b"),
+        when(col("__w") <= col("__l"), 1.0).otherwise(0.0).as("__w1"))
       .groupBy(col("__a"), col("__b"))
-      .agg(count(lit(1)).cast("double").as("__n"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__w1")).as("__wa"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val items = typed.select(col("__w").as("item"))
-      .union(typed.select(col("__l").as("item"))).distinct()
-    var w = items.withColumn("__s", lit(1.0))
-    for (_ <- 1 to iters) {
+    val wins = pc.select(col("__a").as("item"), col("__wa").as("__v"))
+      .unionByName(pc.select(col("__b").as("item"),
+        (col("__n") - col("__wa")).as("__v")))
+      .groupBy(col("item")).agg(sum(col("__v")).as("__wins"))
+      .filter(col("__wins") > 0)
+    val items = pc.select(col("__a").as("item"))
+      .union(pc.select(col("__b").as("item"))).distinct()
+    // Each iteration's strengths frame is ITEM-SIZED by construction (the
+    // fit is over dimension-scale entities: langs, models, sources), so
+    // all but the LAST iteration materialize to a driver LocalRelation —
+    // the same dimension-bounded collect the ANN codebook loop uses.
+    // Leaving every level lazy instead nests the plan exponentially (w
+    // appears twice per level as a broadcast side): round 17 measured the
+    // all-lazy iters=2 fit at 30 Spark jobs / 18.9 CPU-s, and a
+    // cache-derived wins/items variant at 109 jobs — the localization
+    // collapses each iteration to a couple of jobs over the persisted
+    // pair counts. Doubles round-trip the driver exactly, so results are
+    // bit-identical to the lazy plan. The returned plan is the last
+    // iteration UNmaterialized (callers and PlanAuditSpec audit the
+    // per-iteration join shape there).
+    def localize(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    // wins/items localize once up front for the same reason: left lazy,
+    // each appears at every iteration level and re-runs its union+agg
+    // over the cache (32 shuffle-partition stages of pure dispatch
+    // overhead at dimension scale).
+    val winsL = broadcast(localize(wins))
+    var w = localize(items).withColumn("__s", lit(1.0))
+    for (i <- 1 to iters) {
       val withA = pc
         .join(broadcast(w.select(col("item").as("__a"), col("__s").as("__sa"))),
           Seq("__a"))
@@ -965,11 +1004,12 @@ object TrainPrep {
       // the true 0.0 MLE boundary — they never sit on both sides of a
       // positive denominator.
       val raw = round(coalesce(col("__wins"), lit(0.0)) / col("__d"), roundTo)
-      w = denom.join(wins, Seq("item"), "left")
+      val next = denom.join(winsL, Seq("item"), "left")
         .select(col("item"),
           when(coalesce(col("__wins"), lit(0.0)) > 0,
             greatest(raw, lit(math.pow(10.0, -roundTo))))
             .otherwise(lit(0.0)).as("__s"))
+      w = if (i < iters) localize(next) else next
     }
     (w.select(col("item"), col("__s").as("strength")), pc)
   }
