@@ -38,14 +38,18 @@ object Profile {
     val jobLines = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     val listener = new SparkListener {
+      private val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs += 1
         jobStart.put(js.jobId, System.nanoTime())
+        jobSite.put(js.jobId,
+          js.stageInfos.lastOption.map(_.name).getOrElse("?").take(90) +
+            " tasks=" + js.stageInfos.map(_.numTasks).sum)
       }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val t0 = jobStart.remove(je.jobId)
         if (t0 != 0L && sys.env.contains("SPARK_GRAFT_PROFILE_JOBS"))
-          jobLines.add(f"    job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+          jobLines.add(f"    job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.3f s  ${jobSite.remove(je.jobId)}")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages += 1

@@ -23,7 +23,18 @@ object SparkEntry {
     "spark.sql.session.timeZone" -> "UTC",
     // engine optimizer rules (e.g. truncated-range predicates → pushable
     // raw ranges, graft.plans.PushableTruncRange)
-    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // AQE partition coalescing optimizes for shuffle-byte economics and by
+    // default (parallelismFirst honors minPartitionSize = 1 MB) merges a
+    // few-MB shuffle down to 1-4 post-shuffle partitions — which also
+    // serializes every expression-heavy stage DOWNSTREAM of that exchange
+    // (md5 minhash explode, sha256 digests, tokenize): round 17 measured
+    // the dedup-CC family at cpu ≈ wall, i.e. single-threaded on a 32-core
+    // session. A 64 KB floor keeps small-but-CPU-dense stages spread near
+    // the session's parallelism; it is scale-adaptive by construction —
+    // production-sized partitions sit far above any floor, so at 100 TB
+    // this setting is inert and coalescing behaves exactly as stock.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     SessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }

@@ -1318,11 +1318,20 @@ object Dedup {
     * Small graphs finish DRIVER-SIDE: once the (checkpointed, counted)
     * edge set is at most `localFinishEdges` rows — at entry, or after the
     * rounds have contracted it below the bound — the remaining closure is
-    * a bounded collect (≤ 16 B/edge, ~1.6 MB at the default) plus a
+    * a bounded collect (≤ 16 B/edge, ~6.4 MB at the default) plus a
     * union-find, instead of 2+ more Spark rounds of pure stage overhead.
     * The bound makes the collect dimension-sized BY CONSTRUCTION; pass
-    * `localFinishEdges = 0` to force the fully distributed path. */
-  val DefaultLocalFinishEdges = 100000
+    * `localFinishEdges = 0` to force the fully distributed path.
+    *
+    * 400k (round 17, raised from 100k): a path-compressed union-find
+    * closes 400k edges in ~10 ms of driver time, while ONE distributed
+    * star round at that size is ~10 sequential AQE stages (~2 s of pure
+    * dispatch on an idle 32-core session — q_dedup_keepers_cc's verified
+    * template-cluster graph measured ~200k edges, just over the old bound,
+    * and paid a full round before contracting under it). The collect stays
+    * two longs per edge; the driver-memory ceiling it implies (~40 MB of
+    * transient Rows) is far under any driver this engine configures. */
+  val DefaultLocalFinishEdges = 400000
 
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIter: Int = 10,

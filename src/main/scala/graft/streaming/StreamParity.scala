@@ -87,11 +87,20 @@ object StreamParity {
       s"graft-stream-$name-${java.util.UUID.randomUUID()}")
     // A streaming query instantiates one state store per shuffle partition
     // at EVERY stateful operator — for these single-file parity runs 32
-    // stores are pure setup cost. The partition count is captured from the
-    // session conf at query start, so narrow it just for the start call.
+    // stores are pure setup cost. But ONE partition serializes the whole
+    // stateful stage (round 17: q_stream_sessionize's single micro-batch
+    // job ran 1.26 s single-threaded); 4 spreads the keyed state work
+    // (measured best of {1, 4, 8} across the stream family) while keeping
+    // store setup negligible. Results are partitioning-independent: state
+    // is keyed, every key's rows arrive in one partition's order either
+    // way (the parity fixtures are one input split), so per-key merge
+    // order — hence every FP sum — is unchanged.
+    // The partition count is captured from the session conf at query
+    // start, so narrow it just for the start call.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, spark.sparkContext.defaultParallelism).toString)
     // The post-data empty microbatch only exists to advance watermarks.
     // For an UNWATERMARKED plan it is a pure extra plan+execute cycle, so
     // it is disabled — but only after checking the plan: a watermarked
