@@ -65,6 +65,34 @@ object StreamParity {
     * names recognizable in the UI/logs. */
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** One cloned session per (parent session, conf signature) — see
+    * [[org.apache.spark.sql.GraftBridge.sessionWithConf]]: per-start confs
+    * must not mutate the shared session (set/start/restore raced with
+    * concurrent starts), but cloning per CALL is also wrong — a fresh
+    * SessionState's analyzer/optimizer caches are cold, and the
+    * per-micro-batch incremental planning on a cold clone measured ~+1 s
+    * per parity query. The clone is immutable after creation (nothing
+    * mutates its conf), so sharing it across concurrent starts is safe.
+    * Weak parent keys: a stopped test session must not be pinned. */
+  private val confSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[Map[String, String], SparkSession]]())
+
+  private def confSession(spark: SparkSession,
+      confs: Map[String, String]): SparkSession = {
+    val perParent = confSessions.synchronized {
+      var m = confSessions.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Map[String, String], SparkSession]()
+        confSessions.put(spark, m)
+      }
+      m
+    }
+    perParent.computeIfAbsent(confs,
+      c => org.apache.spark.sql.GraftBridge.sessionWithConf(spark, c))
+  }
+
   /** Run `stream` to completion through a memory sink and return the sink
     * table (callers consume the RETURN value — the generated sink name is
     * internal). */
@@ -85,6 +113,23 @@ object StreamParity {
       new java.io.File(System.getProperty("java.io.tmpdir"))
     val ckpt = new java.io.File(ckptBase,
       s"graft-stream-$name-${java.util.UUID.randomUUID()}")
+    // The post-data empty microbatch only exists to advance watermarks.
+    // For an UNWATERMARKED plan it is a pure extra plan+execute cycle, so
+    // it is disabled — but only after checking the plan: a watermarked
+    // append-mode query routed through this shared helper NEEDS that
+    // empty batch to flush its final windows under Trigger.AvailableNow,
+    // and silently suppressing it would withhold them forever.
+    val hasWatermark = stream.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    // Per-start confs ride a PRIVATE cloned session (shared context/
+    // catalog, isolated conf) instead of a set/start/restore window on the
+    // shared session — that window was a race: a watermarked query started
+    // concurrently (parallel suites) could capture noDataMicroBatches=false
+    // meant for an unwatermarked sibling and never flush its final windows
+    // (round 17: three watermark specs failed under testOnly graft.streaming.*).
+    //
     // A streaming query instantiates one state store per shuffle partition
     // at EVERY stateful operator — for these single-file parity runs 32
     // stores are pure setup cost. But ONE partition serializes the whole
@@ -95,54 +140,47 @@ object StreamParity {
     // is keyed, every key's rows arrive in one partition's order either
     // way (the parity fixtures are one input split), so per-key merge
     // order — hence every FP sum — is unchanged.
-    // The partition count is captured from the session conf at query
-    // start, so narrow it just for the start call.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(4, spark.sparkContext.defaultParallelism).toString)
-    // The post-data empty microbatch only exists to advance watermarks.
-    // For an UNWATERMARKED plan it is a pure extra plan+execute cycle, so
-    // it is disabled — but only after checking the plan: a watermarked
-    // append-mode query routed through this shared helper NEEDS that
-    // empty batch to flush its final windows under Trigger.AvailableNow,
-    // and silently suppressing it would withhold them forever. (Both
-    // confs are captured at query start — scoped to this start call.)
-    val hasWatermark = stream.queryExecution.analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
-      case _ => false
-    }
-    if (!hasWatermark)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ss = confSession(spark,
+      Map("spark.sql.shuffle.partitions" ->
+        math.min(4, spark.sparkContext.defaultParallelism).toString) ++
+        (if (hasWatermark) Map.empty[String, String]
+         else Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")))
+    // re-root the stream's UNanalyzed plan on the private session so the
+    // start() below captures ss's confs (the memory-sink view also lands
+    // in ss's catalog — read it back from ss)
+    val streamOnSs = org.apache.spark.sql.GraftBridge.dataset(ss,
+      stream.queryExecution.logical)
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
     // the checkpoint cleanup scope covers start() too: a query that fails
     // analysis AFTER the engine created the checkpoint dir must not leave
     // litter behind
+    val t0 = System.nanoTime()
+    def mark(label: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PHASES"))
+        System.err.println(f"[stream-phase] $name $label ${(System.nanoTime() - t0) / 1e9}%.3f")
     try {
-      val q = try {
-        stream.writeStream
-          .format("memory").queryName(name)
-          .option("checkpointLocation", ckpt.getAbsolutePath)
-          .outputMode(mode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
+      val q = streamOnSs.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      mark("started")
       q.awaitTermination()
+      mark("terminated")
       q.stop()
+      mark("stopped")
     } finally rm(ckpt)
     // materialize the sink and DROP the view: with per-call unique names
     // the memory sinks would otherwise accumulate driver heap for the
     // whole suite run; the returned frame is a self-contained local
     // relation (parity fixtures are small by construction)
-    val out = spark.table(name)
+    val out = ss.table(name)
     val rows = out.collect()
     val schema = out.schema
-    spark.catalog.dropTempView(name)
+    ss.catalog.dropTempView(name)
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
   }
@@ -187,22 +225,25 @@ object StreamParity {
       .select(col("w.start").cast("long").as("w_start"), col("user_id"),
         col("n_events"), col("v_sum"))
     val name = s"stream_late_window_${sinkSeq.incrementAndGet()}"
-    spark.catalog.dropTempView(name)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    val q = try agg.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the 1-partition conf rides a PRIVATE cloned session (see runToTable:
+    // a set/start/restore window on the shared session races concurrent
+    // starts); this stream's per-user volumes are tiny, so one state
+    // store stays the right size
+    val ss = confSession(spark, Map("spark.sql.shuffle.partitions" -> "1"))
+    val aggOnSs = org.apache.spark.sql.GraftBridge.dataset(ss,
+      agg.queryExecution.logical)
+    val q = aggOnSs.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
     try {
       mem.addData(onTime.toSeq: _*); q.processAllAvailable()
       mem.addData(late.toSeq: _*); q.processAllAvailable()
       mem.addData((-1L, flushTs, -1L, 0.0)); q.processAllAvailable()
     } finally q.stop()
     // materialize + drop (see runToTable's sink-accumulation note)
-    val outT = spark.table(name)
+    val outT = ss.table(name)
     val outRows = outT.collect()
     val outSchema = outT.schema
-    spark.catalog.dropTempView(name)
+    ss.catalog.dropTempView(name)
     spark.createDataFrame(java.util.Arrays.asList(outRows: _*), outSchema)
       .filter(col("user_id") >= 0)
   }

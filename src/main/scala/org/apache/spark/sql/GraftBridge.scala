@@ -26,6 +26,22 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A private session sharing the SparkContext, catalog and extensions
+    * but with an ISOLATED SQL conf — lets a caller pin per-query confs
+    * (streaming shuffle partitions, no-data micro-batches) for one
+    * `start()` without mutating the shared session. The set-confs /
+    * start / restore-confs window on a SHARED session was a real race:
+    * a watermarked query started concurrently (parallel test suites)
+    * could capture `noDataMicroBatches=false` meant for an unwatermarked
+    * sibling and never flush its final windows. `cloneSession` is
+    * private[sql], hence this bridge. */
+  def sessionWithConf(spark: SparkSession,
+      confs: Map[String, String]): SparkSession = {
+    val cloned = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    cloned
+  }
+
   /** The FINAL adaptive physical plan as a string, for plan-posture
     * assertions. `executedPlan.toString` on an AQE plan prints the final
     * plan followed by "== Initial Plan ==" — and a cached subtree
