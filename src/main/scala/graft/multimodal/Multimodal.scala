@@ -1022,55 +1022,65 @@ object Multimodal {
     imageNearDupPairsFromHashes(hashed, maxHamming, maxBucketSize)
   }
 
-  /** Live registrations per CANONICALIZED plan — Spark's CacheManager keys
-    * cache entries by canonicalized-plan equality, so two invocations of
-    * the same operator (a bench warmup pass and its measured pass, or
+  /** Live registration state per CANONICALIZED plan — Spark's CacheManager
+    * keys cache entries by canonicalized-plan equality, so two invocations
+    * of the same operator (a bench warmup pass and its measured pass, or
     * q_dedup_contain beside q_dedup_contain_drop) SHARE one cache entry;
     * unpersisting when "my" action completes would yank the entry out from
     * under the sibling mid-query (round 17: q_dedup_contain_drop measured
     * bimodal 2.6 s / 9.3 s because the previous pass's ASYNC listener-bus
     * unpersist landed inside the next pass's execution, forcing every
-    * branch to recompute the shingle pipeline). The refcount releases the
-    * entry only when the LAST registered user's action has completed. */
+    * branch to recompute the shingle pipeline). One ENTRY (count + one
+    * shared listener) per plan: each registration increments the count,
+    * each completed action whose plan contains the target decrements it
+    * ONCE — per EVENT, not per registration, because every registration's
+    * listener would match every equivalent action and a single early event
+    * could otherwise consume all live registrations at once and still
+    * release mid-run. The entry unpersists and unregisters at zero, i.e.
+    * after the LAST registered first use has completed. */
+  private final class CacheRef(
+      val count: java.util.concurrent.atomic.AtomicInteger,
+      @volatile var listener: org.apache.spark.sql.util.QueryExecutionListener)
   private val cacheRefs = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-    java.lang.Integer]()
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, CacheRef]()
 
   /** Release a persisted frame once every registered first-use action on a
-    * cache-equivalent plan has completed: a one-shot QueryExecutionListener
-    * per registration that matches the frame's analyzed plan as a subtree,
-    * decrements the shared refcount, and unpersists at zero. Unrelated
-    * queries never match; a second action on the same frame recomputes
-    * (correctness unaffected) — callers needing the cache across actions
-    * manage persistence explicitly. */
+    * cache-equivalent plan has completed (see [[cacheRefs]]). Unrelated
+    * queries never match; an invocation running a SECOND action on the
+    * same frame recomputes (correctness unaffected) — callers needing the
+    * cache across actions manage persistence explicitly. */
   private[graft] def unpersistAfterFirstUse(frame: DataFrame): Unit = {
     val spark = frame.sparkSession
     val target = frame.queryExecution.analyzed
     val key = target.canonicalized
-    cacheRefs.merge(key, 1, (a, b) => a + b)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def maybeRelease(
-          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        try {
-          if (qe.analyzed.exists(_.sameResult(target)) &&
-              done.compareAndSet(false, true)) {
-            spark.listenerManager.unregister(this)
-            val left = cacheRefs.merge(key, -1, (a, b) => a + b)
-            if (left <= 0) {
-              cacheRefs.remove(key, left)
-              frame.unpersist()
-            }
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
+    cacheRefs.compute(key, (k, existing) => {
+      if (existing != null) { existing.count.incrementAndGet(); existing }
+      else {
+        val ref = new CacheRef(
+          new java.util.concurrent.atomic.AtomicInteger(1), null)
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          private def maybeRelease(
+              qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+            try {
+              if (qe.analyzed.exists(_.sameResult(target)) &&
+                  ref.count.decrementAndGet() <= 0) {
+                cacheRefs.remove(key, ref)
+                spark.listenerManager.unregister(this)
+                frame.unpersist()
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = maybeRelease(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = maybeRelease(qe)
+        }
+        ref.listener = listener
+        spark.listenerManager.register(listener)
+        ref
+      }
+    })
   }
 
   /** [[imageNearDupPairs]] over a pre-hashed (id, ahash) frame — for

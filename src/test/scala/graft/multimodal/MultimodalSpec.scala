@@ -457,4 +457,56 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeAviFrames(bad)
     assert(out.isEmpty || out.forall(_.width == 24)) // no throw is the contract
   }
+
+  test("unpersistAfterFirstUse: a live sibling registration keeps the shared cache entry") {
+    // CacheManager keys entries by canonicalized plan, so two invocations
+    // of one operator share ONE entry; the release must decrement once per
+    // completed matching ACTION and unpersist only at zero — an early
+    // event must not consume every live registration at once (round 17:
+    // the previous bench pass's async release landed inside the next
+    // pass's execution and made q_dedup_contain_drop bimodal 2.6/9.3 s).
+    val salt = System.nanoTime() // plan unique to this test run
+    def build() = {
+      val f = spark.range(0, 1000).toDF("id")
+        .select(col("id"), (col("id") * lit(salt)).as("v"))
+        .persist()
+      Multimodal.unpersistAfterFirstUse(f)
+      f
+    }
+    // the listener bus is async: to observe state AFTER an action's
+    // release processed, enqueue a marker action and wait for a probe
+    // listener to see it — the shared ExecutionListenerBus is FIFO, so
+    // the earlier event (and its decrement) has fully processed by then
+    def drainBus(): Unit = {
+      val seen = new java.util.concurrent.CountDownLatch(1)
+      val probe = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = seen.countDown()
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = seen.countDown()
+      }
+      spark.listenerManager.register(probe)
+      try {
+        spark.range(1).count()
+        assert(seen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          "listener bus did not drain")
+      } finally spark.listenerManager.unregister(probe)
+    }
+    def cachedNow(): Boolean =
+      spark.range(0, 1000).toDF("id")
+        .select(col("id"), (col("id") * lit(salt)).as("v"))
+        .queryExecution.withCachedData.toString.contains("InMemoryRelation")
+    val a = build()
+    val b = build() // same canonicalized plan -> same cache entry, count 2
+    assert(a.count() === 1000)
+    drainBus()
+    assert(cachedNow(),
+      "first action released the entry while a sibling registration was live")
+    assert(b.count() === 1000)
+    drainBus()
+    assert(!cachedNow(),
+      "entry not released after the last registered first use completed")
+  }
 }

@@ -70,6 +70,47 @@ class StreamOpsSpec extends SparkSpec {
       ("a", "2024-01-01 00:30:00.0", 2.0)))
   }
 
+  test("watermarked parity run flushes windows WHILE unwatermarked helpers start concurrently") {
+    // Round-17 race regression pin: per-start confs used to be set and
+    // restored on the SHARED session, so a watermarked query that started
+    // while an unwatermarked sibling held noDataMicroBatches=false never
+    // flushed its final windows. Confs now ride a memoized cloned session;
+    // this drives both shapes CONCURRENTLY and asserts the watermarked
+    // results stay complete. Purely semantic — no wall-clock assertions.
+    val dir = java.nio.file.Files.createTempDirectory("wm_race").toFile
+    Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
+      ("zz", Timestamp.valueOf("2024-01-01 03:00:00"), 0.0)
+    ).toDF("id", "time", "value").coalesce(1)
+      .write.parquet(new java.io.File(dir, "s.parquet").toString)
+    def watermarked() = {
+      val stream = spark.readStream
+        .schema("id STRING, time TIMESTAMP, value DOUBLE")
+        .parquet(new java.io.File(dir, "s.parquet").toString)
+      StreamParity.runToTable(spark,
+        StreamOps.resampleRightClosedSum(stream, 900, watermarkDelay = "0 seconds"),
+        "wm_race_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    def unwatermarked() = {
+      val stream = spark.readStream
+        .schema("id STRING, time TIMESTAMP, value DOUBLE")
+        .parquet(new java.io.File(dir, "s.parquet").toString)
+      StreamParity.runToTable(spark,
+        stream.groupBy(col("id")).agg(count(lit(1)).as("n")),
+        "uw_race_out", org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+    val churn = new Thread(() => (1 to 4).foreach(_ => unwatermarked()))
+    churn.setDaemon(true)
+    churn.start()
+    try {
+      for (_ <- 1 to 2) {
+        val got = watermarked().filter(col("id") === "a").collect()
+        assert(got.length === 1,
+          s"watermarked run lost its flushed window under concurrent starts: ${got.length}")
+      }
+    } finally churn.join(120000)
+  }
+
   test("sessionizeStream: native session_window closes sessions past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Double)]
