@@ -12,6 +12,25 @@ import org.apache.spark.sql.SparkSession
   *
   * `runMain graft.Profile <q1,q2,...> [sfDir] [planDir] [tag] [passes]`
   */
+/** Per-micro-batch phase printer (round 18): instantiated by every session
+  * (cloned ones included) via spark.sql.streaming.streamingQueryListeners,
+  * so the stream lifecycle's durationMs breakdown is observable per batch. */
+class StreamPhaseListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val dur = p.durationMs
+    val keys = Seq("triggerExecution", "latestOffset", "queryPlanning",
+      "getBatch", "walCommit", "commitOffsets", "addBatch")
+    val parts = keys.map(k =>
+      s"$k=${Option(dur.get(k)).getOrElse("-")}").mkString(" ")
+    println(s"    [stream-batch] ${p.name} batch=${p.batchId} " +
+      s"rows=${p.numInputRows} $parts")
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+}
+
 object Profile {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
@@ -20,11 +39,21 @@ object Profile {
     val tag = args.lift(3).getOrElse("before")
     val passes = args.lift(4).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkEntry.configure(SparkSession.builder()
+    // Streaming lifecycle attribution (round 18): under
+    // SPARK_GRAFT_STREAM_PHASES, register the per-batch durationMs printer
+    // through the CONF (not spark.streams.addListener) — parity queries
+    // start on CLONED sessions (StreamParity.confSession) whose own
+    // StreamingQueryManager instantiates the listener class from this
+    // inherited conf; a listener added to the parent manager never sees
+    // their events.
+    val b0 = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    val spark = (if (sys.env.contains("SPARK_GRAFT_STREAM_PHASES"))
+      b0.config("spark.sql.streaming.streamingQueryListeners",
+        "graft.StreamPhaseListener")
+    else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(planDir).mkdirs()
 
@@ -60,9 +89,19 @@ object Profile {
           shufRead += m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead
           spill += m.diskBytesSpilled
         }
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")) {
+          val wall = (for (s <- sc.stageInfo.submissionTime;
+                           e <- sc.stageInfo.completionTime) yield e - s)
+            .getOrElse(-1L)
+          val cpu = if (m != null) m.executorCpuTime / 1000000 else -1L
+          jobLines.add(f"      stage ${sc.stageInfo.stageId}%4d " +
+            f"wall=${wall}%5d ms cpu=${cpu}%5d ms tasks=${sc.stageInfo.numTasks}%3d  " +
+            sc.stageInfo.name.take(90))
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
+
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

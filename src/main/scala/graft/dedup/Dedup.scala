@@ -416,8 +416,21 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), sha2(concat_ws("|", cols: _*), 256).as("band_hash"))
     }
-    sig.filter((0 until numHashes).map(i => col(s"mh$i").isNotNull).reduce(_ && _))
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bh"))
+    // The NULL guard is the GENERATOR's input (empty array → zero rows),
+    // NOT a Filter node (round 18): a `filter(mh0.isNotNull && …)` above a
+    // rowwise-PROJECTED signature gets predicate-pushed through the
+    // projection with the signature expressions SUBSTITUTED into the
+    // predicate — the streaming banding's 4×md5-per-token minhash ran
+    // twice per row (once as the pushed scan filter, once as the
+    // projection), doubling the micro-batch's whole CPU cost. As the
+    // explode input the null checks reference the projected mh attributes
+    // and evaluate once; an all-null signature explodes an empty slice —
+    // zero rows, exactly the old filter's semantics.
+    val all = array(bandStructs: _*)
+    val nonNull = (0 until numHashes).map(i => col(s"mh$i").isNotNull)
+      .reduce(_ && _)
+    sig.select(col(idCol),
+        explode(when(nonNull, all).otherwise(slice(all, 1, 0))).as("bh"))
       .select(col(idCol), col("bh.band").as("band"),
         col("bh.band_hash").as("band_hash"))
   }

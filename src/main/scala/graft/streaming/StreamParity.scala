@@ -93,11 +93,33 @@ object StreamParity {
       c => org.apache.spark.sql.GraftBridge.sessionWithConf(spark, c))
   }
 
+  /** Spread a micro-batch's heavy STATELESS projection across the session's
+    * cores (round 18): the parity fixtures are one input split, so a
+    * tokenize/md5-dense projection otherwise rides the single-task scan
+    * stage of every micro-batch (q_stream_cms's scan stage measured 0.84 s
+    * of CPU in ONE task on a 32-core session; q_stream_lsh_bands 1.4 s).
+    * A deterministic keyed repartition right above the source moves that
+    * projection into an N-task stage — the scan task only shuffle-writes
+    * the raw (narrow, column-pruned) rows.
+    *
+    * Correctness contract, per call site: ONLY applied where the downstream
+    * aggregate is partitioning-insensitive — integer merges (count/min/max),
+    * sorted collect_list, or FP sums whose GROUP KEY is the spread key (all
+    * of one group's rows stay in one partition, so per-group partials and
+    * their merge order are unchanged). Scale-adaptive: N derives from the
+    * session's parallelism, and at production volumes a stream arrives in
+    * many source splits already — callers there drop the respread. */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      math.min(sys.env.get("SPARK_GRAFT_STREAM_SPREAD").map(_.toInt)
+          .getOrElse(Int.MaxValue),
+        df.sparkSession.sparkContext.defaultParallelism), col(key))
+
   /** Run `stream` to completion through a memory sink and return the sink
     * table (callers consume the RETURN value — the generated sink name is
     * internal). */
   def runToTable(spark: SparkSession, stream: DataFrame, baseName: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, statefulPartitions: Option[Int] = None): DataFrame = {
     val name = s"${baseName}_${sinkSeq.incrementAndGet()}"
     spark.catalog.dropTempView(name) // no-op when absent
     // Offset/commit logs and state-store delta files are written to the
@@ -140,9 +162,16 @@ object StreamParity {
     // is keyed, every key's rows arrive in one partition's order either
     // way (the parity fixtures are one input split), so per-key merge
     // order — hence every FP sum — is unchanged.
+    // `statefulPartitions` overrides the family default for queries whose
+    // STATE stage is itself CPU-dense (round 18: q_stream_sessionize's
+    // session merge measured 1.7 s of CPU over the default 4 state tasks —
+    // the keyed-state partitioning-independence argument above covers any
+    // partition count, and the single input split keeps one partial per
+    // key, so FP sums are unchanged).
     val ss = confSession(spark,
       Map("spark.sql.shuffle.partitions" ->
-        math.min(4, spark.sparkContext.defaultParallelism).toString) ++
+        statefulPartitions.getOrElse(
+          math.min(4, spark.sparkContext.defaultParallelism)).toString) ++
         (if (hasWatermark) Map.empty[String, String]
          else Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")))
     // re-root the stream's UNanalyzed plan on the private session so the
@@ -170,6 +199,9 @@ object StreamParity {
       mark("started")
       q.awaitTermination()
       mark("terminated")
+      // measurement-only diagnostic: the LAST micro-batch's executed
+      // physical plan (the batch plans are otherwise invisible to explain())
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PLANS")) q.explain(true)
       q.stop()
       mark("stopped")
     } finally rm(ckpt)
@@ -604,7 +636,10 @@ object StreamParity {
     val src = docsStream(spark, dir)
     val dups = src.filter(col("doc_id") < 100)
       .withColumn("doc_id", col("doc_id") + 100000L)
-    runToTable(spark, lshBucketAgg(bandedDocs(src.unionByName(dups))),
+    // spread: the 4×md5-per-token signature projection is the micro-batch's
+    // whole cost (round 18: 1.4 s of CPU in the single-split scan stage);
+    // sorted collect_list + count state is partitioning-insensitive
+    runToTable(spark, lshBucketAgg(bandedDocs(spread(src.unionByName(dups), "doc_id"))),
       "stream_lsh_bands", OutputMode.Complete())
   }
 
@@ -647,8 +682,13 @@ object StreamParity {
   def sessionizePerUser(spark: SparkSession, dir: String,
       gapSeconds: Long): DataFrame = {
     val ev = eventsStream(spark, dir).filter(!isnan(col("value")))
+    // the session-window merge is the one CPU-dense STATE stage in the
+    // family (1.7 s CPU over 4 tasks at sf0.1) — give it the parallelism
+    // the other stateful parity runs don't need
     runToTable(spark, sessionizeAgg(ev, gapSeconds), "stream_sessionize",
-      OutputMode.Complete())
+      OutputMode.Complete(),
+      statefulPartitions =
+        Some(math.min(16, spark.sparkContext.defaultParallelism)))
   }
 
   /** The sessionize aggregate alone (events with ts-ns + user_id + value →
@@ -674,8 +714,10 @@ object StreamParity {
     * register max is order-insensitive, so backfill order cannot change
     * the answer. */
   def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
+    // spread: per-token register hashing dominates the micro-batch; register
+    // state is max-rank (order-insensitive integer merge)
     val regs = graft.trainprep.CorpusOverlap.hllRegisters(
-      docsStream(spark, dir), "lang", "text")
+      spread(docsStream(spark, dir), "doc_id"), "lang", "text")
     val sink = runToTable(spark, regs, "stream_hll_regs", OutputMode.Complete())
     graft.trainprep.CorpusOverlap.hllEstimate(sink, "lang")
   }
@@ -687,8 +729,10 @@ object StreamParity {
     * one. Estimation then runs BATCH: the same query-token set as the
     * batch q_cms_counts joins the drained counter sink. */
   def cmsStream(spark: SparkSession, dir: String): DataFrame = {
+    // spread: depth×md5-per-token counter hashing dominates the micro-batch
+    // (0.84 s CPU single-task, round 18); counter state is integer counts
     val counters = graft.trainprep.CorpusOverlap.cmsTokenCounts(
-      docsStream(spark, dir), "text")
+      spread(docsStream(spark, dir), "doc_id"), "text")
     val sink = runToTable(spark, counters, "stream_cms", OutputMode.Complete())
     val queryToks = graft.queries.Tables.t(spark, dir, "documents")
       .filter(col("doc_id") < 5)

@@ -220,9 +220,18 @@ object NgramLm {
     * ln 2 by definition (fully disjoint), not a missing value. */
   def sourceJsDivergence(docs: DataFrame, sourceCol: String,
       textCol: String, roundTo: Int = 6, maxSources: Int = 4096): DataFrame = {
+    // Lineage cut (round 18, guide §3.3): the (source, word) count frame is
+    // referenced THREE times — the totals aggregate and both sides of the
+    // shared-word self-join — and each reference re-ran the full
+    // tokenize+explode+groupBy (q_mix_jsd: 13 sequential one-task jobs,
+    // 14 Exchanges, the suite's worst floor-normalized query at 2.16×).
+    // A LAZY local checkpoint (no extra job — the totals evaluation below
+    // materializes it) makes every reference read the one copy. The frame
+    // is (source, word, count) — the §8 lightweight proxy, never text.
     val counts = docs
       .select(col(sourceCol).as("__src"), explode(toks(col(textCol))).as("w"))
       .groupBy(col("__src"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     // the shared-word self-join below fans out up to sources²/2 rows per
     // universally-shared word — sound only while sources stay
     // dimension-sized, so that contract is REQUIRED, not assumed
